@@ -1,0 +1,96 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.Schemas
+
+/** CDC envelope semantics, batch form — decode, unwrap, op routing,
+  * latest-state materialization (SURVEY.md §2.B, §3.2).
+  *
+  * Everything here is declarative DataFrame code: Catalyst prunes the
+  * unused envelope struct fields out of the `from_json` (the engine-side
+  * equivalent of the reference's unwrap SMT doing early projection,
+  * adx-sink-config.json:15-16) and keeps the whole path inside
+  * whole-stage codegen.
+  */
+object Cdc {
+
+  /** Parse raw JSON envelope bytes/strings into the typed envelope struct.
+    * Equivalent of the sink's JSON parse (`adx-sink-config.json:9`);
+    * schema-on-read with a fixed StructType, never inference.
+    */
+  def decode(raw: DataFrame, valueCol: String = "value",
+             schema: StructType = Schemas.envelope): DataFrame =
+    raw.withColumn("event", from_json(col(valueCol).cast("string"), schema))
+       .select(col("event.payload").as("payload"))
+
+  /** ExtractNewRecordState-compatible unwrap (adx-sink-config.json:15-16,
+    * README.md:317-340): project `payload.after.*`, drop the envelope.
+    * The SMT's default also drops delete events (null `after` /
+    * tombstones) — made explicit here with `dropDeletes`.
+    */
+  def unwrap(envelopes: DataFrame, dropDeletes: Boolean = true): DataFrame = {
+    val base = if (dropDeletes) envelopes.filter(col("payload.op") =!= "d") else envelopes
+    base.select(col("payload.after.*"))
+  }
+
+  /** Sink projection (README.md:121): the deliberate int→string cast of
+    * orderid/custid plus the reordered columns (city before amount). */
+  def sinkProjection(flat: DataFrame): DataFrame =
+    flat.select(
+      col("orderid").cast("string").as("orderid"),
+      col("custid").cast("string").as("custid"),
+      col("city"),
+      col("amount"))
+
+  /** Route events by op ("c"/"u"/"d"/"r", README.md:288). */
+  def byOp(envelopes: DataFrame): Map[String, DataFrame] =
+    Seq("c", "u", "d", "r").map { o =>
+      o -> envelopes.filter(col("payload.op") === o)
+    }.toMap
+
+  /** Latest-state view over an append-only CDC log (SURVEY.md §1.4):
+    * per key, keep the event with the highest (orderCol) — `source.lsn`
+    * is the DB total-order token — then apply deletes (a key whose latest
+    * event is a delete disappears). Idempotent under at-least-once replay
+    * (duplicate events collapse because they share the same orderCol).
+    *
+    * Scale note: this is one hash-partition shuffle on the key plus a
+    * per-partition sort — the standard distributed dedup shape. At 100 TB
+    * the key space partitions evenly (PKs are uniform); no skew expected.
+    * For truly hot keys AQE skew-join/salting would apply, but a PK is
+    * unique per row so partition sizes stay balanced.
+    */
+  def latestState(envelopes: DataFrame,
+                  keyCol: Column,
+                  orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol.desc)
+    envelopes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("payload.op") =!= "d")
+      .drop("__rn")
+      .select(col("payload.after.*"))
+  }
+
+  /** Inverse of decode, for egress tests: render rows as Debezium-shaped
+    * JSON envelopes (JsonConverter analog, pg-source-config.json:13). */
+  def encodeInserts(rows: DataFrame, tsMs: Column, lsn: Column): DataFrame =
+    rows.select(to_json(struct(
+      struct(
+        lit(null).cast(Schemas.orderRow).as("before"),
+        struct(col("orderid"), col("custid"), col("amount"), col("city")).as("after"),
+        struct(
+          lit("1.9.5").as("version"), lit("postgresql").as("connector"),
+          lit("myserver").as("name"), tsMs.as("ts_ms"),
+          lit("false").as("snapshot"), lit("inventory").as("db"),
+          lit("inventory").as("schema"), lit("orders_info").as("table"),
+          lsn.as("txId"), lsn.as("lsn"), lit(null).cast("long").as("xmin")
+        ).as("source"),
+        lit("c").as("op"), tsMs.as("ts_ms"),
+        lit(null).cast("string").as("transaction")
+      ).as("payload")
+    )).as("value"))
+}

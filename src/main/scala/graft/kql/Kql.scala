@@ -1,0 +1,55 @@
+package graft.kql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Thin KQL-flavored surface over DataFrames (SURVEY.md §7.4): each verb
+  * desugars to vanilla DataFrame ops, so Catalyst sees a plain declarative
+  * plan — no parser, no custom logical nodes.
+  *
+  * Dialect defaults reproduced from the reference queries:
+  *  - `sort by x` with no direction is DESCENDING (README.md:376,388);
+  *  - `summarize agg by k` ≡ groupBy(k).agg (README.md:363-367);
+  *  - `top n by x` ≡ desc sort + limit — Catalyst plans
+  *    TakeOrderedAndProject (true distributed top-k, no full sort).
+  */
+object Kql {
+
+  implicit class KqlOps(private val df: DataFrame) extends AnyVal {
+
+    /** KQL `where` */
+    def kqlWhere(cond: Column): DataFrame = df.filter(cond)
+
+    /** KQL `project` */
+    def project(cols: Column*): DataFrame = df.select(cols: _*)
+
+    /** KQL `extend name = expr` */
+    def extend(name: String, c: Column): DataFrame = df.withColumn(name, c)
+
+    /** KQL `summarize a1 = agg1(...), ... by k1, k2` */
+    def summarize(aggs: Seq[(String, Column)], by: Column*): DataFrame = {
+      val named = aggs.map { case (n, c) => c.as(n) }
+      if (by.isEmpty) df.agg(named.head, named.tail: _*)
+      else df.groupBy(by: _*).agg(named.head, named.tail: _*)
+    }
+
+    /** KQL `sort by c1, c2` — DESC by default (README.md:376). */
+    def kqlSort(cols: Column*): DataFrame = df.orderBy(cols.map(_.desc): _*)
+
+    /** KQL `sort by c asc` escape hatch. */
+    def kqlSortAsc(cols: Column*): DataFrame = df.orderBy(cols.map(_.asc): _*)
+
+    /** KQL `top n by c` (desc, like `sort`). */
+    def top(n: Int, by: Column*): DataFrame =
+      df.orderBy(by.map(_.desc): _*).limit(n)
+
+    /** KQL `take n` */
+    def take(n: Int): DataFrame = df.limit(n)
+
+    /** KQL `count` */
+    def kqlCount: DataFrame = df.agg(count(lit(1)).as("Count"))
+
+    /** KQL `distinct c1, c2` */
+    def kqlDistinct(cols: Column*): DataFrame = df.select(cols: _*).distinct()
+  }
+}

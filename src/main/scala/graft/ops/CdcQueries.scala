@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Cdc
+import graft.model.Schemas
+
+/** The CDC operator family exercised end-to-end as driver-verifiable
+  * queries: a deterministic Debezium-shaped event log is synthesized from
+  * the `orders_info` derivation ([[Tables.ordersInfo]]), rendered to JSON
+  * envelope strings (JsonConverter analog, pg-source-config.json:13),
+  * parsed back ([[Cdc.decode]]), then unwrapped / materialized. Because
+  * encode∘decode is the identity, every query's oracle is plain SQL over
+  * the same derivation — the round trip itself is what's under test.
+  *
+  * Event-log shape (all integer-arithmetic, mirrored in the oracles):
+  *  - every row: one insert  (op "c", lsn = orderid*10)
+  *  - orderid %% 10 == 0: an update  (op "u", amount+7, lsn = orderid*10+1)
+  *  - orderid %% 17 == 0: a delete  (op "d", after=null, lsn = orderid*10+2)
+  *  - orderid %% 13 == 0: the insert replayed verbatim (at-least-once
+  *    duplicate, docker-compose.yaml:35-37 offset semantics)
+  */
+object CdcQueries {
+
+  private val nullRow: Column = lit(null).cast(Schemas.orderRow)
+
+  private def rowStruct(amount: Column): Column =
+    struct(col("orderid"), col("custid"), amount.cast("int").as("amount"), col("city"))
+
+  /** Render one event class as a full Debezium envelope JSON string. */
+  private def envelopeJson(before: Column, after: Column, op: String,
+                           lsn: Column): Column = {
+    val src = struct(
+      lit("1.9.5.Final").as("version"), lit("postgresql").as("connector"),
+      lit("myserver").as("name"), (lsn * 1000L).as("ts_ms"),
+      lit("false").as("snapshot"), lit("inventory").as("db"),
+      lit("inventory").as("schema"), lit("orders_info").as("table"),
+      lsn.as("txId"), lsn.as("lsn"), lit(null).cast("long").as("xmin"))
+    to_json(struct(
+      lit(null).cast("string").as("schema"),
+      struct(before.as("before"), after.as("after"), src.as("source"),
+        lit(op).as("op"), (lsn * 1000L).as("ts_ms"),
+        lit(null).cast("string").as("transaction")).as("payload"))).as("value")
+  }
+
+  /** Insert-only event log (what the reference generator actually emits —
+    * op "c" only, main.go:81-92). */
+  def insertLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val oi = Tables.ordersInfo(spark, sfDir)
+    oi.select(envelopeJson(nullRow, rowStruct(col("amount")), "c", col("orderid") * 10L))
+  }
+
+  /** Full mixed-op event log incl. updates, deletes, and replayed
+    * duplicates, as raw JSON envelope strings in column `value`. */
+  def eventLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val oi = Tables.ordersInfo(spark, sfDir).cache()
+    val inserts = oi.select(
+      envelopeJson(nullRow, rowStruct(col("amount")), "c", col("orderid") * 10L))
+    val updates = oi.filter(col("orderid") % 10 === 0).select(
+      envelopeJson(rowStruct(col("amount")), rowStruct(col("amount") + 7), "u",
+        col("orderid") * 10L + 1L))
+    val deletes = oi.filter(col("orderid") % 17 === 0).select(
+      envelopeJson(rowStruct(col("amount")), nullRow, "d", col("orderid") * 10L + 2L))
+    val replays = oi.filter(col("orderid") % 13 === 0).select(
+      envelopeJson(nullRow, rowStruct(col("amount")), "c", col("orderid") * 10L))
+    inserts.unionAll(updates).unionAll(deletes).unionAll(replays)
+  }
+
+  /** q: decode+unwrap+sink-projection of the insert-only log — the
+    * reference's ExtractNewRecordState SMT plus the ADX sink DDL's
+    * int→string casts and column reorder (README.md:121, §1.2/T5/T7). */
+  def unwrapSink(spark: SparkSession, sfDir: String): DataFrame =
+    Cdc.sinkProjection(Cdc.unwrap(Cdc.decode(insertLog(spark, sfDir))))
+
+  /** q: unwrap of the mixed log with delete-drop semantics (SMT default,
+    * README.md:317-340) — c/u/r rows flattened, d rows dropped. */
+  def unwrapMixed(spark: SparkSession, sfDir: String): DataFrame =
+    Cdc.unwrap(Cdc.decode(eventLog(spark, sfDir)), dropDeletes = true)
+
+  /** q: latest-state materialization of the mixed log (SURVEY.md §1.4):
+    * per-key max-lsn event wins; deleted keys disappear; replayed
+    * duplicates collapse. */
+  def latestState(spark: SparkSession, sfDir: String): DataFrame =
+    Cdc.latestState(Cdc.decode(eventLog(spark, sfDir)),
+      keyCol = coalesce(col("payload.after.orderid"), col("payload.before.orderid")),
+      orderCol = col("payload.source.lsn"))
+
+  /** q: per-op event counts over the mixed log (op router coverage,
+    * README.md:288). */
+  def opCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Cdc.decode(eventLog(spark, sfDir))
+      .groupBy(col("payload.op").as("op"))
+      .agg(count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_unwrap_sink" -> unwrapSink _,
+    "cdc_unwrap_mixed" -> unwrapMixed _,
+    "cdc_latest_state" -> latestState _,
+    "cdc_op_counts" -> opCounts _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "cdc_unwrap_sink" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT CAST(orderid AS VARCHAR) AS orderid, CAST(custid AS VARCHAR) AS custid,
+         |       city, amount
+         |FROM orders_info""".stripMargin,
+    "cdc_unwrap_mixed" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid, custid, amount, city FROM orders_info
+         |UNION ALL
+         |SELECT orderid, custid, CAST(amount + 7 AS INTEGER) AS amount, city
+         |FROM orders_info WHERE orderid % 10 = 0
+         |UNION ALL
+         |SELECT orderid, custid, amount, city FROM orders_info WHERE orderid % 13 = 0""".stripMargin,
+    "cdc_latest_state" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid, custid,
+         |       CAST(CASE WHEN orderid % 10 = 0 THEN amount + 7 ELSE amount END AS INTEGER) AS amount,
+         |       city
+         |FROM orders_info WHERE orderid % 17 <> 0""".stripMargin,
+    "cdc_op_counts" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |  SELECT 'c' AS op FROM orders_info
+         |  UNION ALL SELECT 'u' FROM orders_info WHERE orderid % 10 = 0
+         |  UNION ALL SELECT 'd' FROM orders_info WHERE orderid % 17 = 0
+         |  UNION ALL SELECT 'c' FROM orders_info WHERE orderid % 13 = 0)
+         |GROUP BY op""".stripMargin,
+  )
+}

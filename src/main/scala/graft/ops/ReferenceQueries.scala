@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kql.Kql._
+
+/** The reference's published analytical workload (README.md:363-392) —
+  * three KQL aggregates over the materialized `Orders` table plus the
+  * psql top-5 validation scan (README.md:203) — expressed through the
+  * KQL-flavored builder so the dialect defaults (desc `sort`,
+  * `summarize ... by`) are exercised, over the derived `orders_info`
+  * table.
+  *
+  * All aggregates are over the int `amount` column, so sums are exact and
+  * avg = exact-int-sum / count — bit-identical to the DuckDB oracle.
+  */
+object ReferenceQueries {
+
+  /** A1 (README.md:363-367): `Orders | summarize avg_sales = avg(amount) by city`. */
+  def avgSalesByCity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.ordersInfo(spark, sfDir)
+      .summarize(Seq("avg_sales" -> avg(col("amount"))), col("city"))
+
+  /** A2+O2 (README.md:373-376): `summarize total = sum(amount) by city | sort by total`. */
+  def totalSalesByCity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.ordersInfo(spark, sfDir)
+      .summarize(Seq("total" -> sum(col("amount"))), col("city"))
+      .kqlSort(col("total"))
+
+  /** A3+O3 (README.md:385-388): `summarize orders = count() by city | sort by orders`. */
+  def orderCountByCity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.ordersInfo(spark, sfDir)
+      .summarize(Seq("orders" -> count(lit(1))), col("city"))
+      .kqlSort(col("orders"), col("city"))
+
+  /** O1 (README.md:203): `select * from orders_info order by orderid desc limit 5`
+    * — Catalyst plans TakeOrderedAndProject (distributed top-k, no global sort). */
+  def latestFiveOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.ordersInfo(spark, sfDir).top(5, col("orderid"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ref_avg_by_city"   -> avgSalesByCity _,
+    "ref_total_by_city" -> totalSalesByCity _,
+    "ref_count_by_city" -> orderCountByCity _,
+    "ref_top5_orders"   -> latestFiveOrders _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ref_avg_by_city" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city, AVG(amount) AS avg_sales FROM orders_info GROUP BY city""".stripMargin,
+    "ref_total_by_city" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city, CAST(SUM(amount) AS BIGINT) AS total FROM orders_info
+         |GROUP BY city ORDER BY total DESC""".stripMargin,
+    "ref_count_by_city" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS orders FROM orders_info
+         |GROUP BY city ORDER BY orders DESC, city DESC""".stripMargin,
+    "ref_top5_orders" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT * FROM orders_info ORDER BY orderid DESC LIMIT 5""".stripMargin,
+  )
+}

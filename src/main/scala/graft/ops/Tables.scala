@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-corpus table loaders plus the derived reference-shaped source table.
+  *
+  * `ordersInfo` reconstructs the reference's Postgres table
+  * `inventory.orders_info` (orders-generator/main.go:15-20: orderid PK,
+  * custid 1..1000, amount 100..199, city in a fixed 6-city domain,
+  * main.go:47) deterministically from the driver corpus's `orders` table,
+  * using pure integer arithmetic so the exact same derivation is
+  * expressible in the DuckDB oracle (see [[Sql.ordersInfoCte]]).
+  */
+object Tables {
+
+  val cities: Seq[String] =
+    Seq("New Delhi", "Seattle", "New York", "Austin", "Chicago", "Cleveland")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Reference-shaped `orders_info` rows (main.go:15-20 domains), derived
+    * from `orders.parquet` with integer-only arithmetic (no float casts —
+    * Spark truncates double→int, DuckDB rounds; integers sidestep that). */
+  def ordersInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val cityCol = cities.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (c, i)) => when(col("o_orderkey") % 6 === i, c).otherwise(acc)
+    }
+    orders(spark, sfDir).select(
+      col("o_orderkey").cast("int").as("orderid"),
+      (col("o_custkey") % 1000 + 1).cast("int").as("custid"),
+      ((col("o_orderkey") * 7919 + col("o_custkey")) % 100 + 100).cast("int").as("amount"),
+      cityCol.as("city"))
+  }
+}
+
+/** Shared DuckDB-oracle SQL fragments, kept textually adjacent to the
+  * Spark derivations they must mirror. */
+object Sql {
+
+  /** DuckDB CTE mirroring [[Tables.ordersInfo]] exactly. */
+  val ordersInfoCte: String =
+    """WITH orders_info AS (
+      |  SELECT CAST(o_orderkey AS INTEGER) AS orderid,
+      |         CAST(o_custkey % 1000 + 1 AS INTEGER) AS custid,
+      |         CAST((o_orderkey * 7919 + o_custkey) % 100 + 100 AS INTEGER) AS amount,
+      |         CASE CAST(o_orderkey % 6 AS INTEGER)
+      |           WHEN 0 THEN 'New Delhi' WHEN 1 THEN 'Seattle' WHEN 2 THEN 'New York'
+      |           WHEN 3 THEN 'Austin' WHEN 4 THEN 'Chicago' ELSE 'Cleveland' END AS city
+      |  FROM orders)""".stripMargin
+}
