@@ -21,11 +21,13 @@ object SparkEntry {
     * extensions). Keys are stable; each maps (spark, sfDir) → result. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++
-    ReferenceQueries.queries
+    ReferenceQueries.queries ++
+    Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CdcQueries.oracleSql ++
-    ReferenceQueries.oracleSql
+    ReferenceQueries.oracleSql ++
+    Analytics.oracleSql
 }
