@@ -22,12 +22,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++
     ReferenceQueries.queries ++
-    Analytics.queries
+    Analytics.queries ++
+    graft.ext.Dedup.queries ++
+    graft.ext.TextAnalysis.queries ++
+    graft.ext.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CdcQueries.oracleSql ++
     ReferenceQueries.oracleSql ++
-    Analytics.oracleSql
+    Analytics.oracleSql ++
+    graft.ext.Dedup.oracleSql ++
+    graft.ext.TextAnalysis.oracleSql ++
+    graft.ext.Similarity.oracleSql
 }

@@ -1,0 +1,293 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** [extension] Deduplication operators for large-scale training-data
+  * pipelines: exact (hash-groupBy), MinHash+LSH (shingle → minhash →
+  * band → bucket-join → verify), SimHash (bit-block LSH + Hamming
+  * verify), and exact n-gram Jaccard on a blocked subset.
+  *
+  * Scale design (100 TB): every per-document stage (shingling, hashing,
+  * signatures) is embarrassingly parallel map-side compute inside
+  * whole-stage codegen (higher-order array functions, no UDFs, no
+  * explode until the band join). The only shuffles are the LSH bucket
+  * joins, which hash-partition on (block, band-key) — the standard
+  * near-dup shape. Candidate pairs are `distinct`-ed before verification
+  * so each pair is verified once even when multiple bands collide.
+  * Hot buckets (a band key shared by thousands of docs) are the skew
+  * risk; AQE skew-join splitting handles it, and the band width (r) is
+  * the tuning knob that keeps bucket sizes bounded.
+  *
+  * Hash portability: all hashes derive from md5 hex (identical on every
+  * engine), via `conv(hex, 16, 10)` into ≤60-bit signed-long space, then
+  * pure integer arithmetic — so the DuckDB oracles compute bit-identical
+  * signatures, candidates, and Jaccard values (int/int division in
+  * double is exact on both engines).
+  */
+object Dedup {
+
+  /** 32-bit integer hash of a string via md5 (portable across engines). */
+  private def h32(s: String): String =
+    s"cast(conv(substr(md5($s),1,8),16,10) as bigint)"
+
+  // ---- exact dedup --------------------------------------------------------
+
+  /** Exact dedup by content hash: one group per distinct normalized text,
+    * keeper = min doc_id. Pure hash-groupBy: one shuffle on the
+    * fingerprint, partial aggregation map-side. */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  /** Per-doc MinHash signatures over distinct word shingles.
+    * numHashes=16; h_i(x) = (a_i·x + b_i) mod 2147483647 with
+    * a_i = (1000003·i) mod 1000000007, b_i = (7919·i² + 12345) mod
+    * 1000000007 — constants small enough that a_i·x stays < 2^62. */
+  private def minhashWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("w"))
+
+  /** Per-doc MinHash signature columns m_1..m_16, computed explode-style:
+    * one codegen'd md5 hash per distinct word, then 16 partial-aggregated
+    * `min` columns — the same whole-stage-codegen shape as [[simhashes]]
+    * (array-lambda formulations evaluate interpreted and were the
+    * dominant cost at bench scale). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val wordHashes = docs
+      .select(col("doc_id"), col("lang"),
+        explode(expr("array_distinct(split(text, ' '))")).as("word"))
+      .withColumn("x", expr(h32("word")))
+    val mins = (1 to 16).map { i =>
+      val a = (1000003L * i) % 1000000007L
+      val b = (7919L * i * i + 12345L) % 1000000007L
+      min((lit(a) * col("x") + lit(b)) % 2147483647L).as(s"m_$i")
+    }
+    wordHashes.groupBy(col("doc_id"), col("lang")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: 2 bands × 8 rows, verified Jaccard ≥ τ,
+    * blocked by `lang` (standard blocking — cuts the candidate space and
+    * the oracle agrees exactly). */
+  def minhashPairs(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.9): DataFrame = {
+    val band0 = concat_ws("-", (1 to 8).map(i => col(s"m_$i")): _*)
+    val band1 = concat_ws("-", (9 to 16).map(i => col(s"m_$i")): _*)
+    val sigs = minhashSignatures(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("lang"),
+        posexplode(array(band0, band1)).as(Seq("band_idx", "band_key")))
+    val a = sigs.select(col("lang").as("lang_a"), col("band_idx").as("bi_a"),
+      col("band_key").as("bk_a"), col("doc_id").as("doc_a"))
+    val b = sigs.select(col("lang").as("lang_b"), col("band_idx").as("bi_b"),
+      col("band_key").as("bk_b"), col("doc_id").as("doc_b"))
+    // Dedup candidate pairs on bare ids (cheap shuffle), THEN fetch the
+    // word sets — shuffling the arrays through the distinct was the cost.
+    val pairs = a.join(b,
+        col("lang_a") === col("lang_b") && col("bi_a") === col("bi_b") &&
+        col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val docsW = minhashWords(Tables.documents(spark, sfDir))
+    pairs
+      .join(broadcast(docsW.select(col("doc_id").as("doc_a"), col("w").as("wa"))), "doc_a")
+      .join(broadcast(docsW.select(col("doc_id").as("doc_b"), col("w").as("wb"))), "doc_b")
+      .withColumn("common", expr("size(array_intersect(wa, wb))"))
+      .withColumn("jac", col("common").cast("double") /
+        (expr("size(wa) + size(wb)") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** Per-doc 60-bit SimHash over the word multiset: bit b is set when
+    * more than half the word hashes have bit b set (unit weights) —
+    * computed as sign(Σ±1), which is the same predicate. Kept at 60 bits
+    * so values fit signed 64-bit on both engines.
+    *
+    * Shape: explode words → one codegen'd hash per word → groupBy doc
+    * with 60 partial-aggregated bit sums → assemble the long. A
+    * higher-order-function formulation (filter per bit) evaluates its
+    * lambdas interpreted and was ~50× slower; this stays entirely inside
+    * whole-stage codegen with map-side partial aggregation. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("word"))
+      .withColumn("h", expr("cast(conv(substr(md5(word),1,15),16,10) as bigint)"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"s_$b")
+    }
+    val agg = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 60)
+      .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4 LSH blocks of 15 bits (a pair within
+    * Hamming ≤ 8 of 60 bits must agree exactly on ≥1 block only if the
+    * differing bits concentrate elsewhere — blocks are the recall
+    * heuristic, Hamming ≤ maxHamming is the verified predicate). */
+  def simhashPairs(spark: SparkSession, sfDir: String,
+                   maxHamming: Int = 8): DataFrame = {
+    val sh = simhashes(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          """array(shiftright(simhash, 0) & 32767, shiftright(simhash, 15) & 32767,
+            |      shiftright(simhash, 30) & 32767, shiftright(simhash, 45) & 32767)""".stripMargin))
+          .as(Seq("block_idx", "block_key")))
+    val a = sh.select(col("block_idx").as("bi_a"), col("block_key").as("bk_a"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("block_idx").as("bi_b"), col("block_key").as("bk_b"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, col("bi_a") === col("bi_b") && col("bk_a") === col("bk_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hd", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hd") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hd"))
+  }
+
+  // ---- exact n-gram Jaccard ----------------------------------------------
+
+  /** Exact bigram-shingle Jaccard over a blocked subset (left side
+    * doc_id % 10 == 0) — the brute-force baseline the LSH variants
+    * approximate. Pairs with Jaccard ≥ 0.1 (bigram similarity in this
+    * corpus tops out ≈0.15). */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val shingled = Tables.documents(spark, sfDir)
+      .withColumn("ws", expr("split(text, ' ')"))
+      .withColumn("s", expr(
+        """CASE WHEN size(ws) >= 2 THEN
+          |  array_distinct(transform(sequence(0, size(ws) - 2),
+          |    i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2))))
+          |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), col("s"))
+    // Inverted-index join (the 100 TB shape): explode shingles, hash-join
+    // on the shingle, count common per pair — replaces the quadratic
+    // nested-loop array_intersect with shuffle-parallel codegen'd work.
+    // Pairs sharing zero shingles vanish, which jac >= 0.1 implies anyway.
+    val sizes = shingled.select(col("doc_id"), expr("size(s)").as("sz"))
+    val ex = shingled.select(col("doc_id"), explode(col("s")).as("shingle"))
+    val a = ex.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("jac", col("common").cast("double") /
+        (col("sza") + col("szb") - col("common")))
+      .filter(col("jac") >= 0.1)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  // ---- embedding near-dup -------------------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4 — random 64-d
+    * vectors concentrate near 0, so 0.4 is a strong-similarity tail).
+    * All-pairs at test scale; at 100 TB this is exactly what
+    * [[Similarity]]'s LSH bucketing bounds. */
+  def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exactDedup _,
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
+    "dedup_ngram_jaccard" -> ngramJaccardPairs _,
+    "dedup_embedding" -> embeddingNearDups _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH ws AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w FROM documents),
+        |xs AS (
+        |  SELECT doc_id, lang, w,
+        |    list_transform(w, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS x FROM ws),
+        |sig AS (
+        |  SELECT doc_id, lang, w,
+        |    list_transform(range(1, 17), i ->
+        |      list_min(list_transform(x, v ->
+        |        ((1000003 * i) % 1000000007 * v + (7919 * i * i + 12345) % 1000000007) % 2147483647))) AS s
+        |  FROM xs),
+        |bands AS (
+        |  SELECT doc_id, lang, w,
+        |    array_to_string(s[1:8], '-') AS b0, array_to_string(s[9:16], '-') AS b1 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.w AS wa, b.w AS wb
+        |  FROM bands a JOIN bands b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
+        |SELECT doc_a, doc_b, jac FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |      / (len(wa) + len(wb) - len(list_intersect(wa, wb))) AS jac
+        |  FROM cand)
+        |WHERE jac >= 0.9""".stripMargin,
+    "dedup_simhash" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |hs AS (SELECT doc_id,
+        |  list_transform(w, s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hv FROM ws),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 60), b ->
+        |      CASE WHEN len(list_filter(hv, h -> (h >> b) & 1 = 1)) * 2 > len(hv)
+        |           THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+        |  FROM hs),
+        |blocks AS (
+        |  SELECT doc_id, simhash, unnest([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+        |    (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS block_key,
+        |    unnest([0, 1, 2, 3]) AS block_idx
+        |  FROM sh)
+        |SELECT doc_a, doc_b, CAST(hd AS INTEGER) AS hd FROM (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.simhash, b.simhash)) AS hd
+        |  FROM blocks a JOIN blocks b
+        |    ON a.block_idx = b.block_idx AND a.block_key = b.block_key AND a.doc_id < b.doc_id)
+        |WHERE hd <= 8""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 1, 0)),
+        |    i -> string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2])) AS s
+        |  FROM documents)
+        |SELECT doc_a, doc_b, jac FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND a.doc_id < b.doc_id)
+        |WHERE jac >= 0.1""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+        |  FROM embeddings)
+        |SELECT vec_a, vec_b, cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+        |      / (a.norm * b.norm), 6) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.4""".stripMargin,
+  )
+}

@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** [extension] Similarity search over the embedding column
+  * (`Array[Float]`, unit-norm 64-d in the corpus, but norms are computed
+  * rather than assumed).
+  *
+  * Two paths, matching how ANN is actually built on Spark:
+  *  - brute-force cosine top-k: the exact baseline. Query set ⋈ corpus is
+  *    a broadcast join at sane query counts (the corpus side never
+  *    shuffles — the 100 TB plan is "broadcast the queries, scan the
+  *    corpus once, per-partition top-k, merge k·P rows on the driver",
+  *    which is exactly what Catalyst plans for broadcast-join +
+  *    window-rank or TakeOrdered).
+  *  - LSH (random-hyperplane) bucketing: deterministic integer-arithmetic
+  *    hyperplanes → 8-bit signature → bucket join. Recall comes from
+  *    probing, cost is bounded by bucket size. The bucket histogram and
+  *    the bucketed top-k are both oracle-verified.
+  *
+  * Float parity: embeddings are cast float→double (exact) before any
+  * arithmetic; products of doubles are IEEE-identical on both engines;
+  * final cosines are rounded to 6 dp and ranked with (cos, id) tiebreaks
+  * so last-ulp summation differences cannot flip results.
+  */
+object Similarity {
+
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+  }
+
+  /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10. */
+  def bruteForceTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("norm").as("cn"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(
+        expr("graft_dot(qv, cv)") / (col("qn") * col("cn")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rk").cast("int").as("rk"))
+  }
+
+  /** 8-plane random-hyperplane signature: plane p coefficient for
+    * component i is ((p+1)·131 + i·137) mod 997 − 498 ∈ [−498, 498],
+    * pure integer arithmetic so both engines build identical planes.
+    * Bucket = Σ_p [dot(plane_p, v) ≥ 0] · 2^p ∈ [0, 255]. */
+  private val bucketExpr =
+    """aggregate(sequence(0, 7), 0, (acc, p) ->
+      |  acc + IF(
+      |    aggregate(zip_with(v, sequence(0, size(v) - 1), (x, i) ->
+      |      x * (((p + 1) * 131 + i * 137) % 997 - 498)), 0d, (a, x) -> a + x) >= 0d,
+      |    cast(pow(2, p) as int), 0))""".stripMargin
+
+  /** LSH bucket histogram — the data layout an IVF/LSH index would
+    * partition the corpus by (bucket = partition key at scale). */
+  def lshBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir)
+      .withColumn("bucket", expr(bucketExpr))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** Bucketed ANN top-k: queries (vec_id < 10) search only their own
+    * bucket — the bounded-cost approximate path. k=3. */
+  def lshTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val e = vecs(spark, sfDir).withColumn("bucket", expr(bucketExpr))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("bucket"))
+    val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("norm").as("cn"), col("bucket"))
+    val scored = broadcast(q).join(c,
+        Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(
+        expr("graft_dot(qv, cv)") / (col("qn") * col("cn")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("bucket").cast("int").as("bucket"),
+        col("cand_id"), col("cos"), col("rk").cast("int").as("rk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
+    "sim_lsh_buckets" -> lshBuckets _,
+    "sim_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
+  )
+
+  private val oracleVecs =
+    """e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+      |  FROM embeddings)""".stripMargin
+
+  private val oracleBucket =
+    """list_sum(list_transform(range(0, 8), p ->
+      |  CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+      |    v[i] * (((p + 1) * 131 + (i - 1) * 137) % 997 - 498))) >= 0
+      |  THEN CAST(2 ** p AS INTEGER) ELSE 0 END))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH $oracleVecs
+         |SELECT query_id, cand_id, cos, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+         |      / (q.norm * c.norm), 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+         |        / (q.norm * c.norm), 6) DESC, c.vec_id ASC) AS rk
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |WHERE rk <= 5""".stripMargin,
+    "sim_lsh_buckets" ->
+      s"""WITH $oracleVecs
+         |SELECT CAST($oracleBucket AS INTEGER) AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM e GROUP BY 1""".stripMargin,
+    "sim_lsh_topk" ->
+      s"""WITH $oracleVecs,
+         |b AS (SELECT vec_id, v, norm, CAST($oracleBucket AS INTEGER) AS bucket FROM e)
+         |SELECT query_id, bucket, cand_id, cos, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS cand_id,
+         |    round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+         |      / (q.norm * c.norm), 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+         |        / (q.norm * c.norm), 6) DESC, c.vec_id ASC) AS rk
+         |  FROM b q JOIN b c ON q.vec_id < 10 AND q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+         |WHERE rk <= 3""".stripMargin,
+  )
+}

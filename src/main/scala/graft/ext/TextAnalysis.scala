@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** [extension] Text-analysis operators for training-data curation:
+  * token statistics, quality scoring, language-ID heuristic, and
+  * content fingerprinting. All per-row map-side compute (whole-stage
+  * codegen, zero shuffles except final aggregates) — at 100 TB these
+  * run at scan speed.
+  *
+  * Portability: token counts use length-arithmetic (spaces + 1) and
+  * array ops with exact integer math; fingerprints are md5-based —
+  * identical on every engine.
+  */
+object TextAnalysis {
+
+  /** Tokenize-free token count: #spaces + 1 (corpus is single-space
+    * separated). Exact and engine-independent. */
+  private val nTokens = "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+  /** Per-doc token statistics. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).selectExpr(
+      "doc_id",
+      s"cast($nTokens as int) as n_tokens",
+      "cast(size(array_distinct(split(text, ' '))) as int) as n_uniq",
+      "cast(length(text) as int) as n_chars_seen",
+      s"cast(length(replace(text, ' ', '')) as double) / $nTokens as avg_token_len")
+
+  /** Quality scoring: unique-token ratio + length saturation, the
+    * standard cheap pre-filters before expensive dedup/LLM scoring. */
+  def qualityScores(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", expr(s"cast($nTokens as int)"))
+      .withColumn("n_uniq", expr("cast(size(array_distinct(split(text, ' '))) as int)"))
+      .withColumn("stop_hits", expr(
+        "cast(size(filter(split(text, ' '), w -> w IN ('the', 'a'))) as int)"))
+      .selectExpr(
+        "doc_id", "n_tokens", "n_uniq",
+        "cast(n_uniq as double) / n_tokens as uniq_ratio",
+        "cast(stop_hits as double) / n_tokens as stop_ratio",
+        """round(0.5 * (cast(n_uniq as double) / n_tokens)
+          |  + 0.5 * (cast(least(n_tokens, 100) as double) / 100), 6) as quality""".stripMargin)
+
+  /** Language-ID heuristic (n-gram/stopword flavor): deterministic
+    * thresholds over stopword ratio and mean token length. The corpus
+    * text is synthetic, so the predicted label is a function of the
+    * heuristic, not ground truth — `lang` is carried for comparison. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", expr(s"cast($nTokens as int)"))
+      .withColumn("stop_ratio", expr(
+        s"cast(size(filter(split(text, ' '), w -> w IN ('the', 'a'))) as double) / $nTokens"))
+      .withColumn("avg_len", expr(
+        s"cast(length(replace(text, ' ', '')) as double) / $nTokens"))
+      .selectExpr("doc_id", "lang",
+        """CASE WHEN stop_ratio >= 0.08 THEN 'en'
+          |     WHEN avg_len >= 5.0 THEN 'de'
+          |     WHEN n_tokens >= 60 THEN 'fr'
+          |     ELSE 'und' END as lang_pred""".stripMargin)
+
+  /** Content fingerprints: exact hash + order-insensitive bag-of-words
+    * hash + a winnowing-style min-shingle-hash (MinHash with k=1 over
+    * bigram shingles — the rolling-hash document fingerprint). */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ws", expr("split(text, ' ')"))
+      .selectExpr(
+        "doc_id",
+        "md5(text) as content_fp",
+        "md5(array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')) as bow_fp",
+        """CASE WHEN size(ws) >= 2 THEN
+          |  array_min(transform(sequence(0, size(ws) - 2),
+          |    i -> cast(conv(substr(md5(concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2))), 1, 15), 16, 10) as bigint)))
+          |ELSE cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint) END as min_shingle_fp""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> tokenStats _,
+    "text_quality" -> qualityScores _,
+    "text_langid" -> langId _,
+    "text_fingerprints" -> fingerprints _,
+  )
+
+  private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST($nTokensSql AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+         |  CAST(length(text) AS INTEGER) AS n_chars_seen,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / $nTokensSql AS avg_token_len
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, n_tokens, n_uniq,
+         |  CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+         |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+         |  round(0.5 * (CAST(n_uniq AS DOUBLE) / n_tokens)
+         |    + 0.5 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100), 6) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST($nTokensSql AS INTEGER) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS INTEGER) AS stop_hits
+         |  FROM documents)""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN stop_ratio >= 0.08 THEN 'en'
+         |       WHEN avg_len >= 5.0 THEN 'de'
+         |       WHEN n_tokens >= 60 THEN 'fr'
+         |       ELSE 'und' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    CAST($nTokensSql AS INTEGER) AS n_tokens,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / $nTokensSql AS stop_ratio,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / $nTokensSql AS avg_len
+         |  FROM documents)""".stripMargin,
+    "text_fingerprints" ->
+      """SELECT doc_id, md5(text) AS content_fp,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS bow_fp,
+        |  CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+        |    list_min(list_transform(range(0, len(string_split(text, ' ')) - 1),
+        |      i -> CAST(concat('0x', substr(md5(string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2]), 1, 15)) AS BIGINT)))
+        |  ELSE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) END AS min_shingle_fp
+        |FROM documents""".stripMargin,
+  )
+}
