@@ -25,7 +25,8 @@ object SparkEntry {
     Analytics.queries ++
     graft.ext.Dedup.queries ++
     graft.ext.TextAnalysis.queries ++
-    graft.ext.Similarity.queries
+    graft.ext.Similarity.queries ++
+    graft.ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
     Analytics.oracleSql ++
     graft.ext.Dedup.oracleSql ++
     graft.ext.TextAnalysis.oracleSql ++
-    graft.ext.Similarity.oracleSql
+    graft.ext.Similarity.oracleSql ++
+    graft.ext.Multimodal.oracleSql
 }

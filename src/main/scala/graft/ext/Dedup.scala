@@ -38,10 +38,13 @@ object Dedup {
   /** Exact dedup by content hash: one group per distinct normalized text,
     * keeper = min doc_id. Pure hash-groupBy: one shuffle on the
     * fingerprint, partial aggregation map-side. */
-  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  def exactDedupOn(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(lower(trim(col("text")))).as("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    exactDedupOn(Tables.documents(spark, sfDir))
 
   // ---- MinHash + LSH ------------------------------------------------------
 

@@ -32,8 +32,8 @@ object TextAnalysis {
 
   /** Quality scoring: unique-token ratio + length saturation, the
     * standard cheap pre-filters before expensive dedup/LLM scoring. */
-  def qualityScores(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  def qualityScoresOn(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_tokens", expr(s"cast($nTokens as int)"))
       .withColumn("n_uniq", expr("cast(size(array_distinct(split(text, ' '))) as int)"))
       .withColumn("stop_hits", expr(
@@ -45,12 +45,15 @@ object TextAnalysis {
         """round(0.5 * (cast(n_uniq as double) / n_tokens)
           |  + 0.5 * (cast(least(n_tokens, 100) as double) / 100), 6) as quality""".stripMargin)
 
+  def qualityScores(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScoresOn(Tables.documents(spark, sfDir))
+
   /** Language-ID heuristic (n-gram/stopword flavor): deterministic
     * thresholds over stopword ratio and mean token length. The corpus
     * text is synthetic, so the predicted label is a function of the
     * heuristic, not ground truth — `lang` is carried for comparison. */
-  def langId(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  def langIdOn(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_tokens", expr(s"cast($nTokens as int)"))
       .withColumn("stop_ratio", expr(
         s"cast(size(filter(split(text, ' '), w -> w IN ('the', 'a'))) as double) / $nTokens"))
@@ -61,6 +64,9 @@ object TextAnalysis {
           |     WHEN avg_len >= 5.0 THEN 'de'
           |     WHEN n_tokens >= 60 THEN 'fr'
           |     ELSE 'und' END as lang_pred""".stripMargin)
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    langIdOn(Tables.documents(spark, sfDir))
 
   /** Content fingerprints: exact hash + order-insensitive bag-of-words
     * hash + a winnowing-style min-shingle-hash (MinHash with k=1 over

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants for the dedup / similarity / text operators that the
+  * DuckDB oracle can't express directly (planted duplicates, metric
+  * properties). */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("test")).withColumn("n_chars", length(col("text")))
+
+  test("minhash LSH finds an exact duplicate pair (jaccard 1.0)") {
+    // identical word sets → identical signatures → same bands → verified 1.0
+    val d = docs(
+      (0L, "spark table scan join filter group merge sort window batch", "en"),
+      (1L, "spark table scan join filter group merge sort window batch", "en"),
+      (2L, "completely different words entirely unrelated tokens here now", "en"))
+    val sigs = Dedup.minhashSignatures(d)
+    val s = sigs.collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(r.fieldIndex(s"m_$i"))))
+    assert(s.toMap.apply(0L) == s.toMap.apply(1L))
+    assert(s.toMap.apply(0L) != s.toMap.apply(2L))
+  }
+
+  test("simhash of identical docs is identical; different docs differ") {
+    val d = docs(
+      (0L, "spark table scan join filter group merge sort window batch", "en"),
+      (1L, "spark table scan join filter group merge sort window batch", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"))
+    val sh = Dedup.simhashes(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh(0L) != sh(2L))
+  }
+
+  test("graft_dot matches a hand-computed dot product and survives codegen") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b").selectExpr("graft_dot(a, b) as d")
+    assert(df.head().getDouble(0) == 32.0)
+  }
+
+  test("graft_dot rejects non-double arrays at analysis time") {
+    graft.functions.VectorFunctions.register(spark)
+    val bad = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.selectExpr("graft_dot(a, b)").collect()
+    }
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val d = docs(
+      (0L, "same text here", "en"),
+      (1L, "Same Text Here", "en"), // differs only by case → same after lower()
+      (2L, "other text", "en"))
+    val out = Dedup.exactDedupOn(d).collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 0L) // keeper = min doc_id
+  }
+
+  test("text quality: uniq_ratio and stop_ratio are exact fractions") {
+    val d = docs((0L, "the the the a word", "en"))
+    val q = TextAnalysis.qualityScoresOn(d).head()
+    assert(q.getAs[Int]("n_tokens") == 5)
+    assert(q.getAs[Int]("n_uniq") == 3)
+    assert(q.getAs[Double]("stop_ratio") == 4.0 / 5.0)
+  }
+
+  test("language heuristic is deterministic on stopword-heavy text") {
+    val d = docs((0L, "the a the a the a the a the a", "xx"))
+    assert(TextAnalysis.langIdOn(d).head().getAs[String]("lang_pred") == "en")
+  }
+
+  test("multimodal: stubbed decode plumbing is deterministic and typed") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    assert(media.schema("content").dataType.typeName == "binary")
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == media.count())
+    assert(feats.forall(f => f.n_bytes == 32 && f.width >= 0 && f.width <= 65535))
+    // determinism: same input → same features
+    val again = Multimodal.decodeFeatures(media).collect()
+    assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+  }
+
+  test("multimodal: frame sampling only applies to videos") {
+    val f = Multimodal.mediaFeatures(spark, sfDir)
+    assert(f.filter(col("kind") =!= "video" && col("frame_samples").isNotNull).count() == 0)
+    val vid = f.filter(col("kind") === "video" && col("n_frames") >= 4).head()
+    val samples = vid.getSeq[Int](vid.fieldIndex("frame_samples"))
+    assert(samples.nonEmpty && samples.length <= 6)
+  }
+}
