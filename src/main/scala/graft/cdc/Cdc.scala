@@ -1,7 +1,6 @@
 package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -58,22 +57,23 @@ object Cdc {
     * event is a delete disappears). Idempotent under at-least-once replay
     * (duplicate events collapse because they share the same orderCol).
     *
-    * Scale note: this is one hash-partition shuffle on the key plus a
-    * per-partition sort — the standard distributed dedup shape. At 100 TB
-    * the key space partitions evenly (PKs are uniform); no skew expected.
-    * For truly hot keys AQE skew-join/salting would apply, but a PK is
-    * unique per row so partition sizes stay balanced.
+    * Scale note: expressed as max_by — a pure hash aggregate with
+    * map-side partial combine, so each executor reduces its partitions
+    * to one candidate row per key BEFORE the shuffle, and nothing is
+    * sorted. (A row_number window is the textbook phrasing but shuffles
+    * every event and sorts each partition; at 100 TB with replay-heavy
+    * logs the partial-agg version moves a fraction of the data.) Ties in
+    * orderCol only occur for at-least-once replays of the *same* event,
+    * so whichever copy max_by keeps, the projected row is identical.
     */
   def latestState(envelopes: DataFrame,
                   keyCol: Column,
-                  orderCol: Column): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(orderCol.desc)
+                  orderCol: Column): DataFrame =
     envelopes
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("payload.op") =!= "d")
-      .drop("__rn")
+      .groupBy(keyCol.as("__key"))
+      .agg(max_by(col("payload"), orderCol).as("payload"))
+      .filter(col("payload.op") =!= "d")
       .select(col("payload.after.*"))
-  }
 
   /** Inverse of decode, for egress tests: render rows as Debezium-shaped
     * JSON envelopes (JsonConverter analog, pg-source-config.json:13). */

@@ -163,23 +163,30 @@ object Dedup {
     * approximate. Pairs with Jaccard ≥ 0.1 (bigram similarity in this
     * corpus tops out ≈0.15). */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val shingled = Tables.documents(spark, sfDir)
-      .withColumn("ws", expr("split(text, ' ')"))
-      .withColumn("s", expr(
-        """CASE WHEN size(ws) >= 2 THEN
-          |  array_distinct(transform(sequence(0, size(ws) - 2),
-          |    i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2))))
-          |ELSE array() END""".stripMargin))
-      .select(col("doc_id"), col("s"))
-    // Inverted-index join (the 100 TB shape): explode shingles, hash-join
-    // on the shingle, count common per pair — replaces the quadratic
-    // nested-loop array_intersect with shuffle-parallel codegen'd work.
-    // Pairs sharing zero shingles vanish, which jac >= 0.1 implies anyway.
-    val sizes = shingled.select(col("doc_id"), expr("size(s)").as("sz"))
-    val ex = shingled.select(col("doc_id"), explode(col("s")).as("shingle"))
-    val a = ex.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("shingle"))
-    a.join(b, "shingle")
+    // Bigrams via posexplode + lead() window: every step is codegen'd.
+    // (The transform(sequence(...)) higher-order formulation evaluates
+    // its lambda interpreted and alone cost more than the whole join at
+    // bench scale.) distinct() gives per-doc shingle *sets*.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shingles = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"),
+        concat(col("word"), lit(" "), lead(col("word"), 1).over(w)).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      // 64-bit shingle keys: the join shuffles 8-byte longs instead of
+      // strings (collision odds over ~10^6 distinct shingles ≈ 10^-7 —
+      // below any other nondeterminism in the pipeline).
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+    // Inverted-index join (the 100 TB shape): hash-join on the shingle,
+    // count common per pair — replaces the quadratic nested-loop
+    // array_intersect with shuffle-parallel codegen'd work. Pairs sharing
+    // zero shingles vanish, which jac >= 0.1 implies anyway.
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = shingles.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("doc_a"), col("sh"))
+    val b = shingles.select(col("doc_id").as("doc_b"), col("sh"))
+    a.join(b, "sh")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
