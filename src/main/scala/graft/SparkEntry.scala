@@ -23,6 +23,8 @@ object SparkEntry {
     CdcQueries.queries ++
     ReferenceQueries.queries ++
     Analytics.queries ++
+    AdvancedAnalytics.queries ++
+    SqlQueries.queries ++
     graft.ext.Dedup.queries ++
     graft.ext.TextAnalysis.queries ++
     graft.ext.Similarity.queries ++
@@ -34,6 +36,8 @@ object SparkEntry {
     CdcQueries.oracleSql ++
     ReferenceQueries.oracleSql ++
     Analytics.oracleSql ++
+    AdvancedAnalytics.oracleSql ++
+    SqlQueries.oracleSql ++
     graft.ext.Dedup.oracleSql ++
     graft.ext.TextAnalysis.oracleSql ++
     graft.ext.Similarity.oracleSql ++

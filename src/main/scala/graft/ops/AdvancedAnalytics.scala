@@ -1,0 +1,295 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [extension] Second analytics tier (SURVEY.md §2.G): multidimensional
+  * aggregation (CUBE/PIVOT), exact order statistics, moment statistics
+  * from integer power sums, array/conditional scalar batteries, framed
+  * and ranked windows, range joins, as-of joins, and sketch aggregates.
+  *
+  * Float parity follows the Analytics discipline: every cross-engine
+  * comparison is either pure integer arithmetic, an exact DECIMAL sum
+  * cast to double at the end, or a fixed scalar expression over such
+  * values (identical IEEE evaluation on both engines regardless of
+  * partitioning).
+  */
+object AdvancedAnalytics {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  // ---- multidimensional aggregation --------------------------------------
+
+  /** CUBE over (mktsegment, nationkey): all 4 grouping combinations. */
+  def cubeAcctbal(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .cube(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("bal"))
+
+  /** PIVOT: order counts per year × priority, explicit pivot values so
+    * the plan is a single pass (no distinct-values pre-query); missing
+    * cells coalesced to 0 to match the oracle's CASE-sum phrasing. */
+  def pivotPriorities(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate").cast("date")).as("y"),
+        col("o_orderpriority").as("pri"))
+      .groupBy(col("y"))
+      .pivot("pri", Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("y"),
+        coalesce(col("`1-URGENT`"), lit(0L)).as("p_urgent"),
+        coalesce(col("`2-HIGH`"), lit(0L)).as("p_high"),
+        coalesce(col("`3-MEDIUM`"), lit(0L)).as("p_medium"),
+        coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("p_notspec"),
+        coalesce(col("`5-LOW`"), lit(0L)).as("p_low"))
+
+  // ---- order statistics ---------------------------------------------------
+
+  /** Exact percentiles (linear interpolation at p·(n−1), the same
+    * definition DuckDB's quantile_cont uses). l_quantity is whole-number
+    * doubles, so the interpolation arithmetic is IEEE-exact. */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("q1"),
+        percentile(col("l_quantity"), lit(0.5)).as("med"),
+        percentile(col("l_quantity"), lit(0.75)).as("q3"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"))
+
+  /** Variance / stddev / correlation via integer power sums: quantity is
+    * whole, discount is exact cents (round(×100)), so Σx, Σx², Σxy are
+    * BIGINT-exact and partial-aggregable — the single-pass moment-sketch
+    * shape that scales to any cluster size. The final moments are one
+    * fixed double expression over those sums (no accumulation-order
+    * dependence, unlike built-in stddev/corr whose running-mean updates
+    * depend on partitioning). */
+  def momentStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val qi = col("l_quantity").cast("bigint")
+    val pc = round(col("l_discount") * 100).cast("bigint")
+    val n = col("n").cast("double")
+    val vq = (col("n") * col("sx2") - col("sx") * col("sx")).cast("double")
+    val vd = (col("n") * col("sy2") - col("sy") * col("sy")).cast("double")
+    val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(qi).as("sx"), sum(qi * qi).as("sx2"),
+        sum(pc).as("sy"), sum(pc * pc).as("sy2"), sum(qi * pc).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (vq / (n * n)).as("var_qty"),
+        sqrt(vq / (n * n)).as("std_qty"),
+        (cov / (sqrt(vq) * sqrt(vd))).as("corr_qty_disc"))
+  }
+
+  // ---- scalar batteries ---------------------------------------------------
+
+  /** Array-function battery over the tokenized documents. */
+  def arrayFunctions(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        element_at(col("ws"), 1).as("first_word"),
+        element_at(col("ws"), -1).as("last_word"),
+        array_join(slice(col("ws"), 1, 5), " ").as("head5"),
+        array_contains(col("ws"), "the").as("has_the"),
+        size(array_distinct(col("ws"))).as("n_uniq"))
+
+  /** Conditional-expression battery (CASE/NULLIF/COALESCE/LEAST/GREATEST). */
+  def conditionals(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      when(col("o_totalprice") < 50000, "small")
+        .when(col("o_totalprice") < 150000, "medium")
+        .otherwise("large").as("size_bucket"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_alt"),
+      least(col("o_totalprice"), lit(100000.0)).as("capped_price"),
+      greatest(year(col("o_orderdate").cast("date")), lit(1996)).as("y_floor"),
+      substring(col("o_orderpriority"), 1, 1).cast("int").as("pri_rank"))
+
+  // ---- framed / ranked windows -------------------------------------------
+
+  /** Moving average over a 3-row frame (decimal sum / frame count — exact
+    * on both engines; built-in avg() over doubles is order-dependent). */
+  def movingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(-2, Window.currentRow)
+    Tables.orders(spark, sfDir).select(
+      col("o_custkey"), col("o_orderkey"),
+      (sum(dec2(col("o_totalprice"))).over(w).cast("double") /
+        count(lit(1)).over(w)).as("mavg3"))
+  }
+
+  /** Distribution ranks: ntile/percent_rank/cume_dist per priority. */
+  def distributionRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      ntile(10).over(w).cast("int").as("decile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
+  // ---- range join / as-of join -------------------------------------------
+
+  private[ops] val quarters: Seq[(String, String, String)] =
+    for { y <- 1995 to 2001; q <- 1 to 4 } yield (
+      s"${y}Q$q",
+      f"$y-${3 * q - 2}%02d-01",
+      if (q == 4) s"${y + 1}-01-01" else f"$y-${3 * q + 1}%02d-01")
+
+  /** Range join: lineitems binned into a broadcast calendar-quarter dim
+    * via start ≤ shipdate < end. At scale this is the canonical
+    * broadcast-range-join (small interval dim, huge fact side — the fact
+    * side never shuffles; the aggregate is partial+final). */
+  def rangeJoinQuarters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = broadcast(quarters.toDF("qlabel", "qstart", "qend")
+      .select(col("qlabel"), col("qstart").cast("date").as("qs"),
+        col("qend").cast("date").as("qe")))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_shipdate").cast("date").as("sd"), col("l_quantity"))
+    l.join(dim, col("sd") >= col("qs") && col("sd") < col("qe"))
+      .groupBy(col("qlabel"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** As-of join (backward): for each purchase event, the user's most
+    * recent strictly-earlier view. Implemented the scalable Spark way —
+    * union the two event classes, one window pass carrying the last view
+    * timestamp forward — instead of a per-pair join: one shuffle on
+    * user_id, per-partition sort, zero candidate blowup regardless of
+    * events-per-user. Purchases sort before views at equal timestamps so
+    * the "strictly earlier" contract holds. */
+  def asofViewBeforePurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val isView = when(col("event_type") === "view", 1).otherwise(0)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, isView.asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prior_view_us",
+        last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        col("us").as("purchase_us"), col("prior_view_us"))
+  }
+
+  // ---- sketches (approximate — no SQL oracle, rows-only check) -----------
+
+  /** HLL distinct + approximate percentile per event type: the bounded-
+    * memory aggregates that replace exact distinct/percentile at 100 TB. */
+  def sketches(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cube" -> cubeAcctbal _,
+    "agg_pivot" -> pivotPriorities _,
+    "agg_percentiles" -> percentiles _,
+    "agg_moment_stats" -> momentStats _,
+    "fn_arrays" -> arrayFunctions _,
+    "fn_conditional" -> conditionals _,
+    "win_moving_avg" -> movingAvg _,
+    "win_dist_ranks" -> distributionRanks _,
+    "join_range_quarters" -> rangeJoinQuarters _,
+    "join_asof_events" -> asofViewBeforePurchase _,
+    "sketch_approx" -> sketches _,
+  )
+
+  private val quartersValues: String =
+    quarters.map { case (l, s, e) => s"('$l', DATE '$s', DATE '$e')" }.mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_cube" ->
+      """SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)""".stripMargin,
+    "agg_pivot" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
+        |FROM orders GROUP BY 1""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q1,
+        |  quantile_cont(l_quantity, 0.5) AS med,
+        |  quantile_cont(l_quantity, 0.75) AS q3,
+        |  MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_moment_stats" ->
+      """SELECT l_returnflag, n,
+        |  CAST(n * sx2 - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS var_qty,
+        |  sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n)) AS std_qty,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr_qty_disc
+        |FROM (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(qi) AS BIGINT) AS sx, CAST(SUM(qi * qi) AS BIGINT) AS sx2,
+        |    CAST(SUM(pc) AS BIGINT) AS sy, CAST(SUM(pc * pc) AS BIGINT) AS sy2,
+        |    CAST(SUM(qi * pc) AS BIGINT) AS sxy
+        |  FROM (
+        |    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qi,
+        |      CAST(ROUND(l_discount * 100) AS BIGINT) AS pc
+        |    FROM lineitem)
+        |  GROUP BY l_returnflag)""".stripMargin,
+    "fn_arrays" ->
+      """SELECT doc_id,
+        |  CAST(len(ws) AS INTEGER) AS n_words,
+        |  ws[1] AS first_word,
+        |  ws[-1] AS last_word,
+        |  array_to_string(list_slice(ws, 1, 5), ' ') AS head5,
+        |  list_contains(ws, 'the') AS has_the,
+        |  CAST(len(list_distinct(ws)) AS INTEGER) AS n_uniq
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin,
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 50000 THEN 'small'
+        |       WHEN o_totalprice < 150000 THEN 'medium' ELSE 'large' END AS size_bucket,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_alt,
+        |  LEAST(o_totalprice, 100000.0) AS capped_price,
+        |  CAST(GREATEST(YEAR(o_orderdate), 1996) AS INTEGER) AS y_floor,
+        |  CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS pri_rank
+        |FROM orders""".stripMargin,
+    "win_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg3
+        |FROM orders""".stripMargin,
+    "win_dist_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(NTILE(10) OVER w AS INTEGER) AS decile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "join_range_quarters" ->
+      s"""SELECT qlabel, CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS sum_qty
+         |FROM lineitem
+         |JOIN (VALUES $quartersValues) AS q(qlabel, qs, qe)
+         |  ON CAST(l_shipdate AS DATE) >= qs AND CAST(l_shipdate AS DATE) < qe
+         |GROUP BY qlabel""".stripMargin,
+    "join_asof_events" ->
+      """SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us, epoch_us(v.ts) AS prior_view_us
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts < p.ts""".stripMargin,
+  )
+}
