@@ -90,10 +90,51 @@ object Similarity {
         col("cand_id"), col("cos"), col("rk").cast("int").as("rk"))
   }
 
+  /** IVF-style ANN: a fixed 16-centroid codebook (vectors vec_id < 16 —
+    * a deterministic stand-in for k-means training, which would be an
+    * offline job), every corpus vector assigned to its nearest centroid
+    * (the inverted lists), queries probing their nprobe=2 nearest lists.
+    *
+    * Scale shape: the codebook broadcasts (it's tiny even at nlist=65k),
+    * assignment is one map-side pass over the corpus (at 100 TB the
+    * corpus would then be WRITTEN partitioned by cent_id, making each
+    * probe a partition-pruned scan), and each query touches only its
+    * probed lists — cost is corpus_fraction × nprobe/nlist instead of a
+    * full scan. Cosines round to 6 dp with id tiebreaks, as everywhere.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String, nprobe: Int = 2,
+              k: Int = 3): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn")))
+    val scored = e.join(cents)
+      .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    val assign = scored.withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("cent_id"),
+        col("v").as("cv2"), col("norm").as("cn2"))
+    val probes = scored.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    probes.join(assign, "cent_id")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(expr("graft_dot(qv, cv2)") / (col("qn") * col("cn2")), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rk").cast("int").as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "sim_lsh_buckets" -> lshBuckets _,
     "sim_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
+    "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
   )
 
   private val oracleVecs =
@@ -135,6 +176,38 @@ object Similarity {
          |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
          |        / (q.norm * c.norm), 6) DESC, c.vec_id ASC) AS rk
          |  FROM b q JOIN b c ON q.vec_id < 10 AND q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+         |WHERE rk <= 3""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH $oracleVecs,
+         |c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e WHERE vec_id < 16),
+         |sc AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+         |      / (e.norm * c.cn), 6) AS ccos
+         |  FROM e CROSS JOIN c),
+         |asg AS (
+         |  SELECT vec_id AS cand_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+         |    FROM sc)
+         |  WHERE rn = 1),
+         |pr AS (
+         |  SELECT vec_id AS query_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+         |    FROM sc WHERE vec_id >= 10 AND vec_id < 20)
+         |  WHERE rn <= 2)
+         |SELECT query_id, cand_id, cos, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT pr.query_id, asg.cand_id,
+         |    round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * cd.v[i]))
+         |      / (q.norm * cd.norm), 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY pr.query_id
+         |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * cd.v[i]))
+         |        / (q.norm * cd.norm), 6) DESC, asg.cand_id ASC) AS rk
+         |  FROM pr JOIN asg ON pr.cent_id = asg.cent_id
+         |  JOIN e q ON q.vec_id = pr.query_id
+         |  JOIN e cd ON cd.vec_id = asg.cand_id
+         |  WHERE asg.cand_id <> pr.query_id)
          |WHERE rk <= 3""".stripMargin,
   )
 }

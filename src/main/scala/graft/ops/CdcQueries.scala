@@ -30,11 +30,11 @@ object CdcQueries {
 
   /** Render one event class as a full Debezium envelope JSON string. */
   private def envelopeJson(before: Column, after: Column, op: String,
-                           lsn: Column): Column = {
+                           lsn: Column, snapshot: String = "false"): Column = {
     val src = struct(
       lit("1.9.5.Final").as("version"), lit("postgresql").as("connector"),
       lit("myserver").as("name"), (lsn * 1000L).as("ts_ms"),
-      lit("false").as("snapshot"), lit("inventory").as("db"),
+      lit(snapshot).as("snapshot"), lit("inventory").as("db"),
       lit("inventory").as("schema"), lit("orders_info").as("table"),
       lsn.as("txId"), lsn.as("lsn"), lit(null).cast("long").as("xmin"))
     to_json(struct(
@@ -93,11 +93,44 @@ object CdcQueries {
       .groupBy(col("payload.op").as("op"))
       .agg(count(lit(1)).as("n"))
 
+  /** Snapshot-then-stream log (S3, README.md:280): an initial-snapshot
+    * read of every row (op "r", source.snapshot=true) followed by live
+    * updates for orderid %% 7 == 0 (amount+11, higher lsn). */
+  def snapshotLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val oi = Tables.ordersInfo(spark, sfDir)
+    val snap = oi.select(envelopeJson(nullRow, rowStruct(col("amount")), "r",
+      col("orderid") * 10L, snapshot = "true"))
+    val live = oi.filter(col("orderid") % 7 === 0).select(
+      envelopeJson(rowStruct(col("amount")), rowStruct(col("amount") + 11), "u",
+        col("orderid") * 10L + 5L))
+    snap.unionAll(live)
+  }
+
+  /** q: snapshot→stream handoff materialization — latest state after the
+    * backfill plus live tail, the batch shape of Structured Streaming's
+    * `startingOffsets=earliest` bootstrap (SURVEY.md §2.A-S3). */
+  def snapshotHandoff(spark: SparkSession, sfDir: String): DataFrame =
+    Cdc.latestState(Cdc.decode(snapshotLog(spark, sfDir)),
+      keyCol = coalesce(col("payload.after.orderid"), col("payload.before.orderid")),
+      orderCol = col("payload.source.lsn"))
+
+  /** q: literal JSON-path column mapping (T4, README.md:123 —
+    * OrdersEventMapping binds each sink column to a `$.field` path) over
+    * the raw envelope strings, with the sink DDL's string casts (T5). */
+  def jsonPathMapping(spark: SparkSession, sfDir: String): DataFrame =
+    insertLog(spark, sfDir).select(
+      get_json_object(col("value"), "$.payload.after.orderid").as("orderid"),
+      get_json_object(col("value"), "$.payload.after.custid").as("custid"),
+      get_json_object(col("value"), "$.payload.after.city").as("city"),
+      get_json_object(col("value"), "$.payload.after.amount").cast("int").as("amount"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_unwrap_sink" -> unwrapSink _,
     "cdc_unwrap_mixed" -> unwrapMixed _,
     "cdc_latest_state" -> latestState _,
     "cdc_op_counts" -> opCounts _,
+    "cdc_snapshot_handoff" -> snapshotHandoff _,
+    "cdc_json_mapping" -> jsonPathMapping _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -128,5 +161,16 @@ object CdcQueries {
          |  UNION ALL SELECT 'd' FROM orders_info WHERE orderid % 17 = 0
          |  UNION ALL SELECT 'c' FROM orders_info WHERE orderid % 13 = 0)
          |GROUP BY op""".stripMargin,
+    "cdc_snapshot_handoff" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid, custid,
+         |       CAST(CASE WHEN orderid % 7 = 0 THEN amount + 11 ELSE amount END AS INTEGER) AS amount,
+         |       city
+         |FROM orders_info""".stripMargin,
+    "cdc_json_mapping" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT CAST(orderid AS VARCHAR) AS orderid, CAST(custid AS VARCHAR) AS custid,
+         |       city, amount
+         |FROM orders_info""".stripMargin,
   )
 }
