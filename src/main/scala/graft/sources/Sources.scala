@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Ingress boundary (SURVEY.md §2.A): the engine's contract starts at
+  * the CDC topic — a frame with a string `value` column holding Debezium
+  * envelope JSON (+ an optional string `key`). Three interchangeable
+  * ingress implementations produce that contract:
+  *
+  *  - [[kafkaEnvelopes]] — production path, maps the reference's sink
+  *    consumer (adx-sink-config.json:7-8: subscribed topic, tracked
+  *    offsets → checkpointLocation; parallelism = topic partitions).
+  *    Requires the spark-sql-kafka connector jar at deploy time (not in
+  *    this container, so exercised only as configuration).
+  *  - [[envelopeFileStream]] — file-watch streaming ingress with the
+  *    same output schema; used by tests and usable as a real landing-
+  *    zone tap.
+  *  - [[envelopeFiles]] — batch backfill over the same files (the
+  *    snapshot side of snapshot-then-stream, §2.A-S3).
+  *
+  * Relational side-inputs load with EXPLICIT schemas only ([[csvTable]],
+  * [[jsonTable]], [[parquetTable]]) — schema-on-read, never inference,
+  * matching the reference's declared-DDL-everywhere model (§1.3). At
+  * 100 TB inference is also a full extra scan; explicit schemas keep
+  * ingestion single-pass.
+  */
+object Sources {
+
+  /** Streaming Kafka ingress (production). `key`/`value` cast to string
+    * exactly as the reference's converters declare
+    * (adx-sink-config.json:13-14). */
+  def kafkaEnvelopes(spark: SparkSession, bootstrapServers: String,
+                     topic: String,
+                     startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+
+  /** Streaming file ingress: newline-delimited envelope JSON under
+    * `path`, picked up per micro-batch. */
+  def envelopeFileStream(spark: SparkSession, path: String,
+                         maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .text(path)
+      .select(col("value"))
+
+  /** Batch ingress over the same landing files (backfill/snapshot). */
+  def envelopeFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).select(col("value"))
+
+  /** CSV with declared schema (header tolerated, never trusted). */
+  def csvTable(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Newline-delimited JSON with declared schema. */
+  def jsonTable(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Parquet with schema assertion: fails fast if the file schema does
+    * not contain the declared columns (name + type), instead of
+    * surfacing nulls downstream. */
+  def parquetTable(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val df = spark.read.parquet(path)
+    val have = df.schema.map(f => f.name -> f.dataType).toMap
+    val missing = schema.filterNot(f => have.get(f.name).contains(f.dataType))
+    require(missing.isEmpty,
+      s"parquet at $path is missing/mistyped columns: ${missing.map(_.name).mkString(", ")}")
+    df.select(schema.map(f => col(f.name)): _*)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Stateful streaming latest-state: upserts, lsn-guarded idempotence,
+  * tombstoned deletes, and parity with the batch materialization. */
+class StatefulLatestStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def env(orderid: Int, amount: Int, city: String, lsn: Long,
+                  op: String = "c"): String = {
+    val after =
+      if (op == "d") "null"
+      else s"""{"orderid":$orderid,"custid":${orderid * 10},"amount":$amount,"city":"$city"}"""
+    val before =
+      if (op == "c") "null"
+      else s"""{"orderid":$orderid,"custid":${orderid * 10},"amount":0,"city":"$city"}"""
+    s"""{"schema":null,"payload":{"before":$before,"after":$after,
+       |"source":{"version":"1.9.5","connector":"postgresql","name":"myserver",
+       |"ts_ms":${lsn * 1000},"snapshot":"false","db":"inventory","schema":"inventory",
+       |"table":"orders_info","txId":$lsn,"lsn":$lsn,"xmin":null},
+       |"op":"$op","ts_ms":${lsn * 1000},"transaction":null}}""".stripMargin.replace("\n", "")
+  }
+
+  test("per-key state upserts, deletes tombstone, replay cannot resurrect") {
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[String]
+    val q = StatefulLatestState.latestState(source.toDF().select(col("value")))
+      .writeStream.outputMode("update").format("memory").queryName("latest").start()
+    try {
+      source.addData(env(1, 100, "Seattle", 10), env(2, 150, "Austin", 20))
+      q.processAllAvailable()
+      source.addData(
+        env(1, 120, "Seattle", 11, op = "u"), // update wins (higher lsn)
+        env(2, 0, "Austin", 21, op = "d"),    // delete -> tombstone
+        env(2, 150, "Austin", 20))            // replayed insert below lsn: ignored
+      q.processAllAvailable()
+
+      // latest emission per key (max lsn in the memory sink's append log)
+      val rows = spark.table("latest")
+        .withColumn("rn", expr(
+          "row_number() over (partition by orderid order by lsn desc)"))
+        .filter(col("rn") === 1).drop("rn")
+        .as[StatefulLatestState.KeyState].collect().sortBy(_.orderid)
+      assert(rows.map(r => (r.orderid, r.amount, r.deleted)).toSeq ==
+        Seq((1, 120, false), (2, 150, true)))
+    } finally q.stop()
+  }
+
+  test("streaming state matches the batch latest-state materialization") {
+    implicit val sql = spark.sqlContext
+    val envs = Seq(
+      env(1, 100, "Seattle", 10), env(1, 130, "Seattle", 12, op = "u"),
+      env(2, 150, "Austin", 20), env(3, 170, "Chicago", 30),
+      env(3, 0, "Chicago", 31, op = "d"), env(2, 150, "Austin", 20))
+
+    val source = MemoryStream[String]
+    val q = StatefulLatestState.latestState(source.toDF().select(col("value")))
+      .writeStream.outputMode("update").format("memory").queryName("parity").start()
+    try {
+      source.addData(envs: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("parity")
+        .withColumn("rn", expr(
+          "row_number() over (partition by orderid order by lsn desc)"))
+        .filter(col("rn") === 1 && !col("deleted"))
+        .select("orderid", "custid", "amount", "city")
+
+      val batch = graft.cdc.Cdc.latestState(
+        graft.cdc.Cdc.decode(envs.toDF("value")),
+        keyCol = coalesce(col("payload.after.orderid"), col("payload.before.orderid")),
+        orderCol = col("payload.source.lsn"))
+        .select("orderid", "custid", "amount", "city")
+
+      assert(streaming.exceptAll(batch).isEmpty && batch.exceptAll(streaming).isEmpty)
+    } finally q.stop()
+  }
+}
