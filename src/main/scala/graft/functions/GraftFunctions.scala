@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** graft's native function surface, registered two ways:
+  *
+  *  - [[GraftFunctions.register]] — per-session temp functions, used by
+  *    the operator library itself (idempotent);
+  *  - [[GraftExtensions]] — a `SparkSessionExtensions` injector for
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`, making the
+  *    functions first-class in every session of a deployment (the
+  *    idiomatic Spark plugin path).
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (e => DotProduct(e(0), e(1))),
+    "graft_topk" -> (e => TopKBy(e(0), e(1), e(2))),
+  )
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}

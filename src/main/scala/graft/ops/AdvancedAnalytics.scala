@@ -182,6 +182,23 @@ object AdvancedAnalytics {
         col("us").as("purchase_us"), col("prior_view_us"))
   }
 
+  /** Top-k per group via the native bounded-heap aggregate
+    * ([[graft.functions.TopKBy]]): identical answer to the row_number
+    * window phrasing, radically different physical plan — a
+    * partial+final HashAggregate whose shuffle carries at most k pairs
+    * per key per map task instead of every row, and no sort anywhere.
+    * The window variant (win_top_orders) is kept side by side; this is
+    * the plan you actually want at 100 TB. */
+  def topkNative(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("o_custkey"), col("t.id").as("o_orderkey"),
+        col("t.ord").as("o_totalprice"), (col("i") + 1).cast("int").as("rk"))
+  }
+
   // ---- sketches (approximate — no SQL oracle, rows-only check) -----------
 
   /** HLL distinct + approximate percentile per event type: the bounded-
@@ -205,6 +222,7 @@ object AdvancedAnalytics {
     "win_dist_ranks" -> distributionRanks _,
     "join_range_quarters" -> rangeJoinQuarters _,
     "join_asof_events" -> asofViewBeforePurchase _,
+    "win_topk_native" -> topkNative _,
     "sketch_approx" -> sketches _,
   )
 
@@ -291,5 +309,11 @@ object AdvancedAnalytics {
         |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND v.ts < p.ts""".stripMargin,
+    "win_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
   )
 }
