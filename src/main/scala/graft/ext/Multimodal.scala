@@ -97,10 +97,18 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         avg(col("duration_ms")).as("avg_duration_ms"))
 
+  /** Frame-sampling output: one row per sampled frame index per video —
+    * the work list a frame-extraction stage would map over. */
+  def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
+    mediaFeatures(spark, sfDir)
+      .filter(col("kind") === "video")
+      .select(col("media_id"), explode(col("frame_samples")).as("frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> ((s: SparkSession, d: String) =>
       mediaFeatures(s, d).drop("frame_samples")),
     "mm_stats" -> mediaStats _,
+    "mm_frame_samples" -> mediaFrames _,
   )
 
   /** byte i (0-based) of md5(text) as an int, in DuckDB. */
@@ -130,5 +138,11 @@ object Multimodal {
          |    ${mdByte(5)} * 1000 AS duration_ms, 32 AS n_bytes
          |  FROM documents)
          |GROUP BY kind""".stripMargin,
+    "mm_frame_samples" ->
+      s"""SELECT media_id, CAST(unnest(range(0, fend + 1, step)) AS INTEGER) AS frame_idx
+         |FROM (
+         |  SELECT media_id, nf - nf % step AS fend, step FROM (
+         |    SELECT doc_id AS media_id, nf, greatest(nf // 4, 1) AS step FROM (
+         |      SELECT doc_id, ${mdByte(4)} AS nf FROM documents WHERE doc_id % 3 = 2)))""".stripMargin,
   )
 }

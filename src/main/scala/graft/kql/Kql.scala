@@ -51,5 +51,44 @@ object Kql {
 
     /** KQL `distinct c1, c2` */
     def kqlDistinct(cols: Column*): DataFrame = df.select(cols: _*).distinct()
+
+    /** KQL `project-away c1, c2` */
+    def projectAway(cols: String*): DataFrame = df.drop(cols: _*)
+
+    /** KQL `mv-expand c` — one row per array element. */
+    def mvExpand(column: String): DataFrame =
+      df.withColumn(column, explode(col(column)))
+
+    /** KQL `parse ... with regex` flavor: extract one regex group. */
+    def parseExtract(name: String, source: Column, regex: String,
+                     group: Int = 1): DataFrame =
+      df.withColumn(name, regexp_extract(source, regex, group))
+
+    /** KQL `render <kind>` (README.md:366,377,389) — presentation is a
+      * client concern (SURVEY.md §2.F-K4..K6); the chart kind rides as a
+      * tag next to the computed frame. */
+    def render(kind: String): RenderedQuery = RenderedQuery(df, kind)
   }
+
+  /** A query result tagged with its requested chart kind. */
+  final case class RenderedQuery(df: DataFrame, chartKind: String)
+
+  // ---- KQL aggregation-function vocabulary → Spark built-ins -------------
+
+  /** KQL `bin(x, size)` — left edge of x's bucket. */
+  def bin(c: Column, size: Column): Column = floor(c / size) * size
+
+  /** KQL `dcount(c)` */
+  def dcount(c: Column): Column = count_distinct(c)
+
+  /** KQL `countif(pred)` */
+  def countif(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
+
+  /** KQL `make_list(c)` / `make_set(c)` */
+  def makeList(c: Column): Column = collect_list(c)
+  def makeSet(c: Column): Column = collect_set(c)
+
+  /** KQL `arg_max(by, ret)` / `arg_min(by, ret)` */
+  def argMax(by: Column, ret: Column): Column = max_by(ret, by)
+  def argMin(by: Column, ret: Column): Column = min_by(ret, by)
 }

@@ -199,6 +199,22 @@ object AdvancedAnalytics {
         col("t.ord").as("o_totalprice"), (col("i") + 1).cast("int").as("rk"))
   }
 
+  /** Skew-safe aggregation by salting: stage 1 groups on
+    * (key, salt=user_id%16) so a hot key's rows spread over 16 reducers;
+    * stage 2 re-aggregates the 16 partials per key. Decimal partial sums
+    * make the two-stage total bit-identical to the one-stage oracle.
+    * events has exactly 5 hot event_type keys — the worst case for a
+    * direct groupBy at cluster scale (5 reducers busy, rest idle). AQE
+    * can split skewed partitions reactively; salting is the declarative
+    * form that also handles single-key hotness inside one partition. */
+  def saltedSkewAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), (col("user_id") % 16).as("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,6)")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("pv")).cast("double").as("total_value"))
+
   // ---- sketches (approximate — no SQL oracle, rows-only check) -----------
 
   /** HLL distinct + approximate percentile per event type: the bounded-
@@ -223,6 +239,7 @@ object AdvancedAnalytics {
     "join_range_quarters" -> rangeJoinQuarters _,
     "join_asof_events" -> asofViewBeforePurchase _,
     "win_topk_native" -> topkNative _,
+    "skew_salted_agg" -> saltedSkewAgg _,
     "sketch_approx" -> sketches _,
   )
 
@@ -315,5 +332,9 @@ object AdvancedAnalytics {
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "skew_salted_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

@@ -42,4 +42,43 @@ class KqlSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "v2"))
     assert(out.count() == 2)
   }
+
+  test("mv-expand explodes arrays; project-away drops columns") {
+    val out = Seq(("a", Seq(1, 2, 3))).toDF("k", "xs").mvExpand("xs")
+    assert(out.count() == 3)
+    assert(df.projectAway("v").columns.toSeq == Seq("k"))
+  }
+
+  test("parse extracts regex groups") {
+    val out = Seq("id=42;x").toDF("s")
+      .parseExtract("id", col("s"), "id=(\\d+)")
+    assert(out.select("id").as[String].head() == "42")
+  }
+
+  test("bin buckets to the left edge; countif/dcount/arg_max vocabulary") {
+    val d = Seq(("a", 7, 1), ("a", 12, 2), ("b", 23, 3)).toDF("k", "v", "id")
+    val binned = d.summarize(Seq("n" -> count(lit(1))), Kql.bin(col("v"), lit(10)).as("bucket"))
+    assert(binned.filter(col("bucket") === 0.0).head().getLong(1) == 1L)
+    val agg = d.summarize(Seq(
+      "nk" -> Kql.dcount(col("k")),
+      "big" -> Kql.countif(col("v") >= 10),
+      "top_id" -> Kql.argMax(col("v"), col("id"))))
+    assert(agg.head() == org.apache.spark.sql.Row(2L, 2L, 3))
+  }
+
+  test("render tags the chart kind without touching the frame (K4-K6)") {
+    val r = df.summarize(Seq("n" -> count(lit(1))), col("k")).render("columnchart")
+    assert(r.chartKind == "columnchart" && r.df.count() == 3)
+  }
+
+  test("the three reference queries express in the dialect (README.md:363-392)") {
+    val orders = Seq((1, "Seattle", 120), (2, "Seattle", 80), (3, "Austin", 100))
+      .toDF("orderid", "city", "amount")
+    val a1 = orders.summarize(Seq("avg_sales" -> avg(col("amount"))), col("city"))
+    val a2 = orders.summarize(Seq("total" -> sum(col("amount"))), col("city")).kqlSort(col("total"))
+    val a3 = orders.summarize(Seq("orders" -> count(lit(1))), col("city")).kqlSort(col("orders"))
+    assert(a1.filter(col("city") === "Seattle").head().getDouble(1) == 100.0)
+    assert(a2.head().getString(0) == "Seattle" && a2.head().getLong(1) == 200L)
+    assert(a3.head().getString(0) == "Seattle" && a3.head().getLong(1) == 2L)
+  }
 }
