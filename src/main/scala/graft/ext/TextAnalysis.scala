@@ -83,11 +83,26 @@ object TextAnalysis {
           |    i -> cast(conv(substr(md5(concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2))), 1, 15), 16, 10) as bigint)))
           |ELSE cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint) END as min_shingle_fp""".stripMargin)
 
+  /** BPE-style pre-tokenizer counts: alpha runs, single digits, and
+    * punctuation as separate tokens (the GPT-2-flavored pre-split that
+    * upper-bounds BPE merge counts), next to the whitespace count — the
+    * cheap "tokens per document" estimate a data pipeline budgets with.
+    * Pure regex counting: map-side, codegen, identical RE semantics on
+    * both engines for this ASCII pattern. */
+  def bpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).selectExpr(
+      "doc_id",
+      s"cast($nTokens as int) as n_ws_tokens",
+      "cast(regexp_count(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]') as int) as n_bpe_tokens",
+      s"""cast(regexp_count(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]') as double)
+         | / $nTokens as bpe_per_word""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> tokenStats _,
     "text_quality" -> qualityScores _,
     "text_langid" -> langId _,
     "text_fingerprints" -> fingerprints _,
+    "text_bpe_tokens" -> bpeTokens _,
   )
 
   private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
@@ -132,5 +147,12 @@ object TextAnalysis {
         |      i -> CAST(concat('0x', substr(md5(string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2]), 1, 15)) AS BIGINT)))
         |  ELSE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) END AS min_shingle_fp
         |FROM documents""".stripMargin,
+    "text_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST($nTokensSql AS INTEGER) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS DOUBLE)
+         |    / $nTokensSql AS bpe_per_word
+         |FROM documents""".stripMargin,
   )
 }
