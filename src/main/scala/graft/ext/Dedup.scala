@@ -230,8 +230,22 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Dedup applied: the cleaned corpus — keep only each duplicate
+    * group's keeper row (min doc_id), via a semi join against the
+    * keeper set. The second half of every dedup pipeline: the keeper
+    * list is small relative to the corpus, so at scale this is a
+    * broadcast semi join against a full corpus scan — no corpus
+    * shuffle. */
+  def cleanedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val keepers = exactDedupOn(docs).select(col("keeper").as("doc_id"))
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exactDedup _,
+    "dedup_cleaned" -> cleanedCorpus _,
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ngramJaccardPairs _,
@@ -243,6 +257,10 @@ object Dedup {
       """SELECT md5(lower(trim(text))) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keeper,
         |  CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_cleaned" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT MIN(doc_id) FROM documents GROUP BY md5(lower(trim(text))))""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH ws AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w FROM documents),

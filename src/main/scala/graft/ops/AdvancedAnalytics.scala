@@ -135,6 +135,58 @@ object AdvancedAnalytics {
       cume_dist().over(w).as("cume"))
   }
 
+  /** Fixed-width histogram via integer bucket arithmetic (portable —
+    * no engine-specific width_bucket): 20 × 25k buckets over totalprice. */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(least(floor(col("o_totalprice") / 25000), lit(19L)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+
+  /** Edit-distance between consecutive part names (string-similarity
+    * coverage; the adjacent-pair join keeps it linear, the shape any
+    * blocked pairwise comparison takes). */
+  def levenshteinAdjacent(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    val a = p.select(col("p_partkey").as("k"), col("p_name").as("name_a"))
+    val b = p.select((col("p_partkey") - 1).as("k"), col("p_name").as("name_b"))
+    a.join(b, "k")
+      .select(col("k"), levenshtein(col("name_a"), col("name_b")).cast("int").as("lev"))
+  }
+
+  /** Deterministic hash sampling: md5-derived 10% of orders — the
+    * reproducible-sample primitive for pipeline debugging/eval splits
+    * (same rows on every engine and every run, unlike TABLESAMPLE). */
+  def hashSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(expr(
+        "cast(conv(substr(md5(cast(o_orderkey as string)),1,8),16,10) as bigint) % 10") === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** first/last/nth value windows with an explicit full-partition frame. */
+  def firstLastWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir).select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_orderkey")).over(w).as("first_ord"),
+      last(col("o_orderkey")).over(w).as("last_ord"),
+      nth_value(col("o_orderkey"), 2).over(w).as("second_ord"))
+  }
+
+  /** FULL OUTER join: per-nation customer counts vs supplier counts,
+    * keeping nations present on only one side. */
+  def fullOuterCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val cn = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+    val sn = Tables.supplier(spark, sfDir)
+      .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+  }
+
   // ---- range join / as-of join -------------------------------------------
 
   private[ops] val quarters: Seq[(String, String, String)] =
@@ -241,6 +293,11 @@ object AdvancedAnalytics {
     "win_topk_native" -> topkNative _,
     "skew_salted_agg" -> saltedSkewAgg _,
     "sketch_approx" -> sketches _,
+    "agg_histogram" -> histogram _,
+    "fn_levenshtein" -> levenshteinAdjacent _,
+    "fn_hash_sample" -> hashSample _,
+    "win_first_last" -> firstLastWindows _,
+    "join_full_outer" -> fullOuterCounts _,
   )
 
   private val quartersValues: String =
@@ -336,5 +393,29 @@ object AdvancedAnalytics {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(LEAST(FLOOR(o_totalprice / 25000), 19) AS INTEGER) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
+    "fn_levenshtein" ->
+      """SELECT a.p_partkey AS k, CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1""".stripMargin,
+    "fn_hash_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0""".stripMargin,
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_ord,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_ord,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_ord
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "join_full_outer" ->
+      """SELECT COALESCE(ck, sk) AS nationkey, n_cust, n_supp FROM
+        |  (SELECT c_nationkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |  (SELECT s_nationkey AS sk, CAST(COUNT(*) AS BIGINT) AS n_supp FROM supplier GROUP BY 1) s
+        |ON ck = sk""".stripMargin,
   )
 }

@@ -124,6 +124,18 @@ object CdcQueries {
       get_json_object(col("value"), "$.payload.after.city").as("city"),
       get_json_object(col("value"), "$.payload.after.amount").cast("int").as("amount"))
 
+  /** q: update audit — before/after images side by side with the delta,
+    * the change-review query an upsert pipeline exposes (envelope
+    * `before` is only populated for u/d ops, README.md:268). */
+  def updateDiffs(spark: SparkSession, sfDir: String): DataFrame =
+    Cdc.decode(eventLog(spark, sfDir))
+      .filter(col("payload.op") === "u")
+      .select(
+        col("payload.after.orderid").as("orderid"),
+        col("payload.before.amount").as("old_amount"),
+        col("payload.after.amount").as("new_amount"),
+        (col("payload.after.amount") - col("payload.before.amount")).as("delta"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_unwrap_sink" -> unwrapSink _,
     "cdc_unwrap_mixed" -> unwrapMixed _,
@@ -131,6 +143,7 @@ object CdcQueries {
     "cdc_op_counts" -> opCounts _,
     "cdc_snapshot_handoff" -> snapshotHandoff _,
     "cdc_json_mapping" -> jsonPathMapping _,
+    "cdc_update_diffs" -> updateDiffs _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -172,5 +185,11 @@ object CdcQueries {
          |SELECT CAST(orderid AS VARCHAR) AS orderid, CAST(custid AS VARCHAR) AS custid,
          |       city, amount
          |FROM orders_info""".stripMargin,
+    "cdc_update_diffs" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid, amount AS old_amount,
+         |       CAST(amount + 7 AS INTEGER) AS new_amount,
+         |       CAST(7 AS INTEGER) AS delta
+         |FROM orders_info WHERE orderid % 10 = 0""".stripMargin,
   )
 }
