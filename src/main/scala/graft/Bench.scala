@@ -46,7 +46,10 @@ object Bench {
       // production deployment pays per micro-batch/query.
       val times = (1 to 2).map { _ =>
         val (g0, j0, t0) = (gcMs, jitMs, System.nanoTime())
-        try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        try { force(fn(spark, sfDir)) } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-24s ${dt}%7.2f s  gc=${gcMs - g0}%5d ms  jit=${jitMs - j0}%6d ms")
         dt
@@ -62,7 +65,7 @@ object Bench {
 
   /** Execute df fully: hash every column of every row, XOR-fold. */
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
-    df.agg(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
+    df.agg(bit_xor(xxhash64(df.columns.toIndexedSeq.map(col): _*))).collect()
 
   /** Untimed first-touch of the machinery the timed queries use: shuffle
     * agg, broadcast join, window, JSON render/parse (the CDC envelope
