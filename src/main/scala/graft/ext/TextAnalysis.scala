@@ -97,12 +97,35 @@ object TextAnalysis {
       s"""cast(regexp_count(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]') as double)
          | / $nTokens as bpe_per_word""".stripMargin)
 
+  /** Corpus-statistics scoring: each document's mean corpus frequency
+    * of its bigram instances — the integer-arithmetic stand-in for
+    * n-gram LM perplexity (log-prob needs libm and would diverge across
+    * engines; the frequency ratio is exact). Two shuffles: the corpus
+    * bigram count (the "LM training" pass) and the per-doc re-join —
+    * the TF-side of any n-gram statistic at scale. */
+  def bigramFrequency(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"),
+        concat(col("word"), lit(" "), lead(col("word"), 1).over(w)).as("sh"))
+      .filter(col("sh").isNotNull)
+    val counts = bigrams.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+    bigrams.join(counts, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("total_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_freq"),
+        (col("total_freq").cast("double") / col("n_bigrams")).as("avg_bigram_freq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> tokenStats _,
     "text_quality" -> qualityScores _,
     "text_langid" -> langId _,
     "text_fingerprints" -> fingerprints _,
     "text_bpe_tokens" -> bpeTokens _,
+    "text_bigram_freq" -> bigramFrequency _,
   )
 
   private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
@@ -154,5 +177,15 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS DOUBLE)
          |    / $nTokensSql AS bpe_per_word
          |FROM documents""".stripMargin,
+    "text_bigram_freq" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS sh
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+        |c AS (SELECT sh, COUNT(*) AS cnt FROM bg GROUP BY sh)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_freq,
+        |  CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_bigram_freq
+        |FROM bg JOIN c USING (sh) GROUP BY doc_id""".stripMargin,
   )
 }

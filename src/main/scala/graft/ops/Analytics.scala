@@ -252,7 +252,26 @@ object Analytics {
       .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
   }
 
+  /** D1 retention: per first-seen-day cohort, how many users return the
+    * next day — min-date cohort assignment + one self-join on
+    * (user, day+1); both sides pre-aggregated to distinct (user, day)
+    * so the join is key-unique at any scale. */
+  def retentionD1(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+    val first = days.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val cohorts = first.groupBy(col("d0")).agg(count(lit(1)).as("cohort"))
+    val retained = first.join(days,
+        first("user_id") === days("user_id") &&
+          days("d") === date_add(first("d0"), 1))
+      .groupBy(col("d0")).agg(count(lit(1)).as("retained"))
+    cohorts.join(retained, Seq("d0"), "left_outer")
+      .select(col("d0"), col("cohort"),
+        coalesce(col("retained"), lit(0L)).as("retained_d1"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_retention_d1" -> retentionD1 _,
     "agg_pricing_summary" -> pricingSummary _,
     "agg_rollup" -> rollupAcctbal _,
     "agg_distinct_having" -> distinctHaving _,
@@ -278,6 +297,17 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev_retention_d1" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS d0 FROM days GROUP BY user_id),
+        |coh AS (SELECT d0, CAST(COUNT(*) AS BIGINT) AS cohort FROM f GROUP BY d0),
+        |ret AS (
+        |  SELECT f.d0, CAST(COUNT(*) AS BIGINT) AS retained
+        |  FROM f JOIN days ON days.user_id = f.user_id AND days.d = f.d0 + 1
+        |  GROUP BY f.d0)
+        |SELECT coh.d0, coh.cohort,
+        |  CAST(COALESCE(ret.retained, 0) AS BIGINT) AS retained_d1
+        |FROM coh LEFT JOIN ret ON coh.d0 = ret.d0""".stripMargin,
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
