@@ -119,6 +119,27 @@ object TextAnalysis {
         (col("total_freq").cast("double") / col("n_bigrams")).as("avg_bigram_freq"))
   }
 
+  /** Vocabulary coverage curve: the 100 most frequent words with rank
+    * and cumulative share of all token instances — the "how big must
+    * the vocab be" budgeting table. The global sort is a top-k
+    * (TakeOrdered) over the word-count aggregate, and the cumulative
+    * window runs over just those k rows — never over the corpus. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val counts = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+    val top = counts.orderBy(col("cnt").desc, col("word").asc).limit(100)
+    val w = Window.orderBy(col("cnt").desc, col("word").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(total)
+      .select(col("word"), col("cnt"),
+        row_number().over(w).cast("int").as("rank"),
+        (sum(col("cnt")).over(w).cast("double") / col("total_tokens"))
+          .as("cum_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> tokenStats _,
     "text_quality" -> qualityScores _,
@@ -126,6 +147,7 @@ object TextAnalysis {
     "text_fingerprints" -> fingerprints _,
     "text_bpe_tokens" -> bpeTokens _,
     "text_bigram_freq" -> bigramFrequency _,
+    "text_vocab_coverage" -> vocabCoverage _,
   )
 
   private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
@@ -187,5 +209,17 @@ object TextAnalysis {
         |  CAST(SUM(cnt) AS BIGINT) AS total_freq,
         |  CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_bigram_freq
         |FROM bg JOIN c USING (sh) GROUP BY doc_id""".stripMargin,
+    "text_vocab_coverage" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY word),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM c),
+        |top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word ASC LIMIT 100)
+        |SELECT word, cnt,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rank,
+        |  CAST(SUM(cnt) OVER w AS DOUBLE) / total_tokens AS cum_frac
+        |FROM top, t
+        |WINDOW w AS (ORDER BY cnt DESC, word ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 }
