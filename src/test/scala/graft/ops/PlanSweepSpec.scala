@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Plan hygiene across the ENTIRE query surface: every SparkEntry query
+  * is planned (not executed) and screened for the anti-patterns that
+  * kill a 100 TB run. Quadratic join strategies are allowed only where
+  * the operator is genuinely all-pairs / non-equi and the design bounds
+  * the work (documented allowlist); nothing may fall back to
+  * interpreted Python UDFs or an unintended cartesian product. */
+class PlanSweepSpec extends SparkSpec {
+
+  /** Queries whose plans legitimately contain a nested-loop/cartesian
+    * strategy: all-pairs verification (dedup_embedding), non-equi
+    * broadcast range binning (join_range_quarters), the brute-force ANN
+    * baseline (sim_topk_brute scores every query×candidate pair by
+    * construction), IVF codebook scoring (corpus × nlist broadcast —
+    * the codebook is tiny by design), and a k-row × 1-row scalar
+    * cross join (text_vocab_coverage's corpus-total). */
+  private val nonEquiAllowlist = Set(
+    "dedup_embedding", "join_range_quarters", "sim_topk_brute",
+    "sim_ivf_topk", "text_vocab_coverage")
+
+  test("no unintended cartesian/nested-loop joins, no Python UDFs, anywhere") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val bad =
+          (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")) &&
+            !nonEquiAllowlist.contains(name)
+        val python = plan.contains("PythonUDF") || plan.contains("BatchEvalPython")
+        if (bad) Some(s"$name: nested-loop/cartesian join")
+        else if (python) Some(s"$name: python udf")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
