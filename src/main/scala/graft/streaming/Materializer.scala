@@ -63,6 +63,26 @@ object Materializer {
       }
       .start()
 
+  /** The full upsert pipeline: envelopes → per-key stateful latest
+    * state ([[StatefulLatestState]], Update-mode upserts) → MERGE-style
+    * versioned table ([[Sinks.upsertByKey]], version = micro-batch id,
+    * so batch retries overwrite their own output — exactly-once on
+    * at-least-once delivery). `readLatest(tablePath)` is always a
+    * complete, queryable current-state snapshot. */
+  def startUpsert(envelopes: DataFrame, tablePath: String,
+                  checkpointPath: String,
+                  trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    StatefulLatestState.latestState(envelopes).toDF()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sinks.upsertByKey(batch.sparkSession, batch, tablePath,
+          newVersion = batchId)
+      }
+      .start()
+
   /** Event-time tumbling-window aggregate over the change stream (the
     * streaming form of the reference's `summarize ... by city`): counts
     * and sums per city per window, watermarked so late data is bounded. */

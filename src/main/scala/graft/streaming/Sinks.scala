@@ -46,7 +46,7 @@ object Sinks {
                   ordCol: String = "lsn",
                   tombstoneCol: String = "deleted"): Unit = {
     import org.apache.spark.sql.functions._
-    val existing = latestVersion(tablePath) match {
+    val existing = latestVersion(tablePath, below = newVersion) match {
       case Some(v) => spark.read.parquet(s"$tablePath/v=$v")
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
@@ -56,7 +56,7 @@ object Sinks {
       .agg(max_by(struct(updates.columns.map(col).toIndexedSeq: _*), col(ordCol)).as("s"))
       .select(col("s.*"))
       .filter(!col(tombstoneCol))
-      .write.mode("errorifexists").parquet(s"$tablePath/v=$newVersion")
+      .write.mode("overwrite").parquet(s"$tablePath/v=$newVersion")
   }
 
   /** Read the table's newest complete snapshot. */
@@ -66,11 +66,17 @@ object Sinks {
     spark.read.parquet(s"$tablePath/v=$v")
   }
 
-  private def latestVersion(tablePath: String): Option[Long] = {
+  /** Highest committed version — when merging batch `newVersion`, only
+    * versions strictly below it count, so a RETRIED batch that left a
+    * partial `v=N` behind re-merges from `v=N-1` and overwrites its own
+    * debris (exactly-once on at-least-once delivery). */
+  private def latestVersion(tablePath: String,
+                            below: Long = Long.MaxValue): Option[Long] = {
     val dir = new java.io.File(tablePath)
     Option(dir.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
       .map(_.getName.stripPrefix("v=").toLong)
+      .filter(_ < below)
       .maxOption
   }
 }
