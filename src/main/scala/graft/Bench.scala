@@ -37,6 +37,14 @@ object Bench {
     }
     def jitMs: Long =
       java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+    // per-query shuffle volume (the number that predicts 100 TB cost)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Two timed executions per query; report the min. Run-to-run
       // deltas here are Janino whole-stage-codegen compilation and JVM
@@ -45,13 +53,13 @@ object Bench {
       // steady-state execution time, which is what an amortized
       // production deployment pays per micro-batch/query.
       val times = (1 to 2).map { _ =>
-        val (g0, j0, t0) = (gcMs, jitMs, System.nanoTime())
+        val (g0, j0, s0, t0) = (gcMs, jitMs, shuffleBytes.get(), System.nanoTime())
         try { force(fn(spark, sfDir)) } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-24s ${dt}%7.2f s  gc=${gcMs - g0}%5d ms  jit=${jitMs - j0}%6d ms")
+        System.err.println(f"[bench] $name%-24s ${dt}%7.2f s  gc=${gcMs - g0}%5d ms  jit=${jitMs - j0}%6d ms  shuffle=${(shuffleBytes.get() - s0) / 1024}%8d KiB")
         dt
       }
       name -> times.min

@@ -45,6 +45,16 @@ object Cdc {
       col("city"),
       col("amount"))
 
+  /** Dead-letter view: raw lines the fixed-schema decode could not
+    * parse (payload is null after from_json). Pair with [[unwrap]] —
+    * which silently drops them — to route undecodable input to a
+    * quarantine sink instead of failing the stream. */
+  def deadLetters(raw: DataFrame, valueCol: String = "value",
+                  schema: StructType = Schemas.envelope): DataFrame =
+    raw.withColumn("event", from_json(col(valueCol).cast("string"), schema))
+      .filter(col("event.payload").isNull)
+      .select(col(valueCol))
+
   /** Route events by op ("c"/"u"/"d"/"r", README.md:288). */
   def byOp(envelopes: DataFrame): Map[String, DataFrame] =
     Seq("c", "u", "d", "r").map { o =>
@@ -70,10 +80,15 @@ object Cdc {
                   keyCol: Column,
                   orderCol: Column): DataFrame =
     envelopes
-      .groupBy(keyCol.as("__key"))
-      .agg(max_by(col("payload"), orderCol).as("payload"))
-      .filter(col("payload.op") =!= "d")
-      .select(col("payload.after.*"))
+      // project BEFORE the shuffle: only op + after travel (the before
+      // image and the 11-field source struct don't survive this
+      // operator, so they must not survive the exchange either)
+      .select(keyCol.as("__key"), orderCol.as("__ord"),
+        struct(col("payload.op").as("op"), col("payload.after").as("after")).as("__ev"))
+      .groupBy(col("__key"))
+      .agg(max_by(col("__ev"), col("__ord")).as("__ev"))
+      .filter(col("__ev.op") =!= "d")
+      .select(col("__ev.after.*"))
 
   /** Inverse of decode, for egress tests: render rows as Debezium-shaped
     * JSON envelopes (JsonConverter analog, pg-source-config.json:13). */

@@ -33,5 +33,8 @@ class SchemaDriftSpec extends SparkSpec {
     assert(flat.select("orderid").head().getInt(0) == 3)
     // and the raw decode keeps the bad line visible for a dead-letter path
     assert(Cdc.decode(mixed.toDF("value")).filter(col("payload").isNull).count() == 1)
+    // the dead-letter view returns exactly the undecodable raw line
+    assert(Cdc.deadLetters(mixed.toDF("value")).as[String].collect().toSeq ==
+      Seq("this is not json"))
   }
 }

@@ -66,6 +66,14 @@ class KqlSpec extends SparkSpec {
     assert(agg.head() == org.apache.spark.sql.Row(2L, 2L, 3))
   }
 
+  test("null ordering is pinned: desc sorts nulls last, asc nulls first") {
+    val d = Seq(Some(1), None, Some(3)).toDF("v")
+    assert(d.kqlSort(col("v")).as[Option[Int]].collect().toSeq ==
+      Seq(Some(3), Some(1), None))
+    assert(d.kqlSortAsc(col("v")).as[Option[Int]].collect().toSeq ==
+      Seq(None, Some(1), Some(3)))
+  }
+
   test("render tags the chart kind without touching the frame (K4-K6)") {
     val r = df.summarize(Seq("n" -> count(lit(1))), col("k")).render("columnchart")
     assert(r.chartKind == "columnchart" && r.df.count() == 3)
