@@ -51,6 +51,22 @@ class FunctionsSpec extends SparkSpec {
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("typed WeightedMeanCents aggregator matches the exact formula across partitions") {
+    val data = spark.range(1000).repartition(8)
+      .select((col("id") % 5).as("k"), col("id").as("v"), (col("id") % 7 + 1).as("w"))
+      .as[(Long, Long, Long)]
+    val got = data.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(TypedAggregators.WeightedMeanCents.toColumn.name("wavg"))
+      .collect().toMap
+    val expect = (0L until 1000L).groupBy(_ % 5).map { case (k, ids) =>
+      val num = ids.map(i => i * (i % 7 + 1)).sum
+      val den = ids.map(i => i % 7 + 1).sum
+      k -> num.toDouble / den
+    }
+    got.foreach { case (k, v) => assert(v == expect(k), s"key $k") }
+  }
+
   test("GraftExtensions injects every function without error") {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)
