@@ -270,8 +270,47 @@ object Analytics {
         coalesce(col("retained"), lit(0L)).as("retained_d1"))
   }
 
+  /** Event-type transition counts (first-order Markov pairs) per the
+    * per-user event order — one lag window, one count aggregate. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Bitwise-operator battery (AND/OR/XOR/shifts) over order keys. */
+  def bitwiseOps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      (col("o_orderkey").bitwiseAND(lit(255L))).as("and_mask"),
+      (col("o_orderkey").bitwiseOR(lit(4096L))).as("or_mask"),
+      (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("xor_cust"),
+      shiftright(col("o_orderkey"), 4).as("shr4"),
+      bit_count(col("o_orderkey")).cast("int").as("popcount"))
+
+  /** Null-semantics pins: COUNT(*) vs COUNT(expr), aggregates over
+    * empty/null-only inputs, and null-safe comparison — the corners
+    * where engines historically diverge, fixed by oracle. */
+  def nullSemantics(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(when(col("c_acctbal") > 0, 1)).as("n_pos"),
+        sum(when(col("c_acctbal") > 9999998, 1)).as("sum_never"),
+        max(when(col("c_acctbal") > 9999998, col("c_acctbal"))).as("max_never"),
+        count(when(col("c_nationkey") <=> lit(3), 1)).as("n_nation3"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_retention_d1" -> retentionD1 _,
+    "ev_transitions" -> eventTransitions _,
+    "fn_bitwise" -> bitwiseOps _,
+    "fn_null_semantics" -> nullSemantics _,
     "agg_pricing_summary" -> pricingSummary _,
     "agg_rollup" -> rollupAcctbal _,
     "agg_distinct_having" -> distinctHaving _,
@@ -297,6 +336,29 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev_transitions" ->
+      """SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+        |  FROM events)
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS and_mask,
+        |  o_orderkey | 4096 AS or_mask,
+        |  xor(o_orderkey, o_custkey) AS xor_cust,
+        |  o_orderkey >> 4 AS shr4,
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+        |FROM orders""".stripMargin,
+    "fn_null_semantics" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_all,
+        |  CAST(COUNT(CASE WHEN c_acctbal > 0 THEN 1 END) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CASE WHEN c_acctbal > 9999998 THEN 1 END) AS BIGINT) AS sum_never,
+        |  MAX(CASE WHEN c_acctbal > 9999998 THEN c_acctbal END) AS max_never,
+        |  CAST(COUNT(CASE WHEN c_nationkey IS NOT DISTINCT FROM 3 THEN 1 END) AS BIGINT) AS n_nation3
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "ev_retention_d1" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |f AS (SELECT user_id, MIN(d) AS d0 FROM days GROUP BY user_id),
