@@ -7,7 +7,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.cdc.Cdc
 
 /** Structured Streaming materializer — the Spark-native re-architecture
-  * of the reference's sink path (SURVEY.md §3.2):
+  * of the reference's sink path (SURVEY.md §3.2; execution model per
+  * "Structured Streaming: A Declarative API for Real-Time Applications
+  * in Apache Spark", SIGMOD 2018):
   *
   * Kafka Connect sink (adx-sink-config.json)          → this engine
   *  - consume topic, 2 tasks, stored offsets          → readStream + checkpointLocation

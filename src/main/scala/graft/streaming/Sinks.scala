@@ -51,7 +51,10 @@ object Sinks {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
     }
-    existing.unionByName(updates)
+    // allowMissingColumns: an additively-evolved batch (new column)
+    // merges against the old snapshot with nulls backfilled, instead of
+    // failing the pipeline on the first post-migration micro-batch
+    existing.unionByName(updates, allowMissingColumns = true)
       .groupBy(col(keyCol))
       .agg(max_by(struct(updates.columns.map(col).toIndexedSeq: _*), col(ordCol)).as("s"))
       .select(col("s.*"))

@@ -61,4 +61,19 @@ class SinksSpec extends SparkSpec {
     // old snapshot still readable (versioned dirs)
     assert(spark.read.parquet(s"$table/v=1").count() == 2)
   }
+
+  test("upsert sink survives additive schema evolution (new column backfills null)") {
+    val table = Files.createTempDirectory("graft-evolve").toString + "/orders"
+    Sinks.upsertByKey(spark,
+      Seq((1, 10L, false, 100)).toDF("orderid", "lsn", "deleted", "amount"),
+      table, newVersion = 1)
+    // producer adds a column mid-stream
+    Sinks.upsertByKey(spark,
+      Seq((2, 20L, false, 150, "web")).toDF("orderid", "lsn", "deleted", "amount", "channel"),
+      table, newVersion = 2)
+    val latest = Sinks.readLatest(spark, table)
+    assert(latest.columns.contains("channel"))
+    assert(latest.filter(col("orderid") === 1).select("channel").head().isNullAt(0))
+    assert(latest.filter(col("orderid") === 2).select("channel").head().getString(0) == "web")
+  }
 }
