@@ -84,6 +84,31 @@ object AdvancedAnalytics {
         (cov / (sqrt(vq) * sqrt(vd))).as("corr_qty_disc"))
   }
 
+  /** Multiple DISTINCT aggregates in one pass — planned via Catalyst's
+    * Expand (one row replica per distinct-group), the shape that keeps
+    * N distincts to a single shuffle instead of N self-joins. */
+  def multiDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_suppkey")).as("d_supps"),
+        countDistinct(col("l_quantity").cast("bigint")).as("d_qtys"),
+        count(lit(1)).as("n"))
+
+  /** RANGE-frame window (vs the ROWS frames elsewhere): orders placed
+    * within the previous 30 days per customer — the frame is bounded by
+    * VALUE distance on the ordering column, so ties and gaps behave
+    * correctly where a row-count frame would not. */
+  def rangeFrameWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .withColumn("od", datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date")).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_last30d"))
+  }
+
   // ---- scalar batteries ---------------------------------------------------
 
   /** Array-function battery over the tokenized documents. */
@@ -294,6 +319,8 @@ object AdvancedAnalytics {
     "skew_salted_agg" -> saltedSkewAgg _,
     "sketch_approx" -> sketches _,
     "agg_histogram" -> histogram _,
+    "agg_multi_distinct" -> multiDistinct _,
+    "win_range_frame" -> rangeFrameWindow _,
     "fn_levenshtein" -> levenshteinAdjacent _,
     "fn_hash_sample" -> hashSample _,
     "win_first_last" -> firstLastWindows _,
@@ -393,6 +420,21 @@ object AdvancedAnalytics {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS d_supps,
+        |  CAST(COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS d_qtys,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY od
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last30d
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS od
+        |  FROM orders)""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(LEAST(FLOOR(o_totalprice / 25000), 19) AS INTEGER) AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
