@@ -104,11 +104,21 @@ object Multimodal {
       .filter(col("kind") === "video")
       .select(col("media_id"), explode(col("frame_samples")).as("frame_idx"))
 
+  /** Typed-metadata analytics: aggregate by a nested struct field
+    * (meta.lang) without touching the binary payload — the struct
+    * projection prunes to the two metadata columns at the scan. */
+  def metaStats(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .groupBy(col("meta.lang").as("lang"), col("kind"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("meta.source_chars")).as("avg_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> ((s: SparkSession, d: String) =>
       mediaFeatures(s, d).drop("frame_samples")),
     "mm_stats" -> mediaStats _,
     "mm_frame_samples" -> mediaFrames _,
+    "mm_meta_stats" -> metaStats _,
   )
 
   /** byte i (0-based) of md5(text) as an int, in DuckDB. */
@@ -138,6 +148,11 @@ object Multimodal {
          |    ${mdByte(5)} * 1000 AS duration_ms, 32 AS n_bytes
          |  FROM documents)
          |GROUP BY kind""".stripMargin,
+    "mm_meta_stats" ->
+      """SELECT lang,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(COUNT(*) AS BIGINT) AS n, AVG(n_chars) AS avg_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "mm_frame_samples" ->
       s"""SELECT media_id, CAST(unnest(range(0, fend + 1, step)) AS INTEGER) AS frame_idx
          |FROM (

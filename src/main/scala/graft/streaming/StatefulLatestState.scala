@@ -47,13 +47,63 @@ object StatefulLatestState {
   }
 
   /** The stateful stream: emits each key's new state whenever one of its
-    * events arrives. Pair with `.writeStream.outputMode("update")`. */
+    * events arrives. Pair with `.writeStream.outputMode("update")`.
+    * State never expires — correct under arbitrarily-late replays, at
+    * the cost of keeping tombstones forever. */
   def latestState(envelopes: DataFrame): Dataset[KeyState] = {
     import envelopes.sparkSession.implicits._
     events(envelopes)
       .groupByKey(_.orderid)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(update)
   }
+
+  /** TTL variant: per-key state (including tombstones) is dropped once
+    * the event-time watermark passes its last event by `retention` —
+    * the bounded-state form a 100 TB key space requires. The explicit
+    * tradeoff: a replay arriving LATER than the retention window can
+    * resurrect a deleted key (its tombstone is gone), so `retention`
+    * must exceed the source's maximum redelivery lag — the same
+    * contract as the reference's offset-retention configuration
+    * (docker-compose.yaml:35-37). Input must carry a watermark on
+    * `event_ts` (use `withWatermark` upstream). */
+  def latestStateWithTtl(envelopes: DataFrame,
+                         retentionMs: Long = 24L * 3600 * 1000,
+                         watermark: String = "10 minutes"): Dataset[KeyState] = {
+    import envelopes.sparkSession.implicits._
+    val evs = Cdc.decode(envelopes).select(
+      coalesce(col("payload.after.orderid"), col("payload.before.orderid")).as("orderid"),
+      col("payload.op").as("op"),
+      col("payload.source.lsn").as("lsn"),
+      col("payload.after.custid").as("custid"),
+      col("payload.after.amount").as("amount"),
+      col("payload.after.city").as("city"),
+      timestamp_millis(col("payload.ts_ms")).as("event_ts"))
+      .withWatermark("event_ts", watermark)
+      .as[ChangeEventTs]
+    evs.groupByKey(_.orderid)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout()) {
+        (key: Int, it: Iterator[ChangeEventTs], state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // retention passed: drop the key's state
+            Iterator.empty
+          } else {
+            val batch = it.toList
+            val out = update(key,
+              batch.iterator.map(e =>
+                ChangeEvent(e.orderid, e.op, e.lsn, e.custid, e.amount, e.city)),
+              state)
+            val maxTs = batch.map(_.event_ts.getTime).max
+            if (state.exists)
+              state.setTimeoutTimestamp(maxTs + retentionMs)
+            out
+          }
+      }
+  }
+
+  /** [[ChangeEvent]] plus the event timestamp the TTL clock runs on. */
+  case class ChangeEventTs(orderid: Int, op: String, lsn: Long,
+                           custid: Option[Int], amount: Option[Int],
+                           city: Option[String], event_ts: java.sql.Timestamp)
 
   private def update(key: Int, evs: Iterator[ChangeEvent],
                      state: GroupState[KeyState]): Iterator[KeyState] = {

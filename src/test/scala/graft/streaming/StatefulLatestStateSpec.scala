@@ -11,7 +11,8 @@ class StatefulLatestStateSpec extends SparkSpec {
   import spark.implicits._
 
   private def env(orderid: Int, amount: Int, city: String, lsn: Long,
-                  op: String = "c"): String = {
+                  op: String = "c", tsMs: Long = -1L): String = {
+    val ts = if (tsMs >= 0) tsMs else lsn * 1000
     val after =
       if (op == "d") "null"
       else s"""{"orderid":$orderid,"custid":${orderid * 10},"amount":$amount,"city":"$city"}"""
@@ -20,9 +21,9 @@ class StatefulLatestStateSpec extends SparkSpec {
       else s"""{"orderid":$orderid,"custid":${orderid * 10},"amount":0,"city":"$city"}"""
     s"""{"schema":null,"payload":{"before":$before,"after":$after,
        |"source":{"version":"1.9.5","connector":"postgresql","name":"myserver",
-       |"ts_ms":${lsn * 1000},"snapshot":"false","db":"inventory","schema":"inventory",
+       |"ts_ms":$ts,"snapshot":"false","db":"inventory","schema":"inventory",
        |"table":"orders_info","txId":$lsn,"lsn":$lsn,"xmin":null},
-       |"op":"$op","ts_ms":${lsn * 1000},"transaction":null}}""".stripMargin.replace("\n", "")
+       |"op":"$op","ts_ms":$ts,"transaction":null}}""".stripMargin.replace("\n", "")
   }
 
   test("per-key state upserts, deletes tombstone, replay cannot resurrect") {
@@ -47,6 +48,37 @@ class StatefulLatestStateSpec extends SparkSpec {
         .as[StatefulLatestState.KeyState].collect().sortBy(_.orderid)
       assert(rows.map(r => (r.orderid, r.amount, r.deleted)).toSeq ==
         Seq((1, 120, false), (2, 150, true)))
+    } finally q.stop()
+  }
+
+  test("TTL variant expires tombstones after retention (documented resurrection tradeoff)") {
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[String]
+    val q = StatefulLatestState.latestStateWithTtl(
+        source.toDF().select(col("value")),
+        retentionMs = 60000L, watermark = "0 seconds")
+      .writeStream.outputMode("update").format("memory").queryName("ttl").start()
+    try {
+      // key 1 inserted then deleted; far-future traffic on key 2 pushes
+      // the watermark past key 1's retention window -> tombstone expires
+      source.addData(env(1, 100, "Seattle", 10), env(1, 0, "Seattle", 11, op = "d"))
+      q.processAllAvailable()
+      source.addData(env(2, 150, "Austin", 1000))
+      q.processAllAvailable()
+      source.addData(env(2, 151, "Austin", 1001, op = "u"))
+      q.processAllAvailable()
+      // a redelivery of key 1's insert with a CURRENT event timestamp but
+      // the old lsn: the tombstone (and its lsn guard) has expired, so the
+      // stale change re-applies - the documented retention tradeoff. (A
+      // replay with its ORIGINAL old timestamp would be cut by the
+      // watermark filter before reaching state at all.)
+      source.addData(env(1, 100, "Seattle", 10, tsMs = 1100 * 1000L))
+      q.processAllAvailable()
+      // batch 1 emitted key 1's tombstone (lsn 11); this emission can only
+      // exist if that tombstone (and its lsn guard) expired in between
+      assert(spark.table("ttl")
+        .filter("orderid = 1 AND lsn = 10 AND NOT deleted").count() == 1,
+        spark.table("ttl").collect().mkString("; "))
     } finally q.stop()
   }
 
