@@ -135,6 +135,42 @@ object AdvancedAnalytics {
       greatest(year(col("o_orderdate").cast("date")), lit(1996)).as("y_floor"),
       substring(col("o_orderpriority"), 1, 1).cast("int").as("pri_rank"))
 
+  /** Regex battery: extraction groups, LIKE patterns, match counting. */
+  def regexBattery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir).select(
+      col("p_partkey"),
+      regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("int").as("brand_num"),
+      regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+      col("p_brand").like("Brand#1%").as("is_brand1x"),
+      col("p_name").rlike("^[aeiou]").as("vowel_start"))
+
+  /** Ordered group concatenation: distinct segments per nation as one
+    * sorted string (collect_set → array_sort → join keeps the result
+    * deterministic under any partitioning, unlike raw string_agg). */
+  def groupConcat(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        count(lit(1)).as("n"))
+
+  /** Daily-volume anomaly flags from exact integer moments: a day is
+    * anomalous when (cnt − mean)² > 4·var — the squared form avoids
+    * sqrt entirely, so the whole predicate is a fixed arithmetic
+    * expression over BIGINT power sums (bit-identical on both engines,
+    * unlike stddev-based z-scores). */
+  def dailyAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.agg(count(lit(1)).as("nd"), sum(col("cnt")).as("s1"),
+      sum(col("cnt") * col("cnt")).as("s2"))
+    // (cnt - s1/nd)^2 > 4*(s2/nd - (s1/nd)^2)  <=>  (nd*cnt - s1)^2 > 4*(nd*s2 - s1^2)
+    daily.crossJoin(stats)
+      .select(col("day"), col("cnt"),
+        ((col("nd") * col("cnt") - col("s1")) * (col("nd") * col("cnt") - col("s1")) >
+          lit(4) * (col("nd") * col("s2") - col("s1") * col("s1"))).as("is_anomaly"))
+  }
+
   // ---- framed / ranked windows -------------------------------------------
 
   /** Moving average over a 3-row frame (decimal sum / frame count — exact
@@ -321,6 +357,9 @@ object AdvancedAnalytics {
     "agg_histogram" -> histogram _,
     "agg_multi_distinct" -> multiDistinct _,
     "win_range_frame" -> rangeFrameWindow _,
+    "fn_regex" -> regexBattery _,
+    "agg_group_concat" -> groupConcat _,
+    "ev_daily_anomaly" -> dailyAnomalies _,
     "fn_levenshtein" -> levenshteinAdjacent _,
     "fn_hash_sample" -> hashSample _,
     "win_first_last" -> firstLastWindows _,
@@ -420,6 +459,29 @@ object AdvancedAnalytics {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "fn_regex" ->
+      """SELECT p_partkey,
+        |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_num,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |  p_brand LIKE 'Brand#1%' AS is_brand1x,
+        |  regexp_matches(p_name, '^[aeiou]') AS vowel_start
+        |FROM part""".stripMargin,
+    "agg_group_concat" ->
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "ev_daily_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(cnt) AS BIGINT) AS s1,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        |  FROM daily)
+        |SELECT day, cnt,
+        |  (nd * cnt - s1) * (nd * cnt - s1) > 4 * (nd * s2 - s1 * s1) AS is_anomaly
+        |FROM daily, stats""".stripMargin,
     "agg_multi_distinct" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_parts,

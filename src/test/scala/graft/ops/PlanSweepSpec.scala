@@ -15,11 +15,12 @@ class PlanSweepSpec extends SparkSpec {
     * broadcast range binning (join_range_quarters), the brute-force ANN
     * baseline (sim_topk_brute scores every query×candidate pair by
     * construction), IVF codebook scoring (corpus × nlist broadcast —
-    * the codebook is tiny by design), and a k-row × 1-row scalar
-    * cross join (text_vocab_coverage's corpus-total). */
+    * the codebook is tiny by design), and k-row × 1-row scalar cross
+    * joins (text_vocab_coverage's corpus-total, ev_daily_anomaly's
+    * global moments). */
   private val nonEquiAllowlist = Set(
     "dedup_embedding", "join_range_quarters", "sim_topk_brute",
-    "sim_ivf_topk", "text_vocab_coverage")
+    "sim_ivf_topk", "text_vocab_coverage", "ev_daily_anomaly")
 
   test("no unintended cartesian/nested-loop joins, no Python UDFs, anywhere") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
