@@ -248,6 +248,48 @@ object AdvancedAnalytics {
         col("n_cust"), col("n_supp"))
   }
 
+  /** TPC-H Q3 shape: 3-table join, selective filters both sides, top-10
+    * revenue via TakeOrdered — the classic shipping-priority plan
+    * (broadcast the filtered customer side at this cardinality; at SF
+    * where customers outgrow the broadcast threshold the same code
+    * becomes a shuffle join, which is the right plan there too). */
+  def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-table join (region→nation→customer→orders→
+    * lineitem→supplier) with the customer-and-supplier-same-nation
+    * constraint — the join-ordering stress test; the three dims
+    * broadcast, the two facts shuffle on their join keys once each. */
+  def tpchQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"))
+    val n = broadcast(Tables.nation(spark, sfDir))
+    val s = broadcast(Tables.supplier(spark, sfDir))
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(n, s("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double").as("revenue"))
+  }
+
   // ---- range join / as-of join -------------------------------------------
 
   private[ops] val quarters: Seq[(String, String, String)] =
@@ -358,6 +400,8 @@ object AdvancedAnalytics {
     "agg_multi_distinct" -> multiDistinct _,
     "win_range_frame" -> rangeFrameWindow _,
     "fn_regex" -> regexBattery _,
+    "join_tpch_q3" -> tpchQ3 _,
+    "join_tpch_q5" -> tpchQ5 _,
     "agg_group_concat" -> groupConcat _,
     "ev_daily_anomaly" -> dailyAnomalies _,
     "fn_levenshtein" -> levenshteinAdjacent _,
@@ -459,6 +503,28 @@ object AdvancedAnalytics {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "join_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "join_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
     "fn_regex" ->
       """SELECT p_partkey,
         |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_num,

@@ -41,6 +41,20 @@ object SqlQueries {
       """SELECT c_custkey, c_name,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey = c_custkey) AS n_orders
         |FROM customer WHERE c_custkey <= 200""".stripMargin,
+    "sql_exists_agg" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "sql_not_in" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer
+        |WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier WHERE s_nationkey < 5)
+        |GROUP BY c_mktsegment""".stripMargin,
     "sql_cte" ->
       """WITH seg_rev AS (
         |  SELECT c_mktsegment AS seg,
