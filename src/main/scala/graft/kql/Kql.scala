@@ -78,6 +78,11 @@ object Kql {
   /** KQL `bin(x, size)` — left edge of x's bucket. */
   def bin(c: Column, size: Column): Column = floor(c / size) * size
 
+  /** KQL `bin(timestamp, duration)` — left edge of the time bucket
+    * (the `render timechart` x-axis). Duration in seconds. */
+  def binTime(c: Column, seconds: Long): Column =
+    timestamp_seconds(floor(unix_timestamp(c) / seconds) * seconds)
+
   /** KQL `dcount(c)` */
   def dcount(c: Column): Column = count_distinct(c)
 

@@ -74,6 +74,15 @@ class KqlSpec extends SparkSpec {
       Seq(None, Some(1), Some(3)))
   }
 
+  test("binTime buckets timestamps to the duration's left edge (timechart)") {
+    val d = Seq("2024-01-01 10:17:30", "2024-01-01 10:44:59", "2024-01-01 11:02:00")
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val binned = d.summarize(Seq("n" -> count(lit(1))),
+      Kql.binTime(col("ts"), 3600).as("hour"))
+    val byHour = binned.collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(byHour("2024-01-01 10:00:00.0") == 2L && byHour("2024-01-01 11:00:00.0") == 1L)
+  }
+
   test("render tags the chart kind without touching the frame (K4-K6)") {
     val r = df.summarize(Seq("n" -> count(lit(1))), col("k")).render("columnchart")
     assert(r.chartKind == "columnchart" && r.df.count() == 3)
