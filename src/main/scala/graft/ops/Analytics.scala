@@ -160,6 +160,18 @@ object Analytics {
   def setExcept(spark: SparkSession, sfDir: String): DataFrame =
     custNations(spark, sfDir).except(suppNations(spark, sfDir))
 
+  /** EXCEPT ALL — multiset difference: each nationkey survives
+    * (customer-count − supplier-count) times, aggregated to counts so
+    * the oracle comparison is order-free. */
+  def setExceptAll(spark: SparkSession, sfDir: String): DataFrame =
+    custNations(spark, sfDir).exceptAll(suppNations(spark, sfDir))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+
+  /** INTERSECT ALL — multiset intersection, aggregated to counts. */
+  def setIntersectAll(spark: SparkSession, sfDir: String): DataFrame =
+    custNations(spark, sfDir).intersectAll(suppNations(spark, sfDir))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+
   // ---- scalar function coverage ------------------------------------------
 
   /** String function battery over part. */
@@ -325,6 +337,8 @@ object Analytics {
     "set_union" -> setUnion _,
     "set_intersect" -> setIntersect _,
     "set_except" -> setExcept _,
+    "set_except_all" -> setExceptAll _,
+    "set_intersect_all" -> setIntersectAll _,
     "fn_strings" -> scalarStrings _,
     "fn_dates" -> scalarDates _,
     "fn_math" -> scalarMath _,
@@ -437,6 +451,16 @@ object Analytics {
     "set_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey FROM supplier""".stripMargin,
+    "set_except_all" ->
+      """SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey""".stripMargin,
     "fn_strings" ->
       """SELECT p_partkey, UPPER(p_brand) AS brand_u, LOWER(p_type) AS type_l,
         |  CAST(LENGTH(p_name) AS INTEGER) AS name_len,
