@@ -109,6 +109,32 @@ object AdvancedAnalytics {
         count(lit(1)).over(w).as("n_last30d"))
   }
 
+  /** Deterministic per-group mode: most frequent nationkey per segment,
+    * ties broken by lowest key (built-in mode() is tie-nondeterministic,
+    * so the count+rank phrasing is the portable form). */
+  def modePerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cnt").desc, col("c_nationkey").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("c_nationkey").as("mode_nation"), col("cnt"))
+  }
+
+  /** Weighted average from integer-exact sums: mean discount weighted by
+    * quantity, as Σ(pc·qi)/Σ(qi) over BIGINT — the relational mirror of
+    * the typed WeightedMeanCents aggregator. */
+  def weightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val qi = col("l_quantity").cast("bigint")
+    val pc = round(col("l_discount") * 100).cast("bigint")
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(pc * qi).as("swx"), sum(qi).as("sw"))
+      .select(col("l_returnflag"),
+        (col("swx").cast("double") / col("sw")).as("wavg_disc_pct"))
+  }
+
   // ---- scalar batteries ---------------------------------------------------
 
   /** Array-function battery over the tokenized documents. */
@@ -404,6 +430,8 @@ object AdvancedAnalytics {
     "join_tpch_q5" -> tpchQ5 _,
     "agg_group_concat" -> groupConcat _,
     "ev_daily_anomaly" -> dailyAnomalies _,
+    "agg_mode_per_group" -> modePerGroup _,
+    "agg_weighted_avg" -> weightedAvg _,
     "fn_levenshtein" -> levenshteinAdjacent _,
     "fn_hash_sample" -> hashSample _,
     "win_first_last" -> firstLastWindows _,
@@ -525,6 +553,21 @@ object AdvancedAnalytics {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "agg_mode_per_group" ->
+      """SELECT c_mktsegment, mode_nation, cnt FROM (
+        |  SELECT c_mktsegment, c_nationkey AS mode_nation, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY COUNT(*) DESC, c_nationkey ASC) AS rn
+        |  FROM customer GROUP BY c_mktsegment, c_nationkey)
+        |WHERE rn = 1""".stripMargin,
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(pc * qi) AS DOUBLE) / SUM(qi) AS wavg_disc_pct
+        |FROM (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qi,
+        |    CAST(ROUND(l_discount * 100) AS BIGINT) AS pc
+        |  FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
     "fn_regex" ->
       """SELECT p_partkey,
         |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_num,
