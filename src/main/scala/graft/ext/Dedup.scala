@@ -169,6 +169,61 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hd"))
   }
 
+  /** Connected components over the MinHash near-dup graph (verified
+    * jaccard ≥ 0.9 pairs): each doc in any pair gets its component's
+    * minimum doc_id as cluster label — the "merge near-dup groups" step
+    * every dedup pipeline ends with. The 0.9-threshold graph's
+    * components are dense quasi-cliques, so diameters stay small (the
+    * hamming≤8 SimHash graph, by contrast, chains through gradual
+    * drift into diameter-hundreds components — measured 40+ rounds;
+    * the edge-set choice is part of the design).
+    *
+    * Min-label propagation with pointer jumping: per iteration every
+    * node takes the min of its own, its neighbors', and its LABEL's
+    * label (label(label(doc)) — path halving), so convergence is
+    * O(log n) even for long-chain components, where plain neighbor
+    * propagation needs O(diameter) rounds. Each iteration is two joins
+    * and one aggregate, all executor-side; the driver loop only checks
+    * the changed-count (the GraphX-style iterative shape, kept in plain
+    * DataFrames). The DuckDB oracle computes the same fixpoint as a
+    * recursive CTE. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    // localCheckpoint per round truncates the iteration's lineage — the
+    // canonical iterative-DataFrame pattern: without it each round's
+    // plan nests the previous rounds' (and a cache()/unpersist() chain
+    // cascades invalidation), so per-round cost grows geometrically.
+    var labels = edges.select(col("doc_a").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0) {
+      iters += 1
+      require(iters <= 64, "dedup_clusters failed to converge in 64 rounds")
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("doc"))
+        .groupBy(edges("doc_a").as("ndoc"))
+        .agg(min(col("label")).as("nlabel"))
+      val stepped = labels.join(neighborMin, labels("doc") === col("ndoc"), "left_outer")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val parents = stepped.select(col("doc").as("pdoc"), col("label").as("plabel"))
+      val next = stepped.join(parents, stepped("label") === col("pdoc"), "left_outer")
+        .select(stepped("doc"),
+          least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster"))
+  }
+
   // ---- exact n-gram Jaccard ----------------------------------------------
 
   /** Exact bigram-shingle Jaccard over a blocked subset (left side
@@ -248,6 +303,7 @@ object Dedup {
     "dedup_cleaned" -> cleanedCorpus _,
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
+    "dedup_clusters" -> dedupClusters _,
     "dedup_ngram_jaccard" -> ngramJaccardPairs _,
     "dedup_embedding" -> embeddingNearDups _,
   )
@@ -307,6 +363,40 @@ object Dedup {
         |  FROM blocks a JOIN blocks b
         |    ON a.block_idx = b.block_idx AND a.block_key = b.block_key AND a.doc_id < b.doc_id)
         |WHERE hd <= 8""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE ws AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w FROM documents),
+        |xs AS (
+        |  SELECT doc_id, lang, w,
+        |    list_transform(w, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS x FROM ws),
+        |sig AS (
+        |  SELECT doc_id, lang, w,
+        |    list_transform(range(1, 17), i ->
+        |      list_min(list_transform(x, v ->
+        |        ((1000003 * i) % 1000000007 * v + (7919 * i * i + 12345) % 1000000007) % 2147483647))) AS s
+        |  FROM xs),
+        |bands AS (
+        |  SELECT doc_id, lang, w,
+        |    array_to_string(s[1:8], '-') AS b0, array_to_string(s[9:16], '-') AS b1 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.w AS wa, b.w AS wb
+        |  FROM bands a JOIN bands b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1)),
+        |sp AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |      CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |        / (len(wa) + len(wb) - len(list_intersect(wa, wb))) AS jac
+        |    FROM cand)
+        |  WHERE jac >= 0.9),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM sp
+        |          UNION ALL SELECT doc_b, doc_a FROM sp),
+        |reach AS (
+        |  SELECT u AS doc, u AS label FROM edges
+        |  UNION
+        |  SELECT e.v AS doc, r.label FROM edges e JOIN reach r ON r.doc = e.u)
+        |SELECT doc AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster
+        |FROM reach GROUP BY doc""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
