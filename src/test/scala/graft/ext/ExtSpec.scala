@@ -51,6 +51,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters: near-dup components share one min-id label, singletons excluded") {
+    val out = Dedup.dedupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.nonEmpty)
+    // labels are component minima: every label is itself a member doc
+    val docs = out.map(_._1).toSet
+    assert(out.map(_._2).toSet.subsetOf(docs))
+    assert(out.forall { case (doc, label) => label <= doc })
+    // consistency with the pair graph: both endpoints of every edge
+    // carry the same cluster label
+    val labelOf = out.toMap
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => labelOf(a) == labelOf(b) })
+  }
+
   test("exact dedup groups identical normalized text") {
     val d = docs(
       (0L, "same text here", "en"),
