@@ -46,6 +46,19 @@ object Dedup {
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
     exactDedupOn(Tables.documents(spark, sfDir))
 
+  /** Duplicate-rate report per source: docs, distinct contents, and the
+    * dup fraction as an exact integer ratio — the contamination metric
+    * a curation pipeline publishes per ingest feed. One pass: count +
+    * count-distinct-fingerprint per source. */
+  def dupRateBySource(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(lower(trim(col("text"))))).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
+          .as("dup_rate"))
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   /** Per-doc MinHash signatures over distinct word shingles.
@@ -301,6 +314,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exactDedup _,
     "dedup_cleaned" -> cleanedCorpus _,
+    "dedup_rate_by_source" -> dupRateBySource _,
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_clusters" -> dedupClusters _,
@@ -317,6 +331,11 @@ object Dedup {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (
         |  SELECT MIN(doc_id) FROM documents GROUP BY md5(lower(trim(text))))""".stripMargin,
+    "dedup_rate_by_source" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS DOUBLE) / COUNT(*) AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH ws AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w FROM documents),
