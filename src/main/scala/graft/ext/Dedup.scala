@@ -108,9 +108,17 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     val docsW = minhashWords(Tables.documents(spark, sfDir))
-    pairs
-      .join(broadcast(docsW.select(col("doc_id").as("doc_a"), col("w").as("wa"))), "doc_a")
-      .join(broadcast(docsW.select(col("doc_id").as("doc_b"), col("w").as("wb"))), "doc_b")
+    // Verify-stage fetch is two plain shuffle hash joins on doc_id: the
+    // candidate-pair set is tiny relative to the corpus, and the corpus
+    // word-sets must NEVER be broadcast (at 100 TB that is a driver OOM
+    // by construction). The shuffle_hash hint keeps the build side on
+    // the pair stream and avoids sorting the corpus; size-based AQE may
+    // still downgrade to broadcast at toy scale, which is fine — only
+    // the unconditional hint was the scale bug. PlanSpec pins this.
+    pairs.hint("shuffle_hash")
+      .join(docsW.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
+      .hint("shuffle_hash")
+      .join(docsW.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
       .withColumn("common", expr("size(array_intersect(wa, wb))"))
       .withColumn("jac", col("common").cast("double") /
         (expr("size(wa) + size(wb)") - col("common")))
@@ -281,11 +289,65 @@ object Dedup {
 
   // ---- embedding near-dup -------------------------------------------------
 
+  /** Random-hyperplane LSH band key over planes [lo, lo+r): plane p's
+    * coefficient for component i is ((p+1)·131 + i·137) mod 997 − 498 —
+    * the same deterministic integer hyperplane family as
+    * [[Similarity]]'s bucket (band 0 with r=8 IS that bucket), so both
+    * engines build identical planes. */
+  private def planeBand(lo: Int, r: Int): String =
+    s"""aggregate(sequence($lo, ${lo + r - 1}), 0, (acc, p) ->
+       |  acc + IF(
+       |    aggregate(zip_with(v, sequence(0, size(v) - 1), (x, i) ->
+       |      x * (((p + 1) * 131 + i * 137) % 997 - 498)), 0d, (a, x) -> a + x) >= 0d,
+       |    cast(pow(2, p - $lo) as int), 0))""".stripMargin
+
+  private def oracleBand(lo: Int, r: Int): String =
+    s"""list_sum(list_transform(range($lo, ${lo + r}), p ->
+       |  CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+       |    v[i] * (((p + 1) * 131 + (i - 1) * 137) % 997 - 498))) >= 0
+       |  THEN CAST(2 ** (p - $lo) AS INTEGER) ELSE 0 END))""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ 0.4 — random 64-d
-    * vectors concentrate near 0, so 0.4 is a strong-similarity tail).
-    * All-pairs at test scale; at 100 TB this is exactly what
-    * [[Similarity]]'s LSH bucketing bounds. */
+    * vectors concentrate near 0, so 0.4 is a strong-similarity tail),
+    * banded hyperplane-LSH: 4 bands × 8 planes of [[Similarity]]'s
+    * deterministic hyperplane family generate candidates via an
+    * equi-join on (band, key) — the same blocked shape as
+    * [[minhashPairs]] — then the exact cosine verifies candidates only.
+    * 100 TB shape: the corpus never self-joins all-pairs; candidate
+    * pairs dedup to bare ids before the vector fetch (two shuffle hash
+    * joins, nothing broadcast); band count trades recall vs candidate
+    * volume (4×8 ⇒ a cos 0.95 pair is caught with p ≈ 0.89, while
+    * random near-orthogonal pairs collide at ≈ 4/256 per band — at real
+    * scale widen r so per-band buckets stay bounded). The DuckDB oracle
+    * applies identical banding, so results hash-match exactly. */
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    val banded = e.select(col("vec_id"),
+      posexplode(array((0 until 4).map(b => expr(planeBand(b * 8, 8))): _*))
+        .as(Seq("band_idx", "band_key")))
+    val a = banded.select(col("band_idx").as("bi_a"), col("band_key").as("bk_a"),
+      col("vec_id").as("vec_a"))
+    val b = banded.select(col("band_idx").as("bi_b"), col("band_key").as("bk_b"),
+      col("vec_id").as("vec_b"))
+    val cand = a.join(b, col("bi_a") === col("bi_b") && col("bk_a") === col("bk_b") &&
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cand.hint("shuffle_hash")
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), "vec_a")
+      .hint("shuffle_hash")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), "vec_b")
+      .withColumn("cos", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Exact all-pairs baseline for [[embeddingNearDups]] — O(n²), kept
+    * unregistered as the recall yardstick for tests only (ExtSpec
+    * asserts bucketed ⊆ exact). Never run this shape at scale. */
+  def embeddingNearDupsExact(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -429,15 +491,26 @@ object Dedup {
         |  FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.1""".stripMargin,
     "dedup_embedding" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
-        |  FROM embeddings)
-        |SELECT vec_a, vec_b, cos FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-        |      / (a.norm * b.norm), 6) AS cos
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |WHERE cos >= 0.4""".stripMargin,
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+         |  FROM embeddings),
+         |bk AS (
+         |  SELECT vec_id, v, norm,
+         |    ${oracleBand(0, 8)} AS b0,
+         |    ${oracleBand(8, 8)} AS b1,
+         |    ${oracleBand(16, 8)} AS b2,
+         |    ${oracleBand(24, 8)} AS b3
+         |  FROM e),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+         |    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT c.vec_a, c.vec_b,
+         |    round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]))
+         |      / (x.norm * y.norm), 6) AS cos
+         |  FROM cand c JOIN e x ON x.vec_id = c.vec_a JOIN e y ON y.vec_id = c.vec_b)
+         |WHERE cos >= 0.4""".stripMargin,
   )
 }

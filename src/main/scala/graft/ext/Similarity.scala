@@ -55,7 +55,7 @@ object Similarity {
     * component i is ((p+1)·131 + i·137) mod 997 − 498 ∈ [−498, 498],
     * pure integer arithmetic so both engines build identical planes.
     * Bucket = Σ_p [dot(plane_p, v) ≥ 0] · 2^p ∈ [0, 255]. */
-  private val bucketExpr =
+  private[ext] val bucketExpr =
     """aggregate(sequence(0, 7), 0, (acc, p) ->
       |  acc + IF(
       |    aggregate(zip_with(v, sequence(0, size(v) - 1), (x, i) ->
@@ -137,13 +137,13 @@ object Similarity {
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
   )
 
-  private val oracleVecs =
+  private[ext] val oracleVecs =
     """e AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
       |  FROM embeddings)""".stripMargin
 
-  private val oracleBucket =
+  private[ext] val oracleBucket =
     """list_sum(list_transform(range(0, 8), p ->
       |  CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
       |    v[i] * (((p + 1) * 131 + (i - 1) * 137) % 997 - 498))) >= 0

@@ -67,6 +67,15 @@ class ExtSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => labelOf(a) == labelOf(b) })
   }
 
+  test("embedding near-dup: banded-LSH pairs are a subset of the exact all-pairs result") {
+    val exact = Dedup.embeddingNearDupsExact(spark, sfDir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDups(spark, sfDir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH produced pairs the exact scan did not: ${lsh.diff(exact).take(5)}")
+  }
+
   test("exact dedup groups identical normalized text") {
     val d = docs(
       (0L, "same text here", "en"),

@@ -50,6 +50,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("source"), "unused documents columns must be pruned")
   }
 
+  test("minhash LSH verify stage: corpus word-sets fetched by shuffle joins, never broadcast") {
+    // With size-based broadcast disabled, any BroadcastExchange left in
+    // the plan can only come from an explicit broadcast() hint — which is
+    // exactly the 100 TB scale bug this test pins out (the corpus word-set
+    // side must not be forced into executor memory).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = phys(graft.ext.Dedup.minhashPairs(spark, sfDir))
+      assert(!p.contains("BroadcastExchange"),
+        "minhash pipeline must not force-broadcast any side:\n" + p.take(3000))
+      assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+        "verify-stage word-set fetches should be shuffle hash joins:\n" + p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("latest-state CDC: max_by hash aggregate, not a row_number window sort") {
     val p = phys(CdcQueries.latestState(spark, sfDir))
     assert(p.contains("max_by") || p.contains("HashAggregate") || p.contains("SortAggregate"))

@@ -11,15 +11,15 @@ import graft.SparkSpec
 class PlanSweepSpec extends SparkSpec {
 
   /** Queries whose plans legitimately contain a nested-loop/cartesian
-    * strategy: all-pairs verification (dedup_embedding), non-equi
-    * broadcast range binning (join_range_quarters), the brute-force ANN
-    * baseline (sim_topk_brute scores every query×candidate pair by
-    * construction), IVF codebook scoring (corpus × nlist broadcast —
-    * the codebook is tiny by design), and k-row × 1-row scalar cross
-    * joins (text_vocab_coverage's corpus-total, ev_daily_anomaly's
-    * global moments). */
+    * strategy: non-equi broadcast range binning (join_range_quarters),
+    * the brute-force ANN baseline (sim_topk_brute scores every
+    * query×candidate pair by construction), IVF codebook scoring
+    * (corpus × nlist broadcast — the codebook is tiny by design), and
+    * k-row × 1-row scalar cross joins (text_vocab_coverage's
+    * corpus-total, ev_daily_anomaly's global moments). dedup_embedding
+    * left this list in round 3: it now equi-joins on LSH buckets. */
   private val nonEquiAllowlist = Set(
-    "dedup_embedding", "join_range_quarters", "sim_topk_brute",
+    "join_range_quarters", "sim_topk_brute",
     "sim_ivf_topk", "text_vocab_coverage", "ev_daily_anomaly")
 
   test("no unintended cartesian/nested-loop joins, no Python UDFs, anywhere") {
