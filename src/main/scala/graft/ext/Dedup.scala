@@ -142,8 +142,12 @@ object Dedup {
     * and every step stays inside whole-stage codegen with map-side
     * partial aggregation. Lanes count set-bits, and "majority set" is
     * tested as 2·count > n_words — identical to the sign(Σ±1) phrasing.
-    * 16-bit lanes bound documents at 65 535 tokens; longer inputs would
-    * need 32-bit lanes (30 sums) or pre-chunking. */
+    * 16-bit lanes bound documents at 32 767 tokens (the shift-48 lane
+    * must stay clear of the sign bit of the packed signed-64 sum);
+    * longer inputs would need 32-bit lanes (30 sums) or pre-chunking.
+    * The bound is ENFORCED: an assert_true guard folded into the output
+    * column raises on any ≥32 768-token document instead of silently
+    * producing a corrupted simhash. */
   def simhashes(docs: DataFrame): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("word"))
@@ -162,7 +166,15 @@ object Dedup {
       when(shiftright(col(s"p_$l"), 16 * j).bitwiseAND(lit(65535L)) * 2 > col("nw"),
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    agg.select(col("doc_id"), simhash.as("simhash"))
+    // overflow guard folded into the result (adds 0) so column pruning
+    // can't drop it: lane packing is only sound below 32 768 tokens
+    val guard = coalesce(
+      assert_true(col("nw") < 32768,
+        concat(lit("simhash lane overflow: document "), col("doc_id").cast("string"),
+          lit(" has "), col("nw").cast("string"),
+          lit(" tokens (max 32767); use 32-bit lanes or pre-chunk"))).cast("long"),
+      lit(0L))
+    agg.select(col("doc_id"), (simhash + guard).as("simhash"))
   }
 
   /** SimHash near-dup pairs: 4 LSH blocks of 15 bits (a pair within

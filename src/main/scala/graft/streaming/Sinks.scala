@@ -46,7 +46,7 @@ object Sinks {
                   ordCol: String = "lsn",
                   tombstoneCol: String = "deleted"): Unit = {
     import org.apache.spark.sql.functions._
-    val existing = latestVersion(tablePath, below = newVersion) match {
+    val existing = latestVersion(spark, tablePath, below = newVersion) match {
       case Some(v) => spark.read.parquet(s"$tablePath/v=$v")
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
@@ -58,13 +58,16 @@ object Sinks {
       .groupBy(col(keyCol))
       .agg(max_by(struct(updates.columns.map(col).toIndexedSeq: _*), col(ordCol)).as("s"))
       .select(col("s.*"))
-      .filter(!col(tombstoneCol))
+      // null-safe: a pre-evolution snapshot row whose (newly added)
+      // tombstone column reads back null is a LIVE row, not a delete —
+      // bare `!col` would three-value-logic it out of the snapshot
+      .filter(!coalesce(col(tombstoneCol), lit(false)))
       .write.mode("overwrite").parquet(s"$tablePath/v=$newVersion")
   }
 
   /** Read the table's newest complete snapshot. */
   def readLatest(spark: SparkSession, tablePath: String): DataFrame = {
-    val v = latestVersion(tablePath).getOrElse(
+    val v = latestVersion(spark, tablePath).getOrElse(
       sys.error(s"no versions at $tablePath"))
     spark.read.parquet(s"$tablePath/v=$v")
   }
@@ -72,13 +75,22 @@ object Sinks {
   /** Highest committed version — when merging batch `newVersion`, only
     * versions strictly below it count, so a RETRIED batch that left a
     * partial `v=N` behind re-merges from `v=N-1` and overwrites its own
-    * debris (exactly-once on at-least-once delivery). */
-  private def latestVersion(tablePath: String,
+    * debris (exactly-once on at-least-once delivery).
+    *
+    * Listed through the Hadoop FileSystem API, so the versioned table
+    * works on HDFS/S3A/ABFS paths, not just the local filesystem; and a
+    * version only counts once its `_SUCCESS` marker exists (written by
+    * the committer after all part files), so a concurrent [[readLatest]]
+    * can never observe a half-written snapshot as "latest". */
+  private def latestVersion(spark: SparkSession, tablePath: String,
                             below: Long = Long.MaxValue): Option[Long] = {
-    val dir = new java.io.File(tablePath)
-    Option(dir.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
+    val path = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
       .filter(_ < below)
       .maxOption
   }

@@ -82,20 +82,29 @@ object StatefulLatestState {
       .as[ChangeEventTs]
     evs.groupByKey(_.orderid)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout()) {
-        (key: Int, it: Iterator[ChangeEventTs], state: GroupState[KeyState]) =>
+        (key: Int, it: Iterator[ChangeEventTs], state: GroupState[TtlState]) =>
           if (state.hasTimedOut) {
             state.remove() // retention passed: drop the key's state
             Iterator.empty
           } else {
             val batch = it.toList
-            val out = update(key,
+            val cur = fold(key,
               batch.iterator.map(e =>
                 ChangeEvent(e.orderid, e.op, e.lsn, e.custid, e.amount, e.city)),
-              state)
-            val maxTs = batch.map(_.event_ts.getTime).max
-            if (state.exists)
+              state.getOption.map(_.ks).orNull)
+            if (cur == null) Iterator.empty
+            else {
+              // retention clock runs on the MAX event time ever seen for
+              // the key, kept in state: a late-but-valid replay arriving
+              // after a newer-timestamp batch must not move the timeout
+              // backward and shorten the documented retention window
+              val maxTs = math.max(
+                state.getOption.map(_.maxEventTs).getOrElse(Long.MinValue),
+                batch.map(_.event_ts.getTime).max)
+              state.update(TtlState(cur, maxTs))
               state.setTimeoutTimestamp(maxTs + retentionMs)
-            out
+              Iterator.single(cur)
+            }
           }
       }
   }
@@ -105,9 +114,15 @@ object StatefulLatestState {
                            custid: Option[Int], amount: Option[Int],
                            city: Option[String], event_ts: java.sql.Timestamp)
 
-  private def update(key: Int, evs: Iterator[ChangeEvent],
-                     state: GroupState[KeyState]): Iterator[KeyState] = {
-    var cur = state.getOption.orNull
+  /** TTL-variant state: the materialized row plus the monotone
+    * max-event-time its retention timeout is computed from. */
+  case class TtlState(ks: KeyState, maxEventTs: Long)
+
+  /** Pure lsn-guarded fold of a batch of events onto the previous state
+    * (null = no prior state); shared by both state-handling variants. */
+  private def fold(key: Int, evs: Iterator[ChangeEvent],
+                   cur0: KeyState): KeyState = {
+    var cur = cur0
     evs.foreach { e =>
       if (cur == null || e.lsn > cur.lsn) {
         cur =
@@ -121,6 +136,12 @@ object StatefulLatestState {
               e.custid.getOrElse(0), e.amount.getOrElse(0), e.city.getOrElse(""))
       }
     }
+    cur
+  }
+
+  private def update(key: Int, evs: Iterator[ChangeEvent],
+                     state: GroupState[KeyState]): Iterator[KeyState] = {
+    val cur = fold(key, evs, state.getOption.orNull)
     if (cur == null) Iterator.empty
     else { state.update(cur); Iterator.single(cur) }
   }

@@ -67,6 +67,13 @@ class ExtSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => labelOf(a) == labelOf(b) })
   }
 
+  test("simhash raises on documents beyond the 32767-token lane-packing bound") {
+    val ok = docs((0L, Array.fill(32767)("w").mkString(" "), "en"))
+    assert(Dedup.simhashes(ok).collect().length == 1) // boundary still computes
+    val over = docs((1L, Array.fill(32768)("w").mkString(" "), "en"))
+    intercept[Exception] { Dedup.simhashes(over).collect() }
+  }
+
   test("embedding near-dup: banded-LSH pairs are a subset of the exact all-pairs result") {
     val exact = Dedup.embeddingNearDupsExact(spark, sfDir)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet

@@ -62,6 +62,38 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$table/v=1").count() == 2)
   }
 
+  test("snapshot rows with a null tombstone flag (pre-evolution) stay live") {
+    val table = Files.createTempDirectory("graft-nulltomb").toString + "/orders"
+    // v=1 simulates a snapshot written before the pipeline tracked
+    // tombstones: no `deleted` column at all
+    Seq((1, 10L, 100)).toDF("orderid", "lsn", "amount")
+      .write.parquet(s"$table/v=1")
+    // post-evolution batch carries the tombstone column; the merge
+    // backfills v=1's rows with NULL deleted — which must mean "live"
+    Sinks.upsertByKey(spark,
+      Seq((2, 20L, false, 150)).toDF("orderid", "lsn", "deleted", "amount"),
+      table, newVersion = 2)
+    val latest = Sinks.readLatest(spark, table)
+      .select("orderid", "amount").as[(Int, Int)].collect().sorted.toSeq
+    assert(latest == Seq((1, 100), (2, 150)),
+      "null tombstone flags must not delete pre-evolution rows")
+  }
+
+  test("readLatest ignores an uncommitted version directory (no _SUCCESS)") {
+    val table = Files.createTempDirectory("graft-uncommitted").toString + "/orders"
+    Sinks.upsertByKey(spark,
+      Seq((1, 10L, false, 100)).toDF("orderid", "lsn", "deleted", "amount"),
+      table, newVersion = 1)
+    // a crashed writer's debris: part files present, no _SUCCESS marker
+    val partial = new java.io.File(s"$table/v=99")
+    assert(partial.mkdirs())
+    Files.write(java.nio.file.Paths.get(s"$table/v=99/part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    val latest = Sinks.readLatest(spark, table)
+      .select("orderid").as[Int].collect().toSeq
+    assert(latest == Seq(1), "half-written v=99 must not be visible as latest")
+  }
+
   test("upsert sink survives additive schema evolution (new column backfills null)") {
     val table = Files.createTempDirectory("graft-evolve").toString + "/orders"
     Sinks.upsertByKey(spark,

@@ -82,6 +82,41 @@ class StatefulLatestStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL clock is monotone: a late-but-valid replay cannot shorten retention") {
+    // retention runs from the MAX event time seen per key; if the clock
+    // instead followed the latest batch's timestamps, the late lsn-11
+    // update (event_ts 500s < the earlier 1000s) would pull key 1's
+    // timeout back below the watermark, expire its state, and let the
+    // stale lsn-5 replay resurrect with no lsn guard.
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[String]
+    val q = StatefulLatestState.latestStateWithTtl(
+        source.toDF().select(col("value")),
+        retentionMs = 60000L, watermark = "600 seconds")
+      .writeStream.outputMode("update").format("memory").queryName("ttlmono").start()
+    try {
+      source.addData(env(1, 100, "Seattle", 10, tsMs = 1000 * 1000L))
+      q.processAllAvailable()
+      // late but above-watermark update: higher lsn, OLDER event time
+      source.addData(env(1, 120, "Seattle", 11, op = "u", tsMs = 500 * 1000L))
+      q.processAllAvailable()
+      // unrelated traffic pushes the watermark to 600s, then another
+      // batch with no key-1 data gives the timeout a chance to fire
+      source.addData(env(2, 150, "Austin", 20, tsMs = 1200 * 1000L))
+      q.processAllAvailable()
+      source.addData(env(2, 151, "Austin", 21, op = "u", tsMs = 1210 * 1000L))
+      q.processAllAvailable()
+      // stale replay (lsn 5) with a current timestamp: the still-alive
+      // state's lsn guard must ignore it
+      source.addData(env(1, 90, "Seattle", 5, tsMs = 1150 * 1000L))
+      q.processAllAvailable()
+      assert(spark.table("ttlmono").filter("orderid = 1 AND lsn = 5").count() == 0,
+        spark.table("ttlmono").collect().mkString("; "))
+      assert(spark.table("ttlmono")
+        .filter("orderid = 1 AND lsn = 11 AND amount = 120").count() >= 1)
+    } finally q.stop()
+  }
+
   test("streaming state matches the batch latest-state materialization") {
     implicit val sql = spark.sqlContext
     val envs = Seq(
