@@ -39,11 +39,30 @@ object ReferenceQueries {
   def latestFiveOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables.ordersInfo(spark, sfDir).top(5, col("orderid"))
 
+  // ---- verbatim KQL text (README.md:363-392) through the parser ----------
+
+  /** The exact query strings the reference user types, including their
+    * original trailing whitespace — run through [[graft.kql.KqlParser]]
+    * against an `Orders` registry entry. Same semantics as the builder
+    * queries above; these pin the TEXT dialect end-to-end. */
+  val kqlAvgText: String =
+    "Orders\n| summarize avg_sales = avg(amount) by city \n| render columnchart"
+  val kqlTotalText: String =
+    "Orders \n| summarize total = sum(amount) by city \n| sort by total\n| render piechart "
+  val kqlCountText: String =
+    "Orders\n| summarize orders = count() by city\n| sort by orders\n| render linechart   "
+
+  private def kqlText(q: String)(spark: SparkSession, sfDir: String): DataFrame =
+    graft.kql.KqlParser.run(q, Map("Orders" -> Tables.ordersInfo(spark, sfDir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ref_avg_by_city"   -> avgSalesByCity _,
     "ref_total_by_city" -> totalSalesByCity _,
     "ref_count_by_city" -> orderCountByCity _,
     "ref_top5_orders"   -> latestFiveOrders _,
+    "kql_avg_by_city"   -> kqlText(kqlAvgText) _,
+    "kql_total_by_city" -> kqlText(kqlTotalText) _,
+    "kql_count_by_city" -> kqlText(kqlCountText) _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -61,5 +80,16 @@ object ReferenceQueries {
     "ref_top5_orders" ->
       s"""${Sql.ordersInfoCte}
          |SELECT * FROM orders_info ORDER BY orderid DESC LIMIT 5""".stripMargin,
+    "kql_avg_by_city" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city, AVG(amount) AS avg_sales FROM orders_info GROUP BY city""".stripMargin,
+    "kql_total_by_city" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city, CAST(SUM(amount) AS BIGINT) AS total FROM orders_info
+         |GROUP BY city""".stripMargin,
+    "kql_count_by_city" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS orders FROM orders_info
+         |GROUP BY city""".stripMargin,
   )
 }

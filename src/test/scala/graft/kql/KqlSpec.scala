@@ -98,4 +98,72 @@ class KqlSpec extends SparkSpec {
     assert(a2.head().getString(0) == "Seattle" && a2.head().getLong(1) == 200L)
     assert(a3.head().getString(0) == "Seattle" && a3.head().getLong(1) == 2L)
   }
+
+  // ---- text front-end (KqlParser) ----------------------------------------
+
+  private def ordersReg = Map("Orders" ->
+    Seq((1, "Seattle", 120), (2, "Seattle", 80), (3, "Austin", 100))
+      .toDF("orderid", "city", "amount"))
+
+  test("parser runs the three README queries verbatim, matching the builder") {
+    import graft.ops.ReferenceQueries
+    val p1 = KqlParser.parse(ReferenceQueries.kqlAvgText, ordersReg)
+    assert(p1.render.contains("columnchart"))
+    assert(p1.df.columns.toSeq == Seq("city", "avg_sales"))
+    assert(p1.df.filter(col("city") === "Seattle").head().getDouble(1) == 100.0)
+
+    val p2 = KqlParser.parse(ReferenceQueries.kqlTotalText, ordersReg)
+    assert(p2.render.contains("piechart"))
+    assert(p2.df.head().getString(0) == "Seattle" && p2.df.head().getLong(1) == 200L)
+
+    val p3 = KqlParser.parse(ReferenceQueries.kqlCountText, ordersReg)
+    assert(p3.render.contains("linechart"))
+    assert(p3.df.head().getString(0) == "Seattle" && p3.df.head().getLong(1) == 2L)
+  }
+
+  test("parser: where/project/extend/top/take/distinct/count verbs") {
+    val reg = ordersReg
+    assert(KqlParser.run("Orders | where amount >= 100 | count", reg)
+      .head().getLong(0) == 2L)
+    assert(KqlParser.run("Orders | where city == \"Seattle\" | count", reg)
+      .head().getLong(0) == 2L)
+    val proj = KqlParser.run(
+      "Orders | extend half = amount / 2 | project orderid, half | top 1 by half", reg)
+    assert(proj.columns.toSeq == Seq("orderid", "half"))
+    assert(proj.head().getInt(0) == 1)
+    assert(KqlParser.run("Orders | distinct city | count", reg).head().getLong(0) == 2L)
+    assert(KqlParser.run("Orders | take 2", reg).count() == 2L)
+    assert(KqlParser.run("Orders | project-away amount | count", reg).head().getLong(0) == 3L)
+  }
+
+  test("parser: KQL operator spellings translate (==, !=, =~, contains, startswith)") {
+    val reg = ordersReg
+    assert(KqlParser.run("Orders | where city != \"Austin\" | count", reg)
+      .head().getLong(0) == 2L)
+    assert(KqlParser.run("Orders | where city =~ \"seattle\" | count", reg)
+      .head().getLong(0) == 2L)
+    assert(KqlParser.run("Orders | where city contains \"EAT\" | count", reg)
+      .head().getLong(0) == 2L)
+    assert(KqlParser.run("Orders | where city startswith \"au\" | count", reg)
+      .head().getLong(0) == 1L)
+    assert(KqlParser.run(
+      "Orders | where city == \"Seattle\" and amount > 100 | count", reg)
+      .head().getLong(0) == 1L)
+  }
+
+  test("parser: summarize default names, dcount/countif/arg_max, sort asc escape") {
+    val reg = ordersReg
+    val s = KqlParser.run("Orders | summarize avg(amount), dcount(city) by city", reg)
+    assert(s.columns.toSeq == Seq("city", "avg_amount", "dcount_city"))
+    val g = KqlParser.run(
+      "Orders | summarize n = countif(amount > 90), top_order = arg_max(amount, orderid)", reg)
+    assert(g.head() == org.apache.spark.sql.Row(2L, 1))
+    val asc = KqlParser.run("Orders | sort by amount asc | project orderid", reg)
+    assert(asc.head().getInt(0) == 2)
+  }
+
+  test("parser rejects unknown tables and verbs loudly") {
+    intercept[IllegalArgumentException] { KqlParser.run("Nope | count", ordersReg) }
+    intercept[IllegalArgumentException] { KqlParser.run("Orders | frobnicate x", ordersReg) }
+  }
 }
