@@ -74,14 +74,15 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Persist BEFORE printing: the caller's bounded output capture can
-    // truncate the (multi-KB) one-liner, so the file is the durable
-    // artifact and stdout the convenience copy (r2's BENCH json lost 26
-    // per-query times to tail truncation).
+    // The full per-query map is multi-KB — longer than the caller's
+    // bounded output capture (r2 lost 26 per-query times to truncation,
+    // r3's driver recorded parsed:null). So the FILE is the durable
+    // full artifact, and stdout carries only a short, always-parseable
+    // total line (plus a pointer to the file).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
-    println(json)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries_file":"$outFile","sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }
