@@ -215,9 +215,10 @@ object Dedup {
     * node takes the min of its own, its neighbors', and its LABEL's
     * label (label(label(doc)) — path halving), so convergence is
     * O(log n) even for long-chain components, where plain neighbor
-    * propagation needs O(diameter) rounds. Each iteration is two joins
-    * and one aggregate, all executor-side; the driver loop only checks
-    * the changed-count (the GraphX-style iterative shape, kept in plain
+    * propagation needs O(diameter) rounds. Each iteration is ONE join
+    * and one aggregate (graph edges and pointer edges unioned into a
+    * single message relation), all executor-side; the driver loop only
+    * checks the Σlabel fixpoint (the GraphX-style iterative shape, kept in plain
     * DataFrames). The DuckDB oracle computes the same fixpoint as a
     * recursive CTE. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
@@ -262,23 +263,39 @@ object Dedup {
     // every tiny per-round shuffle at the full static partition count.
     // AQE's runtime coalescing is exactly right for iteration state that
     // shrinks as labels converge.)
+    //
+    // Each round is ONE join + ONE aggregate, fusing the old
+    // neighbor-min / self-least / pointer-jump three-join round into a
+    // single message pass: dst receives label(src) along every graph
+    // edge (dst=doc_a, src=doc_b) and along its own pointer edge
+    // (dst=doc, src=label(doc)). min over messages =
+    // min(min_n label(n), label(label(d))); the pointer message alone is
+    // ≤ label(d) (labels are monotone: label(x) ≤ x for all x), so the
+    // old explicit least(label(d), …) join is provably redundant and
+    // every doc still appears as a dst through its pointer message.
+    // One propagation step: dst := min over incoming message labels.
+    def step(lbls: DataFrame): DataFrame = {
+      val lbl = lbls.select(col("doc").as("ldoc"), col("label"))
+      edges.select(col("doc_a").as("dst"), col("doc_b").as("src"))
+        .unionAll(lbls.select(col("doc").as("dst"), col("label").as("src")))
+        .join(lbl, col("src") === col("ldoc"))
+        .groupBy(col("dst"))
+        .agg(min(col("label")).as("label"))
+        .select(col("dst").as("doc"), col("label"))
+    }
     while (!done) {
       iters += 1
-      require(iters <= 64, "dedup_clusters failed to converge in 64 rounds")
-      val neighborMin = edges
-        .join(labels, edges("doc_b") === labels("doc"))
-        .groupBy(edges("doc_a").as("ndoc"))
-        .agg(min(col("label")).as("nlabel"))
-      val stepped = labels.join(neighborMin, labels("doc") === col("ndoc"), "left_outer")
-        .select(col("doc"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      val parents = stepped.select(col("doc").as("pdoc"), col("label").as("plabel"))
-      val next = stepped.join(parents, stepped("label") === col("pdoc"), "left_outer")
-        .select(stepped("doc"),
-          least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
-        .localCheckpoint(true)
-      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      require(iters <= 32, "dedup_clusters failed to converge in 32 rounds")
+      // TWO steps per checkpoint round: the per-step data is edge-sized,
+      // so at bench scale each driver-synchronized job (checkpoint,
+      // Σ aggregate) costs as much as the step itself — double-stepping
+      // halves the driver round count for the same total shuffle work
+      // (worst case one overshot step past the fixpoint, which is free:
+      // a converged step moves nothing).
+      val next = step(step(labels)).localCheckpoint(true)
+      val s0 = next.agg(sum(col("label").cast("decimal(38,0)"))).head()
         .getDecimal(0)
+      val s = if (s0 == null) java.math.BigDecimal.ZERO else s0 // empty graph
       done = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       if (sys.env.contains("SPARK_GRAFT_DEBUG"))
