@@ -18,8 +18,16 @@ import graft.ops.Tables
   * near-dup shape. Candidate pairs are `distinct`-ed before verification
   * so each pair is verified once even when multiple bands collide.
   * Hot buckets (a band key shared by thousands of docs) are the skew
-  * risk; AQE skew-join splitting handles it, and the band width (r) is
-  * the tuning knob that keeps bucket sizes bounded.
+  * risk; AQE skew-join splitting handles the task-size half of it
+  * (TESTED: SkewSpec plants a 1200-doc bucket and asserts the band
+  * self-join's final adaptive plan splits the skewed partition on both
+  * sides — note detection runs on compressed shuffle bytes, which
+  * understate row skew when the hot keys are near-identical strings,
+  * so the skew factor must be set below byte-intuition). The n²
+  * candidate volume half is bounded by the band width r (collision
+  * probability falls exponentially in r for non-identical docs) and by
+  * running [[exactDedupOn]] first — identical docs are the only bucket
+  * population banding cannot shrink.
   *
   * Hash portability: all hashes derive from md5 hex (identical on every
   * engine), via `conv(hex, 16, 10)` into ≤60-bit signed-long space, then
@@ -92,10 +100,17 @@ object Dedup {
     * ([[minhashPairsExact]]): MEASURED 0.824 on sf0.01 (RecallSpec) vs
     * the 2×8 banding floor of 0.675 at the τ = 0.9 boundary. */
   def minhashPairs(spark: SparkSession, sfDir: String,
-                   threshold: Double = 0.9): DataFrame = {
+                   threshold: Double = 0.9): DataFrame =
+    minhashPairsOn(Tables.documents(spark, sfDir), threshold)
+
+  /** [[minhashPairs]] over an explicit documents frame (doc_id, text,
+    * lang) — the operator body, exposed so tests can run the identical
+    * banded pipeline over adversarial corpora (SkewSpec plants a hot
+    * band bucket; RecallSpec feeds the driver corpus). */
+  def minhashPairsOn(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
     val band0 = concat_ws("-", (1 to 8).map(i => col(s"m_$i")): _*)
     val band1 = concat_ws("-", (9 to 16).map(i => col(s"m_$i")): _*)
-    val sigs = minhashSignatures(Tables.documents(spark, sfDir))
+    val sigs = minhashSignatures(docs)
       .select(col("doc_id"), col("lang"),
         posexplode(array(band0, band1)).as(Seq("band_idx", "band_key")))
     val a = sigs.select(col("lang").as("lang_a"), col("band_idx").as("bi_a"),
@@ -109,7 +124,7 @@ object Dedup {
         col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    val docsW = minhashWords(Tables.documents(spark, sfDir))
+    val docsW = minhashWords(docs)
     // Verify-stage fetch is two plain shuffle hash joins on doc_id: the
     // candidate-pair set is tiny relative to the corpus, and the corpus
     // word-sets must NEVER be broadcast (at 100 TB that is a driver OOM
