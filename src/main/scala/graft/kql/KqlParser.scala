@@ -16,13 +16,20 @@ import org.apache.spark.sql.functions._
   *
   * Supported verbs: `where`, `project`, `project-away`, `extend`,
   * `summarize`, `sort by`/`order by`, `top N by`, `take`/`limit`,
-  * `count`, `distinct`, `render`. Aggregates: avg, sum, min, max,
-  * count, dcount, countif, arg_max, arg_min. Scalar expressions pass
-  * through Spark SQL after translating the KQL operator spellings
-  * (`==`, `!=`, `=~`, `contains`, `startswith`, `endswith`, `bin`).
-  * Out of scope (documented, not silently wrong): `join`, `mv-expand`
-  * with path args, `parse`, datatable literals, `let` — the builder
-  * covers the first two natively.
+  * `count`, `distinct`, `join` (kinds inner/leftouter/rightouter/
+  * fullouter/leftsemi/leftanti, `on key` and `on $left.a == $right.b`
+  * forms, with KQL's right-side `1`-suffix rename for clashing
+  * columns), `render`. Top-level `let name = …;` statements bind
+  * either a sub-query (tabular let — usable as a table name or join
+  * right side) or a scalar expression (substituted where the name
+  * appears, KQL's textual-binding semantics). Aggregates: avg, sum,
+  * min, max, count, dcount, countif, arg_max, arg_min. Scalar
+  * expressions pass through Spark SQL after translating the KQL
+  * operator spellings (`==`, `!=`, `=~`, `contains`, `startswith`,
+  * `endswith`, `bin`). Out of scope (documented, not silently wrong):
+  * `mv-expand` with path args, `parse`, datatable literals,
+  * `join kind=innerunique`'s left-key dedup — the builder covers
+  * mv-expand natively.
   */
 object KqlParser {
 
@@ -30,8 +37,36 @@ object KqlParser {
     * any (presentation stays a client concern, SURVEY.md §2.F-K4..K6). */
   final case class Parsed(df: DataFrame, render: Option[String])
 
-  /** Parse and desugar `query` against the given table registry. */
+  /** Parse and desugar `query` against the given table registry.
+    * Leading top-level `let name = …;` statements bind sub-queries
+    * (tabular — the body's first stage is a known table) or scalar
+    * expressions (substituted textually where the name appears, the
+    * KQL binding model; each let sees only earlier lets, so cycles
+    * cannot form). */
   def parse(query: String, tables: Map[String, DataFrame]): Parsed = {
+    val stmts = splitTopLevel(query, ';').map(_.trim).filter(_.nonEmpty)
+    require(stmts.nonEmpty, "empty KQL query")
+    var tbls = tables
+    var lets = Map.empty[String, String]
+    stmts.init.foreach { s =>
+      require(s.startsWith("let") && s.length > 3 && s.charAt(3).isWhitespace,
+        s"only 'let' statements may precede the final query: $s")
+      s.drop(4).trim match {
+        case LetRe(name, body) =>
+          val headTok = splitTopLevel(body, '|').head.trim
+          if (tbls.contains(headTok)) tbls += name -> pipeline(body, tbls, lets).df
+          else lets += name -> body.trim
+        case other => throw new IllegalArgumentException(s"let expects 'let name = ...': $other")
+      }
+    }
+    pipeline(stmts.last, tbls, lets)
+  }
+
+  private val LetRe = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
+
+  /** One pipe-delimited statement: table ref + verb stages. */
+  private def pipeline(query: String, tables: Map[String, DataFrame],
+                       lets: Map[String, String]): Parsed = {
     val stages = splitTopLevel(query, '|').map(_.trim).filter(_.nonEmpty)
     require(stages.nonEmpty, "empty KQL query")
     val tableName = stages.head
@@ -47,26 +82,27 @@ object KqlParser {
         case (v, r) => (v, r.trim)
       }
       verb match {
-        case "where" => df = df.kqlWhere(expr(scalar(rest)))
+        case "where" => df = df.kqlWhere(expr(scalar(rest, lets)))
         case "project" =>
-          df = df.project(splitTopLevel(rest, ',').map(item => namedExpr(item.trim)): _*)
+          df = df.project(splitTopLevel(rest, ',').map(item => namedExpr(item.trim, lets)): _*)
         case "project-away" =>
           df = df.projectAway(splitTopLevel(rest, ',').map(_.trim): _*)
         case "extend" =>
           splitTopLevel(rest, ',').map(_.trim).foreach { item =>
-            val (name, e) = nameAndBody(item)
+            val (name, e) = nameAndBody(item, lets)
             df = df.extend(name.getOrElse(
               throw new IllegalArgumentException(s"extend needs 'name = expr': $item")), e)
           }
-        case "summarize" => df = summarize(df, rest)
+        case "summarize" => df = summarize(df, rest, lets)
+        case "join" => df = join(df, rest, tables, lets)
         case "sort" | "order" =>
           val body = stripLeadingBy(rest, verb)
-          df = df.orderBy(splitTopLevel(body, ',').map(s => sortCol(s.trim)): _*)
+          df = df.orderBy(splitTopLevel(body, ',').map(s => sortCol(s.trim, lets)): _*)
         case "top" =>
           val m = "^(\\d+)\\s+by\\s+(.+)$".r
           rest match {
             case m(n, by) =>
-              df = df.orderBy(splitTopLevel(by, ',').map(s => sortCol(s.trim)): _*)
+              df = df.orderBy(splitTopLevel(by, ',').map(s => sortCol(s.trim, lets)): _*)
                 .limit(n.toInt)
             case _ => throw new IllegalArgumentException(s"top expects 'top N by col': $rest")
           }
@@ -74,12 +110,85 @@ object KqlParser {
         case "count" => df = df.kqlCount
         case "distinct" =>
           df = if (rest.trim == "*") df.distinct()
-               else df.kqlDistinct(splitTopLevel(rest, ',').map(s => expr(scalar(s.trim))): _*)
+               else df.kqlDistinct(splitTopLevel(rest, ',').map(s => expr(scalar(s.trim, lets))): _*)
         case "render" => render = Some(rest.trim.split("\\s+").head)
         case other => throw new IllegalArgumentException(s"unsupported KQL verb '$other'")
       }
     }
     Parsed(df, render)
+  }
+
+  /** `join [kind=<kind>] (<right sub-query or table>) on <keys>` —
+    * desugared to a DataFrame join. KQL output semantics reproduced:
+    * right-side columns whose names clash with the left (including the
+    * join keys) are renamed with a `1` suffix before joining, so the
+    * result carries both sides like ADX does. Key forms: a bare column
+    * name (equi-join on the shared name) or `$left.a == $right.b`. */
+  private def join(df: DataFrame, rest: String,
+                   tables: Map[String, DataFrame],
+                   lets: Map[String, String]): DataFrame = {
+    var r = rest.trim
+    val kind = if (r.startsWith("kind")) {
+      val eq = r.indexOf('=')
+      require(eq >= 0, s"join kind expects 'kind=<kind>': $r")
+      val after = r.substring(eq + 1).trim
+      val k = after.takeWhile(c => !c.isWhitespace && c != '(')
+      r = after.drop(k.length).trim
+      k
+    } else "inner"
+    val sparkKind = kind match {
+      case "inner"      => "inner"
+      case "leftouter"  => "left_outer"
+      case "rightouter" => "right_outer"
+      case "fullouter"  => "full_outer"
+      case "leftsemi"   => "left_semi"
+      case "leftanti" | "anti" => "left_anti"
+      case other => throw new IllegalArgumentException(
+        s"unsupported join kind '$other' (supported: inner, leftouter, rightouter, fullouter, leftsemi, leftanti)")
+    }
+    require(r.startsWith("("), s"join expects a parenthesized right side: $r")
+    val close = matchingParen(r, 0)
+    val rightText = r.substring(1, close).trim
+    val onPart = r.substring(close + 1).trim
+    require(onPart.startsWith("on") && (onPart.length == 2 || onPart.charAt(2).isWhitespace),
+      s"join expects 'on <keys>' after the right side: $onPart")
+    val right0 =
+      if (tables.contains(rightText)) tables(rightText)
+      else pipeline(rightText, tables, lets).df
+    // KQL rename rule: clashing right-side names get a `1` suffix
+    val leftCols = df.columns.toSet
+    val renamed = right0.columns.filter(leftCols.contains).map(c => c -> (c + "1")).toMap
+    val right = renamed.foldLeft(right0) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+    val LeftRightRe = "^\\$left\\.([A-Za-z_][A-Za-z0-9_]*)\\s*==\\s*\\$right\\.([A-Za-z_][A-Za-z0-9_]*)$".r
+    val cond = splitTopLevel(onPart.drop(2).trim, ',').map(_.trim).map {
+      case LeftRightRe(a, b) => df(a) === right(renamed.getOrElse(b, b))
+      case k if k.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+        df(k) === right(renamed.getOrElse(k, k))
+      case other => throw new IllegalArgumentException(
+        s"join key must be a column name or '\\$$left.a == \\$$right.b': $other")
+    }.reduce(_ && _)
+    df.join(right, cond, sparkKind)
+  }
+
+  /** Index of the `(`'s matching `)` (quote-aware). */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var quote: Char = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '"' | '\'' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses: $s")
   }
 
   /** Parse and return just the frame. */
@@ -89,20 +198,21 @@ object KqlParser {
   // ---- stage parsers ------------------------------------------------------
 
   /** `summarize a1 = agg(x), ... [by k1, k2]` */
-  private def summarize(df: DataFrame, body: String): DataFrame = {
+  private def summarize(df: DataFrame, body: String,
+                        lets: Map[String, String]): DataFrame = {
     import Kql.KqlOps
     val (aggPart, byPart) = splitOnTopLevelBy(body)
-    val aggs = splitTopLevel(aggPart, ',').map(a => aggItem(a.trim))
+    val aggs = splitTopLevel(aggPart, ',').map(a => aggItem(a.trim, lets))
     byPart match {
       case Some(by) =>
-        df.summarize(aggs, splitTopLevel(by, ',').map(s => expr(scalar(s.trim))): _*)
+        df.summarize(aggs, splitTopLevel(by, ',').map(s => expr(scalar(s.trim, lets))): _*)
       case None => df.summarize(aggs)
     }
   }
 
   /** One aggregate item: `[name =] fn(args)`; default names follow KQL
     * (`count_`, `avg_amount`, `dcount_user`, ...). */
-  private def aggItem(item: String): (String, Column) = {
+  private def aggItem(item: String, lets: Map[String, String]): (String, Column) = {
     val (nameOpt, body) = item match {
       case NamedRe(n, b) => (Some(n), b.trim)
       case _ => (None, item)
@@ -111,7 +221,7 @@ object KqlParser {
     body match {
       case FnRe(fn, argsStr) =>
         val args = splitTopLevel(argsStr, ',').map(_.trim).filter(_.nonEmpty)
-        def arg(i: Int) = expr(scalar(args(i)))
+        def arg(i: Int) = expr(scalar(args(i), lets))
         def defName(suffix: String) =
           fn.toLowerCase + "_" + suffix.replaceAll("[^A-Za-z0-9]", "_")
         val (column, default) = fn.toLowerCase match {
@@ -138,22 +248,23 @@ object KqlParser {
   private val NamedRe = "^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
 
   /** `name = expr` → aliased column; bare expr otherwise. */
-  private def namedExpr(item: String): Column = {
-    val (nameOpt, c) = nameAndBody(item)
+  private def namedExpr(item: String, lets: Map[String, String]): Column = {
+    val (nameOpt, c) = nameAndBody(item, lets)
     nameOpt.fold(c)(c.as)
   }
 
-  private def nameAndBody(item: String): (Option[String], Column) = item match {
-    case NamedRe(n, b) => (Some(n), expr(scalar(b.trim)))
-    case _ => (None, expr(scalar(item)))
+  private def nameAndBody(item: String,
+                          lets: Map[String, String]): (Option[String], Column) = item match {
+    case NamedRe(n, b) => (Some(n), expr(scalar(b.trim, lets)))
+    case _ => (None, expr(scalar(item, lets)))
   }
 
   /** `col [asc|desc]` — KQL defaults to DESC (README.md:376). */
-  private def sortCol(s: String): Column = {
+  private def sortCol(s: String, lets: Map[String, String]): Column = {
     val lower = s.toLowerCase
-    if (lower.endsWith(" asc")) expr(scalar(s.dropRight(4).trim)).asc
-    else if (lower.endsWith(" desc")) expr(scalar(s.dropRight(5).trim)).desc
-    else expr(scalar(s)).desc
+    if (lower.endsWith(" asc")) expr(scalar(s.dropRight(4).trim, lets)).asc
+    else if (lower.endsWith(" desc")) expr(scalar(s.dropRight(5).trim, lets)).desc
+    else expr(scalar(s, lets)).desc
   }
 
   private def stripLeadingBy(rest: String, verb: String): String = {
@@ -167,8 +278,10 @@ object KqlParser {
   /** Rewrite KQL operator spellings into Spark SQL; everything else
     * (identifiers, literals, arithmetic, shared function names) passes
     * through to `expr` untouched. String-literal contents are never
-    * rewritten. */
-  private[kql] def scalar(s: String): String = {
+    * rewritten. Scalar `let` bindings substitute at the word level
+    * (parenthesized, recursively — a let body may reference earlier
+    * lets; the sequential binding rule in [[parse]] prevents cycles). */
+  private[kql] def scalar(s: String, lets: Map[String, String] = Map.empty): String = {
     val out = new StringBuilder
     var i = 0
     while (i < s.length) {
@@ -188,6 +301,10 @@ object KqlParser {
         // case-insensitive; Spark's like/startswith is not — wrap lower())
         val word = "^[A-Za-z_][A-Za-z0-9_!]*".r.findFirstIn(s.substring(i))
         word match {
+          case Some(w) if lets.contains(w) =>
+            // recurse with w out of scope: guards termination if a
+            // rebinding made a body mention its own name
+            out.append("(").append(scalar(lets(w), lets - w)).append(")"); i += w.length
           case Some(w) =>
             val repl = w.toLowerCase match {
               case "contains"   => Some("ilike_contains") // marker, fixed up next

@@ -166,4 +166,57 @@ class KqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { KqlParser.run("Nope | count", ordersReg) }
     intercept[IllegalArgumentException] { KqlParser.run("Orders | frobnicate x", ordersReg) }
   }
+
+  private def joinReg = ordersReg + ("Customers" ->
+    Seq((1, "alice"), (2, "bob")).toDF("orderid", "name"))
+
+  test("parser: join renames clashing right columns with KQL's 1-suffix") {
+    val out = KqlParser.run(
+      "Orders | join kind=inner (Customers) on orderid | sort by orderid asc", joinReg)
+    assert(out.columns.toSeq == Seq("orderid", "city", "amount", "orderid1", "name"))
+    assert(out.count() == 2)
+    assert(out.head().getString(4) == "alice")
+  }
+
+  test("parser: join kinds leftouter and leftanti; $left/$right key form") {
+    val lo = KqlParser.run(
+      "Orders | join kind=leftouter (Customers) on $left.orderid == $right.orderid", joinReg)
+    assert(lo.count() == 3) // order 3 survives with null name
+    assert(lo.filter(col("orderid") === 3).head().isNullAt(4))
+    val anti = KqlParser.run(
+      "Orders | join kind=leftanti (Customers) on orderid", joinReg)
+    assert(anti.select("orderid").as[Int].collect().toSeq == Seq(3))
+    assert(anti.columns.toSeq == Seq("orderid", "city", "amount")) // left-only shape
+  }
+
+  test("parser: join right side can be a sub-query pipeline") {
+    val out = KqlParser.run(
+      "Orders | join kind=inner (Orders | summarize n = count() by city | where n > 1) on city",
+      joinReg)
+    assert(out.select("orderid").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(out.columns.contains("city1") && out.columns.contains("n"))
+  }
+
+  test("parser: scalar let substitutes; tabular let binds a named sub-query") {
+    val out = KqlParser.run(
+      """let minAmount = 90;
+        |let seattle = Orders | where city == "Seattle";
+        |seattle | where amount >= minAmount""".stripMargin, ordersReg)
+    assert(out.select("orderid").as[Int].collect().toSeq == Seq(1))
+    // scalar let referencing an earlier let
+    val out2 = KqlParser.run(
+      """let base = 50;
+        |let minAmount = base + 40;
+        |Orders | where amount >= minAmount | sort by amount asc""".stripMargin, ordersReg)
+    assert(out2.select("orderid").as[Int].collect().toSeq == Seq(3, 1))
+  }
+
+  test("parser: let errors are loud (non-let prelude, malformed binding)") {
+    intercept[IllegalArgumentException] {
+      KqlParser.run("Orders | count; Orders | count", ordersReg)
+    }
+    intercept[IllegalArgumentException] {
+      KqlParser.run("let = 3; Orders | count", ordersReg)
+    }
+  }
 }
