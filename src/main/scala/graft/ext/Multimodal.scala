@@ -15,9 +15,11 @@ import graft.ops.Tables
   * tested: the schema (binary payload + metadata struct), the batched
   * per-partition decode (`mapPartitions` over a typed Dataset — decode
   * amortizes codec init per partition, the JVM analog of arrow-batched
-  * Python UDFs), and the downstream relational stages. Swapping
-  * [[MediaDecoder]] for a JNI/ffmpeg-backed implementation changes no
-  * plumbing.
+  * Python UDFs), and the downstream relational stages. The seam is
+  * PROVEN real, not asserted: [[ImageIoDecoder]] (pure-JVM
+  * `javax.imageio`) decodes actual PNG pixels through the identical
+  * `mapPartitions` boundary in ExtSpec — swapping in a JNI/ffmpeg
+  * implementation changes no plumbing.
   *
   * Scale notes: media rows are large (MBs); the table would be stored
   * with a small row-group size and decoded features written to a narrow
@@ -58,6 +60,23 @@ object Multimodal {
       def u(i: Int): Int = bytes(i) & 0xFF
       (u(0) * 256 + u(1), u(2) * 256 + u(3), u(4), u(5) * 1000)
     }
+  }
+
+  /** Real pure-JVM image codec behind the same boundary: PNG/JPEG via
+    * `javax.imageio` (ships with the JDK — public API, no native libs).
+    * Images decode to (width, height, 1 frame, 0 ms); audio/video have
+    * no JDK codec and delegate to the stub. Exists to prove the
+    * [[MediaDecoder]] seam carries a REAL codec unchanged (ExtSpec
+    * round-trips a generated PNG through [[decodeFeatures]]); the
+    * parquet corpus keeps the stub because its payloads are md5 bytes,
+    * not image files. */
+  object ImageIoDecoder extends MediaDecoder {
+    override def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Int) =
+      if (kind == "image") {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "payload is not a decodable image")
+        (img.getWidth, img.getHeight, 1, 0)
+      } else StubDecoder.decode(kind, bytes)
   }
 
   /** Batched decode: typed mapPartitions so a real decoder could hoist

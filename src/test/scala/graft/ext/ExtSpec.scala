@@ -107,6 +107,28 @@ class ExtSpec extends SparkSpec {
     assert(TextAnalysis.langIdOn(d).head().getAs[String]("lang_pred") == "en")
   }
 
+  test("multimodal: real javax.imageio PNG decode runs through the same boundary") {
+    // a generated 17x9 PNG (deterministic pixels) — no checked-in binary
+    val img = new java.awt.image.BufferedImage(
+      17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 17; y <- 0 until 9) img.setRGB(x, y, (x * 31 + y * 7) << 8)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val media = Seq(
+      (1L, "image", png),
+      (2L, "audio", Array.tabulate[Byte](32)(_.toByte)))
+      .toDF("media_id", "kind", "content")
+    val feats = Multimodal.decodeFeatures(media, Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.media_id)
+    // the real codec read actual pixel dimensions out of the PNG
+    assert(feats(0).width == 17 && feats(0).height == 9)
+    assert(feats(0).n_frames == 1 && feats(0).n_bytes == png.length)
+    // non-image kinds still flow through the stub, same plumbing
+    assert(feats(1) == Multimodal.MediaFeatures(
+      2L, "audio", 0 * 256 + 1, 2 * 256 + 3, 4, 5000, 32))
+  }
+
   test("multimodal: stubbed decode plumbing is deterministic and typed") {
     val media = Multimodal.mediaTable(spark, sfDir)
     assert(media.schema("content").dataType.typeName == "binary")
