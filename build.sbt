@@ -35,4 +35,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 62 queries × local[32] shuffles in one JVM: 8g left ~10 s GC pauses
   // on the heavier CDC plans; the bench box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ~100 queries × 2 runs of whole-stage-codegen classes overflow the
+  // default 240 MB JIT code cache mid-suite; flushing then deopts hot
+  // methods and the iterative queries (dedup_clusters) pay multi-second
+  // re-JIT tails. 512 MB keeps the whole suite's generated code hot.
+  "-XX:ReservedCodeCacheSize=512m",
+  // Spark's generated-class cache (static conf) defaults to 100 LRU
+  // entries — the ~100-query suite evicts constantly, so repeat runs
+  // re-Janino-compile and re-JIT the same stages (measured as multi-
+  // second bimodal per-query variance). Size it to hold the suite.
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
 )

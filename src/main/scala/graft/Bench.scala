@@ -51,13 +51,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // Two timed executions per query; report the min. Run-to-run
+      // Timed executions per query; report the min. Run-to-run
       // deltas here are Janino whole-stage-codegen compilation and JVM
       // JIT churn (measured: ~0 GC, multi-second jitter landing on
       // random queries), not data-path work — the min is the engine's
       // steady-state execution time, which is what an amortized
       // production deployment pays per micro-batch/query.
-      val times = (1 to 2).map { _ =>
+      // (3 runs by default: one full-suite invocation recorded 2x the
+      // usual total under a transient host-noise burst — the extra run
+      // keeps the min robust when the driver benches only once.)
+      val times = (1 to sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt).map { _ =>
         val (g0, j0, s0, t0) = (gcMs, jitMs, shuffleBytes.get(), System.nanoTime())
         try { force(fn(spark, sfDir)) } catch {
           case e: Throwable =>

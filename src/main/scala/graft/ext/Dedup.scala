@@ -297,6 +297,7 @@ object Dedup {
     var prevSum: java.math.BigDecimal = null
     var iters = 0
     var done = false
+    val tLoop0 = System.nanoTime()
     // (Measured: disabling AQE for the loop is a net LOSS — 0.9 s/round
     // with AQE-coalesced single-partition shuffles vs ~2 s/round running
     // every tiny per-round shuffle at the full static partition count.
@@ -338,7 +339,7 @@ object Dedup {
       done = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       if (sys.env.contains("SPARK_GRAFT_DEBUG"))
-        System.err.println(s"[dedup_clusters] round $iters sum=$s done=$done")
+        System.err.println(f"[dedup_clusters] round $iters sum=$s done=$done t=${(System.nanoTime() - tLoop0) / 1e9}%.2f s")
       val old = labels
       labels = next
       old.unpersist()
