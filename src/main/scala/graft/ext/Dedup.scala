@@ -495,9 +495,27 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Applied near-dedup (greedy dominated-drop): remove every doc that
+    * has a verified near-duplicate with a smaller id — the single-pass
+    * rule curation pipelines apply when full cluster resolution isn't
+    * required. Every cluster minimum survives (nothing dominates it);
+    * chain interiors drop even when their endpoints aren't directly
+    * similar, which is the standard greedy behavior — [[dedupClusters]]
+    * is the exact-components alternative when keeper-per-component
+    * semantics matter. Cost: the [[minhashPairs]] pipeline plus ONE
+    * anti join on doc_id — no iteration, the cheap path at 100 TB. */
+  def cleanedNearCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val dominated = minhashPairs(spark, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(spark, sfDir)
+      .join(dominated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exactDedup _,
     "dedup_cleaned" -> cleanedCorpus _,
+    "dedup_cleaned_near" -> cleanedNearCorpus _,
     "dedup_rate_by_source" -> dupRateBySource _,
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
@@ -505,6 +523,36 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardPairs _,
     "dedup_embedding" -> embeddingNearDups _,
   )
+
+  /** Shared DuckDB CTE mirroring the [[minhashPairs]] pipeline exactly;
+    * terminates in `jacp(doc_a, doc_b, jac)` — the verified near-dup
+    * pairs — reused by the three minhash-derived oracles. */
+  private val minhashOracleCte: String =
+    """ws AS (
+      |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w FROM documents),
+      |xs AS (
+      |  SELECT doc_id, lang, w,
+      |    list_transform(w, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS x FROM ws),
+      |sig AS (
+      |  SELECT doc_id, lang, w,
+      |    list_transform(range(1, 17), i ->
+      |      list_min(list_transform(x, v ->
+      |        ((1000003 * i) % 1000000007 * v + (7919 * i * i + 12345) % 1000000007) % 2147483647))) AS s
+      |  FROM xs),
+      |bands AS (
+      |  SELECT doc_id, lang, w,
+      |    array_to_string(s[1:8], '-') AS b0, array_to_string(s[9:16], '-') AS b1 FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.w AS wa, b.w AS wb
+      |  FROM bands a JOIN bands b
+      |    ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1)),
+      |jacp AS (
+      |  SELECT doc_a, doc_b, jac FROM (
+      |    SELECT doc_a, doc_b,
+      |      CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+      |        / (len(wa) + len(wb) - len(list_intersect(wa, wb))) AS jac
+      |    FROM cand)
+      |  WHERE jac >= 0.9)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -521,30 +569,12 @@ object Dedup {
         |  CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS DOUBLE) / COUNT(*) AS dup_rate
         |FROM documents GROUP BY source""".stripMargin,
     "dedup_minhash_lsh" ->
-      """WITH ws AS (
-        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w FROM documents),
-        |xs AS (
-        |  SELECT doc_id, lang, w,
-        |    list_transform(w, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS x FROM ws),
-        |sig AS (
-        |  SELECT doc_id, lang, w,
-        |    list_transform(range(1, 17), i ->
-        |      list_min(list_transform(x, v ->
-        |        ((1000003 * i) % 1000000007 * v + (7919 * i * i + 12345) % 1000000007) % 2147483647))) AS s
-        |  FROM xs),
-        |bands AS (
-        |  SELECT doc_id, lang, w,
-        |    array_to_string(s[1:8], '-') AS b0, array_to_string(s[9:16], '-') AS b1 FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.w AS wa, b.w AS wb
-        |  FROM bands a JOIN bands b
-        |    ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
-        |SELECT doc_a, doc_b, jac FROM (
-        |  SELECT doc_a, doc_b,
-        |    CAST(len(list_intersect(wa, wb)) AS DOUBLE)
-        |      / (len(wa) + len(wb) - len(list_intersect(wa, wb))) AS jac
-        |  FROM cand)
-        |WHERE jac >= 0.9""".stripMargin,
+      s"""WITH $minhashOracleCte
+         |SELECT doc_a, doc_b, jac FROM jacp""".stripMargin,
+    "dedup_cleaned_near" ->
+      s"""WITH $minhashOracleCte
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM jacp)""".stripMargin,
     "dedup_simhash" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |hs AS (SELECT doc_id,
@@ -567,39 +597,15 @@ object Dedup {
         |    ON a.block_idx = b.block_idx AND a.block_key = b.block_key AND a.doc_id < b.doc_id)
         |WHERE hd <= 8""".stripMargin,
     "dedup_clusters" ->
-      """WITH RECURSIVE ws AS (
-        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w FROM documents),
-        |xs AS (
-        |  SELECT doc_id, lang, w,
-        |    list_transform(w, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS x FROM ws),
-        |sig AS (
-        |  SELECT doc_id, lang, w,
-        |    list_transform(range(1, 17), i ->
-        |      list_min(list_transform(x, v ->
-        |        ((1000003 * i) % 1000000007 * v + (7919 * i * i + 12345) % 1000000007) % 2147483647))) AS s
-        |  FROM xs),
-        |bands AS (
-        |  SELECT doc_id, lang, w,
-        |    array_to_string(s[1:8], '-') AS b0, array_to_string(s[9:16], '-') AS b1 FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.w AS wa, b.w AS wb
-        |  FROM bands a JOIN bands b
-        |    ON a.lang = b.lang AND a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1)),
-        |sp AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT doc_a, doc_b,
-        |      CAST(len(list_intersect(wa, wb)) AS DOUBLE)
-        |        / (len(wa) + len(wb) - len(list_intersect(wa, wb))) AS jac
-        |    FROM cand)
-        |  WHERE jac >= 0.9),
-        |edges AS (SELECT doc_a AS u, doc_b AS v FROM sp
-        |          UNION ALL SELECT doc_b, doc_a FROM sp),
-        |reach AS (
-        |  SELECT u AS doc, u AS label FROM edges
-        |  UNION
-        |  SELECT e.v AS doc, r.label FROM edges e JOIN reach r ON r.doc = e.u)
-        |SELECT doc AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster
-        |FROM reach GROUP BY doc""".stripMargin,
+      s"""WITH RECURSIVE $minhashOracleCte,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jacp
+         |          UNION ALL SELECT doc_b, doc_a FROM jacp),
+         |reach AS (
+         |  SELECT u AS doc, u AS label FROM edges
+         |  UNION
+         |  SELECT e.v AS doc, r.label FROM edges e JOIN reach r ON r.doc = e.u)
+         |SELECT doc AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster
+         |FROM reach GROUP BY doc""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -130,11 +130,39 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rk").cast("int").as("rk"))
   }
 
+  /** One IVF/k-means training iteration — the job that BUILDS the
+    * codebook [[ivfTopK]] consumes: assign every vector to its nearest
+    * centroid (broadcast codebook, map-side pass — identical shape to
+    * the serving-path assignment), then recompute each centroid as the
+    * per-dimension mean of its members. At 100 TB this is the canonical
+    * Lloyd's-iteration-on-Spark shape: one corpus scan per iteration,
+    * one shuffle keyed by (centroid, dimension), partial means map-side.
+    * Means round to 6 dp because summation order differs per engine. */
+  def ivfTrainStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn")))
+    val scored = e.join(cents)
+      .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    val assign = scored.withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("v"))
+    assign
+      .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("mean"), count(lit(1)).as("n_members"))
+      .select(col("cent_id"), col("dim").cast("int").as("dim"),
+        col("mean"), col("n_members"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "sim_lsh_buckets" -> lshBuckets _,
     "sim_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "sim_ivf_train_step" -> ivfTrainStep _,
   )
 
   private[ext] val oracleVecs =
@@ -150,6 +178,25 @@ object Similarity {
       |  THEN CAST(2 ** p AS INTEGER) ELSE 0 END))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_ivf_train_step" ->
+      s"""WITH $oracleVecs,
+         |c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e WHERE vec_id < 16),
+         |sc AS (
+         |  SELECT e.vec_id, c.cent_id, e.v,
+         |    round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+         |      / (e.norm * c.cn), 6) AS ccos
+         |  FROM e CROSS JOIN c),
+         |asg AS (
+         |  SELECT cent_id, v FROM (
+         |    SELECT cent_id, v,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+         |    FROM sc)
+         |  WHERE rn = 1),
+         |dims AS (SELECT unnest(range(0, 64)) AS dim)
+         |SELECT cent_id, CAST(dim AS INTEGER) AS dim,
+         |  round(AVG(v[dim + 1]), 6) AS mean, CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM asg CROSS JOIN dims
+         |GROUP BY cent_id, dim""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH $oracleVecs
          |SELECT query_id, cand_id, cos, CAST(rk AS INTEGER) AS rk FROM (

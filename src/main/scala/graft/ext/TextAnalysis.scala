@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.Tables
@@ -140,9 +141,48 @@ object TextAnalysis {
           .as("cum_frac"))
   }
 
+  /** Applied quality filtering: drop the bottom quartile by quality
+    * score. The cutoff is a SCALAR percentile aggregate broadcast into
+    * a map-side filter — at 100 TB the threshold job is a tiny
+    * tree-aggregate over one double column (swap `percentile` for
+    * `approx_percentile` at extreme cardinality) and the keep-pass is
+    * shuffle-free; never a global sort or single-partition window over
+    * the corpus. Both engines interpolate the 0.25-quantile linearly
+    * over identical 6-dp-rounded scores, so the threshold is
+    * bit-identical. */
+  def qualityFilteredCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir).selectExpr(
+      "doc_id", "lang", "source",
+      s"""round(0.5 * (cast(size(array_distinct(split(text, ' '))) as double) / $nTokens)
+         |  + 0.5 * (cast(least($nTokens, 100) as double) / 100), 6) as quality""".stripMargin)
+    val thr = scored.agg(expr("percentile(quality, 0.25)").as("q25"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("quality") >= col("q25"))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+  }
+
+  /** Per-source token accounting — the training-mix budget sheet: doc
+    * and token totals per ingest feed plus each feed's share of the
+    * corpus. The window runs over the AGGREGATED frame (one row per
+    * source), so the unpartitioned sum is over #sources rows, not the
+    * corpus — fine at any scale. Share is an exact double quotient of
+    * two bigints, identical on both engines. */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr(s"cast($nTokens as bigint)")).as("total_tokens"))
+      .withColumn("share",
+        col("total_tokens").cast("double") / sum(col("total_tokens")).over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> tokenStats _,
     "text_quality" -> qualityScores _,
+    "text_quality_filter" -> qualityFilteredCorpus _,
+    "text_token_budget" -> tokenBudget _,
     "text_langid" -> langId _,
     "text_fingerprints" -> fingerprints _,
     "text_bpe_tokens" -> bpeTokens _,
@@ -172,6 +212,22 @@ object TextAnalysis {
          |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
          |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS INTEGER) AS stop_hits
          |  FROM documents)""".stripMargin,
+    "text_quality_filter" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, source,
+         |    round(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTokensSql)
+         |      + 0.5 * (CAST(least($nTokensSql, 100) AS DOUBLE) / 100), 6) AS quality
+         |  FROM documents),
+         |t AS (SELECT quantile_cont(quality, 0.25) AS q25 FROM s)
+         |SELECT doc_id, lang, source, quality FROM s, t WHERE quality >= q25""".stripMargin,
+    "text_token_budget" ->
+      s"""WITH b AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM($nTokensSql) AS BIGINT) AS total_tokens
+         |  FROM documents GROUP BY source)
+         |SELECT source, n_docs, total_tokens,
+         |  CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER () AS share
+         |FROM b""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, lang,
          |  CASE WHEN stop_ratio >= 0.08 THEN 'en'
