@@ -26,10 +26,10 @@ import org.apache.spark.sql.functions._
   * min, max, count, dcount, countif, arg_max, arg_min. Scalar
   * expressions pass through Spark SQL after translating the KQL
   * operator spellings (`==`, `!=`, `=~`, `contains`, `startswith`,
-  * `endswith`, `bin`). Out of scope (documented, not silently wrong):
-  * `mv-expand` with path args, `parse`, datatable literals,
-  * `join kind=innerunique`'s left-key dedup — the builder covers
-  * mv-expand natively.
+  * `endswith`, `bin`). `mv-expand <col>` desugars to the builder's
+  * explode. Out of scope (documented, not silently wrong): `mv-expand`
+  * path/typed arguments, `parse`, datatable literals,
+  * `join kind=innerunique`'s left-key dedup.
   */
 object KqlParser {
 
@@ -79,6 +79,8 @@ object KqlParser {
       val (verb, rest) = stage.span(c => !c.isWhitespace && c != '-') match {
         case ("project", r) if r.startsWith("-away") =>
           ("project-away", r.stripPrefix("-away").trim)
+        case ("mv", r) if r.startsWith("-expand") =>
+          ("mv-expand", r.stripPrefix("-expand").trim)
         case (v, r) => (v, r.trim)
       }
       verb match {
@@ -106,6 +108,11 @@ object KqlParser {
                 .limit(n.toInt)
             case _ => throw new IllegalArgumentException(s"top expects 'top N by col': $rest")
           }
+        case "mv-expand" =>
+          val c0 = rest.trim
+          require(c0.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"mv-expand takes a bare array column (path/typed args unsupported): $c0")
+          df = df.mvExpand(c0)
         case "take" | "limit" => df = df.limit(rest.trim.toInt)
         case "count" => df = df.kqlCount
         case "distinct" =>

@@ -94,6 +94,36 @@ class ExtSpec extends SparkSpec {
     assert(dupGroup.getLong(1) == 0L) // keeper = min doc_id
   }
 
+  test("quality filter keeps ~top-75% and never invents rows; near-dedup keeps cluster minima") {
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val kept = TextAnalysis.qualityFilteredCorpus(spark, sfDir)
+    // kept is a subset of the corpus and roughly the top three quartiles
+    assert(kept.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    assert(kept.count() >= (n * 70) / 100 && kept.count() <= n)
+    // greedy near-dedup: every doc that survives has no smaller near-dup;
+    // in particular every minhash-cluster minimum survives
+    val cleanedIds = Dedup.cleanedNearCorpus(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val clusterMinima = Dedup.dedupClusters(spark, sfDir)
+      .select("cluster").as[Long].collect().toSet
+    assert(clusterMinima.subsetOf(cleanedIds))
+  }
+
+  test("IVF train step: means recompute exactly from the assignment on a toy codebook") {
+    graft.functions.VectorFunctions.register(spark)
+    val step = Similarity.ivfTrainStep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(step.nonEmpty && step.keys.map(_._2).max == 63) // all 64 dims present
+    // membership counts are consistent across dimensions of one centroid
+    step.groupBy(_._1._1).foreach { case (_, dims) =>
+      assert(dims.values.map(_._2).toSet.size == 1)
+    }
+    // total membership equals the corpus size (every vector assigned once)
+    val total = step.filter(_._1._2 == 0).values.map(_._2).sum
+    assert(total == graft.ops.Tables.embeddings(spark, sfDir).count())
+  }
+
   test("text quality: uniq_ratio and stop_ratio are exact fractions") {
     val d = docs((0L, "the the the a word", "en"))
     val q = TextAnalysis.qualityScoresOn(d).head()

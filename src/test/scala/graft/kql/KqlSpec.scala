@@ -211,6 +211,16 @@ class KqlSpec extends SparkSpec {
     assert(out2.select("orderid").as[Int].collect().toSeq == Seq(3, 1))
   }
 
+  test("parser: mv-expand explodes an array column; path args rejected loudly") {
+    val reg = Map("T" -> Seq(("a", Seq(1, 2, 3)), ("b", Seq(4))).toDF("k", "xs"))
+    val out = KqlParser.run("T | mv-expand xs | summarize n = count() by k", reg)
+    assert(out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 3L, "b" -> 1L))
+    intercept[IllegalArgumentException] {
+      KqlParser.run("T | mv-expand xs to typeof(int)", reg)
+    }
+  }
+
   test("parser: let errors are loud (non-let prelude, malformed binding)") {
     intercept[IllegalArgumentException] {
       KqlParser.run("Orders | count; Orders | count", ordersReg)
