@@ -178,7 +178,30 @@ object TextAnalysis {
         col("total_tokens").cast("double") / sum(col("total_tokens")).over(w))
   }
 
+  /** Stratified mixture sampling — build an equal-representation
+    * training mix by downsampling each source toward a per-source doc
+    * cap. Per-source rates come from a tiny count aggregate broadcast
+    * against the corpus scan; the keep decision is a deterministic
+    * md5-hash threshold (keep iff hash(doc_id) % 1e6 < cap·1e6 DIV
+    * n_src), so the sample is reproducible, engine-independent, and
+    * requires no sort or shuffle of the corpus — the standard
+    * source-rebalancing step before training-data packing. Integer
+    * arithmetic throughout (DIV, not /) so both engines agree exactly. */
+  def sampleMixture(spark: SparkSession, sfDir: String,
+                    capDocs: Long = 10): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val rates = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("thr", expr(s"least(1000000L, ${capDocs * 1000000L}L DIV n_src)"))
+    docs.join(broadcast(rates), "source")
+      .filter(expr(
+        "cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint) % 1000000")
+        < col("thr"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sample_mixture" -> ((s: SparkSession, d: String) => sampleMixture(s, d)),
     "text_token_stats" -> tokenStats _,
     "text_quality" -> qualityScores _,
     "text_quality_filter" -> qualityFilteredCorpus _,
@@ -220,6 +243,14 @@ object TextAnalysis {
          |  FROM documents),
          |t AS (SELECT quantile_cont(quality, 0.25) AS q25 FROM s)
          |SELECT doc_id, lang, source, quality FROM s, t WHERE quality >= q25""".stripMargin,
+    "text_sample_mixture" ->
+      """WITH r AS (
+        |  SELECT source, least(1000000, 10000000 // COUNT(*)) AS thr
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+        |  < r.thr""".stripMargin,
     "text_token_budget" ->
       s"""WITH b AS (
          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
