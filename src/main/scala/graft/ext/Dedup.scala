@@ -440,8 +440,25 @@ object Dedup {
   def embeddingNearDupsOn(e0: DataFrame, minCos: Double = 0.4): DataFrame = {
     graft.functions.VectorFunctions.register(e0.sparkSession)
     val e = e0.withColumn("norm", expr("sqrt(graft_dot(v, v))"))
-    val banded = e.select(col("vec_id"),
-      posexplode(array((0 until 4).map(b => expr(planeBand(b * 8, 8))): _*))
+    // Plane sums via explode + 32 partial-aggregated sums (the same
+    // whole-stage-codegen shape as minhashSignatures): the higher-order
+    // aggregate/zip_with formulation of [[planeBand]] evaluates its
+    // lambdas INTERPRETED and was ~half this query's bench cost. Each
+    // vector's exploded components stay in one partition in emission
+    // order, so every per-plane sum folds in the identical i=0..63
+    // order as the lambda (and the DuckDB oracle) — bit-equal doubles,
+    // hash-identical results. planeBand survives as the semantic spec
+    // (and the oracle generator) for this block.
+    val comps = e.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+    val planeSums = (0 until 32).map { p =>
+      sum(col("x") * ((lit((p + 1) * 131) + col("i") * 137) % 997 - 498)).as(s"s_$p")
+    }
+    val sums = comps.groupBy(col("vec_id")).agg(planeSums.head, planeSums.tail: _*)
+    def bandKey(b: Int) = (0 until 8).map { j =>
+      when(col(s"s_${b * 8 + j}") >= 0d, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+    val banded = sums.select(col("vec_id"),
+      posexplode(array((0 until 4).map(bandKey): _*))
         .as(Seq("band_idx", "band_key")))
     val a = banded.select(col("band_idx").as("bi_a"), col("band_key").as("bk_a"),
       col("vec_id").as("vec_a"))
