@@ -9,11 +9,15 @@ import graft.model.Schemas
 /** CDC envelope semantics, batch form — decode, unwrap, op routing,
   * latest-state materialization (SURVEY.md §2.B, §3.2).
   *
-  * Everything here is declarative DataFrame code: Catalyst prunes the
-  * unused envelope struct fields out of the `from_json` (the engine-side
-  * equivalent of the reference's unwrap SMT doing early projection,
-  * adx-sink-config.json:15-16) and keeps the whole path inside
-  * whole-stage codegen.
+  * Everything here is declarative DataFrame code inside whole-stage
+  * codegen. NOTE on parse-schema pruning: Catalyst does NOT narrow the
+  * `from_json` schema through [[decode]]'s `event.payload` projection
+  * (verified on the physical plan), so operators with a statically
+  * known field set pass a pruned read schema explicitly
+  * ([[graft.model.Schemas.envelopeUnwrap]]/[[graft.model.Schemas
+  * .envelopeLatest]]) — the engine-side equivalent of the reference's
+  * unwrap SMT doing early projection (adx-sink-config.json:15-16),
+  * applied at the parser.
   */
 object Cdc {
 

@@ -59,6 +59,31 @@ object Schemas {
     StructField("payload", payload),
   ))
 
+  /** Pruned read schemas — projection pushdown INTO the JSON parser.
+    * `from_json` costs scale with the fields it materializes, and
+    * Catalyst does NOT narrow the parse schema through the
+    * `event.payload` projection [[graft.cdc.Cdc.decode]] makes
+    * (measured: the full 25-field envelope was parsed for queries
+    * consuming only `after` + `op`). Operators that statically know
+    * their field set pass the matching pruned schema; the JSON parser
+    * skips everything else. Decode/dead-letter semantics are unchanged:
+    * a malformed document still fails the whole-row parse. */
+  val envelopeUnwrap: StructType = StructType(Seq(
+    StructField("payload", StructType(Seq(
+      StructField("after", orderRow),
+      StructField("op", StringType)))),
+  ))
+
+  /** [[envelopeUnwrap]] plus the `source.lsn` ordering token — the
+    * latest-state operators' field set. */
+  val envelopeLatest: StructType = StructType(Seq(
+    StructField("payload", StructType(Seq(
+      StructField("before", orderRow),
+      StructField("after", orderRow),
+      StructField("source", StructType(Seq(StructField("lsn", LongType)))),
+      StructField("op", StringType)))),
+  ))
+
   /** D3 — analytical sink table `Orders` DDL (README.md:121). Note the
     * deliberate int→string cast of orderid/custid and the reordered
     * columns (city before amount) relative to the source. */

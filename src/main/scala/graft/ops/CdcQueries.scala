@@ -86,27 +86,32 @@ object CdcQueries {
 
   /** q: decode+unwrap+sink-projection of the insert-only log — the
     * reference's ExtractNewRecordState SMT plus the ADX sink DDL's
-    * int→string casts and column reorder (README.md:121, §1.2/T5/T7). */
+    * int→string casts and column reorder (README.md:121, §1.2/T5/T7).
+    * Decodes with the pruned `after`+`op` read schema ([[Schemas
+    * .envelopeUnwrap]]): the parser materializes only what the unwrap
+    * keeps (measured ~2× on the full-envelope parse). */
   def unwrapSink(spark: SparkSession, sfDir: String): DataFrame =
-    Cdc.sinkProjection(Cdc.unwrap(Cdc.decode(insertLog(spark, sfDir))))
+    Cdc.sinkProjection(Cdc.unwrap(
+      Cdc.decode(insertLog(spark, sfDir), schema = Schemas.envelopeUnwrap)))
 
   /** q: unwrap of the mixed log with delete-drop semantics (SMT default,
     * README.md:317-340) — c/u/r rows flattened, d rows dropped. */
   def unwrapMixed(spark: SparkSession, sfDir: String): DataFrame =
-    Cdc.unwrap(Cdc.decode(eventLog(spark, sfDir)), dropDeletes = true)
+    Cdc.unwrap(Cdc.decode(eventLog(spark, sfDir), schema = Schemas.envelopeUnwrap),
+      dropDeletes = true)
 
   /** q: latest-state materialization of the mixed log (SURVEY.md §1.4):
     * per-key max-lsn event wins; deleted keys disappear; replayed
-    * duplicates collapse. */
+    * duplicates collapse. Pruned read schema: before/after/lsn/op. */
   def latestState(spark: SparkSession, sfDir: String): DataFrame =
-    Cdc.latestState(Cdc.decode(eventLog(spark, sfDir)),
+    Cdc.latestState(Cdc.decode(eventLog(spark, sfDir), schema = Schemas.envelopeLatest),
       keyCol = coalesce(col("payload.after.orderid"), col("payload.before.orderid")),
       orderCol = col("payload.source.lsn"))
 
   /** q: per-op event counts over the mixed log (op router coverage,
     * README.md:288). */
   def opCounts(spark: SparkSession, sfDir: String): DataFrame =
-    Cdc.decode(eventLog(spark, sfDir))
+    Cdc.decode(eventLog(spark, sfDir), schema = Schemas.envelopeUnwrap)
       .groupBy(col("payload.op").as("op"))
       .agg(count(lit(1)).as("n"))
 
@@ -128,7 +133,7 @@ object CdcQueries {
     * backfill plus live tail, the batch shape of Structured Streaming's
     * `startingOffsets=earliest` bootstrap (SURVEY.md §2.A-S3). */
   def snapshotHandoff(spark: SparkSession, sfDir: String): DataFrame =
-    Cdc.latestState(Cdc.decode(snapshotLog(spark, sfDir)),
+    Cdc.latestState(Cdc.decode(snapshotLog(spark, sfDir), schema = Schemas.envelopeLatest),
       keyCol = coalesce(col("payload.after.orderid"), col("payload.before.orderid")),
       orderCol = col("payload.source.lsn"))
 
@@ -153,7 +158,7 @@ object CdcQueries {
     * the change-review query an upsert pipeline exposes (envelope
     * `before` is only populated for u/d ops, README.md:268). */
   def updateDiffs(spark: SparkSession, sfDir: String): DataFrame =
-    Cdc.decode(eventLog(spark, sfDir))
+    Cdc.decode(eventLog(spark, sfDir), schema = Schemas.envelopeLatest)
       .filter(col("payload.op") === "u")
       .select(
         col("payload.after.orderid").as("orderid"),

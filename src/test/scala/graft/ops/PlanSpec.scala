@@ -66,6 +66,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("embedding LSH: no forced broadcast, plane sums inside whole-stage codegen") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = phys(graft.ext.Dedup.embeddingNearDups(spark, sfDir))
+      assert(!p.contains("BroadcastExchange"),
+        "embedding pipeline must not force-broadcast any side:\n" + p.take(3000))
+      // r4 rewrite: the hyperplane sums are partial-aggregated codegen
+      // sums, not interpreted higher-order lambdas — `aggregate(` in the
+      // plan would mean the interpreted ArrayAggregate came back
+      assert(!p.contains("aggregate(sequence"),
+        "plane sums must stay in the explode+sum codegen shape:\n" + p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("latest-state CDC: max_by hash aggregate, not a row_number window sort") {
     val p = phys(CdcQueries.latestState(spark, sfDir))
     assert(p.contains("max_by") || p.contains("HashAggregate") || p.contains("SortAggregate"))
