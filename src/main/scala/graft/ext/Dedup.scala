@@ -437,18 +437,17 @@ object Dedup {
     * banded pipeline over planted near-dup vectors (recall
     * quantification needs pairs at controlled cosine; the driver corpus
     * has none above ≈0.55). */
-  def embeddingNearDupsOn(e0: DataFrame, minCos: Double = 0.4): DataFrame = {
-    graft.functions.VectorFunctions.register(e0.sparkSession)
-    val e = e0.withColumn("norm", expr("sqrt(graft_dot(v, v))"))
-    // Plane sums via explode + 32 partial-aggregated sums (the same
-    // whole-stage-codegen shape as minhashSignatures): the higher-order
-    // aggregate/zip_with formulation of [[planeBand]] evaluates its
-    // lambdas INTERPRETED and was ~half this query's bench cost. Each
-    // vector's exploded components stay in one partition in emission
-    // order, so every per-plane sum folds in the identical i=0..63
-    // order as the lambda (and the DuckDB oracle) — bit-equal doubles,
-    // hash-identical results. planeBand survives as the semantic spec
-    // (and the oracle generator) for this block.
+  /** (vec_id, band_idx, band_key) for 4 bands × 8 hyperplanes, computed
+    * as explode + 32 partial-aggregated sums (the same whole-stage-
+    * codegen shape as [[minhashSignatures]]): the higher-order
+    * aggregate/zip_with formulation of [[planeBand]] evaluates its
+    * lambdas INTERPRETED and was ~half of dedup_embedding's bench cost.
+    * Each vector's exploded components stay in one partition in
+    * emission order, so every per-plane sum folds in the identical
+    * i=0..63 order as the lambda (and the DuckDB oracle) — bit-equal
+    * doubles. [[planeBand]] remains the executable semantic spec;
+    * ExtSpec asserts this derivation equals it key-for-key. */
+  private[ext] def hyperplaneBands(e: DataFrame): DataFrame = {
     val comps = e.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
     val planeSums = (0 until 32).map { p =>
       sum(col("x") * ((lit((p + 1) * 131) + col("i") * 137) % 997 - 498)).as(s"s_$p")
@@ -457,9 +456,20 @@ object Dedup {
     def bandKey(b: Int) = (0 until 8).map { j =>
       when(col(s"s_${b * 8 + j}") >= 0d, 1 << j).otherwise(0)
     }.reduce(_ + _)
-    val banded = sums.select(col("vec_id"),
+    sums.select(col("vec_id"),
       posexplode(array((0 until 4).map(bandKey): _*))
         .as(Seq("band_idx", "band_key")))
+  }
+
+  /** The lambda formulation of one band key over planes [lo, lo+r) —
+    * kept as the executable spec [[hyperplaneBands]] is tested against
+    * (ExtSpec) and the template [[oracleBand]] mirrors in DuckDB. */
+  private[ext] def planeBandSpec(lo: Int, r: Int): String = planeBand(lo, r)
+
+  def embeddingNearDupsOn(e0: DataFrame, minCos: Double = 0.4): DataFrame = {
+    graft.functions.VectorFunctions.register(e0.sparkSession)
+    val e = e0.withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    val banded = hyperplaneBands(e)
     val a = banded.select(col("band_idx").as("bi_a"), col("band_key").as("bk_a"),
       col("vec_id").as("vec_a"))
     val b = banded.select(col("band_idx").as("bi_b"), col("band_key").as("bk_b"),

@@ -74,6 +74,18 @@ class ExtSpec extends SparkSpec {
     intercept[Exception] { Dedup.simhashes(over).collect() }
   }
 
+  test("codegen hyperplane bands equal the lambda spec key-for-key") {
+    val e = graft.ops.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val viaCodegen = Dedup.hyperplaneBands(e)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val viaLambda = e.select(col("vec_id"),
+      posexplode(array((0 until 4).map(b => expr(Dedup.planeBandSpec(b * 8, 8))): _*))
+        .as(Seq("band_idx", "band_key")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(viaCodegen.nonEmpty && viaCodegen == viaLambda)
+  }
+
   test("embedding near-dup: banded-LSH pairs are a subset of the exact all-pairs result") {
     val exact = Dedup.embeddingNearDupsExact(spark, sfDir)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
