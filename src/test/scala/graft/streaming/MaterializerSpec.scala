@@ -65,6 +65,31 @@ class MaterializerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: drains the backlog, self-terminates, resumes incrementally") {
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[String]
+    val out = Files.createTempDirectory("graft-an-out").toString
+    val ckpt = Files.createTempDirectory("graft-an-ckpt").toString
+    def drain(): Unit = {
+      val q = Materializer.start(
+        source.toDF().select(col("value")),
+        outPath = out, checkpointPath = ckpt,
+        trigger = Trigger.AvailableNow())
+      assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    }
+    // backlog exists BEFORE the query starts — the backfill shape
+    source.addData(env(1, 100, "Seattle", 1), env(2, 150, "Austin", 2))
+    drain()
+    assert(spark.read.parquet(s"$out/batch=*").count() == 2)
+    // a second scheduled drain on the same checkpoint processes ONLY
+    // the new arrivals — incremental batch-over-stream
+    source.addData(env(3, 175, "Chicago", 3))
+    drain()
+    val all = spark.read.parquet(s"$out/batch=*")
+    assert(all.count() == 3)
+    assert(all.select("orderid").as[String].collect().sorted.toSeq == Seq("1", "2", "3"))
+  }
+
   test("restart from checkpoint: offsets AND dedup state survive, output stays exactly-once") {
     implicit val sql = spark.sqlContext
     val source = MemoryStream[String]
