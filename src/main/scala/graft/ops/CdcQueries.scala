@@ -166,7 +166,20 @@ object CdcQueries {
         col("payload.after.amount").as("new_amount"),
         (col("payload.after.amount") - col("payload.before.amount")).as("delta"))
 
+  /** q: dead-letter quarantine — the insert log with deterministically
+    * corrupted lines mixed in (orderid %% 31 == 0 rows become non-JSON
+    * garbage); [[Cdc.deadLetters]] must surface exactly the corrupt
+    * raws and nothing else, the routing contract that keeps a poison
+    * message from failing the stream. */
+  def deadLetterQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val corrupt = Tables.ordersInfo(spark, sfDir)
+      .filter(col("orderid") % 31 === 0)
+      .select(concat(lit("corrupt{"), col("orderid").cast("string")).as("value"))
+    Cdc.deadLetters(insertLog(spark, sfDir).unionAll(corrupt))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_dead_letters" -> deadLetterQuarantine _,
     "cdc_unwrap_sink" -> unwrapSink _,
     "cdc_unwrap_mixed" -> unwrapMixed _,
     "cdc_latest_state" -> latestState _,
@@ -177,6 +190,10 @@ object CdcQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_dead_letters" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT concat('corrupt{', CAST(orderid AS VARCHAR)) AS value
+         |FROM orders_info WHERE orderid % 31 = 0""".stripMargin,
     "cdc_unwrap_sink" ->
       s"""${Sql.ordersInfoCte}
          |SELECT CAST(orderid AS VARCHAR) AS orderid, CAST(custid AS VARCHAR) AS custid,
