@@ -139,6 +139,38 @@ class CdcSpec extends SparkSpec {
     assert(src == Row(34220200L, 653L, "c"))
   }
 
+  test("decode tolerates source-side schema evolution: extra fields ignored, missing fields null") {
+    // ADDITIVE evolution upstream (a new column lands in `after`, a new
+    // envelope block appears): the fixed read schema must skip unknown
+    // fields, not dead-letter or corrupt the row. SUBTRACTIVE drift (a
+    // field the schema expects is absent) must read as null, not fail —
+    // together these are the tolerance contract that lets reader and
+    // writer deploy independently.
+    val evolved =
+      """{"payload":{"before":null,
+        |"after":{"orderid":7,"custid":70,"amount":120,"city":"Austin",
+        |  "loyalty_tier":"gold","discount":0.15},
+        |"source":{"version":"2.0","connector":"postgresql","name":"m","ts_ms":1,
+        |  "snapshot":"false","db":"d","schema":"s","table":"t","txId":1,"lsn":9,"xmin":null,
+        |  "sequence":"[\"1\",\"2\"]"},
+        |"op":"c","ts_ms":1,"transaction":null,"new_block":{"a":1}}}""".stripMargin.replace("\n", "")
+    val missing = // no custid, no source.lsn
+      """{"payload":{"before":null,
+        |"after":{"orderid":8,"amount":130,"city":"Seattle"},
+        |"source":{"version":"2.0","connector":"postgresql","name":"m","ts_ms":2,
+        |  "snapshot":"false","db":"d","schema":"s","table":"t","txId":2,"xmin":null},
+        |"op":"c","ts_ms":2,"transaction":null}}""".stripMargin.replace("\n", "")
+    val raw = Seq(evolved, missing).toDF("value")
+    assert(Cdc.deadLetters(raw).count() == 0,
+      "schema-evolved envelopes must not be quarantined")
+    val rows = Cdc.unwrap(Cdc.decode(raw)).collect().toSeq
+    assert(rows.contains(Row(7, 70, 120, "Austin")))
+    assert(rows.contains(Row(8, null, 130, "Seattle"))) // missing custid → null
+    val lsn = Cdc.decode(raw).filter(col("payload.after.orderid") === 8)
+      .select("payload.source.lsn").head()
+    assert(lsn.isNullAt(0), "absent ordering token reads as null, not a parse failure")
+  }
+
   test("op router partitions events completely") {
     val byOp = Cdc.byOp(decoded)
     assert(byOp("c").count() == 2 && byOp("u").count() == 1 &&
