@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   * expressions pass through Spark SQL after translating the KQL
   * operator spellings (`==`, `!=`, `=~`, `contains`, `startswith`,
   * `endswith`, `bin`). `mv-expand <col>` desugars to the builder's
-  * explode. Out of scope (documented, not silently wrong): `mv-expand`
-  * path/typed arguments, `parse`, datatable literals,
-  * `join kind=innerunique`'s left-key dedup.
+  * explode; `datatable(col:type, …)[values]` literals work as a
+  * pipeline source, a tabular `let` body, and a `join` right side
+  * (types: string/long/int/real/bool). Out of scope (documented, not
+  * silently wrong): `mv-expand` path/typed arguments, `parse`,
+  * `datatable` datetime/dynamic cells, `join kind=innerunique`'s
+  * left-key dedup.
   */
 object KqlParser {
 
@@ -54,7 +57,8 @@ object KqlParser {
       s.drop(4).trim match {
         case LetRe(name, body) =>
           val headTok = splitTopLevel(body, '|').head.trim
-          if (tbls.contains(headTok)) tbls += name -> pipeline(body, tbls, lets).df
+          if (tbls.contains(headTok) || headTok.startsWith("datatable"))
+            tbls += name -> pipeline(body, tbls, lets).df
           else lets += name -> body.trim
         case other => throw new IllegalArgumentException(s"let expects 'let name = ...': $other")
       }
@@ -64,15 +68,18 @@ object KqlParser {
 
   private val LetRe = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
 
-  /** One pipe-delimited statement: table ref + verb stages. */
+  /** One pipe-delimited statement: table ref (or `datatable` literal) +
+    * verb stages. */
   private def pipeline(query: String, tables: Map[String, DataFrame],
                        lets: Map[String, String]): Parsed = {
     val stages = splitTopLevel(query, '|').map(_.trim).filter(_.nonEmpty)
     require(stages.nonEmpty, "empty KQL query")
     val tableName = stages.head
-    var df = tables.getOrElse(tableName,
-      throw new IllegalArgumentException(
-        s"unknown table '$tableName' (known: ${tables.keys.mkString(", ")})"))
+    var df =
+      if (tableName.startsWith("datatable")) datatable(tableName)
+      else tables.getOrElse(tableName,
+        throw new IllegalArgumentException(
+          s"unknown table '$tableName' (known: ${tables.keys.mkString(", ")})"))
     var render: Option[String] = None
     import Kql.KqlOps
     stages.tail.foreach { stage =>
@@ -175,6 +182,56 @@ object KqlParser {
         s"join key must be a column name or '\\$$left.a == \\$$right.b': $other")
     }.reduce(_ && _)
     df.join(right, cond, sparkKind)
+  }
+
+  /** `datatable(col1:type1, ...)[v1, v2, ...]` — KQL's inline literal
+    * table (values row-major), the small-lookup idiom dashboards pair
+    * with `join`. Types: string, long, int, real, bool. */
+  private def datatable(text: String): DataFrame = {
+    val r = text.stripPrefix("datatable").trim
+    require(r.startsWith("("), s"datatable expects (col:type, ...): $text")
+    val close = matchingParen(r, 0)
+    val cols = splitTopLevel(r.substring(1, close), ',').map(_.trim).map { c =>
+      val parts = c.split(":").map(_.trim)
+      require(parts.length == 2 && parts(0).matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"datatable column must be 'name:type': $c")
+      (parts(0), parts(1))
+    }
+    val valuesPart = r.substring(close + 1).trim
+    require(valuesPart.startsWith("[") && valuesPart.endsWith("]"),
+      s"datatable expects [values]: $text")
+    val cells = splitTopLevel(valuesPart.substring(1, valuesPart.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(cells.nonEmpty && cells.length % cols.length == 0,
+      s"datatable value count ${cells.length} must be a multiple of ${cols.length} columns")
+    def cell(raw: String, kqlType: String): Any = kqlType match {
+      case "string" =>
+        require(raw.length >= 2 && (raw.head == '"' || raw.head == '\''),
+          s"string cell must be quoted: $raw")
+        raw.substring(1, raw.length - 1)
+      case "long" => raw.toLong
+      case "int" => raw.toInt
+      case "real" => raw.toDouble
+      case "bool" => raw.toBoolean
+      case other => throw new IllegalArgumentException(
+        s"unsupported datatable type '$other' (supported: string, long, int, real, bool)")
+    }
+    val rows = cells.grouped(cols.length).map { rowCells =>
+      org.apache.spark.sql.Row(rowCells.zip(cols).map { case (v, (_, t)) => cell(v, t) }: _*)
+    }.toSeq
+    val sparkType: String => org.apache.spark.sql.types.DataType = {
+      case "string" => org.apache.spark.sql.types.StringType
+      case "long" => org.apache.spark.sql.types.LongType
+      case "int" => org.apache.spark.sql.types.IntegerType
+      case "real" => org.apache.spark.sql.types.DoubleType
+      case "bool" => org.apache.spark.sql.types.BooleanType
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      cols.map { case (n, t) => org.apache.spark.sql.types.StructField(n, sparkType(t)) })
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
   }
 
   /** Index of the `(`'s matching `)` (quote-aware). */

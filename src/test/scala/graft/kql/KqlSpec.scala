@@ -221,6 +221,24 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("parser: datatable literal as source, tabular let, and join right side") {
+    val direct = KqlParser.run(
+      """datatable(name:string, n:long)["a", 1, "b", 2, "c", 3] | where n >= 2""",
+      Map.empty)
+    assert(direct.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      Seq(("b", 2L), ("c", 3L)))
+    val joined = KqlParser.run(
+      """let city_region = datatable(city:string, region:string)
+        |  ["Seattle", "west", "Austin", "south"];
+        |Orders | join kind=inner (city_region) on city | summarize total = sum(amount) by region
+        |""".stripMargin, ordersReg)
+    assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      Seq(("south", 100L), ("west", 200L)))
+    intercept[IllegalArgumentException] {
+      KqlParser.run("""datatable(x:dynamic)["a"] | count""", Map.empty)
+    }
+  }
+
   test("parser: let errors are loud (non-let prelude, malformed binding)") {
     intercept[IllegalArgumentException] {
       KqlParser.run("Orders | count; Orders | count", ordersReg)
