@@ -29,10 +29,10 @@ import org.apache.spark.sql.functions._
   * `endswith`, `bin`). `mv-expand <col>` desugars to the builder's
   * explode; `datatable(col:type, …)[values]` literals work as a
   * pipeline source, a tabular `let` body, and a `join` right side
-  * (types: string/long/int/real/bool). Out of scope (documented, not
-  * silently wrong): `mv-expand` path/typed arguments, `parse`,
-  * `datatable` datetime/dynamic cells, `join kind=innerunique`'s
-  * left-key dedup.
+  * (types: string/long/int/real/bool). A bare `join` is
+  * `kind=innerunique` — left side deduped by key — matching ADX's
+  * default. Out of scope (documented, not silently wrong): `mv-expand`
+  * path/typed arguments, `parse`, `datatable` datetime/dynamic cells.
   */
 object KqlParser {
 
@@ -136,8 +136,10 @@ object KqlParser {
     * desugared to a DataFrame join. KQL output semantics reproduced:
     * right-side columns whose names clash with the left (including the
     * join keys) are renamed with a `1` suffix before joining, so the
-    * result carries both sides like ADX does. Key forms: a bare column
-    * name (equi-join on the shared name) or `$left.a == $right.b`. */
+    * result carries both sides like ADX does; a bare `join` is
+    * `kind=innerunique` (left side deduped by key) exactly as in ADX.
+    * Key forms: a bare column name (equi-join on the shared name) or
+    * `$left.a == $right.b`. */
   private def join(df: DataFrame, rest: String,
                    tables: Map[String, DataFrame],
                    lets: Map[String, String]): DataFrame = {
@@ -149,16 +151,16 @@ object KqlParser {
       val k = after.takeWhile(c => !c.isWhitespace && c != '(')
       r = after.drop(k.length).trim
       k
-    } else "inner"
+    } else "innerunique" // ADX's default for a bare `join`
     val sparkKind = kind match {
-      case "inner"      => "inner"
+      case "inner" | "innerunique" => "inner"
       case "leftouter"  => "left_outer"
       case "rightouter" => "right_outer"
       case "fullouter"  => "full_outer"
       case "leftsemi"   => "left_semi"
       case "leftanti" | "anti" => "left_anti"
       case other => throw new IllegalArgumentException(
-        s"unsupported join kind '$other' (supported: inner, leftouter, rightouter, fullouter, leftsemi, leftanti)")
+        s"unsupported join kind '$other' (supported: inner, innerunique, leftouter, rightouter, fullouter, leftsemi, leftanti)")
     }
     require(r.startsWith("("), s"join expects a parenthesized right side: $r")
     val close = matchingParen(r, 0)
@@ -174,14 +176,21 @@ object KqlParser {
     val renamed = right0.columns.filter(leftCols.contains).map(c => c -> (c + "1")).toMap
     val right = renamed.foldLeft(right0) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
     val LeftRightRe = "^\\$left\\.([A-Za-z_][A-Za-z0-9_]*)\\s*==\\s*\\$right\\.([A-Za-z_][A-Za-z0-9_]*)$".r
-    val cond = splitTopLevel(onPart.drop(2).trim, ',').map(_.trim).map {
-      case LeftRightRe(a, b) => df(a) === right(renamed.getOrElse(b, b))
-      case k if k.matches("[A-Za-z_][A-Za-z0-9_]*") =>
-        df(k) === right(renamed.getOrElse(k, k))
+    val keyPairs = splitTopLevel(onPart.drop(2).trim, ',').map(_.trim).map {
+      case LeftRightRe(a, b) => (a, b)
+      case k if k.matches("[A-Za-z_][A-Za-z0-9_]*") => (k, k)
       case other => throw new IllegalArgumentException(
         s"join key must be a column name or '\\$$left.a == \\$$right.b': $other")
+    }
+    // innerunique (the bare-`join` default): ADX dedups the LEFT side by
+    // the join keys before matching — one output row per (left key,
+    // right row). Which left row survives a key collision is arbitrary
+    // in ADX too; dropDuplicates reproduces that contract.
+    val left = if (kind == "innerunique") df.dropDuplicates(keyPairs.map(_._1)) else df
+    val cond = keyPairs.map { case (a, b) =>
+      left(a) === right(renamed.getOrElse(b, b))
     }.reduce(_ && _)
-    df.join(right, cond, sparkKind)
+    left.join(right, cond, sparkKind)
   }
 
   /** `datatable(col1:type1, ...)[v1, v2, ...]` — KQL's inline literal

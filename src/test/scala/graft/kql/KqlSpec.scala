@@ -189,6 +189,18 @@ class KqlSpec extends SparkSpec {
     assert(anti.columns.toSeq == Seq("orderid", "city", "amount")) // left-only shape
   }
 
+  test("parser: bare join is innerunique (left deduped by key), like ADX") {
+    // two left rows share city Seattle; innerunique keeps one of them
+    val reg = Map(
+      "L" -> Seq((1, "Seattle"), (2, "Seattle"), (3, "Austin")).toDF("id", "city"),
+      "R" -> Seq(("Seattle", "west")).toDF("city", "region"))
+    val bare = KqlParser.run("L | join (R) on city", reg)
+    assert(bare.count() == 1) // one Seattle row survives the left dedup
+    assert(bare.select("region").as[String].head() == "west")
+    val inner = KqlParser.run("L | join kind=inner (R) on city", reg)
+    assert(inner.count() == 2) // true inner keeps both Seattle rows
+  }
+
   test("parser: join right side can be a sub-query pipeline") {
     val out = KqlParser.run(
       "Orders | join kind=inner (Orders | summarize n = count() by city | where n > 1) on city",
