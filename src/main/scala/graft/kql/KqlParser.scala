@@ -31,8 +31,10 @@ import org.apache.spark.sql.functions._
   * pipeline source, a tabular `let` body, and a `join` right side
   * (types: string/long/int/real/bool). A bare `join` is
   * `kind=innerunique` — left side deduped by key — matching ADX's
-  * default. Out of scope (documented, not silently wrong): `mv-expand`
-  * path/typed arguments, `parse`, `datatable` datetime/dynamic cells.
+  * default. `parse <col> with "lit" Name …` desugars to anchored
+  * regexp_extract captures. Out of scope (documented, not silently
+  * wrong): `mv-expand` path/typed arguments, `parse kind=regex` and
+  * typed slot casts, `datatable` datetime/dynamic cells.
   */
 object KqlParser {
 
@@ -115,6 +117,7 @@ object KqlParser {
                 .limit(n.toInt)
             case _ => throw new IllegalArgumentException(s"top expects 'top N by col': $rest")
           }
+        case "parse" => df = parseVerb(df, rest)
         case "mv-expand" =>
           val c0 = rest.trim
           require(c0.matches("[A-Za-z_][A-Za-z0-9_]*"),
@@ -191,6 +194,52 @@ object KqlParser {
       left(a) === right(renamed.getOrElse(b, b))
     }.reduce(_ && _)
     left.join(right, cond, sparkKind)
+  }
+
+  /** `parse <col> with ["prefix"] Name1 "delim" Name2 … [*]` — KQL's
+    * pattern-based extraction, desugared to one anchored regex: literals
+    * match verbatim, each named slot captures lazily up to the next
+    * literal (the final slot takes the rest), `*` skips without
+    * capturing. One `regexp_extract` per name — all codegen'd. */
+  private def parseVerb(df: DataFrame, rest: String): DataFrame = {
+    val withIdx = rest.indexOf(" with ")
+    require(withIdx > 0, s"parse expects '<col> with <pattern>': $rest")
+    val srcCol = rest.substring(0, withIdx).trim
+    require(srcCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"parse source must be a column name: $srcCol")
+    val pattern = rest.substring(withIdx + 6).trim
+    // lex the pattern: quoted literals, identifiers, bare `*`
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"' || c == '\'') {
+        val end = pattern.indexOf(c, i + 1)
+        require(end > i, s"unterminated literal in parse pattern: $pattern")
+        tokens += (("lit", pattern.substring(i + 1, end))); i = end + 1
+      } else if (c == '*') { tokens += (("skip", "*")); i += 1 }
+      else {
+        val w = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(pattern.substring(i))
+          .getOrElse(throw new IllegalArgumentException(
+            s"unexpected token at '${pattern.substring(i).take(12)}' in parse pattern"))
+        tokens += (("name", w)); i += w.length
+      }
+    }
+    val names = tokens.collect { case ("name", n) => n }
+    require(names.nonEmpty, s"parse pattern binds no columns: $pattern")
+    val regex = new StringBuilder("^")
+    tokens.zipWithIndex.foreach { case ((kind, v), idx) =>
+      kind match {
+        case "lit" => regex.append(java.util.regex.Pattern.quote(v))
+        case "skip" => regex.append(".*?")
+        case "name" =>
+          regex.append(if (idx == tokens.length - 1) "(.*)" else "(.*?)")
+      }
+    }
+    names.zipWithIndex.foldLeft(df) { case (d, (n, gi)) =>
+      d.withColumn(n, regexp_extract(col(srcCol), regex.toString, gi + 1))
+    }
   }
 
   /** `datatable(col1:type1, ...)[v1, v2, ...]` — KQL's inline literal

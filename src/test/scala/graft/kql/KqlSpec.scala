@@ -251,6 +251,18 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("parser: parse verb extracts pattern slots; * skips; last slot greedy") {
+    val reg = Map("Logs" -> Seq(
+      "user=alice action=login ip=10.0.0.1",
+      "user=bob action=buy cart=3 ip=10.0.0.2").toDF("msg"))
+    val out = KqlParser.run(
+      """Logs | parse msg with "user=" user " action=" action " " * "ip=" ip""", reg)
+    assert(out.columns.toSeq == Seq("msg", "user", "action", "ip"))
+    val rows = out.select("user", "action", "ip").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(rows == Seq(("alice", "login", "10.0.0.1"), ("bob", "buy", "10.0.0.2")))
+  }
+
   test("parser: let errors are loud (non-let prelude, malformed binding)") {
     intercept[IllegalArgumentException] {
       KqlParser.run("Orders | count; Orders | count", ordersReg)
