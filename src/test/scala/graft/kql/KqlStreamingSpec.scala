@@ -1,0 +1,52 @@
+package graft.kql
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.Cdc
+
+/** The reference's whole point, end to end: its KQL dashboard query
+  * TEXT (README.md:373-377, verbatim) running over the LIVE change
+  * stream. The parser builds ordinary DataFrame ops, and every verb it
+  * emits is streaming-compatible, so the same text drives a batch table
+  * or a Structured Streaming view unchanged — decode → unwrap is the
+  * streaming `Orders` view, `summarize ... by city | sort by total` is
+  * an incrementally-maintained aggregate in complete mode. */
+class KqlStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def env(orderid: Int, amount: Int, city: String, lsn: Long): String =
+    s"""{"schema":null,"payload":{"before":null,
+       |"after":{"orderid":$orderid,"custid":${orderid * 10},"amount":$amount,"city":"$city"},
+       |"source":{"version":"1.9.5","connector":"postgresql","name":"myserver",
+       |"ts_ms":${lsn * 1000},"snapshot":"false","db":"inventory","schema":"inventory",
+       |"table":"orders_info","txId":$lsn,"lsn":$lsn,"xmin":null},
+       |"op":"c","ts_ms":${lsn * 1000},"transaction":null}}""".stripMargin.replace("\n", "")
+
+  test("README total-by-city KQL text runs verbatim over the live change stream") {
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[String]
+    // streaming `Orders` view: the materializer's decode → unwrap path
+    val orders = Cdc.unwrap(Cdc.decode(source.toDF().select(col("value"))))
+    val parsed = KqlParser.parse(
+      graft.ops.ReferenceQueries.kqlTotalText, Map("Orders" -> orders))
+    assert(parsed.render.contains("piechart")) // chart tag rides along
+    val q = parsed.df.writeStream.outputMode("complete")
+      .format("memory").queryName("kql_live").start()
+    try {
+      source.addData(env(1, 100, "Seattle", 1), env(2, 150, "Seattle", 2),
+        env(3, 120, "Austin", 3))
+      q.processAllAvailable()
+      val r1 = spark.table("kql_live").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r1 == Map("Seattle" -> 250L, "Austin" -> 120L))
+      // the dashboard updates as the stream advances
+      source.addData(env(4, 80, "Austin", 4), env(5, 200, "Chicago", 5))
+      q.processAllAvailable()
+      val r2 = spark.table("kql_live").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r2 == Map("Seattle" -> 250L, "Austin" -> 200L, "Chicago" -> 200L))
+    } finally q.stop()
+  }
+}
