@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   *
   * Supported verbs: `where`, `project`, `project-away`, `extend`,
   * `summarize`, `sort by`/`order by`, `top N by`, `take`/`limit`,
-  * `count`, `distinct`, `join` (kinds inner/leftouter/rightouter/
-  * fullouter/leftsemi/leftanti, `on key` and `on $left.a == $right.b`
-  * forms, with KQL's right-side `1`-suffix rename for clashing
-  * columns), `render`. Top-level `let name = …;` statements bind
+  * `count`, `distinct`, `mv-expand`, `parse`, `join` (kinds
+  * innerunique/inner/leftouter/rightouter/fullouter/leftsemi/leftanti,
+  * `on key` and `on $left.a == $right.b` forms, with KQL's right-side
+  * `1`-suffix rename for clashing columns), `render`; plus `datatable`
+  * literals and `let`. Top-level `let name = …;` statements bind
   * either a sub-query (tabular let — usable as a table name or join
   * right side) or a scalar expression (substituted where the name
   * appears, KQL's textual-binding semantics). Aggregates: avg, sum,
