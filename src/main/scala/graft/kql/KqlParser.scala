@@ -93,28 +93,33 @@ object KqlParser {
           ("mv-expand", r.stripPrefix("-expand").trim)
         case (v, r) => (v, r.trim)
       }
+      // ADX name resolution: a column of the CURRENT frame shadows a
+      // same-named let binding, so scalar substitution must skip names
+      // the frame defines at this stage. (join keeps the full binding
+      // set — its right side is a fresh pipeline with its own frame.)
+      val scoped = lets.removedAll(df.columns)
       verb match {
-        case "where" => df = df.kqlWhere(expr(scalar(rest, lets)))
+        case "where" => df = df.kqlWhere(expr(scalar(rest, scoped)))
         case "project" =>
-          df = df.project(splitTopLevel(rest, ',').map(item => namedExpr(item.trim, lets)): _*)
+          df = df.project(splitTopLevel(rest, ',').map(item => namedExpr(item.trim, scoped)): _*)
         case "project-away" =>
           df = df.projectAway(splitTopLevel(rest, ',').map(_.trim): _*)
         case "extend" =>
           splitTopLevel(rest, ',').map(_.trim).foreach { item =>
-            val (name, e) = nameAndBody(item, lets)
+            val (name, e) = nameAndBody(item, scoped)
             df = df.extend(name.getOrElse(
               throw new IllegalArgumentException(s"extend needs 'name = expr': $item")), e)
           }
-        case "summarize" => df = summarize(df, rest, lets)
+        case "summarize" => df = summarize(df, rest, scoped)
         case "join" => df = join(df, rest, tables, lets)
         case "sort" | "order" =>
           val body = stripLeadingBy(rest, verb)
-          df = df.orderBy(splitTopLevel(body, ',').map(s => sortCol(s.trim, lets)): _*)
+          df = df.orderBy(splitTopLevel(body, ',').map(s => sortCol(s.trim, scoped)): _*)
         case "top" =>
           val m = "^(\\d+)\\s+by\\s+(.+)$".r
           rest match {
             case m(n, by) =>
-              df = df.orderBy(splitTopLevel(by, ',').map(s => sortCol(s.trim, lets)): _*)
+              df = df.orderBy(splitTopLevel(by, ',').map(s => sortCol(s.trim, scoped)): _*)
                 .limit(n.toInt)
             case _ => throw new IllegalArgumentException(s"top expects 'top N by col': $rest")
           }
@@ -128,7 +133,7 @@ object KqlParser {
         case "count" => df = df.kqlCount
         case "distinct" =>
           df = if (rest.trim == "*") df.distinct()
-               else df.kqlDistinct(splitTopLevel(rest, ',').map(s => expr(scalar(s.trim, lets))): _*)
+               else df.kqlDistinct(splitTopLevel(rest, ',').map(s => expr(scalar(s.trim, scoped))): _*)
         case "render" => render = Some(rest.trim.split("\\s+").head)
         case other => throw new IllegalArgumentException(s"unsupported KQL verb '$other'")
       }

@@ -263,6 +263,17 @@ class KqlSpec extends SparkSpec {
     assert(rows == Seq(("alice", "login", "10.0.0.1"), ("bob", "buy", "10.0.0.2")))
   }
 
+  test("parser: a column shadows a same-named let binding (ADX resolution order)") {
+    // `amount` is both a column and a let name: the column must win in
+    // expressions, while the let stays usable where no column collides
+    val out = KqlParser.run(
+      """let amount = 999999;
+        |let floor_ = 90;
+        |Orders | where amount >= floor_ | sort by amount asc""".stripMargin, ordersReg)
+    // column semantics: orders with amount >= 90 are ids 3 (100) and 1 (120)
+    assert(out.select("orderid").as[Int].collect().toSeq == Seq(3, 1))
+  }
+
   test("parser: let errors are loud (non-let prelude, malformed binding)") {
     intercept[IllegalArgumentException] {
       KqlParser.run("Orders | count; Orders | count", ordersReg)
