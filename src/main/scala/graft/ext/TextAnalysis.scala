@@ -200,7 +200,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Corpus-LM perplexity scoring — the classic LM-based quality filter:
+    * score every doc by how well the CORPUS's own bigram model predicts
+    * it (negative mean log₂ P(w2|w1), lower = more typical). The model
+    * is trained on the scored corpus itself, so every bigram has
+    * positive probability and no smoothing is needed. Shapes: bigram
+    * extraction is the codegen posexplode+lead pass (as
+    * [[Dedup.ngramJaccardPairs]]); model counts are two hash
+    * aggregates; scoring joins doc bigrams to counts ON (w1, w2) — a
+    * plain shuffle hash join that scales with corpus size, never a
+    * broadcast of the model (vocab² at 100 TB). Probabilities are exact
+    * integer ratios; only the final mean is rounded (6 dp) because log
+    * summation order differs per engine. */
+  def bigramPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+    val pairCounts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val prefixCounts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(pairCounts, Seq("w1", "w2"))
+      .join(prefixCounts, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log2(col("c2").cast("double") / col("c1"))), 6).as("nll"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity" -> bigramPerplexity _,
     "text_sample_mixture" -> ((s: SparkSession, d: String) => sampleMixture(s, d)),
     "text_token_stats" -> tokenStats _,
     "text_quality" -> qualityScores _,
@@ -243,6 +273,18 @@ object TextAnalysis {
          |  FROM documents),
          |t AS (SELECT quantile_cont(quality, 0.25) AS q25 FROM s)
          |SELECT doc_id, lang, source, quality FROM s, t WHERE quality >= q25""".stripMargin,
+    "text_perplexity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1)
+        |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(-AVG(log2(CAST(c2.c2 AS DOUBLE) / c1.c1)), 6) AS nll
+        |FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |        JOIN c1 ON bg.w1 = c1.w1
+        |GROUP BY bg.doc_id""".stripMargin,
     "text_sample_mixture" ->
       """WITH r AS (
         |  SELECT source, least(1000000, 10000000 // COUNT(*)) AS thr
