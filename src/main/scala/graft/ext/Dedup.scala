@@ -554,7 +554,7 @@ object Dedup {
   /** Shared DuckDB CTE mirroring the [[minhashPairs]] pipeline exactly;
     * terminates in `jacp(doc_a, doc_b, jac)` — the verified near-dup
     * pairs — reused by the three minhash-derived oracles. */
-  private val minhashOracleCte: String =
+  private[ext] val minhashOracleCte: String =
     """ws AS (
       |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w FROM documents),
       |xs AS (

@@ -229,7 +229,34 @@ object TextAnalysis {
         round(-avg(log2(col("c2").cast("double") / col("c1"))), 6).as("nll"))
   }
 
+  /** The full curation pipeline composed as ONE declarative plan —
+    * what a real corpus build runs nightly: exact dedup (keep each
+    * content group's min-id doc), then greedy near-dedup (drop docs
+    * dominated by a smaller verified near-duplicate), then quality
+    * filtering (drop the corpus-wide bottom quartile; the threshold is
+    * computed over the full corpus, so it is independent of the dedup
+    * stages). Every stage is separately oracle-verified
+    * (dedup_exact / dedup_cleaned_near / text_quality_filter); this
+    * query pins their COMPOSITION. Catalyst sees one tree: two
+    * semi/anti joins against small keep/drop sets plus the broadcast
+    * scalar threshold — at 100 TB this runs as one corpus scan with
+    * map-side filters against broadcast/shuffled keeper sets, not three
+    * materialized passes. */
+  def curatedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val exactKeepers = Dedup.exactDedupOn(docs).select(col("keeper").as("doc_id"))
+    val dominated = Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val quality = qualityFilteredCorpus(spark, sfDir).select("doc_id", "quality")
+    docs
+      .join(exactKeepers, Seq("doc_id"), "left_semi")
+      .join(dominated, Seq("doc_id"), "left_anti")
+      .join(quality, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_curated_corpus" -> curatedCorpus _,
     "text_perplexity" -> bigramPerplexity _,
     "text_sample_mixture" -> ((s: SparkSession, d: String) => sampleMixture(s, d)),
     "text_token_stats" -> tokenStats _,
@@ -273,6 +300,21 @@ object TextAnalysis {
          |  FROM documents),
          |t AS (SELECT quantile_cont(quality, 0.25) AS q25 FROM s)
          |SELECT doc_id, lang, source, quality FROM s, t WHERE quality >= q25""".stripMargin,
+    "text_curated_corpus" ->
+      s"""WITH ${Dedup.minhashOracleCte},
+         |ek AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
+         |s AS (
+         |  SELECT doc_id,
+         |    round(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTokensSql)
+         |      + 0.5 * (CAST(least($nTokensSql, 100) AS DOUBLE) / 100), 6) AS quality
+         |  FROM documents),
+         |t AS (SELECT quantile_cont(quality, 0.25) AS q25 FROM s)
+         |SELECT d.doc_id, d.lang, d.source, s.quality
+         |FROM documents d
+         |JOIN ek ON d.doc_id = ek.doc_id
+         |JOIN s ON s.doc_id = d.doc_id
+         |JOIN t ON s.quality >= t.q25
+         |WHERE d.doc_id NOT IN (SELECT doc_b FROM jacp)""".stripMargin,
     "text_perplexity" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |bg AS (

@@ -17,14 +17,16 @@ class PlanSweepSpec extends SparkSpec {
     * (corpus × nlist broadcast — the codebook is tiny by design), and
     * k-row × 1-row scalar cross joins (text_vocab_coverage's
     * corpus-total, ev_daily_anomaly's global moments,
-    * text_quality_filter's broadcast percentile threshold), and the IVF
+    * text_quality_filter's broadcast percentile threshold — inherited
+    * by text_curated_corpus, which composes that stage), and the IVF
     * TRAINING assignment pass (sim_ivf_train_step: corpus × 16-centroid
     * broadcast, the Lloyd's-iteration shape). dedup_embedding left this
     * list in round 3: it now equi-joins on LSH buckets. */
   private val nonEquiAllowlist = Set(
     "join_range_quarters", "sim_topk_brute",
     "sim_ivf_topk", "sim_ivf_train_step",
-    "text_vocab_coverage", "text_quality_filter", "ev_daily_anomaly")
+    "text_vocab_coverage", "text_quality_filter", "text_curated_corpus",
+    "ev_daily_anomaly")
 
   test("no unintended cartesian/nested-loop joins, no Python UDFs, anywhere") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
