@@ -148,14 +148,17 @@ object TextAnalysis {
     * `approx_percentile` at extreme cardinality) and the keep-pass is
     * shuffle-free; never a global sort or single-partition window over
     * the corpus. Both engines interpolate the 0.25-quantile linearly
-    * over identical 6-dp-rounded scores, so the threshold is
-    * bit-identical. */
+    * over identical 6-dp-rounded scores; the interpolated threshold is
+    * itself rounded to 6 dp on BOTH engines (matching the scores'
+    * precision) so a score sitting exactly on the quartile boundary
+    * cannot flip the `>=` across engines on a last-ulp difference in
+    * their lerp formulas. */
   def qualityFilteredCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = Tables.documents(spark, sfDir).selectExpr(
       "doc_id", "lang", "source",
       s"""round(0.5 * (cast(size(array_distinct(split(text, ' '))) as double) / $nTokens)
          |  + 0.5 * (cast(least($nTokens, 100) as double) / 100), 6) as quality""".stripMargin)
-    val thr = scored.agg(expr("percentile(quality, 0.25)").as("q25"))
+    val thr = scored.agg(expr("round(percentile(quality, 0.25), 6)").as("q25"))
     scored.crossJoin(broadcast(thr))
       .filter(col("quality") >= col("q25"))
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
@@ -298,7 +301,7 @@ object TextAnalysis {
          |    round(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTokensSql)
          |      + 0.5 * (CAST(least($nTokensSql, 100) AS DOUBLE) / 100), 6) AS quality
          |  FROM documents),
-         |t AS (SELECT quantile_cont(quality, 0.25) AS q25 FROM s)
+         |t AS (SELECT round(quantile_cont(quality, 0.25), 6) AS q25 FROM s)
          |SELECT doc_id, lang, source, quality FROM s, t WHERE quality >= q25""".stripMargin,
     "text_curated_corpus" ->
       s"""WITH ${Dedup.minhashOracleCte},
@@ -308,7 +311,7 @@ object TextAnalysis {
          |    round(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTokensSql)
          |      + 0.5 * (CAST(least($nTokensSql, 100) AS DOUBLE) / 100), 6) AS quality
          |  FROM documents),
-         |t AS (SELECT quantile_cont(quality, 0.25) AS q25 FROM s)
+         |t AS (SELECT round(quantile_cont(quality, 0.25), 6) AS q25 FROM s)
          |SELECT d.doc_id, d.lang, d.source, s.quality
          |FROM documents d
          |JOIN ek ON d.doc_id = ek.doc_id

@@ -62,7 +62,13 @@ object KqlParser {
           val headTok = splitTopLevel(body, '|').head.trim
           if (tbls.contains(headTok) || headTok.startsWith("datatable"))
             tbls += name -> pipeline(body, tbls, lets).df
-          else lets += name -> body.trim
+          else
+            // ADX sequential binding: substitute earlier lets into the
+            // body NOW, so `let x = 1; let x = x + 1;` binds x to (1)+1
+            // rather than dropping the inner x from scope at use time.
+            // Tabular lets get the same semantics for free — their
+            // pipeline is evaluated eagerly against the pre-rebind maps.
+            lets += name -> substLets(body.trim, lets)
         case other => throw new IllegalArgumentException(s"let expects 'let name = ...': $other")
       }
     }
@@ -70,6 +76,33 @@ object KqlParser {
   }
 
   private val LetRe = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
+
+  /** Pure name-for-body substitution of earlier `let` bindings into a
+    * new binding's text, applied at BIND time (the ADX sequential
+    * model). Only names are replaced — the KQL→SQL operator rewrites
+    * happen exactly once, later, in [[scalar]] — so substituted text
+    * is never rewritten twice. Quote-aware; stored bodies are already
+    * fully substituted, so no recursion is needed and self-reference
+    * in a rebinding resolves to the EARLIER binding, never loops. */
+  private def substLets(s: String, lets: Map[String, String]): String = {
+    if (lets.isEmpty) return s
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\'') { // copy string literal verbatim
+        out.append(c); i += 1
+        while (i < s.length && s.charAt(i) != c) { out.append(s.charAt(i)); i += 1 }
+        if (i < s.length) { out.append(c); i += 1 }
+      } else if (c.isLetter || c == '_') {
+        val w = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(s.substring(i)).get
+        if (lets.contains(w)) out.append("(").append(lets(w)).append(")")
+        else out.append(w)
+        i += w.length
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   /** One pipe-delimited statement: table ref (or `datatable` literal) +
     * verb stages. */
@@ -270,8 +303,11 @@ object KqlParser {
       s"datatable value count ${cells.length} must be a multiple of ${cols.length} columns")
     def cell(raw: String, kqlType: String): Any = kqlType match {
       case "string" =>
-        require(raw.length >= 2 && (raw.head == '"' || raw.head == '\''),
-          s"string cell must be quoted: $raw")
+        // the closing quote must match the opening one, or an
+        // unterminated cell would silently lose its last character
+        require(raw.length >= 2 && (raw.head == '"' || raw.head == '\'') &&
+            raw.last == raw.head,
+          s"string cell must be quoted with matching quotes: $raw")
         raw.substring(1, raw.length - 1)
       case "long" => raw.toLong
       case "int" => raw.toInt

@@ -30,13 +30,30 @@ object CdcQueries {
     * The memo caches the *fixture*, not the operator under test: decode/
     * unwrap/materialize plans downstream are unchanged, so correctness
     * hashes are identical. Keyed by the session object itself so a
-    * stopped test session's entries can't be resurrected by a new one. */
+    * stopped test session's entries can't be resurrected by a new one;
+    * a context-end listener (registered once per session) evicts that
+    * session's entries, so long-lived JVMs that create many sessions
+    * (the test runner, a multi-tenant service) don't retain stopped
+    * sessions and their cached plans forever. */
   private val logCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
   private def memoLog(name: String, spark: SparkSession, sfDir: String)
-                     (build: => DataFrame): DataFrame =
+                     (build: => DataFrame): DataFrame = {
+    if (evictionHooked.add(spark)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          evictionHooked.remove(spark)
+          logCache.keySet.removeIf(_._1 eq spark)
+        }
+      })
+    }
     logCache.computeIfAbsent((spark, sfDir, name), _ => build.cache())
+  }
 
   private val nullRow: Column = lit(null).cast(Schemas.orderRow)
 

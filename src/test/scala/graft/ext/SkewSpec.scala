@@ -28,9 +28,15 @@ import graft.SparkSpec
   * mitigations are documented in [[Dedup]]'s header.
   */
 class SkewSpec extends SparkSpec {
-  import spark.implicits._
 
   test("hot LSH band bucket: AQE splits the skewed self-join partition; results exact") {
+    // Isolated child session: same SparkContext, PRIVATE SQLConf — the
+    // toy-scale skew thresholds below can never leak into suites that
+    // share the base session (restore-in-finally only protects
+    // sequential runs; a private conf protects concurrent ones too).
+    val session = spark.newSession()
+    import session.implicits._
+
     val hotN = 1200
     // 1200 identical docs (one band bucket, the adversarial case exact
     // dedup would normally remove) + 300 all-distinct docs
@@ -41,50 +47,38 @@ class SkewSpec extends SparkSpec {
     val docs = (hot ++ cold).toDF("doc_id", "text", "lang")
       .withColumn("source", lit("test")).withColumn("n_chars", length(col("text")))
 
-    val conf = spark.conf
-    val saved = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.skewJoin.enabled",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.adaptive.coalescePartitions.enabled"
-    ).map(k => k -> conf.getOption(k))
-    try {
-      // Broadcast off: at 100 TB neither band side fits in the driver,
-      // and the skew path only exists for shuffle joins. Thresholds
-      // scaled to toy bytes so the 1200-doc bucket registers as skewed.
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      // Detection compares COMPRESSED shuffle bytes: a bucket of
-      // identical band-key strings compresses brutally while the cold
-      // buckets' distinct strings do not, so the hot partition's byte
-      // ratio understates its 4x row skew — factor 1.2 (not the default
-      // 5) is what registers it at toy scale. At production scale the
-      // same effect means row-skew from near-identical docs needs a
-      // lower factor than byte-intuition suggests.
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
-      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
-      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val conf = session.conf
+    // Broadcast off: at 100 TB neither band side fits in the driver,
+    // and the skew path only exists for shuffle joins. Thresholds
+    // scaled to toy bytes so the 1200-doc bucket registers as skewed.
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Detection compares COMPRESSED shuffle bytes: a bucket of
+    // identical band-key strings compresses brutally while the cold
+    // buckets' distinct strings do not, so the hot partition's byte
+    // ratio understates its 4x row skew — factor 1.2 (not the default
+    // 5) is what registers it at toy scale. At production scale the
+    // same effect means row-skew from near-identical docs needs a
+    // lower factor than byte-intuition suggests.
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
-      val pairs = Dedup.minhashPairsOn(docs)
-      // collect() executes pairs' OWN queryExecution (count() would spin
-      // up a separate tree and leave this one isFinalPlan=false)
-      val n = pairs.collect().length.toLong
-      // every identical-doc pair verifies at jaccard 1.0; distinct docs
-      // share no words, so they contribute nothing
-      assert(n == hotN.toLong * (hotN - 1) / 2,
-        s"expected ${hotN.toLong * (hotN - 1) / 2} hot pairs, got $n")
+    val pairs = Dedup.minhashPairsOn(docs)
+    // collect() executes pairs' OWN queryExecution (count() would spin
+    // up a separate tree and leave this one isFinalPlan=false)
+    val n = pairs.collect().length.toLong
+    // every identical-doc pair verifies at jaccard 1.0; distinct docs
+    // share no words, so they contribute nothing
+    assert(n == hotN.toLong * (hotN - 1) / 2,
+      s"expected ${hotN.toLong * (hotN - 1) / 2} hot pairs, got $n")
 
-      // the final adaptive plan must have taken the skew-split path on
-      // the band self-join (SMJ/SHJ marked skew=true, or an
-      // AQEShuffleRead with skewed partition splits)
-      val plan = pairs.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true") || plan.contains("skewed"),
-        s"no skew-split marker in the adaptive plan:\n${plan.take(4000)}")
-    } finally saved.foreach { case (k, v) =>
-      v.fold(conf.unset(k))(conf.set(k, _))
-    }
+    // the final adaptive plan must have taken the skew-split path on
+    // the band self-join (SMJ/SHJ marked skew=true, or an
+    // AQEShuffleRead with skewed partition splits)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true") || plan.contains("skewed"),
+      s"no skew-split marker in the adaptive plan:\n${plan.take(4000)}")
   }
 }

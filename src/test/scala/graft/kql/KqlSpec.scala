@@ -274,6 +274,34 @@ class KqlSpec extends SparkSpec {
     assert(out.select("orderid").as[Int].collect().toSeq == Seq(3, 1))
   }
 
+  test("parser: rebinding a let name sees the EARLIER binding (sequential semantics)") {
+    // `let x = 50; let x = x + 40;` — ADX binds the inner x to the
+    // earlier 50, so the final threshold is 90 (not an unresolved
+    // column error, not a cycle)
+    val out = KqlParser.run(
+      """let minAmount = 50;
+        |let minAmount = minAmount + 40;
+        |Orders | where amount >= minAmount | sort by amount asc""".stripMargin, ordersReg)
+    assert(out.select("orderid").as[Int].collect().toSeq == Seq(3, 1))
+    // a let whose body mentions a name bound INSIDE a string literal is
+    // untouched by the substitution
+    val out2 = KqlParser.run(
+      """let c = "Seattle";
+        |let c = c;
+        |Orders | where city == c | count""".stripMargin, ordersReg)
+    assert(out2.as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("parser: datatable rejects a mismatched or unterminated string cell") {
+    intercept[IllegalArgumentException] {
+      KqlParser.run("""datatable(x:string)["abc] | count""", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      // opening " closed by ' must not silently truncate
+      KqlParser.run("""datatable(x:string)["abc'] | count""", Map.empty)
+    }
+  }
+
   test("parser: let errors are loud (non-let prelude, malformed binding)") {
     intercept[IllegalArgumentException] {
       KqlParser.run("Orders | count; Orders | count", ordersReg)
