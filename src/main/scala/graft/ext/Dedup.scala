@@ -107,12 +107,18 @@ object Dedup {
     * lang) — the operator body, exposed so tests can run the identical
     * banded pipeline over adversarial corpora (SkewSpec plants a hot
     * band bucket; RecallSpec feeds the driver corpus). */
-  def minhashPairsOn(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+  /** (doc_id, lang, band_idx, band_key) — the 2×8 LSH band relation,
+    * shared by the pair generator and the incremental-ingest path. */
+  private[ext] def bandKeys(docs: DataFrame): DataFrame = {
     val band0 = concat_ws("-", (1 to 8).map(i => col(s"m_$i")): _*)
     val band1 = concat_ws("-", (9 to 16).map(i => col(s"m_$i")): _*)
-    val sigs = minhashSignatures(docs)
+    minhashSignatures(docs)
       .select(col("doc_id"), col("lang"),
         posexplode(array(band0, band1)).as(Seq("band_idx", "band_key")))
+  }
+
+  def minhashPairsOn(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val sigs = bandKeys(docs)
     val a = sigs.select(col("lang").as("lang_a"), col("band_idx").as("bi_a"),
       col("band_key").as("bk_a"), col("doc_id").as("doc_a"))
     val b = sigs.select(col("lang").as("lang_b"), col("band_idx").as("bi_b"),
@@ -539,7 +545,87 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Benchmark decontamination — drop from the TRAINING corpus every
+    * document sharing any word n-gram (n=4 here for a measurable hit
+    * rate on the synthetic corpus; production pipelines use 8–13) with
+    * the EVALUATION set (docs with doc_id % 50 == 0 — the held-out
+    * benchmark stand-in). The n-gram pass is the codegen posexplode+lead
+    * shape; shingles join on xxhash64 keys (8-byte longs, not strings)
+    * as in [[ngramJaccardPairs]]. The eval shingle set is a sliver of
+    * the corpus — at 100 TB a benchmark suite is MBs — so the
+    * contamination probe BROADCASTS it against the train shingle
+    * stream; the corpus itself never shuffles for the probe. */
+  def decontaminatedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isEval = col("doc_id") % 50 === 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), concat(
+          col("word"), lit(" "), lead(col("word"), 1).over(w), lit(" "),
+          lead(col("word"), 2).over(w), lit(" "), lead(col("word"), 3).over(w))
+        .as("ng"))
+      .filter(col("ng").isNotNull) // concat is null-out past the doc tail
+      .select(col("doc_id"), xxhash64(col("ng")).as("g"))
+    val evalGrams = grams.filter(isEval).select(col("g")).distinct()
+    val contaminated = grams.filter(!isEval)
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+    docs.filter(!isEval)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** Incremental near-dedup — the nightly-ingest shape: a NEW batch
+    * (sources src10..src19) deduped against the already-curated BASE
+    * corpus (src0..src9) without ever re-pairing the base against
+    * itself. A Bloom filter over the base's LSH band keys (built once
+    * per batch; ~1.2 MB per million keys at 1% fpp, broadcast to the
+    * new-batch scan) acts as a row-level prefilter: most new docs miss
+    * every base bucket and skip the band join entirely. Survivors
+    * equi-join the base bands and are EXACTLY verified by word-set
+    * Jaccard, so Bloom false positives cost work, never correctness —
+    * the output is bit-identical to the filterless plan (pinned by
+    * ExtSpec against the oracle's filterless formulation). At 100 TB
+    * the probe side of the band join only ever carries batch-sized
+    * input, and the base is touched by one scan to build the filter
+    * plus the candidate fetch. */
+  def incrementalCleaned(spark: SparkSession, sfDir: String,
+                         threshold: Double = 0.9): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val srcNum = expr("cast(substring(source, 4) as int)")
+    val base = docs.filter(srcNum < 10)
+    val fresh = docs.filter(srcNum >= 10)
+    val key = concat_ws(":", col("lang"), col("band_idx"), col("band_key"))
+    val baseBands = bandKeys(base).withColumn("bk", key)
+    val bloom = baseBands.stat.bloomFilter("bk", 1L << 20, 0.01)
+    val bloomRef = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomRef.value.mightContain(s))
+    val cand = bandKeys(fresh).withColumn("bk", key)
+      .filter(mightContain(col("bk")))
+      .select(col("doc_id").as("doc_n"), col("bk"))
+      .join(baseBands.select(col("bk"), col("doc_id").as("doc_b")), "bk")
+      .select(col("doc_n"), col("doc_b")).distinct()
+    // Exact verify: fetch word sets for the (tiny) candidate set via
+    // shuffle-hash joins — same no-corpus-broadcast contract as
+    // [[minhashPairsOn]].
+    val docsW = minhashWords(docs)
+    val dropped = cand.hint("shuffle_hash")
+      .join(docsW.select(col("doc_id").as("doc_n"), col("w").as("wn")), "doc_n")
+      .hint("shuffle_hash")
+      .join(docsW.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+      .withColumn("common", expr("size(array_intersect(wn, wb))"))
+      .filter(col("common").cast("double") /
+        (expr("size(wn) + size(wb)") - col("common")) >= threshold)
+      .select(col("doc_n").as("doc_id")).distinct()
+    fresh.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_decontaminate" -> decontaminatedCorpus _,
+    "dedup_incremental" -> ((s: SparkSession, d: String) => incrementalCleaned(s, d)),
     "dedup_exact" -> exactDedup _,
     "dedup_cleaned" -> cleanedCorpus _,
     "dedup_cleaned_near" -> cleanedNearCorpus _,
@@ -551,24 +637,30 @@ object Dedup {
     "dedup_embedding" -> embeddingNearDups _,
   )
 
-  /** Shared DuckDB CTE mirroring the [[minhashPairs]] pipeline exactly;
-    * terminates in `jacp(doc_a, doc_b, jac)` — the verified near-dup
-    * pairs — reused by the three minhash-derived oracles. */
-  private[ext] val minhashOracleCte: String =
+  /** DuckDB CTE for the per-doc band keys (carries `source` for the
+    * incremental-ingest oracle); terminates in
+    * `bands(doc_id, lang, source, w, b0, b1)`. */
+  private[ext] val minhashBandsCte: String =
     """ws AS (
-      |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w FROM documents),
+      |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS w FROM documents),
       |xs AS (
-      |  SELECT doc_id, lang, w,
+      |  SELECT doc_id, lang, source, w,
       |    list_transform(w, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS x FROM ws),
       |sig AS (
-      |  SELECT doc_id, lang, w,
+      |  SELECT doc_id, lang, source, w,
       |    list_transform(range(1, 17), i ->
       |      list_min(list_transform(x, v ->
       |        ((1000003 * i) % 1000000007 * v + (7919 * i * i + 12345) % 1000000007) % 2147483647))) AS s
       |  FROM xs),
       |bands AS (
-      |  SELECT doc_id, lang, w,
-      |    array_to_string(s[1:8], '-') AS b0, array_to_string(s[9:16], '-') AS b1 FROM sig),
+      |  SELECT doc_id, lang, source, w,
+      |    array_to_string(s[1:8], '-') AS b0, array_to_string(s[9:16], '-') AS b1 FROM sig)""".stripMargin
+
+  /** Shared DuckDB CTE mirroring the [[minhashPairs]] pipeline exactly;
+    * terminates in `jacp(doc_a, doc_b, jac)` — the verified near-dup
+    * pairs — reused by the minhash-derived oracles. */
+  private[ext] val minhashOracleCte: String =
+    s"""$minhashBandsCte,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.w AS wa, b.w AS wb
       |  FROM bands a JOIN bands b
@@ -582,6 +674,31 @@ object Dedup {
       |  WHERE jac >= 0.9)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_decontaminate" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |shingles AS (
+        |  SELECT doc_id, array_to_string(list_slice(w, i, i + 3), ' ') AS ng
+        |  FROM words, UNNEST(range(1, len(w) - 2)) AS t(i)),
+        |ev AS (SELECT DISTINCT ng FROM shingles WHERE doc_id % 50 = 0),
+        |cont AS (
+        |  SELECT DISTINCT s.doc_id FROM shingles s JOIN ev USING (ng)
+        |  WHERE s.doc_id % 50 <> 0)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $minhashBandsCte,
+         |newb AS (SELECT * FROM bands WHERE CAST(substr(source, 4) AS INT) >= 10),
+         |base AS (SELECT * FROM bands WHERE CAST(substr(source, 4) AS INT) < 10),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id, n.w AS wn, b.w AS wb
+         |  FROM newb n JOIN base b ON n.lang = b.lang AND (n.b0 = b.b0 OR n.b1 = b.b1)),
+         |dropped AS (
+         |  SELECT DISTINCT doc_id FROM cand
+         |  WHERE CAST(len(list_intersect(wn, wb)) AS DOUBLE)
+         |    / (len(wn) + len(wb) - len(list_intersect(wn, wb))) >= 0.9)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE CAST(substr(source, 4) AS INT) >= 10
+         |  AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keeper,
         |  CAST(COUNT(*) AS BIGINT) AS n_copies

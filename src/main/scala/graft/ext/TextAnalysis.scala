@@ -258,7 +258,97 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * duplicate-word fraction and the most-frequent-bigram share of each
+    * document — the cheap repetition filters that catch boilerplate and
+    * degenerate generations before expensive dedup. Word stats are
+    * map-side; the bigram pass is the codegen posexplode+lead shape
+    * ([[bigramFrequency]]) with two per-doc hash aggregates — shuffles
+    * keyed by doc_id only, never corpus-global. Docs with fewer than two
+    * words surface with zero bigram stats rather than dropping. */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val docs = Tables.documents(spark, sfDir)
+    val wordStats = docs.selectExpr(
+      "doc_id",
+      s"cast($nTokens as bigint) as n_words",
+      "cast(size(array_distinct(split(text, ' '))) as bigint) as n_uniq")
+    val bigramStats = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"),
+        concat(col("word"), lit(" "), lead(col("word"), 1).over(w)).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    wordStats.join(bigramStats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"), col("n_uniq"),
+        ((col("n_words") - col("n_uniq")).cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"))
+  }
+
+  /** PII patterns shared by the scrub operator and its oracle: the
+    * ASCII-safe common subset of Java regex and RE2 (no lookaround, no
+    * backrefs) so both engines match identically. */
+  private[ext] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ext] val ipRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[ext] val phoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII redaction — the compliance pass every training corpus runs
+    * before packing: count and replace emails, IPv4 addresses, and
+    * US-style phone numbers with typed placeholder tags. Counts are
+    * taken on the ORIGINAL text; redaction applies email → IP → phone
+    * in a fixed order so overlapping matches resolve identically on
+    * every engine. Pure map-side regex (codegen'd), zero shuffles —
+    * scan-speed at 100 TB. The driver corpus is synthetic word-salad
+    * (zero genuine PII, so counts are all 0 and clean_text = text);
+    * the redaction semantics are pinned by ExtSpec on planted PII
+    * through this same function. */
+  def piiScrubOn(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("int").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(ipRe), lit(0))).cast("int").as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("int").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>").as("clean_text"))
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrubOn(Tables.documents(spark, sfDir))
+
+  /** Token-budget sequence packing — the concat-then-chunk layout
+    * (GPT-style) that turns a curated corpus into fixed-length training
+    * sequences: documents are concatenated in deterministic doc_id
+    * order within a shard and cut every `seqLen` tokens; a document
+    * crossing a cut spans multiple sequences. Emits each doc's shard,
+    * token count, and first/last sequence index — the manifest a
+    * packing writer consumes. Shards bound the window sort: the running
+    * sum is per-shard (shard = doc_id mod nShards), so at 100 TB the
+    * cumulative-sum window never sees more than corpus/nShards rows and
+    * shards pack in parallel; nShards scales with the cluster, and
+    * cross-shard boundaries cost at most nShards partial sequences. */
+  def packSequences(spark: SparkSession, sfDir: String,
+                    seqLen: Int = 512, nShards: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"doc_id % $nShards as shard",
+        s"cast($nTokens as bigint) as n_tokens")
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .selectExpr("doc_id", "shard", "n_tokens",
+        s"(cum - n_tokens) div $seqLen as seq_first",
+        s"(cum - 1) div $seqLen as seq_last",
+        s"(cum - 1) div $seqLen - (cum - n_tokens) div $seqLen + 1 as n_seqs")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> repetitionSignals _,
+    "text_pii_scrub" -> piiScrub _,
+    "text_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "text_curated_corpus" -> curatedCorpus _,
     "text_perplexity" -> bigramPerplexity _,
     "text_sample_mixture" -> ((s: SparkSession, d: String) => sampleMixture(s, d)),
@@ -276,6 +366,51 @@ object TextAnalysis {
   private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id,
+         |    CAST($nTokensSql AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |    LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+         |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+         |bgs AS (
+         |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+         |    CAST(SUM(c) AS BIGINT) AS n_bigrams
+         |  FROM bgc GROUP BY doc_id)
+         |SELECT ws.doc_id, ws.n_words, ws.n_uniq,
+         |  CAST(ws.n_words - ws.n_uniq AS DOUBLE) / ws.n_words AS dup_word_frac,
+         |  coalesce(bgs.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(bgs.top_bigram_n, 0) AS top_bigram_n,
+         |  CAST(bgs.top_bigram_n AS DOUBLE) / bgs.n_bigrams AS top_bigram_frac
+         |FROM ws LEFT JOIN bgs ON ws.doc_id = bgs.doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$emailRe')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ipRe')) AS INTEGER) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS INTEGER) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'), '$phoneRe', '<PHONE>', 'g')
+         |    AS clean_text
+         |FROM documents""".stripMargin,
+    "text_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 4 AS shard,
+         |    CAST($nTokensSql AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first,
+         |  CAST((cum - 1) // 512 AS BIGINT) AS seq_last,
+         |  CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
+         |FROM c""".stripMargin,
     "text_token_stats" ->
       s"""SELECT doc_id,
          |  CAST($nTokensSql AS INTEGER) AS n_tokens,
