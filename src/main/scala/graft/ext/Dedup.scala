@@ -555,8 +555,13 @@ object Dedup {
     * the corpus — at 100 TB a benchmark suite is MBs — so the
     * contamination probe BROADCASTS it against the train shingle
     * stream; the corpus itself never shuffles for the probe. */
-  def decontaminatedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  def decontaminatedCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    decontaminatedCorpusOn(Tables.documents(spark, sfDir))
+
+  /** [[decontaminatedCorpus]] over an explicit documents frame — the
+    * operator body, exposed so ExtSpec can plant a known contaminated
+    * doc and assert exactly it is dropped. */
+  def decontaminatedCorpusOn(docs: DataFrame): DataFrame = {
     val isEval = col("doc_id") % 50 === 0
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -592,8 +597,15 @@ object Dedup {
     * input, and the base is touched by one scan to build the filter
     * plus the candidate fetch. */
   def incrementalCleaned(spark: SparkSession, sfDir: String,
-                         threshold: Double = 0.9): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+                         threshold: Double = 0.9): DataFrame =
+    incrementalCleanedOn(Tables.documents(spark, sfDir), threshold)
+
+  /** [[incrementalCleaned]] over an explicit documents frame — exposed
+    * so ExtSpec can plant cross-batch near-dups and pin the
+    * Bloom-prefilter result-neutrality contract. */
+  def incrementalCleanedOn(docs: DataFrame,
+                           threshold: Double = 0.9): DataFrame = {
+    val spark = docs.sparkSession
     val srcNum = expr("cast(substring(source, 4) as int)")
     val base = docs.filter(srcNum < 10)
     val fresh = docs.filter(srcNum >= 10)

@@ -157,7 +157,82 @@ object Similarity {
         col("mean"), col("n_members"))
   }
 
+  /** Product-quantization encode (Jégou et al. 2011): split the 64-d
+    * vector into 8 subspaces of 8 dims; quantize each subspace to the
+    * nearest of 16 codewords (the subvectors of vec_id < 16 — a
+    * deterministic stand-in for per-subspace k-means, which would be an
+    * offline [[ivfTrainStep]]-style job). Emits the long-form code
+    * relation (vec_id, s, code_id, dist). 8 codes × 4 bits replace 256
+    * bytes of floats — the 64× compression that lets a 100 TB corpus'
+    * index live in cluster memory. Shape: corpus scan × broadcast
+    * codebook (16 rows), all distances computed in ONE map-side pass
+    * (8 explicit left-associated squared-diff sums — identical IEEE
+    * evaluation order on both engines, then rounded to 6 dp with
+    * code_id tiebreaks), argmin per (vec_id, subspace) via row_number
+    * over the 16 candidates. */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("v").as("cv")))
+    def subDist(s: Int): org.apache.spark.sql.Column = {
+      val terms = (1 to 8).map { j =>
+        val i = s * 8 + j
+        s"(element_at(v,$i)-element_at(cv,$i))*(element_at(v,$i)-element_at(cv,$i))"
+      }
+      round(expr(terms.mkString(" + ")), 6)
+    }
+    val wMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("dist").asc, col("code_id").asc)
+    e.join(cents)
+      .select(col("vec_id"), col("code_id"),
+        posexplode(array((0 until 8).map(subDist): _*)).as(Seq("s", "dist")))
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s").cast("int").as("s"), col("code_id"), col("dist"))
+  }
+
+  /** PQ asymmetric-distance top-k (the ADC serving path): queries
+    * (16 ≤ vec_id < 21) build an 8×16 distance table against the
+    * codebook (tiny — broadcast), candidates are ranked by the SUM of
+    * table entries at their stored codes — the corpus' float vectors
+    * are never touched at query time, only the 8-code relation.
+    * Per-entry distances are 6-dp-rounded doubles; the 8-term sum runs
+    * in DECIMAL(18,6) so accumulation order cannot drift across
+    * engines. k=10 with (adist, cand_id) tiebreaks. */
+  def pqTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val codes = pqCodes(spark, sfDir)
+      .select(col("vec_id").as("cand_id"), col("s"), col("code_id"))
+    val e = vecs(spark, sfDir)
+    val cents = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("v").as("cv")))
+    def subDist(s: Int): org.apache.spark.sql.Column = {
+      val terms = (1 to 8).map { j =>
+        val i = s * 8 + j
+        s"(element_at(qv,$i)-element_at(cv,$i))*(element_at(qv,$i)-element_at(cv,$i))"
+      }
+      round(expr(terms.mkString(" + ")), 6)
+    }
+    val dtable = broadcast(
+      e.filter(col("vec_id") >= 16 && col("vec_id") < 21)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .join(cents)
+        .select(col("query_id"), col("code_id"),
+          posexplode(array((0 until 8).map(subDist): _*)).as(Seq("s", "qdist"))))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adist").asc, col("cand_id").asc)
+    codes.join(dtable, Seq("s", "code_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("qdist").cast("decimal(18,6)")).cast("double").as("adist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("adist"),
+        col("rk").cast("int").as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_encode" -> pqCodes _,
+    "sim_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
     "sim_lsh_buckets" -> lshBuckets _,
     "sim_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
@@ -177,7 +252,53 @@ object Similarity {
       |    v[i] * (((p + 1) * 131 + (i - 1) * 137) % 997 - 498))) >= 0
       |  THEN CAST(2 ** p AS INTEGER) ELSE 0 END))""".stripMargin
 
+  /** The 8 explicit squared-diff terms of one PQ subspace distance —
+    * generated with the same left-associated `+` chain as the Spark
+    * side so both engines evaluate IEEE-identically. */
+  private def pqTermsSql(vexpr: String, cexpr: String): String =
+    (1 to 8).map { j =>
+      s"($vexpr[ss.s*8+$j]-$cexpr[ss.s*8+$j])*($vexpr[ss.s*8+$j]-$cexpr[ss.s*8+$j])"
+    }.mkString(" + ")
+
+  private def pqEncodeCte: String =
+    s"""c AS (SELECT vec_id AS code_id, v AS cv FROM e WHERE vec_id < 16),
+       |ss AS (SELECT unnest(range(0, 8)) AS s),
+       |d AS (
+       |  SELECT e.vec_id, c.code_id, ss.s,
+       |    round(${pqTermsSql("e.v", "c.cv")}, 6) AS dist
+       |  FROM e CROSS JOIN c CROSS JOIN ss),
+       |codes AS (
+       |  SELECT vec_id, s, code_id, dist FROM (
+       |    SELECT vec_id, s, code_id, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |        ORDER BY dist ASC, code_id ASC) AS rn
+       |    FROM d)
+       |  WHERE rn = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "sim_pq_encode" ->
+      s"""WITH $oracleVecs,
+         |$pqEncodeCte
+         |SELECT vec_id, CAST(s AS INTEGER) AS s, code_id, dist FROM codes""".stripMargin,
+    "sim_pq_topk" ->
+      s"""WITH $oracleVecs,
+         |$pqEncodeCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id >= 16 AND vec_id < 21),
+         |dt AS (
+         |  SELECT q.query_id, c.code_id, ss.s,
+         |    round(${pqTermsSql("q.qv", "c.cv")}, 6) AS qdist
+         |  FROM q CROSS JOIN c CROSS JOIN ss)
+         |SELECT query_id, cand_id, adist, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT query_id, cand_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, cand_id ASC) AS rk
+         |  FROM (
+         |    SELECT dt.query_id, codes.vec_id AS cand_id,
+         |      CAST(SUM(CAST(qdist AS DECIMAL(18,6))) AS DOUBLE) AS adist
+         |    FROM codes JOIN dt ON codes.s = dt.s AND codes.code_id = dt.code_id
+         |    WHERE dt.query_id <> codes.vec_id
+         |    GROUP BY dt.query_id, codes.vec_id))
+         |WHERE rk <= 10""".stripMargin,
     "sim_ivf_train_step" ->
       s"""WITH $oracleVecs,
          |c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e WHERE vec_id < 16),

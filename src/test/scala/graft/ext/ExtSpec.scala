@@ -189,4 +189,69 @@ class ExtSpec extends SparkSpec {
     val samples = vid.getSeq[Int](vid.fieldIndex("frame_samples"))
     assert(samples.nonEmpty && samples.length <= 6)
   }
+
+  test("pii scrub: planted email/ip/phone are counted and redacted; clean text untouched") {
+    val d = docs(
+      (0L, "contact alice.smith@example.com or 192.168.1.250 via 555-867-5309 x", "en"),
+      (1L, "no personal data in this perfectly ordinary sentence at all", "en"))
+    val out = TextAnalysis.piiScrubOn(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val dirty = out(0L)
+    assert(dirty.getInt(dirty.fieldIndex("n_emails")) == 1)
+    assert(dirty.getInt(dirty.fieldIndex("n_ips")) == 1)
+    assert(dirty.getInt(dirty.fieldIndex("n_phones")) == 1)
+    val cleaned = dirty.getString(dirty.fieldIndex("clean_text"))
+    assert(cleaned == "contact <EMAIL> or <IP> via <PHONE> x")
+    val clean = out(1L)
+    assert(clean.getInt(clean.fieldIndex("n_emails")) == 0)
+    assert(clean.getString(clean.fieldIndex("clean_text")) ==
+      "no personal data in this perfectly ordinary sentence at all")
+  }
+
+  test("decontamination: a train doc sharing a 4-gram with the eval slice drops; others keep") {
+    // doc 0 is eval (doc_id % 50 == 0); doc 1 shares the 4-gram
+    // "alpha beta gamma delta"; doc 2 shares at most 3-grams.
+    val d = docs(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+      (1L, "totally new prefix alpha beta gamma delta something else", "en"),
+      (2L, "alpha beta gamma other delta epsilon words here", "en"))
+    val kept = Dedup.decontaminatedCorpusOn(d).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("incremental near-dedup: bloom prefilter is result-neutral vs planted expectations") {
+    import spark.implicits._
+    // base (src0): one doc; new batch: src10 doc near-dups it (identical
+    // word set → jaccard 1.0), src11 doc is unrelated and survives.
+    val d = Seq(
+      (0L, "spark table scan join filter group merge sort window batch", "en", "src0"),
+      (100L, "spark table scan join filter group merge sort window batch", "en", "src10"),
+      (101L, "entirely unrelated vocabulary with nothing shared at all here", "en", "src11"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val kept = Dedup.incrementalCleanedOn(d).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L))
+  }
+
+  test("pq: codebook vectors encode to themselves with zero distance") {
+    val self = Similarity.pqCodes(spark, sfDir)
+      .filter(col("vec_id") < 16).collect()
+    assert(self.length == 16 * 8)
+    assert(self.forall { r =>
+      r.getLong(r.fieldIndex("code_id")) == r.getLong(r.fieldIndex("vec_id")) &&
+        r.getDouble(r.fieldIndex("dist")) == 0.0
+    })
+  }
+
+  test("pq adc top-k: k rows per query, ranked by ascending approximate distance") {
+    val rows = Similarity.pqTopK(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(16L, 17L, 18L, 19L, 20L))
+    byQuery.values.foreach { qs =>
+      assert(qs.length == 10)
+      val ordered = qs.sortBy(_.getInt(3))
+      assert(ordered.map(r => r.getDouble(r.fieldIndex("adist"))).toSeq ==
+        ordered.map(r => r.getDouble(r.fieldIndex("adist"))).sorted.toSeq)
+    }
+  }
 }
