@@ -45,4 +45,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // re-Janino-compile and re-JIT the same stages (measured as multi-
   // second bimodal per-query variance). Size it to hold the suite.
   "-Dspark.sql.codegen.cache.maxEntries=5000",
-)
+) ++ sys.env.get("SPARK_GRAFT_JVM_DIAG").toSeq.flatMap(_ => Seq(
+  // transient JIT diagnosis (set SPARK_GRAFT_JVM_DIAG=1): timestamped
+  // compile/deopt events on stdout to correlate with slow bench runs
+  "-XX:+PrintCompilation"))

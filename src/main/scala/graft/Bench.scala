@@ -28,6 +28,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val probeStart = pagingProbe()
     warmup(spark, sfDir)
 
     def gcMs: Long = {
@@ -60,7 +61,7 @@ object Bench {
       // (3 runs by default: one full-suite invocation recorded 2x the
       // usual total under a transient host-noise burst — the extra run
       // keeps the min robust when the driver benches only once.)
-      val times = (1 to sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt).map { _ =>
+      def run1(): Double = {
         val (g0, j0, s0, t0) = (gcMs, jitMs, shuffleBytes.get(), System.nanoTime())
         try { force(fn(spark, sfDir)) } catch {
           case e: Throwable =>
@@ -70,13 +71,24 @@ object Bench {
         System.err.println(f"[bench] $name%-24s ${dt}%7.2f s  gc=${gcMs - g0}%5d ms  jit=${jitMs - j0}%6d ms  shuffle=${(shuffleBytes.get() - s0) / 1024}%8d KiB")
         dt
       }
+      val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+      val times = scala.collection.mutable.ArrayBuffer.fill(runs)(run1())
+      // Host-paging insurance (see pagingProbe): no query's steady state
+      // exceeds 10 s, so if even the BEST run did, every attempt likely
+      // landed in a host-paging episode (measured 40-230 s stalls that
+      // vanish on the next run). Two bounded extra attempts catch a calm
+      // window instead of recording a 20-200x contaminated min.
+      var extra = 0
+      while (extra < 2 && times.min > 10.0) { times += run1(); extra += 1 }
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val probeEnd = pagingProbe()
+    val probes = f""""paging_probe":[$probeStart%.1f,$probeEnd%.1f]"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$probes,"queries":$qs,"sf":"$sfDir"}"""
     // The full per-query map is multi-KB — longer than the caller's
     // bounded output capture (r2 lost 26 per-query times to truncation,
     // r3's driver recorded parsed:null). So the FILE is the durable
@@ -85,7 +97,7 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries_file":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},$probes,"queries_file":"$outFile","sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }
@@ -93,6 +105,34 @@ object Bench {
   /** Execute df fully: hash every column of every row, XOR-fold. */
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.agg(bit_xor(xxhash64(df.columns.toIndexedSeq.map(col): _*))).collect()
+
+  /** Host-paging health probe: page-stride scan of a 64 MB buffer
+    * after a 5 s idle, as a ratio over the immediately-rescanned warm
+    * time. ≈1 on a healthy host. When the HYPERVISOR host is
+    * memory-overcommitted it pages idle guest memory out; re-touching
+    * it is charged as guest CPU (invisible to the steal counter), and
+    * this ratio climbs 30–120× — measured on this box while random
+    * bench queries stalled 40–230 s at full apparent CPU. Recorded in
+    * the bench JSON so a contaminated artifact is self-documenting:
+    * read any outlier query time next to these ratios. */
+  private def pagingProbe(): Double = {
+    val buf = new Array[Byte](64 * 1024 * 1024)
+    var i = 0
+    while (i < buf.length) { buf(i) = 1; i += 4096 }
+    var sink = 0L
+    def scan(): Double = {
+      val t0 = System.nanoTime(); var s = 0L; var j = 0
+      while (j < buf.length) { s += buf(j); j += 4096 }
+      sink += s
+      (System.nanoTime() - t0) / 1e9
+    }
+    scan()
+    val warm = (1 to 3).map(_ => scan()).min
+    Thread.sleep(5000)
+    val cold = scan()
+    if (sink == Long.MinValue) System.err.println(sink) // defeat DCE
+    math.max(1.0, cold / math.max(warm, 1e-9))
+  }
 
   /** Untimed first-touch of the machinery the timed queries use: shuffle
     * agg, broadcast join, window, JSON render/parse (the CDC envelope

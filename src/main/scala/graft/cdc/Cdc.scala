@@ -95,7 +95,11 @@ object Cdc {
       .select(col("__ev.after.*"))
 
   /** Inverse of decode, for egress tests: render rows as Debezium-shaped
-    * JSON envelopes (JsonConverter analog, pg-source-config.json:13). */
+    * JSON envelopes (JsonConverter analog, pg-source-config.json:13).
+    * Null fields are rendered EXPLICITLY (`"before":null`), matching
+    * Connect's JsonConverter (README.md:264-293 shows explicit nulls) —
+    * and keeping the decode side off Spark's per-row missing-field
+    * defaults path (ResolveDefaultColumns work per parsed row). */
   def encodeInserts(rows: DataFrame, tsMs: Column, lsn: Column): DataFrame =
     rows.select(to_json(struct(
       struct(
@@ -111,5 +115,5 @@ object Cdc {
         lit("c").as("op"), tsMs.as("ts_ms"),
         lit(null).cast("string").as("transaction")
       ).as("payload")
-    )).as("value"))
+    ), Map("ignoreNullFields" -> "false")).as("value"))
 }

@@ -605,34 +605,68 @@ object Dedup {
     * Bloom-prefilter result-neutrality contract. */
   def incrementalCleanedOn(docs: DataFrame,
                            threshold: Double = 0.9): DataFrame = {
-    val spark = docs.sparkSession
     val srcNum = expr("cast(substring(source, 4) as int)")
-    val base = docs.filter(srcNum < 10)
     val fresh = docs.filter(srcNum >= 10)
-    val key = concat_ws(":", col("lang"), col("band_idx"), col("band_key"))
-    val baseBands = bandKeys(base).withColumn("bk", key)
-    val bloom = baseBands.stat.bloomFilter("bk", 1L << 20, 0.01)
-    val bloomRef = spark.sparkContext.broadcast(bloom)
+    val index = buildBaseIndex(docs.filter(srcNum < 10))
+    fresh.join(dedupAgainstIndex(fresh, index, threshold),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** The base corpus' dedup index: its LSH band relation (with word
+    * sets for the verify stage) plus a Bloom filter over the band keys
+    * (~1.2 MB per million keys at 1% fpp, broadcast). Built ONCE and
+    * probed by every incoming batch — [[graft.streaming.StreamingDedup]]
+    * holds one per stream and probes it from each micro-batch;
+    * [[incrementalCleanedOn]] builds one per call. The bands frame is
+    * persisted (re-scanned per probe); call [[BaseIndex.unpersist]]
+    * when done. */
+  final case class BaseIndex(
+      bands: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) {
+    def unpersist(): Unit = bands.unpersist()
+  }
+
+  private def bandKeyCol = concat_ws(":", col("lang"), col("band_idx"), col("band_key"))
+
+  def buildBaseIndex(base: DataFrame): BaseIndex = {
+    val bands = bandKeys(base).withColumn("bk", bandKeyCol)
+      .join(minhashWords(base), "doc_id")
+      .select(col("doc_id"), col("bk"), col("w"))
+      .persist()
+    val bloom = bands.stat.bloomFilter("bk", 1L << 20, 0.01)
+    BaseIndex(bands, base.sparkSession.sparkContext.broadcast(bloom))
+  }
+
+  /** doc_ids of `fresh` docs with a verified (word-set Jaccard ≥
+    * threshold) near-duplicate in the indexed base. The broadcast Bloom
+    * filter prefilters the fresh band stream ROW-level: misses skip the
+    * band join entirely, and false positives are caught by the exact
+    * verify, so the result is bit-identical to the filterless
+    * formulation. One body serves batch ([[incrementalCleanedOn]]) and
+    * streaming ([[graft.streaming.StreamingDedup]] re-plans it per
+    * micro-batch via foreachBatch). */
+  def dedupAgainstIndex(fresh: DataFrame, index: BaseIndex,
+                        threshold: Double = 0.9): DataFrame = {
+    val bloomRef = index.bloom
     val mightContain = udf((s: String) => s != null && bloomRef.value.mightContain(s))
-    val cand = bandKeys(fresh).withColumn("bk", key)
+    val cand = bandKeys(fresh).withColumn("bk", bandKeyCol)
       .filter(mightContain(col("bk")))
       .select(col("doc_id").as("doc_n"), col("bk"))
-      .join(baseBands.select(col("bk"), col("doc_id").as("doc_b")), "bk")
-      .select(col("doc_n"), col("doc_b")).distinct()
-    // Exact verify: fetch word sets for the (tiny) candidate set via
-    // shuffle-hash joins — same no-corpus-broadcast contract as
-    // [[minhashPairsOn]].
-    val docsW = minhashWords(docs)
-    val dropped = cand.hint("shuffle_hash")
-      .join(docsW.select(col("doc_id").as("doc_n"), col("w").as("wn")), "doc_n")
-      .hint("shuffle_hash")
-      .join(docsW.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+      .join(index.bands.select(col("bk"), col("doc_id").as("doc_b"),
+        col("w").as("wb")), "bk")
+      .select(col("doc_n"), col("doc_b"), col("wb")).distinct()
+    // Exact verify: fetch the fresh side's word sets for the (tiny)
+    // candidate set via a shuffle-hash join — same no-corpus-broadcast
+    // contract as [[minhashPairsOn]]; the base side's word sets ride
+    // the index.
+    cand.hint("shuffle_hash")
+      .join(minhashWords(fresh).select(col("doc_id").as("doc_n"),
+        col("w").as("wn")), "doc_n")
       .withColumn("common", expr("size(array_intersect(wn, wb))"))
       .filter(col("common").cast("double") /
         (expr("size(wn) + size(wb)") - col("common")) >= threshold)
       .select(col("doc_n").as("doc_id")).distinct()
-    fresh.join(dropped, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   * min, max, count, dcount, countif, arg_max, arg_min. Scalar
   * expressions pass through Spark SQL after translating the KQL
   * operator spellings (`==`, `!=`, `=~`, `contains`, `startswith`,
-  * `endswith`, `bin`). `mv-expand <col>` desugars to the builder's
+  * `endswith`, `bin` — KQL's floor-to-multiple, translated to
+  * arithmetic since Spark's `bin` is binary-string rendering; group
+  * keys may be named, `by bucket = bin(amount, 20)`). `mv-expand
+  * <col>` desugars to the builder's
   * explode; `datatable(col:type, …)[values]` literals work as a
   * pipeline source, a tabular `let` body, and a `join` right side
   * (types: string/long/int/real/bool). A bare `join` is
@@ -369,9 +372,17 @@ object KqlParser {
     val aggs = splitTopLevel(aggPart, ',').map(a => aggItem(a.trim, lets))
     byPart match {
       case Some(by) =>
-        df.summarize(aggs, splitTopLevel(by, ',').map(s => expr(scalar(s.trim, lets))): _*)
+        df.summarize(aggs, splitTopLevel(by, ',').map(s => byItem(s.trim, lets)): _*)
       case None => df.summarize(aggs)
     }
+  }
+
+  /** One group key: `[name =] expr` — ADX allows naming computed keys
+    * (`by bucket = bin(amount, 20)`). The `!startsWith("=")` guard keeps
+    * comparison keys like `x == 3` out of the named branch. */
+  private def byItem(item: String, lets: Map[String, String]): Column = item match {
+    case NamedRe(n, b) if !b.startsWith("=") => expr(scalar(b.trim, lets)).as(n)
+    case _ => expr(scalar(item, lets))
   }
 
   /** One aggregate item: `[name =] fn(args)`; default names follow KQL
@@ -469,6 +480,23 @@ object KqlParser {
             // recurse with w out of scope: guards termination if a
             // rebinding made a body mention its own name
             out.append("(").append(scalar(lets(w), lets - w)).append(")"); i += w.length
+          case Some(w) if w.toLowerCase == "bin" && {
+              var j = i + w.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              j < s.length && s.charAt(j) == '('
+            } =>
+            // KQL bin(value, size) = floor-to-multiple. Spark SQL's own
+            // `bin` renders a binary STRING, so a pass-through would be
+            // silently wrong — translate to arithmetic, recursing into
+            // both arguments (they may reference lets or nested calls).
+            val open = s.indexOf('(', i + w.length)
+            val close = matchingParen(s, open)
+            val args = splitTopLevel(s.substring(open + 1, close), ',')
+              .map(a => scalar(a.trim, lets))
+            require(args.length == 2,
+              s"bin expects bin(value, size): ${s.substring(i, close + 1)}")
+            out.append(s"(floor((${args(0)}) / (${args(1)})) * (${args(1)}))")
+            i = close + 1
           case Some(w) =>
             val repl = w.toLowerCase match {
               case "contains"   => Some("ilike_contains") // marker, fixed up next

@@ -69,11 +69,15 @@ object CdcQueries {
       lit(snapshot).as("snapshot"), lit("inventory").as("db"),
       lit("inventory").as("schema"), lit("orders_info").as("table"),
       lsn.as("txId"), lsn.as("lsn"), lit(null).cast("long").as("xmin"))
+    // Explicit nulls ("schema":null, "before":null), matching Connect's
+    // JsonConverter output (README.md:264-293) — and keeping decode off
+    // Spark's per-row missing-field defaults path.
     to_json(struct(
       lit(null).cast("string").as("schema"),
       struct(before.as("before"), after.as("after"), src.as("source"),
         lit(op).as("op"), (lsn * 1000L).as("ts_ms"),
-        lit(null).cast("string").as("transaction")).as("payload"))).as("value")
+        lit(null).cast("string").as("transaction")).as("payload")),
+      Map("ignoreNullFields" -> "false")).as("value")
   }
 
   /** Insert-only event log (what the reference generator actually emits —

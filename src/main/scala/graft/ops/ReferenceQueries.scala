@@ -69,7 +69,16 @@ object ReferenceQueries {
       || join kind=inner (frequent) on custid
       || summarize total = sum(amount), n = count() by city""".stripMargin
 
+  /** `bin()` through the text front-end: the histogram-by-bucket shape
+    * every ADX dashboard uses (`summarize ... by bin(x, size)`), with a
+    * named computed group key and an ascending sort. */
+  val kqlBinText: String =
+    """Orders
+      || summarize n = count(), total = sum(amount) by bucket = bin(amount, 20)
+      || sort by bucket asc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_bin_histogram" -> kqlText(kqlBinText) _,
     "ref_avg_by_city"   -> avgSalesByCity _,
     "ref_total_by_city" -> totalSalesByCity _,
     "ref_count_by_city" -> orderCountByCity _,
@@ -81,6 +90,11 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kql_bin_histogram" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT CAST(floor(amount / 20) * 20 AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(amount) AS BIGINT) AS total
+         |FROM orders_info GROUP BY 1 ORDER BY bucket ASC""".stripMargin,
     "ref_avg_by_city" ->
       s"""${Sql.ordersInfoCte}
          |SELECT city, AVG(amount) AS avg_sales FROM orders_info GROUP BY city""".stripMargin,

@@ -310,4 +310,17 @@ class KqlSpec extends SparkSpec {
       KqlParser.run("let = 3; Orders | count", ordersReg)
     }
   }
+
+  test("parser: bin() is floor-to-multiple with a nameable group key, not Spark's binary-string bin") {
+    val reg = Map("T" -> Seq(95L, 100L, 105L, 200L, 219L).toDF("x"))
+    val out = KqlParser.run(
+      "T | summarize n = count() by b = bin(x, 100) | sort by b asc", reg)
+    assert(out.columns.toSeq == Seq("b", "n"))
+    assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq ==
+      Seq(0L -> 1L, 100L -> 2L, 200L -> 2L))
+    // bin args recurse through scalar(): a let-bound size substitutes
+    val out2 = KqlParser.run(
+      "let sz = 100;\nT | summarize n = count() by b = bin(x + 1, sz)", reg)
+    assert(out2.collect().map(r => r.getLong(0)).sorted.toSeq == Seq(0L, 100L, 200L))
+  }
 }
