@@ -650,6 +650,7 @@ object Dedup {
                         threshold: Double = 0.9): DataFrame = {
     val bloomRef = index.bloom
     val mightContain = udf((s: String) => s != null && bloomRef.value.mightContain(s))
+      .withName("mightContain")
     val cand = bandKeys(fresh).withColumn("bk", bandKeyCol)
       .filter(mightContain(col("bk")))
       .select(col("doc_id").as("doc_n"), col("bk"))

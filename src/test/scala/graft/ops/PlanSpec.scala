@@ -86,4 +86,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("max_by") || p.contains("HashAggregate") || p.contains("SortAggregate"))
     assert(!p.contains("row_number"), "latest-state must not sort every event")
   }
+
+  test("decontamination: eval shingles broadcast into the probe, corpus never sort-merged") {
+    // The benchmark suite is MBs at 100 TB — the probe must be a
+    // broadcast join against the train shingle stream, and the corpus
+    // must not be globally sorted for it.
+    val p = phys(graft.ext.Dedup.decontaminatedCorpus(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      "eval n-gram probe must broadcast:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-scale sort-merge in the probe:\n" + p.take(3000))
+  }
+
+  test("incremental dedup: bloom prefilter sits under the band join, base index reused") {
+    // The mightContain UDF must filter the fresh band stream BEFORE the
+    // join (rows that miss the base bloom never shuffle), and the base
+    // bands must come from the persisted index (InMemoryTableScan), not
+    // a re-derivation per probe.
+    val p = phys(graft.ext.Dedup.incrementalCleaned(spark, sfDir))
+    val filterIdx = p.indexOf("mightContain")
+    assert(filterIdx >= 0, "bloom prefilter must appear in the plan:\n" + p.take(3000))
+    assert(p.contains("InMemoryTableScan"),
+      "base band index must be the persisted relation:\n" + p.take(3000))
+  }
+
+  test("sequence packing: window partitions by shard — no single global sort of the corpus") {
+    val p = phys(graft.ext.TextAnalysis.packSequences(spark, sfDir))
+    assert(p.contains("Window"), p.take(2000))
+    // the sort under the window must be a per-shard partial sort, and
+    // the exchange hash-partitions on shard (no Exchange SinglePartition)
+    assert(p.contains("hashpartitioning(shard"),
+      "cumulative sum must be sharded:\n" + p.take(3000))
+    assert(!p.contains("SinglePartition"),
+      "no single-partition global window:\n" + p.take(3000))
+  }
 }
