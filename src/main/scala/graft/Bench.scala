@@ -16,8 +16,55 @@ import org.apache.spark.sql.functions._
   * A short untimed warmup (shuffle agg, broadcast join, window, parquet
   * scan) runs first so the first timed query doesn't absorb JVM/codegen/
   * parquet-reader initialization.
+  *
+  * Un-losable-artifact contract (r5 post-mortem: the driver's bench run
+  * hit its outer timeout under a host-paging episode and recorded
+  * rc=124 / parsed:null — an entire round with no performance number):
+  *   1. A JVM shutdown hook emits whatever has been accumulated so far
+  *      (file + one parseable stdout line, `"partial":true`), so a
+  *      SIGTERM/timeout can no longer lose the measurement.
+  *   2. Each query has a cumulative wall budget
+  *      (SPARK_GRAFT_BENCH_QUERY_BUDGET, default 60 s): once its
+  *      attempts have spent that long, the min-so-far is recorded with
+  *      a `suspect` flag and the bench MOVES ON — a paging episode can
+  *      inflate one query, not cascade into a driver-level timeout.
   */
 object Bench {
+  /** name -> (min seconds so far, suspect). Insertion-ordered; all
+    * access synchronized on `acc` (mutated by the bench loop, read by
+    * the shutdown hook). */
+  private val acc = new java.util.LinkedHashMap[String, (Double, Boolean)]()
+  @volatile private var probeStartV = -1.0
+  @volatile private var emittedFinal = false
+
+  /** Serialize current state and write file + stdout line. Safe to call
+    * from the shutdown hook at any point during the run. */
+  private def emit(probeEnd: Double, partial: Boolean, sfDir: String): Unit = {
+    val results = acc.synchronized {
+      import scala.jdk.CollectionConverters._
+      acc.entrySet().asScala.toVector.map(e => e.getKey -> e.getValue)
+    }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val suspects = results.collect { case (k, (_, true)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2._1).sum
+    val probes = f""""paging_probe":[$probeStartV%.1f,$probeEnd%.1f]"""
+    val partialField = if (partial) """"partial":true,""" else ""
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec",$partialField$probes,"suspect":$suspects,"queries":$qs,"sf":"$sfDir"}"""
+    // The full per-query map is multi-KB — longer than the caller's
+    // bounded output capture (r2 lost 26 per-query times to truncation,
+    // r3's driver recorded parsed:null). So the FILE is the durable
+    // full artifact, and stdout carries only a short, always-parseable
+    // total line (plus a pointer to the file).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},$partialField$probes,"suspect":$suspects,"queries_file":"$outFile","sf":"$sfDir"}""")
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,7 +75,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val probeStart = pagingProbe()
+    // If the process is killed (driver timeout, OOM-killer SIGTERM),
+    // publish the partial map — rc=124 must never again mean
+    // parsed:null. Probe-end is unmeasurable here (the probe needs a
+    // 5 s idle); -1 marks it absent.
+    val hook = new Thread(() => if (!emittedFinal) emit(-1.0, partial = true, sfDir))
+    Runtime.getRuntime.addShutdownHook(hook)
+
+    probeStartV = pagingProbe()
     warmup(spark, sfDir)
 
     def gcMs: Long = {
@@ -49,18 +103,18 @@ object Bench {
     // Optional comma-separated name filter (local iteration aid; the
     // driver leaves it unset and benches the full surface).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Per-query cumulative wall budget: once a query's attempts have
+    // spent this long, record min-so-far + suspect and move on.
+    val queryBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_BUDGET", "60").toDouble
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .foreach { case (name, fn) =>
       // Timed executions per query; report the min. Run-to-run
       // deltas here are Janino whole-stage-codegen compilation and JVM
       // JIT churn (measured: ~0 GC, multi-second jitter landing on
       // random queries), not data-path work — the min is the engine's
       // steady-state execution time, which is what an amortized
       // production deployment pays per micro-batch/query.
-      // (3 runs by default: one full-suite invocation recorded 2x the
-      // usual total under a transient host-noise burst — the extra run
-      // keeps the min robust when the driver benches only once.)
       def run1(): Double = {
         val (g0, j0, s0, t0) = (gcMs, jitMs, shuffleBytes.get(), System.nanoTime())
         try { force(fn(spark, sfDir)) } catch {
@@ -72,33 +126,32 @@ object Bench {
         dt
       }
       val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-      val times = scala.collection.mutable.ArrayBuffer.fill(runs)(run1())
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def record(): Unit = acc.synchronized {
+        // suspect = still above the 10 s steady-state ceiling when the
+        // attempts stopped (budget hit, or retries exhausted): the min
+        // likely reflects a host-paging episode, not the engine.
+        acc.put(name, (times.min, times.min > 10.0))
+      }
+      times += run1(); record()
+      while (times.size < runs && times.sum < queryBudget) { times += run1(); record() }
       // Host-paging insurance (see pagingProbe): no query's steady state
       // exceeds 10 s, so if even the BEST run did, every attempt likely
       // landed in a host-paging episode (measured 40-230 s stalls that
       // vanish on the next run). Two bounded extra attempts catch a calm
-      // window instead of recording a 20-200x contaminated min.
+      // window instead of recording a 20-200x contaminated min — but
+      // never past the query budget (r5: retrying an already-stalled
+      // query up to 5x pushed the whole bench past the driver timeout).
       var extra = 0
-      while (extra < 2 && times.min > 10.0) { times += run1(); extra += 1 }
-      name -> times.min
+      while (extra < 2 && times.min > 10.0 && times.sum < queryBudget) {
+        times += run1(); record(); extra += 1
+      }
+      record()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     val probeEnd = pagingProbe()
-    val probes = f""""paging_probe":[$probeStart%.1f,$probeEnd%.1f]"""
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec",$probes,"queries":$qs,"sf":"$sfDir"}"""
-    // The full per-query map is multi-KB — longer than the caller's
-    // bounded output capture (r2 lost 26 per-query times to truncation,
-    // r3's driver recorded parsed:null). So the FILE is the durable
-    // full artifact, and stdout carries only a short, always-parseable
-    // total line (plus a pointer to the file).
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},$probes,"queries_file":"$outFile","sf":"$sfDir"}""")
-    System.out.flush()
+    emittedFinal = true
+    emit(probeEnd, partial = false, sfDir)
+    try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => () }
     spark.stop()
   }
 

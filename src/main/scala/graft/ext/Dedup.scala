@@ -303,6 +303,13 @@ object Dedup {
     var prevSum: java.math.BigDecimal = null
     var iters = 0
     var done = false
+    // Convergence cap: label propagation halves the frontier per double
+    // step, so 32 rounds covers any graph with diameter < 2^32 — a cap
+    // hit means something is broken, and aborting beats looping forever.
+    // Env-tunable so a bench context can trade a lower cap (fail fast
+    // under a host-paging episode, where each round costs minutes)
+    // without touching the production default.
+    val maxIters = sys.env.getOrElse("SPARK_GRAFT_CC_MAX_ITERS", "32").toInt
     val tLoop0 = System.nanoTime()
     // (Measured: disabling AQE for the loop is a net LOSS — 0.9 s/round
     // with AQE-coalesced single-partition shuffles vs ~2 s/round running
@@ -331,7 +338,7 @@ object Dedup {
     }
     while (!done) {
       iters += 1
-      require(iters <= 32, "dedup_clusters failed to converge in 32 rounds")
+      require(iters <= maxIters, s"dedup_clusters failed to converge in $maxIters rounds")
       // TWO steps per checkpoint round: the per-step data is edge-sized,
       // so at bench scale each driver-synchronized job (checkpoint,
       // Σ aggregate) costs as much as the step itself — double-stepping
