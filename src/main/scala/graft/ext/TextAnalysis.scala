@@ -265,7 +265,10 @@ object TextAnalysis {
     * map-side; the bigram pass is the codegen posexplode+lead shape
     * ([[bigramFrequency]]) with two per-doc hash aggregates — shuffles
     * keyed by doc_id only, never corpus-global. Docs with fewer than two
-    * words surface with zero bigram stats rather than dropping. */
+    * words surface rather than dropping: their bigram COUNTS are
+    * coalesced to 0 and `top_bigram_frac` is NULL (0/0 — there is no
+    * bigram to take a share of); the DuckDB oracle pins the same
+    * convention. */
   def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val docs = Tables.documents(spark, sfDir)

@@ -46,13 +46,32 @@ object CdcQueries {
     if (evictionHooked.add(spark)) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          evictionHooked.remove(spark)
-          logCache.keySet.removeIf(_._1 eq spark)
-        }
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evictLogsFor(spark)
       })
     }
     logCache.computeIfAbsent((spark, sfDir, name), _ => build.cache())
+  }
+
+  /** Drop (and unpersist) every cached envelope log owned by `spark` —
+    * the context-end listener body, exposed for the session-hygiene
+    * spec (a later session in the same JVM must start cold). */
+  private[graft] def evictLogsFor(spark: SparkSession): Unit = {
+    evictionHooked.remove(spark)
+    val it = logCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        try e.getValue.unpersist() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
+  /** Number of cached envelope logs owned by `spark` (spec hook). */
+  private[graft] def cachedLogCount(spark: SparkSession): Int = {
+    import scala.jdk.CollectionConverters._
+    logCache.keySet.asScala.count(_._1 eq spark)
   }
 
   private val nullRow: Column = lit(null).cast(Schemas.orderRow)

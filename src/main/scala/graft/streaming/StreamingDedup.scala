@@ -30,15 +30,23 @@ import graft.ext.Dedup
   */
 object StreamingDedup {
 
+  /** A running dedup stream plus the base index it probes. The index
+    * (persisted bands + broadcast Bloom) lives as long as the stream;
+    * [[stop]] stops the query AND releases the index — callers that
+    * stop the query directly own the cleanup via [[index]]. */
+  final case class Running(query: StreamingQuery, index: Dedup.BaseIndex) {
+    def stop(): Unit = { query.stop(); index.unpersist() }
+  }
+
   /** Start deduplicating `docs` (a streaming frame with doc_id, text,
     * lang, source columns) against `base`; survivors of each micro-batch
     * are appended under `outPath/batch=<id>`. */
   def start(docs: DataFrame, base: DataFrame, outPath: String,
             checkpointPath: String,
             trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
-            threshold: Double = 0.9): StreamingQuery = {
+            threshold: Double = 0.9): Running = {
     val index = Dedup.buildBaseIndex(base)
-    docs.writeStream
+    val q = docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointPath)
@@ -49,5 +57,6 @@ object StreamingDedup {
         kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
       .start()
+    Running(q, index)
   }
 }

@@ -27,8 +27,9 @@ class StreamingDedupSpec extends SparkSpec {
     val docs = source.toDF().toDF("doc_id", "text", "lang", "source")
     val out = Files.createTempDirectory("graft-sdd-out").toString
     val ckpt = Files.createTempDirectory("graft-sdd-ckpt").toString
-    val q = StreamingDedup.start(docs, base, out, ckpt,
+    val running = StreamingDedup.start(docs, base, out, ckpt,
       trigger = Trigger.ProcessingTime(0))
+    val q = running.query
     try {
       // batch 1: one exact near-dup of the base (identical word set →
       // jaccard 1.0) and one unique doc
@@ -45,6 +46,6 @@ class StreamingDedupSpec extends SparkSpec {
       val kept = spark.read.parquet(s"$out/batch=*")
         .select("doc_id").as[Long].collect().sorted.toSeq
       assert(kept == Seq(101L, 201L))
-    } finally q.stop()
+    } finally running.stop() // stops the query AND releases the base index
   }
 }
