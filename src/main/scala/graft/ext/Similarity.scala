@@ -230,7 +230,34 @@ object Similarity {
         col("rk").cast("int").as("rk"))
   }
 
+  /** One PQ codebook-training iteration — the per-subspace analogue of
+    * [[ivfTrainStep]], completing the PQ triad (train → encode →
+    * serve): every vector's subspace-s subvector is assigned to its
+    * nearest codeword (the [[pqCodes]] assignment), then each
+    * (subspace, codeword) is recomputed as the per-dimension mean of
+    * its assigned subvectors. Emits (s, code_id, dim ∈ [0,8), mean,
+    * n_members) — the next iteration's codebook in long form.
+    *
+    * Scale shape: the assignment is the [[pqCodes]] map-side pass
+    * (broadcast 16-row codebook, corpus scanned once); the recompute
+    * is one shuffle keyed by (s, code_id, dim) with map-side partial
+    * means — at 100 TB the shuffle carries 8 rows per vector (one per
+    * subspace-dim after slicing), never the full vectors. Means round
+    * to 6 dp because summation order differs per engine. */
+  def pqTrainStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val codes = pqCodes(spark, sfDir).select(col("vec_id"), col("s"), col("code_id"))
+    val e = vecs(spark, sfDir).select(col("vec_id"), col("v"))
+    codes.join(e, "vec_id")
+      .select(col("s"), col("code_id"),
+        posexplode(expr("slice(v, s * 8 + 1, 8)")).as(Seq("dim", "x")))
+      .groupBy(col("s"), col("code_id"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("mean"), count(lit(1)).as("n_members"))
+      .select(col("s"), col("code_id"), col("dim").cast("int").as("dim"),
+        col("mean"), col("n_members"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_train" -> pqTrainStep _,
     "sim_pq_encode" -> pqCodes _,
     "sim_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "sim_topk_brute" -> ((s: SparkSession, d: String) => bruteForceTopK(s, d)),
@@ -276,6 +303,16 @@ object Similarity {
        |  WHERE rn = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_pq_train" ->
+      s"""WITH $oracleVecs,
+         |$pqEncodeCte,
+         |dims AS (SELECT unnest(range(0, 8)) AS dim)
+         |SELECT CAST(codes.s AS INTEGER) AS s, codes.code_id,
+         |  CAST(dim AS INTEGER) AS dim,
+         |  round(AVG(e.v[codes.s * 8 + dim + 1]), 6) AS mean,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM codes JOIN e ON codes.vec_id = e.vec_id CROSS JOIN dims
+         |GROUP BY codes.s, codes.code_id, dim""".stripMargin,
     "sim_pq_encode" ->
       s"""WITH $oracleVecs,
          |$pqEncodeCte

@@ -59,6 +59,19 @@ object Kql {
     def mvExpand(column: String): DataFrame =
       df.withColumn(column, explode(col(column)))
 
+    /** KQL `mv-expand name = <array expr> [to typeof(t)]` — explode an
+      * arbitrary array expression (e.g. a struct path) into `name`,
+      * optionally element-casting via try_cast (ADX: non-conforming
+      * elements become null, the query never aborts). The cast is a
+      * second projection because Spark generators must sit at the top
+      * of theirs — Catalyst collapses the two. */
+    def mvExpand(name: String, arr: Column,
+                 castTo: Option[String] = None): DataFrame = {
+      val exploded = df.withColumn(name, explode(arr))
+      castTo.fold(exploded)(t =>
+        exploded.withColumn(name, expr(s"try_cast($name AS $t)")))
+    }
+
     /** KQL `parse ... with regex` flavor: extract one regex group. */
     def parseExtract(name: String, source: Column, regex: String,
                      group: Int = 1): DataFrame =
@@ -75,8 +88,12 @@ object Kql {
 
   // ---- KQL aggregation-function vocabulary → Spark built-ins -------------
 
-  /** KQL `bin(x, size)` — left edge of x's bucket. */
-  def bin(c: Column, size: Column): Column = floor(c / size) * size
+  /** KQL `bin(x, size)` — left edge of x's bucket, as floor-mod
+    * subtraction: integral operands stay in integer arithmetic (exact
+    * past 2^53, where floor(x/size)*size's double division loses
+    * ulps); fractional operands floor correctly for negatives too.
+    * Size must be positive (the text front-end validates). */
+  def bin(c: Column, size: Column): Column = c - ((c % size + size) % size)
 
   /** KQL `bin(timestamp, duration)` — left edge of the time bucket
     * (the `render timechart` x-axis). Duration in seconds. */

@@ -30,15 +30,17 @@ import org.apache.spark.sql.functions._
   * `endswith`, `bin` — KQL's floor-to-multiple, translated to
   * arithmetic since Spark's `bin` is binary-string rendering; group
   * keys may be named, `by bucket = bin(amount, 20)`). `mv-expand
-  * <col>` desugars to the builder's
-  * explode; `datatable(col:type, …)[values]` literals work as a
+  * [name =] <expr> [to typeof(t)]` desugars to the builder's explode
+  * (struct-path expressions and element try_casts included);
+  * `datatable(col:type, …)[values]` literals work as a
   * pipeline source, a tabular `let` body, and a `join` right side
   * (types: string/long/int/real/bool). A bare `join` is
   * `kind=innerunique` — left side deduped by key — matching ADX's
-  * default. `parse <col> with "lit" Name …` desugars to anchored
-  * regexp_extract captures. Out of scope (documented, not silently
-  * wrong): `mv-expand` path/typed arguments, `parse kind=regex` and
-  * typed slot casts, `datatable` datetime/dynamic cells.
+  * default. `parse [kind=simple|regex] <col> with "lit" Name[:type] …`
+  * desugars to anchored regexp_extract captures — literals are raw
+  * regex fragments under `kind=regex`, and `:type` slots try_cast
+  * (failed conversions null out, ADX-style). Out of scope (documented,
+  * not silently wrong): `datatable` datetime/dynamic cells.
   */
 object KqlParser {
 
@@ -159,12 +161,8 @@ object KqlParser {
                 .limit(n.toInt)
             case _ => throw new IllegalArgumentException(s"top expects 'top N by col': $rest")
           }
-        case "parse" => df = parseVerb(df, rest)
-        case "mv-expand" =>
-          val c0 = rest.trim
-          require(c0.matches("[A-Za-z_][A-Za-z0-9_]*"),
-            s"mv-expand takes a bare array column (path/typed args unsupported): $c0")
-          df = df.mvExpand(c0)
+        case "parse" => df = parseVerb(df, rest, scoped)
+        case "mv-expand" => df = mvExpandVerb(df, rest, scoped)
         case "take" | "limit" => df = df.limit(rest.trim.toInt)
         case "count" => df = df.kqlCount
         case "distinct" =>
@@ -238,19 +236,78 @@ object KqlParser {
     left.join(right, cond, sparkKind)
   }
 
-  /** `parse <col> with ["prefix"] Name1 "delim" Name2 … [*]` — KQL's
-    * pattern-based extraction, desugared to one anchored regex: literals
-    * match verbatim, each named slot captures lazily up to the next
-    * literal (the final slot takes the rest), `*` skips without
-    * capturing. One `regexp_extract` per name — all codegen'd. */
-  private def parseVerb(df: DataFrame, rest: String): DataFrame = {
-    val withIdx = rest.indexOf(" with ")
-    require(withIdx > 0, s"parse expects '<col> with <pattern>': $rest")
-    val srcCol = rest.substring(0, withIdx).trim
+  /** `mv-expand [name =] <expr> [to typeof(<type>)]` — one row per
+    * array element. The ADX forms supported: a bare array column
+    * (`mv-expand tags`, result keeps the name), an aliased expression —
+    * including struct paths — (`mv-expand t = payload.tags`), and the
+    * element-typing suffix (`to typeof(long)`), which try_casts each
+    * element (ADX semantics: a non-conforming element becomes null, it
+    * never aborts the query). A non-bare expression must be aliased —
+    * ADX would synthesize a name, we require one loudly. */
+  private def mvExpandVerb(df: DataFrame, rest: String,
+                           lets: Map[String, String]): DataFrame = {
+    import Kql.KqlOps
+    var body = rest.trim
+    val TypeofRe = "(?s)^(.*?)\\s+to\\s+typeof\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+    val castTo: Option[String] = body match {
+      case TypeofRe(b, t) => body = b.trim; Some(kqlTypeToSpark(t))
+      case _ => None
+    }
+    val (nameOpt, exprText) = body match {
+      case NamedRe(n, b) if !b.startsWith("=") && !b.startsWith("~") => (Some(n), b.trim)
+      case _ => (None, body)
+    }
+    val name = nameOpt.getOrElse {
+      require(exprText.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"mv-expand over an expression needs a name ('mv-expand item = $exprText'): $exprText")
+      exprText
+    }
+    df.mvExpand(name, expr(scalar(exprText, lets)), castTo)
+  }
+
+  /** KQL scalar type name → Spark SQL type name (shared by `mv-expand
+    * to typeof(...)` and `parse` typed slots). */
+  private def kqlTypeToSpark(t: String): String = t.toLowerCase match {
+    case "string"   => "STRING"
+    case "long"     => "BIGINT"
+    case "int"      => "INT"
+    case "real"     => "DOUBLE"
+    case "bool" | "boolean" => "BOOLEAN"
+    case "datetime" => "TIMESTAMP"
+    case other => throw new IllegalArgumentException(
+      s"unsupported typeof '$other' (supported: string, long, int, real, bool, datetime)")
+  }
+
+  /** `parse [kind=simple|regex] <col> with ["prefix"] Name1[:type]
+    * "delim" Name2 … [*]` — KQL's pattern-based extraction, desugared
+    * to one anchored regex: literals match verbatim (kind=simple, the
+    * default) or as raw regex fragments (kind=regex); each named slot
+    * captures lazily up to the next literal (the final slot takes the
+    * rest), `*` skips without capturing. A `:type` suffix try_casts the
+    * capture (ADX semantics: a failed conversion yields null, never an
+    * abort — and a no-match empty capture becomes null, not ''). One
+    * `regexp_extract` per name — all codegen'd. */
+  private def parseVerb(df: DataFrame, rest: String,
+                        lets: Map[String, String]): DataFrame = {
+    var r = rest.trim
+    val kind = if (r.startsWith("kind")) {
+      val eq = r.indexOf('=')
+      require(eq >= 0, s"parse kind expects 'kind=<kind>': $r")
+      val after = r.substring(eq + 1).trim
+      val k = after.takeWhile(!_.isWhitespace)
+      r = after.drop(k.length).trim
+      require(k == "simple" || k == "regex",
+        s"unsupported parse kind '$k' (supported: simple, regex)")
+      k
+    } else "simple"
+    val withIdx = r.indexOf(" with ")
+    require(withIdx > 0, s"parse expects '<col> with <pattern>': $r")
+    val srcCol = r.substring(0, withIdx).trim
     require(srcCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"parse source must be a column name: $srcCol")
-    val pattern = rest.substring(withIdx + 6).trim
-    // lex the pattern: quoted literals, identifiers, bare `*`
+    val pattern = r.substring(withIdx + 6).trim
+    // lex the pattern: quoted literals, identifiers (with optional
+    // `:type` suffix), bare `*`
     val tokens = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     while (i < pattern.length) {
@@ -262,25 +319,39 @@ object KqlParser {
         tokens += (("lit", pattern.substring(i + 1, end))); i = end + 1
       } else if (c == '*') { tokens += (("skip", "*")); i += 1 }
       else {
-        val w = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(pattern.substring(i))
+        val w = "^[A-Za-z_][A-Za-z0-9_]*(:[A-Za-z_][A-Za-z0-9_]*)?".r
+          .findFirstIn(pattern.substring(i))
           .getOrElse(throw new IllegalArgumentException(
             s"unexpected token at '${pattern.substring(i).take(12)}' in parse pattern"))
         tokens += (("name", w)); i += w.length
       }
     }
-    val names = tokens.collect { case ("name", n) => n }
+    val names = tokens.collect { case ("name", n) =>
+      n.split(':') match {
+        case Array(nm) => (nm, None)
+        case Array(nm, t) => (nm, Some(kqlTypeToSpark(t)))
+      }
+    }
     require(names.nonEmpty, s"parse pattern binds no columns: $pattern")
     val regex = new StringBuilder("^")
-    tokens.zipWithIndex.foreach { case ((kind, v), idx) =>
-      kind match {
-        case "lit" => regex.append(java.util.regex.Pattern.quote(v))
+    tokens.zipWithIndex.foreach { case ((tk, v), idx) =>
+      tk match {
+        case "lit" =>
+          regex.append(if (kind == "regex") v else java.util.regex.Pattern.quote(v))
         case "skip" => regex.append(".*?")
         case "name" =>
           regex.append(if (idx == tokens.length - 1) "(.*)" else "(.*?)")
       }
     }
-    names.zipWithIndex.foldLeft(df) { case (d, (n, gi)) =>
-      d.withColumn(n, regexp_extract(col(srcCol), regex.toString, gi + 1))
+    names.zipWithIndex.foldLeft(df) { case (d, ((n, tOpt), gi)) =>
+      val captured = d.withColumn(n, regexp_extract(col(srcCol), regex.toString, gi + 1))
+      tOpt match {
+        // '' (no match / empty capture) must become a typed NULL, and a
+        // malformed value must null out rather than raise (ANSI mode is
+        // on): nullif + try_cast over the just-captured string column.
+        case Some(t) => captured.withColumn(n, expr(s"try_cast(nullif($n, '') AS $t)"))
+        case None => captured
+      }
     }
   }
 
@@ -378,10 +449,13 @@ object KqlParser {
   }
 
   /** One group key: `[name =] expr` — ADX allows naming computed keys
-    * (`by bucket = bin(amount, 20)`). The `!startsWith("=")` guard keeps
-    * comparison keys like `x == 3` out of the named branch. */
+    * (`by bucket = bin(amount, 20)`). The guard keeps comparison keys
+    * out of the named branch: `x == 3` (body starts with `=`) and
+    * `x =~ 'a'` (NamedRe eats the first `=` of `=~`, leaving a body
+    * starting with `~`) both fall through to plain scalar parsing. */
   private def byItem(item: String, lets: Map[String, String]): Column = item match {
-    case NamedRe(n, b) if !b.startsWith("=") => expr(scalar(b.trim, lets)).as(n)
+    case NamedRe(n, b) if !b.startsWith("=") && !b.startsWith("~") =>
+      expr(scalar(b.trim, lets)).as(n)
     case _ => expr(scalar(item, lets))
   }
 
@@ -489,13 +563,32 @@ object KqlParser {
             // `bin` renders a binary STRING, so a pass-through would be
             // silently wrong — translate to arithmetic, recursing into
             // both arguments (they may reference lets or nested calls).
+            // Emitted as floor-mod subtraction, value - mod(value, size)
+            // with mod folded into [0, size): stays in INTEGER arithmetic
+            // for integral operands (exact past 2^53, where the old
+            // floor(v/s)*s double division lost ulps) and computes the
+            // same floor bucket for fractional ones, including negative
+            // values. A literal size must be positive at translation
+            // time; a non-literal size gets a per-row guard that raises
+            // rather than silently emitting wrong buckets.
             val open = s.indexOf('(', i + w.length)
             val close = matchingParen(s, open)
             val args = splitTopLevel(s.substring(open + 1, close), ',')
               .map(a => scalar(a.trim, lets))
             require(args.length == 2,
               s"bin expects bin(value, size): ${s.substring(i, close + 1)}")
-            out.append(s"(floor((${args(0)}) / (${args(1)})) * (${args(1)}))")
+            val (v, sz) = (args(0), args(1))
+            val arith = s"(($v) - ((($v) % ($sz) + ($sz)) % ($sz)))"
+            val sizeLit = scala.util.Try(BigDecimal(sz.trim)).toOption
+            sizeLit match {
+              case Some(n) =>
+                require(n > 0, s"bin() size must be positive, got $sz")
+                out.append(arith)
+              case None =>
+                out.append(s"(CASE WHEN ($sz) > 0 THEN $arith ELSE " +
+                  s"raise_error(concat('bin() size must be positive, got ', " +
+                  s"CAST(($sz) AS STRING))) END)")
+            }
             i = close + 1
           case Some(w) =>
             val repl = w.toLowerCase match {

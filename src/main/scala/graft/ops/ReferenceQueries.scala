@@ -77,8 +77,31 @@ object ReferenceQueries {
       || summarize n = count(), total = sum(amount) by bucket = bin(amount, 20)
       || sort by bucket asc""".stripMargin
 
+  /** `parse kind=regex` with typed slots through the text front-end:
+    * a synthesized log line is parsed back with raw-regex delimiters
+    * (`\s+`) and `:long`/`:int` slot casts, then aggregated — a
+    * round-trip oracle (the parse must reproduce orderid/amount
+    * exactly for the sums to match). */
+  val kqlParseRegexText: String =
+    """Orders
+      || extend line = concat('id=', cast(orderid as string), ' amt=', cast(amount as string), ';')
+      || parse kind=regex line with 'id=' oid:long '\s+amt=' amt:int ';'
+      || summarize n = count(), total = sum(amt), maxid = max(oid) by city""".stripMargin
+
+  /** `mv-expand` with alias + struct path + element typing through the
+    * text front-end: each order row carries a struct-wrapped 2-element
+    * array, expanded to one row per element and cast to long — the
+    * dynamic-column explode every ADX dashboard uses. */
+  val kqlMvExpandText: String =
+    """Orders
+      || extend s = named_struct('vals', array(orderid, amount))
+      || mv-expand v = s.vals to typeof(long)
+      || summarize n = count(), total = sum(v) by city""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kql_bin_histogram" -> kqlText(kqlBinText) _,
+    "kql_parse_regex"   -> kqlText(kqlParseRegexText) _,
+    "kql_mvexpand"      -> kqlText(kqlMvExpandText) _,
     "ref_avg_by_city"   -> avgSalesByCity _,
     "ref_total_by_city" -> totalSalesByCity _,
     "ref_count_by_city" -> orderCountByCity _,
@@ -92,9 +115,20 @@ object ReferenceQueries {
   val oracleSql: Map[String, String] = Map(
     "kql_bin_histogram" ->
       s"""${Sql.ordersInfoCte}
-         |SELECT CAST(floor(amount / 20) * 20 AS BIGINT) AS bucket,
+         |SELECT CAST(amount - ((amount % 20 + 20) % 20) AS INTEGER) AS bucket,
          |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(amount) AS BIGINT) AS total
          |FROM orders_info GROUP BY 1 ORDER BY bucket ASC""".stripMargin,
+    "kql_parse_regex" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(amount) AS BIGINT) AS total,
+         |       CAST(MAX(orderid) AS BIGINT) AS maxid
+         |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_mvexpand" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city, CAST(2 * COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(orderid) + SUM(amount) AS BIGINT) AS total
+         |FROM orders_info GROUP BY city""".stripMargin,
     "ref_avg_by_city" ->
       s"""${Sql.ordersInfoCte}
          |SELECT city, AVG(amount) AS avg_sales FROM orders_info GROUP BY city""".stripMargin,

@@ -61,6 +61,68 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.09, f"tail recall $recall%.4f below the 0.4-boundary prediction 0.097")
   }
 
+  test("simhash block-banding catches planted Hamming<=8 pairs at the analytical per-stratum rate") {
+    // Hamming distance can't be controlled through text, so the planted
+    // pairs feed the banding+verify stage directly: 400 base 60-bit
+    // hashes per stratum h ∈ 1..8, each with a twin at EXACTLY h flipped
+    // bits (positions uniform). 4 blocks × 15 bits catch a pair iff at
+    // least one block contains no flipped bit; with positions uniform
+    // that probability is inclusion-exclusion over clean blocks:
+    //   P(h) = [4·C(45,h) − 6·C(30,h) + 4·C(15,h)] / C(60,h)
+    // (h=1 → 1.0, h=4 → 0.896, h=8 → 0.323 — the sacrificed worst
+    // stratum). Seeded PRNG → every measured rate is a fixed number.
+    val rnd = new scala.util.Random(7)
+    def comb(n: Int, k: Int): Double =
+      if (k > n) 0.0 else (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    def analytical(h: Int): Double =
+      (4 * comb(45, h) - 6 * comb(30, h) + 4 * comb(15, h)) / comb(60, h)
+    val perH = 1500
+    val planted = (1 to 8).flatMap { h =>
+      (0 until perH).map { i =>
+        val base = rnd.nextLong() & ((1L << 60) - 1)
+        val twin = rnd.shuffle((0 until 60).toList).take(h)
+          .foldLeft(base)((v, b) => v ^ (1L << b))
+        val id = (h * perH + i).toLong * 2
+        (h, id, base, twin)
+      }
+    }
+    val sh = planted.flatMap { case (_, id, b, t) => Seq((id, b), (id + 1, t)) }
+      .toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairsFromHashes(sh, maxHamming = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    (1 to 8).foreach { h =>
+      val caught = planted.filter(_._1 == h)
+        .count { case (_, id, _, _) => pairs.contains((id, id + 1)) }
+      val recall = caught.toDouble / perH
+      val theory = analytical(h)
+      info(f"simhash planted recall h=$h: $caught/$perH = $recall%.4f (theory $theory%.4f)")
+      // binomial sd at n=1500 is <= 0.013; 0.05 is ~4 sd (the seed is
+      // fixed, so this is an exact regression pin with noise headroom)
+      assert(math.abs(recall - theory) <= 0.05,
+        f"h=$h recall $recall%.4f deviates from the 4x15-banding analysis $theory%.4f")
+    }
+  }
+
+  test("simhash LSH recall vs the exact Hamming<=8 all-pairs baseline on the corpus") {
+    val sh = Dedup.simhashes(graft.ops.Tables.documents(spark, sf001))
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    val exact = a.join(b, col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.simhashPairs(spark, sf001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact),
+      s"verified simhash pairs must be exact-baseline subset; extras: ${lsh.diff(exact).take(5)}")
+    assert(exact.nonEmpty, "corpus has no Hamming<=8 pairs; recall undefined")
+    val recall = lsh.size.toDouble / exact.size
+    info(f"simhash corpus recall = ${lsh.size}/${exact.size} = $recall%.4f")
+    // 0.323 is the analytical catch rate at the h=8 boundary stratum —
+    // the floor for ANY distance mix; near-dup text clusters sit at
+    // much lower h, so the measured value should clear it comfortably.
+    assert(recall >= 0.323, f"recall $recall%.4f below the h=8 banding floor 0.323")
+  }
+
   test("embedding LSH catches planted cos-0.95 near-dups at the predicted ~0.89 rate") {
     // The corpus has no high-cos pairs, so the headline claim needs a
     // planted one: 200 base vectors, each with an exact-cos-0.95 twin

@@ -223,14 +223,32 @@ class KqlSpec extends SparkSpec {
     assert(out2.select("orderid").as[Int].collect().toSeq == Seq(3, 1))
   }
 
-  test("parser: mv-expand explodes an array column; path args rejected loudly") {
+  test("parser: mv-expand explodes an array column; unaliased expressions rejected loudly") {
     val reg = Map("T" -> Seq(("a", Seq(1, 2, 3)), ("b", Seq(4))).toDF("k", "xs"))
     val out = KqlParser.run("T | mv-expand xs | summarize n = count() by k", reg)
     assert(out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       Map("a" -> 3L, "b" -> 1L))
+    // an expression (not a bare column) must be aliased — no guessed names
     intercept[IllegalArgumentException] {
-      KqlParser.run("T | mv-expand xs to typeof(int)", reg)
+      KqlParser.run("T | mv-expand array(1, 2)", reg)
     }
+  }
+
+  test("parser: mv-expand `to typeof` casts elements; failures null out (ADX)") {
+    val reg = Map("T" -> Seq(("a", Seq("1", "2", "oops"))).toDF("k", "xs"))
+    val out = KqlParser.run("T | mv-expand xs to typeof(long)", reg)
+    assert(out.schema("xs").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.select("xs").as[Option[Long]].collect().toSeq ==
+      Seq(Some(1L), Some(2L), None))
+  }
+
+  test("parser: mv-expand aliased struct-path expression") {
+    val reg = Map("T" -> Seq(("a", Seq(1, 2)), ("b", Seq(3)))
+      .toDF("k", "xs").selectExpr("k", "named_struct('vals', xs) as s"))
+    val out = KqlParser.run(
+      "T | mv-expand v = s.vals to typeof(long) | summarize total = sum(v) by k", reg)
+    assert(out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 3L, "b" -> 3L))
   }
 
   test("parser: datatable literal as source, tabular let, and join right side") {
@@ -261,6 +279,31 @@ class KqlSpec extends SparkSpec {
     val rows = out.select("user", "action", "ip").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
     assert(rows == Seq(("alice", "login", "10.0.0.1"), ("bob", "buy", "10.0.0.2")))
+  }
+
+  test("parser: parse typed slots cast captures; no-match and bad values null out") {
+    val reg = Map("Logs" -> Seq(
+      "n=42 ok", "n=oops ok", "malformed line").toDF("msg"))
+    val out = KqlParser.run("""Logs | parse msg with "n=" n:long " " rest""", reg)
+    assert(out.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.select("n").as[Option[Long]].collect().toSeq ==
+      Seq(Some(42L), None, None))
+  }
+
+  test("parser: parse kind=regex treats literals as raw regex fragments") {
+    val reg = Map("Logs" -> Seq(
+      "id:7  code=A12", "id:30 code=B9").toDF("msg"))
+    // \d guard + \s+ flexible whitespace would be impossible in simple
+    // mode (Pattern.quote would match them verbatim)
+    val out = KqlParser.run(
+      """Logs | parse kind=regex msg with 'id:' id:int '\s+code=' code""", reg)
+    assert(out.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(out.select("id", "code").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq ==
+      Seq((7, "A12"), (30, "B9")))
+    intercept[IllegalArgumentException] {
+      KqlParser.run("Logs | parse kind=nope msg with 'x' y", reg)
+    }
   }
 
   test("parser: a column shadows a same-named let binding (ADX resolution order)") {
@@ -322,5 +365,33 @@ class KqlSpec extends SparkSpec {
     val out2 = KqlParser.run(
       "let sz = 100;\nT | summarize n = count() by b = bin(x + 1, sz)", reg)
     assert(out2.collect().map(r => r.getLong(0)).sorted.toSeq == Seq(0L, 100L, 200L))
+  }
+
+  test("parser: bin() stays integer-exact past 2^53 and floors negatives") {
+    // 2^60 + 7 is unrepresentable in double arithmetic: floor(v/s)*s
+    // through doubles would bucket it wrong; integer floor-mod is exact
+    val big = (1L << 60) + 7L
+    val reg = Map("T" -> Seq(big, -7L).toDF("x"))
+    val out = KqlParser.run("T | summarize n = count() by b = bin(x, 2)", reg)
+    assert(out.select("b").as[Long].collect().sorted.toSeq ==
+      Seq(-8L, (1L << 60) + 6L))
+    // a zero/negative literal size is rejected at translation time
+    intercept[IllegalArgumentException] {
+      KqlParser.run("T | summarize n = count() by b = bin(x, 0)", reg)
+    }
+    // ...and a non-literal size that evaluates non-positive raises at
+    // runtime rather than emitting wrong buckets silently
+    val bad = KqlParser.run("T | extend b = bin(x, x - x)", reg)
+    val e = intercept[Throwable] { bad.collect() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(e).contains("bin() size must be positive"))
+  }
+
+  test("parser: `by x =~ 'lit'` group key parses as case-insensitive equality, not a named key") {
+    val reg = Map("T" -> Seq("Seattle", "seattle", "Austin").toDF("city"))
+    val out = KqlParser.run("T | summarize n = count() by city =~ 'SEATTLE'", reg)
+    val m = out.collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(m == Map(true -> 2L, false -> 1L))
   }
 }

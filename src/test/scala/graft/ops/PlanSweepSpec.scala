@@ -25,7 +25,8 @@ class PlanSweepSpec extends SparkSpec {
   private val nonEquiAllowlist = Set(
     "join_range_quarters", "sim_topk_brute",
     "sim_ivf_topk", "sim_ivf_train_step",
-    "sim_pq_encode", "sim_pq_topk", // corpus/query × 16-codeword broadcast (PQ train/ADC table)
+    "sim_pq_encode", "sim_pq_topk", // corpus/query × 16-codeword broadcast (PQ encode/ADC table)
+    "sim_pq_train", // inherits pqCodes' assignment pass (corpus × 16-codeword broadcast)
     "text_vocab_coverage", "text_quality_filter", "text_curated_corpus",
     "ev_daily_anomaly")
 
