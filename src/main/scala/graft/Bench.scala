@@ -28,6 +28,18 @@ import org.apache.spark.sql.functions._
   *      attempts have spent that long, the min-so-far is recorded with
   *      a `suspect` flag and the bench MOVES ON — a paging episode can
   *      inflate one query, not cascade into a driver-level timeout.
+  *   3. Each RUN is hard-cancelled (Spark job-group cancel) at the
+  *      query's remaining budget: the cumulative budget alone only
+  *      stopped LAUNCHING runs — one in-flight run could still stall
+  *      for minutes (r5 driver log: single 600 s stalls), unbounded.
+  *      A cancelled run records the cap as its time (a lower bound on
+  *      the true stall) and trips the `suspect` flag.
+  *   4. A global wall budget (SPARK_GRAFT_BENCH_TOTAL_BUDGET, default
+  *      1500 s) degrades gracefully: once overall elapsed time crosses
+  *      it — only a sustained paging episode can get it there; a
+  *      healthy full run is ~100 s — remaining queries run ONCE with a
+  *      10 s cancel cap, so the bench always reaches the final emit
+  *      with a number (possibly capped + suspect) for every query.
   */
 object Bench {
   /** name -> (min seconds so far, suspect). Insertion-ordered; all
@@ -106,6 +118,13 @@ object Bench {
     // Per-query cumulative wall budget: once a query's attempts have
     // spent this long, record min-so-far + suspect and move on.
     val queryBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_BUDGET", "60").toDouble
+    // Global wall budget: past this, the bench is in a sustained paging
+    // episode (healthy full run ≈ 100 s) — degrade to one 10 s-capped
+    // run per remaining query so the final emit is always reached.
+    val totalBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOTAL_BUDGET", "1500").toDouble
+    val benchT0 = System.nanoTime()
+    def benchElapsed: Double = (System.nanoTime() - benchT0) / 1e9
+    val watchdog = new java.util.Timer("bench-watchdog", true)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -115,12 +134,28 @@ object Bench {
       // random queries), not data-path work — the min is the engine's
       // steady-state execution time, which is what an amortized
       // production deployment pays per micro-batch/query.
-      def run1(): Double = {
+      // Each run is hard-capped: a watchdog cancels the run's job group
+      // at `capSec` so one host-paging stall cannot hold the bench for
+      // minutes. Every cap is floored at 10 s — the suspect line — so a
+      // cancelled run records dt ≥ 10 s (a lower bound on the true
+      // stall) and can neither undercut a completed run's min nor pass
+      // for a healthy measurement.
+      def run1(capSec: Double): Double = {
         val (g0, j0, s0, t0) = (gcMs, jitMs, shuffleBytes.get(), System.nanoTime())
+        val cap = math.max(capSec, 10.0)
+        val group = s"bench-$name"
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        val cancel = new java.util.TimerTask {
+          override def run(): Unit = {
+            System.err.println(f"[bench] $name cancelled at ${cap}%.0f s cap")
+            spark.sparkContext.cancelJobGroup(group)
+          }
+        }
+        watchdog.schedule(cancel, (cap * 1000).toLong)
         try { force(fn(spark, sfDir)) } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
-        }
+        } finally { cancel.cancel(); spark.sparkContext.clearJobGroup() }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-24s ${dt}%7.2f s  gc=${gcMs - g0}%5d ms  jit=${jitMs - j0}%6d ms  shuffle=${(shuffleBytes.get() - s0) / 1024}%8d KiB")
         dt
@@ -129,25 +164,35 @@ object Bench {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       def record(): Unit = acc.synchronized {
         // suspect = still above the 10 s steady-state ceiling when the
-        // attempts stopped (budget hit, or retries exhausted): the min
-        // likely reflects a host-paging episode, not the engine.
+        // attempts stopped (budget hit, run cancelled, or retries
+        // exhausted): the min likely reflects a host-paging episode,
+        // not the engine.
         acc.put(name, (times.min, times.min > 10.0))
       }
-      times += run1(); record()
-      while (times.size < runs && times.sum < queryBudget) { times += run1(); record() }
-      // Host-paging insurance (see pagingProbe): no query's steady state
-      // exceeds 10 s, so if even the BEST run did, every attempt likely
-      // landed in a host-paging episode (measured 40-230 s stalls that
-      // vanish on the next run). Two bounded extra attempts catch a calm
-      // window instead of recording a 20-200x contaminated min — but
-      // never past the query budget (r5: retrying an already-stalled
-      // query up to 5x pushed the whole bench past the driver timeout).
-      var extra = 0
-      while (extra < 2 && times.min > 10.0 && times.sum < queryBudget) {
-        times += run1(); record(); extra += 1
+      def remaining: Double = queryBudget - times.sum
+      if (benchElapsed > totalBudget) {
+        // Degraded mode: one capped run, move on. Every query still
+        // lands in the artifact.
+        times += run1(10.0); record()
+      } else {
+        times += run1(queryBudget); record()
+        while (times.size < runs && remaining > 0) { times += run1(remaining); record() }
+        // Host-paging insurance (see pagingProbe): no query's steady
+        // state exceeds 10 s, so if even the BEST run did, every attempt
+        // likely landed in a host-paging episode (measured 40-230 s
+        // stalls that vanish on the next run). Two bounded extra
+        // attempts catch a calm window instead of recording a 20-200x
+        // contaminated min — but never past the query budget (r5:
+        // retrying an already-stalled query up to 5x pushed the whole
+        // bench past the driver timeout).
+        var extra = 0
+        while (extra < 2 && times.min > 10.0 && remaining > 0) {
+          times += run1(remaining); record(); extra += 1
+        }
+        record()
       }
-      record()
     }
+    watchdog.cancel()
     val probeEnd = pagingProbe()
     emittedFinal = true
     emit(probeEnd, partial = false, sfDir)
