@@ -34,13 +34,14 @@ import org.apache.spark.sql.functions._
   * (struct-path expressions and element try_casts included);
   * `datatable(col:type, …)[values]` literals work as a
   * pipeline source, a tabular `let` body, and a `join` right side
-  * (types: string/long/int/real/bool). A bare `join` is
+  * (types: string/long/int/real/bool/datetime/dynamic — dynamic cells
+  * are homogeneous scalar arrays, the mv-expand idiom; dynamic OBJECT
+  * cells stay out of scope, rejected loudly). A bare `join` is
   * `kind=innerunique` — left side deduped by key — matching ADX's
   * default. `parse [kind=simple|regex] <col> with "lit" Name[:type] …`
   * desugars to anchored regexp_extract captures — literals are raw
   * regex fragments under `kind=regex`, and `:type` slots try_cast
-  * (failed conversions null out, ADX-style). Out of scope (documented,
-  * not silently wrong): `datatable` datetime/dynamic cells.
+  * (failed conversions null out, ADX-style).
   */
 object KqlParser {
 
@@ -357,7 +358,12 @@ object KqlParser {
 
   /** `datatable(col1:type1, ...)[v1, v2, ...]` — KQL's inline literal
     * table (values row-major), the small-lookup idiom dashboards pair
-    * with `join`. Types: string, long, int, real, bool. */
+    * with `join`. Types: string, long, int, real, bool, datetime
+    * (`datetime(2007-02-27 12:00:00)` wrapper or a bare quoted ISO
+    * string; date-only means midnight, trailing `Z`/`T` accepted),
+    * and dynamic (`dynamic([...])` arrays of homogeneous scalars —
+    * the mv-expand idiom; longs promote to double when mixed with
+    * reals; nested objects are rejected loudly, not mis-parsed). */
   private def datatable(text: String): DataFrame = {
     val r = text.stripPrefix("datatable").trim
     require(r.startsWith("("), s"datatable expects (col:type, ...): $text")
@@ -375,33 +381,96 @@ object KqlParser {
       .map(_.trim).filter(_.nonEmpty)
     require(cells.nonEmpty && cells.length % cols.length == 0,
       s"datatable value count ${cells.length} must be a multiple of ${cols.length} columns")
+    def unquote(raw: String): String = {
+      // the closing quote must match the opening one, or an
+      // unterminated cell would silently lose its last character
+      require(raw.length >= 2 && (raw.head == '"' || raw.head == '\'') &&
+          raw.last == raw.head,
+        s"string cell must be quoted with matching quotes: $raw")
+      raw.substring(1, raw.length - 1)
+    }
+    // `datetime(2007-02-27 12:00:00)` / `datetime(2007-02-27T12:00:00Z)`
+    // / a bare quoted ISO string. Date-only means midnight (ADX).
+    def parseDatetime(raw: String): java.sql.Timestamp = {
+      val body =
+        if (raw.startsWith("datetime")) {
+          val r = raw.stripPrefix("datetime").trim
+          require(r.startsWith("(") && r.endsWith(")"),
+            s"datetime cell must be datetime(...): $raw")
+          r.substring(1, r.length - 1).trim
+        } else unquote(raw)
+      val iso = body.replace('T', ' ').stripSuffix("Z").trim
+      java.sql.Timestamp.valueOf(if (iso.contains(" ")) iso else s"$iso 00:00:00")
+    }
+    // `dynamic([...])` — homogeneous scalar array; returns the element
+    // values plus the inferred Spark element type. Longs promote to
+    // double in the presence of any real; anything non-scalar is an
+    // explicit error (a silent string-ification would corrupt joins).
+    def parseDynamic(raw: String): (Seq[Any], org.apache.spark.sql.types.DataType) = {
+      import org.apache.spark.sql.types._
+      require(raw.startsWith("dynamic"), s"dynamic cell must be dynamic([...]): $raw")
+      val r = raw.stripPrefix("dynamic").trim
+      require(r.startsWith("(") && r.endsWith(")"), s"dynamic cell must be dynamic([...]): $raw")
+      val inner = r.substring(1, r.length - 1).trim
+      require(inner.startsWith("[") && inner.endsWith("]"),
+        s"dynamic cell supports array literals only (objects out of scope): $raw")
+      val elems = splitTopLevel(inner.substring(1, inner.length - 1), ',')
+        .map(_.trim).filter(_.nonEmpty)
+      val parsed: Seq[(Any, DataType)] = elems.map { e =>
+        if (e.head == '"' || e.head == '\'') (unquote(e), StringType)
+        else if (e == "true" || e == "false") (e.toBoolean, BooleanType)
+        else if (e.matches("[+-]?\\d+")) (e.toLong, LongType)
+        else if (scala.util.Try(e.toDouble).isSuccess) (e.toDouble, DoubleType)
+        else throw new IllegalArgumentException(
+          s"dynamic array elements must be scalar literals, got '$e' in $raw")
+      }
+      val types = parsed.map(_._2).distinct
+      if (types.isEmpty) (Nil, StringType)
+      else if (types == Seq(LongType) || types == Seq(DoubleType) ||
+               types == Seq(StringType) || types == Seq(BooleanType))
+        (parsed.map(_._1), types.head)
+      else if (types.toSet == Set[DataType](LongType, DoubleType))
+        (parsed.map {
+          case (v: Long, _) => v.toDouble
+          case (v, _) => v
+        }, DoubleType)
+      else throw new IllegalArgumentException(
+        s"dynamic array must be homogeneous (got ${types.mkString(", ")}): $raw")
+    }
     def cell(raw: String, kqlType: String): Any = kqlType match {
-      case "string" =>
-        // the closing quote must match the opening one, or an
-        // unterminated cell would silently lose its last character
-        require(raw.length >= 2 && (raw.head == '"' || raw.head == '\'') &&
-            raw.last == raw.head,
-          s"string cell must be quoted with matching quotes: $raw")
-        raw.substring(1, raw.length - 1)
+      case "string" => unquote(raw)
       case "long" => raw.toLong
       case "int" => raw.toInt
       case "real" => raw.toDouble
       case "bool" => raw.toBoolean
+      case "datetime" => parseDatetime(raw)
+      case "dynamic" => parseDynamic(raw)._1
       case other => throw new IllegalArgumentException(
-        s"unsupported datatable type '$other' (supported: string, long, int, real, bool)")
+        s"unsupported datatable type '$other' (supported: string, long, int, real, bool, datetime, dynamic)")
     }
     val rows = cells.grouped(cols.length).map { rowCells =>
       org.apache.spark.sql.Row(rowCells.zip(cols).map { case (v, (_, t)) => cell(v, t) }: _*)
     }.toSeq
-    val sparkType: String => org.apache.spark.sql.types.DataType = {
+    // A dynamic column's element type comes from its first non-empty
+    // cell (rows are homogeneous via parseDynamic; cross-row mismatches
+    // fail Spark's Row/schema check at createDataFrame).
+    val rowCellGroups = cells.grouped(cols.length).toSeq
+    def dynamicElemType(colIdx: Int): org.apache.spark.sql.types.DataType =
+      rowCellGroups.iterator.map(rc => parseDynamic(rc(colIdx)))
+        .collectFirst { case (vs, t) if vs.nonEmpty => t }
+        .getOrElse(org.apache.spark.sql.types.StringType)
+    def sparkType(t: String, i: Int): org.apache.spark.sql.types.DataType = t match {
       case "string" => org.apache.spark.sql.types.StringType
       case "long" => org.apache.spark.sql.types.LongType
       case "int" => org.apache.spark.sql.types.IntegerType
       case "real" => org.apache.spark.sql.types.DoubleType
       case "bool" => org.apache.spark.sql.types.BooleanType
+      case "datetime" => org.apache.spark.sql.types.TimestampType
+      case "dynamic" => org.apache.spark.sql.types.ArrayType(dynamicElemType(i))
     }
     val schema = org.apache.spark.sql.types.StructType(
-      cols.map { case (n, t) => org.apache.spark.sql.types.StructField(n, sparkType(t)) })
+      cols.zipWithIndex.map { case ((n, t), i) =>
+        org.apache.spark.sql.types.StructField(n, sparkType(t, i)) })
     val spark = org.apache.spark.sql.SparkSession.active
     spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
@@ -589,6 +658,24 @@ object KqlParser {
                   s"raise_error(concat('bin() size must be positive, got ', " +
                   s"CAST(($sz) AS STRING))) END)")
             }
+            i = close + 1
+          case Some(w) if w.toLowerCase == "datetime" && {
+              var j = i + w.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              j < s.length && s.charAt(j) == '('
+            } =>
+            // KQL datetime(2024-03-01 10:30:00) literal — the body is an
+            // UNQUOTED ISO datetime (date-only = midnight; T/Z accepted),
+            // which Spark SQL can't parse as an expression. Emit a
+            // TIMESTAMP literal.
+            val open = s.indexOf('(', i + w.length)
+            val close = matchingParen(s, open)
+            val iso = s.substring(open + 1, close).trim
+              .stripPrefix("\"").stripSuffix("\"")
+              .stripPrefix("'").stripSuffix("'")
+              .replace('T', ' ').stripSuffix("Z").trim
+            val full = if (iso.contains(" ")) iso else s"$iso 00:00:00"
+            out.append(s"TIMESTAMP '$full'")
             i = close + 1
           case Some(w) =>
             val repl = w.toLowerCase match {

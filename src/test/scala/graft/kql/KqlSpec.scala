@@ -306,6 +306,40 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("parser: datatable datetime cells (wrapper + quoted forms, date-only = midnight)") {
+    val out = KqlParser.run(
+      """datatable(ev:string, at:datetime)[
+        |  "a", datetime(2024-03-01 10:30:00),
+        |  "b", "2024-03-01T12:00:00Z",
+        |  "c", datetime(2024-03-02)]
+        || where at >= datetime(2024-03-01 11:00:00)
+        || summarize n = count()""".stripMargin.replace("\n", " "), Map.empty)
+    assert(out.collect().head.getLong(0) == 2L)
+    val sch = KqlParser.run(
+      """datatable(at:datetime)[datetime(2024-01-01)]""", Map.empty)
+    assert(sch.schema("at").dataType == org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("parser: datatable dynamic cells explode via mv-expand; heterogeneity rejected") {
+    val out = KqlParser.run(
+      """datatable(k:string, xs:dynamic)["a", dynamic([1, 2, 3]), "b", dynamic([4])]
+        || mv-expand xs
+        || summarize n = count(), total = sum(xs) by k""".stripMargin.replace("\n", " "),
+      Map.empty)
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      Seq(("a", 3L, 6L), ("b", 1L, 4L)))
+    // long+real promotes to double; string+long is rejected loudly
+    val promo = KqlParser.run(
+      """datatable(xs:dynamic)[dynamic([1, 2.5])] | mv-expand xs""", Map.empty)
+    assert(promo.schema("xs").dataType == org.apache.spark.sql.types.DoubleType)
+    intercept[IllegalArgumentException] {
+      KqlParser.run("""datatable(xs:dynamic)[dynamic([1, "a"])]""", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      KqlParser.run("""datatable(xs:dynamic)[dynamic({"k": 1})]""", Map.empty)
+    }
+  }
+
   test("parser: a column shadows a same-named let binding (ADX resolution order)") {
     // `amount` is both a column and a let name: the column must win in
     // expressions, while the let stays usable where no column collides
