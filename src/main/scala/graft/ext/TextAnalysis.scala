@@ -348,7 +348,74 @@ object TextAnalysis {
         s"(cum - 1) div $seqLen - (cum - n_tokens) div $seqLen + 1 as n_seqs")
   }
 
+  /** Gopher/C4-style heuristic rule signals, shared by
+    * [[ruleFilteredCorpus]] and [[ruleAudit]]: per-doc rule booleans
+    * plus the FIRST violated rule in documented priority order (the
+    * attribution a curation report publishes — a doc dropped by three
+    * rules counts once, against the first). All comparisons are exact
+    * integer arithmetic (`10*(n_words - n_uniq) > 6*n_words` instead of
+    * `dup_frac > 0.6`), so both engines agree at the boundary. Rules
+    * (thresholds tuned to the synthetic corpus; production values are
+    * the Rae et al. 2021 §A1 / Raffel et al. 2020 §2.2 ones):
+    * too_short n<30, too_long n>90, low_stopword <2 hits of {the, a},
+    * repetitive dup-word fraction > 0.6. Pure map-side codegen — at
+    * 100 TB this runs at scan speed. */
+  private def ruleSignals(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_words", expr(s"cast($nTokens as bigint)"))
+      .withColumn("n_uniq", expr("cast(size(array_distinct(split(text, ' '))) as bigint)"))
+      .withColumn("stop_hits", expr(
+        "n_words - size(array_remove(array_remove(split(text, ' '), 'the'), 'a'))"))
+      .withColumn("r_too_short", col("n_words") < 30)
+      .withColumn("r_too_long", col("n_words") > 90)
+      .withColumn("r_low_stopword", col("stop_hits") < 2)
+      .withColumn("r_repetitive",
+        (col("n_words") - col("n_uniq")) * 10 > col("n_words") * 6)
+      .withColumn("first_hit", expr(
+        """CASE WHEN r_too_short THEN 'too_short'
+          |     WHEN r_too_long THEN 'too_long'
+          |     WHEN r_low_stopword THEN 'low_stopword'
+          |     WHEN r_repetitive THEN 'repetitive' END""".stripMargin))
+
+  /** Corpus surviving every heuristic rule. */
+  def ruleFilteredCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    ruleFilteredCorpusOn(Tables.documents(spark, sfDir))
+
+  /** [[ruleFilteredCorpus]] over an explicit documents frame (spec
+    * hook for planted rule violations). */
+  def ruleFilteredCorpusOn(docs: DataFrame): DataFrame =
+    ruleSignals(docs)
+      .filter(col("first_hit").isNull)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_words"))
+
+  /** Per-rule audit: independent violation count (`n_hits`) and
+    * first-hit attribution (`n_dropped` — sums to the total dropped).
+    * One map-side pass + a 4-row aggregate. */
+  def ruleAudit(spark: SparkSession, sfDir: String): DataFrame =
+    ruleAuditOn(Tables.documents(spark, sfDir))
+
+  /** [[ruleAudit]] over an explicit documents frame. */
+  def ruleAuditOn(docs: DataFrame): DataFrame =
+    ruleSignals(docs)
+      .agg(
+        sum(when(col("r_too_short"), 1L).otherwise(0L)).as("h_short"),
+        sum(when(col("r_too_long"), 1L).otherwise(0L)).as("h_long"),
+        sum(when(col("r_low_stopword"), 1L).otherwise(0L)).as("h_stop"),
+        sum(when(col("r_repetitive"), 1L).otherwise(0L)).as("h_rep"),
+        sum(when(col("first_hit") === "too_short", 1L).otherwise(0L)).as("d_short"),
+        sum(when(col("first_hit") === "too_long", 1L).otherwise(0L)).as("d_long"),
+        sum(when(col("first_hit") === "low_stopword", 1L).otherwise(0L)).as("d_stop"),
+        sum(when(col("first_hit") === "repetitive", 1L).otherwise(0L)).as("d_rep"))
+      .selectExpr(
+        """stack(4,
+          |  'too_short', h_short, d_short,
+          |  'too_long', h_long, d_long,
+          |  'low_stopword', h_stop, d_stop,
+          |  'repetitive', h_rep, d_rep) AS (rule, n_hits, n_dropped)""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rule_filter" -> ruleFilteredCorpus _,
+    "text_rule_audit" -> ruleAudit _,
     "text_repetition" -> repetitionSignals _,
     "text_pii_scrub" -> piiScrub _,
     "text_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
@@ -368,7 +435,53 @@ object TextAnalysis {
 
   private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
 
+  /** DuckDB mirror of [[ruleSignals]]; terminates in
+    * `rules(doc_id, lang, source, n_words, r_*..., first_hit)`. */
+  private val ruleSignalsCte: String =
+    s"""sig AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST($nTokensSql AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+       |    CAST($nTokensSql AS BIGINT)
+       |      - len(list_filter(string_split(text, ' '),
+       |            x -> x <> 'the' AND x <> 'a')) AS stop_hits
+       |  FROM documents),
+       |rules AS (
+       |  SELECT doc_id, lang, source, n_words,
+       |    n_words < 30 AS r_too_short,
+       |    n_words > 90 AS r_too_long,
+       |    stop_hits < 2 AS r_low_stopword,
+       |    (n_words - n_uniq) * 10 > n_words * 6 AS r_repetitive,
+       |    CASE WHEN n_words < 30 THEN 'too_short'
+       |         WHEN n_words > 90 THEN 'too_long'
+       |         WHEN stop_hits < 2 THEN 'low_stopword'
+       |         WHEN (n_words - n_uniq) * 10 > n_words * 6 THEN 'repetitive' END AS first_hit
+       |  FROM sig)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "text_rule_filter" ->
+      s"""WITH $ruleSignalsCte
+         |SELECT doc_id, lang, source, n_words FROM rules
+         |WHERE first_hit IS NULL""".stripMargin,
+    "text_rule_audit" ->
+      s"""WITH $ruleSignalsCte,
+         |per AS (
+         |  SELECT
+         |    SUM(CASE WHEN r_too_short THEN 1 ELSE 0 END) AS h_short,
+         |    SUM(CASE WHEN r_too_long THEN 1 ELSE 0 END) AS h_long,
+         |    SUM(CASE WHEN r_low_stopword THEN 1 ELSE 0 END) AS h_stop,
+         |    SUM(CASE WHEN r_repetitive THEN 1 ELSE 0 END) AS h_rep,
+         |    SUM(CASE WHEN first_hit = 'too_short' THEN 1 ELSE 0 END) AS d_short,
+         |    SUM(CASE WHEN first_hit = 'too_long' THEN 1 ELSE 0 END) AS d_long,
+         |    SUM(CASE WHEN first_hit = 'low_stopword' THEN 1 ELSE 0 END) AS d_stop,
+         |    SUM(CASE WHEN first_hit = 'repetitive' THEN 1 ELSE 0 END) AS d_rep
+         |  FROM rules)
+         |SELECT rule, CAST(n_hits AS BIGINT) AS n_hits,
+         |       CAST(n_dropped AS BIGINT) AS n_dropped FROM (
+         |  SELECT 'too_short' AS rule, h_short AS n_hits, d_short AS n_dropped FROM per
+         |  UNION ALL SELECT 'too_long', h_long, d_long FROM per
+         |  UNION ALL SELECT 'low_stopword', h_stop, d_stop FROM per
+         |  UNION ALL SELECT 'repetitive', h_rep, d_rep FROM per)""".stripMargin,
     "text_repetition" ->
       s"""WITH ws AS (
          |  SELECT doc_id,

@@ -233,6 +233,27 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(101L))
   }
 
+  test("rule filter: first-hit attribution counts a multi-violation doc exactly once") {
+    // doc 0: 5 words AND 0 stopwords AND fully repetitive — violates
+    // three rules, must be attributed ONLY to too_short (first in
+    // priority). doc 1: long enough, has 'the'+'a', distinct words —
+    // survives. doc 2: 31 distinct-ish words with stopwords but
+    // dup-frac > 0.6 — attributed to repetitive.
+    val d = docs(
+      (0L, "word word word word word", "en"),
+      (1L, ("the a " + (1 to 40).map(i => s"w$i").mkString(" ")), "en"),
+      (2L, ("the a " + Seq.fill(38)("dup").mkString(" ")), "en"))
+    val kept = TextAnalysis.ruleFilteredCorpusOn(d).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    val audit = TextAnalysis.ruleAuditOn(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit("too_short") == (1L, 1L)) // doc 0, attributed here
+    assert(audit("low_stopword")._1 == 1L) // doc 0 also violates...
+    assert(audit("low_stopword")._2 == 0L) // ...but is not attributed here
+    assert(audit("repetitive") == (2L, 1L)) // docs 0+2 violate; only 2 attributed
+    assert(audit.values.map(_._2).sum == 2L) // attribution partitions the dropped set
+  }
+
   test("pq: codebook vectors encode to themselves with zero distance") {
     val self = Similarity.pqCodes(spark, sfDir)
       .filter(col("vec_id") < 16).collect()
