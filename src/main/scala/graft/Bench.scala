@@ -143,12 +143,20 @@ object Bench {
       def run1(capSec: Double): Double = {
         val (g0, j0, s0, t0) = (gcMs, jitMs, shuffleBytes.get(), System.nanoTime())
         val cap = math.max(capSec, 10.0)
-        val group = s"bench-$name"
+        // Unique group per run: cancelJobGroupAndFutureJobs leaves the
+        // group in a cancelled state, so reusing the name would abort
+        // the query's NEXT (legitimate) attempt too.
+        val group = s"bench-$name-${System.nanoTime()}"
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
         val cancel = new java.util.TimerTask {
           override def run(): Unit = {
             System.err.println(f"[bench] $name cancelled at ${cap}%.0f s cap")
-            spark.sparkContext.cancelJobGroup(group)
+            // ...AndFutureJobs: the plain cancel only kills jobs running
+            // AT the cancel instant — if it fires during driver-side
+            // planning/codegen (common under host paging), the query's
+            // next job would start fresh and run unbounded (measured:
+            // a 257 s run sailing through a 60 s cap).
+            spark.sparkContext.cancelJobGroupAndFutureJobs(group)
           }
         }
         watchdog.schedule(cancel, (cap * 1000).toLong)
