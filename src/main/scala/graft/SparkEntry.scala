@@ -28,6 +28,7 @@ object SparkEntry {
     graft.ext.Dedup.queries ++
     graft.ext.TextAnalysis.queries ++
     graft.ext.Similarity.queries ++
+    graft.ext.Sketches.queries ++
     graft.ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
     graft.ext.Dedup.oracleSql ++
     graft.ext.TextAnalysis.oracleSql ++
     graft.ext.Similarity.oracleSql ++
+    graft.ext.Sketches.oracleSql ++
     graft.ext.Multimodal.oracleSql
 }

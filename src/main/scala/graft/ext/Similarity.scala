@@ -256,7 +256,56 @@ object Similarity {
         col("mean"), col("n_members"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication via cluster-then-compare — assign every embedding to
+    * its nearest centroid (the [[ivfTopK]] codebook assignment), compare
+    * pairs ONLY within a cluster, and drop the larger-id member of any
+    * pair with cosine ≥ τ (τ = 0.4, the strong-similarity tail of this
+    * random-64-d corpus — same threshold as `dedup_embedding`). Emits
+    * the kept corpus as (vec_id, cent_id).
+    *
+    * Scale shape — the reason SemDeDup exists: the quadratic term is
+    * bounded to within-cluster pairs, so with nlist sized to keep
+    * clusters at ~10⁴ vectors a 100 TB corpus never all-pairs self-joins.
+    * Candidates pair on bare (cent_id, vec_id) rows first — the vectors
+    * are fetched for the verify stage by id via shuffle-hash joins
+    * (same never-broadcast-the-corpus contract as [[graft.ext.Dedup]]'s
+    * LSH paths); cent_id is the shuffle key, so a skewed hot cluster is
+    * AQE's skew-join case, and at real scale the assignment would be
+    * written partitioned by cent_id making each cluster's pair pass a
+    * partition-local job. */
+  def semanticDedup(spark: SparkSession, sfDir: String,
+                    minCos: Double = 0.4): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn")))
+    val scored = e.join(cents)
+      .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    val assign = scored.withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val a = assign.select(col("cent_id"), col("vec_id").as("vec_a"))
+    val b = assign.select(col("cent_id"), col("vec_id").as("vec_b"))
+    val cand = a.join(b, Seq("cent_id")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+    val vecsById = e.select(col("vec_id"), col("v"), col("norm"))
+    val dropped = cand.hint("shuffle_hash")
+      .join(vecsById.select(col("vec_id").as("vec_a"),
+        col("v").as("va"), col("norm").as("na")), "vec_a")
+      .hint("shuffle_hash")
+      .join(vecsById.select(col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("norm").as("nb")), "vec_b")
+      .withColumn("cos", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assign.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cent_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "sim_pq_train" -> pqTrainStep _,
     "sim_pq_encode" -> pqCodes _,
     "sim_pq_topk" -> ((s: SparkSession, d: String) => pqTopK(s, d)),
@@ -303,6 +352,29 @@ object Similarity {
        |  WHERE rn = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_semantic_dedup" ->
+      s"""WITH $oracleVecs,
+         |c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e WHERE vec_id < 16),
+         |sc AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+         |      / (e.norm * c.cn), 6) AS ccos
+         |  FROM e CROSS JOIN c),
+         |asg AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+         |    FROM sc)
+         |  WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id FROM asg a
+         |  JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |  JOIN e va ON va.vec_id = a.vec_id
+         |  JOIN e vb ON vb.vec_id = b.vec_id
+         |  WHERE round(list_sum(list_transform(range(1, len(va.v) + 1), i -> va.v[i] * vb.v[i]))
+         |    / (va.norm * vb.norm), 6) >= 0.4)
+         |SELECT vec_id, cent_id FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "sim_pq_train" ->
       s"""WITH $oracleVecs,
          |$pqEncodeCte,

@@ -413,7 +413,39 @@ object TextAnalysis {
           |  'low_stopword', h_stop, d_stop,
           |  'repetitive', h_rep, d_rep) AS (rule, n_hits, n_dropped)""".stripMargin)
 
+  /** Model-based quality scoring — the fastText-style linear classifier
+    * tier of a curation pipeline (Joulin et al. 2016's bag-of-hashed-
+    * features shape, with a fixed deterministic weight table standing in
+    * for trained weights, which would be an offline artifact): each word
+    * hashes into one of 4096 buckets, each bucket carries a fixed weight
+    * in [-1, 1), and the document score is the mean bucket weight over
+    * its (non-distinct) words. `keep = score > 0` is the classifier
+    * decision. Everything before the final division is INTEGER
+    * arithmetic — the per-doc weight sum is exact, so score = round(sum
+    * / (1000 · n), 6) is bit-identical on both engines regardless of
+    * summation order.
+    *
+    * Scale shape: explode + one hash-aggregate keyed by doc_id — the
+    * same map-side-combine shuffle as [[tokenStats]]; the 4096-entry
+    * weight table is arithmetic, not data, so nothing broadcasts and
+    * inference is a pure map-side pass at any corpus size. */
+  def qualityClassifierOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("wi",
+        (expr("cast(conv(substr(md5(word),1,8),16,10) as bigint)") % 4096L
+          * 1103515245L + 12345L) % 2001L - 1000L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("wi")).as("wsum"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("wsum").cast("double") / (col("n_words") * 1000L), 6).as("score"))
+      .withColumn("keep", col("score") > 0d)
+
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    qualityClassifierOn(Tables.documents(spark, sfDir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_classifier" -> qualityClassifier _,
     "text_rule_filter" -> ruleFilteredCorpus _,
     "text_rule_audit" -> ruleAudit _,
     "text_repetition" -> repetitionSignals _,
@@ -459,6 +491,22 @@ object TextAnalysis {
        |  FROM sig)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_quality_classifier" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    (CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 4096
+        |      * 1103515245 + 12345) % 2001 - 1000 AS wi
+        |  FROM w),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    SUM(wi) AS wsum
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_words,
+        |  round(CAST(wsum AS DOUBLE) / (n_words * 1000), 6) AS score,
+        |  round(CAST(wsum AS DOUBLE) / (n_words * 1000), 6) > 0 AS keep
+        |FROM agg""".stripMargin,
     "text_rule_filter" ->
       s"""WITH $ruleSignalsCte
          |SELECT doc_id, lang, source, n_words FROM rules
