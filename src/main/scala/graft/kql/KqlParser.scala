@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   * are the builder's, so text queries and builder queries are one code
   * path.
   *
-  * Supported verbs: `where`, `project`, `project-away`, `extend`,
-  * `summarize`, `sort by`/`order by`, `top N by`, `take`/`limit`,
-  * `count`, `distinct`, `mv-expand`, `parse`, `join` (kinds
+  * Supported verbs: `where`, `project`, `project-away`,
+  * `project-rename`, `project-keep`, `extend`, `summarize`, `sort
+  * by`/`order by`, `top N by`, `take`/`limit`, `count`, `distinct`,
+  * `mv-expand`, `parse`, `lookup` (dimension enrichment — broadcast
+  * left_outer/inner join, right key columns not duplicated, non-key
+  * clashes rejected loudly as in ADX), `union` (kind=outer default:
+  * column superset null-filled; kind=inner: column intersection —
+  * operands are table names or parenthesized sub-pipelines), `join` (kinds
   * innerunique/inner/leftouter/rightouter/fullouter/leftsemi/leftanti,
   * `on key` and `on $left.a == $right.b` forms, with KQL's right-side
   * `1`-suffix rename for clashing columns), `render`; plus `datatable`
@@ -128,6 +133,10 @@ object KqlParser {
       val (verb, rest) = stage.span(c => !c.isWhitespace && c != '-') match {
         case ("project", r) if r.startsWith("-away") =>
           ("project-away", r.stripPrefix("-away").trim)
+        case ("project", r) if r.startsWith("-rename") =>
+          ("project-rename", r.stripPrefix("-rename").trim)
+        case ("project", r) if r.startsWith("-keep") =>
+          ("project-keep", r.stripPrefix("-keep").trim)
         case ("mv", r) if r.startsWith("-expand") =>
           ("mv-expand", r.stripPrefix("-expand").trim)
         case (v, r) => (v, r.trim)
@@ -149,8 +158,28 @@ object KqlParser {
             df = df.extend(name.getOrElse(
               throw new IllegalArgumentException(s"extend needs 'name = expr': $item")), e)
           }
+        case "project-rename" =>
+          val RenameRe = "^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*([A-Za-z_][A-Za-z0-9_]*)$".r
+          splitTopLevel(rest, ',').map(_.trim).foreach {
+            case RenameRe(n, o) =>
+              require(df.columns.contains(o),
+                s"project-rename source column '$o' not found (have: ${df.columns.mkString(", ")})")
+              df = df.withColumnRenamed(o, n)
+            case other => throw new IllegalArgumentException(
+              s"project-rename expects 'newName = oldName': $other")
+          }
+        case "project-keep" =>
+          // ADX contract: keeps the ORIGINAL column order (unlike
+          // `project`, which reorders to the listed order).
+          val keep = splitTopLevel(rest, ',').map(_.trim)
+          keep.foreach(c => require(df.columns.contains(c),
+            s"project-keep column '$c' not found (have: ${df.columns.mkString(", ")})"))
+          val keepSet = keep.toSet
+          df = df.select(df.columns.filter(keepSet.contains).map(col): _*)
         case "summarize" => df = summarize(df, rest, scoped)
         case "join" => df = join(df, rest, tables, lets)
+        case "lookup" => df = lookupVerb(df, rest, tables, lets)
+        case "union" => df = unionVerb(df, rest, tables, lets)
         case "sort" | "order" =>
           val body = stripLeadingBy(rest, verb)
           df = df.orderBy(splitTopLevel(body, ',').map(s => sortCol(s.trim, scoped)): _*)
@@ -235,6 +264,96 @@ object KqlParser {
       left(a) === right(renamed.getOrElse(b, b))
     }.reduce(_ && _)
     left.join(right, cond, sparkKind)
+  }
+
+  /** `lookup [kind=leftouter|inner] (<dimension>) on <keys>` — ADX's
+    * dimension-enrichment join: like `join`, but the right side is a
+    * DIMENSION table (small by contract), its key columns are not
+    * duplicated into the output, and a non-key right column that
+    * clashes with a left column is an error (ADX rejects it; so do we,
+    * loudly, instead of silently `1`-suffixing like `join`). Desugared
+    * to a broadcast-hinted left_outer (the ADX default) or inner
+    * join — at scale, fact-enriched-by-dim is exactly a broadcast hash
+    * join: the fact side never shuffles. */
+  private def lookupVerb(df: DataFrame, rest: String,
+                         tables: Map[String, DataFrame],
+                         lets: Map[String, String]): DataFrame = {
+    var r = rest.trim
+    val kind = if (r.startsWith("kind")) {
+      val eq = r.indexOf('=')
+      require(eq >= 0, s"lookup kind expects 'kind=<kind>': $r")
+      val after = r.substring(eq + 1).trim
+      val k = after.takeWhile(c => !c.isWhitespace && c != '(')
+      r = after.drop(k.length).trim
+      k
+    } else "leftouter"
+    val sparkKind = kind match {
+      case "leftouter" => "left_outer"
+      case "inner"     => "inner"
+      case other => throw new IllegalArgumentException(
+        s"unsupported lookup kind '$other' (supported: leftouter, inner)")
+    }
+    require(r.startsWith("("), s"lookup expects a parenthesized dimension: $r")
+    val close = matchingParen(r, 0)
+    val rightText = r.substring(1, close).trim
+    val onPart = r.substring(close + 1).trim
+    require(onPart.startsWith("on") && (onPart.length == 2 || onPart.charAt(2).isWhitespace),
+      s"lookup expects 'on <keys>' after the dimension: $onPart")
+    val right = if (tables.contains(rightText)) tables(rightText)
+                else pipeline(rightText, tables, lets).df
+    val LeftRightRe = "^\\$left\\.([A-Za-z_][A-Za-z0-9_]*)\\s*==\\s*\\$right\\.([A-Za-z_][A-Za-z0-9_]*)$".r
+    val keyPairs = splitTopLevel(onPart.drop(2).trim, ',').map(_.trim).map {
+      case LeftRightRe(a, b) => (a, b)
+      case k if k.matches("[A-Za-z_][A-Za-z0-9_]*") => (k, k)
+      case other => throw new IllegalArgumentException(
+        s"lookup key must be a column name or '\\$$left.a == \\$$right.b': $other")
+    }
+    val rightKeys = keyPairs.map(_._2).toSet
+    val clash = right.columns.filterNot(rightKeys.contains).filter(df.columns.toSet)
+    require(clash.isEmpty,
+      s"lookup dimension redefines non-key column(s): ${clash.mkString(", ")}")
+    val cond = keyPairs.map { case (a, b) => df(a) === right(b) }.reduce(_ && _)
+    keyPairs.map(_._2).distinct.foldLeft(
+      df.join(broadcast(right), cond, sparkKind))((d, b) => d.drop(right(b)))
+  }
+
+  /** `union [kind=inner|outer] T2, (sub | query), …` — ADX union over
+    * the current frame and each operand (a table name or a
+    * parenthesized sub-pipeline). kind=outer (the ADX default) keeps
+    * every column appearing in ANY operand, null-filling gaps;
+    * kind=inner keeps only the columns common to ALL operands (in the
+    * left frame's order). Desugars to unionByName — plan concatenation,
+    * no shuffle. */
+  private def unionVerb(df: DataFrame, rest: String,
+                        tables: Map[String, DataFrame],
+                        lets: Map[String, String]): DataFrame = {
+    var r = rest.trim
+    val kind = if (r.startsWith("kind")) {
+      val eq = r.indexOf('=')
+      require(eq >= 0, s"union kind expects 'kind=<kind>': $r")
+      val after = r.substring(eq + 1).trim
+      val k = after.takeWhile(c => !c.isWhitespace && c != '(')
+      r = after.drop(k.length).trim
+      require(k == "inner" || k == "outer",
+        s"unsupported union kind '$k' (supported: inner, outer)")
+      k
+    } else "outer"
+    val frames = df +: splitTopLevel(r, ',').map(_.trim).filter(_.nonEmpty).map { op =>
+      if (op.startsWith("(")) {
+        val close = matchingParen(op, 0)
+        pipeline(op.substring(1, close).trim, tables, lets).df
+      } else tables.getOrElse(op, throw new IllegalArgumentException(
+        s"unknown table '$op' in union (known: ${tables.keys.mkString(", ")})"))
+    }
+    require(frames.length > 1, s"union expects at least one operand: $rest")
+    if (kind == "outer")
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      val common = frames.map(_.columns.toSeq)
+        .reduce((a, b) => a.filter(b.toSet))
+      require(common.nonEmpty, "union kind=inner found no common columns")
+      frames.map(_.select(common.map(col): _*)).reduce(_.unionByName(_))
+    }
   }
 
   /** `mv-expand [name =] <expr> [to typeof(<type>)]` — one row per

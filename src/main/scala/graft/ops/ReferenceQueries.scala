@@ -98,7 +98,34 @@ object ReferenceQueries {
       || mv-expand v = s.vals to typeof(long)
       || summarize n = count(), total = sum(v) by city""".stripMargin
 
+  /** `lookup` through the text front-end: the dimension-enrichment
+    * shape (fact table + small dim → broadcast join, right key not
+    * duplicated) every ADX dashboard uses to attach rollup attributes —
+    * here a city→region dim as a `datatable` tabular let. */
+  val kqlLookupText: String =
+    """let dims = datatable(city:string, region:string)[
+      |  'New Delhi', 'APAC', 'Seattle', 'WEST', 'New York', 'EAST',
+      |  'Austin', 'SOUTH', 'Chicago', 'MIDWEST', 'Cleveland', 'MIDWEST'];
+      |Orders
+      || lookup (dims) on city
+      || summarize n = count(), total = sum(amount) by region
+      || sort by region asc""".stripMargin
+
+  /** `union` + `project-rename` + `project-keep` through the text
+    * front-end: a disjoint split of Orders unioned back together (so
+    * the aggregate must equal the plain full-table aggregate), then
+    * renamed/pruned before summarizing. */
+  val kqlUnionText: String =
+    """Orders
+      || where amount < 150
+      || union (Orders | where amount >= 150)
+      || project-rename town = city
+      || project-keep orderid, amount, town
+      || summarize n = count(), total = sum(amount) by town""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_lookup_dim"    -> kqlText(kqlLookupText) _,
+    "kql_union_rename"  -> kqlText(kqlUnionText) _,
     "kql_bin_histogram" -> kqlText(kqlBinText) _,
     "kql_parse_regex"   -> kqlText(kqlParseRegexText) _,
     "kql_mvexpand"      -> kqlText(kqlMvExpandText) _,
@@ -113,6 +140,20 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kql_lookup_dim" ->
+      s"""${Sql.ordersInfoCte},
+         |dims(city, region) AS (VALUES
+         |  ('New Delhi', 'APAC'), ('Seattle', 'WEST'), ('New York', 'EAST'),
+         |  ('Austin', 'SOUTH'), ('Chicago', 'MIDWEST'), ('Cleveland', 'MIDWEST'))
+         |SELECT d.region, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(o.amount) AS BIGINT) AS total
+         |FROM orders_info o LEFT JOIN dims d ON o.city = d.city
+         |GROUP BY d.region ORDER BY region ASC""".stripMargin,
+    "kql_union_rename" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city AS town, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(amount) AS BIGINT) AS total
+         |FROM orders_info GROUP BY city""".stripMargin,
     "kql_bin_histogram" ->
       s"""${Sql.ordersInfoCte}
          |SELECT CAST(amount - ((amount % 20 + 20) % 20) AS INTEGER) AS bucket,

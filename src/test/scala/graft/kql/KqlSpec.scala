@@ -428,4 +428,58 @@ class KqlSpec extends SparkSpec {
     val m = out.collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
     assert(m == Map(true -> 2L, false -> 1L))
   }
+
+  test("parser: lookup enriches without duplicating the key; leftouter nulls unmatched") {
+    val reg = ordersReg + ("Dims" ->
+      Seq(("Seattle", "WEST")).toDF("city", "region"))
+    val out = KqlParser.run("Orders | lookup (Dims) on city", reg)
+    assert(out.columns.toSeq == Seq("orderid", "city", "amount", "region"))
+    assert(out.filter(col("city") === "Seattle")
+      .select("region").distinct().head().getString(0) == "WEST")
+    assert(out.filter(col("city") === "Austin").head().isNullAt(3))
+    // kind=inner drops the unmatched fact rows instead
+    assert(KqlParser.run("Orders | lookup kind=inner (Dims) on city | count", reg)
+      .head().getLong(0) == 2L)
+  }
+
+  test("parser: lookup rejects a dimension that redefines a non-key column") {
+    val reg = ordersReg + ("Dims" ->
+      Seq(("Seattle", 1)).toDF("city", "amount"))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("Orders | lookup (Dims) on city", reg)
+    }
+    assert(e.getMessage.contains("amount"))
+  }
+
+  test("parser: union kind=outer null-fills, kind=inner intersects columns") {
+    val reg = ordersReg + ("Extra" ->
+      Seq((9, "Denver", true)).toDF("orderid", "city", "rush"))
+    val outer = KqlParser.run("Orders | union Extra", reg)
+    assert(outer.columns.toSeq == Seq("orderid", "city", "amount", "rush"))
+    assert(outer.count() == 4L)
+    assert(outer.filter(col("orderid") === 1).head().isNullAt(3))  // no rush col
+    assert(outer.filter(col("orderid") === 9).head().isNullAt(2))  // no amount col
+    val inner = KqlParser.run("Orders | union kind=inner Extra", reg)
+    assert(inner.columns.toSeq == Seq("orderid", "city"))
+    assert(inner.count() == 4L)
+  }
+
+  test("parser: union accepts parenthesized sub-pipelines") {
+    val out = KqlParser.run(
+      "Orders | where amount < 100 | union (Orders | where amount >= 100) | count",
+      ordersReg)
+    assert(out.head().getLong(0) == 3L)
+  }
+
+  test("parser: project-rename keeps column position; project-keep keeps original order") {
+    val ren = KqlParser.run("Orders | project-rename town = city", ordersReg)
+    assert(ren.columns.toSeq == Seq("orderid", "town", "amount"))
+    // listed out of order on purpose: project-keep must NOT reorder
+    val keep = KqlParser.run("Orders | project-keep amount, orderid", ordersReg)
+    assert(keep.columns.toSeq == Seq("orderid", "amount"))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("Orders | project-rename x = nope", ordersReg)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
 }
