@@ -27,6 +27,7 @@ class PlanSweepSpec extends SparkSpec {
     "sim_ivf_topk", "sim_ivf_train_step",
     "sim_pq_encode", "sim_pq_topk", // corpus/query × 16-codeword broadcast (PQ encode/ADC table)
     "sim_pq_train", // inherits pqCodes' assignment pass (corpus × 16-codeword broadcast)
+    "sim_semantic_dedup", // SemDeDup's cluster assignment: corpus × 16-centroid broadcast; the pair stage itself equi-joins on cent_id
     "text_vocab_coverage", "text_quality_filter", "text_curated_corpus",
     "ev_daily_anomaly")
 
