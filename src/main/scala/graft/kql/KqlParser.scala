@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
   * min, max, count, dcount, countif, arg_max, arg_min. Scalar
   * expressions pass through Spark SQL after translating the KQL
   * operator spellings (`==`, `!=`, `=~`, `contains`, `startswith`,
-  * `endswith`, `bin` — KQL's floor-to-multiple, translated to
+  * `endswith`, `has` — whole-term case-insensitive match — their `!`
+  * negations, `in`/`!in` list membership,
+  * `bin` — KQL's floor-to-multiple, translated to
   * arithmetic since Spark's `bin` is binary-string rendering; group
   * keys may be named, `by bucket = bin(amount, 20)`). `mv-expand
   * [name =] <expr> [to typeof(t)]` desugars to the builder's explode
@@ -733,6 +735,21 @@ object KqlParser {
       } else if (s.startsWith("=~", i)) { out.append("ILIKE"); i += 2 } // ci equals → handled below
       else if (s.startsWith("==", i)) { out.append("="); i += 2 }
       else if (s.startsWith("!=", i)) { out.append("<>"); i += 2 }
+      else if (c == '!' && i + 1 < s.length &&
+               "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(s.substring(i + 1)).exists(w =>
+                 Set("has", "contains", "startswith", "endswith", "in")(w.toLowerCase))) {
+        // KQL negated operators: `!has`, `!contains`, `!startswith`,
+        // `!endswith` become negated infix markers; `!in` is SQL NOT IN.
+        val w = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(s.substring(i + 1)).get
+        w.toLowerCase match {
+          case "in"         => out.append("NOT IN")
+          case "has"        => out.append("ilike_nhas")
+          case "contains"   => out.append("ilike_ncontains")
+          case "startswith" => out.append("ilike_nstarts")
+          case "endswith"   => out.append("ilike_nends")
+        }
+        i += 1 + w.length
+      }
       else {
         // word-level rewrites: contains/startswith/endswith (KQL is
         // case-insensitive; Spark's like/startswith is not — wrap lower())
@@ -801,6 +818,7 @@ object KqlParser {
               case "contains"   => Some("ilike_contains") // marker, fixed up next
               case "startswith" => Some("ilike_starts")
               case "endswith"   => Some("ilike_ends")
+              case "has"        => Some("ilike_has") // whole-term ci match
               case "and" | "or" | "not" => Some(w.toLowerCase)
               case _ => None
             }
@@ -812,15 +830,27 @@ object KqlParser {
     // infix markers → function form: `a ilike_contains "x"` is not valid
     // SQL, so rewrite `<lhs> marker <rhs-literal>` patterns
     var r = out.toString
-    val Infix = "([A-Za-z_][A-Za-z0-9_.]*)\\s+ilike_(contains|starts|ends)\\s+('[^']*'|\"[^\"]*\")".r
+    val Infix = "([A-Za-z_][A-Za-z0-9_.]*)\\s+ilike_(n?)(contains|starts|ends|has)\\s+('[^']*'|\"[^\"]*\")".r
     r = Infix.replaceAllIn(r, m => {
-      val (lhs, kind, lit0) = (m.group(1), m.group(2), m.group(3))
-      val lit = "'" + lit0.substring(1, lit0.length - 1).replace("'", "''") + "'"
-      kind match {
+      val (lhs, neg, kind, lit0) = (m.group(1), m.group(2) == "n", m.group(3), m.group(4))
+      val inner = lit0.substring(1, lit0.length - 1)
+      val lit = "'" + inner.replace("'", "''") + "'"
+      val pos = kind match {
         case "contains" => s"contains(lower($lhs), lower($lit))"
         case "starts"   => s"startswith(lower($lhs), lower($lit))"
         case "ends"     => s"endswith(lower($lhs), lower($lit))"
+        case "has"      =>
+          // ADX `has`: case-insensitive WHOLE-TERM match — the literal
+          // must appear delimited by non-alphanumerics (or string ends).
+          // \Q..\E quotes the term so regex metacharacters match
+          // literally.
+          val pat = "(^|[^a-z0-9])\\Q" + inner.toLowerCase + "\\E([^a-z0-9]|$)"
+          // Spark SQL string literals eat single backslashes — double
+          // them so the regex engine sees \Q..\E intact.
+          s"(lower($lhs) RLIKE '" +
+            pat.replace("\\", "\\\\").replace("'", "''") + "')"
       }
+      java.util.regex.Matcher.quoteReplacement(if (neg) s"(NOT $pos)" else pos)
     })
     // `a ILIKE b` from =~ : case-insensitive equality
     val Citext = "([A-Za-z_][A-Za-z0-9_.]*)\\s+ILIKE\\s+('[^']*'|\"[^\"]*\")".r

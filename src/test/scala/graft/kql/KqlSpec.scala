@@ -471,6 +471,26 @@ class KqlSpec extends SparkSpec {
     assert(out.head().getLong(0) == 3L)
   }
 
+  test("parser: has matches whole terms case-insensitively; contains matches substrings") {
+    val reg = Map("T" -> Seq("New York", "Newark", "old york town").toDF("city"))
+    // `has` needs a delimited term: "york" is a term of "New York" and
+    // "old york town" but only a substring of... nothing here; "new" is
+    // a term of "New York" but a PREFIX of "Newark" — has must reject it.
+    assert(KqlParser.run("T | where city has 'york' | count", reg).head().getLong(0) == 2L)
+    assert(KqlParser.run("T | where city has 'new' | count", reg).head().getLong(0) == 1L)
+    assert(KqlParser.run("T | where city contains 'new' | count", reg).head().getLong(0) == 2L)
+    assert(KqlParser.run("T | where city !has 'york' | count", reg).head().getLong(0) == 1L)
+    assert(KqlParser.run("T | where city !contains 'new' | count", reg).head().getLong(0) == 1L)
+  }
+
+  test("parser: in / !in list membership") {
+    val reg = ordersReg
+    assert(KqlParser.run("Orders | where city in ('Seattle', 'Denver') | count", reg)
+      .head().getLong(0) == 2L)
+    assert(KqlParser.run("Orders | where city !in ('Seattle', 'Denver') | count", reg)
+      .head().getLong(0) == 1L)
+  }
+
   test("parser: project-rename keeps column position; project-keep keeps original order") {
     val ren = KqlParser.run("Orders | project-rename town = city", ordersReg)
     assert(ren.columns.toSeq == Seq("orderid", "town", "amount"))
