@@ -444,8 +444,38 @@ object TextAnalysis {
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
     qualityClassifierOn(Tables.documents(spark, sfDir))
 
+  /** One BPE merge-selection step (Sennrich et al. 2016): the top
+    * adjacent-symbol-pair frequencies over the corpus, computed the way
+    * tokenizer training actually scales — the corpus is scanned ONCE
+    * into a word histogram (vocab-sized, tiny relative to the corpus),
+    * and pair counting runs over the histogram weighted by word count,
+    * so every subsequent merge iteration is a vocab-local job that
+    * never rescans the corpus. Emits the 20 most frequent character
+    * pairs ((count desc, pair asc) tiebreak) — the candidates the next
+    * merge would pick from. All counts are exact integers. */
+  def bpeMergeStepOn(docs: DataFrame, k: Int = 20): DataFrame = {
+    val hist = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    hist
+      // sub-2-char words have no adjacent pair; they must be dropped
+      // BEFORE sequence(1, len-1), which Spark evaluates as a
+      // DESCENDING [1, 0] when len = 1 (not an empty array).
+      .filter(length(col("word")) >= 2)
+      .select(col("c"), explode(expr("sequence(1, length(word) - 1)")).as("i"),
+        col("word"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  def bpeMergeStep(spark: SparkSession, sfDir: String): DataFrame =
+    bpeMergeStepOn(Tables.documents(spark, sfDir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_classifier" -> qualityClassifier _,
+    "text_bpe_merge" -> ((s: SparkSession, d: String) => bpeMergeStep(s, d)),
     "text_rule_filter" -> ruleFilteredCorpus _,
     "text_rule_audit" -> ruleAudit _,
     "text_repetition" -> repetitionSignals _,
@@ -507,6 +537,16 @@ object TextAnalysis {
         |  round(CAST(wsum AS DOUBLE) / (n_words * 1000), 6) AS score,
         |  round(CAST(wsum AS DOUBLE) / (n_words * 1000), 6) > 0 AS keep
         |FROM agg""".stripMargin,
+    "text_bpe_merge" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |hist AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+        |pairs AS (
+        |  SELECT substr(word, CAST(i AS INT), 2) AS pair, c
+        |  FROM hist, UNNEST(range(1, length(word))) AS t(i))
+        |SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     "text_rule_filter" ->
       s"""WITH $ruleSignalsCte
          |SELECT doc_id, lang, source, n_words FROM rules

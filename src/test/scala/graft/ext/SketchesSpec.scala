@@ -82,6 +82,16 @@ class SketchesSpec extends SparkSpec {
     assert(kept.count() > 0L)
   }
 
+  test("BPE merge step counts overlapping pairs weighted by word frequency") {
+    import spark.implicits._
+    // "aaab" has pairs aa (i=1), aa (i=2), ab (i=3); word count 2 →
+    // aa: 4, ab: 2. The 1-char word "x" must contribute nothing.
+    val docs = Seq((0L, "aaab x"), (1L, "aaab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeStepOn(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("aa" -> 4L, "ab" -> 2L))
+  }
+
   test("quality classifier: exact token count, bounded score, decision = sign") {
     val out = TextAnalysis.qualityClassifier(spark, sfDir)
     val docs = graft.ops.Tables.documents(spark, sfDir)
