@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   * either a sub-query (tabular let — usable as a table name or join
   * right side) or a scalar expression (substituted where the name
   * appears, KQL's textual-binding semantics). Aggregates: avg, sum,
-  * min, max, count, dcount, countif, arg_max, arg_min. Scalar
+  * min, max, count, dcount, countif, arg_max, arg_min, make_list,
+  * make_set, percentile (P in [0,100], computed EXACTLY rather than
+  * ADX's T-digest approximation — documented deviation), stdev,
+  * variance, sumif/avgif/minif/maxif. Scalar
   * expressions pass through Spark SQL after translating the KQL
   * operator spellings (`==`, `!=`, `=~`, `contains`, `startswith`,
   * `endswith`, `has` — whole-term case-insensitive match — their `!`
@@ -675,6 +678,19 @@ object KqlParser {
           case "arg_min" => (Kql.argMin(arg(0), arg(1)), defName(args(1)))
           case "make_list" => (Kql.makeList(arg(0)), defName(args(0)))
           case "make_set"  => (Kql.makeSet(arg(0)), defName(args(0)))
+          case "percentile" =>
+            // ADX percentile(col, P) takes P in [0, 100] and is
+            // approximate (T-digest); we keep the EXACT percentile so
+            // results are oracle-comparable — a documented deviation in
+            // the caller's favor.
+            (expr(s"percentile(${scalar(args(0), lets)}, (${args(1)}) / 100.0)"),
+              defName(args(0)))
+          case "stdev"    => (stddev_samp(arg(0)), defName(args(0)))
+          case "variance" => (var_samp(arg(0)), defName(args(0)))
+          case "sumif"    => (sum(when(arg(1), arg(0))), defName(args(0)))
+          case "avgif"    => (avg(when(arg(1), arg(0))), defName(args(0)))
+          case "minif"    => (min(when(arg(1), arg(0))), defName(args(0)))
+          case "maxif"    => (max(when(arg(1), arg(0))), defName(args(0)))
           case other =>
             throw new IllegalArgumentException(s"unsupported aggregate '$other'")
         }

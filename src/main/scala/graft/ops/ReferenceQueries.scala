@@ -123,7 +123,18 @@ object ReferenceQueries {
       || project-keep orderid, amount, town
       || summarize n = count(), total = sum(amount) by town""".stripMargin
 
+  /** `percentile`/`sumif` aggregates through the text front-end —
+    * exact-percentile semantics (documented deviation from ADX's
+    * T-digest) make the result oracle-comparable. */
+  val kqlPercentileText: String =
+    """Orders
+      || summarize p90raw = percentile(amount, 90),
+      |            hi = sumif(amount, amount >= 150), n = count() by city
+      || extend p90 = round(p90raw, 6)
+      || project-away p90raw""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_percentiles"   -> kqlText(kqlPercentileText) _,
     "kql_lookup_dim"    -> kqlText(kqlLookupText) _,
     "kql_union_rename"  -> kqlText(kqlUnionText) _,
     "kql_bin_histogram" -> kqlText(kqlBinText) _,
@@ -140,6 +151,13 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kql_percentiles" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city,
+         |  CAST(SUM(CASE WHEN amount >= 150 THEN amount END) AS BIGINT) AS hi,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  round(quantile_cont(amount, 0.90), 6) AS p90
+         |FROM orders_info GROUP BY city""".stripMargin,
     "kql_lookup_dim" ->
       s"""${Sql.ordersInfoCte},
          |dims(city, region) AS (VALUES

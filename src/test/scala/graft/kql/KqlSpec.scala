@@ -491,6 +491,19 @@ class KqlSpec extends SparkSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("parser: percentile/stdev/sumif aggregates translate") {
+    val reg = Map("T" ->
+      Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 10)).toDF("k", "v"))
+    val p = KqlParser.run(
+      "T | summarize p50 = percentile(v, 50), s = stdev(v), t = sumif(v, k == 'a') by k", reg)
+    val row = p.filter(col("k") === "a").head()
+    assert(row.getDouble(1) == 2.5)          // exact median of 1,2,3,4
+    assert(math.abs(row.getDouble(2) - 1.2909944) < 1e-6)
+    assert(row.getLong(3) == 10L)            // sumif over the a-group
+    val rowB = p.filter(col("k") === "b").head()
+    assert(rowB.isNullAt(3))                 // sumif: no matching rows → null
+  }
+
   test("parser: project-rename keeps column position; project-keep keeps original order") {
     val ren = KqlParser.run("Orders | project-rename town = city", ordersReg)
     assert(ren.columns.toSeq == Seq("orderid", "town", "amount"))
