@@ -473,9 +473,109 @@ object TextAnalysis {
   def bpeMergeStep(spark: SparkSession, sfDir: String): DataFrame =
     bpeMergeStepOn(Tables.documents(spark, sfDir))
 
+  /** Full BPE merge-table training (Sennrich et al. 2016): k merge
+    * iterations as a driver loop — the same loop-of-distributed-jobs
+    * shape as [[graft.ext.Dedup.dedupClusters]] and Lloyd's iteration.
+    * The corpus is scanned ONCE into the word histogram; every
+    * iteration after that is vocab-local: count adjacent symbol pairs
+    * weighted by word count, pick the (count desc, pair asc) argmax
+    * (ONE collected row per step — the merge itself), and apply the
+    * merge to the symbol sequences. Emits the merge table
+    * (step, pair, n) — the artifact a tokenizer trainer ships.
+    *
+    * Merge application is `replace` run twice over the space-padded
+    * sequence: pair occurrences overlap only through one shared
+    * delimiter space, so the second pass catches exactly the
+    * occurrences the first pass's consumed boundary hid, and the result
+    * is a fixpoint (pass 3 changes nothing — property-tested in
+    * `SketchesSpec`). On same-symbol runs ≥ 5 this fixpoint differs
+    * from strict left-to-right greedy BPE ("a a a a a" → "aa a aa",
+    * greedy gives "aa aa a") — a DOCUMENTED deviation; both engines
+    * compute the identical fixpoint, so the oracle pins it.
+    *
+    * 100 TB shape: the histogram shuffle is the only corpus-sized step;
+    * merge iterations touch |vocab| rows regardless of corpus size —
+    * which is why BPE training over a trillion-token corpus is
+    * tractable at all. */
+  def bpeTrainOn(docs: DataFrame, steps: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .select(concat_ws(" ", split(col("word"), "")).as("seq"), col("c"))
+      .persist()
+    try {
+      var hist = base
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+      var s = 1
+      var exhausted = false
+      while (s <= steps && !exhausted) {
+        val best = hist
+          .select(col("c"), expr("split(seq, ' ')").as("t"))
+          .filter(expr("size(t) >= 2"))
+          .select(col("c"), explode(expr("sequence(0, size(t) - 2)")).as("i"), col("t"))
+          .select(concat(expr("element_at(t, i + 1)"), lit(" "),
+            expr("element_at(t, i + 2)")).as("pair"), col("c"))
+          .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (pair, n) = (best(0).getString(0), best(0).getLong(1))
+          merges += ((s, pair, n))
+          val p = pair.replace("'", "''")
+          val m = pair.replace(" ", "").replace("'", "''")
+          hist = hist.select(expr(
+            s"trim(replace(replace(concat(' ', seq, ' '), ' $p ', ' $m '), ' $p ', ' $m '))")
+            .as("seq"), col("c"))
+          s += 1
+        }
+      }
+      merges.toSeq.toDF("step", "pair", "n")
+    } finally { base.unpersist(); () }
+  }
+
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrainOn(Tables.documents(spark, sfDir))
+
+  /** DuckDB mirror of [[bpeTrainOn]] — the k-step loop UNROLLED into
+    * chained CTEs (b_k = step-k argmax via scalar subqueries, s_k = the
+    * post-merge sequences), finishing in the unioned merge table. */
+  private[ext] def bpeTrainOracle(steps: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |h AS (SELECT word, COUNT(*) AS c FROM w WHERE length(word) >= 1 GROUP BY word),
+        |s0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS seq, c FROM h)""".stripMargin)
+    for (k <- 1 to steps) {
+      val prev = s"s${k - 1}"
+      sb.append(s""",
+         |p$k AS (
+         |  SELECT t[i] || ' ' || t[i + 1] AS pair, c
+         |  FROM (SELECT string_split(seq, ' ') AS t, c FROM $prev),
+         |       UNNEST(range(1, len(t))) AS u(i)),
+         |b$k AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS n FROM p$k GROUP BY pair
+         |        ORDER BY n DESC, pair ASC LIMIT 1),
+         |s$k AS (
+         |  SELECT trim(replace(replace(' ' || seq || ' ',
+         |      ' ' || (SELECT pair FROM b$k) || ' ',
+         |      ' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' '),
+         |      ' ' || (SELECT pair FROM b$k) || ' ',
+         |      ' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' ')) AS seq, c
+         |  FROM $prev)""".stripMargin)
+    }
+    sb.append("\n" + (1 to steps)
+      .map(k => s"SELECT CAST($k AS INTEGER) AS step, pair, n FROM b$k")
+      .mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_classifier" -> qualityClassifier _,
     "text_bpe_merge" -> ((s: SparkSession, d: String) => bpeMergeStep(s, d)),
+    "text_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
     "text_rule_filter" -> ruleFilteredCorpus _,
     "text_rule_audit" -> ruleAudit _,
     "text_repetition" -> repetitionSignals _,
@@ -537,6 +637,7 @@ object TextAnalysis {
         |  round(CAST(wsum AS DOUBLE) / (n_words * 1000), 6) AS score,
         |  round(CAST(wsum AS DOUBLE) / (n_words * 1000), 6) > 0 AS keep
         |FROM agg""".stripMargin,
+    "text_bpe_train" -> bpeTrainOracle(5),
     "text_bpe_merge" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),

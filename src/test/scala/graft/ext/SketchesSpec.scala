@@ -92,6 +92,35 @@ class SketchesSpec extends SparkSpec {
     assert(out == Map("aa" -> 4L, "ab" -> 2L))
   }
 
+  test("BPE training recovers a planted merge sequence") {
+    import spark.implicits._
+    // Corpus of "abab" x3 and "cd" x2: char pairs are ab:6 (2 per word
+    // x3), ba:3, cd:2. Step 1 merges "a b" -> ab giving seqs "ab ab";
+    // step 2 then sees pair "ab ab":3 vs "c d":2 and merges "ab ab".
+    val docs = Seq((0L, "abab abab abab cd cd")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainOn(docs, steps = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((1, "a b", 6L)))
+    assert(out(1) == ((2, "ab ab", 3L)))
+    assert(out(2) == ((3, "c d", 2L)))
+  }
+
+  test("BPE two-pass merge application is a fixpoint") {
+    // The operator applies each merge as replace-run-twice over the
+    // padded sequence; a third pass must change nothing, for any run
+    // length or alternation (the property that makes the application
+    // order-deterministic and engine-portable).
+    def applyTwice(s: String, pair: String, merged: String, times: Int): String =
+      (1 to times).foldLeft(" " + s + " ")((acc, _) =>
+        acc.replace(" " + pair + " ", " " + merged + " ")).trim
+    for (n <- 2 to 12) {
+      val run = List.fill(n)("a").mkString(" ")
+      assert(applyTwice(run, "a a", "aa", 2) == applyTwice(run, "a a", "aa", 3))
+      val alt = List.fill(n)("a b").mkString(" ")
+      assert(applyTwice(alt, "a b", "ab", 2) == applyTwice(alt, "a b", "ab", 3))
+    }
+  }
+
   test("quality classifier: exact token count, bounded score, decision = sign") {
     val out = TextAnalysis.qualityClassifier(spark, sfDir)
     val docs = graft.ops.Tables.documents(spark, sfDir)
