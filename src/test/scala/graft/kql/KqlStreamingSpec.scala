@@ -49,4 +49,31 @@ class KqlStreamingSpec extends SparkSpec {
       assert(r2 == Map("Seattle" -> 250L, "Austin" -> 200L, "Chicago" -> 200L))
     } finally q.stop()
   }
+
+  test("KQL lookup enriches the live stream against a static dimension") {
+    // Stream-static dimension enrichment — at scale, THE pattern for
+    // attaching rollup attributes to a change stream: the dim is a
+    // broadcast hash join against each micro-batch, no stream shuffle,
+    // no state. The same `lookup` text drives batch and stream.
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[String]
+    val orders = Cdc.unwrap(Cdc.decode(source.toDF().select(col("value"))))
+    val dims = Seq(("Seattle", "WEST"), ("Austin", "SOUTH"), ("Chicago", "MIDWEST"))
+      .toDF("city", "region")
+    val parsed = KqlParser.parse(
+      """Orders
+        || lookup (Dims) on city
+        || summarize total = sum(amount) by region""".stripMargin,
+      Map("Orders" -> orders, "Dims" -> dims))
+    val q = parsed.df.writeStream.outputMode("complete")
+      .format("memory").queryName("kql_lookup_live").start()
+    try {
+      source.addData(env(1, 100, "Seattle", 1), env(2, 150, "Austin", 2),
+        env(3, 50, "Austin", 3))
+      q.processAllAvailable()
+      val r = spark.table("kql_lookup_live").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r == Map("WEST" -> 100L, "SOUTH" -> 200L))
+    } finally q.stop()
+  }
 }
