@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * Supported verbs: `where`, `project`, `project-away`,
   * `project-rename`, `project-keep`, `extend`, `summarize`, `sort
   * by`/`order by`, `top N by`, `take`/`limit`, `count`, `distinct`,
-  * `mv-expand`, `parse`, `lookup` (dimension enrichment — broadcast
+  * `mv-expand`, `parse`, `print` (table-less scalar row), `getschema`
+  * (column introspection), `lookup` (dimension enrichment — broadcast
   * left_outer/inner join, right key columns not duplicated, non-key
   * clashes rejected loudly as in ADX), `union` (kind=outer default:
   * column superset null-filled; kind=inner: column intersection —
@@ -129,6 +130,11 @@ object KqlParser {
     val tableName = stages.head
     var df =
       if (tableName.startsWith("datatable")) datatable(tableName)
+      else if (tableName.startsWith("print") &&
+               (tableName.length == 5 || tableName.charAt(5).isWhitespace))
+        // `print name = expr, …` — ADX's table-less scalar evaluation:
+        // one row computed from literals/lets alone.
+        printVerb(tableName.drop(5).trim, lets)
       else tables.getOrElse(tableName,
         throw new IllegalArgumentException(
           s"unknown table '$tableName' (known: ${tables.keys.mkString(", ")})"))
@@ -204,6 +210,23 @@ object KqlParser {
           df = if (rest.trim == "*") df.distinct()
                else df.kqlDistinct(splitTopLevel(rest, ',').map(s => expr(scalar(s.trim, scoped))): _*)
         case "render" => render = Some(rest.trim.split("\\s+").head)
+        case "getschema" =>
+          // ADX schema introspection: one row per column with the
+          // ordinal and both the engine type and the KQL-ish type name.
+          val spark = df.sparkSession
+          import spark.implicits._
+          df = df.schema.fields.zipWithIndex.map { case (f, i) =>
+            val kqlType = f.dataType.simpleString match {
+              case "string" => "string"
+              case "int"    => "int"
+              case "bigint" => "long"
+              case "double" => "real"
+              case "boolean" => "bool"
+              case "timestamp" => "datetime"
+              case other => other
+            }
+            (f.name, i, f.dataType.simpleString, kqlType)
+          }.toSeq.toDF("ColumnName", "ColumnOrdinal", "DataType", "ColumnType")
         case other => throw new IllegalArgumentException(s"unsupported KQL verb '$other'")
       }
     }
@@ -269,6 +292,20 @@ object KqlParser {
       left(a) === right(renamed.getOrElse(b, b))
     }.reduce(_ && _)
     left.join(right, cond, sparkKind)
+  }
+
+  /** `print [name =] expr, …` — one computed row, no source table.
+    * Unnamed items get ADX's positional print_N names. */
+  private def printVerb(rest: String,
+                        lets: Map[String, String]): DataFrame = {
+    require(rest.nonEmpty, "print expects at least one expression")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cols = splitTopLevel(rest, ',').map(_.trim).zipWithIndex.map {
+      case (item, idx) =>
+        val (nameOpt, c) = nameAndBody(item, lets)
+        c.as(nameOpt.getOrElse(s"print_$idx"))
+    }
+    spark.range(1).select(cols: _*)
   }
 
   /** `lookup [kind=leftouter|inner] (<dimension>) on <keys>` — ADX's
@@ -836,6 +873,17 @@ object KqlParser {
               case "endswith"   => Some("ilike_ends")
               case "has"        => Some("ilike_has") // whole-term ci match
               case "and" | "or" | "not" => Some(w.toLowerCase)
+              // ADX scalar-function spellings with exact Spark
+              // equivalents — pure name swaps, arguments unchanged.
+              case "strcat"   => Some("concat")
+              case "strlen"   => Some("length")
+              case "toupper"  => Some("upper")
+              case "tolower"  => Some("lower")
+              case "tostring" => Some("string")
+              case "tolong"   => Some("bigint")
+              case "toint"    => Some("int")
+              case "todouble" | "toreal" => Some("double")
+              case "iif" | "iff" => Some("if")
               case _ => None
             }
             out.append(repl.getOrElse(w)); i += w.length

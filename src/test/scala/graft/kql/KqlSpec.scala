@@ -491,6 +491,22 @@ class KqlSpec extends SparkSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("parser: print evaluates table-less scalars; getschema introspects columns") {
+    val p = KqlParser.run("print x = 1 + 1, s = strcat('a', 'b'), 42", Map.empty)
+    assert(p.columns.toSeq == Seq("x", "s", "print_2"))
+    val row = p.head()
+    assert(row.getInt(0) == 2 && row.getString(1) == "ab" && row.getInt(2) == 42)
+    val sch = KqlParser.run("Orders | getschema", ordersReg).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(3)))
+    assert(sch.toSeq == Seq(("orderid", 0, "int"), ("city", 1, "string"), ("amount", 2, "int")))
+    // ADX scalar spellings: iff/tostring/tolong/toupper map to Spark names
+    val f = KqlParser.run(
+      "print a = iff(1 < 2, 'y', 'n'), b = tolong('7'), c = toupper('ab'), d = tostring(5)",
+      Map.empty).head()
+    assert(f.getString(0) == "y" && f.getLong(1) == 7L &&
+      f.getString(2) == "AB" && f.getString(3) == "5")
+  }
+
   test("parser: percentile/stdev/sumif aggregates translate") {
     val reg = Map("T" ->
       Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 10)).toDF("k", "v"))
