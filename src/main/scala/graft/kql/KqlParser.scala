@@ -831,22 +831,57 @@ object KqlParser {
             // rather than silently emitting wrong buckets.
             val open = s.indexOf('(', i + w.length)
             val close = matchingParen(s, open)
+            val rawArgs = splitTopLevel(s.substring(open + 1, close), ',').map(_.trim)
+            require(rawArgs.length == 2,
+              s"bin expects bin(value, size): ${s.substring(i, close + 1)}")
+            // KQL timespan literal size (1h, 30m, 7d, 90s): datetime
+            // binning — floor the epoch-second value to the span
+            // multiple. Kept in integer seconds end to end, so both
+            // engines compute the identical bucket.
+            val TimespanRe = "^(\\d+)(d|h|m|s)$".r
+            rawArgs(1) match {
+              case TimespanRe(num, unit) =>
+                val secs = num.toLong * (unit match {
+                  case "d" => 86400L; case "h" => 3600L; case "m" => 60L; case "s" => 1L
+                })
+                require(secs > 0, s"bin() timespan must be positive: ${rawArgs(1)}")
+                val v = scalar(rawArgs(0), lets)
+                out.append(s"timestamp_seconds((unix_timestamp($v)) - " +
+                  s"(((unix_timestamp($v)) % $secs + $secs) % $secs))")
+              case _ =>
+                val args = rawArgs.map(a => scalar(a, lets))
+                val (v, sz) = (args(0), args(1))
+                val arith = s"(($v) - ((($v) % ($sz) + ($sz)) % ($sz)))"
+                val sizeLit = scala.util.Try(BigDecimal(sz.trim)).toOption
+                sizeLit match {
+                  case Some(n) =>
+                    require(n > 0, s"bin() size must be positive, got $sz")
+                    out.append(arith)
+                  case None =>
+                    out.append(s"(CASE WHEN ($sz) > 0 THEN $arith ELSE " +
+                      s"raise_error(concat('bin() size must be positive, got ', " +
+                      s"CAST(($sz) AS STRING))) END)")
+                }
+            }
+            i = close + 1
+          case Some(w) if w.toLowerCase == "case" && {
+              var j = i + w.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              j < s.length && s.charAt(j) == '('
+            } =>
+            // KQL case(cond1, val1, cond2, val2, …, default) — ADX's
+            // multi-branch conditional, rewritten to CASE WHEN. (SQL's
+            // own CASE keyword is never followed by '(' so the guard
+            // cannot misfire on pass-through SQL.)
+            val open = s.indexOf('(', i + w.length)
+            val close = matchingParen(s, open)
             val args = splitTopLevel(s.substring(open + 1, close), ',')
               .map(a => scalar(a.trim, lets))
-            require(args.length == 2,
-              s"bin expects bin(value, size): ${s.substring(i, close + 1)}")
-            val (v, sz) = (args(0), args(1))
-            val arith = s"(($v) - ((($v) % ($sz) + ($sz)) % ($sz)))"
-            val sizeLit = scala.util.Try(BigDecimal(sz.trim)).toOption
-            sizeLit match {
-              case Some(n) =>
-                require(n > 0, s"bin() size must be positive, got $sz")
-                out.append(arith)
-              case None =>
-                out.append(s"(CASE WHEN ($sz) > 0 THEN $arith ELSE " +
-                  s"raise_error(concat('bin() size must be positive, got ', " +
-                  s"CAST(($sz) AS STRING))) END)")
-            }
+            require(args.length >= 3 && args.length % 2 == 1,
+              s"case expects (cond1, val1, …, default): ${s.substring(i, close + 1)}")
+            val whens = args.init.grouped(2)
+              .map { p => s"WHEN (${p(0)}) THEN (${p(1)})" }.mkString(" ")
+            out.append(s"(CASE $whens ELSE (${args.last}) END)")
             i = close + 1
           case Some(w) if w.toLowerCase == "datetime" && {
               var j = i + w.length

@@ -53,7 +53,9 @@ object ReferenceQueries {
     "Orders\n| summarize orders = count() by city\n| sort by orders\n| render linechart   "
 
   private def kqlText(q: String)(spark: SparkSession, sfDir: String): DataFrame =
-    graft.kql.KqlParser.run(q, Map("Orders" -> Tables.ordersInfo(spark, sfDir)))
+    graft.kql.KqlParser.run(q, Map(
+      "Orders" -> Tables.ordersInfo(spark, sfDir),
+      "Events" -> Tables.events(spark, sfDir)))
 
   /** `let` + `join` through the text front-end: scalar let (threshold),
     * tabular let (per-customer counts), an inner join whose right side
@@ -133,7 +135,26 @@ object ReferenceQueries {
       || extend p90 = round(p90raw, 6)
       || project-away p90raw""".stripMargin
 
+  /** Timespan `bin()` over the event stream — THE time-series dashboard
+    * shape (`summarize count() by bin(timestamp, 1h)`). Buckets stay in
+    * integer epoch seconds end to end; output is epoch millis per the
+    * cross-engine timestamp-comparison convention. */
+  val kqlTimeHistogramText: String =
+    """Events
+      || summarize n = count() by t = bin(ts, 1h)
+      || extend bucket_ms = unix_millis(t)
+      || project-away t
+      || sort by bucket_ms asc""".stripMargin
+
+  /** `case()` conditional tiering — the canonical ADX bucketing idiom. */
+  val kqlCaseText: String =
+    """Orders
+      || extend tier = case(amount >= 180, 'high', amount >= 140, 'mid', 'low')
+      || summarize n = count(), total = sum(amount) by tier, city""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_time_histogram" -> kqlText(kqlTimeHistogramText) _,
+    "kql_case_tiers"    -> kqlText(kqlCaseText) _,
     "kql_percentiles"   -> kqlText(kqlPercentileText) _,
     "kql_lookup_dim"    -> kqlText(kqlLookupText) _,
     "kql_union_rename"  -> kqlText(kqlUnionText) _,
@@ -151,6 +172,19 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kql_time_histogram" ->
+      """WITH b AS (
+        |  SELECT (epoch_ns(ts) // 1000000000) AS es FROM events)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  (es - ((es % 3600 + 3600) % 3600)) * 1000 AS bucket_ms
+        |FROM b GROUP BY 2 ORDER BY bucket_ms ASC""".stripMargin,
+    "kql_case_tiers" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT CASE WHEN amount >= 180 THEN 'high'
+         |            WHEN amount >= 140 THEN 'mid' ELSE 'low' END AS tier,
+         |       city, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(amount) AS BIGINT) AS total
+         |FROM orders_info GROUP BY 1, 2""".stripMargin,
     "kql_percentiles" ->
       s"""${Sql.ordersInfoCte}
          |SELECT city,

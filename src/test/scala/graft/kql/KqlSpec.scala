@@ -507,6 +507,33 @@ class KqlSpec extends SparkSpec {
       f.getString(2) == "AB" && f.getString(3) == "5")
   }
 
+  test("parser: bin with a timespan literal floors timestamps to the span") {
+    val reg = Map("T" -> Seq(
+      ("2024-03-01 10:47:13", 1), ("2024-03-01 10:02:00", 2), ("2024-03-01 11:30:59", 3))
+      .toDF("s", "v").withColumn("ts", to_timestamp(col("s"))))
+    val out = KqlParser.run(
+      "T | summarize n = count() by h = bin(ts, 1h) | extend ms = unix_millis(h) | project-away h | sort by ms asc",
+      reg).collect().map(r => r.getLong(1) -> r.getLong(0))
+    // 10:47 and 10:02 share the 10:00 bucket; 11:30 gets 11:00
+    assert(out.length == 2 && out(0)._2 == 2L && out(1)._2 == 1L)
+    assert(out(1)._1 - out(0)._1 == 3600L * 1000)
+    val m = KqlParser.run(
+      "T | summarize n = count() by m = bin(ts, 30m) | count", reg).head().getLong(0)
+    assert(m == 3L) // 10:47→10:30, 10:02→10:00, 11:30→11:30 — three buckets
+  }
+
+  test("parser: case() rewrites to CASE WHEN chains") {
+    val reg = ordersReg
+    val out = KqlParser.run(
+      "Orders | extend t = case(amount >= 110, 'hi', amount >= 90, 'mid', 'lo') | project orderid, t",
+      reg).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "hi", 2 -> "lo", 3 -> "mid"))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("Orders | extend t = case(amount >= 110, 'hi')", reg)
+    }
+    assert(e.getMessage.contains("default"))
+  }
+
   test("parser: percentile/stdev/sumif aggregates translate") {
     val reg = Map("T" ->
       Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 10)).toDF("k", "v"))
