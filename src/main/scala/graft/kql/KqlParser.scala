@@ -150,6 +150,8 @@ object KqlParser {
           ("project-keep", r.stripPrefix("-keep").trim)
         case ("mv", r) if r.startsWith("-expand") =>
           ("mv-expand", r.stripPrefix("-expand").trim)
+        case ("make", r) if r.startsWith("-series") =>
+          ("make-series", r.stripPrefix("-series").trim)
         case (v, r) => (v, r.trim)
       }
       // ADX name resolution: a column of the CURRENT frame shadows a
@@ -204,6 +206,7 @@ object KqlParser {
           }
         case "parse" => df = parseVerb(df, rest, scoped)
         case "mv-expand" => df = mvExpandVerb(df, rest, scoped)
+        case "make-series" => df = makeSeriesVerb(df, rest, scoped)
         case "take" | "limit" => df = df.limit(rest.trim.toInt)
         case "count" => df = df.kqlCount
         case "distinct" =>
@@ -292,6 +295,70 @@ object KqlParser {
       left(a) === right(renamed.getOrElse(b, b))
     }.reduce(_ && _)
     left.join(right, cond, sparkKind)
+  }
+
+  /** `make-series <name> = count()|sum(col) on <tscol> from <start> to
+    * <end> step <timespan> [by <keys>]` — ADX's dense-time-series
+    * constructor: one row per group carrying (a) the aggregate as an
+    * ARRAY with one slot per step, ZERO-FILLED where the group has no
+    * events (the property `summarize by bin()` lacks and every
+    * timechart needs), and (b) the time axis as a timestamp array named
+    * after the source column. Restricted to count()/sum() with
+    * default 0 (ADX's `default =` clause is not parsed — documented).
+    *
+    * Shape: filter → one hash aggregate on (keys, step-index) → one
+    * hash aggregate on keys collecting a step-index map → a map-side
+    * `transform(sequence(...))` densification. Groups, not the axis,
+    * drive row count, so a sparse 10-year range costs |groups| rows. */
+  private def makeSeriesVerb(df: DataFrame, rest: String,
+                             lets: Map[String, String]): DataFrame = {
+    val Re = ("(?s)^(.+?)\\s+on\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+from\\s+(.+?)" +
+      "\\s+to\\s+(.+?)\\s+step\\s+(\\S+)(?:\\s+by\\s+(.+))?$").r
+    val (aggPart, tsCol, fromS, toS, stepS, byS) = rest.trim match {
+      case Re(a, t, f, o, st, b) => (a.trim, t, f.trim, o.trim, st, Option(b).map(_.trim))
+      case other => throw new IllegalArgumentException(
+        s"make-series expects '<name> = <agg> on <ts> from <start> to <end> step <span> [by <keys>]': $other")
+    }
+    val TimespanRe = "^(\\d+)(d|h|m|s)$".r
+    val stepSecs = stepS match {
+      case TimespanRe(n, u) => n.toLong * (u match {
+        case "d" => 86400L; case "h" => 3600L; case "m" => 60L; case "s" => 1L })
+      case other => throw new IllegalArgumentException(
+        s"make-series step must be a timespan literal (1d, 2h, 30m, 90s): $other")
+    }
+    val (name, aggBody) = aggPart match {
+      case NamedRe(n, b) => (n, b.trim)
+      case other => throw new IllegalArgumentException(
+        s"make-series aggregate needs a name ('n = count()'): $other")
+    }
+    val AggRe = "^([A-Za-z_]+)\\s*\\((.*)\\)$".r
+    val aggCol = aggBody match {
+      case AggRe("count", a) if a.trim.isEmpty => count(lit(1))
+      case AggRe("sum", a) if a.trim.nonEmpty => sum(expr(scalar(a.trim, lets)))
+      case other => throw new IllegalArgumentException(
+        s"make-series supports count() and sum(col), got: $other")
+    }
+    val fromEp = s"unix_timestamp(${scalar(fromS, lets)})"
+    val toEp = s"unix_timestamp(${scalar(toS, lets)})"
+    val keys = byS.toSeq.flatMap(b => splitTopLevel(b, ',').map(_.trim))
+    keys.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"make-series by-keys must be column names: $k"))
+    val nSteps = s"cast((($toEp) - ($fromEp)) div $stepSecs as int)"
+    val sparse = df
+      .where(expr(s"$tsCol >= ${scalar(fromS, lets)} and $tsCol < ${scalar(toS, lets)}"))
+      .withColumn("__i", expr(s"cast((unix_timestamp($tsCol) - ($fromEp)) div $stepSecs as int)"))
+      .groupBy(keys.map(col) :+ col("__i"): _*)
+      .agg(aggCol.as("__v"))
+    val grouped =
+      if (keys.isEmpty) sparse.groupBy()
+      else sparse.groupBy(keys.map(col): _*)
+    grouped
+      .agg(map_from_entries(collect_list(struct(col("__i"), col("__v")))).as("__m"))
+      .withColumn(name, expr(
+        s"transform(sequence(0, $nSteps - 1), i -> coalesce(element_at(__m, i), cast(0 as bigint)))"))
+      .withColumn(tsCol, expr(
+        s"transform(sequence(0, $nSteps - 1), i -> timestamp_seconds(($fromEp) + i * ${stepSecs}L))"))
+      .drop("__m")
   }
 
   /** `print [name =] expr, …` — one computed row, no source table.

@@ -152,7 +152,20 @@ object ReferenceQueries {
       || extend tier = case(amount >= 180, 'high', amount >= 140, 'mid', 'low')
       || summarize n = count(), total = sum(amount) by tier, city""".stripMargin
 
+  /** `make-series` — the dense zero-filled per-group time series every
+    * ADX timechart is built on. For the oracle the series is serialized
+    * to CSV: Spark and DuckDB stringify Arrow list types differently
+    * (inner field name + nullability), so raw array columns trip the
+    * schema compare even when values match; the array semantics
+    * themselves (zero-fill, axis spacing) are pinned in `KqlSpec`. */
+  val kqlMakeSeriesText: String =
+    """Events
+      || make-series n = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+      || extend series = array_join(n, ',')
+      || project event_type, series""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_make_series"   -> kqlText(kqlMakeSeriesText) _,
     "kql_time_histogram" -> kqlText(kqlTimeHistogramText) _,
     "kql_case_tiers"    -> kqlText(kqlCaseText) _,
     "kql_percentiles"   -> kqlText(kqlPercentileText) _,
@@ -172,6 +185,22 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kql_make_series" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+        |g AS (SELECT event_type, i, CAST(COUNT(*) AS BIGINT) AS v FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 30)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, COALESCE(g.v, CAST(0 AS BIGINT)) AS v
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i)
+        |SELECT event_type, array_to_string(list(v ORDER BY i), ',') AS series
+        |FROM dense GROUP BY event_type""".stripMargin,
     "kql_time_histogram" ->
       """WITH b AS (
         |  SELECT (epoch_ns(ts) // 1000000000) AS es FROM events)

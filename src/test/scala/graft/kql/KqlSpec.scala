@@ -522,6 +522,24 @@ class KqlSpec extends SparkSpec {
     assert(m == 3L) // 10:47→10:30, 10:02→10:00, 11:30→11:30 — three buckets
   }
 
+  test("parser: make-series builds dense zero-filled series with a time axis") {
+    val reg = Map("T" -> Seq(
+      ("2024-03-01 00:10:00", "a"), ("2024-03-01 00:20:00", "a"),
+      ("2024-03-03 05:00:00", "a"), ("2024-03-02 09:00:00", "b"))
+      .toDF("s", "k").withColumn("ts", to_timestamp(col("s"))))
+    val out = KqlParser.run(
+      "T | make-series n = count() on ts from datetime(2024-03-01) to datetime(2024-03-04) step 1d by k",
+      reg).collect().map(r => r.getString(0) ->
+        (r.getSeq[Long](r.fieldIndex("n")), r.getSeq[java.sql.Timestamp](r.fieldIndex("ts"))))
+      .toMap
+    assert(out("a")._1 == Seq(2L, 0L, 1L))  // day 2 zero-filled
+    assert(out("b")._1 == Seq(0L, 1L, 0L))
+    val axis = out("a")._2
+    assert(axis.length == 3 &&
+      axis(1).getTime - axis(0).getTime == 86400000L &&
+      axis(2).getTime - axis(1).getTime == 86400000L)
+  }
+
   test("parser: case() rewrites to CASE WHEN chains") {
     val reg = ordersReg
     val out = KqlParser.run(
