@@ -483,6 +483,13 @@ class KqlSpec extends SparkSpec {
     assert(KqlParser.run("T | where city !contains 'new' | count", reg).head().getLong(0) == 1L)
   }
 
+  test("parser: has treats regex metacharacters in the term literally") {
+    val reg = Map("T" -> Seq("uses c++ daily", "uses cpp daily", "c+x").toDF("s"))
+    // \Q..\E quoting: '+' must not act as a regex quantifier
+    assert(KqlParser.run("T | where s has 'c++' | count", reg).head().getLong(0) == 1L)
+    assert(KqlParser.run("T | where s has 'c+x' | count", reg).head().getLong(0) == 1L)
+  }
+
   test("parser: in / !in list membership") {
     val reg = ordersReg
     assert(KqlParser.run("Orders | where city in ('Seattle', 'Denver') | count", reg)
