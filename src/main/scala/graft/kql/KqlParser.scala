@@ -37,7 +37,10 @@ import org.apache.spark.sql.functions._
   * expressions pass through Spark SQL after translating the KQL
   * operator spellings (`==`, `!=`, `=~`, `contains`, `startswith`,
   * `endswith`, `has` — whole-term case-insensitive match — their `!`
-  * negations, `in`/`!in` list membership,
+  * negations, `in`/`!in` list membership, `case()` multi-branch
+  * conditionals, date helpers (`startofday/month/year`, `now()`,
+  * `ago(<timespan>)` — the latter two nondeterministic, dashboard
+  * filters only), timespan literals in `bin()`,
   * `bin` — KQL's floor-to-multiple, translated to
   * arithmetic since Spark's `bin` is binary-string rendering; group
   * keys may be named, `by bucket = bin(amount, 20)`). `mv-expand
@@ -931,6 +934,35 @@ object KqlParser {
                 }
             }
             i = close + 1
+          case Some(w) if Set("startofday", "startofmonth", "startofyear", "ago")(w.toLowerCase) && {
+              var j = i + w.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              j < s.length && s.charAt(j) == '('
+            } =>
+            // Date helpers: startof*(x) → date_trunc; ago(<timespan>) →
+            // now minus the span (nondeterministic — dashboard-filter
+            // use only, never in an oracle-checked query).
+            val open = s.indexOf('(', i + w.length)
+            val close = matchingParen(s, open)
+            val inner = s.substring(open + 1, close).trim
+            w.toLowerCase match {
+              case "ago" =>
+                val TimespanRe = "^(\\d+)(d|h|m|s)$".r
+                val secs = inner match {
+                  case TimespanRe(n, u) => n.toLong * (u match {
+                    case "d" => 86400L; case "h" => 3600L; case "m" => 60L; case "s" => 1L })
+                  case other => throw new IllegalArgumentException(
+                    s"ago expects a timespan literal (1d, 2h, 30m, 90s): $other")
+                }
+                out.append(s"(current_timestamp() - make_interval(0, 0, 0, 0, 0, 0, $secs))")
+              case sof =>
+                val unit = sof match {
+                  case "startofday" => "DAY"; case "startofmonth" => "MONTH"
+                  case _ => "YEAR"
+                }
+                out.append(s"date_trunc('$unit', ${scalar(inner, lets)})")
+            }
+            i = close + 1
           case Some(w) if w.toLowerCase == "case" && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1
@@ -986,6 +1018,7 @@ object KqlParser {
               case "toint"    => Some("int")
               case "todouble" | "toreal" => Some("double")
               case "iif" | "iff" => Some("if")
+              case "now" => Some("current_timestamp")
               case _ => None
             }
             out.append(repl.getOrElse(w)); i += w.length

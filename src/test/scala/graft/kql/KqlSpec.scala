@@ -547,6 +547,20 @@ class KqlSpec extends SparkSpec {
       axis(2).getTime - axis(1).getTime == 86400000L)
   }
 
+  test("parser: startofday/month/year truncate; now()/ago() evaluate") {
+    val reg = Map("T" -> Seq("2024-03-15 13:45:10").toDF("s")
+      .withColumn("ts", to_timestamp(col("s"))))
+    val r = KqlParser.run(
+      "T | extend d = startofday(ts), m = startofmonth(ts), y = startofyear(ts) | project d, m, y",
+      reg).head()
+    assert(r.getTimestamp(0).toString == "2024-03-15 00:00:00.0")
+    assert(r.getTimestamp(1).toString == "2024-03-01 00:00:00.0")
+    assert(r.getTimestamp(2).toString == "2024-01-01 00:00:00.0")
+    // ago/now: nondeterministic — assert the relationship, not values
+    val a = KqlParser.run("print ok = ago(1h) < now() and ago(1d) < ago(1h)", Map.empty)
+    assert(a.head().getBoolean(0))
+  }
+
   test("parser: case() rewrites to CASE WHEN chains") {
     val reg = ordersReg
     val out = KqlParser.run(
