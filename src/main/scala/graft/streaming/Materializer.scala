@@ -17,6 +17,10 @@ import graft.cdc.Cdc
   *  - flush.interval.ms=30000 batching                → Trigger.ProcessingTime(30s)
   *  - at-least-once + ADX ingest                      → idempotent per-batch-id writes
   *                                                      (upgrades to exactly-once)
+  *  - ADX ingestionbatching caps (README.md:128 —     → source rate limits bound each
+  *    MaximumNumberOfItems=500, RawDataSizeMB=1024)     micro-batch: maxOffsetsPerTrigger
+  *                                                      (kafka) / maxFilesPerTrigger (file
+  *                                                      stand-in) — config, not code
   *
   * Ingress contract: any streaming DataFrame with a string `value` column
   * holding Debezium envelope JSON — `spark.readStream.format("kafka")` in
