@@ -346,7 +346,10 @@ object KqlParser {
     val keys = byS.toSeq.flatMap(b => splitTopLevel(b, ',').map(_.trim))
     keys.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"make-series by-keys must be column names: $k"))
-    val nSteps = s"cast((($toEp) - ($fromEp)) div $stepSecs as int)"
+    // CEILING division: a range that doesn't divide evenly by the step
+    // still gets its partial tail bin (ADX generates bins from start
+    // while < end) — floor would silently drop tail-bucket events.
+    val nSteps = s"cast(((($toEp) - ($fromEp)) + $stepSecs - 1) div $stepSecs as int)"
     val sparse = df
       .where(expr(s"$tsCol >= ${scalar(fromS, lets)} and $tsCol < ${scalar(toS, lets)}"))
       .withColumn("__i", expr(s"cast((unix_timestamp($tsCol) - ($fromEp)) div $stepSecs as int)"))

@@ -545,6 +545,12 @@ class KqlSpec extends SparkSpec {
     assert(axis.length == 3 &&
       axis(1).getTime - axis(0).getTime == 86400000L &&
       axis(2).getTime - axis(1).getTime == 86400000L)
+    // uneven range: 2.5 days at step 1d must yield a partial THIRD bin
+    // holding the tail event, not silently drop it
+    val uneven = KqlParser.run(
+      "T | make-series n = count() on ts from datetime(2024-03-01) to datetime(2024-03-03 12:00:00) step 1d by k",
+      reg).collect().map(r => r.getString(0) -> r.getSeq[Long](r.fieldIndex("n"))).toMap
+    assert(uneven("a") == Seq(2L, 0L, 1L)) // 03-03 05:00 lands in the partial bin
   }
 
   test("parser: startofday/month/year truncate; now()/ago() evaluate") {
