@@ -679,7 +679,14 @@ object Dedup {
 
   /** One [[BaseIndex]] per (session, corpus dir), dropped when the
     * session's context ends — the same session-lifetime memo contract
-    * as CdcQueries' envelope-log cache. */
+    * as CdcQueries' envelope-log cache.
+    *
+    * Lifecycle caveat: automatic eviction fires at CONTEXT end. A
+    * deployment that serves many short-lived sessions over one
+    * long-lived context (the `SparkSession.newSession()` pattern) would
+    * accumulate one persisted bands frame + broadcast Bloom per retired
+    * session until the context dies — such callers must call
+    * [[evictIndexesFor]] when retiring a session. */
   private def memoIndex(spark: SparkSession, sfDir: String)
                        (build: => BaseIndex): BaseIndex = {
     if (indexEvictionHooked.add(spark)) {
@@ -693,9 +700,12 @@ object Dedup {
   }
 
   /** Drop (and unpersist) every memoized base index owned by `spark` —
-    * the context-end listener body, exposed for the session-hygiene
-    * spec (a later session in the same JVM must start cold). */
-  private[graft] def evictIndexesFor(spark: SparkSession): Unit = {
+    * the context-end listener body, and the PUBLIC release hook for
+    * deployments retiring short-lived sessions under a long-lived
+    * context (see [[memoIndex]]'s lifecycle caveat); also exercised by
+    * the session-hygiene spec (a later session in the same JVM must
+    * start cold). Safe to call on a session with nothing memoized. */
+  def evictIndexesFor(spark: SparkSession): Unit = {
     indexEvictionHooked.remove(spark)
     val it = indexCache.entrySet().iterator()
     while (it.hasNext) {

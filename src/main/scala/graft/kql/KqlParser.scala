@@ -251,7 +251,7 @@ object KqlParser {
                    tables: Map[String, DataFrame],
                    lets: Map[String, String]): DataFrame = {
     var r = rest.trim
-    val kind = if (r.startsWith("kind")) {
+    val kind = if (hasKindOption(r)) {
       val eq = r.indexOf('=')
       require(eq >= 0, s"join kind expects 'kind=<kind>': $r")
       val after = r.substring(eq + 1).trim
@@ -394,7 +394,7 @@ object KqlParser {
                          tables: Map[String, DataFrame],
                          lets: Map[String, String]): DataFrame = {
     var r = rest.trim
-    val kind = if (r.startsWith("kind")) {
+    val kind = if (hasKindOption(r)) {
       val eq = r.indexOf('=')
       require(eq >= 0, s"lookup kind expects 'kind=<kind>': $r")
       val after = r.substring(eq + 1).trim
@@ -443,7 +443,7 @@ object KqlParser {
                         tables: Map[String, DataFrame],
                         lets: Map[String, String]): DataFrame = {
     var r = rest.trim
-    val kind = if (r.startsWith("kind")) {
+    val kind = if (hasKindOption(r)) {
       val eq = r.indexOf('=')
       require(eq >= 0, s"union kind expects 'kind=<kind>': $r")
       val after = r.substring(eq + 1).trim
@@ -525,7 +525,7 @@ object KqlParser {
   private def parseVerb(df: DataFrame, rest: String,
                         lets: Map[String, String]): DataFrame = {
     var r = rest.trim
-    val kind = if (r.startsWith("kind")) {
+    val kind = if (hasKindOption(r)) {
       val eq = r.indexOf('=')
       require(eq >= 0, s"parse kind expects 'kind=<kind>': $r")
       val after = r.substring(eq + 1).trim
@@ -633,8 +633,18 @@ object KqlParser {
             s"datetime cell must be datetime(...): $raw")
           r.substring(1, r.length - 1).trim
         } else unquote(raw)
-      val iso = body.replace('T', ' ').stripSuffix("Z").trim
-      java.sql.Timestamp.valueOf(if (iso.contains(" ")) iso else s"$iso 00:00:00")
+      val trimmed = body.trim
+      if (trimmed.endsWith("Z")) {
+        // UTC-marked instant (ADX datetimes are UTC): parse as an
+        // Instant so a non-UTC JVM timezone cannot reinterpret it as
+        // local wall-clock.
+        val core = trimmed.stripSuffix("Z").trim.replace(' ', 'T')
+        val isoT = if (core.contains("T")) core else core + "T00:00:00"
+        java.sql.Timestamp.from(java.time.Instant.parse(isoT + "Z"))
+      } else {
+        val iso = trimmed.replace('T', ' ')
+        java.sql.Timestamp.valueOf(if (iso.contains(" ")) iso else s"$iso 00:00:00")
+      }
     }
     // `dynamic([...])` — homogeneous scalar array; returns the element
     // values plus the inferred Spark element type. Longs promote to
@@ -710,6 +720,13 @@ object KqlParser {
       new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       schema)
   }
+
+  /** True when the operand text starts with a `kind=` OPTION — requires
+    * the `=` (word-boundary match), so a legitimate operand whose name
+    * merely begins with "kind" (`union kinds`, a table named `kindred`)
+    * is not misparsed into the option branch. */
+  private def hasKindOption(r: String): Boolean =
+    r.matches("(?s)^kind\\s*=.*")
 
   /** Index of the `(`'s matching `)` (quote-aware). */
   private def matchingParen(s: String, open: Int): Int = {
@@ -985,6 +1002,24 @@ object KqlParser {
               .map { p => s"WHEN (${p(0)}) THEN (${p(1)})" }.mkString(" ")
             out.append(s"(CASE $whens ELSE (${args.last}) END)")
             i = close + 1
+          case Some(w) if w.toLowerCase == "strcat" && {
+              var j = i + w.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              j < s.length && s.charAt(j) == '('
+            } =>
+            // ADX strcat treats NULL arguments as empty strings and
+            // stringifies non-string ones; Spark's concat returns NULL
+            // if ANY argument is NULL — a pure name swap would be a
+            // silent semantic deviation. Rewrite each argument as
+            // coalesce(cast(arg AS string), '').
+            val open = s.indexOf('(', i + w.length)
+            val close = matchingParen(s, open)
+            val args = splitTopLevel(s.substring(open + 1, close), ',')
+              .map(a => scalar(a.trim, lets))
+            require(args.nonEmpty, "strcat expects at least one argument")
+            out.append(args.map(a => s"coalesce(cast(($a) as string), '')")
+              .mkString("concat(", ", ", ")"))
+            i = close + 1
           case Some(w) if w.toLowerCase == "datetime" && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1
@@ -993,15 +1028,19 @@ object KqlParser {
             // KQL datetime(2024-03-01 10:30:00) literal — the body is an
             // UNQUOTED ISO datetime (date-only = midnight; T/Z accepted),
             // which Spark SQL can't parse as an expression. Emit a
-            // TIMESTAMP literal.
+            // TIMESTAMP literal. A trailing Z marks a UTC instant (ADX
+            // datetimes are UTC) — keep the zone suffix in the literal
+            // so a non-UTC session timezone cannot silently reinterpret
+            // the wall-clock; zone-less bodies stay session-local.
             val open = s.indexOf('(', i + w.length)
             val close = matchingParen(s, open)
-            val iso = s.substring(open + 1, close).trim
+            val raw = s.substring(open + 1, close).trim
               .stripPrefix("\"").stripSuffix("\"")
-              .stripPrefix("'").stripSuffix("'")
-              .replace('T', ' ').stripSuffix("Z").trim
+              .stripPrefix("'").stripSuffix("'").trim
+            val hadZ = raw.endsWith("Z")
+            val iso = raw.stripSuffix("Z").replace('T', ' ').trim
             val full = if (iso.contains(" ")) iso else s"$iso 00:00:00"
-            out.append(s"TIMESTAMP '$full'")
+            out.append(s"TIMESTAMP '$full${if (hadZ) "Z" else ""}'")
             i = close + 1
           case Some(w) =>
             val repl = w.toLowerCase match {
@@ -1012,7 +1051,6 @@ object KqlParser {
               case "and" | "or" | "not" => Some(w.toLowerCase)
               // ADX scalar-function spellings with exact Spark
               // equivalents — pure name swaps, arguments unchanged.
-              case "strcat"   => Some("concat")
               case "strlen"   => Some("length")
               case "toupper"  => Some("upper")
               case "tolower"  => Some("lower")
@@ -1044,9 +1082,11 @@ object KqlParser {
         case "has"      =>
           // ADX `has`: case-insensitive WHOLE-TERM match — the literal
           // must appear delimited by non-alphanumerics (or string ends).
-          // \Q..\E quotes the term so regex metacharacters match
-          // literally.
-          val pat = "(^|[^a-z0-9])\\Q" + inner.toLowerCase + "\\E([^a-z0-9]|$)"
+          // Pattern.quote (not a hand-built \Q..\E wrapper) so a term
+          // CONTAINING the sequence \E cannot terminate the quoting
+          // early and leak raw regex.
+          val pat = "(^|[^a-z0-9])" +
+            java.util.regex.Pattern.quote(inner.toLowerCase) + "([^a-z0-9]|$)"
           // Spark SQL string literals eat single backslashes — double
           // them so the regex engine sees \Q..\E intact.
           s"(lower($lhs) RLIKE '" +

@@ -592,6 +592,53 @@ class KqlSpec extends SparkSpec {
     assert(rowB.isNullAt(3))                 // sumif: no matching rows → null
   }
 
+  test("parser: has survives a term containing the \\E quote terminator") {
+    // A hand-built \Q..\E wrapper would end quoting at the embedded \E
+    // and treat the tail as raw regex; Pattern.quote must not.
+    val reg = Map("T" -> Seq("x c\\ed y", "x ced y").toDF("s"))
+    assert(KqlParser.run("""T | where s has 'c\ed' | count""", reg).head().getLong(0) == 1L)
+  }
+
+  test("parser: strcat treats null arguments as empty strings (ADX semantics)") {
+    val reg = Map("T" -> Seq(("z", Option.empty[String]), ("x", Some("y")))
+      .toDF("a", "b"))
+    val out = KqlParser.run("T | project s = strcat(a, '-', b) | sort by s asc", reg)
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("x-y", "z-")) // Spark concat alone would null out "z-"
+  }
+
+  test("parser: a union operand named kind* is not misparsed as the kind option") {
+    val reg = Map(
+      "T" -> Seq(("a", 1)).toDF("k", "v"),
+      "kindred" -> Seq(("b", 2)).toDF("k", "v"))
+    assert(KqlParser.run("T | union kindred | count", reg).head().getLong(0) == 2L)
+  }
+
+  test("parser: datetime(...Z) is a UTC instant regardless of session timezone") {
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // 2024-03-01T10:30:00Z = epoch 1709289000; without the Z fix the
+      // literal would be read as New York wall-clock (epoch 1709307000).
+      val ms = KqlParser.run(
+        "print ms = unix_millis(datetime(2024-03-01T10:30:00Z))", Map.empty)
+        .head().getLong(0)
+      assert(ms == 1709289000000L)
+      // zone-less bodies stay session-local (documented)
+      val local = KqlParser.run(
+        "print ms = unix_millis(datetime(2024-03-01 10:30:00))", Map.empty)
+        .head().getLong(0)
+      assert(local == 1709307000000L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
+  test("parser: datatable datetime Z cells parse as UTC instants") {
+    val out = KqlParser.run(
+      """datatable(at:datetime)[datetime(2024-03-01T10:30:00Z)]
+        || project ms = unix_millis(at)""".stripMargin, Map.empty)
+    assert(out.head().getLong(0) == 1709289000000L)
+  }
+
   test("parser: project-rename keeps column position; project-keep keeps original order") {
     val ren = KqlParser.run("Orders | project-rename town = city", ordersReg)
     assert(ren.columns.toSeq == Seq("orderid", "town", "amount"))
