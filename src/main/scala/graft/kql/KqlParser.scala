@@ -300,14 +300,16 @@ object KqlParser {
     left.join(right, cond, sparkKind)
   }
 
-  /** `make-series <name> = count()|sum(col) on <tscol> from <start> to
-    * <end> step <timespan> [by <keys>]` — ADX's dense-time-series
-    * constructor: one row per group carrying (a) the aggregate as an
-    * ARRAY with one slot per step, ZERO-FILLED where the group has no
-    * events (the property `summarize by bin()` lacks and every
+  /** `make-series <name> = <agg> [default = <v>] on <tscol> from
+    * <start> to <end> step <timespan> [by <keys>]` — ADX's
+    * dense-time-series constructor: one row per group carrying (a) the
+    * aggregate as an ARRAY with one slot per step, FILLED with the
+    * `default =` value (0 when absent, the ADX default) where the group
+    * has no events (the property `summarize by bin()` lacks and every
     * timechart needs), and (b) the time axis as a timestamp array named
-    * after the source column. Restricted to count()/sum() with
-    * default 0 (ADX's `default =` clause is not parsed — documented).
+    * after the source column. Aggregates: count(), sum(col), avg(col),
+    * min(col), max(col); the fill value is cast to the aggregate's own
+    * result type so the dense array stays homogeneously typed.
     *
     * Shape: filter → one hash aggregate on (keys, step-index) → one
     * hash aggregate on keys collecting a step-index map → a map-side
@@ -334,12 +336,22 @@ object KqlParser {
       case other => throw new IllegalArgumentException(
         s"make-series aggregate needs a name ('n = count()'): $other")
     }
+    // `default = <v>` rides between the aggregate and `on` (already
+    // split off above); absent means 0, the ADX default.
+    val DefaultRe = "(?s)^(.*?)\\s+default\\s*=\\s*(.+)$".r
+    val (aggCore, fillText) = aggBody match {
+      case DefaultRe(core, d) => (core.trim, scalar(d.trim, lets))
+      case _ => (aggBody, "0")
+    }
     val AggRe = "^([A-Za-z_]+)\\s*\\((.*)\\)$".r
-    val aggCol = aggBody match {
+    val aggCol = aggCore match {
       case AggRe("count", a) if a.trim.isEmpty => count(lit(1))
       case AggRe("sum", a) if a.trim.nonEmpty => sum(expr(scalar(a.trim, lets)))
+      case AggRe("avg", a) if a.trim.nonEmpty => avg(expr(scalar(a.trim, lets)))
+      case AggRe("min", a) if a.trim.nonEmpty => min(expr(scalar(a.trim, lets)))
+      case AggRe("max", a) if a.trim.nonEmpty => max(expr(scalar(a.trim, lets)))
       case other => throw new IllegalArgumentException(
-        s"make-series supports count() and sum(col), got: $other")
+        s"make-series supports count(), sum/avg/min/max(col), got: $other")
     }
     val fromEp = s"unix_timestamp(${scalar(fromS, lets)})"
     val toEp = s"unix_timestamp(${scalar(toS, lets)})"
@@ -358,10 +370,14 @@ object KqlParser {
     val grouped =
       if (keys.isEmpty) sparse.groupBy()
       else sparse.groupBy(keys.map(col): _*)
+    // The fill literal is cast to the aggregate's RESULT type (read off
+    // the sparse frame's schema) so the densified array stays
+    // homogeneously typed whatever the aggregate returns.
+    val vType = sparse.schema("__v").dataType.sql
     grouped
       .agg(map_from_entries(collect_list(struct(col("__i"), col("__v")))).as("__m"))
       .withColumn(name, expr(
-        s"transform(sequence(0, $nSteps - 1), i -> coalesce(element_at(__m, i), cast(0 as bigint)))"))
+        s"transform(sequence(0, $nSteps - 1), i -> coalesce(element_at(__m, i), cast(($fillText) as $vType)))"))
       .withColumn(tsCol, expr(
         s"transform(sequence(0, $nSteps - 1), i -> timestamp_seconds(($fromEp) + i * ${stepSecs}L))"))
       .drop("__m")

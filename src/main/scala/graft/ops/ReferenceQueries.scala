@@ -164,7 +164,21 @@ object ReferenceQueries {
       || extend series = array_join(n, ',')
       || project event_type, series""".stripMargin
 
+  /** `make-series` with `avg()` and a NON-ZERO `default=` fill — the
+    * gap-marking timechart idiom (`default = -1` flags empty bins so a
+    * dashboard can render them distinctly from true zeros). avg is over
+    * the int user_id column so per-bin sums are exact integers and the
+    * single double division is bit-identical cross-engine; the series
+    * serializes through DECIMAL(18,6) so both engines print the same
+    * fixed-scale text. */
+  val kqlMakeSeriesAvgText: String =
+    """Events
+      || make-series a = avg(user_id) default = -1 on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+      || extend series = array_join(transform(a, x -> string(cast(round(x, 6) as decimal(18,6)))), ',')
+      || project event_type, series""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_make_series_avg" -> kqlText(kqlMakeSeriesAvgText) _,
     "kql_make_series"   -> kqlText(kqlMakeSeriesText) _,
     "kql_time_histogram" -> kqlText(kqlTimeHistogramText) _,
     "kql_case_tiers"    -> kqlText(kqlCaseText) _,
@@ -185,6 +199,24 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kql_make_series_avg" ->
+      """WITH f AS (
+        |  SELECT event_type, user_id,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+        |g AS (SELECT event_type, i, AVG(user_id) AS v FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 30)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i,
+        |    COALESCE(g.v, CAST(-1 AS DOUBLE)) AS v
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i)
+        |SELECT event_type,
+        |  array_to_string(list(CAST(round(v, 6) AS DECIMAL(18,6)) ORDER BY i), ',') AS series
+        |FROM dense GROUP BY event_type""".stripMargin,
     "kql_make_series" ->
       """WITH f AS (
         |  SELECT event_type,

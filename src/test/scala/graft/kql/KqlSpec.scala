@@ -553,6 +553,21 @@ class KqlSpec extends SparkSpec {
     assert(uneven("a") == Seq(2L, 0L, 1L)) // 03-03 05:00 lands in the partial bin
   }
 
+  test("parser: make-series avg/min/max aggregates and a non-zero default fill") {
+    val reg = Map("T" -> Seq(
+      ("2024-03-01 00:10:00", 10), ("2024-03-01 00:20:00", 20),
+      ("2024-03-03 05:00:00", 7))
+      .toDF("s", "v").withColumn("ts", to_timestamp(col("s"))))
+    val span = "on ts from datetime(2024-03-01) to datetime(2024-03-04) step 1d"
+    val a = KqlParser.run(s"T | make-series m = avg(v) default = -1 $span", reg).head()
+    // empty day 2 fills with -1 (cast to avg's double), NOT zero
+    assert(a.getSeq[Double](a.fieldIndex("m")) == Seq(15.0, -1.0, 7.0))
+    val mn = KqlParser.run(s"T | make-series m = min(v) $span", reg).head()
+    assert(mn.getSeq[Int](mn.fieldIndex("m")) == Seq(10, 0, 7)) // default default = 0
+    val mx = KqlParser.run(s"T | make-series m = max(v) default = -1 $span", reg).head()
+    assert(mx.getSeq[Int](mx.fieldIndex("m")) == Seq(20, -1, 7))
+  }
+
   test("parser: startofday/month/year truncate; now()/ago() evaluate") {
     val reg = Map("T" -> Seq("2024-03-15 13:45:10").toDF("s")
       .withColumn("ts", to_timestamp(col("s"))))
