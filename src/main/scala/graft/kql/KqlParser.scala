@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   * Supported verbs: `where`, `project`, `project-away`,
   * `project-rename`, `project-keep`, `extend`, `summarize`, `sort
   * by`/`order by`, `top N by`, `take`/`limit`, `count`, `distinct`,
+  * `serialize` (+ the row-window functions `prev`/`next`/`row_cumsum`/
+  * `row_number`, desugared to lag/lead/running-sum windows over the
+  * frame's sort order — see [[rewriteSerialFns]] for the order and
+  * scale contract),
   * `mv-expand`, `parse`, `print` (table-less scalar row), `getschema`
   * (column introspection), `lookup` (dimension enrichment — broadcast
   * left_outer/inner join, right key columns not duplicated, non-key
@@ -142,6 +146,14 @@ object KqlParser {
         throw new IllegalArgumentException(
           s"unknown table '$tableName' (known: ${tables.keys.mkString(", ")})"))
     var render: Option[String] = None
+    // The serialized-order contract (ADX `serialize` and the row-window
+    // functions prev/next/row_cumsum/row_number): `sort by`/`top` emit a
+    // SERIALIZED frame whose order the row functions consume; verbs that
+    // re-shuffle rows (summarize, join, union, ...) clear it. We deviate
+    // from ADX in ONE documented way: a bare `serialize` on a frame with
+    // no established sort is rejected loudly — "natural ingestion order"
+    // is not deterministic on a distributed frame.
+    var serialOrder: Option[String] = None
     import Kql.KqlOps
     stages.tail.foreach { stage =>
       val (verb, rest) = stage.span(c => !c.isWhitespace && c != '-') match {
@@ -155,6 +167,8 @@ object KqlParser {
           ("mv-expand", r.stripPrefix("-expand").trim)
         case ("make", r) if r.startsWith("-series") =>
           ("make-series", r.stripPrefix("-series").trim)
+        case ("top", r) if r.startsWith("-nested") =>
+          ("top-nested", r.stripPrefix("-nested").trim)
         case (v, r) => (v, r.trim)
       }
       // ADX name resolution: a column of the CURRENT frame shadows a
@@ -162,18 +176,33 @@ object KqlParser {
       // the frame defines at this stage. (join keeps the full binding
       // set — its right side is a fresh pipeline with its own frame.)
       val scoped = lets.removedAll(df.columns)
+      // Extend-style assignment applying the row-window rewrite (shared
+      // by `extend` and `serialize name = expr, ...`).
+      def applyExtend(body: String): Unit =
+        splitTopLevel(body, ',').map(_.trim).foreach { item =>
+          val (nameOpt, sql) = nameAndSql(item, scoped)
+          val name = nameOpt.getOrElse(
+            throw new IllegalArgumentException(s"extend needs 'name = expr': $item"))
+          df = df.extend(name, expr(rewriteSerialFns(sql, serialOrder)))
+        }
       verb match {
         case "where" => df = df.kqlWhere(expr(scalar(rest, scoped)))
         case "project" =>
-          df = df.project(splitTopLevel(rest, ',').map(item => namedExpr(item.trim, scoped)): _*)
+          df = df.project(splitTopLevel(rest, ',').map { item =>
+            val (nameOpt, sql) = nameAndSql(item.trim, scoped)
+            val c = expr(rewriteSerialFns(sql, serialOrder))
+            nameOpt.fold(c)(c.as)
+          }: _*)
         case "project-away" =>
           df = df.projectAway(splitTopLevel(rest, ',').map(_.trim): _*)
-        case "extend" =>
-          splitTopLevel(rest, ',').map(_.trim).foreach { item =>
-            val (name, e) = nameAndBody(item, scoped)
-            df = df.extend(name.getOrElse(
-              throw new IllegalArgumentException(s"extend needs 'name = expr': $item")), e)
-          }
+        case "extend" => applyExtend(rest)
+        case "serialize" =>
+          // ADX `serialize [name = expr, ...]` — marks the frame's order
+          // as consumable by row functions; assignments behave as extend.
+          require(serialOrder.isDefined,
+            "serialize requires a preceding 'sort by'/'top' — natural ingestion " +
+              "order is not deterministic on a distributed frame (documented deviation)")
+          if (rest.nonEmpty) applyExtend(rest)
         case "project-rename" =>
           val RenameRe = "^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*([A-Za-z_][A-Za-z0-9_]*)$".r
           splitTopLevel(rest, ',').map(_.trim).foreach {
@@ -198,12 +227,18 @@ object KqlParser {
         case "union" => df = unionVerb(df, rest, tables, lets)
         case "sort" | "order" =>
           val body = stripLeadingBy(rest, verb)
-          df = df.orderBy(splitTopLevel(body, ',').map(s => sortCol(s.trim, scoped)): _*)
+          val items = sortItems(body, scoped)
+          serialOrder = Some(orderSql(items))
+          df = df.orderBy(items.map { case (e, asc) =>
+            if (asc) expr(e).asc else expr(e).desc }: _*)
         case "top" =>
           val m = "^(\\d+)\\s+by\\s+(.+)$".r
           rest match {
             case m(n, by) =>
-              df = df.orderBy(splitTopLevel(by, ',').map(s => sortCol(s.trim, scoped)): _*)
+              val items = sortItems(by, scoped)
+              serialOrder = Some(orderSql(items))
+              df = df.orderBy(items.map { case (e, asc) =>
+                if (asc) expr(e).asc else expr(e).desc }: _*)
                 .limit(n.toInt)
             case _ => throw new IllegalArgumentException(s"top expects 'top N by col': $rest")
           }
@@ -235,6 +270,13 @@ object KqlParser {
           }.toSeq.toDF("ColumnName", "ColumnOrdinal", "DataType", "ColumnType")
         case other => throw new IllegalArgumentException(s"unsupported KQL verb '$other'")
       }
+      // Row-preserving verbs carry the serialized order forward; anything
+      // that regroups/reshuffles rows invalidates it (sort/top/serialize
+      // manage it in their own branches).
+      if (!Set("where", "extend", "project", "project-away", "project-rename",
+          "project-keep", "parse", "take", "limit", "render",
+          "sort", "order", "top", "serialize")(verb))
+        serialOrder = None
     }
     Parsed(df, render)
   }
@@ -845,24 +887,94 @@ object KqlParser {
 
   private val NamedRe = "^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
 
-  /** `name = expr` → aliased column; bare expr otherwise. */
-  private def namedExpr(item: String, lets: Map[String, String]): Column = {
-    val (nameOpt, c) = nameAndBody(item, lets)
-    nameOpt.fold(c)(c.as)
+  /** `[name =] expr` → (optional name, TRANSLATED SQL text). Kept as
+    * text (not a Column) so stage handlers can post-process — the
+    * row-window rewrite needs the SQL form. */
+  private def nameAndSql(item: String,
+                         lets: Map[String, String]): (Option[String], String) = item match {
+    case NamedRe(n, b) => (Some(n), scalar(b.trim, lets))
+    case _ => (None, scalar(item, lets))
   }
 
   private def nameAndBody(item: String,
-                          lets: Map[String, String]): (Option[String], Column) = item match {
-    case NamedRe(n, b) => (Some(n), expr(scalar(b.trim, lets)))
-    case _ => (None, expr(scalar(item, lets)))
+                          lets: Map[String, String]): (Option[String], Column) = {
+    val (n, sql) = nameAndSql(item, lets)
+    (n, expr(sql))
   }
 
-  /** `col [asc|desc]` — KQL defaults to DESC (README.md:376). */
-  private def sortCol(s: String, lets: Map[String, String]): Column = {
-    val lower = s.toLowerCase
-    if (lower.endsWith(" asc")) expr(scalar(s.dropRight(4).trim, lets)).asc
-    else if (lower.endsWith(" desc")) expr(scalar(s.dropRight(5).trim, lets)).desc
-    else expr(scalar(s, lets)).desc
+  /** `col [asc|desc], ...` → (translated SQL, isAscending) per item —
+    * KQL defaults to DESC (README.md:376). Shared by `sort`/`top`, and
+    * the textual form feeds the serialized-order window spec. */
+  private def sortItems(body: String,
+                        lets: Map[String, String]): Seq[(String, Boolean)] =
+    splitTopLevel(body, ',').map(_.trim).map { s =>
+      val lower = s.toLowerCase
+      if (lower.endsWith(" asc")) (scalar(s.dropRight(4).trim, lets), true)
+      else if (lower.endsWith(" desc")) (scalar(s.dropRight(5).trim, lets), false)
+      else (scalar(s, lets), false)
+    }
+
+  private def orderSql(items: Seq[(String, Boolean)]): String =
+    items.map { case (e, asc) => s"($e) ${if (asc) "ASC" else "DESC"}" }.mkString(", ")
+
+  /** Rewrite the ADX row-window functions — `prev(x[, n[, default]])`,
+    * `next(...)`, `row_cumsum(term)`, `row_number([start])` — into SQL
+    * window expressions over the frame's serialized order. Quote-aware,
+    * recursing into arguments; using one of these with no established
+    * order is a loud error (ADX would likewise refuse on a
+    * non-serialized frame).
+    *
+    * Scale contract: the emitted `OVER (ORDER BY ...)` has no PARTITION
+    * BY, so Spark plans a single-partition window — inherent to the
+    * operator (serialized row semantics are sequential by definition);
+    * dashboards apply it after `top`/aggregation where the frame is
+    * small. Partitioned sequential logic belongs to `summarize`/window
+    * builders, not `serialize`. */
+  private def rewriteSerialFns(sql: String, order: Option[String]): String = {
+    val names = Set("prev", "next", "row_cumsum", "row_number")
+    val lower = sql.toLowerCase
+    if (!names.exists(lower.contains)) return sql
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '"' || c == '\'') { // copy string literal verbatim
+        out.append(c); i += 1
+        while (i < sql.length && sql.charAt(i) != c) { out.append(sql.charAt(i)); i += 1 }
+        if (i < sql.length) { out.append(c); i += 1 }
+      } else if (c.isLetter || c == '_') {
+        val w = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(sql.substring(i)).get
+        var j = i + w.length
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (names(w.toLowerCase) && j < sql.length && sql.charAt(j) == '(') {
+          val close = matchingParen(sql, j)
+          val args = splitTopLevel(sql.substring(j + 1, close), ',')
+            .map(_.trim).filter(_.nonEmpty)
+            .map(a => rewriteSerialFns(a, order))
+          val ord = order.getOrElse(throw new IllegalArgumentException(
+            s"${w.toLowerCase}() requires a serialized frame — add 'sort by' (or 'top') first"))
+          val repl = w.toLowerCase match {
+            case "prev" | "next" =>
+              require(args.nonEmpty && args.length <= 3,
+                s"${w.toLowerCase} expects (col[, offset[, default]])")
+              val fn = if (w.equalsIgnoreCase("prev")) "lag" else "lead"
+              s"$fn(${args.mkString(", ")}) OVER (ORDER BY $ord)"
+            case "row_cumsum" =>
+              require(args.length == 1,
+                "row_cumsum expects (term) — the restart argument is not supported")
+              s"sum(${args.head}) OVER (ORDER BY $ord " +
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            case "row_number" =>
+              require(args.length <= 1, "row_number expects () or (startingIndex)")
+              if (args.isEmpty) s"row_number() OVER (ORDER BY $ord)"
+              else s"(row_number() OVER (ORDER BY $ord) + (${args.head}) - 1)"
+          }
+          out.append("(").append(repl).append(")")
+          i = close + 1
+        } else { out.append(w); i += w.length }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   private def stripLeadingBy(rest: String, verb: String): String = {

@@ -177,7 +177,21 @@ object ReferenceQueries {
       || extend series = array_join(transform(a, x -> string(cast(round(x, 6) as decimal(18,6)))), ',')
       || project event_type, series""".stripMargin
 
+  /** `serialize` + the row-window functions — the running-total /
+    * neighbor-compare dashboard idiom (`prev`/`next`/`row_cumsum`/
+    * `row_number` over the frame's sort order). All-integer columns so
+    * the running sum is exact; the week filter keeps the inherently
+    * single-partition serialized window dashboard-sized. */
+  val kqlSerializeText: String =
+    """Events
+      || where ts >= datetime(2024-01-01) and ts < datetime(2024-01-08)
+      || project event_id, user_id
+      || sort by event_id asc
+      || serialize rn = row_number(), prev_user = prev(user_id), next_user = next(user_id), run = row_cumsum(user_id)
+      || project event_id, rn, prev_user, next_user, run""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_serialize"     -> kqlText(kqlSerializeText) _,
     "kql_make_series_avg" -> kqlText(kqlMakeSeriesAvgText) _,
     "kql_make_series"   -> kqlText(kqlMakeSeriesText) _,
     "kql_time_histogram" -> kqlText(kqlTimeHistogramText) _,
@@ -199,6 +213,17 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kql_serialize" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08')
+        |SELECT event_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY event_id ASC) AS INTEGER) AS rn,
+        |  LAG(user_id) OVER (ORDER BY event_id ASC) AS prev_user,
+        |  LEAD(user_id) OVER (ORDER BY event_id ASC) AS next_user,
+        |  CAST(SUM(user_id) OVER (ORDER BY event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        |FROM f""".stripMargin,
     "kql_make_series_avg" ->
       """WITH f AS (
         |  SELECT event_type, user_id,

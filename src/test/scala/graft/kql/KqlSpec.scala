@@ -568,6 +568,44 @@ class KqlSpec extends SparkSpec {
     assert(mx.getSeq[Int](mx.fieldIndex("m")) == Seq(20, -1, 7))
   }
 
+  test("parser: serialize row-window functions prev/next/row_cumsum/row_number") {
+    val reg = Map("T" -> Seq(("a", 10), ("b", 30), ("c", 20)).toDF("k", "v"))
+    val out = KqlParser.run(
+      "T | sort by k asc | serialize rn = row_number(), p = prev(v), nx = next(v), run = row_cumsum(v) | project k, rn, p, nx, run",
+      reg).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // prev: null on the first row; next: null on the last
+    assert(out(0).isNullAt(2) && out(1).getInt(2) == 10 && out(2).getInt(2) == 30)
+    assert(out(0).getInt(3) == 30 && out(1).getInt(3) == 20 && out(2).isNullAt(3))
+    assert(out.map(_.getLong(4)).toSeq == Seq(10L, 40L, 60L))
+  }
+
+  test("parser: sort alone serializes; prev offset/default and row_number(start)") {
+    val reg = Map("T" -> Seq(3, 1, 2).toDF("v"))
+    val out = KqlParser.run(
+      "T | sort by v asc | extend p = prev(v, 1, 0), rn = row_number(10) | project v, p, rn",
+      reg).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 1, 2)) // default 0 fills row 1
+    assert(out.map(_.getInt(2)).toSeq == Seq(10, 11, 12))
+  }
+
+  test("parser: serialize and row functions refuse unordered frames") {
+    val reg = Map("T" -> Seq(1).toDF("v"))
+    val e1 = intercept[IllegalArgumentException] { KqlParser.run("T | serialize", reg) }
+    assert(e1.getMessage.contains("sort"))
+    val e2 = intercept[IllegalArgumentException] {
+      KqlParser.run("T | extend p = prev(v)", reg)
+    }
+    assert(e2.getMessage.contains("serialized"))
+    // a re-shuffling verb (summarize) invalidates an established order
+    val e3 = intercept[IllegalArgumentException] {
+      KqlParser.run("T | sort by v asc | summarize n = count() | extend p = prev(n)", reg)
+    }
+    assert(e3.getMessage.contains("serialized"))
+  }
+
   test("parser: startofday/month/year truncate; now()/ago() evaluate") {
     val reg = Map("T" -> Seq("2024-03-15 13:45:10").toDF("s")
       .withColumn("ts", to_timestamp(col("s"))))
