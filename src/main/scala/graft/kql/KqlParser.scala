@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * `row_number`, desugared to lag/lead/running-sum windows over the
   * frame's sort order — see [[rewriteSerialFns]] for the order and
   * scale contract),
-  * `mv-expand`, `parse`, `print` (table-less scalar row), `getschema`
+  * `mv-expand`, `mv-apply` (per-row subquery over an exploded array —
+  * desugared to shuffle-free higher-order array functions, see
+  * [[mvApplyVerb]]), `top-nested` (layered top-k drill-down, see
+  * [[topNestedVerb]]), `parse`, `print` (table-less scalar row), `getschema`
   * (column introspection), `lookup` (dimension enrichment — broadcast
   * left_outer/inner join, right key columns not duplicated, non-key
   * clashes rejected loudly as in ADX), `union` (kind=outer default:
@@ -165,6 +168,8 @@ object KqlParser {
           ("project-keep", r.stripPrefix("-keep").trim)
         case ("mv", r) if r.startsWith("-expand") =>
           ("mv-expand", r.stripPrefix("-expand").trim)
+        case ("mv", r) if r.startsWith("-apply") =>
+          ("mv-apply", r.stripPrefix("-apply").trim)
         case ("make", r) if r.startsWith("-series") =>
           ("make-series", r.stripPrefix("-series").trim)
         case ("top", r) if r.startsWith("-nested") =>
@@ -243,6 +248,8 @@ object KqlParser {
             case _ => throw new IllegalArgumentException(s"top expects 'top N by col': $rest")
           }
         case "parse" => df = parseVerb(df, rest, scoped)
+        case "top-nested" => df = topNestedVerb(df, rest, scoped)
+        case "mv-apply" => df = mvApplyVerb(df, rest, scoped)
         case "mv-expand" => df = mvExpandVerb(df, rest, scoped)
         case "make-series" => df = makeSeriesVerb(df, rest, scoped)
         case "take" | "limit" => df = df.limit(rest.trim.toInt)
@@ -537,6 +544,138 @@ object KqlParser {
     * element (ADX semantics: a non-conforming element becomes null, it
     * never aborts the query). A non-bare expression must be aliased —
     * ADX would synthesize a name, we require one loudly. */
+  /** `mv-apply [name =] arrExpr [to typeof(t)] on ( subpipeline )` —
+    * ADX's per-row subquery over an exploded dynamic column. The
+    * subpipeline (stages: any number of `where`, then an optional
+    * terminal `summarize`) runs logically against each row's expanded
+    * elements; with a terminal `summarize` the row keeps all its
+    * columns plus one column per aggregate, without one the surviving
+    * elements explode to one output row each (rows with no survivors
+    * drop, ADX semantics).
+    *
+    * Desugaring deliberately avoids the naive rewrite (tag rows with a
+    * generated id → explode → groupBy id → join back): generated row
+    * ids are nondeterministic under Spark recomputation (a stage retry
+    * can re-assign them between the two sides of the self-join), and
+    * the explode+shuffle+join costs two full-corpus shuffles. Instead
+    * every stage compiles to higher-order ARRAY functions on the row —
+    * `where` → `filter(arr, v -> pred)`, `sum`/`avg` → `aggregate`,
+    * `min`/`max` → `array_min`/`array_max`, `count` → `size`, `dcount`
+    * → `size(array_distinct)`, `countif` → `size(filter)` — one
+    * map-side pass, ZERO shuffles, deterministic at any scale. The
+    * tradeoff: Spark runs array lambdas interpreted (not codegen), so
+    * per-element cost is higher than codegen'd explode arithmetic —
+    * the right trade at 100 TB, where the avoided corpus-wide shuffle
+    * dominates. Aggregate arguments must be the element itself
+    * (`sum(v)`, not `sum(v * 2)` — pre-shape with `extend` before
+    * mv-apply); sum of an integral element is BIGINT, of a fractional
+    * element DOUBLE, matching `summarize`'s types; empty element sets
+    * yield count 0 and NULL sum/avg/min/max, matching SQL aggregates
+    * over no rows. */
+  private def mvApplyVerb(df: DataFrame, rest: String,
+                          lets: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val OnRe = "(?s)^(.*?)\\s+on\\s*\\((.*)\\)\\s*$".r
+    val (itemPart, sub) = rest.trim match {
+      case OnRe(i, s) => (i.trim, s.trim)
+      case other => throw new IllegalArgumentException(
+        s"mv-apply expects '[name =] expr [to typeof(t)] on ( subquery )': $other")
+    }
+    var body = itemPart
+    val TypeofRe = "(?s)^(.*?)\\s+to\\s+typeof\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+    val castTo: Option[String] = body match {
+      case TypeofRe(b, t) => body = b.trim; Some(kqlTypeToSpark(t))
+      case _ => None
+    }
+    val (nameOpt, exprText) = body match {
+      case NamedRe(n, b) if !b.startsWith("=") && !b.startsWith("~") => (Some(n), b.trim)
+      case _ => (None, body)
+    }
+    val name = nameOpt.getOrElse {
+      require(exprText.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"mv-apply over an expression needs a name ('mv-apply item = ...'): $exprText")
+      exprText
+    }
+    var arr = scalar(exprText, lets)
+    castTo.foreach(t => arr = s"transform($arr, __e -> try_cast(__e as $t))")
+    val elemT = df.select(expr(arr).as("__a")).schema.head.dataType match {
+      case ArrayType(et, _) => et
+      case other => throw new IllegalArgumentException(
+        s"mv-apply expects an array column, got ${other.simpleString}: $exprText")
+    }
+    val sumType: Option[String] = elemT match {
+      case ByteType | ShortType | IntegerType | LongType => Some("BIGINT")
+      case FloatType | DoubleType => Some("DOUBLE")
+      case _ => None
+    }
+    def elemOnly(fn: String, args: Seq[String]): Unit =
+      require(args.length == 1 && args.head.trim == name,
+        s"mv-apply $fn() applies to the element itself ($fn($name)) — " +
+          "pre-shape values with 'extend' before mv-apply")
+    val FnRe = "^([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)$".r
+    val stages = splitTopLevel(sub, '|').map(_.trim).filter(_.nonEmpty)
+    var aggCols: Option[Seq[(String, String)]] = None
+    stages.foreach { stage =>
+      require(aggCols.isEmpty, "mv-apply: summarize must be the final subquery stage")
+      val (v, r) = stage.span(!_.isWhitespace)
+      (v, r.trim) match {
+        case ("where", pred) =>
+          arr = s"filter($arr, $name -> (${scalar(pred, lets)}))"
+        case ("summarize", aggsBody) =>
+          aggCols = Some(splitTopLevel(aggsBody, ',').map(_.trim).map { item =>
+            val (nm, fnBody) = item match {
+              case NamedRe(n, b) => (n, b.trim)
+              case _ => throw new IllegalArgumentException(
+                s"mv-apply summarize items must be named ('n = agg(...)'): $item")
+            }
+            val sql = fnBody match {
+              case FnRe(fn, argsStr) =>
+                val args = splitTopLevel(argsStr, ',').map(_.trim).filter(_.nonEmpty)
+                fn.toLowerCase match {
+                  case "count" =>
+                    require(args.isEmpty, "count() takes no arguments")
+                    s"cast(size($arr) as bigint)"
+                  case "countif" =>
+                    require(args.length == 1, "countif(pred) takes one argument")
+                    s"cast(size(filter($arr, $name -> (${scalar(args.head, lets)}))) as bigint)"
+                  case f @ "sum" =>
+                    elemOnly(f, args)
+                    val t = sumType.getOrElse(throw new IllegalArgumentException(
+                      s"sum() needs a numeric element, got ${elemT.simpleString}"))
+                    s"if(size($arr) = 0, cast(null as $t), " +
+                      s"aggregate($arr, cast(0 as $t), (__acc, $name) -> __acc + $name))"
+                  case f @ "avg" =>
+                    elemOnly(f, args)
+                    require(sumType.isDefined,
+                      s"avg() needs a numeric element, got ${elemT.simpleString}")
+                    s"if(size($arr) = 0, cast(null as double), " +
+                      s"aggregate($arr, cast(0 as double), (__acc, $name) -> __acc + $name)" +
+                      s" / size($arr))"
+                  case f @ "min" => elemOnly(f, args); s"array_min($arr)"
+                  case f @ "max" => elemOnly(f, args); s"array_max($arr)"
+                  case f @ "dcount" =>
+                    elemOnly(f, args); s"cast(size(array_distinct($arr)) as bigint)"
+                  case f @ "make_list" => elemOnly(f, args); arr
+                  case other => throw new IllegalArgumentException(
+                    s"mv-apply summarize supports count/countif/sum/avg/min/max/dcount/" +
+                      s"make_list, not '$other'")
+                }
+              case other => throw new IllegalArgumentException(
+                s"expected aggregate call, got: $other")
+            }
+            (nm, sql)
+          })
+        case (other, _) => throw new IllegalArgumentException(
+          s"mv-apply subquery supports 'where' stages and a final 'summarize', not '$other'")
+      }
+    }
+    aggCols match {
+      case Some(aggs) =>
+        aggs.foldLeft(df) { case (d, (nm, sql)) => d.withColumn(nm, expr(sql)) }
+      case None => df.withColumn(name, explode(expr(arr)))
+    }
+  }
+
   private def mvExpandVerb(df: DataFrame, rest: String,
                            lets: Map[String, String]): DataFrame = {
     import Kql.KqlOps
@@ -556,6 +695,81 @@ object KqlParser {
       exprText
     }
     df.mvExpand(name, expr(scalar(exprText, lets)), castTo)
+  }
+
+  /** `top-nested N1 of key1 by agg1 [asc|desc], top-nested N2 of key2
+    * by agg2 …` — ADX's layered top-k: level i keeps the top-N_i key_i
+    * values by agg_i WITHIN each surviving (key_1..key_{i-1}) prefix,
+    * emitting one row per surviving leaf with every level's key and
+    * aggregate. Desugared level by level: a groupBy on the key prefix
+    * computes the level aggregate, a `row_number` window partitioned by
+    * the prefix ranks it, and the surviving prefixes chain through
+    * broadcast inner joins (the chain is ≤ ∏N_i rows by construction —
+    * always tiny).
+    *
+    * Scale contract: each level is one shuffle-aggregate over the input
+    * (aggregation shrinks; levels are ≤3 in practice). The level-1 rank
+    * is a single-partition window over the DISTINCT level-1 keys —
+    * inherent to global top-k and small by definition; deeper levels
+    * partition by the prefix. Documented deviations: ties are broken
+    * deterministically by the key ascending (ADX leaves tie order
+    * unspecified), an omitted N keeps ALL values (ADX semantics), a
+    * computed key must be named (`of name = expr`), and the
+    * `with others=` bucket is rejected loudly rather than silently
+    * dropped. */
+  private def topNestedVerb(df0: DataFrame, rest: String,
+                            lets: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    final case class Level(n: Option[Int], keyName: String, keySql: String,
+                           aggName: String, aggCol: Column, asc: Boolean)
+    val SegRe = "(?s)^(?:(\\d+)\\s+)?of\\s+(.+?)\\s+by\\s+(.+)$".r
+    val levels = splitTopLevel(rest, ',').map(_.trim).zipWithIndex.map { case (s0, idx) =>
+      val s = if (idx == 0) s0 else {
+        require(s0.toLowerCase.startsWith("top-nested"),
+          s"each subsequent top-nested level must start with 'top-nested': $s0")
+        s0.drop("top-nested".length).trim
+      }
+      require(!s.toLowerCase.matches("(?s).*\\bwith\\s+others\\b.*"),
+        "top-nested 'with others=' is not supported (documented deviation) — drop the clause")
+      s match {
+        case SegRe(n, keyPart, aggPart0) =>
+          val (keyName, keySql) = keyPart.trim match {
+            case NamedRe(nm, b) if !b.startsWith("=") && !b.startsWith("~") =>
+              (nm, scalar(b.trim, lets))
+            case ident if ident.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+              (ident, scalar(ident, lets))
+            case other => throw new IllegalArgumentException(
+              s"top-nested computed key must be named ('of name = expr'): $other")
+          }
+          var aggPart = aggPart0.trim
+          val asc = aggPart.toLowerCase.endsWith(" asc")
+          if (asc) aggPart = aggPart.dropRight(4).trim
+          else if (aggPart.toLowerCase.endsWith(" desc")) aggPart = aggPart.dropRight(5).trim
+          val (aggName, aggCol) = aggItem(aggPart, lets)
+          Level(Option(n).map(_.toInt), keyName, keySql, aggName, aggCol, asc)
+        case other => throw new IllegalArgumentException(
+          s"top-nested expects '[N] of key by agg': $other")
+      }
+    }
+    var chain: DataFrame = null
+    levels.zipWithIndex.foreach { case (lvl, i) =>
+      val keyCols = levels.take(i + 1).map(l => expr(l.keySql).as(l.keyName))
+      val grouped = df0.groupBy(keyCols: _*).agg(lvl.aggCol.as(lvl.aggName))
+      val prefix = levels.take(i).map(_.keyName)
+      val kept = lvl.n match {
+        case Some(n) =>
+          val ord = Seq(
+            if (lvl.asc) col(lvl.aggName).asc else col(lvl.aggName).desc,
+            col(lvl.keyName).asc)
+          val w = if (prefix.isEmpty) Window.orderBy(ord: _*)
+                  else Window.partitionBy(prefix.map(col): _*).orderBy(ord: _*)
+          grouped.withColumn("__tn_rank", row_number().over(w))
+            .where(col("__tn_rank") <= n).drop("__tn_rank")
+        case None => grouped
+      }
+      chain = if (chain == null) kept else kept.join(broadcast(chain), prefix, "inner")
+    }
+    chain.select(levels.flatMap(l => Seq(col(l.keyName), col(l.aggName))): _*)
   }
 
   /** KQL scalar type name → Spark SQL type name (shared by `mv-expand

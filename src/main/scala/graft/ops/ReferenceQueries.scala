@@ -190,7 +190,28 @@ object ReferenceQueries {
       || serialize rn = row_number(), prev_user = prev(user_id), next_user = next(user_id), run = row_cumsum(user_id)
       || project event_id, rn, prev_user, next_user, run""".stripMargin
 
+  /** `top-nested` — the layered drill-down every ADX dashboard's
+    * "top N, then top M within each" widget uses: top 3 cities by
+    * revenue, then each city's top 2 customers by order count. Ties
+    * break deterministically by the key ascending (documented
+    * deviation; the oracle mirrors the same tiebreak). */
+  val kqlTopNestedText: String =
+    """Orders
+      || top-nested 3 of city by total = sum(amount), top-nested 2 of custid by cnt = count()""".stripMargin
+
+  /** `mv-apply` — the per-row subquery over a dynamic column, desugared
+    * to shuffle-free array higher-order functions. Each order carries a
+    * 3-element array; the subquery filters and aggregates it per row,
+    * then an ordinary summarize rolls the per-row results up by city. */
+  val kqlMvApplyText: String =
+    """Orders
+      || extend arr = array(amount, amount + 10, 5)
+      || mv-apply v = arr to typeof(long) on (where v >= 10 | summarize s = sum(v), n = count(), mx = max(v))
+      || summarize total_s = sum(s), total_n = sum(n), top = max(mx) by city""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_mv_apply"      -> kqlText(kqlMvApplyText) _,
+    "kql_top_nested"    -> kqlText(kqlTopNestedText) _,
     "kql_serialize"     -> kqlText(kqlSerializeText) _,
     "kql_make_series_avg" -> kqlText(kqlMakeSeriesAvgText) _,
     "kql_make_series"   -> kqlText(kqlMakeSeriesText) _,
@@ -213,6 +234,29 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kql_mv_apply" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city,
+         |  CAST(SUM(2 * amount + 10) AS BIGINT) AS total_s,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
+         |  CAST(MAX(amount + 10) AS BIGINT) AS top
+         |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_top_nested" ->
+      s"""${Sql.ordersInfoCte},
+         |l0 AS (SELECT city, SUM(amount) AS total FROM orders_info GROUP BY city),
+         |l0f AS (
+         |  SELECT city, total FROM (
+         |    SELECT *, ROW_NUMBER() OVER (ORDER BY total DESC, city ASC) AS r FROM l0)
+         |  WHERE r <= 3),
+         |l1 AS (SELECT city, custid, COUNT(*) AS cnt FROM orders_info GROUP BY city, custid),
+         |l1f AS (
+         |  SELECT city, custid, cnt FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY city ORDER BY cnt DESC, custid ASC) AS r FROM l1)
+         |  WHERE r <= 2)
+         |SELECT f0.city, CAST(f0.total AS BIGINT) AS total,
+         |       f1.custid, CAST(f1.cnt AS BIGINT) AS cnt
+         |FROM l0f f0 JOIN l1f f1 ON f0.city = f1.city""".stripMargin,
     "kql_serialize" ->
       """WITH f AS (
         |  SELECT event_id, user_id FROM events

@@ -606,6 +606,64 @@ class KqlSpec extends SparkSpec {
     assert(e3.getMessage.contains("serialized"))
   }
 
+  test("parser: top-nested layers top-k per surviving prefix") {
+    val reg = Map("T" -> Seq(
+      ("a", "x", 1), ("a", "y", 5), ("b", "x", 10), ("b", "z", 2), ("c", "x", 1)
+    ).toDF("g", "k", "v"))
+    val out = KqlParser.run(
+      "T | top-nested 2 of g by s = sum(v), top-nested 1 of k by m = max(v)", reg)
+    assert(out.columns.toSeq == Seq("g", "s", "k", "m"))
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    // g sums: a=6, b=12, c=1 → top2 = {b, a}; within b max k = x(10), within a y(5)
+    assert(rows == Set(("b", 12L, "x", 10), ("a", 6L, "y", 5)))
+  }
+
+  test("parser: top-nested asc, omitted N keeps all, with-others rejected") {
+    val reg = Map("T" -> Seq(
+      ("a", 1), ("a", 5), ("b", 10), ("c", 2)).toDF("g", "v"))
+    val asc = KqlParser.run("T | top-nested 2 of g by s = sum(v) asc", reg)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(asc == Set(("c", 2L), ("a", 6L))) // two smallest sums
+    val all = KqlParser.run("T | top-nested of g by n = count()", reg)
+    assert(all.count() == 3)
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | top-nested 1 of g by s = sum(v) with others = 'rest'", reg)
+    }
+    assert(e.getMessage.contains("others"))
+  }
+
+  test("parser: mv-apply where + summarize keeps row columns, adds aggregates") {
+    val reg = Map("T" -> Seq(
+      ("a", Seq(1, 5, 10)), ("b", Seq(2, 3)), ("c", Seq.empty[Int])).toDF("k", "arr"))
+    val out = KqlParser.run(
+      "T | mv-apply v = arr to typeof(long) on (where v >= 3 | summarize s = sum(v), n = count(), mx = max(v)) | project k, s, n, mx",
+      reg).collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // a: {5,10} → s=15 n=2 mx=10; b: {3} → 3,1,3; c: empty → null,0,null
+    assert(out == Set(("a", 15L, 2L, 10L), ("b", 3L, 1L, 3L), ("c", -1L, 0L, -1L)))
+  }
+
+  test("parser: mv-apply without summarize explodes surviving elements") {
+    val reg = Map("T" -> Seq(("a", Seq(1, 5, 10)), ("b", Seq(2, 3))).toDF("k", "arr"))
+    val out = KqlParser.run(
+      "T | mv-apply v = arr on (where v >= 3) | project k, v",
+      reg).collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(out == Set(("a", 5), ("a", 10), ("b", 3)))
+  }
+
+  test("parser: mv-apply rejects unsupported subverbs and non-element aggs") {
+    val reg = Map("T" -> Seq(("a", Seq(1))).toDF("k", "arr"))
+    val e1 = intercept[IllegalArgumentException] {
+      KqlParser.run("T | mv-apply v = arr on (sort by v | summarize s = sum(v))", reg)
+    }
+    assert(e1.getMessage.contains("where"))
+    val e2 = intercept[IllegalArgumentException] {
+      KqlParser.run("T | mv-apply v = arr on (summarize s = sum(v * 2))", reg)
+    }
+    assert(e2.getMessage.contains("element itself"))
+  }
+
   test("parser: startofday/month/year truncate; now()/ago() evaluate") {
     val reg = Map("T" -> Seq("2024-03-15 13:45:10").toDF("s")
       .withColumn("ts", to_timestamp(col("s"))))
