@@ -132,15 +132,19 @@ object Similarity {
 
   /** One IVF/k-means training iteration — the job that BUILDS the
     * codebook [[ivfTopK]] consumes: assign every vector to its nearest
-    * centroid (broadcast codebook, map-side pass — identical shape to
-    * the serving-path assignment), then recompute each centroid as the
-    * per-dimension mean of its members. At 100 TB this is the canonical
-    * Lloyd's-iteration-on-Spark shape: one corpus scan per iteration,
-    * one shuffle keyed by (centroid, dimension), partial means map-side.
-    * Means round to 6 dp because summation order differs per engine. */
-  def ivfTrainStep(spark: SparkSession, sfDir: String): DataFrame = {
+    * of `k` seed centroids (broadcast codebook, map-side pass —
+    * identical shape to the serving-path assignment), then recompute
+    * each centroid as the per-dimension mean of its members. At 100 TB
+    * this is the canonical Lloyd's-iteration-on-Spark shape: one corpus
+    * scan per iteration, one shuffle keyed by (centroid, dimension),
+    * partial means map-side. `k` is the nlist knob — a real deployment
+    * sizes it so clusters stay ~10⁴ vectors (the paper uses 50k at web
+    * scale); the plan is k-independent because the codebook broadcasts
+    * at any sane nlist. Means round to 6 dp because summation order
+    * differs per engine. */
+  def ivfTrainStep(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
     val e = vecs(spark, sfDir)
-    val cents = broadcast(e.filter(col("vec_id") < 16)
+    val cents = broadcast(e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn")))
     val scored = e.join(cents)
       .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
@@ -256,36 +260,67 @@ object Similarity {
         col("mean"), col("n_members"))
   }
 
+  /** The trained `k`-centroid codebook of [[ivfTrainStep]] assembled
+    * back into vector form (cent_id, cv: array<double>, cn: norm) — the
+    * handoff relation between the trainer and every consumer that needs
+    * centroids as vectors ([[semanticDedup]]; a multi-iteration Lloyd's
+    * loop would feed it back into the next assignment). The long→wide
+    * pivot is one k-row aggregate (collect the (dim, mean) pairs, sort
+    * by dim, project the means); empty clusters simply don't appear —
+    * the trainer only emits centroids with members. */
+  private[ext] def trainedCentroids(spark: SparkSession, sfDir: String,
+                                    k: Int): DataFrame =
+    ivfTrainStep(spark, sfDir, k)
+      .groupBy(col("cent_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("dm"))
+      .select(col("cent_id"), expr("transform(dm, x -> x.mean)").as("cv"))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+
+  /** Nearest-trained-centroid assignment (vec_id, cent_id) for
+    * [[semanticDedup]]: one corpus scan against the broadcast trained
+    * codebook. Exposed for the k-scaling spec (candidate-pair count =
+    * Σ n·(n−1)/2 over cluster sizes must SHRINK as k grows — the whole
+    * point of cluster-then-compare). */
+  private[ext] def semanticAssign(spark: SparkSession, sfDir: String,
+                                  k: Int): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = broadcast(trainedCentroids(spark, sfDir, k))
+    val scored = e.join(cents)
+      .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    scored.withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication via cluster-then-compare — assign every embedding to
-    * its nearest centroid (the [[ivfTopK]] codebook assignment), compare
-    * pairs ONLY within a cluster, and drop the larger-id member of any
-    * pair with cosine ≥ τ (τ = 0.4, the strong-similarity tail of this
-    * random-64-d corpus — same threshold as `dedup_embedding`). Emits
-    * the kept corpus as (vec_id, cent_id).
+    * its nearest of `k` TRAINED centroids (one [[ivfTrainStep]] Lloyd
+    * iteration over `k` seeds, assembled by [[trainedCentroids]] — the
+    * real pipeline's train→assign handoff, not a hard-coded seed scan),
+    * compare pairs ONLY within a cluster, and drop the larger-id member
+    * of any pair with cosine ≥ τ (τ = 0.4, the strong-similarity tail
+    * of this random-64-d corpus — same threshold as `dedup_embedding`).
+    * Emits the kept corpus as (vec_id, cent_id).
     *
     * Scale shape — the reason SemDeDup exists: the quadratic term is
-    * bounded to within-cluster pairs, so with nlist sized to keep
-    * clusters at ~10⁴ vectors a 100 TB corpus never all-pairs self-joins.
-    * Candidates pair on bare (cent_id, vec_id) rows first — the vectors
-    * are fetched for the verify stage by id via shuffle-hash joins
-    * (same never-broadcast-the-corpus contract as [[graft.ext.Dedup]]'s
+    * bounded to within-cluster pairs (Σ n·(n−1)/2 ≈ N²/2k for balanced
+    * clusters), so k is the knob that keeps a 100 TB corpus from
+    * all-pairs self-joining — size it so clusters stay ~10⁴ vectors
+    * (~50k clusters in the paper); `SemDeDupSpec` pins the pair count
+    * actually shrinking as k grows. Candidates pair on bare
+    * (cent_id, vec_id) rows first — the vectors are fetched for the
+    * verify stage by id via shuffle-hash joins (same
+    * never-broadcast-the-corpus contract as [[graft.ext.Dedup]]'s
     * LSH paths); cent_id is the shuffle key, so a skewed hot cluster is
     * AQE's skew-join case, and at real scale the assignment would be
     * written partitioned by cent_id making each cluster's pair pass a
     * partition-local job. */
   def semanticDedup(spark: SparkSession, sfDir: String,
-                    minCos: Double = 0.4): DataFrame = {
+                    minCos: Double = 0.4, k: Int = 16): DataFrame = {
     val e = vecs(spark, sfDir)
-    val cents = broadcast(e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn")))
-    val scored = e.join(cents)
-      .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
-    val wAsg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    val assign = scored.withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"))
+    val assign = semanticAssign(spark, sfDir, k)
     val a = assign.select(col("cent_id"), col("vec_id").as("vec_a"))
     val b = assign.select(col("cent_id"), col("vec_id").as("vec_b"))
     val cand = a.join(b, Seq("cent_id")).filter(col("vec_a") < col("vec_b"))
@@ -313,7 +348,7 @@ object Similarity {
     "sim_lsh_buckets" -> lshBuckets _,
     "sim_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
-    "sim_ivf_train_step" -> ivfTrainStep _,
+    "sim_ivf_train_step" -> ((s: SparkSession, d: String) => ivfTrainStep(s, d)),
   )
 
   private[ext] val oracleVecs =
@@ -351,30 +386,54 @@ object Similarity {
        |    FROM d)
        |  WHERE rn = 1)""".stripMargin
 
+  /** The sim_semantic_dedup oracle for a given (k, τ) — mirrors the
+    * full train→assemble→assign→pair derivation so the registered
+    * default and any spec-level k stay provably in sync. */
+  private[ext] def semanticDedupOracle(k: Int, tau: Double): String =
+    s"""WITH $oracleVecs,
+       |seed AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e WHERE vec_id < $k),
+       |sc0 AS (
+       |  SELECT e.vec_id, seed.cent_id, e.v,
+       |    round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * seed.cv[i]))
+       |      / (e.norm * seed.cn), 6) AS ccos
+       |  FROM e CROSS JOIN seed),
+       |asg0 AS (
+       |  SELECT cent_id, v FROM (
+       |    SELECT cent_id, v,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM sc0)
+       |  WHERE rn = 1),
+       |dims AS (SELECT unnest(range(0, 64)) AS dim),
+       |tcl AS (
+       |  SELECT cent_id, dim, round(AVG(v[dim + 1]), 6) AS mean
+       |  FROM asg0 CROSS JOIN dims GROUP BY cent_id, dim),
+       |c AS (
+       |  SELECT cent_id, list(mean ORDER BY dim) AS cv,
+       |    sqrt(list_sum(list_transform(list(mean ORDER BY dim), x -> x * x))) AS cn
+       |  FROM tcl GROUP BY cent_id),
+       |sc AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+       |      / (e.norm * c.cn), 6) AS ccos
+       |  FROM e CROSS JOIN c),
+       |asg AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+       |    FROM sc)
+       |  WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id FROM asg a
+       |  JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  JOIN e va ON va.vec_id = a.vec_id
+       |  JOIN e vb ON vb.vec_id = b.vec_id
+       |  WHERE round(list_sum(list_transform(range(1, len(va.v) + 1), i -> va.v[i] * vb.v[i]))
+       |    / (va.norm * vb.norm), 6) >= $tau)
+       |SELECT vec_id, cent_id FROM asg
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "sim_semantic_dedup" ->
-      s"""WITH $oracleVecs,
-         |c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e WHERE vec_id < 16),
-         |sc AS (
-         |  SELECT e.vec_id, c.cent_id,
-         |    round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
-         |      / (e.norm * c.cn), 6) AS ccos
-         |  FROM e CROSS JOIN c),
-         |asg AS (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT vec_id, cent_id,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
-         |    FROM sc)
-         |  WHERE rn = 1),
-         |dropped AS (
-         |  SELECT DISTINCT b.vec_id FROM asg a
-         |  JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-         |  JOIN e va ON va.vec_id = a.vec_id
-         |  JOIN e vb ON vb.vec_id = b.vec_id
-         |  WHERE round(list_sum(list_transform(range(1, len(va.v) + 1), i -> va.v[i] * vb.v[i]))
-         |    / (va.norm * vb.norm), 6) >= 0.4)
-         |SELECT vec_id, cent_id FROM asg
-         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+    "sim_semantic_dedup" -> semanticDedupOracle(16, 0.4),
     "sim_pq_train" ->
       s"""WITH $oracleVecs,
          |$pqEncodeCte,
