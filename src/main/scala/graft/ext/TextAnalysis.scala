@@ -496,8 +496,19 @@ object TextAnalysis {
     * 100 TB shape: the histogram shuffle is the only corpus-sized step;
     * merge iterations touch |vocab| rows regardless of corpus size —
     * which is why BPE training over a trillion-token corpus is
-    * tractable at all. */
-  def bpeTrainOn(docs: DataFrame, steps: Int = 5): DataFrame = {
+    * tractable at all. Each applied merge stacks one `replace`
+    * projection onto `hist`'s plan, so without truncation a realistic
+    * run (k ≈ 30k merges) drowns in analyzer/optimizer time and driver
+    * plan-tree memory long before any executor works — every
+    * `checkpointEvery` merges the loop `localCheckpoint`s the
+    * histogram (eager, |vocab| rows — step-cost, not corpus-cost) and
+    * releases the previous checkpoint, keeping the live plan depth
+    * bounded by `checkpointEvery` regardless of k (`BpeTrainSpec` runs
+    * k = 50; the default of 4 puts the checkpoint path inside the
+    * oracle-checked k = 5 `text_bpe_train` run). */
+  def bpeTrainOn(docs: DataFrame, steps: Int = 5,
+                 checkpointEvery: Int = 4): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs
@@ -506,6 +517,7 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
       .select(concat_ws(" ", split(col("word"), "")).as("seq"), col("c"))
       .persist()
+    var lastCkpt: Option[DataFrame] = None
     try {
       var hist = base
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
@@ -530,11 +542,17 @@ object TextAnalysis {
           hist = hist.select(expr(
             s"trim(replace(replace(concat(' ', seq, ' '), ' $p ', ' $m '), ' $p ', ' $m '))")
             .as("seq"), col("c"))
+          if (s % checkpointEvery == 0) {
+            val ck = hist.localCheckpoint() // eager: materializes, truncates lineage
+            lastCkpt.foreach(_.unpersist()) // prior checkpoint's blocks no longer reachable
+            lastCkpt = Some(ck)
+            hist = ck
+          }
           s += 1
         }
       }
       merges.toSeq.toDF("step", "pair", "n")
-    } finally { base.unpersist(); () }
+    } finally { base.unpersist(); lastCkpt.foreach(_.unpersist()); () }
   }
 
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Lineage contract for the BPE training loop (r8): each merge stacks
+  * one `replace` projection onto the histogram plan, so a realistic
+  * k needs periodic `localCheckpoint` truncation or the driver drowns
+  * in plan-tree work. These tests pin (a) a k = 50 run completing with
+  * the full merge table — impossible to sit through with an unbounded
+  * 50-layer plan re-analyzed 50 times — and (b) checkpoint cadence
+  * being invisible to results. */
+class BpeTrainSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  // One 64-symbol word: 63 distinct adjacent pairs, every count equal,
+  // so 50 merges always exist and the (n desc, pair asc) argmax is
+  // fully deterministic.
+  private def longCorpus = {
+    import spark.implicits._
+    val word = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString.take(64)
+    Seq((0L, word)).toDF("doc_id", "text")
+  }
+
+  test("k=50 training completes with bounded plan depth and a full merge table") {
+    val out = TextAnalysis.bpeTrainOn(longCorpus, steps = 50).collect()
+    assert(out.length == 50)
+    assert(out.map(_.getInt(0)).toSeq == (1 to 50))
+    // every merge on this corpus joins two adjacent symbols exactly once
+    out.foreach(r => assert(r.getLong(2) == 1L))
+  }
+
+  test("checkpoint cadence does not change the merge table") {
+    val every1 = TextAnalysis.bpeTrainOn(longCorpus, steps = 12, checkpointEvery = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val never = TextAnalysis.bpeTrainOn(longCorpus, steps = 12, checkpointEvery = 1000)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(every1 == never)
+  }
+
+  test("checkpointed run still exhausts gracefully on a tiny corpus") {
+    import spark.implicits._
+    // "ab" admits exactly one merge; steps=10 must stop at 1 row even
+    // with the checkpoint path active from step 1.
+    val docs = Seq((0L, "ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainOn(docs, steps = 10, checkpointEvery = 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(1) == "a b")
+  }
+}
