@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   * `mv-expand`, `mv-apply` (per-row subquery over an exploded array —
   * desugared to shuffle-free higher-order array functions, see
   * [[mvApplyVerb]]), `top-nested` (layered top-k drill-down, see
-  * [[topNestedVerb]]), `parse`, `print` (table-less scalar row), `getschema`
+  * [[topNestedVerb]]), `parse`, `print` (table-less scalar row),
+  * `range` (table-from-scalar-series, [[rangeVerb]]), `getschema`
   * (column introspection), `lookup` (dimension enrichment — broadcast
   * left_outer/inner join, right key columns not duplicated, non-key
   * clashes rejected loudly as in ADX), `union` (kind=outer default:
@@ -87,7 +88,11 @@ object KqlParser {
       s.drop(4).trim match {
         case LetRe(name, body) =>
           val headTok = splitTopLevel(body, '|').head.trim
-          if (tbls.contains(headTok) || headTok.startsWith("datatable"))
+          // tabular heads: a known table, a datatable literal, or a
+          // `range` generator ("range\s" — the \s guard keeps scalar
+          // lets over identifiers like `range_total` out of this arm)
+          if (tbls.contains(headTok) || headTok.startsWith("datatable") ||
+              headTok.matches("(?s)^range\\s.*"))
             tbls += name -> pipeline(body, tbls, lets).df
           else
             // ADX sequential binding: substitute earlier lets into the
@@ -145,6 +150,9 @@ object KqlParser {
         // `print name = expr, …` — ADX's table-less scalar evaluation:
         // one row computed from literals/lets alone.
         printVerb(tableName.drop(5).trim, lets)
+      else if (tableName.startsWith("range") &&
+               tableName.length > 5 && tableName.charAt(5).isWhitespace)
+        rangeVerb(tableName.drop(5).trim, lets)
       else tables.getOrElse(tableName,
         throw new IllegalArgumentException(
           s"unknown table '$tableName' (known: ${tables.keys.mkString(", ")})"))
@@ -432,6 +440,53 @@ object KqlParser {
       .drop("__m")
   }
 
+  /** `range name from start to stop step step` — ADX's table-from-
+    * scalar generator: one column of evenly spaced values, inclusive of
+    * `stop` when it lands on a step (both generation paths below share
+    * that contract). The dashboard idiom it unlocks is the join-shaped
+    * zero-filled time axis — `range day from d1 to d2 step 1d | join
+    * kind=leftouter (daily) on day` — when a widget wants axis ROWS
+    * rather than make-series' arrays.
+    *
+    * Two generation paths, picked by operand shape:
+    *  - all-integer literals → `spark.range(from, stop±1, step)`:
+    *    DISTRIBUTED generation, no materialized array — a ten-billion-
+    *    row numeric axis never builds a one-row array and scales with
+    *    the cluster like any other range scan;
+    *  - datetimes with a timespan-literal step (or any non-literal
+    *    scalars) → `sequence(...)` + explode: one driver-bounded array,
+    *    fine by construction — a time axis is dashboard-sized (1h steps
+    *    over a year = 8 760 values), and Spark caps `sequence` before
+    *    anything pathological materializes. */
+  private def rangeVerb(rest: String, lets: Map[String, String]): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val Re = "(?is)^([A-Za-z_][A-Za-z0-9_]*)\\s+from\\s+(.+?)\\s+to\\s+(.+?)\\s+step\\s+(.+)$".r
+    val (name, fromS, toS, stepS) = rest.trim match {
+      case Re(n, f, t, s) => (n, f.trim, t.trim, s.trim)
+      case other => throw new IllegalArgumentException(
+        s"range expects 'name from start to stop step step': $other")
+    }
+    val LongLit = "^-?\\d+$".r
+    (fromS, toS, stepS) match {
+      case (LongLit(), LongLit(), LongLit()) =>
+        val (f, t, st) = (fromS.toLong, toS.toLong, stepS.toLong)
+        require(st != 0L, "range step must be non-zero")
+        // spark.range's end is exclusive; ADX includes an on-step stop
+        spark.range(f, if (st > 0) t + 1 else t - 1, st).select(col("id").as(name))
+      case _ =>
+        val TimespanRe = "^(\\d+)(d|h|m|s)$".r
+        val stepSql = stepS match {
+          case TimespanRe(n, u) =>
+            val secs = n.toLong * (u match {
+              case "d" => 86400L; case "h" => 3600L; case "m" => 60L; case "s" => 1L })
+            s"make_interval(0, 0, 0, 0, 0, 0, $secs)"
+          case other => scalar(other, lets)
+        }
+        spark.range(1).select(explode(expr(
+          s"sequence(${scalar(fromS, lets)}, ${scalar(toS, lets)}, $stepSql)")).as(name))
+    }
+  }
+
   /** `print [name =] expr, …` — one computed row, no source table.
     * Unnamed items get ADX's positional print_N names. */
   private def printVerb(rest: String,
@@ -546,12 +601,12 @@ object KqlParser {
     * ADX would synthesize a name, we require one loudly. */
   /** `mv-apply [name =] arrExpr [to typeof(t)] on ( subpipeline )` —
     * ADX's per-row subquery over an exploded dynamic column. The
-    * subpipeline (stages: any number of `where`, then an optional
-    * terminal `summarize`) runs logically against each row's expanded
-    * elements; with a terminal `summarize` the row keeps all its
-    * columns plus one column per aggregate, without one the surviving
-    * elements explode to one output row each (rows with no survivors
-    * drop, ADX semantics).
+    * subpipeline (stages: any number of `where`/`extend`, then an
+    * optional terminal `summarize`) runs logically against each row's
+    * expanded elements; with a terminal `summarize` the row keeps all
+    * its columns plus one column per aggregate, without one the
+    * surviving elements explode to one output row each (rows with no
+    * survivors drop, ADX semantics).
     *
     * Desugaring deliberately avoids the naive rewrite (tag rows with a
     * generated id → explode → groupBy id → join back): generated row
@@ -566,12 +621,15 @@ object KqlParser {
     * tradeoff: Spark runs array lambdas interpreted (not codegen), so
     * per-element cost is higher than codegen'd explode arithmetic —
     * the right trade at 100 TB, where the avoided corpus-wide shuffle
-    * dominates. Aggregate arguments must be the element itself
-    * (`sum(v)`, not `sum(v * 2)` — pre-shape with `extend` before
-    * mv-apply); sum of an integral element is BIGINT, of a fractional
-    * element DOUBLE, matching `summarize`'s types; empty element sets
-    * yield count 0 and NULL sum/avg/min/max, matching SQL aggregates
-    * over no rows. */
+    * dominates. An `extend` stage reshapes the element in place —
+    * `extend w = v * 2` → `transform(arr, v -> v * 2)` with the element
+    * renamed to `w` — which is how the common ADX `sum(v * 2)` idiom is
+    * expressed (aggregate ARGUMENTS must still be the bare element;
+    * the reshaping lives in `extend`, keeping each stage one HOF).
+    * Sum of an integral element is BIGINT, of a fractional element
+    * DOUBLE, matching `summarize`'s types; empty element sets yield
+    * count 0 and NULL sum/avg/min/max, matching SQL aggregates over no
+    * rows. */
   private def mvApplyVerb(df: DataFrame, rest: String,
                           lets: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.types._
@@ -591,19 +649,22 @@ object KqlParser {
       case NamedRe(n, b) if !b.startsWith("=") && !b.startsWith("~") => (Some(n), b.trim)
       case _ => (None, body)
     }
-    val name = nameOpt.getOrElse {
+    val name0 = nameOpt.getOrElse {
       require(exprText.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"mv-apply over an expression needs a name ('mv-apply item = ...'): $exprText")
       exprText
     }
     var arr = scalar(exprText, lets)
     castTo.foreach(t => arr = s"transform($arr, __e -> try_cast(__e as $t))")
-    val elemT = df.select(expr(arr).as("__a")).schema.head.dataType match {
-      case ArrayType(et, _) => et
-      case other => throw new IllegalArgumentException(
-        s"mv-apply expects an array column, got ${other.simpleString}: $exprText")
-    }
-    val sumType: Option[String] = elemT match {
+    var name = name0
+    def arrayElemType(a: String): DataType =
+      df.select(expr(a).as("__a")).schema.head.dataType match {
+        case ArrayType(et, _) => et
+        case other => throw new IllegalArgumentException(
+          s"mv-apply expects an array column, got ${other.simpleString}: $exprText")
+      }
+    var elemT = arrayElemType(arr)
+    def sumType: Option[String] = elemT match {
       case ByteType | ShortType | IntegerType | LongType => Some("BIGINT")
       case FloatType | DoubleType => Some("DOUBLE")
       case _ => None
@@ -611,7 +672,7 @@ object KqlParser {
     def elemOnly(fn: String, args: Seq[String]): Unit =
       require(args.length == 1 && args.head.trim == name,
         s"mv-apply $fn() applies to the element itself ($fn($name)) — " +
-          "pre-shape values with 'extend' before mv-apply")
+          "reshape values with an 'extend' stage inside the subquery first")
     val FnRe = "^([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)$".r
     val stages = splitTopLevel(sub, '|').map(_.trim).filter(_.nonEmpty)
     var aggCols: Option[Seq[(String, String)]] = None
@@ -621,6 +682,22 @@ object KqlParser {
       (v, r.trim) match {
         case ("where", pred) =>
           arr = s"filter($arr, $name -> (${scalar(pred, lets)}))"
+        case ("extend", extBody) =>
+          // Reshape the element view: `extend w = v * 2` → transform the
+          // array and the element name becomes `w`. Our single-array
+          // desugaring carries ONE element column, so exactly one
+          // extend item is accepted per stage (chain stages for more).
+          require(splitTopLevel(extBody, ',').length == 1,
+            "mv-apply extend takes one item per stage " +
+              "(chain '| extend ...' stages to reshape repeatedly)")
+          val (n, b) = extBody.trim match {
+            case NamedRe(nm, bd) => (nm, bd.trim)
+            case other => throw new IllegalArgumentException(
+              s"mv-apply extend needs 'name = expr': $other")
+          }
+          arr = s"transform($arr, $name -> (${scalar(b, lets)}))"
+          name = n
+          elemT = arrayElemType(arr)
         case ("summarize", aggsBody) =>
           aggCols = Some(splitTopLevel(aggsBody, ',').map(_.trim).map { item =>
             val (nm, fnBody) = item match {
@@ -666,7 +743,8 @@ object KqlParser {
             (nm, sql)
           })
         case (other, _) => throw new IllegalArgumentException(
-          s"mv-apply subquery supports 'where' stages and a final 'summarize', not '$other'")
+          s"mv-apply subquery supports 'where'/'extend' stages and a final " +
+            s"'summarize', not '$other'")
       }
     }
     aggCols match {

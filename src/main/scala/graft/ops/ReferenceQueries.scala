@@ -209,7 +209,35 @@ object ReferenceQueries {
       || mv-apply v = arr to typeof(long) on (where v >= 10 | summarize s = sum(v), n = count(), mx = max(v))
       || summarize total_s = sum(s), total_n = sum(n), top = max(mx) by city""".stripMargin
 
+  /** `mv-apply` with an `extend` stage inside the subquery — the common
+    * ADX reshape-then-aggregate idiom (`sum(v * 2)` expressed as
+    * `extend w = v * 2 | summarize s = sum(w)`). The 5-element never
+    * survives the `where`, so each row aggregates its two reshaped
+    * survivors. */
+  val kqlMvApplyExtendText: String =
+    """Orders
+      || extend arr = array(amount, amount + 10, 5)
+      || mv-apply v = arr to typeof(long) on (where v >= 10 | extend w = v * 2 | summarize s = sum(w), n = count())
+      || summarize total_s = sum(s), total_n = sum(n) by city""".stripMargin
+
+  /** `range` — the table-from-scalar-series generator, exercised in its
+    * canonical dashboard role: a 40-day axis LEFT-joined against daily
+    * event counts so days past the data's end surface as explicit
+    * zeros (the timechart zero-fill idiom without make-series arrays).
+    * The axis column clashes with the summarized key, so the join
+    * renames the right side `day1` per the ADX suffix rule — the
+    * coalesce reads the LEFT axis, the count from the right. */
+  val kqlRangeText: String =
+    """let daily = Events | summarize n = count() by day = bin(ts, 1d);
+      |range day from datetime(2024-01-01) to datetime(2024-02-09) step 1d
+      || join kind=leftouter (daily) on day
+      || extend cnt = coalesce(n, 0)
+      || project day_ms = unix_millis(day), cnt
+      || sort by day_ms asc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_range_zerofill" -> kqlText(kqlRangeText) _,
+    "kql_mv_apply_extend" -> kqlText(kqlMvApplyExtendText) _,
     "kql_mv_apply"      -> kqlText(kqlMvApplyText) _,
     "kql_top_nested"    -> kqlText(kqlTopNestedText) _,
     "kql_serialize"     -> kqlText(kqlSerializeText) _,
@@ -234,6 +262,23 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kql_range_zerofill" ->
+      """WITH axis AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+        |    TIMESTAMP '2024-02-09', INTERVAL 1 DAY)) AS day),
+        |daily AS (
+        |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT epoch_ms(axis.day) AS day_ms,
+        |  CAST(COALESCE(daily.n, 0) AS BIGINT) AS cnt
+        |FROM axis LEFT JOIN daily ON axis.day = daily.day
+        |ORDER BY day_ms ASC""".stripMargin,
+    "kql_mv_apply_extend" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city,
+         |  CAST(SUM(4 * amount + 20) AS BIGINT) AS total_s,
+         |  CAST(2 * COUNT(*) AS BIGINT) AS total_n
+         |FROM orders_info GROUP BY city""".stripMargin,
     "kql_mv_apply" ->
       s"""${Sql.ordersInfoCte}
          |SELECT city,

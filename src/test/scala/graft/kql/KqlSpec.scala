@@ -652,6 +652,71 @@ class KqlSpec extends SparkSpec {
     assert(out == Set(("a", 5), ("a", 10), ("b", 3)))
   }
 
+  test("parser: range generates inclusive stepped series, numeric and datetime") {
+    val reg = Map.empty[String, org.apache.spark.sql.DataFrame]
+    // integer path (distributed spark.range): on-step stop included
+    val ints = KqlParser.run("range x from 1 to 10 step 2", reg)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ints == Seq(1L, 3L, 5L, 7L, 9L))
+    val upTo = KqlParser.run("range x from 0 to 9 step 3", reg)
+      .collect().map(_.getLong(0)).toSeq
+    assert(upTo == Seq(0L, 3L, 6L, 9L)) // 9 lands on a step → included
+    // datetime path (sequence + explode) with a timespan-literal step
+    val days = KqlParser.run(
+      "range d from datetime(2024-01-01) to datetime(2024-01-04) step 1d | extend ms = unix_millis(d) | project ms",
+      reg).collect().map(_.getLong(0)).toSeq
+    assert(days == Seq(1704067200000L, 1704153600000L, 1704240000000L, 1704326400000L))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("range x from 1 to 5 step 0", reg)
+    }
+    assert(e.getMessage.contains("non-zero"))
+  }
+
+  test("parser: a range pipeline binds as a tabular let") {
+    val out = KqlParser.run(
+      "let axis = range x from 1 to 3 step 1; axis | summarize n = count(), s = sum(x)",
+      Map.empty).collect().head
+    assert(out.getLong(0) == 3L && out.getLong(1) == 6L)
+    // scalar lets over identifiers starting with 'range' stay scalar
+    val scalarLet = KqlParser.run(
+      "let range_total = 5; print v = range_total + 1", Map.empty).collect().head
+    assert(scalarLet.getInt(0) == 6)
+  }
+
+  test("parser: mv-apply extend reshapes the element before where/summarize") {
+    val reg = Map("T" -> Seq(
+      ("a", Seq(1, 5, 10)), ("b", Seq(2, 3)), ("c", Seq.empty[Int])).toDF("k", "arr"))
+    // extend AFTER where: survivors {5,10}/{3}/{} doubled then summed
+    val out = KqlParser.run(
+      "T | mv-apply v = arr to typeof(long) on (where v >= 3 | extend w = v * 2 | summarize s = sum(w), n = count()) | project k, s, n",
+      reg).collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("a", 30L, 2L), ("b", 6L, 1L), ("c", -1L, 0L)))
+    // where AFTER extend sees the reshaped element under its new name
+    val chained = KqlParser.run(
+      "T | mv-apply v = arr to typeof(long) on (extend w = v * 2 | where w >= 6 | summarize mx = max(w)) | project k, mx",
+      reg).collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(chained == Set(("a", 20L), ("b", 6L), ("c", -1L)))
+    // explode path carries the reshaped element too
+    val exploded = KqlParser.run(
+      "T | mv-apply v = arr to typeof(long) on (extend w = v + 100 | where w >= 103) | project k, w",
+      reg).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(exploded == Set(("a", 105L), ("a", 110L), ("b", 103L)))
+  }
+
+  test("parser: mv-apply extend rejects multi-item and unnamed forms") {
+    val reg = Map("T" -> Seq(("a", Seq(1))).toDF("k", "arr"))
+    val e1 = intercept[IllegalArgumentException] {
+      KqlParser.run("T | mv-apply v = arr on (extend w = v, u = v | summarize s = sum(w))", reg)
+    }
+    assert(e1.getMessage.contains("one item"))
+    val e2 = intercept[IllegalArgumentException] {
+      KqlParser.run("T | mv-apply v = arr on (extend v * 2 | summarize s = sum(v))", reg)
+    }
+    assert(e2.getMessage.contains("name = expr"))
+  }
+
   test("parser: mv-apply rejects unsupported subverbs and non-element aggs") {
     val reg = Map("T" -> Seq(("a", Seq(1))).toDF("k", "arr"))
     val e1 = intercept[IllegalArgumentException] {
