@@ -517,7 +517,6 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
       .select(concat_ws(" ", split(col("word"), "")).as("seq"), col("c"))
       .persist()
-    var lastCkpt: Option[DataFrame] = None
     try {
       var hist = base
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
@@ -543,16 +542,18 @@ object TextAnalysis {
             s"trim(replace(replace(concat(' ', seq, ' '), ' $p ', ' $m '), ' $p ', ' $m '))")
             .as("seq"), col("c"))
           if (s % checkpointEvery == 0) {
-            val ck = hist.localCheckpoint() // eager: materializes, truncates lineage
-            lastCkpt.foreach(_.unpersist()) // prior checkpoint's blocks no longer reachable
-            lastCkpt = Some(ck)
-            hist = ck
+            // Eager localCheckpoint materializes and truncates lineage. Reassigning
+            // hist drops the only reference to the prior checkpoint's RDD; its
+            // blocks are reclaimed by the ContextCleaner on GC (Dataset.unpersist
+            // would be a no-op here — checkpoint LogicalRDDs never enter the
+            // CacheManager), so no explicit release call is made.
+            hist = hist.localCheckpoint()
           }
           s += 1
         }
       }
       merges.toSeq.toDF("step", "pair", "n")
-    } finally { base.unpersist(); lastCkpt.foreach(_.unpersist()); () }
+    } finally { base.unpersist(); () }
   }
 
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =

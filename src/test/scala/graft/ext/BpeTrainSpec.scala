@@ -12,12 +12,12 @@ import graft.SparkSpec
 class BpeTrainSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
 
-  // One 64-symbol word: 63 distinct adjacent pairs, every count equal,
-  // so 50 merges always exist and the (n desc, pair asc) argmax is
-  // fully deterministic.
+  // One 62-symbol word (a-z, A-Z, 0-9): 61 distinct adjacent pairs, every
+  // count equal, so 50 merges always exist and the (n desc, pair asc)
+  // argmax is fully deterministic.
   private def longCorpus = {
     import spark.implicits._
-    val word = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString.take(64)
+    val word = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString
     Seq((0L, word)).toDF("doc_id", "text")
   }
 
