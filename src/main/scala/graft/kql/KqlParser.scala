@@ -482,8 +482,20 @@ object KqlParser {
             s"make_interval(0, 0, 0, 0, 0, 0, $secs)"
           case other => scalar(other, lets)
         }
-        spark.range(1).select(explode(expr(
+        val generated = spark.range(1).select(explode(expr(
           s"sequence(${scalar(fromS, lets)}, ${scalar(toS, lets)}, $stepSql)")).as(name))
+        // Schema consistency with the literal path: integer operands that
+        // arrive via lets fall through to this branch, where sequence()
+        // follows the scalar's type (possibly INT). The same logical query
+        // with inlined literals goes through spark.range and yields BIGINT —
+        // so widen integral elements here to match.
+        generated.schema(name).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType =>
+            generated.select(col(name).cast("bigint").as(name))
+          case _ => generated
+        }
     }
   }
 

@@ -27,16 +27,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy conf) and
-    * normalize to Spark's native µs timestamps with integer division —
-    * values ~1.7e18 exceed double's 53-bit mantissa, so `DIV`, never `/`. */
+  /** `events.ts` has shipped as three parquet flavors across corpus
+    * regenerations: TIMESTAMP(NANOS) (vectorized reader rejects it —
+    * read as raw nanos via the legacy conf and divide; values ~1.7e18
+    * exceed double's 53-bit mantissa, so `DIV`, never `/`), naive
+    * TIMESTAMP(MICROS) (inferred TIMESTAMP_NTZ — instant functions like
+    * `unix_micros` reject it), and UTC-adjusted MICROS. Normalize all
+    * three to the engine's contract: TIMESTAMP (LTZ) under the UTC
+    * session, wall-clock preserved. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -672,6 +672,21 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("non-zero"))
   }
 
+  test("parser: range output type is BIGINT on both generation paths") {
+    // Integer operands via lets fall to the sequence+explode path; the
+    // same logical query inlined goes through spark.range (BIGINT). The
+    // fallback must widen integral elements so the schema agrees.
+    val viaLets = KqlParser.run(
+      "let lo = 1; let hi = 10; range x from lo to hi step 2", Map.empty)
+    val inlined = KqlParser.run("range x from 1 to 10 step 2",
+      Map.empty[String, org.apache.spark.sql.DataFrame])
+    assert(viaLets.schema("x").dataType == inlined.schema("x").dataType,
+      s"lets path ${viaLets.schema("x").dataType} != literal path ${inlined.schema("x").dataType}")
+    assert(inlined.schema("x").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(viaLets.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L, 7L, 9L))
+  }
+
   test("parser: a range pipeline binds as a tabular let") {
     val out = KqlParser.run(
       "let axis = range x from 1 to 3 step 1; axis | summarize n = count(), s = sum(x)",
