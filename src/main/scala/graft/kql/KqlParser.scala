@@ -56,9 +56,11 @@ import org.apache.spark.sql.functions._
   * (struct-path expressions and element try_casts included);
   * `datatable(col:type, …)[values]` literals work as a
   * pipeline source, a tabular `let` body, and a `join` right side
-  * (types: string/long/int/real/bool/datetime/dynamic — dynamic cells
-  * are homogeneous scalar arrays, the mv-expand idiom; dynamic OBJECT
-  * cells stay out of scope, rejected loudly). A bare `join` is
+  * (types: string/long/int/real/bool/datetime/dynamic — dynamic
+  * array cells are typed Spark ARRAYs, the mv-expand idiom; dynamic
+  * OBJECT cells are Spark 4 VARIANT, with `d.a.b` property paths
+  * rewritten to `variant_get` and `todynamic()`/`parse_json()` for
+  * strings — see [[rewriteVariantPaths]]). A bare `join` is
   * `kind=innerunique` — left side deduped by key — matching ADX's
   * default. `parse [kind=simple|regex] <col> with "lit" Name[:type] …`
   * desugars to anchored regexp_extract captures — literals are raw
@@ -196,16 +198,28 @@ object KqlParser {
           val (nameOpt, sql) = nameAndSql(item, scoped)
           val name = nameOpt.getOrElse(
             throw new IllegalArgumentException(s"extend needs 'name = expr': $item"))
-          df = df.extend(name, expr(rewriteSerialFns(sql, serialOrder)))
+          val helpers = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          val rewritten = rewriteVariantPaths(
+            rewriteSerialFns(sql, serialOrder, helpers), df)
+          helpers.foreach { case (h, hSql) => df = df.extend(h, expr(hSql)) }
+          df = df.extend(name, expr(rewritten))
+          if (helpers.nonEmpty) df = df.drop(helpers.map(_._1).toSeq: _*)
         }
       verb match {
-        case "where" => df = df.kqlWhere(expr(scalar(rest, scoped)))
+        case "where" =>
+          df = df.kqlWhere(expr(rewriteVariantPaths(scalar(rest, scoped), df)))
         case "project" =>
-          df = df.project(splitTopLevel(rest, ',').map { item =>
+          // Helper columns (row_cumsum restart group ids) attach via
+          // withColumn first; the projection then naturally excludes them.
+          val helpers = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          val cols = splitTopLevel(rest, ',').map { item =>
             val (nameOpt, sql) = nameAndSql(item.trim, scoped)
-            val c = expr(rewriteSerialFns(sql, serialOrder))
+            val c = expr(rewriteVariantPaths(
+              rewriteSerialFns(sql, serialOrder, helpers), df))
             nameOpt.fold(c)(c.as)
-          }: _*)
+          }
+          helpers.foreach { case (h, hSql) => df = df.extend(h, expr(hSql)) }
+          df = df.project(cols: _*)
         case "project-away" =>
           df = df.projectAway(splitTopLevel(rest, ',').map(_.trim): _*)
         case "extend" => applyExtend(rest)
@@ -801,29 +815,47 @@ object KqlParser {
     * (aggregation shrinks; levels are ≤3 in practice). The level-1 rank
     * is a single-partition window over the DISTINCT level-1 keys —
     * inherent to global top-k and small by definition; deeper levels
-    * partition by the prefix. Documented deviations: ties are broken
-    * deterministically by the key ascending (ADX leaves tie order
-    * unspecified), an omitted N keeps ALL values (ADX semantics), a
-    * computed key must be named (`of name = expr`), and the
-    * `with others=` bucket is rejected loudly rather than silently
-    * dropped. */
+    * partition by the prefix. A `with others = "label"` clause on level
+    * i adds one row per surviving prefix (one global row at level 1)
+    * whose key_i is the label and whose aggregate runs over the RAW
+    * input rows excluded from that prefix's top-N — one extra
+    * shuffle-aggregate of the input per others level, with the kept-key
+    * exclusion a broadcast anti join (≤ ∏N_i rows). Documented
+    * deviations: ties are broken deterministically by the key ascending
+    * (ADX leaves tie order unspecified), an omitted N keeps ALL values
+    * (ADX semantics; `with others` on such a level is rejected — there
+    * is nothing excluded to bucket), a computed key must be named
+    * (`of name = expr`), deeper-level columns on an others row are null,
+    * a level carrying `with others` has its key column cast to string
+    * (the label is a string constant; ADX's dynamic columns mix types,
+    * a typed frame cannot — ties then break by the STRING ordering of
+    * the key), and a non-global prefix whose exclusion set is empty
+    * emits no others row (the SQL aggregate-over-no-rows shape, mirrored
+    * exactly by the oracle; the global level emits its natural one null
+    * row, also SQL-mirrored). */
   private def topNestedVerb(df0: DataFrame, rest: String,
                             lets: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     final case class Level(n: Option[Int], keyName: String, keySql: String,
-                           aggName: String, aggCol: Column, asc: Boolean)
+                           aggName: String, aggCol: Column, asc: Boolean,
+                           others: Option[String])
     val SegRe = "(?s)^(?:(\\d+)\\s+)?of\\s+(.+?)\\s+by\\s+(.+)$".r
+    val OthersRe = "(?is)^(.*?)\\s+with\\s+others\\s*=\\s*(\"[^\"]*\"|'[^']*')$".r
     val levels = splitTopLevel(rest, ',').map(_.trim).zipWithIndex.map { case (s0, idx) =>
       val s = if (idx == 0) s0 else {
         require(s0.toLowerCase.startsWith("top-nested"),
           s"each subsequent top-nested level must start with 'top-nested': $s0")
         s0.drop("top-nested".length).trim
       }
-      require(!s.toLowerCase.matches("(?s).*\\bwith\\s+others\\b.*"),
-        "top-nested 'with others=' is not supported (documented deviation) — drop the clause")
       s match {
-        case SegRe(n, keyPart, aggPart0) =>
-          val (keyName, keySql) = keyPart.trim match {
+        case SegRe(n, keyPart0, aggPart0) =>
+          // `with others = "label"` sits between the key expr and `by`
+          val (keyPart, others) = keyPart0.trim match {
+            case OthersRe(core, lit0) =>
+              (core.trim, Some(lit0.substring(1, lit0.length - 1)): Option[String])
+            case other => (other, None: Option[String])
+          }
+          val (keyName, keySql0) = keyPart match {
             case NamedRe(nm, b) if !b.startsWith("=") && !b.startsWith("~") =>
               (nm, scalar(b.trim, lets))
             case ident if ident.matches("[A-Za-z_][A-Za-z0-9_]*") =>
@@ -831,16 +863,24 @@ object KqlParser {
             case other => throw new IllegalArgumentException(
               s"top-nested computed key must be named ('of name = expr'): $other")
           }
+          val keySql =
+            if (others.isDefined) s"CAST(($keySql0) AS STRING)" else keySql0
           var aggPart = aggPart0.trim
           val asc = aggPart.toLowerCase.endsWith(" asc")
           if (asc) aggPart = aggPart.dropRight(4).trim
           else if (aggPart.toLowerCase.endsWith(" desc")) aggPart = aggPart.dropRight(5).trim
           val (aggName, aggCol) = aggItem(aggPart, lets)
-          Level(Option(n).map(_.toInt), keyName, keySql, aggName, aggCol, asc)
+          require(others.isEmpty || n != null,
+            "top-nested 'with others=' requires an explicit N — an unlimited level excludes nothing")
+          Level(Option(n).map(_.toInt), keyName, keySql, aggName, aggCol, asc, others)
         case other => throw new IllegalArgumentException(
           s"top-nested expects '[N] of key by agg': $other")
       }
     }
+    // Drill-down chain; keep each level's kept frame and cumulative chain
+    // so the others pass can reconstruct surviving prefixes.
+    val keptFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val chains = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var chain: DataFrame = null
     levels.zipWithIndex.foreach { case (lvl, i) =>
       val keyCols = levels.take(i + 1).map(l => expr(l.keySql).as(l.keyName))
@@ -858,8 +898,37 @@ object KqlParser {
         case None => grouped
       }
       chain = if (chain == null) kept else kept.join(broadcast(chain), prefix, "inner")
+      keptFrames += kept
+      chains += chain
     }
-    chain.select(levels.flatMap(l => Seq(col(l.keyName), col(l.aggName))): _*)
+    val outCols = levels.flatMap(l => Seq(l.keyName, l.aggName))
+    val drill = chain.select(outCols.map(col): _*)
+    val othersFrames = levels.zipWithIndex.collect {
+      case (lvl, i) if lvl.others.isDefined =>
+        val label = lvl.others.get
+        val prefixLvls = levels.take(i)
+        val prefixKeys = prefixLvls.map(_.keyName)
+        // Raw rows with this level's key columns computed, restricted to
+        // surviving prefixes (attaching the prefix levels' aggregates),
+        // minus the kept keys — then one aggregate per prefix.
+        var rows = levels.take(i + 1).foldLeft(df0) { (d, l) =>
+          d.withColumn(l.keyName, expr(l.keySql)) }
+        if (i > 0) rows = rows.join(broadcast(chains(i - 1)), prefixKeys, "inner")
+        rows = rows.join(
+          broadcast(keptFrames(i).select((prefixKeys :+ lvl.keyName).map(col): _*)),
+          prefixKeys :+ lvl.keyName, "left_anti")
+        val carried = prefixLvls.flatMap(l => Seq(l.keyName, l.aggName))
+        val agged =
+          if (carried.isEmpty) rows.agg(lvl.aggCol.as(lvl.aggName))
+          else rows.groupBy(carried.map(col): _*).agg(lvl.aggCol.as(lvl.aggName))
+        val labeled = agged.withColumn(lvl.keyName, lit(label))
+        // Deeper levels: typed nulls matching the drill frame's schema.
+        levels.drop(i + 1).foldLeft(labeled) { (d, l) =>
+          d.withColumn(l.keyName, lit(null).cast(drill.schema(l.keyName).dataType))
+            .withColumn(l.aggName, lit(null).cast(drill.schema(l.aggName).dataType))
+        }.select(outCols.map(col): _*)
+    }
+    othersFrames.foldLeft(drill)(_ unionByName _)
   }
 
   /** KQL scalar type name → Spark SQL type name (shared by `mv-expand
@@ -957,9 +1026,11 @@ object KqlParser {
     * with `join`. Types: string, long, int, real, bool, datetime
     * (`datetime(2007-02-27 12:00:00)` wrapper or a bare quoted ISO
     * string; date-only means midnight, trailing `Z`/`T` accepted),
-    * and dynamic (`dynamic([...])` arrays of homogeneous scalars —
-    * the mv-expand idiom; longs promote to double when mixed with
-    * reals; nested objects are rejected loudly, not mis-parsed). */
+    * and dynamic: `dynamic([...])` arrays of homogeneous scalars are
+    * typed Spark ARRAYs (the mv-expand idiom; longs promote to double
+    * when mixed with reals), while `dynamic({...})` objects — and any
+    * column mixing in one — are Spark 4 VARIANT via parse_json (cells
+    * must be valid JSON; property access via dotted paths). */
   private def datatable(text: String): DataFrame = {
     val r = text.stripPrefix("datatable").trim
     require(r.startsWith("("), s"datatable expects (col:type, ...): $text")
@@ -1043,24 +1114,46 @@ object KqlParser {
       else throw new IllegalArgumentException(
         s"dynamic array must be homogeneous (got ${types.mkString(", ")}): $raw")
     }
-    def cell(raw: String, kqlType: String): Any = kqlType match {
+    // The raw body inside dynamic(...), unparsed.
+    def dynamicInner(raw: String): String = {
+      require(raw.startsWith("dynamic"), s"dynamic cell must be dynamic(...): $raw")
+      val r0 = raw.stripPrefix("dynamic").trim
+      require(r0.startsWith("(") && r0.endsWith(")"),
+        s"dynamic cell must be dynamic(...): $raw")
+      r0.substring(1, r0.length - 1).trim
+    }
+    val rowCellGroups = cells.grouped(cols.length).toSeq
+    // Column routing for dynamic: a column whose every cell is a flat
+    // homogeneous scalar array keeps the typed ARRAY representation (the
+    // mv-expand idiom — element type from the first non-empty cell; a
+    // cross-row mismatch fails Spark's Row/schema check). A column with
+    // any OBJECT cell (or an array of objects) becomes VARIANT — the
+    // engine's representation for ADX dynamic property bags — built by
+    // parse_json over the literal text, so cells must be valid JSON
+    // (double-quoted keys/strings; documented deviation from ADX's laxer
+    // literals) and property access goes through the dotted-path rewrite.
+    val variantCols: Set[Int] = cols.zipWithIndex.collect {
+      case ((_, "dynamic"), i) if rowCellGroups.exists { rc =>
+        dynamicInner(rc(i)).startsWith("{") ||
+          scala.util.Try(parseDynamic(rc(i))).isFailure
+      } => i
+    }.toSet
+    def cell(raw: String, kqlType: String, colIdx: Int): Any = kqlType match {
       case "string" => unquote(raw)
       case "long" => raw.toLong
       case "int" => raw.toInt
       case "real" => raw.toDouble
       case "bool" => raw.toBoolean
       case "datetime" => parseDatetime(raw)
-      case "dynamic" => parseDynamic(raw)._1
+      case "dynamic" =>
+        if (variantCols(colIdx)) dynamicInner(raw) else parseDynamic(raw)._1
       case other => throw new IllegalArgumentException(
         s"unsupported datatable type '$other' (supported: string, long, int, real, bool, datetime, dynamic)")
     }
-    val rows = cells.grouped(cols.length).map { rowCells =>
-      org.apache.spark.sql.Row(rowCells.zip(cols).map { case (v, (_, t)) => cell(v, t) }: _*)
-    }.toSeq
-    // A dynamic column's element type comes from its first non-empty
-    // cell (rows are homogeneous via parseDynamic; cross-row mismatches
-    // fail Spark's Row/schema check at createDataFrame).
-    val rowCellGroups = cells.grouped(cols.length).toSeq
+    val rows = rowCellGroups.map { rowCells =>
+      org.apache.spark.sql.Row(rowCells.zip(cols).zipWithIndex.map {
+        case ((v, (_, t)), i) => cell(v, t, i) }: _*)
+    }
     def dynamicElemType(colIdx: Int): org.apache.spark.sql.types.DataType =
       rowCellGroups.iterator.map(rc => parseDynamic(rc(colIdx)))
         .collectFirst { case (vs, t) if vs.nonEmpty => t }
@@ -1072,15 +1165,19 @@ object KqlParser {
       case "real" => org.apache.spark.sql.types.DoubleType
       case "bool" => org.apache.spark.sql.types.BooleanType
       case "datetime" => org.apache.spark.sql.types.TimestampType
-      case "dynamic" => org.apache.spark.sql.types.ArrayType(dynamicElemType(i))
+      case "dynamic" =>
+        if (variantCols(i)) org.apache.spark.sql.types.StringType
+        else org.apache.spark.sql.types.ArrayType(dynamicElemType(i))
     }
     val schema = org.apache.spark.sql.types.StructType(
       cols.zipWithIndex.map { case ((n, t), i) =>
         org.apache.spark.sql.types.StructField(n, sparkType(t, i)) })
     val spark = org.apache.spark.sql.SparkSession.active
-    spark.createDataFrame(
+    val base = spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       schema)
+    variantCols.foldLeft(base) { (d, i) =>
+      d.withColumn(cols(i)._1, expr(s"parse_json(${cols(i)._1})")) }
   }
 
   /** True when the operand text starts with a `kind=` OPTION — requires
@@ -1222,11 +1319,20 @@ object KqlParser {
     items.map { case (e, asc) => s"($e) ${if (asc) "ASC" else "DESC"}" }.mkString(", ")
 
   /** Rewrite the ADX row-window functions — `prev(x[, n[, default]])`,
-    * `next(...)`, `row_cumsum(term)`, `row_number([start])` — into SQL
-    * window expressions over the frame's serialized order. Quote-aware,
-    * recursing into arguments; using one of these with no established
-    * order is a loud error (ADX would likewise refuse on a
+    * `next(...)`, `row_cumsum(term[, restart])`, `row_number([start])` —
+    * into SQL window expressions over the frame's serialized order.
+    * Quote-aware, recursing into arguments; using one of these with no
+    * established order is a loud error (ADX would likewise refuse on a
     * non-serialized frame).
+    *
+    * `row_cumsum`'s restart argument needs a two-pass shape (SQL forbids
+    * a window function inside another window's PARTITION BY): a helper
+    * column materializes the restart-group id — a running count of rows
+    * where the restart term is true, so the restarting row opens its own
+    * group and the accumulation begins at that row's term, ADX semantics
+    * — and the cumsum partitions by it. Callers pass `helpers` and must
+    * attach each (name, sql) as a column before evaluating the returned
+    * expression (and may drop them after).
     *
     * Scale contract: the emitted `OVER (ORDER BY ...)` has no PARTITION
     * BY, so Spark plans a single-partition window — inherent to the
@@ -1234,7 +1340,9 @@ object KqlParser {
     * dashboards apply it after `top`/aggregation where the frame is
     * small. Partitioned sequential logic belongs to `summarize`/window
     * builders, not `serialize`. */
-  private def rewriteSerialFns(sql: String, order: Option[String]): String = {
+  private def rewriteSerialFns(sql: String, order: Option[String],
+      helpers: scala.collection.mutable.ArrayBuffer[(String, String)] =
+        scala.collection.mutable.ArrayBuffer.empty): String = {
     val names = Set("prev", "next", "row_cumsum", "row_number")
     val lower = sql.toLowerCase
     if (!names.exists(lower.contains)) return sql
@@ -1254,7 +1362,7 @@ object KqlParser {
           val close = matchingParen(sql, j)
           val args = splitTopLevel(sql.substring(j + 1, close), ',')
             .map(_.trim).filter(_.nonEmpty)
-            .map(a => rewriteSerialFns(a, order))
+            .map(a => rewriteSerialFns(a, order, helpers))
           val ord = order.getOrElse(throw new IllegalArgumentException(
             s"${w.toLowerCase}() requires a serialized frame — add 'sort by' (or 'top') first"))
           val repl = w.toLowerCase match {
@@ -1264,10 +1372,19 @@ object KqlParser {
               val fn = if (w.equalsIgnoreCase("prev")) "lag" else "lead"
               s"$fn(${args.mkString(", ")}) OVER (ORDER BY $ord)"
             case "row_cumsum" =>
-              require(args.length == 1,
-                "row_cumsum expects (term) — the restart argument is not supported")
-              s"sum(${args.head}) OVER (ORDER BY $ord " +
-                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+              require(args.length == 1 || args.length == 2,
+                "row_cumsum expects (term[, restart])")
+              if (args.length == 1)
+                s"sum(${args.head}) OVER (ORDER BY $ord " +
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+              else {
+                val grp = s"__rcs_grp_${helpers.length}"
+                helpers += grp ->
+                  (s"sum(CASE WHEN (${args(1)}) THEN 1 ELSE 0 END) OVER (ORDER BY $ord " +
+                    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+                s"sum(${args.head}) OVER (PARTITION BY $grp ORDER BY $ord " +
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+              }
             case "row_number" =>
               require(args.length <= 1, "row_number expects () or (startingIndex)")
               if (args.isEmpty) s"row_number() OVER (ORDER BY $ord)"
@@ -1276,6 +1393,44 @@ object KqlParser {
           out.append("(").append(repl).append(")")
           i = close + 1
         } else { out.append(w); i += w.length }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Rewrite ADX dynamic property access — `d.a.b` where `d` is a
+    * VARIANT column of the current frame — into
+    * `variant_get(d, '$.a.b')` (untyped: the result stays VARIANT,
+    * so chains compose and `tostring()`/`tolong()` wrappers cast it,
+    * mirroring ADX where dynamic subscripting yields dynamic). Roots
+    * that are not variant columns (struct fields, qualified names)
+    * pass through untouched; quote-aware so literals are never
+    * rewritten. Subscript syntax (`d['a']`) is not supported —
+    * dotted paths only (documented deviation). */
+  private def rewriteVariantPaths(sql: String, df: DataFrame): String = {
+    val variantRoots: Set[String] = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.VariantType => f.name
+    }.toSet
+    if (variantRoots.isEmpty || !sql.contains('.')) return sql
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '"' || c == '\'') {
+        out.append(c); i += 1
+        while (i < sql.length && sql.charAt(i) != c) { out.append(sql.charAt(i)); i += 1 }
+        if (i < sql.length) { out.append(c); i += 1 }
+      } else if (c.isLetter || c == '_') {
+        val ChainRe = "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)+".r
+        ChainRe.findFirstIn(sql.substring(i)) match {
+          case Some(chain) if variantRoots(chain.takeWhile(_ != '.')) =>
+            val root = chain.takeWhile(_ != '.')
+            out.append(s"variant_get($root, '$$${chain.drop(root.length)}')")
+            i += chain.length
+          case _ =>
+            val w = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(sql.substring(i)).get
+            out.append(w); i += w.length
+        }
       } else { out.append(c); i += 1 }
     }
     out.toString
@@ -1491,6 +1646,7 @@ object KqlParser {
               case "toint"    => Some("int")
               case "todouble" | "toreal" => Some("double")
               case "iif" | "iff" => Some("if")
+              case "todynamic" => Some("parse_json") // dynamic = VARIANT
               case "now" => Some("current_timestamp")
               case _ => None
             }

@@ -199,6 +199,40 @@ object ReferenceQueries {
     """Orders
       || top-nested 3 of city by total = sum(amount), top-nested 2 of custid by cnt = count()""".stripMargin
 
+  /** Dynamic property bags end to end over real data: `todynamic`
+    * parses the events `props` JSON into a Spark 4 VARIANT, the dotted
+    * path rewrites to `variant_get`, `tolong` casts the variant scalar,
+    * and the result aggregates per event type. The Spark-native VARIANT
+    * decode happens once per row, map-side, no shuffle before the
+    * aggregate. */
+  val kqlDynamicPropsText: String =
+    """Events
+      || extend d = todynamic(props)
+      || extend k = tolong(d.k)
+      || summarize n = count(), s = sum(k), mx = max(k) by event_type""".stripMargin
+
+  /** `top-nested … with others=` — the drill-down widget's catch-all
+    * bucket: top 2 cities by revenue each drilled to their top 2
+    * customers, plus one labeled row aggregating the cities that missed
+    * the cut (deeper-level columns null on that row, per the documented
+    * semantics in the parser). */
+  val kqlTopNestedOthersText: String =
+    """Orders
+      || top-nested 2 of city with others = 'Other Cities' by total = sum(amount), top-nested 2 of custid by cnt = count()""".stripMargin
+
+  /** `row_cumsum` with the restart argument — the per-segment running
+    * total: accumulation resets at every purchase event (the restarting
+    * row opens its own segment, ADX semantics). The restart group id is
+    * a helper window column (SQL forbids nesting a window inside
+    * PARTITION BY), mirrored structurally in the oracle. */
+  val kqlRowCumsumRestartText: String =
+    """Events
+      || where ts >= datetime(2024-01-01) and ts < datetime(2024-01-08)
+      || project event_id, user_id, event_type
+      || sort by event_id asc
+      || serialize c = row_cumsum(user_id, event_type == 'purchase')
+      || project event_id, c""".stripMargin
+
   /** `mv-apply` — the per-row subquery over a dynamic column, desugared
     * to shuffle-free array higher-order functions. Each order carries a
     * 3-element array; the subquery filters and aggregates it per row,
@@ -236,6 +270,9 @@ object ReferenceQueries {
       || sort by day_ms asc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_dynamic_props" -> kqlText(kqlDynamicPropsText) _,
+    "kql_top_nested_others" -> kqlText(kqlTopNestedOthersText) _,
+    "kql_row_cumsum_restart" -> kqlText(kqlRowCumsumRestartText) _,
     "kql_range_zerofill" -> kqlText(kqlRangeText) _,
     "kql_mv_apply_extend" -> kqlText(kqlMvApplyExtendText) _,
     "kql_mv_apply"      -> kqlText(kqlMvApplyText) _,
@@ -286,6 +323,46 @@ object ReferenceQueries {
          |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
          |  CAST(MAX(amount + 10) AS BIGINT) AS top
          |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_dynamic_props" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS s,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS mx
+        |FROM events GROUP BY event_type""".stripMargin,
+    "kql_top_nested_others" ->
+      s"""${Sql.ordersInfoCte},
+         |l0 AS (SELECT city, SUM(amount) AS total FROM orders_info GROUP BY city),
+         |l0f AS (
+         |  SELECT city, total FROM (
+         |    SELECT *, ROW_NUMBER() OVER (ORDER BY total DESC, city ASC) AS r FROM l0)
+         |  WHERE r <= 2),
+         |l1 AS (SELECT city, custid, COUNT(*) AS cnt FROM orders_info GROUP BY city, custid),
+         |l1f AS (
+         |  SELECT city, custid, cnt FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY city ORDER BY cnt DESC, custid ASC) AS r FROM l1)
+         |  WHERE r <= 2)
+         |SELECT f0.city, CAST(f0.total AS BIGINT) AS total,
+         |       f1.custid, CAST(f1.cnt AS BIGINT) AS cnt
+         |FROM l0f f0 JOIN l1f f1 ON f0.city = f1.city
+         |UNION ALL
+         |SELECT 'Other Cities' AS city, CAST(SUM(amount) AS BIGINT) AS total,
+         |       CAST(NULL AS INTEGER) AS custid, CAST(NULL AS BIGINT) AS cnt
+         |FROM orders_info WHERE city NOT IN (SELECT city FROM l0f)""".stripMargin,
+    "kql_row_cumsum_restart" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, event_type FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'),
+        |g AS (
+        |  SELECT event_id, user_id,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM f)
+        |SELECT event_id,
+        |  CAST(SUM(user_id) OVER (PARTITION BY grp ORDER BY event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |FROM g""".stripMargin,
     "kql_top_nested" ->
       s"""${Sql.ordersInfoCte},
          |l0 AS (SELECT city, SUM(amount) AS total FROM orders_info GROUP BY city),

@@ -328,16 +328,43 @@ class KqlSpec extends SparkSpec {
       Map.empty)
     assert(out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
       Seq(("a", 3L, 6L), ("b", 1L, 4L)))
-    // long+real promotes to double; string+long is rejected loudly
+    // long+real promotes to double; a string+long mix is not a typed
+    // array — it rides the VARIANT route like object cells
     val promo = KqlParser.run(
       """datatable(xs:dynamic)[dynamic([1, 2.5])] | mv-expand xs""", Map.empty)
     assert(promo.schema("xs").dataType == org.apache.spark.sql.types.DoubleType)
-    intercept[IllegalArgumentException] {
-      KqlParser.run("""datatable(xs:dynamic)[dynamic([1, "a"])]""", Map.empty)
-    }
-    intercept[IllegalArgumentException] {
-      KqlParser.run("""datatable(xs:dynamic)[dynamic({"k": 1})]""", Map.empty)
-    }
+    val hetero = KqlParser.run(
+      """datatable(xs:dynamic)[dynamic([1, "a"])]""", Map.empty)
+    assert(hetero.schema("xs").dataType == org.apache.spark.sql.types.VariantType)
+  }
+
+  test("parser: dynamic object cells are VARIANT with dotted property access") {
+    val q =
+      """datatable(k:string, d:dynamic)[
+        |  "a", dynamic({"city": "Austin", "n": 3, "geo": {"lat": 30.27}}),
+        |  "b", dynamic({"city": "Seattle", "n": 7, "geo": {"lat": 47.61}})]
+        || where tostring(d.city) != 'nowhere'
+        || extend city = tostring(d.city), n = tolong(d.n), lat = todouble(d.geo.lat)
+        || project k, city, n, lat""".stripMargin.replace("\n", " ")
+    val out = KqlParser.run(q, Map.empty).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(("a", "Austin", 3L, 30.27), ("b", "Seattle", 7L, 47.61)))
+    // the raw column is VariantType; a missing property is null (ADX)
+    val frame = KqlParser.run(
+      """datatable(d:dynamic)[dynamic({"a": 1})] | extend miss = tostring(d.zzz)""",
+      Map.empty)
+    assert(frame.schema("d").dataType == org.apache.spark.sql.types.VariantType)
+    assert(frame.collect().head.isNullAt(frame.columns.indexOf("miss")))
+    // todynamic() parses a JSON string column into VARIANT
+    val parsed = KqlParser.run(
+      """datatable(s:string)['{"x": 42}'] | extend d = todynamic(s) | extend x = tolong(d.x) | project x""",
+      Map.empty).collect().head.getLong(0)
+    assert(parsed == 42L)
+    // an array cell sharing the column with objects rides along as VARIANT
+    val mixed = KqlParser.run(
+      """datatable(d:dynamic)[dynamic({"a": 1}), dynamic([1, 2])] | count""",
+      Map.empty).collect().head.getLong(0)
+    assert(mixed == 2L)
   }
 
   test("parser: a column shadows a same-named let binding (ADX resolution order)") {
@@ -618,7 +645,7 @@ class KqlSpec extends SparkSpec {
     assert(rows == Set(("b", 12L, "x", 10), ("a", 6L, "y", 5)))
   }
 
-  test("parser: top-nested asc, omitted N keeps all, with-others rejected") {
+  test("parser: top-nested asc, omitted N keeps all") {
     val reg = Map("T" -> Seq(
       ("a", 1), ("a", 5), ("b", 10), ("c", 2)).toDF("g", "v"))
     val asc = KqlParser.run("T | top-nested 2 of g by s = sum(v) asc", reg)
@@ -626,10 +653,63 @@ class KqlSpec extends SparkSpec {
     assert(asc == Set(("c", 2L), ("a", 6L))) // two smallest sums
     val all = KqlParser.run("T | top-nested of g by n = count()", reg)
     assert(all.count() == 3)
+  }
+
+  test("parser: top-nested with others buckets the excluded keys") {
+    val reg = Map("T" -> Seq(
+      ("a", 1), ("a", 5), ("b", 10), ("c", 2), ("d", 3)).toDF("g", "v"))
+    // sums: a=6, b=10, c=2, d=3 → top2 {b, a}; others = c+d = 5
+    val out = KqlParser.run(
+      "T | top-nested 2 of g with others = 'rest' by s = sum(v)", reg)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("b", 10L), ("a", 6L), ("rest", 5L)))
+    // nested: others on the INNER level, per surviving prefix; deeper
+    // columns on a level-1 others row are null
+    val reg2 = Map("T" -> Seq(
+      ("a", "x", 1), ("a", "y", 5), ("a", "z", 2),
+      ("b", "x", 10), ("b", "z", 2), ("c", "x", 1)).toDF("g", "k", "v"))
+    val nested = KqlParser.run(
+      "T | top-nested 2 of g by s = sum(v), top-nested 1 of k with others = 'other k' by m = sum(v)",
+      reg2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    // g sums: a=8, b=12, c=1 → top2 {b, a}. within b: x=10 kept, others z=2;
+    // within a: y=5 kept, others x+z=3
+    assert(nested == Set(
+      ("b", 12L, "x", 10L), ("b", 12L, "other k", 2L),
+      ("a", 8L, "y", 5L), ("a", 8L, "other k", 3L)))
+    val outer = KqlParser.run(
+      "T | top-nested 1 of g with others = 'other g' by s = sum(v), top-nested 1 of k by m = sum(v)",
+      reg2).collect()
+    val othersRow = outer.find(_.getString(0) == "other g").get
+    assert(othersRow.getLong(1) == 9L && othersRow.isNullAt(2) && othersRow.isNullAt(3))
+    // a non-string key under `with others` is cast to string so the
+    // label row unions cleanly (documented deviation)
+    val intKey = KqlParser.run(
+      "T3 | top-nested 1 of i with others = 'rest' by s = sum(v)",
+      Map("T3" -> Seq((1, 5), (2, 3), (3, 2)).toDF("i", "v")))
+    assert(intKey.schema("i").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(intKey.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("1", 5L), ("rest", 5L)))
+    // unlimited level excludes nothing → clause rejected loudly
     val e = intercept[IllegalArgumentException] {
-      KqlParser.run("T | top-nested 1 of g by s = sum(v) with others = 'rest'", reg)
+      KqlParser.run("T | top-nested of g with others = 'rest' by s = sum(v)", reg)
     }
-    assert(e.getMessage.contains("others"))
+    assert(e.getMessage.contains("explicit N"))
+  }
+
+  test("parser: row_cumsum restart argument resets the accumulation") {
+    val reg = Map("T" -> Seq(
+      (1, 10, false), (2, 20, false), (3, 5, true), (4, 7, false), (5, 1, true)
+    ).toDF("i", "v", "r"))
+    val out = KqlParser.run(
+      "T | sort by i asc | serialize c = row_cumsum(v, r) | project i, c", reg)
+      .collect().map(_.getLong(1)).toSeq
+    assert(out == Seq(10L, 30L, 5L, 12L, 1L))
+    // helper group-id columns must not leak into the output schema
+    val cols = KqlParser.run(
+      "T | sort by i asc | serialize c = row_cumsum(v, r)", reg).columns.toSeq
+    assert(cols == Seq("i", "v", "r", "c"))
   }
 
   test("parser: mv-apply where + summarize keeps row columns, adds aggregates") {
