@@ -559,10 +559,79 @@ object TextAnalysis {
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
     bpeTrainOn(Tables.documents(spark, sfDir))
 
-  /** DuckDB mirror of [[bpeTrainOn]] — the k-step loop UNROLLED into
-    * chained CTEs (b_k = step-k argmax via scalar subqueries, s_k = the
-    * post-merge sequences), finishing in the unioned merge table. */
-  private[ext] def bpeTrainOracle(steps: Int): String = {
+  /** Apply a trained BPE merge table to the corpus — the tokenizer
+    * APPLICATION step a training pipeline runs over every document
+    * after training ships the merges. Encoding happens on the DISTINCT
+    * word vocabulary, not the corpus: each distinct word's spaced
+    * symbol sequence folds through the merges once (in training order,
+    * the same double-`replace` fixpoint as [[bpeTrainOn]]), and the
+    * corpus joins back per token occurrence. At 100 TB the distinct
+    * vocabulary is orders of magnitude smaller than the token stream —
+    * the encode work is vocab-sized, the join is the only corpus-sized
+    * step, and the merge chain itself is a driver-bounded literal
+    * (vocab-sized artifact by definition; realistic k ≈ 30k would swap
+    * the folded `replace` projection for a broadcast merge-rank map +
+    * per-partition greedy loop, same join-back shape). Emits per-doc
+    * token accounting: words, BPE tokens, and the compression ratio
+    * denominator (symbols = characters). */
+  def bpeEncodeOn(docs: DataFrame, steps: Int = 5): DataFrame = {
+    val merges = bpeTrainOn(docs, steps).orderBy(col("step")).collect()
+      .map(r => r.getString(1))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .distinct()
+      .withColumn("seq", concat_ws(" ", split(col("word"), "")))
+    val encoded = merges.foldLeft(vocab) { (v, pair) =>
+      val p = pair.replace("'", "''")
+      val m = pair.replace(" ", "").replace("'", "''")
+      v.withColumn("seq", expr(
+        s"trim(replace(replace(concat(' ', seq, ' '), ' $p ', ' $m '), ' $p ', ' $m '))"))
+    }.select(col("word"), expr("size(split(seq, ' '))").as("n_tok"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(encoded, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(length(col("word"))).as("n_symbols"))
+  }
+
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    bpeEncodeOn(Tables.documents(spark, sfDir))
+
+  /** Deterministic train/val/test assignment + stratification audit:
+    * each document lands in a split by md5(doc_id) — stable across
+    * runs, machines, and engine versions, no RNG state to coordinate
+    * across 1000 executors — and the output is the per-(split, lang)
+    * accounting a pipeline checks BEFORE shipping splits (leakage
+    * checks pair this with [[graft.ext.Dedup.decontaminate]]: dedup
+    * first, then split, or near-duplicates straddle the boundary).
+    * Map-side hash + one small aggregate; no corpus shuffle. */
+  def trainSplitOn(docs: DataFrame, testPct: Int = 10, valPct: Int = 10): DataFrame = {
+    require(testPct >= 0 && valPct >= 0 && testPct + valPct <= 100,
+      s"split percentages must be sane: test=$testPct val=$valPct")
+    docs
+      .withColumn("__h", expr(
+        "cast(conv(substr(md5(cast(doc_id as string)),1,8),16,10) as bigint) % 100"))
+      .withColumn("split",
+        when(col("__h") < testPct, "test")
+          .when(col("__h") < testPct + valPct, "val")
+          .otherwise("train"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(expr("size(split(text, ' '))")).as("tokens"))
+  }
+
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame =
+    trainSplitOn(Tables.documents(spark, sfDir))
+
+  /** Shared CTE prefix for the BPE oracles: the k-step training loop
+    * UNROLLED (b_k = step-k argmax via scalar subqueries, s_k = the
+    * post-merge histogram sequences). */
+  private def bpeCtes(steps: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
@@ -585,9 +654,45 @@ object TextAnalysis {
          |      ' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' ')) AS seq, c
          |  FROM $prev)""".stripMargin)
     }
-    sb.append("\n" + (1 to steps)
+    sb.toString
+  }
+
+  /** DuckDB mirror of [[bpeTrainOn]] — finishes the unrolled loop in
+    * the unioned merge table. */
+  private[ext] def bpeTrainOracle(steps: Int): String =
+    bpeCtes(steps) + "\n" + (1 to steps)
       .map(k => s"SELECT CAST($k AS INTEGER) AS step, pair, n FROM b$k")
-      .mkString("\nUNION ALL\n"))
+      .mkString("\nUNION ALL\n")
+
+  /** DuckDB mirror of [[bpeEncodeOn]] — the trained merges replay over
+    * the distinct vocabulary (e_k chained replaces in training order),
+    * then the corpus joins back for per-doc token accounting. */
+  private[ext] def bpeEncodeOracle(steps: Int): String = {
+    val sb = new StringBuilder(bpeCtes(steps))
+    sb.append(
+      """,
+        |e0 AS (SELECT DISTINCT word, array_to_string(string_split(word, ''), ' ') AS seq
+        |       FROM w WHERE length(word) >= 1)""".stripMargin)
+    for (k <- 1 to steps) {
+      sb.append(s""",
+         |e$k AS (
+         |  SELECT word, trim(replace(replace(' ' || seq || ' ',
+         |      ' ' || (SELECT pair FROM b$k) || ' ',
+         |      ' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' '),
+         |      ' ' || (SELECT pair FROM b$k) || ' ',
+         |      ' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' ')) AS seq
+         |  FROM e${k - 1})""".stripMargin)
+    }
+    sb.append(s""",
+       |enc AS (SELECT word, len(string_split(seq, ' ')) AS n_tok FROM e$steps),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(length(word)) AS BIGINT) AS n_symbols
+       |FROM dw JOIN enc USING (word)
+       |WHERE length(word) >= 1
+       |GROUP BY doc_id""".stripMargin)
     sb.toString
   }
 
@@ -595,6 +700,8 @@ object TextAnalysis {
     "text_quality_classifier" -> qualityClassifier _,
     "text_bpe_merge" -> ((s: SparkSession, d: String) => bpeMergeStep(s, d)),
     "text_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
+    "text_bpe_encode" -> ((s: SparkSession, d: String) => bpeEncode(s, d)),
+    "text_train_split" -> ((s: SparkSession, d: String) => trainSplit(s, d)),
     "text_rule_filter" -> ruleFilteredCorpus _,
     "text_rule_audit" -> ruleAudit _,
     "text_repetition" -> repetitionSignals _,
@@ -657,6 +764,19 @@ object TextAnalysis {
         |  round(CAST(wsum AS DOUBLE) / (n_words * 1000), 6) > 0 AS keep
         |FROM agg""".stripMargin,
     "text_bpe_train" -> bpeTrainOracle(5),
+    "text_bpe_encode" -> bpeEncodeOracle(5),
+    "text_train_split" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN h < 10 THEN 'test' WHEN h < 20 THEN 'val'
+        |              ELSE 'train' END AS split,
+        |         lang, n_chars, len(string_split(text, ' ')) AS nt
+        |  FROM (SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h, *
+        |        FROM documents))
+        |SELECT split, lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(SUM(nt) AS BIGINT) AS tokens
+        |FROM a GROUP BY split, lang""".stripMargin,
     "text_bpe_merge" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),

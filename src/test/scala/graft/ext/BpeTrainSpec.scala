@@ -46,4 +46,41 @@ class BpeTrainSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getString(1) == "a b")
   }
+
+  test("encode applies trained merges in order with per-doc accounting") {
+    import spark.implicits._
+    // "ab ab cd": merges train as step1 'a b' (n=2), step2 'c d' (n=1).
+    val docs = Seq((0L, "ab ab cd")).toDF("doc_id", "text")
+    // full table: every word compresses to one token
+    val full = TextAnalysis.bpeEncodeOn(docs, steps = 2).collect().head
+    assert((full.getLong(1), full.getLong(2), full.getLong(3)) == ((3L, 3L, 6L)))
+    // truncated table (step 1 only): cd stays two symbols
+    val partial = TextAnalysis.bpeEncodeOn(docs, steps = 1).collect().head
+    assert((partial.getLong(1), partial.getLong(2), partial.getLong(3)) == ((3L, 4L, 6L)))
+    // encoding is vocab-level: repeated words cost one encode, and the
+    // join-back multiplies per occurrence — 10 repeats, same per-word tokens
+    val rep = Seq((1L, Seq.fill(10)("ab").mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeEncodeOn(rep, steps = 1).collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((10L, 10L)))
+  }
+
+  test("train split is deterministic, exhaustive, and respects percentages") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, s"w$i text", if (i % 3 == 0) "en" else "de", "src", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = TextAnalysis.trainSplitOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val b = TextAnalysis.trainSplitOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b) // same corpus → identical assignment, run to run
+    assert(a.toSeq.map(_._3).sum == 200L) // every doc lands somewhere
+    val bySplit = a.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // zero-width splits collapse to train-only
+    val only = TextAnalysis.trainSplitOn(docs, testPct = 0, valPct = 0)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(only == Seq("train"))
+  }
 }
