@@ -604,6 +604,45 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Corpus-wide duplicated-span audit — the C4/RefinedWeb "repeated
+    * span" rule (Raffel et al. 2020 drop any three-sentence span seen
+    * before; RefinedWeb's exact-substring pass) adapted to the
+    * word-stream corpus: every k-word shingle is hashed, a shingle seen
+    * in ≥2 DISTINCT documents is a cross-doc duplicated span (a doc
+    * repeating itself is [[graft.ext.TextAnalysis.repetitionSignals]]'
+    * job, not this one), and each document reports how much of it is
+    * boilerplate. The downstream cleaner cuts those spans or drops
+    * high-fraction docs; the audit is the decision input.
+    *
+    * 100 TB shape: shingling is map-side (explode + slice over the
+    * split array — no window, no self-join); the only corpus-sized
+    * shuffles are the hash groupBy (shrinks to distinct shingles) and
+    * the hash-co-partitioned join back (both sides keyed by `h`, so AQE
+    * plans a co-located join, never a broadcast of the corpus). Spans
+    * travel as 60-bit md5 hashes, never as text. */
+  def dupSpanAuditOn(docs: DataFrame, k: Int = 8): DataFrame = {
+    val shingles = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) - $k), i -> array_join(slice(ws, i + 1, $k), ' '))"))
+        .as("sh"))
+      .select(col("doc_id"),
+        expr("cast(conv(substr(md5(sh),1,15),16,10) as bigint)").as("h"))
+    val crossDoc = shingles
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    shingles
+      .join(crossDoc.withColumn("dup", lit(1)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("dup"), lit(0))).as("n_dup_spans"))
+  }
+
+  def dupSpanAudit(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpanAuditOn(Tables.documents(spark, sfDir))
+
   /** Incremental near-dedup — the nightly-ingest shape: a NEW batch
     * (sources src10..src19) deduped against the already-curated BASE
     * corpus (src0..src9) without ever re-pairing the base against
@@ -775,6 +814,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters _,
     "dedup_ngram_jaccard" -> ngramJaccardPairs _,
     "dedup_embedding" -> embeddingNearDups _,
+    "dedup_span_audit" -> dupSpanAudit _,
   )
 
   /** DuckDB CTE for the per-doc band keys (carries `source` for the
@@ -814,6 +854,20 @@ object Dedup {
       |  WHERE jac >= 0.9)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_span_audit" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM words, UNNEST(range(1, len(ws) - 6)) AS t(i)
+        |  WHERE len(ws) >= 8),
+        |cross_doc AS (
+        |  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY h)
+        |  WHERE nd >= 2)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN h IN (SELECT h FROM cross_doc) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |FROM sh GROUP BY doc_id""".stripMargin,
     "dedup_decontaminate" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |shingles AS (

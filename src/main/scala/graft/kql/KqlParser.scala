@@ -1589,6 +1589,53 @@ object KqlParser {
               .map { p => s"WHEN (${p(0)}) THEN (${p(1)})" }.mkString(" ")
             out.append(s"(CASE $whens ELSE (${args.last}) END)")
             i = close + 1
+          case Some(w) if Set("extract", "extract_all", "split",
+              "isempty", "isnotempty")(w.toLowerCase) && {
+              var j = i + w.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              j < s.length && s.charAt(j) == '('
+            } =>
+            // ADX string functions whose Spark equivalent needs more
+            // than a name swap: extract/extract_all put the regex FIRST
+            // and the source LAST (Spark regexp_extract* is the
+            // reverse); ADX split takes a LITERAL delimiter where Spark
+            // split takes a regex (metacharacters escaped here, at
+            // parse time — a non-literal delimiter is rejected loudly);
+            // isempty/isnotempty fold the ADX null-or-'' test into one
+            // coalesce.
+            val open = s.indexOf('(', i + w.length)
+            val close = matchingParen(s, open)
+            val args = splitTopLevel(s.substring(open + 1, close), ',')
+              .map(a => scalar(a.trim, lets))
+            w.toLowerCase match {
+              case "extract" =>
+                require(args.length == 3,
+                  s"extract expects (regex, captureGroup, source): ${s.substring(i, close + 1)}")
+                // Spark regexp_extract yields '' on no match; ADX yields
+                // null — nullif restores that (same convention as the
+                // parse verb's no-match slots)
+                out.append(s"nullif(regexp_extract(${args(2)}, ${args(0)}, ${args(1)}), '')")
+              case "extract_all" =>
+                // ADX requires ≥1 capture group; group 1 is the match list
+                require(args.length == 2,
+                  s"extract_all expects (regex, source): ${s.substring(i, close + 1)}")
+                out.append(s"regexp_extract_all(${args(1)}, ${args(0)}, 1)")
+              case "split" =>
+                require(args.length == 2,
+                  s"split expects (source, delimiter) — the requestedIndex form is not supported: ${s.substring(i, close + 1)}")
+                val d = args(1).trim
+                require(d.length >= 2 && (d.head == '\'' || d.head == '"') && d.last == d.head,
+                  s"split delimiter must be a string literal: $d")
+                val escaped = d.substring(1, d.length - 1)
+                  .flatMap(c => if ("\\.[]{}()*+?^$|".contains(c)) s"\\\\$c" else c.toString)
+                out.append(s"split(${args(0)}, '${escaped.replace("'", "''")}')")
+              case empt =>
+                require(args.length == 1,
+                  s"$empt expects one argument: ${s.substring(i, close + 1)}")
+                val test = s"(coalesce(cast(${args.head} AS string), '') = '')"
+                out.append(if (empt == "isempty") test else s"(NOT $test)")
+            }
+            i = close + 1
           case Some(w) if w.toLowerCase == "strcat" && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1

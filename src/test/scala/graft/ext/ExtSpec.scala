@@ -275,4 +275,26 @@ class ExtSpec extends SparkSpec {
         ordered.map(r => r.getDouble(r.fieldIndex("adist"))).sorted.toSeq)
     }
   }
+
+  test("dup span audit flags cross-doc spans, ignores self-repetition") {
+    val shared = "one two three four five six seven eight" // one 8-gram
+    val d = docs(
+      (0L, s"$shared alpha beta gamma delta epsilon zeta eta theta", "en"),
+      (1L, s"prefix padding words here also extra filler stuff $shared", "en"),
+      (2L, "totally unrelated text with completely different words here now", "en"),
+      // the SAME 8-gram twice within one doc — not a cross-doc dup
+      (3L, "a b c d e f g h ZZZ a b c d e f g h", "en"))
+    val out = Dedup.dupSpanAuditOn(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 0 and 1 each contain the shared span exactly once
+    assert(out(0L)._2 == 1L && out(1L)._2 == 1L)
+    assert(out(2L)._2 == 0L)
+    // doc 3: 10 spans, 2 of them the repeated self-gram — zero flagged
+    assert(out(3L) == ((10L, 0L)))
+    // span counts: doc 0 has 16 words → 9 spans
+    assert(out(0L)._1 == 9L)
+    // a doc shorter than k emits no row at all
+    val short = Dedup.dupSpanAuditOn(docs((9L, "only seven words in this doc here", "en")))
+    assert(short.count() == 0L)
+  }
 }

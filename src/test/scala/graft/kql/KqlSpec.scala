@@ -338,6 +338,32 @@ class KqlSpec extends SparkSpec {
     assert(hetero.schema("xs").dataType == org.apache.spark.sql.types.VariantType)
   }
 
+  test("parser: extract/extract_all/split/isempty ADX string functions") {
+    val reg = Map("T" -> Seq(
+      ("id=42 n=7", "a.b.c", "x"), ("id=9 n=13", "q.r", ""), ("no match", "z", null))
+      .toDF("s", "dotted", "e"))
+    // extract: ADX (regex, group, source) arg order; no match → null→0 via tolong+coalesce
+    val ids = KqlParser.run(
+      "T | extend v = tolong(extract('id=([0-9]+)', 1, s)) | project v", reg)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(ids == Seq(42L, 9L, -1L))
+    // extract_all: every capture-group match
+    val all = KqlParser.run(
+      "T | extend a = extract_all('([0-9]+)', s) | extend joined = array_join(a, ',') | project joined",
+      reg).collect().map(_.getString(0)).toSeq
+    assert(all == Seq("42,7", "9,13", ""))
+    // split: the delimiter is LITERAL — '.' must not act as regex-any
+    val parts = KqlParser.run(
+      "T | extend p = split(dotted, '.') | extend n = array_size(p) | project n", reg)
+      .collect().map(_.getInt(0)).toSeq
+    assert(parts == Seq(3, 2, 1))
+    // isempty/isnotempty: '' and null both count as empty (ADX)
+    assert(KqlParser.run("T | where isempty(e) | count", reg)
+      .collect().head.getLong(0) == 2L)
+    assert(KqlParser.run("T | where isnotempty(e) | count", reg)
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("parser: dynamic object cells are VARIANT with dotted property access") {
     val q =
       """datatable(k:string, d:dynamic)[
