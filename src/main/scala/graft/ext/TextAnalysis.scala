@@ -601,6 +601,76 @@ object TextAnalysis {
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
     bpeEncodeOn(Tables.documents(spark, sfDir))
 
+  /** The realistic-k encode path [[bpeEncodeOn]]'s scaladoc promises: a
+    * folded `replace` chain is fine at oracle-sized k but stacks 2k
+    * string projections at tokenizer-sized merge tables (k ≈ 30k), so
+    * this variant broadcasts the merge table as a rank map and encodes
+    * each distinct word with the standard greedy loop (repeatedly merge
+    * the best-ranked adjacent pair, all occurrences leftmost-first —
+    * the HF-tokenizers application order) inside one `mapPartitions`.
+    * Plan cost is k-independent: one narrow map over the vocabulary,
+    * then the same corpus join-back. The imperative loop is justified
+    * the same way the multimodal codec boundary is: a per-element
+    * priority loop has no array-function equivalent that isn't O(k)
+    * plan nodes.
+    *
+    * Greedy differs from the training fixpoint ONLY on same-symbol runs
+    * ≥5 ("a a a a a": greedy gives "aa aa a", the double-replace
+    * fixpoint "aa a aa") — same count here, different segmentation;
+    * `BpeTrainSpec` pins exact equivalence with [[bpeEncodeOn]] away
+    * from that pathology and the k=50 flat-plan property. */
+  def bpeEncodeGreedyOn(docs: DataFrame, steps: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = bpeTrainOn(docs, steps).orderBy(col("step")).collect()
+      .map(_.getString(1))
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.map { case (p, i) =>
+      val Array(a, b) = p.split(" ", 2); ((a, b), i)
+    }.toMap
+    val rankB = spark.sparkContext.broadcast(rank)
+    val encoded = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .distinct().as[String]
+      .mapPartitions { it =>
+        val r = rankB.value
+        it.map { w =>
+          val syms = scala.collection.mutable.ArrayBuffer(w.map(_.toString): _*)
+          var done = syms.length < 2
+          while (!done) {
+            var bestIdx = -1
+            var bestRank = Int.MaxValue
+            var i = 0
+            while (i < syms.length - 1) {
+              val rk = r.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+              if (rk < bestRank) { bestRank = rk; bestIdx = i }
+              i += 1
+            }
+            if (bestIdx < 0 || bestRank == Int.MaxValue) done = true
+            else {
+              val (a, b) = (syms(bestIdx), syms(bestIdx + 1))
+              var j = 0
+              while (j < syms.length - 1) {
+                if (syms(j) == a && syms(j + 1) == b) {
+                  syms(j) = a + b; syms.remove(j + 1)
+                } else j += 1
+              }
+              done = syms.length < 2
+            }
+          }
+          (w, syms.length.toLong)
+        }
+      }.toDF("word", "n_tok")
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(encoded, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(length(col("word"))).as("n_symbols"))
+  }
+
   /** Deterministic train/val/test assignment + stratification audit:
     * each document lands in a split by md5(doc_id) — stable across
     * runs, machines, and engine versions, no RNG state to coordinate

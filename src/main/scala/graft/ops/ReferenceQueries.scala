@@ -55,7 +55,8 @@ object ReferenceQueries {
   private def kqlText(q: String)(spark: SparkSession, sfDir: String): DataFrame =
     graft.kql.KqlParser.run(q, Map(
       "Orders" -> Tables.ordersInfo(spark, sfDir),
-      "Events" -> Tables.events(spark, sfDir)))
+      "Events" -> Tables.events(spark, sfDir),
+      "Documents" -> Tables.documents(spark, sfDir)))
 
   /** `let` + `join` through the text front-end: scalar let (threshold),
     * tabular let (per-customer counts), an inner join whose right side
@@ -199,6 +200,19 @@ object ReferenceQueries {
     """Orders
       || top-nested 3 of city by total = sum(amount), top-nested 2 of custid by cnt = count()""".stripMargin
 
+  /** The r9 string-function tier over real data — `extract` (ADX
+    * regex-first arg order, no-match → null), `split` (literal
+    * delimiter), `isempty` — in the log-exploration shape they ship in:
+    * pull a token out of semi-structured text, drop non-matches, bucket
+    * and count. */
+  val kqlExtractText: String =
+    """Documents
+      || extend first_word = extract('^([a-z]+) ', 1, text)
+      || where isnotempty(first_word)
+      || extend n_words = array_size(split(text, ' '))
+      || summarize docs = count(), words = sum(n_words) by lang, first_word
+      || where docs >= 3""".stripMargin
+
   /** Dynamic property bags end to end over real data: `todynamic`
     * parses the events `props` JSON into a Spark 4 VARIANT, the dotted
     * path rewrites to `variant_get`, `tolong` casts the variant scalar,
@@ -270,6 +284,7 @@ object ReferenceQueries {
       || sort by day_ms asc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_extract_split" -> kqlText(kqlExtractText) _,
     "kql_dynamic_props" -> kqlText(kqlDynamicPropsText) _,
     "kql_top_nested_others" -> kqlText(kqlTopNestedOthersText) _,
     "kql_row_cumsum_restart" -> kqlText(kqlRowCumsumRestartText) _,
@@ -323,6 +338,17 @@ object ReferenceQueries {
          |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
          |  CAST(MAX(amount + 10) AS BIGINT) AS top
          |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_extract_split" ->
+      """WITH d AS (
+        |  SELECT lang, regexp_extract(text, '^([a-z]+) ', 1) AS first_word,
+        |         len(string_split(text, ' ')) AS n_words
+        |  FROM documents)
+        |SELECT lang, first_word,
+        |  CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS words
+        |FROM d WHERE first_word <> ''
+        |GROUP BY lang, first_word
+        |HAVING COUNT(*) >= 3""".stripMargin,
     "kql_dynamic_props" ->
       """SELECT event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,

@@ -64,6 +64,25 @@ class BpeTrainSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2)) == ((10L, 10L)))
   }
 
+  test("greedy encode matches the replace-fold path away from same-symbol runs") {
+    import spark.implicits._
+    // varied words, no symbol run >= 5 — the two application orders agree
+    val docs = Seq(
+      (0L, "spark batch window table scan"),
+      (1L, "spark table scan scan window"),
+      (2L, "filter join merge sort batch spark")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(TextAnalysis.bpeEncodeGreedyOn(docs, steps = 8)) ==
+      rows(TextAnalysis.bpeEncodeOn(docs, steps = 8)))
+    // k=50: the greedy path's plan is k-independent (one mapPartitions),
+    // so a tokenizer-sized table encodes without plan blowup — and the
+    // 62-symbol word compresses by exactly the 50 applied merges
+    val out = TextAnalysis.bpeEncodeGreedyOn(longCorpus, steps = 50).collect().head
+    assert(out.getLong(2) == 62L - 50L) // n_tokens
+    assert(out.getLong(3) == 62L)       // n_symbols
+  }
+
   test("train split is deterministic, exhaustive, and respects percentages") {
     import spark.implicits._
     val docs = (0L until 200L).map(i =>
