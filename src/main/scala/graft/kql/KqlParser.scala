@@ -184,6 +184,8 @@ object KqlParser {
           ("make-series", r.stripPrefix("-series").trim)
         case ("top", r) if r.startsWith("-nested") =>
           ("top-nested", r.stripPrefix("-nested").trim)
+        case ("top", r) if r.startsWith("-hitters") =>
+          ("top-hitters", r.stripPrefix("-hitters").trim)
         case (v, r) => (v, r.trim)
       }
       // ADX name resolution: a column of the CURRENT frame shadows a
@@ -271,6 +273,68 @@ object KqlParser {
           }
         case "parse" => df = parseVerb(df, rest, scoped)
         case "top-nested" => df = topNestedVerb(df, rest, scoped)
+        case "top-hitters" =>
+          // `top-hitters N of key [by sumExpr]` — ADX's heavy-hitters
+          // verb, EXACT here rather than ADX's sampled approximation
+          // (documented deviation — Spark's partial aggregation makes
+          // the exact count one shrinking shuffle, so approximation
+          // buys nothing at this layer; the engine's count-min sketch
+          // lives in graft.ext.Sketches for sub-aggregate budgets).
+          // ADX column naming kept: approximate_count_<key> /
+          // approximate_sum_<byCol>. Plans as aggregate →
+          // TakeOrderedAndProject; ties break by key asc (documented).
+          val HitRe = "(?is)^(\\d+)\\s+of\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+by\\s+(.+))?$".r
+          rest.trim match {
+            case HitRe(n, key, byExpr) =>
+              val (aggCol, aggName) = Option(byExpr) match {
+                case Some(b) =>
+                  val body = b.trim
+                  val nm = if (body.matches("[A-Za-z_][A-Za-z0-9_]*")) body else "expr"
+                  (sum(expr(scalar(body, scoped))), s"approximate_sum_$nm")
+                case None => (count(lit(1)), s"approximate_count_$key")
+              }
+              df = df.groupBy(col(key)).agg(aggCol.as(aggName))
+                .orderBy(col(aggName).desc, col(key).asc)
+                .limit(n.toInt)
+              serialOrder = None
+            case other => throw new IllegalArgumentException(
+              s"top-hitters expects 'N of key [by expr]': $other")
+          }
+        case "evaluate" =>
+          // `evaluate pivot(col[, agg[, groupCols…]])` — the one ADX
+          // plugin with a direct Spark-native equivalent
+          // (RelationalGroupedDataset.pivot). Pivot values are
+          // discovered from the data (one extra distinct scan, same as
+          // ADX's dynamic schema); absent (group, value) cells are null
+          // (Spark semantics — ADX also leaves them empty; oracles
+          // mirror with ELSE-less CASE sums). Default grouping: every
+          // column except the pivot column and the aggregate's input,
+          // ADX's rule. Other plugins are rejected loudly.
+          val body0 = rest.trim
+          require(body0.toLowerCase.startsWith("pivot"),
+            s"evaluate supports only the pivot plugin: $body0")
+          val open = body0.indexOf('(')
+          require(open > 0 && matchingParen(body0, open) == body0.length - 1,
+            s"evaluate pivot expects pivot(col[, agg[, groupCols…]]): $body0")
+          val args = splitTopLevel(body0.substring(open + 1, body0.length - 1), ',')
+            .map(_.trim).filter(_.nonEmpty)
+          require(args.nonEmpty, "pivot needs at least the pivot column")
+          val pivotCol = args.head
+          require(pivotCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"pivot column must be a column name: $pivotCol")
+          val (aggCol, aggInput) =
+            if (args.length >= 2) {
+              val (_, c) = aggItem(args(1), scoped)
+              val AggIn = "(?s)^[A-Za-z_][A-Za-z0-9_]*\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+              (c, args(1) match { case AggIn(cn) => Some(cn); case _ => None })
+            } else (count(lit(1)), None)
+          val groupCols =
+            if (args.length >= 3) args.drop(2)
+            else df.columns.toSeq.filterNot(c => c == pivotCol || aggInput.contains(c))
+          require(groupCols.nonEmpty,
+            "pivot needs at least one remaining group column")
+          df = df.groupBy(groupCols.map(col): _*).pivot(pivotCol).agg(aggCol)
+          serialOrder = None
         case "mv-apply" => df = mvApplyVerb(df, rest, scoped)
         case "mv-expand" => df = mvExpandVerb(df, rest, scoped)
         case "make-series" => df = makeSeriesVerb(df, rest, scoped)

@@ -200,6 +200,20 @@ object ReferenceQueries {
     """Orders
       || top-nested 3 of city by total = sum(amount), top-nested 2 of custid by cnt = count()""".stripMargin
 
+  /** `evaluate pivot` — the ADX plugin with a direct Spark-native
+    * equivalent: per-customer revenue spread across city columns
+    * (values discovered from data; absent cells null on both engines). */
+  val kqlEvaluatePivotText: String =
+    """Orders
+      || evaluate pivot(city, sum(amount), custid)""".stripMargin
+
+  /** `top-hitters` — the heavy-hitters dashboard verb: biggest revenue
+    * cities. Exact here (documented deviation from ADX's sampled
+    * approximation); ADX's approximate_sum_* naming kept. */
+  val kqlTopHittersText: String =
+    """Orders
+      || top-hitters 4 of city by amount""".stripMargin
+
   /** The r9 string-function tier over real data — `extract` (ADX
     * regex-first arg order, no-match → null), `split` (literal
     * delimiter), `isempty` — in the log-exploration shape they ship in:
@@ -284,6 +298,8 @@ object ReferenceQueries {
       || sort by day_ms asc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_evaluate_pivot" -> kqlText(kqlEvaluatePivotText) _,
+    "kql_top_hitters" -> kqlText(kqlTopHittersText) _,
     "kql_extract_split" -> kqlText(kqlExtractText) _,
     "kql_dynamic_props" -> kqlText(kqlDynamicPropsText) _,
     "kql_top_nested_others" -> kqlText(kqlTopNestedOthersText) _,
@@ -338,6 +354,21 @@ object ReferenceQueries {
          |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
          |  CAST(MAX(amount + 10) AS BIGINT) AS top
          |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_evaluate_pivot" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT custid,
+         |  CAST(SUM(CASE WHEN city = 'Austin' THEN amount END) AS BIGINT) AS "Austin",
+         |  CAST(SUM(CASE WHEN city = 'Chicago' THEN amount END) AS BIGINT) AS "Chicago",
+         |  CAST(SUM(CASE WHEN city = 'Cleveland' THEN amount END) AS BIGINT) AS "Cleveland",
+         |  CAST(SUM(CASE WHEN city = 'New Delhi' THEN amount END) AS BIGINT) AS "New Delhi",
+         |  CAST(SUM(CASE WHEN city = 'New York' THEN amount END) AS BIGINT) AS "New York",
+         |  CAST(SUM(CASE WHEN city = 'Seattle' THEN amount END) AS BIGINT) AS "Seattle"
+         |FROM orders_info GROUP BY custid""".stripMargin,
+    "kql_top_hitters" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city, CAST(SUM(amount) AS BIGINT) AS approximate_sum_amount
+         |FROM orders_info GROUP BY city
+         |ORDER BY approximate_sum_amount DESC, city ASC LIMIT 4""".stripMargin,
     "kql_extract_split" ->
       """WITH d AS (
         |  SELECT lang, regexp_extract(text, '^([a-z]+) ', 1) AS first_word,

@@ -724,6 +724,43 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("explicit N"))
   }
 
+  test("parser: top-hitters ranks keys by count or by sum") {
+    val reg = Map("T" -> Seq(
+      ("a", 10), ("a", 1), ("b", 100), ("c", 1), ("c", 1), ("c", 1)).toDF("g", "v"))
+    val byCount = KqlParser.run("T | top-hitters 2 of g", reg).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byCount == Seq(("c", 3L), ("a", 2L))) // ordered desc
+    val bySum = KqlParser.run("T | top-hitters 2 of g by v", reg)
+    assert(bySum.columns.toSeq == Seq("g", "approximate_sum_v"))
+    assert(bySum.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("b", 100L), ("a", 11L)))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | top-hitters of g", reg)
+    }
+    assert(e.getMessage.contains("top-hitters"))
+  }
+
+  test("parser: evaluate pivot spreads values into columns") {
+    val reg = Map("T" -> Seq(
+      (1L, "x", 10), (1L, "y", 20), (2L, "x", 5), (1L, "x", 3)).toDF("id", "k", "v"))
+    val out = KqlParser.run("T | evaluate pivot(k, sum(v))", reg)
+    assert(out.columns.toSeq == Seq("id", "x", "y"))
+    val m = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+       if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(m(1L) == ((Some(13L), Some(20L))))
+    assert(m(2L) == ((Some(5L), None))) // absent cell is null
+    // default aggregation is count(); explicit group columns narrow the key
+    val cnt = KqlParser.run("T | evaluate pivot(k)", reg)
+    assert(cnt.columns.toSeq == Seq("id", "v", "x", "y"))
+    val narrow = KqlParser.run("T | evaluate pivot(k, sum(v), id)", reg)
+    assert(narrow.columns.toSeq == Seq("id", "x", "y"))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | evaluate bag_unpack(v)", reg)
+    }
+    assert(e.getMessage.contains("pivot"))
+  }
+
   test("parser: row_cumsum restart argument resets the accumulation") {
     val reg = Map("T" -> Seq(
       (1, 10, false), (2, 20, false), (3, 5, true), (4, 7, false), (5, 1, true)
