@@ -176,6 +176,8 @@ object KqlParser {
           ("project-rename", r.stripPrefix("-rename").trim)
         case ("project", r) if r.startsWith("-keep") =>
           ("project-keep", r.stripPrefix("-keep").trim)
+        case ("project", r) if r.startsWith("-reorder") =>
+          ("project-reorder", r.stripPrefix("-reorder").trim)
         case ("mv", r) if r.startsWith("-expand") =>
           ("mv-expand", r.stripPrefix("-expand").trim)
         case ("mv", r) if r.startsWith("-apply") =>
@@ -224,6 +226,13 @@ object KqlParser {
           df = df.project(cols: _*)
         case "project-away" =>
           df = df.projectAway(splitTopLevel(rest, ',').map(_.trim): _*)
+        case "project-reorder" =>
+          // listed columns first (in the given order), everything else
+          // after in its existing order — ADX's default reorder rule
+          val listed = splitTopLevel(rest, ',').map(_.trim)
+          listed.foreach(c => require(df.columns.contains(c),
+            s"project-reorder: unknown column '$c' (have: ${df.columns.mkString(", ")})"))
+          df = df.select((listed ++ df.columns.filterNot(listed.contains)).map(col): _*)
         case "extend" => applyExtend(rest)
         case "serialize" =>
           // ADX `serialize [name = expr, ...]` — marks the frame's order
@@ -1324,6 +1333,7 @@ object KqlParser {
           case "max"     => (max(arg(0)), defName(args(0)))
           case "dcount"  => (count_distinct(arg(0)), defName(args(0)))
           case "countif" => (Kql.countif(arg(0)), "countif_")
+          case "dcountif" => (count_distinct(when(arg(1), arg(0))), defName(args(0)))
           case "arg_max" => (Kql.argMax(arg(0), arg(1)), defName(args(1)))
           case "arg_min" => (Kql.argMin(arg(0), arg(1)), defName(args(1)))
           case "make_list" => (Kql.makeList(arg(0)), defName(args(0)))
@@ -1531,18 +1541,21 @@ object KqlParser {
       else if (s.startsWith("!=", i)) { out.append("<>"); i += 2 }
       else if (c == '!' && i + 1 < s.length &&
                "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(s.substring(i + 1)).exists(w =>
-                 Set("has", "contains", "startswith", "endswith", "in")(w.toLowerCase))) {
+                 Set("has", "contains", "startswith", "endswith", "in",
+                     "between")(w.toLowerCase))) {
         // KQL negated operators: `!has`, `!contains`, `!startswith`,
-        // `!endswith` become negated infix markers; `!in` is SQL NOT IN.
+        // `!endswith` become negated infix markers; `!in` is SQL NOT IN;
+        // `!between` emits NOT and lets the between case consume the
+        // range on the next iteration.
         val w = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(s.substring(i + 1)).get
         w.toLowerCase match {
-          case "in"         => out.append("NOT IN")
-          case "has"        => out.append("ilike_nhas")
-          case "contains"   => out.append("ilike_ncontains")
-          case "startswith" => out.append("ilike_nstarts")
-          case "endswith"   => out.append("ilike_nends")
+          case "in"         => out.append("NOT IN"); i += 1 + w.length
+          case "between"    => out.append("NOT "); i += 1
+          case "has"        => out.append("ilike_nhas"); i += 1 + w.length
+          case "contains"   => out.append("ilike_ncontains"); i += 1 + w.length
+          case "startswith" => out.append("ilike_nstarts"); i += 1 + w.length
+          case "endswith"   => out.append("ilike_nends"); i += 1 + w.length
         }
-        i += 1 + w.length
       }
       else {
         // word-level rewrites: contains/startswith/endswith (KQL is
@@ -1653,8 +1666,40 @@ object KqlParser {
               .map { p => s"WHEN (${p(0)}) THEN (${p(1)})" }.mkString(" ")
             out.append(s"(CASE $whens ELSE (${args.last}) END)")
             i = close + 1
+          case Some(w) if w.toLowerCase == "between" && {
+              var j = i + w.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              j < s.length && s.charAt(j) == '('
+            } =>
+            // ADX range filter: `x between (lo .. hi)` (inclusive both
+            // ends, same as SQL BETWEEN). The parenthesized `lo .. hi`
+            // body splits on the first top-level `..`.
+            val open = s.indexOf('(', i + w.length)
+            val close = matchingParen(s, open)
+            val inner = s.substring(open + 1, close)
+            var dot = -1
+            var depth = 0
+            var q: Char = 0
+            var j = 0
+            while (j < inner.length - 1 && dot < 0) {
+              val ch = inner.charAt(j)
+              if (q != 0) { if (ch == q) q = 0 }
+              else ch match {
+                case '"' | '\'' => q = ch
+                case '(' | '[' => depth += 1
+                case ')' | ']' => depth -= 1
+                case '.' if depth == 0 && inner.charAt(j + 1) == '.' => dot = j
+                case _ =>
+              }
+              j += 1
+            }
+            require(dot > 0, s"between expects (lo .. hi): ${s.substring(i, close + 1)}")
+            val lo = scalar(inner.substring(0, dot).trim, lets)
+            val hi = scalar(inner.substring(dot + 2).trim, lets)
+            out.append(s"BETWEEN ($lo) AND ($hi)")
+            i = close + 1
           case Some(w) if Set("extract", "extract_all", "split",
-              "isempty", "isnotempty")(w.toLowerCase) && {
+              "isempty", "isnotempty", "countof")(w.toLowerCase) && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1
               j < s.length && s.charAt(j) == '('
@@ -1693,6 +1738,12 @@ object KqlParser {
                 val escaped = d.substring(1, d.length - 1)
                   .flatMap(c => if ("\\.[]{}()*+?^$|".contains(c)) s"\\\\$c" else c.toString)
                 out.append(s"split(${args(0)}, '${escaped.replace("'", "''")}')")
+              case "countof" =>
+                // plain (non-regex) occurrence count: length delta over
+                // a delete-replace, divided by the needle length
+                require(args.length == 2,
+                  s"countof expects (source, search): ${s.substring(i, close + 1)}")
+                out.append(s"((length(${args(0)}) - length(replace(${args(0)}, ${args(1)}, ''))) DIV length(${args(1)}))")
               case empt =>
                 require(args.length == 1,
                   s"$empt expects one argument: ${s.substring(i, close + 1)}")
@@ -1746,6 +1797,8 @@ object KqlParser {
               case "startswith" => Some("ilike_starts")
               case "endswith"   => Some("ilike_ends")
               case "has"        => Some("ilike_has") // whole-term ci match
+              case "has_any"    => Some("ilike_hasany") // OR of has terms
+              case "has_all"    => Some("ilike_hasall") // AND of has terms
               case "and" | "or" | "not" => Some(w.toLowerCase)
               // ADX scalar-function spellings with exact Spark
               // equivalents — pure name swaps, arguments unchanged.
@@ -1778,20 +1831,22 @@ object KqlParser {
         case "contains" => s"contains(lower($lhs), lower($lit))"
         case "starts"   => s"startswith(lower($lhs), lower($lit))"
         case "ends"     => s"endswith(lower($lhs), lower($lit))"
-        case "has"      =>
-          // ADX `has`: case-insensitive WHOLE-TERM match — the literal
-          // must appear delimited by non-alphanumerics (or string ends).
-          // Pattern.quote (not a hand-built \Q..\E wrapper) so a term
-          // CONTAINING the sequence \E cannot terminate the quoting
-          // early and leak raw regex.
-          val pat = "(^|[^a-z0-9])" +
-            java.util.regex.Pattern.quote(inner.toLowerCase) + "([^a-z0-9]|$)"
-          // Spark SQL string literals eat single backslashes — double
-          // them so the regex engine sees \Q..\E intact.
-          s"(lower($lhs) RLIKE '" +
-            pat.replace("\\", "\\\\").replace("'", "''") + "')"
+        case "has"      => hasTermSql(lhs, inner)
       }
       java.util.regex.Matcher.quoteReplacement(if (neg) s"(NOT $pos)" else pos)
+    })
+    // `lhs has_any ("a", "b", …)` / `has_all` — OR/AND of whole-term
+    // matches over a literal list
+    val HasList = "([A-Za-z_][A-Za-z0-9_.]*)\\s+ilike_has(any|all)\\s*\\(([^)]*)\\)".r
+    r = HasList.replaceAllIn(r, m => {
+      val (lhs, mode) = (m.group(1), m.group(2))
+      val items = splitTopLevel(m.group(3), ',').map(_.trim).filter(_.nonEmpty)
+      require(items.nonEmpty && items.forall(t =>
+          t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head),
+        s"has_$mode expects a parenthesized list of string literals")
+      val terms = items.map(t => hasTermSql(lhs, t.substring(1, t.length - 1)))
+      java.util.regex.Matcher.quoteReplacement(
+        "(" + terms.mkString(if (mode == "any") " OR " else " AND ") + ")")
     })
     // `a ILIKE b` from =~ : case-insensitive equality
     val Citext = "([A-Za-z_][A-Za-z0-9_.]*)\\s+ILIKE\\s+('[^']*'|\"[^\"]*\")".r
@@ -1799,6 +1854,19 @@ object KqlParser {
       s"lower(${m.group(1)}) = lower('" +
         m.group(2).substring(1, m.group(2).length - 1).replace("'", "''") + "')")
     r
+  }
+
+  /** ADX `has` as SQL: case-insensitive WHOLE-TERM match — the literal
+    * must appear delimited by non-alphanumerics (or string ends).
+    * Pattern.quote (not a hand-built \Q..\E wrapper) so a term
+    * CONTAINING the sequence \E cannot terminate the quoting early and
+    * leak raw regex; Spark SQL string literals eat single backslashes,
+    * so they double here. */
+  private def hasTermSql(lhs: String, inner: String): String = {
+    val pat = "(^|[^a-z0-9])" +
+      java.util.regex.Pattern.quote(inner.toLowerCase) + "([^a-z0-9]|$)"
+    s"(lower($lhs) RLIKE '" +
+      pat.replace("\\", "\\\\").replace("'", "''") + "')"
   }
 
   // ---- lexing helpers -----------------------------------------------------

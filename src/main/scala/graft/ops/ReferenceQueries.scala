@@ -200,6 +200,18 @@ object ReferenceQueries {
     """Orders
       || top-nested 3 of city by total = sum(amount), top-nested 2 of custid by cnt = count()""".stripMargin
 
+  /** The r9 filter-idiom tier over real data: `between` range filter,
+    * `has_any` whole-term disjunction, `countof` occurrence counting,
+    * and `dcountif` conditional distinct — the everyday ADX `where`
+    * clause vocabulary, all map-side until the final aggregate. */
+  val kqlFilterIdiomsText: String =
+    """Documents
+      || where n_chars between (250 .. 350)
+      || where text has_any ('spark', 'window')
+      || extend n_spark = countof(text, 'spark')
+      || summarize docs = count(), spark_hits = sum(n_spark),
+      |            langs_hit = dcountif(lang, n_spark > 0) by source""".stripMargin
+
   /** `evaluate pivot` — the ADX plugin with a direct Spark-native
     * equivalent: per-customer revenue spread across city columns
     * (values discovered from data; absent cells null on both engines). */
@@ -298,6 +310,7 @@ object ReferenceQueries {
       || sort by day_ms asc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_filter_idioms" -> kqlText(kqlFilterIdiomsText) _,
     "kql_evaluate_pivot" -> kqlText(kqlEvaluatePivotText) _,
     "kql_top_hitters" -> kqlText(kqlTopHittersText) _,
     "kql_extract_split" -> kqlText(kqlExtractText) _,
@@ -354,6 +367,21 @@ object ReferenceQueries {
          |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
          |  CAST(MAX(amount + 10) AS BIGINT) AS top
          |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_filter_idioms" ->
+      """WITH f AS (
+        |  SELECT source, lang, text FROM documents
+        |  WHERE n_chars BETWEEN 250 AND 350
+        |    AND (regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')
+        |      OR regexp_matches(lower(text), '(^|[^a-z0-9])window([^a-z0-9]|$)'))),
+        |c AS (
+        |  SELECT source, lang,
+        |    (length(text) - length(replace(text, 'spark', ''))) // length('spark') AS n_spark
+        |  FROM f)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(n_spark) AS BIGINT) AS spark_hits,
+        |  CAST(COUNT(DISTINCT CASE WHEN n_spark > 0 THEN lang END) AS BIGINT) AS langs_hit
+        |FROM c GROUP BY source""".stripMargin,
     "kql_evaluate_pivot" ->
       s"""${Sql.ordersInfoCte}
          |SELECT custid,

@@ -724,6 +724,38 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("explicit N"))
   }
 
+  test("parser: between, has_any/has_all, countof, dcountif, project-reorder") {
+    val reg = Map("T" -> Seq(
+      ("alpha beta gamma", 10, "a"), ("beta delta beta", 20, "b"),
+      ("epsilon", 30, "a"), ("alpha delta", 40, "b")).toDF("s", "v", "g"))
+    // between is inclusive on both ends; !between negates
+    assert(KqlParser.run("T | where v between (20 .. 30) | count", reg)
+      .collect().head.getLong(0) == 2L)
+    assert(KqlParser.run("T | where v !between (20 .. 30) | count", reg)
+      .collect().head.getLong(0) == 2L)
+    // has_any = OR of whole-term matches, has_all = AND
+    assert(KqlParser.run("T | where s has_any ('alpha', 'epsilon') | count", reg)
+      .collect().head.getLong(0) == 3L)
+    assert(KqlParser.run("T | where s has_all ('beta', 'delta') | count", reg)
+      .collect().head.getLong(0) == 1L)
+    // countof counts non-overlapping literal occurrences
+    val counts = KqlParser.run("T | extend n = countof(s, 'beta') | project n", reg)
+      .collect().map(_.getLong(0)).toSeq
+    assert(counts == Seq(1L, 2L, 0L, 0L))
+    // dcountif: distinct values where the predicate holds
+    val dc = KqlParser.run(
+      "T | summarize d = dcountif(g, v >= 20) | project d", reg)
+      .collect().head.getLong(0)
+    assert(dc == 2L)
+    // project-reorder: listed first, remainder in existing order
+    assert(KqlParser.run("T | project-reorder v", reg).columns.toSeq ==
+      Seq("v", "s", "g"))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | project-reorder nope", reg)
+    }
+    assert(e.getMessage.contains("unknown column"))
+  }
+
   test("parser: top-hitters ranks keys by count or by sum") {
     val reg = Map("T" -> Seq(
       ("a", 10), ("a", 1), ("b", 100), ("c", 1), ("c", 1), ("c", 1)).toDF("g", "v"))
