@@ -1698,8 +1698,9 @@ object KqlParser {
             val hi = scalar(inner.substring(dot + 2).trim, lets)
             out.append(s"BETWEEN ($lo) AND ($hi)")
             i = close + 1
-          case Some(w) if Set("extract", "extract_all", "split",
-              "isempty", "isnotempty", "countof")(w.toLowerCase) && {
+          case Some(w) if (Set("extract", "extract_all", "split",
+              "isempty", "isnotempty", "countof")(w.toLowerCase) ||
+              w.toLowerCase.startsWith("series_")) && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1
               j < s.length && s.charAt(j) == '('
@@ -1738,6 +1739,30 @@ object KqlParser {
                 val escaped = d.substring(1, d.length - 1)
                   .flatMap(c => if ("\\.[]{}()*+?^$|".contains(c)) s"\\\\$c" else c.toString)
                 out.append(s"split(${args(0)}, '${escaped.replace("'", "''")}')")
+              case sfn if sfn.startsWith("series_") =>
+                // ADX series pointwise math over make-series arrays —
+                // pure higher-order functions, no explode round trip:
+                // binary ops zip_with, reductions fold. Interpreted
+                // lambdas, but over dashboard-sized arrays (bounded by
+                // the make-series step count) — same tradeoff as
+                // mv-apply, documented there.
+                sfn match {
+                  case "series_add" | "series_subtract" | "series_multiply" | "series_divide" =>
+                    require(args.length == 2, s"$sfn expects (series, series)")
+                    val op = sfn match {
+                      case "series_add" => "+"; case "series_subtract" => "-"
+                      case "series_multiply" => "*"; case _ => "/"
+                    }
+                    out.append(s"zip_with(${args(0)}, ${args(1)}, (x, y) -> x $op y)")
+                  case "series_sum" =>
+                    require(args.length == 1, "series_sum expects (series)")
+                    out.append(s"aggregate(${args(0)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+                  case "series_avg" =>
+                    require(args.length == 1, "series_avg expects (series)")
+                    out.append(s"(aggregate(${args(0)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size(${args(0)}))")
+                  case other => throw new IllegalArgumentException(
+                    s"unsupported series function '$other' (supported: series_add/subtract/multiply/divide/sum/avg)")
+                }
               case "countof" =>
                 // plain (non-regex) occurrence count: length delta over
                 // a delete-replace, divided by the needle length

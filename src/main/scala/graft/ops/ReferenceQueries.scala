@@ -200,6 +200,18 @@ object ReferenceQueries {
     """Orders
       || top-nested 3 of city by total = sum(amount), top-nested 2 of custid by cnt = count()""".stripMargin
 
+  /** `series_*` pointwise math over make-series arrays — the timechart
+    * post-processing tier: fold reductions (sum/avg) and a composed
+    * zip_with identity ((n+n)-n = n) proving binary ops round-trip
+    * through the oracle's dense per-bin formulation. */
+  val kqlSeriesMathText: String =
+    """Events
+      || make-series n = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+      || extend delta = series_subtract(series_add(n, n), n)
+      || extend total = series_sum(n), mean = cast(round(series_avg(n), 6) as decimal(18,6))
+      || extend series = array_join(delta, ',')
+      || project event_type, total, mean, series""".stripMargin
+
   /** The r9 filter-idiom tier over real data: `between` range filter,
     * `has_any` whole-term disjunction, `countof` occurrence counting,
     * and `dcountif` conditional distinct — the everyday ADX `where`
@@ -310,6 +322,7 @@ object ReferenceQueries {
       || sort by day_ms asc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_series_math" -> kqlText(kqlSeriesMathText) _,
     "kql_filter_idioms" -> kqlText(kqlFilterIdiomsText) _,
     "kql_evaluate_pivot" -> kqlText(kqlEvaluatePivotText) _,
     "kql_top_hitters" -> kqlText(kqlTopHittersText) _,
@@ -367,6 +380,25 @@ object ReferenceQueries {
          |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
          |  CAST(MAX(amount + 10) AS BIGINT) AS top
          |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_series_math" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+        |g AS (SELECT event_type, i, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 30)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, COALESCE(g.c, 0) AS v
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i)
+        |SELECT event_type,
+        |  CAST(SUM(v) AS DOUBLE) AS total,
+        |  CAST(ROUND(SUM(v) / 30.0, 6) AS DECIMAL(18,6)) AS mean,
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS series
+        |FROM dense GROUP BY event_type""".stripMargin,
     "kql_filter_idioms" ->
       """WITH f AS (
         |  SELECT source, lang, text FROM documents

@@ -756,6 +756,25 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown column"))
   }
 
+  test("parser: series_* pointwise math over array columns") {
+    val reg = Map("T" -> Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0, 30.0))).toDF("a", "b"))
+    val out = KqlParser.run(
+      "T | extend s = series_add(a, b), d = series_subtract(b, a), " +
+        "m = series_multiply(a, b), q = series_divide(b, a), " +
+        "tot = series_sum(b), mean = series_avg(b) " +
+        "| project s, d, m, q, tot, mean", reg).collect().head
+    assert(out.getSeq[Double](0) == Seq(11.0, 22.0, 33.0))
+    assert(out.getSeq[Double](1) == Seq(9.0, 18.0, 27.0))
+    assert(out.getSeq[Double](2) == Seq(10.0, 40.0, 90.0))
+    assert(out.getSeq[Double](3) == Seq(10.0, 10.0, 10.0))
+    assert(out.getDouble(4) == 60.0 && out.getDouble(5) == 20.0)
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | extend z = series_fir(a)", reg)
+    }
+    assert(e.getMessage.contains("unsupported series function"))
+  }
+
   test("parser: top-hitters ranks keys by count or by sum") {
     val reg = Map("T" -> Seq(
       ("a", 10), ("a", 1), ("b", 100), ("c", 1), ("c", 1), ("c", 1)).toDF("g", "v"))
