@@ -395,14 +395,32 @@ object KqlParser {
                    tables: Map[String, DataFrame],
                    lets: Map[String, String]): DataFrame = {
     var r = rest.trim
-    val kind = if (hasKindOption(r)) {
-      val eq = r.indexOf('=')
-      require(eq >= 0, s"join kind expects 'kind=<kind>': $r")
-      val after = r.substring(eq + 1).trim
-      val k = after.takeWhile(c => !c.isWhitespace && c != '(')
-      r = after.drop(k.length).trim
-      k
-    } else "innerunique" // ADX's default for a bare `join`
+    // Options before the parenthesized right side, in any order:
+    // `kind=<kind>` and `hint.strategy = broadcast|shuffle` — ADX's
+    // physical join hint, mapped to Spark's own: broadcast wraps the
+    // right side (exactly ADX's semantic — the hinted side ships to
+    // every node), shuffle pins a shuffle-hash join. Catalyst still
+    // auto-broadcasts small sides without the hint; this is the
+    // explicit override surface.
+    var kind = "innerunique" // ADX's default for a bare `join`
+    var hint: Option[String] = None
+    val HintRe = "(?is)^hint\\.strategy\\s*=\\s*([A-Za-z_]+)\\s*(.*)$".r
+    var parsingOpts = true
+    while (parsingOpts) {
+      if (hasKindOption(r)) {
+        val after = r.substring(r.indexOf('=') + 1).trim
+        val k = after.takeWhile(c => !c.isWhitespace && c != '(')
+        r = after.drop(k.length).trim
+        kind = k
+      } else r match {
+        case HintRe(h, tail) =>
+          require(h.toLowerCase == "broadcast" || h.toLowerCase == "shuffle",
+            s"unsupported join hint.strategy '$h' (supported: broadcast, shuffle)")
+          r = tail.trim
+          hint = Some(h.toLowerCase)
+        case _ => parsingOpts = false
+      }
+    }
     val sparkKind = kind match {
       case "inner" | "innerunique" => "inner"
       case "leftouter"  => "left_outer"
@@ -438,10 +456,15 @@ object KqlParser {
     // right row). Which left row survives a key collision is arbitrary
     // in ADX too; dropDuplicates reproduces that contract.
     val left = if (kind == "innerunique") df.dropDuplicates(keyPairs.map(_._1)) else df
+    val hinted = hint match {
+      case Some("broadcast") => broadcast(right)
+      case Some("shuffle")   => right.hint("shuffle_hash")
+      case _ => right
+    }
     val cond = keyPairs.map { case (a, b) =>
-      left(a) === right(renamed.getOrElse(b, b))
+      left(a) === hinted(renamed.getOrElse(b, b))
     }.reduce(_ && _)
-    left.join(right, cond, sparkKind)
+    left.join(hinted, cond, sparkKind)
   }
 
   /** `make-series <name> = <agg> [default = <v>] on <tscol> from

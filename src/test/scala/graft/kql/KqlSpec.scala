@@ -756,6 +756,25 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown column"))
   }
 
+  test("parser: join hint.strategy pins the physical join, either option order") {
+    val reg = Map(
+      "L" -> Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "x"),
+      "R" -> Seq((1, 10), (2, 20)).toDF("k", "y"))
+    val b = KqlParser.run("L | join kind=inner hint.strategy=broadcast (R) on k", reg)
+    assert(b.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(b.count() == 2L)
+    // reversed option order parses identically
+    val b2 = KqlParser.run("L | join hint.strategy=broadcast kind=inner (R) on k", reg)
+    assert(b2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val s = KqlParser.run("L | join kind=leftouter hint.strategy=shuffle (R) on k", reg)
+    assert(s.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    assert(s.count() == 3L)
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("L | join hint.strategy=mergejoin (R) on k", reg)
+    }
+    assert(e.getMessage.contains("hint.strategy"))
+  }
+
   test("parser: series_* pointwise math over array columns") {
     val reg = Map("T" -> Seq(
       (Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0, 30.0))).toDF("a", "b"))
