@@ -88,14 +88,27 @@ object KqlParser {
       require(s.startsWith("let") && s.length > 3 && s.charAt(3).isWhitespace,
         s"only 'let' statements may precede the final query: $s")
       s.drop(4).trim match {
-        case LetRe(name, body) =>
+        case LetRe(name, body0) =>
+          // `let x = materialize(<tabular>)` — ADX's cache-this-result
+          // wrapper, mapped to Spark's own: the let's frame persists
+          // (MEMORY_AND_DISK) so downstream statements referencing it
+          // twice scan it once. Scalar bodies may not materialize.
+          val MatRe = "(?is)^materialize\\s*\\((.*)\\)\\s*$".r
+          val (body, doPersist) = body0.trim match {
+            case MatRe(inner) => (inner.trim, true)
+            case b => (b, false)
+          }
           val headTok = splitTopLevel(body, '|').head.trim
           // tabular heads: a known table, a datatable literal, or a
           // `range` generator ("range\s" — the \s guard keeps scalar
           // lets over identifiers like `range_total` out of this arm)
           if (tbls.contains(headTok) || headTok.startsWith("datatable") ||
-              headTok.matches("(?s)^range\\s.*"))
-            tbls += name -> pipeline(body, tbls, lets).df
+              headTok.matches("(?s)^range\\s.*")) {
+            val frame = pipeline(body, tbls, lets).df
+            tbls += name -> (if (doPersist) frame.persist() else frame)
+          } else if (doPersist)
+            throw new IllegalArgumentException(
+              s"materialize() expects a tabular expression: $body")
           else
             // ADX sequential binding: substitute earlier lets into the
             // body NOW, so `let x = 1; let x = x + 1;` binds x to (1)+1

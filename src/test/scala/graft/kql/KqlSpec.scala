@@ -756,6 +756,23 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown column"))
   }
 
+  test("parser: materialize() persists a tabular let") {
+    val reg = Map("T" -> Seq(("a", 1), ("b", 2), ("a", 3)).toDF("g", "v"))
+    val out = KqlParser.run(
+      "let agg = materialize(T | summarize s = sum(v) by g); " +
+        "agg | join kind=inner (agg) on g | count", reg)
+    assert(out.collect().head.getLong(0) == 2L)
+    // the persisted frame is the let's binding — visible via its storage level
+    val frame = KqlParser.run(
+      "let m = materialize(T | summarize s = sum(v) by g); m", reg)
+    assert(frame.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    frame.unpersist()
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("let x = materialize(1 + 2); print v = x", reg)
+    }
+    assert(e.getMessage.contains("tabular"))
+  }
+
   test("parser: join hint.strategy pins the physical join, either option order") {
     val reg = Map(
       "L" -> Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "x"),
