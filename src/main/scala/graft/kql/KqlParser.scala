@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   * scale contract),
   * `mv-expand`, `mv-apply` (per-row subquery over an exploded array —
   * desugared to shuffle-free higher-order array functions, see
-  * [[mvApplyVerb]]), `top-nested` (layered top-k drill-down, see
-  * [[topNestedVerb]]), `parse`, `print` (table-less scalar row),
+  * [[mvApplyVerb]]), `top-nested` (layered top-k drill-down including
+  * `with others=` catch-all rows, see [[topNestedVerb]]),
+  * `top-hitters` (heavy hitters — exact, documented deviation),
+  * `evaluate pivot` (native Spark pivot; other plugins rejected),
+  * `project-reorder`, `parse`, `print` (table-less scalar row),
   * `range` (table-from-scalar-series, [[rangeVerb]]), `getschema`
   * (column introspection), `lookup` (dimension enrichment — broadcast
   * left_outer/inner join, right key columns not duplicated, non-key
@@ -33,20 +36,29 @@ import org.apache.spark.sql.functions._
   * operands are table names or parenthesized sub-pipelines), `join` (kinds
   * innerunique/inner/leftouter/rightouter/fullouter/leftsemi/leftanti,
   * `on key` and `on $left.a == $right.b` forms, with KQL's right-side
-  * `1`-suffix rename for clashing columns), `render`; plus `datatable`
+  * `1`-suffix rename for clashing columns, and
+  * `hint.strategy=broadcast|shuffle` mapped to Spark physical join
+  * hints), `render`; plus `datatable`
   * literals and `let`. Top-level `let name = …;` statements bind
   * either a sub-query (tabular let — usable as a table name or join
-  * right side) or a scalar expression (substituted where the name
+  * right side; wrap the body in `materialize(…)` to persist it) or a
+  * scalar expression (substituted where the name
   * appears, KQL's textual-binding semantics). Aggregates: avg, sum,
-  * min, max, count, dcount, countif, arg_max, arg_min, make_list,
-  * make_set, percentile (P in [0,100], computed EXACTLY rather than
-  * ADX's T-digest approximation — documented deviation), stdev,
-  * variance, sumif/avgif/minif/maxif. Scalar
+  * min, max, count, dcount, dcountif, countif, arg_max, arg_min,
+  * make_list, make_set, percentile (P in [0,100], computed EXACTLY
+  * rather than ADX's T-digest approximation — documented deviation),
+  * stdev, variance, sumif/avgif/minif/maxif. Scalar
   * expressions pass through Spark SQL after translating the KQL
   * operator spellings (`==`, `!=`, `=~`, `contains`, `startswith`,
   * `endswith`, `has` — whole-term case-insensitive match — their `!`
-  * negations, `in`/`!in` list membership, `case()` multi-branch
-  * conditionals, date helpers (`startofday/month/year`, `now()`,
+  * negations, `has_any`/`has_all` literal lists, `in`/`!in` list
+  * membership, `between (lo .. hi)`/`!between`, `case()` multi-branch
+  * conditionals, string functions `extract`/`extract_all` (ADX
+  * regex-first arg order), `split` (literal delimiter),
+  * `countof`, `isempty`/`isnotempty`, `strcat`, series pointwise math
+  * `series_add/subtract/multiply/divide/sum/avg` (zip_with/aggregate
+  * HOFs over make-series arrays), date helpers
+  * (`startofday/month/year`, `now()`,
   * `ago(<timespan>)` — the latter two nondeterministic, dashboard
   * filters only), timespan literals in `bin()`,
   * `bin` — KQL's floor-to-multiple, translated to
@@ -1812,23 +1824,61 @@ object KqlParser {
                 out.append(if (empt == "isempty") test else s"(NOT $test)")
             }
             i = close + 1
-          case Some(w) if w.toLowerCase == "strcat" && {
+          case Some(w) if Set("strcat", "strcat_delim")(w.toLowerCase) && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1
               j < s.length && s.charAt(j) == '('
             } =>
-            // ADX strcat treats NULL arguments as empty strings and
-            // stringifies non-string ones; Spark's concat returns NULL
-            // if ANY argument is NULL — a pure name swap would be a
-            // silent semantic deviation. Rewrite each argument as
-            // coalesce(cast(arg AS string), '').
+            // ADX strcat/strcat_delim treat NULL arguments as empty
+            // strings and stringify non-string ones; Spark's concat
+            // nulls out on ANY null argument and concat_ws SKIPS null
+            // args (dropping their delimiter) — a pure name swap would
+            // be a silent semantic deviation either way. Rewrite each
+            // argument as coalesce(cast(arg AS string), '') so nulls
+            // become empties and every delimiter slot survives.
             val open = s.indexOf('(', i + w.length)
             val close = matchingParen(s, open)
             val args = splitTopLevel(s.substring(open + 1, close), ',')
               .map(a => scalar(a.trim, lets))
-            require(args.nonEmpty, "strcat expects at least one argument")
-            out.append(args.map(a => s"coalesce(cast(($a) as string), '')")
-              .mkString("concat(", ", ", ")"))
+            def pad(a: String) = s"coalesce(cast(($a) as string), '')"
+            if (w.equalsIgnoreCase("strcat")) {
+              require(args.nonEmpty, "strcat expects at least one argument")
+              out.append(args.map(pad).mkString("concat(", ", ", ")"))
+            } else {
+              require(args.length >= 2,
+                "strcat_delim expects (delimiter, arg1, ...)")
+              out.append((pad(args.head) +: args.tail.map(pad))
+                .mkString("concat_ws(", ", ", ")"))
+            }
+            i = close + 1
+          case Some(w) if Set("datetime_add", "datetime_diff")(w.toLowerCase) && {
+              var j = i + w.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              j < s.length && s.charAt(j) == '('
+            } =>
+            // ADX datetime arithmetic: datetime_add(period, n, dt) and
+            // datetime_diff(period, dt1, dt2) = dt1 - dt2. Mapped to
+            // Spark timestampadd/timestampdiff with the period literal
+            // lifted into the unit keyword. DEVIATION: Spark counts
+            // whole elapsed units; ADX counts period BOUNDARIES crossed
+            // (ADX datetime_diff('year', jan1, dec31) = 1, here 0).
+            val open = s.indexOf('(', i + w.length)
+            val close = matchingParen(s, open)
+            val args = splitTopLevel(s.substring(open + 1, close), ',')
+              .map(a => scalar(a.trim, lets))
+            require(args.length == 3,
+              s"${w.toLowerCase} expects (period, …, …): ${s.substring(i, close + 1)}")
+            val p = args.head.trim
+            require(p.length >= 2 && (p.head == '\'' || p.head == '"') && p.last == p.head,
+              s"${w.toLowerCase} period must be a string literal: $p")
+            val unit = p.substring(1, p.length - 1).toUpperCase
+            require(Set("YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
+                "HOUR", "MINUTE", "SECOND")(unit),
+              s"unsupported period '$unit'")
+            if (w.equalsIgnoreCase("datetime_add"))
+              out.append(s"timestampadd($unit, ${args(1)}, ${args(2)})")
+            else // ADX order: dt1 - dt2; Spark diff is (start, end)
+              out.append(s"timestampdiff($unit, ${args(2)}, ${args(1)})")
             i = close + 1
           case Some(w) if w.toLowerCase == "datetime" && {
               var j = i + w.length

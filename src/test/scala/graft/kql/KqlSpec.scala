@@ -756,6 +756,22 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown column"))
   }
 
+  test("parser: datetime_add/datetime_diff and strcat_delim") {
+    val reg = Map("T" -> Seq(1).toDF("one"))
+    val r = KqlParser.run(
+      "T | extend plus2d = unix_millis(datetime_add('day', 2, datetime(2024-01-01)))," +
+        " dh = datetime_diff('hour', datetime(2024-01-02), datetime(2024-01-01))," +
+        " joined = strcat_delim('-', 'a', one, '')" +
+        " | project plus2d, dh, joined", reg).collect().head
+    assert(r.getLong(0) == 1704240000000L) // 2024-01-03 UTC
+    assert(r.getLong(1) == 24L)            // ADX order: dt1 - dt2
+    assert(r.getString(2) == "a-1-")       // nulls/empties keep their slot
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | extend x = datetime_add('fortnight', 1, now())", reg)
+    }
+    assert(e.getMessage.contains("period"))
+  }
+
   test("parser: materialize() persists a tabular let") {
     val reg = Map("T" -> Seq(("a", 1), ("b", 2), ("a", 3)).toDF("g", "v"))
     val out = KqlParser.run(
