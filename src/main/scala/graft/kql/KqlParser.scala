@@ -101,6 +101,27 @@ object KqlParser {
         s"only 'let' statements may precede the final query: $s")
       s.drop(4).trim match {
         case LetRe(name, body0) =>
+          // `let x = toscalar(<tabular>)` — evaluate the sub-query NOW
+          // (a driver-side action at parse time, exactly ADX's model)
+          // and bind the single-cell result as a scalar literal.
+          // Stricter than ADX's silent first-row pick: exactly one row
+          // and one column required — "first row" of a distributed
+          // frame is nondeterministic, so taking it silently would be
+          // a wrong-answer generator (documented deviation).
+          val TsRe = "(?is)^toscalar\\s*\\((.*)\\)\\s*$".r
+          val tsInner = body0.trim match {
+            case TsRe(inner) => Some(inner.trim)
+            case _ => None
+          }
+          if (tsInner.isDefined) {
+            val frame = pipeline(tsInner.get, tbls, lets).df
+            require(frame.columns.length == 1,
+              s"toscalar expects a single-column result, got ${frame.columns.length}: ${tsInner.get}")
+            val rows = frame.limit(2).collect()
+            require(rows.length == 1,
+              s"toscalar expects exactly one row, got ${rows.length}: ${tsInner.get}")
+            lets += name -> scalarLiteral(rows.head.get(0))
+          } else {
           // `let x = materialize(<tabular>)` — ADX's cache-this-result
           // wrapper, mapped to Spark's own: the let's frame persists
           // (MEMORY_AND_DISK) so downstream statements referencing it
@@ -128,6 +149,7 @@ object KqlParser {
             // Tabular lets get the same semantics for free — their
             // pipeline is evaluated eagerly against the pre-rebind maps.
             lets += name -> substLets(body.trim, lets)
+          }
         case other => throw new IllegalArgumentException(s"let expects 'let name = ...': $other")
       }
     }
@@ -135,6 +157,23 @@ object KqlParser {
   }
 
   private val LetRe = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
+
+  /** Render a collected toscalar() cell back into KQL/SQL literal text
+    * for scalar-let substitution. */
+  private def scalarLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case t: java.sql.Timestamp =>
+      s"TIMESTAMP '${t.toInstant.toString.stripSuffix("Z").replace('T', ' ')}Z'"
+    case i: java.time.Instant =>
+      s"TIMESTAMP '${i.toString.stripSuffix("Z").replace('T', ' ')}Z'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case b: Boolean => b.toString
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) => n.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case other => throw new IllegalArgumentException(
+      s"toscalar result type ${other.getClass.getSimpleName} is not a scalar literal")
+  }
 
   /** Pure name-for-body substitution of earlier `let` bindings into a
     * new binding's text, applied at BIND time (the ADX sequential
@@ -213,6 +252,8 @@ object KqlParser {
           ("top-nested", r.stripPrefix("-nested").trim)
         case ("top", r) if r.startsWith("-hitters") =>
           ("top-hitters", r.stripPrefix("-hitters").trim)
+        case ("sample", r) if r.startsWith("-distinct") =>
+          ("sample", r.stripPrefix("-distinct").trim) // N of col form
         case (v, r) => (v, r.trim)
       }
       // ADX name resolution: a column of the CURRENT frame shadows a
@@ -373,6 +414,25 @@ object KqlParser {
         case "mv-expand" => df = mvExpandVerb(df, rest, scoped)
         case "make-series" => df = makeSeriesVerb(df, rest, scoped)
         case "take" | "limit" => df = df.limit(rest.trim.toInt)
+        case "sample" =>
+          // ADX `sample N` is random; this engine is DETERMINISTIC by
+          // design (documented deviation): rows rank by a content hash,
+          // so the same corpus always yields the same sample — the
+          // reproducibility a data pipeline actually wants, with the
+          // same "spread across the data" effect. `sample-distinct N
+          // of col` samples the value domain the same way.
+          val SampleDistinctRe = "(?is)^(\\d+)\\s+of\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+          rest.trim match {
+            case SampleDistinctRe(n, c) =>
+              df = df.select(col(c)).distinct()
+                .orderBy(xxhash64(col(c)).asc).limit(n.toInt)
+            case n if n.matches("\\d+") =>
+              df = df.orderBy(xxhash64(df.columns.map(col).toIndexedSeq: _*).asc)
+                .limit(n.toInt)
+            case other => throw new IllegalArgumentException(
+              s"sample expects N or 'N of col' (sample-distinct): $other")
+          }
+          serialOrder = None
         case "count" => df = df.kqlCount
         case "distinct" =>
           df = if (rest.trim == "*") df.distinct()
@@ -710,24 +770,39 @@ object KqlParser {
                         tables: Map[String, DataFrame],
                         lets: Map[String, String]): DataFrame = {
     var r = rest.trim
-    val kind = if (hasKindOption(r)) {
-      val eq = r.indexOf('=')
-      require(eq >= 0, s"union kind expects 'kind=<kind>': $r")
-      val after = r.substring(eq + 1).trim
-      val k = after.takeWhile(c => !c.isWhitespace && c != '(')
-      r = after.drop(k.length).trim
-      require(k == "inner" || k == "outer",
-        s"unsupported union kind '$k' (supported: inner, outer)")
-      k
-    } else "outer"
-    val frames = df +: splitTopLevel(r, ',').map(_.trim).filter(_.nonEmpty).map { op =>
-      if (op.startsWith("(")) {
-        val close = matchingParen(op, 0)
-        pipeline(op.substring(1, close).trim, tables, lets).df
-      } else tables.getOrElse(op, throw new IllegalArgumentException(
-        s"unknown table '$op' in union (known: ${tables.keys.mkString(", ")})"))
+    // Options in either order: kind=inner|outer and withsource=<Col>
+    // (ADX's provenance column — each output row is tagged with the
+    // operand it came from; the piped-in left frame tags as "source").
+    var kind = "outer"
+    var withSource: Option[String] = None
+    val WithSrcRe = "(?is)^withsource\\s*=\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(.*)$".r
+    var parsingOpts = true
+    while (parsingOpts) {
+      if (hasKindOption(r)) {
+        val after = r.substring(r.indexOf('=') + 1).trim
+        val k = after.takeWhile(c => !c.isWhitespace && c != '(')
+        r = after.drop(k.length).trim
+        require(k == "inner" || k == "outer",
+          s"unsupported union kind '$k' (supported: inner, outer)")
+        kind = k
+      } else r match {
+        case WithSrcRe(c, tail) => withSource = Some(c); r = tail.trim
+        case _ => parsingOpts = false
+      }
     }
-    require(frames.length > 1, s"union expects at least one operand: $rest")
+    val named: Seq[(String, DataFrame)] =
+      ("source" -> df) +: splitTopLevel(r, ',').map(_.trim).filter(_.nonEmpty).map { op =>
+        if (op.startsWith("(")) {
+          val close = matchingParen(op, 0)
+          op -> pipeline(op.substring(1, close).trim, tables, lets).df
+        } else op -> tables.getOrElse(op, throw new IllegalArgumentException(
+          s"unknown table '$op' in union (known: ${tables.keys.mkString(", ")})"))
+      }
+    require(named.length > 1, s"union expects at least one operand: $rest")
+    val frames = withSource match {
+      case Some(c) => named.map { case (n, f) => f.withColumn(c, lit(n)) }
+      case None => named.map(_._2)
+    }
     if (kind == "outer")
       frames.reduce(_.unionByName(_, allowMissingColumns = true))
     else {

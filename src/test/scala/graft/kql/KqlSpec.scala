@@ -772,6 +772,56 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("period"))
   }
 
+  test("parser: toscalar binds a single-cell subquery result as a scalar let") {
+    val reg = Map("T" -> Seq(("a", 10), ("b", 30), ("c", 20)).toDF("g", "v"))
+    val out = KqlParser.run(
+      "let cutoff = toscalar(T | summarize m = avg(v)); T | where v > cutoff | count",
+      reg).collect().head.getLong(0)
+    assert(out == 1L) // avg = 20, only 30 exceeds it
+    // string cells quote; the bound literal composes in expressions
+    val s = KqlParser.run(
+      "let topg = toscalar(T | top 1 by v desc | project g); " +
+        "T | where g == topg | project v", reg).collect().head.getInt(0)
+    assert(s == 30)
+    val multi = intercept[IllegalArgumentException] {
+      KqlParser.run("let x = toscalar(T | project v); print v = x", reg)
+    }
+    assert(multi.getMessage.contains("exactly one row"))
+    val wide = intercept[IllegalArgumentException] {
+      KqlParser.run("let x = toscalar(T | summarize a = count(), b = sum(v)); print v = x", reg)
+    }
+    assert(wide.getMessage.contains("single-column"))
+  }
+
+  test("parser: union withsource tags rows with their operand") {
+    val reg = Map(
+      "A" -> Seq(1, 2).toDF("v"),
+      "B" -> Seq(3).toDF("v"))
+    val out = KqlParser.run("A | union withsource=origin (B | extend v = v * 10)", reg)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out.map(_._1) == Set(1, 2, 30))
+    // the piped-in left frame tags as "source"; sub-pipelines as their text
+    assert(out.collect { case (v, o) if v <= 2 => o } == Set("source"))
+    assert(out.find(_._1 == 30).get._2.startsWith("(B"))
+    // with a plain table operand the tag is the table name
+    val named = KqlParser.run("A | union withsource=origin B", reg)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(named.contains((3, "B")))
+  }
+
+  test("parser: sample and sample-distinct are deterministic content-hash picks") {
+    val reg = Map("T" -> Seq.tabulate(50)(i => (i.toLong, s"g${i % 5}")).toDF("id", "g"))
+    val a = KqlParser.run("T | sample 7", reg).collect().map(_.getLong(0)).toSeq
+    val b = KqlParser.run("T | sample 7", reg).collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.length == 7 && a.distinct.length == 7)
+    val d = KqlParser.run("T | sample-distinct 3 of g", reg)
+      .collect().map(_.getString(0)).toSeq
+    assert(d.length == 3 && d.distinct.length == 3)
+    val d2 = KqlParser.run("T | sample-distinct 3 of g", reg)
+      .collect().map(_.getString(0)).toSeq
+    assert(d == d2)
+  }
+
   test("parser: materialize() persists a tabular let") {
     val reg = Map("T" -> Seq(("a", 1), ("b", 2), ("a", 3)).toDF("g", "v"))
     val out = KqlParser.run(
