@@ -41,9 +41,13 @@ import org.apache.spark.sql.functions._
   * hints), `render`; plus `datatable`
   * literals and `let`. Top-level `let name = …;` statements bind
   * either a sub-query (tabular let — usable as a table name or join
-  * right side; wrap the body in `materialize(…)` to persist it) or a
-  * scalar expression (substituted where the name
-  * appears, KQL's textual-binding semantics). Aggregates: avg, sum,
+  * right side; wrap the body in `materialize(…)` to persist it, or in
+  * `toscalar(…)` to eagerly evaluate a single-cell result into a
+  * scalar binding) or a scalar expression (substituted where the name
+  * appears, KQL's textual-binding semantics). `sample N` and
+  * `sample-distinct N of col` pick deterministically by content hash
+  * (documented deviation from ADX's RNG). `union` takes
+  * `withsource=<Col>` provenance tagging. Aggregates: avg, sum,
   * min, max, count, dcount, dcountif, countif, arg_max, arg_min,
   * make_list, make_set, percentile (P in [0,100], computed EXACTLY
   * rather than ADX's T-digest approximation — documented deviation),

@@ -76,4 +76,32 @@ class KqlStreamingSpec extends SparkSpec {
       assert(r == Map("WEST" -> 100L, "SOUTH" -> 200L))
     } finally q.stop()
   }
+
+  test("todynamic VARIANT decode runs per-row over the live stream") {
+    // The r9 dynamic tier is map-side (parse_json → variant_get →
+    // cast), so the same KQL text decodes JSON property bags inside a
+    // streaming micro-batch with no state and no extra shuffle beyond
+    // the aggregate.
+    implicit val sql = spark.sqlContext
+    val source = MemoryStream[String]
+    val events = source.toDF().select(col("value").as("props"))
+    val parsed = KqlParser.parse(
+      "Events | extend d = todynamic(props) | extend k = tolong(d.k) " +
+        "| summarize n = count(), s = sum(k) by parity = k % 2",
+      Map("Events" -> events))
+    val q = parsed.df.writeStream.outputMode("complete")
+      .format("memory").queryName("kql_variant_live").start()
+    try {
+      source.addData("""{"k": 1}""", """{"k": 2}""", """{"k": 3}""")
+      q.processAllAvailable()
+      val r = spark.table("kql_variant_live").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(r == Map(1L -> ((2L, 4L)), 0L -> ((1L, 2L))))
+      source.addData("""{"k": 4}""")
+      q.processAllAvailable()
+      val r2 = spark.table("kql_variant_live").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(r2 == Map(1L -> ((2L, 4L)), 0L -> ((2L, 6L))))
+    } finally q.stop()
+  }
 }
