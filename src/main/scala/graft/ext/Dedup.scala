@@ -643,6 +643,24 @@ object Dedup {
   def dupSpanAudit(spark: SparkSession, sfDir: String): DataFrame =
     dupSpanAuditOn(Tables.documents(spark, sfDir))
 
+  /** The APPLIED form of [[dupSpanAuditOn]] — drop documents that are
+    * mostly boilerplate (strictly more than half their spans appear in
+    * other documents; the threshold compares integers, `2·dup > total`,
+    * so no float crosses the oracle boundary). Documents shorter than
+    * the shingle width have no spans, hence no audit row, hence always
+    * survive. One anti join against the audit's drop set — the same
+    * composition shape as [[cleanedCorpus]]/[[cleanedNearCorpus]]. */
+  def spanCleanedCorpusOn(docs: DataFrame, k: Int = 8): DataFrame = {
+    val drops = dupSpanAuditOn(docs, k)
+      .filter(col("n_dup_spans") * 2 > col("n_spans"))
+      .select(col("doc_id"))
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  def spanCleanedCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    spanCleanedCorpusOn(Tables.documents(spark, sfDir))
+
   /** Incremental near-dedup — the nightly-ingest shape: a NEW batch
     * (sources src10..src19) deduped against the already-curated BASE
     * corpus (src0..src9) without ever re-pairing the base against
@@ -815,6 +833,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardPairs _,
     "dedup_embedding" -> embeddingNearDups _,
     "dedup_span_audit" -> dupSpanAudit _,
+    "dedup_span_cleaned" -> spanCleanedCorpus _,
   )
 
   /** DuckDB CTE for the per-doc band keys (carries `source` for the
@@ -868,6 +887,23 @@ object Dedup {
         |  CAST(COUNT(*) AS BIGINT) AS n_spans,
         |  CAST(SUM(CASE WHEN h IN (SELECT h FROM cross_doc) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
         |FROM sh GROUP BY doc_id""".stripMargin,
+    "dedup_span_cleaned" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM words, UNNEST(range(1, len(ws) - 6)) AS t(i)
+        |  WHERE len(ws) >= 8),
+        |cross_doc AS (
+        |  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY h)
+        |  WHERE nd >= 2),
+        |audit AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans,
+        |    SUM(CASE WHEN h IN (SELECT h FROM cross_doc) THEN 1 ELSE 0 END) AS n_dup
+        |  FROM sh GROUP BY doc_id),
+        |drops AS (SELECT doc_id FROM audit WHERE n_dup * 2 > n_spans)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
     "dedup_decontaminate" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |shingles AS (

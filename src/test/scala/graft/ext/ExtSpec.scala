@@ -297,4 +297,16 @@ class ExtSpec extends SparkSpec {
     val short = Dedup.dupSpanAuditOn(docs((9L, "only seven words in this doc here", "en")))
     assert(short.count() == 0L)
   }
+
+  test("span-cleaned corpus drops mostly-boilerplate docs, keeps short ones") {
+    val boiler = "one two three four five six seven eight nine ten"
+    val d = docs(
+      (0L, boiler, "en"),                       // 3 spans, all shared → dropped
+      (1L, s"$boiler eleven twelve thirteen fourteen fifteen sixteen seventeen", "en"),
+      // ^ 10 spans, 3 shared → 6/10 not > 1/2... 3*2=6 !> 10 → kept
+      (2L, "totally unrelated words that never repeat anywhere else here", "en"),
+      (3L, "tiny doc", "en"))                   // no spans → kept
+    val kept = Dedup.spanCleanedCorpusOn(d).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
 }
