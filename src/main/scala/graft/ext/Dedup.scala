@@ -604,6 +604,38 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** The REPORT form of [[decontaminatedCorpusOn]] — instead of
+    * silently dropping contaminated train documents, emit WHICH train
+    * doc shares HOW MANY distinct 4-grams with WHICH eval doc. This is
+    * the artifact a contamination investigation actually reads (the
+    * drop list follows from it, but the pair evidence is what gets
+    * audited). Same scale shape as the drop path: the eval side is
+    * MBs even at 100 TB (it's the benchmark), so the gram probe is a
+    * broadcast join against the train shingle stream; one aggregate on
+    * the (train, eval) pair. */
+  def contaminationReportOn(docs: DataFrame): DataFrame = {
+    val isEval = col("doc_id") % 50 === 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), concat(
+          col("word"), lit(" "), lead(col("word"), 1).over(w), lit(" "),
+          lead(col("word"), 2).over(w), lit(" "), lead(col("word"), 3).over(w))
+        .as("ng"))
+      .filter(col("ng").isNotNull)
+      .select(col("doc_id"), xxhash64(col("ng")).as("g")).distinct()
+    val evalGrams = grams.filter(isEval)
+      .select(col("doc_id").as("eval_doc"), col("g"))
+    grams.filter(!isEval)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id").as("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
+  def contaminationReport(spark: SparkSession, sfDir: String): DataFrame =
+    contaminationReportOn(Tables.documents(spark, sfDir))
+
   /** Corpus-wide duplicated-span audit — the C4/RefinedWeb "repeated
     * span" rule (Raffel et al. 2020 drop any three-sentence span seen
     * before; RefinedWeb's exact-substring pass) adapted to the
@@ -834,6 +866,7 @@ object Dedup {
     "dedup_embedding" -> embeddingNearDups _,
     "dedup_span_audit" -> dupSpanAudit _,
     "dedup_span_cleaned" -> spanCleanedCorpus _,
+    "dedup_contamination_report" -> contaminationReport _,
   )
 
   /** DuckDB CTE for the per-doc band keys (carries `source` for the
@@ -873,6 +906,16 @@ object Dedup {
       |  WHERE jac >= 0.9)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_contamination_report" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 3), ' ') AS ng
+        |  FROM words, UNNEST(range(1, len(w) - 2)) AS t(i))
+        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+        |  CAST(COUNT(*) AS BIGINT) AS shared_grams
+        |FROM shingles t JOIN shingles e USING (ng)
+        |WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+        |GROUP BY t.doc_id, e.doc_id""".stripMargin,
     "dedup_span_audit" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (
