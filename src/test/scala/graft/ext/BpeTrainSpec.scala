@@ -83,6 +83,38 @@ class BpeTrainSpec extends SparkSpec {
     assert(out.getLong(3) == 62L)       // n_symbols
   }
 
+  test("greedy/fold encode equivalence holds on randomized run-free corpora") {
+    import spark.implicits._
+    // Randomized (seeded) corpora over a small alphabet, words capped
+    // at 8 symbols with no adjacent repeats: the documented divergence
+    // needs a same-symbol run >= 5, which can't form — single chars
+    // never repeat adjacently by construction, and a run of k merged
+    // symbols needs word length >= 2k+2. Within that domain the two
+    // application orders must agree EXACTLY, for any trained table.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val words = Seq.fill(40) {
+        val len = 3 + rnd.nextInt(6)
+        val sb = new StringBuilder
+        var last = ' '
+        while (sb.length < len) {
+          val c = ('a' + rnd.nextInt(6)).toChar
+          if (c != last) { sb.append(c); last = c }
+        }
+        sb.toString
+      }
+      val docs = words.grouped(10).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val steps = 6 + trial * 4
+      assert(rows(TextAnalysis.bpeEncodeGreedyOn(docs, steps)) ==
+        rows(TextAnalysis.bpeEncodeOn(docs, steps)),
+        s"divergence at trial=$trial steps=$steps seed=42")
+    }
+  }
+
   test("train split is deterministic, exhaustive, and respects percentages") {
     import spark.implicits._
     val docs = (0L until 200L).map(i =>
