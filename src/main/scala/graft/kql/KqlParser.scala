@@ -1693,6 +1693,47 @@ object KqlParser {
             // recurse with w out of scope: guards termination if a
             // rebinding made a body mention its own name
             out.append("(").append(scalar(lets(w), lets - w)).append(")"); i += w.length
+          case Some(w) if w.toLowerCase == "bin_at" && {
+              var j = i + w.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              j < s.length && s.charAt(j) == '('
+            } =>
+            // KQL bin_at(value, size, fixedPoint) — binning anchored at
+            // an arbitrary point (week-aligned days, fiscal offsets):
+            // fixedPoint + bin(value - fixedPoint, size), in the same
+            // exact arithmetic as bin(). Timespan sizes stay in integer
+            // epoch seconds; numeric sizes must be positive literals
+            // (the per-row guard of bin() is omitted here — an anchored
+            // bin with a data-driven size has no dashboard use).
+            val open = s.indexOf('(', i + w.length)
+            val close = matchingParen(s, open)
+            val rawArgs = splitTopLevel(s.substring(open + 1, close), ',').map(_.trim)
+            require(rawArgs.length == 3,
+              s"bin_at expects bin_at(value, size, fixedPoint): ${s.substring(i, close + 1)}")
+            val TimespanAtRe = "^(\\d+)(d|h|m|s)$".r
+            rawArgs(1) match {
+              case TimespanAtRe(num, unit) =>
+                val secs = num.toLong * (unit match {
+                  case "d" => 86400L; case "h" => 3600L; case "m" => 60L; case "s" => 1L
+                })
+                require(secs > 0, s"bin_at() timespan must be positive: ${rawArgs(1)}")
+                val v = scalar(rawArgs(0), lets)
+                val a = scalar(rawArgs(2), lets)
+                val d = s"(unix_timestamp($v) - unix_timestamp($a))"
+                out.append(s"timestamp_seconds(unix_timestamp($a) + " +
+                  s"($d - (($d % $secs + $secs) % $secs)))")
+              case _ =>
+                val v = scalar(rawArgs(0), lets)
+                val sz = scalar(rawArgs(1), lets)
+                val a = scalar(rawArgs(2), lets)
+                val n = scala.util.Try(BigDecimal(sz.trim)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"bin_at() size must be a literal: $sz"))
+                require(n > 0, s"bin_at() size must be positive, got $sz")
+                val d = s"(($v) - ($a))"
+                out.append(s"(($a) + ($d - (($d % ($sz) + ($sz)) % ($sz))))")
+            }
+            i = close + 1
           case Some(w) if w.toLowerCase == "bin" && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1

@@ -756,6 +756,25 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown column"))
   }
 
+  test("parser: bin_at anchors binning at a fixed point") {
+    val reg = Map("T" -> Seq(3, 7, 12, 18).toDF("v"))
+    // anchor 2, size 5 → buckets [2,7), [7,12), [12,17), [17,22)
+    val out = KqlParser.run("T | extend b = bin_at(v, 5, 2) | project b", reg)
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(2, 7, 12, 17))
+    // datetime form: 1d bins anchored at noon → noon-to-noon days
+    val t = Map("E" -> Seq("2024-01-02 10:00:00", "2024-01-02 14:00:00")
+      .toDF("s"))
+    val ms = KqlParser.run(
+      "E | extend ts = to_timestamp(s) | extend b = bin_at(ts, 1d, datetime(2024-01-01 12:00:00)) | project ms = unix_millis(b)",
+      t).collect().map(_.getLong(0)).toSeq
+    assert(ms == Seq(1704110400000L, 1704196800000L)) // Jan 1 12:00, Jan 2 12:00 UTC
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | extend b = bin_at(v, v, 0)", reg)
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("parser: datetime_add/datetime_diff and strcat_delim") {
     val reg = Map("T" -> Seq(1).toDF("one"))
     val r = KqlParser.run(
