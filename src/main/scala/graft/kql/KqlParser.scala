@@ -1867,7 +1867,8 @@ object KqlParser {
             out.append(s"BETWEEN ($lo) AND ($hi)")
             i = close + 1
           case Some(w) if (Set("extract", "extract_all", "split",
-              "isempty", "isnotempty", "countof")(w.toLowerCase) ||
+              "isempty", "isnotempty", "countof",
+              "array_index_of", "array_sum")(w.toLowerCase) ||
               w.toLowerCase.startsWith("series_")) && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1
@@ -1931,6 +1932,16 @@ object KqlParser {
                   case other => throw new IllegalArgumentException(
                     s"unsupported series function '$other' (supported: series_add/subtract/multiply/divide/sum/avg)")
                 }
+              case "array_index_of" =>
+                // ADX: 0-based index, -1 when absent. Spark
+                // array_position is 1-based with 0-absent — shifting by
+                // one maps both conventions at once.
+                require(args.length == 2,
+                  s"array_index_of expects (array, value): ${s.substring(i, close + 1)}")
+                out.append(s"(array_position(${args(0)}, ${args(1)}) - 1)")
+              case "array_sum" =>
+                require(args.length == 1, "array_sum expects (array)")
+                out.append(s"aggregate(${args(0)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
               case "countof" =>
                 // plain (non-regex) occurrence count: length delta over
                 // a delete-replace, divided by the needle length
@@ -2036,6 +2047,12 @@ object KqlParser {
               case "strlen"   => Some("length")
               case "toupper"  => Some("upper")
               case "tolower"  => Some("lower")
+              // ADX dynamic-array functions with exact Spark
+              // equivalents — name swaps, same arity and order
+              case "array_length"   => Some("size")
+              case "array_sort_asc" => Some("sort_array")
+              case "array_reverse"  => Some("reverse")
+              case "array_concat"   => Some("concat")
               case "tostring" => Some("string")
               case "tolong"   => Some("bigint")
               case "toint"    => Some("int")

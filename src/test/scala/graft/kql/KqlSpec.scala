@@ -756,6 +756,22 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown column"))
   }
 
+  test("parser: array_* ADX functions map onto Spark array ops") {
+    val reg = Map("T" -> Seq((Seq(3, 1, 2), Seq(9, 8))).toDF("a", "b"))
+    val r = KqlParser.run(
+      "T | extend n = array_length(a), srt = array_sort_asc(a), rev = array_reverse(a), " +
+        "cat = array_concat(a, b), idx = array_index_of(a, 2), miss = array_index_of(a, 99), " +
+        "s = array_sum(a) " +
+        "| project n, srt, rev, cat, idx, miss, s", reg).collect().head
+    assert(r.getInt(0) == 3)
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](2) == Seq(2, 1, 3))
+    assert(r.getSeq[Int](3) == Seq(3, 1, 2, 9, 8))
+    assert(r.getLong(4) == 2L)   // 0-based
+    assert(r.getLong(5) == -1L)  // absent → -1 (ADX)
+    assert(r.getDouble(6) == 6.0)
+  }
+
   test("parser: bin_at anchors binning at a fixed point") {
     val reg = Map("T" -> Seq(3, 7, 12, 18).toDF("v"))
     // anchor 2, size 5 → buckets [2,7), [7,12), [12,17), [17,22)
