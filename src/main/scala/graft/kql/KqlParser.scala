@@ -59,7 +59,10 @@ import org.apache.spark.sql.functions._
   * membership, `between (lo .. hi)`/`!between`, `case()` multi-branch
   * conditionals, string functions `extract`/`extract_all` (ADX
   * regex-first arg order), `split` (literal delimiter),
-  * `countof`, `isempty`/`isnotempty`, `strcat`, series pointwise math
+  * `countof`, `isempty`/`isnotempty`, `strcat`/`strcat_delim`,
+  * `datetime_add`/`datetime_diff`, `bin_at` (anchored binning),
+  * the `array_*` tier (length/sort_asc/reverse/concat/index_of/sum,
+  * ADX index conventions preserved), series pointwise math
   * `series_add/subtract/multiply/divide/sum/avg` (zip_with/aggregate
   * HOFs over make-series arrays), date helpers
   * (`startofday/month/year`, `now()`,
