@@ -40,6 +40,17 @@ import org.apache.spark.sql.functions._
   *      healthy full run is ~100 s — remaining queries run ONCE with a
   *      10 s cancel cap, so the bench always reaches the final emit
   *      with a number (possibly capped + suspect) for every query.
+  *   5. Cross-round regression guard (r9 post-mortem: the artifact
+  *      recorded 5.2 s for a query that re-runs at 0.9 s, with
+  *      `suspect: []` — min-of-3 does not defend against a minutes-long
+  *      host episode that inflates ALL three reps). The prior round's
+  *      artifact (SPARK_GRAFT_BENCH_PRIOR, default the committed
+  *      BENCH_LOCAL.json) supplies a per-query baseline; any query whose
+  *      min exceeds 2x its prior time (floored at 1 s — sub-second
+  *      queries jitter legitimately) gets the same bounded extra
+  *      attempts as the absolute 10 s rule, and is flagged `suspect` if
+  *      it never recovers. A noise-inflated number can still land in
+  *      the artifact, but never again silently.
   */
 object Bench {
   /** name -> (min seconds so far, suspect). Insertion-ordered; all
@@ -76,6 +87,33 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},$partialField$probes,"suspect":$suspects,"queries_file":"$outFile","sf":"$sfDir"}""")
     System.out.flush()
   }
+
+  /** Extract the per-query time map from a prior bench artifact line
+    * (`{"...,"queries":{"name":1.23,...},...}`). Tolerant: any parse
+    * failure yields an empty map (guard simply disarms). We wrote the
+    * format ourselves (see emit), so a targeted scan beats pulling in a
+    * JSON library for one field. */
+  private[graft] def parsePriorTimes(json: String): Map[String, Double] = {
+    val key = "\"queries\":{"
+    val qIdx = json.indexOf(key)
+    if (qIdx < 0) Map.empty
+    else {
+      val body = json.substring(qIdx + key.length)
+      val end = body.indexOf('}')
+      if (end < 0) Map.empty
+      else "\"([^\"]+)\":(-?[0-9.]+(?:[Ee][+-]?[0-9]+)?)".r
+        .findAllMatchIn(body.substring(0, end))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** The time above which a query's min is considered contaminated.
+    * Absolute rule: 10 s (no query's steady state exceeds it at sf0.1).
+    * Relative rule (when a prior-round time exists): 2x prior, floored
+    * at 1 s so sub-second queries aren't flagged for ordinary jitter.
+    * Suspect when EITHER trips — i.e. the ceiling is the min of the two. */
+  private[graft] def suspectCeil(prior: Option[Double]): Double =
+    prior.fold(10.0)(p => math.min(10.0, math.max(1.0, 2.0 * p)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -122,6 +160,14 @@ object Bench {
     // episode (healthy full run ≈ 100 s) — degrade to one 10 s-capped
     // run per remaining query so the final emit is always reached.
     val totalBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOTAL_BUDGET", "1500").toDouble
+    // Cross-round regression baseline: the prior round's committed
+    // artifact. Read BEFORE any emit can overwrite the default path.
+    val priorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json")
+    val prior: Map[String, Double] =
+      try parsePriorTimes(java.nio.file.Files.readString(java.nio.file.Paths.get(priorFile)))
+      catch { case _: Throwable => Map.empty }
+    if (prior.nonEmpty)
+      System.err.println(s"[bench] regression guard armed: ${prior.size} prior times from $priorFile")
     val benchT0 = System.nanoTime()
     def benchElapsed: Double = (System.nanoTime() - benchT0) / 1e9
     val watchdog = new java.util.Timer("bench-watchdog", true)
@@ -170,12 +216,15 @@ object Bench {
       }
       val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // suspect = still above the contamination ceiling when the
+      // attempts stopped (budget hit, run cancelled, or retries
+      // exhausted): the min likely reflects a host-paging episode, not
+      // the engine. The ceiling is absolute (10 s) AND relative to the
+      // prior round's recorded time for this query (2x, floored 1 s) —
+      // see suspectCeil.
+      val ceil = suspectCeil(prior.get(name))
       def record(): Unit = acc.synchronized {
-        // suspect = still above the 10 s steady-state ceiling when the
-        // attempts stopped (budget hit, run cancelled, or retries
-        // exhausted): the min likely reflects a host-paging episode,
-        // not the engine.
-        acc.put(name, (times.min, times.min > 10.0))
+        acc.put(name, (times.min, times.min > ceil))
       }
       def remaining: Double = queryBudget - times.sum
       if (benchElapsed > totalBudget) {
@@ -188,13 +237,15 @@ object Bench {
         // Host-paging insurance (see pagingProbe): no query's steady
         // state exceeds 10 s, so if even the BEST run did, every attempt
         // likely landed in a host-paging episode (measured 40-230 s
-        // stalls that vanish on the next run). Two bounded extra
-        // attempts catch a calm window instead of recording a 20-200x
-        // contaminated min — but never past the query budget (r5:
-        // retrying an already-stalled query up to 5x pushed the whole
-        // bench past the driver timeout).
+        // stalls that vanish on the next run). Same logic for a min
+        // above 2x the prior round's time (the r9 failure mode: a
+        // paging episode spanning all three reps of a 0.5 s query). Two
+        // bounded extra attempts catch a calm window instead of
+        // recording a 20-200x contaminated min — but never past the
+        // query budget (r5: retrying an already-stalled query up to 5x
+        // pushed the whole bench past the driver timeout).
         var extra = 0
-        while (extra < 2 && times.min > 10.0 && remaining > 0) {
+        while (extra < 2 && times.min > ceil && remaining > 0) {
           times += run1(remaining); record(); extra += 1
         }
         record()

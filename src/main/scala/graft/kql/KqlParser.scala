@@ -64,7 +64,12 @@ import org.apache.spark.sql.functions._
   * the `array_*` tier (length/sort_asc/reverse/concat/index_of/sum,
   * ADX index conventions preserved), series pointwise math
   * `series_add/subtract/multiply/divide/sum/avg` (zip_with/aggregate
-  * HOFs over make-series arrays), date helpers
+  * HOFs over make-series arrays) and the series ANALYSIS tier
+  * (`series_fit_line[_dynamic]` least-squares over the index axis,
+  * `series_stats_dynamic`, `series_outliers` z-scores,
+  * `series_decompose[_anomalies]` — deterministic moving-average
+  * trend + k-sigma residual flags; deviations from ADX's Tukey/STL
+  * internals documented at each builder), date helpers
   * (`startofday/month/year`, `now()`,
   * `ago(<timespan>)` — the latter two nondeterministic, dashboard
   * filters only), timespan literals in `bin()`,
@@ -1917,7 +1922,11 @@ object KqlParser {
                 // binary ops zip_with, reductions fold. Interpreted
                 // lambdas, but over dashboard-sized arrays (bounded by
                 // the make-series step count) — same tradeoff as
-                // mv-apply, documented there.
+                // mv-apply, documented there. The analysis tier
+                // (fit_line / stats / outliers / decompose*) inlines its
+                // shared sub-expressions rather than binding them (Spark
+                // SQL expressions have no let) — the emitted SQL is
+                // multi-KB but evaluates over step-count-sized arrays.
                 sfn match {
                   case "series_add" | "series_subtract" | "series_multiply" | "series_divide" =>
                     require(args.length == 2, s"$sfn expects (series, series)")
@@ -1928,12 +1937,62 @@ object KqlParser {
                     out.append(s"zip_with(${args(0)}, ${args(1)}, (x, y) -> x $op y)")
                   case "series_sum" =>
                     require(args.length == 1, "series_sum expects (series)")
-                    out.append(s"aggregate(${args(0)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+                    out.append(seriesSum(args(0)))
                   case "series_avg" =>
                     require(args.length == 1, "series_avg expects (series)")
-                    out.append(s"(aggregate(${args(0)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size(${args(0)}))")
+                    out.append(s"(${seriesSum(args(0))} / size(${args(0)}))")
+                  case "series_fit_line" =>
+                    // ADX returns a 6-tuple into multiple columns; the
+                    // tuple-assign extend form isn't supported here —
+                    // deviation: the single-value form yields line_fit
+                    // (the fitted array); the scalar components come
+                    // from series_fit_line_dynamic's bag, mirroring
+                    // ADX's own _dynamic variant.
+                    require(args.length == 1, "series_fit_line expects (series)")
+                    out.append(seriesLineFit(args(0)))
+                  case "series_fit_line_dynamic" =>
+                    require(args.length == 1, "series_fit_line_dynamic expects (series)")
+                    out.append(seriesFitLineDynamic(args(0)))
+                  case "series_stats_dynamic" =>
+                    require(args.length == 1, "series_stats_dynamic expects (series)")
+                    out.append(seriesStatsDynamic(args(0)))
+                  case "series_outliers" =>
+                    // Deviation (documented): ADX scores by Tukey fences
+                    // (quartile-based); this engine emits the z-score
+                    // (x - mean) / population-stdev per point — the same
+                    // monotone "how anomalous" axis, deterministic and
+                    // oracle-expressible without interpolated quantiles.
+                    require(args.length == 1, "series_outliers expects (series)")
+                    out.append(seriesZScores(args(0)))
+                  case "series_decompose" =>
+                    // Deviation (documented): ADX fits an STL-style
+                    // seasonal component with auto period detection;
+                    // this engine is deterministic-by-construction —
+                    // trend = 7-point centered moving average (edge
+                    // windows clamp), seasonal = 0 (no season model),
+                    // baseline = trend, residual = series - baseline.
+                    require(args.length == 1, "series_decompose expects (series)")
+                    val t = seriesTrend(args(0))
+                    out.append(
+                      s"named_struct('baseline', $t, 'seasonal', transform(${args(0)}, x -> CAST(0 AS DOUBLE)), " +
+                      s"'trend', $t, 'residual', ${seriesResidual(args(0))})")
+                  case "series_decompose_anomalies" =>
+                    // Deviation (documented): anomaly flags are k-sigma
+                    // on the residual against the same moving-average
+                    // trend as series_decompose (ADX: seasonal
+                    // decomposition + Tukey on residual). Returns ADX's
+                    // three outputs as one bag: ad_flag (+1/-1/0),
+                    // ad_score (residual / population-stdev of
+                    // residuals), baseline (the trend). Default
+                    // threshold 1.5 matches ADX.
+                    require(args.nonEmpty && args.length <= 2,
+                      "series_decompose_anomalies expects (series [, threshold])")
+                    val k = if (args.length == 2) args(1) else "1.5"
+                    out.append(seriesAnomalies(args(0), k))
                   case other => throw new IllegalArgumentException(
-                    s"unsupported series function '$other' (supported: series_add/subtract/multiply/divide/sum/avg)")
+                    s"unsupported series function '$other' (supported: series_add/subtract/" +
+                    "multiply/divide/sum/avg/fit_line/fit_line_dynamic/stats_dynamic/" +
+                    "outliers/decompose/decompose_anomalies)")
                 }
               case "array_index_of" =>
                 // ADX: 0-based index, -1 when absent. Spark
@@ -2166,5 +2225,133 @@ object KqlParser {
     }
     if (found < 0) (s.trim, None)
     else (s.substring(0, found).trim, Some(s.substring(found + 2).trim))
+  }
+
+  // ------------------------------------------------------------------
+  // series analysis SQL builders (r10). Each returns a Spark SQL
+  // expression STRING over a series (array) expression `s`. Shared
+  // sub-terms are inlined — Spark SQL expressions have no let-binding —
+  // so the emitted text is large, but it evaluates per row over arrays
+  // bounded by the make-series step count, and every term is a codegen
+  // or HOF built-in (no UDFs). Determinism notes: all reductions are
+  // left-to-right folds, so a DuckDB oracle that sums in index order
+  // reproduces them bit-for-bit on count-valued series; fractional
+  // outputs should be rounded in queries (same convention as
+  // series_avg's round(..., 6) usage).
+
+  /** Left-to-right fold sum of a DOUBLE series. */
+  private def seriesSum(s: String): String =
+    s"aggregate($s, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** size(s) as DOUBLE (every formula below divides by it). */
+  private def seriesN(s: String): String = s"CAST(size($s) AS DOUBLE)"
+
+  /** Sum of i * s[i] (0-based) via a struct-accumulator fold — Spark's
+    * binary `aggregate` lambda has no index parameter. */
+  private def seriesSumIy(s: String): String =
+    s"aggregate($s, named_struct('i', CAST(0 AS DOUBLE), 'v', CAST(0 AS DOUBLE)), " +
+    s"(acc, x) -> named_struct('i', acc.i + 1, 'v', acc.v + acc.i * x), acc -> acc.v)"
+
+  /** Least-squares slope over x = 0..n-1: closed-form Σx and Σx² (the
+    * axis is the index), one data pass each for Σy and Σxy. */
+  private def seriesSlope(s: String): String = {
+    val n = seriesN(s)
+    val sx = s"(($n - 1) * $n / 2)"
+    val sxx = s"(($n - 1) * $n * (2 * $n - 1) / 6)"
+    s"(($n * ${seriesSumIy(s)} - $sx * ${seriesSum(s)}) / ($n * $sxx - $sx * $sx))"
+  }
+
+  /** Least-squares intercept (depends on slope). */
+  private def seriesIntercept(s: String): String = {
+    val n = seriesN(s)
+    s"((${seriesSum(s)} - ${seriesSlope(s)} * (($n - 1) * $n / 2)) / $n)"
+  }
+
+  /** The fitted line as an array: intercept + slope * i. */
+  private[kql] def seriesLineFit(s: String): String =
+    s"transform($s, (x, i) -> ${seriesIntercept(s)} + ${seriesSlope(s)} * i)"
+
+  /** Population variance of a series. */
+  private def seriesVarPop(s: String): String = {
+    val n = seriesN(s)
+    val mean = s"(${seriesSum(s)} / $n)"
+    s"(aggregate($s, CAST(0 AS DOUBLE), (acc, x) -> acc + (x - $mean) * (x - $mean)) / $n)"
+  }
+
+  /** ADX series_fit_line_dynamic: bag of {rsquare, slope, variance,
+    * rvariance, interception, line_fit}. variance/rvariance are
+    * population variances of the input / the fit residuals (documented;
+    * ADX does not pin its divisor publicly). rsquare = 1 - SSres/SStot,
+    * null for a constant series (SStot = 0). */
+  private[kql] def seriesFitLineDynamic(s: String): String = {
+    val n = seriesN(s)
+    val mean = s"(${seriesSum(s)} / $n)"
+    val resid = s"zip_with($s, ${seriesLineFit(s)}, (x, y) -> x - y)"
+    val ssres = s"aggregate($resid, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"
+    val sstot = s"aggregate($s, CAST(0 AS DOUBLE), (acc, x) -> acc + (x - $mean) * (x - $mean))"
+    s"named_struct(" +
+      s"'rsquare', (1 - $ssres / nullif($sstot, CAST(0 AS DOUBLE))), " +
+      s"'slope', ${seriesSlope(s)}, " +
+      s"'variance', ${seriesVarPop(s)}, " +
+      s"'rvariance', ($ssres / $n), " +
+      s"'interception', ${seriesIntercept(s)}, " +
+      s"'line_fit', ${seriesLineFit(s)})"
+  }
+
+  /** ADX series_stats_dynamic: {min, min_idx, max, max_idx, avg, stdev,
+    * variance, sum, len}. Deviations: variance/stdev are POPULATION
+    * moments (divisor n — same convention as the decompose tier so the
+    * two agree on a shared series); idx fields are the FIRST occurrence
+    * (ADX likewise). */
+  private[kql] def seriesStatsDynamic(s: String): String = {
+    val n = seriesN(s)
+    s"named_struct(" +
+      s"'min', array_min($s), " +
+      s"'min_idx', CAST(array_position($s, array_min($s)) - 1 AS INT), " +
+      s"'max', array_max($s), " +
+      s"'max_idx', CAST(array_position($s, array_max($s)) - 1 AS INT), " +
+      s"'avg', (${seriesSum(s)} / $n), " +
+      s"'stdev', sqrt(${seriesVarPop(s)}), " +
+      s"'variance', ${seriesVarPop(s)}, " +
+      s"'sum', ${seriesSum(s)}, " +
+      s"'len', size($s))"
+  }
+
+  /** Per-point z-scores: (x - mean) / population stdev; 0 for a
+    * constant series (stdev = 0) rather than null/NaN. */
+  private[kql] def seriesZScores(s: String): String = {
+    val n = seriesN(s)
+    val mean = s"(${seriesSum(s)} / $n)"
+    val sd = s"sqrt(${seriesVarPop(s)})"
+    s"transform($s, x -> CASE WHEN $sd = 0 THEN CAST(0 AS DOUBLE) ELSE (x - $mean) / $sd END)"
+  }
+
+  /** 7-point centered moving-average trend; edge windows clamp to the
+    * array (so the first point averages indices 0..3). slice() is
+    * 1-based; indices below are the 0-based window bounds. */
+  private[kql] def seriesTrend(s: String): String = {
+    val lo = "greatest(0, i - 3)"
+    val hi = s"least(size($s) - 1, i + 3)"
+    s"transform($s, (x, i) -> aggregate(slice($s, $lo + 1, $hi - $lo + 1), " +
+    s"CAST(0 AS DOUBLE), (acc, y) -> acc + y) / ($hi - $lo + 1))"
+  }
+
+  /** Residual against the moving-average trend. */
+  private def seriesResidual(s: String): String =
+    s"zip_with($s, ${seriesTrend(s)}, (x, t) -> x - t)"
+
+  /** k-sigma anomaly bag over the trend residual: {ad_flag (+1/-1/0),
+    * ad_score (residual / population stdev of residuals; 0 when the
+    * stdev is 0), baseline (the trend)}. */
+  private[kql] def seriesAnomalies(s: String, k: String): String = {
+    val r = seriesResidual(s)
+    val n = seriesN(s)
+    val sd = s"sqrt(greatest(aggregate($r, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x) / $n " +
+      s"- (${seriesSum(r)} / $n) * (${seriesSum(r)} / $n), CAST(0 AS DOUBLE)))"
+    s"named_struct(" +
+      s"'ad_flag', transform($r, x -> CASE WHEN $sd = 0 THEN 0 " +
+        s"WHEN x > ($k) * $sd THEN 1 WHEN x < -(($k)) * $sd THEN -1 ELSE 0 END), " +
+      s"'ad_score', transform($r, x -> CASE WHEN $sd = 0 THEN CAST(0 AS DOUBLE) ELSE x / $sd END), " +
+      s"'baseline', ${seriesTrend(s)})"
   }
 }

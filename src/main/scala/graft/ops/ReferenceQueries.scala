@@ -212,6 +212,29 @@ object ReferenceQueries {
       || extend series = array_join(delta, ',')
       || project event_type, total, mean, series""".stripMargin
 
+  /** The r10 series-analysis tier over the same dense axis as
+    * [[kqlSeriesMathText]]: least-squares trend (`series_fit_line_dynamic`
+    * — slope/intercept/r² over the index axis), deterministic anomaly
+    * detection (`series_decompose_anomalies` — 7-point moving-average
+    * baseline, 1.5-sigma residual flags; the engine's documented
+    * deviation from ADX's STL/Tukey internals), per-point z-scores
+    * (`series_outliers`) and the `series_stats_dynamic` bag. Fractional
+    * outputs round to 6 dp DECIMAL (the cross-engine convention);
+    * count-valued series keep every sum exact in doubles, so slope and
+    * the flag comparisons are bit-reproducible in the oracle. */
+  val kqlSeriesAnomaliesText: String =
+    """Events
+      || make-series n = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+      || extend f = series_fit_line_dynamic(n), a = series_decompose_anomalies(n, 1.5), st = series_stats_dynamic(n)
+      || extend slope = cast(round(f.slope, 6) as decimal(18,6)),
+      |         icept = cast(round(f.interception, 6) as decimal(18,6)),
+      |         rsq = cast(round(f.rsquare, 6) as decimal(18,6))
+      || extend flags = array_join(a.ad_flag, ','),
+      |         n_out = cast(array_sum(series_multiply(a.ad_flag, a.ad_flag)) as bigint)
+      || extend peak_z = cast(round(array_max(series_outliers(n)), 6) as decimal(18,6))
+      || extend mn = st.min, mx = st.max, mx_i = st.max_idx
+      || project event_type, slope, icept, rsq, mn, mx, mx_i, n_out, peak_z, flags""".stripMargin
+
   /** The r9 filter-idiom tier over real data: `between` range filter,
     * `has_any` whole-term disjunction, `countof` occurrence counting,
     * and `dcountif` conditional distinct — the everyday ADX `where`
@@ -322,6 +345,7 @@ object ReferenceQueries {
       || sort by day_ms asc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_series_anomalies" -> kqlText(kqlSeriesAnomaliesText) _,
     "kql_series_math" -> kqlText(kqlSeriesMathText) _,
     "kql_filter_idioms" -> kqlText(kqlFilterIdiomsText) _,
     "kql_evaluate_pivot" -> kqlText(kqlEvaluatePivotText) _,
@@ -380,6 +404,92 @@ object ReferenceQueries {
          |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
          |  CAST(MAX(amount + 10) AS BIGINT) AS top
          |FROM orders_info GROUP BY city""".stripMargin,
+    // Arithmetic mirrors the parser's series builders op-for-op: every
+    // sum over the count-valued dense series is exact in doubles, so
+    // slope/intercept/trend/residual are bit-identical across engines;
+    // order-dependent sums of squares only drift in last ulps, absorbed
+    // by the 6 dp rounding, and the k-sigma flag comparison sits far
+    // from the threshold in ulp terms.
+    "kql_series_anomalies" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+        |g AS (SELECT event_type, i, CAST(COUNT(*) AS BIGINT) AS v FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 30)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, COALESCE(g.v, CAST(0 AS BIGINT)) AS vb,
+        |         CAST(COALESCE(g.v, 0) AS DOUBLE) AS v
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i),
+        |fit AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |         SUM(v) AS sy, SUM(i * v) AS sxy,
+        |         MIN(vb) AS mn, MAX(vb) AS mx
+        |  FROM dense GROUP BY 1),
+        |fit2 AS (
+        |  SELECT *, (n - 1) * n / 2 AS sx, (n - 1) * n * (2 * n - 1) / 6 AS sxx
+        |  FROM fit),
+        |fit3 AS (
+        |  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM fit2),
+        |fit4 AS (
+        |  SELECT *, (sy - slope * sx) / n AS icept, sy / n AS mean FROM fit3),
+        |res AS (
+        |  SELECT d.event_type, d.i, d.v, d.vb, f4.mean, f4.n,
+        |    d.v - (f4.icept + f4.slope * d.i) AS e,
+        |    d.v - f4.mean AS c
+        |  FROM dense d JOIN fit4 f4 USING (event_type)),
+        |fitstats AS (
+        |  SELECT event_type, SUM(e * e) AS ssres, SUM(c * c) AS sstot
+        |  FROM res GROUP BY 1),
+        |trend AS (
+        |  SELECT event_type, i, v,
+        |    AVG(v) OVER (PARTITION BY event_type ORDER BY i
+        |                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t
+        |  FROM dense),
+        |resid AS (SELECT event_type, i, v - t AS r FROM trend),
+        |sdc AS (
+        |  SELECT event_type,
+        |    sqrt(greatest(SUM(r * r) / COUNT(*)
+        |      - (SUM(r) / COUNT(*)) * (SUM(r) / COUNT(*)), 0)) AS sd
+        |  FROM resid GROUP BY 1),
+        |flagged AS (
+        |  SELECT resid.event_type, resid.i,
+        |    CASE WHEN sd = 0 THEN 0
+        |         WHEN r > 1.5 * sd THEN 1
+        |         WHEN r < -1.5 * sd THEN -1 ELSE 0 END AS flag
+        |  FROM resid JOIN sdc USING (event_type)),
+        |fl AS (
+        |  SELECT event_type,
+        |    string_agg(CAST(flag AS VARCHAR), ',' ORDER BY i) AS flags,
+        |    CAST(SUM(flag * flag) AS BIGINT) AS n_out
+        |  FROM flagged GROUP BY 1),
+        |zstat AS (
+        |  SELECT event_type, sqrt(SUM(c * c) / COUNT(*)) AS sdz
+        |  FROM res GROUP BY 1),
+        |zs AS (
+        |  SELECT res.event_type,
+        |    MAX(CASE WHEN sdz = 0 THEN 0 ELSE (v - mean) / sdz END) AS pz
+        |  FROM res JOIN zstat USING (event_type) GROUP BY 1),
+        |mxi AS (
+        |  SELECT d.event_type, CAST(MIN(d.i) AS INT) AS mx_i
+        |  FROM dense d JOIN fit4 f4 USING (event_type)
+        |  WHERE d.vb = f4.mx GROUP BY 1)
+        |SELECT f4.event_type,
+        |  CAST(round(f4.slope, 6) AS DECIMAL(18,6)) AS slope,
+        |  CAST(round(f4.icept, 6) AS DECIMAL(18,6)) AS icept,
+        |  CAST(round(1 - fs.ssres / NULLIF(fs.sstot, 0), 6) AS DECIMAL(18,6)) AS rsq,
+        |  f4.mn AS mn, f4.mx AS mx, mxi.mx_i, fl.n_out,
+        |  CAST(round(zs.pz, 6) AS DECIMAL(18,6)) AS peak_z,
+        |  fl.flags
+        |FROM fit4 f4
+        |JOIN fitstats fs USING (event_type)
+        |JOIN fl USING (event_type)
+        |JOIN zs USING (event_type)
+        |JOIN mxi USING (event_type)""".stripMargin,
     "kql_series_math" ->
       """WITH f AS (
         |  SELECT event_type,

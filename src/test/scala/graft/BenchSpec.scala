@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the cross-round regression guard added in r10 (VERDICT r9 item 1):
+  * the r9 artifact recorded 5.2 s for a query that re-runs at 0.9 s with
+  * `suspect: []`, because min-of-3 cannot defend against a host-paging
+  * episode spanning all three reps. The guard compares each query's min
+  * against the prior round's artifact and (a) grants bounded extra
+  * attempts, (b) flags `suspect`, when the min exceeds 2x prior.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("parsePriorTimes extracts the per-query map from an artifact line") {
+    val json =
+      """{"metric":"total","value":12.3,"unit":"sec","paging_probe":[1.0,1.1],""" +
+      """"suspect":[],"queries":{"q1_agg":0.46,"dedup_clusters":4.78,"tiny":9.0E-2},"sf":"/x"}"""
+    val m = Bench.parsePriorTimes(json)
+    assert(m === Map("q1_agg" -> 0.46, "dedup_clusters" -> 4.78, "tiny" -> 0.09))
+  }
+
+  test("parsePriorTimes is tolerant of garbage / missing key") {
+    assert(Bench.parsePriorTimes("") === Map.empty)
+    assert(Bench.parsePriorTimes("{\"metric\":\"total\"}") === Map.empty)
+    assert(Bench.parsePriorTimes("not json at all") === Map.empty)
+    assert(Bench.parsePriorTimes("{\"queries\":{") === Map.empty)
+  }
+
+  test("parsePriorTimes reads the committed prior-round artifact") {
+    // The real file this guard arms from: must stay parseable or the
+    // guard silently disarms.
+    val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    assume(java.nio.file.Files.exists(p))
+    val m = Bench.parsePriorTimes(java.nio.file.Files.readString(p))
+    assert(m.size > 100, s"expected the full query ledger, got ${m.size}")
+    assert(m.values.forall(t => t > 0 && t < 600))
+  }
+
+  test("suspectCeil: absolute 10 s rule when no prior exists") {
+    assert(Bench.suspectCeil(None) === 10.0)
+  }
+
+  test("suspectCeil: 2x prior, floored at 1 s, capped by the absolute rule") {
+    // r9 failure case: prior 0.46 s, artifact 5.2 s -> ceil 1.0, flagged.
+    assert(Bench.suspectCeil(Some(0.46)) === 1.0)
+    assert(5.2 > Bench.suspectCeil(Some(0.46)))
+    // mid-size query: 2x prior governs.
+    assert(Bench.suspectCeil(Some(2.0)) === 4.0)
+    // slow-but-legit query (dedup_clusters ~4.8 s): relative ceil 9.6 s
+    // still under the absolute rule; a healthy re-run is not flagged.
+    assert(Bench.suspectCeil(Some(4.8)) === 9.6)
+    // very slow prior never RAISES the ceiling past 10 s.
+    assert(Bench.suspectCeil(Some(8.0)) === 10.0)
+  }
+}

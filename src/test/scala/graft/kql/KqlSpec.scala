@@ -912,6 +912,81 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported series function"))
   }
 
+  test("parser: series_fit_line / _dynamic least-squares over the index axis") {
+    // y = 1 + 2x is fit exactly: slope 2, intercept 1, rsquare 1.
+    val reg = Map("T" -> Seq(Tuple1(Seq(1.0, 3.0, 5.0, 7.0, 9.0))).toDF("y"))
+    val r = KqlParser.run(
+      "T | extend f = series_fit_line_dynamic(y) " +
+        "| project lf = series_fit_line(y), sl = f.slope, ic = f.interception, " +
+        "rsq = f.rsquare, rv = f.rvariance", reg).collect().head
+    assert(r.getSeq[Double](0) == Seq(1.0, 3.0, 5.0, 7.0, 9.0))
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0)
+    // constant series: slope 0, rsquare null (SStot = 0).
+    val c = KqlParser.run(
+      "T2 | extend f = series_fit_line_dynamic(y) | project sl = f.slope, rsq = f.rsquare",
+      Map("T2" -> Seq(Tuple1(Seq(4.0, 4.0, 4.0))).toDF("y"))).collect().head
+    assert(c.getDouble(0) == 0.0 && c.isNullAt(1))
+  }
+
+  test("parser: series_stats_dynamic bag (population moments, first-occurrence idx)") {
+    val reg = Map("T" -> Seq(Tuple1(Seq(4.0, 1.0, 9.0, 1.0))).toDF("y"))
+    val r = KqlParser.run(
+      "T | extend s = series_stats_dynamic(y) " +
+        "| project mn = s.min, mni = s.min_idx, mx = s.max, mxi = s.max_idx, " +
+        "av = s.avg, vr = s.variance, sm = s.sum, ln = s.len", reg).collect().head
+    assert(r.getDouble(0) == 1.0 && r.getInt(1) == 1)
+    assert(r.getDouble(2) == 9.0 && r.getInt(3) == 2)
+    assert(r.getDouble(4) == 3.75 && r.getDouble(5) == 10.6875)
+    assert(r.getDouble(6) == 15.0 && r.getInt(7) == 4)
+  }
+
+  test("parser: series_outliers z-scores; constant series scores 0, not NaN") {
+    val reg = Map(
+      "T" -> Seq(Tuple1(Seq(0.0, 0.0, 0.0, 8.0))).toDF("y"),
+      "C" -> Seq(Tuple1(Seq(5.0, 5.0, 5.0))).toDF("y"))
+    // mean 2, varpop (4+4+4+36)/4 = 12, sd = 2*sqrt(3)
+    val z = KqlParser.run("T | project z = series_outliers(y)", reg)
+      .collect().head.getSeq[Double](0)
+    val sd = math.sqrt(12.0)
+    assert(z.zip(Seq(-2 / sd, -2 / sd, -2 / sd, 6 / sd))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(KqlParser.run("C | project z = series_outliers(y)", reg)
+      .collect().head.getSeq[Double](0) == Seq(0.0, 0.0, 0.0))
+  }
+
+  test("parser: series_decompose / _anomalies — moving-average trend, k-sigma flags") {
+    // 4 points: every 7-point window clamps to the whole array, so the
+    // trend is flat 2.0 and the residual is y - 2.
+    val reg = Map("T" -> Seq(Tuple1(Seq(0.0, 0.0, 0.0, 8.0))).toDF("y"))
+    val d = KqlParser.run(
+      "T | extend d = series_decompose(y) " +
+        "| project t = d.trend, s = d.seasonal, r = d.residual, b = d.baseline", reg)
+      .collect().head
+    assert(d.getSeq[Double](0) == Seq(2.0, 2.0, 2.0, 2.0))
+    assert(d.getSeq[Double](1) == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(d.getSeq[Double](2) == Seq(-2.0, -2.0, -2.0, 6.0))
+    assert(d.getSeq[Double](3) == d.getSeq[Double](0))
+    // residual [-2,-2,-2,6]: sd = sqrt(48/4) = 2*sqrt(3) ~ 3.46; only the
+    // +6 point exceeds 1.5*sd ~ 5.196.
+    val a = KqlParser.run(
+      "T | extend a = series_decompose_anomalies(y, 1.5) " +
+        "| project f = a.ad_flag, s = a.ad_score, b = a.baseline", reg).collect().head
+    assert(a.getSeq[Int](0) == Seq(0, 0, 0, 1))
+    assert(math.abs(a.getSeq[Double](1)(3) - 6.0 / math.sqrt(12.0)) < 1e-12)
+    assert(a.getSeq[Double](2) == Seq(2.0, 2.0, 2.0, 2.0))
+    // default threshold is 1.5 (same flags with the argument omitted)
+    val a2 = KqlParser.run(
+      "T | extend a = series_decompose_anomalies(y) | project f = a.ad_flag", reg)
+      .collect().head
+    assert(a2.getSeq[Int](0) == Seq(0, 0, 0, 1))
+    // tighter threshold flags the negatives too
+    val a3 = KqlParser.run(
+      "T | extend a = series_decompose_anomalies(y, 0.5) | project f = a.ad_flag", reg)
+      .collect().head
+    assert(a3.getSeq[Int](0) == Seq(-1, -1, -1, 1))
+  }
+
   test("parser: top-hitters ranks keys by count or by sum") {
     val reg = Map("T" -> Seq(
       ("a", 10), ("a", 1), ("b", 100), ("c", 1), ("c", 1), ("c", 1)).toDF("g", "v"))
