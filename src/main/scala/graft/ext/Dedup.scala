@@ -693,6 +693,57 @@ object Dedup {
   def spanCleanedCorpus(spark: SparkSession, sfDir: String): DataFrame =
     spanCleanedCorpusOn(Tables.documents(spark, sfDir))
 
+  /** The EXCISED form of the span cleaner — C4/RefinedWeb's actual
+    * applied semantics (Raffel et al. 2020 §2.2 cut the repeated
+    * three-sentence span; RefinedWeb's exact-substring pass removes the
+    * matched substring): cut every cross-doc duplicated k-word span out
+    * of the document and KEEP the remainder, instead of
+    * [[spanCleanedCorpusOn]]'s coarser drop-the-whole-doc rule. A word
+    * survives iff no duplicated span covers its position; the output
+    * carries the reconstructed remainder plus its word/char accounting,
+    * one row per input document (a fully-boilerplate doc keeps an empty
+    * remainder — the cut is a transform, not a filter).
+    *
+    * 100 TB shape: same two corpus-shuffles as the audit (hash groupBy
+    * to find cross-doc hashes; hash-keyed join back), then ONE extra
+    * doc_id-keyed aggregate collecting each doc's duplicated span
+    * STARTS (bounded by the doc's own span count — never corpus-sized
+    * state) and a map-side HOF rebuild: `filter(ws, (w, p) ->
+    * !exists(starts, ...))` runs per document with its own starts
+    * array, no window, no explode of covered positions (which would
+    * k-multiply the shuffle). */
+  def spanExcisedCorpusOn(docs: DataFrame, k: Int = 8): DataFrame = {
+    val words = docs.select(col("doc_id"), col("lang"), col("source"),
+      split(col("text"), " ").as("ws"))
+    val shingles = words
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $k), i -> array_join(slice(ws, i + 1, $k), ' '))"))
+        .as(Seq("i", "sh")))
+      .select(col("doc_id"), col("i"),
+        expr("cast(conv(substr(md5(sh),1,15),16,10) as bigint)").as("h"))
+    val crossDoc = shingles
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val starts = shingles.join(crossDoc, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("i"))).as("starts"))
+    words.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr(s"CASE WHEN starts IS NULL THEN ws ELSE " +
+          s"filter(ws, (w, p) -> NOT exists(starts, s -> p >= s AND p < s + $k)) END")
+          .as("kept"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
+        size(col("kept")).cast("long").as("kept_words"),
+        length(array_join(col("kept"), " ")).cast("long").as("kept_chars"),
+        array_join(col("kept"), " ").as("kept_text"))
+  }
+
+  def spanExcisedCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    spanExcisedCorpusOn(Tables.documents(spark, sfDir))
+
   /** Incremental near-dedup — the nightly-ingest shape: a NEW batch
     * (sources src10..src19) deduped against the already-curated BASE
     * corpus (src0..src9) without ever re-pairing the base against
@@ -866,6 +917,7 @@ object Dedup {
     "dedup_embedding" -> embeddingNearDups _,
     "dedup_span_audit" -> dupSpanAudit _,
     "dedup_span_cleaned" -> spanCleanedCorpus _,
+    "dedup_span_excised" -> spanExcisedCorpus _,
     "dedup_contamination_report" -> contaminationReport _,
   )
 
@@ -947,6 +999,34 @@ object Dedup {
         |drops AS (SELECT doc_id FROM audit WHERE n_dup * 2 > n_spans)
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
+    "dedup_span_excised" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS p0,
+        |    CAST(concat('0x', substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM words, UNNEST(range(1, len(ws) - 6)) AS t(i)
+        |  WHERE len(ws) >= 8),
+        |cross_doc AS (
+        |  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY h)
+        |  WHERE nd >= 2),
+        |starts AS (
+        |  SELECT DISTINCT doc_id, p0 FROM sh WHERE h IN (SELECT h FROM cross_doc)),
+        |wpos AS (
+        |  SELECT doc_id, lang, source, len(ws) AS n_words, ws[i] AS word, i - 1 AS p
+        |  FROM words, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+        |covered AS (
+        |  SELECT w.doc_id, w.lang, w.source, w.n_words, w.p, w.word,
+        |    MAX(CASE WHEN s.p0 IS NOT NULL THEN 1 ELSE 0 END) AS cov
+        |  FROM wpos w LEFT JOIN starts s
+        |    ON s.doc_id = w.doc_id AND w.p >= s.p0 AND w.p <= s.p0 + 7
+        |  GROUP BY w.doc_id, w.lang, w.source, w.n_words, w.p, w.word)
+        |SELECT doc_id, lang, source,
+        |  CAST(MAX(n_words) AS BIGINT) AS n_words,
+        |  CAST(COUNT(CASE WHEN cov = 0 THEN 1 END) AS BIGINT) AS kept_words,
+        |  CAST(length(COALESCE(string_agg(CASE WHEN cov = 0 THEN word END, ' ' ORDER BY p), '')) AS BIGINT) AS kept_chars,
+        |  COALESCE(string_agg(CASE WHEN cov = 0 THEN word END, ' ' ORDER BY p), '') AS kept_text
+        |FROM covered GROUP BY doc_id, lang, source""".stripMargin,
     "dedup_decontaminate" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |shingles AS (

@@ -309,4 +309,35 @@ class ExtSpec extends SparkSpec {
     val kept = Dedup.spanCleanedCorpusOn(d).collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 3L))
   }
+
+  test("span-excised corpus cuts the duplicated span, keeps the remainder") {
+    val shared = "one two three four five six seven eight" // exactly one 8-gram
+    val d = docs(
+      (0L, s"$shared alpha beta gamma", "en"),   // span at pos 0 → keep tail 3 words
+      (1L, s"pre amble $shared post", "en"),     // span at pos 2 → keep 'pre amble' + 'post'
+      (2L, "totally unrelated text with completely different words here now", "en"),
+      (3L, shared, "en"),                        // doc IS the span → empty remainder
+      (4L, "tiny doc", "en"))                    // shorter than k → untouched
+    val out = Dedup.spanExcisedCorpusOn(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 5) // a transform, not a filter: every doc keeps a row
+    def text(id: Long) = out(id).getString(out(id).fieldIndex("kept_text"))
+    def kw(id: Long) = out(id).getLong(out(id).fieldIndex("kept_words"))
+    assert(text(0L) == "alpha beta gamma" && kw(0L) == 3L)
+    assert(text(1L) == "pre amble post" && kw(1L) == 3L)
+    assert(text(2L) == "totally unrelated text with completely different words here now")
+    assert(text(3L) == "" && kw(3L) == 0L &&
+      out(3L).getLong(out(3L).fieldIndex("kept_chars")) == 0L)
+    assert(text(4L) == "tiny doc" && kw(4L) == 2L)
+    // accounting: n_words reflects the ORIGINAL length
+    assert(out(3L).getLong(out(3L).fieldIndex("n_words")) == 8L)
+    // overlapping duplicated spans merge their coverage: two docs share
+    // a 9-word run → two overlapping 8-gram spans, excised as one block
+    val o = docs(
+      (10L, "z1 one two three four five six seven eight nine z2", "en"),
+      (11L, "one two three four five six seven eight nine", "en"))
+    val ex = Dedup.spanExcisedCorpusOn(o).collect().map(r => r.getLong(0) -> r).toMap
+    assert(ex(10L).getString(ex(10L).fieldIndex("kept_text")) == "z1 z2")
+    assert(ex(11L).getString(ex(11L).fieldIndex("kept_text")) == "")
+  }
 }
