@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** Ingress boundary (SURVEY.md §2.A): the engine's contract starts at
   * the CDC topic — a frame with a string `value` column holding Debezium
@@ -28,19 +28,49 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
+  /** The wire schema `format("kafka")` emits (Spark's Kafka source
+    * contract — kafka-0-10-sql's fixed output columns). A substituted
+    * test source must reproduce it exactly so [[kafkaEnvelopes]]'
+    * projection exercises the same cast-from-binary path it runs
+    * against a live broker. */
+  val kafkaWireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
   /** Streaming Kafka ingress (production). `key`/`value` cast to string
     * exactly as the reference's converters declare
-    * (adx-sink-config.json:13-14). */
+    * (adx-sink-config.json:13-14).
+    *
+    * The source is INJECTABLE: `format`/`options`/`schema` default to
+    * the live-broker configuration, and a test substitutes a
+    * file-backed source carrying [[kafkaWireSchema]] (unknown options —
+    * the kafka.* ones — are ignored by other sources, per Spark's
+    * option-passing contract), so the binary→string projection below
+    * runs end-to-end in-sandbox even though no kafka connector jar nor
+    * broker exists here. The live path has still never executed against
+    * a real broker (S1/S4 stays `partial`) — but the code shape past
+    * `.load()` is the exercised one. */
   def kafkaEnvelopes(spark: SparkSession, bootstrapServers: String,
                      topic: String,
-                     startingOffsets: String = "earliest"): DataFrame =
-    spark.readStream
-      .format("kafka")
+                     startingOffsets: String = "earliest",
+                     format: String = "kafka",
+                     options: Map[String, String] = Map.empty,
+                     schema: Option[StructType] = None): DataFrame = {
+    var reader = spark.readStream
+      .format(format)
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
-      .load()
+    schema.foreach(s => reader = reader.schema(s))
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    reader.load()
       .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+  }
 
   /** Streaming file ingress: newline-delimited envelope JSON under
     * `path`, picked up per micro-batch. */

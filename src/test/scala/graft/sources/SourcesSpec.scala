@@ -39,6 +39,40 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafkaEnvelopes' projection runs end-to-end via source injection") {
+    // No kafka jar / broker exists in this sandbox, so substitute a
+    // parquet file-stream carrying Kafka's EXACT wire schema (binary
+    // key/value + topic/partition/offset/timestamp/timestampType) and
+    // drive the very same code path: readStream → .load() → the
+    // CAST(binary AS STRING) projection — then the full CDC decode.
+    val dir = Files.createTempDirectory("graft-kafka-shaped")
+    val ts = new java.sql.Timestamp(1700000000000L)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(envs.zipWithIndex.map { case (v, i) =>
+          org.apache.spark.sql.Row(
+            s"$i".getBytes("UTF-8"), v.getBytes("UTF-8"),
+            "myserver.inventory.orders_info", i % 3, i.toLong, ts, 0)
+        }), Sources.kafkaWireSchema)
+      .write.parquet(dir.toString + "/t")
+    val frame = Sources.kafkaEnvelopes(spark,
+      bootstrapServers = "unused:9092", topic = "myserver.inventory.orders_info",
+      format = "parquet",
+      options = Map("path" -> (dir.toString + "/t")),
+      schema = Some(Sources.kafkaWireSchema))
+    assert(frame.isStreaming)
+    assert(frame.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("key", StringType), ("value", StringType)))
+    val q = Cdc.unwrap(Cdc.decode(frame))
+      .writeStream.outputMode("append").format("memory").queryName("kafka_shaped")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("kafka_shaped")
+      assert(rows.count() == 5)
+      assert(rows.agg(sum("amount")).as[Long].head() == (1 to 5).map(100 + _).sum)
+    } finally q.stop()
+  }
+
   test("csv and json side-inputs load with declared schemas only") {
     val schema = StructType(Seq(
       StructField("id", IntegerType), StructField("name", StringType),
