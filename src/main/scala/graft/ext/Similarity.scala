@@ -90,10 +90,13 @@ object Similarity {
         col("cand_id"), col("cos"), col("rk").cast("int").as("rk"))
   }
 
-  /** IVF-style ANN: a fixed 16-centroid codebook (vectors vec_id < 16 —
-    * a deterministic stand-in for k-means training, which would be an
-    * offline job), every corpus vector assigned to its nearest centroid
-    * (the inverted lists), queries probing their nprobe=2 nearest lists.
+  /** IVF-style ANN serving from the TRAINED codebook — the same
+    * 16-centroid book [[trainedCentroids]] assembles from one
+    * [[ivfTrainStep]] Lloyd iteration (the train→serve handoff
+    * [[semanticDedup]] already uses; until r10 this path served from
+    * the raw seed vectors, a documented stand-in). Every corpus vector
+    * is assigned to its nearest centroid (the inverted lists), queries
+    * probe their nprobe=2 nearest lists.
     *
     * Scale shape: the codebook broadcasts (it's tiny even at nlist=65k),
     * assignment is one map-side pass over the corpus (at 100 TB the
@@ -105,8 +108,7 @@ object Similarity {
   def ivfTopK(spark: SparkSession, sfDir: String, nprobe: Int = 2,
               k: Int = 3): DataFrame = {
     val e = vecs(spark, sfDir)
-    val cents = broadcast(e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn")))
+    val cents = broadcast(trainedCentroids(spark, sfDir, 16))
     val scored = e.join(cents)
       .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
     val wAsg = org.apache.spark.sql.expressions.Window
@@ -270,11 +272,60 @@ object Similarity {
     * the trainer only emits centroids with members. */
   private[ext] def trainedCentroids(spark: SparkSession, sfDir: String,
                                     k: Int): DataFrame =
-    ivfTrainStep(spark, sfDir, k)
+    assembleCodebook(ivfTrainStep(spark, sfDir, k))
+
+  /** Long-form (cent_id, dim, mean) → vector-form (cent_id, cv, cn):
+    * the pivot every trainer→consumer handoff goes through. */
+  private def assembleCodebook(longForm: DataFrame): DataFrame =
+    longForm
       .groupBy(col("cent_id"))
       .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("dm"))
       .select(col("cent_id"), expr("transform(dm, x -> x.mean)").as("cv"))
       .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+
+  /** Multi-iteration IVF/k-means training driver — [[ivfTrainStep]]
+    * composed to `steps` Lloyd iterations, closing the one-step
+    * simplification: seeds (vec_id < k) → assign → 6-dp-rounded means →
+    * reassembled codebook → next assignment, emitting the FINAL
+    * codebook in [[ivfTrainStep]]'s long form. The driver loop is the
+    * [[graft.ext.TextAnalysis.bpeTrainOn]] shape — inherent to Lloyd's
+    * sequential dependency, with only codebook-sized (k×64-row) frames
+    * ever driver-side; each iteration's codebook localCheckpoints so
+    * the lineage stays O(1) in `steps` rather than stacking `steps`
+    * corpus scans into one plan (and the ContextCleaner can reclaim
+    * earlier iterations' blocks once unreferenced).
+    *
+    * Determinism across engines: means round to 6 dp at EVERY
+    * iteration, so summation-order drift is quantized away before it
+    * can compound — the unrolled DuckDB oracle reproduces the loop
+    * exactly. 100 TB shape per iteration: one corpus scan against a
+    * broadcast codebook + one (cent_id, dim)-keyed shuffle with
+    * map-side partial means; `steps` multiplies scans, never state. */
+  def ivfTrain(spark: SparkSession, sfDir: String, k: Int = 16,
+               steps: Int = 3): DataFrame = {
+    val e = vecs(spark, sfDir)
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn"))
+    var longForm: DataFrame = null
+    for (t <- 1 to steps) {
+      val scored = e.join(broadcast(cents))
+        .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
+      val wAsg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+      val assign = scored.withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("cent_id"), col("v"))
+      longForm = assign
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("mean"), count(lit(1)).as("n_members"))
+      // the LAST iteration's codebook is never consumed — skip its
+      // eager materialization (the caller reads the long form directly)
+      if (t < steps) cents = assembleCodebook(longForm).localCheckpoint(true)
+    }
+    longForm.select(col("cent_id"), col("dim").cast("int").as("dim"),
+      col("mean"), col("n_members"))
+  }
 
   /** Nearest-trained-centroid assignment (vec_id, cent_id) for
     * [[semanticDedup]]: one corpus scan against the broadcast trained
@@ -349,6 +400,7 @@ object Similarity {
     "sim_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_ivf_train_step" -> ((s: SparkSession, d: String) => ivfTrainStep(s, d)),
+    "sim_ivf_train" -> ((s: SparkSession, d: String) => ivfTrain(s, d)),
   )
 
   private[ext] val oracleVecs =
@@ -386,12 +438,14 @@ object Similarity {
        |    FROM d)
        |  WHERE rn = 1)""".stripMargin
 
-  /** The sim_semantic_dedup oracle for a given (k, τ) — mirrors the
-    * full train→assemble→assign→pair derivation so the registered
-    * default and any spec-level k stay provably in sync. */
-  private[ext] def semanticDedupOracle(k: Int, tau: Double): String =
-    s"""WITH $oracleVecs,
-       |seed AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e WHERE vec_id < $k),
+  /** CTE chain producing the TRAINED codebook `c(cent_id, cv, cn)` —
+    * seeds (vec_id < k) → one Lloyd assignment → 6-dp means →
+    * reassembled vectors — shared by every oracle that consumes the
+    * trainer's output ([[semanticDedupOracle]]; sim_ivf_topk) so the
+    * Spark handoff [[trainedCentroids]] and its oracle cannot drift
+    * apart. Expects an `e(vec_id, v, norm)` CTE in scope. */
+  private def trainedCodebookCte(k: Int): String =
+    s"""seed AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e WHERE vec_id < $k),
        |sc0 AS (
        |  SELECT e.vec_id, seed.cent_id, e.v,
        |    round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * seed.cv[i]))
@@ -410,7 +464,52 @@ object Similarity {
        |c AS (
        |  SELECT cent_id, list(mean ORDER BY dim) AS cv,
        |    sqrt(list_sum(list_transform(list(mean ORDER BY dim), x -> x * x))) AS cn
-       |  FROM tcl GROUP BY cent_id),
+       |  FROM tcl GROUP BY cent_id)""".stripMargin
+
+  /** The unrolled [[ivfTrain]] oracle: `steps` Lloyd iterations chained
+    * as CTEs (c0 = raw seeds; each c_t reassembles from t's 6-dp
+    * means), final SELECT reads the last iteration's long form. The
+    * per-iteration rounding is what makes the unroll reproducible —
+    * summation-order drift never compounds across steps. */
+  private[ext] def ivfTrainOracle(k: Int, steps: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH $oracleVecs,
+         |c0 AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e WHERE vec_id < $k),
+         |dims AS (SELECT unnest(range(0, 64)) AS dim)""".stripMargin)
+    for (t <- 1 to steps) {
+      sb.append(s""",
+                   |sc$t AS (
+                   |  SELECT e.vec_id, c.cent_id, e.v,
+                   |    round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+                   |      / (e.norm * c.cn), 6) AS ccos
+                   |  FROM e CROSS JOIN c${t - 1} c),
+                   |asg$t AS (
+                   |  SELECT cent_id, v FROM (
+                   |    SELECT cent_id, v,
+                   |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+                   |    FROM sc$t)
+                   |  WHERE rn = 1),
+                   |tcl$t AS (
+                   |  SELECT cent_id, dim, round(AVG(v[dim + 1]), 6) AS mean, COUNT(*) AS n_members
+                   |  FROM asg$t CROSS JOIN dims GROUP BY cent_id, dim),
+                   |c$t AS (
+                   |  SELECT cent_id, list(mean ORDER BY dim) AS cv,
+                   |    sqrt(list_sum(list_transform(list(mean ORDER BY dim), x -> x * x))) AS cn
+                   |  FROM tcl$t GROUP BY cent_id)""".stripMargin)
+    }
+    sb.append(s"""
+                 |SELECT cent_id, CAST(dim AS INTEGER) AS dim, mean,
+                 |  CAST(n_members AS BIGINT) AS n_members
+                 |FROM tcl$steps""".stripMargin)
+    sb.toString
+  }
+
+  /** The sim_semantic_dedup oracle for a given (k, τ) — mirrors the
+    * full train→assemble→assign→pair derivation so the registered
+    * default and any spec-level k stay provably in sync. */
+  private[ext] def semanticDedupOracle(k: Int, tau: Double): String =
+    s"""WITH $oracleVecs,
+       |${trainedCodebookCte(k)},
        |sc AS (
        |  SELECT e.vec_id, c.cent_id,
        |    round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
@@ -513,9 +612,10 @@ object Similarity {
          |        / (q.norm * c.norm), 6) DESC, c.vec_id ASC) AS rk
          |  FROM b q JOIN b c ON q.vec_id < 10 AND q.bucket = c.bucket AND q.vec_id <> c.vec_id)
          |WHERE rk <= 3""".stripMargin,
+    "sim_ivf_train" -> ivfTrainOracle(16, 3),
     "sim_ivf_topk" ->
       s"""WITH $oracleVecs,
-         |c AS (SELECT vec_id AS cent_id, v AS cv, norm AS cn FROM e WHERE vec_id < 16),
+         |${trainedCodebookCte(16)},
          |sc AS (
          |  SELECT e.vec_id, c.cent_id,
          |    round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))

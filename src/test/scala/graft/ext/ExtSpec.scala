@@ -136,6 +136,27 @@ class ExtSpec extends SparkSpec {
     assert(total == graft.ops.Tables.embeddings(spark, sfDir).count())
   }
 
+  test("multi-step IVF train: every vector stays assigned and the codebook moves") {
+    graft.functions.VectorFunctions.register(spark)
+    val n = graft.ops.Tables.embeddings(spark, sfDir).count()
+    val trained = Similarity.ivfTrain(spark, sfDir, k = 16, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(trained.nonEmpty && trained.keys.map(_._2).max == 63)
+    // membership counts are consistent across dims; total = corpus size
+    trained.groupBy(_._1._1).foreach { case (_, dims) =>
+      assert(dims.values.map(_._2).toSet.size == 1)
+    }
+    assert(trained.filter(_._1._2 == 0).values.map(_._2).sum == n)
+    // three Lloyd iterations move the codebook away from the one-step
+    // result (the corpus is random — a fixed point after one step would
+    // mean the loop isn't feeding the trained book back in)
+    val oneStep = Similarity.ivfTrainStep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(trained.exists { case (key, (mean, _)) =>
+      oneStep.get(key).exists(_ != mean)
+    })
+  }
+
   test("text quality: uniq_ratio and stop_ratio are exact fractions") {
     val d = docs((0L, "the the the a word", "en"))
     val q = TextAnalysis.qualityScoresOn(d).head()
