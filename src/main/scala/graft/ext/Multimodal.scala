@@ -50,6 +50,12 @@ object Multimodal {
     * partition. */
   trait MediaDecoder extends Serializable {
     def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Int)
+
+    /** w×h grayscale thumbnail (row-major luma 0..255) — the downscale
+      * step every perceptual hash (aHash/dHash/pHash) starts from. A
+      * real codec decodes + resamples; the stub derives the grid from
+      * the payload bytes deterministically. */
+    def grayGrid(kind: String, bytes: Array[Byte], w: Int, h: Int): Array[Int]
   }
 
   /** STUB codec — no real image/audio libs in this environment. Reads
@@ -60,6 +66,14 @@ object Multimodal {
       def u(i: Int): Int = bytes(i) & 0xFF
       (u(0) * 256 + u(1), u(2) * 256 + u(3), u(4), u(5) * 1000)
     }
+    /** Deterministic byte-spread "thumbnail": cell (x, y) reads payload
+      * byte (x*31 + y*17) mod len — identical bytes give identical
+      * grids (hamming 0), and the DuckDB oracle replays every cell from
+      * the md5 hex. */
+    override def grayGrid(kind: String, bytes: Array[Byte], w: Int, h: Int): Array[Int] =
+      Array.tabulate(w * h) { i =>
+        bytes(((i % w) * 31 + (i / w) * 17) % bytes.length) & 0xFF
+      }
   }
 
   /** Real pure-JVM image codec behind the same boundary: PNG/JPEG via
@@ -77,6 +91,20 @@ object Multimodal {
         require(img != null, "payload is not a decodable image")
         (img.getWidth, img.getHeight, 1, 0)
       } else StubDecoder.decode(kind, bytes)
+
+    /** Real downscale: nearest-neighbor sample of the decoded pixels,
+      * integer BT.601 luma — deterministic (no resampling filter, no
+      * float rounding ambiguity), so a 1-pixel edit perturbs at most a
+      * few cells and near-duplicate photos land at small hamming. */
+    override def grayGrid(kind: String, bytes: Array[Byte], w: Int, h: Int): Array[Int] =
+      if (kind == "image") {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "payload is not a decodable image")
+        Array.tabulate(w * h) { i =>
+          val rgb = img.getRGB((i % w) * img.getWidth / w, (i / w) * img.getHeight / h)
+          (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+        }
+      } else StubDecoder.grayGrid(kind, bytes, w, h)
   }
 
   /** Batched decode: typed mapPartitions so a real decoder could hoist
@@ -123,6 +151,104 @@ object Multimodal {
       .filter(col("kind") === "video")
       .select(col("media_id"), explode(col("frame_samples")).as("frame_idx"))
 
+  // ------------------------------------------------------------------
+  // image near-dup tier (r10): aHash/dHash perceptual fingerprints
+  // through the decoder seam, banded like Dedup.simhashPairs.
+
+  /** The image sub-corpus for perceptual dedup. The synthetic corpus
+    * has no byte-identical payloads, so every 48th document carries a
+    * PLANTED constant payload — the real-world analog of a site banner
+    * or logo recurring across pages, which is exactly what perceptual
+    * dedup exists to catch. (48 is a multiple of 3, so the planted ids
+    * are all image-kind rows of [[mediaTable]]'s round-robin.) */
+  def imageTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        when(col("doc_id") % 48 === 0,
+          unhex(concat(md5(lit("graft-banner")), md5(lit("graft-bannerx")))))
+          .otherwise(unhex(concat(md5(col("text")), md5(concat(col("text"), lit("x"))))))
+          .as("content"))
+
+  // private[ext], not private: Scala-private nests compile to
+  // JVM-private accessors, which Janino-generated encoder code cannot
+  // call (codegen falls back to interpreted with an ERROR log per query)
+  private[ext] case class GrayGrid(media_id: Long, g: Seq[Int])
+
+  /** 9×8 grayscale thumbnails through the codec seam (same batched
+    * mapPartitions boundary as [[decodeFeatures]]) — 9 wide so dHash
+    * has its horizontal neighbor, aHash reads columns 0..7. */
+  private def imageGrids(media: DataFrame, decoder: MediaDecoder): DataFrame = {
+    val input = media.select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])](
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+    input.mapPartitions { it =>
+      it.map { case (id, kind, bytes) =>
+        GrayGrid(id, decoder.grayGrid(kind, bytes, 9, 8).toSeq)
+      }
+    }(Encoders.product[GrayGrid]).toDF()
+  }
+
+  /** Per-image perceptual fingerprint as EIGHT 16-bit band ints:
+    * b0..b3 = aHash (bit set iff cell ≥ grid mean — compared as
+    * `cell*64 >= sum`, exact integer arithmetic, no float mean),
+    * b4..b7 = dHash (bit set iff cell < right neighbor). The 16-bit
+    * bands are simultaneously the LSH bucket keys (any equal band →
+    * candidate pair) and the hamming operands (`bit_count(a ^ b)`
+    * summed over bands) — no 64-bit value is ever materialized, which
+    * sidesteps sign-bit trouble in both engines. Derivation is
+    * relational (codegen HOFs over the grid array), so the DuckDB
+    * oracle replays it bit-for-bit. */
+  def imageFingerprintsOn(media: DataFrame,
+                          decoder: MediaDecoder = StubDecoder): DataFrame = {
+    // aHash cell i (0..63) lives at row i/8, col i%8 of the 9-wide grid
+    // (cast: SQL `div` widens to BIGINT, element_at wants INT)
+    def apos(i: String) = s"cast((($i) div 8) * 9 + (($i) % 8) + 1 as int)"
+    val asum = s"aggregate(sequence(0, 63), 0, (a, i) -> a + element_at(g, ${apos("i")}))"
+    def aband(b: Int) =
+      s"aggregate(sequence(0, 15), 0, (a, j) -> a + IF(" +
+      s"element_at(g, ${apos(s"$b * 16 + j")}) * 64 >= asum, cast(pow(2, j) as int), 0))"
+    def dband(b: Int) =
+      s"aggregate(sequence(0, 15), 0, (a, j) -> a + IF(" +
+      s"element_at(g, ${apos(s"$b * 16 + j")}) < element_at(g, ${apos(s"$b * 16 + j")} + 1), " +
+      s"cast(pow(2, j) as int), 0))"
+    imageGrids(media, decoder)
+      .withColumn("asum", expr(asum))
+      .select(col("media_id") +:
+        ((0 until 4).map(b => expr(aband(b)).as(s"b$b")) ++
+         (0 until 4).map(b => expr(dband(b)).as(s"b${b + 4}"))): _*)
+  }
+
+  /** Banded perceptual near-dup pairs — [[graft.ext.Dedup.simhashPairs]]'
+    * shape on images: candidates share at least one 16-bit band
+    * (8 shuffle equi-joins over a 9-int-wide relation — the blobs are
+    * touched once, at fingerprint time, never in the pair phase),
+    * verified by exact hamming over all 128 bits ≤ `maxHamming`.
+    * Identical payloads land at hamming 0; at 100 TB the band joins
+    * shuffle only (media_id, band) pairs and AQE's skew handling covers
+    * a hot banner band. */
+  def imageNearDupsOn(media: DataFrame, decoder: MediaDecoder = StubDecoder,
+                      maxHamming: Int = 10): DataFrame = {
+    val fp = imageFingerprintsOn(media, decoder)
+    val bands = (0 until 8).map(i => s"b$i")
+    val cand = bands.map { bc =>
+        fp.select(col("media_id").as("id_a"), col(bc).as("bk"))
+          .join(fp.select(col("media_id").as("id_b"), col(bc).as("bk")), "bk")
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+      }.reduce(_ union _).distinct()
+    val fa = fp.toDF(("id_a" +: bands.map(_ + "_a")): _*)
+    val fb = fp.toDF(("id_b" +: bands.map(_ + "_b")): _*)
+    cand.join(fa, "id_a").join(fb, "id_b")
+      .withColumn("hamming",
+        bands.map(b => expr(s"bit_count(${b}_a ^ ${b}_b)")).reduce(_ + _))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  def imageNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    imageNearDupsOn(imageTable(spark, sfDir))
+
   /** Typed-metadata analytics: aggregate by a nested struct field
     * (meta.lang) without touching the binary payload — the struct
     * projection prunes to the two metadata columns at the scan. */
@@ -138,13 +264,62 @@ object Multimodal {
     "mm_stats" -> mediaStats _,
     "mm_frame_samples" -> mediaFrames _,
     "mm_meta_stats" -> metaStats _,
+    "mm_phash_dupes" -> imageNearDups _,
   )
+
+  /** The mm_phash_dupes oracle: replay grid → aHash/dHash bands →
+    * banded candidates → hamming verify in DuckDB. Band expressions are
+    * generated (8 of them) so Spark and oracle share one formula. */
+  private def phashOracle: String = {
+    // g index for aHash cell i of the 9-wide grid (1-based list index)
+    def apos(i: String) = s"(($i) // 8) * 9 + (($i) % 8) + 1"
+    def aband(b: Int) =
+      s"CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
+      s"g[${apos(s"$b * 16 + j")}] * 64 >= asum THEN CAST(2 ** j AS INTEGER) ELSE 0 END)) AS INTEGER) AS b$b"
+    def dband(b: Int) =
+      s"CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
+      s"g[${apos(s"$b * 16 + j")}] < g[${apos(s"$b * 16 + j")} + 1] THEN CAST(2 ** j AS INTEGER) ELSE 0 END)) AS INTEGER) AS b${b + 4}"
+    val bandExprs = ((0 until 4).map(aband) ++ (0 until 4).map(dband)).mkString(",\n  ")
+    val anyBand = (0 until 8).map(i => s"x.b$i = y.b$i").mkString(" OR ")
+    val hamming = (0 until 8).map(i => s"bit_count(xor(fa.b$i, fb.b$i))").mkString(" + ")
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE WHEN doc_id % 48 = 0 THEN md5('graft-banner') ELSE md5(text) END AS h1,
+       |    CASE WHEN doc_id % 48 = 0 THEN md5('graft-bannerx') ELSE md5(text || 'x') END AS h2
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |bl AS (
+       |  SELECT media_id, list_transform(range(0, 32), j ->
+       |    CASE WHEN j < 16 THEN CAST(concat('0x', substr(h1, 2 * j + 1, 2)) AS INTEGER)
+       |         ELSE CAST(concat('0x', substr(h2, 2 * (j - 16) + 1, 2)) AS INTEGER) END) AS b
+       |  FROM imgs),
+       |gr AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, 72), i -> b[(i % 9 * 31 + i // 9 * 17) % 32 + 1]) AS g
+       |  FROM bl),
+       |ga AS (
+       |  SELECT media_id, g,
+       |    CAST(list_sum(list_transform(range(0, 64), i -> g[${apos("i")}])) AS INTEGER) AS asum
+       |  FROM gr),
+       |fp AS (
+       |  SELECT media_id,
+       |  $bandExprs
+       |  FROM ga),
+       |cand AS (
+       |  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+       |  FROM fp x JOIN fp y ON x.media_id < y.media_id AND ($anyBand))
+       |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM (
+       |  SELECT c.id_a, c.id_b, $hamming AS hamming
+       |  FROM cand c JOIN fp fa ON fa.media_id = c.id_a
+       |  JOIN fp fb ON fb.media_id = c.id_b)
+       |WHERE hamming <= 10""".stripMargin
+  }
 
   /** byte i (0-based) of md5(text) as an int, in DuckDB. */
   private def mdByte(i: Int): String =
     s"CAST(concat('0x', substr(md5(text), ${2 * i + 1}, 2)) AS INTEGER)"
 
   val oracleSql: Map[String, String] = Map(
+    "mm_phash_dupes" -> phashOracle,
     "mm_features" ->
       s"""SELECT doc_id AS media_id,
          |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

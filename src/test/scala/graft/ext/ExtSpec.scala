@@ -170,6 +170,42 @@ class ExtSpec extends SparkSpec {
     assert(TextAnalysis.langIdOn(d).head().getAs[String]("lang_pred") == "en")
   }
 
+  test("image near-dup: planted duplicates pair at hamming 0, near-dups at small hamming") {
+    def png(edit: Boolean, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 36; y <- 0 until 32)
+        img.setRGB(x, y, ((x * seed + y * 7) % 200) * 0x010101)
+      // touch-up lands ON a sampled cell: the 9x8 nearest-neighbor grid
+      // samples x in {0,4,8,...}, y in {0,4,...} of the 36x32 image
+      if (edit) img.setRGB(8, 8, 0xFFFFFF)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = Seq(
+      (0L, "image", png(edit = false, seed = 31)),
+      (1L, "image", png(edit = true, seed = 31)),   // near-dup of 0
+      (2L, "image", png(edit = false, seed = 113)), // unrelated
+      (3L, "image", png(edit = false, seed = 31)))  // exact dup of 0
+      .toDF("media_id", "kind", "content")
+    val pairs = Multimodal.imageNearDupsOn(media, Multimodal.ImageIoDecoder)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 3L)) == 0)        // byte-identical → hamming 0
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0 && pairs((0L, 1L)) <= 10)
+    assert(pairs((1L, 3L)) == pairs((0L, 1L))) // 3 is 0's twin
+    assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L })
+    // stub path: identical payload bytes also land at hamming 0
+    val stub = Seq(
+      (0L, "image", Array.fill[Byte](32)(7)),
+      (1L, "image", Array.fill[Byte](32)(7)),
+      (2L, "image", Array.tabulate[Byte](32)(i => (i * 41).toByte)))
+      .toDF("media_id", "kind", "content")
+    val sp = Multimodal.imageNearDupsOn(stub)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(sp((0L, 1L)) == 0 && !sp.contains((0L, 2L)))
+  }
+
   test("multimodal: real javax.imageio PNG decode runs through the same boundary") {
     // a generated 17x9 PNG (deterministic pixels) — no checked-in binary
     val img = new java.awt.image.BufferedImage(
