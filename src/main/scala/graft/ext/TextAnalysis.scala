@@ -676,7 +676,7 @@ object TextAnalysis {
     * runs, machines, and engine versions, no RNG state to coordinate
     * across 1000 executors — and the output is the per-(split, lang)
     * accounting a pipeline checks BEFORE shipping splits (leakage
-    * checks pair this with [[graft.ext.Dedup.decontaminate]]: dedup
+    * checks pair this with [[graft.ext.Dedup.decontaminatedCorpusOn]]: dedup
     * first, then split, or near-duplicates straddle the boundary).
     * Map-side hash + one small aggregate; no corpus shuffle. */
   def trainSplitOn(docs: DataFrame, testPct: Int = 10, valPct: Int = 10): DataFrame = {

@@ -340,10 +340,17 @@ object KqlParser {
         case "summarize" => df = summarize(df, rest, scoped)
         case "join" => df = join(df, rest, tables, lets)
         case "lookup" => df = lookupVerb(df, rest, tables, lets)
-        case "union" => df = unionVerb(df, rest, tables, lets)
+        case "union" =>
+          // withsource provenance: the piped-in left frame tags with
+          // the pipeline's root table name when it has one (datatable/
+          // print/range roots fall back to the literal "source")
+          df = unionVerb(df, rest, tables, lets,
+            leftLabel = if (tables.contains(tableName)) tableName else "source")
         case "sort" | "order" =>
           val body = stripLeadingBy(rest, verb)
+          // variant dotted sort keys rewrite like where/extend (r9 ADVICE)
           val items = sortItems(body, scoped)
+            .map { case (e, asc) => (rewriteVariantPaths(e, df), asc) }
           serialOrder = Some(orderSql(items))
           df = df.orderBy(items.map { case (e, asc) =>
             if (asc) expr(e).asc else expr(e).desc }: _*)
@@ -352,6 +359,7 @@ object KqlParser {
           rest match {
             case m(n, by) =>
               val items = sortItems(by, scoped)
+                .map { case (e, asc) => (rewriteVariantPaths(e, df), asc) }
               serialOrder = Some(orderSql(items))
               df = df.orderBy(items.map { case (e, asc) =>
                 if (asc) expr(e).asc else expr(e).desc }: _*)
@@ -495,8 +503,10 @@ object KqlParser {
     // Options before the parenthesized right side, in any order:
     // `kind=<kind>` and `hint.strategy = broadcast|shuffle` — ADX's
     // physical join hint, mapped to Spark's own: broadcast wraps the
-    // right side (exactly ADX's semantic — the hinted side ships to
-    // every node), shuffle pins a shuffle-hash join. Catalyst still
+    // LEFT frame (Kusto's broadcast join ships the left,
+    // small-by-convention side; Spark silently ignores the hint where
+    // that side must stream, e.g. the preserved side of a left outer
+    // join), shuffle pins a shuffle-hash join. Catalyst still
     // auto-broadcasts small sides without the hint; this is the
     // explicit override surface.
     var kind = "innerunique" // ADX's default for a bare `join`
@@ -552,11 +562,11 @@ object KqlParser {
     // the join keys before matching — one output row per (left key,
     // right row). Which left row survives a key collision is arbitrary
     // in ADX too; dropDuplicates reproduces that contract.
-    val left = if (kind == "innerunique") df.dropDuplicates(keyPairs.map(_._1)) else df
-    val hinted = hint match {
-      case Some("broadcast") => broadcast(right)
-      case Some("shuffle")   => right.hint("shuffle_hash")
-      case _ => right
+    val left0 = if (kind == "innerunique") df.dropDuplicates(keyPairs.map(_._1)) else df
+    val (left, hinted) = hint match {
+      case Some("broadcast") => (broadcast(left0), right)
+      case Some("shuffle")   => (left0, right.hint("shuffle_hash"))
+      case _ => (left0, right)
     }
     val cond = keyPairs.map { case (a, b) =>
       left(a) === hinted(renamed.getOrElse(b, b))
@@ -780,11 +790,17 @@ object KqlParser {
     * no shuffle. */
   private def unionVerb(df: DataFrame, rest: String,
                         tables: Map[String, DataFrame],
-                        lets: Map[String, String]): DataFrame = {
+                        lets: Map[String, String],
+                        leftLabel: String = "source"): DataFrame = {
     var r = rest.trim
     // Options in either order: kind=inner|outer and withsource=<Col>
     // (ADX's provenance column — each output row is tagged with the
-    // operand it came from; the piped-in left frame tags as "source").
+    // operand it came from). Labels follow ADX where a name exists: a
+    // bare table / tabular-let operand tags with that name, and the
+    // piped-in left frame tags with ITS root table name. Documented
+    // deviation: a parenthesized sub-pipeline tags with its query text
+    // (ADX synthesizes a generated name there), and a left frame rooted
+    // in datatable/print/range tags as the literal "source".
     var kind = "outer"
     var withSource: Option[String] = None
     val WithSrcRe = "(?is)^withsource\\s*=\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(.*)$".r
@@ -803,10 +819,13 @@ object KqlParser {
       }
     }
     val named: Seq[(String, DataFrame)] =
-      ("source" -> df) +: splitTopLevel(r, ',').map(_.trim).filter(_.nonEmpty).map { op =>
+      (leftLabel -> df) +: splitTopLevel(r, ',').map(_.trim).filter(_.nonEmpty).map { op =>
         if (op.startsWith("(")) {
           val close = matchingParen(op, 0)
-          op -> pipeline(op.substring(1, close).trim, tables, lets).df
+          val inner = op.substring(1, close).trim
+          // a parenthesized BARE table/let name still tags by name
+          val label = if (tables.contains(inner)) inner else op
+          label -> pipeline(inner, tables, lets).df
         } else op -> tables.getOrElse(op, throw new IllegalArgumentException(
           s"unknown table '$op' in union (known: ${tables.keys.mkString(", ")})"))
       }
@@ -1426,11 +1445,16 @@ object KqlParser {
   private def summarize(df: DataFrame, body: String,
                         lets: Map[String, String]): DataFrame = {
     import Kql.KqlOps
+    // variant dotted paths (d.k) resolve in aggregate args and group
+    // keys too — same rewrite where/extend/project apply (r9 ADVICE:
+    // `summarize sum(d.k)` previously hit Spark unrewritten and failed
+    // resolution with a confusing error)
+    val rw: String => String = sql => rewriteVariantPaths(sql, df)
     val (aggPart, byPart) = splitOnTopLevelBy(body)
-    val aggs = splitTopLevel(aggPart, ',').map(a => aggItem(a.trim, lets))
+    val aggs = splitTopLevel(aggPart, ',').map(a => aggItem(a.trim, lets, rw))
     byPart match {
       case Some(by) =>
-        df.summarize(aggs, splitTopLevel(by, ',').map(s => byItem(s.trim, lets)): _*)
+        df.summarize(aggs, splitTopLevel(by, ',').map(s => byItem(s.trim, lets, rw)): _*)
       case None => df.summarize(aggs)
     }
   }
@@ -1440,15 +1464,17 @@ object KqlParser {
     * out of the named branch: `x == 3` (body starts with `=`) and
     * `x =~ 'a'` (NamedRe eats the first `=` of `=~`, leaving a body
     * starting with `~`) both fall through to plain scalar parsing. */
-  private def byItem(item: String, lets: Map[String, String]): Column = item match {
+  private def byItem(item: String, lets: Map[String, String],
+                     rw: String => String = identity): Column = item match {
     case NamedRe(n, b) if !b.startsWith("=") && !b.startsWith("~") =>
-      expr(scalar(b.trim, lets)).as(n)
-    case _ => expr(scalar(item, lets))
+      expr(rw(scalar(b.trim, lets))).as(n)
+    case _ => expr(rw(scalar(item, lets)))
   }
 
   /** One aggregate item: `[name =] fn(args)`; default names follow KQL
     * (`count_`, `avg_amount`, `dcount_user`, ...). */
-  private def aggItem(item: String, lets: Map[String, String]): (String, Column) = {
+  private def aggItem(item: String, lets: Map[String, String],
+                      rw: String => String = identity): (String, Column) = {
     val (nameOpt, body) = item match {
       case NamedRe(n, b) => (Some(n), b.trim)
       case _ => (None, item)
@@ -1457,7 +1483,7 @@ object KqlParser {
     body match {
       case FnRe(fn, argsStr) =>
         val args = splitTopLevel(argsStr, ',').map(_.trim).filter(_.nonEmpty)
-        def arg(i: Int) = expr(scalar(args(i), lets))
+        def arg(i: Int) = expr(rw(scalar(args(i), lets)))
         def defName(suffix: String) =
           fn.toLowerCase + "_" + suffix.replaceAll("[^A-Za-z0-9]", "_")
         val (column, default) = fn.toLowerCase match {
@@ -1478,7 +1504,7 @@ object KqlParser {
             // approximate (T-digest); we keep the EXACT percentile so
             // results are oracle-comparable — a documented deviation in
             // the caller's favor.
-            (expr(s"percentile(${scalar(args(0), lets)}, (${args(1)}) / 100.0)"),
+            (expr(rw(s"percentile(${scalar(args(0), lets)}, (${args(1)}) / 100.0)")),
               defName(args(0)))
           case "stdev"    => (stddev_samp(arg(0)), defName(args(0)))
           case "variance" => (var_samp(arg(0)), defName(args(0)))
@@ -2005,11 +2031,20 @@ object KqlParser {
                 require(args.length == 1, "array_sum expects (array)")
                 out.append(s"aggregate(${args(0)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
               case "countof" =>
-                // plain (non-regex) occurrence count: length delta over
-                // a delete-replace, divided by the needle length
+                // ADX counts OVERLAPPING occurrences (countof('aaa',
+                // 'aa') = 2), so a delete-replace length delta is not
+                // enough when the needle can border itself — scan every
+                // start position instead. An interpreted HOF, but
+                // bounded by the string length (same budget class as
+                // the mv-apply lambdas); empty or too-long needles
+                // count 0 rather than generating a DESCENDING sequence.
                 require(args.length == 2,
                   s"countof expects (source, search): ${s.substring(i, close + 1)}")
-                out.append(s"((length(${args(0)}) - length(replace(${args(0)}, ${args(1)}, ''))) DIV length(${args(1)}))")
+                val (src, pat) = (args(0), args(1))
+                out.append(
+                  s"IF(length($pat) = 0 OR length($src) < length($pat), 0, " +
+                  s"aggregate(sequence(1, length($src) - length($pat) + 1), 0, " +
+                  s"(acc, p) -> acc + IF(substring($src, p, length($pat)) = $pat, 1, 0)))")
               case empt =>
                 require(args.length == 1,
                   s"$empt expects one argument: ${s.substring(i, close + 1)}")

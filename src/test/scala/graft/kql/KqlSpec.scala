@@ -391,6 +391,20 @@ class KqlSpec extends SparkSpec {
       """datatable(d:dynamic)[dynamic({"a": 1}), dynamic([1, 2])] | count""",
       Map.empty).collect().head.getLong(0)
     assert(mixed == 2L)
+    // variant dotted paths resolve directly in summarize aggregates,
+    // group keys and sort keys too (r9 ADVICE: previously only
+    // where/extend/project rewrote them)
+    val dt = """datatable(d:dynamic)[
+      |  dynamic({"g": "x", "n": 1}), dynamic({"g": "x", "n": 2}),
+      |  dynamic({"g": "y", "n": 10})]""".stripMargin.replace("\n", " ")
+    val agg = KqlParser.run(
+      s"$dt | summarize s = sum(tolong(d.n)) by g = tostring(d.g) | sort by s asc",
+      Map.empty).collect().map(r => (r.getString(r.fieldIndex("g")),
+        r.getLong(r.fieldIndex("s")))).toSeq
+    assert(agg == Seq(("x", 3L), ("y", 10L)))
+    val sorted = KqlParser.run(s"$dt | sort by tolong(d.n) desc | extend v = tolong(d.n) | project v",
+      Map.empty).collect().map(_.getLong(0)).toSeq
+    assert(sorted == Seq(10L, 2L, 1L))
   }
 
   test("parser: a column shadows a same-named let binding (ADX resolution order)") {
@@ -738,10 +752,18 @@ class KqlSpec extends SparkSpec {
       .collect().head.getLong(0) == 3L)
     assert(KqlParser.run("T | where s has_all ('beta', 'delta') | count", reg)
       .collect().head.getLong(0) == 1L)
-    // countof counts non-overlapping literal occurrences
+    // countof counts literal occurrences — OVERLAPPING, the ADX
+    // semantic: countof('aaa', 'aa') = 2 (r9 ADVICE fix; a
+    // replace-based count would say 1)
     val counts = KqlParser.run("T | extend n = countof(s, 'beta') | project n", reg)
-      .collect().map(_.getLong(0)).toSeq
-    assert(counts == Seq(1L, 2L, 0L, 0L))
+      .collect().map(_.getInt(0)).toSeq
+    assert(counts == Seq(1, 2, 0, 0))
+    val ov = Map("O" -> Seq("aaa", "aaaa", "ab", "").toDF("s"))
+    assert(KqlParser.run("O | extend n = countof(s, 'aa') | project n", ov)
+      .collect().map(_.getInt(0)).toSeq == Seq(2, 3, 0, 0))
+    // needle longer than source / empty source: 0, never an error
+    assert(KqlParser.run("O | extend n = countof(s, 'aaaaaaaa') | project n", ov)
+      .collect().map(_.getInt(0)).toSeq == Seq(0, 0, 0, 0))
     // dcountif: distinct values where the predicate holds
     val dc = KqlParser.run(
       "T | summarize d = dcountif(g, v >= 20) | project d", reg)
@@ -835,13 +857,23 @@ class KqlSpec extends SparkSpec {
     val out = KqlParser.run("A | union withsource=origin (B | extend v = v * 10)", reg)
       .collect().map(r => (r.getInt(0), r.getString(1))).toSet
     assert(out.map(_._1) == Set(1, 2, 30))
-    // the piped-in left frame tags as "source"; sub-pipelines as their text
-    assert(out.collect { case (v, o) if v <= 2 => o } == Set("source"))
+    // the piped-in left frame tags with its root table name (ADX);
+    // sub-pipelines tag with their text (documented deviation)
+    assert(out.collect { case (v, o) if v <= 2 => o } == Set("A"))
     assert(out.find(_._1 == 30).get._2.startsWith("(B"))
-    // with a plain table operand the tag is the table name
+    // with a plain table operand — bare or parenthesized — the tag is
+    // the table name
     val named = KqlParser.run("A | union withsource=origin B", reg)
       .collect().map(r => (r.getInt(0), r.getString(1))).toSet
     assert(named.contains((3, "B")))
+    val paren = KqlParser.run("A | union withsource=origin (B)", reg)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(paren.contains((3, "B")))
+    // a datatable-rooted left frame has no table name: literal "source"
+    val dt = KqlParser.run(
+      "datatable(v:int)[7] | union withsource=origin B", reg)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(dt == Set((7, "source"), (3, "B")))
   }
 
   test("parser: sample and sample-distinct are deterministic content-hash picks") {
@@ -879,7 +911,9 @@ class KqlSpec extends SparkSpec {
       "L" -> Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "x"),
       "R" -> Seq((1, 10), (2, 20)).toDF("k", "y"))
     val b = KqlParser.run("L | join kind=inner hint.strategy=broadcast (R) on k", reg)
+    // ADX broadcast join ships the LEFT (small-by-convention) side
     assert(b.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(b.queryExecution.executedPlan.toString.contains("BuildLeft"))
     assert(b.count() == 2L)
     // reversed option order parses identically
     val b2 = KqlParser.run("L | join hint.strategy=broadcast kind=inner (R) on k", reg)
