@@ -260,6 +260,8 @@ object KqlParser {
           ("mv-apply", r.stripPrefix("-apply").trim)
         case ("make", r) if r.startsWith("-series") =>
           ("make-series", r.stripPrefix("-series").trim)
+        case ("parse", r) if r.startsWith("-where") =>
+          ("parse-where", r.stripPrefix("-where").trim)
         case ("top", r) if r.startsWith("-nested") =>
           ("top-nested", r.stripPrefix("-nested").trim)
         case ("top", r) if r.startsWith("-hitters") =>
@@ -367,6 +369,27 @@ object KqlParser {
             case _ => throw new IllegalArgumentException(s"top expects 'top N by col': $rest")
           }
         case "parse" => df = parseVerb(df, rest, scoped)
+        case "parse-where" =>
+          df = parseVerb(df, rest, scoped, dropNonMatching = true)
+        case "facet" =>
+          // `facet by c1, c2` — ADX emits ONE TABLE PER facet column; a
+          // single-frame engine cannot, so the documented deviation is
+          // the long form (facet_column, value, count_), values
+          // stringified so facet columns of different types share one
+          // value column. The `with (subquery)` option is rejected
+          // loudly rather than half-supported.
+          val body = stripLeadingBy(rest, "facet")
+          require(!body.toLowerCase.contains("with"),
+            s"facet 'with (subquery)' is not supported; facet by columns only: $rest")
+          val cols = splitTopLevel(body, ',').map(_.trim)
+          require(cols.nonEmpty && cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+            s"facet expects 'facet by <col>[, <col>…]': $rest")
+          df = cols.map { c =>
+            df.groupBy(col(c).cast("string").as("value"))
+              .agg(count(lit(1)).as("count_"))
+              .select(lit(c).as("facet_column"), col("value"), col("count_"))
+          }.reduce(_.unionByName(_))
+          serialOrder = None
         case "top-nested" => df = topNestedVerb(df, rest, scoped)
         case "top-hitters" =>
           // `top-hitters N of key [by sumExpr]` — ADX's heavy-hitters
@@ -406,8 +429,11 @@ object KqlParser {
           // column except the pivot column and the aggregate's input,
           // ADX's rule. Other plugins are rejected loudly.
           val body0 = rest.trim
+          if (body0.toLowerCase.startsWith("bag_unpack")) {
+            df = bagUnpackVerb(df, body0); serialOrder = None
+          } else {
           require(body0.toLowerCase.startsWith("pivot"),
-            s"evaluate supports only the pivot plugin: $body0")
+            s"evaluate supports only the pivot and bag_unpack plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
             s"evaluate pivot expects pivot(col[, agg[, groupCols…]]): $body0")
@@ -430,6 +456,7 @@ object KqlParser {
             "pivot needs at least one remaining group column")
           df = df.groupBy(groupCols.map(col): _*).pivot(pivotCol).agg(aggCol)
           serialOrder = None
+          }
         case "mv-apply" => df = mvApplyVerb(df, rest, scoped)
         case "mv-expand" => df = mvExpandVerb(df, rest, scoped)
         case "make-series" => df = makeSeriesVerb(df, rest, scoped)
@@ -1181,7 +1208,8 @@ object KqlParser {
     * abort — and a no-match empty capture becomes null, not ''). One
     * `regexp_extract` per name — all codegen'd. */
   private def parseVerb(df: DataFrame, rest: String,
-                        lets: Map[String, String]): DataFrame = {
+                        lets: Map[String, String],
+                        dropNonMatching: Boolean = false): DataFrame = {
     var r = rest.trim
     val kind = if (hasKindOption(r)) {
       val eq = r.indexOf('=')
@@ -1236,7 +1264,11 @@ object KqlParser {
           regex.append(if (idx == tokens.length - 1) "(.*)" else "(.*?)")
       }
     }
-    names.zipWithIndex.foldLeft(df) { case (d, ((n, tOpt), gi)) =>
+    // parse-where: rows the pattern does not match are DROPPED (ADX)
+    // instead of parse's null-filled slots — one rlike filter on the
+    // same regex the captures use.
+    val base = if (dropNonMatching) df.filter(col(srcCol).rlike(regex.toString)) else df
+    names.zipWithIndex.foldLeft(base) { case (d, ((n, tOpt), gi)) =>
       val captured = d.withColumn(n, regexp_extract(col(srcCol), regex.toString, gi + 1))
       tOpt match {
         // '' (no match / empty capture) must become a typed NULL, and a
@@ -1246,6 +1278,72 @@ object KqlParser {
         case None => captured
       }
     }
+  }
+
+  /** `evaluate bag_unpack(col [, 'prefix'])` — expand a dynamic
+    * (VARIANT) property bag's top-level keys into columns. The output
+    * schema is discovered driver-side via `schema_of_variant_agg` (the
+    * same eager-evaluation class as `toscalar` and pivot's value scan —
+    * ADX's plugin also scans to infer its schema). Primitive-typed keys
+    * cast through `variant_get(col, path, type)`; nested objects/arrays
+    * stay VARIANT. Documented deviations: unpacked columns append in
+    * ALPHABETICAL key order (ADX leaves order unspecified), and keys
+    * must be identifier-shaped (ADX would accept arbitrary strings). */
+  private def bagUnpackVerb(df: DataFrame, body: String): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      s"evaluate bag_unpack expects bag_unpack(col[, 'prefix']): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.nonEmpty, "bag_unpack needs the bag column")
+    val bagCol = args.head
+    require(bagCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bag_unpack column must be a column name: $bagCol")
+    require(df.schema(bagCol).dataType == org.apache.spark.sql.types.VariantType,
+      s"bag_unpack expects a dynamic (VARIANT) column: $bagCol is " +
+        df.schema(bagCol).dataType.simpleString)
+    val prefix = if (args.length >= 2) {
+      val p = args(1)
+      require(p.length >= 2 && (p.head == '\'' || p.head == '"') && p.last == p.head,
+        s"bag_unpack prefix must be a string literal: $p")
+      p.substring(1, p.length - 1)
+    } else ""
+    val ddl = df.select(expr(s"schema_of_variant_agg($bagCol)")).head().getString(0).trim
+    require(ddl.toUpperCase.startsWith("OBJECT<") || ddl.toUpperCase.startsWith("STRUCT<"),
+      s"bag_unpack expects an object bag; inferred '$ddl' for $bagCol")
+    val inner = ddl.substring(ddl.indexOf('<') + 1, ddl.length - 1)
+    val fields = splitTypeList(inner).map(_.trim).filter(_.nonEmpty).map { f =>
+      val ci = f.indexOf(':')
+      require(ci > 0, s"unparseable bag field '$f' in inferred schema $ddl")
+      (f.substring(0, ci).trim.stripPrefix("`").stripSuffix("`"),
+        f.substring(ci + 1).trim)
+    }
+    require(fields.forall(_._1.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"bag_unpack keys must be identifier-shaped, inferred: $ddl")
+    def nested(t: String) = Seq("OBJECT", "STRUCT", "ARRAY", "MAP", "VARIANT")
+      .exists(t.toUpperCase.startsWith)
+    fields.sortBy(_._1).foldLeft(df) { case (d, (k, t)) =>
+      val get =
+        if (nested(t)) s"variant_get($bagCol, '$$.$k')"
+        else s"variant_get($bagCol, '$$.$k', '${t.replace("'", "''")}')"
+      d.withColumn(prefix + k, expr(get))
+    }.drop(bagCol)
+  }
+
+  /** Split a DDL field list on top-level commas (angle brackets and
+    * parens nest: `a: MAP<STRING, BIGINT>, b: DECIMAL(18,2)`). */
+  private def splitTypeList(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('<' | '(' | '[') => depth += 1; cur.append(c)
+      case c @ ('>' | ')' | ']') => depth -= 1; cur.append(c)
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    parts += cur.toString
+    parts.toSeq
   }
 
   /** `datatable(col1:type1, ...)[v1, v2, ...]` — KQL's inline literal

@@ -235,6 +235,28 @@ object ReferenceQueries {
       || extend mn = st.min, mx = st.max, mx_i = st.max_idx
       || project event_type, slope, icept, rsq, mn, mx, mx_i, n_out, peak_z, flags""".stripMargin
 
+  /** `parse-where` — parse's row-dropping form (non-matching rows are
+    * filtered, not null-filled): split every doc containing 'spark'
+    * around its FIRST occurrence and account the fragment lengths. */
+  val kqlParseWhereText: String =
+    """Documents
+      || parse-where text with head 'spark' tail
+      || summarize docs = count(), head_chars = sum(strlen(head)),
+      |            tail_chars = sum(strlen(tail)) by lang""".stripMargin
+
+  /** `evaluate bag_unpack` — expand the events' dynamic props bag into
+    * typed columns (schema discovered from the data, prefix form) and
+    * aggregate the unpacked key. */
+  val kqlBagUnpackText: String =
+    """Events
+      || extend d = todynamic(props)
+      || evaluate bag_unpack(d, 'p_')
+      || summarize n = count(), total = sum(p_k), mx = max(p_k) by event_type""".stripMargin
+
+  /** `facet by` — the long-form single-frame adaptation (documented
+    * deviation: ADX emits one table per facet column). */
+  val kqlFacetText: String = "Orders | facet by city, custid"
+
   /** The r9 filter-idiom tier over real data: `between` range filter,
     * `has_any` whole-term disjunction, `countof` occurrence counting,
     * and `dcountif` conditional distinct — the everyday ADX `where`
@@ -345,6 +367,9 @@ object ReferenceQueries {
       || sort by day_ms asc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_parse_where" -> kqlText(kqlParseWhereText) _,
+    "kql_bag_unpack" -> kqlText(kqlBagUnpackText) _,
+    "kql_facet" -> kqlText(kqlFacetText) _,
     "kql_series_anomalies" -> kqlText(kqlSeriesAnomaliesText) _,
     "kql_series_math" -> kqlText(kqlSeriesMathText) _,
     "kql_filter_idioms" -> kqlText(kqlFilterIdiomsText) _,
@@ -404,6 +429,28 @@ object ReferenceQueries {
          |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
          |  CAST(MAX(amount + 10) AS BIGINT) AS top
          |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_parse_where" ->
+      """WITH m AS (
+        |  SELECT lang, position('spark' IN text) AS p, text FROM documents
+        |  WHERE text LIKE '%spark%')
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(p - 1) AS BIGINT) AS head_chars,
+        |  CAST(SUM(length(text) - p - 4) AS BIGINT) AS tail_chars
+        |FROM m GROUP BY lang""".stripMargin,
+    "kql_bag_unpack" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS total,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS mx
+        |FROM events GROUP BY event_type""".stripMargin,
+    "kql_facet" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT 'city' AS facet_column, city AS value,
+         |  CAST(COUNT(*) AS BIGINT) AS count_
+         |FROM orders_info GROUP BY city
+         |UNION ALL
+         |SELECT 'custid' AS facet_column, CAST(custid AS VARCHAR) AS value,
+         |  CAST(COUNT(*) AS BIGINT) AS count_
+         |FROM orders_info GROUP BY custid""".stripMargin,
     // Arithmetic mirrors the parser's series builders op-for-op: every
     // sum over the count-valued dense series is exact in doubles, so
     // slope/intercept/trend/residual are bit-identical across engines;

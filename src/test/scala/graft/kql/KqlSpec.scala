@@ -876,6 +876,59 @@ class KqlSpec extends SparkSpec {
     assert(dt == Set((7, "source"), (3, "B")))
   }
 
+  test("parser: parse-where drops non-matching rows; parse keeps them null-filled") {
+    val reg = Map("T" -> Seq("user=alice id=7", "user=bob id=9", "garbage line")
+      .toDF("s"))
+    val kept = KqlParser.run(
+      "T | parse-where s with 'user=' name ' id=' id:long | project name, id", reg)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(kept == Seq(("alice", 7L), ("bob", 9L)))
+    // plain parse keeps the garbage row with null slots
+    val all = KqlParser.run(
+      "T | parse s with 'user=' name ' id=' id:long | project name, id", reg)
+    assert(all.count() == 3L && all.filter("id IS NULL").count() == 1L)
+  }
+
+  test("parser: facet by emits the long-form (facet_column, value, count_) frame") {
+    val reg = Map("T" -> Seq(("a", 1), ("a", 2), ("b", 1)).toDF("g", "v"))
+    val out = KqlParser.run("T | facet by g, v", reg).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("g", "a", 2L), ("g", "b", 1L),
+      ("v", "1", 2L), ("v", "2", 1L)))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | facet by g with (where v > 1)", reg)
+    }
+    assert(e.getMessage.contains("facet"))
+  }
+
+  test("parser: evaluate bag_unpack expands a dynamic bag into typed columns") {
+    val q =
+      """datatable(k:string, d:dynamic)[
+        |  "a", dynamic({"n": 3, "city": "Austin"}),
+        |  "b", dynamic({"n": 7})]
+        || evaluate bag_unpack(d)""".stripMargin.replace("\n", " ")
+    val out = KqlParser.run(q, Map.empty)
+    // bag column replaced by its keys in alphabetical order, appended
+    assert(out.columns.toSeq == Seq("k", "city", "n"))
+    val rows = out.collect().map(r =>
+      (r.getString(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(rows == Set(("a", Some("Austin"), 3L), ("b", None, 7L)))
+    // prefix form
+    val pre = KqlParser.run(q + " | count", Map.empty) // smoke the plain form once more
+    assert(pre.collect().head.getLong(0) == 2L)
+    val prefixed = KqlParser.run(
+      """datatable(d:dynamic)[dynamic({"x": 1})] | evaluate bag_unpack(d, 'p_')""",
+      Map.empty)
+    assert(prefixed.columns.toSeq == Seq("p_x"))
+    // non-variant input is rejected loudly
+    val bad = intercept[IllegalArgumentException] {
+      KqlParser.run("T | evaluate bag_unpack(v)",
+        Map("T" -> Seq(1).toDF("v")))
+    }
+    assert(bad.getMessage.contains("VARIANT") || bad.getMessage.contains("dynamic"))
+  }
+
   test("parser: sample and sample-distinct are deterministic content-hash picks") {
     val reg = Map("T" -> Seq.tabulate(50)(i => (i.toLong, s"g${i % 5}")).toDF("id", "g"))
     val a = KqlParser.run("T | sample 7", reg).collect().map(_.getLong(0)).toSeq
