@@ -369,6 +369,45 @@ object KqlParser {
             case _ => throw new IllegalArgumentException(s"top expects 'top N by col': $rest")
           }
         case "parse" => df = parseVerb(df, rest, scoped)
+        case "partition" =>
+          // `partition by <col> ( subquery )` — ADX runs the subquery
+          // once per partition value. Desugared per supported form
+          // rather than executed as a driver loop (the wrong shape on a
+          // distributed frame): `top N by x [asc|desc]` → row_number
+          // window partitioned by the column (the canonical per-group
+          // top-k, KQL desc default preserved); `summarize …` → the
+          // same aggregates with the partition column appended to the
+          // group keys. Other sub-pipelines are rejected loudly.
+          val PartRe = "(?is)^by\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)$".r
+          rest.trim match {
+            case PartRe(pcol, sub0) =>
+              val sub = sub0.trim
+              val TopRe = "(?is)^top\\s+(\\d+)\\s+by\\s+(.+)$".r
+              sub match {
+                case TopRe(n, by) =>
+                  val items = sortItems(by, scoped)
+                  val w = org.apache.spark.sql.expressions.Window
+                    .partitionBy(col(pcol))
+                    .orderBy(items.map { case (e, asc) =>
+                      if (asc) expr(e).asc else expr(e).desc }: _*)
+                  df = df.withColumn("__graft_prk", row_number().over(w))
+                    .filter(col("__graft_prk") <= n.toInt)
+                    .drop("__graft_prk")
+                case _ if sub.toLowerCase.startsWith("summarize") &&
+                    sub.length > 9 && sub.charAt(9).isWhitespace =>
+                  val body = sub.drop(10).trim
+                  val (aggPart, byPart) = splitOnTopLevelBy(body)
+                  df = summarize(df,
+                    aggPart + " by " + byPart.map(_ + ", ").getOrElse("") + pcol,
+                    scoped)
+                case other => throw new IllegalArgumentException(
+                  "partition subquery must be 'top N by <expr>' or 'summarize …' " +
+                    s"(got: ${other.take(40)})")
+              }
+              serialOrder = None
+            case _ => throw new IllegalArgumentException(
+              s"partition expects 'partition by <col> ( <subquery> )': $rest")
+          }
         case "parse-where" =>
           df = parseVerb(df, rest, scoped, dropNonMatching = true)
         case "facet" =>
@@ -2205,6 +2244,32 @@ object KqlParser {
               out.append(s"timestampadd($unit, ${args(1)}, ${args(2)})")
             else // ADX order: dt1 - dt2; Spark diff is (start, end)
               out.append(s"timestampdiff($unit, ${args(2)}, ${args(1)})")
+            i = close + 1
+          case Some(w) if w.toLowerCase == "format_datetime" && {
+              var j = i + w.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              j < s.length && s.charAt(j) == '('
+            } =>
+            // ADX format_datetime(dt, 'yyyy-MM-dd HH:mm:ss') — the ADX
+            // specifier alphabet maps 1:1 onto Spark's datetime pattern
+            // except fractional seconds ('f' → 'S'). The format must be
+            // a literal (it becomes part of the plan), and only the ADX
+            // specifiers + plain separators are accepted — anything else
+            // would silently render wrong through Java pattern letters.
+            val open = s.indexOf('(', i + w.length)
+            val close = matchingParen(s, open)
+            val args = splitTopLevel(s.substring(open + 1, close), ',')
+              .map(a => scalar(a.trim, lets))
+            require(args.length == 2,
+              s"format_datetime expects (datetime, format): ${s.substring(i, close + 1)}")
+            val f = args(1).trim
+            require(f.length >= 2 && (f.head == '\'' || f.head == '"') && f.last == f.head,
+              s"format_datetime format must be a string literal: $f")
+            val fmt = f.substring(1, f.length - 1)
+            require(fmt.matches("[yMdHhmsf \\-:/.,_]*"),
+              s"unsupported format_datetime specifier in '$fmt' " +
+                "(supported: y M d H h m s f and separators - : / . , _ space)")
+            out.append(s"date_format(${args(0)}, '${fmt.replace('f', 'S')}')")
             i = close + 1
           case Some(w) if w.toLowerCase == "datetime" && {
               var j = i + w.length

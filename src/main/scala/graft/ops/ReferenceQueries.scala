@@ -257,6 +257,22 @@ object ReferenceQueries {
     * deviation: ADX emits one table per facet column). */
   val kqlFacetText: String = "Orders | facet by city, custid"
 
+  /** `partition by (top …)` — the per-group top-k desugar; only
+    * amount-derived aggregates are projected because `top 3 by amount`
+    * breaks ties arbitrarily (in ADX too): the chosen VALUE multiset is
+    * deterministic, row identity is not. */
+  val kqlPartitionTopText: String =
+    """Orders
+      || partition by city (top 3 by amount)
+      || summarize n = count(), total = sum(amount) by city""".stripMargin
+
+  /** `format_datetime` — ADX specifier alphabet over the events stream. */
+  val kqlFormatDatetimeText: String =
+    """Events
+      || extend day = format_datetime(ts, 'yyyy-MM-dd')
+      || summarize n = count() by day
+      || sort by day asc""".stripMargin
+
   /** The r9 filter-idiom tier over real data: `between` range filter,
     * `has_any` whole-term disjunction, `countof` occurrence counting,
     * and `dcountif` conditional distinct — the everyday ADX `where`
@@ -367,6 +383,8 @@ object ReferenceQueries {
       || sort by day_ms asc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_partition_top" -> kqlText(kqlPartitionTopText) _,
+    "kql_format_datetime" -> kqlText(kqlFormatDatetimeText) _,
     "kql_parse_where" -> kqlText(kqlParseWhereText) _,
     "kql_bag_unpack" -> kqlText(kqlBagUnpackText) _,
     "kql_facet" -> kqlText(kqlFacetText) _,
@@ -429,6 +447,18 @@ object ReferenceQueries {
          |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
          |  CAST(MAX(amount + 10) AS BIGINT) AS top
          |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_partition_top" ->
+      s"""${Sql.ordersInfoCte},
+         |ranked AS (
+         |  SELECT city, amount,
+         |    ROW_NUMBER() OVER (PARTITION BY city ORDER BY amount DESC) AS r
+         |  FROM orders_info)
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(amount) AS BIGINT) AS total
+         |FROM ranked WHERE r <= 3 GROUP BY city""".stripMargin,
+    "kql_format_datetime" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY day ASC""".stripMargin,
     "kql_parse_where" ->
       """WITH m AS (
         |  SELECT lang, position('spark' IN text) AS p, text FROM documents

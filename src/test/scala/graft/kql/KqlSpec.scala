@@ -929,6 +929,42 @@ class KqlSpec extends SparkSpec {
     assert(bad.getMessage.contains("VARIANT") || bad.getMessage.contains("dynamic"))
   }
 
+  test("parser: partition by desugars top-per-group and keyed summarize") {
+    val reg = Map("T" -> Seq(
+      ("a", 1), ("a", 5), ("a", 3), ("b", 9), ("b", 2)).toDF("g", "v"))
+    // top N by: per-group top-k with the KQL desc default
+    val top = KqlParser.run("T | partition by g (top 2 by v) | sort by g asc, v desc", reg)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(top == Seq(("a", 5), ("a", 3), ("b", 9), ("b", 2)))
+    // asc order honored
+    val asc = KqlParser.run("T | partition by g (top 1 by v asc)", reg)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(asc == Set(("a", 1), ("b", 2)))
+    // summarize appends the partition column to the group keys
+    val agg = KqlParser.run("T | partition by g (summarize s = sum(v)) | sort by g asc", reg)
+      .collect().map(r => (r.getString(r.fieldIndex("g")), r.getLong(r.fieldIndex("s")))).toSeq
+    assert(agg == Seq(("a", 9L), ("b", 11L)))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | partition by g (where v > 2)", reg)
+    }
+    assert(e.getMessage.contains("partition subquery"))
+  }
+
+  test("parser: format_datetime maps ADX specifiers onto date_format") {
+    val reg = Map("T" -> Seq(java.sql.Timestamp.valueOf("2024-03-05 07:08:09.123"))
+      .toDF("ts"))
+    val out = KqlParser.run(
+      "T | extend d = format_datetime(ts, 'yyyy-MM-dd'), " +
+        "t = format_datetime(ts, 'HH:mm:ss.fff') | project d, t", reg)
+      .collect().head
+    assert(out.getString(0) == "2024-03-05")
+    assert(out.getString(1) == "07:08:09.123")
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | extend x = format_datetime(ts, 'QQ')", reg)
+    }
+    assert(e.getMessage.contains("format_datetime"))
+  }
+
   test("parser: sample and sample-distinct are deterministic content-hash picks") {
     val reg = Map("T" -> Seq.tabulate(50)(i => (i.toLong, s"g${i % 5}")).toDF("id", "g"))
     val a = KqlParser.run("T | sample 7", reg).collect().map(_.getLong(0)).toSeq
@@ -1105,10 +1141,12 @@ class KqlSpec extends SparkSpec {
     assert(cnt.columns.toSeq == Seq("id", "v", "x", "y"))
     val narrow = KqlParser.run("T | evaluate pivot(k, sum(v), id)", reg)
     assert(narrow.columns.toSeq == Seq("id", "x", "y"))
+    // bag_unpack is supported since r10 — an UNKNOWN plugin still
+    // rejects loudly, naming the supported set
     val e = intercept[IllegalArgumentException] {
-      KqlParser.run("T | evaluate bag_unpack(v)", reg)
+      KqlParser.run("T | evaluate narrow()", reg)
     }
-    assert(e.getMessage.contains("pivot"))
+    assert(e.getMessage.contains("pivot") && e.getMessage.contains("bag_unpack"))
   }
 
   test("parser: row_cumsum restart argument resets the accumulation") {

@@ -25,6 +25,7 @@ class PlanSweepSpec extends SparkSpec {
   private val nonEquiAllowlist = Set(
     "join_range_quarters", "sim_topk_brute",
     "sim_ivf_topk", "sim_ivf_train_step",
+    "sim_ivf_train", // the same Lloyd assignment pass, iterated (corpus × k-centroid broadcast per step)
     "sim_pq_encode", "sim_pq_topk", // corpus/query × 16-codeword broadcast (PQ encode/ADC table)
     "sim_pq_train", // inherits pqCodes' assignment pass (corpus × 16-codeword broadcast)
     "sim_semantic_dedup", // SemDeDup's cluster assignment: corpus × 16-centroid broadcast; the pair stage itself equi-joins on cent_id
