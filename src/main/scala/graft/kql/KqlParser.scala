@@ -1361,6 +1361,14 @@ object KqlParser {
       s"bag_unpack keys must be identifier-shaped, inferred: $ddl")
     def nested(t: String) = Seq("OBJECT", "STRUCT", "ARRAY", "MAP", "VARIANT")
       .exists(t.toUpperCase.startsWith)
+    // a bag key colliding with an existing column would silently
+    // OVERWRITE it through withColumn — reject loudly instead and point
+    // at the prefix argument (ADX's OutputColumnPrefix exists for this)
+    val clash = fields.map(prefix + _._1).toSet
+      .intersect(df.columns.toSet - bagCol)
+    require(clash.isEmpty,
+      s"bag_unpack key(s) ${clash.mkString(", ")} collide with existing " +
+        "columns; disambiguate with the prefix argument: bag_unpack(col, 'p_')")
     fields.sortBy(_._1).foldLeft(df) { case (d, (k, t)) =>
       val get =
         if (nested(t)) s"variant_get($bagCol, '$$.$k')"

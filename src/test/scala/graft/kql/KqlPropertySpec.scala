@@ -63,4 +63,55 @@ class KqlPropertySpec extends SparkSpec {
       assert(a == b, s"parser diverged from builder on: $text")
     }
   }
+
+  test("series analysis tier matches a Scala reference model on random series (25 samples)") {
+    // The r10 builders emit multi-KB SQL whose formulas must track the
+    // documented semantics exactly; this model re-implements them in
+    // plain Scala (same fold orders) and pins fit/outliers/anomalies on
+    // random integer series end-to-end through the parser.
+    // force the suite session: the pipeline below is datatable-only, so
+    // nothing else would register a default session first
+    spark.sparkContext
+    val genSeries: Gen[List[Int]] = for {
+      n <- Gen.choose(5, 40)
+      ys <- Gen.listOfN(n, Gen.choose(0, 50))
+    } yield ys
+    (0 until 25).foreach { i =>
+      val ys = genSeries.pureApply(Gen.Parameters.default, Seed(7000L + i))
+      val y = ys.map(_.toDouble)
+      val n = y.length.toDouble
+      // model: least-squares over the index axis (closed-form Σx, Σx²)
+      val sy = y.sum
+      val sxy = y.zipWithIndex.map { case (v, j) => j * v }.sum
+      val sx = (n - 1) * n / 2
+      val sxx = (n - 1) * n * (2 * n - 1) / 6
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      // model: 7-point clamped moving-average trend + k-sigma flags
+      val trend = y.indices.map { j =>
+        val lo = math.max(0, j - 3); val hi = math.min(y.length - 1, j + 3)
+        y.slice(lo, hi + 1).sum / (hi - lo + 1)
+      }
+      val resid = y.zip(trend).map { case (v, t) => v - t }
+      val sd = math.sqrt(math.max(
+        resid.map(r => r * r).sum / n - math.pow(resid.sum / n, 2), 0.0))
+      val flags = resid.map { r =>
+        if (sd == 0) 0 else if (r > 1.5 * sd) 1 else if (r < -1.5 * sd) -1 else 0
+      }
+      // model: z-scores
+      val mean = sy / n
+      val sdz = math.sqrt(y.map(v => (v - mean) * (v - mean)).sum / n)
+      val peakZ = if (sdz == 0) 0.0 else y.map(v => (v - mean) / sdz).max
+      val q =
+        s"datatable(b:long)[1] | extend y = ${ys.mkString("array(", ", ", ")")}" +
+          " | extend f = series_fit_line_dynamic(y), a = series_decompose_anomalies(y, 1.5)" +
+          " | project sl = f.slope, ic = f.interception, fl = a.ad_flag," +
+          " pz = array_max(series_outliers(y))"
+      val r = KqlParser.run(q, Map.empty).collect().head
+      assert(math.abs(r.getDouble(0) - slope) < 1e-9, s"slope sample $i")
+      assert(math.abs(r.getDouble(1) - icept) < 1e-9, s"intercept sample $i")
+      assert(r.getSeq[Int](2) == flags, s"flags sample $i: $ys")
+      assert(math.abs(r.getDouble(3) - peakZ) < 1e-9, s"peak z sample $i")
+    }
+  }
 }

@@ -903,6 +903,7 @@ class KqlSpec extends SparkSpec {
   }
 
   test("parser: evaluate bag_unpack expands a dynamic bag into typed columns") {
+    spark.sparkContext // datatable-only pipeline: force the session first
     val q =
       """datatable(k:string, d:dynamic)[
         |  "a", dynamic({"n": 3, "city": "Austin"}),
@@ -927,6 +928,18 @@ class KqlSpec extends SparkSpec {
         Map("T" -> Seq(1).toDF("v")))
     }
     assert(bad.getMessage.contains("VARIANT") || bad.getMessage.contains("dynamic"))
+    // a bag key colliding with an existing column rejects (it would
+    // silently overwrite through withColumn); the prefix resolves it
+    val clash = intercept[IllegalArgumentException] {
+      KqlParser.run(
+        """datatable(k:string, d:dynamic)["x", dynamic({"k": 1})] | evaluate bag_unpack(d)""",
+        Map.empty)
+    }
+    assert(clash.getMessage.contains("collide"))
+    val resolved = KqlParser.run(
+      """datatable(k:string, d:dynamic)["x", dynamic({"k": 1})] | evaluate bag_unpack(d, 'p_')""",
+      Map.empty)
+    assert(resolved.columns.toSeq == Seq("k", "p_k"))
   }
 
   test("parser: partition by desugars top-per-group and keyed summarize") {
