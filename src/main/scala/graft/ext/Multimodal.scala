@@ -220,23 +220,29 @@ object Multimodal {
   }
 
   /** Banded perceptual near-dup pairs — [[graft.ext.Dedup.simhashPairs]]'
-    * shape on images: candidates share at least one 16-bit band
-    * (8 shuffle equi-joins over a 9-int-wide relation — the blobs are
-    * touched once, at fingerprint time, never in the pair phase),
+    * shape on images: candidates share at least one 16-bit band,
     * verified by exact hamming over all 128 bits ≤ `maxHamming`.
-    * Identical payloads land at hamming 0; at 100 TB the band joins
-    * shuffle only (media_id, band) pairs and AQE's skew handling covers
-    * a hot banner band. */
+    * Identical payloads land at hamming 0.
+    *
+    * Plan shape: the fingerprint relation (9 ints per image) is
+    * materialized ONCE via localCheckpoint before the pair phase — the
+    * blob-scanning decode subtree must not re-run per join branch (an
+    * earlier 8-equi-join draft recomputed it up to 18×; this is the
+    * same fingerprints-are-a-materialized-sidecar shape a 100 TB
+    * deployment would use, where they'd be a written table). Banding is
+    * ONE explode + ONE self-equi-join on (band_idx, band_value) — a
+    * single shuffle of 8 narrow rows per image; a hot banner band is
+    * AQE's skew-join case. */
   def imageNearDupsOn(media: DataFrame, decoder: MediaDecoder = StubDecoder,
                       maxHamming: Int = 10): DataFrame = {
-    val fp = imageFingerprintsOn(media, decoder)
     val bands = (0 until 8).map(i => s"b$i")
-    val cand = bands.map { bc =>
-        fp.select(col("media_id").as("id_a"), col(bc).as("bk"))
-          .join(fp.select(col("media_id").as("id_b"), col(bc).as("bk")), "bk")
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"))
-      }.reduce(_ union _).distinct()
+    val fp = imageFingerprintsOn(media, decoder).localCheckpoint()
+    val bl = fp.select(col("media_id"),
+      posexplode(array(bands.map(col): _*)).as(Seq("bi", "bv")))
+    val cand = bl.toDF("id_a", "bi", "bv")
+      .join(bl.toDF("id_b", "bi", "bv"), Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
     val fa = fp.toDF(("id_a" +: bands.map(_ + "_a")): _*)
     val fb = fp.toDF(("id_b" +: bands.map(_ + "_b")): _*)
     cand.join(fa, "id_a").join(fb, "id_b")

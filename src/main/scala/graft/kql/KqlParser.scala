@@ -2178,18 +2178,35 @@ object KqlParser {
               case "countof" =>
                 // ADX counts OVERLAPPING occurrences (countof('aaa',
                 // 'aa') = 2), so a delete-replace length delta is not
-                // enough when the needle can border itself — scan every
-                // start position instead. An interpreted HOF, but
-                // bounded by the string length (same budget class as
-                // the mv-apply lambdas); empty or too-long needles
-                // count 0 rather than generating a DESCENDING sequence.
+                // enough when the needle can border itself. Two paths:
+                // a LITERAL needle with no proper border (no prefix
+                // that is also a suffix — the KMP failure condition)
+                // cannot self-overlap, so the codegen'd replace-based
+                // count is provably equal and stays on the hot path;
+                // bordered or non-literal needles take the position
+                // scan — an interpreted HOF bounded by the string
+                // length (mv-apply's budget class), with empty or
+                // too-long needles counting 0 rather than generating a
+                // DESCENDING sequence.
                 require(args.length == 2,
                   s"countof expects (source, search): ${s.substring(i, close + 1)}")
                 val (src, pat) = (args(0), args(1))
-                out.append(
-                  s"IF(length($pat) = 0 OR length($src) < length($pat), 0, " +
-                  s"aggregate(sequence(1, length($src) - length($pat) + 1), 0, " +
-                  s"(acc, p) -> acc + IF(substring($src, p, length($pat)) = $pat, 1, 0)))")
+                val litNeedle = pat.trim match {
+                  case p if p.length >= 3 && (p.head == '\'' || p.head == '"') &&
+                      p.last == p.head && !p.substring(1, p.length - 1).contains(p.head) =>
+                    Some(p.substring(1, p.length - 1))
+                  case _ => None
+                }
+                val borderless = litNeedle.exists(nd =>
+                  (1 until nd.length).forall(k => !(nd.take(k) == nd.takeRight(k))))
+                if (borderless)
+                  out.append(s"CAST((length($src) - length(replace($src, $pat, ''))) " +
+                    s"DIV length($pat) AS INT)")
+                else
+                  out.append(
+                    s"IF(length($pat) = 0 OR length($src) < length($pat), 0, " +
+                    s"aggregate(sequence(1, length($src) - length($pat) + 1), 0, " +
+                    s"(acc, p) -> acc + IF(substring($src, p, length($pat)) = $pat, 1, 0)))")
               case empt =>
                 require(args.length == 1,
                   s"$empt expects one argument: ${s.substring(i, close + 1)}")
