@@ -500,6 +500,20 @@ object KqlParser {
         case "mv-expand" => df = mvExpandVerb(df, rest, scoped)
         case "make-series" => df = makeSeriesVerb(df, rest, scoped)
         case "take" | "limit" => df = df.limit(rest.trim.toInt)
+        case "search" =>
+          // `search 'term'` — case-insensitive substring match over
+          // every string column (ADX's default case-insensitivity; the
+          // multi-table `search in (T1, T2) 'term'` form is rejected
+          // loudly — the single-frame pipeline has no table scope).
+          val t = rest.trim
+          require(t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head,
+            s"search expects a single quoted term ('search in (…)' unsupported): $rest")
+          val term = t.substring(1, t.length - 1).toLowerCase
+          val strCols = df.schema.fields
+            .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+          require(strCols.nonEmpty, "search: the frame has no string columns")
+          df = df.filter(strCols.map(c => lower(col(c)).contains(term))
+            .reduce(_ || _))
         case "sample" =>
           // ADX `sample N` is random; this engine is DETERMINISTIC by
           // design (documented deviation): rows rank by a content hash,

@@ -266,6 +266,13 @@ object ReferenceQueries {
       || partition by city (top 3 by amount)
       || summarize n = count(), total = sum(amount) by city""".stripMargin
 
+  /** `search` + `distinct` — ci substring over every string column,
+    * then projection+dedup. */
+  val kqlSearchDistinctText: String =
+    """Documents
+      || search 'spark'
+      || distinct lang, source""".stripMargin
+
   /** `format_datetime` — ADX specifier alphabet over the events stream. */
   val kqlFormatDatetimeText: String =
     """Events
@@ -383,6 +390,7 @@ object ReferenceQueries {
       || sort by day_ms asc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_search_distinct" -> kqlText(kqlSearchDistinctText) _,
     "kql_partition_top" -> kqlText(kqlPartitionTopText) _,
     "kql_format_datetime" -> kqlText(kqlFormatDatetimeText) _,
     "kql_parse_where" -> kqlText(kqlParseWhereText) _,
@@ -447,6 +455,10 @@ object ReferenceQueries {
          |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
          |  CAST(MAX(amount + 10) AS BIGINT) AS top
          |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_search_distinct" ->
+      """SELECT DISTINCT lang, source FROM documents
+        |WHERE contains(lower(text), 'spark') OR contains(lower(lang), 'spark')
+        |   OR contains(lower(source), 'spark')""".stripMargin,
     "kql_partition_top" ->
       s"""${Sql.ordersInfoCte},
          |ranked AS (

@@ -942,6 +942,25 @@ class KqlSpec extends SparkSpec {
     assert(resolved.columns.toSeq == Seq("k", "p_k"))
   }
 
+  test("parser: search filters on any string column; distinct projects and dedups") {
+    val reg = Map("T" -> Seq(
+      ("Spark rocks", "en", 1), ("nothing here", "en", 2),
+      ("plain", "sparkish", 3), ("plain", "de", 3)).toDF("txt", "tag", "v"))
+    // case-insensitive, across ALL string columns (txt and tag)
+    val hits = KqlParser.run("T | search 'spark' | project v", reg)
+      .collect().map(_.getInt(0)).toSet
+    assert(hits == Set(1, 3))
+    assert(KqlParser.run("T | search 'SPARK' | count", reg)
+      .collect().head.getLong(0) == 2L)
+    val d = KqlParser.run("T | distinct txt, v | where txt == 'plain'", reg)
+    assert(d.count() == 1L) // ("plain", 3) deduped
+    assert(KqlParser.run("T | distinct *", reg).count() == 4L)
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | search in (T) 'x'", reg)
+    }
+    assert(e.getMessage.contains("search"))
+  }
+
   test("parser: partition by desugars top-per-group and keyed summarize") {
     val reg = Map("T" -> Seq(
       ("a", 1), ("a", 5), ("a", 3), ("b", 9), ("b", 2)).toDF("g", "v"))
