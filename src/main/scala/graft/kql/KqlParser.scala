@@ -1665,6 +1665,12 @@ object KqlParser {
             // the caller's favor.
             (expr(rw(s"percentile(${scalar(args(0), lets)}, (${args(1)}) / 100.0)")),
               defName(args(0)))
+          case "take_any" | "any" =>
+            // ADX's contract is "some value from the group"; this
+            // engine picks DETERMINISTICALLY (min) so results are
+            // reproducible and oracle-checkable — a documented
+            // strengthening, not a deviation (min IS a valid "any").
+            (min(arg(0)), defName(args(0)))
           case "stdev"    => (stddev_samp(arg(0)), defName(args(0)))
           case "variance" => (var_samp(arg(0)), defName(args(0)))
           case "sumif"    => (sum(when(arg(1), arg(0))), defName(args(0)))
@@ -2227,6 +2233,32 @@ object KqlParser {
                 val test = s"(coalesce(cast(${args.head} AS string), '') = '')"
                 out.append(if (empt == "isempty") test else s"(NOT $test)")
             }
+            i = close + 1
+          case Some(w) if Set("trim", "trim_start", "trim_end")(w.toLowerCase) && {
+              var j = i + w.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              j < s.length && s.charAt(j) == '('
+            } =>
+            // ADX trim/trim_start/trim_end take a REGEX first and the
+            // source second, repeatedly stripping anchored matches —
+            // not Spark's whitespace/charset trim. Desugars to one
+            // anchored regexp_replace; the pattern concat keeps
+            // non-literal regex arguments working. (Spark replaces ALL
+            // matches, so the two-anchor alternation trims both ends in
+            // one pass — DuckDB oracles need the 'g' flag for parity.)
+            val open = s.indexOf('(', i + w.length)
+            val close = matchingParen(s, open)
+            val args = splitTopLevel(s.substring(open + 1, close), ',')
+              .map(a => scalar(a.trim, lets))
+            require(args.length == 2,
+              s"${w.toLowerCase} expects (regex, source): ${s.substring(i, close + 1)}")
+            val r = args(0)
+            val pat = w.toLowerCase match {
+              case "trim"       => s"concat('^(?:', $r, ')+|(?:', $r, ')+$$')"
+              case "trim_start" => s"concat('^(?:', $r, ')+')"
+              case _            => s"concat('(?:', $r, ')+$$')"
+            }
+            out.append(s"regexp_replace(${args(1)}, $pat, '')")
             i = close + 1
           case Some(w) if Set("strcat", "strcat_delim")(w.toLowerCase) && {
               var j = i + w.length

@@ -273,6 +273,15 @@ object ReferenceQueries {
       || search 'spark'
       || distinct lang, source""".stripMargin
 
+  /** ADX regex-trim tier (`trim`/`trim_start`/`trim_end` take a regex
+    * FIRST) plus the deterministic `take_any` strengthening. */
+  val kqlTrimText: String =
+    """Documents
+      || extend t = trim('[aeiou]', text), ts = trim_start('[a-m]', text),
+      |         te = trim_end('[n-z]', text)
+      || summarize docs = count(), c1 = sum(strlen(t)), c2 = sum(strlen(ts)),
+      |            c3 = sum(strlen(te)), first_src = take_any(source) by lang""".stripMargin
+
   /** `format_datetime` — ADX specifier alphabet over the events stream. */
   val kqlFormatDatetimeText: String =
     """Events
@@ -390,6 +399,7 @@ object ReferenceQueries {
       || sort by day_ms asc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_trim_take_any" -> kqlText(kqlTrimText) _,
     "kql_search_distinct" -> kqlText(kqlSearchDistinctText) _,
     "kql_partition_top" -> kqlText(kqlPartitionTopText) _,
     "kql_format_datetime" -> kqlText(kqlFormatDatetimeText) _,
@@ -455,6 +465,13 @@ object ReferenceQueries {
          |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
          |  CAST(MAX(amount + 10) AS BIGINT) AS top
          |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_trim_take_any" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(length(regexp_replace(text, '^(?:[aeiou])+|(?:[aeiou])+$', '', 'g'))) AS BIGINT) AS c1,
+        |  CAST(SUM(length(regexp_replace(text, '^(?:[a-m])+', ''))) AS BIGINT) AS c2,
+        |  CAST(SUM(length(regexp_replace(text, '(?:[n-z])+$', ''))) AS BIGINT) AS c3,
+        |  MIN(source) AS first_src
+        |FROM documents GROUP BY lang""".stripMargin,
     "kql_search_distinct" ->
       """SELECT DISTINCT lang, source FROM documents
         |WHERE contains(lower(text), 'spark') OR contains(lower(lang), 'spark')

@@ -942,6 +942,28 @@ class KqlSpec extends SparkSpec {
     assert(resolved.columns.toSeq == Seq("k", "p_k"))
   }
 
+  test("parser: trim family strips anchored regex matches; take_any picks deterministically") {
+    val reg = Map("T" -> Seq(("xxabcxx", "g1"), ("xaxbx", "g1"), ("abc", "g2"))
+      .toDF("s", "g"))
+    val out = KqlParser.run(
+      "T | extend t = trim('x', s), ts = trim_start('x', s), te = trim_end('x', s) " +
+        "| project t, ts, te", reg)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      ("abc", "abcxx", "xxabc"),
+      ("axb", "axbx", "xaxb"),
+      ("abc", "abc", "abc")))
+    // regex (not charset) semantics: a class strips repeatedly
+    val cls = KqlParser.run("T2 | project t = trim('[ab]', s)",
+      Map("T2" -> Seq("abaZZba").toDF("s"))).collect().head.getString(0)
+    assert(cls == "ZZ")
+    // take_any: the deterministic (min) pick, ADX default column name
+    val any = KqlParser.run("T | summarize take_any(s) by g | sort by g asc", reg)
+    assert(any.columns.contains("take_any_s"))
+    assert(any.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("g1", "xaxbx"), ("g2", "abc")))
+  }
+
   test("parser: search filters on any string column; distinct projects and dedups") {
     val reg = Map("T" -> Seq(
       ("Spark rocks", "en", 1), ("nothing here", "en", 2),

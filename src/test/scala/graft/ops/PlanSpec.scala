@@ -50,6 +50,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("source"), "unused documents columns must be pruned")
   }
 
+  test("span excision: no window, no covered-position explode past the shingle stage") {
+    val p = phys(graft.ext.Dedup.spanExcisedCorpus(spark, sfDir))
+    // coverage is rebuilt map-side from each doc's collected span
+    // starts — a window or a k-wide covered-position explode here would
+    // be the O(k·corpus) shuffle the design avoids
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("phash pairs: pair phase reads materialized fingerprints, not the decode subtree") {
+    val p = phys(graft.ext.Multimodal.imageNearDups(spark, sfDir))
+    // the fingerprint relation localCheckpoints before banding — the
+    // blob-scanning mapPartitions decode must NOT appear in the pair
+    // plan (an early draft recomputed it up to 18x across band joins)
+    assert(p.contains("ExistingRDD"), p.take(2000))
+    assert(!p.contains("SerializeFromObject"),
+      "decode subtree leaked past the fingerprint checkpoint")
+  }
+
   test("minhash LSH verify stage: corpus word-sets fetched by shuffle joins, never broadcast") {
     // With size-based broadcast disabled, any BroadcastExchange left in
     // the plan can only come from an explicit broadcast() hint — which is
