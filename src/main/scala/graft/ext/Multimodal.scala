@@ -255,6 +255,25 @@ object Multimodal {
   def imageNearDups(spark: SparkSession, sfDir: String): DataFrame =
     imageNearDupsOn(imageTable(spark, sfDir))
 
+  /** Per-image quality stats from the same thumbnail grid the hashes
+    * use: brightness (mean luma), contrast (population stdev), and the
+    * low-information flag an image-corpus filter drops on (flat ≈
+    * single-color / blank frames). The flag compares the ROUNDED
+    * contrast so both engines decide from the identical 6-dp value —
+    * unrounded sums drift in last ulps across fold orders. */
+  def imageQualityOn(media: DataFrame,
+                     decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val mean = "(aggregate(g, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / 72)"
+    val varp = s"(aggregate(g, CAST(0 AS DOUBLE), (acc, x) -> acc + (x - $mean) * (x - $mean)) / 72)"
+    imageGrids(media, decoder).select(col("media_id"),
+      expr(s"cast(round($mean, 6) as decimal(18,6))").as("brightness"),
+      expr(s"cast(round(sqrt($varp), 6) as decimal(18,6))").as("contrast"),
+      expr(s"cast(round(sqrt($varp), 6) as decimal(18,6)) < 10").as("flat"))
+  }
+
+  def imageQuality(spark: SparkSession, sfDir: String): DataFrame =
+    imageQualityOn(imageTable(spark, sfDir))
+
   /** Typed-metadata analytics: aggregate by a nested struct field
     * (meta.lang) without touching the binary payload — the struct
     * projection prunes to the two metadata columns at the scan. */
@@ -271,7 +290,27 @@ object Multimodal {
     "mm_frame_samples" -> mediaFrames _,
     "mm_meta_stats" -> metaStats _,
     "mm_phash_dupes" -> imageNearDups _,
+    "mm_image_quality" -> imageQuality _,
   )
+
+  /** Shared oracle CTE prefix: [[imageTable]] payload bytes replayed
+    * from md5 hex into the 9×8 grid `gr(media_id, g)` — consumed by the
+    * phash and image-quality oracles so grid derivation cannot drift. */
+  private val imageGridCte: String =
+    """imgs AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 48 = 0 THEN md5('graft-banner') ELSE md5(text) END AS h1,
+      |    CASE WHEN doc_id % 48 = 0 THEN md5('graft-bannerx') ELSE md5(text || 'x') END AS h2
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |bl AS (
+      |  SELECT media_id, list_transform(range(0, 32), j ->
+      |    CASE WHEN j < 16 THEN CAST(concat('0x', substr(h1, 2 * j + 1, 2)) AS INTEGER)
+      |         ELSE CAST(concat('0x', substr(h2, 2 * (j - 16) + 1, 2)) AS INTEGER) END) AS b
+      |  FROM imgs),
+      |gr AS (
+      |  SELECT media_id,
+      |    list_transform(range(0, 72), i -> b[(i % 9 * 31 + i // 9 * 17) % 32 + 1]) AS g
+      |  FROM bl)""".stripMargin
 
   /** The mm_phash_dupes oracle: replay grid → aHash/dHash bands →
     * banded candidates → hamming verify in DuckDB. Band expressions are
@@ -288,20 +327,7 @@ object Multimodal {
     val bandExprs = ((0 until 4).map(aband) ++ (0 until 4).map(dband)).mkString(",\n  ")
     val anyBand = (0 until 8).map(i => s"x.b$i = y.b$i").mkString(" OR ")
     val hamming = (0 until 8).map(i => s"bit_count(xor(fa.b$i, fb.b$i))").mkString(" + ")
-    s"""WITH imgs AS (
-       |  SELECT doc_id AS media_id,
-       |    CASE WHEN doc_id % 48 = 0 THEN md5('graft-banner') ELSE md5(text) END AS h1,
-       |    CASE WHEN doc_id % 48 = 0 THEN md5('graft-bannerx') ELSE md5(text || 'x') END AS h2
-       |  FROM documents WHERE doc_id % 3 = 0),
-       |bl AS (
-       |  SELECT media_id, list_transform(range(0, 32), j ->
-       |    CASE WHEN j < 16 THEN CAST(concat('0x', substr(h1, 2 * j + 1, 2)) AS INTEGER)
-       |         ELSE CAST(concat('0x', substr(h2, 2 * (j - 16) + 1, 2)) AS INTEGER) END) AS b
-       |  FROM imgs),
-       |gr AS (
-       |  SELECT media_id,
-       |    list_transform(range(0, 72), i -> b[(i % 9 * 31 + i // 9 * 17) % 32 + 1]) AS g
-       |  FROM bl),
+    s"""WITH $imageGridCte,
        |ga AS (
        |  SELECT media_id, g,
        |    CAST(list_sum(list_transform(range(0, 64), i -> g[${apos("i")}])) AS INTEGER) AS asum
@@ -326,6 +352,16 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "mm_phash_dupes" -> phashOracle,
+    "mm_image_quality" ->
+      s"""WITH $imageGridCte,
+         |m AS (SELECT media_id, g, CAST(list_sum(g) AS DOUBLE) / 72 AS mean FROM gr),
+         |q AS (
+         |  SELECT media_id,
+         |    CAST(round(mean, 6) AS DECIMAL(18,6)) AS brightness,
+         |    CAST(round(sqrt(list_sum(list_transform(g, x -> (x - mean) * (x - mean))) / 72), 6)
+         |      AS DECIMAL(18,6)) AS contrast
+         |  FROM m)
+         |SELECT media_id, brightness, contrast, contrast < 10 AS flat FROM q""".stripMargin,
     "mm_features" ->
       s"""SELECT doc_id AS media_id,
          |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

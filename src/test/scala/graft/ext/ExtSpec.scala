@@ -206,6 +206,67 @@ class ExtSpec extends SparkSpec {
     assert(sp((0L, 1L)) == 0 && !sp.contains((0L, 2L)))
   }
 
+  test("image quality: flat frames flag, brightness is the grid mean luma") {
+    def png(rgb: (Int, Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 18; y <- 0 until 16) img.setRGB(x, y, rgb(x, y, 0))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = Seq(
+      (0L, "image", png((_, _, _) => 0x808080)),          // flat mid-gray
+      // gradient, not a checkerboard: the 9x8 grid samples only even
+      // coordinates of the 18x16 image, which would alias a parity
+      // pattern back to a constant
+      (1L, "image", png((x, y, _) => (x * 14 % 256) * 0x010101)))
+      .toDF("media_id", "kind", "content")
+    val q = Multimodal.imageQualityOn(media, Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // constant 0x80: luma = (128*299+128*587+128*114)/1000 = 128 exactly
+    assert(q(0L).getDecimal(1).doubleValue == 128.0)
+    assert(q(0L).getDecimal(2).doubleValue == 0.0)
+    assert(q(0L).getBoolean(3)) // flat
+    // gradient: visible contrast, not flat
+    assert(q(1L).getDecimal(2).doubleValue > 10.0)
+    assert(!q(1L).getBoolean(3))
+  }
+
+  test("span excision matches a Scala reference model on random colliding corpora") {
+    // Tiny vocabulary + short docs → k-shingles collide across docs
+    // naturally; the model recomputes coverage word-by-word, so any
+    // interval-merge mistake in the HOF rebuild diverges immediately.
+    val k = 8
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d")
+    (0 until 10).foreach { trial =>
+      val corpus: Seq[(Long, Seq[String])] = (0L until 8L).map { id =>
+        id -> Seq.fill(5 + rnd.nextInt(16))(vocab(rnd.nextInt(vocab.size)))
+      }
+      // model: a position p of doc d is covered iff some k-window of d
+      // containing p also occurs (as a word sequence) in ANOTHER doc
+      val shingles: Map[String, Set[Long]] = corpus
+        .flatMap { case (id, ws) => ws.sliding(k).filter(_.length == k)
+          .map(sh => (sh.mkString(" "), id)) }
+        .groupBy(_._1).map { case (sh, xs) => sh -> xs.map(_._2).toSet }
+      val expected = corpus.map { case (id, ws) =>
+        val starts = (0 to ws.length - k).filter { i =>
+          val key = ws.slice(i, i + k).mkString(" ")
+          ws.length >= k && (shingles(key) - id).nonEmpty
+        }
+        val kept = ws.zipWithIndex.collect {
+          case (w, p) if !starts.exists(s => p >= s && p < s + k) => w
+        }
+        id -> kept.mkString(" ")
+      }.toMap
+      val d = docs(corpus.map { case (id, ws) => (id, ws.mkString(" "), "en") }: _*)
+      val got = Dedup.spanExcisedCorpusOn(d, k).collect()
+        .map(r => r.getLong(0) -> r.getString(r.fieldIndex("kept_text"))).toMap
+      assert(got == expected, s"trial $trial: $corpus")
+    }
+  }
+
   test("multimodal: real javax.imageio PNG decode runs through the same boundary") {
     // a generated 17x9 PNG (deterministic pixels) — no checked-in binary
     val img = new java.awt.image.BufferedImage(
