@@ -262,6 +262,8 @@ object KqlParser {
           ("make-series", r.stripPrefix("-series").trim)
         case ("parse", r) if r.startsWith("-where") =>
           ("parse-where", r.stripPrefix("-where").trim)
+        case ("parse", r) if r.startsWith("-kv") =>
+          ("parse-kv", r.stripPrefix("-kv").trim)
         case ("top", r) if r.startsWith("-nested") =>
           ("top-nested", r.stripPrefix("-nested").trim)
         case ("top", r) if r.startsWith("-hitters") =>
@@ -410,6 +412,7 @@ object KqlParser {
           }
         case "parse-where" =>
           df = parseVerb(df, rest, scoped, dropNonMatching = true)
+        case "parse-kv" => df = parseKvVerb(df, rest)
         case "facet" =>
           // `facet by c1, c2` — ADX emits ONE TABLE PER facet column; a
           // single-frame engine cannot, so the documented deviation is
@@ -1330,6 +1333,56 @@ object KqlParser {
         case Some(t) => captured.withColumn(n, expr(s"try_cast(nullif($n, '') AS $t)"))
         case None => captured
       }
+    }
+  }
+
+  /** `parse-kv col as (Name1:type1, …) with (pair_delimiter=';',
+    * kv_delimiter='=')` — ADX's key=value extractor, desugared to ONE
+    * `str_to_map` helper column plus typed `element_at` projections
+    * (absent keys and failed conversions null out, ADX-style).
+    * Delimiters are LITERALS (ADX semantics) escaped into Spark's
+    * regex-delimited `str_to_map`; defaults are space pairs and `=`.
+    * The regex-flags/quoting `with` options ADX also offers are
+    * rejected loudly rather than half-supported. */
+  private def parseKvVerb(df: DataFrame, rest: String): DataFrame = {
+    val AsRe = "(?is)^([A-Za-z_][A-Za-z0-9_]*)\\s+as\\s*\\((.*?)\\)\\s*(?:with\\s*\\((.*)\\))?$".r
+    rest.trim match {
+      case AsRe(src, colsPart, withPart) =>
+        val cols = splitTopLevel(colsPart, ',').map(_.trim).filter(_.nonEmpty).map { c =>
+          val p = c.split(":").map(_.trim)
+          require(p.length == 2 && p(0).matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"parse-kv keys must be 'Name:type': $c")
+          (p(0), kqlTypeToSpark(p(1)))
+        }
+        require(cols.nonEmpty, s"parse-kv extracts no keys: $rest")
+        var pairDelim = " "
+        var kvDelim = "="
+        def lit(opt: String): String = {
+          val v = opt.substring(opt.indexOf('=') + 1).trim
+          require(v.length >= 2 && (v.head == '\'' || v.head == '"') && v.last == v.head,
+            s"parse-kv delimiter must be a string literal: $opt")
+          v.substring(1, v.length - 1)
+        }
+        withPart match {
+          case null =>
+          case w => splitTopLevel(w, ',').map(_.trim).filter(_.nonEmpty).foreach {
+            case o if o.toLowerCase.startsWith("pair_delimiter") => pairDelim = lit(o)
+            case o if o.toLowerCase.startsWith("kv_delimiter")   => kvDelim = lit(o)
+            case o => throw new IllegalArgumentException(
+              s"unsupported parse-kv option '$o' (supported: pair_delimiter, kv_delimiter)")
+          }
+        }
+        // str_to_map delimiters are REGEX; ADX's are literal — escape
+        def rx(d: String): String = d.flatMap(c =>
+          if ("\\.[]{}()*+?^$|".contains(c)) s"\\\\$c" else c.toString)
+          .replace("'", "''")
+        val mapped = df.withColumn("__graft_kv",
+          expr(s"str_to_map($src, '${rx(pairDelim)}', '${rx(kvDelim)}')"))
+        cols.foldLeft(mapped) { case (d, (n, t)) =>
+          d.withColumn(n, expr(s"try_cast(element_at(__graft_kv, '$n') AS $t)"))
+        }.drop("__graft_kv")
+      case _ => throw new IllegalArgumentException(
+        s"parse-kv expects '<col> as (Name:type, …) [with (…)]': $rest")
     }
   }
 

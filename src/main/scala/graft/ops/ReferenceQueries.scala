@@ -273,6 +273,15 @@ object ReferenceQueries {
       || search 'spark'
       || distinct lang, source""".stripMargin
 
+  /** `parse-kv` — key=value extraction (str_to_map desugar), exercised
+    * as a synthesize-then-parse round trip so the oracle is the
+    * identity aggregation. */
+  val kqlParseKvText: String =
+    """Documents
+      || extend kv = strcat('lg=', lang, ';nc=', tostring(n_chars))
+      || parse-kv kv as (lg:string, nc:long) with (pair_delimiter=';', kv_delimiter='=')
+      || summarize docs = count(), total_nc = sum(nc) by lg""".stripMargin
+
   /** ADX regex-trim tier (`trim`/`trim_start`/`trim_end` take a regex
     * FIRST) plus the deterministic `take_any` strengthening. */
   val kqlTrimText: String =
@@ -399,6 +408,7 @@ object ReferenceQueries {
       || sort by day_ms asc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_parse_kv" -> kqlText(kqlParseKvText) _,
     "kql_trim_take_any" -> kqlText(kqlTrimText) _,
     "kql_search_distinct" -> kqlText(kqlSearchDistinctText) _,
     "kql_partition_top" -> kqlText(kqlPartitionTopText) _,
@@ -465,6 +475,10 @@ object ReferenceQueries {
          |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
          |  CAST(MAX(amount + 10) AS BIGINT) AS top
          |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_parse_kv" ->
+      """SELECT lang AS lg, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_nc
+        |FROM documents GROUP BY lang""".stripMargin,
     "kql_trim_take_any" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
         |  CAST(SUM(length(regexp_replace(text, '^(?:[aeiou])+|(?:[aeiou])+$', '', 'g'))) AS BIGINT) AS c1,

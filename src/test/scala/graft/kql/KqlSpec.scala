@@ -942,6 +942,33 @@ class KqlSpec extends SparkSpec {
     assert(resolved.columns.toSeq == Seq("k", "p_k"))
   }
 
+  test("parser: parse-kv extracts typed keys; absent or malformed values null out") {
+    val reg = Map("T" -> Seq(
+      "a=1;b=x;c=2.5", "a=7;c=oops", "nothing useful").toDF("s"))
+    val out = KqlParser.run(
+      "T | parse-kv s as (a:long, b:string, c:real) with (pair_delimiter=';', kv_delimiter='=')"
+        + " | project a, b, c", reg).collect()
+    assert(out.length == 3) // parse-kv keeps every row (it's an extend, not a filter)
+    val r0 = out(0); val r1 = out(1); val r2 = out(2)
+    assert(r0.getLong(0) == 1L && r0.getString(1) == "x" && r0.getDouble(2) == 2.5)
+    assert(r1.getLong(0) == 7L && r1.isNullAt(1) && r1.isNullAt(2)) // 'oops' fails the real cast
+    assert(r2.isNullAt(0) && r2.isNullAt(1) && r2.isNullAt(2))
+    // default delimiters: space pairs, '=' kv
+    val d = KqlParser.run("T2 | parse-kv s as (k:long) | project k",
+      Map("T2" -> Seq("k=42 other=1").toDF("s"))).collect().head
+    assert(d.getLong(0) == 42L)
+    // literal (non-regex) delimiter semantics: '.' must not match-any
+    val dot = KqlParser.run(
+      "T3 | parse-kv s as (k:string) with (pair_delimiter='.', kv_delimiter='=')" +
+        " | project k",
+      Map("T3" -> Seq("k=ab.z=1").toDF("s"))).collect().head
+    assert(dot.getString(0) == "ab")
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | parse-kv s as (a:long) with (quote='\"')", reg)
+    }
+    assert(e.getMessage.contains("parse-kv"))
+  }
+
   test("parser: trim family strips anchored regex matches; take_any picks deterministically") {
     val reg = Map("T" -> Seq(("xxabcxx", "g1"), ("xaxbx", "g1"), ("abc", "g2"))
       .toDF("s", "g"))
