@@ -567,6 +567,39 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Quality-aware near-dedup — C4/RefinedWeb keep-BEST semantics:
+    * among verified near-dup neighbors, a document survives iff no
+    * neighbor beats it on the quality score (ties break to the lower
+    * doc_id), upgrading [[cleanedNearCorpusOn]]'s keep-lowest-id greedy
+    * rule to keep-highest-quality — what a production pipeline actually
+    * wants when duplicates differ in cleanliness. Neighbor-LOCAL, like
+    * the id-greedy form: in a chain a–b–c where only adjacent pairs
+    * verify, each doc is judged against its own neighbors (no
+    * connected-components iteration); quality is the 6-dp-rounded score
+    * of [[graft.ext.TextAnalysis.qualityScoresOn]], so the comparison
+    * is bit-stable cross-engine. Shape: the pair relation doubles into
+    * a directed neighbor list, two id-keyed joins fetch the scores, one
+    * anti join applies the drop — no new corpus-sized shuffle beyond
+    * [[minhashPairsOn]]'s own. */
+  def qualityDedupCorpusOn(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScoresOn(docs).select(col("doc_id"), col("quality"))
+    val pairs = minhashPairsOn(docs)
+    val nbrs = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
+    val beaten = nbrs
+      .join(q.toDF("doc_id", "q_self"), "doc_id")
+      .join(q.toDF("nbr", "q_nbr"), "nbr")
+      .filter(col("q_nbr") > col("q_self") ||
+        (col("q_nbr") === col("q_self") && col("nbr") < col("doc_id")))
+      .select(col("doc_id")).distinct()
+    docs.join(beaten, Seq("doc_id"), "left_anti")
+      .join(q, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("quality"))
+  }
+
+  def qualityDedupCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    qualityDedupCorpusOn(Tables.documents(spark, sfDir))
+
   /** Benchmark decontamination — drop from the TRAINING corpus every
     * document sharing any word n-gram (n=4 here for a measurable hit
     * rate on the synthetic corpus; production pipelines use 8–13) with
@@ -909,6 +942,7 @@ object Dedup {
     "dedup_exact" -> exactDedup _,
     "dedup_cleaned" -> cleanedCorpus _,
     "dedup_cleaned_near" -> cleanedNearCorpus _,
+    "dedup_quality_near" -> qualityDedupCorpus _,
     "dedup_rate_by_source" -> dupRateBySource _,
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
@@ -1068,6 +1102,27 @@ object Dedup {
     "dedup_minhash_lsh" ->
       s"""WITH $minhashOracleCte
          |SELECT doc_a, doc_b, jac FROM jacp""".stripMargin,
+    "dedup_quality_near" ->
+      s"""WITH $minhashOracleCte,
+         |qual AS (
+         |  SELECT doc_id,
+         |    round(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / ${TextAnalysis.nTokensSql})
+         |      + 0.5 * (CAST(least(${TextAnalysis.nTokensSql}, 100) AS DOUBLE) / 100), 6) AS quality
+         |  FROM documents),
+         |nbrs AS (
+         |  SELECT doc_a AS doc_id, doc_b AS nbr FROM jacp
+         |  UNION ALL SELECT doc_b AS doc_id, doc_a AS nbr FROM jacp),
+         |beaten AS (
+         |  SELECT DISTINCT n.doc_id
+         |  FROM nbrs n
+         |  JOIN qual qs ON qs.doc_id = n.doc_id
+         |  JOIN qual qn ON qn.doc_id = n.nbr
+         |  WHERE qn.quality > qs.quality
+         |     OR (qn.quality = qs.quality AND n.nbr < n.doc_id))
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality
+         |FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM beaten)""".stripMargin,
     "dedup_cleaned_near" ->
       s"""WITH $minhashOracleCte
          |SELECT doc_id, lang, source, n_chars FROM documents

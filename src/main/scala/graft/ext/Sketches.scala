@@ -51,28 +51,65 @@ object Sketches {
     fmDistinctOn(Tables.orders(spark, sfDir)
       .select(col("o_orderpriority").as("priority"), col("o_custkey")))
 
-  /** [[fmDistinct]] over an explicit (priority, o_custkey) frame — the
-    * operator body, exposed so tests can plant a known cardinality. */
-  def fmDistinctOn(keyed: DataFrame): DataFrame = {
-    val h = keyed
+  /** Per-(priority, bucket) FM registers — the mergeable sketch state
+    * shared by [[fmDistinctOn]] (per-group estimate) and [[fmMergeOn]]
+    * (cross-group register-wise max). */
+  private def fmRegisters(keyed: DataFrame): DataFrame =
+    keyed
       .withColumn("h", expr(h32("cast(o_custkey as string)")))
       .select(col("priority"),
         (col("h") % 64L).as("bucket"), expr("h div 64").as("w"))
-    val regs = h
       .withColumn("rho",
         when(col("w") === 0L, lit(27))
           .otherwise(expr("cast(round(log2(w & -w), 0) as int) + 1")))
       .groupBy(col("priority"), col("bucket"))
       .agg(max(col("rho")).as("r"))
-    val sums = regs.groupBy(col("priority"))
+
+  private val fmEstSql =
+    "round(cast(64 * shiftleft(cast(1 as bigint), cast(sum_r div 64 as int)) as double) / 0.77351, 6)"
+
+  /** [[fmDistinct]] over an explicit (priority, o_custkey) frame — the
+    * operator body, exposed so tests can plant a known cardinality. */
+  def fmDistinctOn(keyed: DataFrame): DataFrame = {
+    val sums = fmRegisters(keyed).groupBy(col("priority"))
       .agg(count(lit(1)).as("n_buckets"), sum(col("r")).as("sum_r"))
-      .withColumn("est", expr(
-        "round(cast(64 * shiftleft(cast(1 as bigint), cast(sum_r div 64 as int)) as double) / 0.77351, 6)"))
+      .withColumn("est", expr(fmEstSql))
     val truth = keyed.groupBy(col("priority"))
       .agg(countDistinct(col("o_custkey")).as("n_true"))
     sums.join(truth, "priority")
       .select(col("priority"), col("n_buckets"), col("sum_r"),
         col("est"), col("n_true"))
+  }
+
+  /** FM sketch MERGE — the property that earns a sketch its bias at
+    * 100 TB: per-partition sketches combine by register-wise MAX with
+    * no rescan of data. Merges the per-priority register relations into
+    * ONE global sketch and estimates the global distinct count,
+    * alongside (a) the exact truth and (b) the SUM of the per-priority
+    * estimates — which overcounts every custkey appearing under
+    * several priorities, exhibiting in one row why merge ≠ sum. Both
+    * derived numbers are exact-decimal, so the row hash-matches the
+    * oracle. */
+  def fmMerge(spark: SparkSession, sfDir: String): DataFrame =
+    fmMergeOn(Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("priority"), col("o_custkey")))
+
+  def fmMergeOn(keyed: DataFrame): DataFrame = {
+    val regs = fmRegisters(keyed)
+    val merged = regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("r")).as("sum_r"))
+      .withColumn("est", expr(fmEstSql))
+    // per-group estimates sum in DECIMAL so accumulation order cannot
+    // drift the last ulp across engines
+    val groupSum = regs.groupBy(col("priority"))
+      .agg(sum(col("r")).as("sum_r"))
+      .withColumn("est", expr(fmEstSql))
+      .agg(sum(col("est").cast("decimal(18,6)"))
+        .cast("decimal(18,6)").as("sum_group_est"))
+    val truth = keyed.agg(countDistinct(col("o_custkey")).as("n_true"))
+    merged.join(groupSum).join(truth)
+      .select(col("n_buckets"), col("sum_r"), col("est"),
+        col("sum_group_est"), col("n_true"))
   }
 
   /** Count-min sketch heavy-hitter estimates (Cormode & Muthukrishnan
@@ -118,6 +155,7 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_fm_distinct" -> fmDistinct _,
+    "sketch_fm_merge" -> fmMerge _,
     "sketch_cms_heavy" -> cmsHeavyHitters _,
   )
 
@@ -145,6 +183,29 @@ object Sketches {
         |  round(CAST(64 * (1 << CAST(g.sum_r // 64 AS INT)) AS DOUBLE) / 0.77351, 6) AS est,
         |  t.n_true
         |FROM g JOIN t ON g.priority = t.priority""".stripMargin,
+    "sketch_fm_merge" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM orders),
+        |b AS (SELECT priority, h % 64 AS bucket, h // 64 AS w FROM h),
+        |regs AS (
+        |  SELECT priority, bucket,
+        |    MAX(CASE WHEN w = 0 THEN 27
+        |      ELSE CAST(round(log2(w & (-w)), 0) AS INT) + 1 END) AS r
+        |  FROM b GROUP BY priority, bucket),
+        |merged AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets, CAST(SUM(r) AS BIGINT) AS sum_r
+        |  FROM (SELECT bucket, MAX(r) AS r FROM regs GROUP BY bucket)),
+        |ge AS (
+        |  SELECT CAST(SUM(CAST(round(CAST(64 * (1 << CAST(sum_r // 64 AS INT)) AS DOUBLE) / 0.77351, 6)
+        |    AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_group_est
+        |  FROM (SELECT priority, CAST(SUM(r) AS BIGINT) AS sum_r FROM regs GROUP BY priority)),
+        |t AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_true FROM orders)
+        |SELECT merged.n_buckets, merged.sum_r,
+        |  round(CAST(64 * (1 << CAST(merged.sum_r // 64 AS INT)) AS DOUBLE) / 0.77351, 6) AS est,
+        |  ge.sum_group_est, t.n_true
+        |FROM merged, ge, t""".stripMargin,
     "sketch_cms_heavy" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -791,7 +791,7 @@ object TextAnalysis {
     "text_vocab_coverage" -> vocabCoverage _,
   )
 
-  private val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
+  private[ext] val nTokensSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
 
   /** DuckDB mirror of [[ruleSignals]]; terminates in
     * `rules(doc_id, lang, source, n_words, r_*..., first_hit)`. */

@@ -206,6 +206,25 @@ class ExtSpec extends SparkSpec {
     assert(sp((0L, 1L)) == 0 && !sp.contains((0L, 2L)))
   }
 
+  test("quality-aware near-dedup keeps the higher-quality twin, not the lower id") {
+    // docs 0/1 share the same word SET (near-dup at jaccard 1.0); doc 1
+    // repeats words, so its uniq_ratio — hence quality — is lower. The
+    // id-greedy rule would keep 0 anyway; flip the ids to prove quality
+    // decides: now the LOWER-quality doc has the LOWER id.
+    val rich = "spark table scan join filter group merge sort window batch"
+    val d = docs(
+      (0L, s"$rich $rich", "en"),  // same word set, half the uniq_ratio
+      (1L, rich, "en"),
+      (2L, "completely unrelated text that matches nothing else at all", "en"))
+    val kept = Dedup.qualityDedupCorpusOn(d).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"got $kept")
+    // sanity: the pair orients 0 < 1, so the id-greedy rule would have
+    // dropped doc 1 (the dominated larger id) — the opposite outcome
+    val dominated = Dedup.minhashPairsOn(d)
+      .select(col("doc_b")).as[Long].collect().toSet
+    assert(dominated == Set(1L))
+  }
+
   test("image quality: flat frames flag, brightness is the grid mean luma") {
     def png(rgb: (Int, Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(

@@ -47,6 +47,29 @@ class SketchesSpec extends SparkSpec {
     assert(est >= 1000 / 6.0 && est <= 1000 * 4.0, s"est $est vs true 1000")
   }
 
+  test("FM merge: register-wise max equals a sketch built on the union; merge != sum") {
+    import spark.implicits._
+    // the SAME 1..800 key set appears under every priority: the merged
+    // sketch must see ~800 distinct, while summing per-group estimates
+    // counts the shared keys five times over
+    val keyed = (for { p <- 'A' to 'E'; k <- 1L to 800L } yield (p.toString, k))
+      .toDF("priority", "o_custkey")
+    val m = Sketches.fmMergeOn(keyed).collect().head
+    val merged = m.getAs[Double]("est")
+    val groupSum = m.getAs[java.math.BigDecimal]("sum_group_est").doubleValue
+    assert(m.getAs[Long]("n_true") == 800L)
+    // merged estimate ~ one group's estimate (identical key sets merge
+    // to the identical sketch); the naive sum is ~5x it
+    assert(groupSum > merged * 3, s"sum_group_est $groupSum vs merged $merged")
+    // the merge property itself: max-merged registers = the sketch of
+    // the union, so the merged estimate equals fmDistinctOn over the
+    // union under one label
+    val direct = Sketches.fmDistinctOn(
+      keyed.withColumn("priority", org.apache.spark.sql.functions.lit("ALL")))
+      .collect().head.getAs[Double]("est")
+    assert(merged == direct, s"merged $merged vs direct-union $direct")
+  }
+
   test("FM distinct estimate lands within sketch error of the truth") {
     val out = Sketches.fmDistinct(spark, sfDir).collect()
     assert(out.nonEmpty)
