@@ -420,10 +420,13 @@ object TextAnalysis {
     * hashes into one of 4096 buckets, each bucket carries a fixed weight
     * in [-1, 1), and the document score is the mean bucket weight over
     * its (non-distinct) words. `keep = score > 0` is the classifier
-    * decision. Everything before the final division is INTEGER
-    * arithmetic — the per-doc weight sum is exact, so score = round(sum
-    * / (1000 · n), 6) is bit-identical on both engines regardless of
-    * summation order.
+    * decision. EVERY step is integer arithmetic: the score is
+    * floor-to-microunits of sum / (1000 · n) via the normalized-mod
+    * floor-division idiom (r10 — a plain `round(double, 6)` hit a
+    * decimal half-way tie at sf0.1, 0.0644375, that Spark's
+    * shortest-repr HALF_UP and DuckDB's binary-double round resolve
+    * differently; an integer microscore has no ties to resolve), then
+    * one exact int→double division for presentation.
     *
     * Scale shape: explode + one hash-aggregate keyed by doc_id — the
     * same map-side-combine shuffle as [[tokenStats]]; the 4096-entry
@@ -437,9 +440,14 @@ object TextAnalysis {
           * 1103515245L + 12345L) % 2001L - 1000L)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("wi")).as("wsum"))
+      // exact floor division to microunits (sign-safe: the normalized
+      // mod makes the numerator an exact multiple of the denominator,
+      // so `div`'s truncation never engages)
+      .withColumn("score_micro", expr(
+        "(wsum * 1000000 - (((wsum * 1000000) % (n_words * 1000)) + n_words * 1000) % (n_words * 1000)) div (n_words * 1000)"))
       .select(col("doc_id"), col("n_words"),
-        round(col("wsum").cast("double") / (col("n_words") * 1000L), 6).as("score"))
-      .withColumn("keep", col("score") > 0d)
+        (col("score_micro").cast("double") / 1000000d).as("score"),
+        (col("score_micro") > 0L).as("keep"))
 
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
     qualityClassifierOn(Tables.documents(spark, sfDir))
@@ -827,12 +835,17 @@ object TextAnalysis {
         |  FROM w),
         |agg AS (
         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-        |    SUM(wi) AS wsum
-        |  FROM s GROUP BY doc_id)
+        |    CAST(SUM(wi) AS BIGINT) AS wsum
+        |  FROM s GROUP BY doc_id),
+        |mic AS (
+        |  SELECT doc_id, n_words,
+        |    CAST((wsum * 1000000 - (((wsum * 1000000) % (n_words * 1000)) + n_words * 1000) % (n_words * 1000))
+        |      // (n_words * 1000) AS BIGINT) AS score_micro
+        |  FROM agg)
         |SELECT doc_id, n_words,
-        |  round(CAST(wsum AS DOUBLE) / (n_words * 1000), 6) AS score,
-        |  round(CAST(wsum AS DOUBLE) / (n_words * 1000), 6) > 0 AS keep
-        |FROM agg""".stripMargin,
+        |  CAST(score_micro AS DOUBLE) / 1000000 AS score,
+        |  score_micro > 0 AS keep
+        |FROM mic""".stripMargin,
     "text_bpe_train" -> bpeTrainOracle(5),
     "text_bpe_encode" -> bpeEncodeOracle(5),
     "text_train_split" ->
