@@ -30,7 +30,8 @@ class PlanSweepSpec extends SparkSpec {
     "sim_pq_train", // inherits pqCodes' assignment pass (corpus × 16-codeword broadcast)
     "sim_semantic_dedup", // SemDeDup's cluster assignment: corpus × 16-centroid broadcast; the pair stage itself equi-joins on cent_id
     "text_vocab_coverage", "text_quality_filter", "text_curated_corpus",
-    "ev_daily_anomaly")
+    "ev_daily_anomaly",
+    "sketch_fm_merge") // three 1-row frames (merged sketch, group-est sum, truth) cross-joined into the single output row
 
   test("no unintended cartesian/nested-loop joins, no Python UDFs, anywhere") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
