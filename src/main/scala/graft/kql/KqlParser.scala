@@ -1796,7 +1796,8 @@ object KqlParser {
   private def rewriteSerialFns(sql: String, order: Option[String],
       helpers: scala.collection.mutable.ArrayBuffer[(String, String)] =
         scala.collection.mutable.ArrayBuffer.empty): String = {
-    val names = Set("prev", "next", "row_cumsum", "row_number")
+    val names = Set("prev", "next", "row_cumsum", "row_number",
+      "row_rank_min", "row_rank_dense")
     val lower = sql.toLowerCase
     if (!names.exists(lower.contains)) return sql
     val out = new StringBuilder
@@ -1842,6 +1843,28 @@ object KqlParser {
               require(args.length <= 1, "row_number expects () or (startingIndex)")
               if (args.isEmpty) s"row_number() OVER (ORDER BY $ord)"
               else s"(row_number() OVER (ORDER BY $ord) + (${args.head}) - 1)"
+            case rrk @ ("row_rank_min" | "row_rank_dense") =>
+              // ADX ranks over RUNS of equal Term values in the
+              // SERIALIZED order — not SQL rank-by-term: a value that
+              // reappears after a different value starts a NEW run
+              // (pinned in KqlSpec). Desugars to helper windows: a
+              // run-start flag, its running sum (the dense rank), and
+              // for _min the run's first row number.
+              require(args.length == 1, s"$rrk expects (term)")
+              val t = args.head
+              val flag = s"__rrk_new_${helpers.length}"
+              helpers += flag ->
+                s"CASE WHEN (lag($t) OVER (ORDER BY $ord)) IS DISTINCT FROM ($t) THEN 1 ELSE 0 END"
+              val run = s"__rrk_run_${helpers.length}"
+              helpers += run ->
+                (s"sum($flag) OVER (ORDER BY $ord " +
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+              if (rrk == "row_rank_dense") s"cast($run as int)"
+              else {
+                val rn = s"__rrk_rn_${helpers.length}"
+                helpers += rn -> s"row_number() OVER (ORDER BY $ord)"
+                s"cast(min($rn) OVER (PARTITION BY $run) as int)"
+              }
           }
           out.append("(").append(repl).append(")")
           i = close + 1

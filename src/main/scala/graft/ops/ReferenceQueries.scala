@@ -266,6 +266,16 @@ object ReferenceQueries {
       || partition by city (top 3 by amount)
       || summarize n = count(), total = sum(amount) by city""".stripMargin
 
+  /** `row_rank_min`/`row_rank_dense` — ADX run-based ranking over the
+    * serialized frame (a reappearing value starts a NEW run, unlike
+    * SQL rank-by-value). */
+  val kqlRowRankText: String =
+    """Events
+      || where ts >= datetime(2024-01-01) and ts < datetime(2024-01-08)
+      || sort by event_id asc
+      || extend rm = row_rank_min(user_id), rd = row_rank_dense(user_id)
+      || project event_id, rm, rd""".stripMargin
+
   /** `search` + `distinct` — ci substring over every string column,
     * then projection+dedup. */
   val kqlSearchDistinctText: String =
@@ -408,6 +418,7 @@ object ReferenceQueries {
       || sort by day_ms asc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_row_rank" -> kqlText(kqlRowRankText) _,
     "kql_parse_kv" -> kqlText(kqlParseKvText) _,
     "kql_trim_take_any" -> kqlText(kqlTrimText) _,
     "kql_search_distinct" -> kqlText(kqlSearchDistinctText) _,
@@ -475,6 +486,25 @@ object ReferenceQueries {
          |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
          |  CAST(MAX(amount + 10) AS BIGINT) AS top
          |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_row_rank" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'),
+        |o AS (
+        |  SELECT event_id,
+        |    CASE WHEN LAG(user_id) OVER (ORDER BY event_id ASC)
+        |      IS DISTINCT FROM user_id THEN 1 ELSE 0 END AS nw,
+        |    ROW_NUMBER() OVER (ORDER BY event_id ASC) AS rn
+        |  FROM f),
+        |r AS (
+        |  SELECT event_id, rn,
+        |    SUM(nw) OVER (ORDER BY event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM o)
+        |SELECT event_id,
+        |  CAST(MIN(rn) OVER (PARTITION BY run) AS INT) AS rm,
+        |  CAST(run AS INT) AS rd
+        |FROM r""".stripMargin,
     "kql_parse_kv" ->
       """SELECT lang AS lg, CAST(COUNT(*) AS BIGINT) AS docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_nc

@@ -1230,6 +1230,29 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("pivot") && e.getMessage.contains("bag_unpack"))
   }
 
+  test("parser: row_rank_min/dense rank over RUNS in serialized order, not by value") {
+    // term 5 reappears after 9: ADX starts a NEW run (SQL rank-by-term
+    // would give it rank 1 again — the difference under test)
+    val reg = Map("T" -> Seq((1, 5), (2, 5), (3, 9), (4, 5)).toDF("id", "t"))
+    val out = KqlParser.run(
+      "T | sort by id asc | extend rm = row_rank_min(t), rd = row_rank_dense(t)" +
+        " | project id, rm, rd", reg)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(out == Seq((1, 1, 1), (2, 1, 1), (3, 3, 2), (4, 4, 3)))
+    // ties in the sort key: the classic ranking shape matches SQL rank
+    val tied = Map("S" -> Seq((1, 10), (2, 10), (3, 7), (4, 7), (5, 3)).toDF("id", "v"))
+    val rk = KqlParser.run(
+      "S | sort by v desc | extend rm = row_rank_min(v), rd = row_rank_dense(v)" +
+        " | project id, rm, rd", tied)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(rk == Set((1, 1, 1), (2, 1, 1), (3, 3, 2), (4, 3, 2), (5, 5, 3)))
+    // unserialized frame rejects loudly, like the other row functions
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | extend r = row_rank_min(t)", reg)
+    }
+    assert(e.getMessage.contains("serialized"))
+  }
+
   test("parser: row_cumsum restart argument resets the accumulation") {
     val reg = Map("T" -> Seq(
       (1, 10, false), (2, 20, false), (3, 5, true), (4, 7, false), (5, 1, true)
