@@ -2310,6 +2310,29 @@ object KqlParser {
                 out.append(if (empt == "isempty") test else s"(NOT $test)")
             }
             i = close + 1
+          case Some(w) if Set("bag_pack", "pack")(w.toLowerCase) && {
+              var j = i + w.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              j < s.length && s.charAt(j) == '('
+            } =>
+            // ADX bag_pack('k1', v1, 'k2', v2, …) — a dynamic property
+            // bag. VARIANT has no direct constructor expression, so the
+            // bag goes named_struct → to_json → parse_json; keys must
+            // be string literals (ADX allows computed keys — rejected
+            // loudly here, a documented deviation).
+            val open = s.indexOf('(', i + w.length)
+            val close = matchingParen(s, open)
+            val args = splitTopLevel(s.substring(open + 1, close), ',')
+              .map(a => scalar(a.trim, lets))
+            require(args.nonEmpty && args.length % 2 == 0,
+              s"${w.toLowerCase} expects ('key1', v1, 'key2', v2, …): ${s.substring(i, close + 1)}")
+            args.grouped(2).foreach { kv =>
+              val k = kv.head.trim
+              require(k.length >= 2 && (k.head == '\'' || k.head == '"') && k.last == k.head,
+                s"${w.toLowerCase} keys must be string literals (computed keys unsupported): $k")
+            }
+            out.append(s"parse_json(to_json(named_struct(${args.mkString(", ")})))")
+            i = close + 1
           case Some(w) if Set("trim", "trim_start", "trim_end")(w.toLowerCase) && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1
@@ -2464,6 +2487,9 @@ object KqlParser {
               case "tolong"   => Some("bigint")
               case "toint"    => Some("int")
               case "todouble" | "toreal" => Some("double")
+              case "todatetime" => Some("timestamp")
+              case "tobool" | "toboolean" => Some("boolean")
+              case "pack_array" => Some("array")
               case "iif" | "iff" => Some("if")
               case "todynamic" => Some("parse_json") // dynamic = VARIANT
               case "now" => Some("current_timestamp")

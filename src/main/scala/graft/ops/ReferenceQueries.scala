@@ -266,6 +266,16 @@ object ReferenceQueries {
       || partition by city (top 3 by amount)
       || summarize n = count(), total = sum(amount) by city""".stripMargin
 
+  /** `pack_array`/`bag_pack` dynamic constructors + the `todatetime`/
+    * `tobool` cast spellings, round-tripped through array_sum and a
+    * VARIANT property path. */
+  val kqlPackText: String =
+    """Orders
+      || extend arr = pack_array(orderid, custid), bag = bag_pack('city', city, 'amt', amount)
+      || extend s = array_sum(arr), c = tostring(bag.city), ok = tobool('true')
+      || where ok
+      || summarize n = count(), total = sum(s) by c""".stripMargin
+
   /** `row_rank_min`/`row_rank_dense` — ADX run-based ranking over the
     * serialized frame (a reappearing value starts a NEW run, unlike
     * SQL rank-by-value). */
@@ -418,6 +428,7 @@ object ReferenceQueries {
       || sort by day_ms asc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_pack" -> kqlText(kqlPackText) _,
     "kql_row_rank" -> kqlText(kqlRowRankText) _,
     "kql_parse_kv" -> kqlText(kqlParseKvText) _,
     "kql_trim_take_any" -> kqlText(kqlTrimText) _,
@@ -485,6 +496,11 @@ object ReferenceQueries {
          |  CAST(SUM(2 * amount + 10) AS BIGINT) AS total_s,
          |  CAST(2 * COUNT(*) AS BIGINT) AS total_n,
          |  CAST(MAX(amount + 10) AS BIGINT) AS top
+         |FROM orders_info GROUP BY city""".stripMargin,
+    "kql_pack" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city AS c, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(orderid + custid AS DOUBLE)) AS DOUBLE) AS total
          |FROM orders_info GROUP BY city""".stripMargin,
     "kql_row_rank" ->
       """WITH f AS (

@@ -942,6 +942,29 @@ class KqlSpec extends SparkSpec {
     assert(resolved.columns.toSeq == Seq("k", "p_k"))
   }
 
+  test("parser: pack_array/bag_pack construct dynamics; cast spellings todatetime/tobool") {
+    val reg = Map("T" -> Seq((3, "x")).toDF("v", "s"))
+    val r = KqlParser.run(
+      "T | extend a = pack_array(v, v * 2), b = bag_pack('n', v, 's', s) " +
+        "| extend n2 = tolong(b.n), s2 = tostring(b.s), " +
+        "d = todatetime('2024-03-01 10:00:00'), f = tobool('false') " +
+        "| project a, n2, s2, d, f", reg).collect().head
+    assert(r.getSeq[Int](0) == Seq(3, 6))
+    assert(r.getLong(1) == 3L && r.getString(2) == "x")
+    assert(r.getTimestamp(3) == java.sql.Timestamp.valueOf("2024-03-01 10:00:00"))
+    assert(!r.getBoolean(4))
+    // computed bag keys are a documented deviation: rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | extend b = bag_pack(s, v)", reg)
+    }
+    assert(e.getMessage.contains("string literals"))
+    // `pack` is the legacy ADX spelling of bag_pack
+    val legacy = KqlParser.run(
+      "T | extend b = pack('k', v) | extend k = tolong(b.k) | project k", reg)
+      .collect().head.getLong(0)
+    assert(legacy == 3L)
+  }
+
   test("parser: parse-kv extracts typed keys; absent or malformed values null out") {
     val reg = Map("T" -> Seq(
       "a=1;b=x;c=2.5", "a=7;c=oops", "nothing useful").toDF("s"))
