@@ -29,6 +29,7 @@ object SparkEntry {
     graft.ext.TextAnalysis.queries ++
     graft.ext.Similarity.queries ++
     graft.ext.Sketches.queries ++
+    graft.ext.Search.queries ++
     graft.ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
     graft.ext.TextAnalysis.oracleSql ++
     graft.ext.Similarity.oracleSql ++
     graft.ext.Sketches.oracleSql ++
+    graft.ext.Search.oracleSql ++
     graft.ext.Multimodal.oracleSql
 }

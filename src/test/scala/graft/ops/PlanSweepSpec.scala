@@ -31,7 +31,9 @@ class PlanSweepSpec extends SparkSpec {
     "sim_semantic_dedup", // SemDeDup's cluster assignment: corpus × 16-centroid broadcast; the pair stage itself equi-joins on cent_id
     "text_vocab_coverage", "text_quality_filter", "text_curated_corpus",
     "ev_daily_anomaly",
-    "sketch_fm_merge") // three 1-row frames (merged sketch, group-est sum, truth) cross-joined into the single output row
+    "sketch_fm_merge", // three 1-row frames (merged sketch, group-est sum, truth) cross-joined into the single output row
+    "search_tfidf_topk", "search_bm25_topk", // corpus × 1-row corpus-stats broadcast (N, df_t, Σdl)
+    "search_hybrid_rrf") // inherits the bm25 stats row + corpus × 1-row query-vector broadcast
 
   test("no unintended cartesian/nested-loop joins, no Python UDFs, anywhere") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
