@@ -2061,7 +2061,9 @@ object KqlParser {
                 }
             }
             i = close + 1
-          case Some(w) if Set("startofday", "startofmonth", "startofyear", "ago")(w.toLowerCase) && {
+          case Some(w) if Set("startofday", "startofmonth", "startofyear",
+              "startofweek", "endofday", "endofweek", "endofmonth",
+              "endofyear", "dayofweek", "ago")(w.toLowerCase) && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1
               j < s.length && s.charAt(j) == '('
@@ -2069,6 +2071,19 @@ object KqlParser {
             // Date helpers: startof*(x) → date_trunc; ago(<timespan>) →
             // now minus the span (nondeterministic — dashboard-filter
             // use only, never in an oracle-checked query).
+            // ADX week boundaries are SUNDAY-based (Spark's
+            // date_trunc('week') is Monday-based, so startofweek is
+            // day-truncate minus days-since-Sunday). endof*(x) is the
+            // last representable instant of the period — DEVIATION:
+            // Spark timestamps are µs-precision, so endof* lands on
+            // .999999 rather than ADX's .9999999 (100 ns ticks).
+            // dayofweek(x) — DEVIATION: returns an INTEGER count of
+            // days since Sunday (0..6) rather than ADX's timespan (the
+            // engine has no timespan type; `1d`-literal comparisons
+            // against it are not supported). The argument expression is
+            // inlined more than once for week/endof forms — fine for
+            // column refs and pure scalars, which is all the verb
+            // surface feeds here.
             val open = s.indexOf('(', i + w.length)
             val close = matchingParen(s, open)
             val inner = s.substring(open + 1, close).trim
@@ -2082,12 +2097,29 @@ object KqlParser {
                     s"ago expects a timespan literal (1d, 2h, 30m, 90s): $other")
                 }
                 out.append(s"(current_timestamp() - make_interval(0, 0, 0, 0, 0, 0, $secs))")
-              case sof =>
-                val unit = sof match {
+              case "startofday" | "startofmonth" | "startofyear" =>
+                val unit = w.toLowerCase match {
                   case "startofday" => "DAY"; case "startofmonth" => "MONTH"
                   case _ => "YEAR"
                 }
                 out.append(s"date_trunc('$unit', ${scalar(inner, lets)})")
+              case "startofweek" =>
+                val x = scalar(inner, lets)
+                out.append(s"timestampadd(DAY, -(dayofweek($x) - 1), date_trunc('DAY', $x))")
+              case "dayofweek" =>
+                out.append(s"(dayofweek(${scalar(inner, lets)}) - 1)")
+              case "endofweek" =>
+                val x = scalar(inner, lets)
+                out.append("timestampadd(MICROSECOND, -1, " +
+                  s"timestampadd(DAY, 8 - dayofweek($x), date_trunc('DAY', $x)))")
+              case eof =>
+                val unit = eof match {
+                  case "endofday" => "DAY"; case "endofmonth" => "MONTH"
+                  case _ => "YEAR"
+                }
+                val x = scalar(inner, lets)
+                out.append("timestampadd(MICROSECOND, -1, " +
+                  s"timestampadd($unit, 1, date_trunc('$unit', $x)))")
             }
             i = close + 1
           case Some(w) if w.toLowerCase == "case" && {
@@ -2143,6 +2175,8 @@ object KqlParser {
             i = close + 1
           case Some(w) if (Set("extract", "extract_all", "split",
               "isempty", "isnotempty", "countof",
+              "substring", "indexof", "strrep",
+              "base64_encode_tostring", "base64_decode_tostring", "hash",
               "array_index_of", "array_sum")(w.toLowerCase) ||
               w.toLowerCase.startsWith("series_")) && {
               var j = i + w.length
@@ -2303,6 +2337,57 @@ object KqlParser {
                     s"IF(length($pat) = 0 OR length($src) < length($pat), 0, " +
                     s"aggregate(sequence(1, length($src) - length($pat) + 1), 0, " +
                     s"(acc, p) -> acc + IF(substring($src, p, length($pat)) = $pat, 1, 0)))")
+              case "substring" =>
+                // ADX substring(source, startIdx[, length]) is 0-BASED
+                // (Spark's is 1-based — a pass-through would silently
+                // shift every result). Negative start clamps to 0, as
+                // ADX does; omitted length runs to end of string.
+                require(args.length == 2 || args.length == 3,
+                  s"substring expects (source, startIdx[, length]): ${s.substring(i, close + 1)}")
+                val start = s"(greatest(CAST(${args(1)} AS INT), 0) + 1)"
+                val len = if (args.length == 3) s"CAST(${args(2)} AS INT)"
+                          else "2147483647"
+                out.append(s"substring(${args(0)}, $start, $len)")
+              case "indexof" =>
+                // ADX indexof(source, lookup[, start]): 0-based result,
+                // -1 when absent (Spark instr/locate are 1-based,
+                // 0-absent — the single shift maps both conventions).
+                require(args.length == 2 || args.length == 3,
+                  s"indexof expects (source, lookup[, start]): ${s.substring(i, close + 1)}")
+                if (args.length == 2)
+                  out.append(s"(instr(${args(0)}, ${args(1)}) - 1)")
+                else
+                  out.append(s"(locate(${args(1)}, ${args(0)}, " +
+                    s"greatest(CAST(${args(2)} AS INT), 0) + 1) - 1)")
+              case "strrep" =>
+                // ADX strrep(value, multiplier[, delimiter]) — Spark
+                // repeat covers the plain form; the delimited form
+                // builds the repetition as an array join.
+                require(args.length == 2 || args.length == 3,
+                  s"strrep expects (value, multiplier[, delimiter]): ${s.substring(i, close + 1)}")
+                if (args.length == 2)
+                  out.append(s"repeat(${args(0)}, CAST(${args(1)} AS INT))")
+                else
+                  out.append(s"array_join(array_repeat(${args(0)}, " +
+                    s"CAST(${args(1)} AS INT)), ${args(2)})")
+              case "base64_encode_tostring" =>
+                require(args.length == 1, "base64_encode_tostring expects (string)")
+                out.append(s"base64(encode(${args.head}, 'UTF-8'))")
+              case "base64_decode_tostring" =>
+                require(args.length == 1, "base64_decode_tostring expects (string)")
+                out.append(s"decode(unbase64(${args.head}), 'UTF-8')")
+              case "hash" =>
+                // ADX hash(source[, mod]) is xxhash64-based — Spark's
+                // xxhash64 is the same family. DEVIATION: bit-level
+                // values differ from the ADX service (seed/finalization
+                // differ), and a bare Spark pass-through would have
+                // been Murmur3-32 — materially worse for the mod-shard
+                // use this function exists for. mod applies
+                // non-negatively (pmod), matching ADX's range.
+                require(args.length == 1 || args.length == 2,
+                  s"hash expects (source[, mod]): ${s.substring(i, close + 1)}")
+                if (args.length == 1) out.append(s"xxhash64(${args.head})")
+                else out.append(s"pmod(xxhash64(${args(0)}), CAST(${args(1)} AS BIGINT))")
               case empt =>
                 require(args.length == 1,
                   s"$empt expects one argument: ${s.substring(i, close + 1)}")
@@ -2493,6 +2578,13 @@ object KqlParser {
               case "iif" | "iff" => Some("if")
               case "todynamic" => Some("parse_json") // dynamic = VARIANT
               case "now" => Some("current_timestamp")
+              // ADX datetime-part extractors with exact Spark
+              // equivalents — name swaps (all return int parts; ADX
+              // week_of_year is ISO 8601, as is Spark's weekofyear)
+              case "getmonth" | "monthofyear" => Some("month")
+              case "getyear" => Some("year")
+              case "hourofday" => Some("hour")
+              case "week_of_year" => Some("weekofyear")
               case _ => None
             }
             out.append(repl.getOrElse(w)); i += w.length

@@ -427,7 +427,38 @@ object ReferenceQueries {
       || project day_ms = unix_millis(day), cnt
       || sort by day_ms asc""".stripMargin
 
+  /** r10 datetime-part tier: Sunday-based startofweek, µs-precision
+    * endof* boundaries, the dayofweek/week_of_year/hourofday/getmonth/
+    * getyear/monthofyear extractors — the axis arithmetic every ADX
+    * time dashboard leans on. Instants are compared cross-engine in
+    * epoch-millis (the events-table convention). */
+  val kqlDatetimePartsText: String =
+    """Events
+      || extend sow = unix_millis(startofweek(ts)), eod = unix_millis(endofday(ts)),
+      |         eom = unix_millis(endofmonth(ts)), dw = dayofweek(ts),
+      |         wy = week_of_year(ts), hh = hourofday(ts),
+      |         mo = getmonth(ts), yy = getyear(ts)
+      || summarize n = count() by sow, eod, eom, dw, wy, hh, mo, yy
+      || sort by sow asc, eod asc, hh asc""".stripMargin
+
+  /** r10 string tier: ADX 0-based substring/indexof (a Spark
+    * pass-through would silently shift every index by one), strrep
+    * with delimiter, and the base64 round trip. `hash()` (xxhash64) is
+    * deliberately absent — its bit values are engine-specific, so it
+    * is pinned by KqlSpec, not the cross-engine oracle. */
+  val kqlStringFuncsText: String =
+    """Orders
+      || extend head3 = substring(city, 0, 3), tail = substring(city, 4),
+      |         pos = toint(indexof(city, 'e')), pos2 = toint(indexof(city, 'e', 2)),
+      |         rep = strrep(substring(city, 0, 2), 2, '-'),
+      |         b64 = base64_encode_tostring(city),
+      |         rt = base64_decode_tostring(base64_encode_tostring(city))
+      || summarize n = count() by head3, tail, pos, pos2, rep, b64, rt
+      || sort by head3 asc, tail asc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_datetime_parts" -> kqlText(kqlDatetimePartsText) _,
+    "kql_string_funcs" -> kqlText(kqlStringFuncsText) _,
     "kql_pack" -> kqlText(kqlPackText) _,
     "kql_row_rank" -> kqlText(kqlRowRankText) _,
     "kql_parse_kv" -> kqlText(kqlParseKvText) _,
@@ -473,6 +504,32 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kql_datetime_parts" ->
+      """WITH t AS (SELECT CAST(ts AS TIMESTAMP) AS tsu FROM events)
+        |SELECT
+        |  epoch_ms(date_trunc('day', tsu) - to_days(CAST(dayofweek(tsu) AS INT))) AS sow,
+        |  epoch_ms(date_trunc('day', tsu) + to_days(1) - INTERVAL 1 MICROSECOND) AS eod,
+        |  epoch_ms(date_trunc('month', tsu) + INTERVAL 1 MONTH - INTERVAL 1 MICROSECOND) AS eom,
+        |  CAST(dayofweek(tsu) AS INT) AS dw,
+        |  CAST(weekofyear(tsu) AS INT) AS wy,
+        |  CAST(hour(tsu) AS INT) AS hh,
+        |  CAST(month(tsu) AS INT) AS mo,
+        |  CAST(year(tsu) AS INT) AS yy,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+        |ORDER BY sow ASC, eod ASC, hh ASC""".stripMargin,
+    "kql_string_funcs" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT substr(city, 1, 3) AS head3, substr(city, 5) AS tail,
+         |  CAST(instr(city, 'e') - 1 AS INTEGER) AS pos,
+         |  CAST(CASE WHEN instr(substr(city, 3), 'e') = 0 THEN -1
+         |            ELSE instr(substr(city, 3), 'e') + 1 END AS INTEGER) AS pos2,
+         |  substr(city, 1, 2) || '-' || substr(city, 1, 2) AS rep,
+         |  base64(encode(city)) AS b64,
+         |  city AS rt,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM orders_info GROUP BY 1, 2, 3, 4, 5, 6, 7
+         |ORDER BY head3 ASC, tail ASC""".stripMargin,
     "kql_range_zerofill" ->
       """WITH axis AS (
         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',

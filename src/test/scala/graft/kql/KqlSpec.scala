@@ -1488,6 +1488,68 @@ class KqlSpec extends SparkSpec {
     assert(out.head().getLong(0) == 1709289000000L)
   }
 
+  test("parser: ADX substring/indexof are 0-based; strrep and base64 round-trip") {
+    val out = KqlParser.run(
+      """print s = substring('Seattle', 0, 3), t = substring('Seattle', 4),
+        |      p = toint(indexof('Seattle', 'e')), p2 = toint(indexof('Seattle', 'e', 2)),
+        |      miss = toint(indexof('Seattle', 'z')),
+        |      r = strrep('ab', 3), rd = strrep('ab', 2, '-'),
+        |      b = base64_encode_tostring('KQL'),
+        |      rt = base64_decode_tostring(base64_encode_tostring('héllo'))""".stripMargin,
+      Map.empty).head()
+    assert(out.getAs[String]("s") == "Sea")     // 0-based start
+    assert(out.getAs[String]("t") == "tle")     // to end of string
+    assert(out.getAs[Int]("p") == 1)            // 0-based result
+    assert(out.getAs[Int]("p2") == 6)           // search from index 2
+    assert(out.getAs[Int]("miss") == -1)        // ADX absent marker
+    assert(out.getAs[String]("r") == "ababab")
+    assert(out.getAs[String]("rd") == "ab-ab")
+    assert(out.getAs[String]("b") == "S1FM")
+    assert(out.getAs[String]("rt") == "héllo")
+  }
+
+  test("parser: hash() is xxhash64-family, deterministic, mod form non-negative") {
+    val out = KqlParser.run("print h = hash('abc'), m = hash('abc', 8)", Map.empty).head()
+    val expect = spark.sql("SELECT xxhash64('abc') AS h").head().getLong(0)
+    assert(out.getAs[Long]("h") == expect)
+    val m = out.getAs[Long]("m")
+    assert(m >= 0 && m < 8 && m == ((expect % 8) + 8) % 8)
+  }
+
+  test("parser: startofweek is Sunday-based; endof* land on the last microsecond") {
+    // 2024-03-06 is a Wednesday; the ADX (Sunday-based) week runs
+    // 2024-03-03 .. 2024-03-09, and 2024 is a leap year for endofmonth.
+    val out = KqlParser.run(
+      """print sow = unix_millis(startofweek(datetime(2024-03-06 12:00:00))),
+        |      eod = unix_millis(endofday(datetime(2024-03-06 12:00:00))),
+        |      eom = unix_millis(endofmonth(datetime(2024-02-10))),
+        |      eow = unix_millis(endofweek(datetime(2024-03-06))),
+        |      dw = dayofweek(datetime(2024-03-06)), wy = week_of_year(datetime(2024-03-06)),
+        |      hh = hourofday(datetime(2024-03-06 12:34:56)),
+        |      mo = getmonth(datetime(2024-03-06)), yy = getyear(datetime(2024-03-06))""".stripMargin,
+      Map.empty).head()
+    assert(out.getAs[Long]("sow") == 1709424000000L)  // 2024-03-03 00:00:00Z
+    assert(out.getAs[Long]("eod") == 1709769599999L)  // 2024-03-06 23:59:59.999999
+    assert(out.getAs[Long]("eom") == 1709251199999L)  // 2024-02-29 23:59:59.999999
+    assert(out.getAs[Long]("eow") == 1710028799999L)  // 2024-03-09 23:59:59.999999
+    assert(out.getAs[Int]("dw") == 3)                 // days since Sunday
+    assert(out.getAs[Int]("wy") == 10)                // ISO 8601
+    assert(out.getAs[Int]("hh") == 12)
+    assert(out.getAs[Int]("mo") == 3)
+    assert(out.getAs[Int]("yy") == 2024)
+  }
+
+  test("parser: startofweek/endofweek are identities of the week fixpoints") {
+    // A Sunday is its own startofweek; a Saturday's endofweek is that
+    // evening — the boundary cases where an off-by-one would bite.
+    val out = KqlParser.run(
+      """print a = unix_millis(startofweek(datetime(2024-03-03))),
+        |      b = unix_millis(endofweek(datetime(2024-03-09 01:00:00)))""".stripMargin,
+      Map.empty).head()
+    assert(out.getAs[Long]("a") == 1709424000000L)
+    assert(out.getAs[Long]("b") == 1710028799999L)
+  }
+
   test("parser: project-rename keeps column position; project-keep keeps original order") {
     val ren = KqlParser.run("Orders | project-rename town = city", ordersReg)
     assert(ren.columns.toSeq == Seq("orderid", "town", "amount"))
