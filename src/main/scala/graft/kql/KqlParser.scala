@@ -26,7 +26,15 @@ import org.apache.spark.sql.functions._
   * [[mvApplyVerb]]), `top-nested` (layered top-k drill-down including
   * `with others=` catch-all rows, see [[topNestedVerb]]),
   * `top-hitters` (heavy hitters — exact, documented deviation),
-  * `evaluate pivot` (native Spark pivot; other plugins rejected),
+  * `scan` (stateful sequence matching — greedy single-match state
+  * machine, `by`-key distributed extension, see [[scanVerb]] for the
+  * full deviation list), `as` (frame binding for later operands;
+  * `hint.materialized=true` caches),
+  * `evaluate pivot` (native Spark pivot), `evaluate bag_unpack`,
+  * `evaluate autocluster` (deterministic cube segment-mining, see
+  * [[autoclusterVerb]]), `evaluate narrow` (transpose to string
+  * (Column, Value) pairs — first column as key, documented deviation
+  * from ADX's ordinal Row; other plugins rejected),
   * `project-reorder`, `parse`, `print` (table-less scalar row),
   * `range` (table-from-scalar-series, [[rangeVerb]]), `getschema`
   * (column introspection), `lookup` (dimension enrichment — broadcast
@@ -69,8 +77,17 @@ import org.apache.spark.sql.functions._
   * `series_stats_dynamic`, `series_outliers` z-scores,
   * `series_decompose[_anomalies]` — deterministic moving-average
   * trend + k-sigma residual flags; deviations from ADX's Tukey/STL
-  * internals documented at each builder), date helpers
-  * (`startofday/month/year`, `now()`,
+  * internals documented at each builder), the 0-based string tier
+  * (`substring`/`indexof` — ADX index conventions, a pass-through
+  * would silently shift by one — `strrep`,
+  * `base64_encode_tostring`/`base64_decode_tostring`, `hash` →
+  * xxhash64 with a mod-shard form; bit values differ from the ADX
+  * service, documented at the builder), date helpers
+  * (`startofday/week/month/year` — ADX weeks start SUNDAY —
+  * `endofday/week/month/year` to the last representable µs,
+  * `dayofweek` as int days-since-Sunday, and the
+  * `getmonth`/`getyear`/`hourofday`/`monthofyear`/`week_of_year`
+  * part extractors; `now()`,
   * `ago(<timespan>)` — the latter two nondeterministic, dashboard
   * filters only), timespan literals in `bin()`,
   * `bin` — KQL's floor-to-multiple, translated to
@@ -221,6 +238,9 @@ object KqlParser {
     val stages = splitTopLevel(query, '|').map(_.trim).filter(_.nonEmpty)
     require(stages.nonEmpty, "empty KQL query")
     val tableName = stages.head
+    // `as`-verb bindings extend the visible table set for the REST of
+    // this pipeline (join/lookup/union operands included).
+    var tbls = tables
     var df =
       if (tableName.startsWith("datatable")) datatable(tableName)
       else if (tableName.startsWith("print") &&
@@ -243,6 +263,9 @@ object KqlParser {
     // no established sort is rejected loudly — "natural ingestion order"
     // is not deterministic on a distributed frame.
     var serialOrder: Option[String] = None
+    // raw (expr, asc) items of the last sort/top — consumed by `scan`
+    // for its secondary sort; only meaningful while serialOrder is set
+    var serialItems: Seq[(String, Boolean)] = Nil
     import Kql.KqlOps
     stages.tail.foreach { stage =>
       val (verb, rest) = stage.span(c => !c.isWhitespace && c != '-') match {
@@ -342,20 +365,47 @@ object KqlParser {
           val keepSet = keep.toSet
           df = df.select(df.columns.filter(keepSet.contains).map(col): _*)
         case "summarize" => df = summarize(df, rest, scoped)
-        case "join" => df = join(df, rest, tables, lets)
-        case "lookup" => df = lookupVerb(df, rest, tables, lets)
+        case "join" => df = join(df, rest, tbls, lets)
+        case "lookup" => df = lookupVerb(df, rest, tbls, lets)
         case "union" =>
           // withsource provenance: the piped-in left frame tags with
           // the pipeline's root table name when it has one (datatable/
           // print/range roots fall back to the literal "source")
-          df = unionVerb(df, rest, tables, lets,
-            leftLabel = if (tables.contains(tableName)) tableName else "source")
+          df = unionVerb(df, rest, tbls, lets,
+            leftLabel = if (tbls.contains(tableName)) tableName else "source")
+        case "as" =>
+          // ADX `| as [hint.materialized=true] Name` — binds the
+          // current frame to Name for later operands of THIS pipeline
+          // (the union/join self-reference idiom). DEVIATION: ADX
+          // scopes the binding to the whole statement list; here it is
+          // the remainder of the pipeline. hint.materialized=true maps
+          // to a Spark cache of the bound frame.
+          var body = rest.trim
+          var materialize = false
+          if (body.startsWith("hint.materialized")) {
+            val after = body.stripPrefix("hint.materialized").trim
+            require(after.startsWith("="),
+              s"as: expected hint.materialized=<bool>: $rest")
+            val (v, tail2) = after.stripPrefix("=").trim.span(!_.isWhitespace)
+            materialize = v.toBoolean
+            body = tail2.trim
+          }
+          require(body.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"as expects a bare name: $rest")
+          if (materialize) df = df.cache()
+          tbls += body -> df
+        case "scan" =>
+          require(serialOrder.isDefined,
+            "scan requires a serialized frame - sort by the scan order first")
+          df = scanVerb(df, rest, scoped, serialItems)
+          serialOrder = None
         case "sort" | "order" =>
           val body = stripLeadingBy(rest, verb)
           // variant dotted sort keys rewrite like where/extend (r9 ADVICE)
           val items = sortItems(body, scoped)
             .map { case (e, asc) => (rewriteVariantPaths(e, df), asc) }
           serialOrder = Some(orderSql(items))
+          serialItems = items
           df = df.orderBy(items.map { case (e, asc) =>
             if (asc) expr(e).asc else expr(e).desc }: _*)
         case "top" =>
@@ -365,6 +415,7 @@ object KqlParser {
               val items = sortItems(by, scoped)
                 .map { case (e, asc) => (rewriteVariantPaths(e, df), asc) }
               serialOrder = Some(orderSql(items))
+              serialItems = items
               df = df.orderBy(items.map { case (e, asc) =>
                 if (asc) expr(e).asc else expr(e).desc }: _*)
                 .limit(n.toInt)
@@ -473,9 +524,27 @@ object KqlParser {
           val body0 = rest.trim
           if (body0.toLowerCase.startsWith("bag_unpack")) {
             df = bagUnpackVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("autocluster")) {
+            df = autoclusterVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.matches("(?i)narrow\\s*\\(\\s*\\)")) {
+            // `evaluate narrow()` — ADX's transpose plugin: every value
+            // column becomes a (Column, Value) row pair, values cast to
+            // string (ADX's behavior — the output column is untyped
+            // text). DEVIATION (documented): ADX keys rows by an
+            // ordinal Row number, which has no deterministic meaning on
+            // a distributed frame; here the FIRST column is carried as
+            // the row key instead — project a unique key first.
+            require(df.columns.length >= 2,
+              "narrow needs a key column plus at least one value column")
+            val key = df.columns.head
+            val rest2 = df.columns.tail
+            val pairs = rest2.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+            df = df.selectExpr(s"`$key`",
+              s"stack(${rest2.length}, $pairs) as (Column, Value)")
+            serialOrder = None
           } else {
           require(body0.toLowerCase.startsWith("pivot"),
-            s"evaluate supports only the pivot and bag_unpack plugins: $body0")
+            s"evaluate supports only the pivot, bag_unpack, autocluster and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
             s"evaluate pivot expects pivot(col[, agg[, groupCols…]]): $body0")
@@ -1395,6 +1464,159 @@ object KqlParser {
     * stay VARIANT. Documented deviations: unpacked columns append in
     * ALPHABETICAL key order (ADX leaves order unspecified), and keys
     * must be identifier-shaped (ADX would accept arbitrary strings). */
+  /** `scan [with_match_id=M] [by k1, k2, …] with (step s1: pred; …)` —
+    * ADX's stateful sequence-matching verb, the sessionization/funnel
+    * workhorse. The frame must be serialized (`sort by` the scan order
+    * first); each step's predicate is evaluated MAP-SIDE into a boolean
+    * array (whole-stage codegen, before any shuffle), then a single
+    * streaming state-machine pass assigns rows to steps.
+    *
+    * Supported subset and DOCUMENTED DEVIATIONS from ADX:
+    *  - GREEDY single-match semantics: one active sequence at a time
+    *    (per `by` group). A row advances the active match iff it
+    *    satisfies the NEXT step's predicate; completing the last step
+    *    closes the match; rows matching step 1 while a match is active
+    *    do NOT spawn a concurrent match (ADX tracks simultaneous
+    *    matches). Each step consumes exactly one row (no step repeats).
+    *  - Output: matched rows only, plus a `step` column naming the
+    *    matched step and (with `with_match_id=M`) a 0-based per-group
+    *    match counter — ADX instead materializes declared state
+    *    variables; `declare (…)` and `=>` assignments are not
+    *    supported (rejected loudly).
+    *  - `by k…` is an EXTENSION: it scopes matches per key and makes
+    *    the scan distributed — one hash shuffle on the keys, a
+    *    secondary sort within partitions, and a streaming pass with
+    *    O(1) state per group (the 100 TB shape). A bare `scan`
+    *    matches ADX's global serialized semantics and collapses to ONE
+    *    partition — inherently sequential, dashboard-sized frames only
+    *    (the same cost class as `serialize` + row functions, called
+    *    out here because it is invisible in the query text). */
+  private def scanVerb(df0: DataFrame, rest: String,
+                       lets: Map[String, String],
+                       order: Seq[(String, Boolean)]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    var body = rest.trim
+    require(!body.toLowerCase.startsWith("declare"),
+      "scan declare (…) state variables are not supported - use extend after the scan")
+    var matchIdCol: Option[String] = None
+    if (body.toLowerCase.startsWith("with_match_id")) {
+      val after = body.stripPrefix("with_match_id").stripPrefix("WITH_MATCH_ID").trim
+      require(after.startsWith("="), s"scan: expected with_match_id=<name>: $rest")
+      val (v, t2) = after.stripPrefix("=").trim.span(c => c.isLetterOrDigit || c == '_')
+      require(v.matches("[A-Za-z_][A-Za-z0-9_]*"), s"scan: bad match-id name '$v'")
+      matchIdCol = Some(v); body = t2.trim
+    }
+    var keys: Seq[String] = Nil
+    if (body.startsWith("by ") || body.startsWith("by\t")) {
+      val withAt = "(?i)\\bwith\\b".r.findFirstMatchIn(body.drop(3))
+        .getOrElse(throw new IllegalArgumentException(
+          s"scan expects … with (step …): $rest")).start + 3
+      keys = splitTopLevel(body.substring(3, withAt), ',').map(_.trim)
+      keys.foreach(k => require(df0.columns.contains(k),
+        s"scan by column '$k' not found (have: ${df0.columns.mkString(", ")})"))
+      body = body.substring(withAt)
+    }
+    require(body.toLowerCase.startsWith("with"),
+      s"scan expects [with_match_id=M] [by keys] with (step …): $rest")
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      s"scan steps must sit in one (…) block: $rest")
+    val steps = splitTopLevel(body.substring(open + 1, matchingParen(body, open)), ';')
+      .map(_.trim).filter(_.nonEmpty).map { sd =>
+        require(sd.startsWith("step ") || sd.startsWith("step\t"),
+          s"each scan clause must be 'step <name>: <predicate>': $sd")
+        val colonAt = sd.indexOf(':')
+        require(colonAt > 5, s"scan step missing ':': $sd")
+        require(!sd.contains("=>"),
+          s"scan step assignments (=>) are not supported: $sd")
+        val name = sd.substring(5, colonAt).trim
+        require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad scan step name: $name")
+        (name, scalar(sd.substring(colonAt + 1).trim, lets))
+      }
+    require(steps.nonEmpty, "scan needs at least one step")
+
+    // predicates become ONE boolean-array column, evaluated map-side
+    // before the shuffle - the state machine never evaluates SQL
+    val withConds = df0.withColumn("__scan_conds",
+      array(steps.map { case (_, p) => expr(p).cast("boolean") }: _*))
+    val orderCols = order.map { case (e, asc) =>
+      if (asc) expr(e).asc else expr(e).desc }
+    val sorted =
+      if (keys.nonEmpty)
+        withConds.repartition(keys.map(col): _*)
+          .sortWithinPartitions(keys.map(k => col(k).asc) ++ orderCols: _*)
+      else withConds.coalesce(1).sortWithinPartitions(orderCols: _*)
+
+    val outSchema = StructType(df0.schema.fields ++
+      (StructField("step", StringType, nullable = false) +:
+        matchIdCol.map(c => StructField(c, LongType, nullable = false)).toSeq))
+    val keyIdx = keys.map(df0.schema.fieldIndex)
+    val condIdx = df0.schema.length
+    val stepNames = steps.map(_._1)
+    val n = steps.length
+    val emitMatchId = matchIdCol.isDefined
+    sorted.mapPartitions { iter =>
+      var curKey: Seq[Any] = null
+      var active = -1
+      var matchId = -1L
+      iter.flatMap { row =>
+        val k = keyIdx.map(row.get)
+        if (curKey == null || k != curKey) { curKey = k; active = -1; matchId = -1L }
+        val conds = row.getSeq[Any](condIdx)
+        if (active + 1 < n && conds(active + 1) == true) {
+          active += 1
+          if (active == 0) matchId += 1
+          val out = Row.fromSeq(row.toSeq.dropRight(1) ++
+            (stepNames(active) +: (if (emitMatchId) Seq(matchId) else Nil)))
+          if (active == n - 1) active = -1
+          Some(out)
+        } else None
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** `evaluate autocluster([minPct])` — ADX's segment-mining plugin,
+    * re-expressed deterministically: every attribute-pattern over the
+    * CURRENT columns (a Spark-native `cube`, wildcards surfacing as
+    * NULL) whose row coverage is at least `minPct` of the table
+    * (default 0.05), with its count and coverage share. DEVIATIONS
+    * (documented): ADX's randomized seed search / size-weight scoring
+    * is replaced by the exhaustive cube (deterministic and exact at
+    * ≤ 6 attribute columns — more are rejected loudly, 2^k cells);
+    * wildcards are NULL rather than a custom marker, so project
+    * non-null attribute columns first (real NULLs would be
+    * indistinguishable from wildcards); the 100 %-coverage all-wildcard
+    * row is dropped. The coverage denominator comes from the cube's own
+    * grand-total cell via a window over the CUBE OUTPUT (bounded cells,
+    * never the corpus), so no second scan and no scalar collect. */
+  private def autoclusterVerb(df: DataFrame, body: String): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      s"evaluate autocluster expects autocluster([minPct]): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length <= 1, s"autocluster takes at most one argument: $body")
+    val minPct = args.headOption.map { a =>
+      val v = scala.util.Try(BigDecimal(a)).getOrElse(throw new IllegalArgumentException(
+        s"autocluster minPct must be a numeric literal: $a"))
+      require(v > 0 && v <= 1, s"autocluster minPct must be in (0, 1]: $a")
+      v.toDouble
+    }.getOrElse(0.05)
+    val cols = df.columns.toSeq
+    require(cols.nonEmpty && cols.length <= 6,
+      s"autocluster cubes the current columns — project to at most 6 first (have ${cols.length})")
+    val allWild = (1 << cols.length) - 1
+    val cells = df.cube(cols.map(col): _*)
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    cells
+      .withColumn("pct", round(col("n").cast("double") /
+        max(when(col("gid") === allWild, col("n"))).over(w), 6))
+      .filter(col("gid") =!= allWild && col("pct") >= minPct)
+      .drop("gid")
+  }
+
   private def bagUnpackVerb(df: DataFrame, body: String): DataFrame = {
     val open = body.indexOf('(')
     require(open > 0 && matchingParen(body, open) == body.length - 1,

@@ -279,6 +279,30 @@ object AdvancedAnalytics {
     * (broadcast the filtered customer side at this cardinality; at SF
     * where customers outgrow the broadcast threshold the same code
     * becomes a shuffle join, which is the right plan there too). */
+  /** Market-basket co-occurrence mining: brand pairs appearing in the
+    * same order at least 10 times — the deterministic frequent-itemset
+    * (k=2) pass underlying ADX's `basket` plugin and every
+    * recommender's co-view table.
+    *
+    * Scale shape: the brand dim broadcasts onto the lineitem scan; the
+    * (order, brand) frame dedupes with one shuffle on orderkey, and
+    * the pair self-join is CO-PARTITIONED on that same orderkey (no
+    * second shuffle of either side at the join — AQE sees matching
+    * output partitioning), with per-order fan-out bounded by
+    * brands-per-order (≤ 25), never |orders|². */
+  def basketPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val brands = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
+    val ob = li.join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    ob.as("a").join(ob.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand1"), col("b.p_brand").as("brand2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 10)
+  }
+
   def tpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, sfDir)
@@ -426,6 +450,7 @@ object AdvancedAnalytics {
     "agg_multi_distinct" -> multiDistinct _,
     "win_range_frame" -> rangeFrameWindow _,
     "fn_regex" -> regexBattery _,
+    "join_basket_pairs" -> basketPairs _,
     "join_tpch_q3" -> tpchQ3 _,
     "join_tpch_q5" -> tpchQ5 _,
     "agg_group_concat" -> groupConcat _,
@@ -531,6 +556,15 @@ object AdvancedAnalytics {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "join_basket_pairs" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT a.p_brand AS brand1, b.p_brand AS brand2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM ob a JOIN ob b
+        |  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 10""".stripMargin,
     "join_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -456,7 +456,57 @@ object ReferenceQueries {
       || summarize n = count() by head3, tail, pos, pos2, rep, b64, rt
       || sort by head3 asc, tail asc""".stripMargin
 
+  /** r10 `evaluate autocluster` — the ADX segment-mining plugin as a
+    * deterministic Spark cube over the projected attribute columns
+    * (NULL = wildcard), filtered to ≥5 % coverage. The derived bands
+    * keep the cube bounded and give patterns at several granularities. */
+  val kqlAutoclusterText: String =
+    """Events
+      || extend vband = bin(value, 100), hot = value >= 400
+      || project event_type, vband, hot
+      || evaluate autocluster(0.05)
+      || sort by pct desc, event_type asc, vband asc, hot asc""".stripMargin
+
+  /** r10 `as` verb — binds the pre-filter frame, then unions the bound
+    * name back in: withsource labels must show the ROOT table name for
+    * the piped-in side and the BOUND name for the operand, and the
+    * binding must capture the frame at bind time (before the where). */
+  val kqlAsUnionText: String =
+    """let threshold = 150;
+      |Orders
+      || as AllOrders
+      || where amount >= threshold
+      || union withsource=src (AllOrders)
+      || summarize n = count(), total = sum(amount) by src
+      || sort by src asc""".stripMargin
+
+  /** r10 `scan` — the ADX stateful sequence-matcher as a distributed
+    * per-user funnel (greedy single-match deviation documented at the
+    * verb): view→purchase matches per user, verified against a DuckDB
+    * RECURSIVE-CTE replay of the same state machine (iteration depth =
+    * max events per user, so the slice keeps users < 8). */
+  val kqlScanFunnelText: String =
+    """Events
+      || where user_id < 8
+      || project user_id, ts, event_id, event_type
+      || sort by user_id asc, ts asc, event_id asc
+      || scan with_match_id=m by user_id with ( step sawview: event_type == 'view'; step bought: event_type == 'purchase'; )
+      || summarize n_rows = count(), matches = countif(step == 'bought'), last_match = max(m) by user_id
+      || sort by user_id asc""".stripMargin
+
+  /** r10 `evaluate narrow` — the transpose plugin (key + one
+    * (Column, Value) string pair per value column). */
+  val kqlNarrowText: String =
+    """Orders
+      || project orderid, city, amount
+      || evaluate narrow()
+      || sort by orderid asc, Column asc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_scan_funnel" -> kqlText(kqlScanFunnelText) _,
+    "kql_narrow" -> kqlText(kqlNarrowText) _,
+    "kql_autocluster" -> kqlText(kqlAutoclusterText) _,
+    "kql_as_union" -> kqlText(kqlAsUnionText) _,
     "kql_datetime_parts" -> kqlText(kqlDatetimePartsText) _,
     "kql_string_funcs" -> kqlText(kqlStringFuncsText) _,
     "kql_pack" -> kqlText(kqlPackText) _,
@@ -504,6 +554,66 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kql_scan_funnel" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events WHERE user_id < 8),
+        |walk AS (
+        |  SELECT user_id, 0 AS rn, FALSE AS active, 0 AS starts, 0 AS completes
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT w.user_id, w.rn + 1,
+        |    CASE WHEN NOT w.active AND e.event_type = 'view' THEN TRUE
+        |         WHEN w.active AND e.event_type = 'purchase' THEN FALSE
+        |         ELSE w.active END,
+        |    w.starts + CASE WHEN NOT w.active AND e.event_type = 'view' THEN 1 ELSE 0 END,
+        |    w.completes + CASE WHEN w.active AND e.event_type = 'purchase' THEN 1 ELSE 0 END
+        |  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1),
+        |fin AS (
+        |  SELECT user_id, starts, completes,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rk
+        |  FROM walk)
+        |SELECT user_id, CAST(starts + completes AS BIGINT) AS n_rows,
+        |  CAST(completes AS BIGINT) AS matches,
+        |  CAST(starts - 1 AS BIGINT) AS last_match
+        |FROM fin WHERE rk = 1 AND starts > 0 ORDER BY user_id ASC""".stripMargin,
+    "kql_narrow" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid, "Column", "Value" FROM (
+         |  SELECT orderid, 'amount' AS "Column", CAST(amount AS VARCHAR) AS "Value"
+         |  FROM orders_info
+         |  UNION ALL
+         |  SELECT orderid, 'city' AS "Column", city AS "Value" FROM orders_info)
+         |ORDER BY orderid ASC, "Column" ASC""".stripMargin,
+    "kql_autocluster" ->
+      """WITH src AS (
+        |  SELECT event_type,
+        |    ("value" - ((("value" % 100) + 100) % 100)) AS vband,
+        |    "value" >= 400 AS hot
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, vband, hot, COUNT(*) AS n,
+        |    GROUPING(event_type, vband, hot) AS g
+        |  FROM src GROUP BY CUBE(event_type, vband, hot)),
+        |tot AS (SELECT n AS total FROM cells WHERE g = 7)
+        |SELECT event_type, vband, hot, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / total, 6) AS pct
+        |FROM cells, tot
+        |WHERE g <> 7 AND round(CAST(n AS DOUBLE) / total, 6) >= 0.05
+        |ORDER BY pct DESC, event_type ASC NULLS FIRST,
+        |  vband ASC NULLS FIRST, hot ASC NULLS FIRST""".stripMargin,
+    "kql_as_union" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT src, n, total FROM (
+         |  SELECT 'Orders' AS src, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(amount) AS BIGINT) AS total
+         |  FROM orders_info WHERE amount >= 150
+         |  UNION ALL
+         |  SELECT 'AllOrders' AS src, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(amount) AS BIGINT) AS total
+         |  FROM orders_info)
+         |ORDER BY src ASC""".stripMargin,
     "kql_datetime_parts" ->
       """WITH t AS (SELECT CAST(ts AS TIMESTAMP) AS tsu FROM events)
         |SELECT

@@ -1245,10 +1245,10 @@ class KqlSpec extends SparkSpec {
     assert(cnt.columns.toSeq == Seq("id", "v", "x", "y"))
     val narrow = KqlParser.run("T | evaluate pivot(k, sum(v), id)", reg)
     assert(narrow.columns.toSeq == Seq("id", "x", "y"))
-    // bag_unpack is supported since r10 — an UNKNOWN plugin still
-    // rejects loudly, naming the supported set
+    // bag_unpack/autocluster/narrow are supported since r10 — an
+    // UNKNOWN plugin still rejects loudly, naming the supported set
     val e = intercept[IllegalArgumentException] {
-      KqlParser.run("T | evaluate narrow()", reg)
+      KqlParser.run("T | evaluate basket()", reg)
     }
     assert(e.getMessage.contains("pivot") && e.getMessage.contains("bag_unpack"))
   }
@@ -1548,6 +1548,123 @@ class KqlSpec extends SparkSpec {
       Map.empty).head()
     assert(out.getAs[Long]("a") == 1709424000000L)
     assert(out.getAs[Long]("b") == 1710028799999L)
+  }
+
+  test("parser: as binds the PRE-filter frame; union labels it by the bound name") {
+    val out = KqlParser.run(
+      """Orders
+        || as All
+        || where amount >= 100
+        || union withsource=src (All)
+        || summarize n = count() by src
+        || sort by src asc""".stripMargin, ordersReg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // left side: Orders filtered to amount>=100 (2 rows); operand: the
+    // binding captured BEFORE the where (all 3 rows)
+    assert(out == Map("All" -> 3L, "Orders" -> 2L))
+  }
+
+  test("parser: as hint.materialized=true caches; bad names rejected") {
+    val df = KqlParser.run(
+      "Orders | as hint.materialized=true Snap | join kind=inner (Snap) on orderid | count",
+      ordersReg)
+    assert(df.head().getLong(0) == 3L)
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("Orders | as 2bad", ordersReg)
+    }
+    assert(e.getMessage.contains("bare name"))
+  }
+
+  test("parser: evaluate autocluster cubes attributes, drops the all-wildcard row") {
+    val src = Map("T" -> Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")).toDF("k1", "k2"))
+    val rows = KqlParser.run("T | evaluate autocluster(0.5)", src)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getAs[Long]("n"), r.getAs[Double]("pct"))).toSet
+    // patterns with >= 50% coverage of 4 rows: (a,*)=3, (a,x)=2, (*,x)=2,
+    // (*,y)=2 — never the grand total (*,*)
+    assert(rows == Set(
+      (Some("a"), None, 3L, 0.75),
+      (Some("a"), Some("x"), 2L, 0.5),
+      (None, Some("x"), 2L, 0.5),
+      (None, Some("y"), 2L, 0.5)))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | evaluate autocluster(1.5)", src)
+    }
+    assert(e.getMessage.contains("(0, 1]"))
+  }
+
+  test("parser: evaluate narrow transposes value columns to string (Column, Value) pairs") {
+    val out = KqlParser.run(
+      "Orders | where orderid == 1 | evaluate narrow() | sort by Column asc", ordersReg)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq((1, "amount", "120"), (1, "city", "Seattle")))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("Orders | project orderid | evaluate narrow()", ordersReg)
+    }
+    assert(e.getMessage.contains("key column"))
+  }
+
+  test("parser: scan greedy two-step funnel per key, match ids, partial matches emitted") {
+    val ev = Seq(
+      (1L, 1, "view"), (1L, 2, "view"), (1L, 3, "purchase"),
+      (1L, 4, "purchase"), (1L, 5, "view"), (1L, 6, "purchase"),
+      (2L, 1, "purchase"), (2L, 2, "view")
+    ).toDF("user_id", "seq", "event_type")
+    val out = KqlParser.run(
+      """T
+        || sort by user_id asc, seq asc
+        || scan with_match_id=m by user_id with ( step sawview: event_type == 'view'; step bought: event_type == 'purchase'; )""".stripMargin,
+      Map("T" -> ev)).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("seq"),
+        r.getAs[String]("step"), r.getAs[Long]("m"))).toSet
+    assert(out == Set(
+      (1L, 1, "sawview", 0L), (1L, 3, "bought", 0L),   // greedy: view@2 ignored mid-match
+      (1L, 5, "sawview", 1L), (1L, 6, "bought", 1L),   // purchase@4 ignored (no active match)
+      (2L, 2, "sawview", 0L)))                         // open match emits its partial rows
+  }
+
+  test("parser: scan rejects unserialized frames, declare blocks, and assignments") {
+    val ev = Seq((1L, 1, "view")).toDF("user_id", "seq", "event_type")
+    val reg = Map("T" -> ev)
+    val e1 = intercept[IllegalArgumentException] {
+      KqlParser.run("T | scan with ( step a: true )", reg)
+    }
+    assert(e1.getMessage.contains("serialized"))
+    val e2 = intercept[IllegalArgumentException] {
+      KqlParser.run("T | sort by seq asc | scan declare (x:long) with ( step a: true )", reg)
+    }
+    assert(e2.getMessage.contains("not supported"))
+    val e3 = intercept[IllegalArgumentException] {
+      KqlParser.run("T | sort by seq asc | scan with ( step a: true => x = 1 )", reg)
+    }
+    assert(e3.getMessage.contains("not supported"))
+  }
+
+  test("parser: scan matches a plain-Scala greedy reference on random sequences") {
+    val rnd = new scala.util.Random(42)
+    val types = Array("view", "click", "purchase")
+    val data = (1 to 300).map(i => (rnd.nextInt(5).toLong, i, types(rnd.nextInt(3))))
+    val out = KqlParser.run(
+      """T
+        || sort by k asc, seq asc
+        || scan with_match_id=m by k with ( step a: t == 'view'; step b: t == 'click'; step c: t == 'purchase'; )""".stripMargin,
+      Map("T" -> data.toDF("k", "seq", "t"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3), r.getLong(4))).toSet
+    val names = Array("a", "b", "c")
+    val preds = Array[String => Boolean](_ == "view", _ == "click", _ == "purchase")
+    val expected = data.groupBy(_._1).flatMap { case (k, rows) =>
+      var active = -1; var m = -1L
+      rows.sortBy(_._2).flatMap { case (_, seq, t) =>
+        if (active + 1 < 3 && preds(active + 1)(t)) {
+          active += 1; if (active == 0) m += 1
+          val r = (k, seq, names(active), m)
+          if (active == 2) active = -1
+          Some(r)
+        } else None
+      }
+    }.toSet
+    assert(out == expected)
   }
 
   test("parser: project-rename keeps column position; project-keep keeps original order") {
