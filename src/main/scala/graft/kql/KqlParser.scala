@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   * `scan` (stateful sequence matching — greedy single-match state
   * machine, `by`-key distributed extension, see [[scanVerb]] for the
   * full deviation list), `as` (frame binding for later operands;
-  * `hint.materialized=true` caches),
+  * `hint.materialized=true` caches), `invoke` (tabular function lets,
+  * `let f = (T:(*)) {{ … }}` applied to the piped frame; scalar
+  * parameters rejected loudly), `make-graph`/`graph-match` (chain
+  * patterns as one equi-join per hop, node-property joins, cycles via
+  * repeated variables — see [[graphMatchVerb]] for deviations),
   * `evaluate pivot` (native Spark pivot), `evaluate bag_unpack`,
   * `evaluate autocluster` (deterministic cube segment-mining, see
   * [[autoclusterVerb]]), `evaluate narrow` (transpose to string
@@ -137,12 +141,29 @@ object KqlParser {
           // and one column required — "first row" of a distributed
           // frame is nondeterministic, so taking it silently would be
           // a wrong-answer generator (documented deviation).
+          // `let f = (T:(*)) { <pipeline> };` — a tabular FUNCTION
+          // let, applied with `| invoke f()`. Only the single-tabular-
+          // parameter form is supported (scalar parameters and typed
+          // schemas are rejected loudly — documented deviation); the
+          // body is stored unevaluated and parses at invoke time with
+          // the parameter bound to the piped-in frame.
+          val LambdaRe = "(?s)^\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*:\\s*\\(\\*\\)\\s*\\)\\s*\\{(.*)\\}\\s*$".r
+          val lambdaBound = body0.trim match {
+            case LambdaRe(param, lbody) =>
+              lets += name -> (LambdaMarker + param + "\u0000" + lbody.trim)
+              true
+            case b if b.startsWith("(") && b.contains("{") =>
+              throw new IllegalArgumentException(
+                "function lets support exactly one tabular parameter, " +
+                s"'let $name = (T:(*)) { ... }': $b")
+            case _ => false
+          }
           val TsRe = "(?is)^toscalar\\s*\\((.*)\\)\\s*$".r
           val tsInner = body0.trim match {
             case TsRe(inner) => Some(inner.trim)
             case _ => None
           }
-          if (tsInner.isDefined) {
+          if (lambdaBound) {} else if (tsInner.isDefined) {
             val frame = pipeline(tsInner.get, tbls, lets).df
             require(frame.columns.length == 1,
               s"toscalar expects a single-column result, got ${frame.columns.length}: ${tsInner.get}")
@@ -187,6 +208,11 @@ object KqlParser {
 
   private val LetRe = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
 
+  /** Sentinel prefixing tabular-function let bodies inside the scalar
+    * lets map (a NUL byte cannot appear in query text, so scalar
+    * substitution can cheaply skip these bindings). */
+  private[kql] val LambdaMarker = "\u0000LAMBDA\u0000"
+
   /** Render a collected toscalar() cell back into KQL/SQL literal text
     * for scalar-let substitution. */
   private def scalarLiteral(v: Any): String = v match {
@@ -223,7 +249,8 @@ object KqlParser {
         if (i < s.length) { out.append(c); i += 1 }
       } else if (c.isLetter || c == '_') {
         val w = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(s.substring(i)).get
-        if (lets.contains(w)) out.append("(").append(lets(w)).append(")")
+        if (lets.contains(w) && !lets(w).startsWith(LambdaMarker))
+          out.append("(").append(lets(w)).append(")")
         else out.append(w)
         i += w.length
       } else { out.append(c); i += 1 }
@@ -266,6 +293,8 @@ object KqlParser {
     // raw (expr, asc) items of the last sort/top — consumed by `scan`
     // for its secondary sort; only meaningful while serialOrder is set
     var serialItems: Seq[(String, Boolean)] = Nil
+    // `make-graph` output, consumed by the next `graph-match`
+    var graphDef: Option[(DataFrame, String, String, Option[(DataFrame, String)])] = None
     import Kql.KqlOps
     stages.tail.foreach { stage =>
       val (verb, rest) = stage.span(c => !c.isWhitespace && c != '-') match {
@@ -283,6 +312,10 @@ object KqlParser {
           ("mv-apply", r.stripPrefix("-apply").trim)
         case ("make", r) if r.startsWith("-series") =>
           ("make-series", r.stripPrefix("-series").trim)
+        case ("make", r) if r.startsWith("-graph") =>
+          ("make-graph", r.stripPrefix("-graph").trim)
+        case ("graph", r) if r.startsWith("-match") =>
+          ("graph-match", r.stripPrefix("-match").trim)
         case ("parse", r) if r.startsWith("-where") =>
           ("parse-where", r.stripPrefix("-where").trim)
         case ("parse", r) if r.startsWith("-kv") =>
@@ -399,6 +432,26 @@ object KqlParser {
             "scan requires a serialized frame - sort by the scan order first")
           df = scanVerb(df, rest, scoped, serialItems)
           serialOrder = None
+        case "invoke" =>
+          // `| invoke f()` — applies a tabular function let to the
+          // piped frame: the lambda body parses HERE with its parameter
+          // bound to the current frame (lexical lets stay visible;
+          // call arguments are not supported — documented deviation).
+          val m = "^([A-Za-z_][A-Za-z0-9_]*)\\s*\\(\\s*\\)$".r
+          rest.trim match {
+            case m(fn) =>
+              val stored = lets.getOrElse(fn, throw new IllegalArgumentException(
+                s"invoke: unknown function '$fn' (bind it with let $fn = (T:(*)) {{ ... }})"))
+              require(stored.startsWith(LambdaMarker),
+                s"invoke: '$fn' is a scalar let, not a tabular function")
+              val rest2 = stored.stripPrefix(LambdaMarker)
+              val sep = rest2.indexOf('\u0000')
+              val (param, bodyTxt) = (rest2.substring(0, sep), rest2.substring(sep + 1))
+              df = pipeline(bodyTxt, tbls + (param -> df), lets - fn).df
+              serialOrder = None
+            case _ => throw new IllegalArgumentException(
+              s"invoke expects f() with no arguments: $rest")
+          }
         case "sort" | "order" =>
           val body = stripLeadingBy(rest, verb)
           // variant dotted sort keys rewrite like where/extend (r9 ADVICE)
@@ -610,6 +663,34 @@ object KqlParser {
           df = if (rest.trim == "*") df.distinct()
                else df.kqlDistinct(splitTopLevel(rest, ',').map(s => expr(scalar(s.trim, scoped))): _*)
         case "render" => render = Some(rest.trim.split("\\s+").head)
+        case "make-graph" =>
+          // `make-graph <src> --> <dst> [with <Nodes> on <id>]` — binds
+          // the current frame as a directed edge list (plus an optional
+          // node-property table) for the next `graph-match`. The graph
+          // is a VIEW over the two frames — nothing materializes here.
+          val m = "^([A-Za-z_][A-Za-z0-9_]*)\\s*-->\\s*([A-Za-z_][A-Za-z0-9_]*)(?:\\s+with\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+on\\s+([A-Za-z_][A-Za-z0-9_]*))?$".r
+          rest.trim match {
+            case m(srcC, dstC, nodesName, idC) =>
+              Seq(srcC, dstC).foreach(c => require(df.columns.contains(c),
+                s"make-graph column '$c' not found (have: ${df.columns.mkString(", ")})"))
+              val nodes = Option(nodesName).map { nm =>
+                val nt = tbls.getOrElse(nm, throw new IllegalArgumentException(
+                  s"make-graph nodes table '$nm' unknown (known: ${tbls.keys.mkString(", ")})"))
+                require(nt.columns.contains(idC),
+                  s"make-graph nodes id column '$idC' not found in '$nm'")
+                (nt, idC)
+              }
+              graphDef = Some((df, srcC, dstC, nodes))
+            case _ => throw new IllegalArgumentException(
+              s"make-graph expects '<src> --> <dst> [with <Nodes> on <id>]': $rest")
+          }
+          serialOrder = None
+        case "graph-match" =>
+          val g = graphDef.getOrElse(throw new IllegalArgumentException(
+            "graph-match requires a preceding make-graph"))
+          df = graphMatchVerb(g, rest, scoped)
+          graphDef = None
+          serialOrder = None
         case "getschema" =>
           // ADX schema introspection: one row per column with the
           // ordinal and both the engine type and the KQL-ish type name.
@@ -1464,6 +1545,101 @@ object KqlParser {
     * stay VARIANT. Documented deviations: unpacked columns append in
     * ALPHABETICAL key order (ADX leaves order unspecified), and keys
     * must be identifier-shaped (ADX would accept arbitrary strings). */
+  /** `graph-match (a)-[e1]->(b)[-[e2]->(c)…] [where pred] project items`
+    * — ADX's graph pattern matching over the `make-graph` edge list,
+    * re-expressed as what it relationally IS: one equi-join per hop
+    * (hop k's source = hop k-1's destination), plus one broadcast-able
+    * join per node variable when a node-property table was attached.
+    * Chain patterns of any length, forward arrows only (reversed
+    * arrows and variable-length `*1..3` edges are rejected loudly —
+    * documented deviations); a REPEATED node variable closes a cycle
+    * and becomes an equality filter, so triangle queries work.
+    * Pattern-variable properties are referenced `v.col` (node vars:
+    * `v.id` plus node-table columns; edge vars: the edge frame's
+    * columns) and rewritten to flat `v_col` names before the where/
+    * project clauses run through the ordinary scalar pipeline.
+    *
+    * Scale shape: each hop is a shuffle equi-join of the edge frame
+    * with itself keyed on the join node — exactly a distributed
+    * triangle/path enumeration; node-property joins hash on the node
+    * id. No cartesian anywhere; Catalyst broadcasts the small side
+    * (dimension-sized node tables) on its own. */
+  private def graphMatchVerb(g: (DataFrame, String, String, Option[(DataFrame, String)]),
+                             rest: String,
+                             lets: Map[String, String]): DataFrame = {
+    val (edges, srcC, dstC, nodesOpt) = g
+    val body = rest.trim
+    require(!body.contains("<-"), "graph-match supports forward arrows only: " + body)
+    require(!body.contains("*"),
+      "graph-match variable-length edges (*lo..hi) are not supported: " + body)
+    // split off trailing clauses: pattern [where …] project …
+    val projAt = "(?i)\\bproject\\b".r.findFirstMatchIn(body).map(_.start)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graph-match requires a project clause: $body"))
+    val whereAt = "(?i)\\bwhere\\b".r.findFirstMatchIn(body.substring(0, projAt)).map(_.start)
+    val patternTxt = body.substring(0, whereAt.getOrElse(projAt)).trim
+    val whereTxt = whereAt.map(w => body.substring(w, projAt).trim.drop(5).trim)
+    val projTxt = body.substring(projAt).trim.drop(7).trim
+
+    val Chain = "^\\(([A-Za-z_][A-Za-z0-9_]*)\\)((?:\\s*-\\[[A-Za-z_][A-Za-z0-9_]*\\]->\\s*\\([A-Za-z_][A-Za-z0-9_]*\\))+)$".r
+    val Hop = "-\\[([A-Za-z_][A-Za-z0-9_]*)\\]->\\s*\\(([A-Za-z_][A-Za-z0-9_]*)\\)".r
+    val (first, hops) = patternTxt match {
+      case Chain(f, hopTxt) => (f, Hop.findAllMatchIn(hopTxt)
+        .map(m => (m.group(1), m.group(2))).toList)
+      case _ => throw new IllegalArgumentException(
+        s"graph-match pattern must be (a)-[e]->(b)[-[f]->(c)…]: $patternTxt")
+    }
+    val edgeProps = edges.columns.filterNot(c => c == srcC || c == dstC)
+
+    // hop 1 seeds the frame; later hops join on the previous node var.
+    // Node vars bind to a `<v>_id` column; repeated vars become filters.
+    var bound = Map(first -> s"${first}_id")
+    var out: DataFrame = null
+    var prevNode = first
+    hops.zipWithIndex.foreach { case ((eVar, nVar), i) =>
+      require(!bound.contains(eVar), s"duplicate edge variable '$eVar'")
+      val hopDf = edges.select(
+        col(srcC).as(s"__hop_src") +: col(dstC).as(s"__hop_dst") +:
+          edgeProps.map(c => col(c).as(s"${eVar}_$c")): _*)
+      if (i == 0) {
+        out = hopDf.withColumnRenamed("__hop_src", s"${first}_id")
+      } else {
+        out = out.join(hopDf, out(bound(prevNode)) === hopDf("__hop_src"))
+          .drop("__hop_src")
+      }
+      if (bound.contains(nVar)) { // cycle: equality, not a new column
+        out = out.filter(col("__hop_dst") === col(bound(nVar))).drop("__hop_dst")
+      } else {
+        out = out.withColumnRenamed("__hop_dst", s"${nVar}_id")
+        bound += nVar -> s"${nVar}_id"
+      }
+      prevNode = nVar
+    }
+    // node-property joins (when `with Nodes on id` was given)
+    nodesOpt.foreach { case (nodes, idC) =>
+      val props = nodes.columns.filterNot(_ == idC)
+      (first :: hops.map(_._2)).distinct.foreach { v =>
+        val nDf = nodes.select(col(idC).as("__n_id") +:
+          props.map(c => col(c).as(s"${v}_$c")): _*)
+        out = out.join(nDf, out(s"${v}_id") === nDf("__n_id"), "left_outer")
+          .drop("__n_id")
+      }
+    }
+    // rewrite `v.col` property paths to the flat `v_col` names
+    val vars = (first :: hops.flatMap(h => List(h._1, h._2))).distinct
+    def rewrite(s0: String): String =
+      vars.foldLeft(s0)((acc, v) =>
+        acc.replaceAll(s"\\b$v\\.([A-Za-z_][A-Za-z0-9_]*)", s"${v}_$$1"))
+    whereTxt.foreach(w => out = out.filter(expr(scalar(rewrite(w), lets))))
+    val items = splitTopLevel(projTxt, ',').map(_.trim).filter(_.nonEmpty).map {
+      case NamedRe(n, b) if !b.startsWith("=") =>
+        expr(scalar(rewrite(b.trim), lets)).as(n)
+      case it => expr(scalar(rewrite(it), lets)).as(it.replace('.', '_'))
+    }
+    require(items.nonEmpty, s"graph-match project needs at least one item: $projTxt")
+    out.select(items: _*)
+  }
+
   /** `scan [with_match_id=M] [by k1, k2, …] with (step s1: pred; …)` —
     * ADX's stateful sequence-matching verb, the sessionization/funnel
     * workhorse. The frame must be serialized (`sort by` the scan order
@@ -1946,6 +2122,14 @@ object KqlParser {
             // reproducible and oracle-checkable — a documented
             // strengthening, not a deviation (min IS a valid "any").
             (min(arg(0)), defName(args(0)))
+          case "take_anyif" | "anyif" =>
+            (min(when(arg(1), arg(0))), defName(args(0)))
+          case "binary_all_or" =>
+            (expr(s"bit_or(${rw(scalar(args(0), lets))})"), defName(args(0)))
+          case "binary_all_and" =>
+            (expr(s"bit_and(${rw(scalar(args(0), lets))})"), defName(args(0)))
+          case "binary_all_xor" =>
+            (expr(s"bit_xor(${rw(scalar(args(0), lets))})"), defName(args(0)))
           case "stdev"    => (stddev_samp(arg(0)), defName(args(0)))
           case "variance" => (var_samp(arg(0)), defName(args(0)))
           case "sumif"    => (sum(when(arg(1), arg(0))), defName(args(0)))
@@ -2186,9 +2370,10 @@ object KqlParser {
         // case-insensitive; Spark's like/startswith is not — wrap lower())
         val word = "^[A-Za-z_][A-Za-z0-9_!]*".r.findFirstIn(s.substring(i))
         word match {
-          case Some(w) if lets.contains(w) =>
+          case Some(w) if lets.contains(w) && !lets(w).startsWith(LambdaMarker) =>
             // recurse with w out of scope: guards termination if a
-            // rebinding made a body mention its own name
+            // rebinding made a body mention its own name (function lets
+            // are skipped — they substitute only through `invoke`)
             out.append("(").append(scalar(lets(w), lets - w)).append(")"); i += w.length
           case Some(w) if w.toLowerCase == "bin_at" && {
               var j = i + w.length
@@ -2512,9 +2697,15 @@ object KqlParser {
                       "series_decompose_anomalies expects (series [, threshold])")
                     val k = if (args.length == 2) args(1) else "1.5"
                     out.append(seriesAnomalies(args(0), k))
+                  case "series_fill_const" =>
+                    // ADX null-fill for make-series arrays (the default
+                    // fill when an aggregate yields null buckets)
+                    require(args.length == 2,
+                      "series_fill_const expects (series, constValue)")
+                    out.append(s"transform(${args(0)}, x -> coalesce(x, ${args(1)}))")
                   case other => throw new IllegalArgumentException(
                     s"unsupported series function '$other' (supported: series_add/subtract/" +
-                    "multiply/divide/sum/avg/fit_line/fit_line_dynamic/stats_dynamic/" +
+                    "multiply/divide/sum/avg/fill_const/fit_line/fit_line_dynamic/stats_dynamic/" +
                     "outliers/decompose/decompose_anomalies)")
                 }
               case "array_index_of" =>
@@ -2807,6 +2998,8 @@ object KqlParser {
               case "getyear" => Some("year")
               case "hourofday" => Some("hour")
               case "week_of_year" => Some("weekofyear")
+              case "tohex" => Some("hex")
+              case "bitset_count_ones" => Some("bit_count")
               case _ => None
             }
             out.append(repl.getOrElse(w)); i += w.length

@@ -502,7 +502,47 @@ object ReferenceQueries {
       || evaluate narrow()
       || sort by orderid asc, Column asc""".stripMargin
 
+  /** r10 graph tier: customer→city→region reachability as a two-hop
+    * `graph-match` over a mixed edge list (derived customer-city edges
+    * unioned with a datatable city-region dim) — each hop is one
+    * equi-join, verified against the plain-join oracle. */
+  val kqlGraphMatchText: String =
+    """let CityRegion = datatable(src:string, dst:string)[
+      |  'New Delhi','APAC','Seattle','WEST','New York','EAST',
+      |  'Austin','SOUTH','Chicago','MIDWEST','Cleveland','MIDWEST'];
+      |let CustCity = Orders | distinct custid, city | project src = strcat('u', tostring(custid)), dst = city;
+      |CustCity
+      || union (CityRegion)
+      || make-graph src --> dst
+      || graph-match (u)-[e1]->(c)-[e2]->(r) where r.id == 'MIDWEST' project uid = u.id, city = c.id
+      || summarize n = count() by city
+      || sort by city asc""".stripMargin
+
+  /** r10 `invoke` — a tabular function let applied to the piped frame
+    * (the reusable-query-fragment idiom ADX users lean on). */
+  val kqlInvokeText: String =
+    """let HighValue = (T:(*)) { T | where amount >= 150 | summarize n = count(), total = sum(amount) by city };
+      |Orders
+      || invoke HighValue()
+      || sort by city asc""".stripMargin
+
+  /** r10 bitwise-aggregate tier + conditional take-any: the ADX
+    * `binary_all_or/and/xor` reducers (Spark bit_or/bit_and/bit_xor)
+    * and `take_anyif` (deterministic min-over-matching, same
+    * strengthening as take_any), plus `tohex`/`bitset_count_ones`
+    * scalars. */
+  val kqlBitwiseText: String =
+    """Orders
+      || extend b = toint(amount % 16)
+      || summarize all_or = binary_all_or(b), all_and = binary_all_and(b),
+      |            all_xor = binary_all_xor(b), ones = sum(bitset_count_ones(b)),
+      |            big_hex = take_anyif(tohex(amount), amount >= 180) by city
+      || sort by city asc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_bitwise" -> kqlText(kqlBitwiseText) _,
+    "kql_invoke" -> kqlText(kqlInvokeText) _,
+    "kql_graph_match" -> kqlText(kqlGraphMatchText) _,
     "kql_scan_funnel" -> kqlText(kqlScanFunnelText) _,
     "kql_narrow" -> kqlText(kqlNarrowText) _,
     "kql_autocluster" -> kqlText(kqlAutoclusterText) _,
@@ -554,6 +594,34 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kql_bitwise" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city,
+         |  bit_or(CAST(amount % 16 AS INTEGER)) AS all_or,
+         |  bit_and(CAST(amount % 16 AS INTEGER)) AS all_and,
+         |  bit_xor(CAST(amount % 16 AS INTEGER)) AS all_xor,
+         |  CAST(SUM(bit_count(CAST(amount % 16 AS INTEGER))) AS BIGINT) AS ones,
+         |  MIN(CASE WHEN amount >= 180 THEN hex(amount) END) AS big_hex
+         |FROM orders_info GROUP BY city ORDER BY city ASC""".stripMargin,
+    "kql_invoke" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(amount) AS BIGINT) AS total
+         |FROM orders_info WHERE amount >= 150
+         |GROUP BY city ORDER BY city ASC""".stripMargin,
+    "kql_graph_match" ->
+      s"""${Sql.ordersInfoCte},
+         |cr AS (SELECT * FROM (VALUES
+         |  ('New Delhi','APAC'), ('Seattle','WEST'), ('New York','EAST'),
+         |  ('Austin','SOUTH'), ('Chicago','MIDWEST'), ('Cleveland','MIDWEST'))
+         |  AS t(src, dst)),
+         |cc AS (SELECT DISTINCT 'u' || CAST(custid AS VARCHAR) AS src, city AS dst
+         |       FROM orders_info),
+         |e AS (SELECT * FROM cc UNION ALL SELECT * FROM cr)
+         |SELECT h1.dst AS city, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM e h1 JOIN e h2 ON h1.dst = h2.src
+         |WHERE h2.dst = 'MIDWEST'
+         |GROUP BY 1 ORDER BY city ASC""".stripMargin,
     "kql_scan_funnel" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, event_type,

@@ -1667,6 +1667,74 @@ class KqlSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("parser: make-graph/graph-match two-hop chain with node properties") {
+    val edges = Seq(
+      ("u1", "city1", 1), ("u2", "city1", 2), ("u3", "city2", 3),
+      ("city1", "WEST", 0), ("city2", "EAST", 0)
+    ).toDF("src", "dst", "w")
+    val nodes = Seq(("u1", "user"), ("u2", "user"), ("u3", "user"),
+      ("city1", "city"), ("city2", "city"), ("WEST", "region"), ("EAST", "region"))
+      .toDF("id", "kind")
+    val out = KqlParser.run(
+      """E
+        || make-graph src --> dst with N on id
+        || graph-match (u)-[e1]->(c)-[e2]->(r) where r.id == 'WEST' and u.kind == 'user' project uid = u.id, cid = c.id, w = e1.w""".stripMargin,
+      Map("E" -> edges, "N" -> nodes)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set(("u1", "city1", 1), ("u2", "city1", 2)))
+  }
+
+  test("parser: graph-match repeated node variable closes a cycle (triangles)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "d")).toDF("src", "dst")
+    val out = KqlParser.run(
+      "E | make-graph src --> dst | graph-match (x)-[e1]->(y)-[e2]->(z)-[e3]->(x) project x.id, y.id, z.id",
+      Map("E" -> edges)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(("a", "b", "c"), ("b", "c", "a"), ("c", "a", "b")))
+  }
+
+  test("parser: graph-match rejects reversed arrows, var-length edges, missing make-graph") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val reg = Map("E" -> edges)
+    val e1 = intercept[IllegalArgumentException] {
+      KqlParser.run("E | graph-match (a)-[e]->(b) project a.id", reg)
+    }
+    assert(e1.getMessage.contains("make-graph"))
+    val e2 = intercept[IllegalArgumentException] {
+      KqlParser.run("E | make-graph src --> dst | graph-match (a)<-[e]-(b) project a.id", reg)
+    }
+    assert(e2.getMessage.contains("forward"))
+    val e3 = intercept[IllegalArgumentException] {
+      KqlParser.run("E | make-graph src --> dst | graph-match (a)-[e*1..3]->(b) project a.id", reg)
+    }
+    assert(e3.getMessage.contains("not supported"))
+  }
+
+  test("parser: invoke applies a tabular function let to the piped frame") {
+    val out = KqlParser.run(
+      """let Big = (T:(*)) { T | where amount >= 100 | extend tag = 'big' };
+        |Orders
+        || invoke Big()
+        || summarize n = count() by tag""".stripMargin, ordersReg)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("big", 2L)))
+  }
+
+  test("parser: invoke rejects scalar-param lambdas, unknown and non-function lets") {
+    val e1 = intercept[IllegalArgumentException] {
+      KqlParser.run("let f = (x:long) { x + 1 };\nOrders | count", ordersReg)
+    }
+    assert(e1.getMessage.contains("tabular parameter"))
+    val e2 = intercept[IllegalArgumentException] {
+      KqlParser.run("Orders | invoke nope()", ordersReg)
+    }
+    assert(e2.getMessage.contains("unknown function"))
+    val e3 = intercept[IllegalArgumentException] {
+      KqlParser.run("let s = 5;\nOrders | invoke s()", ordersReg)
+    }
+    assert(e3.getMessage.contains("scalar let"))
+  }
+
   test("parser: project-rename keeps column position; project-keep keeps original order") {
     val ren = KqlParser.run("Orders | project-rename town = city", ordersReg)
     assert(ren.columns.toSeq == Seq("orderid", "town", "amount"))
