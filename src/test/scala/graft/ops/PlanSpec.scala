@@ -129,6 +129,39 @@ class PlanSpec extends SparkSpec {
       "base band index must be the persisted relation:\n" + p.take(3000))
   }
 
+  test("bm25 scoring: no explode anywhere, scan reads only doc_id+text") {
+    // a k-term query is k map-side counters + one broadcast stats row —
+    // tokenizing-by-explode would shuffle corpus_tokens rows instead
+    val p = phys(graft.ext.Search.bm25TopK(spark, sfDir))
+    assert(!p.contains("Generate"), "no explode in the scoring path:\n" + p.take(3000))
+    assert(!p.contains("lang") && !p.contains("n_chars"),
+      "unused document columns must be pruned:\n" + p.take(3000))
+  }
+
+  test("basket pairs: brand dim broadcasts onto the scan, no cartesian") {
+    val p = phys(AdvancedAnalytics.basketPairs(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair join must stay an equi-join:\n" + p.take(3000))
+  }
+
+  test("scan by-key: one hash shuffle; the user's global sort is elided under it") {
+    import spark.implicits._
+    val ev = (1 to 100).map(i => (i % 5, i, if (i % 3 == 0) "view" else "purchase"))
+      .toDF("k", "seq", "t")
+    val df = graft.kql.KqlParser.run(
+      "T | sort by k asc, seq asc | scan by k with ( step a: t == 'view'; step b: t == 'purchase'; )",
+      Map("T" -> ev))
+    val p = phys(df)
+    // EliminateSorts must drop the orderBy below the repartition — a
+    // range shuffle + full sort ahead of the key shuffle would double
+    // the scan's cost at 100 TB for zero semantic effect
+    assert(!p.contains("rangepartitioning"),
+      "global sort before a by-key scan must be elided:\n" + p.take(3000))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "exactly one hash shuffle on the scan keys:\n" + p.take(3000))
+  }
+
   test("sequence packing: window partitions by shard — no single global sort of the corpus") {
     val p = phys(graft.ext.TextAnalysis.packSequences(spark, sfDir))
     assert(p.contains("Window"), p.take(2000))
