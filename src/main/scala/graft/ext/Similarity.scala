@@ -390,7 +390,52 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"))
   }
 
+  /** Scalar quantization (SQ8, the FAISS flat-SQ path): per-dimension
+    * [min, max] learned in one corpus pass (64 groups — a posexplode
+    * aggregate that is tiny at any corpus size), each component stored
+    * as an 8-bit level (floor((x−min)/(max−min)·256) clamped to 255 —
+    * floor, not round: a half-way decimal tie under round() is the
+    * exact cross-engine hazard the r10 classifier fix removed), and
+    * candidates served from the MIDPOINT dequantization
+    * (min + (level+0.5)/256·(max−min)) — 4 bytes/dim → 1 byte/dim, the
+    * variant between PQ (64×) and full floats that keeps per-dim
+    * resolution.
+    *
+    * Shape: stats broadcast back over the scan (one 2×64-value row),
+    * encode+dequantize map-side, then the brute top-k over dequantized
+    * vectors (broadcast queries × corpus scan, per-query windowed
+    * top-k) — the corpus never shuffles. Cosines round to 6 dp with id
+    * tiebreaks as everywhere. */
+  def sq8TopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val stats = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val arrs = broadcast(stats.agg(
+      expr("transform(sort_array(collect_list(struct(dim, mn))), s -> s.mn)").as("mins"),
+      expr("transform(sort_array(collect_list(struct(dim, mx))), s -> s.mx)").as("maxs")))
+    val enc = e.crossJoin(arrs).withColumn("xh", expr(
+      """transform(sequence(0, size(v) - 1), i ->
+        |  CASE WHEN maxs[i] = mins[i] THEN mins[i]
+        |       ELSE mins[i] + (least(floor((v[i] - mins[i]) / (maxs[i] - mins[i]) * 256),
+        |                             cast(255 as double)) + 0.5) / 256 * (maxs[i] - mins[i])
+        |  END)""".stripMargin))
+      .withColumn("xhn", expr("sqrt(graft_dot(xh, xh))"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val scored = broadcast(q)
+      .join(enc.select(col("vec_id").as("cand_id"), col("xh"), col("xhn")),
+        col("query_id") =!= col("cand_id"))
+      .withColumn("qcos", round(
+        expr("graft_dot(qv, xh)") / (col("qn") * col("xhn")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("qcos"), col("rk").cast("int").as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_sq8_topk" -> ((s: SparkSession, d: String) => sq8TopK(s, d)),
     "sim_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "sim_pq_train" -> pqTrainStep _,
     "sim_pq_encode" -> pqCodes _,
@@ -585,6 +630,33 @@ object Similarity {
          |  round(AVG(v[dim + 1]), 6) AS mean, CAST(COUNT(*) AS BIGINT) AS n_members
          |FROM asg CROSS JOIN dims
          |GROUP BY cent_id, dim""".stripMargin,
+    "sim_sq8_topk" ->
+      s"""WITH $oracleVecs,
+         |stats AS (
+         |  SELECT CAST(t.r AS INT) - 1 AS dim,
+         |    MIN(v[CAST(t.r AS INT)]) AS mn, MAX(v[CAST(t.r AS INT)]) AS mx
+         |  FROM e, range(1, 65) t(r) GROUP BY 1),
+         |arrs AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs
+         |         FROM stats),
+         |enc AS (
+         |  SELECT vec_id, list_transform(range(1, len(v) + 1), i ->
+         |    CASE WHEN maxs[i] = mins[i] THEN mins[i]
+         |         ELSE mins[i] + (LEAST(FLOOR((v[i] - mins[i]) / (maxs[i] - mins[i]) * 256),
+         |                               255) + 0.5) / 256 * (maxs[i] - mins[i])
+         |    END) AS xh
+         |  FROM e, arrs),
+         |encn AS (SELECT vec_id, xh,
+         |  sqrt(list_sum(list_transform(xh, x -> x * x))) AS xhn FROM enc),
+         |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM e WHERE vec_id < 10)
+         |SELECT query_id, cand_id, qcos, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT q.query_id, c.vec_id AS cand_id,
+         |    round(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.xh[i]))
+         |      / (q.qn * c.xhn), 6) AS qcos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY round(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.xh[i]))
+         |        / (q.qn * c.xhn), 6) DESC, c.vec_id ASC) AS rk
+         |  FROM q JOIN encn c ON q.query_id <> c.vec_id)
+         |WHERE rk <= 3""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH $oracleVecs
          |SELECT query_id, cand_id, cos, CAST(rk AS INTEGER) AS rk FROM (

@@ -151,4 +151,19 @@ class RecallSpec extends SparkSpec {
     info(f"planted cos-0.95 recall = $caught/200 = $recall%.4f (theory 0.891)")
     assert(recall >= 0.80, f"planted recall $recall%.4f well below the 0.891 prediction")
   }
+
+  test("SQ8 top-k agrees with the exact brute-force ranking almost everywhere") {
+    // 8-bit midpoint dequantization perturbs each cosine by O(range/256)
+    // per dim — far below typical neighbor gaps, so the quantized top-3
+    // should reproduce the exact top-3 nearly verbatim. Deterministic
+    // corpus => this is an exact regression pin, not a flaky bound.
+    val exact = Similarity.bruteForceTopK(spark, sf001, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val sq8 = Similarity.sq8TopK(spark, sf001, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val overlap = (exact intersect sq8).size / exact.size.toDouble
+    info(f"SQ8 top-3 overlap with exact = $overlap%.4f")
+    assert(exact.size == 30 && sq8.size == 30)
+    assert(overlap >= 0.8, f"SQ8 ranking degraded: overlap $overlap%.4f")
+  }
 }

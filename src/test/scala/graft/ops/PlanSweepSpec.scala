@@ -32,6 +32,7 @@ class PlanSweepSpec extends SparkSpec {
     "text_vocab_coverage", "text_quality_filter", "text_curated_corpus",
     "ev_daily_anomaly",
     "sketch_fm_merge", // three 1-row frames (merged sketch, group-est sum, truth) cross-joined into the single output row
+    "sim_sq8_topk", // corpus × 1-row min/max-stats broadcast + the brute-force query × candidate scoring
     "search_tfidf_topk", "search_bm25_topk", // corpus × 1-row corpus-stats broadcast (N, df_t, Σdl)
     "search_hybrid_rrf") // inherits the bm25 stats row + corpus × 1-row query-vector broadcast
 
