@@ -35,6 +35,15 @@ object Similarity {
       .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
   }
 
+  /** Normalize an injected (vec_id, v) frame to the (vec_id, v, norm)
+    * contract [[vecs]] produces — the seam the planted-cluster specs
+    * drive the ANN paths through. */
+  private[ext] def vecsOf(spark: SparkSession, df: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    df.select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+  }
+
   /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10. */
   def bruteForceTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
     val e = vecs(spark, sfDir)
@@ -144,8 +153,11 @@ object Similarity {
     * scale); the plan is k-independent because the codebook broadcasts
     * at any sane nlist. Means round to 6 dp because summation order
     * differs per engine. */
-  def ivfTrainStep(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
-    val e = vecs(spark, sfDir)
+  def ivfTrainStep(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame =
+    ivfTrainStepOn(vecs(spark, sfDir), k)
+
+  /** [[ivfTrainStep]] over an injected (vec_id, v, norm) frame. */
+  private[ext] def ivfTrainStepOn(e: DataFrame, k: Int): DataFrame = {
     val cents = broadcast(e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn")))
     val scored = e.join(cents)
@@ -273,6 +285,10 @@ object Similarity {
   private[ext] def trainedCentroids(spark: SparkSession, sfDir: String,
                                     k: Int): DataFrame =
     assembleCodebook(ivfTrainStep(spark, sfDir, k))
+
+  /** [[trainedCentroids]] over an injected (vec_id, v, norm) frame. */
+  private[ext] def trainedCentroidsOn(e: DataFrame, k: Int): DataFrame =
+    assembleCodebook(ivfTrainStepOn(e, k))
 
   /** Long-form (cent_id, dim, mean) → vector-form (cent_id, cv, cn):
     * the pivot every trainer→consumer handoff goes through. */
@@ -434,7 +450,92 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("qcos"), col("rk").cast("int").as("rk"))
   }
 
+  /** IVF-PQ serving (IVFADC, Jégou et al. 2011 §IV — the composition
+    * FAISS ships as `IVFx,PQy` and the architecture a 100 TB ANN
+    * deployment actually runs): the coarse quantizer is the TRAINED
+    * 16-centroid IVF codebook ([[trainedCentroids]], same handoff as
+    * [[ivfTopK]]/[[semanticDedup]]), every corpus vector is PQ-encoded
+    * on its RESIDUAL v − c(v) (residuals concentrate near 0, which is
+    * why IVFADC quantizes them instead of raw vectors), and queries
+    * probe their nprobe=2 nearest lists ranking candidates by ADC —
+    * the per-list query residual's 8×16 distance table summed at the
+    * candidates' stored codes. The corpus' float vectors are touched
+    * only at index-build time; serving reads the 8-codes-per-vector
+    * relation.
+    *
+    * Scale shape: the coarse codebook, the PQ codebook (16 residual
+    * codewords — the vec_id < 16 deterministic stand-in, same
+    * convention as [[pqCodes]]), and the query distance tables
+    * (queries × nprobe × 8×16 rows) all broadcast; assignment + encode
+    * are map-side passes over one corpus scan; serving joins the code
+    * relation on (cent_id, s, code_id), so only probed lists
+    * participate — cost is nprobe/nlist of the index, and at real
+    * scale the code relation is written partitioned by cent_id making
+    * each probe partition-pruned. Distances: per-entry 6-dp-rounded
+    * doubles, DECIMAL(18,6) accumulation (the [[pqTopK]] contract), so
+    * engines cannot drift. */
+  def ivfPqTopK(spark: SparkSession, sfDir: String, nprobe: Int = 2,
+                k: Int = 3): DataFrame =
+    ivfPqTopKOn(vecs(spark, sfDir), nprobe, k)
+
+  /** [[ivfPqTopK]] over an injected (vec_id, v, norm) frame; queries are
+    * qLo ≤ vec_id < qHi (the registered default mirrors [[ivfTopK]]'s
+    * 10..20 window). */
+  private[ext] def ivfPqTopKOn(e: DataFrame, nprobe: Int = 2, k: Int = 3,
+                               qLo: Long = 10, qHi: Long = 20): DataFrame = {
+    // 16-row relation: checkpoint so the Lloyd-training subtree runs
+    // once, not once per consuming branch (assign/probes/encode/table)
+    val cents = broadcast(trainedCentroidsOn(e, 16).localCheckpoint(true))
+    val scored = e.join(cents)
+      .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
+      .withColumn("r", expr("zip_with(v, cv, (x, c) -> x - c)"))
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    val assign = scored.withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("r"))
+    // PQ codebook on RESIDUALS: the assigned residuals of vec_id < 16
+    // (16 rows — checkpoint for the same reuse reason as cents)
+    val codebook = broadcast(assign.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), col("r").as("cw")).localCheckpoint(true))
+    def subDist(vexpr: String, cexpr: String)(s: Int): org.apache.spark.sql.Column = {
+      val terms = (1 to 8).map { j =>
+        val i = s * 8 + j
+        s"(element_at($vexpr,$i)-element_at($cexpr,$i))*(element_at($vexpr,$i)-element_at($cexpr,$i))"
+      }
+      round(expr(terms.mkString(" + ")), 6)
+    }
+    val wMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("dist").asc, col("code_id").asc)
+    val codes = assign.join(codebook)
+      .select(col("vec_id"), col("cent_id"), col("code_id"),
+        posexplode(array((0 until 8).map(subDist("r", "cw")): _*)).as(Seq("s", "dist")))
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"), col("s"), col("code_id"))
+    // queries probe their nprobe nearest lists, with a PER-LIST residual
+    // (ADC distance tables are relative to the probed centroid)
+    val probes = scored.filter(col("vec_id") >= qLo && col("vec_id") < qHi)
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"), col("r").as("qr"))
+    val dtable = broadcast(probes.join(codebook)
+      .select(col("query_id"), col("cent_id"), col("code_id"),
+        posexplode(array((0 until 8).map(subDist("qr", "cw")): _*)).as(Seq("s", "qdist"))))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adist").asc, col("cand_id").asc)
+    codes.join(dtable, Seq("cent_id", "s", "code_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("qdist").cast("decimal(18,6)")).cast("double").as("adist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("adist"),
+        col("rk").cast("int").as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "sim_sq8_topk" -> ((s: SparkSession, d: String) => sq8TopK(s, d)),
     "sim_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "sim_pq_train" -> pqTrainStep _,
@@ -577,6 +678,56 @@ object Similarity {
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sim_ivfpq_topk" ->
+      s"""WITH $oracleVecs,
+         |${trainedCodebookCte(16)},
+         |scr AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+         |      / (e.norm * c.cn), 6) AS ccos,
+         |    list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]) AS r
+         |  FROM e CROSS JOIN c),
+         |asg AS (
+         |  SELECT vec_id, cent_id, r FROM (
+         |    SELECT vec_id, cent_id, r,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+         |    FROM scr)
+         |  WHERE rn = 1),
+         |cb AS (SELECT vec_id AS code_id, r AS cw FROM asg WHERE vec_id < 16),
+         |ss AS (SELECT unnest(range(0, 8)) AS s),
+         |dists AS (
+         |  SELECT asg.vec_id, asg.cent_id, cb.code_id, ss.s,
+         |    round(${pqTermsSql("asg.r", "cb.cw")}, 6) AS dist
+         |  FROM asg CROSS JOIN cb CROSS JOIN ss),
+         |codes AS (
+         |  SELECT vec_id, cent_id, s, code_id FROM (
+         |    SELECT vec_id, cent_id, s, code_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+         |        ORDER BY dist ASC, code_id ASC) AS rn
+         |    FROM dists)
+         |  WHERE rn = 1),
+         |pr AS (
+         |  SELECT vec_id AS query_id, cent_id, r AS qr FROM (
+         |    SELECT vec_id, cent_id, r,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rn
+         |    FROM scr WHERE vec_id >= 10 AND vec_id < 20)
+         |  WHERE rn <= 2),
+         |dt AS (
+         |  SELECT pr.query_id, pr.cent_id, cb.code_id, ss.s,
+         |    round(${pqTermsSql("pr.qr", "cb.cw")}, 6) AS qdist
+         |  FROM pr CROSS JOIN cb CROSS JOIN ss)
+         |SELECT query_id, cand_id, adist, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT query_id, cand_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, cand_id ASC) AS rk
+         |  FROM (
+         |    SELECT dt.query_id, codes.vec_id AS cand_id,
+         |      CAST(SUM(CAST(qdist AS DECIMAL(18,6))) AS DOUBLE) AS adist
+         |    FROM codes JOIN dt ON codes.cent_id = dt.cent_id
+         |      AND codes.s = dt.s AND codes.code_id = dt.code_id
+         |    WHERE dt.query_id <> codes.vec_id
+         |    GROUP BY dt.query_id, codes.vec_id))
+         |WHERE rk <= 3""".stripMargin,
     "sim_semantic_dedup" -> semanticDedupOracle(16, 0.4),
     "sim_pq_train" ->
       s"""WITH $oracleVecs,

@@ -152,6 +152,39 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.80, f"planted recall $recall%.4f well below the 0.891 prediction")
   }
 
+  test("IVFADC recovers same-cluster neighbors on a clustered corpus") {
+    // IVFADC's claim is CONDITIONAL on coarse structure existing: the
+    // trained coarse quantizer routes queries to the right inverted
+    // list, residuals are then small, and ADC ranks within the list.
+    // (On the registered near-uniform random corpus the claim is only
+    // determinism — neighbor gaps there are smaller than any 4-bit
+    // quantizer's error, which is why this spec plants 16 tight
+    // clusters instead: seeded PRNG => exact regression pin.)
+    // id scheme: vec_id = member*16 + cluster, so the trainer's seeds
+    // (vec_id < 16) land one per cluster and Lloyd locks onto centers.
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(16)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = for (m <- 0 until 30; cl <- 0 until 16) yield {
+      val v = unit(centers(cl).map(_ + 0.1 * rnd.nextGaussian()))
+      (m.toLong * 16 + cl, v)
+    }
+    val e = Similarity.vecsOf(spark, rows.toDF("vec_id", "v"))
+    // queries = member-1 of every cluster (vec_id in [16, 32))
+    val adc = Similarity.ivfPqTopKOn(e, nprobe = 2, k = 3, qLo = 16, qHi = 32)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")))
+    assert(adc.length == 16 * 3)
+    val sameCluster = adc.count { case (q, c) => q % 16 == c % 16 }
+    info(s"IVFADC same-cluster hits = $sameCluster/${adc.length}")
+    // nprobe=2 also probes one wrong list, but its candidates' ADC
+    // distances carry the full inter-center gap — same-cluster must win
+    assert(sameCluster == adc.length,
+      s"IVFADC leaked cross-cluster results: ${adc.filterNot { case (q, c) => q % 16 == c % 16 }.take(5).toSeq}")
+  }
+
   test("SQ8 top-k agrees with the exact brute-force ranking almost everywhere") {
     // 8-bit midpoint dequantization perturbs each cosine by O(range/256)
     // per dim — far below typical neighbor gaps, so the quantized top-3

@@ -25,6 +25,7 @@ class PlanSweepSpec extends SparkSpec {
   private val nonEquiAllowlist = Set(
     "join_range_quarters", "sim_topk_brute",
     "sim_ivf_topk", "sim_ivf_train_step",
+    "sim_ivfpq_topk", // IVFADC: corpus × 16-centroid coarse assignment + residual × 16-codeword PQ encode (both broadcast codebooks); the ADC serve stage equi-joins on (cent_id, s, code_id)
     "sim_ivf_train", // the same Lloyd assignment pass, iterated (corpus × k-centroid broadcast per step)
     "sim_pq_encode", "sim_pq_topk", // corpus/query × 16-codeword broadcast (PQ encode/ADC table)
     "sim_pq_train", // inherits pqCodes' assignment pass (corpus × 16-codeword broadcast)
