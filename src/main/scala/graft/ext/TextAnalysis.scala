@@ -203,6 +203,59 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169 —
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much more likely its hashed-unigram
+    * features are under a TARGET distribution than under the raw-corpus
+    * distribution — logw(x) = Σ_features log p_target(f)/p_raw(f) —
+    * then keep the top quartile. The target here is the corpus' English
+    * subset (standing in for the paper's curated formal-text corpus);
+    * features are md5-bucketed unigrams (B=1024, the paper's hashed
+    * n-gram trick that bounds model size independent of vocab), both
+    * distributions add-1 smoothed over the B buckets.
+    *
+    * Scale shape: feature extraction is the map-side explode pass; the
+    * two distribution estimates are bucket-keyed aggregates whose
+    * results are B rows (broadcast — the whole point of feature
+    * hashing: the "model" stays KBs at 100 TB); per-doc weights are one
+    * doc_id-keyed aggregate; selection is a scalar-percentile broadcast
+    * threshold, not a global sort ([[qualityFilteredCorpus]]'s shape).
+    *
+    * Determinism: log-ratios are quantized to integer MICRO-units per
+    * bucket (round(×1e6) — log2 is irrational so half-way round ties
+    * are measure-zero), doc weights are exact BIGINT sums of those, and
+    * the 0.75-quantile interpolation of integers at f∈{0,.25,.5,.75}
+    * is exact in double under both engines' formulas — no rounded
+    * threshold, no tie hazard (the r10 classifier lesson applied). */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
+    dsirWeightsOn(Tables.documents(spark, sfDir))
+
+  /** [[dsirWeights]] over an injected documents frame. */
+  def dsirWeightsOn(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("b",
+        expr(s"cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint) % $buckets"))
+    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = feats.agg(
+      (count(lit(1)) + buckets).as("nr"),
+      (count(when(col("lang") === "en", 1)) + buckets).as("nt"))
+    val lr = raw.join(tgt, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        """cast(round((log2((coalesce(ct, 0) + 1.0) / nt)
+          |  - log2((cr + 1.0) / nr)) * 1000000) as bigint)""".stripMargin).as("lr_micro"))
+    val weights = feats.join(lr, "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr_micro")).as("logw_micro"))
+    val thr = weights.agg(expr("percentile(logw_micro, 0.75)").as("thr"))
+    weights.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("lang"), col("n_feats"), col("logw_micro"),
+        (col("logw_micro") >= col("thr")).as("selected"))
+  }
+
   /** Corpus-LM perplexity scoring — the classic LM-based quality filter:
     * score every doc by how well the CORPUS's own bigram model predicts
     * it (negative mean log₂ P(w2|w1), lower = more typical). The model
@@ -780,6 +833,7 @@ object TextAnalysis {
     "text_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
     "text_bpe_encode" -> ((s: SparkSession, d: String) => bpeEncode(s, d)),
     "text_train_split" -> ((s: SparkSession, d: String) => trainSplit(s, d)),
+    "text_dsir" -> dsirWeights _,
     "text_rule_filter" -> ruleFilteredCorpus _,
     "text_rule_audit" -> ruleAudit _,
     "text_repetition" -> repetitionSignals _,
@@ -846,6 +900,30 @@ object TextAnalysis {
         |  CAST(score_micro AS DOUBLE) / 1000000 AS score,
         |  score_micro > 0 AS keep
         |FROM mic""".stripMargin,
+    "text_dsir" ->
+      """WITH feats AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM feats GROUP BY b),
+        |tgt AS (SELECT b, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT COUNT(*) + 1024 AS nr,
+        |               COUNT(*) FILTER (WHERE lang = 'en') + 1024 AS nt
+        |        FROM feats),
+        |lr AS (
+        |  SELECT raw.b,
+        |    CAST(round((log2((COALESCE(tgt.ct, 0) + 1.0) / tot.nt)
+        |      - log2((raw.cr + 1.0) / tot.nr)) * 1000000) AS BIGINT) AS lr_micro
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+        |w AS (
+        |  SELECT f.doc_id, f.lang, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |    CAST(SUM(lr.lr_micro) AS BIGINT) AS logw_micro
+        |  FROM feats f JOIN lr ON f.b = lr.b GROUP BY f.doc_id, f.lang),
+        |thr AS (SELECT quantile_cont(logw_micro, 0.75) AS thr FROM w)
+        |SELECT doc_id, lang, n_feats, logw_micro,
+        |  logw_micro >= thr.thr AS selected
+        |FROM w CROSS JOIN thr""".stripMargin,
     "text_bpe_train" -> bpeTrainOracle(5),
     "text_bpe_encode" -> bpeEncodeOracle(5),
     "text_train_split" ->

@@ -316,6 +316,8 @@ object KqlParser {
           ("make-graph", r.stripPrefix("-graph").trim)
         case ("graph", r) if r.startsWith("-match") =>
           ("graph-match", r.stripPrefix("-match").trim)
+        case ("graph", r) if r.startsWith("-shortest-paths") =>
+          ("graph-shortest-paths", r.stripPrefix("-shortest-paths").trim)
         case ("parse", r) if r.startsWith("-where") =>
           ("parse-where", r.stripPrefix("-where").trim)
         case ("parse", r) if r.startsWith("-kv") =>
@@ -579,6 +581,8 @@ object KqlParser {
             df = bagUnpackVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("autocluster")) {
             df = autoclusterVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("diffpatterns")) {
+            df = diffPatternsVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.matches("(?i)narrow\\s*\\(\\s*\\)")) {
             // `evaluate narrow()` — ADX's transpose plugin: every value
             // column becomes a (Column, Value) row pair, values cast to
@@ -597,7 +601,8 @@ object KqlParser {
             serialOrder = None
           } else {
           require(body0.toLowerCase.startsWith("pivot"),
-            s"evaluate supports only the pivot, bag_unpack, autocluster and narrow plugins: $body0")
+            "evaluate supports only the pivot, bag_unpack, autocluster, " +
+              s"diffpatterns and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
             s"evaluate pivot expects pivot(col[, agg[, groupCols…]]): $body0")
@@ -689,6 +694,12 @@ object KqlParser {
           val g = graphDef.getOrElse(throw new IllegalArgumentException(
             "graph-match requires a preceding make-graph"))
           df = graphMatchVerb(g, rest, scoped)
+          graphDef = None
+          serialOrder = None
+        case "graph-shortest-paths" =>
+          val g = graphDef.getOrElse(throw new IllegalArgumentException(
+            "graph-shortest-paths requires a preceding make-graph"))
+          df = graphShortestPathsVerb(g, rest, scoped)
           graphDef = None
           serialOrder = None
         case "getschema" =>
@@ -1640,6 +1651,149 @@ object KqlParser {
     out.select(items: _*)
   }
 
+  /** `graph-shortest-paths [output=any|all] (a)-[e*1..K]->(b)
+    * [where pred] project items` — ADX's shortest-path search over the
+    * `make-graph` edge list, re-expressed as level-synchronous
+    * distributed BFS: the frontier is a (source, node) relation that
+    * advances one equi-join per hop (keyed on the node — the
+    * Pregel-on-Spark shape), and the visited set (anti-joined each
+    * round) both guarantees termination and IS the shortest-hop
+    * relation, because first arrival in BFS is minimal. Each round
+    * localCheckpoints so the lineage stays O(1) in K — the
+    * [[graft.ext.Dedup]] connected-components discipline. At 100 TB
+    * the per-round cost is one shuffle of the frontier against the
+    * edge list; the a-side conjuncts shrink the seed set BEFORE any
+    * traversal, which is what bounds frontier width.
+    *
+    * Supported subset / DOCUMENTED DEVIATIONS from ADX:
+    *  - the edge variable carries hop COUNT only: project
+    *    `array_length(e)` (ADX's usual path-length spelling); the edge
+    *    list itself is not materialized, so projecting `e` or its
+    *    properties is rejected loudly. `output=any` and `output=all`
+    *    are therefore equivalent (all shortest paths of a pair agree on
+    *    hop count by definition) and both accepted.
+    *  - the pattern's lower bound must be 1 (BFS first-arrival is the
+    *    global minimum; a lower bound > 1 would ask for the shortest
+    *    path NOT shorter than lo, a different problem).
+    *  - `where` must be a top-level AND of endpoint conjuncts, each
+    *    referencing exactly one node variable: a-conjuncts filter the
+    *    seed set pre-traversal, b-conjuncts filter arrivals after. */
+  private def graphShortestPathsVerb(
+      g: (DataFrame, String, String, Option[(DataFrame, String)]),
+      rest: String, lets: Map[String, String]): DataFrame = {
+    val (edges0, srcC, dstC, nodesOpt) = g
+    val OutRe = "(?is)^output\\s*=\\s*(any|all)\\s+(.*)$".r
+    val body = rest.trim match { case OutRe(_, b) => b.trim; case b => b }
+    val projAt = "(?i)\\bproject\\b".r.findFirstMatchIn(body).map(_.start)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graph-shortest-paths requires a project clause: $body"))
+    val whereAt = "(?i)\\bwhere\\b".r.findFirstMatchIn(body.substring(0, projAt)).map(_.start)
+    val patternTxt = body.substring(0, whereAt.getOrElse(projAt)).trim
+    val whereTxt = whereAt.map(w => body.substring(w, projAt).trim.drop(5).trim)
+    val projTxt = body.substring(projAt).trim.drop(7).trim
+    val Pat = ("^\\(([A-Za-z_][A-Za-z0-9_]*)\\)\\s*-\\[([A-Za-z_][A-Za-z0-9_]*)" +
+      "\\*(\\d+)\\.\\.(\\d+)\\]->\\s*\\(([A-Za-z_][A-Za-z0-9_]*)\\)$").r
+    val (aV, eV, lo, hi, bV) = patternTxt match {
+      case Pat(a, e, l, h, b) => (a, e, l.toInt, h.toInt, b)
+      case _ => throw new IllegalArgumentException(
+        s"graph-shortest-paths pattern must be (a)-[e*1..K]->(b): $patternTxt")
+    }
+    require(lo == 1,
+      s"graph-shortest-paths supports a lower hop bound of 1 only (got $lo)")
+    require(hi >= 1 && hi <= 32,
+      s"graph-shortest-paths hop cap must be in [1, 32]: $hi")
+
+    val edges = edges0.select(col(srcC).as("__src"), col(dstC).as("__dst"))
+    val conjs = whereTxt.map(splitTopLevelAnd).getOrElse(Nil).map(_.trim).filter(_.nonEmpty)
+    def mentions(v: String, s: String): Boolean =
+      ("\\b" + v + "\\s*\\.").r.findFirstIn(s).isDefined
+    val (aConjs, nonA) = conjs.partition(c =>
+      mentions(aV, c) && !mentions(bV, c) && !mentions(eV, c))
+    val (bConjs, bad) = nonA.partition(c =>
+      mentions(bV, c) && !mentions(aV, c) && !mentions(eV, c))
+    require(bad.isEmpty,
+      "graph-shortest-paths where-conjuncts must each reference exactly one node " +
+        s"variable ($aV or $bV): ${bad.mkString(" and ")}")
+    def nodeProps(v: String, idCol: String, df: DataFrame): DataFrame = nodesOpt match {
+      case Some((nodes, idC)) =>
+        val props = nodes.columns.filterNot(_ == idC)
+        df.join(nodes.select(col(idC).as("__n_id") +:
+            props.map(c => col(c).as(s"${v}_$c")): _*),
+          df(idCol) === col("__n_id"), "left_outer").drop("__n_id")
+      case None => df
+    }
+    def rewriteVar(v: String, s: String): String =
+      s.replaceAll("\\b" + v + "\\.([A-Za-z_][A-Za-z0-9_]*)", s"${v}_$$1")
+
+    // seeds: nodes with an outgoing edge (others cannot reach anything
+    // in >= 1 hops), a-filtered BEFORE the traversal
+    var seeds = nodeProps(aV, s"${aV}_id",
+      edges.select(col("__src").as(s"${aV}_id")).distinct())
+    aConjs.foreach(c => seeds = seeds.filter(expr(scalar(rewriteVar(aV, c), lets))))
+
+    // level-synchronous BFS; `visited` rows carry FIRST-arrival hops
+    var frontier = seeds
+      .select(col(s"${aV}_id").as("__a"), col(s"${aV}_id").as("__node"))
+      .localCheckpoint(true)
+    var visited = frontier.withColumn("__hops", lit(0))
+    for (k <- 1 to hi) {
+      val next = frontier.join(edges, frontier("__node") === edges("__src"))
+        .select(col("__a"), col("__dst").as("__node")).distinct()
+        .join(visited.select(col("__a"), col("__node")), Seq("__a", "__node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.union(next.withColumn("__hops", lit(k)))
+      frontier = next
+    }
+    var out = visited.filter(col("__hops") >= 1)
+      .select(col("__a").as(s"${aV}_id"), col("__node").as(s"${bV}_id"), col("__hops"))
+    out = nodeProps(bV, s"${bV}_id", out)
+    bConjs.foreach(c => out = out.filter(expr(scalar(rewriteVar(bV, c), lets))))
+    if (seeds.columns.length > 1) out = out.join(seeds, Seq(s"${aV}_id"))
+
+    def rewriteAll(s: String): String = {
+      val withHops = s.replaceAll(
+        "(?i)\\barray_length\\s*\\(\\s*" + eV + "\\s*\\)", "__hops")
+      require(("\\b" + eV + "\\b").r.findFirstIn(withHops).isEmpty,
+        s"graph-shortest-paths: edge variable '$eV' supports only array_length($eV) " +
+          "(hop count); edge lists are not materialized")
+      rewriteVar(bV, rewriteVar(aV, withHops))
+    }
+    val items = splitTopLevel(projTxt, ',').map(_.trim).filter(_.nonEmpty).map {
+      case NamedRe(n, b) if !b.startsWith("=") =>
+        expr(scalar(rewriteAll(b.trim), lets)).as(n)
+      case it => expr(scalar(rewriteAll(it), lets)).as(it.replace('.', '_'))
+    }
+    require(items.nonEmpty,
+      s"graph-shortest-paths project needs at least one item: $projTxt")
+    out.select(items: _*)
+  }
+
+  /** Split a boolean expression at top-level `and` keywords (outside
+    * quotes and parens) — the conjunct router for
+    * [[graphShortestPathsVerb]]'s endpoint-predicate split. */
+  private def splitTopLevelAnd(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var quote: Char = 0; var i = 0; var start = 0
+    def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else c match {
+        case '"' | '\'' => quote = c; i += 1
+        case '(' | '[' => depth += 1; i += 1
+        case ')' | ']' => depth -= 1; i += 1
+        case 'a' | 'A' if depth == 0 && i + 3 <= s.length &&
+            s.substring(i, i + 3).equalsIgnoreCase("and") &&
+            (i == 0 || !isWordChar(s(i - 1))) &&
+            (i + 3 == s.length || !isWordChar(s(i + 3))) =>
+          parts += s.substring(start, i); start = i + 3; i += 3
+        case _ => i += 1
+      }
+    }
+    parts += s.substring(start)
+    parts.toSeq
+  }
+
   /** `scan [with_match_id=M] [by k1, k2, …] with (step s1: pred; …)` —
     * ADX's stateful sequence-matching verb, the sessionization/funnel
     * workhorse. The frame must be serialized (`sort by` the scan order
@@ -1791,6 +1945,73 @@ object KqlParser {
         max(when(col("gid") === allWild, col("n"))).over(w), 6))
       .filter(col("gid") =!= allWild && col("pct") >= minPct)
       .drop("gid")
+  }
+
+  /** `evaluate diffpatterns(splitCol, 'A', 'B'[, minDiffPct])` — ADX's
+    * cohort-difference plugin ([[autoclusterVerb]]'s sibling): attribute
+    * patterns whose row share DIFFERS between two slices of the data
+    * (the A/B values of the split column) by at least `minDiffPct`
+    * percentage points (default 5). One cube pass computes BOTH slices'
+    * counts as conditional aggregates; denominators come from the
+    * cube's own grand-total cell via a window over the cube output
+    * (bounded cells, never the corpus) — no second scan.
+    *
+    * DEVIATIONS (documented, same family as autocluster): ADX's
+    * randomized pattern search is replaced by the exhaustive cube over
+    * the non-split columns (deterministic, ≤ 6 attribute columns —
+    * more rejected loudly); wildcards surface as NULL; the
+    * all-wildcard row is dropped; ADX's optional weight/advanced args
+    * are unsupported. Percents are exact integer micro-percents
+    * (count·10⁸ DIV total) converted to double — no decimal rounding,
+    * so no cross-engine half-way-tie hazard at any scale. */
+  private def diffPatternsVerb(df: DataFrame, body: String): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      s"evaluate diffpatterns expects diffpatterns(splitCol, 'A', 'B'[, minDiffPct]): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length == 3 || args.length == 4,
+      s"diffpatterns takes (splitCol, 'A', 'B'[, minDiffPct]): $body")
+    val splitCol = args.head
+    require(splitCol.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(splitCol),
+      s"diffpatterns split column '$splitCol' not found (have: ${df.columns.mkString(", ")})")
+    def lit2(a: String): String = {
+      require(a.length >= 2 && (a.head == '\'' || a.head == '"') && a.last == a.head,
+        s"diffpatterns split values must be string literals: $a")
+      a.substring(1, a.length - 1)
+    }
+    val (va, vb) = (lit2(args(1)), lit2(args(2)))
+    require(va != vb, s"diffpatterns split values must differ: $va")
+    val minDiffPct = args.lift(3).map { a =>
+      val v = scala.util.Try(BigDecimal(a)).getOrElse(throw new IllegalArgumentException(
+        s"diffpatterns minDiffPct must be a numeric literal: $a"))
+      require(v >= 0 && v <= 100, s"diffpatterns minDiffPct must be in [0, 100]: $a")
+      v
+    }.getOrElse(BigDecimal(5))
+    val attrs = df.columns.toSeq.filterNot(_ == splitCol)
+    require(attrs.nonEmpty && attrs.length <= 6,
+      "diffpatterns cubes the non-split columns — project to at most 6 " +
+        s"attributes first (have ${attrs.length})")
+    val allWild = (1 << attrs.length) - 1
+    val cells = df.filter(col(splitCol) === va || col(splitCol) === vb)
+      .cube(attrs.map(col): _*)
+      .agg(count(when(col(splitCol) === va, 1)).as("count_a"),
+        count(when(col(splitCol) === vb, 1)).as("count_b"),
+        grouping_id().as("gid"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val minDiffMicro = (minDiffPct * 1000000).toBigInt.toLong
+    cells
+      .withColumn("__ta", max(when(col("gid") === allWild, col("count_a"))).over(w))
+      .withColumn("__tb", max(when(col("gid") === allWild, col("count_b"))).over(w))
+      .withColumn("__ma", expr("count_a * 100000000L DIV greatest(__ta, 1L)"))
+      .withColumn("__mb", expr("count_b * 100000000L DIV greatest(__tb, 1L)"))
+      .filter(col("gid") =!= allWild &&
+        abs(col("__ma") - col("__mb")) >= minDiffMicro)
+      .withColumn("percent_a", col("__ma").cast("double") / 1000000)
+      .withColumn("percent_b", col("__mb").cast("double") / 1000000)
+      .withColumn("percent_diff",
+        (col("__ma") - col("__mb")).cast("double") / 1000000)
+      .drop("gid", "__ta", "__tb", "__ma", "__mb")
   }
 
   private def bagUnpackVerb(df: DataFrame, body: String): DataFrame = {

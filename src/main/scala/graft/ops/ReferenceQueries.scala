@@ -467,6 +467,16 @@ object ReferenceQueries {
       || evaluate autocluster(0.05)
       || sort by pct desc, event_type asc, vband asc, hot asc""".stripMargin
 
+  /** r10 `evaluate diffpatterns` — autocluster's cohort-difference
+    * sibling: which (city, order-parity) patterns are over-represented
+    * among high-amount orders vs low-amount ones. Exhaustive-cube
+    * deviation + integer micro-percent arithmetic documented at the
+    * verb. */
+  val kqlDiffPatternsText: String =
+    """Orders
+      || project city, pay = iif(orderid % 2 == 0, 'even', 'odd'), tier = iif(amount >= 150, 'high', 'low')
+      || evaluate diffpatterns(tier, 'high', 'low', 0.5)""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -518,6 +528,29 @@ object ReferenceQueries {
       || summarize n = count() by city
       || sort by city asc""".stripMargin
 
+  /** r10 `graph-shortest-paths` — distributed BFS over the make-graph
+    * edge list. Customers reach WORLD through city→region→WORLD (3
+    * hops), except Chicago customers, for whom a direct Chicago→WORLD
+    * shortcut exists — the hop histogram therefore pins that SHORTEST
+    * (not merely some) path lengths are reported: a walk enumerator
+    * would also find the 3-hop Chicago route, BFS first-arrival must
+    * not. */
+  val kqlShortestPathsText: String =
+    """let CityRegion = datatable(src:string, dst:string)[
+      |  'New Delhi','APAC','Seattle','WEST','New York','EAST',
+      |  'Austin','SOUTH','Chicago','MIDWEST','Cleveland','MIDWEST'];
+      |let ToWorld = datatable(src:string, dst:string)[
+      |  'APAC','WORLD','WEST','WORLD','EAST','WORLD','SOUTH','WORLD',
+      |  'MIDWEST','WORLD','Chicago','WORLD'];
+      |let CustCity = Orders | distinct custid, city | project src = strcat('u', tostring(custid)), dst = city;
+      |CustCity
+      || union (CityRegion)
+      || union (ToWorld)
+      || make-graph src --> dst
+      || graph-shortest-paths output=any (a)-[e*1..4]->(b) where a.id startswith 'u' and b.id == 'WORLD' project uid = a.id, hops = array_length(e)
+      || summarize n = count() by hops
+      || sort by hops asc""".stripMargin
+
   /** r10 `invoke` — a tabular function let applied to the piped frame
     * (the reusable-query-fragment idiom ADX users lean on). */
   val kqlInvokeText: String =
@@ -543,9 +576,11 @@ object ReferenceQueries {
     "kql_bitwise" -> kqlText(kqlBitwiseText) _,
     "kql_invoke" -> kqlText(kqlInvokeText) _,
     "kql_graph_match" -> kqlText(kqlGraphMatchText) _,
+    "kql_graph_shortest" -> kqlText(kqlShortestPathsText) _,
     "kql_scan_funnel" -> kqlText(kqlScanFunnelText) _,
     "kql_narrow" -> kqlText(kqlNarrowText) _,
     "kql_autocluster" -> kqlText(kqlAutoclusterText) _,
+    "kql_diffpatterns" -> kqlText(kqlDiffPatternsText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
     "kql_datetime_parts" -> kqlText(kqlDatetimePartsText) _,
     "kql_string_funcs" -> kqlText(kqlStringFuncsText) _,
@@ -622,6 +657,28 @@ object ReferenceQueries {
          |FROM e h1 JOIN e h2 ON h1.dst = h2.src
          |WHERE h2.dst = 'MIDWEST'
          |GROUP BY 1 ORDER BY city ASC""".stripMargin,
+    "kql_graph_shortest" ->
+      s"""${Sql.ordersInfoCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cr AS (SELECT * FROM (VALUES
+         |  ('New Delhi','APAC'), ('Seattle','WEST'), ('New York','EAST'),
+         |  ('Austin','SOUTH'), ('Chicago','MIDWEST'), ('Cleveland','MIDWEST'))
+         |  AS t(src, dst)),
+         |tw AS (SELECT * FROM (VALUES
+         |  ('APAC','WORLD'), ('WEST','WORLD'), ('EAST','WORLD'),
+         |  ('SOUTH','WORLD'), ('MIDWEST','WORLD'), ('Chicago','WORLD'))
+         |  AS t(src, dst)),
+         |cc AS (SELECT DISTINCT 'u' || CAST(custid AS VARCHAR) AS src, city AS dst
+         |       FROM orders_info),
+         |e AS (SELECT * FROM cc UNION ALL SELECT * FROM cr UNION ALL SELECT * FROM tw),
+         |walk AS (
+         |  SELECT src AS a, dst AS node, 1 AS hops FROM e WHERE src LIKE 'u%'
+         |  UNION ALL
+         |  SELECT w.a, e.dst, w.hops + 1 FROM walk w
+         |  JOIN e ON e.src = w.node WHERE w.hops < 4),
+         |sp AS (SELECT a, node, MIN(hops) AS hops FROM walk GROUP BY a, node)
+         |SELECT CAST(hops AS INTEGER) AS hops, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM sp WHERE node = 'WORLD'
+         |GROUP BY 1 ORDER BY hops ASC""".stripMargin,
     "kql_scan_funnel" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, event_type,
@@ -671,6 +728,31 @@ object ReferenceQueries {
         |WHERE g <> 7 AND round(CAST(n AS DOUBLE) / total, 6) >= 0.05
         |ORDER BY pct DESC, event_type ASC NULLS FIRST,
         |  vband ASC NULLS FIRST, hot ASC NULLS FIRST""".stripMargin,
+    "kql_diffpatterns" ->
+      s"""${Sql.ordersInfoCte},
+         |base AS (
+         |  SELECT city,
+         |    CASE WHEN orderid % 2 = 0 THEN 'even' ELSE 'odd' END AS pay,
+         |    CASE WHEN amount >= 150 THEN 'high' ELSE 'low' END AS tier
+         |  FROM orders_info),
+         |cells AS (
+         |  SELECT city, pay,
+         |    COUNT(*) FILTER (WHERE tier = 'high') AS count_a,
+         |    COUNT(*) FILTER (WHERE tier = 'low') AS count_b,
+         |    GROUPING(city, pay) AS g
+         |  FROM base WHERE tier IN ('high', 'low') GROUP BY CUBE(city, pay)),
+         |tot AS (SELECT count_a AS ta, count_b AS tb FROM cells WHERE g = 3),
+         |m AS (
+         |  SELECT city, pay, count_a, count_b, g,
+         |    count_a * 100000000 // GREATEST(ta, 1) AS ma,
+         |    count_b * 100000000 // GREATEST(tb, 1) AS mb
+         |  FROM cells CROSS JOIN tot)
+         |SELECT city, pay,
+         |  CAST(count_a AS BIGINT) AS count_a, CAST(count_b AS BIGINT) AS count_b,
+         |  CAST(ma AS DOUBLE) / 1000000 AS percent_a,
+         |  CAST(mb AS DOUBLE) / 1000000 AS percent_b,
+         |  CAST(ma - mb AS DOUBLE) / 1000000 AS percent_diff
+         |FROM m WHERE g <> 3 AND ABS(ma - mb) >= 500000""".stripMargin,
     "kql_as_union" ->
       s"""${Sql.ordersInfoCte}
          |SELECT src, n, total FROM (

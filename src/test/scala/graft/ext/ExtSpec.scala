@@ -477,4 +477,30 @@ class ExtSpec extends SparkSpec {
     assert(ex(10L).getString(ex(10L).fieldIndex("kept_text")) == "z1 z2")
     assert(ex(11L).getString(ex(11L).fieldIndex("kept_text")) == "")
   }
+
+  test("dsir: docs made of target-corpus words outscore off-target docs") {
+    // target (en) vocabulary dominates docs 0-2; doc 3 reuses ONLY the
+    // en vocabulary (an on-target doc that merely isn't labeled en —
+    // exactly what DSIR is for: selection by content, not by label);
+    // doc 4 is off-target vocabulary. logw(3) must exceed logw(4).
+    val d = docs(
+      (0L, "the cat sat on the mat and the dog ran", "en"),
+      (1L, "the dog sat on the mat and the cat ran", "en"),
+      (2L, "the cat and the dog sat on the mat", "en"),
+      (3L, "the cat the dog the mat", "xx"),
+      (4L, "zorp blek fnord quux zix blek zorp", "xx"))
+    val out = TextAnalysis.dsirWeightsOn(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def w(id: Long) = out(id).getLong(out(id).fieldIndex("logw_micro"))
+    def sel(id: Long) = out(id).getBoolean(out(id).fieldIndex("selected"))
+    assert(w(3L) > w(4L),
+      s"on-target vocabulary must outscore off-target: ${w(3L)} vs ${w(4L)}")
+    assert(!sel(4L), "the off-target doc cannot be in the selected quartile")
+    // DSIR weights are RELATIVE (the raw distribution includes the
+    // target, so absolute sign is meaningless); the defining property
+    // is ordering: every on-target-vocabulary doc beats the off-target
+    // one by a wide margin
+    Seq(0L, 1L, 2L, 3L).foreach(id =>
+      assert(w(id) > w(4L) + 1000000, s"doc $id: ${w(id)} vs off-target ${w(4L)}"))
+  }
 }

@@ -1594,6 +1594,32 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("(0, 1]"))
   }
 
+  test("parser: evaluate diffpatterns contrasts pattern shares across the two slices") {
+    // slice A ('hi'): 3x (a,x), 1x (b,y); slice B ('lo'): 1x (a,x), 3x (b,y)
+    val src = Map("T" -> Seq(
+      ("a", "x", "hi"), ("a", "x", "hi"), ("a", "x", "hi"), ("b", "y", "hi"),
+      ("a", "x", "lo"), ("b", "y", "lo"), ("b", "y", "lo"), ("b", "y", "lo"),
+      ("c", "z", "other")).toDF("k1", "k2", "s"))
+    val rows = KqlParser.run("T | evaluate diffpatterns(s, 'hi', 'lo', 10)", src)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getAs[Long]("count_a"), r.getAs[Long]("count_b"),
+        r.getAs[Double]("percent_diff"))).toSet
+    // 'other' rows are excluded from both slices; (a,*),(a,x),(*,x) are
+    // +50 points toward A, (b,*),(b,y),(*,y) -50 toward B; totals = 4/4
+    assert(rows == Set(
+      (Some("a"), None, 3L, 1L, 50.0), (Some("a"), Some("x"), 3L, 1L, 50.0),
+      (None, Some("x"), 3L, 1L, 50.0), (Some("b"), None, 1L, 3L, -50.0),
+      (Some("b"), Some("y"), 1L, 3L, -50.0), (None, Some("y"), 1L, 3L, -50.0)))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | evaluate diffpatterns(s, 'hi', 'hi')", src)
+    }
+    assert(e.getMessage.contains("must differ"))
+    val e2 = intercept[IllegalArgumentException] {
+      KqlParser.run("T | evaluate diffpatterns(nope, 'hi', 'lo')", src)
+    }
+    assert(e2.getMessage.contains("not found"))
+  }
+
   test("parser: evaluate narrow transposes value columns to string (Column, Value) pairs") {
     val out = KqlParser.run(
       "Orders | where orderid == 1 | evaluate narrow() | sort by Column asc", ordersReg)
@@ -1708,6 +1734,63 @@ class KqlSpec extends SparkSpec {
       KqlParser.run("E | make-graph src --> dst | graph-match (a)-[e*1..3]->(b) project a.id", reg)
     }
     assert(e3.getMessage.contains("not supported"))
+  }
+
+  test("parser: graph-shortest-paths BFS finds minimal hops, shortcut beats long route") {
+    // diamond with a shortcut: s->m1->m2->t (3 hops) AND s->t (1 hop);
+    // u->m1->m2->t only (3 hops). BFS must report 1 for s, 3 for u —
+    // a walk enumerator without first-arrival pruning would emit both.
+    val edges = Seq(("s", "m1"), ("m1", "m2"), ("m2", "t"), ("s", "t"),
+      ("u", "m1")).toDF("src", "dst")
+    val out = KqlParser.run(
+      """E
+        || make-graph src --> dst
+        || graph-shortest-paths (a)-[e*1..5]->(b) where b.id == 't' project src = a.id, hops = array_length(e)""".stripMargin,
+      Map("E" -> edges)).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(out == Set(("s", 1), ("u", 3), ("m1", 2), ("m2", 1)))
+  }
+
+  test("parser: graph-shortest-paths respects the hop cap and node-property filters") {
+    val edges = Seq(("s", "m1"), ("m1", "m2"), ("m2", "t"), ("u", "m1"))
+      .toDF("src", "dst")
+    val nodes = Seq(("s", "seed"), ("u", "seed"), ("m1", "mid"), ("m2", "mid"),
+      ("t", "target")).toDF("id", "kind")
+    // cap 2: t is 3 hops from both seeds => unreachable within cap
+    val capped = KqlParser.run(
+      """E
+        || make-graph src --> dst with N on id
+        || graph-shortest-paths (a)-[e*1..2]->(b) where a.kind == 'seed' and b.id == 't' project a.id""".stripMargin,
+      Map("E" -> edges, "N" -> nodes)).collect()
+    assert(capped.isEmpty)
+    // a-side property filter prunes the seed set pre-traversal
+    val out = KqlParser.run(
+      """E
+        || make-graph src --> dst with N on id
+        || graph-shortest-paths output=all (a)-[e*1..4]->(b) where a.kind == 'seed' and b.kind == 'target' project src = a.id, hops = array_length(e)""".stripMargin,
+      Map("E" -> edges, "N" -> nodes)).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(out == Set(("s", 3), ("u", 3)))
+  }
+
+  test("parser: graph-shortest-paths rejects lo>1, edge-property projection, mixed conjuncts") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val reg = Map("E" -> edges)
+    val e1 = intercept[IllegalArgumentException] {
+      KqlParser.run(
+        "E | make-graph src --> dst | graph-shortest-paths (a)-[e*2..4]->(b) project a.id", reg)
+    }
+    assert(e1.getMessage.contains("lower"))
+    val e2 = intercept[IllegalArgumentException] {
+      KqlParser.run(
+        "E | make-graph src --> dst | graph-shortest-paths (a)-[e*1..4]->(b) project a.id, e.w", reg)
+    }
+    assert(e2.getMessage.contains("array_length"))
+    val e3 = intercept[IllegalArgumentException] {
+      KqlParser.run(
+        "E | make-graph src --> dst | graph-shortest-paths (a)-[e*1..4]->(b) where a.id == b.id project a.id", reg)
+    }
+    assert(e3.getMessage.contains("exactly one node"))
   }
 
   test("parser: invoke applies a tabular function let to the piped frame") {

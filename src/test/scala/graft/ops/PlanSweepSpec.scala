@@ -31,6 +31,8 @@ class PlanSweepSpec extends SparkSpec {
     "sim_pq_train", // inherits pqCodes' assignment pass (corpus × 16-codeword broadcast)
     "sim_semantic_dedup", // SemDeDup's cluster assignment: corpus × 16-centroid broadcast; the pair stage itself equi-joins on cent_id
     "text_vocab_coverage", "text_quality_filter", "text_curated_corpus",
+    "text_dsir", // two 1-row scalar cross joins: corpus/target totals onto the B-bucket model, percentile threshold onto the weights
+
     "ev_daily_anomaly",
     "sketch_fm_merge", // three 1-row frames (merged sketch, group-est sum, truth) cross-joined into the single output row
     "sim_sq8_topk", // corpus × 1-row min/max-stats broadcast + the brute-force query × candidate scoring
