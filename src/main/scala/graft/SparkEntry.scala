@@ -25,6 +25,7 @@ object SparkEntry {
     Analytics.queries ++
     AdvancedAnalytics.queries ++
     SqlQueries.queries ++
+    Layout.queries ++
     graft.ext.Dedup.queries ++
     graft.ext.TextAnalysis.queries ++
     graft.ext.Similarity.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
     Analytics.oracleSql ++
     AdvancedAnalytics.oracleSql ++
     SqlQueries.oracleSql ++
+    Layout.oracleSql ++
     graft.ext.Dedup.oracleSql ++
     graft.ext.TextAnalysis.oracleSql ++
     graft.ext.Similarity.oracleSql ++
