@@ -30,6 +30,7 @@ object SparkEntry {
     graft.ext.TextAnalysis.queries ++
     graft.ext.Similarity.queries ++
     graft.ext.Sketches.queries ++
+    graft.ext.GraphAnalytics.queries ++
     graft.ext.Search.queries ++
     graft.ext.Multimodal.queries
 
@@ -46,6 +47,7 @@ object SparkEntry {
     graft.ext.TextAnalysis.oracleSql ++
     graft.ext.Similarity.oracleSql ++
     graft.ext.Sketches.oracleSql ++
+    graft.ext.GraphAnalytics.oracleSql ++
     graft.ext.Search.oracleSql ++
     graft.ext.Multimodal.oracleSql
 }

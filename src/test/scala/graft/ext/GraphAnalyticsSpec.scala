@@ -1,0 +1,27 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Structural invariants of the fixed-point PageRank that the DuckDB
+  * oracle (an exact unroll) cannot meaningfully restate. */
+class GraphAnalyticsSpec extends SparkSpec {
+
+  test("pagerank: mass conserved up to floor leakage, degree drives rank") {
+    val rows = GraphAnalytics.pageRank(spark, sfDir).collect()
+    val scale = 1000000000000L
+    assert(rows.nonEmpty)
+    val pr = rows.map(r => (r.getAs[Long]("node"), r.getAs[Long]("pr_micro"),
+      r.getAs[Long]("outdeg")))
+    assert(pr.forall(_._2 > 0), "every node keeps positive rank (teleport term)")
+    // floor-division leaks < 1 unit per (edge, iteration) plus the
+    // damping floor per node — bounded well under 1% of total mass
+    val total = pr.map(_._2).sum
+    assert(total <= scale, s"mass cannot exceed total: $total")
+    assert(total >= (scale * 99) / 100, s"floor leakage too large: $total")
+    // the hub effect: the best-connected node outranks the least-
+    // connected one (suppliers serve many parts in this graph)
+    val byDeg = pr.sortBy(_._3)
+    assert(byDeg.last._2 > byDeg.head._2,
+      s"max-degree node ${byDeg.last} must outrank min-degree ${byDeg.head}")
+  }
+}
