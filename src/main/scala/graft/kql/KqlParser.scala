@@ -583,6 +583,8 @@ object KqlParser {
             df = autoclusterVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("diffpatterns")) {
             df = diffPatternsVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("sliding_window_counts")) {
+            df = slidingWindowCountsVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.matches("(?i)narrow\\s*\\(\\s*\\)")) {
             // `evaluate narrow()` — ADX's transpose plugin: every value
             // column becomes a (Column, Value) row pair, values cast to
@@ -602,7 +604,7 @@ object KqlParser {
           } else {
           require(body0.toLowerCase.startsWith("pivot"),
             "evaluate supports only the pivot, bag_unpack, autocluster, " +
-              s"diffpatterns and narrow plugins: $body0")
+              s"diffpatterns, sliding_window_counts and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
             s"evaluate pivot expects pivot(col[, agg[, groupCols…]]): $body0")
@@ -2012,6 +2014,80 @@ object KqlParser {
       .withColumn("percent_diff",
         (col("__ma") - col("__mb")).cast("double") / 1000000)
       .drop("gid", "__ta", "__tb", "__ma", "__mb")
+  }
+
+  /** `evaluate sliding_window_counts(idCol, timeCol, Start, End,
+    * LookbackWindow, Bin)` — ADX's sliding-window activity plugin: for
+    * every bin b on the [Start, End] timeline, the row count and the
+    * DISTINCT-id count of records with time ∈ (b − lookback, b].
+    * Start/End are datetime(...) literals, lookback/bin timespan
+    * literals; End − Start and lookback must be multiples of bin
+    * (ADX's own constraint).
+    *
+    * Shape: each record fans out MAP-SIDE to the lookback/bin bins it
+    * covers (a bounded explode — the fan-out factor is the constant
+    * lookback÷bin, never data-dependent), then one bin-keyed aggregate
+    * computes count + exact distinct. No self-join, no window over the
+    * corpus — at 100 TB this is a single shuffle keyed by ~(End−Start)/
+    * bin bins.
+    *
+    * DEVIATIONS (documented): the timeline is second-resolution (times
+    * floor to epoch seconds before the window compare — sub-second
+    * edges land in the bin their floored second selects; the oracle
+    * mirrors this), and the bin key is emitted as epoch-millis BIGINT
+    * `bin_ms` (ADX re-emits a datetime cell) — cross-engine timestamp
+    * comparison is done in millis everywhere in this engine. Bins with
+    * zero records are omitted (a group-by, not a zero-filled axis —
+    * `make-series` is the zero-fill tool). */
+  private def slidingWindowCountsVerb(df: DataFrame, body: String): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      "evaluate sliding_window_counts expects (idCol, timeCol, start, end, " +
+        s"lookback, bin): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length == 6,
+      s"sliding_window_counts takes exactly 6 arguments: $body")
+    val (idCol, tCol) = (args(0), args(1))
+    Seq(idCol, tCol).foreach(c => require(
+      c.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(c),
+      s"sliding_window_counts column '$c' not found (have: ${df.columns.mkString(", ")})"))
+    val DtRe = "(?is)^datetime\\s*\\((.*)\\)$".r
+    def dtEpoch(a: String): Long = a match {
+      case DtRe(b0) =>
+        val b = b0.trim.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"").trim
+        val iso = b.stripSuffix("Z").replace(' ', 'T')
+        val full = if (iso.contains("T")) iso else iso + "T00:00:00"
+        java.time.LocalDateTime.parse(full).toEpochSecond(java.time.ZoneOffset.UTC)
+      case other => throw new IllegalArgumentException(
+        s"sliding_window_counts start/end must be datetime(...) literals: $other")
+    }
+    val (startS, endS) = (dtEpoch(args(2)), dtEpoch(args(3)))
+    val TimespanRe = "^(\\d+)(d|h|m|s)$".r
+    def span(a: String): Long = a match {
+      case TimespanRe(n, u) => n.toLong * (u match {
+        case "d" => 86400L; case "h" => 3600L; case "m" => 60L; case _ => 1L
+      })
+      case other => throw new IllegalArgumentException(
+        s"sliding_window_counts lookback/bin must be timespan literals (3d, 1h): $other")
+    }
+    val (lookS, binS) = (span(args(4)), span(args(5)))
+    require(binS > 0 && lookS >= binS && lookS % binS == 0,
+      s"lookback must be a positive multiple of bin: ${args(4)} vs ${args(5)}")
+    require(endS >= startS && (endS - startS) % binS == 0,
+      s"End - Start must be a non-negative multiple of bin: ${args(2)}..${args(3)}")
+    val kMax = (endS - startS) / binS
+    df.select(col(idCol).as("__swc_id"), unix_timestamp(col(tCol)).as("__t"))
+      .filter(col("__t") <= endS && col("__t") > startS - lookS)
+      .withColumn("__klo",
+        expr(s"(greatest(__t, ${startS}L) - ${startS}L + ${binS}L - 1) DIV ${binS}L"))
+      .withColumn("__khi",
+        expr(s"least(${kMax}L, (__t + ${lookS}L - ${startS}L - 1) DIV ${binS}L)"))
+      .filter(col("__klo") <= col("__khi"))
+      .select(col("__swc_id"), explode(expr("sequence(__klo, __khi)")).as("__k"))
+      .groupBy(expr(s"(${startS}L + __k * ${binS}L) * 1000").as("bin_ms"))
+      .agg(count(lit(1)).as("Count"), countDistinct(col("__swc_id")).as("Dcount"))
   }
 
   private def bagUnpackVerb(df: DataFrame, body: String): DataFrame = {

@@ -477,6 +477,15 @@ object ReferenceQueries {
       || project city, pay = iif(orderid % 2 == 0, 'even', 'odd'), tier = iif(amount >= 150, 'high', 'low')
       || evaluate diffpatterns(tier, 'high', 'low', 0.5)""".stripMargin
 
+  /** r10 `evaluate sliding_window_counts` — the ADX activity plugin:
+    * per-day active-row and distinct-user counts over a trailing 3-day
+    * window across Jan 10-20 (deviations — second-resolution timeline,
+    * epoch-millis bin key — documented at the verb). */
+  val kqlSlidingWindowText: String =
+    """Events
+      || evaluate sliding_window_counts(user_id, ts, datetime(2024-01-10), datetime(2024-01-20), 3d, 1d)
+      || sort by bin_ms asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -581,6 +590,7 @@ object ReferenceQueries {
     "kql_narrow" -> kqlText(kqlNarrowText) _,
     "kql_autocluster" -> kqlText(kqlAutoclusterText) _,
     "kql_diffpatterns" -> kqlText(kqlDiffPatternsText) _,
+    "kql_sliding_window" -> kqlText(kqlSlidingWindowText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
     "kql_datetime_parts" -> kqlText(kqlDatetimePartsText) _,
     "kql_string_funcs" -> kqlText(kqlStringFuncsText) _,
@@ -753,6 +763,21 @@ object ReferenceQueries {
          |  CAST(mb AS DOUBLE) / 1000000 AS percent_b,
          |  CAST(ma - mb AS DOUBLE) / 1000000 AS percent_diff
          |FROM m WHERE g <> 3 AND ABS(ma - mb) >= 500000""".stripMargin,
+    "kql_sliding_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS t FROM events),
+        |r AS (
+        |  SELECT user_id,
+        |    (GREATEST(t, 1704844800) - 1704844800 + 86400 - 1) // 86400 AS klo,
+        |    LEAST(10, (t + 259200 - 1704844800 - 1) // 86400) AS khi
+        |  FROM ev WHERE t <= 1705708800 AND t > 1704844800 - 259200),
+        |x AS (
+        |  SELECT user_id, unnest(range(klo, khi + 1)) AS k
+        |  FROM r WHERE klo <= khi)
+        |SELECT (1704844800 + k * 86400) * 1000 AS bin_ms,
+        |  CAST(COUNT(*) AS BIGINT) AS "Count",
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "Dcount"
+        |FROM x GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "kql_as_union" ->
       s"""${Sql.ordersInfoCte}
          |SELECT src, n, total FROM (

@@ -1620,6 +1620,43 @@ class KqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("not found"))
   }
 
+  test("parser: evaluate sliding_window_counts computes trailing-window count and dcount") {
+    // events at day offsets 0,0,1,3 from Jan 1 (users u1,u2,u1,u3);
+    // timeline Jan 1..4, lookback 2d, bin 1d: window (b-2d, b]
+    val ev = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 05:00:00")),
+      ("u2", java.sql.Timestamp.valueOf("2024-01-01 06:00:00")),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-02 07:00:00")),
+      ("u3", java.sql.Timestamp.valueOf("2024-01-04 01:00:00"))
+    ).toDF("uid", "ts")
+    val out = KqlParser.run(
+      """E
+        || evaluate sliding_window_counts(uid, ts, datetime(2024-01-01), datetime(2024-01-04), 2d, 1d)
+        || sort by bin_ms asc""".stripMargin, Map("E" -> ev))
+      .collect().map(r => (r.getAs[Long]("bin_ms"), r.getAs[Long]("Count"),
+        r.getAs[Long]("Dcount")))
+    val day = 86400000L
+    val jan1 = java.time.LocalDate.of(2024, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    // bin Jan 1: no events in (Dec 30, Jan 1] at second resolution?
+    // events on Jan 1 are AFTER midnight => not <= Jan 1 00:00 bin;
+    // Jan 2 bin: (Dec 31, Jan 2] covers the two Jan 1 events only;
+    // Jan 3: (Jan 1, Jan 3] covers Jan 1 evts? no — they are ON Jan 1
+    // after midnight => > Jan 1, so yes: u1,u2 (Jan 1) + u1 (Jan 2);
+    // Jan 4: (Jan 2, Jan 4] covers Jan 2 evt? 07:00 Jan 2 > Jan 2 ✓
+    // plus Jan 4 01:00? that is AFTER the Jan 4 00:00 bin => excluded
+    assert(out.toSeq == Seq(
+      (jan1 + day, 2L, 2L),         // Jan 2
+      (jan1 + 2 * day, 3L, 2L),     // Jan 3
+      (jan1 + 3 * day, 1L, 1L)))    // Jan 4
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run(
+        "E | evaluate sliding_window_counts(uid, ts, datetime(2024-01-01), datetime(2024-01-04), 5h, 2h)",
+        Map("E" -> ev))
+    }
+    assert(e.getMessage.contains("multiple of bin"))
+  }
+
   test("parser: evaluate narrow transposes value columns to string (Column, Value) pairs") {
     val out = KqlParser.run(
       "Orders | where orderid == 1 | evaluate narrow() | sort by Column asc", ordersReg)
