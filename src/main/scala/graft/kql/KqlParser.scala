@@ -34,9 +34,18 @@ import org.apache.spark.sql.functions._
   * parameters rejected loudly), `make-graph`/`graph-match` (chain
   * patterns as one equi-join per hop, node-property joins, cycles via
   * repeated variables — see [[graphMatchVerb]] for deviations),
+  * `graph-shortest-paths` (level-synchronous distributed BFS; hop
+  * counts via array_length(e), see [[graphShortestPathsVerb]]),
+  * `reduce by` (log-pattern clustering — deterministic digit-run
+  * normalization, documented deviation from ADX's similarity mining),
   * `evaluate pivot` (native Spark pivot), `evaluate bag_unpack`,
   * `evaluate autocluster` (deterministic cube segment-mining, see
-  * [[autoclusterVerb]]), `evaluate narrow` (transpose to string
+  * [[autoclusterVerb]]), `evaluate diffpatterns` (cohort-difference
+  * cube, integer micro-percents, see [[diffPatternsVerb]]),
+  * `evaluate sliding_window_counts` / `evaluate activity_engagement`
+  * (trailing-window count/dcount and DAU/MAU ratios via bounded
+  * map-side bin fan-out, see [[slidingBinFanout]]),
+  * `evaluate narrow` (transpose to string
   * (Column, Value) pairs — first column as key, documented deviation
   * from ADX's ordinal Row; other plugins rejected),
   * `project-reorder`, `parse`, `print` (table-less scalar row),
@@ -585,6 +594,8 @@ object KqlParser {
             df = diffPatternsVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("sliding_window_counts")) {
             df = slidingWindowCountsVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("activity_engagement")) {
+            df = activityEngagementVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.matches("(?i)narrow\\s*\\(\\s*\\)")) {
             // `evaluate narrow()` — ADX's transpose plugin: every value
             // column becomes a (Column, Value) row pair, values cast to
@@ -604,7 +615,8 @@ object KqlParser {
           } else {
           require(body0.toLowerCase.startsWith("pivot"),
             "evaluate supports only the pivot, bag_unpack, autocluster, " +
-              s"diffpatterns, sliding_window_counts and narrow plugins: $body0")
+              "diffpatterns, sliding_window_counts, activity_engagement " +
+              s"and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
             s"evaluate pivot expects pivot(col[, agg[, groupCols…]]): $body0")
@@ -663,6 +675,34 @@ object KqlParser {
                 .limit(n.toInt)
             case other => throw new IllegalArgumentException(
               s"sample expects N or 'N of col' (sample-distinct): $other")
+          }
+          serialOrder = None
+        case "reduce" =>
+          // `reduce by Col` — ADX's log-pattern clustering verb: group
+          // rows whose string values differ only in numeric fragments,
+          // reporting each pattern's count and a representative value.
+          // DEVIATION (documented): ADX's similarity-threshold pattern
+          // mining is replaced by a DETERMINISTIC normalization —
+          // maximal digit runs become `*` — so the same corpus always
+          // yields the same patterns (and the oracle can replay them);
+          // the `with threshold=`/`characters=` knobs of the
+          // similarity algorithm are rejected loudly. Representative =
+          // MIN(value) (ADX picks an arbitrary member). Map-side
+          // normalize + one pattern-keyed aggregate — scan-speed at
+          // any corpus size.
+          val RedRe = "(?is)^by\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+          rest.trim match {
+            case RedRe(c) =>
+              require(df.columns.contains(c),
+                s"reduce by column '$c' not found (have: ${df.columns.mkString(", ")})")
+              df = df
+                .groupBy(regexp_replace(col(c).cast("string"), "[0-9]+", "*")
+                  .as("Pattern"))
+                .agg(count(lit(1)).as("Count"),
+                  min(col(c).cast("string")).as("Representative"))
+            case other => throw new IllegalArgumentException(
+              "reduce supports 'reduce by <column>' only (the similarity-" +
+                s"threshold knobs are not supported): $other")
           }
           serialOrder = None
         case "count" => df = df.kqlCount
@@ -2064,19 +2104,37 @@ object KqlParser {
         s"sliding_window_counts start/end must be datetime(...) literals: $other")
     }
     val (startS, endS) = (dtEpoch(args(2)), dtEpoch(args(3)))
-    val TimespanRe = "^(\\d+)(d|h|m|s)$".r
-    def span(a: String): Long = a match {
-      case TimespanRe(n, u) => n.toLong * (u match {
-        case "d" => 86400L; case "h" => 3600L; case "m" => 60L; case _ => 1L
-      })
-      case other => throw new IllegalArgumentException(
-        s"sliding_window_counts lookback/bin must be timespan literals (3d, 1h): $other")
-    }
-    val (lookS, binS) = (span(args(4)), span(args(5)))
+    val (lookS, binS) = (spanSecs(args(4), "sliding_window_counts"),
+      spanSecs(args(5), "sliding_window_counts"))
     require(binS > 0 && lookS >= binS && lookS % binS == 0,
       s"lookback must be a positive multiple of bin: ${args(4)} vs ${args(5)}")
     require(endS >= startS && (endS - startS) % binS == 0,
       s"End - Start must be a non-negative multiple of bin: ${args(2)}..${args(3)}")
+    slidingBinFanout(df, idCol, tCol, startS, endS, lookS, binS)
+      .groupBy(expr(s"(${startS}L + __k * ${binS}L) * 1000").as("bin_ms"))
+      .agg(count(lit(1)).as("Count"), countDistinct(col("__swc_id")).as("Dcount"))
+  }
+
+  /** KQL timespan literal → seconds (1d, 2h, 30m, 90s). */
+  private def spanSecs(a: String, verb: String): Long = {
+    val TimespanRe = "^(\\d+)(d|h|m|s)$".r
+    a match {
+      case TimespanRe(n, u) => n.toLong * (u match {
+        case "d" => 86400L; case "h" => 3600L; case "m" => 60L; case _ => 1L
+      })
+      case other => throw new IllegalArgumentException(
+        s"$verb windows must be timespan literals (3d, 1h): $other")
+    }
+  }
+
+  /** The bounded bin fan-out shared by the sliding-window plugins:
+    * every record explodes MAP-SIDE to the timeline bins whose
+    * (bin − lookback, bin] window contains its (second-floored) time.
+    * Fan-out factor = lookback÷bin, a constant. Emits
+    * (__swc_id, __k) with __k the 0-based bin index from `start`. */
+  private def slidingBinFanout(df: DataFrame, idCol: String, tCol: String,
+                               startS: Long, endS: Long,
+                               lookS: Long, binS: Long): DataFrame = {
     val kMax = (endS - startS) / binS
     df.select(col(idCol).as("__swc_id"), unix_timestamp(col(tCol)).as("__t"))
       .filter(col("__t") <= endS && col("__t") > startS - lookS)
@@ -2086,8 +2144,61 @@ object KqlParser {
         expr(s"least(${kMax}L, (__t + ${lookS}L - ${startS}L - 1) DIV ${binS}L)"))
       .filter(col("__klo") <= col("__khi"))
       .select(col("__swc_id"), explode(expr("sequence(__klo, __khi)")).as("__k"))
-      .groupBy(expr(s"(${startS}L + __k * ${binS}L) * 1000").as("bin_ms"))
-      .agg(count(lit(1)).as("Count"), countDistinct(col("__swc_id")).as("Dcount"))
+  }
+
+  /** `evaluate activity_engagement(idCol, timeCol, Start, End,
+    * InnerWindow, OuterWindow)` — ADX's engagement-ratio plugin (the
+    * DAU/MAU retention metric): bins at InnerWindow step; each bin
+    * reports the distinct-id counts of the trailing inner and outer
+    * windows and their ratio. Outer must be a multiple of Inner
+    * (ADX's constraint). Two [[slidingBinFanout]] passes + one
+    * bin-keyed join; the ratio is ONE double division of two exact
+    * BIGINTs — identical on both engines. Same documented deviations
+    * as sliding_window_counts (second-resolution timeline, epoch-millis
+    * `bin_ms` key, bins with no OUTER activity omitted; inner-idle bins
+    * report ratio 0). */
+  private def activityEngagementVerb(df: DataFrame, body: String): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      "evaluate activity_engagement expects (idCol, timeCol, start, end, " +
+        s"innerWindow, outerWindow): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length == 6,
+      s"activity_engagement takes exactly 6 arguments: $body")
+    val (idCol, tCol) = (args(0), args(1))
+    Seq(idCol, tCol).foreach(c => require(
+      c.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(c),
+      s"activity_engagement column '$c' not found (have: ${df.columns.mkString(", ")})"))
+    val DtRe = "(?is)^datetime\\s*\\((.*)\\)$".r
+    def dtEpoch(a: String): Long = a match {
+      case DtRe(b0) =>
+        val b = b0.trim.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"").trim
+        val iso = b.stripSuffix("Z").replace(' ', 'T')
+        val full = if (iso.contains("T")) iso else iso + "T00:00:00"
+        java.time.LocalDateTime.parse(full).toEpochSecond(java.time.ZoneOffset.UTC)
+      case other => throw new IllegalArgumentException(
+        s"activity_engagement start/end must be datetime(...) literals: $other")
+    }
+    val (startS, endS) = (dtEpoch(args(2)), dtEpoch(args(3)))
+    val (innerS, outerS) = (spanSecs(args(4), "activity_engagement"),
+      spanSecs(args(5), "activity_engagement"))
+    require(innerS > 0 && outerS >= innerS && outerS % innerS == 0,
+      s"outer window must be a positive multiple of inner: ${args(5)} vs ${args(4)}")
+    require(endS >= startS && (endS - startS) % innerS == 0,
+      s"End - Start must be a non-negative multiple of the inner window: " +
+        s"${args(2)}..${args(3)}")
+    val inner = slidingBinFanout(df, idCol, tCol, startS, endS, innerS, innerS)
+      .groupBy(col("__k")).agg(countDistinct(col("__swc_id")).as("dcount_activities_inner"))
+    val outer = slidingBinFanout(df, idCol, tCol, startS, endS, outerS, innerS)
+      .groupBy(col("__k")).agg(countDistinct(col("__swc_id")).as("dcount_activities_outer"))
+    outer.join(inner, Seq("__k"), "left_outer")
+      .select(expr(s"(${startS}L + __k * ${innerS}L) * 1000").as("bin_ms"),
+        coalesce(col("dcount_activities_inner"), lit(0L)).as("dcount_activities_inner"),
+        col("dcount_activities_outer"),
+        (coalesce(col("dcount_activities_inner"), lit(0L)).cast("double")
+          / col("dcount_activities_outer")).as("activity_ratio"))
   }
 
   private def bagUnpackVerb(df: DataFrame, body: String): DataFrame = {

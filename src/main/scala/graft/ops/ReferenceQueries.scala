@@ -486,6 +486,23 @@ object ReferenceQueries {
       || evaluate sliding_window_counts(user_id, ts, datetime(2024-01-10), datetime(2024-01-20), 3d, 1d)
       || sort by bin_ms asc""".stripMargin
 
+  /** r10 `evaluate activity_engagement` — daily-active over
+    * weekly-active distinct users (the DAU/WAU engagement ratio)
+    * across Jan 10-20. */
+  val kqlActivityEngagementText: String =
+    """Events
+      || evaluate activity_engagement(user_id, ts, datetime(2024-01-10), datetime(2024-01-20), 1d, 7d)
+      || sort by bin_ms asc""".stripMargin
+
+  /** r10 `reduce by` — log-pattern clustering over a derived
+    * event tag (digit runs star out; deterministic-normalization
+    * deviation documented at the verb). */
+  val kqlReduceText: String =
+    """Events
+      || extend tag = strcat(event_type, '#', tostring(tolong(bin(value, 1))))
+      || reduce by tag
+      || sort by Pattern asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -591,6 +608,8 @@ object ReferenceQueries {
     "kql_autocluster" -> kqlText(kqlAutoclusterText) _,
     "kql_diffpatterns" -> kqlText(kqlDiffPatternsText) _,
     "kql_sliding_window" -> kqlText(kqlSlidingWindowText) _,
+    "kql_activity_engagement" -> kqlText(kqlActivityEngagementText) _,
+    "kql_reduce" -> kqlText(kqlReduceText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
     "kql_datetime_parts" -> kqlText(kqlDatetimePartsText) _,
     "kql_string_funcs" -> kqlText(kqlStringFuncsText) _,
@@ -778,6 +797,35 @@ object ReferenceQueries {
         |  CAST(COUNT(*) AS BIGINT) AS "Count",
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "Dcount"
         |FROM x GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "kql_reduce" ->
+      """WITH t AS (
+        |  SELECT event_type || '#' ||
+        |    CAST(CAST(value - ((value % 1 + 1) % 1) AS BIGINT) AS VARCHAR) AS tag
+        |  FROM events)
+        |SELECT regexp_replace(tag, '[0-9]+', '*', 'g') AS "Pattern",
+        |  CAST(COUNT(*) AS BIGINT) AS "Count",
+        |  MIN(tag) AS "Representative"
+        |FROM t GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "kql_activity_engagement" ->
+      """WITH ev AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000000) AS t FROM events),
+        |fi AS (
+        |  SELECT user_id, unnest(range(
+        |    (GREATEST(t, 1704844800) - 1704844800 + 86400 - 1) // 86400,
+        |    LEAST(10, (t + 86400 - 1704844800 - 1) // 86400) + 1)) AS k
+        |  FROM ev WHERE t <= 1705708800 AND t > 1704844800 - 86400),
+        |fo AS (
+        |  SELECT user_id, unnest(range(
+        |    (GREATEST(t, 1704844800) - 1704844800 + 86400 - 1) // 86400,
+        |    LEAST(10, (t + 604800 - 1704844800 - 1) // 86400) + 1)) AS k
+        |  FROM ev WHERE t <= 1705708800 AND t > 1704844800 - 604800),
+        |i AS (SELECT k, COUNT(DISTINCT user_id) AS di FROM fi GROUP BY k),
+        |o AS (SELECT k, COUNT(DISTINCT user_id) AS do_ FROM fo GROUP BY k)
+        |SELECT (1704844800 + o.k * 86400) * 1000 AS bin_ms,
+        |  CAST(COALESCE(i.di, 0) AS BIGINT) AS dcount_activities_inner,
+        |  CAST(o.do_ AS BIGINT) AS dcount_activities_outer,
+        |  CAST(COALESCE(i.di, 0) AS DOUBLE) / o.do_ AS activity_ratio
+        |FROM o LEFT JOIN i ON o.k = i.k ORDER BY bin_ms ASC""".stripMargin,
     "kql_as_union" ->
       s"""${Sql.ordersInfoCte}
          |SELECT src, n, total FROM (

@@ -1657,6 +1657,54 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("multiple of bin"))
   }
 
+  test("parser: evaluate activity_engagement computes the inner/outer dcount ratio") {
+    // u1 active daily, u2 active on day 1 only; 1d inner vs 3d outer
+    val ev = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 05:00:00")),
+      ("u2", java.sql.Timestamp.valueOf("2024-01-01 06:00:00")),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-02 07:00:00")),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-03 08:00:00"))
+    ).toDF("uid", "ts")
+    val out = KqlParser.run(
+      """E
+        || evaluate activity_engagement(uid, ts, datetime(2024-01-01), datetime(2024-01-03), 1d, 3d)
+        || sort by bin_ms asc""".stripMargin, Map("E" -> ev))
+      .collect().map(r => (r.getAs[Long]("bin_ms"),
+        r.getAs[Long]("dcount_activities_inner"),
+        r.getAs[Long]("dcount_activities_outer"),
+        r.getAs[Double]("activity_ratio")))
+    val day = 86400000L
+    val jan1 = java.time.LocalDate.of(2024, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    // Jan 2 bin: inner (Jan1,Jan2] = {u1,u2}; outer (Dec30,Jan2] = same
+    // Jan 3 bin: inner (Jan2,Jan3] = {u1}; outer (Dec31,Jan3] = {u1,u2}
+    assert(out.toSeq == Seq(
+      (jan1 + day, 2L, 2L, 1.0),
+      (jan1 + 2 * day, 1L, 2L, 0.5)))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run(
+        "E | evaluate activity_engagement(uid, ts, datetime(2024-01-01), datetime(2024-01-03), 2d, 3d)",
+        Map("E" -> ev))
+    }
+    assert(e.getMessage.contains("multiple of inner"))
+  }
+
+  test("parser: reduce by clusters strings that differ only in digit runs") {
+    val logs = Seq("GET /user/17", "GET /user/99", "GET /about", "POST /user/3")
+      .toDF("line")
+    val out = KqlParser.run("L | reduce by line | sort by Pattern asc",
+      Map("L" -> logs)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      ("GET /about", 1L, "GET /about"),
+      ("GET /user/*", 2L, "GET /user/17"),
+      ("POST /user/*", 1L, "POST /user/3")))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("L | reduce by line with threshold=0.5", Map("L" -> logs))
+    }
+    assert(e.getMessage.contains("not supported"))
+  }
+
   test("parser: evaluate narrow transposes value columns to string (Column, Value) pairs") {
     val out = KqlParser.run(
       "Orders | where orderid == 1 | evaluate narrow() | sort by Column asc", ordersReg)
