@@ -41,10 +41,28 @@ object GraphAnalytics {
       .select((col("l_partkey").cast("bigint") * 2).as("p"),
         (col("l_suppkey").cast("bigint") * 2 + 1).as("s"))
       .distinct()
-    val edges = pairs.select(col("p").as("src"), col("s").as("dst"))
-      .union(pairs.select(col("s").as("src"), col("p").as("dst")))
-      .localCheckpoint(true)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edges = pairs.select(col("p").as("src"), col("s").as("dst"), lit(1L).as("w"))
+      .union(pairs.select(col("s").as("src"), col("p").as("dst"), lit(1L).as("w")))
+    weightedPageRank(edges, iterations)
+      .select(col("node"),
+        when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+          .as("node_type"),
+        col("pr").as("pr_micro"), col("wdeg").as("outdeg"))
+  }
+
+  /** The iterative core, generalized to WEIGHTED edges and any node
+    * key type: `edges0` is (src, dst, w ≥ 1); rank flows proportional
+    * to edge weight. Fixed-point determinism: the per-unit-weight share
+    * floors FIRST (pr DIV wdeg) and then multiplies by w — exact
+    * BIGINT with no overflow at any corpus (pr ≤ 10¹², w ≤ wdeg), at
+    * the cost of slightly more floor leakage (still < wdeg units per
+    * node per iteration). Every node must appear as a src
+    * (symmetrize first); 3 iterations ≅ the TextRank/PageRank
+    * convergence plateau for ranking purposes. */
+  private[ext] def weightedPageRank(edges0: DataFrame,
+                                    iterations: Int = 3): DataFrame = {
+    val edges = edges0.localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
       .localCheckpoint(true)
     val n = deg.count() // node count (symmetrized => every node a src)
     val scale = 1000000000000L
@@ -54,7 +72,7 @@ object GraphAnalytics {
       val contrib = pr
         .join(deg, pr("node") === deg("src"))
         .join(edges, Seq("src"))
-        .select(col("dst"), expr("pr DIV outdeg").as("c"))
+        .select(col("dst"), expr("(pr DIV wdeg) * w").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
       pr = deg.select(col("src").as("node"))
         .join(contrib, col("node") === col("dst"), "left_outer")
@@ -63,19 +81,84 @@ object GraphAnalytics {
         .localCheckpoint(true)
     }
     pr.join(deg, pr("node") === deg("src"))
-      .select(col("node"),
-        when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
-          .as("node_type"),
-        col("pr").as("pr_micro"), col("outdeg"))
+      .select(col("node"), col("pr"), col("wdeg"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Text"): [[weightedPageRank]] over the corpus
+    * word co-occurrence graph — adjacent-word pairs, symmetrized,
+    * weight = corpus co-occurrence count — emitting the top-`k` words
+    * by rank (ties broken by word). The graph-centrality keyword
+    * extractor a curation pipeline runs next to the frequency-based
+    * [[TextAnalysis.vocabCoverage]]: high-rank words are CONNECTED to
+    * many distinct high-rank contexts, not merely frequent.
+    *
+    * Shape: the bigram pass is the codegen posexplode+lead shape
+    * ([[TextAnalysis.bigramPerplexity]]); the edge aggregate is keyed
+    * by word pair (vocab²-bounded, corpus-independent); iterations are
+    * [[weightedPageRank]]'s join-per-superstep; the final top-k is a
+    * TakeOrdered over the vocab-sized rank relation, never the corpus. */
+  def textRank(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"))
+    val sym = bigrams.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(bigrams.select(col("w2").as("src"), col("w1").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    weightedPageRank(sym, 3)
+      .orderBy(col("pr").desc, col("node").asc)
+      .limit(k)
+      .select(col("node").as("word"), col("pr").as("pr_micro"),
+        col("wdeg").as("cooc_weight"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
+    "graph_textrank" -> ((s: SparkSession, d: String) => textRank(s, d)),
   )
 
   /** Unrolled 3-iteration oracle; the fixed-point arithmetic makes the
     * unroll exact (no rounding to reproduce). */
   val oracleSql: Map[String, String] = Map(
+    "graph_textrank" -> {
+      val iters = (1 to 3).map { t =>
+        s"""c$t AS (
+           |  SELECT e.dst, SUM((p.pr // d.wdeg) * e.w) AS csum
+           |  FROM pr${t - 1} p JOIN deg d ON p.node = d.src
+           |  JOIN e ON e.src = p.node
+           |  GROUP BY e.dst),
+           |pr$t AS (
+           |  SELECT d.src AS node,
+           |    (SELECT base FROM consts)
+           |      + 85 * COALESCE(c$t.csum, 0) // 100 AS pr
+           |  FROM deg d LEFT JOIN c$t ON c$t.dst = d.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bg AS (
+         |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM wd, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+         |e AS (
+         |  SELECT src, dst, COUNT(*) AS w FROM (
+         |    SELECT w1 AS src, w2 AS dst FROM bg
+         |    UNION ALL SELECT w2 AS src, w1 AS dst FROM bg)
+         |  GROUP BY src, dst),
+         |deg AS (SELECT src, SUM(w) AS wdeg FROM e GROUP BY src),
+         |consts AS (
+         |  SELECT COUNT(*) AS n,
+         |    1000000000000 // COUNT(*) AS pr0,
+         |    (15 * 1000000000000) // (100 * COUNT(*)) AS base
+         |  FROM deg),
+         |pr0 AS (SELECT src AS node, (SELECT pr0 FROM consts) AS pr FROM deg),
+         |$iters
+         |SELECT pr3.node AS word, CAST(pr3.pr AS BIGINT) AS pr_micro,
+         |  CAST(deg.wdeg AS BIGINT) AS cooc_weight
+         |FROM pr3 JOIN deg ON pr3.node = deg.src
+         |ORDER BY pr3.pr DESC, pr3.node ASC LIMIT 25""".stripMargin
+    },
     "graph_pagerank" -> {
       val iters = (1 to 3).map { t =>
         s"""c$t AS (

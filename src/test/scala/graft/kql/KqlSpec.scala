@@ -1705,6 +1705,31 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("not supported"))
   }
 
+  test("parser: evaluate funnel_sequence reports prev/next around the first occurrence") {
+    // u1: login -> view -> click -> buy  (prev=login, next=buy)
+    // u2: view -> click                  (prev=NULL, next=NULL)
+    // u3: view ... 2h gap ... click      (step window 1h => NO match)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("u1", t("2024-01-01 08:00:00"), "login"),
+      ("u1", t("2024-01-01 08:10:00"), "view"),
+      ("u1", t("2024-01-01 08:20:00"), "click"),
+      ("u1", t("2024-01-01 08:30:00"), "buy"),
+      ("u2", t("2024-01-01 09:00:00"), "view"),
+      ("u2", t("2024-01-01 09:05:00"), "click"),
+      ("u3", t("2024-01-01 10:00:00"), "view"),
+      ("u3", t("2024-01-01 12:30:00"), "click")
+    ).toDF("uid", "ts", "st")
+    val out = KqlParser.run(
+      """E
+        || evaluate funnel_sequence(uid, ts, datetime(2024-01-01), datetime(2024-01-02), 1h, st, dynamic(['view', 'click']))""".stripMargin,
+      Map("E" -> ev)).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(out == Set(
+      ("prev", Some("login"), 1L), ("prev", None, 1L),
+      ("next", Some("buy"), 1L), ("next", None, 1L)))
+  }
+
   test("parser: evaluate narrow transposes value columns to string (Column, Value) pairs") {
     val out = KqlParser.run(
       "Orders | where orderid == 1 | evaluate narrow() | sort by Column asc", ordersReg)
