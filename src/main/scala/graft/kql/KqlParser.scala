@@ -598,6 +598,10 @@ object KqlParser {
             df = activityEngagementVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("funnel_sequence")) {
             df = funnelSequenceVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("activity_counts_metrics")) {
+            df = activityCountsMetricsVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("rolling_percentile")) {
+            df = rollingPercentileVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.matches("(?i)narrow\\s*\\(\\s*\\)")) {
             // `evaluate narrow()` — ADX's transpose plugin: every value
             // column becomes a (Column, Value) row pair, values cast to
@@ -618,6 +622,7 @@ object KqlParser {
           require(body0.toLowerCase.startsWith("pivot"),
             "evaluate supports only the pivot, bag_unpack, autocluster, " +
               "diffpatterns, sliding_window_counts, activity_engagement, " +
+              "activity_counts_metrics, rolling_percentile, " +
               s"funnel_sequence and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
@@ -2288,6 +2293,109 @@ object KqlParser {
       .union(first.select(col("__id"), lit("next").as("kind"), col("__next").as("state")))
       .groupBy(col("kind"), col("state"))
       .agg(countDistinct(col("__id")).as("dcount_users"))
+  }
+
+  /** KQL `datetime(...)` literal argument → epoch seconds (UTC). */
+  private def dtLitEpoch(a: String, verb: String): Long = {
+    val DtRe = "(?is)^datetime\\s*\\((.*)\\)$".r
+    a match {
+      case DtRe(b0) =>
+        val b = b0.trim.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"").trim
+        val iso = b.stripSuffix("Z").replace(' ', 'T')
+        val full = if (iso.contains("T")) iso else iso + "T00:00:00"
+        java.time.LocalDateTime.parse(full).toEpochSecond(java.time.ZoneOffset.UTC)
+      case other => throw new IllegalArgumentException(
+        s"$verb start/end must be datetime(...) literals: $other")
+    }
+  }
+
+  /** `evaluate activity_counts_metrics(idCol, timeCol, Start, End,
+    * Bin)` — ADX's new-vs-returning plugin: per timeline bin
+    * ([b, b+bin) floor binning), the row count, distinct-id count,
+    * NEW distinct ids (first ever seen in this bin) and the cumulative
+    * distinct-id count through this bin.
+    *
+    * Shape: one bin-keyed aggregate for count/dcount; new ids via a
+    * per-id MIN-bin aggregate (one shuffle keyed by id); the running
+    * total is a window over the BIN-SIZED aggregate frame (bounded by
+    * the timeline, never the corpus). Same documented deviations as
+    * the sibling plugins (second-resolution timeline, epoch-millis
+    * `bin_ms` key, record-free bins omitted — the cumulative column is
+    * unaffected because empty bins add zero). */
+  private def activityCountsMetricsVerb(df: DataFrame, body: String): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      s"evaluate activity_counts_metrics expects (idCol, timeCol, start, end, bin): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length == 5,
+      s"activity_counts_metrics takes exactly 5 arguments: $body")
+    val (idCol, tCol) = (args(0), args(1))
+    Seq(idCol, tCol).foreach(c => require(
+      c.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(c),
+      s"activity_counts_metrics column '$c' not found (have: ${df.columns.mkString(", ")})"))
+    val (startS, endS) = (dtLitEpoch(args(2), "activity_counts_metrics"),
+      dtLitEpoch(args(3), "activity_counts_metrics"))
+    val binS = spanSecs(args(4), "activity_counts_metrics")
+    require(binS > 0 && endS >= startS,
+      s"activity_counts_metrics needs a positive bin and end >= start: $body")
+    val ev = df
+      .select(col(idCol).as("__id"), unix_timestamp(col(tCol)).as("__t"))
+      .filter(col("__t") >= startS && col("__t") <= endS)
+      .withColumn("__k", expr(s"(__t - ${startS}L) DIV ${binS}L"))
+    val perBin = ev.groupBy(col("__k"))
+      .agg(count(lit(1)).as("count"), countDistinct(col("__id")).as("dcount"))
+    val firstSeen = ev.groupBy(col("__id")).agg(min(col("__k")).as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("new_dcount"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBin.join(firstSeen, Seq("__k"), "left_outer")
+      .withColumn("new_dcount", coalesce(col("new_dcount"), lit(0L)))
+      .withColumn("aggregated_dcount", sum(col("new_dcount")).over(wCum))
+      .select(expr(s"(${startS}L + __k * ${binS}L) * 1000").as("bin_ms"),
+        col("count"), col("dcount"), col("new_dcount"), col("aggregated_dcount"))
+  }
+
+  /** `evaluate rolling_percentile(valueCol, Percentile, timeCol, Start,
+    * End, LookbackWindow, Bin)` — ADX's trailing-window percentile:
+    * for every bin, the `Percentile`-th percentile of values with time
+    * in (bin − lookback, bin]. Reuses [[slidingBinFanout]]'s bounded
+    * map-side bin fan-out; the percentile is EXACT (linear
+    * interpolation, 6-dp rounded) — the same documented deviation from
+    * ADX's T-digest estimate as the `percentile()` aggregate. Sibling
+    * deviations (second-resolution timeline, epoch-millis `bin_ms`,
+    * empty bins omitted) apply. */
+  private def rollingPercentileVerb(df: DataFrame, body: String): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      "evaluate rolling_percentile expects (valueCol, percentile, timeCol, " +
+        s"start, end, lookback, bin): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length == 7,
+      s"rolling_percentile takes exactly 7 arguments: $body")
+    val (valCol, tCol) = (args(0), args(2))
+    Seq(valCol, tCol).foreach(c => require(
+      c.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(c),
+      s"rolling_percentile column '$c' not found (have: ${df.columns.mkString(", ")})"))
+    val p = scala.util.Try(BigDecimal(args(1))).getOrElse(
+      throw new IllegalArgumentException(
+        s"rolling_percentile percentile must be a numeric literal: ${args(1)}"))
+    require(p >= 0 && p <= 100, s"percentile must be in [0, 100]: $p")
+    val (startS, endS) = (dtLitEpoch(args(3), "rolling_percentile"),
+      dtLitEpoch(args(4), "rolling_percentile"))
+    val (lookS, binS) = (spanSecs(args(5), "rolling_percentile"),
+      spanSecs(args(6), "rolling_percentile"))
+    require(binS > 0 && lookS >= binS && lookS % binS == 0,
+      s"lookback must be a positive multiple of bin: ${args(5)} vs ${args(6)}")
+    require(endS >= startS && (endS - startS) % binS == 0,
+      s"End - Start must be a non-negative multiple of bin: ${args(3)}..${args(4)}")
+    slidingBinFanout(df, valCol, tCol, startS, endS, lookS, binS)
+      .groupBy(expr(s"(${startS}L + __k * ${binS}L) * 1000").as("bin_ms"))
+      .agg(expr(s"round(percentile(__swc_id, ${p.toDouble / 100}), 6)")
+        .as("rolling_percentile"))
   }
 
   private def bagUnpackVerb(df: DataFrame, body: String): DataFrame = {

@@ -511,6 +511,22 @@ object ReferenceQueries {
       || evaluate funnel_sequence(user_id, ts, datetime(2024-01-01), datetime(2024-01-31), 1h, event_type, dynamic(['view', 'click']))
       || sort by kind asc, state asc""".stripMargin
 
+  /** r10 `evaluate activity_counts_metrics` — per-day totals, actives,
+    * NEW users and cumulative distinct users (the new-vs-returning
+    * dashboard) across Jan 10-15. */
+  val kqlActivityCountsText: String =
+    """Events
+      || evaluate activity_counts_metrics(user_id, ts, datetime(2024-01-10), datetime(2024-01-15), 1d)
+      || sort by bin_ms asc""".stripMargin
+
+  /** r10 `evaluate rolling_percentile` — per-day p90 of event values
+    * over a trailing 3-day window (exact-percentile deviation
+    * documented at the verb). */
+  val kqlRollingPercentileText: String =
+    """Events
+      || evaluate rolling_percentile(value, 90, ts, datetime(2024-01-10), datetime(2024-01-15), 3d, 1d)
+      || sort by bin_ms asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -619,6 +635,8 @@ object ReferenceQueries {
     "kql_activity_engagement" -> kqlText(kqlActivityEngagementText) _,
     "kql_reduce" -> kqlText(kqlReduceText) _,
     "kql_funnel_sequence" -> kqlText(kqlFunnelSequenceText) _,
+    "kql_activity_counts" -> kqlText(kqlActivityCountsText) _,
+    "kql_rolling_percentile" -> kqlText(kqlRollingPercentileText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
     "kql_datetime_parts" -> kqlText(kqlDatetimePartsText) _,
     "kql_string_funcs" -> kqlText(kqlStringFuncsText) _,
@@ -806,6 +824,32 @@ object ReferenceQueries {
         |  CAST(COUNT(*) AS BIGINT) AS "Count",
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "Dcount"
         |FROM x GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "kql_activity_counts" ->
+      """WITH ev AS (
+        |  SELECT user_id AS id, (epoch_ns(ts) // 1000000000) AS t FROM events
+        |  WHERE (epoch_ns(ts) // 1000000000) BETWEEN 1704844800 AND 1705276800),
+        |b AS (SELECT id, (t - 1704844800) // 86400 AS k FROM ev),
+        |per AS (SELECT k, COUNT(*) AS cnt, COUNT(DISTINCT id) AS dc
+        |        FROM b GROUP BY k),
+        |fs AS (SELECT MIN(k) AS k FROM b GROUP BY id),
+        |nd AS (SELECT k, COUNT(*) AS newd FROM fs GROUP BY k)
+        |SELECT (1704844800 + per.k * 86400) * 1000 AS bin_ms,
+        |  CAST(cnt AS BIGINT) AS "count", CAST(dc AS BIGINT) AS "dcount",
+        |  CAST(COALESCE(newd, 0) AS BIGINT) AS new_dcount,
+        |  CAST(SUM(COALESCE(newd, 0)) OVER (ORDER BY per.k) AS BIGINT)
+        |    AS aggregated_dcount
+        |FROM per LEFT JOIN nd ON per.k = nd.k ORDER BY bin_ms ASC""".stripMargin,
+    "kql_rolling_percentile" ->
+      """WITH ev AS (
+        |  SELECT value AS v, (epoch_ns(ts) // 1000000000) AS t FROM events),
+        |r AS (
+        |  SELECT v, unnest(range(
+        |    (GREATEST(t, 1704844800) - 1704844800 + 86400 - 1) // 86400,
+        |    LEAST(5, (t + 259200 - 1704844800 - 1) // 86400) + 1)) AS k
+        |  FROM ev WHERE t <= 1705276800 AND t > 1704844800 - 259200)
+        |SELECT (1704844800 + k * 86400) * 1000 AS bin_ms,
+        |  round(quantile_cont(v, 0.90), 6) AS rolling_percentile
+        |FROM r GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "kql_funnel_sequence" ->
       """WITH ev AS (
         |  SELECT user_id AS id, (epoch_ns(ts) // 1000) AS tu,

@@ -1730,6 +1730,40 @@ class KqlSpec extends SparkSpec {
       ("next", Some("buy"), 1L), ("next", None, 1L)))
   }
 
+  test("parser: evaluate activity_counts_metrics tracks new vs returning users") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("u1", t("2024-01-01 05:00:00")), ("u2", t("2024-01-01 06:00:00")),
+      ("u1", t("2024-01-02 07:00:00")), ("u3", t("2024-01-02 08:00:00")),
+      ("u1", t("2024-01-02 09:00:00"))
+    ).toDF("uid", "ts")
+    val out = KqlParser.run(
+      """E
+        || evaluate activity_counts_metrics(uid, ts, datetime(2024-01-01), datetime(2024-01-03), 1d)
+        || sort by bin_ms asc""".stripMargin, Map("E" -> ev))
+      .collect().map(r => (r.getAs[Long]("count"), r.getAs[Long]("dcount"),
+        r.getAs[Long]("new_dcount"), r.getAs[Long]("aggregated_dcount")))
+    // day 1: 2 rows, 2 users, both new, cum 2
+    // day 2: 3 rows, 2 users (u1,u3), 1 new (u3), cum 3
+    assert(out.toSeq == Seq((2L, 2L, 2L, 2L), (3L, 2L, 1L, 3L)))
+  }
+
+  test("parser: evaluate rolling_percentile computes the trailing-window percentile") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (10.0, t("2024-01-01 05:00:00")), (20.0, t("2024-01-01 06:00:00")),
+      (30.0, t("2024-01-02 07:00:00"))
+    ).toDF("v", "ts")
+    val out = KqlParser.run(
+      """E
+        || evaluate rolling_percentile(v, 50, ts, datetime(2024-01-01), datetime(2024-01-03), 2d, 1d)
+        || sort by bin_ms asc""".stripMargin, Map("E" -> ev))
+      .collect().map(r => r.getAs[Double]("rolling_percentile"))
+    // Jan 2 bin: (Dec 31, Jan 2] -> {10, 20}, median 15
+    // Jan 3 bin: (Jan 1, Jan 3] -> {10, 20, 30}, median 20
+    assert(out.toSeq == Seq(15.0, 20.0))
+  }
+
   test("parser: evaluate narrow transposes value columns to string (Column, Value) pairs") {
     val out = KqlParser.run(
       "Orders | where orderid == 1 | evaluate narrow() | sort by Column asc", ordersReg)
