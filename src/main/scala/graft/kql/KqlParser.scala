@@ -3302,6 +3302,35 @@ object KqlParser {
                       "series_decompose_anomalies expects (series [, threshold])")
                     val k = if (args.length == 2) args(1) else "1.5"
                     out.append(seriesAnomalies(args(0), k))
+                  case "series_periods_detect" =>
+                    // Deviation (documented): ADX scores periods by
+                    // normalized autocorrelation percentages; this
+                    // engine scores each candidate lag L by the RAW
+                    // overlap dot product Σ x[i]·x[i+L] — the same
+                    // argmax axis, and EXACT (integer arithmetic for
+                    // count series, fixed left-to-right fold otherwise)
+                    // so both engines pick identical periods. Returns a
+                    // bag {periods, scores}: the top-N lags in
+                    // [minP, maxP] by score desc (smaller lag wins
+                    // ties), as doubles like ADX.
+                    require(args.length == 4,
+                      "series_periods_detect expects (series, minPeriod, maxPeriod, numPeriods)")
+                    val Seq(minP, maxP, nP) = args.drop(1).map(a =>
+                      scala.util.Try(a.trim.toInt).getOrElse(
+                        throw new IllegalArgumentException(
+                          s"series_periods_detect bounds must be integer literals: $a")))
+                    require(minP >= 1 && maxP >= minP && nP >= 1,
+                      s"series_periods_detect needs 1 <= minPeriod <= maxPeriod, numPeriods >= 1: $minP..$maxP/$nP")
+                    val sArg = args(0)
+                    val score = s"(CASE WHEN size($sArg) > L THEN " +
+                      s"aggregate(sequence(1, size($sArg) - L), CAST(0 AS DOUBLE), " +
+                      s"(acc, i) -> acc + element_at($sArg, i) * element_at($sArg, i + L)) " +
+                      "ELSE CAST(0 AS DOUBLE) END)"
+                    val sorted = s"slice(array_sort(transform(sequence($minP, $maxP), " +
+                      s"L -> named_struct('s', -$score, 'l', L))), 1, $nP)"
+                    out.append(
+                      s"named_struct('periods', transform($sorted, x -> CAST(x.l AS DOUBLE)), " +
+                      s"'scores', transform($sorted, x -> -x.s))")
                   case "series_fill_const" =>
                     // ADX null-fill for make-series arrays (the default
                     // fill when an aggregate yields null buckets)
@@ -3311,7 +3340,7 @@ object KqlParser {
                   case other => throw new IllegalArgumentException(
                     s"unsupported series function '$other' (supported: series_add/subtract/" +
                     "multiply/divide/sum/avg/fill_const/fit_line/fit_line_dynamic/stats_dynamic/" +
-                    "outliers/decompose/decompose_anomalies)")
+                    "outliers/decompose/decompose_anomalies/periods_detect)")
                 }
               case "array_index_of" =>
                 // ADX: 0-based index, -1 when absent. Spark

@@ -527,6 +527,16 @@ object ReferenceQueries {
       || evaluate rolling_percentile(value, 90, ts, datetime(2024-01-10), datetime(2024-01-15), 3d, 1d)
       || sort by bin_ms asc""".stripMargin
 
+  /** r10 `series_periods_detect` — dominant-period detection over the
+    * per-type daily count series (raw-dot-product scoring deviation
+    * documented at the function). */
+  val kqlPeriodsDetectText: String =
+    """Events
+      || make-series n = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+      || extend pd = series_periods_detect(n, 2, 10, 2)
+      || project event_type, p1 = tolong(pd.periods[0]), s1 = tolong(pd.scores[0]), p2 = tolong(pd.periods[1]), s2 = tolong(pd.scores[1])
+      || sort by event_type asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -637,6 +647,7 @@ object ReferenceQueries {
     "kql_funnel_sequence" -> kqlText(kqlFunnelSequenceText) _,
     "kql_activity_counts" -> kqlText(kqlActivityCountsText) _,
     "kql_rolling_percentile" -> kqlText(kqlRollingPercentileText) _,
+    "kql_periods_detect" -> kqlText(kqlPeriodsDetectText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
     "kql_datetime_parts" -> kqlText(kqlDatetimePartsText) _,
     "kql_string_funcs" -> kqlText(kqlStringFuncsText) _,
@@ -1267,6 +1278,37 @@ object ReferenceQueries {
         |SELECT event_type,
         |  array_to_string(list(CAST(round(v, 6) AS DECIMAL(18,6)) ORDER BY i), ',') AS series
         |FROM dense GROUP BY event_type""".stripMargin,
+    "kql_periods_detect" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+        |g AS (SELECT event_type, i, CAST(COUNT(*) AS BIGINT) AS v FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 30)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, COALESCE(g.v, CAST(0 AS BIGINT)) AS v
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i),
+        |scores AS (
+        |  SELECT d1.event_type, L.l AS lag, SUM(d1.v * d2.v) AS s
+        |  FROM dense d1
+        |  JOIN (SELECT CAST(unnest(range(2, 11)) AS INT) AS l) L ON TRUE
+        |  JOIN dense d2 ON d2.event_type = d1.event_type AND d2.i = d1.i + L.l
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, lag, s,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY s DESC, lag ASC) AS rk
+        |  FROM scores)
+        |SELECT r1.event_type,
+        |  CAST(r1.lag AS BIGINT) AS p1, CAST(r1.s AS BIGINT) AS s1,
+        |  CAST(r2.lag AS BIGINT) AS p2, CAST(r2.s AS BIGINT) AS s2
+        |FROM ranked r1 JOIN ranked r2
+        |  ON r1.event_type = r2.event_type AND r1.rk = 1 AND r2.rk = 2
+        |ORDER BY r1.event_type ASC""".stripMargin,
     "kql_make_series" ->
       """WITH f AS (
         |  SELECT event_type,

@@ -1764,6 +1764,24 @@ class KqlSpec extends SparkSpec {
     assert(out.toSeq == Seq(15.0, 20.0))
   }
 
+  test("parser: series_periods_detect finds a planted period") {
+    // period-3 sawtooth: lag 3 (and its multiple 6) dominate
+    val s = Seq(Tuple1(Seq(5.0, 0.0, 0.0, 5.0, 0.0, 0.0, 5.0, 0.0, 0.0,
+      5.0, 0.0, 0.0))).toDF("x")
+    val out = KqlParser.run(
+      """T
+        || extend pd = series_periods_detect(x, 2, 6, 2)
+        || project p1 = tolong(pd.periods[0]), s1 = tolong(pd.scores[0]), p2 = tolong(pd.periods[1])""".stripMargin,
+      Map("T" -> s)).collect().head
+    // lag 3: 3 overlapping spikes x3 products = 75; lag 6: 2 -> 50;
+    // lags 2,4,5: 0
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == (3L, 75L, 6L))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | extend pd = series_periods_detect(x, 0, 6, 1)", Map("T" -> s))
+    }
+    assert(e.getMessage.contains("minPeriod"))
+  }
+
   test("parser: evaluate narrow transposes value columns to string (Column, Value) pairs") {
     val out = KqlParser.run(
       "Orders | where orderid == 1 | evaluate narrow() | sort by Column asc", ordersReg)
