@@ -255,6 +255,47 @@ object Multimodal {
   def imageNearDups(spark: SparkSession, sfDir: String): DataFrame =
     imageNearDupsOn(imageTable(spark, sfDir))
 
+  /** Per-sampled-frame payload table for the VIDEO sub-corpus — the
+    * input to frame-level perceptual dedup. Frame indices replicate
+    * [[mediaFeatures]]' sampling relationally (n_frames is payload
+    * byte 4 = md5(text) hex byte 4 — no decode needed to build the
+    * work list); each (video, frame) carries a 32-byte deterministic
+    * fake payload (the stub-decode seam — a real pipeline would slot
+    * the codec's frame extractor here). PLANTED cross-video dup:
+    * frame 0 of every video with media_id % 24 == 2 is the same intro
+    * card — the channel-intro/outro reuse frame-level dedup exists to
+    * catch. Frame key = media_id·1024 + frame_idx (frame_idx ≤ 255). */
+  def videoFrameTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .withColumn("nf", expr("cast(conv(substr(md5(text), 9, 2), 16, 10) as int)"))
+      .withColumn("step", expr("greatest(int(nf / 4), 1)"))
+      .withColumn("frame_idx", explode(expr("sequence(0, nf - nf % step, step)")))
+      .select((col("media_id") * 1024 + col("frame_idx")).as("media_id"),
+        lit("image").as("kind"),
+        when(col("frame_idx") === 0 && col("media_id") % 24 === 2,
+          unhex(concat(md5(lit("graft-intro")), md5(lit("graft-introx")))))
+          .otherwise(unhex(concat(
+            md5(concat(col("text"), lit("#"), col("frame_idx"))),
+            md5(concat(col("text"), lit("#"), col("frame_idx"), lit("x"))))))
+          .as("content"))
+
+  /** Frame-level cross-VIDEO near-dup: [[imageNearDupsOn]] over the
+    * sampled-frame payloads, aggregated back to video pairs — "these
+    * two videos share n visually-identical frames". Same-video frame
+    * matches are excluded (self-similarity is [[graft.ext.Dedup]]'s
+    * span tier's business); a shared intro card is the hot-band skew
+    * case, bounded by the planting rate here and by AQE skew-split at
+    * scale. */
+  def videoFrameNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    imageNearDupsOn(videoFrameTable(spark, sfDir))
+      .select(expr("id_a DIV 1024").as("media_a"),
+        expr("id_b DIV 1024").as("media_b"), col("hamming"))
+      .filter(col("media_a") =!= col("media_b"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("n_shared_frames"),
+        min(col("hamming")).cast("int").as("min_hamming"))
+
   /** Per-image quality stats from the same thumbnail grid the hashes
     * use: brightness (mean luma), contrast (population stdev), and the
     * low-information flag an image-corpus filter drops on (flat ≈
@@ -290,6 +331,7 @@ object Multimodal {
     "mm_frame_samples" -> mediaFrames _,
     "mm_meta_stats" -> metaStats _,
     "mm_phash_dupes" -> imageNearDups _,
+    "mm_frame_phash_dupes" -> videoFrameNearDups _,
     "mm_image_quality" -> imageQuality _,
   )
 
@@ -312,10 +354,12 @@ object Multimodal {
       |    list_transform(range(0, 72), i -> b[(i % 9 * 31 + i // 9 * 17) % 32 + 1]) AS g
       |  FROM bl)""".stripMargin
 
-  /** The mm_phash_dupes oracle: replay grid → aHash/dHash bands →
-    * banded candidates → hamming verify in DuckDB. Band expressions are
-    * generated (8 of them) so Spark and oracle share one formula. */
-  private def phashOracle: String = {
+  /** Shared phash-pair CTE chain: given CTEs ending in an
+    * `hx(media_id, h1, h2)` relation (two md5 hexes = the 32-byte
+    * payload), emits grid → aHash/dHash bands → banded candidates →
+    * `pairs(id_a, id_b, hamming ≤ 10)`. Band expressions are generated
+    * (8 of them) so Spark and every oracle share one formula. */
+  private def phashPairsCtes(prefix: String): String = {
     // g index for aHash cell i of the 9-wide grid (1-based list index)
     def apos(i: String) = s"(($i) // 8) * 9 + (($i) % 8) + 1"
     def aband(b: Int) =
@@ -327,7 +371,16 @@ object Multimodal {
     val bandExprs = ((0 until 4).map(aband) ++ (0 until 4).map(dband)).mkString(",\n  ")
     val anyBand = (0 until 8).map(i => s"x.b$i = y.b$i").mkString(" OR ")
     val hamming = (0 until 8).map(i => s"bit_count(xor(fa.b$i, fb.b$i))").mkString(" + ")
-    s"""WITH $imageGridCte,
+    s"""$prefix,
+       |bl AS (
+       |  SELECT media_id, list_transform(range(0, 32), j ->
+       |    CASE WHEN j < 16 THEN CAST(concat('0x', substr(h1, 2 * j + 1, 2)) AS INTEGER)
+       |         ELSE CAST(concat('0x', substr(h2, 2 * (j - 16) + 1, 2)) AS INTEGER) END) AS b
+       |  FROM hx),
+       |gr AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, 72), i -> b[(i % 9 * 31 + i // 9 * 17) % 32 + 1]) AS g
+       |  FROM bl),
        |ga AS (
        |  SELECT media_id, g,
        |    CAST(list_sum(list_transform(range(0, 64), i -> g[${apos("i")}])) AS INTEGER) AS asum
@@ -338,13 +391,51 @@ object Multimodal {
        |  FROM ga),
        |cand AS (
        |  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
-       |  FROM fp x JOIN fp y ON x.media_id < y.media_id AND ($anyBand))
-       |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM (
-       |  SELECT c.id_a, c.id_b, $hamming AS hamming
-       |  FROM cand c JOIN fp fa ON fa.media_id = c.id_a
-       |  JOIN fp fb ON fb.media_id = c.id_b)
-       |WHERE hamming <= 10""".stripMargin
+       |  FROM fp x JOIN fp y ON x.media_id < y.media_id AND ($anyBand)),
+       |pairs AS (
+       |  SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM (
+       |    SELECT c.id_a, c.id_b, $hamming AS hamming
+       |    FROM cand c JOIN fp fa ON fa.media_id = c.id_a
+       |    JOIN fp fb ON fb.media_id = c.id_b)
+       |  WHERE hamming <= 10)""".stripMargin
   }
+
+  /** The mm_phash_dupes oracle: replay grid → bands → hamming verify. */
+  private def phashOracle: String =
+    s"""WITH ${phashPairsCtes(
+         """hx AS (
+           |  SELECT doc_id AS media_id,
+           |    CASE WHEN doc_id % 48 = 0 THEN md5('graft-banner') ELSE md5(text) END AS h1,
+           |    CASE WHEN doc_id % 48 = 0 THEN md5('graft-bannerx') ELSE md5(text || 'x') END AS h2
+           |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin)}
+       |SELECT id_a, id_b, hamming FROM pairs""".stripMargin
+
+  /** The mm_frame_phash_dupes oracle: frame sampling replayed from the
+    * payload byte, frame payload hexes, the shared pair chain, then the
+    * video-pair aggregate. */
+  private def framePhashOracle: String =
+    s"""WITH ${phashPairsCtes(
+         """vids AS (
+           |  SELECT doc_id AS vid, text,
+           |    CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) AS nf
+           |  FROM documents WHERE doc_id % 3 = 2),
+           |fr AS (
+           |  SELECT vid, text,
+           |    CAST(unnest(range(0, nf - nf % greatest(nf // 4, 1) + 1,
+           |                      greatest(nf // 4, 1))) AS INTEGER) AS fi
+           |  FROM vids),
+           |hx AS (
+           |  SELECT vid * 1024 + fi AS media_id,
+           |    CASE WHEN fi = 0 AND vid % 24 = 2 THEN md5('graft-intro')
+           |         ELSE md5(text || '#' || CAST(fi AS VARCHAR)) END AS h1,
+           |    CASE WHEN fi = 0 AND vid % 24 = 2 THEN md5('graft-introx')
+           |         ELSE md5(text || '#' || CAST(fi AS VARCHAR) || 'x') END AS h2
+           |  FROM fr)""".stripMargin)}
+       |SELECT id_a // 1024 AS media_a, id_b // 1024 AS media_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared_frames,
+       |  CAST(MIN(hamming) AS INTEGER) AS min_hamming
+       |FROM pairs WHERE id_a // 1024 <> id_b // 1024
+       |GROUP BY 1, 2""".stripMargin
 
   /** byte i (0-based) of md5(text) as an int, in DuckDB. */
   private def mdByte(i: Int): String =
@@ -352,6 +443,7 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "mm_phash_dupes" -> phashOracle,
+    "mm_frame_phash_dupes" -> framePhashOracle,
     "mm_image_quality" ->
       s"""WITH $imageGridCte,
          |m AS (SELECT media_id, g, CAST(list_sum(g) AS DOUBLE) / 72 AS mean FROM gr),

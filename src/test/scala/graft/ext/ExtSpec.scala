@@ -206,6 +206,29 @@ class ExtSpec extends SparkSpec {
     assert(sp((0L, 1L)) == 0 && !sp.contains((0L, 2L)))
   }
 
+  test("frame-level near-dup: videos sharing the planted intro pair; same-video excluded") {
+    val frames = Multimodal.videoFrameTable(spark, sfDir)
+    // frame keys decompose back to (video, frame)
+    val planted = frames.filter(col("media_id") % 1024 === 0)
+    assert(planted.count() > 0)
+    val pairs = Multimodal.videoFrameNearDups(spark, sfDir).collect()
+    assert(pairs.nonEmpty, "the planted intro card must produce cross-video pairs")
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("media_a") < r.getAs[Long]("media_b"))
+      assert(r.getAs[Int]("min_hamming") == 0,
+        s"only the byte-identical intro card exists in this corpus: $r")
+    }
+    // every pair is between intro-planted videos (vid % 24 == 2)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("media_a") % 24 == 2 && r.getAs[Long]("media_b") % 24 == 2, r.toString)
+    }
+    // planted videos pair completely: k intro videos -> k(k-1)/2 pairs
+    val k = Multimodal.videoFrameTable(spark, sfDir)
+      .filter(expr("media_id % 1024 = 0 AND (media_id DIV 1024) % 24 = 2"))
+      .count()
+    assert(pairs.length == (k * (k - 1)) / 2, s"expected complete pairing of $k intro videos")
+  }
+
   test("quality-aware near-dedup keeps the higher-quality twin, not the lower id") {
     // docs 0/1 share the same word SET (near-dup at jaccard 1.0); doc 1
     // repeats words, so its uniq_ratio — hence quality — is lower. The
