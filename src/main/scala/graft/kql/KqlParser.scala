@@ -417,6 +417,9 @@ object KqlParser {
           // print/range roots fall back to the literal "source")
           df = unionVerb(df, rest, tbls, lets,
             leftLabel = if (tbls.contains(tableName)) tableName else "source")
+        case "fork" =>
+          df = forkVerb(df, rest, tbls, scoped)
+          serialOrder = None
         case "as" =>
           // ADX `| as [hint.materialized=true] Name` — binds the
           // current frame to Name for later operands of THIS pipeline
@@ -600,6 +603,8 @@ object KqlParser {
             df = funnelSequenceVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("activity_counts_metrics")) {
             df = activityCountsMetricsVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("new_activity_metrics")) {
+            df = newActivityMetricsVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("rolling_percentile")) {
             df = rollingPercentileVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.matches("(?i)narrow\\s*\\(\\s*\\)")) {
@@ -622,7 +627,7 @@ object KqlParser {
           require(body0.toLowerCase.startsWith("pivot"),
             "evaluate supports only the pivot, bag_unpack, autocluster, " +
               "diffpatterns, sliding_window_counts, activity_engagement, " +
-              "activity_counts_metrics, rolling_percentile, " +
+              "activity_counts_metrics, new_activity_metrics, rolling_percentile, " +
               s"funnel_sequence and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
@@ -1081,6 +1086,46 @@ object KqlParser {
     * kind=inner keeps only the columns common to ALL operands (in the
     * left frame's order). Desugars to unionByName — plan concatenation,
     * no shuffle. */
+  /** `fork [name =] (subpipeline) [name2 =] (subpipeline2) …` — ADX's
+    * multi-leg fan-out: every leg runs against the SAME piped-in frame
+    * (one upstream computation, several downstream shapes — Catalyst
+    * sees the shared subtree once per leg and a 100 TB deployment
+    * would cache/checkpoint the fork point). DEVIATION (documented,
+    * the `facet`/`funnel_sequence` single-frame adaptation): ADX
+    * returns one result TABLE per leg; this engine outer-unions the
+    * legs (column superset, null-filled) tagged with a `fork_leg`
+    * column carrying the leg's name (`name =`) or its ordinal
+    * (`leg_N`). */
+  private def forkVerb(df: DataFrame, rest: String,
+                       tables: Map[String, DataFrame],
+                       lets: Map[String, String]): DataFrame = {
+    var r = rest.trim
+    val legs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val NameRe = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.*)$".r
+    var idx = 0
+    while (r.nonEmpty) {
+      idx += 1
+      val (name, rem) = r match {
+        case NameRe(n, tail) if tail.trim.startsWith("(") => (n, tail.trim)
+        case _ => (s"leg_$idx", r)
+      }
+      require(rem.startsWith("("),
+        s"fork legs must be parenthesized sub-pipelines: $rest")
+      val close = matchingParen(rem, 0)
+      legs += name -> rem.substring(1, close).trim
+      r = rem.substring(close + 1).trim
+    }
+    require(legs.size >= 2, s"fork needs at least two legs: $rest")
+    require(legs.map(_._1).distinct.size == legs.size,
+      s"fork leg names must be distinct: ${legs.map(_._1).mkString(", ")}")
+    val frames = legs.toSeq.map { case (name, body) =>
+      require(body.nonEmpty, "fork leg is empty")
+      pipeline(s"__fork_input | $body", tables + ("__fork_input" -> df), lets)
+        .df.withColumn("fork_leg", lit(name))
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   private def unionVerb(df: DataFrame, rest: String,
                         tables: Map[String, DataFrame],
                         lets: Map[String, String],
@@ -2356,6 +2401,54 @@ object KqlParser {
       .withColumn("aggregated_dcount", sum(col("new_dcount")).over(wCum))
       .select(expr(s"(${startS}L + __k * ${binS}L) * 1000").as("bin_ms"),
         col("count"), col("dcount"), col("new_dcount"), col("aggregated_dcount"))
+  }
+
+  /** `evaluate new_activity_metrics(idCol, timeCol, Start, End, Bin)`
+    * — the cohort-retention triangle: for every (cohort bin c,
+    * activity bin b ≥ c), how many of the ids FIRST seen in c were
+    * active in b, the cohort's size, and their ratio. (ADX's full
+    * plugin adds lookback/dimension knobs — this is its deterministic
+    * retention core, the adaptation documented like the sibling
+    * plugins: floor bins, epoch-millis keys, activity-free cells
+    * omitted.)
+    *
+    * Shape: distinct (id, bin) activity (one shuffle keyed by id+bin),
+    * first-seen cohort per id (one id-keyed aggregate), then one
+    * (cohort, bin)-keyed count — the output is cohort²-bounded, never
+    * corpus-sized; the ratio is one exact-BIGINT double division. */
+  private def newActivityMetricsVerb(df: DataFrame, body: String): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      s"evaluate new_activity_metrics expects (idCol, timeCol, start, end, bin): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length == 5,
+      s"new_activity_metrics takes exactly 5 arguments: $body")
+    val (idCol, tCol) = (args(0), args(1))
+    Seq(idCol, tCol).foreach(c => require(
+      c.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(c),
+      s"new_activity_metrics column '$c' not found (have: ${df.columns.mkString(", ")})"))
+    val (startS, endS) = (dtLitEpoch(args(2), "new_activity_metrics"),
+      dtLitEpoch(args(3), "new_activity_metrics"))
+    val binS = spanSecs(args(4), "new_activity_metrics")
+    require(binS > 0 && endS >= startS,
+      s"new_activity_metrics needs a positive bin and end >= start: $body")
+    val act = df
+      .select(col(idCol).as("__id"), unix_timestamp(col(tCol)).as("__t"))
+      .filter(col("__t") >= startS && col("__t") <= endS)
+      .select(col("__id"), expr(s"(__t - ${startS}L) DIV ${binS}L").as("__k"))
+      .distinct()
+    val cohort = act.groupBy(col("__id")).agg(min(col("__k")).as("__c"))
+    val sizes = cohort.groupBy(col("__c")).agg(count(lit(1)).as("cohort_size"))
+    act.join(cohort, Seq("__id"))
+      .groupBy(col("__c"), col("__k"))
+      .agg(count(lit(1)).as("retained_dcount"))
+      .join(sizes, Seq("__c"))
+      .select(expr(s"(${startS}L + __c * ${binS}L) * 1000").as("cohort_ms"),
+        expr(s"(${startS}L + __k * ${binS}L) * 1000").as("bin_ms"),
+        col("cohort_size"), col("retained_dcount"),
+        (col("retained_dcount").cast("double") / col("cohort_size"))
+          .as("retention_ratio"))
   }
 
   /** `evaluate rolling_percentile(valueCol, Percentile, timeCol, Start,

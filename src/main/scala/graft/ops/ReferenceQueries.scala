@@ -537,6 +537,21 @@ object ReferenceQueries {
       || project event_type, p1 = tolong(pd.periods[0]), s1 = tolong(pd.scores[0]), p2 = tolong(pd.periods[1]), s2 = tolong(pd.scores[1])
       || sort by event_type asc""".stripMargin
 
+  /** r10 `fork` — two summarize legs over one frame (single-frame
+    * union adaptation with `fork_leg` provenance documented at the
+    * verb). */
+  val kqlForkText: String =
+    """Orders
+      || fork hi = (where amount >= 150 | summarize n = count(), total = sum(amount) by city) lo = (where amount < 150 | summarize n = count(), total = sum(amount) by city)
+      || sort by fork_leg asc, city asc""".stripMargin
+
+  /** r10 `evaluate new_activity_metrics` — the 3-day-cohort retention
+    * triangle over the first half of January. */
+  val kqlNewActivityText: String =
+    """Events
+      || evaluate new_activity_metrics(user_id, ts, datetime(2024-01-01), datetime(2024-01-15), 3d)
+      || sort by cohort_ms asc, bin_ms asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -648,6 +663,8 @@ object ReferenceQueries {
     "kql_activity_counts" -> kqlText(kqlActivityCountsText) _,
     "kql_rolling_percentile" -> kqlText(kqlRollingPercentileText) _,
     "kql_periods_detect" -> kqlText(kqlPeriodsDetectText) _,
+    "kql_fork" -> kqlText(kqlForkText) _,
+    "kql_new_activity" -> kqlText(kqlNewActivityText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
     "kql_datetime_parts" -> kqlText(kqlDatetimePartsText) _,
     "kql_string_funcs" -> kqlText(kqlStringFuncsText) _,
@@ -835,6 +852,35 @@ object ReferenceQueries {
         |  CAST(COUNT(*) AS BIGINT) AS "Count",
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "Dcount"
         |FROM x GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "kql_new_activity" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS id,
+        |    ((epoch_ns(ts) // 1000000000) - 1704067200) // 259200 AS k
+        |  FROM events
+        |  WHERE (epoch_ns(ts) // 1000000000) BETWEEN 1704067200 AND 1705276800),
+        |coh AS (SELECT id, MIN(k) AS c FROM act GROUP BY id),
+        |sz AS (SELECT c, COUNT(*) AS cohort_size FROM coh GROUP BY c),
+        |r AS (
+        |  SELECT coh.c, act.k, COUNT(*) AS retained_dcount
+        |  FROM act JOIN coh ON act.id = coh.id
+        |  GROUP BY coh.c, act.k)
+        |SELECT (1704067200 + r.c * 259200) * 1000 AS cohort_ms,
+        |  (1704067200 + r.k * 259200) * 1000 AS bin_ms,
+        |  CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(r.retained_dcount AS BIGINT) AS retained_dcount,
+        |  CAST(r.retained_dcount AS DOUBLE) / sz.cohort_size AS retention_ratio
+        |FROM r JOIN sz ON r.c = sz.c
+        |ORDER BY cohort_ms ASC, bin_ms ASC""".stripMargin,
+    "kql_fork" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT 'hi' AS fork_leg, city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(amount) AS BIGINT) AS total
+         |FROM orders_info WHERE amount >= 150 GROUP BY city
+         |UNION ALL
+         |SELECT 'lo' AS fork_leg, city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(amount) AS BIGINT) AS total
+         |FROM orders_info WHERE amount < 150 GROUP BY city
+         |ORDER BY fork_leg ASC, city ASC""".stripMargin,
     "kql_activity_counts" ->
       """WITH ev AS (
         |  SELECT user_id AS id, (epoch_ns(ts) // 1000000000) AS t FROM events

@@ -1782,6 +1782,44 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("minPeriod"))
   }
 
+  test("parser: fork runs each leg against the same piped frame, tags fork_leg") {
+    val out = KqlParser.run(
+      """Orders
+        || where orderid <= 3
+        || fork big = (where amount >= 100 | count) all = (count)""".stripMargin,
+      ordersReg).collect()
+      .map(r => (r.getAs[String]("fork_leg"), r.getAs[Long]("Count"))).toSet
+    // fixture orders 1..3: amounts 120, 80, 100 => big 2, all 3
+    assert(out == Set(("big", 2L), ("all", 3L)))
+    // differing leg schemas outer-union with nulls
+    val cols = KqlParser.run(
+      "Orders | fork a = (project city) b = (project amount)", ordersReg).columns.toSet
+    assert(cols == Set("city", "amount", "fork_leg"))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("Orders | fork a = (count)", ordersReg)
+    }
+    assert(e.getMessage.contains("at least two"))
+  }
+
+  test("parser: evaluate new_activity_metrics builds the cohort retention triangle") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // cohort day1: u1, u2 (u1 returns day2); cohort day2: u3
+    val ev = Seq(
+      ("u1", t("2024-01-01 05:00:00")), ("u2", t("2024-01-01 06:00:00")),
+      ("u1", t("2024-01-02 07:00:00")), ("u3", t("2024-01-02 08:00:00"))
+    ).toDF("uid", "ts")
+    val out = KqlParser.run(
+      """E
+        || evaluate new_activity_metrics(uid, ts, datetime(2024-01-01), datetime(2024-01-03), 1d)
+        || sort by cohort_ms asc, bin_ms asc""".stripMargin, Map("E" -> ev))
+      .collect().map(r => (r.getAs[Long]("cohort_size"),
+        r.getAs[Long]("retained_dcount"), r.getAs[Double]("retention_ratio")))
+    assert(out.toSeq == Seq(
+      (2L, 2L, 1.0),   // cohort day1 @ day1
+      (2L, 1L, 0.5),   // cohort day1 @ day2: only u1 returned
+      (1L, 1L, 1.0)))  // cohort day2 @ day2: u3
+  }
+
   test("parser: evaluate narrow transposes value columns to string (Column, Value) pairs") {
     val out = KqlParser.run(
       "Orders | where orderid == 1 | evaluate narrow() | sort by Column asc", ordersReg)
