@@ -936,7 +936,63 @@ object Dedup {
       .select(col("doc_n").as("doc_id")).distinct()
   }
 
+  /** Suffix-adjacency longest-duplicated-span detection — the
+    * suffix-ARRAY flavor of cross-doc dedup (the ExactSubstr shape of
+    * Lee et al. 2021, arXiv:2107.06499 "Deduplicating Training Data
+    * Makes Language Models Better"): where the span audit asks "which
+    * FIXED-k shingles repeat", this asks "how LONG is the longest
+    * repeated span between two documents". Every word position emits
+    * its suffix (capped at `cap` words — the operational truncation a
+    * real ExactSubstr run applies, since spans past the threshold need
+    * no exact length); suffixes sort; adjacent CROSS-document suffixes
+    * with a common prefix of ≥ `minLcp` words are duplicate-span
+    * evidence, aggregated per doc pair (max LCP + number of sites).
+    *
+    * Scale shape — the reason this is NOT a global sort: two suffixes
+    * can share a prefix of ≥ 2 words only if they share their leading
+    * BIGRAM, so the sort runs per bigram partition (hash shuffle +
+    * within-group sort, the fully distributed suffix-grouping trick);
+    * the global suffix array is never materialized. Adjacency within
+    * the group finds every duplicated span ≥ minLcp (some multi-doc
+    * spans attribute to whichever pair sorts adjacent — inherent to
+    * adjacency-based detection and true of ExactSubstr itself). LCP is
+    * computed by an O(cap²) fully-equal-prefix count (both engines run
+    * the identical HOF — no early-exit semantics to mismatch). */
+  def suffixLcpPairsOn(docs: DataFrame, cap: Int = 8, minLcp: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"), col("w2"))
+      .orderBy(col("sfx").asc, col("doc_id").asc, col("pos").asc)
+    val sfx = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(expr("size(ws) >= 2"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, size(ws) - 2)")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr("element_at(ws, pos + 1)").as("w1"),
+        expr("element_at(ws, pos + 2)").as("w2"),
+        expr(s"slice(ws, pos + 1, $cap)").as("sfa"))
+      .withColumn("sfx", expr("array_join(sfa, ' ')"))
+    sfx
+      .withColumn("nd", lead(col("doc_id"), 1).over(w))
+      .withColumn("nb", lead(col("sfa"), 1).over(w))
+      .filter(col("nd").isNotNull && col("nd") =!= col("doc_id"))
+      .withColumn("lcp", expr(
+        """aggregate(sequence(1, least(size(sfa), size(nb))), 0, (acc, i) ->
+          |  acc + IF(size(filter(sequence(1, i), j ->
+          |    element_at(sfa, j) = element_at(nb, j))) = i, 1, 0))""".stripMargin))
+      .filter(col("lcp") >= minLcp)
+      .select(least(col("doc_id"), col("nd")).as("doc_a"),
+        greatest(col("doc_id"), col("nd")).as("doc_b"), col("lcp"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("lcp")).cast("int").as("max_lcp"),
+        count(lit(1)).as("n_sites"))
+  }
+
+  def suffixLcpPairs(spark: SparkSession, sfDir: String): DataFrame =
+    suffixLcpPairsOn(Tables.documents(spark, sfDir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_suffix_lcp" -> suffixLcpPairs _,
     "dedup_decontaminate" -> decontaminatedCorpus _,
     "dedup_incremental" -> ((s: SparkSession, d: String) => incrementalCleaned(s, d)),
     "dedup_exact" -> exactDedup _,
@@ -992,6 +1048,28 @@ object Dedup {
       |  WHERE jac >= 0.9)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_suffix_lcp" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |s AS (
+        |  SELECT doc_id, p.p AS pos, ws[p.p + 1] AS w1, ws[p.p + 2] AS w2,
+        |    list_slice(ws, p.p + 1, p.p + 8) AS sfa,
+        |    array_to_string(list_slice(ws, p.p + 1, p.p + 8), ' ') AS sfx
+        |  FROM d, LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS p) p),
+        |n AS (
+        |  SELECT doc_id, sfa,
+        |    LEAD(doc_id) OVER win AS nd, LEAD(sfa) OVER win AS nb
+        |  FROM s WINDOW win AS (PARTITION BY w1, w2 ORDER BY sfx ASC, doc_id ASC, pos ASC)),
+        |l AS (
+        |  SELECT doc_id, nd,
+        |    list_sum(list_transform(range(1, least(len(sfa), len(nb)) + 1), i ->
+        |      CASE WHEN len(list_filter(range(1, i + 1), j -> sfa[j] = nb[j])) = i
+        |           THEN 1 ELSE 0 END)) AS lcp
+        |  FROM n WHERE nd IS NOT NULL AND nd <> doc_id)
+        |SELECT LEAST(doc_id, nd) AS doc_a, GREATEST(doc_id, nd) AS doc_b,
+        |  CAST(MAX(lcp) AS INTEGER) AS max_lcp, CAST(COUNT(*) AS BIGINT) AS n_sites
+        |FROM l WHERE lcp >= 4 GROUP BY 1, 2""".stripMargin,
     "dedup_contamination_report" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |shingles AS (

@@ -229,6 +229,24 @@ class ExtSpec extends SparkSpec {
     assert(pairs.length == (k * (k - 1)) / 2, s"expected complete pairing of $k intro videos")
   }
 
+  test("suffix-lcp: planted shared span reports its exact length, capped at 8") {
+    val shared6 = "alpha beta gamma delta epsilon zeta"    // 6 words
+    val d = docs(
+      (0L, s"intro words here $shared6 tail0", "en"),
+      (1L, s"$shared6 completely different ending", "en"),
+      (2L, "unrelated text with no overlap at all whatsoever", "en"),
+      (3L, "x1 " + ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10") + " y1", "en"),
+      (4L, "z1 " + ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10") + " y2", "en"))
+    val out = Dedup.suffixLcpPairsOn(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3))).toMap
+    // docs 0/1 share exactly 6 words => max_lcp 6
+    assert(out((0L, 1L))._1 == 6, s"expected lcp 6: ${out.get((0L, 1L))}")
+    // docs 3/4 share a 10-word run, but suffixes cap at 8
+    assert(out((3L, 4L))._1 == 8, s"expected capped lcp 8: ${out.get((3L, 4L))}")
+    // no pair involves the unrelated doc
+    assert(!out.keySet.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
   test("quality-aware near-dedup keeps the higher-quality twin, not the lower id") {
     // docs 0/1 share the same word SET (near-dup at jaccard 1.0); doc 1
     // repeats words, so its uniq_ratio — hence quality — is lower. The
