@@ -340,6 +340,30 @@ object AdvancedAnalytics {
         .cast("double").as("revenue"))
   }
 
+  /** TPC-H Q10 shape (returned-item customer ranking, adapted to this
+    * corpus' columns/date range): customers ranked by revenue from
+    * returned lineitems in one quarter — a 4-table join where the two
+    * dims (customer, nation) broadcast, the facts shuffle once on the
+    * orderkey, and the final ranking is a TakeOrdered over the
+    * customer-sized aggregate. Revenue sums in DECIMAL(18,4) (exact
+    * 4-dp products) and ties break on custkey. */
+  def tpchQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = broadcast(Tables.customer(spark, sfDir))
+    val n = broadcast(Tables.nation(spark, sfDir))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   // ---- range join / as-of join -------------------------------------------
 
   private[ops] val quarters: Seq[(String, String, String)] =
@@ -453,6 +477,7 @@ object AdvancedAnalytics {
     "join_basket_pairs" -> basketPairs _,
     "join_tpch_q3" -> tpchQ3 _,
     "join_tpch_q5" -> tpchQ5 _,
+    "join_tpch_q10" -> tpchQ10 _,
     "agg_group_concat" -> groupConcat _,
     "ev_daily_anomaly" -> dailyAnomalies _,
     "agg_mode_per_group" -> modePerGroup _,
@@ -587,6 +612,18 @@ object AdvancedAnalytics {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "join_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "agg_mode_per_group" ->
       """SELECT c_mktsegment, mode_nation, cnt FROM (
         |  SELECT c_mktsegment, c_nationkey AS mode_nation, CAST(COUNT(*) AS BIGINT) AS cnt,
