@@ -55,7 +55,9 @@ import org.apache.spark.sql.functions._
   * clashes rejected loudly as in ADX), `union` (kind=outer default:
   * column superset null-filled; kind=inner: column intersection —
   * operands are table names or parenthesized sub-pipelines), `join` (kinds
-  * innerunique/inner/leftouter/rightouter/fullouter/leftsemi/leftanti,
+  * innerunique/inner/leftouter/rightouter/fullouter/leftsemi/leftanti/
+  * rightsemi/rightanti (right-kinds flip to a Spark left semi/anti
+  * with the right frame probing),
   * `on key` and `on $left.a == $right.b` forms, with KQL's right-side
   * `1`-suffix rename for clashing columns, and
   * `hint.strategy=broadcast|shuffle` mapped to Spark physical join
@@ -833,8 +835,13 @@ object KqlParser {
       case "fullouter"  => "full_outer"
       case "leftsemi"   => "left_semi"
       case "leftanti" | "anti" => "left_anti"
+      // Spark has no right_semi/right_anti physical kind: these flip to
+      // a left semi/anti with the RIGHT frame as the probe side (below)
+      case "rightsemi" => "right_semi"
+      case "rightanti" | "rightantisemi" => "right_anti"
       case other => throw new IllegalArgumentException(
-        s"unsupported join kind '$other' (supported: inner, innerunique, leftouter, rightouter, fullouter, leftsemi, leftanti)")
+        s"unsupported join kind '$other' (supported: inner, innerunique, leftouter, " +
+          "rightouter, fullouter, leftsemi, leftanti, rightsemi, rightanti)")
     }
     require(r.startsWith("("), s"join expects a parenthesized right side: $r")
     val close = matchingParen(r, 0)
@@ -869,7 +876,14 @@ object KqlParser {
     val cond = keyPairs.map { case (a, b) =>
       left(a) === hinted(renamed.getOrElse(b, b))
     }.reduce(_ && _)
-    left.join(hinted, cond, sparkKind)
+    if (sparkKind == "right_semi" || sparkKind == "right_anti") {
+      // flipped probe: keep RIGHT rows with(out) a left match; output =
+      // the right frame's columns under their ORIGINAL names (the `1`
+      // suffix exists only to disambiguate a two-sided output)
+      val flipped = hinted.join(left, cond,
+        if (sparkKind == "right_semi") "left_semi" else "left_anti")
+      renamed.foldLeft(flipped) { case (d, (o, n)) => d.withColumnRenamed(n, o) }
+    } else left.join(hinted, cond, sparkKind)
   }
 
   /** `make-series <name> = <agg> [default = <v>] on <tscol> from

@@ -1820,6 +1820,22 @@ class KqlSpec extends SparkSpec {
       (1L, 1L, 1.0)))  // cohort day2 @ day2: u3
   }
 
+  test("parser: join kind=rightsemi/rightanti keep right rows by left-match, original names") {
+    val dims = Map("D" -> Seq(("Seattle", "WA"), ("Austin", "TX"), ("Paris", "FR"))
+      .toDF("city", "state")) ++ ordersReg
+    val semi = KqlParser.run(
+      "D | join kind=rightsemi (Orders) on city | distinct city | sort by city asc",
+      dims).collect().map(_.getString(0))
+    // Orders rows whose city exists in D: Seattle, Austin fixtures
+    assert(semi.toSeq == Seq("Austin", "Seattle"))
+    // rightanti: orders in no dimension city would be empty here; flip
+    // the frames so the anti side is the dim table
+    val anti = KqlParser.run(
+      "Orders | join kind=rightanti (D) on city | project city, state", dims)
+    assert(anti.columns.toSeq == Seq("city", "state"))
+    assert(anti.collect().map(_.getString(0)).toSeq == Seq("Paris"))
+  }
+
   test("parser: evaluate narrow transposes value columns to string (Column, Value) pairs") {
     val out = KqlParser.run(
       "Orders | where orderid == 1 | evaluate narrow() | sort by Column asc", ordersReg)
