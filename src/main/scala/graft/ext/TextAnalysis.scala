@@ -256,6 +256,19 @@ object TextAnalysis {
         (col("logw_micro") >= col("thr")).as("selected"))
   }
 
+  /** The APPLIED form of [[dsirWeights]] — the selected training corpus
+    * itself (top importance-weight quartile), following the engine's
+    * audit/applied pairing convention (`text_quality` →
+    * `text_quality_filter`, `dedup_span_audit` → `dedup_span_cleaned`):
+    * one semi-join of the documents scan against the selected-id set. */
+  def dsirCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val selected = dsirWeightsOn(docs).filter(col("selected"))
+      .select(col("doc_id"), col("logw_micro"))
+    docs.join(selected, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("logw_micro"))
+  }
+
   /** Corpus-LM perplexity scoring — the classic LM-based quality filter:
     * score every doc by how well the CORPUS's own bigram model predicts
     * it (negative mean log₂ P(w2|w1), lower = more typical). The model
@@ -834,6 +847,7 @@ object TextAnalysis {
     "text_bpe_encode" -> ((s: SparkSession, d: String) => bpeEncode(s, d)),
     "text_train_split" -> ((s: SparkSession, d: String) => trainSplit(s, d)),
     "text_dsir" -> dsirWeights _,
+    "text_dsir_corpus" -> dsirCorpus _,
     "text_rule_filter" -> ruleFilteredCorpus _,
     "text_rule_audit" -> ruleAudit _,
     "text_repetition" -> repetitionSignals _,
@@ -924,6 +938,29 @@ object TextAnalysis {
         |SELECT doc_id, lang, n_feats, logw_micro,
         |  logw_micro >= thr.thr AS selected
         |FROM w CROSS JOIN thr""".stripMargin,
+    "text_dsir_corpus" ->
+      """WITH feats AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM feats GROUP BY b),
+        |tgt AS (SELECT b, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT COUNT(*) + 1024 AS nr,
+        |               COUNT(*) FILTER (WHERE lang = 'en') + 1024 AS nt
+        |        FROM feats),
+        |lr AS (
+        |  SELECT raw.b,
+        |    CAST(round((log2((COALESCE(tgt.ct, 0) + 1.0) / tot.nt)
+        |      - log2((raw.cr + 1.0) / tot.nr)) * 1000000) AS BIGINT) AS lr_micro
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+        |w AS (
+        |  SELECT f.doc_id, CAST(SUM(lr.lr_micro) AS BIGINT) AS logw_micro
+        |  FROM feats f JOIN lr ON f.b = lr.b GROUP BY f.doc_id),
+        |thr AS (SELECT quantile_cont(logw_micro, 0.75) AS thr FROM w)
+        |SELECT d.doc_id, d.lang, d.source, w.logw_micro
+        |FROM documents d JOIN w ON d.doc_id = w.doc_id CROSS JOIN thr
+        |WHERE w.logw_micro >= thr.thr""".stripMargin,
     "text_bpe_train" -> bpeTrainOracle(5),
     "text_bpe_encode" -> bpeEncodeOracle(5),
     "text_train_split" ->

@@ -2828,6 +2828,16 @@ object KqlParser {
             // the caller's favor.
             (expr(rw(s"percentile(${scalar(args(0), lets)}, (${args(1)}) / 100.0)")),
               defName(args(0)))
+          case "percentilew" =>
+            // ADX percentilew(col, weight, P): the weighted percentile
+            // — each row counts `weight` times. Spark's native
+            // percentile takes exactly this as its frequency argument,
+            // so the translation is direct; same EXACT-vs-T-digest
+            // documented deviation as `percentile`. Weights must be
+            // positive integers (Spark's frequency contract — ADX
+            // truncates fractional weights too).
+            (expr(rw(s"percentile(${scalar(args(0), lets)}, (${args(2)}) / 100.0, " +
+              s"${scalar(args(1), lets)})")), defName(args(0)))
           case "take_any" | "any" =>
             // ADX's contract is "some value from the group"; this
             // engine picks DETERMINISTICALLY (min) so results are

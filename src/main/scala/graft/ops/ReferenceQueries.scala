@@ -552,6 +552,16 @@ object ReferenceQueries {
       || evaluate new_activity_metrics(user_id, ts, datetime(2024-01-01), datetime(2024-01-15), 3d)
       || sort by cohort_ms asc, bin_ms asc""".stripMargin
 
+  /** r10 `percentilew` — weighted percentile (Spark's native frequency
+    * argument; exact-percentile deviation documented at the
+    * aggregate). */
+  val kqlPercentilewText: String =
+    """Events
+      || extend wgt = toint(user_id % 5 + 1)
+      || summarize p90w = percentilew(value, wgt, 90) by event_type
+      || project event_type, p90w = round(p90w, 6)
+      || sort by event_type asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -665,6 +675,7 @@ object ReferenceQueries {
     "kql_periods_detect" -> kqlText(kqlPeriodsDetectText) _,
     "kql_fork" -> kqlText(kqlForkText) _,
     "kql_new_activity" -> kqlText(kqlNewActivityText) _,
+    "kql_percentilew" -> kqlText(kqlPercentilewText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
     "kql_datetime_parts" -> kqlText(kqlDatetimePartsText) _,
     "kql_string_funcs" -> kqlText(kqlStringFuncsText) _,
@@ -852,6 +863,14 @@ object ReferenceQueries {
         |  CAST(COUNT(*) AS BIGINT) AS "Count",
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "Dcount"
         |FROM x GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "kql_percentilew" ->
+      """WITH w AS (
+        |  SELECT event_type, value AS v,
+        |    CAST(user_id % 5 + 1 AS INTEGER) AS wgt
+        |  FROM events),
+        |x AS (SELECT event_type, v FROM w, LATERAL (SELECT unnest(range(wgt)) AS r) r)
+        |SELECT event_type, round(quantile_cont(v, 0.90), 6) AS p90w
+        |FROM x GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "kql_new_activity" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id AS id,

@@ -32,6 +32,7 @@ class PlanSweepSpec extends SparkSpec {
     "sim_semantic_dedup", // SemDeDup's cluster assignment: corpus × 16-centroid broadcast; the pair stage itself equi-joins on cent_id
     "text_vocab_coverage", "text_quality_filter", "text_curated_corpus",
     "text_dsir", // two 1-row scalar cross joins: corpus/target totals onto the B-bucket model, percentile threshold onto the weights
+    "text_dsir_corpus", // applied form of text_dsir — inherits the same two scalar cross joins; the select itself is a semi-join
     "layout_zorder", // 1-row scalar cross join: the adaptive curve-range width (max z) broadcast over the scan
 
     "ev_daily_anomaly",
