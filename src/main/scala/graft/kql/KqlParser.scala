@@ -3448,6 +3448,34 @@ object KqlParser {
                     out.append(
                       s"named_struct('periods', transform($sorted, x -> CAST(x.l AS DOUBLE)), " +
                       s"'scores', transform($sorted, x -> -x.s))")
+                  case "series_dot_product" =>
+                    require(args.length == 2, "series_dot_product expects (series, series)")
+                    out.append(seriesDot(args(0), args(1)))
+                  case "series_magnitude" =>
+                    require(args.length == 1, "series_magnitude expects (series)")
+                    out.append(s"sqrt(${seriesDot(args(0), args(0))})")
+                  case "series_cosine_similarity" =>
+                    // 2-arg form only; ADX's optional precomputed-
+                    // magnitude args are not supported (rejected by the
+                    // arity check — recompute is one fold over a
+                    // step-count-sized array).
+                    require(args.length == 2,
+                      "series_cosine_similarity expects (series, series)")
+                    out.append(s"(${seriesDot(args(0), args(1))} / " +
+                      s"(sqrt(${seriesDot(args(0), args(0))}) * sqrt(${seriesDot(args(1), args(1))})))")
+                  case "series_pearson_correlation" =>
+                    // r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+                    // — every Σ is a left-to-right fold, so count-valued
+                    // series reproduce bit-for-bit in an index-ordered
+                    // oracle (same determinism note as the header).
+                    require(args.length == 2,
+                      "series_pearson_correlation expects (series, series)")
+                    val (a, b) = (args(0), args(1))
+                    val n = seriesN(a)
+                    out.append(
+                      s"(($n * ${seriesDot(a, b)} - ${seriesSum(a)} * ${seriesSum(b)}) / " +
+                      s"(sqrt($n * ${seriesDot(a, a)} - ${seriesSum(a)} * ${seriesSum(a)}) * " +
+                      s"sqrt($n * ${seriesDot(b, b)} - ${seriesSum(b)} * ${seriesSum(b)})))")
                   case "series_fill_const" =>
                     // ADX null-fill for make-series arrays (the default
                     // fill when an aggregate yields null buckets)
@@ -3457,7 +3485,8 @@ object KqlParser {
                   case other => throw new IllegalArgumentException(
                     s"unsupported series function '$other' (supported: series_add/subtract/" +
                     "multiply/divide/sum/avg/fill_const/fit_line/fit_line_dynamic/stats_dynamic/" +
-                    "outliers/decompose/decompose_anomalies/periods_detect)")
+                    "outliers/decompose/decompose_anomalies/periods_detect/dot_product/" +
+                    "magnitude/cosine_similarity/pearson_correlation)")
                 }
               case "array_index_of" =>
                 // ADX: 0-based index, -1 when absent. Spark
@@ -3871,6 +3900,12 @@ object KqlParser {
   /** Left-to-right fold sum of a DOUBLE series. */
   private def seriesSum(s: String): String =
     s"aggregate($s, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** Left-to-right fold of Σ a[i]·b[i] (the similarity tier's shared
+    * kernel: dot product, magnitude via seriesDot(s,s), cosine,
+    * Pearson's Σxy/Σx²/Σy² terms). */
+  private def seriesDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
 
   /** size(s) as DOUBLE (every formula below divides by it). */
   private def seriesN(s: String): String = s"CAST(size($s) AS DOUBLE)"

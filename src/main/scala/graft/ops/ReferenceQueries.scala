@@ -562,6 +562,24 @@ object ReferenceQueries {
       || project event_type, p90w = round(p90w, 6)
       || sort by event_type asc""".stripMargin
 
+  /** r10 series similarity tier — dot product / magnitude / cosine /
+    * Pearson over per-type daily count series: all 5×5 type pairs via a
+    * k=1 cross join (25 rows — the series, not the pairing, carries the
+    * data), upper triangle kept. Left-to-right fold determinism
+    * documented at the series builders. */
+  val kqlSeriesSimilarityText: String =
+    """let S = Events
+      || where ts >= datetime(2024-01-01) and ts < datetime(2024-01-31)
+      || make-series c = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+      || project event_type, c;
+      |S
+      || extend k = 1
+      || join kind=inner (S | extend k = 1) on k
+      || where event_type < event_type1
+      || extend dot = round(series_dot_product(c, c1), 6), cos = round(series_cosine_similarity(c, c1), 6), r = round(series_pearson_correlation(c, c1), 6), mag = round(series_magnitude(c), 6)
+      || project et_a = event_type, et_b = event_type1, dot, cos, r, mag
+      || sort by et_a asc, et_b asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -676,6 +694,7 @@ object ReferenceQueries {
     "kql_fork" -> kqlText(kqlForkText) _,
     "kql_new_activity" -> kqlText(kqlNewActivityText) _,
     "kql_percentilew" -> kqlText(kqlPercentilewText) _,
+    "kql_series_similarity" -> kqlText(kqlSeriesSimilarityText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
     "kql_datetime_parts" -> kqlText(kqlDatetimePartsText) _,
     "kql_string_funcs" -> kqlText(kqlStringFuncsText) _,
@@ -871,6 +890,34 @@ object ReferenceQueries {
         |x AS (SELECT event_type, v FROM w, LATERAL (SELECT unnest(range(wgt)) AS r) r)
         |SELECT event_type, round(quantile_cont(v, 0.90), 6) AS p90w
         |FROM x GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "kql_series_similarity" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+        |g AS (SELECT event_type, i, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 30)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, CAST(COALESCE(g.c, 0) AS DOUBLE) AS v
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i),
+        |p AS (
+        |  SELECT x.event_type AS et_a, y.event_type AS et_b,
+        |    SUM(x.v * y.v) AS sxy, SUM(x.v) AS sx, SUM(y.v) AS sy,
+        |    SUM(x.v * x.v) AS sxx, SUM(y.v * y.v) AS syy,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM dense x JOIN dense y ON x.i = y.i AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT et_a, et_b,
+        |  round(sxy, 6) AS dot,
+        |  round(sxy / (sqrt(sxx) * sqrt(syy)), 6) AS cos,
+        |  round((n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r,
+        |  round(sqrt(sxx), 6) AS mag
+        |FROM p ORDER BY et_a, et_b""".stripMargin,
     "kql_new_activity" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id AS id,

@@ -1182,6 +1182,38 @@ class KqlSpec extends SparkSpec {
       .collect().head.getSeq[Double](0) == Seq(0.0, 0.0, 0.0))
   }
 
+  test("parser: series similarity tier — dot/magnitude/cosine/pearson") {
+    // x = [1,2,3], y = [2,4,6]: dot = 28, |x| = sqrt(14), |y| = sqrt(56),
+    // cos = 28/sqrt(14*56) = 1 exactly (56 = 4*14 → sqrt exact product),
+    // pearson = 1 (y is a positive affine map of x).
+    val reg = Map("T" -> Seq((Seq(1.0, 2.0, 3.0), Seq(2.0, 4.0, 6.0))).toDF("x", "y"))
+    val r = KqlParser.run(
+      "T | project d = series_dot_product(x, y), m = series_magnitude(x), " +
+        "c = series_cosine_similarity(x, y), p = series_pearson_correlation(x, y)", reg)
+      .collect().head
+    assert(r.getDouble(0) == 28.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    // anti-correlated: pearson exactly -1, cosine still positive
+    val reg2 = Map("T" -> Seq((Seq(1.0, 2.0, 3.0), Seq(3.0, 2.0, 1.0))).toDF("x", "y"))
+    val r2 = KqlParser.run(
+      "T | project p = series_pearson_correlation(x, y), c = series_cosine_similarity(x, y)", reg2)
+      .collect().head
+    assert(math.abs(r2.getDouble(0) + 1.0) < 1e-12)
+    assert(math.abs(r2.getDouble(1) - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("parser: percentilew weights rows by frequency") {
+    // values 1..4 with weight 1 except value 4 weighted 7: the weighted
+    // 50th percentile lands on 4 (unweighted it would be 2.5).
+    val reg = Map("T" -> Seq((1.0, 1), (2.0, 1), (3.0, 1), (4.0, 7)).toDF("v", "w"))
+    val r = KqlParser.run("T | summarize p = percentilew(v, w, 50)", reg).collect().head
+    assert(r.getDouble(0) == 4.0)
+    val u = KqlParser.run("T | summarize p = percentile(v, 50)", reg).collect().head
+    assert(u.getDouble(0) == 2.5)
+  }
+
   test("parser: series_decompose / _anomalies — moving-average trend, k-sigma flags") {
     // 4 points: every 7-point window clamps to the whole array, so the
     // trend is flat 2.0 and the residual is y - 2.
