@@ -3306,7 +3306,10 @@ object KqlParser {
               "isempty", "isnotempty", "countof",
               "substring", "indexof", "strrep",
               "base64_encode_tostring", "base64_decode_tostring", "hash",
-              "array_index_of", "array_sum")(w.toLowerCase) ||
+              "array_index_of", "array_sum",
+              "parse_ipv4", "parse_ipv4_mask", "format_ipv4",
+              "ipv4_is_private", "ipv4_is_in_range", "ipv4_compare",
+              "ipv4_netmask_suffix")(w.toLowerCase) ||
               w.toLowerCase.startsWith("series_")) && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1
@@ -3498,6 +3501,56 @@ object KqlParser {
               case "array_sum" =>
                 require(args.length == 1, "array_sum expects (array)")
                 out.append(s"aggregate(${args(0)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+              case "parse_ipv4" =>
+                // ADX IPv4 tier: pure integer/string arithmetic, all
+                // map-side codegen-able expressions, null on any
+                // malformed input (try_cast + octet range check). The
+                // "a.b.c.d/p" prefix-suffixed INPUT form parse_ipv4
+                // also accepts in ADX is NOT supported here (use
+                // parse_ipv4_mask) — documented deviation.
+                require(args.length == 1, "parse_ipv4 expects (ip)")
+                out.append(ipv4Long(args(0)))
+              case "parse_ipv4_mask" =>
+                require(args.length == 2, "parse_ipv4_mask expects (ip, prefix)")
+                val sh = s"(32 - CAST(${args(1)} AS INT))"
+                out.append(s"shiftleft(shiftright(${ipv4Long(args(0))}, $sh), $sh)")
+              case "format_ipv4" =>
+                // long → dotted quad; out-of-range input nulls out
+                // rather than wrapping (ADX masks to 32 bits —
+                // deviation chosen for loudness, documented here).
+                require(args.length == 1, "format_ipv4 expects (long)")
+                val x = s"CAST(${args(0)} AS BIGINT)"
+                out.append(s"(CASE WHEN $x BETWEEN 0 AND 4294967295 THEN concat(" +
+                  s"CAST(shiftright($x, 24) & 255 AS STRING), '.', " +
+                  s"CAST(shiftright($x, 16) & 255 AS STRING), '.', " +
+                  s"CAST(shiftright($x, 8) & 255 AS STRING), '.', " +
+                  s"CAST($x & 255 AS STRING)) ELSE CAST(NULL AS STRING) END)")
+              case "ipv4_is_private" =>
+                // RFC1918: 10.0.0.0/8, 172.16.0.0/12, 192.168.0.0/16
+                require(args.length == 1, "ipv4_is_private expects (ip)")
+                val l = ipv4Long(args(0))
+                out.append(s"(($l BETWEEN 167772160 AND 184549375) OR " +
+                  s"($l BETWEEN 2886729728 AND 2887778303) OR " +
+                  s"($l BETWEEN 3232235520 AND 3232301055))")
+              case "ipv4_is_in_range" =>
+                // range is "a.b.c.d/p" (plain IP = /32): compare the
+                // two addresses' top p bits. Null-propagates on
+                // malformed either side, like ADX.
+                require(args.length == 2, "ipv4_is_in_range expects (ip, range)")
+                val sh = s"(32 - ${cidrPrefix(args(1))})"
+                out.append(s"(shiftright(${ipv4Long(args(0))}, $sh) = " +
+                  s"shiftright(${ipv4Long(cidrBase(args(1)))}, $sh))")
+              case "ipv4_compare" =>
+                // sign-normalized (-1/0/1) comparison of the top p bits
+                // (default full 32); ADX only contracts the sign.
+                require(args.length == 2 || args.length == 3,
+                  "ipv4_compare expects (ip1, ip2[, prefix])")
+                val sh = if (args.length == 3) s"(32 - CAST(${args(2)} AS INT))" else "0"
+                out.append(s"CAST(sign(shiftright(${ipv4Long(args(0))}, $sh) - " +
+                  s"shiftright(${ipv4Long(args(1))}, $sh)) AS INT)")
+              case "ipv4_netmask_suffix" =>
+                require(args.length == 1, "ipv4_netmask_suffix expects (range)")
+                out.append(cidrPrefix(args(0)))
               case "countof" =>
                 // ADX counts OVERLAPPING occurrences (countof('aaa',
                 // 'aa') = 2), so a delete-replace length delta is not
@@ -3900,6 +3953,27 @@ object KqlParser {
   /** Left-to-right fold sum of a DOUBLE series. */
   private def seriesSum(s: String): String =
     s"aggregate($s, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** Dotted-quad string → BIGINT, null unless exactly four octets each
+    * in 0..255 (try_cast nulls non-numeric octets; the forall then
+    * rejects the row). Shared kernel of the IPv4 tier. */
+  private def ipv4Long(e: String): String = {
+    val t = s"transform(split($e, '\\\\.'), x -> try_cast(x AS BIGINT))"
+    s"(CASE WHEN size($t) = 4 AND " +
+    s"forall($t, x -> x IS NOT NULL AND x BETWEEN 0 AND 255) THEN " +
+    s"aggregate($t, CAST(0 AS BIGINT), (acc, x) -> acc * 256 + x) " +
+    s"ELSE CAST(NULL AS BIGINT) END)"
+  }
+
+  /** The address part of "a.b.c.d/p" (the whole string when no '/'). */
+  private def cidrBase(e: String): String =
+    s"(CASE WHEN instr($e, '/') > 0 THEN substring($e, 1, instr($e, '/') - 1) ELSE $e END)"
+
+  /** The prefix length of "a.b.c.d/p" (32 when absent — a plain IP is
+    * its own /32; a non-numeric suffix nulls out via try_cast). */
+  private def cidrPrefix(e: String): String =
+    s"(CASE WHEN instr($e, '/') > 0 THEN " +
+    s"try_cast(substring($e, instr($e, '/') + 1, 2147483647) AS INT) ELSE 32 END)"
 
   /** Left-to-right fold of Σ a[i]·b[i] (the similarity tier's shared
     * kernel: dot product, magnitude via seriesDot(s,s), cosine,

@@ -580,6 +580,28 @@ object ReferenceQueries {
       || project et_a = event_type, et_b = event_type1, dot, cos, r, mag
       || sort by et_a asc, et_b asc""".stripMargin
 
+  /** r10 IPv4 tier — parse/mask/format/compare/range/private over a
+    * datatable of edge cases (RFC1918 boundaries, /0, malformed octet,
+    * non-IP). Every function is map-side integer arithmetic; null on
+    * malformed input (deviations documented at the parser cases). */
+  val kqlIpv4Text: String =
+    """let Ips = datatable(ip:string, cidr:string)[
+      |  '10.0.0.1', '10.0.0.0/8',
+      |  '172.16.5.4', '172.16.0.0/12',
+      |  '172.32.0.1', '172.16.0.0/12',
+      |  '192.168.9.9', '192.168.0.0/16',
+      |  '192.169.0.1', '192.168.0.0/16',
+      |  '8.8.8.8', '8.8.8.0/24',
+      |  '255.255.255.255', '0.0.0.0/0',
+      |  '256.1.1.1', '10.0.0.0/8',
+      |  'not-an-ip', '10.0.0.0/8'
+      |];
+      |Ips
+      || extend ipl = parse_ipv4(ip)
+      || extend masked = parse_ipv4_mask(ip, 20), inr = ipv4_is_in_range(ip, cidr), priv = ipv4_is_private(ip), cmp = ipv4_compare(ip, '172.16.5.4'), sfx = ipv4_netmask_suffix(cidr), fmt = format_ipv4(ipl)
+      || project ip, ipl, masked, inr, priv, cmp, sfx, fmt
+      || sort by ip asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -695,6 +717,7 @@ object ReferenceQueries {
     "kql_new_activity" -> kqlText(kqlNewActivityText) _,
     "kql_percentilew" -> kqlText(kqlPercentilewText) _,
     "kql_series_similarity" -> kqlText(kqlSeriesSimilarityText) _,
+    "kql_ipv4" -> kqlText(kqlIpv4Text) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
     "kql_datetime_parts" -> kqlText(kqlDatetimePartsText) _,
     "kql_string_funcs" -> kqlText(kqlStringFuncsText) _,
@@ -918,6 +941,55 @@ object ReferenceQueries {
         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r,
         |  round(sqrt(sxx), 6) AS mag
         |FROM p ORDER BY et_a, et_b""".stripMargin,
+    "kql_ipv4" ->
+      """WITH base AS (
+        |  SELECT * FROM (VALUES
+        |    ('10.0.0.1', '10.0.0.0/8'),
+        |    ('172.16.5.4', '172.16.0.0/12'),
+        |    ('172.32.0.1', '172.16.0.0/12'),
+        |    ('192.168.9.9', '192.168.0.0/16'),
+        |    ('192.169.0.1', '192.168.0.0/16'),
+        |    ('8.8.8.8', '8.8.8.0/24'),
+        |    ('255.255.255.255', '0.0.0.0/0'),
+        |    ('256.1.1.1', '10.0.0.0/8'),
+        |    ('not-an-ip', '10.0.0.0/8')) AS t(ip, cidr)),
+        |oct AS (SELECT ip, cidr, string_split(ip, '.') AS o FROM base),
+        |lng AS (
+        |  SELECT ip, cidr,
+        |    CASE WHEN len(o) = 4
+        |      AND TRY_CAST(o[1] AS BIGINT) BETWEEN 0 AND 255
+        |      AND TRY_CAST(o[2] AS BIGINT) BETWEEN 0 AND 255
+        |      AND TRY_CAST(o[3] AS BIGINT) BETWEEN 0 AND 255
+        |      AND TRY_CAST(o[4] AS BIGINT) BETWEEN 0 AND 255
+        |    THEN TRY_CAST(o[1] AS BIGINT) * 16777216 + TRY_CAST(o[2] AS BIGINT) * 65536
+        |       + TRY_CAST(o[3] AS BIGINT) * 256 + TRY_CAST(o[4] AS BIGINT)
+        |    ELSE NULL END AS ipl
+        |  FROM oct),
+        |cid AS (
+        |  SELECT ip, cidr, ipl,
+        |    string_split(CASE WHEN instr(cidr, '/') > 0
+        |      THEN substr(cidr, 1, instr(cidr, '/') - 1) ELSE cidr END, '.') AS co,
+        |    CASE WHEN instr(cidr, '/') > 0
+        |      THEN TRY_CAST(substr(cidr, instr(cidr, '/') + 1) AS INT) ELSE 32 END AS sfx
+        |  FROM lng),
+        |fin AS (
+        |  SELECT ip, ipl, sfx,
+        |    TRY_CAST(co[1] AS BIGINT) * 16777216 + TRY_CAST(co[2] AS BIGINT) * 65536
+        |      + TRY_CAST(co[3] AS BIGINT) * 256 + TRY_CAST(co[4] AS BIGINT) AS cl
+        |  FROM cid)
+        |SELECT ip, ipl,
+        |  (ipl >> 12) << 12 AS masked,
+        |  (ipl >> (32 - sfx)) = (cl >> (32 - sfx)) AS inr,
+        |  (ipl BETWEEN 167772160 AND 184549375)
+        |    OR (ipl BETWEEN 2886729728 AND 2887778303)
+        |    OR (ipl BETWEEN 3232235520 AND 3232301055) AS priv,
+        |  CAST(sign(ipl - 2886731012) AS INT) AS cmp,
+        |  sfx,
+        |  CASE WHEN ipl BETWEEN 0 AND 4294967295 THEN concat(
+        |    CAST((ipl >> 24) & 255 AS VARCHAR), '.', CAST((ipl >> 16) & 255 AS VARCHAR),
+        |    '.', CAST((ipl >> 8) & 255 AS VARCHAR), '.', CAST(ipl & 255 AS VARCHAR))
+        |  ELSE NULL END AS fmt
+        |FROM fin ORDER BY ip ASC""".stripMargin,
     "kql_new_activity" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id AS id,

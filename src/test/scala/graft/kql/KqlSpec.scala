@@ -1204,6 +1204,28 @@ class KqlSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(1) - 10.0 / 14.0) < 1e-12)
   }
 
+  test("parser: ipv4 tier — parse/mask/range/compare edge semantics") {
+    val reg = Map("T" -> Seq(Tuple1("ignored")).toDF("x"))
+    def one(q: String) = KqlParser.run("T | project v = " + q, reg).collect().head
+    assert(one("parse_ipv4('1.2.3.4')").getLong(0) == 16909060L)
+    assert(one("parse_ipv4('256.1.1.1')").isNullAt(0))     // octet out of range
+    assert(one("parse_ipv4('1.2.3')").isNullAt(0))         // three octets
+    assert(one("parse_ipv4('a.b.c.d')").isNullAt(0))       // non-numeric
+    assert(one("parse_ipv4_mask('10.1.2.3', 8)").getLong(0) == 10L * 16777216)
+    assert(one("format_ipv4(16909060)").getString(0) == "1.2.3.4")
+    assert(one("format_ipv4(4294967296)").isNullAt(0))     // > 32 bits: null, not wrap
+    assert(one("ipv4_is_in_range('10.200.0.1', '10.0.0.0/8')").getBoolean(0))
+    assert(!one("ipv4_is_in_range('11.0.0.1', '10.0.0.0/8')").getBoolean(0))
+    assert(one("ipv4_is_in_range('255.0.0.1', '0.0.0.0/0')").getBoolean(0)) // /0 is everything
+    assert(one("ipv4_is_in_range('10.0.0.1', '10.0.0.1')").getBoolean(0))   // plain IP = /32
+    assert(one("ipv4_is_private('172.31.255.255')").getBoolean(0))
+    assert(!one("ipv4_is_private('172.32.0.0')").getBoolean(0)) // first past the /12
+    assert(one("ipv4_compare('1.2.3.5', '1.2.3.4')").getInt(0) == 1)
+    assert(one("ipv4_compare('1.2.3.5', '1.2.3.4', 24)").getInt(0) == 0) // equal at /24
+    assert(one("ipv4_netmask_suffix('10.0.0.0/8')").getInt(0) == 8)
+    assert(one("ipv4_netmask_suffix('10.0.0.1')").getInt(0) == 32)
+  }
+
   test("parser: percentilew weights rows by frequency") {
     // values 1..4 with weight 1 except value 4 weighted 7: the weighted
     // 50th percentile lands on 4 (unweighted it would be 2.5).
