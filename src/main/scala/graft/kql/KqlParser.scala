@@ -3309,7 +3309,9 @@ object KqlParser {
               "array_index_of", "array_sum",
               "parse_ipv4", "parse_ipv4_mask", "format_ipv4",
               "ipv4_is_private", "ipv4_is_in_range", "ipv4_compare",
-              "ipv4_netmask_suffix")(w.toLowerCase) ||
+              "ipv4_netmask_suffix",
+              "parse_url", "parse_urlquery", "parse_path",
+              "parse_version")(w.toLowerCase) ||
               w.toLowerCase.startsWith("series_")) && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1
@@ -3551,6 +3553,63 @@ object KqlParser {
               case "ipv4_netmask_suffix" =>
                 require(args.length == 1, "ipv4_netmask_suffix expects (range)")
                 out.append(cidrPrefix(args(0)))
+              case "parse_url" =>
+                // ADX parse_url → bag of URL components. Emitted as a
+                // typed struct over Spark's codegen'd parse_url parts;
+                // deviations (documented): the query-parameter field is
+                // named QueryParameters (no space — ADX uses "Query
+                // Parameters", unreachable through this parser's
+                // identifier paths), and absent components are '' (as
+                // in ADX) via coalesce. Port comes from the authority
+                // (Spark's parse_url has no PORT part).
+                require(args.length == 1, "parse_url expects (url)")
+                val u = args(0)
+                def part(p: String) = s"coalesce(parse_url($u, '$p'), '')"
+                out.append("named_struct(" +
+                  s"'Scheme', ${part("PROTOCOL")}, " +
+                  s"'Host', ${part("HOST")}, " +
+                  s"'Port', regexp_extract(${part("AUTHORITY")}, ':([0-9]+)" + "$', 1), " +
+                  s"'Path', ${part("PATH")}, " +
+                  s"'Username', regexp_extract(${part("USERINFO")}, '^([^:]*)', 1), " +
+                  s"'Password', regexp_extract(${part("USERINFO")}, ':(.*)" + "$', 1), " +
+                  s"'QueryParameters', str_to_map(${part("QUERY")}, '&', '='), " +
+                  s"'Fragment', ${part("REF")})")
+              case "parse_urlquery" =>
+                // ADX wraps the result in {"Query Parameters": {...}};
+                // this engine returns the parameter MAP directly
+                // (documented deviation — same reachability reason as
+                // parse_url's field naming).
+                require(args.length == 1, "parse_urlquery expects (query)")
+                out.append(s"str_to_map(coalesce(${args(0)}, ''), '&', '=')")
+              case "parse_path" =>
+                // ADX parse_path → path-component bag. Subset
+                // implemented: RootPath ('/' or drive letter),
+                // DirectoryPath (no trailing separator), DirectoryName,
+                // Filename, Extension (no dot); both '/' and '\'
+                // separate. AlternateDataStreamName and Scheme are not
+                // emitted (documented deviation).
+                require(args.length == 1, "parse_path expects (path)")
+                val p = args(0)
+                val dirPath = s"regexp_extract($p, " + """'^(.*)[/\\\\][^/\\\\]*$'""" + ", 1)"
+                out.append("named_struct(" +
+                  s"'RootPath', regexp_extract($p, " + """'^([A-Za-z]:|/)'""" + ", 1), " +
+                  s"'DirectoryPath', $dirPath, " +
+                  s"'DirectoryName', regexp_extract($dirPath, " + """'([^/\\\\]*)$'""" + ", 1), " +
+                  s"'Filename', regexp_extract($p, " + """'([^/\\\\]*)$'""" + ", 1), " +
+                  s"'Extension', regexp_extract($p, " + """'\\.([^./\\\\]*)$'""" + ", 1))")
+              case "parse_version" =>
+                // ADX parse_version: 1-4 dot-separated numeric parts,
+                // each ≤ 8 digits, packed base-10^8 into a DECIMAL so
+                // versions order correctly; anything else → null.
+                require(args.length == 1, "parse_version expects (version)")
+                val v = args(0)
+                out.append(s"(CASE WHEN regexp_like($v, " +
+                  """'^[0-9]{1,8}(\\.[0-9]{1,8}){0,3}$')""" +
+                  s" THEN aggregate(transform(sequence(1, 4), " +
+                  s"i -> coalesce(try_cast(try_element_at(split($v, " + """'\\.'""" + "), i) AS BIGINT), CAST(0 AS BIGINT))), " +
+                  s"CAST(0 AS DECIMAL(38,0)), " +
+                  s"(acc, x) -> CAST(acc * 100000000 + x AS DECIMAL(38,0))) " +
+                  s"ELSE CAST(NULL AS DECIMAL(38,0)) END)")
               case "countof" =>
                 // ADX counts OVERLAPPING occurrences (countof('aaa',
                 // 'aa') = 2), so a delete-replace length delta is not

@@ -602,6 +602,36 @@ object ReferenceQueries {
       || project ip, ipl, masked, inr, priv, cmp, sfx, fmt
       || sort by ip asc""".stripMargin
 
+  /** r10 URL tier — parse_url component struct, parse_urlquery map,
+    * url_encode/url_decode (Java form-encoding semantics — uppercase
+    * hex, space→'+' — documented at the parser). */
+  val kqlParseUrlText: String =
+    """let U = datatable(url:string)[
+      |  'https://user:pw@example.com:8080/a/b/file.txt?x=1&y=%20z#frag',
+      |  'http://example.org/index.html?x=hello+world',
+      |  'https://h.io/p/q?x=v&k=1#s'
+      |];
+      |U
+      || extend p = parse_url(url)
+      || extend qp = parse_urlquery(extract('\\?([^#]*)', 1, url))
+      || project url, scheme = p.Scheme, host = p.Host, port = p.Port, path = p.Path, user = p.Username, pw = p.Password, frag = p.Fragment, qx = p.QueryParameters['x'], qx2 = qp['x'], decy = url_decode(p.QueryParameters['y']), enc = url_encode(p.Path)
+      || sort by url asc""".stripMargin
+
+  /** r10 path/version tier — parse_path component struct over mixed
+    * '/'- and '\'-separated paths, parse_version base-10^8 packing
+    * (5-part and out-of-range inputs null). */
+  val kqlParsePathVersionText: String =
+    """let P = datatable(p:string, v:string)[
+      |  '/a/b/c/file.tar.gz', '1.2.3.4',
+      |  'C:\dir\sub\name.txt', '10.0',
+      |  'noslash', '1.2.3.4.5',
+      |  '/root/x.y/z', '0.0.0.0'
+      |];
+      |P
+      || extend pp = parse_path(p)
+      || project p, root = pp.RootPath, dir = pp.DirectoryPath, dname = pp.DirectoryName, fname = pp.Filename, ext = pp.Extension, ver = parse_version(v)
+      || sort by p asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -718,6 +748,8 @@ object ReferenceQueries {
     "kql_percentilew" -> kqlText(kqlPercentilewText) _,
     "kql_series_similarity" -> kqlText(kqlSeriesSimilarityText) _,
     "kql_ipv4" -> kqlText(kqlIpv4Text) _,
+    "kql_parse_url" -> kqlText(kqlParseUrlText) _,
+    "kql_parse_path_version" -> kqlText(kqlParsePathVersionText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
     "kql_datetime_parts" -> kqlText(kqlDatetimePartsText) _,
     "kql_string_funcs" -> kqlText(kqlStringFuncsText) _,
@@ -941,6 +973,60 @@ object ReferenceQueries {
         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r,
         |  round(sqrt(sxx), 6) AS mag
         |FROM p ORDER BY et_a, et_b""".stripMargin,
+    "kql_parse_url" ->
+      """WITH u AS (
+        |  SELECT * FROM (VALUES
+        |    ('https://user:pw@example.com:8080/a/b/file.txt?x=1&y=%20z#frag'),
+        |    ('http://example.org/index.html?x=hello+world'),
+        |    ('https://h.io/p/q?x=v&k=1#s')) AS t(url)),
+        |c AS (
+        |  SELECT url,
+        |    regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+        |    regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS auth,
+        |    regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |    regexp_extract(url, '#(.*)$', 1) AS frag
+        |  FROM u),
+        |d AS (
+        |  SELECT *, regexp_extract(auth, '^([^@]*)@', 1) AS userinfo FROM c)
+        |SELECT url, scheme,
+        |  regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1) AS host,
+        |  regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        |  path,
+        |  regexp_extract(userinfo, '^([^:]*)', 1) AS "user",
+        |  regexp_extract(userinfo, ':(.*)$', 1) AS pw,
+        |  frag,
+        |  nullif(regexp_extract('&' || query, '&x=([^&]*)', 1), '') AS qx,
+        |  nullif(regexp_extract('&' || query, '&x=([^&]*)', 1), '') AS qx2,
+        |  replace(replace(nullif(regexp_extract('&' || query, '&y=([^&]*)', 1), ''),
+        |    '+', ' '), '%20', ' ') AS decy,
+        |  replace(path, '/', '%2F') AS enc
+        |FROM d ORDER BY url ASC""".stripMargin,
+    "kql_parse_path_version" ->
+      """WITH p AS (
+        |  SELECT * FROM (VALUES
+        |    ('/a/b/c/file.tar.gz', '1.2.3.4'),
+        |    ('C:\dir\sub\name.txt', '10.0'),
+        |    ('noslash', '1.2.3.4.5'),
+        |    ('/root/x.y/z', '0.0.0.0')) AS t(p, v)),
+        |d AS (
+        |  SELECT p, v,
+        |    regexp_extract(p, '^(.*)[/\\][^/\\]*$', 1) AS dir,
+        |    string_split(v, '.') AS vo
+        |  FROM p)
+        |SELECT p,
+        |  regexp_extract(p, '^([A-Za-z]:|/)', 1) AS root,
+        |  dir,
+        |  regexp_extract(dir, '([^/\\]*)$', 1) AS dname,
+        |  regexp_extract(p, '([^/\\]*)$', 1) AS fname,
+        |  regexp_extract(p, '\.([^./\\]*)$', 1) AS ext,
+        |  CASE WHEN regexp_matches(v, '^[0-9]{1,8}(\.[0-9]{1,8}){0,3}$') THEN
+        |    CAST(((COALESCE(TRY_CAST(vo[1] AS HUGEINT), 0) * 100000000
+        |      + COALESCE(TRY_CAST(vo[2] AS BIGINT), 0)) * 100000000
+        |      + COALESCE(TRY_CAST(vo[3] AS BIGINT), 0)) * 100000000
+        |      + COALESCE(TRY_CAST(vo[4] AS BIGINT), 0) AS DECIMAL(38,0))
+        |  ELSE NULL END AS ver
+        |FROM d ORDER BY p ASC""".stripMargin,
     "kql_ipv4" ->
       """WITH base AS (
         |  SELECT * FROM (VALUES

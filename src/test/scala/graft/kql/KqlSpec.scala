@@ -1226,6 +1226,30 @@ class KqlSpec extends SparkSpec {
     assert(one("ipv4_netmask_suffix('10.0.0.1')").getInt(0) == 32)
   }
 
+  test("parser: parse_url/parse_path/parse_version edge semantics") {
+    val reg = Map("T" -> Seq(Tuple1("ignored")).toDF("x"))
+    def one(q: String) = KqlParser.run("T | project v = " + q, reg).collect().head
+    // no port / no userinfo / no query / no fragment → '' fields
+    val r = KqlParser.run(
+      "T | extend p = parse_url('https://example.com/a') " +
+        "| project s = p.Scheme, h = p.Host, po = p.Port, u = p.Username, f = p.Fragment", reg)
+      .collect().head
+    assert(r.getString(0) == "https" && r.getString(1) == "example.com")
+    assert(r.getString(2) == "" && r.getString(3) == "" && r.getString(4) == "")
+    assert(one("parse_urlquery('a=1&b=2')['b']").getString(0) == "2")
+    // dotted dir component must not leak into the extension
+    val pp = KqlParser.run(
+      "T | extend p = parse_path('/root/x.y/z') " +
+        "| project e = p.Extension, f = p.Filename, d = p.DirectoryName", reg).collect().head
+    assert(pp.getString(0) == "" && pp.getString(1) == "z" && pp.getString(2) == "x.y")
+    // version ordering across part widths; 5 parts / 9 digits → null
+    assert(one("parse_version('1.2.3.4')").getDecimal(0)
+      .compareTo(new java.math.BigDecimal("1000000020000000300000004")) == 0)
+    assert(one("parse_version('0.10.0') > parse_version('0.9.9999')").getBoolean(0))
+    assert(one("parse_version('1.2.3.4.5')").isNullAt(0))
+    assert(one("parse_version('123456789')").isNullAt(0))
+  }
+
   test("parser: percentilew weights rows by frequency") {
     // values 1..4 with weight 1 except value 4 weighted 7: the weighted
     // 50th percentile lands on 4 (unweighted it would be 2.5).
