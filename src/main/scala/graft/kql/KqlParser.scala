@@ -609,6 +609,8 @@ object KqlParser {
             df = newActivityMetricsVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("rolling_percentile")) {
             df = rollingPercentileVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("active_users_count")) {
+            df = activeUsersCountVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.matches("(?i)narrow\\s*\\(\\s*\\)")) {
             // `evaluate narrow()` — ADX's transpose plugin: every value
             // column becomes a (Column, Value) row pair, values cast to
@@ -630,7 +632,7 @@ object KqlParser {
             "evaluate supports only the pivot, bag_unpack, autocluster, " +
               "diffpatterns, sliding_window_counts, activity_engagement, " +
               "activity_counts_metrics, new_activity_metrics, rolling_percentile, " +
-              s"funnel_sequence and narrow plugins: $body0")
+              s"active_users_count, funnel_sequence and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
             s"evaluate pivot expects pivot(col[, agg[, groupCols…]]): $body0")
@@ -2179,6 +2181,84 @@ object KqlParser {
     slidingBinFanout(df, idCol, tCol, startS, endS, lookS, binS)
       .groupBy(expr(s"(${startS}L + __k * ${binS}L) * 1000").as("bin_ms"))
       .agg(count(lit(1)).as("Count"), countDistinct(col("__swc_id")).as("Dcount"))
+  }
+
+  /** `datetime(...)` literal → epoch seconds (UTC; date-only means
+    * midnight) — the activity plugins' shared Start/End parser. */
+  private def dtLiteralEpoch(a: String, verb: String): Long = {
+    val DtRe = "(?is)^datetime\\s*\\((.*)\\)$".r
+    a match {
+      case DtRe(b0) =>
+        val b = b0.trim.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"").trim
+        val iso = b.stripSuffix("Z").replace(' ', 'T')
+        val full = if (iso.contains("T")) iso else iso + "T00:00:00"
+        java.time.LocalDateTime.parse(full).toEpochSecond(java.time.ZoneOffset.UTC)
+      case other => throw new IllegalArgumentException(
+        s"$verb start/end must be datetime(...) literals: $other")
+    }
+  }
+
+  /** `evaluate active_users_count(idCol, timeCol, Start, End,
+    * LookbackWindow, Period, ActivePeriodsCount, Bin)` — ADX's
+    * engaged-users plugin: for each bin b on [Start, End], the
+    * distinct-id count of users active in at least ActivePeriodsCount
+    * DISTINCT periods (bin(t, Period) granularity, epoch-anchored)
+    * within the trailing window (b − lookback, b].
+    *
+    * Shape (100 TB): one map-side-combined aggregate to distinct
+    * (id, period) with tmin/tmax, a BOUNDED bin fan-out (factor ≤
+    * lookback÷bin + period÷bin), then two keyed aggregates. The fan-out
+    * from [tmin, tmax] per (id, period) is exactly the union of the
+    * per-event bin ranges BECAUSE period ≤ lookback (enforced below):
+    * consecutive events of one (id, period) are < period ≤ lookback
+    * apart, so their length-lookback/bin bin intervals overlap and the
+    * union is the contiguous [klo(tmin), khi(tmax)] — no per-event
+    * explode of the raw corpus. Same documented deviations as
+    * sliding_window_counts: second-resolution timeline, epoch-millis
+    * `bin_ms` key, zero-user bins omitted. */
+  private def activeUsersCountVerb(df: DataFrame, body: String): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      "evaluate active_users_count expects (idCol, timeCol, start, end, " +
+        s"lookback, period, activePeriods, bin): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length == 8,
+      s"active_users_count takes exactly 8 arguments: $body")
+    val (idCol, tCol) = (args(0), args(1))
+    Seq(idCol, tCol).foreach(c => require(
+      c.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(c),
+      s"active_users_count column '$c' not found (have: ${df.columns.mkString(", ")})"))
+    val (startS, endS) = (dtLiteralEpoch(args(2), "active_users_count"),
+      dtLiteralEpoch(args(3), "active_users_count"))
+    val lookS = spanSecs(args(4), "active_users_count")
+    val periodS = spanSecs(args(5), "active_users_count")
+    val activeK = scala.util.Try(args(6).toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"active_users_count ActivePeriodsCount must be an integer literal: ${args(6)}"))
+    val binS = spanSecs(args(7), "active_users_count")
+    require(binS > 0 && activeK >= 1, s"bin must be positive, activePeriods >= 1: $body")
+    require(lookS >= periodS && lookS % binS == 0,
+      s"lookback must be >= period and a multiple of bin: ${args(4)} vs ${args(5)}/${args(7)}")
+    require(endS >= startS && (endS - startS) % binS == 0,
+      s"End - Start must be a non-negative multiple of bin: ${args(2)}..${args(3)}")
+    val kMax = (endS - startS) / binS
+    df.select(col(idCol).as("__auc_id"), unix_timestamp(col(tCol)).as("__t"))
+      .filter(col("__t") <= endS && col("__t") > startS - lookS)
+      .groupBy(col("__auc_id"), expr(s"__t DIV ${periodS}L").as("__p"))
+      .agg(min(col("__t")).as("__tmin"), max(col("__t")).as("__tmax"))
+      .withColumn("__klo",
+        expr(s"(greatest(__tmin, ${startS}L) - ${startS}L + ${binS}L - 1) DIV ${binS}L"))
+      .withColumn("__khi",
+        expr(s"least(${kMax}L, (__tmax + ${lookS}L - ${startS}L - 1) DIV ${binS}L)"))
+      .filter(col("__klo") <= col("__khi"))
+      .select(col("__auc_id"), col("__p"), explode(expr("sequence(__klo, __khi)")).as("__k"))
+      .groupBy(col("__k"), col("__auc_id"))
+      .agg(count(lit(1)).as("__np")) // rows are distinct (id, period, bin)
+      .filter(col("__np") >= activeK)
+      .groupBy(expr(s"(${startS}L + __k * ${binS}L) * 1000").as("bin_ms"))
+      .agg(countDistinct(col("__auc_id")).as("dcount"))
   }
 
   /** KQL timespan literal → seconds (1d, 2h, 30m, 90s). */

@@ -632,6 +632,13 @@ object ReferenceQueries {
       || project p, root = pp.RootPath, dir = pp.DirectoryPath, dname = pp.DirectoryName, fname = pp.Filename, ext = pp.Extension, ver = parse_version(v)
       || sort by p asc""".stripMargin
 
+  /** r10 `evaluate active_users_count` — engaged users per day: active
+    * on ≥3 distinct days within the trailing 3-day window. */
+  val kqlActiveUsersText: String =
+    """Events
+      || evaluate active_users_count(user_id, ts, datetime(2024-01-10), datetime(2024-01-20), 3d, 1d, 3, 1d)
+      || sort by bin_ms asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -748,6 +755,7 @@ object ReferenceQueries {
     "kql_percentilew" -> kqlText(kqlPercentilewText) _,
     "kql_series_similarity" -> kqlText(kqlSeriesSimilarityText) _,
     "kql_ipv4" -> kqlText(kqlIpv4Text) _,
+    "kql_active_users" -> kqlText(kqlActiveUsersText) _,
     "kql_parse_url" -> kqlText(kqlParseUrlText) _,
     "kql_parse_path_version" -> kqlText(kqlParsePathVersionText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
@@ -973,6 +981,19 @@ object ReferenceQueries {
         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r,
         |  round(sqrt(sxx), 6) AS mag
         |FROM p ORDER BY et_a, et_b""".stripMargin,
+    "kql_active_users" ->
+      """WITH ev AS (
+        |  SELECT user_id AS id, epoch_ns(ts) // 1000000000 AS t FROM events),
+        |bins AS (SELECT unnest(range(0, 11)) AS k),
+        |w AS (
+        |  SELECT b.k, e.id, COUNT(DISTINCT e.t // 86400) AS np
+        |  FROM bins b JOIN ev e
+        |    ON e.t <= (1704844800 + b.k * 86400)
+        |   AND e.t > (1704844800 + b.k * 86400) - 259200
+        |  GROUP BY 1, 2)
+        |SELECT (1704844800 + k * 86400) * 1000 AS bin_ms,
+        |  CAST(COUNT(DISTINCT id) AS BIGINT) AS dcount
+        |FROM w WHERE np >= 3 GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "kql_parse_url" ->
       """WITH u AS (
         |  SELECT * FROM (VALUES

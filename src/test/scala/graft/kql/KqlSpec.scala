@@ -1250,6 +1250,31 @@ class KqlSpec extends SparkSpec {
     assert(one("parse_version('123456789')").isNullAt(0))
   }
 
+  test("parser: evaluate active_users_count — distinct-period threshold per bin") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int = 0) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // u1: days 1,2,3 → 3 distinct periods in any 3d window covering them.
+    // u2: days 1,1,1 (three events, ONE period) → never qualifies at k=2.
+    // u3: days 2,4 → 2 distinct periods only in windows covering both.
+    val reg = Map("E" -> Seq(
+      (1L, ts(1, 6)), (1L, ts(2, 6)), (1L, ts(3, 6)),
+      (2L, ts(1, 1)), (2L, ts(1, 12)), (2L, ts(1, 23)),
+      (3L, ts(2, 6)), (3L, ts(4, 6))).toDF("uid", "t"))
+    val out = KqlParser.run(
+      "E | evaluate active_users_count(uid, t, datetime(2024-01-02), datetime(2024-01-06), 3d, 1d, 2, 1d)" +
+        " | sort by bin_ms asc", reg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def binMs(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00").getTime
+    // bin Jan-2 00:00 window (Dec-30, Jan-2]: only day-1 events → nobody
+    assert(!out.contains(binMs(2)))
+    // Jan-3 window (Dec-31, Jan-3]: u1 has days 1,2 → qualifies; u2 one period; u3 one
+    assert(out(binMs(3)) == 1)
+    // Jan-5 window (Jan-2, Jan-5]: u1 days 2,3; u3 days 2,4 → both qualify
+    assert(out(binMs(5)) == 2)
+    // Jan-6 window (Jan-3, Jan-6]: u3 day 4 only; u1 day 3 only → nobody
+    assert(!out.contains(binMs(6)))
+  }
+
   test("parser: percentilew weights rows by frequency") {
     // values 1..4 with weight 1 except value 4 weighted 7: the weighted
     // 50th percentile lands on 4 (unweighted it would be 2.5).
