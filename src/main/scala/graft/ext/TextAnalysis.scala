@@ -772,6 +772,55 @@ object TextAnalysis {
   def trainSplit(spark: SparkSession, sfDir: String): DataFrame =
     trainSplitOn(Tables.documents(spark, sfDir))
 
+  /** Deterministic global shuffle order for training: every doc gets a
+    * pseudo-random SHARD (md5-derived — no RNG state to coordinate,
+    * restart-safe, engine-independent like [[trainSplitOn]]) and a
+    * position within its shard. The training loader reads shards in
+    * index order, each shard internally hash-ordered — an epoch's
+    * order is fully determined by (corpus, seed). 100 TB shape: the
+    * only non-map-side step is a row_number window PARTITIONED by
+    * shard (corpus/nShards rows each, nShards scales with the
+    * cluster); no global sort, no single-partition window. */
+  def shuffleOrderOn(docs: DataFrame, nShards: Int = 64,
+                     seed: String = "shuf1"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val h = s"cast(conv(substr(md5(concat(cast(doc_id as string), ':$seed')), 1, 15), 16, 10) as bigint)"
+    docs
+      .selectExpr("doc_id", s"$h as __h", s"$h % $nShards as shard")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  def shuffleOrder(spark: SparkSession, sfDir: String): DataFrame =
+    shuffleOrderOn(Tables.documents(spark, sfDir))
+
+  /** Length-bucket batching audit: docs bucketed by power-of-two token
+    * count (the bucketed-batching strategy that replaces pad-to-max),
+    * reporting per bucket the doc/token totals and the padding waste of
+    * padding every doc to its bucket's upper edge — vs the global
+    * pad-to-max waste the bucketing avoids. Integer-exact throughout
+    * (CASE edges, not float log2 — the boundary-tie lesson); one
+    * map-side CASE + one aggregate. */
+  def lengthBucketsOn(docs: DataFrame): DataFrame = {
+    val edges = Seq(16, 32, 64, 128, 256, 512)
+    val nt = s"cast($nTokens as bigint)"
+    val hi = edges.map(e => s"WHEN $nt <= $e THEN ${e}L").mkString(
+      "CASE ", " ", " ELSE cast(null as bigint) END") // corpus docs cap at 512 tokens
+    docs
+      .selectExpr(s"$nt as n_tokens", s"$hi as bucket_hi")
+      .groupBy(col("bucket_hi"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("bucket_hi") - col("n_tokens")).as("pad_waste"))
+      .withColumn("pad_pct_micro",
+        expr("pad_waste * 100000000L DIV (n_docs * bucket_hi)"))
+  }
+
+  def lengthBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    lengthBucketsOn(Tables.documents(spark, sfDir))
+
   /** Shared CTE prefix for the BPE oracles: the k-step training loop
     * UNROLLED (b_k = step-k argmax via scalar subqueries, s_k = the
     * post-merge histogram sequences). */
@@ -846,6 +895,8 @@ object TextAnalysis {
     "text_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
     "text_bpe_encode" -> ((s: SparkSession, d: String) => bpeEncode(s, d)),
     "text_train_split" -> ((s: SparkSession, d: String) => trainSplit(s, d)),
+    "text_shuffle_order" -> shuffleOrder _,
+    "text_length_buckets" -> lengthBuckets _,
     "text_dsir" -> dsirWeights _,
     "text_dsir_corpus" -> dsirCorpus _,
     "text_rule_filter" -> ruleFilteredCorpus _,
@@ -975,6 +1026,29 @@ object TextAnalysis {
         |  CAST(SUM(n_chars) AS BIGINT) AS chars,
         |  CAST(SUM(nt) AS BIGINT) AS tokens
         |FROM a GROUP BY split, lang""".stripMargin,
+    "text_shuffle_order" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':shuf1'), 1, 15)) AS BIGINT) AS hh
+        |  FROM documents)
+        |SELECT doc_id, hh % 64 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hh % 64 ORDER BY hh, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
+    "text_length_buckets" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |b AS (
+        |  SELECT nt,
+        |    CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32 WHEN nt <= 64 THEN 64
+        |         WHEN nt <= 128 THEN 128 WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+        |    END AS bucket_hi
+        |  FROM t)
+        |SELECT CAST(bucket_hi AS BIGINT) AS bucket_hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS tokens,
+        |  CAST(SUM(bucket_hi - nt) AS BIGINT) AS pad_waste,
+        |  CAST(SUM(bucket_hi - nt) * 100000000 // (COUNT(*) * bucket_hi) AS BIGINT) AS pad_pct_micro
+        |FROM b GROUP BY bucket_hi""".stripMargin,
     "text_bpe_merge" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),

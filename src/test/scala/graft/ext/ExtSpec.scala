@@ -170,6 +170,34 @@ class ExtSpec extends SparkSpec {
     assert(TextAnalysis.langIdOn(d).head().getAs[String]("lang_pred") == "en")
   }
 
+  test("shuffle order: a seeded permutation — every doc once, contiguous per-shard positions") {
+    val d = docs((0L until 200L).map(i => (i, s"doc number $i", "en")): _*)
+    val o = TextAnalysis.shuffleOrderOn(d, nShards = 8).collect()
+    assert(o.length == 200 && o.map(_.getLong(0)).toSet.size == 200)
+    o.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic: same seed reproduces the exact order; a different
+    // seed permutes differently
+    val o2 = TextAnalysis.shuffleOrderOn(d, nShards = 8).collect()
+    assert(o.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      o2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    val o3 = TextAnalysis.shuffleOrderOn(d, nShards = 8, seed = "other").collect()
+    assert(o.map(r => (r.getLong(0), r.getLong(1))).toSet !=
+      o3.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("length buckets: boundary token counts land on the closed upper edge") {
+    // 16 tokens → bucket 16 (closed); 17 → bucket 32
+    val d = docs(
+      (0L, Seq.fill(16)("w").mkString(" "), "en"),
+      (1L, Seq.fill(17)("w").mkString(" "), "en"))
+    val b = TextAnalysis.lengthBucketsOn(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(b(16L) == ((1L, 0L)))   // exactly full: zero padding
+    assert(b(32L) == ((1L, 15L)))  // 17 padded to 32
+  }
+
   test("image near-dup: planted duplicates pair at hamming 0, near-dups at small hamming") {
     def png(edit: Boolean, seed: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
