@@ -56,6 +56,14 @@ object Multimodal {
       * real codec decodes + resamples; the stub derives the grid from
       * the payload bytes deterministically. */
     def grayGrid(kind: String, bytes: Array[Byte], w: Int, h: Int): Array[Int]
+
+    /** n pseudo-PCM samples (0..255) for AUDIO payloads — a real codec
+      * decodes the compressed stream and resamples; the default derives
+      * sample i from payload byte (i·31 + 7) mod len, the same
+      * byte-spread convention as [[StubDecoder.grayGrid]], so the
+      * DuckDB oracle replays every sample from the md5 hex. */
+    def pcmSamples(kind: String, bytes: Array[Byte], n: Int): Array[Int] =
+      Array.tabulate(n)(i => bytes((i * 31 + 7) % bytes.length) & 0xFF)
   }
 
   /** STUB codec — no real image/audio libs in this environment. Reads
@@ -315,6 +323,50 @@ object Multimodal {
   def imageQuality(spark: SparkSession, sfDir: String): DataFrame =
     imageQualityOn(imageTable(spark, sfDir))
 
+  /** One fixed-duration audio chunk with its mean-sample energy — the
+    * VAD/segmentation work unit of a speech pipeline. */
+  case class AudioChunk(media_id: Long, chunk_idx: Int, start_ms: Int,
+                        end_ms: Int, energy_milli: Long, is_silence: Boolean)
+
+  /** Audio chunking + energy (the speech-pipeline front end: segment →
+    * feature → silence-filter, all BEFORE any expensive ASR): each
+    * audio payload decodes through the seam once, fans out to
+    * ceil(duration/chunk) fixed-length chunks, and each chunk scores
+    * the mean of its pseudo-PCM window (×1000, integer-floored — exact
+    * on both engines). is_silence flags mean sample < 100. 100 TB
+    * shape: one mapPartitions pass over the audio slice of the blob
+    * scan, fan-out bounded by max-duration÷chunk, no shuffle at all —
+    * downstream stages filter on is_silence relationally. */
+  def audioChunksOn(media: DataFrame, decoder: MediaDecoder = StubDecoder,
+                    chunkMs: Int = 30000, samplesPerChunk: Int = 16): DataFrame = {
+    require(chunkMs > 0 && samplesPerChunk > 0,
+      s"chunkMs/samplesPerChunk must be positive: $chunkMs/$samplesPerChunk")
+    val input = media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])](
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+    input.mapPartitions { it =>
+      it.flatMap { case (id, kind, bytes) =>
+        val durMs = decoder.decode(kind, bytes)._4
+        val nChunks = (durMs + chunkMs - 1) / chunkMs
+        if (nChunks <= 0) Iterator.empty
+        else {
+          val pcm = decoder.pcmSamples(kind, bytes, nChunks * samplesPerChunk)
+          (0 until nChunks).iterator.map { c =>
+            val s = pcm.slice(c * samplesPerChunk, (c + 1) * samplesPerChunk)
+              .foldLeft(0L)(_ + _)
+            val e = s * 1000 / samplesPerChunk
+            AudioChunk(id, c, c * chunkMs, math.min((c + 1) * chunkMs, durMs),
+              e, e < 100000)
+          }
+        }
+      }
+    }(Encoders.product[AudioChunk]).toDF()
+  }
+
+  def audioChunks(spark: SparkSession, sfDir: String): DataFrame =
+    audioChunksOn(mediaTable(spark, sfDir))
+
   /** Typed-metadata analytics: aggregate by a nested struct field
     * (meta.lang) without touching the binary payload — the struct
     * projection prunes to the two metadata columns at the scan. */
@@ -333,6 +385,7 @@ object Multimodal {
     "mm_phash_dupes" -> imageNearDups _,
     "mm_frame_phash_dupes" -> videoFrameNearDups _,
     "mm_image_quality" -> imageQuality _,
+    "mm_audio_chunks" -> audioChunks _,
   )
 
   /** Shared oracle CTE prefix: [[imageTable]] payload bytes replayed
@@ -481,6 +534,30 @@ object Multimodal {
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(COUNT(*) AS BIGINT) AS n, AVG(n_chars) AS avg_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "mm_audio_chunks" ->
+      s"""WITH au AS (
+         |  SELECT doc_id AS media_id, md5(text) || md5(text || 'x') AS hx,
+         |    ${mdByte(5)} * 1000 AS dur_ms
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |ch AS (
+         |  SELECT media_id, dur_ms, hx,
+         |    CAST(unnest(range(0, (dur_ms + 29999) // 30000)) AS INTEGER) AS c
+         |  FROM au),
+         |sm AS (
+         |  SELECT media_id, dur_ms, c, hx,
+         |    CAST(unnest(range(0, 16)) AS INTEGER) AS i
+         |  FROM ch),
+         |en AS (
+         |  SELECT media_id, dur_ms, c,
+         |    SUM(CAST(concat('0x',
+         |      substr(hx, (((c * 16 + i) * 31 + 7) % 32) * 2 + 1, 2)) AS INTEGER)) AS s
+         |  FROM sm GROUP BY 1, 2, 3)
+         |SELECT media_id, c AS chunk_idx,
+         |  CAST(c * 30000 AS INTEGER) AS start_ms,
+         |  CAST(LEAST((c + 1) * 30000, dur_ms) AS INTEGER) AS end_ms,
+         |  CAST(s * 1000 // 16 AS BIGINT) AS energy_milli,
+         |  s * 1000 // 16 < 100000 AS is_silence
+         |FROM en""".stripMargin,
     "mm_frame_samples" ->
       s"""SELECT media_id, CAST(unnest(range(0, fend + 1, step)) AS INTEGER) AS frame_idx
          |FROM (

@@ -377,6 +377,26 @@ class ExtSpec extends SparkSpec {
       2L, "audio", 0 * 256 + 1, 2 * 256 + 3, 4, 5000, 32))
   }
 
+  test("audio chunks: duration-bounded fan-out, exact energy, silence flag, zero-length dropped") {
+    import spark.implicits._
+    def payload(v: Int) = Array.fill(32)(v.toByte)
+    val media = Seq(
+      (1L, "audio", payload(50)),   // 50 s → 2 chunks, energy 50 000 (silent)
+      (2L, "audio", payload(200)),  // 200 s → 7 chunks, energy 200 000 (voiced)
+      (3L, "audio", payload(0)),    // 0 ms → no chunks
+      (4L, "video", payload(200))   // non-audio: excluded
+    ).toDF("media_id", "kind", "content")
+    val out = Multimodal.audioChunksOn(media).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    assert(!out.contains(3L) && !out.contains(4L))
+    assert(out(1L).length == 2 && out(2L).length == 7)
+    assert(out(1L).forall(r => r.getLong(4) == 50000L && r.getBoolean(5)))
+    assert(out(2L).forall(r => r.getLong(4) == 200000L && !r.getBoolean(5)))
+    // last chunk clamps to the true duration
+    assert(out(1L).last.getInt(3) == 50000 && out(1L).last.getInt(2) == 30000)
+    assert(out(2L).last.getInt(3) == 200000)
+  }
+
   test("multimodal: stubbed decode plumbing is deterministic and typed") {
     val media = Multimodal.mediaTable(spark, sfDir)
     assert(media.schema("content").dataType.typeName == "binary")
