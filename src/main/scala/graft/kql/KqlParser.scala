@@ -2932,6 +2932,23 @@ object KqlParser {
             (expr(s"bit_and(${rw(scalar(args(0), lets))})"), defName(args(0)))
           case "binary_all_xor" =>
             (expr(s"bit_xor(${rw(scalar(args(0), lets))})"), defName(args(0)))
+          case "hll" =>
+            // ADX hll(col[, accuracy]): a serialized HLL sketch for
+            // later dcount_hll/hll_merge. Spark's DataSketches
+            // hll_sketch_agg is the same construct; the optional second
+            // argument is taken DIRECTLY as lgConfigK (4..21) rather
+            // than ADX's 1..4 accuracy enum — documented deviation
+            // (the enum's internal mapping is not public).
+            require(args.length == 1 || args.length == 2,
+              "hll expects (col[, lgConfigK])")
+            val agg0 =
+              if (args.length == 2)
+                expr(s"hll_sketch_agg(${rw(scalar(args(0), lets))}, ${args(1)})")
+              else expr(s"hll_sketch_agg(${rw(scalar(args(0), lets))})")
+            (agg0, defName(args(0)))
+          case "hll_merge" =>
+            // ADX hll_merge(sketchCol): union of per-row sketches.
+            (expr(s"hll_union_agg(${rw(scalar(args(0), lets))})"), defName(args(0)))
           case "stdev"    => (stddev_samp(arg(0)), defName(args(0)))
           case "variance" => (var_samp(arg(0)), defName(args(0)))
           case "sumif"    => (sum(when(arg(1), arg(0))), defName(args(0)))
@@ -3972,6 +3989,9 @@ object KqlParser {
               case "week_of_year" => Some("weekofyear")
               case "tohex" => Some("hex")
               case "bitset_count_ones" => Some("bit_count")
+              // HLL sketch estimate (pairs with the hll()/hll_merge()
+              // aggregates — Spark DataSketches)
+              case "dcount_hll" => Some("hll_sketch_estimate")
               case _ => None
             }
             out.append(repl.getOrElse(w)); i += w.length

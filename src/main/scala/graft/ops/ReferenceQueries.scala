@@ -639,6 +639,20 @@ object ReferenceQueries {
       || evaluate active_users_count(user_id, ts, datetime(2024-01-10), datetime(2024-01-20), 3d, 1d, 3, 1d)
       || sort by bin_ms asc""".stripMargin
 
+  /** r10 HLL sketch tier — hll()/hll_merge() aggregates + dcount_hll()
+    * estimate over Spark's DataSketches functions. Deliberately
+    * REGISTERED WITHOUT an oracle (rows-only check, like
+    * `sketch_approx`): the estimate is deterministic but DuckDB has no
+    * DataSketches HLL to mirror; accuracy and merge-vs-direct equality
+    * are pinned in `KqlSpec`/`SketchesSpec` instead. */
+  val kqlHllText: String =
+    """let H = Events | summarize h = hll(user_id, 12) by event_type;
+      |H
+      || extend est = dcount_hll(h)
+      || project event_type, est
+      || union (H | summarize m = hll_merge(h) | project event_type = 'ALL', est = dcount_hll(m))
+      || sort by event_type asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -756,6 +770,7 @@ object ReferenceQueries {
     "kql_series_similarity" -> kqlText(kqlSeriesSimilarityText) _,
     "kql_ipv4" -> kqlText(kqlIpv4Text) _,
     "kql_active_users" -> kqlText(kqlActiveUsersText) _,
+    "kql_hll_dcount" -> kqlText(kqlHllText) _,
     "kql_parse_url" -> kqlText(kqlParseUrlText) _,
     "kql_parse_path_version" -> kqlText(kqlParsePathVersionText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,

@@ -1275,6 +1275,23 @@ class KqlSpec extends SparkSpec {
     assert(!out.contains(binMs(6)))
   }
 
+  test("parser: hll/hll_merge/dcount_hll — estimate accuracy and merge-vs-direct equality") {
+    val reg = Map("T" -> (0 until 5000).map(i => (i.toLong, s"g${i % 4}")).toDF("v", "g"))
+    // per-group estimate within 5% of truth (1250 distinct each)
+    val per = KqlParser.run(
+      "T | summarize h = hll(v, 12) by g | extend est = dcount_hll(h) | project g, est", reg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.size == 4 && per.values.forall(e => math.abs(e - 1250) <= 63))
+    // merging the per-group sketches == sketching the whole column directly
+    val merged = KqlParser.run(
+      "T | summarize h = hll(v, 12) by g | summarize m = hll_merge(h) " +
+        "| project est = dcount_hll(m)", reg).collect().head.getLong(0)
+    val direct = KqlParser.run(
+      "T | summarize h = hll(v, 12) | project est = dcount_hll(h)", reg)
+      .collect().head.getLong(0)
+    assert(merged == direct && math.abs(merged - 5000) <= 250)
+  }
+
   test("parser: percentilew weights rows by frequency") {
     // values 1..4 with weight 1 except value 4 weighted 7: the weighted
     // 50th percentile lands on 4 (unweighted it would be 2.5).
