@@ -611,6 +611,8 @@ object KqlParser {
             df = rollingPercentileVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("active_users_count")) {
             df = activeUsersCountVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("sequence_detect")) {
+            df = sequenceDetectVerb(df, body0, scoped); serialOrder = None
           } else if (body0.toLowerCase.matches("(?i)narrow\\s*\\(\\s*\\)")) {
             // `evaluate narrow()` — ADX's transpose plugin: every value
             // column becomes a (Column, Value) row pair, values cast to
@@ -632,7 +634,7 @@ object KqlParser {
             "evaluate supports only the pivot, bag_unpack, autocluster, " +
               "diffpatterns, sliding_window_counts, activity_engagement, " +
               "activity_counts_metrics, new_activity_metrics, rolling_percentile, " +
-              s"active_users_count, funnel_sequence and narrow plugins: $body0")
+              s"active_users_count, sequence_detect, funnel_sequence and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
             s"evaluate pivot expects pivot(col[, agg[, groupCols…]]): $body0")
@@ -2259,6 +2261,67 @@ object KqlParser {
       .filter(col("__np") >= activeK)
       .groupBy(expr(s"(${startS}L + __k * ${binS}L) * 1000").as("bin_ms"))
       .agg(countDistinct(col("__auc_id")).as("dcount"))
+  }
+
+  /** `evaluate sequence_detect(timeCol, MaxStepWindow, MaxSpanWindow,
+    * expr1, ..., exprK, idCol)` — ADX's ordered-sequence plugin: ids
+    * whose events satisfy expr1 → expr2 → ... in time order, adjacent
+    * steps at most MaxStepWindow apart, whole chain within
+    * MaxSpanWindow. Emits one row per completed id: the id plus each
+    * step's match time as epoch-millis `<name>_ms`.
+    *
+    * DEVIATIONS (documented): single FIRST-ANCHOR GREEDY chain per id —
+    * t₁ is the id's earliest expr1 event and each tᵢ the earliest
+    * match after tᵢ₋₁; ADX can emit multiple sequences and backtrack to
+    * later anchors. Deterministic and oracle-replayable; a user wanting
+    * ADX's exhaustive form composes `scan` (which owns general
+    * stateful matching). Second-resolution timeline like the other
+    * plugins.
+    *
+    * Shape (100 TB): step k is one filtered id-keyed aggregate joined
+    * to the (id-unique, already-shrunk) chain frame — K−1 small
+    * co-partitioned joins, no per-id window over the raw corpus. */
+  private def sequenceDetectVerb(df: DataFrame, body: String,
+                                 lets: Map[String, String]): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      "evaluate sequence_detect expects (timeCol, stepWindow, spanWindow, " +
+        s"expr1, ..., idCol): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length >= 6,
+      s"sequence_detect needs timeCol, two windows, >= 2 step exprs, idCol: $body")
+    val tCol = args(0)
+    val idCol = args.last
+    Seq(tCol, idCol).foreach(c => require(
+      c.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(c),
+      s"sequence_detect column '$c' not found (have: ${df.columns.mkString(", ")})"))
+    val stepW = spanSecs(args(1), "sequence_detect")
+    val spanW = spanSecs(args(2), "sequence_detect")
+    require(spanW >= stepW, s"span window must be >= step window: ${args(2)} vs ${args(1)}")
+    val steps = args.drop(3).dropRight(1)
+    val names = steps.zipWithIndex.map { case (e, i) =>
+      if (e.matches("[A-Za-z_][A-Za-z0-9_]*")) e else s"step_${i + 1}" }
+    require(names.distinct.length == names.length,
+      s"sequence_detect step names collide — alias the step expressions: ${names.mkString(", ")}")
+    val base = df.select(
+      col(idCol).as("__sd_id") +: unix_timestamp(col(tCol)).as("__t") +:
+        steps.zipWithIndex.map { case (e, i) =>
+          expr(scalar(e, lets)).cast("boolean").as(s"__e$i") }: _*)
+    var chain = base.filter(col("__e0")).groupBy(col("__sd_id"))
+      .agg(min(col("__t")).as("__t0"))
+    for (i <- 1 until steps.length) {
+      chain = base.filter(col(s"__e$i")).join(chain, "__sd_id")
+        .filter(col("__t") > col(s"__t${i - 1}") &&
+          col("__t") <= col(s"__t${i - 1}") + stepW)
+        .groupBy(col("__sd_id") +: (0 until i).map(j => col(s"__t$j")): _*)
+        .agg(min(col("__t")).as(s"__t$i"))
+    }
+    chain
+      .filter(col(s"__t${steps.length - 1}") - col("__t0") <= spanW)
+      .select(col("__sd_id").as(idCol) +:
+        names.zipWithIndex.map { case (n, i) =>
+          (col(s"__t$i") * 1000).as(s"${n}_ms") }: _*)
   }
 
   /** KQL timespan literal → seconds (1d, 2h, 30m, 90s). */

@@ -653,6 +653,15 @@ object ReferenceQueries {
       || union (H | summarize m = hll_merge(h) | project event_type = 'ALL', est = dcount_hll(m))
       || sort by event_type asc""".stripMargin
 
+  /** r10 `evaluate sequence_detect` — users completing view → click →
+    * purchase with ≤7d between steps and ≤14d end-to-end (first-anchor
+    * greedy deviation documented at the verb). */
+  val kqlSequenceDetectText: String =
+    """Events
+      || extend is_view = event_type == 'view', is_click = event_type == 'click', is_buy = event_type == 'purchase'
+      || evaluate sequence_detect(ts, 7d, 14d, is_view, is_click, is_buy, user_id)
+      || sort by user_id asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -771,6 +780,7 @@ object ReferenceQueries {
     "kql_ipv4" -> kqlText(kqlIpv4Text) _,
     "kql_active_users" -> kqlText(kqlActiveUsersText) _,
     "kql_hll_dcount" -> kqlText(kqlHllText) _,
+    "kql_sequence_detect" -> kqlText(kqlSequenceDetectText) _,
     "kql_parse_url" -> kqlText(kqlParseUrlText) _,
     "kql_parse_path_version" -> kqlText(kqlParsePathVersionText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
@@ -996,6 +1006,24 @@ object ReferenceQueries {
         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r,
         |  round(sqrt(sxx), 6) AS mag
         |FROM p ORDER BY et_a, et_b""".stripMargin,
+    "kql_sequence_detect" ->
+      """WITH ev AS (
+        |  SELECT user_id AS id, epoch_ns(ts) // 1000000000 AS t, event_type FROM events),
+        |s0 AS (
+        |  SELECT id, MIN(t) AS t0 FROM ev WHERE event_type = 'view' GROUP BY id),
+        |s1 AS (
+        |  SELECT e.id, s0.t0, MIN(e.t) AS t1
+        |  FROM ev e JOIN s0 ON e.id = s0.id
+        |  WHERE e.event_type = 'click' AND e.t > s0.t0 AND e.t <= s0.t0 + 604800
+        |  GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT e.id, s1.t0, s1.t1, MIN(e.t) AS t2
+        |  FROM ev e JOIN s1 ON e.id = s1.id
+        |  WHERE e.event_type = 'purchase' AND e.t > s1.t1 AND e.t <= s1.t1 + 604800
+        |  GROUP BY 1, 2, 3)
+        |SELECT id AS user_id, t0 * 1000 AS is_view_ms, t1 * 1000 AS is_click_ms,
+        |  t2 * 1000 AS is_buy_ms
+        |FROM s2 WHERE t2 - t0 <= 1209600 ORDER BY user_id ASC""".stripMargin,
     "kql_active_users" ->
       """WITH ev AS (
         |  SELECT user_id AS id, epoch_ns(ts) // 1000000000 AS t FROM events),

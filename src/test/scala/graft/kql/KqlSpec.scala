@@ -1292,6 +1292,30 @@ class KqlSpec extends SparkSpec {
     assert(merged == direct && math.abs(merged - 5000) <= 250)
   }
 
+  test("parser: evaluate sequence_detect — ordered chain, step window, span cap, greedy anchor") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val reg = Map("E" -> Seq(
+      // u1: a → b (2h later) → c (2h later): completes
+      (1L, ts(1, 0), "a"), (1L, ts(1, 2), "b"), (1L, ts(1, 4), "c"),
+      // u2: b before a — order violated, no chain
+      (2L, ts(1, 2), "b"), (2L, ts(1, 4), "a"), (2L, ts(1, 6), "c"),
+      // u3: a → b but b is 2 DAYS later — outside the 1d step window
+      (3L, ts(1, 0), "a"), (3L, ts(3, 0), "b"), (3L, ts(3, 1), "c"),
+      // u4: steps adjacent-ok but total span breaches the 1d span cap
+      (4L, ts(1, 0), "a"), (4L, ts(1, 20), "b"), (4L, ts(2, 10), "c"),
+      // u5: greedy anchor — first 'a' at 00:00 has no b within 1d, but a
+      // later 'a' on day 3 would chain; the greedy deviation drops u5
+      (5L, ts(1, 0), "a"), (5L, ts(3, 0), "a"), (5L, ts(3, 2), "b"), (5L, ts(3, 4), "c")
+    ).toDF("uid", "t", "k"))
+    val out = KqlParser.run(
+      "E | extend sa = k == 'a', sb = k == 'b', sc = k == 'c' " +
+        "| evaluate sequence_detect(t, 1d, 1d, sa, sb, sc, uid)", reg)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == ((ts(1, 0).getTime, ts(1, 2).getTime, ts(1, 4).getTime)))
+  }
+
   test("parser: percentilew weights rows by frequency") {
     // values 1..4 with weight 1 except value 4 weighted 7: the weighted
     // 50th percentile lands on 4 (unweighted it would be 2.5).
