@@ -534,7 +534,46 @@ object Similarity {
         col("rk").cast("int").as("rk"))
   }
 
+  /** Matryoshka-style dimension-truncation audit: how much of the EXACT
+    * cosine top-k survives when similarity uses only the first d
+    * dimensions — the evaluation behind MRL-style truncated-embedding
+    * serving (Kusupati et al. 2022): pick the cheapest d whose overlap
+    * clears the product bar. For each prefix width, the same
+    * brute-force kernel as [[bruteForceTopK]] runs on `slice(v, 1, d)`,
+    * and the output row reports Σ|topkₙ ∩ topk₆₄| with the mean overlap
+    * as integer micro-units (hits·10⁶ ÷ (k·nQueries) — exact on both
+    * engines). 100 TB shape: per dim it is the brute baseline's
+    * broadcast-queries + one corpus scan; dims are few and fixed. */
+  def dimTruncationAudit(spark: SparkSession, sfDir: String, k: Int = 5,
+                         dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val e = vecs(spark, sfDir)
+    def topk(dim: Option[Int]): DataFrame = {
+      val pv = dim.map(d => expr(s"slice(v, 1, $d)")).getOrElse(col("v"))
+      val base = e.select(col("vec_id"), pv.as("pv"))
+        .withColumn("pn", expr("sqrt(graft_dot(pv, pv))"))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("pv").as("qv"), col("pn").as("qn"))
+      val c = base.select(col("vec_id").as("cand_id"), col("pv").as("cv"), col("pn").as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+      broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+        .withColumn("cos", round(expr("graft_dot(qv, cv)") / (col("qn") * col("cn")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("cand_id"))
+    }
+    val full = topk(None)
+    val nq = 10L
+    dims.map { d =>
+      topk(Some(d)).join(full, Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d).cast("int").as("dim"), col("hits"),
+          expr(s"hits * 1000000L DIV (${k}L * $nq)").as("overlap_micro"))
+    }.reduce(_.unionAll(_))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_dim_truncation" -> ((s: SparkSession, d: String) => dimTruncationAudit(s, d)),
     "sim_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "sim_sq8_topk" -> ((s: SparkSession, d: String) => sq8TopK(s, d)),
     "sim_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
@@ -808,6 +847,28 @@ object Similarity {
          |        / (q.qn * c.xhn), 6) DESC, c.vec_id ASC) AS rk
          |  FROM q JOIN encn c ON q.query_id <> c.vec_id)
          |WHERE rk <= 3""".stripMargin,
+    "sim_dim_truncation" -> {
+      def pairs(dotLen: String, normOf: String => String): String =
+        s"""SELECT query_id, cand_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |      round(list_sum(list_transform(range(1, $dotLen + 1), i -> q.v[i] * c.v[i]))
+           |        / (${normOf("q")} * ${normOf("c")}), 6) DESC, c.vec_id ASC) AS rk
+           |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+           |WHERE rk <= 5""".stripMargin
+      val dims = Seq(8, 16, 32)
+      val ctes = dims.map(d => s"t$d AS (${pairs(d.toString,
+        a => s"sqrt(list_sum(list_transform($a.v[1:$d], x -> x * x)))")})").mkString(",\n")
+      val blocks = dims.map(d =>
+        s"""SELECT CAST($d AS INTEGER) AS dim, CAST(COUNT(*) AS BIGINT) AS hits,
+           |  COUNT(*) * 1000000 // 50 AS overlap_micro
+           |FROM t$d JOIN f USING (query_id, cand_id)""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH $oracleVecs,
+         |f AS (${pairs("len(q.v)", a => s"$a.norm")}),
+         |$ctes
+         |$blocks""".stripMargin
+    },
     "sim_topk_brute" ->
       s"""WITH $oracleVecs
          |SELECT query_id, cand_id, cos, CAST(rk AS INTEGER) AS rk FROM (

@@ -613,6 +613,8 @@ object KqlParser {
             df = activeUsersCountVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("sequence_detect")) {
             df = sequenceDetectVerb(df, body0, scoped); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("session_count")) {
+            df = sessionCountVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.matches("(?i)narrow\\s*\\(\\s*\\)")) {
             // `evaluate narrow()` — ADX's transpose plugin: every value
             // column becomes a (Column, Value) row pair, values cast to
@@ -634,7 +636,8 @@ object KqlParser {
             "evaluate supports only the pivot, bag_unpack, autocluster, " +
               "diffpatterns, sliding_window_counts, activity_engagement, " +
               "activity_counts_metrics, new_activity_metrics, rolling_percentile, " +
-              s"active_users_count, sequence_detect, funnel_sequence and narrow plugins: $body0")
+              "active_users_count, sequence_detect, session_count, " +
+              s"funnel_sequence and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
             s"evaluate pivot expects pivot(col[, agg[, groupCols…]]): $body0")
@@ -2261,6 +2264,53 @@ object KqlParser {
       .filter(col("__np") >= activeK)
       .groupBy(expr(s"(${startS}L + __k * ${binS}L) * 1000").as("bin_ms"))
       .agg(countDistinct(col("__auc_id")).as("dcount"))
+  }
+
+  /** `evaluate session_count(idCol, timeCol, Start, End, Bin,
+    * LookBackWindow)` — sessions started per bin: an event STARTS a
+    * session when its id had no event in the preceding LookBackWindow
+    * (ADX's session notion, pinned here to the session-START
+    * formulation so the count is deterministic and replayable; one id
+    * can start several sessions in one bin). Events in
+    * (Start − lookback, Start) participate only as suppression context
+    * — suppression is by the immediately previous event, so that
+    * bounded slice is EXACT history for every on-timeline event.
+    *
+    * Shape (100 TB): one id-partitioned lag window over the
+    * range-pruned scan + one bin-keyed aggregate — the sessionize
+    * shape; no fan-out at all. Same conventions as the other activity
+    * plugins: second resolution, epoch-millis `bin_ms`, empty bins
+    * omitted; End is inclusive (an event AT End starts the final
+    * partial bin). */
+  private def sessionCountVerb(df: DataFrame, body: String): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      "evaluate session_count expects (idCol, timeCol, start, end, " +
+        s"bin, lookback): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length == 6, s"session_count takes exactly 6 arguments: $body")
+    val (idCol, tCol) = (args(0), args(1))
+    Seq(idCol, tCol).foreach(c => require(
+      c.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(c),
+      s"session_count column '$c' not found (have: ${df.columns.mkString(", ")})"))
+    val (startS, endS) = (dtLiteralEpoch(args(2), "session_count"),
+      dtLiteralEpoch(args(3), "session_count"))
+    val binS = spanSecs(args(4), "session_count")
+    val lookS = spanSecs(args(5), "session_count")
+    require(binS > 0 && lookS > 0, s"bin and lookback must be positive: $body")
+    require(endS >= startS, s"End must be >= Start: ${args(2)}..${args(3)}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__sc_id")).orderBy(col("__t"))
+    df.select(col(idCol).as("__sc_id"), unix_timestamp(col(tCol)).as("__t"))
+      .filter(col("__t") <= endS && col("__t") > startS - lookS)
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .filter(col("__t") >= startS &&
+        (col("__prev").isNull || col("__t") - col("__prev") > lookS))
+      .groupBy(expr(
+        s"(${startS}L + ((__t - ${startS}L) DIV ${binS}L) * ${binS}L) * 1000")
+        .as("bin_ms"))
+      .agg(count(lit(1)).as("session_count"))
   }
 
   /** `evaluate sequence_detect(timeCol, MaxStepWindow, MaxSpanWindow,

@@ -662,6 +662,13 @@ object ReferenceQueries {
       || evaluate sequence_detect(ts, 7d, 14d, is_view, is_click, is_buy, user_id)
       || sort by user_id asc""".stripMargin
 
+  /** r10 `evaluate session_count` — sessions started per day (a start =
+    * no activity in the preceding 1d). */
+  val kqlSessionCountText: String =
+    """Events
+      || evaluate session_count(user_id, ts, datetime(2024-01-05), datetime(2024-01-25), 1d, 1d)
+      || sort by bin_ms asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -781,6 +788,7 @@ object ReferenceQueries {
     "kql_active_users" -> kqlText(kqlActiveUsersText) _,
     "kql_hll_dcount" -> kqlText(kqlHllText) _,
     "kql_sequence_detect" -> kqlText(kqlSequenceDetectText) _,
+    "kql_session_count" -> kqlText(kqlSessionCountText) _,
     "kql_parse_url" -> kqlText(kqlParseUrlText) _,
     "kql_parse_path_version" -> kqlText(kqlParsePathVersionText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
@@ -1006,6 +1014,15 @@ object ReferenceQueries {
         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r,
         |  round(sqrt(sxx), 6) AS mag
         |FROM p ORDER BY et_a, et_b""".stripMargin,
+    "kql_session_count" ->
+      """WITH ev AS (
+        |  SELECT user_id AS id, epoch_ns(ts) // 1000000000 AS t FROM events),
+        |f AS (SELECT id, t FROM ev WHERE t <= 1706140800 AND t > 1704412800 - 86400),
+        |l AS (SELECT id, t, lag(t) OVER (PARTITION BY id ORDER BY t) AS prev FROM f),
+        |s AS (SELECT t FROM l WHERE t >= 1704412800 AND (prev IS NULL OR t - prev > 86400))
+        |SELECT (1704412800 + ((t - 1704412800) // 86400) * 86400) * 1000 AS bin_ms,
+        |  CAST(COUNT(*) AS BIGINT) AS session_count
+        |FROM s GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "kql_sequence_detect" ->
       """WITH ev AS (
         |  SELECT user_id AS id, epoch_ns(ts) // 1000000000 AS t, event_type FROM events),

@@ -199,4 +199,18 @@ class RecallSpec extends SparkSpec {
     assert(exact.size == 30 && sq8.size == 30)
     assert(overlap >= 0.8, f"SQ8 ranking degraded: overlap $overlap%.4f")
   }
+
+  test("dim-truncation audit: full-width prefix is the identity, overlap grows with width") {
+    // d = 64 is the whole vector → overlap EXACTLY 10^6 (identity pin);
+    // the registered 8/16/32 sweep must be monotone non-decreasing —
+    // more prefix can only add information on this deterministic corpus.
+    val full = Similarity.dimTruncationAudit(spark, sf001, dims = Seq(64)).collect().head
+    assert(full.getAs[Long]("overlap_micro") == 1000000L &&
+      full.getAs[Long]("hits") == 50L)
+    val sweep = Similarity.dimTruncationAudit(spark, sf001).collect()
+      .map(r => r.getAs[Int]("dim") -> r.getAs[Long]("overlap_micro")).sortBy(_._1)
+    info(sweep.map { case (d, m) => s"d=$d: ${m / 10000.0}%" }.mkString(", "))
+    assert(sweep.map(_._1).sameElements(Array(8, 16, 32)))
+    assert(sweep.sliding(2).forall { case Array((_, a), (_, b)) => a <= b })
+  }
 }

@@ -1316,6 +1316,30 @@ class KqlSpec extends SparkSpec {
     assert(out(1L) == ((ts(1, 0).getTime, ts(1, 2).getTime, ts(1, 4).getTime)))
   }
 
+  test("parser: evaluate session_count — gap-defined session starts per bin") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val reg = Map("E" -> Seq(
+      // u1: run on day 2 (2 events 1h apart = ONE session), new session day 5
+      (1L, ts(2, 1)), (1L, ts(2, 2)), (1L, ts(5, 0)),
+      // u2: pre-timeline event on day 1 23:00 SUPPRESSES the day 2 00:30
+      // event (gap 1.5h < 1d); next event day 4 starts a session
+      (2L, ts(1, 23)), (2L, ts(2, 0)), (2L, ts(4, 0)),
+      // u3: single event, single session
+      (3L, ts(3, 0))
+    ).toDF("uid", "t"))
+    val out = KqlParser.run(
+      "E | evaluate session_count(uid, t, datetime(2024-01-02), datetime(2024-01-06), 1d, 1d)" +
+        " | sort by bin_ms asc", reg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def binMs(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00").getTime
+    assert(out(binMs(2)) == 1)              // u1 only (u2 suppressed by day-1 23:00)
+    assert(out(binMs(3)) == 1)              // u3
+    assert(out(binMs(4)) == 1)              // u2's second session
+    assert(out(binMs(5)) == 1)              // u1's second session
+    assert(out.values.sum == 4)
+  }
+
   test("parser: percentilew weights rows by frequency") {
     // values 1..4 with weight 1 except value 4 weighted 7: the weighted
     // 50th percentile lands on 4 (unweighted it would be 2.5).

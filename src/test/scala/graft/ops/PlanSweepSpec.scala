@@ -35,6 +35,7 @@ class PlanSweepSpec extends SparkSpec {
     "text_dsir_corpus", // applied form of text_dsir — inherits the same two scalar cross joins; the select itself is a semi-join
     "layout_zorder", // 1-row scalar cross join: the adaptive curve-range width (max z) broadcast over the scan
 
+    "kql_series_similarity", // deliberate k=1 cross pair of PRE-AGGREGATED series rows (|event types|² = 25); the data-carrying make-series stage is a keyed aggregate
     "ev_daily_anomaly",
     "sketch_fm_merge", // three 1-row frames (merged sketch, group-est sum, truth) cross-joined into the single output row
     "sim_sq8_topk", // corpus × 1-row min/max-stats broadcast + the brute-force query × candidate scoring
