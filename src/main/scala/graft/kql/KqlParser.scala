@@ -615,6 +615,8 @@ object KqlParser {
             df = sequenceDetectVerb(df, body0, scoped); serialOrder = None
           } else if (body0.toLowerCase.startsWith("session_count")) {
             df = sessionCountVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("ipv4_lookup")) {
+            df = ipv4LookupVerb(df, body0, tbls, scoped); serialOrder = None
           } else if (body0.toLowerCase.matches("(?i)narrow\\s*\\(\\s*\\)")) {
             // `evaluate narrow()` — ADX's transpose plugin: every value
             // column becomes a (Column, Value) row pair, values cast to
@@ -637,7 +639,7 @@ object KqlParser {
               "diffpatterns, sliding_window_counts, activity_engagement, " +
               "activity_counts_metrics, new_activity_metrics, rolling_percentile, " +
               "active_users_count, sequence_detect, session_count, " +
-              s"funnel_sequence and narrow plugins: $body0")
+              s"ipv4_lookup, funnel_sequence and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
             s"evaluate pivot expects pivot(col[, agg[, groupCols…]]): $body0")
@@ -2264,6 +2266,63 @@ object KqlParser {
       .filter(col("__np") >= activeK)
       .groupBy(expr(s"(${startS}L + __k * ${binS}L) * 1000").as("bin_ms"))
       .agg(countDistinct(col("__auc_id")).as("dcount"))
+  }
+
+  /** `evaluate ipv4_lookup(LookupTable, ipCol, networkCol)` — ADX's
+    * CIDR lookup: each source row joins the lookup row whose network
+    * contains its IP; overlapping networks resolve LONGEST-PREFIX-MATCH
+    * (ADX with return_unmatched=false; unmatched source rows drop).
+    *
+    * Shape (100 TB): the lookup table is a dimension (routing tables
+    * are KBs–MBs) — its DISTINCT prefix lengths are collected
+    * driver-side (≤ 33 values by construction), the source's distinct
+    * IPs fan out map-side to one masked key per present prefix length
+    * (bounded ≤ 33×, typically 2–4×), the keyed dim BROADCASTS into an
+    * equi-join on (prefix, maskedKey), and max-prefix-per-IP picks the
+    * LPM before one equi-join back to the source rows. The raw corpus
+    * never shuffles on anything but its own ip join-back key.
+    * Ambiguous lookups (duplicate (prefix, network)) are rejected
+    * loudly — LPM would otherwise be nondeterministic. */
+  private def ipv4LookupVerb(df: DataFrame, body: String,
+                             tables: Map[String, DataFrame],
+                             lets: Map[String, String]): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      s"evaluate ipv4_lookup expects (LookupTable, ipCol, networkCol): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length == 3,
+      s"ipv4_lookup takes exactly 3 arguments (LookupTable, ipCol, networkCol): $body")
+    val (dimExpr, ipCol, netCol) = (args(0), args(1), args(2))
+    require(ipCol.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(ipCol),
+      s"ipv4_lookup ip column '$ipCol' not found (have: ${df.columns.mkString(", ")})")
+    val dim = if (tables.contains(dimExpr)) tables(dimExpr)
+              else pipeline(dimExpr, tables, lets).df
+    require(netCol.matches("[A-Za-z_][A-Za-z0-9_]*") && dim.columns.contains(netCol),
+      s"ipv4_lookup network column '$netCol' not found in lookup " +
+        s"(has: ${dim.columns.mkString(", ")})")
+    require(!dim.columns.contains(ipCol),
+      s"ipv4_lookup lookup table must not carry the ip column '$ipCol'")
+    val keyed = dim
+      .withColumn("__p", expr(cidrPrefix(netCol)))
+      .withColumn("__key", expr(
+        s"shiftright(${ipv4Long(cidrBase(netCol))}, 32 - __p)"))
+    require(keyed.filter(col("__p").isNull || col("__key").isNull).isEmpty,
+      s"ipv4_lookup networks must all be valid a.b.c.d[/p] literals")
+    require(keyed.groupBy(col("__p"), col("__key")).count()
+        .filter(col("count") > 1).isEmpty,
+      "ipv4_lookup networks must be unique — duplicate (prefix, network) " +
+        "would make longest-prefix-match nondeterministic")
+    val prefixes = keyed.select(col("__p")).distinct().collect()
+      .map(_.getInt(0)).sorted
+    val ips = df.select(col(ipCol)).distinct()
+      .withColumn("__p", explode(lit(prefixes)))
+      .withColumn("__key", expr(s"shiftright(${ipv4Long(ipCol)}, 32 - __p)"))
+    val matched = ips.join(broadcast(keyed), Seq("__p", "__key"))
+    val best = matched.groupBy(col(ipCol)).agg(max(col("__p")).as("__p"))
+      .join(matched, Seq(ipCol, "__p"))
+      .drop("__p", "__key")
+    df.join(best, Seq(ipCol))
   }
 
   /** `evaluate session_count(idCol, timeCol, Start, End, Bin,

@@ -669,6 +669,21 @@ object ReferenceQueries {
       || evaluate session_count(user_id, ts, datetime(2024-01-05), datetime(2024-01-25), 1d, 1d)
       || sort by bin_ms asc""".stripMargin
 
+  /** r10 `evaluate ipv4_lookup` — longest-prefix-match zone attribution
+    * over overlapping CIDR blocks, then per-zone traffic rollup. */
+  val kqlIpv4LookupText: String =
+    """let Nets = datatable(network:string, zone:string)[
+      |  '10.0.0.0/8', 'corp',
+      |  '10.1.0.0/16', 'dc1',
+      |  '10.2.0.0/16', 'dc2',
+      |  '10.1.128.0/17', 'dc1hi'
+      |];
+      |Events
+      || extend ip = strcat('10.', tostring(user_id % 4), '.', tostring(user_id % 250), '.7')
+      || evaluate ipv4_lookup(Nets, ip, network)
+      || summarize n = count(), users = dcount(user_id) by zone
+      || sort by zone asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -789,6 +804,7 @@ object ReferenceQueries {
     "kql_hll_dcount" -> kqlText(kqlHllText) _,
     "kql_sequence_detect" -> kqlText(kqlSequenceDetectText) _,
     "kql_session_count" -> kqlText(kqlSessionCountText) _,
+    "kql_ipv4_lookup" -> kqlText(kqlIpv4LookupText) _,
     "kql_parse_url" -> kqlText(kqlParseUrlText) _,
     "kql_parse_path_version" -> kqlText(kqlParsePathVersionText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
@@ -1014,6 +1030,17 @@ object ReferenceQueries {
         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r,
         |  round(sqrt(sxx), 6) AS mag
         |FROM p ORDER BY et_a, et_b""".stripMargin,
+    "kql_ipv4_lookup" ->
+      """WITH z AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 4 = 1 AND user_id % 250 >= 128 THEN 'dc1hi'
+        |         WHEN user_id % 4 = 1 THEN 'dc1'
+        |         WHEN user_id % 4 = 2 THEN 'dc2'
+        |         ELSE 'corp' END AS zone
+        |  FROM events)
+        |SELECT zone, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        |FROM z GROUP BY zone ORDER BY zone ASC""".stripMargin,
     "kql_session_count" ->
       """WITH ev AS (
         |  SELECT user_id AS id, epoch_ns(ts) // 1000000000 AS t FROM events),

@@ -1316,6 +1316,24 @@ class KqlSpec extends SparkSpec {
     assert(out(1L) == ((ts(1, 0).getTime, ts(1, 2).getTime, ts(1, 4).getTime)))
   }
 
+  test("parser: evaluate ipv4_lookup — longest prefix wins, unmatched drop, dup networks rejected") {
+    val reg = Map(
+      "T" -> Seq("10.1.2.3", "10.200.0.1", "192.168.0.9", "8.8.8.8").map(Tuple1(_)).toDF("ip"),
+      "N" -> Seq(("10.0.0.0/8", "wide"), ("10.1.0.0/16", "narrow"),
+        ("192.168.0.9", "host")).toDF("network", "zone"))
+    val out = KqlParser.run("T | evaluate ipv4_lookup(N, ip, network)", reg)
+      .collect().map(r => r.getAs[String]("ip") -> r.getAs[String]("zone")).toMap
+    assert(out == Map(
+      "10.1.2.3" -> "narrow",    // /16 beats /8
+      "10.200.0.1" -> "wide",
+      "192.168.0.9" -> "host"))  // plain IP acts as /32; 8.8.8.8 unmatched → dropped
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | evaluate ipv4_lookup(D, ip, network)", reg ++ Map(
+        "D" -> Seq(("10.0.0.0/8", "a"), ("10.0.0.0/8", "b")).toDF("network", "zone")))
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
   test("parser: evaluate session_count — gap-defined session starts per bin") {
     import java.sql.Timestamp
     def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
