@@ -895,21 +895,24 @@ object KqlParser {
     } else left.join(hinted, cond, sparkKind)
   }
 
-  /** `make-series <name> = <agg> [default = <v>] on <tscol> from
-    * <start> to <end> step <timespan> [by <keys>]` — ADX's
-    * dense-time-series constructor: one row per group carrying (a) the
-    * aggregate as an ARRAY with one slot per step, FILLED with the
-    * `default =` value (0 when absent, the ADX default) where the group
-    * has no events (the property `summarize by bin()` lacks and every
-    * timechart needs), and (b) the time axis as a timestamp array named
-    * after the source column. Aggregates: count(), sum(col), avg(col),
-    * min(col), max(col); the fill value is cast to the aggregate's own
-    * result type so the dense array stays homogeneously typed.
+  /** `make-series <name> = <agg> [default = <v>][, <name2> = <agg2>
+    * [default = <v2>], ...] on <tscol> from <start> to <end> step
+    * <timespan> [by <keys>]` — ADX's dense-time-series constructor: one
+    * row per group carrying (a) each aggregate as an ARRAY with one
+    * slot per step, FILLED with its own `default =` value (0 when
+    * absent, the ADX default) where the group has no events (the
+    * property `summarize by bin()` lacks and every timechart needs),
+    * and (b) the time axis as a timestamp array named after the source
+    * column. Aggregates: count(), sum(col), avg(col), min(col),
+    * max(col); each fill value is cast to its aggregate's own result
+    * type so the dense arrays stay homogeneously typed.
     *
-    * Shape: filter → one hash aggregate on (keys, step-index) → one
-    * hash aggregate on keys collecting a step-index map → a map-side
-    * `transform(sequence(...))` densification. Groups, not the axis,
-    * drive row count, so a sparse 10-year range costs |groups| rows. */
+    * Shape: filter → ONE hash aggregate on (keys, step-index) computing
+    * every aggregate → one hash aggregate on keys collecting a
+    * step-index map of value structs → a map-side
+    * `transform(sequence(...))` densification per series. Groups, not
+    * the axis, drive row count, so a sparse 10-year range costs
+    * |groups| rows — and N aggregates cost ZERO extra passes. */
   private def makeSeriesVerb(df: DataFrame, rest: String,
                              lets: Map[String, String]): DataFrame = {
     val Re = ("(?s)^(.+?)\\s+on\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+from\\s+(.+?)" +
@@ -926,28 +929,35 @@ object KqlParser {
       case other => throw new IllegalArgumentException(
         s"make-series step must be a timespan literal (1d, 2h, 30m, 90s): $other")
     }
-    val (name, aggBody) = aggPart match {
-      case NamedRe(n, b) => (n, b.trim)
-      case other => throw new IllegalArgumentException(
-        s"make-series aggregate needs a name ('n = count()'): $other")
-    }
-    // `default = <v>` rides between the aggregate and `on` (already
-    // split off above); absent means 0, the ADX default.
+    // `default = <v>` rides between each aggregate and the next comma
+    // (or `on`, already split off above); absent means 0, the ADX
+    // default — each series carries its OWN fill.
     val DefaultRe = "(?s)^(.*?)\\s+default\\s*=\\s*(.+)$".r
-    val (aggCore, fillText) = aggBody match {
-      case DefaultRe(core, d) => (core.trim, scalar(d.trim, lets))
-      case _ => (aggBody, "0")
-    }
     val AggRe = "^([A-Za-z_]+)\\s*\\((.*)\\)$".r
-    val aggCol = aggCore match {
-      case AggRe("count", a) if a.trim.isEmpty => count(lit(1))
-      case AggRe("sum", a) if a.trim.nonEmpty => sum(expr(scalar(a.trim, lets)))
-      case AggRe("avg", a) if a.trim.nonEmpty => avg(expr(scalar(a.trim, lets)))
-      case AggRe("min", a) if a.trim.nonEmpty => min(expr(scalar(a.trim, lets)))
-      case AggRe("max", a) if a.trim.nonEmpty => max(expr(scalar(a.trim, lets)))
-      case other => throw new IllegalArgumentException(
-        s"make-series supports count(), sum/avg/min/max(col), got: $other")
+    val parsed = splitTopLevel(aggPart, ',').map(_.trim).filter(_.nonEmpty).map { item =>
+      val (name, aggBody) = item match {
+        case NamedRe(n, b) => (n, b.trim)
+        case other => throw new IllegalArgumentException(
+          s"make-series aggregate needs a name ('n = count()'): $other")
+      }
+      val (aggCore, fillText) = aggBody match {
+        case DefaultRe(core, d) => (core.trim, scalar(d.trim, lets))
+        case _ => (aggBody, "0")
+      }
+      val aggCol = aggCore match {
+        case AggRe("count", a) if a.trim.isEmpty => count(lit(1))
+        case AggRe("sum", a) if a.trim.nonEmpty => sum(expr(scalar(a.trim, lets)))
+        case AggRe("avg", a) if a.trim.nonEmpty => avg(expr(scalar(a.trim, lets)))
+        case AggRe("min", a) if a.trim.nonEmpty => min(expr(scalar(a.trim, lets)))
+        case AggRe("max", a) if a.trim.nonEmpty => max(expr(scalar(a.trim, lets)))
+        case other => throw new IllegalArgumentException(
+          s"make-series supports count(), sum/avg/min/max(col), got: $other")
+      }
+      (name, aggCol, fillText)
     }
+    require(parsed.nonEmpty, s"make-series needs at least one aggregate: $aggPart")
+    require(parsed.map(_._1).distinct.length == parsed.length,
+      s"make-series series names must be distinct: ${parsed.map(_._1).mkString(", ")}")
     val fromEp = s"unix_timestamp(${scalar(fromS, lets)})"
     val toEp = s"unix_timestamp(${scalar(toS, lets)})"
     val keys = byS.toSeq.flatMap(b => splitTopLevel(b, ',').map(_.trim))
@@ -957,22 +967,28 @@ object KqlParser {
     // still gets its partial tail bin (ADX generates bins from start
     // while < end) — floor would silently drop tail-bucket events.
     val nSteps = s"cast(((($toEp) - ($fromEp)) + $stepSecs - 1) div $stepSecs as int)"
+    val aggCols = parsed.zipWithIndex.map { case ((_, c, _), i) => c.as(s"__v$i") }
     val sparse = df
       .where(expr(s"$tsCol >= ${scalar(fromS, lets)} and $tsCol < ${scalar(toS, lets)}"))
       .withColumn("__i", expr(s"cast((unix_timestamp($tsCol) - ($fromEp)) div $stepSecs as int)"))
       .groupBy(keys.map(col) :+ col("__i"): _*)
-      .agg(aggCol.as("__v"))
+      .agg(aggCols.head, aggCols.tail: _*)
     val grouped =
       if (keys.isEmpty) sparse.groupBy()
       else sparse.groupBy(keys.map(col): _*)
-    // The fill literal is cast to the aggregate's RESULT type (read off
-    // the sparse frame's schema) so the densified array stays
-    // homogeneously typed whatever the aggregate returns.
-    val vType = sparse.schema("__v").dataType.sql
-    grouped
-      .agg(map_from_entries(collect_list(struct(col("__i"), col("__v")))).as("__m"))
-      .withColumn(name, expr(
-        s"transform(sequence(0, $nSteps - 1), i -> coalesce(element_at(__m, i), cast(($fillText) as $vType)))"))
+    val valueStruct = struct(parsed.indices.map(i => col(s"__v$i")): _*)
+    // Each fill literal is cast to ITS aggregate's RESULT type (read off
+    // the sparse frame's schema) so the densified arrays stay
+    // homogeneously typed whatever the aggregates return.
+    val withSeries = parsed.zipWithIndex.foldLeft(
+      grouped.agg(map_from_entries(collect_list(struct(col("__i"), valueStruct))).as("__m"))
+    ) { case (d, ((name, _, fillText), i)) =>
+      val vType = sparse.schema(s"__v$i").dataType.sql
+      d.withColumn(name, expr(
+        s"transform(sequence(0, $nSteps - 1), i -> " +
+          s"coalesce(element_at(__m, i).__v$i, cast(($fillText) as $vType)))"))
+    }
+    withSeries
       .withColumn(tsCol, expr(
         s"transform(sequence(0, $nSteps - 1), i -> timestamp_seconds(($fromEp) + i * ${stepSecs}L))"))
       .drop("__m")

@@ -178,6 +178,20 @@ object ReferenceQueries {
       || extend series = array_join(transform(a, x -> string(cast(round(x, 6) as decimal(18,6)))), ',')
       || project event_type, series""".stripMargin
 
+  /** r10 multi-aggregate `make-series` — three series in ONE pass, each
+    * with its own default fill (count's implicit 0, explicit -1s); the
+    * leading where leaves the first two bins empty so every fill is
+    * observable. Integer-input sum and double max keep float parity
+    * (order-independent); serialization follows the avg query's
+    * DECIMAL convention. */
+  val kqlMakeSeriesMultiText: String =
+    """Events
+      || where ts >= datetime(2024-01-03)
+      || make-series c = count(), s = sum(user_id) default = -1, mx = max(value) default = -1 on ts from datetime(2024-01-01) to datetime(2024-01-10) step 1d by event_type
+      || extend cs = array_join(transform(c, x -> string(x)), ','), ss = array_join(transform(s, x -> string(x)), ','), ms = array_join(transform(mx, x -> string(cast(round(x, 6) as decimal(18,6)))), ',')
+      || project event_type, cs, ss, ms
+      || sort by event_type asc""".stripMargin
+
   /** `serialize` + the row-window functions — the running-total /
     * neighbor-compare dashboard idiom (`prev`/`next`/`row_cumsum`/
     * `row_number` over the frame's sort order). All-integer columns so
@@ -835,6 +849,7 @@ object ReferenceQueries {
     "kql_top_nested"    -> kqlText(kqlTopNestedText) _,
     "kql_serialize"     -> kqlText(kqlSerializeText) _,
     "kql_make_series_avg" -> kqlText(kqlMakeSeriesAvgText) _,
+    "kql_make_series_multi" -> kqlText(kqlMakeSeriesMultiText) _,
     "kql_make_series"   -> kqlText(kqlMakeSeriesText) _,
     "kql_time_histogram" -> kqlText(kqlTimeHistogramText) _,
     "kql_case_tiers"    -> kqlText(kqlCaseText) _,
@@ -1030,6 +1045,32 @@ object ReferenceQueries {
         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r,
         |  round(sqrt(sxx), 6) AS mag
         |FROM p ORDER BY et_a, et_b""".stripMargin,
+    "kql_make_series_multi" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i,
+        |    user_id, value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-03'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-10'),
+        |g AS (
+        |  SELECT event_type, i, COUNT(*) AS c,
+        |    CAST(SUM(user_id) AS BIGINT) AS s, MAX(value) AS m
+        |  FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 9)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i,
+        |    COALESCE(g.c, 0) AS c, COALESCE(g.s, -1) AS s,
+        |    COALESCE(g.m, -1) AS m
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i)
+        |SELECT event_type,
+        |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY i) AS cs,
+        |  string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS ss,
+        |  string_agg(CAST(CAST(round(m, 6) AS DECIMAL(18,6)) AS VARCHAR), ',' ORDER BY i) AS ms
+        |FROM dense GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "kql_ipv4_lookup" ->
       """WITH z AS (
         |  SELECT user_id,
