@@ -72,6 +72,19 @@ object Kql {
         exploded.withColumn(name, expr(s"try_cast($name AS $t)")))
     }
 
+    /** KQL `mv-expand with_itemindex=<ix> name = <array expr>` — like
+      * [[mvExpand]] but also emits each element's 0-based position
+      * (ADX's with_itemindex), via posexplode. */
+    def mvExpandIndexed(ixName: String, name: String, arr: Column,
+                        castTo: Option[String] = None): DataFrame = {
+      // when expanding an existing column in place, the source column
+      // is dropped from the carry-through list (posexplode re-emits it)
+      val carried = df.columns.filterNot(_ == name).map(col)
+      val exploded = df.select(carried :+ posexplode(arr).as(Seq(ixName, name)): _*)
+      castTo.fold(exploded)(t =>
+        exploded.withColumn(name, expr(s"try_cast(`$name` AS $t)")))
+    }
+
     /** KQL `parse ... with regex` flavor: extract one regex group. */
     def parseExtract(name: String, source: Column, regex: String,
                      group: Int = 1): DataFrame =

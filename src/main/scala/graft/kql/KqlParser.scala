@@ -1388,6 +1388,13 @@ object KqlParser {
                            lets: Map[String, String]): DataFrame = {
     import Kql.KqlOps
     var body = rest.trim
+    // ADX `mv-expand with_itemindex=IxName col` — also emit each
+    // element's 0-based position.
+    val ItemIxRe = "(?is)^with_itemindex\\s*=\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+(.*)$".r
+    val itemIx: Option[String] = body match {
+      case ItemIxRe(ix, tail) => body = tail.trim; Some(ix)
+      case _ => None
+    }
     val TypeofRe = "(?s)^(.*?)\\s+to\\s+typeof\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
     val castTo: Option[String] = body match {
       case TypeofRe(b, t) => body = b.trim; Some(kqlTypeToSpark(t))
@@ -1402,7 +1409,10 @@ object KqlParser {
         s"mv-expand over an expression needs a name ('mv-expand item = $exprText'): $exprText")
       exprText
     }
-    df.mvExpand(name, expr(scalar(exprText, lets)), castTo)
+    itemIx match {
+      case Some(ix) => df.mvExpandIndexed(ix, name, expr(scalar(exprText, lets)), castTo)
+      case None => df.mvExpand(name, expr(scalar(exprText, lets)), castTo)
+    }
   }
 
   /** `top-nested N1 of key1 by agg1 [asc|desc], top-nested N2 of key2

@@ -1334,6 +1334,20 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unique"))
   }
 
+  test("parser: mv-expand with_itemindex emits 0-based positions") {
+    val reg = Map("T" -> Seq((1L, Seq("a", "b", "c"))).toDF("id", "xs"))
+    val out = KqlParser.run(
+      "T | mv-expand with_itemindex=ix xs | project id, ix, xs", reg)
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq((0, "a"), (1, "b"), (2, "c")))
+    // with a cast: non-conforming elements null, index still advances
+    val reg2 = Map("T" -> Seq(Tuple1(Seq("1", "x", "3"))).toDF("xs"))
+    val out2 = KqlParser.run(
+      "T | mv-expand with_itemindex=ix v = xs to typeof(long) | project ix, v", reg2)
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out2.toSeq == Seq((0, 1L), (1, -1L), (2, 3L)))
+  }
+
   test("parser: evaluate session_count — gap-defined session starts per bin") {
     import java.sql.Timestamp
     def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
