@@ -3364,14 +3364,17 @@ object KqlParser {
       } else if (s.startsWith("=~", i)) { out.append("ILIKE"); i += 2 } // ci equals → handled below
       else if (s.startsWith("==", i)) { out.append("="); i += 2 }
       else if (s.startsWith("!=", i)) { out.append("<>"); i += 2 }
+      else if (s.startsWith("!in~", i)) { out.append("ilike_nin"); i += 4 } // ci NOT IN
       else if (c == '!' && i + 1 < s.length &&
                "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(s.substring(i + 1)).exists(w =>
                  Set("has", "contains", "startswith", "endswith", "in",
-                     "between")(w.toLowerCase))) {
+                     "between", "has_cs", "contains_cs", "startswith_cs",
+                     "endswith_cs")(w.toLowerCase))) {
         // KQL negated operators: `!has`, `!contains`, `!startswith`,
-        // `!endswith` become negated infix markers; `!in` is SQL NOT IN;
-        // `!between` emits NOT and lets the between case consume the
-        // range on the next iteration.
+        // `!endswith` (and their case-sensitive `_cs` forms) become
+        // negated infix markers; `!in` is SQL NOT IN; `!between` emits
+        // NOT and lets the between case consume the range on the next
+        // iteration.
         val w = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(s.substring(i + 1)).get
         w.toLowerCase match {
           case "in"         => out.append("NOT IN"); i += 1 + w.length
@@ -3380,6 +3383,10 @@ object KqlParser {
           case "contains"   => out.append("ilike_ncontains"); i += 1 + w.length
           case "startswith" => out.append("ilike_nstarts"); i += 1 + w.length
           case "endswith"   => out.append("ilike_nends"); i += 1 + w.length
+          case "has_cs"        => out.append("cslike_nhas"); i += 1 + w.length
+          case "contains_cs"   => out.append("cslike_ncontains"); i += 1 + w.length
+          case "startswith_cs" => out.append("cslike_nstarts"); i += 1 + w.length
+          case "endswith_cs"   => out.append("cslike_nends"); i += 1 + w.length
         }
       }
       else {
@@ -4149,6 +4156,23 @@ object KqlParser {
             out.append(s"TIMESTAMP '$full${if (hadZ) "Z" else ""}'")
             i = close + 1
           case Some(w) =>
+            if (w.toLowerCase == "in" && i + w.length < s.length &&
+                s.charAt(i + w.length) == '~') {
+              // `x in~ ('a', 'b')` — ADX case-insensitive IN
+              out.append("ilike_in"); i += w.length + 1
+            } else if (w.toLowerCase == "matches" && {
+                var j = i + w.length
+                while (j < s.length && s.charAt(j).isWhitespace) j += 1
+                s.regionMatches(true, j, "regex", 0, 5)
+              }) {
+              // ADX `matches regex '<re>'` → RLIKE. Documented
+              // deviation: Java regex flavor, not ADX's RE2 (the
+              // common subset — classes, anchors, quantifiers,
+              // alternation — behaves identically).
+              var j = i + w.length
+              while (j < s.length && s.charAt(j).isWhitespace) j += 1
+              out.append("RLIKE"); i = j + 5
+            } else {
             val repl = w.toLowerCase match {
               case "contains"   => Some("ilike_contains") // marker, fixed up next
               case "startswith" => Some("ilike_starts")
@@ -4156,6 +4180,11 @@ object KqlParser {
               case "has"        => Some("ilike_has") // whole-term ci match
               case "has_any"    => Some("ilike_hasany") // OR of has terms
               case "has_all"    => Some("ilike_hasall") // AND of has terms
+              // case-SENSITIVE operator family (ADX `_cs` forms)
+              case "contains_cs"   => Some("cslike_contains")
+              case "startswith_cs" => Some("cslike_starts")
+              case "endswith_cs"   => Some("cslike_ends")
+              case "has_cs"        => Some("cslike_has")
               case "and" | "or" | "not" => Some(w.toLowerCase)
               // ADX scalar-function spellings with exact Spark
               // equivalents — pure name swaps, arguments unchanged.
@@ -4193,6 +4222,7 @@ object KqlParser {
               case _ => None
             }
             out.append(repl.getOrElse(w)); i += w.length
+            }
           case None => out.append(c); i += 1
         }
       }
@@ -4200,18 +4230,37 @@ object KqlParser {
     // infix markers → function form: `a ilike_contains "x"` is not valid
     // SQL, so rewrite `<lhs> marker <rhs-literal>` patterns
     var r = out.toString
-    val Infix = "([A-Za-z_][A-Za-z0-9_.]*)\\s+ilike_(n?)(contains|starts|ends|has)\\s+('[^']*'|\"[^\"]*\")".r
+    val Infix = "([A-Za-z_][A-Za-z0-9_.]*)\\s+(i|cs)like_(n?)(contains|starts|ends|has)\\s+('[^']*'|\"[^\"]*\")".r
     r = Infix.replaceAllIn(r, m => {
-      val (lhs, neg, kind, lit0) = (m.group(1), m.group(2) == "n", m.group(3), m.group(4))
+      val (lhs, cs, neg, kind, lit0) =
+        (m.group(1), m.group(2) == "cs", m.group(3) == "n", m.group(4), m.group(5))
       val inner = lit0.substring(1, lit0.length - 1)
       val lit = "'" + inner.replace("'", "''") + "'"
-      val pos = kind match {
-        case "contains" => s"contains(lower($lhs), lower($lit))"
-        case "starts"   => s"startswith(lower($lhs), lower($lit))"
-        case "ends"     => s"endswith(lower($lhs), lower($lit))"
-        case "has"      => hasTermSql(lhs, inner)
+      val pos = (kind, cs) match {
+        case ("contains", false) => s"contains(lower($lhs), lower($lit))"
+        case ("starts", false)   => s"startswith(lower($lhs), lower($lit))"
+        case ("ends", false)     => s"endswith(lower($lhs), lower($lit))"
+        case ("has", false)      => hasTermSql(lhs, inner)
+        case ("contains", true)  => s"contains($lhs, $lit)"
+        case ("starts", true)    => s"startswith($lhs, $lit)"
+        case ("ends", true)      => s"endswith($lhs, $lit)"
+        case _                   => hasTermCsSql(lhs, inner) // ("has", true) — kinds are regex-closed
       }
       java.util.regex.Matcher.quoteReplacement(if (neg) s"(NOT $pos)" else pos)
+    })
+    // `x in~ (...)` / `x !in~ (...)` — case-insensitive membership over
+    // a literal list (both sides lowered; literals lower at parse time)
+    val CiIn = "([A-Za-z_][A-Za-z0-9_.]*)\\s+ilike_(n?)in\\s*\\(([^)]*)\\)".r
+    r = CiIn.replaceAllIn(r, m => {
+      val (lhs, neg) = (m.group(1), m.group(2) == "n")
+      val items = splitTopLevel(m.group(3), ',').map(_.trim).filter(_.nonEmpty)
+      require(items.nonEmpty && items.forall(t =>
+          t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head),
+        s"in~ expects a parenthesized list of string literals")
+      val list = items.map(t =>
+        "'" + t.substring(1, t.length - 1).toLowerCase.replace("'", "''") + "'").mkString(", ")
+      java.util.regex.Matcher.quoteReplacement(
+        s"(lower($lhs) ${if (neg) "NOT IN" else "IN"} ($list))")
     })
     // `lhs has_any ("a", "b", …)` / `has_all` — OR/AND of whole-term
     // matches over a literal list
@@ -4244,6 +4293,15 @@ object KqlParser {
     val pat = "(^|[^a-z0-9])" +
       java.util.regex.Pattern.quote(inner.toLowerCase) + "([^a-z0-9]|$)"
     s"(lower($lhs) RLIKE '" +
+      pat.replace("\\", "\\\\").replace("'", "''") + "')"
+  }
+
+  /** `has_cs`: the case-SENSITIVE whole-term variant — same delimiter
+    * contract, no lowering on either side. */
+  private def hasTermCsSql(lhs: String, inner: String): String = {
+    val pat = "(^|[^A-Za-z0-9])" +
+      java.util.regex.Pattern.quote(inner) + "([^A-Za-z0-9]|$)"
+    s"($lhs RLIKE '" +
       pat.replace("\\", "\\\\").replace("'", "''") + "')"
   }
 

@@ -698,6 +698,17 @@ object ReferenceQueries {
       || summarize n = count(), users = dcount(user_id) by zone
       || sort by zone asc""".stripMargin
 
+  /** r10 case-sensitive operator tier + `matches regex` + `in~` over a
+    * casing-edge datatable (Java-regex deviation documented at the
+    * rewrite). */
+  val kqlStringOpsCsText: String =
+    """let T = datatable(s:string)[
+      |  'Spark rocks', 'spark rocks', 'reSpark', 'GPU go', 'gpu go', 'xGPUy'
+      |];
+      |T
+      || extend c_cs = s contains_cs 'Spark', c_ci = s contains 'spark', h_cs = s has_cs 'GPU', h_ci = s has 'gpu', m = s matches regex '^[a-z]+ ', i1 = s in~ ('SPARK ROCKS', 'gpu go'), i2 = s !in~ ('reSpark')
+      || sort by s asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -819,6 +830,7 @@ object ReferenceQueries {
     "kql_sequence_detect" -> kqlText(kqlSequenceDetectText) _,
     "kql_session_count" -> kqlText(kqlSessionCountText) _,
     "kql_ipv4_lookup" -> kqlText(kqlIpv4LookupText) _,
+    "kql_string_ops_cs" -> kqlText(kqlStringOpsCsText) _,
     "kql_parse_url" -> kqlText(kqlParseUrlText) _,
     "kql_parse_path_version" -> kqlText(kqlParsePathVersionText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
@@ -1071,6 +1083,19 @@ object ReferenceQueries {
         |  string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS ss,
         |  string_agg(CAST(CAST(round(m, 6) AS DECIMAL(18,6)) AS VARCHAR), ',' ORDER BY i) AS ms
         |FROM dense GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "kql_string_ops_cs" ->
+      """WITH t AS (
+        |  SELECT * FROM (VALUES ('Spark rocks'), ('spark rocks'), ('reSpark'),
+        |    ('GPU go'), ('gpu go'), ('xGPUy')) AS v(s))
+        |SELECT s,
+        |  contains(s, 'Spark') AS c_cs,
+        |  contains(lower(s), 'spark') AS c_ci,
+        |  regexp_matches(s, '(^|[^A-Za-z0-9])GPU([^A-Za-z0-9]|$)') AS h_cs,
+        |  regexp_matches(lower(s), '(^|[^a-z0-9])gpu([^a-z0-9]|$)') AS h_ci,
+        |  regexp_matches(s, '^[a-z]+ ') AS m,
+        |  lower(s) IN ('spark rocks', 'gpu go') AS i1,
+        |  lower(s) NOT IN ('respark') AS i2
+        |FROM t ORDER BY s ASC""".stripMargin,
     "kql_ipv4_lookup" ->
       """WITH z AS (
         |  SELECT user_id,

@@ -1334,6 +1334,21 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unique"))
   }
 
+  test("parser: case-sensitive _cs operators, matches regex, in~ and their negations") {
+    val reg = Map("T" -> Seq("Spark GO", "spark go", "xSparky").map(Tuple1(_)).toDF("s"))
+    def keep(q: String) = KqlParser.run(s"T | where $q | project s", reg)
+      .collect().map(_.getString(0)).toSet
+    assert(keep("s contains_cs 'Spark'") == Set("Spark GO", "xSparky"))
+    assert(keep("s !contains_cs 'Spark'") == Set("spark go"))
+    assert(keep("s has_cs 'GO'") == Set("Spark GO"))        // whole-term, exact case
+    assert(keep("s has 'go'") == Set("Spark GO", "spark go")) // ci has unaffected
+    assert(keep("s startswith_cs 'Spark'") == Set("Spark GO"))
+    assert(keep("s endswith_cs 'go'") == Set("spark go"))
+    assert(keep("s matches regex '^[a-z]+ '") == Set("spark go"))
+    assert(keep("s in~ ('SPARK GO')") == Set("Spark GO", "spark go"))
+    assert(keep("s !in~ ('SPARK GO')") == Set("xSparky"))
+  }
+
   test("parser: mv-expand with_itemindex emits 0-based positions") {
     val reg = Map("T" -> Seq((1L, Seq("a", "b", "c"))).toDF("id", "xs"))
     val out = KqlParser.run(
