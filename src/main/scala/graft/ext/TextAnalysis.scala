@@ -821,6 +821,35 @@ object TextAnalysis {
   def lengthBuckets(spark: SparkSession, sfDir: String): DataFrame =
     lengthBucketsOn(Tables.documents(spark, sfDir))
 
+  /** Feature-hashed document embeddings (Weinberger et al. 2009's
+    * hashing trick): tokens hash into `dim` md5 buckets, per-bucket
+    * term frequencies L2-normalize into a unit vector — the cheap
+    * trainable-free featurizer that bridges the text tier to the
+    * similarity/ANN tier (hash embeddings feed [[Similarity]]'s
+    * LSH/IVF paths unchanged). Emitted LONG-FORM (doc_id, dim, tf, w):
+    * sparse rows only — a 10^6-dim hash space at 100 TB stays
+    * |tokens|-bounded, never |docs|×dims. Exact integer tf, one
+    * IEEE sqrt + divide for the weight (identical cross-engine),
+    * rounded 6 dp. Shape: one (doc, bucket) aggregate + a per-doc norm
+    * aggregate joined back — two keyed shuffles, no window. */
+  def hashEmbeddingsOn(docs: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val b = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"),
+        expr(s"cast(conv(substr(md5(word), 1, 15), 16, 10) as bigint) % $dim")
+          .cast("int").as("dim"))
+      .agg(count(lit(1)).as("tf"))
+    val n = b.groupBy(col("doc_id"))
+      .agg(expr("sqrt(sum(tf * tf))").as("__nrm"))
+    b.join(n, Seq("doc_id"))
+      .select(col("doc_id"), col("dim"), col("tf"),
+        round(col("tf") / col("__nrm"), 6).as("w"))
+  }
+
+  def hashEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    hashEmbeddingsOn(Tables.documents(spark, sfDir))
+
   /** Shared CTE prefix for the BPE oracles: the k-step training loop
     * UNROLLED (b_k = step-k argmax via scalar subqueries, s_k = the
     * post-merge histogram sequences). */
@@ -897,6 +926,7 @@ object TextAnalysis {
     "text_train_split" -> ((s: SparkSession, d: String) => trainSplit(s, d)),
     "text_shuffle_order" -> shuffleOrder _,
     "text_length_buckets" -> lengthBuckets _,
+    "text_hash_embedding" -> hashEmbeddings _,
     "text_dsir" -> dsirWeights _,
     "text_dsir_corpus" -> dsirCorpus _,
     "text_rule_filter" -> ruleFilteredCorpus _,
@@ -1049,6 +1079,17 @@ object TextAnalysis {
         |  CAST(SUM(bucket_hi - nt) AS BIGINT) AS pad_waste,
         |  CAST(SUM(bucket_hi - nt) * 100000000 // (COUNT(*) * bucket_hi) AS BIGINT) AS pad_pct_micro
         |FROM b GROUP BY bucket_hi""".stripMargin,
+    "text_hash_embedding" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) % 16 AS INT) AS dim,
+        |    CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM w GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sqrt(SUM(tf * tf)) AS nrm FROM b GROUP BY 1)
+        |SELECT b.doc_id, b.dim, b.tf, round(b.tf / n.nrm, 6) AS w
+        |FROM b JOIN n USING (doc_id)""".stripMargin,
     "text_bpe_merge" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -187,6 +187,24 @@ class ExtSpec extends SparkSpec {
       o3.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("hash embeddings: unit norm, identical docs get identical vectors") {
+    val d = docs(
+      (0L, "alpha beta alpha", "en"),
+      (1L, "alpha beta alpha", "en"),
+      (2L, "gamma", "en"))
+    val e = TextAnalysis.hashEmbeddingsOn(d, dim = 8).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq)
+      .toMap
+    assert(e(0L) == e(1L))                       // determinism: same text → same vector
+    assert(e(2L).map(_._3) == Seq(1.0))          // single token: weight exactly 1
+    // unit norm (within the 6-dp rounding of each component)
+    val n0 = math.sqrt(e(0L).map(x => x._3 * x._3).sum)
+    assert(math.abs(n0 - 1.0) < 1e-5)
+    // tf of the doubled token is 2 (unless alpha/beta collide in 8 buckets)
+    if (e(0L).size == 2) assert(e(0L).map(_._2).sorted == Seq(1L, 2L))
+  }
+
   test("length buckets: boundary token counts land on the closed upper edge") {
     // 16 tokens → bucket 16 (closed); 17 → bucket 32
     val d = docs(
