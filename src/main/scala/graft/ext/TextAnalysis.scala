@@ -850,6 +850,98 @@ object TextAnalysis {
   def hashEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
     hashEmbeddingsOn(Tables.documents(spark, sfDir))
 
+  /** Distributed BATCH-perceptron training over hashed features — the
+    * "train the quality/language classifier ON the cluster" loop
+    * ([[qualityClassifier]] SCORES with fixed weights; this LEARNS
+    * them). Target: lang == 'en' (+1) vs rest (−1), features = the
+    * [[hashEmbeddingsOn]] bucket tf counts. Each epoch is one
+    * distributed pass: score every doc against the broadcast weight
+    * vector (dims are a handful of ints — they ride the plan as a
+    * literal CASE, the same driver↔cluster handoff shape as
+    * [[bpeTrainOn]]'s argmax row), then one aggregate sums
+    * label·tf over misclassified docs per dim, and the driver applies
+    * w += grad. INTEGER end-to-end (tf counts, ±1 labels, bigint
+    * weights) — no learning-rate float, bit-exact at any scale and
+    * replayable by an epoch-unrolled oracle. Output: one row per dim
+    * with the final weight plus the final-epoch error count.
+    *
+    * 100 TB shape: per epoch exactly one shuffle (the (doc, dim)
+    * feature aggregate is computed once and reused via
+    * localCheckpoint), gradient is a dim-keyed 16-row aggregate;
+    * epochs are few and fixed. */
+  def perceptronTrainOn(docs: DataFrame, dim: Int = 16,
+                        epochs: Int = 3): DataFrame = {
+    require(dim > 0 && epochs >= 1, s"dim/epochs must be positive: $dim/$epochs")
+    val feats = docs
+      .select(col("doc_id"),
+        (when(col("lang") === "en", 1).otherwise(-1)).cast("long").as("label"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("label"),
+        expr(s"cast(conv(substr(md5(word), 1, 15), 16, 10) as bigint) % $dim")
+          .cast("int").as("dim"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // one materialization, reused every epoch
+    var w = Array.fill(dim)(0L)
+    var errors = 0L
+    for (_ <- 1 to epochs) {
+      val wExpr = w.zipWithIndex
+        .map { case (v, i) => s"WHEN dim = $i THEN ${v}L" }
+        .mkString("CASE ", " ", " ELSE 0L END")
+      // score per doc, then per-dim gradient over misclassified docs
+      val scored = feats
+        .withColumn("__c", expr(s"tf * ($wExpr)"))
+        .groupBy(col("doc_id"), col("label"))
+        .agg(sum(col("__c")).as("__score"))
+        .filter(col("label") * col("__score") <= 0)
+      errors = scored.count()
+      val grad = scored.select(col("doc_id"), col("label"))
+        .join(feats, Seq("doc_id", "label"))
+        .groupBy(col("dim"))
+        .agg(sum(col("label") * col("tf")).as("__g"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (v, i) => v + grad.getOrElse(i, 0L) }
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    w.zipWithIndex.map { case (v, i) => (i, v, errors) }.toSeq
+      .toDF("dim", "w", "prev_epoch_errors")
+  }
+
+  def perceptronTrain(spark: SparkSession, sfDir: String): DataFrame =
+    perceptronTrainOn(Tables.documents(spark, sfDir))
+
+  /** Epoch-unrolled batch-perceptron oracle (mirrors
+    * [[perceptronTrainOn]]'s integer update exactly: w_k = w_{k-1} +
+    * Σ label·tf over docs misclassified by w_{k-1}; reported errors =
+    * the LAST epoch's misclassified count, i.e. under w_{epochs-1}). */
+  private def perceptronOracle(dim: Int, epochs: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH f AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS label,
+         |    CAST(CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) % $dim AS INT) AS dim,
+         |    COUNT(*) AS tf
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |dims AS (SELECT CAST(unnest(range(0, $dim)) AS INT) AS dim),
+         |w0 AS (SELECT dim, CAST(0 AS BIGINT) AS w FROM dims)""".stripMargin)
+    for (k <- 1 to epochs) {
+      sb.append(s""",
+         |s$k AS (SELECT f.doc_id, f.label, SUM(f.tf * w${k - 1}.w) AS score
+         |  FROM f JOIN w${k - 1} USING (dim) GROUP BY 1, 2),
+         |m$k AS (SELECT doc_id, label FROM s$k WHERE label * score <= 0),
+         |g$k AS (SELECT f.dim, SUM(f.label * f.tf) AS g
+         |  FROM f JOIN m$k USING (doc_id, label) GROUP BY 1),
+         |w$k AS (SELECT d.dim, CAST(w${k - 1}.w + COALESCE(g$k.g, 0) AS BIGINT) AS w
+         |  FROM dims d JOIN w${k - 1} USING (dim) LEFT JOIN g$k USING (dim))""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT w$epochs.dim, w$epochs.w,
+       |  CAST((SELECT COUNT(*) FROM m$epochs) AS BIGINT) AS prev_epoch_errors
+       |FROM w$epochs""".stripMargin)
+    sb.toString
+  }
+
   /** Shared CTE prefix for the BPE oracles: the k-step training loop
     * UNROLLED (b_k = step-k argmax via scalar subqueries, s_k = the
     * post-merge histogram sequences). */
@@ -927,6 +1019,7 @@ object TextAnalysis {
     "text_shuffle_order" -> shuffleOrder _,
     "text_length_buckets" -> lengthBuckets _,
     "text_hash_embedding" -> hashEmbeddings _,
+    "text_perceptron_train" -> perceptronTrain _,
     "text_dsir" -> dsirWeights _,
     "text_dsir_corpus" -> dsirCorpus _,
     "text_rule_filter" -> ruleFilteredCorpus _,
@@ -1079,6 +1172,7 @@ object TextAnalysis {
         |  CAST(SUM(bucket_hi - nt) AS BIGINT) AS pad_waste,
         |  CAST(SUM(bucket_hi - nt) * 100000000 // (COUNT(*) * bucket_hi) AS BIGINT) AS pad_pct_micro
         |FROM b GROUP BY bucket_hi""".stripMargin,
+    "text_perceptron_train" -> perceptronOracle(16, 3),
     "text_hash_embedding" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -205,6 +205,23 @@ class ExtSpec extends SparkSpec {
     if (e(0L).size == 2) assert(e(0L).map(_._2).sorted == Seq(1L, 2L))
   }
 
+  test("batch perceptron: separable planted corpus converges to zero errors, deterministic") {
+    // en docs say "good", others say "bad" — linearly separable unless
+    // the two words hash-collide (they don't at dim=8; determinism of
+    // md5 makes this a stable pin, not a flaky one)
+    val d = docs(
+      (0L until 20L).map(i =>
+        (i, if (i % 2 == 0) "good signal here" else "bad noise there",
+          if (i % 2 == 0) "en" else "xx")): _*)
+    val out = TextAnalysis.perceptronTrainOn(d, dim = 8, epochs = 5).collect()
+    val errors = out.head.getLong(2)
+    assert(out.forall(_.getLong(2) == errors)) // error count constant across rows
+    assert(errors == 0L, s"separable corpus should converge, got $errors errors")
+    val again = TextAnalysis.perceptronTrainOn(d, dim = 8, epochs = 5).collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getInt(0), r.getLong(1))).toSeq)
+  }
+
   test("length buckets: boundary token counts land on the closed upper edge") {
     // 16 tokens → bucket 16 (closed); 17 → bucket 32
     val d = docs(
