@@ -116,14 +116,92 @@ object GraphAnalytics {
         col("wdeg").as("cooc_weight"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over the same
+    * part↔supplier graph as [[pageRank]] — community detection.
+    * DETERMINISTIC variant (LPA is famously order-sensitive; the async
+    * random-order form is not reproducible on a distributed engine):
+    * labels start as node ids, and each synchronous round every node
+    * adopts the label most frequent among itself and its neighbors
+    * (self-vote — see [[lpaCore]]), ties broken by SMALLEST label. Fixed 3 rounds (the component-discovery
+    * plateau on this graph shape). Output: one row per surviving
+    * community with node/part/supplier counts.
+    *
+    * Scale shape per round: one edge⋈label join (dst-keyed) + one
+    * (src, label) aggregate + one per-src argmax — the same
+    * join-per-superstep budget as [[weightedPageRank]], with
+    * localCheckpoint breaking lineage growth. */
+  def labelPropagation(spark: SparkSession, sfDir: String,
+                       iterations: Int = 3): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select((col("l_partkey").cast("bigint") * 2).as("p"),
+        (col("l_suppkey").cast("bigint") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("p").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("p").as("dst")))
+    lpaCore(edges, iterations)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_parts"),
+        sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+  }
+
+  /** The synchronous-LPA core: `edges0` is a SYMMETRIZED (src, dst)
+    * relation; returns the final (node, label) assignment. Every node
+    * votes its OWN current label alongside its neighbors' (self-vote)
+    * — the standard damping without which the synchronous variant
+    * bi-oscillates forever on bipartite structures (4-cycles, and this
+    * engine's part↔supplier graph itself). */
+  private[ext] def lpaCore(edges0: DataFrame, iterations: Int): DataFrame = {
+    val edges = edges0.localCheckpoint(true)
+    var lab = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iterations) {
+      val votes = edges.join(lab, edges("dst") === lab("node"))
+        .select(col("src"), col("label"))
+        .union(lab.select(col("node").as("src"), col("label")))
+      lab = votes
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+        // argmax by (count desc, label asc): max of (c, -label)
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
     "graph_textrank" -> ((s: SparkSession, d: String) => textRank(s, d)),
+    "graph_lpa" -> ((s: SparkSession, d: String) => labelPropagation(s, d)),
   )
 
   /** Unrolled 3-iteration oracle; the fixed-point arithmetic makes the
     * unroll exact (no rounding to reproduce). */
   val oracleSql: Map[String, String] = Map(
+    "graph_lpa" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""c$t AS (
+           |  SELECT src, label, COUNT(*) AS c FROM (
+           |    SELECT e.src, l.label FROM e JOIN l${t - 1} l ON e.dst = l.node
+           |    UNION ALL SELECT node AS src, label FROM l${t - 1}) GROUP BY 1, 2),
+           |l$t AS (
+           |  SELECT src AS node, label FROM (
+           |    SELECT src, label,
+           |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, label ASC) AS rk
+           |    FROM c$t) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+         |e AS (SELECT p AS src, s AS dst FROM pairs
+         |      UNION ALL SELECT s AS src, p AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |$rounds
+         |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
+         |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+         |FROM l3 GROUP BY 1""".stripMargin
+    },
     "graph_textrank" -> {
       val iters = (1 to 3).map { t =>
         s"""c$t AS (

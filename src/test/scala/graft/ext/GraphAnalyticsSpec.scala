@@ -25,6 +25,25 @@ class GraphAnalyticsSpec extends SparkSpec {
       s"max-degree node ${byDeg.last} must outrank min-degree ${byDeg.head}")
   }
 
+  test("lpa: disconnected components converge to separate min-label communities") {
+    import spark.implicits._
+    // two disjoint 4-cycles: 1-2-3-4 and 10-11-12-13
+    def cycle(ns: Seq[Long]) = ns.zip(ns.tail :+ ns.head)
+    val pairs = cycle(Seq(1L, 2L, 3L, 4L)) ++ cycle(Seq(10L, 11L, 12L, 13L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val lab = GraphAnalytics.lpaCore(edges, iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each component shares one label; components never merge
+    val c1 = Seq(1L, 2L, 3L, 4L).map(lab)
+    val c2 = Seq(10L, 11L, 12L, 13L).map(lab)
+    assert(c1.distinct.size == 1 && c2.distinct.size == 1)
+    assert(c1.head != c2.head)
+    // min-label tie-break: all round-1 neighbor counts are 1 in a
+    // cycle, so labels flow downhill — the community label is the
+    // component's minimum id
+    assert(c1.head == 1L && c2.head == 10L)
+  }
+
   test("textrank: hub words outrank peripheral words") {
     val rows = GraphAnalytics.textRank(spark, sfDir, k = 25).collect()
     assert(rows.length == 25)
