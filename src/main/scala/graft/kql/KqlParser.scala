@@ -3106,6 +3106,13 @@ object KqlParser {
             // the caller's favor.
             (expr(rw(s"percentile(${scalar(args(0), lets)}, (${args(1)}) / 100.0)")),
               defName(args(0)))
+          case "percentiles_array" =>
+            // ADX percentiles_array(col, P1, P2, ...) → one dynamic
+            // array cell of exact percentiles (same EXACT-vs-T-digest
+            // documented deviation as `percentile`).
+            (expr(rw(s"percentile(${scalar(args(0), lets)}, array(" +
+              args.drop(1).map(p => s"($p) / 100.0").mkString(", ") + "))")),
+              defName(args(0)))
           case "percentilew" =>
             // ADX percentilew(col, weight, P): the weighted percentile
             // — each row counts `weight` times. Spark's native
@@ -3783,6 +3790,54 @@ object KqlParser {
                       s"(($n * ${seriesDot(a, b)} - ${seriesSum(a)} * ${seriesSum(b)}) / " +
                       s"(sqrt($n * ${seriesDot(a, a)} - ${seriesSum(a)} * ${seriesSum(a)}) * " +
                       s"sqrt($n * ${seriesDot(b, b)} - ${seriesSum(b)} * ${seriesSum(b)})))")
+                  case "series_fir" =>
+                    // ADX series_fir(x, filter[, normalize[, center]]):
+                    // causal finite-impulse-response convolution,
+                    // y[i] = Σ_j f[j]·x[i−j] with partial sums at the
+                    // left edge. Deviations (documented): normalize
+                    // DEFAULTS FALSE (ADX: true when all coeffs
+                    // positive) and divides the OUTPUT by Σf (one
+                    // division per point — distributing it into the
+                    // filter would change IEEE results); center=true is
+                    // not supported (rejected by the arity check).
+                    require(args.length == 2 || args.length == 3,
+                      "series_fir expects (series, filter [, normalize])")
+                    val (x, f) = (args(0), args(1))
+                    val norm = args.lift(2).map(_.trim.toLowerCase)
+                    require(norm.forall(n => n == "true" || n == "false"),
+                      s"series_fir normalize must be a true/false literal: ${args.lift(2)}")
+                    val core = s"transform($x, (v, i) -> " +
+                      s"aggregate(sequence(0, size($f) - 1), CAST(0 AS DOUBLE), " +
+                      s"(acc2, j) -> acc2 + IF(i - j >= 0, " +
+                      s"CAST(element_at($f, j + 1) AS DOUBLE) * element_at($x, i - j + 1), " +
+                      s"CAST(0 AS DOUBLE))))"
+                    val fsum = s"aggregate($f, CAST(0 AS DOUBLE), (a2, b2) -> a2 + b2)"
+                    out.append(if (norm.contains("true"))
+                      s"transform($core, y -> y / $fsum)" else core)
+                  case "series_iir" =>
+                    // ADX series_iir(x, b, a): infinite-impulse-response
+                    // recurrence y[i] = (Σ_j b[j]·x[i−j] −
+                    // Σ_{j≥1} a[j]·y[i−j]) / a[0] — inherently
+                    // sequential, evaluated as ONE left-to-right fold
+                    // that carries the output-so-far array (bounded by
+                    // the make-series step count like every series
+                    // function; O(n·(|a|+|b|)) per row).
+                    require(args.length == 3, "series_iir expects (series, b, a)")
+                    val (x, b, a) = (args(0), args(1), args(2))
+                    val bsum = s"aggregate(sequence(0, size($b) - 1), CAST(0 AS DOUBLE), " +
+                      s"(s2, j) -> s2 + IF(acc.i - j >= 0, " +
+                      s"CAST(element_at($b, j + 1) AS DOUBLE) * element_at($x, acc.i - j + 1), " +
+                      s"CAST(0 AS DOUBLE)))"
+                    val asum = s"IF(size($a) > 1, " +
+                      s"aggregate(sequence(1, size($a) - 1), CAST(0 AS DOUBLE), " +
+                      s"(s3, j) -> s3 + IF(acc.i - j >= 0, " +
+                      s"CAST(element_at($a, j + 1) AS DOUBLE) * element_at(acc.ys, acc.i - j + 1), " +
+                      s"CAST(0 AS DOUBLE))), CAST(0 AS DOUBLE))"
+                    out.append(s"aggregate($x, " +
+                      s"named_struct('i', 0, 'ys', CAST(array() AS ARRAY<DOUBLE>)), " +
+                      s"(acc, v) -> named_struct('i', acc.i + 1, 'ys', " +
+                      s"concat(acc.ys, array((($bsum) - ($asum)) / CAST(element_at($a, 1) AS DOUBLE)))), " +
+                      s"acc -> acc.ys)")
                   case "series_fill_const" =>
                     // ADX null-fill for make-series arrays (the default
                     // fill when an aggregate yields null buckets)
@@ -3793,7 +3848,7 @@ object KqlParser {
                     s"unsupported series function '$other' (supported: series_add/subtract/" +
                     "multiply/divide/sum/avg/fill_const/fit_line/fit_line_dynamic/stats_dynamic/" +
                     "outliers/decompose/decompose_anomalies/periods_detect/dot_product/" +
-                    "magnitude/cosine_similarity/pearson_correlation)")
+                    "magnitude/cosine_similarity/pearson_correlation/fir/iir)")
                 }
               case "array_index_of" =>
                 // ADX: 0-based index, -1 when absent. Spark

@@ -709,6 +709,21 @@ object ReferenceQueries {
       || extend c_cs = s contains_cs 'Spark', c_ci = s contains 'spark', h_cs = s has_cs 'GPU', h_ci = s has 'gpu', m = s matches regex '^[a-z]+ ', i1 = s in~ ('SPARK ROCKS', 'gpu go'), i2 = s !in~ ('reSpark')
       || sort by s asc""".stripMargin
 
+  /** r10 `series_fir` / `series_iir` — 3-point moving average (FIR,
+    * normalized) and exponential smoothing (IIR, α = 0.5) over the
+    * per-type daily count series; EMA values are dyadic rationals so
+    * 6-dp rounding can never tie. */
+  val kqlSeriesFilterText: String =
+    """let S = Events
+      || where ts >= datetime(2024-01-01) and ts < datetime(2024-01-31)
+      || make-series c = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+      || project event_type, c;
+      |S
+      || extend fir = series_fir(c, pack_array(1.0, 1.0, 1.0), true), ema = series_iir(c, pack_array(0.5), pack_array(1.0, -0.5))
+      || extend firs = array_join(transform(fir, x -> string(cast(round(x, 6) as decimal(18,6)))), ','), emas = array_join(transform(ema, x -> string(cast(round(x, 6) as decimal(18,6)))), ',')
+      || project event_type, firs, emas
+      || sort by event_type asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -831,6 +846,7 @@ object ReferenceQueries {
     "kql_session_count" -> kqlText(kqlSessionCountText) _,
     "kql_ipv4_lookup" -> kqlText(kqlIpv4LookupText) _,
     "kql_string_ops_cs" -> kqlText(kqlStringOpsCsText) _,
+    "kql_series_filters" -> kqlText(kqlSeriesFilterText) _,
     "kql_parse_url" -> kqlText(kqlParseUrlText) _,
     "kql_parse_path_version" -> kqlText(kqlParsePathVersionText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
@@ -1083,6 +1099,43 @@ object ReferenceQueries {
         |  string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS ss,
         |  string_agg(CAST(CAST(round(m, 6) AS DECIMAL(18,6)) AS VARCHAR), ',' ORDER BY i) AS ms
         |FROM dense GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "kql_series_filters" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+        |g AS (SELECT event_type, i, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 30)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, CAST(COALESCE(g.c, 0) AS DOUBLE) AS x
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i),
+        |arr AS (SELECT event_type, list(x ORDER BY i) AS xs FROM dense GROUP BY 1),
+        |fir AS (
+        |  SELECT event_type,
+        |    list_transform(range(0, 30), i ->
+        |      list_sum(list_transform(range(0, 3), j ->
+        |        CASE WHEN i - j >= 0 THEN 1.0 * xs[i - j + 1] ELSE 0.0 END)) / 3.0) AS fs
+        |  FROM arr),
+        |rec(event_type, i, y) AS (
+        |  SELECT event_type, 0, (0.5 * xs[1] - 0.0) / 1.0 FROM arr
+        |  UNION ALL
+        |  SELECT a.event_type, r.i + 1, (0.5 * a.xs[r.i + 2] - ((-0.5) * r.y)) / 1.0
+        |  FROM rec r JOIN arr a USING (event_type) WHERE r.i + 1 < 30),
+        |firs AS (
+        |  SELECT event_type, array_to_string(list_transform(fs,
+        |    v -> CAST(CAST(round(v, 6) AS DECIMAL(18,6)) AS VARCHAR)), ',') AS firs
+        |  FROM fir),
+        |emas AS (
+        |  SELECT event_type, string_agg(CAST(CAST(round(y, 6) AS DECIMAL(18,6)) AS VARCHAR),
+        |    ',' ORDER BY i) AS emas
+        |  FROM rec GROUP BY 1)
+        |SELECT k.event_type, firs.firs, emas.emas
+        |FROM k JOIN firs USING (event_type) JOIN emas USING (event_type)
+        |ORDER BY event_type ASC""".stripMargin,
     "kql_string_ops_cs" ->
       """WITH t AS (
         |  SELECT * FROM (VALUES ('Spark rocks'), ('spark rocks'), ('reSpark'),

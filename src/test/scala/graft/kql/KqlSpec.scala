@@ -1182,6 +1182,20 @@ class KqlSpec extends SparkSpec {
       .collect().head.getSeq[Double](0) == Seq(0.0, 0.0, 0.0))
   }
 
+  test("parser: series_fir / series_iir — convolution edges, normalization, EMA recurrence") {
+    val reg = Map("T" -> Seq(Tuple1(Seq(1.0, 2.0, 3.0, 4.0))).toDF("y"))
+    val fir = KqlParser.run(
+      "T | project f = series_fir(y, pack_array(1.0, 1.0)), " +
+        "n = series_fir(y, pack_array(1.0, 1.0), true)", reg).collect().head
+    assert(fir.getSeq[Double](0) == Seq(1.0, 3.0, 5.0, 7.0)) // left edge = partial sum
+    assert(fir.getSeq[Double](1) == Seq(0.5, 1.5, 2.5, 3.5))
+    val reg2 = Map("T" -> Seq(Tuple1(Seq(2.0, 2.0, 2.0))).toDF("y"))
+    val iir = KqlParser.run(
+      "T | project e = series_iir(y, pack_array(0.5), pack_array(1.0, -0.5))", reg2)
+      .collect().head.getSeq[Double](0)
+    assert(iir == Seq(1.0, 1.5, 1.75)) // exponential smoothing recurrence
+  }
+
   test("parser: series similarity tier — dot/magnitude/cosine/pearson") {
     // x = [1,2,3], y = [2,4,6]: dot = 28, |x| = sqrt(14), |y| = sqrt(56),
     // cos = 28/sqrt(14*56) = 1 exactly (56 = 4*14 → sqrt exact product),
