@@ -3111,7 +3111,7 @@ object KqlParser {
             // array cell of exact percentiles (same EXACT-vs-T-digest
             // documented deviation as `percentile`).
             (expr(rw(s"percentile(${scalar(args(0), lets)}, array(" +
-              args.drop(1).map(p => s"($p) / 100.0").mkString(", ") + "))")),
+              args.drop(1).map(p => s"CAST(($p) / 100.0 AS DOUBLE)").mkString(", ") + "))")),
               defName(args(0)))
           case "percentilew" =>
             // ADX percentilew(col, weight, P): the weighted percentile

@@ -1401,6 +1401,13 @@ class KqlSpec extends SparkSpec {
     assert(out.values.sum == 4)
   }
 
+  test("parser: percentiles_array returns one exact-percentile array cell") {
+    val reg = Map("T" -> (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v"))
+    val r = KqlParser.run("T | summarize p = percentiles_array(v, 25, 50, 75)", reg)
+      .collect().head.getSeq[Double](0)
+    assert(r == Seq(25.75, 50.5, 75.25)) // exact linear interpolation
+  }
+
   test("parser: percentilew weights rows by frequency") {
     // values 1..4 with weight 1 except value 4 weighted 7: the weighted
     // 50th percentile lands on 4 (unweighted it would be 2.5).
