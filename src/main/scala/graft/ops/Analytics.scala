@@ -302,6 +302,51 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Top 3-step event paths (the product-analytics "common journeys"
+    * report): two leads over each user's event order, one count
+    * aggregate, TakeOrdered top-20. */
+  def eventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+      .limit(20)
+  }
+
+  /** Per-segment Gini coefficient of (non-negative) account balances —
+    * the inequality metric, computed EXACTLY: integer cents, the
+    * single-division form of the sorted-rank formula
+    * G = (2Σi·xᵢ − (n+1)Σx) / (nΣx), floored into micro-units by
+    * TWO-STAGE long division (×10³ twice) so the numerator never
+    * multiplies past BIGINT even at 1000× this corpus — the oracle
+    * replays the identical integer ops. The rank window partitions by
+    * segment — bounded groups, no global sort; tied balances contribute
+    * the same Σi·x whatever their relative rank order, so the id
+    * tiebreak is for determinism of the intermediate, not the result. */
+  def giniBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents").asc, col("c_custkey").asc)
+    Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") >= 0)
+      .select(col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"), col("c_custkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+        sum(col("rk") * col("cents")).as("sxi"))
+      .withColumn("q", expr("2 * sxi - (n + 1) * sx"))
+      .withColumn("d", expr("n * sx"))
+      .select(col("c_mktsegment"), col("n"),
+        expr("(q * 1000 DIV d) * 1000 + ((q * 1000 % d) * 1000) DIV d")
+          .as("gini_micro"))
+  }
+
   /** Bitwise-operator battery (AND/OR/XOR/shifts) over order keys. */
   def bitwiseOps(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir).select(
@@ -328,6 +373,8 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_retention_d1" -> retentionD1 _,
     "ev_transitions" -> eventTransitions _,
+    "ev_paths" -> eventPaths _,
+    "agg_gini_by_segment" -> giniBySegment _,
     "fn_bitwise" -> bitwiseOps _,
     "fn_null_semantics" -> nullSemantics _,
     "agg_pricing_summary" -> pricingSummary _,
@@ -357,6 +404,36 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ev_paths" ->
+      """SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT event_type AS e1,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS e2,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS e3
+        |  FROM events)
+        |WHERE e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 20""".stripMargin,
+    "agg_gini_by_segment" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    c_custkey
+        |  FROM customer WHERE c_acctbal >= 0),
+        |r AS (
+        |  SELECT c_mktsegment, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents ASC, c_custkey ASC) AS BIGINT) AS rk
+        |  FROM c),
+        |a AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sx, CAST(SUM(rk * cents) AS BIGINT) AS sxi
+        |  FROM r GROUP BY 1),
+        |b AS (
+        |  SELECT c_mktsegment, n,
+        |    2 * sxi - (n + 1) * sx AS q, n * sx AS d
+        |  FROM a)
+        |SELECT c_mktsegment, n,
+        |  CAST((q * 1000 // d) * 1000 + ((q * 1000 % d) * 1000) // d AS BIGINT) AS gini_micro
+        |FROM b""".stripMargin,
     "ev_transitions" ->
       """SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
         |  SELECT event_type,
