@@ -724,6 +724,16 @@ object ReferenceQueries {
       || project event_type, firs, emas
       || sort by event_type asc""".stripMargin
 
+  /** r10 `percentiles_array` — quartile array per event type,
+    * serialized through DECIMAL (exact-percentile deviation documented
+    * at the aggregate). */
+  val kqlPercentilesArrText: String =
+    """Events
+      || summarize p = percentiles_array(value, 25, 50, 75) by event_type
+      || extend quartiles = array_join(transform(p, x -> string(cast(round(x, 6) as decimal(18,6)))), ',')
+      || project event_type, quartiles
+      || sort by event_type asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -847,6 +857,7 @@ object ReferenceQueries {
     "kql_ipv4_lookup" -> kqlText(kqlIpv4LookupText) _,
     "kql_string_ops_cs" -> kqlText(kqlStringOpsCsText) _,
     "kql_series_filters" -> kqlText(kqlSeriesFilterText) _,
+    "kql_percentiles_arr" -> kqlText(kqlPercentilesArrText) _,
     "kql_parse_url" -> kqlText(kqlParseUrlText) _,
     "kql_parse_path_version" -> kqlText(kqlParsePathVersionText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
@@ -1099,6 +1110,11 @@ object ReferenceQueries {
         |  string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS ss,
         |  string_agg(CAST(CAST(round(m, 6) AS DECIMAL(18,6)) AS VARCHAR), ',' ORDER BY i) AS ms
         |FROM dense GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "kql_percentiles_arr" ->
+      """SELECT event_type,
+        |  array_to_string(list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),
+        |    x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR)), ',') AS quartiles
+        |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "kql_series_filters" ->
       """WITH RECURSIVE f AS (
         |  SELECT event_type,
