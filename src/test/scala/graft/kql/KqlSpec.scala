@@ -1134,7 +1134,7 @@ class KqlSpec extends SparkSpec {
     assert(out.getSeq[Double](3) == Seq(10.0, 10.0, 10.0))
     assert(out.getDouble(4) == 60.0 && out.getDouble(5) == 20.0)
     val e = intercept[IllegalArgumentException] {
-      KqlParser.run("T | extend z = series_fir(a)", reg)
+      KqlParser.run("T | extend z = series_cross_correlate(a)", reg)
     }
     assert(e.getMessage.contains("unsupported series function"))
   }
