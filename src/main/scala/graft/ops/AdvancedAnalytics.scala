@@ -318,6 +318,63 @@ object AdvancedAnalytics {
       .limit(10)
   }
 
+  /** TPC-H Q6 (forecasting revenue change): the pure scan-side query —
+    * every predicate and the product push into ONE parquet scan +
+    * partial/final aggregate; zero joins, zero window. The plan is the
+    * codegen floor every engine is measured against. */
+  def tpchQ6(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** TPC-H Q14 (promotion effect): promo-type revenue share — one
+    * broadcast dim join, conditional vs total aggregate in a single
+    * pass, ONE final division (micro-units via the same two-stage
+    * integer flooring as the Gini: cents products are exact
+    * DECIMAL(18,4) sums, scaled integer before the divide). */
+  def tpchQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = broadcast(Tables.part(spark, sfDir))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("promo"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("total"))
+      .select(
+        expr("CAST(promo * 10000 AS BIGINT)").as("promo_e4"),
+        expr("CAST(total * 10000 AS BIGINT)").as("total_e4"))
+      .select(col("promo_e4"), col("total_e4"),
+        expr("(promo_e4 * 1000 DIV total_e4) * 1000 + " +
+          "((promo_e4 * 1000 % total_e4) * 1000) DIV total_e4").as("promo_micro"))
+  }
+
+  /** TPC-H Q18 (large-volume customers): HAVING over a fact aggregate
+    * feeding a semi-join back onto the facts — the classic
+    * aggregate-then-join shape; the qualifying-order set is tiny and
+    * broadcasts. */
+  def tpchQ18(spark: SparkSession, sfDir: String, threshold: Int = 212): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > threshold)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty").cast("long").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** TPC-H Q5 shape: 6-table join (region→nation→customer→orders→
     * lineitem→supplier) with the customer-and-supplier-same-nation
     * constraint — the join-ordering stress test; the three dims
@@ -478,6 +535,9 @@ object AdvancedAnalytics {
     "join_tpch_q3" -> tpchQ3 _,
     "join_tpch_q5" -> tpchQ5 _,
     "join_tpch_q10" -> tpchQ10 _,
+    "agg_tpch_q6" -> tpchQ6 _,
+    "join_tpch_q14" -> tpchQ14 _,
+    "join_tpch_q18" -> ((sp: SparkSession, d: String) => tpchQ18(sp, d)),
     "agg_group_concat" -> groupConcat _,
     "ev_daily_anomaly" -> dailyAnomalies _,
     "agg_mode_per_group" -> modePerGroup _,
@@ -612,6 +672,39 @@ object AdvancedAnalytics {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "agg_tpch_q6" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "join_tpch_q14" ->
+      """WITH a AS (
+        |  SELECT
+        |    SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'),
+        |b AS (
+        |  SELECT CAST(promo * 10000 AS BIGINT) AS promo_e4,
+        |    CAST(total * 10000 AS BIGINT) AS total_e4
+        |  FROM a)
+        |SELECT promo_e4, total_e4,
+        |  CAST((promo_e4 * 1000 // total_e4) * 1000
+        |    + ((promo_e4 * 1000 % total_e4) * 1000) // total_e4 AS BIGINT) AS promo_micro
+        |FROM b""".stripMargin,
+    "join_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 212)
+        |SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum_qty AS BIGINT) AS sum_qty
+        |FROM orders JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "join_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
