@@ -375,6 +375,65 @@ object AdvancedAnalytics {
       .limit(100)
   }
 
+  /** TPC-H Q7 (volume shipping): bidirectional nation-pair trade volume
+    * by ship year — two broadcast nation joins under DISTINCT aliases
+    * (supplier's vs customer's), the disjunctive pair filter, exact
+    * DECIMAL revenue. Nations adapted to the synthetic corpus's
+    * NATION_1/NATION_2. */
+  def tpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = broadcast(Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    val s = broadcast(Tables.supplier(spark, sfDir))
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(n1, s("s_nationkey") === n1("s_nk"))
+      .join(n2, c("c_nationkey") === n2("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate").cast("date")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q13 (customer order-count distribution): LEFT outer join so
+    * zero-order customers survive into the c_count=0 bucket, then the
+    * histogram of histograms — two keyed aggregates, no window. */
+  def tpchQ13(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15 (top supplier): quarterly revenue per supplier, then the
+    * suppliers AT the maximum (the view + scalar-subquery shape) — the
+    * max is one exact DECIMAL scalar broadcast back over the bounded
+    * revenue relation. */
+  def tpchQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+        .as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(top), rev("total_revenue") === top("mx"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+  }
+
   /** TPC-H Q5 shape: 6-table join (region→nation→customer→orders→
     * lineitem→supplier) with the customer-and-supplier-same-nation
     * constraint — the join-ordering stress test; the three dims
@@ -536,6 +595,9 @@ object AdvancedAnalytics {
     "join_tpch_q5" -> tpchQ5 _,
     "join_tpch_q10" -> tpchQ10 _,
     "agg_tpch_q6" -> tpchQ6 _,
+    "join_tpch_q7" -> tpchQ7 _,
+    "join_tpch_q13" -> tpchQ13 _,
+    "join_tpch_q15" -> tpchQ15 _,
     "join_tpch_q14" -> tpchQ14 _,
     "join_tpch_q18" -> ((sp: SparkSession, d: String) => tpchQ18(sp, d)),
     "agg_group_concat" -> groupConcat _,
@@ -672,6 +734,38 @@ object AdvancedAnalytics {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "join_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year, l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "join_tpch_q13" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY 1""".stripMargin,
+    "join_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
     "agg_tpch_q6" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
