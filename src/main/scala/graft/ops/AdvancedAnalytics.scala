@@ -402,6 +402,43 @@ object AdvancedAnalytics {
         .cast("double").as("revenue"))
   }
 
+  /** TPC-H Q8 (national market share): NATION_1's share of ECONOMY-part
+    * volume sold into ASIA-region customers, per order year — the
+    * 8-relation join with two nation roles; share as exact integer
+    * micro-units (DECIMAL volumes scaled ×10⁴, the Q14/Gini two-stage
+    * flooring). */
+  def tpchQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = broadcast(Tables.part(spark, sfDir).filter(col("p_type") === "ECONOMY"))
+    val s = broadcast(Tables.supplier(spark, sfDir))
+    val n1 = broadcast(Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk")))
+    val n2 = broadcast(Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val r = broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA"))
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n1, c("c_nationkey") === n1("c_nk"))
+      .join(r, n1("c_rk") === r("r_regionkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(n2, s("s_nationkey") === n2("s_nk"))
+      .groupBy(year(col("o_orderdate").cast("date")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_1",
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("nat"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("tot"))
+      .select(col("o_year"),
+        expr("CAST(nat * 10000 AS BIGINT)").as("nat_e4"),
+        expr("CAST(tot * 10000 AS BIGINT)").as("tot_e4"))
+      .withColumn("mkt_share_micro",
+        expr("(nat_e4 * 1000 DIV tot_e4) * 1000 + ((nat_e4 * 1000 % tot_e4) * 1000) DIV tot_e4"))
+  }
+
   /** TPC-H Q13 (customer order-count distribution): LEFT outer join so
     * zero-order customers survive into the c_count=0 bucket, then the
     * histogram of histograms — two keyed aggregates, no window. */
@@ -596,6 +633,7 @@ object AdvancedAnalytics {
     "join_tpch_q10" -> tpchQ10 _,
     "agg_tpch_q6" -> tpchQ6 _,
     "join_tpch_q7" -> tpchQ7 _,
+    "join_tpch_q8" -> tpchQ8 _,
     "join_tpch_q13" -> tpchQ13 _,
     "join_tpch_q15" -> tpchQ15 _,
     "join_tpch_q14" -> tpchQ14 _,
@@ -734,6 +772,34 @@ object AdvancedAnalytics {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "join_tpch_q8" ->
+      """WITH f AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'),
+        |a AS (
+        |  SELECT o_year,
+        |    SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS nat,
+        |    SUM(volume) AS tot
+        |  FROM f GROUP BY 1),
+        |b AS (
+        |  SELECT o_year, CAST(nat * 10000 AS BIGINT) AS nat_e4,
+        |    CAST(tot * 10000 AS BIGINT) AS tot_e4
+        |  FROM a)
+        |SELECT o_year, nat_e4, tot_e4,
+        |  CAST((nat_e4 * 1000 // tot_e4) * 1000
+        |    + ((nat_e4 * 1000 % tot_e4) * 1000) // tot_e4 AS BIGINT) AS mkt_share_micro
+        |FROM b""".stripMargin,
     "join_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
