@@ -3620,7 +3620,11 @@ object KqlParser {
               "ipv4_is_private", "ipv4_is_in_range", "ipv4_compare",
               "ipv4_netmask_suffix",
               "parse_url", "parse_urlquery", "parse_path",
-              "parse_version")(w.toLowerCase) ||
+              "parse_version",
+              "set_union", "set_intersect", "set_difference", "set_has_element",
+              "array_rotate_left", "array_rotate_right",
+              "array_shift_left", "array_shift_right",
+              "array_slice", "array_iff", "array_iif")(w.toLowerCase) ||
               w.toLowerCase.startsWith("series_")) && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1
@@ -3910,6 +3914,67 @@ object KqlParser {
               case "ipv4_netmask_suffix" =>
                 require(args.length == 1, "ipv4_netmask_suffix expects (range)")
                 out.append(cidrPrefix(args(0)))
+              case "set_union" =>
+                // ADX set_* are SET-semantics array ops (results
+                // deduped); element order is unspecified in ADX, and
+                // here it is Spark's first-seen order — sort in the
+                // query when comparing.
+                require(args.length >= 2, "set_union expects (arr1, arr2, ...)")
+                out.append(args.reduce((x, y) => s"array_union($x, $y)"))
+              case "set_intersect" =>
+                require(args.length >= 2, "set_intersect expects (arr1, arr2, ...)")
+                out.append(args.reduce((x, y) => s"array_intersect($x, $y)"))
+              case "set_difference" =>
+                // elements of arr1 in none of the others
+                require(args.length >= 2, "set_difference expects (arr1, arr2, ...)")
+                out.append(args.reduce((x, y) => s"array_except($x, $y)"))
+              case "set_has_element" =>
+                require(args.length == 2, "set_has_element expects (arr, value)")
+                out.append(s"array_contains(${args(0)}, ${args(1)})")
+              case "array_rotate_left" | "array_rotate_right" =>
+                require(args.length == 2, s"$w expects (arr, n)")
+                val a = args(0)
+                val n0 = if (w.toLowerCase.endsWith("right")) s"-(${args(1)})" else args(1)
+                // pmod guards the negative direction; the size-0 guard
+                // keeps ANSI's pmod-by-zero error out of empty arrays
+                val r = s"pmod($n0, size($a))"
+                out.append(s"(CASE WHEN size($a) <= 1 THEN $a ELSE " +
+                  s"concat(slice($a, $r + 1, size($a) - $r), slice($a, 1, $r)) END)")
+              case "array_shift_left" | "array_shift_right" =>
+                // vacated slots take `fill` (null when omitted); a
+                // negative n shifts the other way — both directions are
+                // one index-shifted transform
+                require(args.length == 2 || args.length == 3,
+                  s"$w expects (arr, n [, fill])")
+                val a = args(0)
+                val n0 = if (w.toLowerCase.endsWith("right")) s"-(${args(1)})" else args(1)
+                // index 0 is a hard error even for try_element_at
+                // (Spark's 1-based contract) — guard the sub-1 range
+                val shifted = s"(CASE WHEN i + 1 + ($n0) >= 1 THEN " +
+                  s"try_element_at($a, i + 1 + ($n0)) ELSE NULL END)"
+                out.append(args.lift(2) match {
+                  case Some(fill) =>
+                    s"transform($a, (x, i) -> coalesce($shifted, $fill))"
+                  case None => s"transform($a, (x, i) -> $shifted)"
+                })
+              case "array_slice" =>
+                // ADX: 0-based INCLUSIVE bounds, negatives wrap from
+                // the end
+                require(args.length == 3, "array_slice expects (arr, start, end)")
+                val a = args(0)
+                def idx(e: String) = s"(CASE WHEN ($e) < 0 THEN size($a) + ($e) ELSE ($e) END)"
+                val (st, en) = (idx(args(1)), idx(args(2)))
+                out.append(s"(CASE WHEN $en < $st THEN slice($a, 1, 0) " +
+                  s"ELSE slice($a, $st + 1, $en - $st + 1) END)")
+              case "array_iff" | "array_iif" =>
+                // element-wise conditional; a null condition yields a
+                // null element (ADX), and a shorter value array yields
+                // null for the missing slots
+                require(args.length == 3, s"$w expects (condArr, ifTrue, ifFalse)")
+                val (c, t, f) = (args(0), args(1), args(2))
+                out.append(s"transform($c, (cc, i) -> CASE WHEN cc IS NULL THEN NULL " +
+                  s"WHEN cc THEN try_element_at($t, i + 1) " +
+                  s"ELSE try_element_at($f, i + 1) END)")
               case "parse_url" =>
                 // ADX parse_url → bag of URL components. Emitted as a
                 // typed struct over Spark's codegen'd parse_url parts;

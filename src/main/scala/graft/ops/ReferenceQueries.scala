@@ -734,6 +734,16 @@ object ReferenceQueries {
       || project event_type, quartiles
       || sort by event_type asc""".stripMargin
 
+  /** r10 set/array manipulation tier — set algebra (sorted for the
+    * order-unspecified deviation), rotate/shift/slice/iif over
+    * range-generated arrays. */
+  val kqlArrayOpsText: String =
+    """range i from 1 to 3 step 1
+      || extend a = pack_array(i, i + 1, i + 2, i * 2), b = pack_array(i + 1, tolong(4))
+      || extend u = array_join(transform(array_sort_asc(set_union(a, b)), x -> tostring(x)), ','), it = array_join(transform(array_sort_asc(set_intersect(a, b)), x -> tostring(x)), ','), df = array_join(transform(array_sort_asc(set_difference(a, b)), x -> tostring(x)), ','), rl = array_join(transform(array_rotate_left(a, 1), x -> tostring(x)), ','), sl = array_join(transform(array_shift_left(a, 1, tolong(0)), x -> tostring(x)), ','), sc = array_join(transform(array_slice(a, 1, 2), x -> tostring(x)), ','), he = set_has_element(a, 4)
+      || project i, u, it, df, rl, sl, sc, he
+      || sort by i asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -858,6 +868,7 @@ object ReferenceQueries {
     "kql_string_ops_cs" -> kqlText(kqlStringOpsCsText) _,
     "kql_series_filters" -> kqlText(kqlSeriesFilterText) _,
     "kql_percentiles_arr" -> kqlText(kqlPercentilesArrText) _,
+    "kql_array_ops" -> kqlText(kqlArrayOpsText) _,
     "kql_parse_url" -> kqlText(kqlParseUrlText) _,
     "kql_parse_path_version" -> kqlText(kqlParsePathVersionText) _,
     "kql_as_union" -> kqlText(kqlAsUnionText) _,
@@ -1110,6 +1121,19 @@ object ReferenceQueries {
         |  string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS ss,
         |  string_agg(CAST(CAST(round(m, 6) AS DECIMAL(18,6)) AS VARCHAR), ',' ORDER BY i) AS ms
         |FROM dense GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "kql_array_ops" ->
+      """WITH t AS (
+        |  SELECT i, [i, i + 1, i + 2, i * 2] AS a, [i + 1, CAST(4 AS BIGINT)] AS b
+        |  FROM (SELECT unnest(range(1, 4)) AS i))
+        |SELECT i,
+        |  array_to_string(list_sort(list_distinct(a || b)), ',') AS u,
+        |  array_to_string(list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))), ',') AS it,
+        |  array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ',') AS df,
+        |  array_to_string([a[2], a[3], a[4], a[1]], ',') AS rl,
+        |  array_to_string([a[2], a[3], a[4], CAST(0 AS BIGINT)], ',') AS sl,
+        |  array_to_string([a[2], a[3]], ',') AS sc,
+        |  list_contains(a, 4) AS he
+        |FROM t ORDER BY i ASC""".stripMargin,
     "kql_percentiles_arr" ->
       """SELECT event_type,
         |  array_to_string(list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),

@@ -1348,6 +1348,30 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unique"))
   }
 
+  test("parser: set/array manipulation tier — set ops, rotate, shift, slice, iif") {
+    val reg = Map("T" -> Seq((Seq(1L, 2L, 3L, 2L), Seq(2L, 4L))).toDF("a", "b"))
+    def one(q: String) = KqlParser.run("T | project v = " + q, reg).collect().head
+    assert(one("array_sort_asc(set_union(a, b))").getSeq[Long](0) == Seq(1L, 2L, 3L, 4L))
+    assert(one("set_intersect(a, b)").getSeq[Long](0) == Seq(2L))
+    assert(one("array_sort_asc(set_difference(a, b))").getSeq[Long](0) == Seq(1L, 3L))
+    assert(one("set_has_element(a, 3)").getBoolean(0))
+    assert(!one("set_has_element(b, 3)").getBoolean(0))
+    assert(one("array_rotate_left(a, 1)").getSeq[Long](0) == Seq(2L, 3L, 2L, 1L))
+    assert(one("array_rotate_right(a, 1)").getSeq[Long](0) == Seq(2L, 1L, 2L, 3L))
+    assert(one("array_rotate_left(a, -1)").getSeq[Long](0) == Seq(2L, 1L, 2L, 3L))
+    assert(one("array_rotate_left(a, 5)").getSeq[Long](0) == Seq(2L, 3L, 2L, 1L)) // mod size
+    assert(one("array_shift_left(a, 1)").getSeq[Any](0) == Seq(2L, 3L, 2L, null))
+    assert(one("array_shift_left(a, 1, 0)").getSeq[Long](0) == Seq(2L, 3L, 2L, 0L))
+    assert(one("array_shift_right(a, 2, 9)").getSeq[Long](0) == Seq(9L, 9L, 1L, 2L))
+    assert(one("array_slice(a, 1, 2)").getSeq[Long](0) == Seq(2L, 3L))
+    assert(one("array_slice(a, -2, -1)").getSeq[Long](0) == Seq(3L, 2L)) // wrap from end
+    assert(one("array_slice(a, 2, 1)").getSeq[Long](0) == Seq.empty)    // inverted → empty
+    val iif = KqlParser.run(
+      "T | extend c = pack_array(true, false, tobool(null), false) " +
+        "| project v = array_iff(c, a, b)", reg).collect().head.getSeq[Any](0)
+    assert(iif == Seq(1L, 4L, null, null)) // null cond → null; short b → null
+  }
+
   test("parser: case-sensitive _cs operators, matches regex, in~ and their negations") {
     val reg = Map("T" -> Seq("Spark GO", "spark go", "xSparky").map(Tuple1(_)).toDF("s"))
     def keep(q: String) = KqlParser.run(s"T | where $q | project s", reg)
