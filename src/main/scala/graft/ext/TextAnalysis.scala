@@ -298,6 +298,30 @@ object TextAnalysis {
         round(-avg(log2(col("c2").cast("double") / col("c1"))), 6).as("nll"))
   }
 
+  /** CCNet-style corpus partition (Wenzek et al. 2020): language-ID ×
+    * LM-perplexity tercile (head / middle / tail — the bucket CCNet
+    * keeps, samples, or drops), reported as per-(lang, bucket)
+    * accounting. Composes [[langIdOn]] and [[bigramPerplexity]] into
+    * ONE declarative plan; the tercile thresholds are two corpus-wide
+    * exact percentiles over the 6-dp-rounded doc scores (one scalar
+    * row, broadcast back — allowlisted cross join). Single-token docs
+    * have no bigrams and drop, as in CCNet. */
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val ppl = bigramPerplexity(spark, sfDir)
+    val lang = langId(spark, sfDir).select(col("doc_id"), col("lang_pred"))
+    val thr = ppl.agg(
+      percentile(col("nll"), lit(1.0 / 3)).as("t1"),
+      percentile(col("nll"), lit(2.0 / 3)).as("t2"))
+    ppl.join(lang, Seq("doc_id"))
+      .crossJoin(broadcast(thr))
+      .withColumn("ppl_bucket",
+        when(col("nll") <= col("t1"), "head")
+          .when(col("nll") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang_pred"), col("ppl_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("bigrams"))
+  }
+
   /** The full curation pipeline composed as ONE declarative plan —
     * what a real corpus build runs nightly: exact dedup (keep each
     * content group's min-id doc), then greedy near-dedup (drop docs
@@ -1019,6 +1043,7 @@ object TextAnalysis {
     "text_shuffle_order" -> shuffleOrder _,
     "text_length_buckets" -> lengthBuckets _,
     "text_hash_embedding" -> hashEmbeddings _,
+    "text_ccnet_buckets" -> ccnetBuckets _,
     "text_perceptron_train" -> perceptronTrain _,
     "text_dsir" -> dsirWeights _,
     "text_dsir_corpus" -> dsirCorpus _,
@@ -1172,6 +1197,41 @@ object TextAnalysis {
         |  CAST(SUM(bucket_hi - nt) AS BIGINT) AS pad_waste,
         |  CAST(SUM(bucket_hi - nt) * 100000000 // (COUNT(*) * bucket_hi) AS BIGINT) AS pad_pct_micro
         |FROM b GROUP BY bucket_hi""".stripMargin,
+    "text_ccnet_buckets" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+         |ppl AS (
+         |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    round(-AVG(log2(CAST(c2.c2 AS DOUBLE) / c1.c1)), 6) AS nll
+         |  FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+         |          JOIN c1 ON bg.w1 = c1.w1
+         |  GROUP BY bg.doc_id),
+         |lid AS (
+         |  SELECT doc_id,
+         |    CASE WHEN stop_ratio >= 0.08 THEN 'en'
+         |         WHEN avg_len >= 5.0 THEN 'de'
+         |         WHEN n_tokens >= 60 THEN 'fr'
+         |         ELSE 'und' END AS lang_pred
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST($nTokensSql AS INTEGER) AS n_tokens,
+         |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / $nTokensSql AS stop_ratio,
+         |      CAST(length(replace(text, ' ', '')) AS DOUBLE) / $nTokensSql AS avg_len
+         |    FROM documents)),
+         |thr AS (
+         |  SELECT quantile_cont(nll, 1.0 / 3) AS t1, quantile_cont(nll, 2.0 / 3) AS t2
+         |  FROM ppl)
+         |SELECT lang_pred,
+         |  CASE WHEN nll <= thr.t1 THEN 'head'
+         |       WHEN nll <= thr.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS bigrams
+         |FROM ppl JOIN lid USING (doc_id) CROSS JOIN thr
+         |GROUP BY 1, 2""".stripMargin,
     "text_perceptron_train" -> perceptronOracle(16, 3),
     "text_hash_embedding" ->
       """WITH w AS (

@@ -34,6 +34,7 @@ class PlanSweepSpec extends SparkSpec {
     "text_vocab_coverage", "text_quality_filter", "text_curated_corpus",
     "text_dsir", // two 1-row scalar cross joins: corpus/target totals onto the B-bucket model, percentile threshold onto the weights
     "text_dsir_corpus", // applied form of text_dsir — inherits the same two scalar cross joins; the select itself is a semi-join
+    "text_ccnet_buckets", // 1-row tercile-threshold cross join broadcast over the scored docs
     "layout_zorder", // 1-row scalar cross join: the adaptive curve-range width (max z) broadcast over the scan
 
     "kql_series_similarity", // deliberate k=1 cross pair of PRE-AGGREGATED series rows (|event types|² = 25); the data-carrying make-series stage is a keyed aggregate
