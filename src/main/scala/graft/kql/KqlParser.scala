@@ -3621,6 +3621,7 @@ object KqlParser {
               "ipv4_netmask_suffix",
               "parse_url", "parse_urlquery", "parse_path",
               "parse_version",
+              "dcount_intersect",
               "set_union", "set_intersect", "set_difference", "set_has_element",
               "array_rotate_left", "array_rotate_right",
               "array_shift_left", "array_shift_right",
@@ -3914,6 +3915,17 @@ object KqlParser {
               case "ipv4_netmask_suffix" =>
                 require(args.length == 1, "ipv4_netmask_suffix expects (range)")
                 out.append(cidrPrefix(args(0)))
+              case "dcount_intersect" =>
+                // ADX dcount_intersect over two hll() sketches:
+                // inclusion–exclusion on DataSketches estimates —
+                // |A∩B| ≈ est(A) + est(B) − est(A∪B). Two-sketch form
+                // only (ADX takes up to three — rejected by the arity
+                // check); can go slightly negative on tiny overlaps,
+                // clamped at 0 like ADX.
+                require(args.length == 2, "dcount_intersect expects (hll1, hll2)")
+                val (h1, h2) = (args(0), args(1))
+                out.append(s"greatest(0L, hll_sketch_estimate($h1) + " +
+                  s"hll_sketch_estimate($h2) - hll_sketch_estimate(hll_union($h1, $h2)))")
               case "set_union" =>
                 // ADX set_* are SET-semantics array ops (results
                 // deduped); element order is unspecified in ADX, and

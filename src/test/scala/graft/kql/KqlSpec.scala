@@ -1289,6 +1289,19 @@ class KqlSpec extends SparkSpec {
     assert(!out.contains(binMs(6)))
   }
 
+  test("parser: dcount_intersect estimates overlap via inclusion-exclusion") {
+    // A = 0..2999, B = 2000..4999 → true intersection 1000
+    val reg = Map("T" -> ((0 until 3000).map(i => (i.toLong, "a")) ++
+      (2000 until 5000).map(i => (i.toLong, "b"))).toDF("v", "g"))
+    // per-group sketches pivoted into one row (each minif sees exactly
+    // one sketch), then inclusion-exclusion
+    val est = KqlParser.run(
+      "T | summarize h = hll(v, 14) by g | summarize a = minif(h, g == 'a'), b = minif(h, g == 'b')" +
+        " | project x = dcount_intersect(a, b)", reg)
+    val v = est.collect().head.getLong(0)
+    assert(math.abs(v - 1000) <= 100, s"intersection estimate $v")
+  }
+
   test("parser: hll/hll_merge/dcount_hll — estimate accuracy and merge-vs-direct equality") {
     val reg = Map("T" -> (0 until 5000).map(i => (i.toLong, s"g${i % 4}")).toDF("v", "g"))
     // per-group estimate within 5% of truth (1250 distinct each)
