@@ -2156,6 +2156,38 @@ class KqlSpec extends SparkSpec {
     assert(e3.getMessage.contains("not supported"))
   }
 
+  test("parser: sequence_detect matches a plain-Scala first-anchor reference on random sequences") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(1234)
+    val types = Array("view", "click", "purchase")
+    // 40 users, ~400 events across 20 days at hour granularity
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val data = (1 to 400).map { _ =>
+      (rnd.nextInt(40).toLong,
+        new Timestamp(base + rnd.nextInt(20 * 24) * 3600000L),
+        types(rnd.nextInt(3)))
+    }.distinct // duplicate (uid, t) rows would make min-chain ties ambiguous in the reference
+    val out = KqlParser.run(
+      "E | extend sv = t2 == 'view', sc = t2 == 'click', sp = t2 == 'purchase' " +
+        "| evaluate sequence_detect(ts, 2d, 5d, sv, sc, sp, uid)",
+      Map("E" -> data.toDF("uid", "ts", "t2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val stepW = 2L * 86400000; val spanW = 5L * 86400000
+    val expected = data.groupBy(_._1).flatMap { case (uid, rows) =>
+      def minAfter(tpe: String, after: Long, cap: Long): Option[Long] =
+        rows.filter(r => r._3 == tpe && r._2.getTime > after && r._2.getTime <= cap)
+          .map(_._2.getTime).sorted.headOption
+      val t1 = rows.filter(_._3 == "view").map(_._2.getTime).sorted.headOption
+      for {
+        a <- t1
+        b <- minAfter("click", a, a + stepW)
+        c <- minAfter("purchase", b, b + stepW)
+        if c - a <= spanW
+      } yield (uid, a, b, c)
+    }.toSet
+    assert(out == expected && expected.nonEmpty)
+  }
+
   test("parser: scan matches a plain-Scala greedy reference on random sequences") {
     val rnd = new scala.util.Random(42)
     val types = Array("view", "click", "purchase")
