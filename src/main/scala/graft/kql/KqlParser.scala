@@ -601,6 +601,8 @@ object KqlParser {
             df = slidingWindowCountsVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("activity_engagement")) {
             df = activityEngagementVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("funnel_sequence_completion")) {
+            df = funnelCompletionVerb(df, body0, scoped); serialOrder = None
           } else if (body0.toLowerCase.startsWith("funnel_sequence")) {
             df = funnelSequenceVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("activity_counts_metrics")) {
@@ -638,8 +640,8 @@ object KqlParser {
             "evaluate supports only the pivot, bag_unpack, autocluster, " +
               "diffpatterns, sliding_window_counts, activity_engagement, " +
               "activity_counts_metrics, new_activity_metrics, rolling_percentile, " +
-              "active_users_count, sequence_detect, session_count, " +
-              s"ipv4_lookup, funnel_sequence and narrow plugins: $body0")
+              "active_users_count, sequence_detect, session_count, ipv4_lookup, " +
+              s"funnel_sequence, funnel_sequence_completion and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
             s"evaluate pivot expects pivot(col[, agg[, groupCols…]]): $body0")
@@ -2396,6 +2398,65 @@ object KqlParser {
         s"(${startS}L + ((__t - ${startS}L) DIV ${binS}L) * ${binS}L) * 1000")
         .as("bin_ms"))
       .agg(count(lit(1)).as("session_count"))
+  }
+
+  /** `evaluate funnel_sequence_completion(timeCol, MaxStepWindow,
+    * Start, End, Bin, expr1, ..., exprK, idCol)` — the funnel
+    * completion report: for every prefix length p (1..K), the count of
+    * ids whose FIRST-ANCHOR chain (same greedy semantics as
+    * [[sequenceDetectVerb]], and the same documented deviation from
+    * ADX's multi-sequence matching) completes steps 1..p, bucketed by
+    * the bin of the chain's FIRST step. Output: (bin_ms, prefix,
+    * n_ids); empty (bin, prefix) cells omitted.
+    *
+    * Shape: the chain loop's intermediate frames ARE the per-prefix
+    * populations — each adds one filtered id-keyed aggregate + small
+    * join, then one bin-keyed count; no extra corpus pass beyond
+    * sequence_detect's own budget. */
+  private def funnelCompletionVerb(df: DataFrame, body: String,
+                                   lets: Map[String, String]): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      "evaluate funnel_sequence_completion expects (timeCol, stepWindow, " +
+        s"start, end, bin, expr1, ..., idCol): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length >= 7,
+      s"funnel_sequence_completion needs timeCol, stepWindow, start, end, bin, >= 1 step exprs, idCol: $body")
+    val tCol = args(0)
+    val idCol = args.last
+    Seq(tCol, idCol).foreach(c => require(
+      c.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(c),
+      s"funnel_sequence_completion column '$c' not found (have: ${df.columns.mkString(", ")})"))
+    val stepW = spanSecs(args(1), "funnel_sequence_completion")
+    val (startS, endS) = (dtLiteralEpoch(args(2), "funnel_sequence_completion"),
+      dtLiteralEpoch(args(3), "funnel_sequence_completion"))
+    val binS = spanSecs(args(4), "funnel_sequence_completion")
+    require(binS > 0 && endS >= startS && (endS - startS) % binS == 0,
+      s"End - Start must be a non-negative multiple of bin: ${args(2)}..${args(3)}")
+    val steps = args.drop(5).dropRight(1)
+    val base = df.select(
+      col(idCol).as("__fc_id") +: unix_timestamp(col(tCol)).as("__t") +:
+        steps.zipWithIndex.map { case (e, i) =>
+          expr(scalar(e, lets)).cast("boolean").as(s"__e$i") }: _*)
+    var chain = base.filter(col("__e0") &&
+        col("__t") >= startS && col("__t") <= endS)
+      .groupBy(col("__fc_id")).agg(min(col("__t")).as("__t0"))
+    val binExpr = s"(${startS}L + ((__t0 - ${startS}L) DIV ${binS}L) * ${binS}L) * 1000"
+    def stageCount(c: DataFrame, prefix: Int): DataFrame =
+      c.groupBy(expr(binExpr).as("bin_ms"))
+        .agg(count(lit(1)).as("n_ids"))
+        .select(col("bin_ms"), lit(prefix).cast("int").as("prefix"), col("n_ids"))
+    var out = stageCount(chain, 1)
+    for (i <- 1 until steps.length) {
+      chain = base.filter(col(s"__e$i")).join(chain, "__fc_id")
+        .filter(col("__t") > col(s"__t${i - 1}") &&
+          col("__t") <= col(s"__t${i - 1}") + stepW)
+        .groupBy(col("__fc_id") +: (0 until i).map(j => col(s"__t$j")): _*)
+        .agg(min(col("__t")).as(s"__t$i"))
+      out = out.unionByName(stageCount(chain, i + 1))
+    }
+    out
   }
 
   /** `evaluate sequence_detect(timeCol, MaxStepWindow, MaxSpanWindow,

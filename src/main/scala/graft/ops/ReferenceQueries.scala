@@ -744,6 +744,15 @@ object ReferenceQueries {
       || project i, u, it, df, rl, sl, sc, he
       || sort by i asc""".stripMargin
 
+  /** r10 `evaluate funnel_sequence_completion` — weekly view→click→buy
+    * funnel prefix counts (first-anchor greedy semantics shared with
+    * sequence_detect). */
+  val kqlFunnelCompletionText: String =
+    """Events
+      || extend is_view = event_type == 'view', is_click = event_type == 'click', is_buy = event_type == 'purchase'
+      || evaluate funnel_sequence_completion(ts, 7d, datetime(2024-01-01), datetime(2024-01-29), 7d, is_view, is_click, is_buy, user_id)
+      || sort by prefix asc, bin_ms asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -863,6 +872,7 @@ object ReferenceQueries {
     "kql_active_users" -> kqlText(kqlActiveUsersText) _,
     "kql_hll_dcount" -> kqlText(kqlHllText) _,
     "kql_sequence_detect" -> kqlText(kqlSequenceDetectText) _,
+    "kql_funnel_completion" -> kqlText(kqlFunnelCompletionText) _,
     "kql_session_count" -> kqlText(kqlSessionCountText) _,
     "kql_ipv4_lookup" -> kqlText(kqlIpv4LookupText) _,
     "kql_string_ops_cs" -> kqlText(kqlStringOpsCsText) _,
@@ -1209,6 +1219,32 @@ object ReferenceQueries {
         |SELECT (1704412800 + ((t - 1704412800) // 86400) * 86400) * 1000 AS bin_ms,
         |  CAST(COUNT(*) AS BIGINT) AS session_count
         |FROM s GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "kql_funnel_completion" ->
+      """WITH ev AS (
+        |  SELECT user_id AS id, epoch_ns(ts) // 1000000000 AS t, event_type FROM events),
+        |s0 AS (
+        |  SELECT id, MIN(t) AS t0 FROM ev
+        |  WHERE event_type = 'view' AND t >= 1704067200 AND t <= 1706486400 GROUP BY id),
+        |s1 AS (
+        |  SELECT e.id, s0.t0, MIN(e.t) AS t1
+        |  FROM ev e JOIN s0 ON e.id = s0.id
+        |  WHERE e.event_type = 'click' AND e.t > s0.t0 AND e.t <= s0.t0 + 604800
+        |  GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT e.id, s1.t0, MIN(e.t) AS t2
+        |  FROM ev e JOIN s1 ON e.id = s1.id
+        |  WHERE e.event_type = 'purchase' AND e.t > s1.t1 AND e.t <= s1.t1 + 604800
+        |  GROUP BY 1, 2)
+        |SELECT (1704067200 + ((t0 - 1704067200) // 604800) * 604800) * 1000 AS bin_ms,
+        |  CAST(1 AS INTEGER) AS prefix, CAST(COUNT(*) AS BIGINT) AS n_ids
+        |FROM s0 GROUP BY 1
+        |UNION ALL
+        |SELECT (1704067200 + ((t0 - 1704067200) // 604800) * 604800) * 1000,
+        |  CAST(2 AS INTEGER), CAST(COUNT(*) AS BIGINT) FROM s1 GROUP BY 1
+        |UNION ALL
+        |SELECT (1704067200 + ((t0 - 1704067200) // 604800) * 604800) * 1000,
+        |  CAST(3 AS INTEGER), CAST(COUNT(*) AS BIGINT) FROM s2 GROUP BY 1
+        |ORDER BY prefix ASC, bin_ms ASC""".stripMargin,
     "kql_sequence_detect" ->
       """WITH ev AS (
         |  SELECT user_id AS id, epoch_ns(ts) // 1000000000 AS t, event_type FROM events),
