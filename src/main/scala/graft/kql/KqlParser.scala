@@ -3508,14 +3508,17 @@ object KqlParser {
                 out.append(s"(($a) + ($d - (($d % ($sz) + ($sz)) % ($sz))))")
             }
             i = close + 1
-          case Some(w) if w.toLowerCase == "bin" && {
+          case Some(w) if (w.toLowerCase == "bin" ||
+              w.toLowerCase == "floor") && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1
               j < s.length && s.charAt(j) == '('
             } =>
-            // KQL bin(value, size) = floor-to-multiple. Spark SQL's own
-            // `bin` renders a binary STRING, so a pass-through would be
-            // silently wrong — translate to arithmetic, recursing into
+            // KQL bin(value, size) = floor-to-multiple; ADX `floor` is
+            // an ALIAS of bin (2-arg). Spark SQL's own `bin` renders a
+            // binary STRING and its 2-arg `floor(expr, scale)` rounds
+            // to decimal DIGITS — both pass-throughs would be silently
+            // wrong — so translate to arithmetic, recursing into
             // both arguments (they may reference lets or nested calls).
             // Emitted as floor-mod subtraction, value - mod(value, size)
             // with mod folded into [0, size): stays in INTEGER arithmetic

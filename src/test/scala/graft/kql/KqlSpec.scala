@@ -1438,6 +1438,13 @@ class KqlSpec extends SparkSpec {
     assert(out.values.sum == 4)
   }
 
+  test("parser: floor(value, roundTo) is bin — not Spark's digit-scale floor") {
+    val reg = Map("T" -> Seq(12.7, -3.2, 125.0).map(Tuple1(_)).toDF("v"))
+    val out = KqlParser.run("T | project b = floor(v, 5)", reg)
+      .collect().map(_.getDouble(0)).toSet
+    assert(out == Set(10.0, -5.0, 125.0))
+  }
+
   test("parser: percentiles_array returns one exact-percentile array cell") {
     val reg = Map("T" -> (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v"))
     val r = KqlParser.run("T | summarize p = percentiles_array(v, 25, 50, 75)", reg)
