@@ -3686,6 +3686,8 @@ object KqlParser {
               "parse_url", "parse_urlquery", "parse_path",
               "parse_version",
               "dcount_intersect",
+              "translate", "max_of", "min_of", "exp2", "exp10",
+              "strcat_array", "isinf", "isfinite",
               "set_union", "set_intersect", "set_difference", "set_has_element",
               "array_rotate_left", "array_rotate_right",
               "array_shift_left", "array_shift_right",
@@ -3979,6 +3981,35 @@ object KqlParser {
               case "ipv4_netmask_suffix" =>
                 require(args.length == 1, "ipv4_netmask_suffix expects (range)")
                 out.append(cidrPrefix(args(0)))
+              case "translate" =>
+                // ADX translate(searchList, replacementList, source);
+                // Spark puts the SOURCE FIRST — a pass-through would
+                // silently translate the wrong argument.
+                require(args.length == 3,
+                  "translate expects (searchList, replacementList, source)")
+                out.append(s"translate(${args(2)}, ${args(0)}, ${args(1)})")
+              case "max_of" =>
+                require(args.length >= 2, "max_of expects (a, b, ...)")
+                out.append(s"greatest(${args.mkString(", ")})")
+              case "min_of" =>
+                require(args.length >= 2, "min_of expects (a, b, ...)")
+                out.append(s"least(${args.mkString(", ")})")
+              case "exp2" =>
+                require(args.length == 1, "exp2 expects (x)")
+                out.append(s"power(CAST(2 AS DOUBLE), ${args(0)})")
+              case "exp10" =>
+                require(args.length == 1, "exp10 expects (x)")
+                out.append(s"power(CAST(10 AS DOUBLE), ${args(0)})")
+              case "strcat_array" =>
+                require(args.length == 2, "strcat_array expects (array, delimiter)")
+                out.append(s"array_join(transform(${args(0)}, __x -> CAST(__x AS STRING)), ${args(1)})")
+              case "isinf" =>
+                require(args.length == 1, "isinf expects (x)")
+                out.append(s"(abs(CAST(${args(0)} AS DOUBLE)) = CAST('Infinity' AS DOUBLE))")
+              case "isfinite" =>
+                require(args.length == 1, "isfinite expects (x)")
+                out.append(s"(NOT isnan(CAST(${args(0)} AS DOUBLE)) AND " +
+                  s"abs(CAST(${args(0)} AS DOUBLE)) <> CAST('Infinity' AS DOUBLE))")
               case "dcount_intersect" =>
                 // ADX dcount_intersect over two hll() sketches:
                 // inclusion–exclusion on DataSketches estimates —

@@ -1438,6 +1438,21 @@ class KqlSpec extends SparkSpec {
     assert(out.values.sum == 4)
   }
 
+  test("parser: translate arg order, max_of/min_of, exp2/exp10, strcat_array, isinf") {
+    val reg = Map("T" -> Seq(Tuple1("abcabc")).toDF("s"))
+    def one(q: String) = KqlParser.run("T | project v = " + q, reg).collect().head
+    assert(one("translate('ab', 'xy', s)").getString(0) == "xycxyc") // source is LAST in ADX
+    assert(one("max_of(3, 7, 5)").getInt(0) == 7)
+    assert(one("min_of(3, 7, 5)").getInt(0) == 3)
+    assert(one("exp2(10)").getDouble(0) == 1024.0)
+    assert(one("exp10(3)").getDouble(0) == 1000.0)
+    assert(one("strcat_array(pack_array(1, 2, 3), '-')").getString(0) == "1-2-3")
+    assert(one("isinf(todouble('-Infinity'))").getBoolean(0))
+    assert(!one("isinf(1.5)").getBoolean(0))
+    assert(one("isfinite(1.5)").getBoolean(0))
+    assert(!one("isfinite(todouble('NaN'))").getBoolean(0)) // NaN is not finite
+  }
+
   test("parser: floor(value, roundTo) is bin — not Spark's digit-scale floor") {
     val reg = Map("T" -> Seq(12.7, -3.2, 125.0).map(Tuple1(_)).toDF("v"))
     val out = KqlParser.run("T | project b = floor(v, 5)", reg)
