@@ -3217,6 +3217,16 @@ object KqlParser {
             (expr(s"hll_union_agg(${rw(scalar(args(0), lets))})"), defName(args(0)))
           case "stdev"    => (stddev_samp(arg(0)), defName(args(0)))
           case "variance" => (var_samp(arg(0)), defName(args(0)))
+          case "stdevp"     => (stddev_pop(arg(0)), defName(args(0)))
+          case "variancep"  => (var_pop(arg(0)), defName(args(0)))
+          case "covariance"  => (covar_samp(arg(0), arg(1)), defName(args(0)))
+          case "covariancep" => (covar_pop(arg(0), arg(1)), defName(args(0)))
+          case "make_list_if" =>
+            // collect_list skips nulls, so the unmatched rows vanish —
+            // exactly ADX's conditional collect
+            (Kql.makeList(when(arg(1), arg(0))), defName(args(0)))
+          case "make_set_if" =>
+            (Kql.makeSet(when(arg(1), arg(0))), defName(args(0)))
           case "sumif"    => (sum(when(arg(1), arg(0))), defName(args(0)))
           case "avgif"    => (avg(when(arg(1), arg(0))), defName(args(0)))
           case "minif"    => (min(when(arg(1), arg(0))), defName(args(0)))

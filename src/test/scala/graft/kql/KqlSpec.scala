@@ -1453,6 +1453,20 @@ class KqlSpec extends SparkSpec {
     assert(!one("isfinite(todouble('NaN'))").getBoolean(0)) // NaN is not finite
   }
 
+  test("parser: population/conditional aggregates — stdevp, variancep, covariance, make_list_if") {
+    val reg = Map("T" -> Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y"))
+    val r = KqlParser.run(
+      "T | summarize vp = variancep(x), sp = stdevp(x), cv = covariance(x, y), " +
+        "cp = covariancep(x, y), ml = make_list_if(x, x >= 2), ms = make_set_if(x, x >= 2)", reg)
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 2.0 / 3) < 1e-12)      // population variance
+    assert(math.abs(r.getDouble(1) - math.sqrt(2.0 / 3)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12)          // sample covariance
+    assert(math.abs(r.getDouble(3) - 4.0 / 3) < 1e-12)      // population covariance
+    assert(r.getSeq[Double](4).sorted == Seq(2.0, 3.0))
+    assert(r.getSeq[Double](5).sorted == Seq(2.0, 3.0))
+  }
+
   test("parser: floor(value, roundTo) is bin — not Spark's digit-scale floor") {
     val reg = Map("T" -> Seq(12.7, -3.2, 125.0).map(Tuple1(_)).toDF("v"))
     val out = KqlParser.run("T | project b = floor(v, 5)", reg)
