@@ -122,6 +122,34 @@ import org.apache.spark.sql.functions._
   * desugars to anchored regexp_extract captures — literals are raw
   * regex fragments under `kind=regex`, and `:type` slots try_cast
   * (failed conversions null out, ADX-style).
+  *
+  * Fourth-wave additions (r10 continuation): the series similarity
+  * tier (`series_dot_product/magnitude/cosine_similarity/
+  * pearson_correlation` as left-to-right folds) and digital filters
+  * (`series_fir` causal convolution, `series_iir` sequential
+  * recurrence — deviations at each case); the IPv4 tier
+  * (`parse_ipv4[_mask]`, `format_ipv4`, `ipv4_is_in_range/compare/
+  * is_private`, `ipv4_netmask_suffix`) and `evaluate ipv4_lookup`
+  * (broadcast-dim longest-prefix match); URL/path/version parsing
+  * (`parse_url` component struct, `parse_urlquery`, `parse_path`,
+  * `parse_version` base-10⁸ DECIMAL packing); activity/sequence
+  * plugins `active_users_count`, `session_count`, `sequence_detect`
+  * and `funnel_sequence_completion` (first-anchor-greedy deviation
+  * documented at the verbs); HLL sketches (`hll`/`hll_merge`
+  * aggregates, `dcount_hll`, `dcount_intersect` inclusion–exclusion —
+  * Spark DataSketches); multi-aggregate `make-series` with per-series
+  * `default=` fills; `mv-expand with_itemindex=`; the case-SENSITIVE
+  * operator family (`contains_cs`/`has_cs`/`startswith_cs`/
+  * `endswith_cs` + negations), `matches regex` (Java-flavor
+  * deviation), `in~`/`!in~`; set algebra + array manipulation
+  * (`set_union/intersect/difference/has_element`,
+  * `array_rotate_*`/`array_shift_*`/`array_slice`/`array_iff`);
+  * `percentilew`/`percentiles_array`; population/conditional
+  * aggregates (`stdevp`, `variancep`, `covariance[p]`,
+  * `make_list_if`/`make_set_if`); and the same-name-different-
+  * semantics guards: ADX `floor` = bin (Spark's 2-arg floor rounds
+  * DIGITS), `translate` source-last arg order, `max_of`/`min_of`,
+  * `exp2`/`exp10`, `strcat_array`, `isinf`/`isfinite`.
   */
 object KqlParser {
 
