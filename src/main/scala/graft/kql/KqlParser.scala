@@ -317,6 +317,18 @@ object KqlParser {
       else if (tableName.startsWith("range") &&
                tableName.length > 5 && tableName.charAt(5).isWhitespace)
         rangeVerb(tableName.drop(5).trim, lets)
+      else if (tableName.startsWith("find") &&
+               tableName.length > 4 && tableName.charAt(4).isWhitespace)
+        // `find in (T1, T2, ...) where <pred>` — ADX's cross-table
+        // search as a ROOT stage: the predicate applies per table and
+        // the matches union BY NAME (missing columns null-fill, the
+        // ADX packing behavior for the common-schema case), each row
+        // tagged with its origin in `source_` (ADX's column name).
+        // Deviations (documented): the table list is REQUIRED (no
+        // database-wide default scope exists here), and a predicate
+        // referencing a column absent from one of the listed tables is
+        // rejected loudly rather than treated as null.
+        findVerb(tableName.drop(4).trim, tables, lets)
       else tables.getOrElse(tableName,
         throw new IllegalArgumentException(
           s"unknown table '$tableName' (known: ${tables.keys.mkString(", ")})"))
@@ -2426,6 +2438,27 @@ object KqlParser {
         s"(${startS}L + ((__t - ${startS}L) DIV ${binS}L) * ${binS}L) * 1000")
         .as("bin_ms"))
       .agg(count(lit(1)).as("session_count"))
+  }
+
+  /** The `find` root verb's implementation — see the dispatch comment
+    * for semantics and deviations. */
+  private def findVerb(rest: String, tables: Map[String, DataFrame],
+                       lets: Map[String, String]): DataFrame = {
+    val FindRe = "(?is)^in\\s*\\((.*?)\\)\\s+where\\s+(.+)$".r
+    val (names, pred) = rest match {
+      case FindRe(list, p) =>
+        (splitTopLevel(list, ',').map(_.trim).filter(_.nonEmpty), p.trim)
+      case other => throw new IllegalArgumentException(
+        s"find expects 'find in (T1, T2, ...) where <predicate>': find $other")
+    }
+    require(names.nonEmpty, "find needs at least one table")
+    val frames = names.map { n =>
+      val t = tables.getOrElse(n, throw new IllegalArgumentException(
+        s"find: unknown table '$n' (known: ${tables.keys.mkString(", ")})"))
+      t.filter(expr(scalar(pred, lets)))
+        .withColumn("source_", lit(n))
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** `evaluate funnel_sequence_completion(timeCol, MaxStepWindow,

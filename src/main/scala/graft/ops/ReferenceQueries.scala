@@ -753,6 +753,19 @@ object ReferenceQueries {
       || evaluate funnel_sequence_completion(ts, 7d, datetime(2024-01-01), datetime(2024-01-29), 7d, is_view, is_click, is_buy, user_id)
       || sort by prefix asc, bin_ms asc""".stripMargin
 
+  /** r10 `find` root verb — cross-table predicate search with source_
+    * provenance and null-filled schema union. */
+  val kqlFindText: String =
+    """let A = datatable(id:long, city:string, amount:long)[
+      |  1, 'Austin', 100, 2, 'Seattle', 200, 3, 'Austin', 300
+      |];
+      |let B = datatable(id:long, city:string, who:string)[
+      |  7, 'Austin', 'ann', 8, 'Boston', 'bob'
+      |];
+      |find in (A, B) where city == 'Austin'
+      || project source_, id, city, amount, who
+      || sort by source_ asc, id asc""".stripMargin
+
   /** r10 `as` verb — binds the pre-filter frame, then unions the bound
     * name back in: withsource labels must show the ROOT table name for
     * the piped-in side and the BOUND name for the operand, and the
@@ -873,6 +886,7 @@ object ReferenceQueries {
     "kql_hll_dcount" -> kqlText(kqlHllText) _,
     "kql_sequence_detect" -> kqlText(kqlSequenceDetectText) _,
     "kql_funnel_completion" -> kqlText(kqlFunnelCompletionText) _,
+    "kql_find" -> kqlText(kqlFindText) _,
     "kql_session_count" -> kqlText(kqlSessionCountText) _,
     "kql_ipv4_lookup" -> kqlText(kqlIpv4LookupText) _,
     "kql_string_ops_cs" -> kqlText(kqlStringOpsCsText) _,
@@ -1219,6 +1233,18 @@ object ReferenceQueries {
         |SELECT (1704412800 + ((t - 1704412800) // 86400) * 86400) * 1000 AS bin_ms,
         |  CAST(COUNT(*) AS BIGINT) AS session_count
         |FROM s GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "kql_find" ->
+      """SELECT * FROM (
+        |  SELECT 'A' AS source_, CAST(id AS BIGINT) AS id, city,
+        |    CAST(amount AS BIGINT) AS amount, CAST(NULL AS VARCHAR) AS who
+        |  FROM (VALUES (1, 'Austin', 100), (2, 'Seattle', 200), (3, 'Austin', 300))
+        |    AS a(id, city, amount)
+        |  WHERE city = 'Austin'
+        |  UNION ALL
+        |  SELECT 'B', CAST(id AS BIGINT), city, CAST(NULL AS BIGINT), who
+        |  FROM (VALUES (7, 'Austin', 'ann'), (8, 'Boston', 'bob')) AS b(id, city, who)
+        |  WHERE city = 'Austin')
+        |ORDER BY source_ ASC, id ASC""".stripMargin,
     "kql_funnel_completion" ->
       """WITH ev AS (
         |  SELECT user_id AS id, epoch_ns(ts) // 1000000000 AS t, event_type FROM events),

@@ -1467,6 +1467,20 @@ class KqlSpec extends SparkSpec {
     assert(r.getSeq[Double](5).sorted == Seq(2.0, 3.0))
   }
 
+  test("parser: find unions matches across tables with source_ tags; unknown table rejected") {
+    val reg = Map(
+      "A" -> Seq((1L, "x"), (2L, "y")).toDF("id", "tag"),
+      "B" -> Seq((3L, "x", 9L)).toDF("id", "tag", "extra"))
+    val out = KqlParser.run("find in (A, B) where tag == 'x'", reg).collect()
+      .map(r => (r.getAs[String]("source_"), r.getAs[Long]("id"),
+        Option(r.getAs[Any]("extra")))).toSet
+    assert(out == Set(("A", 1L, None), ("B", 3L, Some(9L))))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("find in (A, C) where tag == 'x'", reg)
+    }
+    assert(e.getMessage.contains("unknown table"))
+  }
+
   test("parser: floor(value, roundTo) is bin — not Spark's digit-scale floor") {
     val reg = Map("T" -> Seq(12.7, -3.2, 125.0).map(Tuple1(_)).toDF("v"))
     val out = KqlParser.run("T | project b = floor(v, 5)", reg)
