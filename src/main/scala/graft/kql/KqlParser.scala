@@ -329,6 +329,32 @@ object KqlParser {
         // referencing a column absent from one of the listed tables is
         // rejected loudly rather than treated as null.
         findVerb(tableName.drop(4).trim, tables, lets)
+      else if (tableName.startsWith("search") &&
+               tableName.length > 6 && tableName.charAt(6).isWhitespace &&
+               tableName.drop(6).trim.startsWith("in")) {
+        // `search in (T1, T2) 'term'` — the multi-table form of the
+        // search verb as a ROOT stage: per-table ci-substring over
+        // every string column, tagged and unioned like `find`.
+        val SearchRe = "(?is)^in\\s*\\((.*?)\\)\\s*('[^']*'|\"[^\"]*\")\\s*$".r
+        tableName.drop(6).trim match {
+          case SearchRe(list, lit0) =>
+            val term = lit0.substring(1, lit0.length - 1).toLowerCase
+            val names = splitTopLevel(list, ',').map(_.trim).filter(_.nonEmpty)
+            require(names.nonEmpty, "search in (...) needs at least one table")
+            val frames = names.map { n =>
+              val t = tbls.getOrElse(n, throw new IllegalArgumentException(
+                s"search: unknown table '$n' (known: ${tbls.keys.mkString(", ")})"))
+              val strCols = t.schema.fields
+                .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+              require(strCols.nonEmpty, s"search: table '$n' has no string columns")
+              t.filter(strCols.map(c => lower(col(c)).contains(term)).reduce(_ || _))
+                .withColumn("source_", lit(n))
+            }
+            frames.reduce(_.unionByName(_, allowMissingColumns = true))
+          case other => throw new IllegalArgumentException(
+            s"search root form expects search in (T1, ...) '<term>': search $other")
+        }
+      }
       else tables.getOrElse(tableName,
         throw new IllegalArgumentException(
           s"unknown table '$tableName' (known: ${tables.keys.mkString(", ")})"))

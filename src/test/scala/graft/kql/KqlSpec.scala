@@ -1467,6 +1467,15 @@ class KqlSpec extends SparkSpec {
     assert(r.getSeq[Double](5).sorted == Seq(2.0, 3.0))
   }
 
+  test("parser: search in (T1, T2) term — multi-table ci substring with source_ tags") {
+    val reg = Map(
+      "A" -> Seq((1L, "Spark rocks"), (2L, "plain")).toDF("id", "txt"),
+      "B" -> Seq((3L, "spark too", "extra")).toDF("id", "txt", "note"))
+    val out = KqlParser.run("search in (A, B) 'SPARK' | project source_, id", reg)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("A", 1L), ("B", 3L)))
+  }
+
   test("parser: find unions matches across tables with source_ tags; unknown table rejected") {
     val reg = Map(
       "A" -> Seq((1L, "x"), (2L, "y")).toDF("id", "tag"),
