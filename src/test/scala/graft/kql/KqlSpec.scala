@@ -1414,6 +1414,51 @@ class KqlSpec extends SparkSpec {
     assert(out2.toSeq == Seq((0, 1L), (1, -1L), (2, 3L)))
   }
 
+  test("parser: session_count matches a plain-Scala reference on random event streams") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(99)
+    val base = Timestamp.valueOf("2024-01-02 00:00:00").getTime
+    // 25 users, 300 events over 12 days at 10-minute granularity —
+    // includes pre-timeline suppression context before the Jan-4 start
+    val data = (1 to 300).map { _ =>
+      (rnd.nextInt(25).toLong,
+        new Timestamp(base + rnd.nextInt(12 * 144) * 600000L))
+    }.distinct
+    val out = KqlParser.run(
+      "E | evaluate session_count(uid, t, datetime(2024-01-04), datetime(2024-01-12), 1d, 1d)",
+      Map("E" -> data.toDF("uid", "t")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val startMs = Timestamp.valueOf("2024-01-04 00:00:00").getTime
+    val endMs = Timestamp.valueOf("2024-01-12 00:00:00").getTime
+    val lookMs = 86400000L
+    val expected = data.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ts = rows.map(_._2.getTime).sorted
+      ts.zip(None +: ts.init.map(Some(_))).collect {
+        case (t, prev) if t >= startMs && t <= endMs &&
+          prev.forall(p => t - p > lookMs) =>
+          startMs + ((t - startMs) / 86400000L) * 86400000L
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out == expected && expected.nonEmpty)
+  }
+
+  test("parser: funnel_sequence_completion — per-bin prefix counts are monotone non-increasing") {
+    val out = KqlParser.run(
+      "E | extend sv = event_type == 'view', sc = event_type == 'click', sp = event_type == 'purchase' " +
+        "| evaluate funnel_sequence_completion(ts, 7d, datetime(2024-01-01), datetime(2024-01-29), 7d, sv, sc, sp, user_id)",
+      Map("E" -> graft.ops.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // within a bin, completing prefix p+1 implies completing prefix p
+    // (the chain frames nest), so counts can only shrink with p
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byPrefix = rows.map(r => r._2 -> r._3).toMap
+      (1 until 3).foreach { p =>
+        assert(byPrefix.getOrElse(p + 1, 0L) <= byPrefix.getOrElse(p, Long.MaxValue))
+      }
+    }
+  }
+
   test("parser: evaluate session_count — gap-defined session starts per bin") {
     import java.sql.Timestamp
     def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
