@@ -991,7 +991,21 @@ object Dedup {
   def suffixLcpPairs(spark: SparkSession, sfDir: String): DataFrame =
     suffixLcpPairsOn(Tables.documents(spark, sfDir))
 
+  /** Cluster-size distribution — the dedup report a pipeline publishes
+    * (how much of the corpus sits in 2-doc twins vs giant components):
+    * one aggregate over [[dedupClusters]]'s (doc, cluster) assignment,
+    * then the histogram of component sizes. Singleton docs are outside
+    * the near-dup graph by construction (clusters only covers docs with
+    * at least one near-dup edge), matching the oracle's reach relation. */
+  def clusterSizes(spark: SparkSession, sfDir: String): DataFrame =
+    dedupClusters(spark, sfDir)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_sizes" -> clusterSizes _,
     "dedup_suffix_lcp" -> suffixLcpPairs _,
     "dedup_decontaminate" -> decontaminatedCorpus _,
     "dedup_incremental" -> ((s: SparkSession, d: String) => incrementalCleaned(s, d)),
@@ -1226,6 +1240,19 @@ object Dedup {
         |  FROM blocks a JOIN blocks b
         |    ON a.block_idx = b.block_idx AND a.block_key = b.block_key AND a.doc_id < b.doc_id)
         |WHERE hd <= 8""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashOracleCte,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jacp
+         |          UNION ALL SELECT doc_b, doc_a FROM jacp),
+         |reach AS (
+         |  SELECT u AS doc, u AS label FROM edges
+         |  UNION
+         |  SELECT e.v AS doc, r.label FROM edges e JOIN reach r ON r.doc = e.u),
+         |cl AS (SELECT doc, MIN(label) AS cluster FROM reach GROUP BY doc),
+         |szs AS (SELECT cluster, COUNT(*) AS sz FROM cl GROUP BY cluster)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM szs GROUP BY sz""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashOracleCte,
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM jacp
