@@ -3783,6 +3783,7 @@ object KqlParser {
               "parse_url", "parse_urlquery", "parse_path",
               "parse_version",
               "dcount_intersect",
+              "zip", "repeat", "gettype",
               "translate", "max_of", "min_of", "exp2", "exp10",
               "strcat_array", "isinf", "isfinite",
               "set_union", "set_intersect", "set_difference", "set_has_element",
@@ -4078,6 +4079,27 @@ object KqlParser {
               case "ipv4_netmask_suffix" =>
                 require(args.length == 1, "ipv4_netmask_suffix expects (range)")
                 out.append(cidrPrefix(args(0)))
+              case "zip" =>
+                // ADX zip(a, b) → array of 2-element pairs. Emitted as
+                // pair ARRAYS via zip_with, so both inputs must share
+                // an element type (ADX's heterogeneous dynamic pairs
+                // have no Spark ARRAY equivalent — documented
+                // restriction; arrays_zip's structs would change the
+                // element access syntax).
+                require(args.length == 2, "zip expects (arr1, arr2)")
+                out.append(s"zip_with(${args(0)}, ${args(1)}, (__a, __b) -> array(__a, __b))")
+              case "repeat" =>
+                // ADX repeat(value, count) builds an ARRAY (Spark's own
+                // `repeat` is string repetition — silently wrong).
+                require(args.length == 2, "repeat expects (value, count)")
+                out.append(s"array_repeat(${args(0)}, CAST(${args(1)} AS INT))")
+              case "gettype" =>
+                // Spark type names, not ADX's (typeof('x') says
+                // 'string' in both, but long → 'bigint') — documented
+                // deviation; the function exists for dispatch-style
+                // queries where the NAME is compared to itself.
+                require(args.length == 1, "gettype expects (value)")
+                out.append(s"typeof(${args(0)})")
               case "translate" =>
                 // ADX translate(searchList, replacementList, source);
                 // Spark puts the SOURCE FIRST — a pass-through would

@@ -1483,6 +1483,16 @@ class KqlSpec extends SparkSpec {
     assert(out.values.sum == 4)
   }
 
+  test("parser: zip pairs, repeat builds arrays, gettype reports Spark type names") {
+    val reg = Map("T" -> Seq(Tuple1(1L)).toDF("x"))
+    def one(q: String) = KqlParser.run("T | project v = " + q, reg).collect().head
+    assert(one("zip(pack_array(1, 2), pack_array(10, 20))").getSeq[scala.collection.Seq[Int]](0)
+      .map(_.toList).toList == List(List(1, 10), List(2, 20)))
+    assert(one("repeat('ab', 3)").getSeq[String](0) == Seq("ab", "ab", "ab"))
+    assert(one("gettype('s')").getString(0) == "string")
+    assert(one("gettype(x)").getString(0) == "bigint") // Spark name, documented deviation
+  }
+
   test("parser: translate arg order, max_of/min_of, exp2/exp10, strcat_array, isinf") {
     val reg = Map("T" -> Seq(Tuple1("abcabc")).toDF("s"))
     def one(q: String) = KqlParser.run("T | project v = " + q, reg).collect().head
