@@ -149,7 +149,11 @@ import org.apache.spark.sql.functions._
   * `make_list_if`/`make_set_if`); and the same-name-different-
   * semantics guards: ADX `floor` = bin (Spark's 2-arg floor rounds
   * DIGITS), `translate` source-last arg order, `max_of`/`min_of`,
-  * `exp2`/`exp10`, `strcat_array`, `isinf`/`isfinite`.
+  * `exp2`/`exp10`, `strcat_array`, `isinf`/`isfinite`; `zip`/`repeat`
+  * (ADX repeat builds ARRAYS — Spark's is string repetition)/
+  * `gettype`; and the cross-table ROOT verbs `find in (T1, ...) where`
+  * and `search in (T1, ...) 'term'` (per-table match, `source_`
+  * provenance, null-filled schema union).
   */
 object KqlParser {
 
