@@ -307,17 +307,24 @@ object Multimodal {
   /** Per-image quality stats from the same thumbnail grid the hashes
     * use: brightness (mean luma), contrast (population stdev), and the
     * low-information flag an image-corpus filter drops on (flat ≈
-    * single-color / blank frames). The flag compares the ROUNDED
-    * contrast so both engines decide from the identical 6-dp value —
-    * unrounded sums drift in last ulps across fold orders. */
+    * single-color / blank frames). Outputs are exact-integer
+    * micro-units, not round→DECIMAL (the r10 cross-engine hash-fail
+    * class — DuckDB versions resolve decimal half-ties differently):
+    * with luma ints, s = Σx and t = Σ(72x−s)² are exact BIGINTs, so
+    * brightness_u = ⌊10⁶·s/72⌋ is pure integer floor-division,
+    * contrast_u = ⌊10⁶·√(t/72³)⌋ is a chain of single correctly-
+    * rounded IEEE ops on an exact t (bit-identical on any engine),
+    * and flat ⇔ contrast < 10 ⇔ t < 100·72³ compares exactly. */
   def imageQualityOn(media: DataFrame,
                      decoder: MediaDecoder = StubDecoder): DataFrame = {
-    val mean = "(aggregate(g, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / 72)"
-    val varp = s"(aggregate(g, CAST(0 AS DOUBLE), (acc, x) -> acc + (x - $mean) * (x - $mean)) / 72)"
-    imageGrids(media, decoder).select(col("media_id"),
-      expr(s"cast(round($mean, 6) as decimal(18,6))").as("brightness"),
-      expr(s"cast(round(sqrt($varp), 6) as decimal(18,6))").as("contrast"),
-      expr(s"cast(round(sqrt($varp), 6) as decimal(18,6)) < 10").as("flat"))
+    imageGrids(media, decoder)
+      .withColumn("s", expr("aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("t", expr(
+        "aggregate(g, CAST(0 AS BIGINT), (acc, x) -> acc + (72 * x - s) * (72 * x - s))"))
+      .select(col("media_id"),
+        expr("CAST((1000000 * s) DIV 72 AS BIGINT)").as("brightness_u"),
+        expr("CAST(floor(sqrt(t / 373248.0) * 1000000.0) AS BIGINT)").as("contrast_u"),
+        expr("t < 37324800").as("flat"))
   }
 
   def imageQuality(spark: SparkSession, sfDir: String): DataFrame =
@@ -497,16 +504,22 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "mm_phash_dupes" -> phashOracle,
     "mm_frame_phash_dupes" -> framePhashOracle,
+    // Exact-integer micro-units mirroring imageQualityOn: s and t are
+    // exact BIGINTs, the contrast chain is single correctly-rounded
+    // IEEE ops, flat is a pure integer compare — no round→DECIMAL
+    // (the r10 cross-engine half-tie hash-fail class).
     "mm_image_quality" ->
       s"""WITH $imageGridCte,
-         |m AS (SELECT media_id, g, CAST(list_sum(g) AS DOUBLE) / 72 AS mean FROM gr),
+         |m AS (SELECT media_id, g, CAST(list_sum(g) AS BIGINT) AS s FROM gr),
          |q AS (
-         |  SELECT media_id,
-         |    CAST(round(mean, 6) AS DECIMAL(18,6)) AS brightness,
-         |    CAST(round(sqrt(list_sum(list_transform(g, x -> (x - mean) * (x - mean))) / 72), 6)
-         |      AS DECIMAL(18,6)) AS contrast
+         |  SELECT media_id, s,
+         |    CAST(list_sum(list_transform(g, x -> (72 * x - s) * (72 * x - s))) AS BIGINT) AS t
          |  FROM m)
-         |SELECT media_id, brightness, contrast, contrast < 10 AS flat FROM q""".stripMargin,
+         |SELECT media_id,
+         |  (1000000 * s) // 72 AS brightness_u,
+         |  CAST(floor(sqrt(t / 373248.0) * 1000000.0) AS BIGINT) AS contrast_u,
+         |  t < 37324800 AS flat
+         |FROM q""".stripMargin,
     "mm_features" ->
       s"""SELECT doc_id AS media_id,
          |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

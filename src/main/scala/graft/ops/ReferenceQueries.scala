@@ -233,21 +233,25 @@ object ReferenceQueries {
     * baseline, 1.5-sigma residual flags; the engine's documented
     * deviation from ADX's STL/Tukey internals), per-point z-scores
     * (`series_outliers`) and the `series_stats_dynamic` bag. Fractional
-    * outputs round to 6 dp DECIMAL (the cross-engine convention);
-    * count-valued series keep every sum exact in doubles, so slope and
-    * the flag comparisons are bit-reproducible in the oracle. */
+    * outputs ship as floor(x·10⁶) BIGINT micro-units, NOT
+    * round→DECIMAL(18,6): Spark's HALF_UP-on-shortest-repr and DuckDB's
+    * binary-double rounding resolve decimal half-ties differently
+    * across DuckDB versions (the r10 hash-fail class), whereas `*1e6`
+    * and `floor` are single correctly-rounded IEEE ops — bit-identical
+    * on any engine given the bit-identical doubles the count-valued
+    * series guarantees (every sum of integer-valued doubles is exact). */
   val kqlSeriesAnomaliesText: String =
     """Events
       || make-series n = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
       || extend f = series_fit_line_dynamic(n), a = series_decompose_anomalies(n, 1.5), st = series_stats_dynamic(n)
-      || extend slope = cast(round(f.slope, 6) as decimal(18,6)),
-      |         icept = cast(round(f.interception, 6) as decimal(18,6)),
-      |         rsq = cast(round(f.rsquare, 6) as decimal(18,6))
+      || extend slope_u = tolong(floor(f.slope * 1000000.0, 1)),
+      |         icept_u = tolong(floor(f.interception * 1000000.0, 1)),
+      |         rsq_u = tolong(floor(f.rsquare * 1000000.0, 1))
       || extend flags = array_join(a.ad_flag, ','),
       |         n_out = cast(array_sum(series_multiply(a.ad_flag, a.ad_flag)) as bigint)
-      || extend peak_z = cast(round(array_max(series_outliers(n)), 6) as decimal(18,6))
+      || extend peak_z_u = tolong(floor(array_max(series_outliers(n)) * 1000000.0, 1))
       || extend mn = st.min, mx = st.max, mx_i = st.max_idx
-      || project event_type, slope, icept, rsq, mn, mx, mx_i, n_out, peak_z, flags""".stripMargin
+      || project event_type, slope_u, icept_u, rsq_u, mn, mx, mx_i, n_out, peak_z_u, flags""".stripMargin
 
   /** `parse-where` — parse's row-dropping form (non-matching rows are
     * filtered, not null-filled): split every doc containing 'spark'
@@ -633,7 +637,12 @@ object ReferenceQueries {
 
   /** r10 path/version tier — parse_path component struct over mixed
     * '/'- and '\'-separated paths, parse_version base-10^8 packing
-    * (5-part and out-of-range inputs null). */
+    * (5-part and out-of-range inputs null). The packed version ships
+    * as its STRING rendering, not DECIMAL(38,0): integer-decimal
+    * digits are unambiguous across engines, whereas the driver's
+    * DuckDB renders DECIMAL(38,0)/HUGEINT differently across versions
+    * (the r10 hash-fail). Packing-order semantics stay pinned in
+    * `KqlSpec`. */
   val kqlParsePathVersionText: String =
     """let P = datatable(p:string, v:string)[
       |  '/a/b/c/file.tar.gz', '1.2.3.4',
@@ -643,7 +652,7 @@ object ReferenceQueries {
       |];
       |P
       || extend pp = parse_path(p)
-      || project p, root = pp.RootPath, dir = pp.DirectoryPath, dname = pp.DirectoryName, fname = pp.Filename, ext = pp.Extension, ver = parse_version(v)
+      || project p, root = pp.RootPath, dir = pp.DirectoryPath, dname = pp.DirectoryName, fname = pp.Filename, ext = pp.Extension, ver = tostring(parse_version(v))
       || sort by p asc""".stripMargin
 
   /** r10 `evaluate active_users_count` — engaged users per day: active
@@ -1331,6 +1340,11 @@ object ReferenceQueries {
         |    '+', ' '), '%20', ' ') AS decy,
         |  replace(path, '/', '%2F') AS enc
         |FROM d ORDER BY url ASC""".stripMargin,
+    // Every regexp_extract is COALESCE-pinned to '': no-match returns
+    // '' on some DuckDB versions and NULL on others (the r10 hash-fail
+    // hazard); Spark's regexp_extract always yields ''. ver is the
+    // STRING rendering of the DECIMAL(38,0) packing for the same
+    // reason (HUGEINT/DECIMAL render differences across versions).
     "kql_parse_path_version" ->
       """WITH p AS (
         |  SELECT * FROM (VALUES
@@ -1340,20 +1354,20 @@ object ReferenceQueries {
         |    ('/root/x.y/z', '0.0.0.0')) AS t(p, v)),
         |d AS (
         |  SELECT p, v,
-        |    regexp_extract(p, '^(.*)[/\\][^/\\]*$', 1) AS dir,
+        |    COALESCE(regexp_extract(p, '^(.*)[/\\][^/\\]*$', 1), '') AS dir,
         |    string_split(v, '.') AS vo
         |  FROM p)
         |SELECT p,
-        |  regexp_extract(p, '^([A-Za-z]:|/)', 1) AS root,
+        |  COALESCE(regexp_extract(p, '^([A-Za-z]:|/)', 1), '') AS root,
         |  dir,
-        |  regexp_extract(dir, '([^/\\]*)$', 1) AS dname,
-        |  regexp_extract(p, '([^/\\]*)$', 1) AS fname,
-        |  regexp_extract(p, '\.([^./\\]*)$', 1) AS ext,
+        |  COALESCE(regexp_extract(dir, '([^/\\]*)$', 1), '') AS dname,
+        |  COALESCE(regexp_extract(p, '([^/\\]*)$', 1), '') AS fname,
+        |  COALESCE(regexp_extract(p, '\.([^./\\]*)$', 1), '') AS ext,
         |  CASE WHEN regexp_matches(v, '^[0-9]{1,8}(\.[0-9]{1,8}){0,3}$') THEN
-        |    CAST(((COALESCE(TRY_CAST(vo[1] AS HUGEINT), 0) * 100000000
+        |    CAST(CAST(((COALESCE(TRY_CAST(vo[1] AS HUGEINT), 0) * 100000000
         |      + COALESCE(TRY_CAST(vo[2] AS BIGINT), 0)) * 100000000
         |      + COALESCE(TRY_CAST(vo[3] AS BIGINT), 0)) * 100000000
-        |      + COALESCE(TRY_CAST(vo[4] AS BIGINT), 0) AS DECIMAL(38,0))
+        |      + COALESCE(TRY_CAST(vo[4] AS BIGINT), 0) AS DECIMAL(38,0)) AS VARCHAR)
         |  ELSE NULL END AS ver
         |FROM d ORDER BY p ASC""".stripMargin,
     "kql_ipv4" ->
@@ -1648,10 +1662,11 @@ object ReferenceQueries {
          |FROM orders_info GROUP BY custid""".stripMargin,
     // Arithmetic mirrors the parser's series builders op-for-op: every
     // sum over the count-valued dense series is exact in doubles, so
-    // slope/intercept/trend/residual are bit-identical across engines;
-    // order-dependent sums of squares only drift in last ulps, absorbed
-    // by the 6 dp rounding, and the k-sigma flag comparison sits far
-    // from the threshold in ulp terms.
+    // slope/intercept/trend/residual are bit-identical across engines.
+    // Fractional outputs are floor(x*1e6) BIGINT micro-units — single
+    // correctly-rounded IEEE ops on bit-identical doubles — because
+    // round→DECIMAL(18,6) resolves half-ties differently across DuckDB
+    // versions (the r10 driver hash-fail class).
     "kql_series_anomalies" ->
       """WITH f AS (
         |  SELECT event_type,
@@ -1721,11 +1736,11 @@ object ReferenceQueries {
         |  FROM dense d JOIN fit4 f4 USING (event_type)
         |  WHERE d.vb = f4.mx GROUP BY 1)
         |SELECT f4.event_type,
-        |  CAST(round(f4.slope, 6) AS DECIMAL(18,6)) AS slope,
-        |  CAST(round(f4.icept, 6) AS DECIMAL(18,6)) AS icept,
-        |  CAST(round(1 - fs.ssres / NULLIF(fs.sstot, 0), 6) AS DECIMAL(18,6)) AS rsq,
+        |  CAST(floor(f4.slope * 1000000.0) AS BIGINT) AS slope_u,
+        |  CAST(floor(f4.icept * 1000000.0) AS BIGINT) AS icept_u,
+        |  CAST(floor((1 - fs.ssres / NULLIF(fs.sstot, 0)) * 1000000.0) AS BIGINT) AS rsq_u,
         |  f4.mn AS mn, f4.mx AS mx, mxi.mx_i, fl.n_out,
-        |  CAST(round(zs.pz, 6) AS DECIMAL(18,6)) AS peak_z,
+        |  CAST(floor(zs.pz * 1000000.0) AS BIGINT) AS peak_z_u,
         |  fl.flags
         |FROM fit4 f4
         |JOIN fitstats fs USING (event_type)

@@ -348,11 +348,12 @@ class ExtSpec extends SparkSpec {
     val q = Multimodal.imageQualityOn(media, Multimodal.ImageIoDecoder)
       .collect().map(r => r.getLong(0) -> r).toMap
     // constant 0x80: luma = (128*299+128*587+128*114)/1000 = 128 exactly
-    assert(q(0L).getDecimal(1).doubleValue == 128.0)
-    assert(q(0L).getDecimal(2).doubleValue == 0.0)
+    // (micro-units: floor(1e6 * 128) and zero contrast)
+    assert(q(0L).getLong(1) == 128000000L)
+    assert(q(0L).getLong(2) == 0L)
     assert(q(0L).getBoolean(3)) // flat
-    // gradient: visible contrast, not flat
-    assert(q(1L).getDecimal(2).doubleValue > 10.0)
+    // gradient: visible contrast (>10 in micro-units), not flat
+    assert(q(1L).getLong(2) > 10000000L)
     assert(!q(1L).getBoolean(3))
   }
 
