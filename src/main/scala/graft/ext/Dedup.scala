@@ -509,9 +509,12 @@ object Dedup {
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), "vec_a")
       .hint("shuffle_hash")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), "vec_b")
-      .withColumn("cos", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
-      .filter(col("cos") >= minCos)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+      // cos_u = floor(10⁶·cos): single-rounded IEEE chain, no
+      // round(_, 6) half-tie (see qualityScoresOn's scaladoc)
+      .withColumn("cos_u",
+        expr("CAST(floor(graft_dot(va, vb) / (na * nb) * 1000000.0) AS BIGINT)"))
+      .filter(col("cos_u") >= math.round(minCos * 1e6))
+      .select(col("vec_a"), col("vec_b"), col("cos_u"))
   }
 
   /** Exact all-pairs baseline for [[embeddingNearDups]] — O(n²), kept
@@ -532,9 +535,10 @@ object Dedup {
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
-      .filter(col("cos") >= minCos)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .withColumn("cos_u",
+        expr("CAST(floor(graft_dot(va, vb) / (na * nb) * 1000000.0) AS BIGINT)"))
+      .filter(col("cos_u") >= math.round(minCos * 1e6))
+      .select(col("vec_a"), col("vec_b"), col("cos_u"))
   }
 
   /** Dedup applied: the cleaned corpus — keep only each duplicate
@@ -575,14 +579,14 @@ object Dedup {
     * wants when duplicates differ in cleanliness. Neighbor-LOCAL, like
     * the id-greedy form: in a chain a–b–c where only adjacent pairs
     * verify, each doc is judged against its own neighbors (no
-    * connected-components iteration); quality is the 6-dp-rounded score
-    * of [[graft.ext.TextAnalysis.qualityScoresOn]], so the comparison
-    * is bit-stable cross-engine. Shape: the pair relation doubles into
-    * a directed neighbor list, two id-keyed joins fetch the scores, one
-    * anti join applies the drop — no new corpus-sized shuffle beyond
-    * [[minhashPairsOn]]'s own. */
+    * connected-components iteration); quality is the exact integer
+    * micro-score of [[graft.ext.TextAnalysis.qualityScoresOn]], so the
+    * comparison is integer-exact cross-engine. Shape: the pair relation
+    * doubles into a directed neighbor list, two id-keyed joins fetch
+    * the scores, one anti join applies the drop — no new corpus-sized
+    * shuffle beyond [[minhashPairsOn]]'s own. */
   def qualityDedupCorpusOn(docs: DataFrame): DataFrame = {
-    val q = TextAnalysis.qualityScoresOn(docs).select(col("doc_id"), col("quality"))
+    val q = TextAnalysis.qualityScoresOn(docs).select(col("doc_id"), col("quality_u"))
     val pairs = minhashPairsOn(docs)
     val nbrs = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
       .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
@@ -594,7 +598,7 @@ object Dedup {
       .select(col("doc_id")).distinct()
     docs.join(beaten, Seq("doc_id"), "left_anti")
       .join(q, Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("quality"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("quality_u"))
   }
 
   def qualityDedupCorpus(spark: SparkSession, sfDir: String): DataFrame =
@@ -1194,13 +1198,15 @@ object Dedup {
     "dedup_minhash_lsh" ->
       s"""WITH $minhashOracleCte
          |SELECT doc_a, doc_b, jac FROM jacp""".stripMargin,
+    // quality_u mirrors qualityScoresOn's exact integer micro-score —
+    // keep-best comparisons are integer-exact, no round half-tie.
     "dedup_quality_near" ->
       s"""WITH $minhashOracleCte,
          |qual AS (
          |  SELECT doc_id,
-         |    round(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-         |      / ${TextAnalysis.nTokensSql})
-         |      + 0.5 * (CAST(least(${TextAnalysis.nTokensSql}, 100) AS DOUBLE) / 100), 6) AS quality
+         |    CAST((500000 * len(list_distinct(string_split(text, ' '))))
+         |      // ${TextAnalysis.nTokensSql}
+         |      + 5000 * least(${TextAnalysis.nTokensSql}, 100) AS BIGINT) AS quality_u
          |  FROM documents),
          |nbrs AS (
          |  SELECT doc_a AS doc_id, doc_b AS nbr FROM jacp
@@ -1210,9 +1216,9 @@ object Dedup {
          |  FROM nbrs n
          |  JOIN qual qs ON qs.doc_id = n.doc_id
          |  JOIN qual qn ON qn.doc_id = n.nbr
-         |  WHERE qn.quality > qs.quality
-         |     OR (qn.quality = qs.quality AND n.nbr < n.doc_id))
-         |SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality
+         |  WHERE qn.quality_u > qs.quality_u
+         |     OR (qn.quality_u = qs.quality_u AND n.nbr < n.doc_id))
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality_u
          |FROM documents d JOIN qual q ON q.doc_id = d.doc_id
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM beaten)""".stripMargin,
     "dedup_cleaned_near" ->
@@ -1291,11 +1297,11 @@ object Dedup {
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id
          |    AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
-         |SELECT vec_a, vec_b, cos FROM (
+         |SELECT vec_a, vec_b, cos_u FROM (
          |  SELECT c.vec_a, c.vec_b,
-         |    round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]))
-         |      / (x.norm * y.norm), 6) AS cos
+         |    CAST(floor(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]))
+         |      / (x.norm * y.norm) * 1000000.0) AS BIGINT) AS cos_u
          |  FROM cand c JOIN e x ON x.vec_id = c.vec_a JOIN e y ON y.vec_id = c.vec_b)
-         |WHERE cos >= 0.4""".stripMargin,
+         |WHERE cos_u >= 400000""".stripMargin,
   )
 }

@@ -32,7 +32,15 @@ object TextAnalysis {
       s"cast(length(replace(text, ' ', '')) as double) / $nTokens as avg_token_len")
 
   /** Quality scoring: unique-token ratio + length saturation, the
-    * standard cheap pre-filters before expensive dedup/LLM scoring. */
+    * standard cheap pre-filters before expensive dedup/LLM scoring.
+    * The composite score is an EXACT integer micro-score (the r10
+    * `text_quality_classifier` pattern): 10⁶·quality =
+    * 500000·n_uniq/n_tokens + 5000·min(n_tokens,100), whose floor is
+    * pure integer arithmetic because the second term is integral. The
+    * old round(double, 6) form was the cross-engine half-tie class —
+    * n_tokens = 2ᵏ makes the score a dyadic rational whose decimal
+    * expansion terminates with a 7th-digit 5, which Spark (HALF_UP on
+    * shortest repr) and DuckDB versions round differently. */
   def qualityScoresOn(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_tokens", expr(s"cast($nTokens as int)"))
@@ -43,8 +51,8 @@ object TextAnalysis {
         "doc_id", "n_tokens", "n_uniq",
         "cast(n_uniq as double) / n_tokens as uniq_ratio",
         "cast(stop_hits as double) / n_tokens as stop_ratio",
-        """round(0.5 * (cast(n_uniq as double) / n_tokens)
-          |  + 0.5 * (cast(least(n_tokens, 100) as double) / 100), 6) as quality""".stripMargin)
+        """cast((500000L * n_uniq) DIV n_tokens
+          |  + 5000L * least(n_tokens, 100) as bigint) as quality_u""".stripMargin)
 
   def qualityScores(spark: SparkSession, sfDir: String): DataFrame =
     qualityScoresOn(Tables.documents(spark, sfDir))
@@ -147,21 +155,20 @@ object TextAnalysis {
     * tree-aggregate over one double column (swap `percentile` for
     * `approx_percentile` at extreme cardinality) and the keep-pass is
     * shuffle-free; never a global sort or single-partition window over
-    * the corpus. Both engines interpolate the 0.25-quantile linearly
-    * over identical 6-dp-rounded scores; the interpolated threshold is
-    * itself rounded to 6 dp on BOTH engines (matching the scores'
-    * precision) so a score sitting exactly on the quartile boundary
-    * cannot flip the `>=` across engines on a last-ulp difference in
-    * their lerp formulas. */
+    * the corpus. Scores are [[qualityScoresOn]]'s exact integer
+    * micro-scores; the 0.25-quantile lerp over INTEGER order statistics
+    * is exact in doubles on both engines (0.75a+0.25b and a+(b−a)·0.25
+    * both evaluate exactly for a, b < 2⁵³ at a dyadic fraction), so the
+    * `>=` cutoff can never flip cross-engine. */
   def qualityFilteredCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = Tables.documents(spark, sfDir).selectExpr(
       "doc_id", "lang", "source",
-      s"""round(0.5 * (cast(size(array_distinct(split(text, ' '))) as double) / $nTokens)
-         |  + 0.5 * (cast(least($nTokens, 100) as double) / 100), 6) as quality""".stripMargin)
-    val thr = scored.agg(expr("round(percentile(quality, 0.25), 6)").as("q25"))
+      s"""cast((500000L * size(array_distinct(split(text, ' ')))) DIV $nTokens
+         |  + 5000L * least($nTokens, 100) as bigint) as quality_u""".stripMargin)
+    val thr = scored.agg(expr("percentile(quality_u, 0.25)").as("q25"))
     scored.crossJoin(broadcast(thr))
-      .filter(col("quality") >= col("q25"))
-      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+      .filter(col("quality_u") >= col("q25"))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality_u"))
   }
 
   /** Per-source token accounting — the training-mix budget sheet: doc
@@ -340,12 +347,12 @@ object TextAnalysis {
     val exactKeepers = Dedup.exactDedupOn(docs).select(col("keeper").as("doc_id"))
     val dominated = Dedup.minhashPairs(spark, sfDir)
       .select(col("doc_b").as("doc_id")).distinct()
-    val quality = qualityFilteredCorpus(spark, sfDir).select("doc_id", "quality")
+    val quality = qualityFilteredCorpus(spark, sfDir).select("doc_id", "quality_u")
     docs
       .join(exactKeepers, Seq("doc_id"), "left_semi")
       .join(dominated, Seq("doc_id"), "left_anti")
       .join(quality, Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality_u"))
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
@@ -850,11 +857,11 @@ object TextAnalysis {
     * term frequencies L2-normalize into a unit vector — the cheap
     * trainable-free featurizer that bridges the text tier to the
     * similarity/ANN tier (hash embeddings feed [[Similarity]]'s
-    * LSH/IVF paths unchanged). Emitted LONG-FORM (doc_id, dim, tf, w):
-    * sparse rows only — a 10^6-dim hash space at 100 TB stays
+    * LSH/IVF paths unchanged). Emitted LONG-FORM (doc_id, dim, tf,
+    * w_u): sparse rows only — a 10^6-dim hash space at 100 TB stays
     * |tokens|-bounded, never |docs|×dims. Exact integer tf, one
     * IEEE sqrt + divide for the weight (identical cross-engine),
-    * rounded 6 dp. Shape: one (doc, bucket) aggregate + a per-doc norm
+    * floored to 10⁻⁶ micro-units. Shape: one (doc, bucket) aggregate + a per-doc norm
     * aggregate joined back — two keyed shuffles, no window. */
   def hashEmbeddingsOn(docs: DataFrame, dim: Int = 16): DataFrame = {
     require(dim > 0, s"dim must be positive: $dim")
@@ -866,9 +873,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val n = b.groupBy(col("doc_id"))
       .agg(expr("sqrt(sum(tf * tf))").as("__nrm"))
+    // w_u = floor(10⁶·tf/‖tf‖): Σtf² can be a perfect power of two
+    // (nrm = 2ᵏ), making tf/nrm a dyadic rational — the round(_, 6)
+    // half-tie class; floor of the single-rounded IEEE chain is
+    // version-independent on both engines.
     b.join(n, Seq("doc_id"))
       .select(col("doc_id"), col("dim"), col("tf"),
-        round(col("tf") / col("__nrm"), 6).as("w"))
+        expr("CAST(floor(tf / __nrm * 1000000.0) AS BIGINT)").as("w_u"))
   }
 
   def hashEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
@@ -1242,7 +1253,8 @@ object TextAnalysis {
         |    CAST(COUNT(*) AS BIGINT) AS tf
         |  FROM w GROUP BY 1, 2),
         |n AS (SELECT doc_id, sqrt(SUM(tf * tf)) AS nrm FROM b GROUP BY 1)
-        |SELECT b.doc_id, b.dim, b.tf, round(b.tf / n.nrm, 6) AS w
+        |SELECT b.doc_id, b.dim, b.tf,
+        |  CAST(floor(b.tf / n.nrm * 1000000.0) AS BIGINT) AS w_u
         |FROM b JOIN n USING (doc_id)""".stripMargin,
     "text_bpe_merge" ->
       """WITH w AS (
@@ -1329,12 +1341,15 @@ object TextAnalysis {
          |  CAST(length(text) AS INTEGER) AS n_chars_seen,
          |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / $nTokensSql AS avg_token_len
          |FROM documents""".stripMargin,
+    // quality_u is the exact integer micro-score (10⁶·quality):
+    // 500000·n_uniq // n_tokens + 5000·min(n_tokens, 100) — pure
+    // integer arithmetic on both engines, no round→double half-tie.
     "text_quality" ->
       s"""SELECT doc_id, n_tokens, n_uniq,
          |  CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
          |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
-         |  round(0.5 * (CAST(n_uniq AS DOUBLE) / n_tokens)
-         |    + 0.5 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100), 6) AS quality
+         |  CAST((500000 * n_uniq) // n_tokens
+         |    + 5000 * least(n_tokens, 100) AS BIGINT) AS quality_u
          |FROM (
          |  SELECT doc_id,
          |    CAST($nTokensSql AS INTEGER) AS n_tokens,
@@ -1344,25 +1359,25 @@ object TextAnalysis {
     "text_quality_filter" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang, source,
-         |    round(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTokensSql)
-         |      + 0.5 * (CAST(least($nTokensSql, 100) AS DOUBLE) / 100), 6) AS quality
+         |    CAST((500000 * len(list_distinct(string_split(text, ' ')))) // $nTokensSql
+         |      + 5000 * least($nTokensSql, 100) AS BIGINT) AS quality_u
          |  FROM documents),
-         |t AS (SELECT round(quantile_cont(quality, 0.25), 6) AS q25 FROM s)
-         |SELECT doc_id, lang, source, quality FROM s, t WHERE quality >= q25""".stripMargin,
+         |t AS (SELECT quantile_cont(quality_u, 0.25) AS q25 FROM s)
+         |SELECT doc_id, lang, source, quality_u FROM s, t WHERE quality_u >= q25""".stripMargin,
     "text_curated_corpus" ->
       s"""WITH ${Dedup.minhashOracleCte},
          |ek AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
          |s AS (
          |  SELECT doc_id,
-         |    round(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTokensSql)
-         |      + 0.5 * (CAST(least($nTokensSql, 100) AS DOUBLE) / 100), 6) AS quality
+         |    CAST((500000 * len(list_distinct(string_split(text, ' ')))) // $nTokensSql
+         |      + 5000 * least($nTokensSql, 100) AS BIGINT) AS quality_u
          |  FROM documents),
-         |t AS (SELECT round(quantile_cont(quality, 0.25), 6) AS q25 FROM s)
-         |SELECT d.doc_id, d.lang, d.source, s.quality
+         |t AS (SELECT quantile_cont(quality_u, 0.25) AS q25 FROM s)
+         |SELECT d.doc_id, d.lang, d.source, s.quality_u
          |FROM documents d
          |JOIN ek ON d.doc_id = ek.doc_id
          |JOIN s ON s.doc_id = d.doc_id
-         |JOIN t ON s.quality >= t.q25
+         |JOIN t ON s.quality_u >= t.q25
          |WHERE d.doc_id NOT IN (SELECT doc_b FROM jacp)""".stripMargin,
     "text_perplexity" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

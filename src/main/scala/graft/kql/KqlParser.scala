@@ -2134,7 +2134,11 @@ object KqlParser {
     * indistinguishable from wildcards); the 100 %-coverage all-wildcard
     * row is dropped. The coverage denominator comes from the cube's own
     * grand-total cell via a window over the CUBE OUTPUT (bounded cells,
-    * never the corpus), so no second scan and no scalar collect. */
+    * never the corpus), so no second scan and no scalar collect.
+    * Coverage is the exact integer micro-fraction n·10⁶ DIV total
+    * converted to double (the [[diffPatternsVerb]] convention) — a
+    * round(n/total, 6) share is a small-denominator rational, the
+    * cross-engine 6-dp half-tie class. */
   private def autoclusterVerb(df: DataFrame, body: String): DataFrame = {
     val open = body.indexOf('(')
     require(open > 0 && matchingParen(body, open) == body.length - 1,
@@ -2156,10 +2160,11 @@ object KqlParser {
       .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     cells
-      .withColumn("pct", round(col("n").cast("double") /
-        max(when(col("gid") === allWild, col("n"))).over(w), 6))
-      .filter(col("gid") =!= allWild && col("pct") >= minPct)
-      .drop("gid")
+      .withColumn("__total", max(when(col("gid") === allWild, col("n"))).over(w))
+      .withColumn("__pct_u", expr("(1000000L * n) DIV __total"))
+      .filter(col("gid") =!= allWild && col("__pct_u") >= math.round(minPct * 1e6))
+      .withColumn("pct", col("__pct_u").cast("double") / 1e6)
+      .drop("gid", "__total", "__pct_u")
   }
 
   /** `evaluate diffpatterns(splitCol, 'A', 'B'[, minDiffPct])` — ADX's

@@ -170,25 +170,29 @@ object ReferenceQueries {
     * dashboard can render them distinctly from true zeros). avg is over
     * the int user_id column so per-bin sums are exact integers and the
     * single double division is bit-identical cross-engine; the series
-    * serializes through DECIMAL(18,6) so both engines print the same
-    * fixed-scale text. */
+    * serializes as floor(x·10⁶) micro-units, not round→DECIMAL: avg is
+    * sum/count with arbitrary denominator, so a bin with e.g. 128 rows
+    * and odd sum is an EXACT 6-dp half-tie (m/2⁷ terminates with a
+    * 7th-digit 5), the class DuckDB versions resolve differently. */
   val kqlMakeSeriesAvgText: String =
     """Events
       || make-series a = avg(user_id) default = -1 on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
-      || extend series = array_join(transform(a, x -> string(cast(round(x, 6) as decimal(18,6)))), ',')
+      || extend series = array_join(transform(a, x -> string(tolong(floor(x * 1000000.0, 1)))), ',')
       || project event_type, series""".stripMargin
 
   /** r10 multi-aggregate `make-series` — three series in ONE pass, each
     * with its own default fill (count's implicit 0, explicit -1s); the
     * leading where leaves the first two bins empty so every fill is
     * observable. Integer-input sum and double max keep float parity
-    * (order-independent); serialization follows the avg query's
-    * DECIMAL convention. */
+    * (order-independent); the max series serializes as floor(x·10⁶)
+    * micro-units — max() is a selection, not arithmetic, so the double
+    * is bit-identical cross-engine and its floor is too (the avg
+    * query's convention, replacing the round→DECIMAL half-tie form). */
   val kqlMakeSeriesMultiText: String =
     """Events
       || where ts >= datetime(2024-01-03)
       || make-series c = count(), s = sum(user_id) default = -1, mx = max(value) default = -1 on ts from datetime(2024-01-01) to datetime(2024-01-10) step 1d by event_type
-      || extend cs = array_join(transform(c, x -> string(x)), ','), ss = array_join(transform(s, x -> string(x)), ','), ms = array_join(transform(mx, x -> string(cast(round(x, 6) as decimal(18,6)))), ',')
+      || extend cs = array_join(transform(c, x -> string(x)), ','), ss = array_join(transform(s, x -> string(x)), ','), ms = array_join(transform(mx, x -> string(tolong(floor(x * 1000000.0, 1)))), ',')
       || project event_type, cs, ss, ms
       || sort by event_type asc""".stripMargin
 
@@ -222,9 +226,9 @@ object ReferenceQueries {
     """Events
       || make-series n = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
       || extend delta = series_subtract(series_add(n, n), n)
-      || extend total = series_sum(n), mean = cast(round(series_avg(n), 6) as decimal(18,6))
+      || extend total = series_sum(n), mean_u = tolong(floor(series_avg(n) * 1000000.0, 1))
       || extend series = array_join(delta, ',')
-      || project event_type, total, mean, series""".stripMargin
+      || project event_type, total, mean_u, series""".stripMargin
 
   /** The r10 series-analysis tier over the same dense axis as
     * [[kqlSeriesMathText]]: least-squares trend (`series_fit_line_dynamic`
@@ -584,7 +588,10 @@ object ReferenceQueries {
     * Pearson over per-type daily count series: all 5×5 type pairs via a
     * k=1 cross join (25 rows — the series, not the pairing, carries the
     * data), upper triangle kept. Left-to-right fold determinism
-    * documented at the series builders. */
+    * documented at the series builders. dot is integer-valued (exact);
+    * the fractional three ship as floor(x·10⁶) micro-units — slope-like
+    * ratios of exact integer sums are small-denominator rationals, the
+    * round(_, 6) cross-engine half-tie class. */
   val kqlSeriesSimilarityText: String =
     """let S = Events
       || where ts >= datetime(2024-01-01) and ts < datetime(2024-01-31)
@@ -594,8 +601,8 @@ object ReferenceQueries {
       || extend k = 1
       || join kind=inner (S | extend k = 1) on k
       || where event_type < event_type1
-      || extend dot = round(series_dot_product(c, c1), 6), cos = round(series_cosine_similarity(c, c1), 6), r = round(series_pearson_correlation(c, c1), 6), mag = round(series_magnitude(c), 6)
-      || project et_a = event_type, et_b = event_type1, dot, cos, r, mag
+      || extend dot = series_dot_product(c, c1), cos_u = tolong(floor(series_cosine_similarity(c, c1) * 1000000.0, 1)), r_u = tolong(floor(series_pearson_correlation(c, c1) * 1000000.0, 1)), mag_u = tolong(floor(series_magnitude(c) * 1000000.0, 1))
+      || project et_a = event_type, et_b = event_type1, dot, cos_u, r_u, mag_u
       || sort by et_a asc, et_b asc""".stripMargin
 
   /** r10 IPv4 tier — parse/mask/format/compare/range/private over a
@@ -720,8 +727,12 @@ object ReferenceQueries {
 
   /** r10 `series_fir` / `series_iir` — 3-point moving average (FIR,
     * normalized) and exponential smoothing (IIR, α = 0.5) over the
-    * per-type daily count series; EMA values are dyadic rationals so
-    * 6-dp rounding can never tie. */
+    * per-type daily count series. Serialized as floor(x·10⁶)
+    * micro-units, not round→DECIMAL: EMA values are dyadic rationals
+    * m/2ᵏ, which is exactly the 6-dp half-tie class (odd m/2⁷
+    * terminates with a 7th-digit 5, exactly representable in double —
+    * the tie DuckDB versions resolve differently); floor of the
+    * bit-identical double is version-independent. */
   val kqlSeriesFilterText: String =
     """let S = Events
       || where ts >= datetime(2024-01-01) and ts < datetime(2024-01-31)
@@ -729,17 +740,21 @@ object ReferenceQueries {
       || project event_type, c;
       |S
       || extend fir = series_fir(c, pack_array(1.0, 1.0, 1.0), true), ema = series_iir(c, pack_array(0.5), pack_array(1.0, -0.5))
-      || extend firs = array_join(transform(fir, x -> string(cast(round(x, 6) as decimal(18,6)))), ','), emas = array_join(transform(ema, x -> string(cast(round(x, 6) as decimal(18,6)))), ',')
+      || extend firs = array_join(transform(fir, x -> string(tolong(floor(x * 1000000.0, 1)))), ','), emas = array_join(transform(ema, x -> string(tolong(floor(x * 1000000.0, 1)))), ',')
       || project event_type, firs, emas
       || sort by event_type asc""".stripMargin
 
-  /** r10 `percentiles_array` — quartile array per event type,
-    * serialized through DECIMAL (exact-percentile deviation documented
-    * at the aggregate). */
+  /** r10 `percentiles_array` — quartile array per event type over
+    * exact integer CENTS (value is 2 dp), serialized as micro-units of
+    * the original value scale. Quartile fractions are dyadic (f = k/4),
+    * so both engines' lerp formulas — (1−f)a+fb and a+(b−a)·f — are
+    * EXACT over integer order statistics and yield the same integral
+    * double (cents·10⁴ micro); no round→DECIMAL half-tie surface. */
   val kqlPercentilesArrText: String =
     """Events
-      || summarize p = percentiles_array(value, 25, 50, 75) by event_type
-      || extend quartiles = array_join(transform(p, x -> string(cast(round(x, 6) as decimal(18,6)))), ',')
+      || extend cents = tolong(floor(value * 100 + 0.5, 1))
+      || summarize p = percentiles_array(cents, 25, 50, 75) by event_type
+      || extend quartiles = array_join(transform(p, x -> string(tolong(x * 10000.0))), ',')
       || project event_type, quartiles
       || sort by event_type asc""".stripMargin
 
@@ -1047,9 +1062,9 @@ object ReferenceQueries {
         |  FROM src GROUP BY CUBE(event_type, vband, hot)),
         |tot AS (SELECT n AS total FROM cells WHERE g = 7)
         |SELECT event_type, vband, hot, CAST(n AS BIGINT) AS n,
-        |  round(CAST(n AS DOUBLE) / total, 6) AS pct
+        |  CAST((1000000 * n) // total AS DOUBLE) / 1000000.0 AS pct
         |FROM cells, tot
-        |WHERE g <> 7 AND round(CAST(n AS DOUBLE) / total, 6) >= 0.05
+        |WHERE g <> 7 AND (1000000 * n) // total >= 50000
         |ORDER BY pct DESC, event_type ASC NULLS FIRST,
         |  vband ASC NULLS FIRST, hot ASC NULLS FIRST""".stripMargin,
     "kql_diffpatterns" ->
@@ -1122,11 +1137,11 @@ object ReferenceQueries {
         |  FROM dense x JOIN dense y ON x.i = y.i AND x.event_type < y.event_type
         |  GROUP BY 1, 2)
         |SELECT et_a, et_b,
-        |  round(sxy, 6) AS dot,
-        |  round(sxy / (sqrt(sxx) * sqrt(syy)), 6) AS cos,
-        |  round((n * sxy - sx * sy)
-        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r,
-        |  round(sqrt(sxx), 6) AS mag
+        |  sxy AS dot,
+        |  CAST(floor(sxy / (sqrt(sxx) * sqrt(syy)) * 1000000.0) AS BIGINT) AS cos_u,
+        |  CAST(floor((n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1000000.0) AS BIGINT) AS r_u,
+        |  CAST(floor(sqrt(sxx) * 1000000.0) AS BIGINT) AS mag_u
         |FROM p ORDER BY et_a, et_b""".stripMargin,
     "kql_make_series_multi" ->
       """WITH f AS (
@@ -1152,7 +1167,7 @@ object ReferenceQueries {
         |SELECT event_type,
         |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY i) AS cs,
         |  string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS ss,
-        |  string_agg(CAST(CAST(round(m, 6) AS DECIMAL(18,6)) AS VARCHAR), ',' ORDER BY i) AS ms
+        |  string_agg(CAST(CAST(floor(m * 1000000.0) AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS ms
         |FROM dense GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "kql_array_ops" ->
       """WITH t AS (
@@ -1168,10 +1183,14 @@ object ReferenceQueries {
         |  list_contains(a, 4) AS he
         |FROM t ORDER BY i ASC""".stripMargin,
     "kql_percentiles_arr" ->
-      """SELECT event_type,
-        |  array_to_string(list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),
-        |    x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR)), ',') AS quartiles
-        |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type,
+        |  array_to_string(list_transform(quantile_cont(cents, [0.25, 0.5, 0.75]),
+        |    x -> CAST(CAST(x * 10000.0 AS BIGINT) AS VARCHAR)), ',') AS quartiles
+        |FROM c GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "kql_series_filters" ->
       """WITH RECURSIVE f AS (
         |  SELECT event_type,
@@ -1200,10 +1219,10 @@ object ReferenceQueries {
         |  FROM rec r JOIN arr a USING (event_type) WHERE r.i + 1 < 30),
         |firs AS (
         |  SELECT event_type, array_to_string(list_transform(fs,
-        |    v -> CAST(CAST(round(v, 6) AS DECIMAL(18,6)) AS VARCHAR)), ',') AS firs
+        |    v -> CAST(CAST(floor(v * 1000000.0) AS BIGINT) AS VARCHAR)), ',') AS firs
         |  FROM fir),
         |emas AS (
-        |  SELECT event_type, string_agg(CAST(CAST(round(y, 6) AS DECIMAL(18,6)) AS VARCHAR),
+        |  SELECT event_type, string_agg(CAST(CAST(floor(y * 1000000.0) AS BIGINT) AS VARCHAR),
         |    ',' ORDER BY i) AS emas
         |  FROM rec GROUP BY 1)
         |SELECT k.event_type, firs.firs, emas.emas
@@ -1763,7 +1782,7 @@ object ReferenceQueries {
         |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i)
         |SELECT event_type,
         |  CAST(SUM(v) AS DOUBLE) AS total,
-        |  CAST(ROUND(SUM(v) / 30.0, 6) AS DECIMAL(18,6)) AS mean,
+        |  CAST(floor(SUM(v) / 30.0 * 1000000.0) AS BIGINT) AS mean_u,
         |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS series
         |FROM dense GROUP BY event_type""".stripMargin,
     "kql_filter_idioms" ->
@@ -1890,7 +1909,7 @@ object ReferenceQueries {
         |  FROM k CROSS JOIN axis a
         |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i)
         |SELECT event_type,
-        |  array_to_string(list(CAST(round(v, 6) AS DECIMAL(18,6)) ORDER BY i), ',') AS series
+        |  array_to_string(list(CAST(floor(v * 1000000.0) AS BIGINT) ORDER BY i), ',') AS series
         |FROM dense GROUP BY event_type""".stripMargin,
     "kql_periods_detect" ->
       """WITH f AS (

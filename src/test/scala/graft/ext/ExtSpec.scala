@@ -194,12 +194,12 @@ class ExtSpec extends SparkSpec {
       (2L, "gamma", "en"))
     val e = TextAnalysis.hashEmbeddingsOn(d, dim = 8).collect()
       .groupBy(_.getLong(0)).view
-      .mapValues(_.map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq)
+      .mapValues(_.map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq)
       .toMap
     assert(e(0L) == e(1L))                       // determinism: same text → same vector
-    assert(e(2L).map(_._3) == Seq(1.0))          // single token: weight exactly 1
-    // unit norm (within the 6-dp rounding of each component)
-    val n0 = math.sqrt(e(0L).map(x => x._3 * x._3).sum)
+    assert(e(2L).map(_._3) == Seq(1000000L))     // single token: weight exactly 1
+    // unit norm (within the micro-unit floor of each component)
+    val n0 = math.sqrt(e(0L).map(x => (x._3 / 1e6) * (x._3 / 1e6)).sum)
     assert(math.abs(n0 - 1.0) < 1e-5)
     // tf of the doubled token is 2 (unless alpha/beta collide in 8 buckets)
     if (e(0L).size == 2) assert(e(0L).map(_._2).sorted == Seq(1L, 2L))
