@@ -77,6 +77,11 @@ object Kql {
       * (ADX's with_itemindex), via posexplode. */
     def mvExpandIndexed(ixName: String, name: String, arr: Column,
                         castTo: Option[String] = None): DataFrame = {
+      // loud rejection (the parser's convention) instead of posexplode
+      // emitting a duplicate column that fails later with an ambiguity
+      // error far from the query text
+      require(!df.columns.contains(ixName),
+        s"mv-expand with_itemindex name '$ixName' collides with an existing column")
       // when expanding an existing column in place, the source column
       // is dropped from the carry-through list (posexplode re-emits it)
       val carried = df.columns.filterNot(_ == name).map(col)

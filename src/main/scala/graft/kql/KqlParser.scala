@@ -665,6 +665,8 @@ object KqlParser {
             df = bagUnpackVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("autocluster")) {
             df = autoclusterVerb(df, body0); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("basket")) {
+            df = basketVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("diffpatterns")) {
             df = diffPatternsVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("sliding_window_counts")) {
@@ -708,7 +710,7 @@ object KqlParser {
           } else {
           require(body0.toLowerCase.startsWith("pivot"),
             "evaluate supports only the pivot, bag_unpack, autocluster, " +
-              "diffpatterns, sliding_window_counts, activity_engagement, " +
+              "basket, diffpatterns, sliding_window_counts, activity_engagement, " +
               "activity_counts_metrics, new_activity_metrics, rolling_percentile, " +
               "active_users_count, sequence_detect, session_count, ipv4_lookup, " +
               s"funnel_sequence, funnel_sequence_completion and narrow plugins: $body0")
@@ -2167,21 +2169,129 @@ object KqlParser {
       .drop("gid", "__total", "__pct_u")
   }
 
+  /** `evaluate basket([Threshold])` — ADX's frequent-pattern (market
+    * basket) plugin: every attribute-value pattern over the CURRENT
+    * columns whose row coverage is at least `Threshold` of the table
+    * (ADX default 0.05), with count and coverage share — the
+    * arbitrary-size generalization of the k=2 co-occurrence pass
+    * (`AdvancedAnalytics.basketPairs`).
+    *
+    * Implemented as level-wise Apriori rather than [[autoclusterVerb]]'s
+    * cube: level-1 items are the frequent single assignments; level k
+    * candidates extend each frequent (k−1)-tuple a transaction holds by
+    * one of that SAME transaction's items with a strictly larger
+    * attribute index (each subset generated exactly once, so a plain
+    * count is the support), support-pruned before the next level.
+    * At 100 TB this is the scalable shape: every candidate join is
+    * keyed by the transaction id (co-partitioned level to level), the
+    * pattern aggregate is bounded by the FREQUENT pattern count, and
+    * the infrequent part of the 2^k cube is never materialized —
+    * exactly Apriori's pruning guarantee (any frequent k-pattern has
+    * all (k−1)-sub-patterns frequent). The per-level driver loop is
+    * bounded by the attribute count (≤ 8, rejected loudly above that).
+    *
+    * DEVIATIONS (documented): ADX's weighted/advanced arguments are
+    * unsupported; attribute values are emitted as STRINGS (wildcards
+    * NULL — project non-null attribute columns first, as with
+    * autocluster); ADX's randomized search order is replaced by the
+    * deterministic level-wise enumeration. Coverage is the exact
+    * integer micro-fraction n·10⁶ DIV total converted to double (the
+    * [[autoclusterVerb]]/[[diffPatternsVerb]] convention — no
+    * round(_, 6) half-tie surface). Results are cube-equivalent:
+    * `KqlSpec` pins basket ≡ cube-threshold on a toy frame. */
+  private def basketVerb(df: DataFrame, body: String): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      s"evaluate basket expects basket([Threshold]): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length <= 1, s"basket takes at most one argument: $body")
+    val thr = args.headOption.map { a =>
+      val v = scala.util.Try(BigDecimal(a)).getOrElse(
+        throw new IllegalArgumentException(
+          s"basket Threshold must be a numeric literal: $a"))
+      require(v > 0 && v <= 1, s"basket Threshold must be in (0, 1]: $a")
+      v.toDouble
+    }.getOrElse(0.05)
+    val thrU = math.round(thr * 1e6)
+    val cols = df.columns.toSeq
+    require(cols.nonEmpty && cols.length <= 8,
+      s"basket mines the current columns — project to at most 8 first (have ${cols.length})")
+    require(!cols.exists(_.startsWith("__")),
+      s"basket reserves __-prefixed names; rename: ${cols.filter(_.startsWith("__")).mkString(", ")}")
+    val nc = cols.length
+    // Stable transaction ids: the checkpoint pins
+    // monotonically_increasing_id so every level reads the same tids
+    // (ids are internal — results depend only on row contents).
+    val rows = df.select(
+      monotonically_increasing_id().as("__tid") +:
+        cols.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"__v$i") }: _*)
+      .localCheckpoint(true)
+    val bcTotal = broadcast(rows.agg(count(lit(1)).as("__total")))
+    // (tid, attr, value) items, as nc-wide sparse pattern vectors so
+    // every level shares one fixed shape (groupBy on the array column).
+    val p1 = rows
+      .select(col("__tid"), posexplode(
+        array((0 until nc).map(i => col(s"__v$i")): _*)).as(Seq("__a", "__x")))
+      .filter(col("__x").isNotNull)
+      .select(col("__tid"), col("__a"),
+        expr(s"transform(sequence(0, ${nc - 1}), i -> IF(i = __a, __x, CAST(NULL AS STRING)))")
+          .as("__patt"))
+      .localCheckpoint(true)
+    def freq(p: DataFrame): DataFrame = p
+      .groupBy(col("__patt")).agg(count(lit(1)).as("n"))
+      .crossJoin(bcTotal)
+      .withColumn("__pct_u", expr("(1000000L * n) DIV __total"))
+      .filter(col("__pct_u") >= thrU)
+    var lvl = p1.select(col("__tid"), col("__a").as("__maxa"), col("__patt"))
+    var out: DataFrame = null
+    var k = 1
+    var dry = false
+    while (k <= nc && !dry) {
+      val fk = freq(lvl).localCheckpoint(true)
+      dry = fk.isEmpty
+      if (!dry) {
+        out = if (out == null) fk else out.unionAll(fk)
+        if (k < nc) {
+          val kept = lvl.join(fk.select(col("__patt")), Seq("__patt"), "left_semi")
+          lvl = kept
+            .join(p1.select(col("__tid"), col("__a").as("__a2"),
+              col("__patt").as("__patt2")), Seq("__tid"))
+            .filter(col("__a2") > col("__maxa"))
+            .select(col("__tid"), col("__a2").as("__maxa"),
+              expr(s"transform(sequence(0, ${nc - 1}), i -> IF(i = __a2, " +
+                "element_at(__patt2, i + 1), element_at(__patt, i + 1)))")
+                .as("__patt"))
+        }
+      }
+      k += 1
+    }
+    val empty = out == null
+    val base = if (empty) freq(p1).limit(0) else out
+    base.select(
+      cols.zipWithIndex.map { case (c, i) =>
+        expr(s"element_at(__patt, ${i + 1})").as(c) } ++
+        Seq(col("n"), (col("__pct_u").cast("double") / 1e6).as("pct")): _*)
+  }
+
   /** `evaluate diffpatterns(splitCol, 'A', 'B'[, minDiffPct])` — ADX's
     * cohort-difference plugin ([[autoclusterVerb]]'s sibling): attribute
     * patterns whose row share DIFFERS between two slices of the data
     * (the A/B values of the split column) by at least `minDiffPct`
     * percentage points (default 5). One cube pass computes BOTH slices'
-    * counts as conditional aggregates; denominators come from the
-    * cube's own grand-total cell via a window over the cube output
-    * (bounded cells, never the corpus) — no second scan.
+    * counts as conditional aggregates; slice denominators are a
+    * broadcast 1-row aggregate of the filtered source (a pruned scalar
+    * scan — NOT a partitionBy()-less window over the cube output, whose
+    * cell count is data-dependent).
     *
     * DEVIATIONS (documented, same family as autocluster): ADX's
     * randomized pattern search is replaced by the exhaustive cube over
     * the non-split columns (deterministic, ≤ 6 attribute columns —
     * more rejected loudly); wildcards surface as NULL; the
     * all-wildcard row is dropped; ADX's optional weight/advanced args
-    * are unsupported. Percents are exact integer micro-percents
+    * are unsupported. percent_diff is ADX's PercentDiffAB — the
+    * ABSOLUTE A/B share difference (direction recoverable from
+    * percent_a − percent_b). Percents are exact integer micro-percents
     * (count·10⁸ DIV total) converted to double — no decimal rounding,
     * so no cross-engine half-way-tie hazard at any scale. */
   private def diffPatternsVerb(df: DataFrame, body: String): DataFrame = {
@@ -2213,24 +2323,33 @@ object KqlParser {
       "diffpatterns cubes the non-split columns — project to at most 6 " +
         s"attributes first (have ${attrs.length})")
     val allWild = (1 << attrs.length) - 1
-    val cells = df.filter(col(splitCol) === va || col(splitCol) === vb)
+    val src = df.filter(col(splitCol) === va || col(splitCol) === vb)
+    val cells = src
       .cube(attrs.map(col): _*)
       .agg(count(when(col(splitCol) === va, 1)).as("count_a"),
         count(when(col(splitCol) === vb, 1)).as("count_b"),
         grouping_id().as("gid"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    // Slice denominators as a broadcast 1-row aggregate (a pruned
+    // scalar scan of the source), not a partitionBy()-less window over
+    // the cube output — the cube's cell count is data-dependent
+    // (distinct value combos × 2^attrs), so funneling it through one
+    // window partition is the wrong shape at scale.
+    val totals = src.agg(
+      count(when(col(splitCol) === va, 1)).as("__ta"),
+      count(when(col(splitCol) === vb, 1)).as("__tb"))
     val minDiffMicro = (minDiffPct * 1000000).toBigInt.toLong
     cells
-      .withColumn("__ta", max(when(col("gid") === allWild, col("count_a"))).over(w))
-      .withColumn("__tb", max(when(col("gid") === allWild, col("count_b"))).over(w))
+      .filter(col("gid") =!= allWild)
+      .crossJoin(broadcast(totals))
       .withColumn("__ma", expr("count_a * 100000000L DIV greatest(__ta, 1L)"))
       .withColumn("__mb", expr("count_b * 100000000L DIV greatest(__tb, 1L)"))
-      .filter(col("gid") =!= allWild &&
-        abs(col("__ma") - col("__mb")) >= minDiffMicro)
+      .filter(abs(col("__ma") - col("__mb")) >= minDiffMicro)
       .withColumn("percent_a", col("__ma").cast("double") / 1000000)
       .withColumn("percent_b", col("__mb").cast("double") / 1000000)
+      // ADX documents PercentDiffAB as the ABSOLUTE difference; the
+      // signed direction is recoverable from percent_a - percent_b
       .withColumn("percent_diff",
-        (col("__ma") - col("__mb")).cast("double") / 1000000)
+        abs(col("__ma") - col("__mb")).cast("double") / 1000000)
       .drop("gid", "__ta", "__tb", "__ma", "__mb")
   }
 
@@ -2502,8 +2621,10 @@ object KqlParser {
     * ids whose FIRST-ANCHOR chain (same greedy semantics as
     * [[sequenceDetectVerb]], and the same documented deviation from
     * ADX's multi-sequence matching) completes steps 1..p, bucketed by
-    * the bin of the chain's FIRST step. Output: (bin_ms, prefix,
-    * n_ids); empty (bin, prefix) cells omitted.
+    * the bin of the chain's FIRST step. The [Start, End] timeline
+    * bounds EVERY step (later steps clamp to End — ADX's
+    * timeline-bounded semantics; r10 bounded only the anchor). Output:
+    * (bin_ms, prefix, n_ids); empty (bin, prefix) cells omitted.
     *
     * Shape: the chain loop's intermediate frames ARE the per-prefix
     * populations — each adds one filtered id-keyed aggregate + small
@@ -2545,9 +2666,12 @@ object KqlParser {
         .select(col("bin_ms"), lit(prefix).cast("int").as("prefix"), col("n_ids"))
     var out = stageCount(chain, 1)
     for (i <- 1 until steps.length) {
+      // later steps clamp to the query window's End too (<= endS):
+      // ADX's timeline bounds the WHOLE sequence, not just the anchor —
+      // a completion occurring past End must not count.
       chain = base.filter(col(s"__e$i")).join(chain, "__fc_id")
         .filter(col("__t") > col(s"__t${i - 1}") &&
-          col("__t") <= col(s"__t${i - 1}") + stepW)
+          col("__t") <= col(s"__t${i - 1}") + stepW && col("__t") <= endS)
         .groupBy(col("__fc_id") +: (0 until i).map(j => col(s"__t$j")): _*)
         .agg(min(col("__t")).as(s"__t$i"))
       out = out.unionByName(stageCount(chain, i + 1))
@@ -3790,7 +3914,9 @@ object KqlParser {
               "ipv4_is_private", "ipv4_is_in_range", "ipv4_compare",
               "ipv4_netmask_suffix",
               "parse_url", "parse_urlquery", "parse_path",
-              "parse_version",
+              "parse_version", "parse_xml",
+              "geo_distance_2points", "geo_point_in_circle",
+              "geo_point_to_geohash",
               "dcount_intersect",
               "zip", "repeat", "gettype",
               "translate", "max_of", "min_of", "exp2", "exp10",
@@ -3911,6 +4037,27 @@ object KqlParser {
                       "series_decompose_anomalies expects (series [, threshold])")
                     val k = if (args.length == 2) args(1) else "1.5"
                     out.append(seriesAnomalies(args(0), k))
+                  case "series_decompose_forecast" =>
+                    // ADX series_decompose_forecast(series, points):
+                    // the last `points` entries are the horizon to
+                    // forecast; the model fits the PREFIX and returns a
+                    // prediction for the WHOLE axis (training points
+                    // included), ADX's output convention. Deviation
+                    // (documented, consistent with series_decompose's
+                    // zero seasonal component): the forecast is the
+                    // least-squares trend of the prefix projected over
+                    // all indices — trend + (empty) seasonality, the
+                    // deterministic sibling of ADX's STL forecast.
+                    require(args.length == 2,
+                      "series_decompose_forecast expects (series, points)")
+                    val pts = scala.util.Try(args(1).trim.toInt).getOrElse(
+                      throw new IllegalArgumentException(
+                        "series_decompose_forecast points must be an integer literal: " + args(1)))
+                    require(pts > 0,
+                      s"series_decompose_forecast points must be positive: $pts")
+                    val prefix = s"slice(${args(0)}, 1, size(${args(0)}) - $pts)"
+                    out.append(s"transform(${args(0)}, (x, i) -> " +
+                      s"${seriesIntercept(prefix)} + ${seriesSlope(prefix)} * i)")
                   case "series_periods_detect" =>
                     // Deviation (documented): ADX scores periods by
                     // normalized autocorrelation percentages; this
@@ -4176,21 +4323,27 @@ object KqlParser {
                 out.append(s"(CASE WHEN size($a) <= 1 THEN $a ELSE " +
                   s"concat(slice($a, $r + 1, size($a) - $r), slice($a, 1, $r)) END)")
               case "array_shift_left" | "array_shift_right" =>
-                // vacated slots take `fill` (null when omitted); a
+                // VACATED slots take `fill` (null when omitted); a
                 // negative n shifts the other way — both directions are
-                // one index-shifted transform
+                // one index-shifted transform. The fill gates on the
+                // shifted index being OUT OF RANGE, not on the looked-up
+                // value being null — ADX fills only vacated positions,
+                // and a coalesce would also overwrite genuine null
+                // ELEMENTS carried from the source array.
                 require(args.length == 2 || args.length == 3,
                   s"$w expects (arr, n [, fill])")
                 val a = args(0)
                 val n0 = if (w.toLowerCase.endsWith("right")) s"-(${args(1)})" else args(1)
                 // index 0 is a hard error even for try_element_at
                 // (Spark's 1-based contract) — guard the sub-1 range
-                val shifted = s"(CASE WHEN i + 1 + ($n0) >= 1 THEN " +
-                  s"try_element_at($a, i + 1 + ($n0)) ELSE NULL END)"
+                val inRange = s"(i + 1 + ($n0) BETWEEN 1 AND size($a))"
                 out.append(args.lift(2) match {
                   case Some(fill) =>
-                    s"transform($a, (x, i) -> coalesce($shifted, $fill))"
-                  case None => s"transform($a, (x, i) -> $shifted)"
+                    s"transform($a, (x, i) -> CASE WHEN $inRange THEN " +
+                      s"try_element_at($a, i + 1 + ($n0)) ELSE ($fill) END)"
+                  case None =>
+                    s"transform($a, (x, i) -> CASE WHEN $inRange THEN " +
+                      s"try_element_at($a, i + 1 + ($n0)) ELSE NULL END)"
                 })
               case "array_slice" =>
                 // ADX: 0-based INCLUSIVE bounds, negatives wrap from
@@ -4267,6 +4420,68 @@ object KqlParser {
                   s"CAST(0 AS DECIMAL(38,0)), " +
                   s"(acc, x) -> CAST(acc * 100000000 + x AS DECIMAL(38,0))) " +
                   s"ELSE CAST(NULL AS DECIMAL(38,0)) END)")
+              case "parse_xml" =>
+                // ADX parse_xml → dynamic bag. Subset implemented
+                // (documented deviation): the ROOT element plus its
+                // LEAF elements (<tag>text</tag> at any depth, matched
+                // with a backreferenced closing tag) become
+                // {root: {leaf: text, …}} — attributes, nesting
+                // structure, CDATA and repeated leaf tags are not
+                // modeled (repeated tags raise Spark's duplicate-map-key
+                // error rather than silently picking one). The bag is a
+                // VARIANT via to_json∘map, so dotted access and
+                // bag_unpack consume it exactly like parse_json's.
+                require(args.length == 1, "parse_xml expects (xml)")
+                val x = args(0)
+                val rootRe = """'^\\s*<([A-Za-z_][A-Za-z0-9_.-]*)[ >]'"""
+                val pairRe = """'<([A-Za-z_][A-Za-z0-9_.-]*)>([^<]*)</\\1>'"""
+                val root = s"regexp_extract($x, $rootRe, 1)"
+                out.append(s"(CASE WHEN $root = '' THEN CAST(NULL AS VARIANT) ELSE " +
+                  s"parse_json(to_json(map($root, map_from_arrays(" +
+                  s"regexp_extract_all($x, $pairRe, 1), " +
+                  s"regexp_extract_all($x, $pairRe, 2))))) END)")
+              case "geo_distance_2points" =>
+                // ADX geo_distance_2points(lon1, lat1, lon2, lat2) →
+                // meters. DEVIATION (documented): haversine great-circle
+                // on the mean sphere R = 6 371 000 m instead of ADX's
+                // WGS84 geodesic — deterministic, oracle-expressible,
+                // and within 0.5 % of the ellipsoid everywhere. Invalid
+                // coordinates (|lat| > 90, |lon| > 180) → null, ADX's
+                // convention. The asin operand clamps to 1.0 so
+                // antipodal rounding cannot produce NaN.
+                require(args.length == 4,
+                  "geo_distance_2points expects (lon1, lat1, lon2, lat2)")
+                out.append(geoDistanceSql(args(0), args(1), args(2), args(3)))
+              case "geo_point_in_circle" =>
+                // ADX geo_point_in_circle(lon, lat, c_lon, c_lat, r) —
+                // membership via the same haversine distance; null on
+                // invalid coordinates or negative radius.
+                require(args.length == 5,
+                  "geo_point_in_circle expects (lon, lat, centerLon, centerLat, radiusMeters)")
+                val d = geoDistanceSql(args(0), args(1), args(2), args(3))
+                out.append(s"(CASE WHEN (${args(4)}) < 0 THEN CAST(NULL AS BOOLEAN) " +
+                  s"ELSE $d <= (${args(4)}) END)")
+              case "geo_point_to_geohash" =>
+                // ADX geo_point_to_geohash(lon, lat[, accuracy]) →
+                // base32 geohash string (accuracy 1..12 characters,
+                // ADX default 5) — the cell-binning primitive whose
+                // equal-prefix cells are the spatial-join key. Pure
+                // integer bit-interleave (Morton spread) after ONE
+                // float quantization per axis — no trig, every op
+                // single-rounded and mirrored in the oracle, so cells
+                // are bit-identical cross-engine. Accuracy must be a
+                // literal (the bit layout is compiled into the plan).
+                require(args.length == 2 || args.length == 3,
+                  "geo_point_to_geohash expects (lon, lat[, accuracy])")
+                val acc = args.lift(2).map { a =>
+                  val v = scala.util.Try(a.trim.toInt).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"geo_point_to_geohash accuracy must be an integer literal 1..12: $a"))
+                  require(v >= 1 && v <= 12,
+                    s"geo_point_to_geohash accuracy must be in 1..12: $a")
+                  v
+                }.getOrElse(5)
+                out.append(geohashSql(args(0), args(1), acc))
               case "countof" =>
                 // ADX counts OVERLAPPING occurrences (countof('aaa',
                 // 'aa') = 2), so a delete-replace length delta is not
@@ -4861,5 +5076,57 @@ object KqlParser {
         s"WHEN x > ($k) * $sd THEN 1 WHEN x < -(($k)) * $sd THEN -1 ELSE 0 END), " +
       s"'ad_score', transform($r, x -> CASE WHEN $sd = 0 THEN CAST(0 AS DOUBLE) ELSE x / $sd END), " +
       s"'baseline', ${seriesTrend(s)})"
+  }
+
+  // ---- geo scalar tier ----------------------------------------------------
+
+  /** Haversine great-circle distance in meters on the mean sphere
+    * (R = 6 371 000 m) — [[geoDistanceSql]] backs `geo_distance_2points`
+    * and `geo_point_in_circle`; deviation from ADX's WGS84 geodesic is
+    * documented at the dispatch cases. sin²(x) is written sin·sin (no
+    * pow — one less libm surface), the asin operand clamps to 1 so
+    * antipodal rounding cannot NaN, and invalid coordinates null out. */
+  private[kql] def geoDistanceSql(lon1: String, lat1: String,
+                                  lon2: String, lat2: String): String = {
+    def d(x: String) = s"CAST(($x) AS DOUBLE)"
+    val (o1, a1, o2, a2) = (d(lon1), d(lat1), d(lon2), d(lat2))
+    val dlat = s"((radians($a2) - radians($a1)) / 2)"
+    val dlon = s"((radians($o2) - radians($o1)) / 2)"
+    val h = s"(sin($dlat) * sin($dlat) + " +
+      s"cos(radians($a1)) * cos(radians($a2)) * sin($dlon) * sin($dlon))"
+    s"(CASE WHEN abs($a1) > 90.0 OR abs($a2) > 90.0 " +
+      s"OR abs($o1) > 180.0 OR abs($o2) > 180.0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE 2.0 * 6371000.0 * asin(sqrt(least(1.0, $h))) END)"
+  }
+
+  /** Base32 geohash of (lon, lat) at `acc` characters — pure integer
+    * bit-interleave after ONE float quantization per axis (floor of a
+    * single-rounded IEEE chain: no trig, bit-identical cross-engine).
+    * Layout per the geohash spec: 5·acc bits, longitude first and on
+    * every even position (0-based from the MSB); the boundary
+    * longitude/latitude (+180, +90) clamps into the last cell. The
+    * interleave runs as one fold over bit positions (an interpreted
+    * HOF, bounded by 60 steps) — a production spatial join computes
+    * the cell key once per row in an extend, where it is a bounded
+    * per-row cost like mv-apply's. */
+  private[kql] def geohashSql(lon: String, lat: String, acc: Int): String = {
+    val total = 5 * acc
+    val lonBits = (total + 1) / 2
+    val latBits = total / 2
+    val lonD = s"CAST(($lon) AS DOUBLE)"
+    val latD = s"CAST(($lat) AS DOUBLE)"
+    val ix = s"least(CAST(${(1L << lonBits) - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+      s"CAST(floor(($lonD + 180.0) / 360.0 * ${1L << lonBits}) AS BIGINT)))"
+    val iy = s"least(CAST(${(1L << latBits) - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+      s"CAST(floor(($latD + 90.0) / 180.0 * ${1L << latBits}) AS BIGINT)))"
+    val bit =
+      s"IF(p % 2 = 0, shiftright($ix, ${lonBits - 1} - (p DIV 2)) & 1, " +
+      s"shiftright($iy, ${latBits - 1} - ((p - 1) DIV 2)) & 1)"
+    val inter =
+      s"aggregate(sequence(0, ${total - 1}), CAST(0 AS BIGINT), (a, p) -> a * 2 + ($bit))"
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    s"(CASE WHEN abs($latD) > 90.0 OR abs($lonD) > 180.0 THEN CAST(NULL AS STRING) " +
+      s"ELSE aggregate(sequence(0, ${acc - 1}), '', (s, c) -> concat(s, " +
+      s"substring('$alpha', CAST((shiftright($inter, 5 * (${acc - 1} - c)) & 31) AS INT) + 1, 1))) END)"
   }
 }

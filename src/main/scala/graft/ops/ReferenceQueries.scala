@@ -489,6 +489,76 @@ object ReferenceQueries {
       || evaluate autocluster(0.05)
       || sort by pct desc, event_type asc, vband asc, hot asc""".stripMargin
 
+  /** r11 `evaluate basket` — ADX's frequent-pattern plugin as
+    * deterministic level-wise Apriori (documented deviations at the
+    * verb: string-valued output, exhaustive enumeration). The oracle is
+    * the cube-threshold formulation, equal by Apriori's anti-monotone
+    * support guarantee; the level-join mechanics are pinned against the
+    * cube in `KqlSpec`. */
+  /** r11 `parse_xml` — the last `parse_*` sibling: flat-leaf XML into
+    * a {root: {leaf: text}} VARIANT bag (subset deviation documented at
+    * the parser case), consumed through the same dotted access the
+    * json bags use; non-XML input yields a null bag and null fields. */
+  val kqlParseXmlText: String =
+    """let X = datatable(x:string)[
+      |  '<conf><port>8080</port><host>db-1</host><mode>rw</mode></conf>',
+      |  '<doc><title>Spark</title><lang>en</lang></doc>',
+      |  'not xml'
+      |];
+      |X
+      || extend p = parse_xml(x)
+      || extend port = tostring(p.conf.port), host = tostring(p.conf.host), title = tostring(p.doc.title)
+      || project x, port, host, title
+      || sort by x asc""".stripMargin
+
+  /** r11 `series_decompose_forecast` — the forecasting sibling of the
+    * decompose tier: fit the 23-day prefix, project the trend over the
+    * whole 30-day axis (the 7-day horizon included), ADX's output
+    * convention. Serialized as floor(x·10⁶) micro-units over the
+    * bit-identical single-rounded chain (count sums exact, one
+    * division, one multiply-add per point). */
+  val kqlSeriesForecastText: String =
+    """Events
+      || make-series n = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+      || extend f = series_decompose_forecast(n, 7)
+      || extend fc = array_join(transform(f, x -> string(tolong(floor(x * 1000000.0, 1)))), ',')
+      || project event_type, fc
+      || sort by event_type asc""".stripMargin
+
+  /** r11 geo scalar tier — geohash cell binning (pure integer
+    * bit-interleave, bit-identical cross-engine), haversine distance
+    * (mean sphere, deviation documented at the parser), and circle
+    * membership, over a datatable spanning the edge cases (antimeridian
+    * neighbors, the north pole, an invalid longitude). Distances ship
+    * as floor(meters) BIGINT — the trig chain is mirrored op-for-op, so
+    * engines agree to the last ulp of their libm and the meter floor
+    * sits ~10⁹ ulps from any boundary for these fixed points. */
+  val kqlGeoText: String =
+    """let P = datatable(name:string, lon:real, lat:real)[
+      |  'osl', 10.75, 59.91,
+      |  'cph', 12.57, 55.69,
+      |  'rey', -21.94, 64.15,
+      |  'syd', 151.21, -33.87,
+      |  'fij', 178.44, -18.14,
+      |  'sam', -170.70, -14.27,
+      |  'npole', 0.0, 90.0,
+      |  'bad', 200.0, 10.0
+      |];
+      |P
+      || extend gh = geo_point_to_geohash(lon, lat, 6),
+      |         gh1 = geo_point_to_geohash(lon, lat, 1),
+      |         d_osl_m = tolong(floor(geo_distance_2points(lon, lat, 10.75, 59.91), 1)),
+      |         near_cph = geo_point_in_circle(lon, lat, 12.57, 55.69, 700000.0)
+      || project name, gh, gh1, d_osl_m, near_cph
+      || sort by name asc""".stripMargin
+
+  val kqlBasketText: String =
+    """Events
+      || extend vband = tolong(floor(bin(value, 200) + 0.5, 1)), hot = value >= 400
+      || project event_type, vband, hot
+      || evaluate basket(0.05)
+      || sort by n desc, event_type asc, vband asc, hot asc""".stripMargin
+
   /** r10 `evaluate diffpatterns` — autocluster's cohort-difference
     * sibling: which (city, order-parity) patterns are over-represented
     * among high-amount orders vs low-amount ones. Exhaustive-cube
@@ -893,6 +963,10 @@ object ReferenceQueries {
     "kql_scan_funnel" -> kqlText(kqlScanFunnelText) _,
     "kql_narrow" -> kqlText(kqlNarrowText) _,
     "kql_autocluster" -> kqlText(kqlAutoclusterText) _,
+    "kql_basket" -> kqlText(kqlBasketText) _,
+    "kql_geo" -> kqlText(kqlGeoText) _,
+    "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
+    "kql_parse_xml" -> kqlText(kqlParseXmlText) _,
     "kql_diffpatterns" -> kqlText(kqlDiffPatternsText) _,
     "kql_sliding_window" -> kqlText(kqlSlidingWindowText) _,
     "kql_activity_engagement" -> kqlText(kqlActivityEngagementText) _,
@@ -1067,6 +1141,134 @@ object ReferenceQueries {
         |WHERE g <> 7 AND (1000000 * n) // total >= 50000
         |ORDER BY pct DESC, event_type ASC NULLS FIRST,
         |  vband ASC NULLS FIRST, hot ASC NULLS FIRST""".stripMargin,
+    // Leaf extraction mirrors the parser's regexes; DuckDB's RE2 has no
+    // backreferences, so the closing-tag pattern is relaxed to
+    // non-empty-content leaves (an empty parent '<a><' would otherwise
+    // swallow the next tag's '<') — equal on well-formed flat XML with
+    // non-empty leaves (the modeled subset).
+    "kql_parse_xml" ->
+      """WITH t AS (
+        |  SELECT * FROM (VALUES
+        |    ('<conf><port>8080</port><host>db-1</host><mode>rw</mode></conf>'),
+        |    ('<doc><title>Spark</title><lang>en</lang></doc>'),
+        |    ('not xml')) AS v(x)),
+        |p AS (
+        |  SELECT x,
+        |    regexp_extract(x, '^\s*<([A-Za-z_][A-Za-z0-9_.-]*)[ >]', 1) AS root,
+        |    regexp_extract_all(x, '<([A-Za-z_][A-Za-z0-9_.-]*)>([^<]+)<', 1) AS ks,
+        |    regexp_extract_all(x, '<([A-Za-z_][A-Za-z0-9_.-]*)>([^<]+)<', 2) AS vs
+        |  FROM t)
+        |SELECT x,
+        |  CASE WHEN root = 'conf' THEN vs[list_position(ks, 'port')] END AS port,
+        |  CASE WHEN root = 'conf' THEN vs[list_position(ks, 'host')] END AS host,
+        |  CASE WHEN root = 'doc' THEN vs[list_position(ks, 'title')] END AS title
+        |FROM p ORDER BY x ASC""".stripMargin,
+    // Prefix-fit mirror of the parser's series_decompose_forecast:
+    // exact integer sums over i < 23, the same double division and
+    // per-point multiply-add, micro-floored.
+    "kql_series_forecast" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+        |g AS (SELECT event_type, i, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 30)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, CAST(COALESCE(g.c, 0) AS DOUBLE) AS v
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i),
+        |fit AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(v) AS sy, SUM(i * v) AS sxy
+        |  FROM dense WHERE i < 23 GROUP BY 1),
+        |fit2 AS (
+        |  SELECT *, (n - 1) * n / 2 AS sx, (n - 1) * n * (2 * n - 1) / 6 AS sxx
+        |  FROM fit),
+        |fit3 AS (
+        |  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM fit2),
+        |fit4 AS (SELECT *, (sy - slope * sx) / n AS icept FROM fit3)
+        |SELECT d.event_type,
+        |  string_agg(CAST(CAST(floor((icept + slope * d.i) * 1000000.0) AS BIGINT) AS VARCHAR),
+        |    ',' ORDER BY d.i) AS fc
+        |FROM dense d JOIN fit4 USING (event_type)
+        |GROUP BY d.event_type ORDER BY event_type ASC""".stripMargin,
+    // Geohash mirrors the parser's integer bit-interleave (no trig —
+    // bit-identical); distances mirror the haversine op-for-op and
+    // floor at whole meters.
+    "kql_geo" ->
+      """WITH p AS (
+        |  SELECT * FROM (VALUES
+        |    ('osl', 10.75, 59.91), ('cph', 12.57, 55.69),
+        |    ('rey', -21.94, 64.15), ('syd', 151.21, -33.87),
+        |    ('fij', 178.44, -18.14), ('sam', -170.70, -14.27),
+        |    ('npole', 0.0, 90.0), ('bad', 200.0, 10.0)) AS t(name, lon, lat)),
+        |q AS (
+        |  SELECT name, lon, lat,
+        |    least(32767, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 32768) AS BIGINT))) AS ix6,
+        |    least(32767, greatest(0, CAST(floor((lat + 90.0) / 180.0 * 32768) AS BIGINT))) AS iy6,
+        |    least(7, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 8) AS BIGINT))) AS ix1,
+        |    least(3, greatest(0, CAST(floor((lat + 90.0) / 180.0 * 4) AS BIGINT))) AS iy1
+        |  FROM p),
+        |i AS (
+        |  SELECT name, lon, lat,
+        |    list_sum(list_transform(range(0, 30), pp ->
+        |      CASE WHEN pp % 2 = 0 THEN ((ix6 >> CAST(14 - pp // 2 AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(29 - pp AS INT))
+        |           ELSE ((iy6 >> CAST(14 - (pp - 1) // 2 AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(29 - pp AS INT)) END)) AS in6,
+        |    list_sum(list_transform(range(0, 5), pp ->
+        |      CASE WHEN pp % 2 = 0 THEN ((ix1 >> CAST(2 - pp // 2 AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(4 - pp AS INT))
+        |           ELSE ((iy1 >> CAST(1 - (pp - 1) // 2 AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(4 - pp AS INT)) END)) AS in1
+        |  FROM q),
+        |g AS (
+        |  SELECT name, lon, lat,
+        |    CASE WHEN abs(lat) > 90.0 OR abs(lon) > 180.0 THEN NULL ELSE
+        |      array_to_string(list_transform(range(0, 6), c ->
+        |        substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |          CAST(((in6 >> CAST(5 * (5 - c) AS INT)) & 31) AS INT) + 1, 1)), '') END AS gh,
+        |    CASE WHEN abs(lat) > 90.0 OR abs(lon) > 180.0 THEN NULL ELSE
+        |      substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(in1 AS INT) + 1, 1) END AS gh1
+        |  FROM i),
+        |d AS (
+        |  SELECT name, gh, gh1,
+        |    CASE WHEN abs(lat) > 90.0 OR abs(lon) > 180.0 THEN NULL ELSE
+        |      2.0 * 6371000.0 * asin(sqrt(least(1.0,
+        |        sin((radians(59.91) - radians(lat)) / 2) * sin((radians(59.91) - radians(lat)) / 2)
+        |        + cos(radians(lat)) * cos(radians(59.91))
+        |          * sin((radians(10.75) - radians(lon)) / 2) * sin((radians(10.75) - radians(lon)) / 2)))) END AS d_osl,
+        |    CASE WHEN abs(lat) > 90.0 OR abs(lon) > 180.0 THEN NULL ELSE
+        |      2.0 * 6371000.0 * asin(sqrt(least(1.0,
+        |        sin((radians(55.69) - radians(lat)) / 2) * sin((radians(55.69) - radians(lat)) / 2)
+        |        + cos(radians(lat)) * cos(radians(55.69))
+        |          * sin((radians(12.57) - radians(lon)) / 2) * sin((radians(12.57) - radians(lon)) / 2)))) END AS d_cph
+        |  FROM g)
+        |SELECT name, gh, gh1,
+        |  CAST(floor(d_osl) AS BIGINT) AS d_osl_m,
+        |  d_cph <= 700000.0 AS near_cph
+        |FROM d ORDER BY name ASC""".stripMargin,
+    // Cube-threshold formulation: equal to the verb's level-wise
+    // Apriori because support is anti-monotone (any frequent pattern
+    // has every sub-pattern frequent), so the frequent-itemset family
+    // IS the over-threshold cube cells. Attributes stringify BEFORE
+    // mining, mirroring the verb.
+    "kql_basket" ->
+      """WITH src AS (
+        |  SELECT event_type,
+        |    CAST(CAST(floor(("value" - ((("value" % 200) + 200) % 200)) + 0.5) AS BIGINT) AS VARCHAR) AS vband,
+        |    CAST("value" >= 400 AS VARCHAR) AS hot
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, vband, hot, COUNT(*) AS n,
+        |    GROUPING(event_type, vband, hot) AS g
+        |  FROM src GROUP BY CUBE(event_type, vband, hot)),
+        |tot AS (SELECT n AS total FROM cells WHERE g = 7)
+        |SELECT event_type, vband, hot, CAST(n AS BIGINT) AS n,
+        |  CAST((1000000 * n) // total AS DOUBLE) / 1000000.0 AS pct
+        |FROM cells, tot
+        |WHERE g <> 7 AND (1000000 * n) // total >= 50000
+        |ORDER BY n DESC, event_type ASC NULLS FIRST,
+        |  vband ASC NULLS FIRST, hot ASC NULLS FIRST""".stripMargin,
     "kql_diffpatterns" ->
       s"""${Sql.ordersInfoCte},
          |base AS (
@@ -1090,7 +1292,7 @@ object ReferenceQueries {
          |  CAST(count_a AS BIGINT) AS count_a, CAST(count_b AS BIGINT) AS count_b,
          |  CAST(ma AS DOUBLE) / 1000000 AS percent_a,
          |  CAST(mb AS DOUBLE) / 1000000 AS percent_b,
-         |  CAST(ma - mb AS DOUBLE) / 1000000 AS percent_diff
+         |  CAST(ABS(ma - mb) AS DOUBLE) / 1000000 AS percent_diff
          |FROM m WHERE g <> 3 AND ABS(ma - mb) >= 500000""".stripMargin,
     "kql_sliding_window" ->
       """WITH ev AS (
@@ -1283,11 +1485,13 @@ object ReferenceQueries {
         |  SELECT e.id, s0.t0, MIN(e.t) AS t1
         |  FROM ev e JOIN s0 ON e.id = s0.id
         |  WHERE e.event_type = 'click' AND e.t > s0.t0 AND e.t <= s0.t0 + 604800
+        |    AND e.t <= 1706486400
         |  GROUP BY 1, 2),
         |s2 AS (
         |  SELECT e.id, s1.t0, MIN(e.t) AS t2
         |  FROM ev e JOIN s1 ON e.id = s1.id
         |  WHERE e.event_type = 'purchase' AND e.t > s1.t1 AND e.t <= s1.t1 + 604800
+        |    AND e.t <= 1706486400
         |  GROUP BY 1, 2)
         |SELECT (1704067200 + ((t0 - 1704067200) // 604800) * 604800) * 1000 AS bin_ms,
         |  CAST(1 AS INTEGER) AS prefix, CAST(COUNT(*) AS BIGINT) AS n_ids

@@ -1376,6 +1376,12 @@ class KqlSpec extends SparkSpec {
     assert(one("array_shift_left(a, 1)").getSeq[Any](0) == Seq(2L, 3L, 2L, null))
     assert(one("array_shift_left(a, 1, 0)").getSeq[Long](0) == Seq(2L, 3L, 2L, 0L))
     assert(one("array_shift_right(a, 2, 9)").getSeq[Long](0) == Seq(9L, 9L, 1L, 2L))
+    // fill replaces only VACATED slots: a genuine null ELEMENT carried
+    // from the source array ([1, null, 3] via the short-ifFalse iff)
+    // shifts through untouched (ADX semantics; a coalesce would 0 it)
+    assert(one("array_shift_left(array_iff(pack_array(true, false, true), " +
+      "pack_array(1, 2, 3), pack_array(1)), 1, 0)")
+      .getSeq[Any](0) == Seq(null, 3, 0))
     assert(one("array_slice(a, 1, 2)").getSeq[Long](0) == Seq(2L, 3L))
     assert(one("array_slice(a, -2, -1)").getSeq[Long](0) == Seq(3L, 2L)) // wrap from end
     assert(one("array_slice(a, 2, 1)").getSeq[Long](0) == Seq.empty)    // inverted → empty
@@ -1632,10 +1638,10 @@ class KqlSpec extends SparkSpec {
     assert(cnt.columns.toSeq == Seq("id", "v", "x", "y"))
     val narrow = KqlParser.run("T | evaluate pivot(k, sum(v), id)", reg)
     assert(narrow.columns.toSeq == Seq("id", "x", "y"))
-    // bag_unpack/autocluster/narrow are supported since r10 — an
-    // UNKNOWN plugin still rejects loudly, naming the supported set
+    // bag_unpack/autocluster/basket/narrow are supported since r10/r11
+    // — an UNKNOWN plugin still rejects loudly, naming the supported set
     val e = intercept[IllegalArgumentException] {
-      KqlParser.run("T | evaluate basket()", reg)
+      KqlParser.run("T | evaluate schema_merge()", reg)
     }
     assert(e.getMessage.contains("pivot") && e.getMessage.contains("bag_unpack"))
   }
@@ -1981,6 +1987,39 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("(0, 1]"))
   }
 
+  test("parser: evaluate basket mines frequent itemsets level-wise, equal to the cube") {
+    // 3 attributes, 8 rows; threshold 0.25 → minCount 2. The Apriori
+    // result must equal the over-threshold cube cells (anti-monotone
+    // support), which autocluster computes — cross-pin the two verbs.
+    val src = Map("T" -> Seq(
+      ("a", "x", "p"), ("a", "x", "p"), ("a", "y", "p"), ("b", "y", "p"),
+      ("b", "y", "q"), ("b", "z", "q"), ("c", "z", "q"), ("a", "x", "q")
+    ).toDF("k1", "k2", "k3"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        Option(r.getString(2)), r.getAs[Long]("n"), r.getAs[Double]("pct"))).toSet
+    val basket = canon(KqlParser.run("T | evaluate basket(0.25)", src))
+    val cube = canon(KqlParser.run("T | evaluate autocluster(0.25)", src))
+    assert(basket == cube, s"basket=$basket cube=$cube")
+    // spot pins: a 3-attribute pattern survives ((a,x,p) = 2 of 8), the
+    // grand total never appears, and sub-threshold pairs are pruned
+    assert(basket.contains((Some("a"), Some("x"), Some("p"), 2L, 0.25)))
+    assert(!basket.exists { case (a, b, c, _, _) => a.isEmpty && b.isEmpty && c.isEmpty })
+    assert(!basket.exists(_._4 < 2L))
+    // default threshold (0.05) and loud rejections
+    assert(KqlParser.run("T | evaluate basket()", src).count() >= basket.size)
+    val e1 = intercept[IllegalArgumentException] {
+      KqlParser.run("T | evaluate basket(0)", src)
+    }
+    assert(e1.getMessage.contains("(0, 1]"))
+    val wide = Map("W" -> Seq((1, 2, 3, 4, 5, 6, 7, 8, 9))
+      .toDF("c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8", "c9"))
+    val e2 = intercept[IllegalArgumentException] {
+      KqlParser.run("W | evaluate basket(0.5)", wide)
+    }
+    assert(e2.getMessage.contains("at most 8"))
+  }
+
   test("parser: evaluate diffpatterns contrasts pattern shares across the two slices") {
     // slice A ('hi'): 3x (a,x), 1x (b,y); slice B ('lo'): 1x (a,x), 3x (b,y)
     val src = Map("T" -> Seq(
@@ -1991,12 +2030,14 @@ class KqlSpec extends SparkSpec {
       .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
         r.getAs[Long]("count_a"), r.getAs[Long]("count_b"),
         r.getAs[Double]("percent_diff"))).toSet
-    // 'other' rows are excluded from both slices; (a,*),(a,x),(*,x) are
-    // +50 points toward A, (b,*),(b,y),(*,y) -50 toward B; totals = 4/4
+    // 'other' rows are excluded from both slices; every surviving
+    // pattern differs by 50 points (totals = 4/4). percent_diff is the
+    // ABSOLUTE difference (ADX's PercentDiffAB); direction comes from
+    // percent_a vs percent_b.
     assert(rows == Set(
       (Some("a"), None, 3L, 1L, 50.0), (Some("a"), Some("x"), 3L, 1L, 50.0),
-      (None, Some("x"), 3L, 1L, 50.0), (Some("b"), None, 1L, 3L, -50.0),
-      (Some("b"), Some("y"), 1L, 3L, -50.0), (None, Some("y"), 1L, 3L, -50.0)))
+      (None, Some("x"), 3L, 1L, 50.0), (Some("b"), None, 1L, 3L, 50.0),
+      (Some("b"), Some("y"), 1L, 3L, 50.0), (None, Some("y"), 1L, 3L, 50.0)))
     val e = intercept[IllegalArgumentException] {
       KqlParser.run("T | evaluate diffpatterns(s, 'hi', 'hi')", src)
     }
