@@ -445,6 +445,41 @@ object TextAnalysis {
         s"(cum - 1) div $seqLen - (cum - n_tokens) div $seqLen + 1 as n_seqs")
   }
 
+  /** RAG/pretraining chunking: cut each document into overlapping
+    * token windows (`window` tokens every `stride`, overlap =
+    * window − stride — the retrieval-index / context-window prep step
+    * every LLM data pipeline runs). Chunk c covers tokens
+    * [c·stride, c·stride + window); the last chunk is the first one
+    * whose window reaches the end (short tail kept, ADX-of-nothing —
+    * this is the standard fixed-stride scheme, not sentence-aware).
+    * Emits one row per chunk with its token span and a 16-hex content
+    * fingerprint (md5 prefix — chunk-level exact-dedup key).
+    *
+    * Scale: pure map-side posexplode with bounded fan-out
+    * (≤ ⌈n/stride⌉ per doc) — no shuffle, runs at scan speed at
+    * 100 TB; the fingerprint doubles as the key for chunk-level
+    * dedup (the same groupBy shape as [[graft.ext.Dedup]]'s exact
+    * pass). All arithmetic is exact integers; the corpus is
+    * single-space separated so `split(text, ' ')` IS the tokenizer. */
+  def chunkOverlap(spark: SparkSession, sfDir: String,
+                   window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkOverlap needs 0 < stride <= window (got window=$window stride=$stride)")
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text", s"cast($nTokens as bigint) as n")
+      .selectExpr("doc_id", "text", "n",
+        s"""posexplode(sequence(0,
+           |  CASE WHEN n <= $window THEN 0
+           |       ELSE (n - $window + ${stride - 1}) DIV $stride END))
+           |  AS (chunk_idx, __c)""".stripMargin)
+      .selectExpr(
+        "doc_id",
+        "cast(chunk_idx as int) as chunk_idx",
+        s"cast(chunk_idx * $stride as bigint) as start_tok",
+        s"cast(least($window, n - chunk_idx * $stride) as bigint) as chunk_tokens",
+        s"substr(md5(array_join(slice(split(text, ' '), chunk_idx * $stride + 1, $window), ' ')), 1, 16) as chunk_hash")
+  }
+
   /** Gopher/C4-style heuristic rule signals, shared by
     * [[ruleFilteredCorpus]] and [[ruleAudit]]: per-doc rule booleans
     * plus the FIRST violated rule in documented priority order (the
@@ -1063,6 +1098,7 @@ object TextAnalysis {
     "text_repetition" -> repetitionSignals _,
     "text_pii_scrub" -> piiScrub _,
     "text_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "text_chunk_overlap" -> ((s: SparkSession, d: String) => chunkOverlap(s, d)),
     "text_curated_corpus" -> curatedCorpus _,
     "text_perplexity" -> bigramPerplexity _,
     "text_sample_mixture" -> ((s: SparkSession, d: String) => sampleMixture(s, d)),
@@ -1319,6 +1355,25 @@ object TextAnalysis {
          |    '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'), '$phoneRe', '<PHONE>', 'g')
          |    AS clean_text
          |FROM documents""".stripMargin,
+    // mirrors chunkOverlap(window=64, stride=48): DuckDB list slicing
+    // l[a:b] is 1-based inclusive and clamps at the end like Spark's
+    // slice(arr, start, len); all span arithmetic is exact integers.
+    "text_chunk_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, CAST($nTokensSql AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text, n,
+         |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+         |                         ELSE (n - 64 + 47) // 48 + 1 END)) AS ci
+         |  FROM t)
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+         |  CAST(ci * 48 AS BIGINT) AS start_tok,
+         |  CAST(least(64, n - ci * 48) AS BIGINT) AS chunk_tokens,
+         |  substr(md5(array_to_string(
+         |    string_split(text, ' ')[ci * 48 + 1 : ci * 48 + 64], ' ')), 1, 16)
+         |    AS chunk_hash
+         |FROM c""".stripMargin,
     "text_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, doc_id % 4 AS shard,

@@ -3460,7 +3460,9 @@ object KqlParser {
     }
   }
 
-  private val NamedRe = "^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
+  // (?s): an assignment BODY may span lines (ADX queries wrap long
+  // expressions freely; the pipe-splitter has already isolated the stage)
+  private val NamedRe = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
 
   /** `[name =] expr` → (optional name, TRANSLATED SQL text). Kept as
     * text (not a Column) so stage handlers can post-process — the
@@ -3916,7 +3918,8 @@ object KqlParser {
               "parse_url", "parse_urlquery", "parse_path",
               "parse_version", "parse_xml",
               "geo_distance_2points", "geo_point_in_circle",
-              "geo_point_to_geohash",
+              "geo_point_to_geohash", "geo_geohash_to_central_point",
+              "geo_geohash_neighbors",
               "dcount_intersect",
               "zip", "repeat", "gettype",
               "translate", "max_of", "min_of", "exp2", "exp10",
@@ -4058,6 +4061,17 @@ object KqlParser {
                     val prefix = s"slice(${args(0)}, 1, size(${args(0)}) - $pts)"
                     out.append(s"transform(${args(0)}, (x, i) -> " +
                       s"${seriesIntercept(prefix)} + ${seriesSlope(prefix)} * i)")
+                  case "series_fit_2lines" =>
+                    // the non-dynamic form yields line_fit (the fitted
+                    // array), the series_fit_line convention here; the
+                    // scalar components come from the _dynamic bag.
+                    require(args.length == 1, "series_fit_2lines expects (series)")
+                    out.append(s"element_at(transform(array(" +
+                      s"${seriesFit2LinesDynamic(args(0))}), f2r -> f2r.line_fit), 1)")
+                  case "series_fit_2lines_dynamic" =>
+                    require(args.length == 1,
+                      "series_fit_2lines_dynamic expects (series)")
+                    out.append(seriesFit2LinesDynamic(args(0)))
                   case "series_periods_detect" =>
                     // Deviation (documented): ADX scores periods by
                     // normalized autocorrelation percentages; this
@@ -4482,6 +4496,33 @@ object KqlParser {
                   v
                 }.getOrElse(5)
                 out.append(geohashSql(args(0), args(1), acc))
+              case "geo_geohash_to_central_point" =>
+                // ADX geo_geohash_to_central_point(gh) → GeoJSON
+                // dynamic {type: Point, coordinates: [lon, lat]} of the
+                // cell center. Decode is the exact inverse of
+                // geo_point_to_geohash's integer interleave; the center
+                // is the dyadic midpoint (ix + 0.5) / 2^bits scaled to
+                // the axis — one multiply per axis, identical
+                // cross-engine. Malformed input (bad alphabet, empty,
+                // > 12 chars) → null, ADX's convention.
+                require(args.length == 1,
+                  "geo_geohash_to_central_point expects (geohash)")
+                out.append(geohashCentralPointSql(args(0)))
+              case "geo_geohash_neighbors" =>
+                // ADX geo_geohash_neighbors(gh) → the (up to) 8
+                // surrounding cells at the same accuracy, longitude
+                // wrapping across the antimeridian, polar off-grid
+                // cells dropped (a pole cell has 5 neighbors).
+                // Deterministic order: W→E within S→N (dx fastest).
+                // This is the candidate-cell generator of the
+                // cell-keyed spatial join (`kql_geo_join`): point cells
+                // equi-join site cell ∪ neighbors, which COVERS every
+                // within-R pair whenever R ≤ the minimum cell span —
+                // the bounded fan-out (≤ 9×) that replaces an all-pairs
+                // distance join at 100 TB.
+                require(args.length == 1,
+                  "geo_geohash_neighbors expects (geohash)")
+                out.append(geohashNeighborsSql(args(0)))
               case "countof" =>
                 // ADX counts OVERLAPPING occurrences (countof('aaa',
                 // 'aa') = 2), so a delete-replace length delta is not
@@ -4994,6 +5035,82 @@ object KqlParser {
   private[kql] def seriesLineFit(s: String): String =
     s"transform($s, (x, i) -> ${seriesIntercept(s)} + ${seriesSlope(s)} * i)"
 
+  // ---- series_fit_2lines --------------------------------------------------
+
+  /** One-pass segment sums {i (count), sy, syy, sxy} for the 2-lines
+    * fit — local x is the within-segment index (the struct-accumulator
+    * fold of [[seriesSumIy]], widened to carry Σy and Σy² too). */
+  private def fit2SegSums(seg: String): String =
+    s"aggregate($seg, named_struct('i', CAST(0 AS DOUBLE), 'sy', CAST(0 AS DOUBLE), " +
+      s"'syy', CAST(0 AS DOUBLE), 'sxy', CAST(0 AS DOUBLE)), " +
+      s"(ga, gx) -> named_struct('i', ga.i + 1, 'sy', ga.sy + gx, " +
+      s"'syy', ga.syy + gx * gx, 'sxy', ga.sxy + ga.i * gx))"
+
+  private def fit2Sx(t: String): String = s"(($t.i - 1) * $t.i / 2)"
+  private def fit2Num(t: String): String =
+    s"($t.i * $t.sxy - ${fit2Sx(t)} * $t.sy)"
+  private def fit2Den(t: String): String =
+    s"($t.i * (($t.i - 1) * $t.i * (2 * $t.i - 1) / 6) - ${fit2Sx(t)} * ${fit2Sx(t)})"
+
+  /** Least-squares RSS over a segment's sums struct `t`:
+    * (Syy − Sy²/m) − num²/(den·m) with num = m·Sxy − Sx·Sy and
+    * den = m·Sxx − Sx². For integer-valued series every product is an
+    * exact integer in double, so the two divisions are the only
+    * roundings — the oracle mirrors them op-for-op (cross-engine
+    * bit-exact, the r10 microscore discipline). */
+  private def fit2Rss(t: String): String =
+    s"(($t.syy - $t.sy * $t.sy / $t.i) - " +
+      s"${fit2Num(t)} * ${fit2Num(t)} / (${fit2Den(t)} * $t.i))"
+
+  private def fit2Slope(t: String): String = s"(${fit2Num(t)} / ${fit2Den(t)})"
+  private def fit2Icept(t: String): String =
+    s"(($t.sy - ${fit2Slope(t)} * ${fit2Sx(t)}) / $t.i)"
+
+  /** ADX series_fit_2lines_dynamic: bag of {rsquare, split_idx,
+    * variance, rvariance, left {slope, interception}, right {...},
+    * line_fit} for the best single breakpoint — each side fit on its
+    * LOCAL index axis (an affine shift of the global fit; line_fit
+    * projects the right line from the split). The split minimizes
+    * total RSS over candidates 2..n−2 (each side ≥ 2 points; n < 4 →
+    * null bag, ADX's minimum-length convention), ties to the SMALLEST
+    * split (strict-< fold; the oracle orders by (rss, sp)).
+    * variance = SStot/n and rvariance = RSS/n (population moments, the
+    * series_fit_line_dynamic convention). The candidate scan is one
+    * bounded fold (≤ n splits × one O(n) sums-pass per side) — the
+    * interpreted-HOF budget class of the series tier, documented at
+    * [[seriesTrend]]. Intermediate values bind ONCE per row via the
+    * array-lambda trick (b → best, w → segment sums, q → line params). */
+  private[kql] def seriesFit2LinesDynamic(s: String): String = {
+    val n = s"size($s)"
+    val rssAt =
+      s"(element_at(transform(array(${fit2SegSums(s"slice($s, 1, fs)")}), l2 -> ${fit2Rss("l2")}), 1) + " +
+        s"element_at(transform(array(${fit2SegSums(s"slice($s, fs + 1, $n - fs)")}), r2 -> ${fit2Rss("r2")}), 1))"
+    val best = s"aggregate(sequence(2, $n - 2), " +
+      s"named_struct('rss', CAST('Infinity' AS DOUBLE), 's', -1), " +
+      s"(fa, fs) -> element_at(transform(array($rssAt), rr -> " +
+      s"IF(rr < fa.rss, named_struct('rss', rr, 's', fs), fa)), 1))"
+    // lambda vars carry the f2 prefix (same shadowing hazard as
+    // geohashSql's: a bare b/w/q would shadow user columns)
+    val w = s"named_struct('lt', ${fit2SegSums(s"slice($s, 1, f2b.s)")}, " +
+      s"'rt', ${fit2SegSums(s"slice($s, f2b.s + 1, $n - f2b.s)")}, " +
+      s"'ft', ${fit2SegSums(s)})"
+    val q = s"named_struct('sl', ${fit2Slope("f2w.lt")}, 'il', ${fit2Icept("f2w.lt")}, " +
+      s"'sr', ${fit2Slope("f2w.rt")}, 'ir', ${fit2Icept("f2w.rt")}, " +
+      s"'sstot', (f2w.ft.syy - f2w.ft.sy * f2w.ft.sy / f2w.ft.i), 'nn', f2w.ft.i)"
+    s"(CASE WHEN $n < 4 THEN NULL ELSE " +
+      s"element_at(transform(array($best), f2b -> " +
+      s"element_at(transform(array($w), f2w -> " +
+      s"element_at(transform(array($q), f2q -> named_struct(" +
+      s"'rsquare', (CASE WHEN f2q.sstot = 0 THEN NULL ELSE 1 - f2b.rss / f2q.sstot END), " +
+      s"'split_idx', f2b.s, " +
+      s"'variance', (f2q.sstot / f2q.nn), " +
+      s"'rvariance', (f2b.rss / f2q.nn), " +
+      s"'left', named_struct('slope', f2q.sl, 'interception', f2q.il), " +
+      s"'right', named_struct('slope', f2q.sr, 'interception', f2q.ir), " +
+      s"'line_fit', transform($s, (lx, li) -> " +
+      s"IF(li < f2b.s, f2q.il + f2q.sl * li, f2q.ir + f2q.sr * (li - f2b.s))))), 1)), 1)), 1) END)"
+  }
+
   /** Population variance of a series. */
   private def seriesVarPop(s: String): String = {
     val n = seriesN(s)
@@ -5119,14 +5236,79 @@ object KqlParser {
       s"CAST(floor(($lonD + 180.0) / 360.0 * ${1L << lonBits}) AS BIGINT)))"
     val iy = s"least(CAST(${(1L << latBits) - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
       s"CAST(floor(($latD + 90.0) / 180.0 * ${1L << latBits}) AS BIGINT)))"
+    // lambda vars carry a gh prefix: generic names (a, p, s, c) would
+    // shadow same-named USER COLUMNS inside the lambda bodies (Spark
+    // resolves lambda vars first), breaking e.g. `p.coordinates` when
+    // the caller's frame has a column `p`
     val bit =
-      s"IF(p % 2 = 0, shiftright($ix, ${lonBits - 1} - (p DIV 2)) & 1, " +
-      s"shiftright($iy, ${latBits - 1} - ((p - 1) DIV 2)) & 1)"
+      s"IF(ghp % 2 = 0, shiftright($ix, ${lonBits - 1} - (ghp DIV 2)) & 1, " +
+      s"shiftright($iy, ${latBits - 1} - ((ghp - 1) DIV 2)) & 1)"
     val inter =
-      s"aggregate(sequence(0, ${total - 1}), CAST(0 AS BIGINT), (a, p) -> a * 2 + ($bit))"
+      s"aggregate(sequence(0, ${total - 1}), CAST(0 AS BIGINT), (gha, ghp) -> gha * 2 + ($bit))"
     val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
     s"(CASE WHEN abs($latD) > 90.0 OR abs($lonD) > 180.0 THEN CAST(NULL AS STRING) " +
-      s"ELSE aggregate(sequence(0, ${acc - 1}), '', (s, c) -> concat(s, " +
-      s"substring('$alpha', CAST((shiftright($inter, 5 * (${acc - 1} - c)) & 31) AS INT) + 1, 1))) END)"
+      s"ELSE aggregate(sequence(0, ${acc - 1}), '', (ghs, ghc) -> concat(ghs, " +
+      s"substring('$alpha', CAST((shiftright($inter, 5 * (${acc - 1} - ghc)) & 31) AS INT) + 1, 1))) END)"
+  }
+
+  private val geohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Validity gate for a geohash argument: 1..12 chars, all from the
+    * base32 alphabet (no a/i/l/o). */
+  private def geohashValidSql(g: String): String =
+    s"($g RLIKE '^[0-9b-hjkmnp-z]{1,12}$$')"
+
+  /** Decode a geohash into its pre-interleave cell integers, bound
+    * ONCE as a struct {len, t, lb, kb, ix, iy} via the array-lambda
+    * trick (`transform(array(dec), d -> body)` evaluates `dec` a
+    * single time per row, so the consumers below reference `d.ix`
+    * instead of re-inlining the fold). The de-interleave folds are
+    * bounded by 60 bit positions — the same interpreted-HOF budget as
+    * the encoder, documented there. */
+  private def geohashDecodeSql(g: String): String = {
+    val v = s"aggregate(sequence(1, length($g)), CAST(0 AS BIGINT), " +
+      s"(va, vp) -> va * 32 + (instr('$geohashAlphabet', substr($g, vp, 1)) - 1))"
+    val t = s"(5 * length($g))"
+    val ix = s"aggregate(sequence(0, $t - 1), CAST(0 AS BIGINT), " +
+      s"(xa, xp) -> IF(xp % 2 = 0, xa * 2 + (shiftright($v, $t - 1 - xp) & 1), xa))"
+    val iy = s"aggregate(sequence(0, $t - 1), CAST(0 AS BIGINT), " +
+      s"(ya, yp) -> IF(yp % 2 = 1, ya * 2 + (shiftright($v, $t - 1 - yp) & 1), ya))"
+    s"named_struct('len', length($g), 't', CAST($t AS INT), " +
+      s"'lb', CAST(($t + 1) DIV 2 AS INT), 'kb', CAST($t DIV 2 AS INT), " +
+      s"'ix', $ix, 'iy', $iy)"
+  }
+
+  /** Re-encode pre-interleave cell integers (`ix2`, `iy2` — may
+    * reference outer lambda vars) back to a geohash string at the
+    * accuracy carried by the decode struct `d`. */
+  private def geohashEncodeSql(ix2: String, iy2: String): String = {
+    val bit = s"IF(ep % 2 = 0, shiftright($ix2, d.lb - 1 - (ep DIV 2)) & 1, " +
+      s"shiftright($iy2, d.kb - 1 - ((ep - 1) DIV 2)) & 1)"
+    val v2 = s"aggregate(sequence(0, d.t - 1), CAST(0 AS BIGINT), (ea, ep) -> ea * 2 + ($bit))"
+    s"aggregate(sequence(0, d.len - 1), '', (es, ec) -> concat(es, " +
+      s"substring('$geohashAlphabet', CAST((shiftright($v2, 5 * (d.len - 1 - ec)) & 31) AS INT) + 1, 1)))"
+  }
+
+  private[kql] def geohashCentralPointSql(g: String): String = {
+    val lon = s"(CAST(d.ix AS DOUBLE) + 0.5) / CAST(shiftleft(CAST(1 AS BIGINT), d.lb) AS DOUBLE) * 360.0 - 180.0"
+    val lat = s"(CAST(d.iy AS DOUBLE) + 0.5) / CAST(shiftleft(CAST(1 AS BIGINT), d.kb) AS DOUBLE) * 180.0 - 90.0"
+    s"(CASE WHEN ${geohashValidSql(g)} THEN " +
+      s"element_at(transform(array(${geohashDecodeSql(g)}), d -> " +
+      s"named_struct('type', 'Point', 'coordinates', array($lon, $lat))), 1) " +
+      s"ELSE NULL END)"
+  }
+
+  private[kql] def geohashNeighborsSql(g: String): String = {
+    // dk in 0..8 maps to (dx, dy) = (dk % 3 - 1, dk DIV 3 - 1):
+    // W→E within S→N, center (dk = 4) skipped. Longitude wraps mod
+    // 2^lb; latitude off-grid (past a pole) yields NULL, filtered out.
+    val nx = s"pmod(d.ix + (dk % 3 - 1), shiftleft(CAST(1 AS BIGINT), d.lb))"
+    val ny = s"(d.iy + (dk DIV 3 - 1))"
+    s"(CASE WHEN ${geohashValidSql(g)} THEN " +
+      s"element_at(transform(array(${geohashDecodeSql(g)}), d -> " +
+      s"filter(transform(sequence(0, 8), dk -> " +
+      s"CASE WHEN dk = 4 OR $ny < 0 OR $ny > shiftleft(CAST(1 AS BIGINT), d.kb) - 1 THEN NULL " +
+      s"ELSE ${geohashEncodeSql(nx, ny)} END), nb -> nb IS NOT NULL)), 1) " +
+      s"ELSE NULL END)"
   }
 }

@@ -552,6 +552,67 @@ object ReferenceQueries {
       || project name, gh, gh1, d_osl_m, near_cph
       || sort by name asc""".stripMargin
 
+  /** r11 `series_fit_2lines[_dynamic]` — the segmented-regression
+    * sibling of series_fit_line: best single breakpoint by total RSS
+    * over the zero-filled daily count series, each side fit on its
+    * local index axis. Integer-valued series make every sum an exact
+    * integer in double; the oracle mirrors the division chain
+    * op-for-op and the (rss, sp) tie order, so all outputs are
+    * bit-stable micro-units. */
+  val kqlSeriesFit2Text: String =
+    """Events
+      || make-series n = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+      || extend f = series_fit_2lines_dynamic(n)
+      || extend split_idx = f.split_idx,
+      |    rsq_u = tolong(floor(f.rsquare * 1000000.0, 1)),
+      |    var_u = tolong(floor(f.variance * 1000000.0, 1)),
+      |    rvar_u = tolong(floor(f.rvariance * 1000000.0, 1)),
+      |    sl_l_u = tolong(floor(f.left.slope * 1000000.0, 1)),
+      |    ic_l_u = tolong(floor(f.left.interception * 1000000.0, 1)),
+      |    sl_r_u = tolong(floor(f.right.slope * 1000000.0, 1)),
+      |    ic_r_u = tolong(floor(f.right.interception * 1000000.0, 1)),
+      |    fc = array_join(transform(f.line_fit, x -> string(tolong(floor(x * 1000000.0, 1)))), ',')
+      || project event_type, split_idx, rsq_u, var_u, rvar_u, sl_l_u, ic_l_u, sl_r_u, ic_r_u, fc
+      || sort by event_type asc""".stripMargin
+
+  /** r11 geo CELL JOIN — the scale path for "points within R of a
+    * site": points carry their geohash-3 cell, sites fan out to their
+    * cell ∪ 8 neighbors (`geo_geohash_neighbors`), and the candidate
+    * set is a plain broadcast equi-join on the cell key, verified with
+    * the exact circle test. Coverage is guaranteed because R = 75 km ≤
+    * the minimum geohash-3 cell span over the data's latitude band
+    * (≤ 57°N → lon span ≥ 84 km, lat span 156 km), so the all-pairs
+    * distance join never happens — at 100 TB the cost is one bounded
+    * 9× fan-out of the TINY site dim plus one equi-join at scan speed.
+    * The oracle is deliberately the INDEPENDENT formulation (cross join
+    * + distance filter, no geohash arithmetic): if the neighbor cells
+    * missed any within-R pair, the counts would not match. Point
+    * coordinates derive from order ids with exact integer/decimal
+    * arithmetic; distances floor to whole meters (micro-unit class). */
+  val kqlGeoJoinText: String =
+    """let Sites = datatable(site:string, slon:real, slat:real)[
+      |  'ams', 4.9, 52.37,
+      |  'ber', 13.4, 52.52,
+      |  'lhr', -0.13, 51.51,
+      |  'cdg', 2.35, 48.86,
+      |  'muc', 11.58, 48.14,
+      |  'edi', -3.19, 55.95
+      |];
+      |Orders
+      || extend lon = (orderid % 4000) / 100.0 - 20.0, lat = 40.0 + (custid % 1000) / 50.0
+      || extend cell = geo_point_to_geohash(lon, lat, 3)
+      || join kind=inner (
+      |    Sites
+      |    | extend cells = array_concat(pack_array(geo_point_to_geohash(slon, slat, 3)),
+      |        geo_geohash_neighbors(geo_point_to_geohash(slon, slat, 3)))
+      |    | mv-expand cell = cells to typeof(string)
+      |  ) on cell
+      || where geo_point_in_circle(lon, lat, slon, slat, 75000.0)
+      || summarize n = count(),
+      |    d_min_m = min(tolong(floor(geo_distance_2points(lon, lat, slon, slat), 1))),
+      |    d_max_m = max(tolong(floor(geo_distance_2points(lon, lat, slon, slat), 1))) by site
+      || sort by site asc""".stripMargin
+
   val kqlBasketText: String =
     """Events
       || extend vband = tolong(floor(bin(value, 200) + 0.5, 1)), hot = value >= 400
@@ -965,7 +1026,9 @@ object ReferenceQueries {
     "kql_autocluster" -> kqlText(kqlAutoclusterText) _,
     "kql_basket" -> kqlText(kqlBasketText) _,
     "kql_geo" -> kqlText(kqlGeoText) _,
+    "kql_geo_join" -> kqlText(kqlGeoJoinText) _,
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
+    "kql_series_fit2" -> kqlText(kqlSeriesFit2Text) _,
     "kql_parse_xml" -> kqlText(kqlParseXmlText) _,
     "kql_diffpatterns" -> kqlText(kqlDiffPatternsText) _,
     "kql_sliding_window" -> kqlText(kqlSlidingWindowText) _,
@@ -1166,6 +1229,75 @@ object ReferenceQueries {
     // Prefix-fit mirror of the parser's series_decompose_forecast:
     // exact integer sums over i < 23, the same double division and
     // per-point multiply-add, micro-floored.
+    // Mirrors seriesFit2LinesDynamic op-for-op: exact integer sums per
+    // candidate split (conditional aggregates instead of the fold), the
+    // same division chain for rss/slope/intercept, argmin ties broken
+    // by smallest sp (the Spark fold's strict-< keeps the first).
+    "kql_series_fit2" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+        |g AS (SELECT event_type, i, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 30)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, CAST(COALESCE(g.c, 0) AS DOUBLE) AS v
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i),
+        |cand AS (SELECT CAST(unnest(range(2, 29)) AS INT) AS sp),
+        |sums AS (
+        |  SELECT d.event_type, s.sp,
+        |    CAST(s.sp AS DOUBLE) AS ml, CAST(30 - s.sp AS DOUBLE) AS mr,
+        |    SUM(v) FILTER (WHERE i < s.sp) AS lsy,
+        |    SUM(v * v) FILTER (WHERE i < s.sp) AS lsyy,
+        |    SUM(i * v) FILTER (WHERE i < s.sp) AS lsxy,
+        |    SUM(v) FILTER (WHERE i >= s.sp) AS rsy,
+        |    SUM(v * v) FILTER (WHERE i >= s.sp) AS rsyy,
+        |    SUM((i - s.sp) * v) FILTER (WHERE i >= s.sp) AS rsxy
+        |  FROM dense d CROSS JOIN cand s GROUP BY 1, 2, 3, 4),
+        |r2 AS (
+        |  SELECT *,
+        |    (ml - 1) * ml / 2 AS sxl, (ml - 1) * ml * (2 * ml - 1) / 6 AS sxxl,
+        |    (mr - 1) * mr / 2 AS sxr, (mr - 1) * mr * (2 * mr - 1) / 6 AS sxxr
+        |  FROM sums),
+        |r3 AS (
+        |  SELECT *,
+        |    ml * lsxy - sxl * lsy AS numl, ml * sxxl - sxl * sxl AS denl,
+        |    mr * rsxy - sxr * rsy AS numr, mr * sxxr - sxr * sxr AS denr
+        |  FROM r2),
+        |r4 AS (
+        |  SELECT *,
+        |    ((lsyy - lsy * lsy / ml) - numl * numl / (denl * ml))
+        |      + ((rsyy - rsy * rsy / mr) - numr * numr / (denr * mr)) AS rss
+        |  FROM r3),
+        |best AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY rss, sp) AS rn FROM r4) WHERE rn = 1),
+        |p AS (
+        |  SELECT event_type, sp, rss,
+        |    numl / denl AS sl, numr / denr AS sr,
+        |    (lsy - (numl / denl) * sxl) / ml AS il,
+        |    (rsy - (numr / denr) * sxr) / mr AS ir,
+        |    (lsyy + rsyy) - (lsy + rsy) * (lsy + rsy) / 30.0 AS sstot
+        |  FROM best)
+        |SELECT p.event_type, CAST(p.sp AS INTEGER) AS split_idx,
+        |  CAST(floor((1 - p.rss / p.sstot) * 1000000.0) AS BIGINT) AS rsq_u,
+        |  CAST(floor((p.sstot / 30.0) * 1000000.0) AS BIGINT) AS var_u,
+        |  CAST(floor((p.rss / 30.0) * 1000000.0) AS BIGINT) AS rvar_u,
+        |  CAST(floor(p.sl * 1000000.0) AS BIGINT) AS sl_l_u,
+        |  CAST(floor(p.il * 1000000.0) AS BIGINT) AS ic_l_u,
+        |  CAST(floor(p.sr * 1000000.0) AS BIGINT) AS sl_r_u,
+        |  CAST(floor(p.ir * 1000000.0) AS BIGINT) AS ic_r_u,
+        |  string_agg(CAST(CAST(floor((CASE WHEN d.i < p.sp THEN p.il + p.sl * d.i
+        |    ELSE p.ir + p.sr * (d.i - p.sp) END) * 1000000.0) AS BIGINT) AS VARCHAR),
+        |    ',' ORDER BY d.i) AS fc
+        |FROM p JOIN dense d USING (event_type)
+        |GROUP BY p.event_type, p.sp, p.rss, p.sl, p.sr, p.il, p.ir, p.sstot
+        |ORDER BY event_type ASC""".stripMargin,
     "kql_series_forecast" ->
       """WITH f AS (
         |  SELECT event_type,
@@ -1198,6 +1330,34 @@ object ReferenceQueries {
     // Geohash mirrors the parser's integer bit-interleave (no trig —
     // bit-identical); distances mirror the haversine op-for-op and
     // floor at whole meters.
+    // INDEPENDENT formulation: cross join + exact distance filter — no
+    // geohash arithmetic. If the Spark side's neighbor-cell candidate
+    // join missed any within-R pair, the counts would differ. The
+    // haversine chain mirrors geoDistanceSql op-for-op; distances
+    // floor to whole meters.
+    "kql_geo_join" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, (orderid % 4000) / 100.0 - 20.0 AS lon,
+         |    40.0 + (custid % 1000) / 50.0 AS lat
+         |  FROM orders_info),
+         |sites AS (
+         |  SELECT * FROM (VALUES
+         |    ('ams', 4.9, 52.37), ('ber', 13.4, 52.52), ('lhr', -0.13, 51.51),
+         |    ('cdg', 2.35, 48.86), ('muc', 11.58, 48.14), ('edi', -3.19, 55.95))
+         |    AS s(site, slon, slat)),
+         |d AS (
+         |  SELECT site,
+         |    2.0 * 6371000.0 * asin(sqrt(least(1.0,
+         |      sin((radians(slat) - radians(lat)) / 2) * sin((radians(slat) - radians(lat)) / 2)
+         |      + cos(radians(lat)) * cos(radians(slat))
+         |        * sin((radians(slon) - radians(lon)) / 2) * sin((radians(slon) - radians(lon)) / 2)))) AS dist
+         |  FROM pts CROSS JOIN sites)
+         |SELECT site, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(floor(MIN(dist)) AS BIGINT) AS d_min_m,
+         |  CAST(floor(MAX(dist)) AS BIGINT) AS d_max_m
+         |FROM d WHERE dist <= 75000.0
+         |GROUP BY site ORDER BY site ASC""".stripMargin,
     "kql_geo" ->
       """WITH p AS (
         |  SELECT * FROM (VALUES

@@ -63,4 +63,53 @@ class GeoSpec extends SparkSpec {
     assert(one("geo_point_in_circle(0.0, 0.0, 0.0, 0.0, -1.0)").isNullAt(0))
     assert(one("geo_point_in_circle(200.0, 0.0, 0.0, 0.0, 10.0)").isNullAt(0))
   }
+
+  test("geohash central point: decode inverts encode, GeoJSON shape, malformed -> null") {
+    // the cell center re-encodes to the SAME cell at every accuracy
+    for (acc <- Seq(1, 3, 5, 7)) {
+      val r = KqlParser.run(
+        s"""T | extend gh = geo_point_to_geohash(10.40744, 57.64911, $acc)
+           | | extend p = geo_geohash_to_central_point(gh)
+           | | extend rt = geo_point_to_geohash(p.coordinates[0], p.coordinates[1], $acc)
+           | | project ok = rt == gh, t = p.type""".stripMargin,
+        Map("T" -> Seq(1).toDF("x"))).head()
+      assert(r.getBoolean(0), s"roundtrip failed at acc=$acc")
+      assert(r.getString(1) == "Point")
+    }
+    // the center of ezs42 lies inside the documented cell (42.6N 5.6W)
+    val c = KqlParser.run(
+      """T | extend p = geo_geohash_to_central_point('ezs42')
+        | | project lon = p.coordinates[0], lat = p.coordinates[1]""".stripMargin,
+      Map("T" -> Seq(1).toDF("x"))).head()
+    assert(math.abs(c.getDouble(0) - -5.603) < 0.03 && math.abs(c.getDouble(1) - 42.605) < 0.03,
+      s"ezs42 center ${c.getDouble(0)}, ${c.getDouble(1)}")
+    assert(one("geo_geohash_to_central_point('ali0')").isNullAt(0)) // a/i/l/o not in alphabet
+    assert(one("geo_geohash_to_central_point('')").isNullAt(0))
+  }
+
+  test("geohash neighbors: 8 distinct adjacent cells, antimeridian wrap, 5 at a pole") {
+    def nbrs(gh: String): Seq[String] =
+      one(s"geo_geohash_neighbors('$gh')").getSeq[String](0)
+    def centerOf(gh: String): Seq[Double] = KqlParser.run(
+      s"T | extend p = geo_geohash_to_central_point('$gh') | project c = p.coordinates",
+      Map("T" -> Seq(1).toDF("x"))).head().getSeq[Double](0)
+    val n = nbrs("ezs42")
+    assert(n.size == 8 && n.distinct.size == 8 && !n.contains("ezs42"))
+    // every neighbor's center is within ~1.5 cell spans of the home center
+    val homeC = centerOf("ezs42")
+    for (nb <- n) {
+      val c = centerOf(nb)
+      assert(math.abs(c(1) - homeC(1)) < 1.5 * (180.0 / 128) &&
+        math.abs(c(0) - homeC(0)) < 1.5 * (360.0 / 256), s"$nb center $c vs $homeC")
+    }
+    // antimeridian: the +180-edge cell's neighbor set crosses to the
+    // -180 side (some neighbor's center has the opposite lon sign)
+    val am = nbrs(one("geo_point_to_geohash(179.9, 0.0, 4)").getString(0))
+    val amLons = am.map(x => centerOf(x)(0))
+    assert(amLons.exists(_ < 0), s"no wrap in $amLons")
+    // a north-pole cell has no northern neighbors: 5 remain
+    val pole = one("geo_point_to_geohash(0.0, 89.99, 2)").getString(0)
+    assert(nbrs(pole).size == 5, s"pole $pole -> ${nbrs(pole)}")
+    assert(one("geo_geohash_neighbors('xx@')").isNullAt(0))
+  }
 }

@@ -1156,6 +1156,33 @@ class KqlSpec extends SparkSpec {
     assert(c.getDouble(0) == 0.0 && c.isNullAt(1))
   }
 
+  test("parser: series_fit_2lines finds the exact breakpoint of a piecewise-linear series") {
+    // flat-then-rising: y = 2 on [0,4), then y = 2 + 3(x-4) on [4,8).
+    // Each side fits exactly -> total RSS 0, rsquare 1, split at 4.
+    val reg = Map("T" -> Seq(Tuple1(
+      Seq(2.0, 2.0, 2.0, 2.0, 2.0, 5.0, 8.0, 11.0))).toDF("y"))
+    val r = KqlParser.run(
+      "T | extend f = series_fit_2lines_dynamic(y) " +
+        "| project s = f.split_idx, rsq = f.rsquare, rv = f.rvariance, " +
+        "sll = f.left.slope, icl = f.left.interception, " +
+        "slr = f.right.slope, icr = f.right.interception, lf = f.line_fit",
+      reg).collect().head
+    // split at 4 gives left = 4 flat points (slope 0, icept 2) and
+    // right = [2,5,8,11] (slope 3, icept 2 on its LOCAL axis)... but
+    // wait: index 4 holds 2.0, so split_idx = 4 puts it on the right.
+    assert(r.getInt(0) == 4, s"split ${r.getInt(0)}")
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 2.0)
+    assert(r.getDouble(5) == 3.0 && r.getDouble(6) == 2.0)
+    assert(r.getSeq[Double](7) == Seq(2.0, 2.0, 2.0, 2.0, 2.0, 5.0, 8.0, 11.0))
+    // the non-dynamic form is the fitted array; n < 4 -> null bag
+    val lf = KqlParser.run("T | project lf = series_fit_2lines(y)", reg)
+      .collect().head.getSeq[Double](0)
+    assert(lf == Seq(2.0, 2.0, 2.0, 2.0, 2.0, 5.0, 8.0, 11.0))
+    assert(KqlParser.run("S | project f = series_fit_2lines_dynamic(y)",
+      Map("S" -> Seq(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("y"))).collect().head.isNullAt(0))
+  }
+
   test("parser: series_stats_dynamic bag (population moments, first-occurrence idx)") {
     val reg = Map("T" -> Seq(Tuple1(Seq(4.0, 1.0, 9.0, 1.0))).toDF("y"))
     val r = KqlParser.run(
