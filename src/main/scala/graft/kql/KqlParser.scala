@@ -3916,10 +3916,10 @@ object KqlParser {
               "ipv4_is_private", "ipv4_is_in_range", "ipv4_compare",
               "ipv4_netmask_suffix",
               "parse_url", "parse_urlquery", "parse_path",
-              "parse_version", "parse_xml",
+              "parse_version", "parse_xml", "parse_user_agent",
               "geo_distance_2points", "geo_point_in_circle",
               "geo_point_to_geohash", "geo_geohash_to_central_point",
-              "geo_geohash_neighbors",
+              "geo_geohash_neighbors", "geo_point_in_polygon",
               "dcount_intersect",
               "zip", "repeat", "gettype",
               "translate", "max_of", "min_of", "exp2", "exp10",
@@ -4454,6 +4454,35 @@ object KqlParser {
                   s"parse_json(to_json(map($root, map_from_arrays(" +
                   s"regexp_extract_all($x, $pairRe, 1), " +
                   s"regexp_extract_all($x, $pairRe, 2))))) END)")
+              case "parse_user_agent" =>
+                // ADX parse_user_agent(ua, looking_for) → dynamic bag.
+                // Subset (documented deviation): looking_for must be
+                // the literal 'browser' or 'os' (ADX also accepts
+                // 'device' and arrays); detection is a deterministic
+                // ordered regex cascade over the major engine families
+                // (Edge before Chrome before Safari — UA strings embed
+                // their ancestors' tokens), not ADX's uap-core
+                // database. Versions are strings; absent components are
+                // null (nullif(…, '') pins the no-match rendering on
+                // BOTH engines — the r10 cross-engine hazard class).
+                require(args.length == 2,
+                  "parse_user_agent expects (ua, 'browser'|'os')")
+                val target = args(1).trim.toLowerCase.stripPrefix("'").stripSuffix("'")
+                require(target == "browser" || target == "os",
+                  s"parse_user_agent looking_for must be 'browser' or 'os': ${args(1)}")
+                out.append(parseUserAgentSql(args(0), target))
+              case "geo_point_in_polygon" =>
+                // ADX geo_point_in_polygon(lon, lat, polygon) — even-odd
+                // ray casting over the OUTER ring of a GeoJSON Polygon
+                // dynamic (holes unsupported — documented deviation;
+                // points exactly on an edge are undefined, as in ADX).
+                // The ring binds once via the array-lambda trick; the
+                // crossing test's single division is mirrored op-for-op
+                // in the oracle. Invalid coordinates or a ring with
+                // fewer than 4 GeoJSON entries → null.
+                require(args.length == 3,
+                  "geo_point_in_polygon expects (lon, lat, polygon)")
+                out.append(geoPointInPolygonSql(args(0), args(1), args(2)))
               case "geo_distance_2points" =>
                 // ADX geo_distance_2points(lon1, lat1, lon2, lat2) →
                 // meters. DEVIATION (documented): haversine great-circle
@@ -5296,6 +5325,81 @@ object KqlParser {
       s"element_at(transform(array(${geohashDecodeSql(g)}), d -> " +
       s"named_struct('type', 'Point', 'coordinates', array($lon, $lat))), 1) " +
       s"ELSE NULL END)"
+  }
+
+  /** Even-odd ray casting over the GeoJSON Polygon's outer ring: a
+    * horizontal ray from the point crosses edge (i, i+1) when the edge
+    * straddles the point's latitude and the intersection's longitude
+    * lies east of the point. The ring (cast from VARIANT to
+    * ARRAY<ARRAY<DOUBLE>>) and the point bind once as `gpq`. */
+  private[kql] def geoPointInPolygonSql(lon: String, lat: String,
+                                        poly: String): String = {
+    val ring = s"try_cast(variant_get($poly, '$$.coordinates[0]') AS ARRAY<ARRAY<DOUBLE>>)"
+    def vx(i: String) = s"element_at(element_at(gpq.r, $i), 1)"
+    def vy(i: String) = s"element_at(element_at(gpq.r, $i), 2)"
+    val cross =
+      s"((${vy("gpi + 1")} > gpq.py) != (${vy("gpi + 2")} > gpq.py)) AND " +
+        s"gpq.px < ${vx("gpi + 1")} + (${vx("gpi + 2")} - ${vx("gpi + 1")}) * " +
+        s"(gpq.py - ${vy("gpi + 1")}) / (${vy("gpi + 2")} - ${vy("gpi + 1")})"
+    s"element_at(transform(array(named_struct('r', $ring, " +
+      s"'px', CAST(($lon) AS DOUBLE), 'py', CAST(($lat) AS DOUBLE))), gpq -> " +
+      s"CASE WHEN abs(gpq.py) > 90.0 OR abs(gpq.px) > 180.0 " +
+      s"OR gpq.r IS NULL OR size(gpq.r) < 4 THEN CAST(NULL AS BOOLEAN) " +
+      s"ELSE size(filter(sequence(0, size(gpq.r) - 2), gpi -> $cross)) % 2 = 1 END), 1)"
+  }
+
+  /** Ordered regex cascade for parse_user_agent — ancestors' tokens
+    * (Chrome inside Edge/Opera UAs, Safari inside Chrome UAs) are
+    * masked by check order. Major/minor capture groups share one
+    * pattern per family; no-match pins to NULL via nullif. */
+  private[kql] def parseUserAgentSql(ua: String, target: String): String = {
+    def re(pat: String, grp: Int) =
+      s"nullif(regexp_extract($ua, '$pat', $grp), '')"
+    def fam(tests: Seq[(String, String)], other: String): String =
+      tests.map { case (p, f) => s"WHEN $ua RLIKE '$p' THEN '$f'" }
+        .mkString("CASE ", " ", s" ELSE '$other' END")
+    val bag = target match {
+      case "browser" =>
+        val vEdge = """Edg(?:e|A|iOS)?/([0-9]+)\\.([0-9]+)"""
+        val vOpr = """OPR/([0-9]+)\\.([0-9]+)"""
+        val vFf = """Firefox/([0-9]+)\\.([0-9]+)"""
+        val vCh = """Chrome/([0-9]+)\\.([0-9]+)"""
+        val vSaf = """Version/([0-9]+)\\.([0-9]+)[^;]*Safari"""
+        val family = fam(Seq(
+          "Edg(e|A|iOS)?/" -> "Edge", "OPR/" -> "Opera",
+          "Firefox/" -> "Firefox", "Chrome/" -> "Chrome",
+          "Safari/" -> "Safari"), "Other")
+        def pick(grp: Int) =
+          s"CASE WHEN $ua RLIKE 'Edg(e|A|iOS)?/' THEN ${re(vEdge, grp)} " +
+            s"WHEN $ua RLIKE 'OPR/' THEN ${re(vOpr, grp)} " +
+            s"WHEN $ua RLIKE 'Firefox/' THEN ${re(vFf, grp)} " +
+            s"WHEN $ua RLIKE 'Chrome/' THEN ${re(vCh, grp)} " +
+            s"WHEN $ua RLIKE 'Safari/' THEN ${re(vSaf, grp)} " +
+            s"ELSE CAST(NULL AS STRING) END"
+        s"named_struct('Browser', named_struct('Family', $family, " +
+          s"'MajorVersion', ${pick(1)}, 'MinorVersion', ${pick(2)}))"
+      case _ =>
+        val vWin = """Windows NT ([0-9]+)\\.([0-9]+)"""
+        val vIos = """(?:iPhone|CPU) OS ([0-9]+)_([0-9]+)"""
+        val vMac = """Mac OS X ([0-9]+)[._]([0-9]+)"""
+        val vAnd = """Android ([0-9]+)(?:\\.([0-9]+))?"""
+        val family = fam(Seq(
+          "Windows NT " -> "Windows", "(iPhone|CPU) OS " -> "iOS",
+          "Android " -> "Android", "Mac OS X " -> "macOS",
+          "Linux" -> "Linux"), "Other")
+        def pick(grp: Int) =
+          s"CASE WHEN $ua RLIKE 'Windows NT ' THEN ${re(vWin, grp)} " +
+            s"WHEN $ua RLIKE '(iPhone|CPU) OS ' THEN ${re(vIos, grp)} " +
+            s"WHEN $ua RLIKE 'Android ' THEN ${re(vAnd, grp)} " +
+            s"WHEN $ua RLIKE 'Mac OS X ' THEN ${re(vMac, grp)} " +
+            s"ELSE CAST(NULL AS STRING) END"
+        s"named_struct('OperatingSystem', named_struct('Family', $family, " +
+          s"'MajorVersion', ${pick(1)}, 'MinorVersion', ${pick(2)}))"
+    }
+    // struct → JSON → VARIANT: one bag like parse_xml's (null version
+    // components are dropped by to_json; dotted access on a missing
+    // field yields null, the same observable as an explicit null)
+    s"parse_json(to_json($bag))"
   }
 
   private[kql] def geohashNeighborsSql(g: String): String = {

@@ -191,7 +191,7 @@ object AdvancedAnalytics {
     val stats = daily.agg(count(lit(1)).as("nd"), sum(col("cnt")).as("s1"),
       sum(col("cnt") * col("cnt")).as("s2"))
     // (cnt - s1/nd)^2 > 4*(s2/nd - (s1/nd)^2)  <=>  (nd*cnt - s1)^2 > 4*(nd*s2 - s1^2)
-    daily.crossJoin(stats)
+    daily.crossJoin(broadcast(stats))
       .select(col("day"), col("cnt"),
         ((col("nd") * col("cnt") - col("s1")) * (col("nd") * col("cnt") - col("s1")) >
           lit(4) * (col("nd") * col("s2") - col("s1") * col("s1"))).as("is_anomaly"))

@@ -613,6 +613,46 @@ object ReferenceQueries {
       |    d_max_m = max(tolong(floor(geo_distance_2points(lon, lat, slon, slat), 1))) by site
       || sort by site asc""".stripMargin
 
+  /** r11 `parse_user_agent` — browser + OS family/version extraction
+    * over a datatable of real-shaped UA strings (Edge/Chrome/Safari
+    * ancestor-token masking, iOS underscore versions, an unknown).
+    * The oracle mirrors the ordered regex cascade; no-match pins to
+    * NULL via nullif on both engines. */
+  val kqlParseUaText: String =
+    """let U = datatable(ua:string)[
+      |  'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36 Edg/124.0.2478.51',
+      |  'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/123.0.0.0 Safari/537.36',
+      |  'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 Safari/605.1.15',
+      |  'Mozilla/5.0 (X11; Linux x86_64; rv:125.0) Gecko/20100101 Firefox/125.0',
+      |  'Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 Mobile/15E148 Safari/604.1',
+      |  'Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.6367.82 Mobile Safari/537.36',
+      |  'Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 OPR/106.0.0.0',
+      |  'curl/8.5.0'
+      |];
+      |U
+      || extend b = parse_user_agent(ua, 'browser'), o = parse_user_agent(ua, 'os')
+      || project ua_tag = substring(ua, 0, 30),
+      |    b_family = tostring(b.Browser.Family),
+      |    b_major = tostring(b.Browser.MajorVersion),
+      |    b_minor = tostring(b.Browser.MinorVersion),
+      |    os_family = tostring(o.OperatingSystem.Family),
+      |    os_major = tostring(o.OperatingSystem.MajorVersion)
+      || sort by ua_tag asc""".stripMargin
+
+  /** r11 `geo_point_in_polygon` — even-odd ray casting over a
+    * NON-CONVEX GeoJSON ring (the dent at (0, 47.5) proves even-odd,
+    * not winding/convex-hull), counted per city over the same derived
+    * point field as `kql_geo_join`. The oracle hard-codes the ring as
+    * an edge VALUES list and mirrors the crossing test's single
+    * division op-for-op. */
+  val kqlGeoPolygonText: String =
+    """let poly = parse_json('{"type":"Polygon","coordinates":[[[-5.0,45.0],[5.0,43.0],[12.0,50.0],[0.0,47.5],[-8.0,52.0],[-5.0,45.0]]]}');
+      |Orders
+      || extend lon = (orderid % 4000) / 100.0 - 20.0, lat = 40.0 + (custid % 1000) / 50.0
+      || extend inside = geo_point_in_polygon(lon, lat, poly)
+      || summarize n_inside = countif(inside), n = count() by city
+      || sort by city asc""".stripMargin
+
   val kqlBasketText: String =
     """Events
       || extend vband = tolong(floor(bin(value, 200) + 0.5, 1)), hot = value >= 400
@@ -1027,6 +1067,8 @@ object ReferenceQueries {
     "kql_basket" -> kqlText(kqlBasketText) _,
     "kql_geo" -> kqlText(kqlGeoText) _,
     "kql_geo_join" -> kqlText(kqlGeoJoinText) _,
+    "kql_geo_polygon" -> kqlText(kqlGeoPolygonText) _,
+    "kql_parse_ua" -> kqlText(kqlParseUaText) _,
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
     "kql_series_fit2" -> kqlText(kqlSeriesFit2Text) _,
     "kql_parse_xml" -> kqlText(kqlParseXmlText) _,
@@ -1330,6 +1372,73 @@ object ReferenceQueries {
     // Geohash mirrors the parser's integer bit-interleave (no trig —
     // bit-identical); distances mirror the haversine op-for-op and
     // floor at whole meters.
+    // mirrors geoPointInPolygonSql: the ring as an explicit edge list,
+    // the crossing test's single division op-for-op; per-point identity
+    // keeps duplicate (lon, lat) derivations distinct before the city
+    // rollup.
+    "kql_geo_polygon" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, city, (orderid % 4000) / 100.0 - 20.0 AS lon,
+         |    40.0 + (custid % 1000) / 50.0 AS lat
+         |  FROM orders_info),
+         |edges AS (
+         |  SELECT * FROM (VALUES
+         |    (-5.0, 45.0, 5.0, 43.0), (5.0, 43.0, 12.0, 50.0),
+         |    (12.0, 50.0, 0.0, 47.5), (0.0, 47.5, -8.0, 52.0),
+         |    (-8.0, 52.0, -5.0, 45.0)) AS e(x1, y1, x2, y2)),
+         |cr AS (
+         |  SELECT p.orderid, p.city,
+         |    COUNT(*) FILTER (WHERE ((y1 > lat) <> (y2 > lat))
+         |      AND lon < x1 + (x2 - x1) * (lat - y1) / (y2 - y1)) % 2 = 1 AS inside
+         |  FROM pts p CROSS JOIN edges GROUP BY 1, 2)
+         |SELECT city, CAST(COUNT(*) FILTER (WHERE inside) AS BIGINT) AS n_inside,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM cr GROUP BY city ORDER BY city ASC""".stripMargin,
+    // mirrors parseUserAgentSql's ordered cascade; nullif pins the
+    // no-match/non-participating-group rendering on both engines.
+    "kql_parse_ua" ->
+      """WITH u AS (
+        |  SELECT * FROM (VALUES
+        |    ('Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36 Edg/124.0.2478.51'),
+        |    ('Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/123.0.0.0 Safari/537.36'),
+        |    ('Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 Safari/605.1.15'),
+        |    ('Mozilla/5.0 (X11; Linux x86_64; rv:125.0) Gecko/20100101 Firefox/125.0'),
+        |    ('Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 Mobile/15E148 Safari/604.1'),
+        |    ('Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.6367.82 Mobile Safari/537.36'),
+        |    ('Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 OPR/106.0.0.0'),
+        |    ('curl/8.5.0')) AS t(ua))
+        |SELECT substr(ua, 1, 30) AS ua_tag,
+        |  CASE WHEN regexp_matches(ua, 'Edg(e|A|iOS)?/') THEN 'Edge'
+        |       WHEN regexp_matches(ua, 'OPR/') THEN 'Opera'
+        |       WHEN regexp_matches(ua, 'Firefox/') THEN 'Firefox'
+        |       WHEN regexp_matches(ua, 'Chrome/') THEN 'Chrome'
+        |       WHEN regexp_matches(ua, 'Safari/') THEN 'Safari'
+        |       ELSE 'Other' END AS b_family,
+        |  CASE WHEN regexp_matches(ua, 'Edg(e|A|iOS)?/') THEN nullif(regexp_extract(ua, 'Edg(?:e|A|iOS)?/([0-9]+)\.([0-9]+)', 1), '')
+        |       WHEN regexp_matches(ua, 'OPR/') THEN nullif(regexp_extract(ua, 'OPR/([0-9]+)\.([0-9]+)', 1), '')
+        |       WHEN regexp_matches(ua, 'Firefox/') THEN nullif(regexp_extract(ua, 'Firefox/([0-9]+)\.([0-9]+)', 1), '')
+        |       WHEN regexp_matches(ua, 'Chrome/') THEN nullif(regexp_extract(ua, 'Chrome/([0-9]+)\.([0-9]+)', 1), '')
+        |       WHEN regexp_matches(ua, 'Safari/') THEN nullif(regexp_extract(ua, 'Version/([0-9]+)\.([0-9]+)[^;]*Safari', 1), '')
+        |       END AS b_major,
+        |  CASE WHEN regexp_matches(ua, 'Edg(e|A|iOS)?/') THEN nullif(regexp_extract(ua, 'Edg(?:e|A|iOS)?/([0-9]+)\.([0-9]+)', 2), '')
+        |       WHEN regexp_matches(ua, 'OPR/') THEN nullif(regexp_extract(ua, 'OPR/([0-9]+)\.([0-9]+)', 2), '')
+        |       WHEN regexp_matches(ua, 'Firefox/') THEN nullif(regexp_extract(ua, 'Firefox/([0-9]+)\.([0-9]+)', 2), '')
+        |       WHEN regexp_matches(ua, 'Chrome/') THEN nullif(regexp_extract(ua, 'Chrome/([0-9]+)\.([0-9]+)', 2), '')
+        |       WHEN regexp_matches(ua, 'Safari/') THEN nullif(regexp_extract(ua, 'Version/([0-9]+)\.([0-9]+)[^;]*Safari', 2), '')
+        |       END AS b_minor,
+        |  CASE WHEN regexp_matches(ua, 'Windows NT ') THEN 'Windows'
+        |       WHEN regexp_matches(ua, '(iPhone|CPU) OS ') THEN 'iOS'
+        |       WHEN regexp_matches(ua, 'Android ') THEN 'Android'
+        |       WHEN regexp_matches(ua, 'Mac OS X ') THEN 'macOS'
+        |       WHEN regexp_matches(ua, 'Linux') THEN 'Linux'
+        |       ELSE 'Other' END AS os_family,
+        |  CASE WHEN regexp_matches(ua, 'Windows NT ') THEN nullif(regexp_extract(ua, 'Windows NT ([0-9]+)\.([0-9]+)', 1), '')
+        |       WHEN regexp_matches(ua, '(iPhone|CPU) OS ') THEN nullif(regexp_extract(ua, '(?:iPhone|CPU) OS ([0-9]+)_([0-9]+)', 1), '')
+        |       WHEN regexp_matches(ua, 'Android ') THEN nullif(regexp_extract(ua, 'Android ([0-9]+)(?:\.([0-9]+))?', 1), '')
+        |       WHEN regexp_matches(ua, 'Mac OS X ') THEN nullif(regexp_extract(ua, 'Mac OS X ([0-9]+)[._]([0-9]+)', 1), '')
+        |       END AS os_major
+        |FROM u ORDER BY ua_tag ASC""".stripMargin,
     // INDEPENDENT formulation: cross join + exact distance filter — no
     // geohash arithmetic. If the Spark side's neighbor-cell candidate
     // join missed any within-R pair, the counts would differ. The

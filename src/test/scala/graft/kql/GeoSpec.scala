@@ -64,6 +64,24 @@ class GeoSpec extends SparkSpec {
     assert(one("geo_point_in_circle(200.0, 0.0, 0.0, 0.0, 10.0)").isNullAt(0))
   }
 
+  test("point-in-polygon: even-odd on a non-convex ring, boundary conventions") {
+    // concave quad with a dent at (2, 2): the notch area is OUTSIDE
+    val poly = """parse_json('{"type":"Polygon","coordinates":""" +
+      """[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[2.0,2.0],[0.0,4.0],[0.0,0.0]]]}')"""
+    def in(lon: Double, lat: Double): org.apache.spark.sql.Row =
+      one(s"geo_point_in_polygon($lon, $lat, $poly)")
+    assert(in(2.0, 1.0).getBoolean(0))     // deep inside
+    assert(!in(2.0, 3.0).getBoolean(0))    // inside the dent -> out (even-odd)
+    assert(in(0.5, 3.0).getBoolean(0))     // left lobe above the dent
+    assert(in(3.5, 3.0).getBoolean(0))     // right lobe above the dent
+    assert(!in(5.0, 1.0).getBoolean(0) && !in(-1.0, 1.0).getBoolean(0))
+    assert(in(200.0, 1.0).isNullAt(0))     // invalid coordinate
+    // degenerate ring (< 4 GeoJSON entries) and non-polygon input -> null
+    assert(one("geo_point_in_polygon(1.0, 1.0, " +
+      """parse_json('{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0]]]}'))""").isNullAt(0))
+    assert(one("geo_point_in_polygon(1.0, 1.0, parse_json('{\"type\":\"Point\"}'))").isNullAt(0))
+  }
+
   test("geohash central point: decode inverts encode, GeoJSON shape, malformed -> null") {
     // the cell center re-encodes to the SAME cell at every accuracy
     for (acc <- Seq(1, 3, 5, 7)) {

@@ -1291,6 +1291,34 @@ class KqlSpec extends SparkSpec {
     assert(one("parse_version('123456789')").isNullAt(0))
   }
 
+  test("parser: parse_user_agent ancestor-token masking and version extraction") {
+    val reg = Map("T" -> Seq(Tuple1("ignored")).toDF("x"))
+    def ua(s: String, t: String, path: String) = KqlParser.run(
+      s"T | extend p = parse_user_agent('$s', '$t') | project v = tostring(p.$path)", reg)
+      .collect().head
+    // Edge embeds Chrome AND Safari tokens — order must mask them
+    val edge = "Mozilla/5.0 (Windows NT 10.0) Chrome/124.0.0.0 Safari/537.36 Edg/124.0.2478.51"
+    assert(ua(edge, "browser", "Browser.Family").getString(0) == "Edge")
+    assert(ua(edge, "browser", "Browser.MajorVersion").getString(0) == "124")
+    // plain Chrome still embeds Safari
+    val chrome = "Mozilla/5.0 (X11; Linux x86_64) Chrome/123.0.0.0 Safari/537.36"
+    assert(ua(chrome, "browser", "Browser.Family").getString(0) == "Chrome")
+    assert(ua(chrome, "os", "OperatingSystem.Family").getString(0) == "Linux")
+    // iOS underscore versions; 'like Mac OS X' must not read as macOS
+    val ios = "Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) Version/17.4 Safari/604.1"
+    assert(ua(ios, "os", "OperatingSystem.Family").getString(0) == "iOS")
+    assert(ua(ios, "os", "OperatingSystem.MajorVersion").getString(0) == "17")
+    assert(ua(ios, "browser", "Browser.MinorVersion").getString(0) == "4")
+    // unknown agent: Other family, absent versions are null
+    assert(ua("curl/8.5.0", "browser", "Browser.Family").getString(0) == "Other")
+    assert(ua("curl/8.5.0", "browser", "Browser.MajorVersion").isNullAt(0))
+    // unsupported looking_for rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | project v = parse_user_agent('x', 'device')", reg)
+    }
+    assert(e.getMessage.contains("'browser' or 'os'"))
+  }
+
   test("parser: evaluate active_users_count — distinct-period threshold per bin") {
     import java.sql.Timestamp
     def ts(d: Int, h: Int = 0) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
