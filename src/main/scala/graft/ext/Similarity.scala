@@ -572,7 +572,49 @@ object Similarity {
     }.reduce(_.unionAll(_))
   }
 
+  /** kNN label classification over the embedding space — the
+    * embedding-based quality/domain classifier a curation pipeline
+    * runs when no trained scorer exists (SemDeDup §3's cluster-label
+    * flavor): each query vector takes the majority label of its k
+    * nearest TRAIN vectors by cosine. Queries are vec_id < 50; the
+    * train split is the rest. Ranking ties break at 6 dp then by
+    * cand_id (the in-repo ANN convention, [[bruteForceTopK]]); vote
+    * ties break to the smallest label. Every OUTPUT column is an
+    * integer/boolean — no float rendering surface at all.
+    *
+    * Scale: the query block broadcasts over the train scan (the small
+    * side by construction — classification batches are bounded); the
+    * vote stage is a (query, label) hash aggregate + one k-row window
+    * per query. At 100 TB the brute scorer swaps for the IVF-PQ
+    * candidate stream ([[ivfPqTopK]]) feeding this same vote stage. */
+  def knnClassify(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val t = e.filter(col("vec_id") >= 50)
+      .select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+        col("v").as("cv"), col("norm").as("cn"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("votes").desc, col("cand_label").asc)
+    broadcast(q).join(t, lit(true))
+      .withColumn("cos", round(expr("graft_dot(qv, cv)") / (col("qn") * col("cn")), 6))
+      .withColumn("rk", row_number().over(wr)).filter(col("rk") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("cand_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrk", row_number().over(wv)).filter(col("vrk") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("cand_label").as("pred_label"), col("votes"),
+        (col("cand_label") === col("true_label")).as("correct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_classify" -> ((s: SparkSession, d: String) => knnClassify(s, d)),
     "sim_dim_truncation" -> ((s: SparkSession, d: String) => dimTruncationAudit(s, d)),
     "sim_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "sim_sq8_topk" -> ((s: SparkSession, d: String) => sq8TopK(s, d)),
@@ -869,6 +911,26 @@ object Similarity {
          |$ctes
          |$blocks""".stripMargin
     },
+    // mirrors knnClassify: same 6-dp rank convention as sim_topk_brute,
+    // vote ties to the smallest label; all outputs integral.
+    "sim_knn_classify" ->
+      s"""WITH $oracleVecs,
+         |s AS (
+         |  SELECT q.vec_id AS query_id, q.label AS true_label,
+         |    c.vec_id AS cand_id, c.label AS cand_label,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+         |        / (q.norm * c.norm), 6) DESC, c.vec_id ASC) AS rk
+         |  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id >= 50),
+         |v AS (
+         |  SELECT query_id, true_label, cand_label, COUNT(*) AS votes
+         |  FROM s WHERE rk <= 10 GROUP BY 1, 2, 3),
+         |b AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY votes DESC, cand_label ASC) AS vrk FROM v)
+         |SELECT query_id, true_label, cand_label AS pred_label,
+         |  CAST(votes AS BIGINT) AS votes, cand_label = true_label AS correct
+         |FROM b WHERE vrk = 1""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH $oracleVecs
          |SELECT query_id, cand_id, cos, CAST(rk AS INTEGER) AS rk FROM (

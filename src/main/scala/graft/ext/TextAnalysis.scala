@@ -480,6 +480,22 @@ object TextAnalysis {
         s"substr(md5(array_join(slice(split(text, ' '), chunk_idx * $stride + 1, $window), ' ')), 1, 16) as chunk_hash")
   }
 
+  /** Chunk-level boilerplate report: chunks (from [[chunkOverlap]])
+    * whose fingerprint recurs across ≥ 2 DISTINCT documents — the
+    * RefinedWeb/CCNet boilerplate-detection shape (headers, footers,
+    * license blocks repeat verbatim across pages while full-document
+    * dedup misses them). One hash-keyed aggregate over the chunk
+    * stream: at 100 TB this is a single shuffle on the 16-hex
+    * fingerprint (uniform key, no skew), the same distribution as
+    * [[graft.ext.Dedup]]'s exact pass. */
+  def chunkDedupReport(spark: SparkSession, sfDir: String): DataFrame =
+    chunkOverlap(spark, sfDir)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
   /** Gopher/C4-style heuristic rule signals, shared by
     * [[ruleFilteredCorpus]] and [[ruleAudit]]: per-doc rule booleans
     * plus the FIRST violated rule in documented priority order (the
@@ -1099,6 +1115,7 @@ object TextAnalysis {
     "text_pii_scrub" -> piiScrub _,
     "text_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "text_chunk_overlap" -> ((s: SparkSession, d: String) => chunkOverlap(s, d)),
+    "text_chunk_dedup" -> chunkDedupReport _,
     "text_curated_corpus" -> curatedCorpus _,
     "text_perplexity" -> bigramPerplexity _,
     "text_sample_mixture" -> ((s: SparkSession, d: String) => sampleMixture(s, d)),
@@ -1374,6 +1391,22 @@ object TextAnalysis {
          |    string_split(text, ' ')[ci * 48 + 1 : ci * 48 + 64], ' ')), 1, 16)
          |    AS chunk_hash
          |FROM c""".stripMargin,
+    "text_chunk_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, CAST($nTokensSql AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text, n,
+         |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+         |                         ELSE (n - 64 + 47) // 48 + 1 END)) AS ci
+         |  FROM t),
+         |h AS (
+         |  SELECT doc_id, substr(md5(array_to_string(
+         |    string_split(text, ' ')[ci * 48 + 1 : ci * 48 + 64], ' ')), 1, 16) AS chunk_hash
+         |  FROM c)
+         |SELECT chunk_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occ, MIN(doc_id) AS first_doc
+         |FROM h GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
     "text_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, doc_id % 4 AS shard,

@@ -30,6 +30,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("geo cell join: site cells broadcast onto the point scan, no sort-merge") {
+    val p = phys(ReferenceQueries.queries("kql_geo_join")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "site-cell dim must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be the cell equi-join, not all-pairs")
+  }
+
   test("native top-k: ObjectHashAggregate with a partial stage (map-side k pairs)") {
     val p = phys(AdvancedAnalytics.topkNative(spark, sfDir))
     assert(p.contains("ObjectHashAggregate"), p.take(2000))

@@ -24,6 +24,8 @@ class PlanSweepSpec extends SparkSpec {
     * list in round 3: it now equi-joins on LSH buckets. */
   private val nonEquiAllowlist = Set(
     "join_range_quarters", "sim_topk_brute",
+    "sim_knn_classify", // brute query-block × train scan (broadcast 50-query side), sim_topk_brute's class; the IVF-PQ candidate stream is the stated 100 TB swap-in
+
     "sim_dim_truncation", // three brute-force sweeps: broadcast 10-query × corpus non-equi scoring, same class as sim_topk_brute
     "sim_ivf_topk", "sim_ivf_train_step",
     "sim_ivfpq_topk", // IVFADC: corpus × 16-centroid coarse assignment + residual × 16-codeword PQ encode (both broadcast codebooks); the ADC serve stage equi-joins on (cent_id, s, code_id)
