@@ -4183,10 +4183,36 @@ object KqlParser {
                     require(args.length == 2,
                       "series_fill_const expects (series, constValue)")
                     out.append(s"transform(${args(0)}, x -> coalesce(x, ${args(1)}))")
+                  case "series_fill_forward" =>
+                    // each null takes the NEAREST PRECEDING non-null;
+                    // leading nulls stay null (ADX). The per-point
+                    // nearest-known scan is O(n²) bounded by the series
+                    // length — the series tier's interpreted-HOF budget.
+                    require(args.length == 1,
+                      "series_fill_forward expects (series)")
+                    out.append(seriesFillDirSql(args(0), forward = true))
+                  case "series_fill_backwards" | "series_fill_backward" =>
+                    // ADX spells it series_fill_backwards; the singular
+                    // alias is accepted. Trailing nulls stay null.
+                    require(args.length == 1,
+                      s"$w expects (series)")
+                    out.append(seriesFillDirSql(args(0), forward = false))
+                  case "series_fill_linear" =>
+                    // linear interpolation between the nearest known
+                    // neighbors; edge gaps take the nearest known value
+                    // (constant extrapolation, ADX's edge convention);
+                    // an all-null series stays all-null. The single
+                    // interpolation division is mirrored op-for-op in
+                    // the oracle.
+                    require(args.length == 1,
+                      "series_fill_linear expects (series)")
+                    out.append(seriesFillLinearSql(args(0)))
                   case other => throw new IllegalArgumentException(
                     s"unsupported series function '$other' (supported: series_add/subtract/" +
-                    "multiply/divide/sum/avg/fill_const/fit_line/fit_line_dynamic/stats_dynamic/" +
-                    "outliers/decompose/decompose_anomalies/periods_detect/dot_product/" +
+                    "multiply/divide/sum/avg/fill_const/fill_forward/fill_backwards/" +
+                    "fill_linear/fit_line/fit_line_dynamic/fit_2lines/fit_2lines_dynamic/" +
+                    "stats_dynamic/outliers/decompose/decompose_anomalies/decompose_forecast/" +
+                    "periods_detect/dot_product/" +
                     "magnitude/cosine_similarity/pearson_correlation/fir/iir)")
                 }
               case "array_index_of" =>
@@ -5063,6 +5089,38 @@ object KqlParser {
   /** The fitted line as an array: intercept + slope * i. */
   private[kql] def seriesLineFit(s: String): String =
     s"transform($s, (x, i) -> ${seriesIntercept(s)} + ${seriesSlope(s)} * i)"
+
+  /** Directional null-fill: each null takes the nearest non-null on
+    * the given side (leading/trailing nulls stay null). The per-point
+    * nearest-known scan filters a bounded slice — O(n²) worst case on
+    * the series length, the series tier's interpreted-HOF budget. */
+  private[kql] def seriesFillDirSql(s: String, forward: Boolean): String =
+    if (forward)
+      s"transform($s, (fx, fi) -> coalesce(fx, try_element_at(" +
+        s"filter(reverse(slice($s, 1, fi + 1)), fv -> fv IS NOT NULL), 1)))"
+    else
+      s"transform($s, (fx, fi) -> coalesce(fx, try_element_at(" +
+        s"filter(slice($s, fi + 2, size($s) - fi - 1), fv -> fv IS NOT NULL), 1)))"
+
+  /** Linear interpolation between the nearest known neighbors (indices
+    * bound once as a struct); edge gaps extrapolate with the nearest
+    * known value; all-null stays null. The interpolation's single
+    * division — pv + (nv − pv)·(i − pi)/(ni − pi) — is mirrored
+    * op-for-op in the oracle. */
+  private[kql] def seriesFillLinearSql(s: String): String = {
+    val pi = s"try_element_at(filter(reverse(sequence(0, fi)), " +
+      s"fj -> element_at($s, fj + 1) IS NOT NULL), 1)"
+    val ni = s"try_element_at(filter(sequence(fi, size($s) - 1), " +
+      s"fj -> element_at($s, fj + 1) IS NOT NULL), 1)"
+    s"transform($s, (fx, fi) -> element_at(transform(array(" +
+      s"named_struct('pi', $pi, 'ni', $ni)), fb -> " +
+      s"CASE WHEN fx IS NOT NULL THEN fx " +
+      s"WHEN fb.pi IS NULL AND fb.ni IS NULL THEN fx " +
+      s"WHEN fb.pi IS NULL THEN element_at($s, fb.ni + 1) " +
+      s"WHEN fb.ni IS NULL THEN element_at($s, fb.pi + 1) " +
+      s"ELSE element_at($s, fb.pi + 1) + (element_at($s, fb.ni + 1) - element_at($s, fb.pi + 1)) " +
+      s"* (fi - fb.pi) / (fb.ni - fb.pi) END), 1))"
+  }
 
   // ---- series_fit_2lines --------------------------------------------------
 

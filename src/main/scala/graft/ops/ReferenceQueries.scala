@@ -575,6 +575,24 @@ object ReferenceQueries {
       || project event_type, split_idx, rsq_u, var_u, rvar_u, sl_l_u, ic_l_u, sl_r_u, ic_r_u, fc
       || sort by event_type asc""".stripMargin
 
+  /** r11 series fill family — forward / backwards / linear over a
+    * SPARSE daily avg series (value ≥ 300 leaves ~85 % of the bins
+    * null, including leading and trailing gaps, so every edge
+    * convention executes). avg(user_id) keeps sums exact-integer; the
+    * linear interpolation's single division is mirrored op-for-op;
+    * null bins render as an explicit 'n' token on both engines. */
+  val kqlSeriesFillText: String =
+    """Events
+      || where value >= 300
+      || make-series a = avg(user_id) default = null on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+      || extend sf = series_fill_forward(a), sb = series_fill_backwards(a), sl = series_fill_linear(a)
+      || extend raw = array_join(transform(a, x -> coalesce(string(tolong(floor(x * 1000000.0, 1))), 'n')), ','),
+      |    f_fwd = array_join(transform(sf, x -> coalesce(string(tolong(floor(x * 1000000.0, 1))), 'n')), ','),
+      |    f_bwd = array_join(transform(sb, x -> coalesce(string(tolong(floor(x * 1000000.0, 1))), 'n')), ','),
+      |    f_lin = array_join(transform(sl, x -> coalesce(string(tolong(floor(x * 1000000.0, 1))), 'n')), ',')
+      || project event_type, raw, f_fwd, f_bwd, f_lin
+      || sort by event_type asc""".stripMargin
+
   /** r11 geo CELL JOIN — the scale path for "points within R of a
     * site": points carry their geohash-3 cell, sites fan out to their
     * cell ∪ 8 neighbors (`geo_geohash_neighbors`), and the candidate
@@ -1071,6 +1089,7 @@ object ReferenceQueries {
     "kql_parse_ua" -> kqlText(kqlParseUaText) _,
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
     "kql_series_fit2" -> kqlText(kqlSeriesFit2Text) _,
+    "kql_series_fill" -> kqlText(kqlSeriesFillText) _,
     "kql_parse_xml" -> kqlText(kqlParseXmlText) _,
     "kql_diffpatterns" -> kqlText(kqlDiffPatternsText) _,
     "kql_sliding_window" -> kqlText(kqlSlidingWindowText) _,
@@ -1271,6 +1290,51 @@ object ReferenceQueries {
     // Prefix-fit mirror of the parser's series_decompose_forecast:
     // exact integer sums over i < 23, the same double division and
     // per-point multiply-add, micro-floored.
+    // Mirrors the fill family with IGNORE NULLS window frames: forward =
+    // last known preceding, backwards = first known following, linear =
+    // pv + (nv - pv) * (i - pi) / (ni - pi) between the nearest known
+    // indices (edge gaps take the nearest known value). avg sums are
+    // exact integers; 'n' renders null bins explicitly on both engines.
+    "kql_series_fill" ->
+      """WITH f AS (
+        |  SELECT event_type, user_id,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+        |    AND "value" >= 300),
+        |g AS (SELECT event_type, i, AVG(user_id) AS av FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 30)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, g.av
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i),
+        |w AS (
+        |  SELECT event_type, i, av,
+        |    last_value(av IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS pv,
+        |    first_value(av IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    MAX(CASE WHEN av IS NOT NULL THEN i END) OVER (PARTITION BY event_type
+        |      ORDER BY i ROWS UNBOUNDED PRECEDING) AS pi,
+        |    MIN(CASE WHEN av IS NOT NULL THEN i END) OVER (PARTITION BY event_type
+        |      ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+        |  FROM dense),
+        |x AS (
+        |  SELECT event_type, i, av, pv, nv,
+        |    CASE WHEN av IS NOT NULL THEN av
+        |         WHEN pv IS NULL AND nv IS NULL THEN NULL
+        |         WHEN pv IS NULL THEN nv
+        |         WHEN nv IS NULL THEN pv
+        |         ELSE pv + (nv - pv) * (i - pi) / (ni - pi) END AS lv
+        |  FROM w)
+        |SELECT event_type,
+        |  string_agg(COALESCE(CAST(CAST(floor(av * 1000000.0) AS BIGINT) AS VARCHAR), 'n'), ',' ORDER BY i) AS raw,
+        |  string_agg(COALESCE(CAST(CAST(floor(pv * 1000000.0) AS BIGINT) AS VARCHAR), 'n'), ',' ORDER BY i) AS f_fwd,
+        |  string_agg(COALESCE(CAST(CAST(floor(nv * 1000000.0) AS BIGINT) AS VARCHAR), 'n'), ',' ORDER BY i) AS f_bwd,
+        |  string_agg(COALESCE(CAST(CAST(floor(lv * 1000000.0) AS BIGINT) AS VARCHAR), 'n'), ',' ORDER BY i) AS f_lin
+        |FROM x GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     // Mirrors seriesFit2LinesDynamic op-for-op: exact integer sums per
     // candidate split (conditional aggregates instead of the fold), the
     // same division chain for rss/slope/intercept, argmin ties broken

@@ -1156,6 +1156,26 @@ class KqlSpec extends SparkSpec {
     assert(c.getDouble(0) == 0.0 && c.isNullAt(1))
   }
 
+  test("parser: series fill family — edge gaps, interior interpolation, all-null") {
+    // [null, 2, null, null, 8, null]: forward leaves the lead null,
+    // backwards leaves the tail null, linear interpolates 2→8 at
+    // thirds and extrapolates the edges with the nearest known value.
+    val reg = Map("T" -> Seq(Tuple1(Seq[java.lang.Double](
+      null, 2.0, null, null, 8.0, null))).toDF("y"))
+    val r = KqlParser.run(
+      "T | project ff = series_fill_forward(y), fb = series_fill_backwards(y), " +
+        "fl = series_fill_linear(y), fc = series_fill_const(y, -1.0)", reg).collect().head
+    assert(r.getSeq[Any](0) == Seq(null, 2.0, 2.0, 2.0, 8.0, 8.0))
+    assert(r.getSeq[Any](1) == Seq(2.0, 2.0, 8.0, 8.0, 8.0, null))
+    assert(r.getSeq[Double](2) == Seq(2.0, 2.0, 4.0, 6.0, 8.0, 8.0))
+    assert(r.getSeq[Double](3) == Seq(-1.0, 2.0, -1.0, -1.0, 8.0, -1.0))
+    // all-null series survives every fill untouched
+    val n = KqlParser.run(
+      "N | project fl = series_fill_linear(y), ff = series_fill_forward(y)",
+      Map("N" -> Seq(Tuple1(Seq[java.lang.Double](null, null))).toDF("y"))).collect().head
+    assert(n.getSeq[Any](0) == Seq(null, null) && n.getSeq[Any](1) == Seq(null, null))
+  }
+
   test("parser: series_fit_2lines finds the exact breakpoint of a piecewise-linear series") {
     // flat-then-rising: y = 2 on [0,4), then y = 2 + 3(x-4) on [4,8).
     // Each side fits exactly -> total RSS 0, rsquare 1, split at 4.
