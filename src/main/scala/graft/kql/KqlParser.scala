@@ -3921,6 +3921,7 @@ object KqlParser {
               "geo_point_to_geohash", "geo_geohash_to_central_point",
               "geo_geohash_neighbors", "geo_point_in_polygon",
               "dcount_intersect",
+              "bag_keys", "bag_has_key", "bag_merge",
               "zip", "repeat", "gettype",
               "translate", "max_of", "min_of", "exp2", "exp10",
               "strcat_array", "isinf", "isfinite",
@@ -4325,6 +4326,47 @@ object KqlParser {
                 require(args.length == 1, "isfinite expects (x)")
                 out.append(s"(NOT isnan(CAST(${args(0)} AS DOUBLE)) AND " +
                   s"abs(CAST(${args(0)} AS DOUBLE)) <> CAST('Infinity' AS DOUBLE))")
+              case "bag_keys" =>
+                // ADX bag_keys(bag) → dynamic array of the bag's
+                // TOP-LEVEL keys. ADX leaves the order unspecified;
+                // this engine SORTS them (documented determinism
+                // choice — unspecified order cannot cross an oracle).
+                // Non-object input (arrays, scalars, null) → null,
+                // ADX's convention.
+                require(args.length == 1, "bag_keys expects (bag)")
+                // CAST(variant AS STRING) serializes objects/arrays as
+                // their JSON text (scalars as bare values — excluded by
+                // the '{' guard), sidestepping to_json's input-type
+                // surface
+                out.append(s"(CASE WHEN startswith(CAST((${args(0)}) AS STRING), '{') " +
+                  s"THEN sort_array(json_object_keys(CAST((${args(0)}) AS STRING))) " +
+                  s"ELSE CAST(NULL AS ARRAY<STRING>) END)")
+              case "bag_has_key" =>
+                // top-level key membership (ADX also accepts a JSON
+                // path — unsupported here, documented; path inputs are
+                // rejected loudly rather than silently mismatching)
+                require(args.length == 2, "bag_has_key expects (bag, key)")
+                val keyLit = args(1).trim
+                require(!(keyLit.startsWith("'$") || keyLit.startsWith("\"$")),
+                  s"bag_has_key supports top-level keys only (JSON paths unsupported): $keyLit")
+                out.append(s"(CASE WHEN startswith(CAST((${args(0)}) AS STRING), '{') " +
+                  s"THEN coalesce(array_contains(json_object_keys(CAST((${args(0)}) AS STRING)), ${args(1)}), false) " +
+                  s"ELSE CAST(NULL AS BOOLEAN) END)")
+              case "bag_merge" =>
+                // ADX bag_merge(bag1, bag2): union of top-level
+                // properties, FIRST argument wins on key conflicts.
+                // Both bags cast to MAP<STRING, VARIANT>; the second
+                // filters out keys the first already holds, so
+                // map_concat never sees a duplicate (no dependence on
+                // spark.sql.mapKeyDedupPolicy). Non-object input →
+                // null.
+                require(args.length == 2, "bag_merge expects (bag1, bag2)")
+                val (m1, m2) = (s"try_cast(${args(0)} AS MAP<STRING, VARIANT>)",
+                  s"try_cast(${args(1)} AS MAP<STRING, VARIANT>)")
+                out.append(s"element_at(transform(array(named_struct('a', $m1, 'b', $m2)), bm -> " +
+                  s"CASE WHEN bm.a IS NULL OR bm.b IS NULL THEN CAST(NULL AS VARIANT) " +
+                  s"ELSE parse_json(to_json(map_concat(bm.a, " +
+                  s"map_filter(bm.b, (bk, bv) -> NOT array_contains(map_keys(bm.a), bk))))) END), 1)")
               case "dcount_intersect" =>
                 // ADX dcount_intersect over two hll() sketches:
                 // inclusion–exclusion on DataSketches estimates —
@@ -4577,7 +4619,41 @@ object KqlParser {
                 // distance join at 100 TB.
                 require(args.length == 1,
                   "geo_geohash_neighbors expects (geohash)")
-                out.append(geohashNeighborsSql(args(0)))
+                // Composition fast path: neighbors OF A POINT'S CELL —
+                // `geo_geohash_neighbors(geo_point_to_geohash(lon, lat
+                // [, acc]))`, the spatial-join idiom — skips the
+                // string decode entirely and unrolls all 8 encodes
+                // into plain integer/concat arithmetic (no HOFs), so
+                // the whole stage stays in codegen and the expression
+                // tree stays small. Detected on the RAW text (args are
+                // already translated); any other argument takes the
+                // general decode path.
+                val rawNb = splitTopLevel(s.substring(open + 1, close), ',')
+                  .map(_.trim)
+                val composed = rawNb.length == 1 && {
+                  val t = rawNb.head
+                  val po = t.indexOf('(')
+                  t.toLowerCase.startsWith("geo_point_to_geohash") &&
+                    po > 0 && t.substring(0, po).trim.equalsIgnoreCase("geo_point_to_geohash") &&
+                    matchingParen(t, po) == t.length - 1
+                }
+                if (composed) {
+                  val t = rawNb.head
+                  val po = t.indexOf('(')
+                  val inner = splitTopLevel(t.substring(po + 1, t.length - 1), ',')
+                    .map(a => scalar(a.trim, lets))
+                  require(inner.length == 2 || inner.length == 3,
+                    "geo_point_to_geohash expects (lon, lat[, accuracy])")
+                  val acc2 = inner.lift(2).map { a =>
+                    val v = scala.util.Try(a.trim.toInt).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"geo_point_to_geohash accuracy must be an integer literal 1..12: $a"))
+                    require(v >= 1 && v <= 12,
+                      s"geo_point_to_geohash accuracy must be in 1..12: $a")
+                    v
+                  }.getOrElse(5)
+                  out.append(geohashNeighborsUnrolledSql(inner(0), inner(1), acc2))
+                } else out.append(geohashNeighborsSql(args(0)))
               case "countof" =>
                 // ADX counts OVERLAPPING occurrences (countof('aaa',
                 // 'aa') = 2), so a delete-replace length delta is not
@@ -5323,19 +5399,69 @@ object KqlParser {
       s"CAST(floor(($lonD + 180.0) / 360.0 * ${1L << lonBits}) AS BIGINT)))"
     val iy = s"least(CAST(${(1L << latBits) - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
       s"CAST(floor(($latD + 90.0) / 180.0 * ${1L << latBits}) AS BIGINT)))"
-    // lambda vars carry a gh prefix: generic names (a, p, s, c) would
-    // shadow same-named USER COLUMNS inside the lambda bodies (Spark
-    // resolves lambda vars first), breaking e.g. `p.coordinates` when
-    // the caller's frame has a column `p`
-    val bit =
-      s"IF(ghp % 2 = 0, shiftright($ix, ${lonBits - 1} - (ghp DIV 2)) & 1, " +
-      s"shiftright($iy, ${latBits - 1} - ((ghp - 1) DIV 2)) & 1)"
-    val inter =
-      s"aggregate(sequence(0, ${total - 1}), CAST(0 AS BIGINT), (gha, ghp) -> gha * 2 + ($bit))"
-    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
     s"(CASE WHEN abs($latD) > 90.0 OR abs($lonD) > 180.0 THEN CAST(NULL AS STRING) " +
-      s"ELSE aggregate(sequence(0, ${acc - 1}), '', (ghs, ghc) -> concat(ghs, " +
-      s"substring('$alpha', CAST((shiftright($inter, 5 * (${acc - 1} - ghc)) & 31) AS INT) + 1, 1))) END)"
+      s"ELSE ${geoEncodeUnrolledSql(ix, iy, acc)} END)"
+  }
+
+  /** UNROLLED Morton interleave + base32 render from cell-integer
+    * expressions, for a LITERAL accuracy — plain integer/concat
+    * arithmetic, no higher-order functions, so the whole consuming
+    * stage (scan → cell key → hash join → circle filter) stays in
+    * whole-stage codegen. The r11 fold-based form dropped the stage to
+    * interpreted eval and cost ~9 s at sf0.1 on the cell join; common
+    * subexpressions (ix, iy, the interleaved word) are eliminated by
+    * codegen's subexpression pass. Bit layout and results are
+    * IDENTICAL to the fold it replaced. */
+  private def geoEncodeUnrolledSql(ix: String, iy: String, acc: Int): String = {
+    val total = 5 * acc
+    val lonBits = (total + 1) / 2
+    val latBits = total / 2
+    val bits = (0 until total).map { p =>
+      val (src, sh) =
+        if (p % 2 == 0) (ix, lonBits - 1 - p / 2)
+        else (iy, latBits - 1 - (p - 1) / 2)
+      val weight = 1L << (total - 1 - p)
+      if (sh == 0) s"(($src & 1) * ${weight}L)"
+      else s"((shiftright($src, $sh) & 1) * ${weight}L)"
+    }
+    val inter = s"(${bits.mkString(" + ")})"
+    // base32 render via conv(_, 10, 32): the interleaved word appears
+    // ONCE (a per-character substring unroll would duplicate the whole
+    // bit sum per output char). conv's digit set 0-9a-v maps onto the
+    // geohash alphabet by a plain translate; lpad restores leading
+    // zero-cells.
+    s"lpad(translate(lower(conv($inter, 10, 32)), " +
+      s"'0123456789abcdefghijklmnopqrstuv', '$geohashAlphabet'), $acc, '0')"
+  }
+
+  /** Neighbors of a POINT'S cell at a literal accuracy — the
+    * composition fast path (`geo_geohash_neighbors(geo_point_to_geohash
+    * (lon, lat, acc))`): quantize once, then 8 unrolled encodes of the
+    * offset cells, assembled as a concat of conditional one-element
+    * arrays (polar off-grid cells contribute an empty array; longitude
+    * wraps via pmod). Same (dy, dx) enumeration order and results as
+    * the general decode path. Zero HOFs → full codegen. */
+  private[kql] def geohashNeighborsUnrolledSql(lon: String, lat: String,
+                                               acc: Int): String = {
+    val total = 5 * acc
+    val lonBits = (total + 1) / 2
+    val latBits = total / 2
+    val lonD = s"CAST(($lon) AS DOUBLE)"
+    val latD = s"CAST(($lat) AS DOUBLE)"
+    val ix = s"least(CAST(${(1L << lonBits) - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+      s"CAST(floor(($lonD + 180.0) / 360.0 * ${1L << lonBits}) AS BIGINT)))"
+    val iy = s"least(CAST(${(1L << latBits) - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+      s"CAST(floor(($latD + 90.0) / 180.0 * ${1L << latBits}) AS BIGINT)))"
+    val parts = for (dy <- -1 to 1; dx <- -1 to 1 if !(dx == 0 && dy == 0)) yield {
+      val ix2 = s"pmod($ix + ${dx}L, ${1L << lonBits}L)"
+      val iy2 = s"($iy + ${dy}L)"
+      if (dy == 0) s"array(${geoEncodeUnrolledSql(ix2, iy2, acc)})"
+      else s"IF($iy2 BETWEEN 0 AND ${(1L << latBits) - 1}, " +
+        s"array(${geoEncodeUnrolledSql(ix2, iy2, acc)}), array())"
+    }
+    s"(CASE WHEN abs($latD) > 90.0 OR abs($lonD) > 180.0 " +
+      s"THEN CAST(NULL AS ARRAY<STRING>) " +
+      s"ELSE concat(${parts.mkString(", ")}) END)"
   }
 
   private val geohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"

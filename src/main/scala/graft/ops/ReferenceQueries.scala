@@ -617,7 +617,7 @@ object ReferenceQueries {
       |  'edi', -3.19, 55.95
       |];
       |Orders
-      || extend lon = (orderid % 4000) / 100.0 - 20.0, lat = 40.0 + (custid % 1000) / 50.0
+      || extend lon = todouble(orderid % 4000) / 100.0 - 20.0, lat = 40.0 + todouble(custid % 1000) / 50.0
       || extend cell = geo_point_to_geohash(lon, lat, 3)
       || join kind=inner (
       |    Sites
@@ -666,10 +666,29 @@ object ReferenceQueries {
   val kqlGeoPolygonText: String =
     """let poly = parse_json('{"type":"Polygon","coordinates":[[[-5.0,45.0],[5.0,43.0],[12.0,50.0],[0.0,47.5],[-8.0,52.0],[-5.0,45.0]]]}');
       |Orders
-      || extend lon = (orderid % 4000) / 100.0 - 20.0, lat = 40.0 + (custid % 1000) / 50.0
+      || extend lon = todouble(orderid % 4000) / 100.0 - 20.0, lat = 40.0 + todouble(custid % 1000) / 50.0
       || extend inside = geo_point_in_polygon(lon, lat, poly)
       || summarize n_inside = countif(inside), n = count() by city
       || sort by city asc""".stripMargin
+
+  /** r11 bag utilities — bag_keys (sorted, documented determinism
+    * choice), top-level bag_has_key, and bag_merge (first wins on
+    * conflicts) over object/array/null-valued inputs; outputs avoid
+    * multi-key nested objects so JSON key order cannot drift. */
+  val kqlBagOpsText: String =
+    """let B = datatable(j1:string, j2:string)[
+      |  '{"a":1,"b":{"x":true},"c":"s"}', '{"b":99,"d":[1,2]}',
+      |  '{"k":null}', '{"k":7,"m":"z"}',
+      |  '[1,2,3]', '{"only":1}'
+      |];
+      |B
+      || extend b1 = parse_json(j1), b2 = parse_json(j2)
+      || extend m = bag_merge(b1, b2)
+      || project keys1 = strcat_array(bag_keys(b1), ','),
+      |    has_b = bag_has_key(b1, 'b'), has_zz = bag_has_key(b1, 'zz'),
+      |    mkeys = strcat_array(bag_keys(m), ','),
+      |    m_b = tostring(m.b), m_d = tostring(m.d), m_m = tostring(m.m)
+      || sort by keys1 asc""".stripMargin
 
   val kqlBasketText: String =
     """Events
@@ -1082,6 +1101,7 @@ object ReferenceQueries {
     "kql_scan_funnel" -> kqlText(kqlScanFunnelText) _,
     "kql_narrow" -> kqlText(kqlNarrowText) _,
     "kql_autocluster" -> kqlText(kqlAutoclusterText) _,
+    "kql_bag_ops" -> kqlText(kqlBagOpsText) _,
     "kql_basket" -> kqlText(kqlBasketText) _,
     "kql_geo" -> kqlText(kqlGeoText) _,
     "kql_geo_join" -> kqlText(kqlGeoJoinText) _,
@@ -1436,6 +1456,30 @@ object ReferenceQueries {
     // Geohash mirrors the parser's integer bit-interleave (no trig —
     // bit-identical); distances mirror the haversine op-for-op and
     // floor at whole meters.
+    // mirrors the bag utilities on DuckDB's JSON functions: json_keys
+    // for the (sorted) key set, ->> for text extraction (objects print
+    // compact on both engines), first-wins merge as a j1-then-j2
+    // COALESCE per projected key.
+    "kql_bag_ops" ->
+      """WITH b AS (
+        |  SELECT * FROM (VALUES
+        |    ('{"a":1,"b":{"x":true},"c":"s"}', '{"b":99,"d":[1,2]}'),
+        |    ('{"k":null}', '{"k":7,"m":"z"}'),
+        |    ('[1,2,3]', '{"only":1}')) AS t(j1, j2)),
+        |g AS (
+        |  SELECT j1, j2,
+        |    substr(j1, 1, 1) = '{' AS o1,
+        |    substr(j1, 1, 1) = '{' AND substr(j2, 1, 1) = '{' AS o12
+        |  FROM b)
+        |SELECT
+        |  CASE WHEN o1 THEN array_to_string(list_sort(json_keys(j1)), ',') END AS keys1,
+        |  CASE WHEN o1 THEN list_contains(json_keys(j1), 'b') END AS has_b,
+        |  CASE WHEN o1 THEN list_contains(json_keys(j1), 'zz') END AS has_zz,
+        |  CASE WHEN o12 THEN array_to_string(list_sort(list_distinct(json_keys(j1) || json_keys(j2))), ',') END AS mkeys,
+        |  CASE WHEN o12 THEN COALESCE(j1 ->> '$.b', j2 ->> '$.b') END AS m_b,
+        |  CASE WHEN o12 THEN COALESCE(j1 ->> '$.d', j2 ->> '$.d') END AS m_d,
+        |  CASE WHEN o12 THEN COALESCE(j1 ->> '$.m', j2 ->> '$.m') END AS m_m
+        |FROM g ORDER BY keys1 ASC""".stripMargin,
     // mirrors geoPointInPolygonSql: the ring as an explicit edge list,
     // the crossing test's single division op-for-op; per-point identity
     // keeps duplicate (lon, lat) derivations distinct before the city
@@ -1443,8 +1487,8 @@ object ReferenceQueries {
     "kql_geo_polygon" ->
       s"""${Sql.ordersInfoCte},
          |pts AS (
-         |  SELECT orderid, city, (orderid % 4000) / 100.0 - 20.0 AS lon,
-         |    40.0 + (custid % 1000) / 50.0 AS lat
+         |  SELECT orderid, city, CAST(orderid % 4000 AS DOUBLE) / 100.0 - 20.0 AS lon,
+         |    40.0 + CAST(custid % 1000 AS DOUBLE) / 50.0 AS lat
          |  FROM orders_info),
          |edges AS (
          |  SELECT * FROM (VALUES
@@ -1511,8 +1555,8 @@ object ReferenceQueries {
     "kql_geo_join" ->
       s"""${Sql.ordersInfoCte},
          |pts AS (
-         |  SELECT orderid, (orderid % 4000) / 100.0 - 20.0 AS lon,
-         |    40.0 + (custid % 1000) / 50.0 AS lat
+         |  SELECT orderid, CAST(orderid % 4000 AS DOUBLE) / 100.0 - 20.0 AS lon,
+         |    40.0 + CAST(custid % 1000 AS DOUBLE) / 50.0 AS lat
          |  FROM orders_info),
          |sites AS (
          |  SELECT * FROM (VALUES

@@ -1156,6 +1156,29 @@ class KqlSpec extends SparkSpec {
     assert(c.getDouble(0) == 0.0 && c.isNullAt(1))
   }
 
+  test("parser: bag_keys/bag_has_key/bag_merge semantics") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    assert(one("""bag_keys(parse_json('{"b":1,"a":{"z":2}}'))""")
+      .getSeq[String](0) == Seq("a", "b")) // sorted (documented)
+    assert(one("bag_keys(parse_json('[1,2]'))").isNullAt(0))
+    assert(one("bag_keys(parse_json('3'))").isNullAt(0))
+    assert(one("""bag_has_key(parse_json('{"a":null}'), 'a')""").getBoolean(0))
+    assert(!one("""bag_has_key(parse_json('{"a":1}'), 'zz')""").getBoolean(0))
+    assert(one("bag_has_key(parse_json('[1]'), 'a')").isNullAt(0))
+    val e = intercept[IllegalArgumentException] {
+      one("""bag_has_key(parse_json('{"a":1}'), '$.a')""")
+    }
+    assert(e.getMessage.contains("top-level"))
+    // merge: first wins on conflicts; union otherwise; non-object -> null
+    val m = KqlParser.run(
+      """T | extend m = bag_merge(parse_json('{"a":1,"b":2}'), parse_json('{"b":99,"c":3}'))
+        | | project ks = strcat_array(bag_keys(m), ','), b = tolong(m.b), c = tolong(m.c)""".stripMargin,
+      reg).head()
+    assert(m.getString(0) == "a,b,c" && m.getLong(1) == 2L && m.getLong(2) == 3L)
+    assert(one("bag_merge(parse_json('[1]'), parse_json('{}'))").isNullAt(0))
+  }
+
   test("parser: series fill family — edge gaps, interior interpolation, all-null") {
     // [null, 2, null, null, 8, null]: forward leaves the lead null,
     // backwards leaves the tail null, linear interpolates 2→8 at
