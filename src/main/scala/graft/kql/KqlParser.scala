@@ -3922,6 +3922,7 @@ object KqlParser {
               "geo_geohash_neighbors", "geo_point_in_polygon",
               "dcount_intersect",
               "bag_keys", "bag_has_key", "bag_merge",
+              "format_bytes",
               "zip", "repeat", "gettype",
               "translate", "max_of", "min_of", "exp2", "exp10",
               "strcat_array", "isinf", "isfinite",
@@ -4073,6 +4074,25 @@ object KqlParser {
                     require(args.length == 1,
                       "series_fit_2lines_dynamic expects (series)")
                     out.append(seriesFit2LinesDynamic(args(0)))
+                  case "series_seasonal" =>
+                    // ADX series_seasonal(series, period) — the
+                    // seasonal component for a GIVEN period (ADX's
+                    // no-period auto-detect form is series_periods_
+                    // detect territory; rejected here, documented).
+                    // DEVIATION (documented): seasonal[i] = mean of
+                    // the values at phase i mod p, minus the SERIES
+                    // mean (zero-sum when the axis holds whole
+                    // periods) — ADX's median-based estimator is
+                    // replaced by the mean for cross-engine
+                    // determinism. Exact for integer series: phase
+                    // sums are exact, two mirrored divisions.
+                    require(args.length == 2,
+                      "series_seasonal expects (series, period) — use series_periods_detect to find the period")
+                    val per = scala.util.Try(args(1).trim.toInt).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"series_seasonal period must be an integer literal: ${args(1)}"))
+                    require(per >= 2, s"series_seasonal period must be >= 2: $per")
+                    out.append(seriesSeasonalSql(args(0), per))
                   case "series_periods_detect" =>
                     // Deviation (documented): ADX scores periods by
                     // normalized autocorrelation percentages; this
@@ -4326,6 +4346,45 @@ object KqlParser {
                 require(args.length == 1, "isfinite expects (x)")
                 out.append(s"(NOT isnan(CAST(${args(0)} AS DOUBLE)) AND " +
                   s"abs(CAST(${args(0)} AS DOUBLE)) <> CAST('Infinity' AS DOUBLE))")
+              case "format_bytes" =>
+                // ADX format_bytes(size [, precision]) → '1.5 GB'.
+                // 1024-based units; precision 0..2 (the BIGINT-exact
+                // range). DEVIATION (documented): the fraction
+                // TRUNCATES instead of rounding — pure integer
+                // arithmetic on both engines, no decimal-rounding
+                // half-tie surface. Negative or null input → null.
+                require(args.length == 1 || args.length == 2,
+                  "format_bytes expects (size [, precision])")
+                val prec = args.lift(1).map { a =>
+                  val v = scala.util.Try(a.trim.toInt).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"format_bytes precision must be an integer literal 0..2: $a"))
+                  require(v >= 0 && v <= 2,
+                    s"format_bytes precision must be in 0..2: $a")
+                  v
+                }.getOrElse(0)
+                val v = s"CAST((${args(0)}) AS BIGINT)"
+                val units = Seq("Bytes", "KB", "MB", "GB", "TB", "PB", "EB")
+                val m = math.round(math.pow(10, prec))
+                def branch(k: Int): String = {
+                  val d = 1L << (10 * k)
+                  val ip = s"CAST($v DIV ${d}L AS STRING)"
+                  // EB tier: (v % 2^60) * 100 would overflow BIGINT —
+                  // pre-reduce both sides by 1024 (exact: 2^60/1024 =
+                  // 2^50); mirrored in the oracle branch-for-branch
+                  val frac =
+                    if (k == 6) s"((($v % ${d}L) DIV 1024L) * ${m}L) DIV ${d / 1024}L"
+                    else s"(($v % ${d}L) * ${m}L) DIV ${d}L"
+                  val whole =
+                    if (prec == 0) ip
+                    else s"concat($ip, '.', lpad(CAST($frac AS STRING), $prec, '0'))"
+                  s"concat($whole, ' ', '${units(k)}')"
+                }
+                val tiers = (6 to 1 by -1).map { k =>
+                  s"WHEN $v >= ${1L << (10 * k)}L THEN ${branch(k)}"
+                }.mkString(" ")
+                out.append(s"(CASE WHEN $v IS NULL OR $v < 0 THEN CAST(NULL AS STRING) " +
+                  s"$tiers ELSE ${branch(0)} END)")
               case "bag_keys" =>
                 // ADX bag_keys(bag) → dynamic array of the bag's
                 // TOP-LEVEL keys. ADX leaves the order unspecified;
@@ -5165,6 +5224,19 @@ object KqlParser {
   /** The fitted line as an array: intercept + slope * i. */
   private[kql] def seriesLineFit(s: String): String =
     s"transform($s, (x, i) -> ${seriesIntercept(s)} + ${seriesSlope(s)} * i)"
+
+  /** Seasonal component for a literal period: per-phase mean minus the
+    * series mean (deviation documented at the dispatch case). The
+    * phase index set comes from a stepped sequence; one O(n/p) fold
+    * per point — O(n²/p) total, the series tier's bounded budget. */
+  private[kql] def seriesSeasonalSql(s: String, p: Int): String = {
+    val n = s"size($s)"
+    val idx = s"sequence(si % $p, $n - 1, $p)"
+    val psum = s"aggregate($idx, CAST(0 AS DOUBLE), (pa, pj) -> pa + element_at($s, pj + 1))"
+    val pmean = s"($psum / CAST(size($idx) AS DOUBLE))"
+    val smean = s"(${seriesSum(s)} / ${seriesN(s)})"
+    s"transform($s, (sx, si) -> $pmean - $smean)"
+  }
 
   /** Directional null-fill: each null takes the nearest non-null on
     * the given side (leading/trailing nulls stay null). The per-point

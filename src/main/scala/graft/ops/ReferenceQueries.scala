@@ -671,6 +671,27 @@ object ReferenceQueries {
       || summarize n_inside = countif(inside), n = count() by city
       || sort by city asc""".stripMargin
 
+  /** r11 `series_seasonal` — per-phase mean minus the series mean over
+    * a 28-day axis (4 whole weeks, so phases balance and the component
+    * zero-sums), weekly period 7. Exact integer phase sums; two
+    * mirrored divisions; micro-floored. */
+  val kqlSeriesSeasonalText: String =
+    """Events
+      || make-series n = count() on ts from datetime(2024-01-01) to datetime(2024-01-29) step 1d by event_type
+      || extend se = series_seasonal(n, 7)
+      || extend ss = array_join(transform(se, x -> string(tolong(floor(x * 1000000.0, 1)))), ',')
+      || project event_type, ss
+      || sort by event_type asc""".stripMargin
+
+  /** r11 `format_bytes` — 1024-tier byte rendering (truncating
+    * fraction, documented deviation), every tier and both precisions
+    * exercised, negative → null. */
+  val kqlFormatBytesText: String =
+    """let S = datatable(v:long)[ 0, 500, 1023, 1024, 1536, 1048576, 5368709120, 1099511627776, 2251799813685248, 2305843009213693952, -7 ];
+      |S
+      || project v, p0 = format_bytes(v), p2 = format_bytes(v, 2)
+      || sort by v asc""".stripMargin
+
   /** r11 bag utilities — bag_keys (sorted, documented determinism
     * choice), top-level bag_has_key, and bag_merge (first wins on
     * conflicts) over object/array/null-valued inputs; outputs avoid
@@ -1110,6 +1131,8 @@ object ReferenceQueries {
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
     "kql_series_fit2" -> kqlText(kqlSeriesFit2Text) _,
     "kql_series_fill" -> kqlText(kqlSeriesFillText) _,
+    "kql_series_seasonal" -> kqlText(kqlSeriesSeasonalText) _,
+    "kql_format_bytes" -> kqlText(kqlFormatBytesText) _,
     "kql_parse_xml" -> kqlText(kqlParseXmlText) _,
     "kql_diffpatterns" -> kqlText(kqlDiffPatternsText) _,
     "kql_sliding_window" -> kqlText(kqlSlidingWindowText) _,
@@ -1310,6 +1333,68 @@ object ReferenceQueries {
     // Prefix-fit mirror of the parser's series_decompose_forecast:
     // exact integer sums over i < 23, the same double division and
     // per-point multiply-add, micro-floored.
+    // phase means via AVG over (event_type, i % 7) joined back onto the
+    // dense axis; the two divisions mirror seriesSeasonalSql.
+    "kql_series_seasonal" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-29'),
+        |g AS (SELECT event_type, i, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 28)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, CAST(COALESCE(g.c, 0) AS DOUBLE) AS v
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i),
+        |pm AS (
+        |  SELECT event_type, i % 7 AS ph, SUM(v) / CAST(COUNT(*) AS DOUBLE) AS pmean
+        |  FROM dense GROUP BY 1, 2),
+        |sm AS (
+        |  SELECT event_type, SUM(v) / CAST(COUNT(*) AS DOUBLE) AS smean
+        |  FROM dense GROUP BY 1)
+        |SELECT d.event_type,
+        |  string_agg(CAST(CAST(floor((pm.pmean - sm.smean) * 1000000.0) AS BIGINT) AS VARCHAR),
+        |    ',' ORDER BY d.i) AS ss
+        |FROM dense d
+        |JOIN pm ON pm.event_type = d.event_type AND pm.ph = d.i % 7
+        |JOIN sm ON sm.event_type = d.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type ASC""".stripMargin,
+    // integer-exact tier arithmetic; the truncating fraction mirrors the
+    // parser branch-for-branch.
+    "kql_format_bytes" ->
+      """WITH s AS (
+        |  SELECT * FROM (VALUES (0), (500), (1023), (1024), (1536), (1048576),
+        |    (5368709120), (1099511627776), (2251799813685248),
+        |    (2305843009213693952), (-7)) AS t(v)),
+        |u AS (
+        |  SELECT CAST(v AS BIGINT) AS v,
+        |    CASE WHEN v < 0 THEN -1
+        |         WHEN v >= 1152921504606846976 THEN 6
+        |         WHEN v >= 1125899906842624 THEN 5
+        |         WHEN v >= 1099511627776 THEN 4
+        |         WHEN v >= 1073741824 THEN 3
+        |         WHEN v >= 1048576 THEN 2
+        |         WHEN v >= 1024 THEN 1 ELSE 0 END AS k
+        |  FROM s),
+        |r AS (
+        |  SELECT v, k,
+        |    CAST(CASE k WHEN 6 THEN 1152921504606846976 WHEN 5 THEN 1125899906842624
+        |      WHEN 4 THEN 1099511627776 WHEN 3 THEN 1073741824 WHEN 2 THEN 1048576
+        |      WHEN 1 THEN 1024 ELSE 1 END AS BIGINT) AS d,
+        |    CASE k WHEN 6 THEN 'EB' WHEN 5 THEN 'PB' WHEN 4 THEN 'TB' WHEN 3 THEN 'GB'
+        |      WHEN 2 THEN 'MB' WHEN 1 THEN 'KB' ELSE 'Bytes' END AS unit
+        |  FROM u)
+        |SELECT v,
+        |  CASE WHEN k < 0 THEN NULL
+        |       ELSE CAST(v // d AS VARCHAR) || ' ' || unit END AS p0,
+        |  CASE WHEN k < 0 THEN NULL
+        |       ELSE CAST(v // d AS VARCHAR) || '.' ||
+        |         lpad(CAST(CASE WHEN k = 6 THEN (((v % d) // 1024) * 100) // (d // 1024)
+        |           ELSE ((v % d) * 100) // d END AS VARCHAR), 2, '0') || ' ' || unit END AS p2
+        |FROM r ORDER BY v ASC""".stripMargin,
     // Mirrors the fill family with IGNORE NULLS window frames: forward =
     // last known preceding, backwards = first known following, linear =
     // pv + (nv - pv) * (i - pi) / (ni - pi) between the nearest known

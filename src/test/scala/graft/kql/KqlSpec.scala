@@ -1156,6 +1156,26 @@ class KqlSpec extends SparkSpec {
     assert(c.getDouble(0) == 0.0 && c.isNullAt(1))
   }
 
+  test("parser: series_seasonal per-phase component; format_bytes tiers") {
+    val reg = Map("T" -> Seq(Tuple1(
+      Seq(1.0, 5.0, 1.0, 5.0, 1.0, 5.0))).toDF("y"))
+    // period 2 over 3 whole cycles: phase means 1 and 5, series mean 3
+    // -> seasonal alternates -2, +2 and zero-sums
+    val r = KqlParser.run("T | project s = series_seasonal(y, 2)", reg)
+      .collect().head.getSeq[Double](0)
+    assert(r == Seq(-2.0, 2.0, -2.0, 2.0, -2.0, 2.0))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | project s = series_seasonal(y)", reg)
+    }
+    assert(e.getMessage.contains("period"))
+    def one(q: String) = KqlParser.run(s"T | project r = $q", reg).head()
+    assert(one("format_bytes(500)").getString(0) == "500 Bytes")
+    assert(one("format_bytes(1024)").getString(0) == "1 KB")
+    assert(one("format_bytes(1536, 2)").getString(0) == "1.50 KB")
+    assert(one("format_bytes(1047527424, 1)").getString(0) == "999.0 MB")
+    assert(one("format_bytes(-1)").isNullAt(0))
+  }
+
   test("parser: bag_keys/bag_has_key/bag_merge semantics") {
     val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
     def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
