@@ -462,22 +462,38 @@ object TextAnalysis {
     * pass). All arithmetic is exact integers; the corpus is
     * single-space separated so `split(text, ' ')` IS the tokenizer. */
   def chunkOverlap(spark: SparkSession, sfDir: String,
-                   window: Int = 64, stride: Int = 48): DataFrame = {
+                   window: Int = 64, stride: Int = 48): DataFrame =
+    chunkOverlapOn(Tables.documents(spark, sfDir).select("doc_id", "text"),
+      window, stride)
+
+  /** [[chunkOverlap]] over an arbitrary (text, …) frame; every
+    * non-text column carries through to the chunk rows. This is the
+    * seam streaming ingestion drives: the chunker is stateless
+    * map-side compute, so the SAME code runs under readStream —
+    * `StreamingChunkDedupSpec` pins it chained with
+    * dropDuplicatesWithinWatermark for ingest-time chunk dedup
+    * (watermark-bounded state, the structured-streaming form of the
+    * batch [[chunkDedupReport]]). */
+  def chunkOverlapOn(docs: DataFrame,
+                     window: Int = 64, stride: Int = 48): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"chunkOverlap needs 0 < stride <= window (got window=$window stride=$stride)")
-    Tables.documents(spark, sfDir)
-      .selectExpr("doc_id", "text", s"cast($nTokens as bigint) as n")
-      .selectExpr("doc_id", "text", "n",
-        s"""posexplode(sequence(0,
-           |  CASE WHEN n <= $window THEN 0
-           |       ELSE (n - $window + ${stride - 1}) DIV $stride END))
-           |  AS (chunk_idx, __c)""".stripMargin)
-      .selectExpr(
-        "doc_id",
+    val carried = docs.columns.filterNot(_ == "text").toSeq
+    require(docs.columns.contains("text"), "chunkOverlapOn needs a 'text' column")
+    val withN = docs.selectExpr(
+      (carried :+ "text" :+ s"cast($nTokens as bigint) as __n"): _*)
+    val exploded = withN.select(
+      (carried.map(col) ++ Seq(col("text"), col("__n"),
+        posexplode(expr(
+          s"""sequence(0, CASE WHEN __n <= $window THEN 0
+             |  ELSE (__n - $window + ${stride - 1}) DIV $stride END)""".stripMargin))
+          .as(Seq("chunk_idx", "__c")))): _*)
+    exploded.selectExpr(
+      (carried ++ Seq(
         "cast(chunk_idx as int) as chunk_idx",
         s"cast(chunk_idx * $stride as bigint) as start_tok",
-        s"cast(least($window, n - chunk_idx * $stride) as bigint) as chunk_tokens",
-        s"substr(md5(array_join(slice(split(text, ' '), chunk_idx * $stride + 1, $window), ' ')), 1, 16) as chunk_hash")
+        s"cast(least($window, __n - chunk_idx * $stride) as bigint) as chunk_tokens",
+        s"substr(md5(array_join(slice(split(text, ' '), chunk_idx * $stride + 1, $window), ' ')), 1, 16) as chunk_hash")): _*)
   }
 
   /** Chunk-level boilerplate report: chunks (from [[chunkOverlap]])
