@@ -602,9 +602,28 @@ object Similarity {
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("votes").desc, col("cand_label").asc)
-    broadcast(q).join(t, lit(true))
+    val candidates = broadcast(q).join(t, lit(true))
       .withColumn("cos", round(expr("graft_dot(qv, cv)") / (col("qn") * col("cn")), 6))
       .withColumn("rk", row_number().over(wr)).filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"))
+    knnVote(candidates, e.select(col("vec_id"), col("label")))
+  }
+
+  /** The majority-vote stage of [[knnClassify]] over ANY (query_id,
+    * cand_id) candidate stream — the seam the scale path plugs into:
+    * swap the brute scorer for [[ivfPqTopKOn]]'s nprobe-bounded ADC
+    * candidates and the vote is unchanged (`KnnSpec` pins that
+    * composition equal to the brute path on a clustered corpus).
+    * `labels` is the (vec_id, label) relation; both label joins are
+    * equi-joins a label dim broadcast serves at scale. */
+  def knnVote(candidates: DataFrame, labels: DataFrame): DataFrame = {
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("votes").desc, col("cand_label").asc)
+    candidates
+      .join(labels.select(col("vec_id").as("cand_id"), col("label").as("cand_label")),
+        Seq("cand_id"))
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        Seq("query_id"))
       .groupBy(col("query_id"), col("true_label"), col("cand_label"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("vrk", row_number().over(wv)).filter(col("vrk") === 1)
