@@ -4024,11 +4024,35 @@ object KqlParser {
                     // trend = 7-point centered moving average (edge
                     // windows clamp), seasonal = 0 (no season model),
                     // baseline = trend, residual = series - baseline.
-                    require(args.length == 1, "series_decompose expects (series)")
+                    // r11: the optional 2nd argument gives the season
+                    // PERIOD — seasonal = series_seasonal(series, p),
+                    // trend stays the raw-series moving average, and
+                    // the components ADD (independent additive
+                    // estimation, NOT sequential detrending —
+                    // documented deviation from STL; the zero-sum
+                    // season keeps the baseline unbiased, and every
+                    // element stays a single-rounded chain over exact
+                    // integer sums, so the decomposition is
+                    // cross-engine exact for counting series).
+                    require(args.length == 1 || args.length == 2,
+                      "series_decompose expects (series [, period])")
                     val t = seriesTrend(args(0))
-                    out.append(
-                      s"named_struct('baseline', $t, 'seasonal', transform(${args(0)}, x -> CAST(0 AS DOUBLE)), " +
-                      s"'trend', $t, 'residual', ${seriesResidual(args(0))})")
+                    if (args.length == 1)
+                      out.append(
+                        s"named_struct('baseline', $t, 'seasonal', transform(${args(0)}, x -> CAST(0 AS DOUBLE)), " +
+                        s"'trend', $t, 'residual', ${seriesResidual(args(0))})")
+                    else {
+                      val per = scala.util.Try(args(1).trim.toInt).getOrElse(
+                        throw new IllegalArgumentException(
+                          s"series_decompose period must be an integer literal: ${args(1)}"))
+                      require(per >= 2, s"series_decompose period must be >= 2: $per")
+                      val seas = seriesSeasonalSql(args(0), per)
+                      val baseline = s"zip_with($t, $seas, (ba, bb) -> ba + bb)"
+                      out.append(
+                        s"named_struct('baseline', $baseline, 'seasonal', $seas, " +
+                        s"'trend', $t, " +
+                        s"'residual', zip_with(${args(0)}, $baseline, (ra, rb) -> ra - rb))")
+                    }
                   case "series_decompose_anomalies" =>
                     // Deviation (documented): anomaly flags are k-sigma
                     // on the residual against the same moving-average

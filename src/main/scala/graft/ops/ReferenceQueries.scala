@@ -683,6 +683,21 @@ object ReferenceQueries {
       || project event_type, ss
       || sort by event_type asc""".stripMargin
 
+  /** r11 seasonal `series_decompose(series, period)` — additive
+    * independent components (trend = raw-series moving average,
+    * seasonal = per-phase mean − series mean; deviation from STL's
+    * sequential detrending documented at the parser): every element is
+    * a fixed-order chain of single-rounded divisions over exact
+    * integer sums, so baseline and residual are cross-engine exact. */
+  val kqlSeriesDecomposeSeasonalText: String =
+    """Events
+      || make-series n = count() on ts from datetime(2024-01-01) to datetime(2024-01-29) step 1d by event_type
+      || extend d = series_decompose(n, 7)
+      || extend bl = array_join(transform(d.baseline, x -> string(tolong(floor(x * 1000000.0, 1)))), ','),
+      |    rs = array_join(transform(d.residual, x -> string(tolong(floor(x * 1000000.0, 1)))), ',')
+      || project event_type, bl, rs
+      || sort by event_type asc""".stripMargin
+
   /** r11 `format_bytes` — 1024-tier byte rendering (truncating
     * fraction, documented deviation), every tier and both precisions
     * exercised, negative → null. */
@@ -1132,6 +1147,7 @@ object ReferenceQueries {
     "kql_series_fit2" -> kqlText(kqlSeriesFit2Text) _,
     "kql_series_fill" -> kqlText(kqlSeriesFillText) _,
     "kql_series_seasonal" -> kqlText(kqlSeriesSeasonalText) _,
+    "kql_series_decompose2" -> kqlText(kqlSeriesDecomposeSeasonalText) _,
     "kql_format_bytes" -> kqlText(kqlFormatBytesText) _,
     "kql_parse_xml" -> kqlText(kqlParseXmlText) _,
     "kql_diffpatterns" -> kqlText(kqlDiffPatternsText) _,
@@ -1333,6 +1349,46 @@ object ReferenceQueries {
     // Prefix-fit mirror of the parser's series_decompose_forecast:
     // exact integer sums over i < 23, the same double division and
     // per-point multiply-add, micro-floored.
+    // trend = 7-pt clamped moving average of the EXACT integer counts
+    // (window sums order-free), seasonal mirrors seriesSeasonalSql,
+    // baseline/residual mirror the fixed zip_with op order.
+    "kql_series_decompose2" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-29'),
+        |g AS (SELECT event_type, i, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 28)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, CAST(COALESCE(g.c, 0) AS DOUBLE) AS v
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i),
+        |tr AS (
+        |  SELECT event_type, i, v,
+        |    SUM(v) OVER (PARTITION BY event_type ORDER BY i
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |    / CAST(COUNT(v) OVER (PARTITION BY event_type ORDER BY i
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) AS t
+        |  FROM dense),
+        |pm AS (
+        |  SELECT event_type, i % 7 AS ph, SUM(v) / CAST(COUNT(*) AS DOUBLE) AS pmean
+        |  FROM dense GROUP BY 1, 2),
+        |sm AS (
+        |  SELECT event_type, SUM(v) / CAST(COUNT(*) AS DOUBLE) AS smean
+        |  FROM dense GROUP BY 1),
+        |x AS (
+        |  SELECT tr.event_type, tr.i, tr.v,
+        |    tr.t + (pm.pmean - sm.smean) AS bl
+        |  FROM tr
+        |  JOIN pm ON pm.event_type = tr.event_type AND pm.ph = tr.i % 7
+        |  JOIN sm ON sm.event_type = tr.event_type)
+        |SELECT event_type,
+        |  string_agg(CAST(CAST(floor(bl * 1000000.0) AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS bl,
+        |  string_agg(CAST(CAST(floor((v - bl) * 1000000.0) AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS rs
+        |FROM x GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     // phase means via AVG over (event_type, i % 7) joined back onto the
     // dense axis; the two divisions mirror seriesSeasonalSql.
     "kql_series_seasonal" ->
