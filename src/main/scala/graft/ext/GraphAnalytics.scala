@@ -61,14 +61,7 @@ object GraphAnalytics {
     * convergence plateau for ranking purposes. */
   private[ext] def weightedPageRank(edges0: DataFrame,
                                     iterations: Int = 3): DataFrame = {
-    // Pre-partition the STATIC edge relation on its superstep join key
-    // before checkpointing: localCheckpoint captures the physical
-    // partitioning into the LogicalRDD, so every subsequent src-keyed
-    // join reads the edges in place instead of re-shuffling them once
-    // per iteration — the src-bucketing step the 100 TB plan names
-    // (on a cluster, a bucketed table gives the same property across
-    // jobs; within one job the checkpointed repartition is equivalent).
-    val edges = edges0.repartition(col("src")).localCheckpoint(true)
+    val edges = edges0.localCheckpoint(true)
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
       .localCheckpoint(true)
     val n = deg.count() // node count (symmetrized => every node a src)
@@ -159,11 +152,7 @@ object GraphAnalytics {
     * bi-oscillates forever on bipartite structures (4-cycles, and this
     * engine's part↔supplier graph itself). */
   private[ext] def lpaCore(edges0: DataFrame, iterations: Int): DataFrame = {
-    // LPA's superstep joins the edges on DST (labels arrive at each
-    // node's neighbors), so the static relation pre-partitions on dst —
-    // same checkpoint-carries-partitioning rationale as
-    // [[weightedPageRank]]'s src repartition.
-    val edges = edges0.repartition(col("dst")).localCheckpoint(true)
+    val edges = edges0.localCheckpoint(true)
     var lab = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to iterations) {
