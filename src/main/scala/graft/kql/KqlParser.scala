@@ -5525,9 +5525,17 @@ object KqlParser {
     // ONCE (a per-character substring unroll would duplicate the whole
     // bit sum per output char). conv's digit set 0-9a-v maps onto the
     // geohash alphabet by a plain translate; lpad restores leading
-    // zero-cells.
-    s"lpad(translate(lower(conv($inter, 10, 32)), " +
-      s"'0123456789abcdefghijklmnopqrstuv', '$geohashAlphabet'), $acc, '0')"
+    // zero-cells. The coalesce carries NULLABILITY, not behavior: conv
+    // declares nullable=true (it can null on malformed digit strings,
+    // impossible here), which would poison the whole encoder's
+    // nullability — and then a join on the cell key pushes an
+    // isnotnull(<entire encoder>) filter into the scan (measured ~2×
+    // the point-stage cost on kql_geo_join). With the ELSE branch
+    // provably non-null, Catalyst's own NullPropagation folds the
+    // null-check down to the cheap validity guard — no custom rule
+    // needed (the plans package doc's evidence bar stays unmet).
+    s"coalesce(lpad(translate(lower(conv($inter, 10, 32)), " +
+      s"'0123456789abcdefghijklmnopqrstuv', '$geohashAlphabet'), $acc, '0'), '')"
   }
 
   /** Neighbors of a POINT'S cell at a literal accuracy — the

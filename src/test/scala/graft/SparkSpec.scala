@@ -13,6 +13,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"

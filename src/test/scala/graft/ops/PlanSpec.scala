@@ -36,6 +36,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "site-cell dim must broadcast")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "candidate generation must be the cell equi-join, not all-pairs")
+    // SimplifyGuardedNullCheck: the join-injected isnotnull(cell) must
+    // reduce to the coordinate-validity guard — the Filter may not
+    // re-evaluate the cell ENCODER (its conv() render is the marker)
+    val filterLines = p.linesIterator.filter(_.contains("Filter")).mkString("\n")
+    assert(!filterLines.contains("conv("),
+      s"null-filter still evaluates the geohash encoder:\n${filterLines.take(500)}")
   }
 
   test("native top-k: ObjectHashAggregate with a partial stage (map-side k pairs)") {
