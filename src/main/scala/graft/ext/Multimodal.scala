@@ -288,6 +288,64 @@ object Multimodal {
             md5(concat(col("text"), lit("#"), col("frame_idx"), lit("x"))))))
           .as("content"))
 
+  /** Dense frame payloads with SCENE structure for cut detection:
+    * every frame 0..(nf % 64) of each video, scene = frame DIV 8;
+    * within a scene, payloads share the scene's 32 bytes except the
+    * LAST byte, which drifts by (frame % 8) — a tiny luma jitter, so
+    * within-scene fingerprints sit at small hamming while scene
+    * boundaries jump to ~64 (independent md5s). The stub-decode seam
+    * again: a real pipeline slots the codec's frame extractor here and
+    * the detector below is unchanged. */
+  def sceneFrameTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("vid"), col("text"))
+      .withColumn("nf", expr("cast(conv(substr(md5(text), 9, 2), 16, 10) as int) % 64"))
+      .filter(col("nf") >= 1)
+      .withColumn("fi", explode(expr("sequence(0, nf)")))
+      .withColumn("m1", expr("md5(concat(text, '#s', cast(fi div 8 as string)))"))
+      .withColumn("m2", expr("md5(concat(text, '#s', cast(fi div 8 as string), 'x'))"))
+      .select((col("vid") * 1024 + col("fi")).as("media_id"),
+        lit("image").as("kind"),
+        expr("unhex(concat(m1, substr(m2, 1, 30), " +
+          "lpad(lower(hex((cast(conv(substr(m2, 31, 2), 16, 10) as int) + fi % 8) % 256)), 2, '0')))")
+          .as("content"))
+
+  /** Video scene-cut detection: a cut is a consecutive-frame pair
+    * whose perceptual fingerprints ([[imageFingerprintsOn]] — the same
+    * aHash/dHash sidecar the dedup tier materializes) differ by more
+    * than `threshold` of 128 hamming bits. Shot-boundary detection is
+    * the standard video-curation primitive (sample one frame per shot
+    * instead of per second; drop static slideshows).
+    *
+    * Scale: fingerprints are map-side; the only stateful op is a lag
+    * window PARTITIONED PER VIDEO (frame count bounded by the
+    * sampler), so no global sort exists at any corpus size. Threshold
+    * default 32: within-scene jitter measures ≤ ~16 bits (4 grid
+    * cells touch the drifted byte, plus mean-crossing aHash flips),
+    * scene boundaries ~64 (independent payloads). */
+  def sceneCuts(spark: SparkSession, sfDir: String,
+                threshold: Int = 32): DataFrame = {
+    val bands = (0 until 8).map(i => s"b$i")
+    val fp = imageFingerprintsOn(sceneFrameTable(spark, sfDir))
+      .withColumn("video_id", expr("media_id DIV 1024"))
+      .withColumn("frame_idx", expr("cast(media_id % 1024 as int)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("video_id")).orderBy(col("frame_idx"))
+    val lagged = bands.foldLeft(fp) { (d, b) =>
+      d.withColumn(b + "_p", lag(col(b), 1).over(w))
+    }
+    val hm = bands.map(b => expr(s"bit_count($b ^ ${b}_p)")).reduce(_ + _)
+    lagged
+      .withColumn("hm", when(col("b0_p").isNull, lit(null)).otherwise(hm))
+      .groupBy(col("video_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        count(when(col("hm") > threshold, 1)).as("n_cuts"),
+        sort_array(collect_list(when(col("hm") > threshold, col("frame_idx"))))
+          .as("__cf"))
+      .selectExpr("video_id", "n_frames", "n_cuts",
+        "concat_ws(',', transform(__cf, x -> cast(x as string))) as cut_frames")
+  }
+
   /** Frame-level cross-VIDEO near-dup: [[imageNearDupsOn]] over the
     * sampled-frame payloads, aggregated back to video pairs — "these
     * two videos share n visually-identical frames". Same-video frame
@@ -391,6 +449,7 @@ object Multimodal {
     "mm_meta_stats" -> metaStats _,
     "mm_phash_dupes" -> imageNearDups _,
     "mm_frame_phash_dupes" -> videoFrameNearDups _,
+    "mm_scene_cuts" -> ((s: SparkSession, d: String) => sceneCuts(s, d)),
     "mm_image_quality" -> imageQuality _,
     "mm_audio_chunks" -> audioChunks _,
   )
@@ -419,16 +478,21 @@ object Multimodal {
     * payload), emits grid → aHash/dHash bands → banded candidates →
     * `pairs(id_a, id_b, hamming ≤ 10)`. Band expressions are generated
     * (8 of them) so Spark and every oracle share one formula. */
+  // g index for aHash cell i of the 9-wide grid (1-based list index) —
+  // object-level so the pair chain AND the scene-cut oracle share one
+  // band formula
+  private def apos(i: String) = s"(($i) // 8) * 9 + (($i) % 8) + 1"
+  private def aband(b: Int) =
+    s"CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
+    s"g[${apos(s"$b * 16 + j")}] * 64 >= asum THEN CAST(2 ** j AS INTEGER) ELSE 0 END)) AS INTEGER) AS b$b"
+  private def dband(b: Int) =
+    s"CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
+    s"g[${apos(s"$b * 16 + j")}] < g[${apos(s"$b * 16 + j")} + 1] THEN CAST(2 ** j AS INTEGER) ELSE 0 END)) AS INTEGER) AS b${b + 4}"
+  private def bandExprList: String =
+    ((0 until 4).map(aband) ++ (0 until 4).map(dband)).mkString(",\n  ")
+
   private def phashPairsCtes(prefix: String): String = {
-    // g index for aHash cell i of the 9-wide grid (1-based list index)
-    def apos(i: String) = s"(($i) // 8) * 9 + (($i) % 8) + 1"
-    def aband(b: Int) =
-      s"CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
-      s"g[${apos(s"$b * 16 + j")}] * 64 >= asum THEN CAST(2 ** j AS INTEGER) ELSE 0 END)) AS INTEGER) AS b$b"
-    def dband(b: Int) =
-      s"CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
-      s"g[${apos(s"$b * 16 + j")}] < g[${apos(s"$b * 16 + j")} + 1] THEN CAST(2 ** j AS INTEGER) ELSE 0 END)) AS INTEGER) AS b${b + 4}"
-    val bandExprs = ((0 until 4).map(aband) ++ (0 until 4).map(dband)).mkString(",\n  ")
+    val bandExprs = bandExprList
     val anyBand = (0 until 8).map(i => s"x.b$i = y.b$i").mkString(" OR ")
     val hamming = (0 until 8).map(i => s"bit_count(xor(fa.b$i, fb.b$i))").mkString(" + ")
     s"""$prefix,
@@ -497,6 +561,57 @@ object Multimodal {
        |FROM pairs WHERE id_a // 1024 <> id_b // 1024
        |GROUP BY 1, 2""".stripMargin
 
+  /** The mm_scene_cuts oracle: replay the scene-structured frame
+    * payloads (byte 31 drifted by frame % 8 — applied directly on the
+    * parsed INTS, no hex round-trip), grid → shared band formulas →
+    * per-video lag hamming → cut report. */
+  private def sceneCutsOracle: String =
+    s"""WITH vids AS (
+       |  SELECT doc_id AS vid, text,
+       |    CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) % 64 AS nf
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (
+       |  SELECT vid, text, CAST(unnest(range(0, nf + 1)) AS INTEGER) AS fi
+       |  FROM vids WHERE nf >= 1),
+       |hx AS (
+       |  SELECT vid, fi,
+       |    md5(text || '#s' || CAST(fi // 8 AS VARCHAR)) AS h1,
+       |    md5(text || '#s' || CAST(fi // 8 AS VARCHAR) || 'x') AS h2
+       |  FROM fr),
+       |bl AS (
+       |  SELECT vid, fi, list_transform(range(0, 32), j ->
+       |    CASE WHEN j < 16 THEN CAST(concat('0x', substr(h1, 2 * j + 1, 2)) AS INTEGER)
+       |         WHEN j < 31 THEN CAST(concat('0x', substr(h2, 2 * (j - 16) + 1, 2)) AS INTEGER)
+       |         ELSE (CAST(concat('0x', substr(h2, 31, 2)) AS INTEGER) + fi % 8) % 256 END) AS b
+       |  FROM hx),
+       |gr AS (
+       |  SELECT vid, fi,
+       |    list_transform(range(0, 72), i -> b[(i % 9 * 31 + i // 9 * 17) % 32 + 1]) AS g
+       |  FROM bl),
+       |ga AS (
+       |  SELECT vid, fi, g,
+       |    CAST(list_sum(list_transform(range(0, 64), i -> g[${apos("i")}])) AS INTEGER) AS asum
+       |  FROM gr),
+       |fp AS (
+       |  SELECT vid, fi,
+       |  $bandExprList
+       |  FROM ga),
+       |lg AS (
+       |  SELECT *,
+       |    ${(0 until 8).map(i =>
+            s"lag(b$i) OVER (PARTITION BY vid ORDER BY fi) AS p$i").mkString(",\n    ")}
+       |  FROM fp),
+       |hm AS (
+       |  SELECT vid, fi,
+       |    CASE WHEN p0 IS NULL THEN NULL ELSE
+       |      ${(0 until 8).map(i => s"bit_count(xor(b$i, p$i))").mkString(" + ")} END AS h
+       |  FROM lg)
+       |SELECT vid AS video_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |  CAST(COUNT(*) FILTER (WHERE h > 32) AS BIGINT) AS n_cuts,
+       |  COALESCE(string_agg(CAST(fi AS VARCHAR), ',' ORDER BY fi)
+       |    FILTER (WHERE h > 32), '') AS cut_frames
+       |FROM hm GROUP BY vid""".stripMargin
+
   /** byte i (0-based) of md5(text) as an int, in DuckDB. */
   private def mdByte(i: Int): String =
     s"CAST(concat('0x', substr(md5(text), ${2 * i + 1}, 2)) AS INTEGER)"
@@ -504,6 +619,7 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "mm_phash_dupes" -> phashOracle,
     "mm_frame_phash_dupes" -> framePhashOracle,
+    "mm_scene_cuts" -> sceneCutsOracle,
     // Exact-integer micro-units mirroring imageQualityOn: s and t are
     // exact BIGINTs, the contrast chain is single correctly-rounded
     // IEEE ops, flat is a pure integer compare — no round→DECIMAL
