@@ -289,7 +289,7 @@ object Multimodal {
           .as("content"))
 
   /** Dense frame payloads with SCENE structure for cut detection:
-    * every frame 0..(nf % 64) of each video, scene = frame DIV 8;
+    * every frame 0..(nf % 32) of each video, scene = frame DIV 8;
     * within a scene, payloads share the scene's 32 bytes except the
     * LAST byte, which drifts by (frame % 8) — a tiny luma jitter, so
     * within-scene fingerprints sit at small hamming while scene
@@ -299,7 +299,7 @@ object Multimodal {
   def sceneFrameTable(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).filter(col("doc_id") % 3 === 2)
       .select(col("doc_id").as("vid"), col("text"))
-      .withColumn("nf", expr("cast(conv(substr(md5(text), 9, 2), 16, 10) as int) % 64"))
+      .withColumn("nf", expr("cast(conv(substr(md5(text), 9, 2), 16, 10) as int) % 32"))
       .filter(col("nf") >= 1)
       .withColumn("fi", explode(expr("sequence(0, nf)")))
       .withColumn("m1", expr("md5(concat(text, '#s', cast(fi div 8 as string)))"))
@@ -568,7 +568,7 @@ object Multimodal {
   private def sceneCutsOracle: String =
     s"""WITH vids AS (
        |  SELECT doc_id AS vid, text,
-       |    CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) % 64 AS nf
+       |    CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) % 32 AS nf
        |  FROM documents WHERE doc_id % 3 = 2),
        |fr AS (
        |  SELECT vid, text, CAST(unnest(range(0, nf + 1)) AS INTEGER) AS fi
