@@ -3920,6 +3920,7 @@ object KqlParser {
               "geo_distance_2points", "geo_point_in_circle",
               "geo_point_to_geohash", "geo_geohash_to_central_point",
               "geo_geohash_neighbors", "geo_point_in_polygon",
+              "geo_polygon_area",
               "dcount_intersect",
               "bag_keys", "bag_has_key", "bag_merge",
               "format_bytes",
@@ -4634,6 +4635,19 @@ object KqlParser {
                 require(args.length == 3,
                   "geo_point_in_polygon expects (lon, lat, polygon)")
                 out.append(geoPointInPolygonSql(args(0), args(1), args(2)))
+              case "geo_polygon_area" =>
+                // ADX geo_polygon_area(polygon) → m². DEVIATION
+                // (documented): equirectangular-projected planar
+                // shoelace instead of ADX's spheroidal area — vertices
+                // scale to meters at the ring's MEAN latitude
+                // (lon·111320·cos(latc), lat·110574), then |shoelace|/2.
+                // Within ~0.3 % of the spherical area for rings
+                // spanning a few degrees; the left-to-right edge fold
+                // is mirrored op-for-op by the oracle's frame-ordered
+                // running sum. Holes unsupported (outer ring only);
+                // degenerate ring (< 4 GeoJSON entries) → null.
+                require(args.length == 1, "geo_polygon_area expects (polygon)")
+                out.append(geoPolygonAreaSql(args(0)))
               case "geo_distance_2points" =>
                 // ADX geo_distance_2points(lon1, lat1, lon2, lat2) →
                 // meters. DEVIATION (documented): haversine great-circle
@@ -5634,6 +5648,26 @@ object KqlParser {
       s"CASE WHEN abs(gpq.py) > 90.0 OR abs(gpq.px) > 180.0 " +
       s"OR gpq.r IS NULL OR size(gpq.r) < 4 THEN CAST(NULL AS BOOLEAN) " +
       s"ELSE size(filter(sequence(0, size(gpq.r) - 2), gpi -> $cross)) % 2 = 1 END), 1)"
+  }
+
+  /** Equirectangular shoelace area (deviation documented at the
+    * dispatch case). The ring and its meter-scale factors bind once as
+    * `gaq`; the edge fold runs left-to-right so the oracle can mirror
+    * the summation order exactly (the products are inexact doubles —
+    * an unordered SUM would drift in the last ulp). */
+  private[kql] def geoPolygonAreaSql(poly: String): String = {
+    val ring = s"try_cast(variant_get($poly, '$$.coordinates[0]') AS ARRAY<ARRAY<DOUBLE>>)"
+    // mean latitude over ALL ring entries (closing vertex included —
+    // mirrored choice, documented here)
+    val latc = s"aggregate(gar, CAST(0 AS DOUBLE), (la, lv) -> la + element_at(lv, 2)) / CAST(size(gar) AS DOUBLE)"
+    def x(i: String) = s"element_at(element_at(gaq.r, $i), 1) * gaq.kx"
+    def y(i: String) = s"element_at(element_at(gaq.r, $i), 2) * 110574.0"
+    val term = s"(${x("ge + 1")} * ${y("ge + 2")} - ${x("ge + 2")} * ${y("ge + 1")})"
+    s"element_at(transform(array(element_at(transform(array($ring), gar -> " +
+      s"named_struct('r', gar, 'kx', 111320.0 * cos(radians($latc)))), 1)), gaq -> " +
+      s"CASE WHEN gaq.r IS NULL OR size(gaq.r) < 4 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE abs(aggregate(sequence(0, size(gaq.r) - 2), CAST(0 AS DOUBLE), " +
+      s"(ga, ge) -> ga + $term)) / 2.0 END), 1)"
   }
 
   /** Ordered regex cascade for parse_user_agent — ancestors' tokens

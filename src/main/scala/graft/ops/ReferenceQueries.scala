@@ -726,6 +726,23 @@ object ReferenceQueries {
       |    m_b = tostring(m.b), m_d = tostring(m.d), m_m = tostring(m.m)
       || sort by keys1 asc""".stripMargin
 
+  /** r11 `geo_polygon_area` — equirectangular shoelace (deviation from
+    * ADX's spheroid documented at the parser): a concave ring, a unit
+    * triangle, and a degenerate ring (null). The oracle mirrors the
+    * left-to-right edge fold with a frame-ordered running sum (the
+    * shoelace terms are inexact doubles, so summation order is part of
+    * the contract). */
+  val kqlGeoAreaText: String =
+    """let P = datatable(name:string, pj:string)[
+      |  'concave', '{"type":"Polygon","coordinates":[[[-5.0,45.0],[5.0,43.0],[12.0,50.0],[0.0,47.5],[-8.0,52.0],[-5.0,45.0]]]}',
+      |  'triangle', '{"type":"Polygon","coordinates":[[[10.0,50.0],[11.0,50.0],[10.0,51.0],[10.0,50.0]]]}',
+      |  'degenerate', '{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,1.0]]]}'
+      |];
+      |P
+      || extend a_m2 = tolong(floor(geo_polygon_area(parse_json(pj)), 1))
+      || project name, a_m2
+      || sort by name asc""".stripMargin
+
   val kqlBasketText: String =
     """Events
       || extend vband = tolong(floor(bin(value, 200) + 0.5, 1)), hot = value >= 400
@@ -1142,6 +1159,7 @@ object ReferenceQueries {
     "kql_geo" -> kqlText(kqlGeoText) _,
     "kql_geo_join" -> kqlText(kqlGeoJoinText) _,
     "kql_geo_polygon" -> kqlText(kqlGeoPolygonText) _,
+    "kql_geo_area" -> kqlText(kqlGeoAreaText) _,
     "kql_parse_ua" -> kqlText(kqlParseUaText) _,
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
     "kql_series_fit2" -> kqlText(kqlSeriesFit2Text) _,
@@ -1621,6 +1639,35 @@ object ReferenceQueries {
         |  CASE WHEN o12 THEN COALESCE(j1 ->> '$.d', j2 ->> '$.d') END AS m_d,
         |  CASE WHEN o12 THEN COALESCE(j1 ->> '$.m', j2 ->> '$.m') END AS m_m
         |FROM g ORDER BY keys1 ASC""".stripMargin,
+    // frame-ordered running sum mirrors the parser's left-to-right
+    // shoelace fold; mean-latitude sums are exact decimals on both
+    // engines.
+    "kql_geo_area" ->
+      """WITH v AS (
+        |  SELECT * FROM (VALUES
+        |    ('concave', 0, -5.0, 45.0), ('concave', 1, 5.0, 43.0),
+        |    ('concave', 2, 12.0, 50.0), ('concave', 3, 0.0, 47.5),
+        |    ('concave', 4, -8.0, 52.0), ('concave', 5, -5.0, 45.0),
+        |    ('triangle', 0, 10.0, 50.0), ('triangle', 1, 11.0, 50.0),
+        |    ('triangle', 2, 10.0, 51.0), ('triangle', 3, 10.0, 50.0))
+        |    AS t(name, i, lon, lat)),
+        |c AS (SELECT name, SUM(lat) / CAST(COUNT(*) AS DOUBLE) AS latc FROM v GROUP BY 1),
+        |k AS (SELECT name, 111320.0 * cos(radians(latc)) AS kx FROM c),
+        |e AS (
+        |  SELECT a.name, a.i,
+        |    (a.lon * kx * (b.lat * 110574.0) - b.lon * kx * (a.lat * 110574.0)) AS term
+        |  FROM v a JOIN v b ON b.name = a.name AND b.i = a.i + 1
+        |  JOIN k ON k.name = a.name),
+        |s AS (
+        |  SELECT name, i, SUM(term) OVER (PARTITION BY name ORDER BY i
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM e),
+        |f AS (
+        |  SELECT name, run FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY name ORDER BY i DESC) AS rn
+        |    FROM s) WHERE rn = 1)
+        |SELECT name, CAST(floor(abs(run) / 2.0) AS BIGINT) AS a_m2 FROM f
+        |UNION ALL SELECT 'degenerate', CAST(NULL AS BIGINT)
+        |ORDER BY name ASC""".stripMargin,
     // mirrors geoPointInPolygonSql: the ring as an explicit edge list,
     // the crossing test's single division op-for-op; per-point identity
     // keeps duplicate (lon, lat) derivations distinct before the city

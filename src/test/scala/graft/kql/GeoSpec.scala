@@ -82,6 +82,20 @@ class GeoSpec extends SparkSpec {
     assert(one("geo_point_in_polygon(1.0, 1.0, parse_json('{\"type\":\"Point\"}'))").isNullAt(0))
   }
 
+  test("polygon area: unit triangle near analytic value, orientation-invariant, degenerate null") {
+    def area(ring: String): org.apache.spark.sql.Row =
+      one(s"""geo_polygon_area(parse_json('{"type":"Polygon","coordinates":[[$ring]]}'))""")
+    // 1°x1° right triangle at ~50N: 0.5 * (111320*cos(latc)) * 110574
+    val tri = area("[10.0,50.0],[11.0,50.0],[10.0,51.0],[10.0,50.0]").getDouble(0)
+    val expect = 0.5 * 111320.0 * math.cos(math.toRadians(50.25)) * 110574.0
+    assert(math.abs(tri - expect) / expect < 1e-9, s"$tri vs $expect")
+    // winding direction must not change the magnitude (abs of shoelace)
+    val rev = area("[10.0,50.0],[10.0,51.0],[11.0,50.0],[10.0,50.0]").getDouble(0)
+    assert(rev == tri)
+    assert(area("[0.0,0.0],[1.0,1.0]").isNullAt(0))
+    assert(one("geo_polygon_area(parse_json('{\"type\":\"Point\"}'))").isNullAt(0))
+  }
+
   test("geohash central point: decode inverts encode, GeoJSON shape, malformed -> null") {
     // the cell center re-encodes to the SAME cell at every accuracy
     for (acc <- Seq(1, 3, 5, 7)) {
