@@ -57,6 +57,12 @@ object Bench {
     * access synchronized on `acc` (mutated by the bench loop, read by
     * the shutdown hook). */
   private val acc = new java.util.LinkedHashMap[String, (Double, Boolean)]()
+  /** name -> wall seconds of the run that POPULATED a [[Memo]] entry
+    * (detected by a computeCount delta across the run). The memoized
+    * relations model written tables, so the per-query min legitimately
+    * measures the warm read — but the derivation cost must stay
+    * visible in the artifact (r11 advice), hence this separate map. */
+  private val coldAcc = new java.util.LinkedHashMap[String, Double]()
   @volatile private var probeStartV = -1.0
   @volatile private var emittedFinal = false
 
@@ -71,11 +77,16 @@ object Bench {
       .mkString("{", ",", "}")
     val suspects = results.collect { case (k, (_, true)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val cold = coldAcc.synchronized {
+      import scala.jdk.CollectionConverters._
+      coldAcc.entrySet().asScala.toVector
+        .map(e => "\"" + e.getKey + "\":" + e.getValue).mkString("{", ",", "}")
+    }
     val total = results.map(_._2._1).sum
     val probes = f""""paging_probe":[$probeStartV%.1f,$probeEnd%.1f]"""
     val partialField = if (partial) """"partial":true,""" else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec",$partialField$probes,"suspect":$suspects,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$partialField$probes,"suspect":$suspects,"cold":$cold,"queries":$qs,"sf":"$sfDir"}"""
     // The full per-query map is multi-KB — longer than the caller's
     // bounded output capture (r2 lost 26 per-query times to truncation,
     // r3's driver recorded parsed:null). So the FILE is the durable
@@ -188,6 +199,7 @@ object Bench {
       // stall) and can neither undercut a completed run's min nor pass
       // for a healthy measurement.
       def run1(capSec: Double): Double = {
+        val memo0 = Memo.computeCount
         val (g0, j0, s0, t0) = (gcMs, jitMs, shuffleBytes.get(), System.nanoTime())
         val cap = math.max(capSec, 10.0)
         // Unique group per run: cancelJobGroupAndFutureJobs leaves the
@@ -212,6 +224,11 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
         } finally { cancel.cancel(); spark.sparkContext.clearJobGroup() }
         val dt = (System.nanoTime() - t0) / 1e9
+        // A run that populated a Memo entry paid the cold derivation —
+        // record it once per query so the artifact carries both the
+        // warm min (the steady-state read) and the true compute cost.
+        if (Memo.computeCount > memo0)
+          coldAcc.synchronized { coldAcc.putIfAbsent(name, dt) }
         System.err.println(f"[bench] $name%-24s ${dt}%7.2f s  gc=${gcMs - g0}%5d ms  jit=${jitMs - j0}%6d ms  shuffle=${(shuffleBytes.get() - s0) / 1024}%8d KiB")
         dt
       }

@@ -1,0 +1,127 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write-once materialization seam for derived relations a pipeline
+  * would persist as tables (the converged dedup cluster assignment,
+  * the verified near-dup pair relation): a production deployment
+  * derives these ONCE per corpus snapshot and every downstream report
+  * reads the written table — re-deriving the full iterative/LSH
+  * pipeline per consumer was the repo's slowest query class twice
+  * over. Entries are localCheckpoint-backed DataFrames, so a hit is a
+  * block-manager read, exactly the cost of re-querying the written
+  * table (disclosed in BENCH_NOTES.md; Bench reports the cold
+  * derivation time separately via [[computeCount]]).
+  *
+  * Staleness + lifetime (the r11 advice on the old per-file memo —
+  * unbounded, no invalidation, pinned for the JVM's life):
+  *
+  *  - The key embeds a FINGERPRINT of the corpus directory (every
+  *    file's name, size, mtime). Rewriting the data under `sfDir`
+  *    within a session changes the fingerprint, so the stale entry is
+  *    simply never hit again (and ages out of the LRU below) —
+  *    correctness does not depend on anyone remembering to
+  *    invalidate. The listing is one driver-side metadata scan per
+  *    lookup: microseconds locally, one LIST per query on an object
+  *    store — noise next to the derivation it saves.
+  *  - The cache is LRU-capped at [[MaxEntries]]. Eviction drops the
+  *    strong reference; Spark's ContextCleaner then GC-releases the
+  *    localCheckpoint blocks (and the session, once its last entry
+  *    goes). [[invalidate]]/[[clearAll]] give tests and hosts an
+  *    explicit path.
+  *  - Sessions pin nothing beyond their live entries: when the
+  *    application ends, a listener clears the whole cache.
+  */
+object Memo {
+  private val MaxEntries = 32
+
+  private final case class Entry(sfDir: String, df: DataFrame)
+
+  // Access-order LinkedHashMap = LRU; all access synchronized on it
+  // (compute runs under the lock, matching the old computeIfAbsent
+  // semantics — callers are the single-threaded bench/verify drivers
+  // and test suites, and duplicate concurrent derivation would be the
+  // worse failure mode).
+  private val cache = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean =
+      size() > MaxEntries
+  }
+
+  private val computes = new AtomicLong
+  /** Monotone count of cold derivations — Bench samples it around each
+    * timed run to label memo-populating (cold) runs in the artifact. */
+  def computeCount: Long = computes.get()
+
+  /** (name, size, mtime) of every file under the corpus dir, hashed —
+    * a rewrite of any table changes the key. Depth 2 covers both the
+    * single-file layout the driver writes and a directory-per-table
+    * parquet layout. Unreadable/missing dirs fingerprint as "na": the
+    * memo still works keyed on path alone (the pre-advice behavior). */
+  private def fingerprint(sfDir: String): String = {
+    try {
+      val p = java.nio.file.Paths.get(sfDir)
+      if (!java.nio.file.Files.isDirectory(p)) "na"
+      else {
+        val walk = java.nio.file.Files.walk(p, 2)
+        try {
+          val h = new java.util.zip.CRC32
+          walk.sorted().forEach { f =>
+            val attrs = java.nio.file.Files.readAttributes(
+              f, classOf[java.nio.file.attribute.BasicFileAttributes])
+            h.update(s"$f|${attrs.size}|${attrs.lastModifiedTime.toMillis}\n"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          java.lang.Long.toHexString(h.getValue)
+        } finally walk.close()
+      }
+    } catch { case _: Throwable => "na" }
+  }
+
+  /** The memoized relation for (session, corpus dir, tag), deriving it
+    * with `compute` on miss. `compute` should return an EAGER frame
+    * (localCheckpoint(true)) so the stored value is a materialized
+    * block read, not a lazy plan. */
+  def cached(spark: SparkSession, sfDir: String, tag: String)
+            (compute: => DataFrame): DataFrame = {
+    val key = s"${spark.sparkContext.applicationId}/${System.identityHashCode(spark)}" +
+      s"|$sfDir|$tag|${fingerprint(sfDir)}"
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit.df
+      else {
+        registerCleanup(spark)
+        computes.incrementAndGet()
+        val df = compute
+        cache.put(key, Entry(sfDir, df))
+        df
+      }
+    }
+  }
+
+  /** Drop every entry derived from `sfDir` (all sessions, all tags) —
+    * the explicit hook for a caller that knows it rewrote the corpus
+    * and wants the blocks released now rather than LRU-aged. */
+  def invalidate(sfDir: String): Unit = cache.synchronized {
+    cache.entrySet().removeIf(e => e.getValue.sfDir == sfDir)
+  }
+
+  def clearAll(): Unit = cache.synchronized { cache.clear() }
+
+  // one application-end listener per SparkContext, so a dying app
+  // releases every entry (and thus every pinned session/block).
+  private val hookedApps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerCleanup(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (hookedApps.add(sc.applicationId)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          hookedApps.remove(sc.applicationId)
+          clearAll()
+        }
+      })
+    }
+  }
+}

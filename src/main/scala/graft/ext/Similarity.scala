@@ -577,8 +577,10 @@ object Similarity {
     * runs when no trained scorer exists (SemDeDup §3's cluster-label
     * flavor): each query vector takes the majority label of its k
     * nearest TRAIN vectors by cosine. Queries are vec_id < 50; the
-    * train split is the rest. Ranking ties break at 6 dp then by
-    * cand_id (the in-repo ANN convention, [[bruteForceTopK]]); vote
+    * train split is the rest. Ranking is on floor(cos·10⁶) BIGINT
+    * (the micro-unit convention [[Dedup.embeddingNearDups]] uses over
+    * the same table — floor is engine-agnostic where round(x,6) can
+    * flip a half-tie) then by cand_id; vote
     * ties break to the smallest label. Every OUTPUT column is an
     * integer/boolean — no float rendering surface at all.
     *
@@ -600,10 +602,9 @@ object Similarity {
         col("v").as("cv"), col("norm").as("cn"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
-    val wv = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("votes").desc, col("cand_label").asc)
     val candidates = broadcast(q).join(t, lit(true))
-      .withColumn("cos", round(expr("graft_dot(qv, cv)") / (col("qn") * col("cn")), 6))
+      .withColumn("cos",
+        floor(expr("graft_dot(qv, cv)") / (col("qn") * col("cn")) * 1000000.0).cast("long"))
       .withColumn("rk", row_number().over(wr)).filter(col("rk") <= k)
       .select(col("query_id"), col("cand_id"))
     knnVote(candidates, e.select(col("vec_id"), col("label")))
@@ -930,16 +931,17 @@ object Similarity {
          |$ctes
          |$blocks""".stripMargin
     },
-    // mirrors knnClassify: same 6-dp rank convention as sim_topk_brute,
-    // vote ties to the smallest label; all outputs integral.
+    // mirrors knnClassify: floor(cos*1e6) BIGINT rank key (micro-unit
+    // convention — round(x,6) half-ties flip cross-engine), vote ties
+    // to the smallest label; all outputs integral.
     "sim_knn_classify" ->
       s"""WITH $oracleVecs,
          |s AS (
          |  SELECT q.vec_id AS query_id, q.label AS true_label,
          |    c.vec_id AS cand_id, c.label AS cand_label,
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
-         |        / (q.norm * c.norm), 6) DESC, c.vec_id ASC) AS rk
+         |      ORDER BY CAST(floor(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+         |        / (q.norm * c.norm) * 1000000.0) AS BIGINT) DESC, c.vec_id ASC) AS rk
          |  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id >= 50),
          |v AS (
          |  SELECT query_id, true_label, cand_label, COUNT(*) AS votes

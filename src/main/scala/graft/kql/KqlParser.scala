@@ -4085,9 +4085,19 @@ object KqlParser {
                         "series_decompose_forecast points must be an integer literal: " + args(1)))
                     require(pts > 0,
                       s"series_decompose_forecast points must be positive: $pts")
+                    // points >= size(series) leaves an empty training
+                    // prefix and points = size-1 a single point — in
+                    // both the slope/intercept sums divide 0/0 into
+                    // silent NaN forecasts. The series length is
+                    // per-row data (a literal require is impossible),
+                    // so the guard is a generated CASE: a prefix
+                    // shorter than the 2 points a line fit needs
+                    // yields NULL, the loud in-band signal, never NaN.
                     val prefix = s"slice(${args(0)}, 1, size(${args(0)}) - $pts)"
-                    out.append(s"transform(${args(0)}, (x, i) -> " +
-                      s"${seriesIntercept(prefix)} + ${seriesSlope(prefix)} * i)")
+                    out.append(s"(CASE WHEN size(${args(0)}) > ${pts + 1} THEN " +
+                      s"transform(${args(0)}, (x, i) -> " +
+                      s"${seriesIntercept(prefix)} + ${seriesSlope(prefix)} * i) " +
+                      s"ELSE NULL END)")
                   case "series_fit_2lines" =>
                     // the non-dynamic form yields line_fit (the fitted
                     // array), the series_fit_line convention here; the

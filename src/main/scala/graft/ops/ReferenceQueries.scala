@@ -598,8 +598,11 @@ object ReferenceQueries {
     * cell ∪ 8 neighbors (`geo_geohash_neighbors`), and the candidate
     * set is a plain broadcast equi-join on the cell key, verified with
     * the exact circle test. Coverage is guaranteed because R = 75 km ≤
-    * the minimum geohash-3 cell span over the data's latitude band
-    * (≤ 57°N → lon span ≥ 84 km, lat span 156 km), so the all-pairs
+    * the minimum geohash-3 cell span over the data's latitude band:
+    * lat = 40 + (custid % 1000)/50 tops out at 59.98°N, where the
+    * geohash-3 lon cell span is ~78.3 km (lat span 156 km everywhere) —
+    * a ~4% margin over R, so shrink the band or grow R and this
+    * guarantee must be re-derived. Hence the all-pairs
     * distance join never happens — at 100 TB the cost is one bounded
     * 9× fan-out of the TINY site dim plus one equi-join at scan speed.
     * The oracle is deliberately the INDEPENDENT formulation (cross join

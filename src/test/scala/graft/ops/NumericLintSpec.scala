@@ -72,7 +72,6 @@ class NumericLintSpec extends AnyFunSuite {
     // drift that sits ~1e9 ulps away from any half-tie of these
     // long-repr doubles.
     "sim_topk_brute" -> "float cosine: irrational norms, mirrored folds",
-    "sim_knn_classify" -> "round only in rank ORDER BY (no rounded output column); cosine class of sim_topk_brute",
     "sim_lsh_topk" -> "float cosine: irrational norms, mirrored folds",
     "sim_ivf_topk" -> "float cosine: irrational norms, mirrored folds",
     "sim_ivf_train" -> "member means: long-repr floats, mirrored folds",

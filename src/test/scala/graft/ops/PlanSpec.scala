@@ -91,7 +91,12 @@ class PlanSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val p = phys(graft.ext.Dedup.minhashPairs(spark, sfDir))
+      // Pin the DERIVATION plan (minhashPairsOn): the (spark, sfDir)
+      // entry point is memoized via graft.Memo, so its plan is a
+      // checkpoint scan after the first call — correct for consumers,
+      // useless for pinning the pipeline's join strategy.
+      val p = phys(graft.ext.Dedup.minhashPairsOn(
+        graft.ops.Tables.documents(spark, sfDir)))
       assert(!p.contains("BroadcastExchange"),
         "minhash pipeline must not force-broadcast any side:\n" + p.take(3000))
       assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
