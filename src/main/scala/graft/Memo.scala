@@ -109,6 +109,30 @@ object Memo {
 
   def clearAll(): Unit = cache.synchronized { cache.clear() }
 
+  /** Make `table` writable via saveAsTable in THIS session: drop any
+    * catalog entry and clear a stale warehouse directory. Needed
+    * because the serving tables outlive the JVM (the warehouse dir
+    * persists) while the default in-memory catalog does not — a fresh
+    * session's saveAsTable would otherwise refuse the existing
+    * location (LOCATION_ALREADY_EXISTS). Callers hold the Memo lock
+    * (prepare+write run inside [[cached]]'s compute), so two sessions
+    * in one JVM cannot race the delete against a write. */
+  def prepareServedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    try {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val uri = new java.net.URI(wh)
+      val base = if (uri.getScheme == null) wh else uri.getPath
+      val dir = new java.io.File(base, table)
+      def del(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(del)
+        f.delete(): Unit
+      }
+      if (dir.exists()) del(dir)
+    } catch { case _: Throwable => () }
+  }
+
   // one application-end listener per SparkContext, so a dying app
   // releases every entry (and thus every pinned session/block).
   private val hookedApps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

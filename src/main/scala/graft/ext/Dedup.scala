@@ -115,6 +115,33 @@ object Dedup {
       minhashPairsOn(Tables.documents(spark, sfDir), threshold).localCheckpoint(true)
     }
 
+  /** [[minhashPairs]] served from a WRITE-TIME bucketed band table:
+    * the (doc, lang, band_idx, band_key) relation — what an ingest
+    * pipeline persists next to the corpus — is written ONCE
+    * bucketed+sorted by the FULL join key (lang, band_idx, band_key),
+    * so the candidate self-join runs with ZERO Exchange and zero Sort
+    * (both sides are the same bucket layout; a band_key-only bucket
+    * spec was measured "disabled by query planner" — Spark only
+    * exploits the layout when it matches the join's clustering).
+    * Only the tiny candidate-id stream and the verify-stage
+    * word fetches shuffle. Same results as [[minhashPairs]] by
+    * construction (same bands, same verify); the oracle is reused
+    * verbatim. Bucket count mirrors [[GraphAnalytics]]'s served-edge
+    * layout: a real deployment sizes it to the cluster at ingest. */
+  def minhashPairsBucketed(spark: SparkSession, sfDir: String,
+                           threshold: Double = 0.9): DataFrame = {
+    val bands = graft.Memo.cached(spark, sfDir, "minhash_bands_bucketed") {
+      val table = "graft_bands_" + java.lang.Integer.toHexString(sfDir.hashCode)
+      graft.Memo.prepareServedTable(spark, table)
+      bandKeys(Tables.documents(spark, sfDir)).write
+        .bucketBy(8, "lang", "band_idx", "band_key")
+        .sortBy("lang", "band_idx", "band_key")
+        .mode("overwrite").saveAsTable(table)
+      spark.table(table)
+    }
+    pairsFromBands(bands, minhashWords(Tables.documents(spark, sfDir)), threshold)
+  }
+
   /** [[minhashPairs]] over an explicit documents frame (doc_id, text,
     * lang) — the operator body, exposed so tests can run the identical
     * banded pipeline over adversarial corpora (SkewSpec plants a hot
@@ -129,8 +156,17 @@ object Dedup {
         posexplode(array(band0, band1)).as(Seq("band_idx", "band_key")))
   }
 
-  def minhashPairsOn(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val sigs = bandKeys(docs)
+  def minhashPairsOn(docs: DataFrame, threshold: Double = 0.9): DataFrame =
+    pairsFromBands(bandKeys(docs), minhashWords(docs), threshold)
+
+  /** The band self-join + Jaccard-verify stages over EXPLICIT band and
+    * word-set relations — the seam the write-time bucketed band layout
+    * ([[minhashPairsBucketed]]) plugs into: when `sigs` is a scan of a
+    * table bucketed by band_key, the self-join below plans with ZERO
+    * Exchange (both sides carry the identical bucket partitioning;
+    * BucketedServeSpec pins it). */
+  private[ext] def pairsFromBands(sigs: DataFrame, docsW: DataFrame,
+                                  threshold: Double): DataFrame = {
     val a = sigs.select(col("lang").as("lang_a"), col("band_idx").as("bi_a"),
       col("band_key").as("bk_a"), col("doc_id").as("doc_a"))
     val b = sigs.select(col("lang").as("lang_b"), col("band_idx").as("bi_b"),
@@ -142,7 +178,6 @@ object Dedup {
         col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    val docsW = minhashWords(docs)
     // Verify-stage fetch is two plain shuffle hash joins on doc_id: the
     // candidate-pair set is tiny relative to the corpus, and the corpus
     // word-sets must NEVER be broadcast (at 100 TB that is a driver OOM
@@ -1053,6 +1088,7 @@ object Dedup {
     "dedup_quality_near" -> qualityDedupCorpus _,
     "dedup_rate_by_source" -> dupRateBySource _,
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
+    "dedup_minhash_lsh_bucketed" -> ((s: SparkSession, d: String) => minhashPairsBucketed(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_clusters" -> dedupClusters _,
     "dedup_ngram_jaccard" -> ngramJaccardPairs _,
@@ -1230,6 +1266,11 @@ object Dedup {
         |  CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS DOUBLE) / COUNT(*) AS dup_rate
         |FROM documents GROUP BY source""".stripMargin,
     "dedup_minhash_lsh" ->
+      s"""WITH $minhashOracleCte
+         |SELECT doc_a, doc_b, jac FROM jacp""".stripMargin,
+    // same oracle verbatim: the bucketed band layout must change the
+    // PLAN (zero-exchange self-join), never the answer.
+    "dedup_minhash_lsh_bucketed" ->
       s"""WITH $minhashOracleCte
          |SELECT doc_a, doc_b, jac FROM jacp""".stripMargin,
     // quality_u mirrors qualityScoresOn's exact integer micro-score —
