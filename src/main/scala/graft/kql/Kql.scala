@@ -90,6 +90,44 @@ object Kql {
         exploded.withColumn(name, expr(s"try_cast(`$name` AS $t)")))
     }
 
+    /** KQL `mv-expand a, b, …` — multi-column LOCKSTEP expansion. ADX
+      * zips parallel arrays row-wise: the row expands to max(len(…))
+      * rows, shorter arrays null-fill their column, a NULL array
+      * behaves as empty (null on every emitted row — single-column
+      * explode would have dropped the row, but a sibling array can
+      * still force rows out), and a row where every array is
+      * null/empty emits nothing. One `arrays_zip` + explode — a
+      * map-side generator, no shuffle, no generated row ids; the
+      * null-fill comes from arrays_zip's own max-length padding.
+      * `ixName` adds ADX's with_itemindex lockstep position. */
+    def mvExpandMulti(ixName: Option[String],
+                      specs: Seq[(String, Column, Option[String])]): DataFrame = {
+      require(specs.map(_._1).distinct.size == specs.size,
+        s"mv-expand names collide: ${specs.map(_._1).mkString(", ")}")
+      ixName.foreach { ix =>
+        require(!df.columns.contains(ix) && !specs.exists(_._1 == ix),
+          s"mv-expand with_itemindex name '$ix' collides with an existing column")
+      }
+      // coalesce(arr, array()) — arrays_zip is null-intolerant (one
+      // NULL child nulls the whole zip, and explode would then drop
+      // the row); an empty array participates as pure padding instead.
+      val zipped = arrays_zip(specs.map { case (n, c, _) =>
+        coalesce(c, array()).as(n)
+      }: _*)
+      val replaced = specs.map(_._1).toSet
+      val carried = df.columns.filterNot(replaced).map(col).toSeq
+      val zc = "_graft_mv_zip"
+      val exploded = ixName match {
+        case Some(ix) => df.select(carried :+ posexplode(zipped).as(Seq(ix, zc)): _*)
+        case None => df.select(carried :+ explode(zipped).as(zc): _*)
+      }
+      val projected = specs.foldLeft(exploded) { case (d, (n, _, castTo)) =>
+        val c = col(s"$zc.`$n`")
+        d.withColumn(n, castTo.fold(c)(t => expr(s"try_cast($zc.`$n` AS $t)")))
+      }
+      projected.drop(zc)
+    }
+
     /** KQL `parse ... with regex` flavor: extract one regex group. */
     def parseExtract(name: String, source: Column, regex: String,
                      group: Int = 1): DataFrame =

@@ -229,6 +229,7 @@ object KqlParser {
           // `range` generator ("range\s" — the \s guard keeps scalar
           // lets over identifiers like `range_total` out of this arm)
           if (tbls.contains(headTok) || headTok.startsWith("datatable") ||
+              headTok.startsWith("externaldata") ||
               headTok.matches("(?s)^range\\s.*")) {
             val frame = pipeline(body, tbls, lets).df
             tbls += name -> (if (doPersist) frame.persist() else frame)
@@ -313,6 +314,7 @@ object KqlParser {
     var tbls = tables
     var df =
       if (tableName.startsWith("datatable")) datatable(tableName)
+      else if (tableName.startsWith("externaldata")) externaldata(tableName)
       else if (tableName.startsWith("print") &&
                (tableName.length == 5 || tableName.charAt(5).isWhitespace))
         // `print name = expr, …` — ADX's table-less scalar evaluation:
@@ -1470,22 +1472,38 @@ object KqlParser {
       case _ => None
     }
     val TypeofRe = "(?s)^(.*?)\\s+to\\s+typeof\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
-    val castTo: Option[String] = body match {
-      case TypeofRe(b, t) => body = b.trim; Some(kqlTypeToSpark(t))
-      case _ => None
+    // (name, array expr text, element cast) — the `to typeof()` suffix
+    // binds per item, ADX's grammar for the multi-column form.
+    def parseItem(item0: String): (String, String, Option[String]) = {
+      var item = item0.trim
+      val castTo: Option[String] = item match {
+        case TypeofRe(b, t) => item = b.trim; Some(kqlTypeToSpark(t))
+        case _ => None
+      }
+      val (nameOpt, exprText) = item match {
+        case NamedRe(n, b) if !b.startsWith("=") && !b.startsWith("~") => (Some(n), b.trim)
+        case _ => (None, item)
+      }
+      val name = nameOpt.getOrElse {
+        require(exprText.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"mv-expand over an expression needs a name ('mv-expand item = $exprText'): $exprText")
+        exprText
+      }
+      (name, exprText, castTo)
     }
-    val (nameOpt, exprText) = body match {
-      case NamedRe(n, b) if !b.startsWith("=") && !b.startsWith("~") => (Some(n), b.trim)
-      case _ => (None, body)
-    }
-    val name = nameOpt.getOrElse {
-      require(exprText.matches("[A-Za-z_][A-Za-z0-9_]*"),
-        s"mv-expand over an expression needs a name ('mv-expand item = $exprText'): $exprText")
-      exprText
-    }
-    itemIx match {
-      case Some(ix) => df.mvExpandIndexed(ix, name, expr(scalar(exprText, lets)), castTo)
-      case None => df.mvExpand(name, expr(scalar(exprText, lets)), castTo)
+    val items = splitTopLevel(body, ',').map(_.trim).filter(_.nonEmpty)
+    require(items.nonEmpty, "mv-expand needs at least one array")
+    if (items.length == 1) {
+      val (name, exprText, castTo) = parseItem(items.head)
+      itemIx match {
+        case Some(ix) => df.mvExpandIndexed(ix, name, expr(scalar(exprText, lets)), castTo)
+        case None => df.mvExpand(name, expr(scalar(exprText, lets)), castTo)
+      }
+    } else {
+      // `mv-expand a, b` — ADX expands parallel arrays in LOCKSTEP
+      // (row-wise zip, max-length null-fill), NOT a cross product.
+      df.mvExpandMulti(itemIx,
+        items.map(parseItem).map { case (n, e, c) => (n, expr(scalar(e, lets)), c) })
     }
   }
 
@@ -3286,6 +3304,102 @@ object KqlParser {
       schema)
     variantCols.foldLeft(base) { (d, i) =>
       d.withColumn(cols(i)._1, expr(s"parse_json(${cols(i)._1})")) }
+  }
+
+  /** `externaldata(col1:type1, …) ["uri", …] [with (format="csv", …)]`
+    * — ADX's ad-hoc external file scan with a DECLARED schema (never
+    * inferred: inference re-types the query when the file drifts).
+    * Formats: csv (default), tsv, ssv, scsv, psv (delimited family —
+    * one Spark csv scan with the right separator), txt (one string
+    * column per line), json/multijson (JSON Lines — Spark's json
+    * source); anything else (parquet, avro, orc, w3clogfile, raw…) is
+    * rejected LOUDLY rather than silently mis-parsed. Options:
+    * `ignoreFirstRecord=true` (header skip, delimited formats only).
+    * URIs: file paths or file:// URIs in this sandbox — the cloud-blob
+    * credential grammar (`h@"…;SAS"`) is out of scope and rejected.
+    * Scale: the scan is a plain distributed Spark file source with the
+    * declared schema — pruning/pushdown work exactly as on any table. */
+  private def externaldata(text: String): DataFrame = {
+    val r = text.stripPrefix("externaldata").trim
+    require(r.startsWith("("), s"externaldata expects (col:type, ...): $text")
+    val close = matchingParen(r, 0)
+    val cols = splitTopLevel(r.substring(1, close), ',').map(_.trim).map { c =>
+      val parts = c.split(":").map(_.trim)
+      require(parts.length == 2 && parts(0).matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"externaldata column must be 'name:type': $c")
+      (parts(0), kqlTypeToSpark(parts(1)))
+    }
+    var rest = r.substring(close + 1).trim
+    require(rest.startsWith("["),
+      s"externaldata expects [\"uri\", ...] after the schema: $text")
+    // find the matching ']' (quote-aware: a uri may contain ']')
+    var i = 1; var quote: Char = 0; var end = -1
+    while (i < rest.length && end < 0) {
+      val c = rest.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == ']') end = i
+      i += 1
+    }
+    require(end > 0, s"externaldata: unterminated uri list: $text")
+    val uris = splitTopLevel(rest.substring(1, end), ',').map(_.trim)
+      .filter(_.nonEmpty).map { raw =>
+        require(raw.length >= 2 && (raw.head == '"' || raw.head == '\'') &&
+            raw.last == raw.head,
+          s"externaldata uri must be a quoted string: $raw")
+        require(!raw.startsWith("h@") && !raw.startsWith("h'") && !raw.startsWith("h\""),
+          s"externaldata obfuscated credential uris are not supported here: $raw")
+        val u = raw.substring(1, raw.length - 1)
+        require(u.startsWith("/") || u.startsWith("file:"),
+          s"externaldata supports local file paths / file: uris in this build: $u")
+        u
+      }
+    require(uris.nonEmpty, "externaldata needs at least one uri")
+    rest = rest.substring(end + 1).trim
+    var format = "csv"
+    var header = false
+    if (rest.nonEmpty) {
+      require(rest.toLowerCase.startsWith("with"),
+        s"externaldata: unexpected trailing text: $rest")
+      val w = rest.substring(4).trim
+      require(w.startsWith("(") && w.endsWith(")"),
+        s"externaldata with expects (...): $rest")
+      splitTopLevel(w.substring(1, w.length - 1), ',').map(_.trim)
+        .filter(_.nonEmpty).foreach { opt =>
+          val kv = opt.split("=", 2).map(_.trim)
+          require(kv.length == 2, s"externaldata option must be k=v: $opt")
+          val v = kv(1).stripPrefix("\"").stripSuffix("\"")
+            .stripPrefix("'").stripSuffix("'")
+          kv(0).toLowerCase match {
+            case "format" => format = v.toLowerCase
+            case "ignorefirstrecord" => header = v.equalsIgnoreCase("true")
+            case other => throw new IllegalArgumentException(
+              s"externaldata option not supported: $other (format, ignoreFirstRecord)")
+          }
+        }
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
+    val delimited = Map("csv" -> ",", "tsv" -> "\t", "ssv" -> ";",
+      "scsv" -> ";", "psv" -> "|")
+    format match {
+      case f if delimited.contains(f) =>
+        spark.read.schema(schema)
+          .option("header", header.toString).option("sep", delimited(f))
+          .csv(uris: _*)
+      case "txt" =>
+        require(cols.length == 1 && cols.head._2.equalsIgnoreCase("STRING"),
+          "externaldata txt format needs exactly one string column")
+        spark.read.schema(schema).text(uris: _*)
+      case "json" | "multijson" =>
+        spark.read.schema(schema)
+          .option("multiLine", (format == "multijson").toString)
+          .json(uris: _*)
+      case other => throw new IllegalArgumentException(
+        s"externaldata format not supported: $other " +
+        "(csv, tsv, ssv, scsv, psv, txt, json, multijson)")
+    }
   }
 
   /** True when the operand text starts with a `kind=` OPTION — requires

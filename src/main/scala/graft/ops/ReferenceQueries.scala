@@ -101,6 +101,44 @@ object ReferenceQueries {
       || mv-expand v = s.vals to typeof(long)
       || summarize n = count(), total = sum(v) by city""".stripMargin
 
+  /** `mv-expand a, b` multi-column LOCKSTEP (r11 verdict item 3): ADX
+    * zips parallel arrays row-wise — max-length expansion, shorter
+    * arrays null-fill — it is NOT a cross product. The arrays here are
+    * deliberately ragged (ys is 1 or 3 elements against xs's 2) so the
+    * null-fill convention is what the oracle actually checks, and
+    * with_itemindex pins the lockstep position. All-integer arithmetic,
+    * integer aggregates — no float surface. */
+  val kqlMvExpandMultiText: String =
+    """Orders
+      || extend xs = array(orderid, orderid + 1),
+      |         ys = iff(orderid % 2 == 0, array(orderid * 10),
+      |                  array(orderid * 10, orderid * 20, orderid * 30))
+      || mv-expand with_itemindex=ix x = xs to typeof(long), y = ys
+      || summarize n = count(), nx = countif(isnotnull(x)),
+      |            ny = countif(isnotnull(y)), sx = sum(x), sy = sum(y),
+      |            six = sum(ix) by city""".stripMargin
+
+  /** `externaldata` (r11 verdict item 4): ADX's ad-hoc external file
+    * scan with a DECLARED schema, desugared to a schema'd Spark file
+    * source. The dim csv is written fresh from a constant each run
+    * (deterministic; the oracle inlines the same constant as VALUES),
+    * header skipped via ignoreFirstRecord, one dim row ('Atlantis')
+    * matching no fact row so the inner join is exercised. Unsupported
+    * formats/options reject loudly — KqlSpec pins that. */
+  def kqlExternaldata(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_externaldata_dims.csv")
+    java.nio.file.Files.writeString(p,
+      "city,tier\nNew Delhi,1\nSeattle,2\nNew York,3\nAtlantis,9\n")
+    kqlText(
+      s"""let dims = externaldata(city:string, tier:long)["$p"]
+         |  with (format="csv", ignoreFirstRecord=true);
+         |Orders
+         || summarize total = sum(amount), n = count() by city
+         || join kind=inner (dims) on city
+         || project city, tier, total, n""".stripMargin)(spark, sfDir)
+  }
+
   /** `lookup` through the text front-end: the dimension-enrichment
     * shape (fact table + small dim → broadcast join, right key not
     * duplicated) every ADX dashboard uses to attach rollup attributes —
@@ -1235,6 +1273,8 @@ object ReferenceQueries {
     "kql_bin_histogram" -> kqlText(kqlBinText) _,
     "kql_parse_regex"   -> kqlText(kqlParseRegexText) _,
     "kql_mvexpand"      -> kqlText(kqlMvExpandText) _,
+    "kql_mvexpand_multi" -> kqlText(kqlMvExpandMultiText) _,
+    "kql_externaldata"  -> kqlExternaldata _,
     "ref_avg_by_city"   -> avgSalesByCity _,
     "ref_total_by_city" -> totalSalesByCity _,
     "ref_count_by_city" -> orderCountByCity _,
@@ -2780,6 +2820,35 @@ object ReferenceQueries {
          |SELECT city, CAST(2 * COUNT(*) AS BIGINT) AS n,
          |       CAST(SUM(orderid) + SUM(amount) AS BIGINT) AS total
          |FROM orders_info GROUP BY city""".stripMargin,
+    // the same dim constant the query writes to csv, inlined as VALUES
+    "kql_externaldata" ->
+      s"""${Sql.ordersInfoCte},
+         |dims(city, tier) AS (VALUES
+         |  ('New Delhi', 1), ('Seattle', 2), ('New York', 3), ('Atlantis', 9)),
+         |a AS (
+         |  SELECT city, CAST(SUM(amount) AS BIGINT) AS total,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM orders_info GROUP BY city)
+         |SELECT a.city, CAST(tier AS BIGINT) AS tier, total, n
+         |FROM a JOIN dims USING (city)""".stripMargin,
+    // lockstep zip mirrored via an index range over the max length:
+    // arr[i] out of range is NULL in DuckDB, exactly the null-fill.
+    "kql_mvexpand_multi" ->
+      s"""${Sql.ordersInfoCte},
+         |r AS (
+         |  SELECT city,
+         |    [orderid, orderid + 1] AS xs,
+         |    CASE WHEN orderid % 2 = 0 THEN [orderid * 10]
+         |         ELSE [orderid * 10, orderid * 20, orderid * 30] END AS ys
+         |  FROM orders_info),
+         |z AS (
+         |  SELECT city, i AS ix, xs[i + 1] AS x, ys[i + 1] AS y
+         |  FROM r, LATERAL (SELECT unnest(range(0, greatest(len(xs), len(ys)))) AS i))
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(x) AS BIGINT) AS nx, CAST(COUNT(y) AS BIGINT) AS ny,
+         |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |  CAST(SUM(ix) AS BIGINT) AS six
+         |FROM z GROUP BY city""".stripMargin,
     "ref_avg_by_city" ->
       s"""${Sql.ordersInfoCte}
          |SELECT city, AVG(amount) AS avg_sales FROM orders_info GROUP BY city""".stripMargin,

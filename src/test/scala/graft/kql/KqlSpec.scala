@@ -242,6 +242,67 @@ class KqlSpec extends SparkSpec {
       Seq(Some(1L), Some(2L), None))
   }
 
+  test("parser: mv-expand a, b expands in LOCKSTEP with null-fill (not a cross product)") {
+    // ragged lengths: null-fill to the max; a NULL array behaves as
+    // empty (nulls on every emitted row) but does NOT drop the row
+    // when a sibling array still has elements; all-empty rows vanish.
+    val reg = Map("T" -> Seq(
+      ("r1", Seq(1, 2), Seq(10, 20, 30)),   // ys longer: x null-fills
+      ("r2", null, Seq(7)),                 // null xs: x null, row kept
+      ("r3", Seq.empty[Int], Seq.empty[Int]) // all empty: row drops
+    ).toDF("k", "xs", "ys"))
+    val out = KqlParser.run(
+      "T | mv-expand with_itemindex=ix x = xs, y = ys", reg)
+    val rows = out.select("k", "ix", "x", "y").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        Option(r.get(2)), Option(r.get(3)))).sortBy(t => (t._1, t._2)).toSeq
+    assert(rows == Seq(
+      ("r1", 0, Some(1), Some(10)),
+      ("r1", 1, Some(2), Some(20)),
+      ("r1", 2, None, Some(30)),
+      ("r2", 0, None, Some(7))))
+    // 4 rows total: lockstep, NOT the 2*3 + 1 a cross product would emit
+    assert(out.count() == 4)
+    // duplicate target names rejected loudly
+    intercept[IllegalArgumentException] {
+      KqlParser.run("T | mv-expand x = xs, x = ys", reg)
+    }
+  }
+
+  test("parser: externaldata reads declared-schema files; unsupported formats reject loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("kql-ext")
+    val csv = dir.resolve("d.csv")
+    java.nio.file.Files.writeString(csv, "name,n\na,1\nb,2\n")
+    val tsv = dir.resolve("d.tsv")
+    java.nio.file.Files.writeString(tsv, "a\t10\nb\t20\n")
+    val out = KqlParser.run(
+      s"""externaldata(name:string, n:long)["$csv"]
+         |  with (format="csv", ignoreFirstRecord=true)
+         || where n >= 2""".stripMargin, Map.empty)
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("b", 2L)))
+    // tsv, no header, and usable as a tabular let + join operand
+    val joined = KqlParser.run(
+      s"""let dim = externaldata(name:string, v:long)["$tsv"] with (format="tsv");
+         |datatable(name:string, k:long)["a", 7, "b", 8]
+         || join kind=inner (dim) on name | project name, k, v""".stripMargin,
+      Map.empty)
+    assert(joined.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq == Seq(("a", 7L, 10L), ("b", 8L, 20L)))
+    // declared schema, never inferred: a bad cell nulls (csv permissive mode)
+    intercept[IllegalArgumentException] {
+      KqlParser.run(s"""externaldata(name:string)["$csv"] with (format="parquet")""",
+        Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      KqlParser.run(s"""externaldata(name:string)["$csv"] with (compression="gz")""",
+        Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      KqlParser.run("""externaldata(name:string)[h@"https://x/blob;sas"]""", Map.empty)
+    }
+  }
+
   test("parser: mv-expand aliased struct-path expression") {
     val reg = Map("T" -> Seq(("a", Seq(1, 2)), ("b", Seq(3)))
       .toDF("k", "xs").selectExpr("k", "named_struct('vals', xs) as s"))
