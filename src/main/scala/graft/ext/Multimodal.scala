@@ -242,9 +242,20 @@ object Multimodal {
     * single shuffle of 8 narrow rows per image; a hot banner band is
     * AQE's skew-join case. */
   def imageNearDupsOn(media: DataFrame, decoder: MediaDecoder = StubDecoder,
-                      maxHamming: Int = 10): DataFrame = {
+                      maxHamming: Int = 10): DataFrame =
+    bandedHammingPairs(imageFingerprintsOn(media, decoder), maxHamming)
+
+  /** The band-LSH + hamming-verify pair phase over ANY
+    * (media_id, b0..b7) 16-bit-band fingerprint relation — shared by
+    * the image, video-frame, and audio dedup tiers (the r12 audio
+    * fingerprints complete the triangle). The fingerprint relation is
+    * materialized ONCE via localCheckpoint before the pair phase (the
+    * decode subtree must not re-run per join branch — the
+    * fingerprints-are-a-written-sidecar shape at 100 TB). */
+  private[ext] def bandedHammingPairs(fp0: DataFrame,
+                                      maxHamming: Int): DataFrame = {
     val bands = (0 until 8).map(i => s"b$i")
-    val fp = imageFingerprintsOn(media, decoder).localCheckpoint()
+    val fp = fp0.localCheckpoint()
     val bl = fp.select(col("media_id"),
       posexplode(array(bands.map(col): _*)).as(Seq("bi", "bv")))
     val cand = bl.toDF("id_a", "bi", "bv")
@@ -262,6 +273,61 @@ object Multimodal {
 
   def imageNearDups(spark: SparkSession, sfDir: String): DataFrame =
     imageNearDupsOn(imageTable(spark, sfDir))
+
+  // ------------------------------------------------------------------
+  // audio near-dup tier (r12): chromaprint-STYLE time-domain
+  // fingerprints through the pcmSamples seam, banded like the image
+  // tier — the third side of the image/video/audio dedup triangle.
+
+  /** The audio sub-corpus. PLANTED dup: every doc_id % 48 == 1 row
+    * (all audio-kind: 1 mod 48 ⇒ 1 mod 3) carries the same
+    * 'graft-jingle' payload — the recurring intro/jingle/ad sting
+    * audio dedup exists to catch. */
+  def audioTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+        when(col("doc_id") % 48 === 1,
+          unhex(concat(md5(lit("graft-jingle")), md5(lit("graft-jinglex")))))
+          .otherwise(unhex(concat(md5(col("text")), md5(concat(col("text"), lit("x"))))))
+          .as("content"))
+
+  private[ext] case class PcmRow(media_id: Long, s: Seq[Int])
+
+  /** Per-audio fingerprint as EIGHT 16-bit bands over the pcm stream
+    * (chromaprint-STYLE, documented deviation: chromaprint hashes
+    * sign-of-change across chroma FILTER outputs; this hashes
+    * sign-of-change across the time-domain samples themselves —
+    * bit m = pcm[m] < pcm[m+8], the energy-rise test at lag 8 — which
+    * keeps the whole derivation integer-exact and oracle-replayable
+    * with no FFT). Identical payloads land at hamming 0; the 16-bit
+    * bands double as LSH bucket keys exactly like
+    * [[imageFingerprintsOn]]. The decode runs through the
+    * [[MediaDecoder.pcmSamples]] seam (batched mapPartitions) — a
+    * real codec slots in unchanged. */
+  def audioFingerprintsOn(media: DataFrame,
+                          decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val input = media.select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])](
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+    val pcm = input.mapPartitions { it =>
+      it.map { case (id, kind, bytes) =>
+        PcmRow(id, decoder.pcmSamples(kind, bytes, 136).toSeq)
+      }
+    }(Encoders.product[PcmRow]).toDF()
+    def band(k: Int) =
+      s"aggregate(sequence(0, 15), 0, (a, j) -> a + IF(" +
+      s"element_at(s, $k * 16 + j + 1) < element_at(s, $k * 16 + j + 9), " +
+      s"cast(pow(2, j) as int), 0))"
+    pcm.select(col("media_id") +:
+      (0 until 8).map(k => expr(band(k)).as(s"b$k")): _*)
+  }
+
+  /** Banded audio near-dup pairs — [[bandedHammingPairs]] over the
+    * audio fingerprints: candidates share a 16-bit band, verified by
+    * exact hamming over all 128 bits. */
+  def audioNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    bandedHammingPairs(audioFingerprintsOn(audioTable(spark, sfDir)), 10)
 
   /** Per-sampled-frame payload table for the VIDEO sub-corpus — the
     * input to frame-level perceptual dedup. Frame indices replicate
@@ -452,6 +518,7 @@ object Multimodal {
     "mm_scene_cuts" -> ((s: SparkSession, d: String) => sceneCuts(s, d)),
     "mm_image_quality" -> imageQuality _,
     "mm_audio_chunks" -> audioChunks _,
+    "mm_audio_dupes" -> audioNearDups _,
   )
 
   /** Shared oracle CTE prefix: [[imageTable]] payload bytes replayed
@@ -491,10 +558,26 @@ object Multimodal {
   private def bandExprList: String =
     ((0 until 4).map(aband) ++ (0 until 4).map(dband)).mkString(",\n  ")
 
-  private def phashPairsCtes(prefix: String): String = {
-    val bandExprs = bandExprList
+  /** The band-LSH candidate + hamming-verify CTE suffix over an `fp`
+    * CTE with (media_id, b0..b7) — the oracle twin of
+    * [[bandedHammingPairs]], shared by the image, frame, and audio
+    * oracles. */
+  private def candPairsSql: String = {
     val anyBand = (0 until 8).map(i => s"x.b$i = y.b$i").mkString(" OR ")
     val hamming = (0 until 8).map(i => s"bit_count(xor(fa.b$i, fb.b$i))").mkString(" + ")
+    s"""cand AS (
+       |  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+       |  FROM fp x JOIN fp y ON x.media_id < y.media_id AND ($anyBand)),
+       |pairs AS (
+       |  SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM (
+       |    SELECT c.id_a, c.id_b, $hamming AS hamming
+       |    FROM cand c JOIN fp fa ON fa.media_id = c.id_a
+       |    JOIN fp fb ON fb.media_id = c.id_b)
+       |  WHERE hamming <= 10)""".stripMargin
+  }
+
+  private def phashPairsCtes(prefix: String): String = {
+    val bandExprs = bandExprList
     s"""$prefix,
        |bl AS (
        |  SELECT media_id, list_transform(range(0, 32), j ->
@@ -513,15 +596,37 @@ object Multimodal {
        |  SELECT media_id,
        |  $bandExprs
        |  FROM ga),
-       |cand AS (
-       |  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
-       |  FROM fp x JOIN fp y ON x.media_id < y.media_id AND ($anyBand)),
-       |pairs AS (
-       |  SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM (
-       |    SELECT c.id_a, c.id_b, $hamming AS hamming
-       |    FROM cand c JOIN fp fa ON fa.media_id = c.id_a
-       |    JOIN fp fb ON fb.media_id = c.id_b)
-       |  WHERE hamming <= 10)""".stripMargin
+       |$candPairsSql""".stripMargin
+  }
+
+  /** The mm_audio_dupes oracle: payload bytes → pcm replay (sample i =
+    * byte (i·31+7) mod 32, the [[MediaDecoder.pcmSamples]] default) →
+    * lag-8 sign bands → the shared pair chain. */
+  private def audioDupesOracle: String = {
+    def band(k: Int) =
+      s"CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
+      s"s[$k * 16 + j + 1] < s[$k * 16 + j + 9] THEN CAST(2 ** j AS INTEGER) ELSE 0 END)) " +
+      s"AS INTEGER) AS b$k"
+    s"""WITH hx AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE WHEN doc_id % 48 = 1 THEN md5('graft-jingle') ELSE md5(text) END AS h1,
+       |    CASE WHEN doc_id % 48 = 1 THEN md5('graft-jinglex') ELSE md5(text || 'x') END AS h2
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |bl AS (
+       |  SELECT media_id, list_transform(range(0, 32), j ->
+       |    CASE WHEN j < 16 THEN CAST(concat('0x', substr(h1, 2 * j + 1, 2)) AS INTEGER)
+       |         ELSE CAST(concat('0x', substr(h2, 2 * (j - 16) + 1, 2)) AS INTEGER) END) AS b
+       |  FROM hx),
+       |pcm AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, 136), i -> b[(i * 31 + 7) % 32 + 1]) AS s
+       |  FROM bl),
+       |fp AS (
+       |  SELECT media_id,
+       |  ${(0 until 8).map(band).mkString(",\n  ")}
+       |  FROM pcm),
+       |$candPairsSql
+       |SELECT id_a, id_b, hamming FROM pairs""".stripMargin
   }
 
   /** The mm_phash_dupes oracle: replay grid → bands → hamming verify. */
@@ -618,6 +723,7 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "mm_phash_dupes" -> phashOracle,
+    "mm_audio_dupes" -> audioDupesOracle,
     "mm_frame_phash_dupes" -> framePhashOracle,
     "mm_scene_cuts" -> sceneCutsOracle,
     // Exact-integer micro-units mirroring imageQualityOn: s and t are

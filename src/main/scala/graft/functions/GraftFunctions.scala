@@ -18,6 +18,9 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (e => DotProduct(e(0), e(1))),
     "graft_topk" -> (e => TopKBy(e(0), e(1), e(2))),
+    "graft_s2_cell" -> (e => S2CellToken(e(0), e(1), e(2))),
+    "graft_s2_center" -> (e => S2CellCenter(e(0))),
+    "graft_s2_neighbors" -> (e => S2CellNeighbors(e(0))),
   )
 
   def register(spark: SparkSession): Unit =

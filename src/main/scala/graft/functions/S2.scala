@@ -1,0 +1,272 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S2-style cube-face cell system (public S2 geometry definitions —
+  * s2geometry.io: the six-face unit-cube projection, the canonical
+  * face→(u,v) axes, and the quadratic ST transform that equalizes cell
+  * size across a face). The spatial-join cell backbone's SECOND cell
+  * system next to geohash: same integer-exact quantize→cell-key→
+  * equi-join shape, but with near-uniform cell metric size (geohash
+  * cells stretch toward the poles; S2 faces don't).
+  *
+  * Documented deviations from Google's reference cells (kept because
+  * the cell key only needs to be a deterministic, locality-preserving
+  * bijection — and these keep the math oracle-expressible):
+  *  - intra-face ordering is MORTON (Z-order, i high bit of each
+  *    pair), not the Hilbert curve: adjacency-preservation per level
+  *    is identical for the 3×3 neighborhood use (neighbors are
+  *    computed in (i, j) space, never by id arithmetic);
+  *  - the token is the lowercase hex of
+  *    `1 << (2·level+3) | face << (2·level) | pos` — the leading
+  *    1-bit makes the level self-describing from the bit length
+  *    (Google's token is the 64-bit id with a trailing lsb marker);
+  *  - neighbors stay on the SAME face: an (i, j) step off the face
+  *    edge is dropped rather than wrapped onto the adjacent face (a
+  *    cell-join deployment keeps its geometry ≥ one cell span inside
+  *    a face, which the oracle's independent distance formulation
+  *    verifies on the data — same contract as kql_geo_join's
+  *    latitude-band argument).
+  *
+  * Float contract: one trig chain (cos/sin of lon/lat, the ratios
+  * u, v) feeds ONE IEEE-exact sqrt and ONE floor quantization per
+  * axis. The floor is the only engine-visible boundary; as with the
+  * haversine tier, a last-ulp libm difference flips a cell only if
+  * the true value sits within an ulp of a 2^level grid line —
+  * measure-zero, and the oracle compare verifies the actual corpus.
+  * Everything after the quantize is pure integer arithmetic.
+  */
+object S2 {
+
+  val MaxLevel = 28 // 2·28+4 = 60 bits: the token value stays a positive Long
+
+  /** st ∈ [0,1] from u ∈ [-1,1] — the S2 quadratic transform. */
+  def stFromUV(u: Double): Double =
+    if (u >= 0) 0.5 * math.sqrt(1.0 + 3.0 * u)
+    else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * u)
+
+  /** Inverse of [[stFromUV]]. */
+  def uvFromST(s: Double): Double =
+    if (s >= 0.5) (4.0 * s * s - 1.0) / 3.0
+    else (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0
+
+  private def ijFromST(s: Double, level: Int): Long = {
+    val n = 1L << level
+    math.min(n - 1, math.max(0L, math.floor(s * n).toLong))
+  }
+
+  /** Morton position: i supplies the HIGH bit of each 2-bit pair. */
+  def morton(i: Long, j: Long, level: Int): Long = {
+    var pos = 0L
+    var k = level - 1
+    while (k >= 0) {
+      pos = (pos << 2) | (((i >> k) & 1L) << 1) | ((j >> k) & 1L)
+      k -= 1
+    }
+    pos
+  }
+
+  def cellValue(face: Int, i: Long, j: Long, level: Int): Long =
+    (1L << (2 * level + 3)) | (face.toLong << (2 * level)) | morton(i, j, level)
+
+  /** (face, u, v) of a lon/lat point — canonical S2 face axes. Tie
+    * order on equal |components|: x, then y, then z. */
+  def faceUV(lonDeg: Double, latDeg: Double): (Int, Double, Double) = {
+    val lon = math.toRadians(lonDeg)
+    val lat = math.toRadians(latDeg)
+    val x = math.cos(lat) * math.cos(lon)
+    val y = math.cos(lat) * math.sin(lon)
+    val z = math.sin(lat)
+    if (math.abs(x) >= math.abs(y) && math.abs(x) >= math.abs(z)) {
+      if (x >= 0) (0, y / x, z / x) else (3, z / x, y / x)
+    } else if (math.abs(y) >= math.abs(z)) {
+      if (y >= 0) (1, -x / y, z / y) else (4, z / y, -x / y)
+    } else {
+      if (z >= 0) (2, -x / z, -y / z) else (5, -y / z, -x / z)
+    }
+  }
+
+  /** Token of the level-`level` cell containing (lon, lat); null for
+    * invalid coordinates or an out-of-range level. */
+  def cellToken(lonDeg: Double, latDeg: Double, level: Int): UTF8String = {
+    if (math.abs(lonDeg) > 180.0 || math.abs(latDeg) > 90.0 ||
+        level < 0 || level > MaxLevel) return null
+    val (face, u, v) = faceUV(lonDeg, latDeg)
+    val i = ijFromST(stFromUV(u), level)
+    val j = ijFromST(stFromUV(v), level)
+    UTF8String.fromString(java.lang.Long.toHexString(cellValue(face, i, j, level)))
+  }
+
+  /** (face, i, j, level) from a token; null on malformed input (bad
+    * hex, odd bit-length, face ≥ 6). */
+  def decode(token: UTF8String): Array[Long] = {
+    if (token == null) return null
+    val s = token.toString
+    if (s.isEmpty || s.length > 15 || !s.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))) return null
+    val v = java.lang.Long.parseLong(s, 16)
+    if (v <= 0) return null
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(v)
+    if (bits < 4 || (bits - 4) % 2 != 0) return null
+    val level = (bits - 4) / 2
+    if (level > MaxLevel) return null
+    val face = (v >> (2 * level)) & 7L
+    if (face >= 6) return null
+    val pos = v & ((1L << (2 * level)) - 1)
+    var i = 0L; var j = 0L
+    var k = 0
+    while (k < level) {
+      i |= ((pos >> (2 * k + 1)) & 1L) << k
+      j |= ((pos >> (2 * k)) & 1L) << k
+      k += 1
+    }
+    Array(face, i, j, level.toLong)
+  }
+
+  /** Cell-center (lon°, lat°) — canonical face→xyz frames inverted
+    * with atan2 (same float class as the haversine tier). */
+  def centerLonLat(face: Long, i: Long, j: Long, level: Long): Array[Double] = {
+    val n = (1L << level).toDouble
+    val u = uvFromST((i + 0.5) / n)
+    val v = uvFromST((j + 0.5) / n)
+    val (x, y, z) = face match {
+      case 0 => (1.0, u, v)
+      case 1 => (-u, 1.0, v)
+      case 2 => (-u, -v, 1.0)
+      case 3 => (-1.0, -v, -u)
+      case 4 => (v, -1.0, -u)
+      case _ => (v, u, -1.0)
+    }
+    Array(math.toDegrees(math.atan2(y, x)),
+      math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y))))
+  }
+
+  def centerOf(token: UTF8String): ArrayData = {
+    val d = decode(token)
+    if (d == null) return null
+    new GenericArrayData(centerLonLat(d(0), d(1), d(2), d(3))
+      .map(_.asInstanceOf[Any]))
+  }
+
+  /** Same-face 8-neighborhood tokens, dj slow (S→N) then di fast
+    * (W→E in face coordinates) — mirrors the geohash neighbor order;
+    * off-face steps drop. Null on malformed input. */
+  def neighborsOf(token: UTF8String): ArrayData = {
+    val d = decode(token)
+    if (d == null) return null
+    val (face, i, j, level) = (d(0), d(1), d(2), d(3).toInt)
+    val n = 1L << level
+    val out = new java.util.ArrayList[Any](8)
+    var dj = -1
+    while (dj <= 1) {
+      var di = -1
+      while (di <= 1) {
+        if (!(di == 0 && dj == 0)) {
+          val i2 = i + di
+          val j2 = j + dj
+          if (i2 >= 0 && i2 < n && j2 >= 0 && j2 < n)
+            out.add(UTF8String.fromString(
+              java.lang.Long.toHexString(cellValue(face.toInt, i2, j2, level))))
+        }
+        di += 1
+      }
+      dj += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_s2_cell(lon, lat, level)` → hex token of the containing
+  * S2-style cell (see [[S2]] for semantics and deviations). One trig
+  * chain + integer arithmetic per row, fully inside whole-stage
+  * codegen — the SQL-text route would repeat the face/uv CASE tree
+  * O(level) times in the Morton unroll (the geohash encoder's unroll
+  * stays small only because its quantize is linear). */
+case class S2CellToken(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == DoubleType && second.dataType == DoubleType &&
+      third.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_s2_cell expects (double, double, int), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_s2_cell"
+
+  override def nullSafeEval(lon: Any, lat: Any, lvl: Any): Any =
+    S2.cellToken(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      lvl.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, lvl) => {
+      s"""
+         |${ev.value} = graft.functions.S2.cellToken($lon, $lat, $lvl);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** `graft_s2_center(token)` → [lon°, lat°] of the cell center. */
+case class S2CellCenter(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_s2_center expects (string), got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_s2_center"
+
+  override def nullSafeEval(tok: Any): Any =
+    S2.centerOf(tok.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, tok => {
+      s"""
+         |${ev.value} = graft.functions.S2.centerOf($tok);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `graft_s2_neighbors(token)` → same-face 8-neighborhood tokens. */
+case class S2CellNeighbors(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_s2_neighbors expects (string), got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_s2_neighbors"
+
+  override def nullSafeEval(tok: Any): Any =
+    S2.neighborsOf(tok.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, tok => {
+      s"""
+         |${ev.value} = graft.functions.S2.neighborsOf($tok);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -4035,6 +4035,8 @@ object KqlParser {
               "geo_point_to_geohash", "geo_geohash_to_central_point",
               "geo_geohash_neighbors", "geo_point_in_polygon",
               "geo_polygon_area",
+              "geo_point_to_s2cell", "geo_s2cell_to_central_point",
+              "geo_s2cell_neighbors",
               "dcount_intersect",
               "bag_keys", "bag_has_key", "bag_merge",
               "format_bytes",
@@ -4793,6 +4795,49 @@ object KqlParser {
                 val d = geoDistanceSql(args(0), args(1), args(2), args(3))
                 out.append(s"(CASE WHEN (${args(4)}) < 0 THEN CAST(NULL AS BOOLEAN) " +
                   s"ELSE $d <= (${args(4)}) END)")
+              case "geo_point_to_s2cell" =>
+                // ADX geo_point_to_s2cell(lon, lat[, level]) → the
+                // S2 cell TOKEN (level 0..28, ADX default 11) — the
+                // second cell system over the same integer-exact
+                // cell-join backbone as geohash. Native codegen
+                // Expression ([[graft.functions.S2]]): the SQL-text
+                // route would repeat the face/uv CASE tree per Morton
+                // bit; deviations (Morton order, compact token,
+                // same-face neighbors) documented there.
+                require(args.length == 2 || args.length == 3,
+                  "geo_point_to_s2cell expects (lon, lat[, level])")
+                val lvl = args.lift(2).map { a =>
+                  val v = scala.util.Try(a.trim.toInt).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"geo_point_to_s2cell level must be an integer literal 0..${graft.functions.S2.MaxLevel}: $a"))
+                  require(v >= 0 && v <= graft.functions.S2.MaxLevel,
+                    s"geo_point_to_s2cell level must be in 0..${graft.functions.S2.MaxLevel}: $a")
+                  v
+                }.getOrElse(11)
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_s2_cell(CAST((${args(0)}) AS DOUBLE), " +
+                  s"CAST((${args(1)}) AS DOUBLE), $lvl)")
+              case "geo_s2cell_to_central_point" =>
+                // GeoJSON Point of the cell center (the
+                // geo_geohash_to_central_point shape); malformed
+                // tokens → null, ADX's convention.
+                require(args.length == 1,
+                  "geo_s2cell_to_central_point expects (token)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"element_at(transform(array(graft_s2_center(${args(0)})), " +
+                  "s2c -> CASE WHEN s2c IS NULL THEN NULL ELSE " +
+                  "named_struct('type', 'Point', 'coordinates', s2c) END), 1)")
+              case "geo_s2cell_neighbors" =>
+                // Same-face 8-neighborhood (off-face steps drop —
+                // documented deviation; order mirrors
+                // geo_geohash_neighbors: W→E within S→N).
+                require(args.length == 1,
+                  "geo_s2cell_neighbors expects (token)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_s2_neighbors(${args(0)})")
               case "geo_point_to_geohash" =>
                 // ADX geo_point_to_geohash(lon, lat[, accuracy]) →
                 // base32 geohash string (accuracy 1..12 characters,

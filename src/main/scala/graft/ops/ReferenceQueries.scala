@@ -590,6 +590,71 @@ object ReferenceQueries {
       || project name, gh, gh1, d_osl_m, near_cph
       || sort by name asc""".stripMargin
 
+  /** r12 S2 cell tier (r11 verdict item 5): `geo_point_to_s2cell` /
+    * `geo_s2cell_to_central_point` / `geo_s2cell_neighbors` — the
+    * second cell system over the same integer-exact cell-join
+    * backbone as geohash (deviations documented at
+    * [[graft.functions.S2]]: Morton intra-face order, compact
+    * self-describing hex token, same-face neighbors). The vector set
+    * hits all six faces plus an invalid point; center coordinates
+    * floor to micro-degrees; the DuckDB oracle re-derives the whole
+    * face→uv→st→quantize→Morton chain step by step in CTE columns. */
+  val kqlGeoS2Text: String =
+    """let P = datatable(name:string, lon:real, lat:real)[
+      |  'gw', 0.0, 0.0,
+      |  'paris', 2.35, 48.86,
+      |  'e90', 90.0, 10.0,
+      |  'npole', 20.0, 80.0,
+      |  'w179', 179.5, -5.0,
+      |  'wneg', -90.0, -10.0,
+      |  'spole', 100.0, -80.0,
+      |  'syd', 151.21, -33.87,
+      |  'bad', 200.0, 10.0
+      |];
+      |P
+      || extend c7 = geo_point_to_s2cell(lon, lat, 7),
+      |         c11 = geo_point_to_s2cell(lon, lat)
+      || extend ctr = geo_s2cell_to_central_point(c7)
+      || extend clon = tolong(floor(ctr.coordinates[0] * 1000000.0, 1)),
+      |         clat = tolong(floor(ctr.coordinates[1] * 1000000.0, 1)),
+      |         nnb = tolong(array_length(geo_s2cell_neighbors(c7)))
+      || project name, c7, c11, clon, clat, nnb
+      || sort by name asc""".stripMargin
+
+  /** r12 S2 CELL JOIN — the same bounded-fan-out spatial-join shape as
+    * [[kqlGeoJoinText]] but keyed on S2 cells: points carry their
+    * level-7 cell, sites fan out to cell ∪ same-face neighbors, and
+    * the exact circle test verifies candidates. Coverage: level-7
+    * cells span ≈0.7° of arc in each face direction (the quadratic ST
+    * transform equalizes them; min metric span over this window
+    * ≈55 km) ≥ R = 40 km, and the data window (lon ∈ [−30, 30),
+    * lat ∈ [5, 33)) keeps every point ≥ 7° inside face 0, so
+    * same-face neighbors suffice. The oracle is the INDEPENDENT
+    * cross-join + haversine formulation — zero S2 arithmetic — so a
+    * missed within-R pair fails the compare. */
+  val kqlGeoS2JoinText: String =
+    """let Sites = datatable(site:string, slon:real, slat:real)[
+      |  'dak', -17.45, 14.69,
+      |  'abj', -4.02, 5.35,
+      |  'cai', 30.0, 30.0,
+      |  'rjd', 21.5, 24.0,
+      |  'nia', 2.1, 13.5
+      |];
+      |Orders
+      || extend lon = todouble(orderid % 6000) / 100.0 - 30.0, lat = 5.0 + todouble(custid % 1400) / 50.0
+      || extend cell = geo_point_to_s2cell(lon, lat, 7)
+      || join kind=inner (
+      |    Sites
+      |    | extend cells = array_concat(pack_array(geo_point_to_s2cell(slon, slat, 7)),
+      |        geo_s2cell_neighbors(geo_point_to_s2cell(slon, slat, 7)))
+      |    | mv-expand cell = cells to typeof(string)
+      |  ) on cell
+      || where geo_point_in_circle(lon, lat, slon, slat, 40000.0)
+      || summarize n = count(),
+      |    d_min_m = min(tolong(floor(geo_distance_2points(lon, lat, slon, slat), 1))),
+      |    d_max_m = max(tolong(floor(geo_distance_2points(lon, lat, slon, slat), 1))) by site
+      || sort by site asc""".stripMargin
+
   /** r11 `series_fit_2lines[_dynamic]` — the segmented-regression
     * sibling of series_fit_line: best single breakpoint by total RSS
     * over the zero-filled daily count series, each side fit on its
@@ -1198,6 +1263,8 @@ object ReferenceQueries {
     "kql_bag_ops" -> kqlText(kqlBagOpsText) _,
     "kql_basket" -> kqlText(kqlBasketText) _,
     "kql_geo" -> kqlText(kqlGeoText) _,
+    "kql_geo_s2" -> kqlText(kqlGeoS2Text) _,
+    "kql_geo_s2_join" -> kqlText(kqlGeoS2JoinText) _,
     "kql_geo_join" -> kqlText(kqlGeoJoinText) _,
     "kql_geo_polygon" -> kqlText(kqlGeoPolygonText) _,
     "kql_geo_area" -> kqlText(kqlGeoAreaText) _,
@@ -1805,6 +1872,107 @@ object ReferenceQueries {
          |  CAST(floor(MIN(dist)) AS BIGINT) AS d_min_m,
          |  CAST(floor(MAX(dist)) AS BIGINT) AS d_max_m
          |FROM d WHERE dist <= 75000.0
+         |GROUP BY site ORDER BY site ASC""".stripMargin,
+    // full face→uv→st→quantize→Morton re-derivation in CTE columns:
+    // each step is one column so no expression repeats; the same
+    // single-rounded chain as graft.functions.S2, op for op.
+    "kql_geo_s2" ->
+      """WITH p AS (
+        |  SELECT * FROM (VALUES
+        |    ('gw', 0.0, 0.0), ('paris', 2.35, 48.86), ('e90', 90.0, 10.0),
+        |    ('npole', 20.0, 80.0), ('w179', 179.5, -5.0), ('wneg', -90.0, -10.0),
+        |    ('spole', 100.0, -80.0), ('syd', 151.21, -33.87), ('bad', 200.0, 10.0))
+        |    AS t(name, lon0, lat0)),
+        |pc AS (
+        |  SELECT name, CAST(lon0 AS DOUBLE) AS lon, CAST(lat0 AS DOUBLE) AS lat,
+        |    abs(lon0) <= 180.0 AND abs(lat0) <= 90.0 AS ok FROM p),
+        |xyz AS (
+        |  SELECT *, cos(radians(lat)) * cos(radians(lon)) AS x,
+        |    cos(radians(lat)) * sin(radians(lon)) AS y, sin(radians(lat)) AS z
+        |  FROM pc),
+        |fuv AS (
+        |  SELECT *, CASE
+        |      WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+        |      WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+        |      ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face,
+        |    CASE
+        |      WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN CASE WHEN x >= 0 THEN y / x ELSE z / x END
+        |      WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN -x / y ELSE z / y END
+        |      ELSE CASE WHEN z >= 0 THEN -x / z ELSE -y / z END END AS u,
+        |    CASE
+        |      WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN CASE WHEN x >= 0 THEN z / x ELSE y / x END
+        |      WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN z / y ELSE -x / y END
+        |      ELSE CASE WHEN z >= 0 THEN -y / z ELSE -x / z END END AS v
+        |  FROM xyz),
+        |st AS (
+        |  SELECT *,
+        |    CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u) ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+        |    CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v) ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t
+        |  FROM fuv),
+        |ij AS (
+        |  SELECT *,
+        |    least(127, greatest(0, CAST(floor(s * 128) AS BIGINT))) AS i7,
+        |    least(127, greatest(0, CAST(floor(t * 128) AS BIGINT))) AS j7,
+        |    least(2047, greatest(0, CAST(floor(s * 2048) AS BIGINT))) AS i11,
+        |    least(2047, greatest(0, CAST(floor(t * 2048) AS BIGINT))) AS j11
+        |  FROM st),
+        |ps AS (
+        |  SELECT *,
+        |    list_sum(list_transform(range(0, 7), k ->
+        |      ((i7 >> CAST(k AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2 * k + 1 AS INT))
+        |      + ((j7 >> CAST(k AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2 * k AS INT)))) AS pos7,
+        |    list_sum(list_transform(range(0, 11), k ->
+        |      ((i11 >> CAST(k AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2 * k + 1 AS INT))
+        |      + ((j11 >> CAST(k AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(2 * k AS INT)))) AS pos11
+        |  FROM ij),
+        |ctr AS (
+        |  SELECT *, (i7 + 0.5) / 128.0 AS sc, (j7 + 0.5) / 128.0 AS tc FROM ps),
+        |cuv AS (
+        |  SELECT *,
+        |    CASE WHEN sc >= 0.5 THEN (4.0 * sc * sc - 1.0) / 3.0 ELSE (1.0 - 4.0 * (1.0 - sc) * (1.0 - sc)) / 3.0 END AS cu,
+        |    CASE WHEN tc >= 0.5 THEN (4.0 * tc * tc - 1.0) / 3.0 ELSE (1.0 - 4.0 * (1.0 - tc) * (1.0 - tc)) / 3.0 END AS cv
+        |  FROM ctr),
+        |cxyz AS (
+        |  SELECT *,
+        |    CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -cu WHEN 2 THEN -cu WHEN 3 THEN -1.0 WHEN 4 THEN cv ELSE cv END AS cx,
+        |    CASE face WHEN 0 THEN cu WHEN 1 THEN 1.0 WHEN 2 THEN -cv WHEN 3 THEN -cv WHEN 4 THEN -1.0 ELSE cu END AS cy,
+        |    CASE face WHEN 0 THEN cv WHEN 1 THEN cv WHEN 2 THEN 1.0 WHEN 3 THEN -cu WHEN 4 THEN -cu ELSE -1.0 END AS cz
+        |  FROM cuv)
+        |SELECT name,
+        |  CASE WHEN ok THEN lower(to_hex((CAST(1 AS BIGINT) << 17) + face * (CAST(1 AS BIGINT) << 14) + pos7)) END AS c7,
+        |  CASE WHEN ok THEN lower(to_hex((CAST(1 AS BIGINT) << 25) + face * (CAST(1 AS BIGINT) << 22) + pos11)) END AS c11,
+        |  CASE WHEN ok THEN CAST(floor(degrees(atan2(cy, cx)) * 1000000.0) AS BIGINT) END AS clon,
+        |  CASE WHEN ok THEN CAST(floor(degrees(atan2(cz, sqrt(cx * cx + cy * cy))) * 1000000.0) AS BIGINT) END AS clat,
+        |  CASE WHEN ok THEN CAST(
+        |    (CASE WHEN i7 > 0 THEN 1 ELSE 0 END + CASE WHEN i7 < 127 THEN 1 ELSE 0 END + 1)
+        |    * (CASE WHEN j7 > 0 THEN 1 ELSE 0 END + CASE WHEN j7 < 127 THEN 1 ELSE 0 END + 1)
+        |    - 1 AS BIGINT) END AS nnb
+        |FROM cxyz""".stripMargin,
+    // independent formulation (cross join + haversine, zero S2
+    // arithmetic): if the same-face neighbor fan-out missed any
+    // within-R pair, the counts would not match.
+    "kql_geo_s2_join" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, CAST(orderid % 6000 AS DOUBLE) / 100.0 - 30.0 AS lon,
+         |    5.0 + CAST(custid % 1400 AS DOUBLE) / 50.0 AS lat
+         |  FROM orders_info),
+         |sites AS (
+         |  SELECT * FROM (VALUES
+         |    ('dak', -17.45, 14.69), ('abj', -4.02, 5.35), ('cai', 30.0, 30.0),
+         |    ('rjd', 21.5, 24.0), ('nia', 2.1, 13.5))
+         |    AS s(site, slon, slat)),
+         |d AS (
+         |  SELECT site,
+         |    2.0 * 6371000.0 * asin(sqrt(least(1.0,
+         |      sin((radians(slat) - radians(lat)) / 2) * sin((radians(slat) - radians(lat)) / 2)
+         |      + cos(radians(lat)) * cos(radians(slat))
+         |        * sin((radians(slon) - radians(lon)) / 2) * sin((radians(slon) - radians(lon)) / 2)))) AS dist
+         |  FROM pts CROSS JOIN sites)
+         |SELECT site, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(floor(MIN(dist)) AS BIGINT) AS d_min_m,
+         |  CAST(floor(MAX(dist)) AS BIGINT) AS d_max_m
+         |FROM d WHERE dist <= 40000.0
          |GROUP BY site ORDER BY site ASC""".stripMargin,
     "kql_geo" ->
       """WITH p AS (

@@ -269,6 +269,41 @@ class ExtSpec extends SparkSpec {
     assert(sp((0L, 1L)) == 0 && !sp.contains((0L, 2L)))
   }
 
+  test("audio near-dup: planted jingles pair at hamming 0; sample jitter stays near") {
+    // stub-decode path over explicit payloads: identical bytes →
+    // identical pcm → hamming 0; one flipped payload byte perturbs the
+    // few lag-8 comparisons that read it (small hamming); an unrelated
+    // payload must not pair at all.
+    // byte 5 (= 196 unsigned) feeds pcm[i] for i ≡ 2 (mod 32); as the
+    // LEFT operand its lag-8 partner is byte 29 (= 80): dropping it to
+    // 50 crosses that threshold and flips exactly the 4 in-range bits
+    // m ∈ {2, 34, 66, 98} — a controlled small-hamming perturbation.
+    val base = Array.tabulate[Byte](32)(i => ((i * 37 + 11) % 251).toByte)
+    val jitter = base.clone(); jitter(5) = 50.toByte
+    val media = Seq(
+      (0L, "audio", base),
+      (1L, "audio", base.clone()),                              // exact dup
+      (2L, "audio", jitter),                                    // 1-byte edit
+      (3L, "audio", Array.tabulate[Byte](32)(i => (i * 101 + 3).toByte)))
+      .toDF("media_id", "kind", "content")
+    val pairs = Multimodal.bandedHammingPairs(
+      Multimodal.audioFingerprintsOn(media), maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0 && pairs((0L, 2L)) <= 10,
+      s"1-byte jitter must land at small positive hamming: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // corpus path: the planted jingle rows pair completely
+    val k = Multimodal.audioTable(spark, sfDir)
+      .filter(col("media_id") % 48 === 1).count()
+    val corpus = Multimodal.audioNearDups(spark, sfDir).collect()
+    assert(corpus.length == k * (k - 1) / 2,
+      s"expected C($k,2) planted pairs, got ${corpus.length}")
+    corpus.foreach { r =>
+      assert(r.getLong(0) % 48 == 1 && r.getLong(1) % 48 == 1 && r.getInt(2) == 0, r.toString)
+    }
+  }
+
   test("frame-level near-dup: videos sharing the planted intro pair; same-video excluded") {
     val frames = Multimodal.videoFrameTable(spark, sfDir)
     // frame keys decompose back to (video, frame)

@@ -144,4 +144,83 @@ class GeoSpec extends SparkSpec {
     assert(nbrs(pole).size == 5, s"pole $pole -> ${nbrs(pole)}")
     assert(one("geo_geohash_neighbors('xx@')").isNullAt(0))
   }
+
+  // ---- S2 cell tier (r12) -------------------------------------------------
+
+  test("s2: face assignment hits all six canonical faces at level 0") {
+    // level 0 token = hex(8 | face): one cell per face, no quantization.
+    // Face layout (s2geometry.io): 0:+x 1:+y 2:+z 3:-x 4:-y 5:-z.
+    assert(one("geo_point_to_s2cell(0.0, 0.0, 0)").getString(0) == "8")
+    assert(one("geo_point_to_s2cell(90.0, 0.0, 0)").getString(0) == "9")
+    assert(one("geo_point_to_s2cell(20.0, 80.0, 0)").getString(0) == "a")
+    assert(one("geo_point_to_s2cell(180.0, 0.0, 0)").getString(0) == "b")
+    assert(one("geo_point_to_s2cell(-90.0, 0.0, 0)").getString(0) == "c")
+    assert(one("geo_point_to_s2cell(0.0, -80.0, 0)").getString(0) == "d")
+    // invalid coordinates -> null (ADX convention)
+    assert(one("geo_point_to_s2cell(200.0, 0.0, 5)").isNullAt(0))
+  }
+
+  test("s2: hand-derived level-1 vector and the parent-child pos relation") {
+    // (0,0): face 0, u=v=0 -> s=t=0.5 exactly (0.5*sqrt(1)), i=j=floor(0.5*2)=1,
+    // pos=morton(1,1)=3, value = 1<<5 | 0<<2 | 3 = 35 = 0x23.
+    assert(one("geo_point_to_s2cell(0.0, 0.0, 1)").getString(0) == "23")
+    // refining one level keeps the same prefix path: pos(L+1) DIV 4 == pos(L)
+    import graft.functions.S2
+    for (lvl <- Seq(3, 7, 10); (lon, lat) <- Seq((2.35, 48.86), (-17.45, 14.69), (151.21, -33.87))) {
+      val d1 = S2.decode(S2.cellToken(lon, lat, lvl))
+      val d2 = S2.decode(S2.cellToken(lon, lat, lvl + 1))
+      assert(d1(0) == d2(0), "face stable across levels")
+      assert(d2(1) >> 1 == d1(1) && d2(2) >> 1 == d1(2),
+        s"(i, j) at level ${lvl + 1} must refine level $lvl")
+    }
+  }
+
+  test("s2: token roundtrips through its center; central point is GeoJSON; malformed -> null") {
+    for ((lon, lat, lvl) <- Seq((2.35, 48.86, 7), (0.0, 0.0, 11), (-170.7, -14.27, 9))) {
+      val tok = one(s"geo_point_to_s2cell($lon, $lat, $lvl)").getString(0)
+      val ctr = one(s"geo_s2cell_to_central_point('$tok')").getStruct(0)
+      assert(ctr.getString(0) == "Point")
+      val coords = ctr.getSeq[Double](1)
+      val back = one(s"geo_point_to_s2cell(${coords(0)}, ${coords(1)}, $lvl)").getString(0)
+      assert(back == tok, s"center of $tok must map back to it, got $back")
+    }
+    assert(one("geo_s2cell_to_central_point('zzz')").isNullAt(0))
+    assert(one("geo_s2cell_neighbors('1')").isNullAt(0))   // bit length 1: no level
+    assert(one("geo_s2cell_neighbors('f')").isNullAt(0))   // face 7 > 5
+  }
+
+  test("s2: neighbors are the same-face 3x3 ring; face corners drop off-face steps") {
+    // interior cell: full 8-ring, all distinct, all same level
+    val tok = one("geo_point_to_s2cell(2.35, 48.86, 7)").getString(0)
+    val nb = one(s"geo_s2cell_neighbors('$tok')").getSeq[String](0)
+    assert(nb.size == 8 && nb.distinct.size == 8 && !nb.contains(tok))
+    import graft.functions.S2
+    val d0 = S2.decode(org.apache.spark.unsafe.types.UTF8String.fromString(tok))
+    nb.foreach { t =>
+      val d = S2.decode(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(d(0) == d0(0) && d(3) == d0(3))
+      assert(math.abs(d(1) - d0(1)) <= 1 && math.abs(d(2) - d0(2)) <= 1)
+    }
+    // face-corner cell (i=j=0 on face 0): only 3 in-face neighbors
+    // survive. The (-1, -1) uv corner of face 0 sits at lon -45,
+    // lat -35.264 (atan2(-1, sqrt(2))) — just inside both.
+    val corner = one("geo_point_to_s2cell(-44.9, -35.2, 7)").getString(0)
+    val cd = S2.decode(org.apache.spark.unsafe.types.UTF8String.fromString(corner))
+    assert(cd(1) == 0 && cd(2) == 0, s"corner cell expected at (0, 0), got $cd")
+    assert(one(s"geo_s2cell_neighbors('$corner')").getSeq[String](0).size == 3)
+  }
+
+  test("s2: codegen and interpreted eval agree") {
+    import graft.functions.S2
+    import org.apache.spark.unsafe.types.UTF8String
+    // the SQL path runs through whole-stage codegen; compare against
+    // direct static calls (the interpreted eval delegates to the same
+    // statics, so this pins the generated-code plumbing)
+    val rows = Seq((10.75, 59.91), (-21.94, 64.15), (151.21, -33.87), (178.44, -18.14))
+    val viaSql = rows.toDF("lon", "lat")
+      .selectExpr("graft_s2_cell(lon, lat, 9) AS c")
+      .collect().map(_.getString(0)).toSeq
+    val direct = rows.map { case (lon, lat) => S2.cellToken(lon, lat, 9).toString }
+    assert(viaSql == direct)
+  }
 }
