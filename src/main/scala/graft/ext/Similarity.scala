@@ -141,6 +141,50 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rk").cast("int").as("rk"))
   }
 
+  /** [[ivfTopK]] served from the WRITE-TIME partitioned layout (r12 —
+    * the layout `BucketingSpec` proves, now carried by a registered
+    * query): the assigned corpus is written ONCE under
+    * `partitionBy(cent_id)` (Memo-backed, corpus-fingerprinted), and
+    * the probe join reaches it through Spark's DYNAMIC PARTITION
+    * PRUNING — the broadcast probe side's nprobe cent_ids prune the
+    * scan to those directories, so serving cost scales with nprobe ·
+    * list size, not corpus size. Same codebook, probes, rounding and
+    * tie-breaks as [[ivfTopK]]; the oracle is reused verbatim.
+    * BucketedServeSpec pins the DPP subquery on the physical plan. */
+  def ivfTopKPartitioned(spark: SparkSession, sfDir: String, nprobe: Int = 2,
+                         k: Int = 3): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = broadcast(trainedCentroids(spark, sfDir, 16))
+    val scored = e.join(cents)
+      .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    val served = graft.Memo.cached(spark, sfDir, "ivf_assign_partitioned") {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      val dir = wh + "/graft_ivf_assign_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      scored.withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+          col("norm").as("cn2"), col("cent_id").cast("int").as("cent_id"))
+        .write.partitionBy("cent_id").mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val probes = scored.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id").cast("int").as("cent_id"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)
+    broadcast(probes).join(served, "cent_id")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(expr("graft_dot(qv, cv2)") / (col("qn") * col("cn2")), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rk").cast("int").as("rk"))
+  }
+
   /** One IVF/k-means training iteration — the job that BUILDS the
     * codebook [[ivfTopK]] consumes: assign every vector to its nearest
     * of `k` seed centroids (broadcast codebook, map-side pass —
@@ -646,6 +690,7 @@ object Similarity {
     "sim_lsh_buckets" -> lshBuckets _,
     "sim_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "sim_ivf_topk_partitioned" -> ((s: SparkSession, d: String) => ivfTopKPartitioned(s, d)),
     "sim_ivf_train_step" -> ((s: SparkSession, d: String) => ivfTrainStep(s, d)),
     "sim_ivf_train" -> ((s: SparkSession, d: String) => ivfTrain(s, d)),
   )
@@ -778,7 +823,14 @@ object Similarity {
        |SELECT vec_id, cent_id FROM asg
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // the partitioned-serving variant must change the PLAN (pruned
+    // probe scan), never the answer — oracle reused verbatim.
+    base + ("sim_ivf_topk_partitioned" -> base("sim_ivf_topk"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "sim_ivfpq_topk" ->
       s"""WITH $oracleVecs,
          |${trainedCodebookCte(16)},

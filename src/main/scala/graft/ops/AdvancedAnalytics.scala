@@ -331,6 +331,79 @@ object AdvancedAnalytics {
         .cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
 
+  /** TPC-H Q17 (small-quantity-order revenue), adapted to the corpus
+    * columns (brand filter only — no p_container here): revenue from
+    * line items whose quantity is below 20 % of their part's average.
+    * The classic correlated per-part average is ONE window over the
+    * brand-filtered fact subset (a single shuffle keyed by part — no
+    * self-join, no re-scan; the per-part stats ride the same
+    * partitioning the filter consumes). Exactness: the 0.2·avg
+    * comparison cross-multiplies to pure integers
+    * (5·qty·cnt < Σqty — quantities are integer-valued), and revenue
+    * sums exact DECIMAL(18,2) cents. */
+  def tpchQ17(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val p = broadcast(Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey")))
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      .withColumn("sumq", sum(col("qty")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(lit(5) * col("qty") * col("cnt") < col("sumq"))
+      .agg(expr("CAST(SUM(price) * 100 AS BIGINT)").as("revenue_cents"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** TPC-H Q19 (discounted revenue), adapted (brand/size/quantity
+    * windows — no p_container/l_shipmode here): the OR-of-ANDs
+    * predicate query. Plan value: ONE broadcast part join and ONE
+    * scan, with the disjunction evaluated as a codegen filter —
+    * the part-side brand/size conjuncts prune the broadcast build
+    * side. Revenue is the exact DECIMAL(18,4) micro-unit sum. */
+  def tpchQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_brand").isin("Brand#3", "Brand#13", "Brand#23"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size")))
+    val l = Tables.lineitem(spark, sfDir)
+    val q = col("l_quantity")
+    val pred =
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) && q.between(1, 11)) ||
+      (col("p_brand") === "Brand#13" && col("p_size").between(10, 30) && q.between(10, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(20, 50) && q.between(20, 30))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .filter(pred)
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"),
+        count(lit(1)).as("n_rows"))
+      .select(expr("CAST(rev * 10000 AS BIGINT)").as("revenue_e4"), col("n_rows"))
+  }
+
+  /** TPC-H Q22 (global sales opportunity), adapted: customers in a
+    * country-code set whose balance beats the positive-balance
+    * average, with NO large order (corpus has no order-less customers,
+    * so the anti join keys on a filtered order set instead — same
+    * shape). The scalar average broadcasts as a one-row frame and the
+    * comparison cross-multiplies to integer cents (cents·n > Σcents) —
+    * no float division anywhere. */
+  def tpchQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), (col("c_nationkey") % 5).as("cntrycode"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("cents"))
+      .filter(col("cntrycode").isin(0, 1, 2))
+    val avgPos = c.filter(col("cents") > 0)
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+    val big = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_custkey")).distinct()
+    c.join(broadcast(avgPos), lit(true))
+      .filter(col("cents") * col("n_pos") > col("sum_cents"))
+      .join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), sum(col("cents")).as("totacctbal_cents"))
+  }
+
   /** TPC-H Q14 (promotion effect): promo-type revenue share — one
     * broadcast dim join, conditional vs total aggregate in a single
     * pass, ONE final division (micro-units via the same two-stage
@@ -638,6 +711,9 @@ object AdvancedAnalytics {
     "join_tpch_q15" -> tpchQ15 _,
     "join_tpch_q14" -> tpchQ14 _,
     "join_tpch_q18" -> ((sp: SparkSession, d: String) => tpchQ18(sp, d)),
+    "join_tpch_q17" -> tpchQ17 _,
+    "join_tpch_q19" -> tpchQ19 _,
+    "join_tpch_q22" -> tpchQ22 _,
     "agg_group_concat" -> groupConcat _,
     "ev_daily_anomaly" -> dailyAnomalies _,
     "agg_mode_per_group" -> modePerGroup _,
@@ -750,6 +826,39 @@ object AdvancedAnalytics {
         |FROM ob a JOIN ob b
         |  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
         |GROUP BY 1, 2 HAVING COUNT(*) >= 10""".stripMargin,
+    "join_tpch_q17" ->
+      """WITH f AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |s AS (
+        |  SELECT *, SUM(qty) OVER (PARTITION BY l_partkey) AS sumq,
+        |    COUNT(*) OVER (PARTITION BY l_partkey) AS cnt FROM f)
+        |SELECT CAST(SUM(price) * 100 AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_small
+        |FROM s WHERE 5 * qty * cnt < sumq""".stripMargin,
+    "join_tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "join_tpch_q22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)),
+        |a AS (SELECT SUM(cents) AS sum_cents, COUNT(*) AS n_pos FROM c WHERE cents > 0),
+        |big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+        |SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(cents) AS BIGINT) AS totacctbal_cents
+        |FROM c CROSS JOIN a
+        |WHERE cents * n_pos > sum_cents
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM big)
+        |GROUP BY cntrycode""".stripMargin,
     "join_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -113,6 +113,20 @@ class BucketedServeSpec extends SparkSpec {
     }
   }
 
+  test("IVF partitioned serving: probe join prunes the assignment scan via DPP; results identical") {
+    // the registered sim_ivf_topk_partitioned path: the assignment is
+    // written partitionBy(cent_id) and the probe join must reach it
+    // through dynamic partition pruning — the scan's PartitionFilters
+    // carry a dynamicpruning subquery, so only the probed nprobe
+    // directories are read.
+    val df = Similarity.ivfTopKPartitioned(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivf_assign_"), "must read the served assignment")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"probe join must dynamic-partition-prune the assignment scan:\n${plan.take(3000)}")
+    assertSame(df, Similarity.ivfTopK(spark, sfDir), "ivf topk")
+  }
+
   test("lpaCore src-keyed message flow equals the dst-keyed form on an asymmetric-weight graph") {
     // The r12 rewrite routes votes along src (so one src-bucketed
     // layout serves both cores). Over a SYMMETRIZED edge set that is

@@ -39,6 +39,7 @@ class NumericLintSpec extends AnyFunSuite {
     // an exact integer, both engines round-to-nearest to the same int.
     "agg_gini_by_segment" -> "cents snap: round(2dp*100) is integer-exact",
     "agg_moment_stats" -> "cents snap: round(2dp*100) is integer-exact",
+    "join_tpch_q22" -> "cents snap: round(2dp*100) is integer-exact",
     "agg_weighted_avg" -> "cents snap: round(2dp*100) is integer-exact",
     "fn_math" -> "cents snap: round(2dp*100) is integer-exact",
     "win_running_total" -> "cents snap: round(2dp*100) is integer-exact",
@@ -74,6 +75,7 @@ class NumericLintSpec extends AnyFunSuite {
     "sim_topk_brute" -> "float cosine: irrational norms, mirrored folds",
     "sim_lsh_topk" -> "float cosine: irrational norms, mirrored folds",
     "sim_ivf_topk" -> "float cosine: irrational norms, mirrored folds",
+    "sim_ivf_topk_partitioned" -> "float cosine: irrational norms, mirrored folds",
     "sim_ivf_train" -> "member means: long-repr floats, mirrored folds",
     "sim_ivf_train_step" -> "member means: long-repr floats, mirrored folds",
     "sim_ivfpq_topk" -> "ADC sums: decimal-exact terms, mirrored folds",
