@@ -421,7 +421,20 @@ object KqlParser {
       // Extend-style assignment applying the row-window rewrite (shared
       // by `extend` and `serialize name = expr, ...`).
       def applyExtend(body: String): Unit =
-        splitTopLevel(body, ',').map(_.trim).foreach { item =>
+        splitTopLevel(body, ',').map(_.trim).foreach { item0 =>
+          // ADX pack_all() — a property bag of EVERY current column.
+          // It needs frame context (the scalar translator sees only
+          // text), so it desugars HERE to the equivalent bag_pack
+          // literal over df.columns before translation; the column
+          // set is whatever precedes this extend, ADX's semantics.
+          // The optional ignore_null_empty form is rejected loudly
+          // (the rewrite only matches the zero-arg call).
+          val item = if (item0.toLowerCase.contains("pack_all")) {
+            val bag = df.columns
+              .map(c => s"'$c', `$c`").mkString("bag_pack(", ", ", ")")
+            item0.replaceAll("(?i)pack_all\\s*\\(\\s*\\)",
+              java.util.regex.Matcher.quoteReplacement(bag))
+          } else item0
           val (nameOpt, sql) = nameAndSql(item, scoped)
           val name = nameOpt.getOrElse(
             throw new IllegalArgumentException(s"extend needs 'name = expr': $item"))
@@ -2758,6 +2771,19 @@ object KqlParser {
           (col(s"__t$i") * 1000).as(s"${n}_ms") }: _*)
   }
 
+  /** totimespan literal → whole seconds: quoted '[d.]hh:mm:ss' or a
+    * bare timespan token (1d, 2h, 30m, 90s). Sub-second fractions and
+    * non-literals reject loudly — the value compiles into the plan. */
+  private def parseTimespanLiteral(a: String): Long = {
+    val Hms = "^'(?:(\\d+)\\.)?(\\d{1,2}):(\\d{2}):(\\d{2})'$".r
+    a match {
+      case Hms(d, h, m, s) =>
+        (if (d == null) 0L else d.toLong) * 86400L +
+          h.toLong * 3600L + m.toLong * 60L + s.toLong
+      case _ => spanSecs(a, "totimespan")
+    }
+  }
+
   /** KQL timespan literal → seconds (1d, 2h, 30m, 90s). */
   private def spanSecs(a: String, verb: String): Long = {
     val TimespanRe = "^(\\d+)(d|h|m|s)$".r
@@ -4037,6 +4063,13 @@ object KqlParser {
               "geo_polygon_area",
               "geo_point_to_s2cell", "geo_s2cell_to_central_point",
               "geo_s2cell_neighbors",
+              "totimespan", "make_timespan", "format_timespan",
+              "datetime_part", "make_datetime",
+              "unixtime_seconds_todatetime", "unixtime_milliseconds_todatetime",
+              "unixtime_microseconds_todatetime",
+              "binary_and", "binary_or", "binary_xor", "binary_not",
+              "binary_shift_left", "binary_shift_right",
+              "replace_string", "replace_regex", "indexof_regex", "string_size",
               "dcount_intersect",
               "bag_keys", "bag_has_key", "bag_merge",
               "format_bytes",
@@ -4497,6 +4530,95 @@ object KqlParser {
                 require(args.length == 1, "isfinite expects (x)")
                 out.append(s"(NOT isnan(CAST(${args(0)} AS DOUBLE)) AND " +
                   s"abs(CAST(${args(0)} AS DOUBLE)) <> CAST('Infinity' AS DOUBLE))")
+              case "totimespan" =>
+                // ADX totimespan('[d.]hh:mm:ss') / totimespan(1h).
+                // DEVIATION (documented, the bin() convention):
+                // timespan VALUES surface as BIGINT SECONDS, not
+                // 100 ns ticks — every consumer in this dialect
+                // (bin, ago, datetime_add) speaks seconds. Literal
+                // arguments only (the value is compiled into the
+                // plan); sub-second fractions and columns reject
+                // loudly rather than truncate silently.
+                require(args.length == 1, "totimespan expects (timespan literal)")
+                out.append(s"CAST(${parseTimespanLiteral(args(0).trim)} AS BIGINT)")
+              case "make_timespan" =>
+                // make_timespan(h, m, s) | make_timespan(d, h, m, s)
+                // → BIGINT seconds (same convention as totimespan).
+                require(args.length == 3 || args.length == 4,
+                  "make_timespan expects (hour, minute, second) or (day, hour, minute, second)")
+                val (d, h, m, sec) =
+                  if (args.length == 4) (args(0), args(1), args(2), args(3))
+                  else ("0", args(0), args(1), args(2))
+                out.append(s"CAST(((((${d}) * 24 + (${h})) * 60 + (${m})) * 60 + (${sec})) AS BIGINT)")
+              case "format_timespan" =>
+                // format_timespan(ts, fmt) over BIGINT-second spans.
+                // Supported formats: 'd.hh:mm:ss' and 'hh:mm:ss' (the
+                // hh field absorbs days in the second form) — others
+                // reject loudly. Pure integer render, negative → null.
+                require(args.length == 2, "format_timespan expects (timespan, format)")
+                val fmt = args(1).trim
+                val t = s"CAST((${args(0)}) AS BIGINT)"
+                def p2(x: String) = s"lpad(CAST($x AS STRING), 2, '0')"
+                val body = fmt match {
+                  case "'d.hh:mm:ss'" =>
+                    s"concat(CAST($t DIV 86400 AS STRING), '.', ${p2(s"$t % 86400 DIV 3600")}, " +
+                    s"':', ${p2(s"$t % 3600 DIV 60")}, ':', ${p2(s"$t % 60")})"
+                  case "'hh:mm:ss'" =>
+                    s"concat(${p2(s"$t DIV 3600")}, ':', ${p2(s"$t % 3600 DIV 60")}, " +
+                    s"':', ${p2(s"$t % 60")})"
+                  case other => throw new IllegalArgumentException(
+                    s"format_timespan format not supported: $other ('d.hh:mm:ss', 'hh:mm:ss')")
+                }
+                out.append(s"(CASE WHEN ($t) < 0 THEN CAST(NULL AS STRING) ELSE $body END)")
+              case "datetime_part" =>
+                // datetime_part('part', dt) → BIGINT (ADX returns long).
+                require(args.length == 2, "datetime_part expects (part, datetime)")
+                val part = args(0).trim.toLowerCase.stripPrefix("'").stripSuffix("'")
+                val ex = part match {
+                  case "year" => s"year(${args(1)})"
+                  case "quarter" => s"quarter(${args(1)})"
+                  case "month" => s"month(${args(1)})"
+                  case "week_of_year" => s"weekofyear(${args(1)})"
+                  case "day" => s"day(${args(1)})"
+                  case "dayofyear" => s"dayofyear(${args(1)})"
+                  case "hour" => s"hour(${args(1)})"
+                  case "minute" => s"minute(${args(1)})"
+                  case "second" => s"second(${args(1)})"
+                  case other => throw new IllegalArgumentException(
+                    s"datetime_part part not supported: $other")
+                }
+                out.append(s"CAST($ex AS BIGINT)")
+              case "make_datetime" =>
+                // make_datetime(y, mo, d [, h, mi, s]) → timestamp.
+                require(args.length == 3 || args.length == 6,
+                  "make_datetime expects (year, month, day[, hour, minute, second])")
+                val tail = if (args.length == 6) args.drop(3).mkString(", ")
+                           else "0, 0, 0"
+                out.append(s"make_timestamp(${args(0)}, ${args(1)}, ${args(2)}, $tail)")
+              case "unixtime_seconds_todatetime" =>
+                require(args.length == 1, "unixtime_seconds_todatetime expects (seconds)")
+                out.append(s"timestamp_seconds(${args(0)})")
+              case "unixtime_milliseconds_todatetime" =>
+                require(args.length == 1, "unixtime_milliseconds_todatetime expects (millis)")
+                out.append(s"timestamp_millis(CAST(${args(0)} AS BIGINT))")
+              case "unixtime_microseconds_todatetime" =>
+                require(args.length == 1, "unixtime_microseconds_todatetime expects (micros)")
+                out.append(s"timestamp_micros(CAST(${args(0)} AS BIGINT))")
+              case "binary_and" | "binary_or" | "binary_xor" =>
+                // ADX binary_* names for the infix bit operators,
+                // widened to BIGINT (ADX operates on long).
+                require(args.length == 2, s"${w.toLowerCase} expects (a, b)")
+                val op = w.toLowerCase match {
+                  case "binary_and" => "&"; case "binary_or" => "|"; case _ => "^"
+                }
+                out.append(s"(CAST(${args(0)} AS BIGINT) $op CAST(${args(1)} AS BIGINT))")
+              case "binary_not" =>
+                require(args.length == 1, "binary_not expects (a)")
+                out.append(s"(~CAST(${args(0)} AS BIGINT))")
+              case "binary_shift_left" | "binary_shift_right" =>
+                require(args.length == 2, s"${w.toLowerCase} expects (a, n)")
+                val fn = if (w.toLowerCase.endsWith("left")) "shiftleft" else "shiftright"
+                out.append(s"$fn(CAST(${args(0)} AS BIGINT), CAST(${args(1)} AS INT))")
               case "format_bytes" =>
                 // ADX format_bytes(size [, precision]) → '1.5 GB'.
                 // 1024-based units; precision 0..2 (the BIGINT-exact
@@ -4920,6 +5042,26 @@ object KqlParser {
                   }.getOrElse(5)
                   out.append(geohashNeighborsUnrolledSql(inner(0), inner(1), acc2))
                 } else out.append(geohashNeighborsSql(args(0)))
+              case "replace_string" =>
+                // ADX replace_string(text, lookup, rewrite) — literal
+                // replace, Spark's replace with the same arg order.
+                require(args.length == 3,
+                  "replace_string expects (text, lookup, rewrite)")
+                out.append(s"replace(${args(0)}, ${args(1)}, ${args(2)})")
+              case "replace_regex" =>
+                require(args.length == 3,
+                  "replace_regex expects (text, regex, rewrite)")
+                out.append(s"regexp_replace(${args(0)}, ${args(1)}, ${args(2)})")
+              case "indexof_regex" =>
+                // ADX: 0-based first-match position, -1 when absent —
+                // Spark regexp_instr is 1-based with 0 for absent, so
+                // the -1 shift lands BOTH conventions at once.
+                require(args.length == 2, "indexof_regex expects (source, regex)")
+                out.append(s"CAST(regexp_instr(${args(0)}, ${args(1)}) - 1 AS BIGINT)")
+              case "string_size" =>
+                // ADX string_size = SIZE IN BYTES (UTF-8), not chars.
+                require(args.length == 1, "string_size expects (source)")
+                out.append(s"CAST(octet_length(${args(0)}) AS BIGINT)")
               case "countof" =>
                 // ADX counts OVERLAPPING occurrences (countof('aaa',
                 // 'aa') = 2), so a delete-replace length delta is not
@@ -4932,10 +5074,21 @@ object KqlParser {
                 // scan — an interpreted HOF bounded by the string
                 // length (mv-apply's budget class), with empty or
                 // too-long needles counting 0 rather than generating a
-                // DESCENDING sequence.
-                require(args.length == 2,
-                  s"countof expects (source, search): ${s.substring(i, close + 1)}")
+                // DESCENDING sequence. The 3-arg form's 'regex' kind is
+                // a non-overlapping regexp match count (ADX semantics
+                // for that kind); kind 'normal' falls back to 2-arg.
+                require(args.length == 2 || args.length == 3,
+                  s"countof expects (source, search[, kind]): ${s.substring(i, close + 1)}")
+                val regexKind = args.length == 3 && {
+                  val kind = args(2).trim
+                  require(kind == "'regex'" || kind == "'normal'",
+                    s"countof kind must be 'normal' or 'regex': $kind")
+                  kind == "'regex'"
+                }
                 val (src, pat) = (args(0), args(1))
+                if (regexKind) {
+                  out.append(s"CAST(size(regexp_extract_all($src, $pat, 0)) AS INT)")
+                } else {
                 val litNeedle = pat.trim match {
                   case p if p.length >= 3 && (p.head == '\'' || p.head == '"') &&
                       p.last == p.head && !p.substring(1, p.length - 1).contains(p.head) =>
@@ -4952,6 +5105,7 @@ object KqlParser {
                     s"IF(length($pat) = 0 OR length($src) < length($pat), 0, " +
                     s"aggregate(sequence(1, length($src) - length($pat) + 1), 0, " +
                     s"(acc, p) -> acc + IF(substring($src, p, length($pat)) = $pat, 1, 0)))")
+                }
               case "substring" =>
                 // ADX substring(source, startIdx[, length]) is 0-BASED
                 // (Spark's is 1-based — a pass-through would silently

@@ -590,6 +590,65 @@ object ReferenceQueries {
       || project name, gh, gh1, d_osl_m, near_cph
       || sort by name asc""".stripMargin
 
+  /** r12 datetime/timespan/binary scalar tier: `totimespan` /
+    * `make_timespan` / `format_timespan` (timespan VALUES surface as
+    * BIGINT seconds — the bin() convention, documented),
+    * `datetime_part`, `make_datetime`, the `unixtime_*_todatetime`
+    * family, and the `binary_*` bit-operator names. Every output is
+    * BIGINT/STRING (datetimes projected to epoch seconds via
+    * datetime_diff), so the oracle compare has no float or timestamp
+    * serialization surface at all. */
+  val kqlDatetimeScalarsText: String =
+    """print d = datetime(2024-03-15 10:20:30)
+      || extend part_y = datetime_part('year', d),
+      |         part_q = datetime_part('quarter', d),
+      |         part_w = datetime_part('week_of_year', d),
+      |         md_epoch = datetime_diff('second', make_datetime(2024, 3, 15, 10, 20, 30), datetime(1970-01-01)),
+      |         us_epoch = datetime_diff('second', unixtime_seconds_todatetime(1700000000), datetime(1970-01-01)),
+      |         ums_epoch = datetime_diff('second', unixtime_milliseconds_todatetime(1700000000000), datetime(1970-01-01)),
+      |         uus_epoch = datetime_diff('second', unixtime_microseconds_todatetime(1700000000000000), datetime(1970-01-01)),
+      |         ts1 = totimespan('1.02:03:04'), ts2 = totimespan(90m),
+      |         mts = make_timespan(1, 2, 3, 4),
+      |         f1 = format_timespan(totimespan('1.02:03:04'), 'd.hh:mm:ss'),
+      |         f2 = format_timespan(3661, 'hh:mm:ss'),
+      |         ba = binary_and(12, 10), bo = binary_or(12, 10),
+      |         bx = binary_xor(12, 10), bn = binary_not(0),
+      |         bsl = binary_shift_left(3, 4), bsr = binary_shift_right(48, 4)
+      || project part_y, part_q, part_w, md_epoch, us_epoch, ums_epoch,
+      |          uus_epoch, ts1, ts2, mts, f1, f2, ba, bo, bx, bn, bsl, bsr""".stripMargin
+
+  /** r12 string-function tier: `replace_string`/`replace_regex` (the
+    * ADX names for literal/regex replace), `indexof_regex` (0-based,
+    * −1 absent — one shift off Spark's regexp_instr), `string_size`
+    * (BYTES, not chars), and `countof(…, 'regex')` (non-overlapping
+    * match count). Aggregated per lang so every function's value on
+    * every document feeds the hash. */
+  val kqlStringFns2Text: String =
+    """Documents
+      || extend b = string_size(text),
+      |         nl = countof(text, 'e'),
+      |         nr = countof(text, '[aeiou]+', 'regex'),
+      |         ir = indexof_regex(text, '[0-9]'),
+      |         rs = replace_string(lang, 'en', 'EN'),
+      |         rr = strlen(replace_regex(text, '[aeiou]', ''))
+      || summarize docs = count(), tb = sum(b), tnl = sum(nl),
+      |            tnr = sum(nr), neg = countif(ir == -1), sir = sum(ir),
+      |            rsn = countif(rs == 'EN'), trr = sum(rr) by lang""".stripMargin
+
+  /** r12 `pack_all()` — the whole-row property bag (extend-time
+    * desugar to bag_pack over the frame's current columns). The query
+    * round-trips every field back out of the bag and counts
+    * mismatches, so the oracle is the trivial all-match count — any
+    * key loss, ordering drift, or value corruption breaks it. */
+  val kqlPackAllText: String =
+    """Orders
+      || project city, orderid
+      || extend b = pack_all()
+      || extend ks = strcat_array(bag_keys(b), ','),
+      |         c2 = tostring(b.city), o2 = tolong(b.orderid)
+      || summarize n = count(), ok_c = countif(c2 == city),
+      |            ok_o = countif(o2 == orderid) by ks""".stripMargin
+
   /** r12 S2 cell tier (r11 verdict item 5): `geo_point_to_s2cell` /
     * `geo_s2cell_to_central_point` / `geo_s2cell_neighbors` — the
     * second cell system over the same integer-exact cell-join
@@ -1264,6 +1323,9 @@ object ReferenceQueries {
     "kql_basket" -> kqlText(kqlBasketText) _,
     "kql_geo" -> kqlText(kqlGeoText) _,
     "kql_geo_s2" -> kqlText(kqlGeoS2Text) _,
+    "kql_datetime_scalars" -> kqlText(kqlDatetimeScalarsText) _,
+    "kql_pack_all" -> kqlText(kqlPackAllText) _,
+    "kql_string_fns2" -> kqlText(kqlStringFns2Text) _,
     "kql_geo_s2_join" -> kqlText(kqlGeoS2JoinText) _,
     "kql_geo_join" -> kqlText(kqlGeoJoinText) _,
     "kql_geo_polygon" -> kqlText(kqlGeoPolygonText) _,
@@ -1873,6 +1935,53 @@ object ReferenceQueries {
          |  CAST(floor(MAX(dist)) AS BIGINT) AS d_max_m
          |FROM d WHERE dist <= 75000.0
          |GROUP BY site ORDER BY site ASC""".stripMargin,
+    "kql_string_fns2" ->
+      """WITH d AS (
+        |  SELECT lang, text,
+        |    strlen(text) AS b,
+        |    length(text) - length(replace(text, 'e', '')) AS nl,
+        |    len(regexp_extract_all(text, '[aeiou]+')) AS nr,
+        |    CASE WHEN regexp_matches(text, '[0-9]')
+        |         THEN length(regexp_extract(text, '^([^0-9]*)', 1)) ELSE -1 END AS ir,
+        |    CASE WHEN lang = 'en' THEN 'EN' ELSE lang END AS rs,
+        |    length(regexp_replace(text, '[aeiou]', '', 'g')) AS rr
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(b) AS BIGINT) AS tb, CAST(SUM(nl) AS BIGINT) AS tnl,
+        |  CAST(SUM(nr) AS BIGINT) AS tnr,
+        |  CAST(SUM(CASE WHEN ir = -1 THEN 1 ELSE 0 END) AS BIGINT) AS neg,
+        |  CAST(SUM(ir) AS BIGINT) AS sir,
+        |  CAST(SUM(CASE WHEN rs = 'EN' THEN 1 ELSE 0 END) AS BIGINT) AS rsn,
+        |  CAST(SUM(rr) AS BIGINT) AS trr
+        |FROM d GROUP BY lang""".stripMargin,
+    "kql_pack_all" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT 'city,orderid' AS ks, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(*) AS BIGINT) AS ok_c, CAST(COUNT(*) AS BIGINT) AS ok_o
+         |FROM orders_info""".stripMargin,
+    // independent DuckDB derivation of every scalar (no hard-coded
+    // answers except the format strings, which Spark derives from
+    // the same integer seconds the ts columns expose).
+    "kql_datetime_scalars" ->
+      """SELECT
+        |  CAST(year(TIMESTAMP '2024-03-15 10:20:30') AS BIGINT) AS part_y,
+        |  CAST(quarter(TIMESTAMP '2024-03-15 10:20:30') AS BIGINT) AS part_q,
+        |  CAST(weekofyear(TIMESTAMP '2024-03-15 10:20:30') AS BIGINT) AS part_w,
+        |  CAST(epoch(TIMESTAMP '2024-03-15 10:20:30') AS BIGINT) AS md_epoch,
+        |  CAST(1700000000 AS BIGINT) AS us_epoch,
+        |  CAST(1700000000 AS BIGINT) AS ums_epoch,
+        |  CAST(1700000000 AS BIGINT) AS uus_epoch,
+        |  CAST(1 * 86400 + 2 * 3600 + 3 * 60 + 4 AS BIGINT) AS ts1,
+        |  CAST(90 * 60 AS BIGINT) AS ts2,
+        |  CAST(((1 * 24 + 2) * 60 + 3) * 60 + 4 AS BIGINT) AS mts,
+        |  '1.02:03:04' AS f1,
+        |  '01:01:01' AS f2,
+        |  CAST(12 & 10 AS BIGINT) AS ba,
+        |  CAST(12 | 10 AS BIGINT) AS bo,
+        |  CAST(xor(12, 10) AS BIGINT) AS bx,
+        |  CAST(~0 AS BIGINT) AS bn,
+        |  CAST(3 << 4 AS BIGINT) AS bsl,
+        |  CAST(48 >> 4 AS BIGINT) AS bsr""".stripMargin,
     // full face→uv→st→quantize→Morton re-derivation in CTE columns:
     // each step is one column so no expression repeats; the same
     // single-rounded chain as graft.functions.S2, op for op.

@@ -269,6 +269,25 @@ class KqlSpec extends SparkSpec {
     }
   }
 
+  test("parser: timespan/datetime/binary scalar tier edge semantics") {
+    def one(e: String) =
+      KqlParser.run(s"T | project r = $e", Map("T" -> Seq(1).toDF("x"))).head()
+    // timespan values are BIGINT seconds (documented deviation)
+    assert(one("totimespan('1.02:03:04')").getLong(0) == 93784L)
+    assert(one("totimespan(90m)").getLong(0) == 5400L)
+    assert(one("make_timespan(2, 3, 4)").getLong(0) == 7384L)
+    // negative span renders null, not garbage
+    assert(one("format_timespan(0 - 5, 'hh:mm:ss')").isNullAt(0))
+    assert(one("format_timespan(90061, 'd.hh:mm:ss')").getString(0) == "1.01:01:01")
+    // loud rejections: fractional/non-literal spans, unknown formats/parts
+    intercept[IllegalArgumentException] { one("totimespan('01:02:03.5')") }
+    intercept[IllegalArgumentException] { one("totimespan(x)") }
+    intercept[IllegalArgumentException] { one("format_timespan(1, 'mm:ss')") }
+    intercept[IllegalArgumentException] { one("datetime_part('fortnight', datetime(2024-01-01))") }
+    assert(one("binary_shift_left(1, 62)").getLong(0) == (1L << 62))
+    assert(one("binary_not(binary_not(7))").getLong(0) == 7L)
+  }
+
   test("parser: externaldata reads declared-schema files; unsupported formats reject loudly") {
     val dir = java.nio.file.Files.createTempDirectory("kql-ext")
     val csv = dir.resolve("d.csv")
