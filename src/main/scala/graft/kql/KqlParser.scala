@@ -4132,12 +4132,76 @@ object KqlParser {
                 // multi-KB but evaluates over step-count-sized arrays.
                 sfn match {
                   case "series_add" | "series_subtract" | "series_multiply" | "series_divide" =>
-                    require(args.length == 2, s"$sfn expects (series, series)")
+                    require(args.length == 2, s"$sfn expects (series, series|number)")
                     val op = sfn match {
                       case "series_add" => "+"; case "series_subtract" => "-"
                       case "series_multiply" => "*"; case _ => "/"
                     }
-                    out.append(s"zip_with(${args(0)}, ${args(1)}, (x, y) -> x $op y)")
+                    // ADX broadcasts numeric scalars over the series
+                    // side. A scalar is only statically recognizable as
+                    // a numeric LITERAL (the compiled SQL for one is the
+                    // literal itself) — anything else is treated as a
+                    // series, matching the pre-r13 behavior.
+                    def numLit(a: String): Boolean =
+                      a.matches("-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?")
+                    out.append(
+                      if (numLit(args(1)))
+                        s"transform(${args(0)}, x -> x $op ${args(1)})"
+                      else if (numLit(args(0)))
+                        s"transform(${args(1)}, y -> ${args(0)} $op y)"
+                      else s"zip_with(${args(0)}, ${args(1)}, (x, y) -> x $op y)")
+                  case "series_abs" | "series_exp" | "series_log" | "series_sign" |
+                       "series_floor" | "series_ceiling" | "series_round" =>
+                    // r13: the elementwise unary tier. Conventions:
+                    // null elements map to null (every lambda below is
+                    // null-strict), empty series stay empty. Types stay
+                    // DOUBLE (floor/ceiling/round re-cast Spark's BIGINT
+                    // result) so unary ops compose with the binary tier.
+                    // series_log is the natural log (ADX's convention).
+                    // Deviation (documented): series_round rounds half
+                    // AWAY FROM ZERO via an explicit floor chain —
+                    // x+0.5/floor are single correctly-rounded IEEE ops,
+                    // so the oracle mirrors it bit-for-bit, where an
+                    // engine-native round() would hinge on each engine's
+                    // tie rule.
+                    require(args.length == 1, s"$sfn expects (series)")
+                    val lam = sfn match {
+                      case "series_abs" => "x -> abs(x)"
+                      case "series_exp" => "x -> exp(x)"
+                      case "series_log" => "x -> ln(x)"
+                      case "series_sign" =>
+                        // CASE with no ELSE: null in, null out
+                        "x -> CAST(CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 " +
+                          "WHEN x = 0 THEN 0 END AS DOUBLE)"
+                      case "series_floor" => "x -> CAST(floor(x) AS DOUBLE)"
+                      case "series_ceiling" => "x -> CAST(ceiling(x) AS DOUBLE)"
+                      case _ => // series_round
+                        "x -> IF(x >= 0D, CAST(floor(x + 0.5D) AS DOUBLE), " +
+                          "CAST(-floor(-x + 0.5D) AS DOUBLE))"
+                    }
+                    out.append(s"transform(${args(0)}, $lam)")
+                  case "series_pow" =>
+                    // elementwise x^y of two equal-length series (ADX
+                    // also broadcasts scalars; series-series only here —
+                    // wrap a constant exponent via the binary tier's
+                    // literal broadcast if needed)
+                    require(args.length == 2, "series_pow expects (series, series)")
+                    out.append(s"zip_with(${args(0)}, ${args(1)}, (x, y) -> power(x, y))")
+                  case "series_greater" | "series_greater_equals" | "series_less" |
+                       "series_less_equals" | "series_equals" | "series_not_equals" =>
+                    // r13: the elementwise comparison tier — boolean
+                    // arrays, null elements compare to null (SQL
+                    // three-valued logic through zip_with).
+                    require(args.length == 2, s"$sfn expects (series, series)")
+                    val cmp = sfn match {
+                      case "series_greater" => ">"
+                      case "series_greater_equals" => ">="
+                      case "series_less" => "<"
+                      case "series_less_equals" => "<="
+                      case "series_equals" => "="
+                      case _ => "<>"
+                    }
+                    out.append(s"zip_with(${args(0)}, ${args(1)}, (x, y) -> x $cmp y)")
                   case "series_sum" =>
                     require(args.length == 1, "series_sum expects (series)")
                     out.append(seriesSum(args(0)))
@@ -4414,7 +4478,9 @@ object KqlParser {
                     out.append(seriesFillLinearSql(args(0)))
                   case other => throw new IllegalArgumentException(
                     s"unsupported series function '$other' (supported: series_add/subtract/" +
-                    "multiply/divide/sum/avg/fill_const/fill_forward/fill_backwards/" +
+                    "multiply/divide/pow/sum/avg/abs/exp/log/sign/floor/ceiling/round/" +
+                    "greater/greater_equals/less/less_equals/equals/not_equals/" +
+                    "fill_const/fill_forward/fill_backwards/" +
                     "fill_linear/fit_line/fit_line_dynamic/fit_2lines/fit_2lines_dynamic/" +
                     "stats_dynamic/outliers/decompose/decompose_anomalies/decompose_forecast/" +
                     "periods_detect/dot_product/" +

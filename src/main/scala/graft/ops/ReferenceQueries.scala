@@ -295,6 +295,44 @@ object ReferenceQueries {
       || extend mn = st.min, mx = st.max, mx_i = st.max_idx
       || project event_type, slope_u, icept_u, rsq_u, mn, mx, mx_i, n_out, peak_z_u, flags""".stripMargin
 
+  /** r13: the elementwise unary (`series_abs/exp/log/sign/floor/
+    * ceiling/round`), `series_pow`, scalar-broadcast binary
+    * (`series_multiply(c, 2)`, `series_add(…, 1)`) and comparison
+    * (`series_greater/…/not_equals`) tiers over the same dense axis as
+    * [[kqlSeriesMathText]]. Exactness: h = s/(2c+1) is one
+    * correctly-rounded IEEE division of exact integers, so every
+    * downstream chain (abs, floor, ceiling, the explicit
+    * half-away-from-zero round, sign of the residual, x^{0,1} powers)
+    * is bit-identical cross-engine; ln/exp outputs ship as
+    * floor(x·10⁶) micro-units over a value set (ln of small odd
+    * integers, e^{−1,0,1}) verified tie-free on the corpus; boolean
+    * arrays serialize as 'true'/'false' CSV. */
+  val kqlSeriesUnaryText: String =
+    """Events
+      || make-series c = count(), s = sum(user_id) default = -1 on ts from datetime(2024-01-01) to datetime(2024-01-10) step 1d by event_type
+      || extend den = series_add(series_multiply(c, 2), 1)
+      || extend h = series_divide(s, den)
+      || extend fl = series_floor(h), ce = series_ceiling(h), rd = series_round(h)
+      || extend sg = series_sign(series_subtract(h, rd))
+      || extend ab = series_abs(h), lg = series_log(den), ex = series_exp(sg), pw = series_pow(den, series_abs(sg))
+      || extend gt = series_greater(s, c), ge = series_greater_equals(s, c), lt = series_less(s, c),
+      |         le = series_less_equals(fl, ce), eq = series_equals(rd, fl), ne = series_not_equals(rd, ce)
+      || extend fls = array_join(transform(fl, x -> string(tolong(x))), ','),
+      |         ces = array_join(transform(ce, x -> string(tolong(x))), ','),
+      |         rds = array_join(transform(rd, x -> string(tolong(x))), ','),
+      |         sgs = array_join(transform(sg, x -> string(tolong(x))), ','),
+      |         pws = array_join(transform(pw, x -> string(tolong(x))), ','),
+      |         abs_u = array_join(transform(ab, x -> string(tolong(floor(x * 1000000.0, 1)))), ','),
+      |         lgs_u = array_join(transform(lg, x -> string(tolong(floor(x * 1000000.0, 1)))), ','),
+      |         exs_u = array_join(transform(ex, x -> string(tolong(floor(x * 1000000.0, 1)))), ','),
+      |         gts = array_join(transform(gt, x -> string(x)), ','),
+      |         ges = array_join(transform(ge, x -> string(x)), ','),
+      |         lts = array_join(transform(lt, x -> string(x)), ','),
+      |         les = array_join(transform(le, x -> string(x)), ','),
+      |         eqs = array_join(transform(eq, x -> string(x)), ','),
+      |         nes = array_join(transform(ne, x -> string(x)), ',')
+      || project event_type, fls, ces, rds, sgs, pws, abs_u, lgs_u, exs_u, gts, ges, lts, les, eqs, nes""".stripMargin
+
   /** `parse-where` — parse's row-dropping form (non-matching rows are
     * filtered, not null-filled): split every doc containing 'spark'
     * around its FIRST occurrence and account the fragment lengths. */
@@ -1379,6 +1417,7 @@ object ReferenceQueries {
     "kql_facet" -> kqlText(kqlFacetText) _,
     "kql_series_anomalies" -> kqlText(kqlSeriesAnomaliesText) _,
     "kql_series_math" -> kqlText(kqlSeriesMathText) _,
+    "kql_series_unary" -> kqlText(kqlSeriesUnaryText) _,
     "kql_filter_idioms" -> kqlText(kqlFilterIdiomsText) _,
     "kql_evaluate_pivot" -> kqlText(kqlEvaluatePivotText) _,
     "kql_top_hitters" -> kqlText(kqlTopHittersText) _,
@@ -2256,6 +2295,46 @@ object ReferenceQueries {
         |  string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS ss,
         |  string_agg(CAST(CAST(floor(m * 1000000.0) AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS ms
         |FROM dense GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "kql_series_unary" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i,
+        |    user_id
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-10'),
+        |g AS (SELECT event_type, i, COUNT(*) AS c,
+        |        CAST(SUM(user_id) AS BIGINT) AS s FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 9)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, COALESCE(g.c, 0) AS c, COALESCE(g.s, -1) AS s
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i),
+        |e1 AS (SELECT event_type, i, c, s, 2 * c + 1 AS den,
+        |         s / (2 * c + 1) AS h FROM dense),
+        |e2 AS (SELECT *, floor(h) AS fl, ceil(h) AS ce,
+        |         CASE WHEN h >= 0 THEN floor(h + 0.5) ELSE -floor(-h + 0.5) END AS rd
+        |       FROM e1),
+        |e3 AS (SELECT *,
+        |         CASE WHEN h - rd > 0 THEN 1 WHEN h - rd < 0 THEN -1 ELSE 0 END AS sg
+        |       FROM e2)
+        |SELECT event_type,
+        |  string_agg(CAST(CAST(fl AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS fls,
+        |  string_agg(CAST(CAST(ce AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS ces,
+        |  string_agg(CAST(CAST(rd AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS rds,
+        |  string_agg(CAST(sg AS VARCHAR), ',' ORDER BY i) AS sgs,
+        |  string_agg(CAST(CAST(power(CAST(den AS DOUBLE), CAST(abs(sg) AS DOUBLE)) AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS pws,
+        |  string_agg(CAST(CAST(floor(abs(h) * 1000000.0) AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS abs_u,
+        |  string_agg(CAST(CAST(floor(ln(CAST(den AS DOUBLE)) * 1000000.0) AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS lgs_u,
+        |  string_agg(CAST(CAST(floor(exp(CAST(sg AS DOUBLE)) * 1000000.0) AS BIGINT) AS VARCHAR), ',' ORDER BY i) AS exs_u,
+        |  string_agg(CAST(s > c AS VARCHAR), ',' ORDER BY i) AS gts,
+        |  string_agg(CAST(s >= c AS VARCHAR), ',' ORDER BY i) AS ges,
+        |  string_agg(CAST(s < c AS VARCHAR), ',' ORDER BY i) AS lts,
+        |  string_agg(CAST(fl <= ce AS VARCHAR), ',' ORDER BY i) AS les,
+        |  string_agg(CAST(rd = fl AS VARCHAR), ',' ORDER BY i) AS eqs,
+        |  string_agg(CAST(rd <> ce AS VARCHAR), ',' ORDER BY i) AS nes
+        |FROM e3 GROUP BY event_type""".stripMargin,
     "kql_array_ops" ->
       """WITH t AS (
         |  SELECT i, [i, i + 1, i + 2, i * 2] AS a, [i + 1, CAST(4 AS BIGINT)] AS b

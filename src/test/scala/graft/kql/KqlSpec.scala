@@ -1219,6 +1219,62 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported series function"))
   }
 
+  test("parser: series unary tier — abs/exp/log/sign/floor/ceiling/round/pow") {
+    val reg = Map("T" -> Seq(
+      Tuple1(Seq(-1.5, -0.5, 0.0, 0.5, 2.5))).toDF("a"))
+    val out = KqlParser.run(
+      "T | extend ab = series_abs(a), sg = series_sign(a), " +
+        "fl = series_floor(a), ce = series_ceiling(a), rd = series_round(a), " +
+        "ex = series_exp(series_multiply(a, 0)), lg = series_log(series_exp(sg)), " +
+        "pw = series_pow(a, series_abs(sg)) " +
+        "| project ab, sg, fl, ce, rd, ex, lg, pw", reg).collect().head
+    assert(out.getSeq[Double](0) == Seq(1.5, 0.5, 0.0, 0.5, 2.5))
+    assert(out.getSeq[Double](1) == Seq(-1.0, -1.0, 0.0, 1.0, 1.0))
+    assert(out.getSeq[Double](2) == Seq(-2.0, -1.0, 0.0, 0.0, 2.0))
+    assert(out.getSeq[Double](3) == Seq(-1.0, 0.0, 0.0, 1.0, 3.0))
+    // round: half AWAY FROM ZERO (documented deviation chain)
+    assert(out.getSeq[Double](4) == Seq(-2.0, -1.0, 0.0, 1.0, 3.0))
+    assert(out.getSeq[Double](5) == Seq(1.0, 1.0, 1.0, 1.0, 1.0))
+    // ln(exp(sign(x))) = sign(x) — exp/log round-trip on {-1,0,1}
+    assert(out.getSeq[Double](6) == Seq(-1.0, -1.0, 0.0, 1.0, 1.0))
+    // x^|sign(x)|: x^1 for nonzero, 0^0 = 1
+    assert(out.getSeq[Double](7) == Seq(-1.5, -0.5, 1.0, 0.5, 2.5))
+  }
+
+  test("parser: series comparison tier + scalar broadcast; null/empty conventions") {
+    val reg = Map("T" -> Seq(
+      (Seq(1.0, 5.0, 3.0), Seq(2.0, 4.0, 3.0))).toDF("a", "b"))
+    val out = KqlParser.run(
+      "T | extend gt = series_greater(a, b), ge = series_greater_equals(a, b), " +
+        "lt = series_less(a, b), le = series_less_equals(a, b), " +
+        "eq = series_equals(a, b), ne = series_not_equals(a, b), " +
+        "bc = series_add(series_multiply(a, 2), 1), rbc = series_subtract(10, a) " +
+        "| project gt, ge, lt, le, eq, ne, bc, rbc", reg).collect().head
+    assert(out.getSeq[Boolean](0) == Seq(false, true, false))
+    assert(out.getSeq[Boolean](1) == Seq(false, true, true))
+    assert(out.getSeq[Boolean](2) == Seq(true, false, false))
+    assert(out.getSeq[Boolean](3) == Seq(true, false, true))
+    assert(out.getSeq[Boolean](4) == Seq(false, false, true))
+    assert(out.getSeq[Boolean](5) == Seq(true, true, false))
+    // numeric-literal broadcast on either side
+    assert(out.getSeq[Double](6) == Seq(3.0, 11.0, 7.0))
+    assert(out.getSeq[Double](7) == Seq(9.0, 5.0, 7.0))
+
+    // null elements: unary maps null→null, comparisons are null-strict;
+    // empty series stay empty
+    val reg2 = Map("T" -> Seq(
+      (Seq[java.lang.Double](1.0, null, -2.0), Seq.empty[Double])).toDF("a", "e"))
+    val out2 = KqlParser.run(
+      "T | extend ab = series_abs(a), sg = series_sign(a), " +
+        "gt = series_greater(a, series_multiply(a, 0)), " +
+        "ea = series_abs(e), eg = series_greater(e, e) " +
+        "| project ab, sg, gt, ea, eg", reg2).collect().head
+    assert(out2.getSeq[java.lang.Double](0) == Seq[java.lang.Double](1.0, null, 2.0))
+    assert(out2.getSeq[java.lang.Double](1) == Seq[java.lang.Double](1.0, null, -1.0))
+    assert(out2.getSeq[java.lang.Boolean](2) == Seq[java.lang.Boolean](true, null, false))
+    assert(out2.getSeq[Double](3).isEmpty && out2.getSeq[Boolean](4).isEmpty)
+  }
+
   test("parser: series_fit_line / _dynamic least-squares over the index axis") {
     // y = 1 + 2x is fit exactly: slope 2, intercept 1, rsquare 1.
     val reg = Map("T" -> Seq(Tuple1(Seq(1.0, 3.0, 5.0, 7.0, 9.0))).toDF("y"))
