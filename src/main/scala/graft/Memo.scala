@@ -79,6 +79,18 @@ object Memo {
     } catch { case _: Throwable => "na" }
   }
 
+  /** Collision-resistant name suffix for a served table derived from a
+    * corpus path (MD5 hex of the full path). String.hashCode was used
+    * before — a 32-bit collision between two corpus dirs in one JVM
+    * would make the second write clobber the first's served table while
+    * the first's Memo entry (keyed on the full path) still pointed at
+    * it, silently serving wrong-corpus data on later hits. */
+  def pathDigest(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
   /** The memoized relation for (session, corpus dir, tag), deriving it
     * with `compute` on miss. `compute` should return an EAGER frame
     * (localCheckpoint(true)) so the stored value is a materialized

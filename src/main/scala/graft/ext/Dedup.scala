@@ -131,7 +131,7 @@ object Dedup {
   def minhashPairsBucketed(spark: SparkSession, sfDir: String,
                            threshold: Double = 0.9): DataFrame = {
     val bands = graft.Memo.cached(spark, sfDir, "minhash_bands_bucketed") {
-      val table = "graft_bands_" + java.lang.Integer.toHexString(sfDir.hashCode)
+      val table = "graft_bands_" + graft.Memo.pathDigest(sfDir)
       graft.Memo.prepareServedTable(spark, table)
       bandKeys(Tables.documents(spark, sfDir)).write
         .bucketBy(8, "lang", "band_idx", "band_key")

@@ -87,7 +87,7 @@ object GraphAnalytics {
   private[ext] def servedPsEdges(spark: SparkSession, sfDir: String): DataFrame =
     graft.Memo.cached(spark, sfDir, "ps_edges_bucketed") {
       val table = "graft_edges_ps_" +
-        java.lang.Integer.toHexString(sfDir.hashCode)
+        graft.Memo.pathDigest(sfDir)
       graft.Memo.prepareServedTable(spark, table)
       psEdges(spark, sfDir).write
         .bucketBy(EdgeBuckets, "src").sortBy("src")

@@ -162,7 +162,7 @@ object Similarity {
     val served = graft.Memo.cached(spark, sfDir, "ivf_assign_partitioned") {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
       val dir = wh + "/graft_ivf_assign_" +
-        java.lang.Integer.toHexString(sfDir.hashCode)
+        graft.Memo.pathDigest(sfDir)
       scored.withColumn("rn", row_number().over(wAsg))
         .filter(col("rn") === 1)
         .select(col("vec_id").as("cand_id"), col("v").as("cv2"),

@@ -26,12 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `1 << (2·level+3) | face << (2·level) | pos` — the leading
   *    1-bit makes the level self-describing from the bit length
   *    (Google's token is the 64-bit id with a trailing lsb marker);
-  *  - neighbors stay on the SAME face: an (i, j) step off the face
-  *    edge is dropped rather than wrapped onto the adjacent face (a
-  *    cell-join deployment keeps its geometry ≥ one cell span inside
-  *    a face, which the oracle's independent distance formulation
-  *    verifies on the data — same contract as kql_geo_join's
-  *    latitude-band argument).
+  *  - neighbors WRAP across faces (r13; same-face-only before): an
+  *    (i, j) step off the face edge projects the virtual cell center
+  *    through xyz onto the adjacent face's frame and re-quantizes at
+  *    the same level — the quadratic ST transform is face-uniform, so
+  *    cell boundaries line up along shared edges and the projection
+  *    lands in the true edge-adjacent cell. Corner-diagonal steps
+  *    (which have no geometric neighbor — three faces meet at a cube
+  *    corner) land on a cell already produced by an edge step and
+  *    dedupe away, so a corner cell reports 7 distinct neighbors,
+  *    matching real S2's corner convention.
   *
   * Float contract: one trig chain (cos/sin of lon/lat, the ratios
   * u, v) feeds ONE IEEE-exact sqrt and ONE floor quantization per
@@ -74,14 +78,9 @@ object S2 {
   def cellValue(face: Int, i: Long, j: Long, level: Int): Long =
     (1L << (2 * level + 3)) | (face.toLong << (2 * level)) | morton(i, j, level)
 
-  /** (face, u, v) of a lon/lat point — canonical S2 face axes. Tie
-    * order on equal |components|: x, then y, then z. */
-  def faceUV(lonDeg: Double, latDeg: Double): (Int, Double, Double) = {
-    val lon = math.toRadians(lonDeg)
-    val lat = math.toRadians(latDeg)
-    val x = math.cos(lat) * math.cos(lon)
-    val y = math.cos(lat) * math.sin(lon)
-    val z = math.sin(lat)
+  /** (face, u, v) of a unit-sphere direction — canonical S2 face axes.
+    * Tie order on equal |components|: x, then y, then z. */
+  def faceUVFromXYZ(x: Double, y: Double, z: Double): (Int, Double, Double) = {
     if (math.abs(x) >= math.abs(y) && math.abs(x) >= math.abs(z)) {
       if (x >= 0) (0, y / x, z / x) else (3, z / x, y / x)
     } else if (math.abs(y) >= math.abs(z)) {
@@ -91,10 +90,35 @@ object S2 {
     }
   }
 
+  /** (face, u, v) of a lon/lat point. */
+  def faceUV(lonDeg: Double, latDeg: Double): (Int, Double, Double) = {
+    val lon = math.toRadians(lonDeg)
+    val lat = math.toRadians(latDeg)
+    faceUVFromXYZ(math.cos(lat) * math.cos(lon),
+      math.cos(lat) * math.sin(lon), math.sin(lat))
+  }
+
+  /** xyz of a face-frame point (u, v) — the inverse frames of
+    * [[faceUVFromXYZ]] (also used by [[centerLonLat]]). Valid for
+    * |u|,|v| beyond 1 (a direction past the face edge). */
+  def faceXYZ(face: Int, u: Double, v: Double): (Double, Double, Double) =
+    face match {
+      case 0 => (1.0, u, v)
+      case 1 => (-u, 1.0, v)
+      case 2 => (-u, -v, 1.0)
+      case 3 => (-1.0, -v, -u)
+      case 4 => (v, -1.0, -u)
+      case _ => (v, u, -1.0)
+    }
+
   /** Token of the level-`level` cell containing (lon, lat); null for
-    * invalid coordinates or an out-of-range level. */
+    * invalid coordinates (including NaN — the range test is written
+    * as a NEGATED inside-test so NaN fails it, where `abs(x) > 180`
+    * is false for NaN and would fall through into faceUV producing a
+    * spurious face-5 token) or an out-of-range level. */
   def cellToken(lonDeg: Double, latDeg: Double, level: Int): UTF8String = {
-    if (math.abs(lonDeg) > 180.0 || math.abs(latDeg) > 90.0 ||
+    if (!(lonDeg >= -180.0 && lonDeg <= 180.0) ||
+        !(latDeg >= -90.0 && latDeg <= 90.0) ||
         level < 0 || level > MaxLevel) return null
     val (face, u, v) = faceUV(lonDeg, latDeg)
     val i = ijFromST(stFromUV(u), level)
@@ -134,14 +158,7 @@ object S2 {
     val n = (1L << level).toDouble
     val u = uvFromST((i + 0.5) / n)
     val v = uvFromST((j + 0.5) / n)
-    val (x, y, z) = face match {
-      case 0 => (1.0, u, v)
-      case 1 => (-u, 1.0, v)
-      case 2 => (-u, -v, 1.0)
-      case 3 => (-1.0, -v, -u)
-      case 4 => (v, -1.0, -u)
-      case _ => (v, u, -1.0)
-    }
+    val (x, y, z) = faceXYZ(face.toInt, u, v)
     Array(math.toDegrees(math.atan2(y, x)),
       math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y))))
   }
@@ -153,25 +170,45 @@ object S2 {
       .map(_.asInstanceOf[Any]))
   }
 
-  /** Same-face 8-neighborhood tokens, dj slow (S→N) then di fast
-    * (W→E in face coordinates) — mirrors the geohash neighbor order;
-    * off-face steps drop. Null on malformed input. */
+  /** The level-`level` cell holding the virtual center of (i2, j2) in
+    * `face`'s frame, where (i2, j2) may lie one step OUTSIDE the face
+    * grid: the center projects through xyz onto whichever face owns
+    * that direction and re-quantizes there (the quadratic ST transform
+    * extends monotonically past [0,1], and is face-uniform, so cell
+    * boundaries line up along shared edges and an off-edge step lands
+    * in the true edge-adjacent cell — the r13 cross-face wrap). */
+  private def wrapCell(face: Int, i2: Long, j2: Long, level: Int): Long = {
+    val n = 1L << level
+    if (i2 >= 0 && i2 < n && j2 >= 0 && j2 < n)
+      return cellValue(face, i2, j2, level)
+    val u = uvFromST((i2 + 0.5) / n.toDouble)
+    val v = uvFromST((j2 + 0.5) / n.toDouble)
+    val (x, y, z) = faceXYZ(face, u, v)
+    val (f2, u2, v2) = faceUVFromXYZ(x, y, z)
+    cellValue(f2, ijFromST(stFromUV(u2), level), ijFromST(stFromUV(v2), level), level)
+  }
+
+  /** 8-neighborhood tokens, dj slow (S→N) then di fast (W→E in face
+    * coordinates) — mirrors the geohash neighbor order; off-face steps
+    * wrap onto the adjacent face via [[wrapCell]]. Distinct, self
+    * excluded: at a cube corner (three faces meet, so the diagonal
+    * step has no geometric cell of its own) the projected diagonal
+    * collides with an edge neighbor and dedupes away — a corner cell
+    * reports 7, everywhere else 8. Null on malformed input. */
   def neighborsOf(token: UTF8String): ArrayData = {
     val d = decode(token)
     if (d == null) return null
     val (face, i, j, level) = (d(0), d(1), d(2), d(3).toInt)
-    val n = 1L << level
-    val out = new java.util.ArrayList[Any](8)
+    val self = cellValue(face.toInt, i, j, level)
+    val out = new java.util.LinkedHashSet[Any](11)
     var dj = -1
     while (dj <= 1) {
       var di = -1
       while (di <= 1) {
         if (!(di == 0 && dj == 0)) {
-          val i2 = i + di
-          val j2 = j + dj
-          if (i2 >= 0 && i2 < n && j2 >= 0 && j2 < n)
-            out.add(UTF8String.fromString(
-              java.lang.Long.toHexString(cellValue(face.toInt, i2, j2, level))))
+          val c = wrapCell(face.toInt, i + di, j + dj, level)
+          if (c != self)
+            out.add(UTF8String.fromString(java.lang.Long.toHexString(c))): Unit
         }
         di += 1
       }

@@ -429,12 +429,7 @@ object KqlParser {
           // set is whatever precedes this extend, ADX's semantics.
           // The optional ignore_null_empty form is rejected loudly
           // (the rewrite only matches the zero-arg call).
-          val item = if (item0.toLowerCase.contains("pack_all")) {
-            val bag = df.columns
-              .map(c => s"'$c', `$c`").mkString("bag_pack(", ", ", ")")
-            item0.replaceAll("(?i)pack_all\\s*\\(\\s*\\)",
-              java.util.regex.Matcher.quoteReplacement(bag))
-          } else item0
+          val item = rewritePackAll(item0, df.columns.toIndexedSeq)
           val (nameOpt, sql) = nameAndSql(item, scoped)
           val name = nameOpt.getOrElse(
             throw new IllegalArgumentException(s"extend needs 'name = expr': $item"))
@@ -5536,6 +5531,44 @@ object KqlParser {
   // ---- lexing helpers -----------------------------------------------------
 
   /** Split on `sep` at paren/quote depth zero. */
+  /** Quote-aware `pack_all()` desugar: replaces each ZERO-ARG pack_all
+    * call that sits OUTSIDE quoted regions (same matching-quote
+    * convention as [[splitTopLevel]]) with a bag_pack literal over
+    * `columns`; occurrences inside string literals (e.g.
+    * `strcat('pack_all()', x)`) pass through untouched — the old
+    * contains+replaceAll rewrite mangled those. Column names embed as
+    * single-quoted SQL literals with quotes doubled. A non-zero-arg
+    * pack_all(...) is left for the scalar translator's loud reject. */
+  private[kql] def rewritePackAll(item: String, columns: Seq[String]): String = {
+    val lower = item.toLowerCase
+    if (!lower.contains("pack_all")) return item
+    lazy val bag = columns
+      .map(c => s"'${c.replace("'", "''")}', `$c`")
+      .mkString("bag_pack(", ", ", ")")
+    def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    val sb = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < item.length) {
+      val ch = item.charAt(i)
+      if (quote != 0) {
+        sb.append(ch); if (ch == quote) quote = 0; i += 1
+      } else if (ch == '\'' || ch == '"') {
+        quote = ch; sb.append(ch); i += 1
+      } else if (lower.startsWith("pack_all", i) &&
+                 (i == 0 || !isIdentChar(item.charAt(i - 1)))) {
+        var k = i + "pack_all".length
+        while (k < item.length && item.charAt(k).isWhitespace) k += 1
+        var m = if (k < item.length && item.charAt(k) == '(') k + 1 else -1
+        while (m >= 0 && m < item.length && item.charAt(m).isWhitespace) m += 1
+        if (m >= 0 && m < item.length && item.charAt(m) == ')') {
+          sb.append(bag); i = m + 1
+        } else { sb.append(ch); i += 1 }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
   private[kql] def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder

@@ -118,6 +118,17 @@ object ReferenceQueries {
       |            ny = countif(isnotnull(y)), sx = sum(x), sy = sum(y),
       |            six = sum(ix) by city""".stripMargin
 
+  /** Lazily-created per-JVM scratch file for [[kqlExternaldata]]'s dim
+    * csv (unique path via createTempFile; deleteOnExit bounds the
+    * lifetime to the JVM). */
+  private object ExternaldataDims {
+    lazy val path: java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempFile("graft_externaldata_dims", ".csv")
+      p.toFile.deleteOnExit()
+      p
+    }
+  }
+
   /** `externaldata` (r11 verdict item 4): ADX's ad-hoc external file
     * scan with a DECLARED schema, desugared to a schema'd Spark file
     * source. The dim csv is written fresh from a constant each run
@@ -126,8 +137,11 @@ object ReferenceQueries {
     * matching no fact row so the inner join is exercised. Unsupported
     * formats/options reject loudly — KqlSpec pins that. */
   def kqlExternaldata(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_externaldata_dims.csv")
+    // per-JVM temp file, created once: a fixed global tmpdir name is
+    // shared by every process/user on the host — concurrent benches
+    // race the write, and a pre-existing file owned by another user
+    // makes writeString throw (r12 advice)
+    val p = ExternaldataDims.path
     java.nio.file.Files.writeString(p,
       "city,tier\nNew Delhi,1\nSeattle,2\nNew York,3\nAtlantis,9\n")
     kqlText(

@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
   * cell join (`kql_geo_s2_join`): a stream of located events is keyed
   * by its S2 cell ([[graft.functions.S2CellToken]] — one codegen
   * expression per row, no state), equi-joined against a STATIC site
-  * dim fanned out to each site's cell ∪ same-face neighbors, and the
-  * exact haversine circle test verifies candidates. Emits one alert
-  * row per (event, site) hit.
+  * dim fanned out to each site's cell ∪ 8-neighborhood (cross-face
+  * wrapping as of r13), and the exact haversine circle test verifies
+  * candidates. Emits one alert row per (event, site) hit.
   *
   * Plan shape (pure streaming, stateless): cell derivation is a
   * map-side projection; the fanned-out site dim is tiny (≤ 9 rows per
@@ -22,13 +22,13 @@ import org.apache.spark.sql.functions._
   * 100 TB/day shape: per-event cost is one trig chain + one broadcast
   * hash probe; the site dim refresh is a batch job swapped in at
   * restart. Coverage contract (same as the batch query, verified there
-  * by the independent oracle): R ≤ the level's minimum cell span and
-  * the geometry stays ≥ one cell inside a face.
+  * by the independent oracle): R ≤ the level's minimum cell span (face
+  * boundaries are covered by the cross-face neighbor wrap).
   */
 object StreamingGeoFence {
 
   /** Site dim → (site, slon, slat, cell) fanned out to the site's cell
-    * and its same-face neighbors at `level`. */
+    * and its 8-neighborhood (cross-face wrapped) at `level`. */
   def fencedSites(sites: DataFrame, level: Int): DataFrame =
     sites
       .withColumn("c0", expr(s"graft_s2_cell(CAST(slon AS DOUBLE), CAST(slat AS DOUBLE), $level)"))
@@ -49,8 +49,11 @@ object StreamingGeoFence {
     stream
       .withColumn("cell", expr(s"graft_s2_cell(CAST(lon AS DOUBLE), CAST(lat AS DOUBLE), $level)"))
       .join(dim, Seq("cell"))
+      // filter on the RAW haversine (the batch twin's exact circle
+      // test); floor() is presentation only on the emitted column —
+      // filtering on the floored value admitted events up to ~1 m past R
+      .filter(expr(dist) <= radiusMeters)
       .withColumn("dist_m", expr(s"CAST(floor($dist) AS BIGINT)"))
-      .filter(col("dist_m") <= radiusMeters)
       .select(col("event_id"), col("ts"), col("site"), col("dist_m"))
   }
 }

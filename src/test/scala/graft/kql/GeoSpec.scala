@@ -189,25 +189,50 @@ class GeoSpec extends SparkSpec {
     assert(one("geo_s2cell_neighbors('f')").isNullAt(0))   // face 7 > 5
   }
 
-  test("s2: neighbors are the same-face 3x3 ring; face corners drop off-face steps") {
-    // interior cell: full 8-ring, all distinct, all same level
+  test("s2: neighbors are the 3x3 ring; face-edge steps wrap; corners report 7") {
+    // interior cell: full 8-ring, all distinct, all same level/face
     val tok = one("geo_point_to_s2cell(2.35, 48.86, 7)").getString(0)
     val nb = one(s"geo_s2cell_neighbors('$tok')").getSeq[String](0)
     assert(nb.size == 8 && nb.distinct.size == 8 && !nb.contains(tok))
     import graft.functions.S2
-    val d0 = S2.decode(org.apache.spark.unsafe.types.UTF8String.fromString(tok))
+    import org.apache.spark.unsafe.types.UTF8String
+    val d0 = S2.decode(UTF8String.fromString(tok))
     nb.foreach { t =>
-      val d = S2.decode(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      val d = S2.decode(UTF8String.fromString(t))
       assert(d(0) == d0(0) && d(3) == d0(3))
       assert(math.abs(d(1) - d0(1)) <= 1 && math.abs(d(2) - d0(2)) <= 1)
     }
-    // face-corner cell (i=j=0 on face 0): only 3 in-face neighbors
-    // survive. The (-1, -1) uv corner of face 0 sits at lon -45,
-    // lat -35.264 (atan2(-1, sqrt(2))) — just inside both.
+    // face-corner cell (i=j=0 on face 0): 3 in-face + 4 wrapped edge
+    // neighbors; the corner-diagonal step has no geometric cell (three
+    // faces meet at a cube corner) and dedupes into an edge wrap → 7.
+    // The (-1, -1) uv corner of face 0 sits at lon -45, lat -35.264.
     val corner = one("geo_point_to_s2cell(-44.9, -35.2, 7)").getString(0)
-    val cd = S2.decode(org.apache.spark.unsafe.types.UTF8String.fromString(corner))
+    val cd = S2.decode(UTF8String.fromString(corner))
     assert(cd(1) == 0 && cd(2) == 0, s"corner cell expected at (0, 0), got $cd")
-    assert(one(s"geo_s2cell_neighbors('$corner')").getSeq[String](0).size == 3)
+    val cnb = one(s"geo_s2cell_neighbors('$corner')").getSeq[String](0)
+    assert(cnb.size == 7 && cnb.distinct.size == 7 && !cnb.contains(corner))
+
+    // face-EDGE (non-corner) cell: full 8, wrapped ones on another
+    // face, and adjacency is RECIPROCAL — each wrapped neighbor lists
+    // this cell among its own neighbors (pins that the cross-face
+    // projection lands in the true edge-adjacent cell, both ways)
+    val edge = one("geo_point_to_s2cell(-44.9, 0.0, 7)").getString(0)
+    val ed = S2.decode(UTF8String.fromString(edge))
+    assert(ed(1) == 0 && ed(2) != 0, s"edge cell expected at i=0, got $ed")
+    val enb = one(s"geo_s2cell_neighbors('$edge')").getSeq[String](0)
+    assert(enb.size == 8 && enb.distinct.size == 8)
+    val wrapped = enb.filter(t =>
+      S2.decode(UTF8String.fromString(t))(0) != ed(0))
+    assert(wrapped.size == 3, s"i=0 row: 3 off-face steps, got $wrapped")
+    wrapped.foreach { t =>
+      val back = one(s"geo_s2cell_neighbors('$t')").getSeq[String](0)
+      assert(back.contains(edge), s"$t must list $edge back (reciprocity)")
+    }
+
+    // NaN coordinates: null token (the guard is an inside-test, so NaN
+    // can't fall through faceUV into a spurious face-5 token)
+    assert(one("geo_point_to_s2cell(sqrt(-1.0), 0.0, 7)").isNullAt(0))
+    assert(one("geo_point_to_s2cell(0.0, sqrt(-1.0), 7)").isNullAt(0))
   }
 
   test("s2: codegen and interpreted eval agree") {

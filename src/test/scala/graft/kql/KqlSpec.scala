@@ -1219,6 +1219,29 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported series function"))
   }
 
+  test("parser: pack_all desugar is quote-aware and escapes column names") {
+    import KqlParser.rewritePackAll
+    // inside a string literal: untouched (old contains+replaceAll broke this)
+    assert(rewritePackAll("x = strcat('pack_all()', y)", Seq("a")) ==
+      "x = strcat('pack_all()', y)")
+    assert(rewritePackAll("b = pack_all()", Seq("a")) == "b = bag_pack('a', `a`)")
+    assert(rewritePackAll("b = pack_all ( )", Seq("a", "k")) ==
+      "b = bag_pack('a', `a`, 'k', `k`)")
+    // identifier-prefix immunity and non-zero-arg passthrough
+    assert(rewritePackAll("b = my_pack_all()", Seq("a")) == "b = my_pack_all()")
+    assert(rewritePackAll("b = pack_all(true)", Seq("a")) == "b = pack_all(true)")
+    // a column name containing a quote embeds doubled
+    assert(rewritePackAll("b = pack_all()", Seq("o'k")) ==
+      "b = bag_pack('o''k', `o'k`)")
+    // end-to-end: the literal survives to the output, the bag is real
+    val reg = Map("T" -> Seq((1L, 2L)).toDF("a", "k"))
+    val r = KqlParser.run(
+      "T | extend s = strcat('pack_all()', tostring(a)), bag = pack_all() " +
+        "| project s, j = tostring(bag)", reg).head()
+    assert(r.getString(0) == "pack_all()1")
+    assert(r.getString(1).contains("\"a\":1") && r.getString(1).contains("\"k\":2"))
+  }
+
   test("parser: series unary tier — abs/exp/log/sign/floor/ceiling/round/pow") {
     val reg = Map("T" -> Seq(
       Tuple1(Seq(-1.5, -0.5, 0.0, 0.5, 2.5))).toDF("a"))
