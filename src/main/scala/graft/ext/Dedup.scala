@@ -142,6 +142,39 @@ object Dedup {
     pairsFromBands(bands, minhashWords(Tables.documents(spark, sfDir)), threshold)
   }
 
+  /** [[minhashPairsBucketed]]'s INCREMENTAL maintenance path (r12
+    * verdict: the served band table was a full rewrite per corpus
+    * change; a 100 TB ingest APPENDS). Exactness argument, same shape
+    * as `search_index_delta`'s: the band relation is per-doc (shingle →
+    * minhash → band keys, no cross-doc state), so bands(base ∪ batch)
+    * = bands(base) ∪ bands(batch) — appending the new batch's bands
+    * under the SAME bucketBy spec (saveAsTable append re-buckets the
+    * new files into the same layout) yields a table row-identical to
+    * the full rebuild, and the candidate self-join + Jaccard verify
+    * over it reproduces [[minhashPairs]] bit-for-bit (oracle reused
+    * verbatim). The appended buckets hold >1 file, so Spark drops the
+    * per-bucket SORT guarantee but keeps the hash-clustering — the
+    * self-join still plans with zero Exchange (DeltaServeSpec pins
+    * plan + equivalence). Registered split: every 5th doc arrives as
+    * the append batch; the batch pass scans only those docs. */
+  def minhashPairsDelta(spark: SparkSession, sfDir: String,
+                        threshold: Double = 0.9): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bands = graft.Memo.cached(spark, sfDir, "minhash_bands_delta") {
+      val table = "graft_bands_delta_" + graft.Memo.pathDigest(sfDir)
+      graft.Memo.prepareServedTable(spark, table)
+      def write(batch: DataFrame, mode: String): Unit =
+        bandKeys(batch).write
+          .bucketBy(8, "lang", "band_idx", "band_key")
+          .sortBy("lang", "band_idx", "band_key")
+          .mode(mode).saveAsTable(table)
+      write(docs.filter(col("doc_id") % 5 =!= 0), "overwrite")
+      write(docs.filter(col("doc_id") % 5 === 0), "append")
+      spark.table(table)
+    }
+    pairsFromBands(bands, minhashWords(docs), threshold)
+  }
+
   /** [[minhashPairs]] over an explicit documents frame (doc_id, text,
     * lang) — the operator body, exposed so tests can run the identical
     * banded pipeline over adversarial corpora (SkewSpec plants a hot
@@ -1089,6 +1122,7 @@ object Dedup {
     "dedup_rate_by_source" -> dupRateBySource _,
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
     "dedup_minhash_lsh_bucketed" -> ((s: SparkSession, d: String) => minhashPairsBucketed(s, d)),
+    "dedup_bands_delta" -> ((s: SparkSession, d: String) => minhashPairsDelta(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_clusters" -> dedupClusters _,
     "dedup_ngram_jaccard" -> ngramJaccardPairs _,
@@ -1271,6 +1305,11 @@ object Dedup {
     // same oracle verbatim: the bucketed band layout must change the
     // PLAN (zero-exchange self-join), never the answer.
     "dedup_minhash_lsh_bucketed" ->
+      s"""WITH $minhashOracleCte
+         |SELECT doc_a, doc_b, jac FROM jacp""".stripMargin,
+    // and verbatim again for the delta-append path: base-write +
+    // batch-append must be row-identical to the full rebuild.
+    "dedup_bands_delta" ->
       s"""WITH $minhashOracleCte
          |SELECT doc_a, doc_b, jac FROM jacp""".stripMargin,
     // quality_u mirrors qualityScoresOn's exact integer micro-score —

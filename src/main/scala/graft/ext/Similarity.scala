@@ -153,24 +153,72 @@ object Similarity {
     * BucketedServeSpec pins the DPP subquery on the physical plan. */
   def ivfTopKPartitioned(spark: SparkSession, sfDir: String, nprobe: Int = 2,
                          k: Int = 3): DataFrame = {
-    val e = vecs(spark, sfDir)
-    val cents = broadcast(trainedCentroids(spark, sfDir, 16))
-    val scored = e.join(cents)
-      .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
-    val wAsg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
     val served = graft.Memo.cached(spark, sfDir, "ivf_assign_partitioned") {
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-      val dir = wh + "/graft_ivf_assign_" +
-        graft.Memo.pathDigest(sfDir)
-      scored.withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
-          col("norm").as("cn2"), col("cent_id").cast("int").as("cent_id"))
+      val dir = servedDir(spark, "graft_ivf_assign_", sfDir)
+      ivfAssignment(spark, sfDir)
         .write.partitionBy("cent_id").mode("overwrite").parquet(dir)
       spark.read.parquet(dir)
     }
-    val probes = scored.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    ivfProbeServe(spark, sfDir, served, nprobe, k)
+  }
+
+  /** [[ivfTopKPartitioned]]'s INCREMENTAL maintenance path (r12 verdict:
+    * the served layouts were full rewrites; a 100 TB deployment
+    * APPENDS). Exactness argument, same shape as the inverted index's
+    * `search_index_delta` proof: nearest-centroid assignment under a
+    * FIXED codebook is per-row, so assignment(base ∪ batch) =
+    * assignment(base) ∪ assignment(batch) — appending the new batch's
+    * assignments under the same partitionBy(cent_id) spec is a
+    * per-partition file insert whose merged table is row-identical to
+    * the full rebuild, and the probe top-k over it reproduces
+    * [[ivfTopK]] bit-for-bit (the oracle IS the full formulation,
+    * reused verbatim). 100 TB shape: the append pass scans only the
+    * new batch (one broadcast-codebook map-side assignment), touches
+    * only the nprobe·batch-fraction partitions it lands in, and the
+    * probe join still reaches the merged table through dynamic
+    * partition pruning (DeltaServeSpec pins plan + equivalence).
+    * Registered split: every 5th vector arrives as the append batch. */
+  def ivfDelta(spark: SparkSession, sfDir: String, nprobe: Int = 2,
+               k: Int = 3): DataFrame = {
+    val served = graft.Memo.cached(spark, sfDir, "ivf_assign_delta") {
+      val dir = servedDir(spark, "graft_ivf_delta_", sfDir)
+      val asg = ivfAssignment(spark, sfDir)
+      asg.filter(col("cand_id") % 5 =!= 0)
+        .write.partitionBy("cent_id").mode("overwrite").parquet(dir)
+      asg.filter(col("cand_id") % 5 === 0)
+        .write.partitionBy("cent_id").mode("append").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    ivfProbeServe(spark, sfDir, served, nprobe, k)
+  }
+
+  private def servedDir(spark: SparkSession, prefix: String, sfDir: String): String =
+    spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" +
+      prefix + graft.Memo.pathDigest(sfDir)
+
+  /** The full corpus→nearest-centroid assignment relation
+    * (cand_id, cv2, cn2, cent_id) — the write-time layout's content. */
+  private[ext] def ivfAssignment(spark: SparkSession, sfDir: String): DataFrame = {
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    ivfScored(spark, sfDir).withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+        col("norm").as("cn2"), col("cent_id").cast("int").as("cent_id"))
+  }
+
+  private def ivfScored(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir).join(broadcast(trainedCentroids(spark, sfDir, 16)))
+      .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
+
+  /** The probe-side top-k over a SERVED assignment table — the tail
+    * [[ivfTopKPartitioned]] and [[ivfDelta]] share. */
+  private[ext] def ivfProbeServe(spark: SparkSession, sfDir: String,
+                                 served: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = ivfScored(spark, sfDir)
+      .filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .withColumn("rn", row_number().over(wAsg))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id").cast("int").as("cent_id"),
@@ -691,6 +739,7 @@ object Similarity {
     "sim_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_ivf_topk_partitioned" -> ((s: SparkSession, d: String) => ivfTopKPartitioned(s, d)),
+    "sim_ivf_delta" -> ((s: SparkSession, d: String) => ivfDelta(s, d)),
     "sim_ivf_train_step" -> ((s: SparkSession, d: String) => ivfTrainStep(s, d)),
     "sim_ivf_train" -> ((s: SparkSession, d: String) => ivfTrain(s, d)),
   )
@@ -826,8 +875,11 @@ object Similarity {
   val oracleSql: Map[String, String] = {
     val base = oracleSqlBase
     // the partitioned-serving variant must change the PLAN (pruned
-    // probe scan), never the answer — oracle reused verbatim.
-    base + ("sim_ivf_topk_partitioned" -> base("sim_ivf_topk"))
+    // probe scan), never the answer — oracle reused verbatim. Same for
+    // the delta-append path: base-write + batch-append must be
+    // row-identical to the full rebuild.
+    base + ("sim_ivf_topk_partitioned" -> base("sim_ivf_topk")) +
+      ("sim_ivf_delta" -> base("sim_ivf_topk"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
