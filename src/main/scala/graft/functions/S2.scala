@@ -188,6 +188,122 @@ object S2 {
     cellValue(f2, ijFromST(stFromUV(u2), level), ijFromST(stFromUV(v2), level), level)
   }
 
+  /** Cell cover of a planar-lon/lat GeoJSON ring at `level` (r12
+    * verdict item 6 — the polygon side of the cell-join backbone).
+    * Semantics match the repo's polygon tier: the ring is PLANAR in
+    * lon/lat (straight edges, even-odd interior — the same convention
+    * as geo_point_in_polygon, so cover and verify agree), holes
+    * unsupported, rings crossing the antimeridian rejected loudly.
+    *
+    * Construction (complete by design, conservatively over-covering —
+    * a candidate cell with no interior point only costs the verify
+    * stage a false candidate, while a MISSED cell would silently drop
+    * join hits):
+    *  1. boundary: each edge is sampled at ≤ `step` spacing per axis
+    *     and each sample's 3×3 cell ring is added;
+    *  2. interior: a bbox lattice at `step` spacing, even-odd-tested,
+    *     each inside point's 3×3 ring added.
+    * With step = 1/4 of the minimum cell extent at `level` (min uv
+    * derivative of the quadratic ST transform is 4/3 at the face
+    * center, so min angular extent ≥ (2/3)/2^level rad; extents in
+    * lon/lat DEGREES are ≥ angular extents), every cell holding an
+    * interior point either touches the boundary (then it holds a
+    * boundary point within `step` of an edge sample, so it is in that
+    * sample's 3×3 ring) or lies entirely inside (then its inscribed
+    * span ≥ 2·step contains a lattice point). Off-face samples wrap
+    * via [[wrapCell]], so covers may span faces. GeoSpec pins
+    * completeness empirically against dense random interior points.
+    *
+    * Cost is (bbox area / step²) point tests — dim-side work for fence
+    * literals (the registered join has ONE polygon row); the lattice
+    * is capped at 2M points and rejects loudly beyond. */
+  def polygonCover(ring: ArrayData, level: Int): ArrayData = {
+    if (ring == null || level < 0 || level > MaxLevel) return null
+    val n = ring.numElements()
+    if (n < 4) return null
+    val lons = new Array[Double](n)
+    val lats = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = ring.getArray(i)
+      if (v == null || v.numElements() < 2) return null
+      lons(i) = v.getDouble(0); lats(i) = v.getDouble(1)
+      if (!(lons(i) >= -180.0 && lons(i) <= 180.0) ||
+          !(lats(i) >= -90.0 && lats(i) <= 90.0)) return null
+      i += 1
+    }
+    val minLon = lons.min; val maxLon = lons.max
+    val minLat = lats.min; val maxLat = lats.max
+    require(maxLon - minLon <= 180.0,
+      "geo_polygon_to_s2cells: rings crossing the antimeridian are unsupported")
+    val step = math.toDegrees(2.0 / 3.0) / (1L << level).toDouble / 4.0
+    val nLon = math.ceil((maxLon - minLon) / step).toLong + 1
+    val nLat = math.ceil((maxLat - minLat) / step).toLong + 1
+    require(nLon * nLat <= 2000000L,
+      s"geo_polygon_to_s2cells: cover lattice ${nLon}x$nLat exceeds 2M points " +
+        "— use a coarser level or a smaller ring")
+    // even-odd ray cast, same crossing test as geo_point_in_polygon
+    def inside(px: Double, py: Double): Boolean = {
+      var c = false; var e = 0
+      while (e < n - 1) {
+        val (x1, y1, x2, y2) = (lons(e), lats(e), lons(e + 1), lats(e + 1))
+        if ((y1 > py) != (y2 > py) &&
+            px < x1 + (x2 - x1) * (py - y1) / (y2 - y1)) c = !c
+        e += 1
+      }
+      c
+    }
+    val cells = new java.util.TreeSet[java.lang.Long]()
+    def add3x3(lon: Double, lat: Double): Unit = {
+      val (face, u, v) = faceUV(lon, lat)
+      val ci = ijFromST(stFromUV(u), level)
+      val cj = ijFromST(stFromUV(v), level)
+      var dj = -1
+      while (dj <= 1) {
+        var di = -1
+        while (di <= 1) {
+          cells.add(wrapCell(face, ci + di, cj + dj, level)): Unit
+          di += 1
+        }
+        dj += 1
+      }
+    }
+    // 1. boundary samples
+    var e = 0
+    while (e < n - 1) {
+      val span = math.max(math.abs(lons(e + 1) - lons(e)),
+        math.abs(lats(e + 1) - lats(e)))
+      val k = math.max(1, math.ceil(span / step).toInt)
+      var s = 0
+      while (s <= k) {
+        val t = s.toDouble / k
+        add3x3(lons(e) + (lons(e + 1) - lons(e)) * t,
+          lats(e) + (lats(e + 1) - lats(e)) * t)
+        s += 1
+      }
+      e += 1
+    }
+    // 2. interior lattice
+    var li = 0L
+    while (li < nLat) {
+      val lat = math.min(maxLat, minLat + li * step)
+      var lj = 0L
+      while (lj < nLon) {
+        val lon = math.min(maxLon, minLon + lj * step)
+        if (inside(lon, lat)) add3x3(lon, lat)
+        lj += 1
+      }
+      li += 1
+    }
+    val out = new Array[Any](cells.size())
+    val it = cells.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = UTF8String.fromString(java.lang.Long.toHexString(it.next())); o += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 8-neighborhood tokens, dj slow (S→N) then di fast (W→E in face
     * coordinates) — mirrors the geohash neighbor order; off-face steps
     * wrap onto the adjacent face via [[wrapCell]]. Distinct, self
@@ -280,6 +396,41 @@ case class S2CellCenter(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** `graft_s2_polygon_cover(ring, level)` → sorted cell-cover tokens of
+  * a planar GeoJSON outer ring (array<array<double>>) at `level` —
+  * see [[S2.polygonCover]] for construction and completeness. Dim-side
+  * by design: cost scales with ring bbox / cell size². */
+case class S2PolygonCover(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }) && right.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_s2_polygon_cover expects (array<array<double>>, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_s2_polygon_cover"
+
+  override def nullSafeEval(ring: Any, lvl: Any): Any =
+    S2.polygonCover(ring.asInstanceOf[ArrayData], lvl.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ring, lvl) => {
+      s"""
+         |${ev.value} = graft.functions.S2.polygonCover($ring, $lvl);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** `graft_s2_neighbors(token)` → same-face 8-neighborhood tokens. */

@@ -4057,7 +4057,7 @@ object KqlParser {
               "geo_geohash_neighbors", "geo_point_in_polygon",
               "geo_polygon_area",
               "geo_point_to_s2cell", "geo_s2cell_to_central_point",
-              "geo_s2cell_neighbors",
+              "geo_s2cell_neighbors", "geo_polygon_to_s2cells",
               "totimespan", "make_timespan", "format_timespan",
               "datetime_part", "make_datetime",
               "unixtime_seconds_todatetime", "unixtime_milliseconds_todatetime",
@@ -4944,6 +4944,20 @@ object KqlParser {
                 require(args.length == 3,
                   "geo_point_in_polygon expects (lon, lat, polygon)")
                 out.append(geoPointInPolygonSql(args(0), args(1), args(2)))
+              case "geo_polygon_to_s2cells" =>
+                // ADX geo_polygon_to_s2cells(polygon[, level]) → the
+                // cell-cover token array of the OUTER ring (holes
+                // unsupported, same planar even-odd convention as
+                // geo_point_in_polygon so cover and verify agree; see
+                // S2.polygonCover for the completeness construction).
+                // ADX's default level heuristic is replaced by a fixed
+                // default 11 (geo_point_to_s2cell's default here).
+                require(args.length == 1 || args.length == 2,
+                  "geo_polygon_to_s2cells expects (polygon [, level])")
+                val lvl = if (args.length == 2) args(1) else "11"
+                out.append(s"graft_s2_polygon_cover(try_cast(variant_get(" +
+                  s"${args(0)}, '$$.coordinates[0]') AS ARRAY<ARRAY<DOUBLE>>), " +
+                  s"CAST(($lvl) AS INT))")
               case "geo_polygon_area" =>
                 // ADX geo_polygon_area(polygon) → m². DEVIATION
                 // (documented): equirectangular-projected planar

@@ -888,6 +888,30 @@ object ReferenceQueries {
       || summarize n_inside = countif(inside), n = count() by city
       || sort by city asc""".stripMargin
 
+  /** r13 `geo_polygon_to_s2cells` + polygon-fence cell join (r12
+    * verdict item 6 — the geo story beyond point-radius): the
+    * NON-CONVEX dent ring from [[kqlGeoPolygonText]] fans out to its
+    * level-7 cell cover (boundary-sampled + interior-lattice,
+    * complete by construction — see [[graft.functions.S2.polygonCover]]),
+    * points key by their cell, the equi-join proposes candidates, and
+    * the exact even-odd test verifies. The oracle is the INDEPENDENT
+    * all-points even-odd formulation — zero cell arithmetic — so a
+    * cover miss (a dropped interior cell) fails the compare. */
+  val kqlGeoPolygonJoinText: String =
+    """let poly = parse_json('{"type":"Polygon","coordinates":[[[-5.0,45.0],[5.0,43.0],[12.0,50.0],[0.0,47.5],[-8.0,52.0],[-5.0,45.0]]]}');
+      |Orders
+      || extend lon = todouble(orderid % 4000) / 100.0 - 20.0, lat = 40.0 + todouble(custid % 1000) / 50.0
+      || extend cell = geo_point_to_s2cell(lon, lat, 7)
+      || join kind=inner (
+      |    datatable(fence:string)['dent']
+      |    | extend cells = geo_polygon_to_s2cells(poly, 7)
+      |    | mv-expand cell = cells to typeof(string)
+      |  ) on cell
+      || where geo_point_in_polygon(lon, lat, poly)
+      || summarize n = count(), lon_min_u = min(tolong(floor(lon * 1000000.0, 1))),
+      |            lat_max_u = max(tolong(floor(lat * 1000000.0, 1))) by city
+      || sort by city asc""".stripMargin
+
   /** r11 `series_seasonal` — per-phase mean minus the series mean over
     * a 28-day axis (4 whole weeks, so phases balance and the component
     * zero-sums), weekly period 7. Exact integer phase sums; two
@@ -1381,6 +1405,7 @@ object ReferenceQueries {
     "kql_geo_s2_join" -> kqlText(kqlGeoS2JoinText) _,
     "kql_geo_join" -> kqlText(kqlGeoJoinText) _,
     "kql_geo_polygon" -> kqlText(kqlGeoPolygonText) _,
+    "kql_geo_polygon_join" -> kqlText(kqlGeoPolygonJoinText) _,
     "kql_geo_area" -> kqlText(kqlGeoAreaText) _,
     "kql_parse_ua" -> kqlText(kqlParseUaText) _,
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
@@ -1916,6 +1941,29 @@ object ReferenceQueries {
          |SELECT city, CAST(COUNT(*) FILTER (WHERE inside) AS BIGINT) AS n_inside,
          |  CAST(COUNT(*) AS BIGINT) AS n
          |FROM cr GROUP BY city ORDER BY city ASC""".stripMargin,
+    // the INDEPENDENT even-odd formulation over ALL points — no cell
+    // arithmetic at all, so an incomplete polygon cell cover (a missed
+    // interior cell dropping join hits) fails this compare.
+    "kql_geo_polygon_join" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, city, CAST(orderid % 4000 AS DOUBLE) / 100.0 - 20.0 AS lon,
+         |    40.0 + CAST(custid % 1000 AS DOUBLE) / 50.0 AS lat
+         |  FROM orders_info),
+         |edges AS (
+         |  SELECT * FROM (VALUES
+         |    (-5.0, 45.0, 5.0, 43.0), (5.0, 43.0, 12.0, 50.0),
+         |    (12.0, 50.0, 0.0, 47.5), (0.0, 47.5, -8.0, 52.0),
+         |    (-8.0, 52.0, -5.0, 45.0)) AS e(x1, y1, x2, y2)),
+         |cr AS (
+         |  SELECT p.orderid, p.city, p.lon, p.lat,
+         |    COUNT(*) FILTER (WHERE ((y1 > lat) <> (y2 > lat))
+         |      AND lon < x1 + (x2 - x1) * (lat - y1) / (y2 - y1)) % 2 = 1 AS inside
+         |  FROM pts p CROSS JOIN edges GROUP BY 1, 2, 3, 4)
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(floor(MIN(lon) * 1000000.0) AS BIGINT) AS lon_min_u,
+         |  CAST(floor(MAX(lat) * 1000000.0) AS BIGINT) AS lat_max_u
+         |FROM cr WHERE inside GROUP BY city ORDER BY city ASC""".stripMargin,
     // mirrors parseUserAgentSql's ordered cascade; nullif pins the
     // no-match/non-participating-group rendering on both engines.
     "kql_parse_ua" ->

@@ -73,6 +73,7 @@ class FunctionsSpec extends SparkSpec {
     // injection is validated end-to-end by the registered-path tests
     // above; here we assert the injector covers the full surface
     assert(GraftFunctions.all.map(_._1).toSet == Set("graft_dot", "graft_topk",
-      "graft_s2_cell", "graft_s2_center", "graft_s2_neighbors"))
+      "graft_s2_cell", "graft_s2_center", "graft_s2_neighbors",
+      "graft_s2_polygon_cover"))
   }
 }

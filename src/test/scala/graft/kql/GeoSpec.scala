@@ -235,6 +235,81 @@ class GeoSpec extends SparkSpec {
     assert(one("geo_point_to_s2cell(0.0, sqrt(-1.0), 7)").isNullAt(0))
   }
 
+  test("s2: polygon cover is complete over dense pseudo-random interior points") {
+    import graft.functions.S2
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // the non-convex dent ring the registered join uses
+    val ring = Array(
+      Array(-5.0, 45.0), Array(5.0, 43.0), Array(12.0, 50.0),
+      Array(0.0, 47.5), Array(-8.0, 52.0), Array(-5.0, 45.0))
+    val ad = new GenericArrayData(
+      ring.map(p => new GenericArrayData(p.map(_.asInstanceOf[Any])): Any))
+    val cover = S2.polygonCover(ad, 7)
+    assert(cover != null && cover.numElements() > 50)
+    val tokens = (0 until cover.numElements())
+      .map(i => cover.getUTF8String(i).toString).toSet
+    assert(tokens.size == cover.numElements(), "cover tokens distinct")
+    // even-odd, same convention as the engine
+    def inside(px: Double, py: Double): Boolean = {
+      var c = false
+      for (e <- 0 until ring.length - 1) {
+        val (x1, y1) = (ring(e)(0), ring(e)(1))
+        val (x2, y2) = (ring(e + 1)(0), ring(e + 1)(1))
+        if ((y1 > py) != (y2 > py) && px < x1 + (x2 - x1) * (py - y1) / (y2 - y1))
+          c = !c
+      }
+      c
+    }
+    // a deterministic low-discrepancy sweep of the bbox: every interior
+    // point's cell must be in the cover (completeness — the property a
+    // missed cell would break, silently dropping join hits)
+    var checked = 0
+    var g = 1234567L
+    for (_ <- 1 to 20000) {
+      g = (g * 6364136223846793005L + 1442695040888963407L)
+      val fx = ((g >>> 11).toDouble / (1L << 53).toDouble)
+      g = (g * 6364136223846793005L + 1442695040888963407L)
+      val fy = ((g >>> 11).toDouble / (1L << 53).toDouble)
+      val lon = -8.0 + 20.0 * fx
+      val lat = 43.0 + 9.0 * fy
+      if (inside(lon, lat)) {
+        checked += 1
+        val tok = S2.cellToken(lon, lat, 7).toString
+        assert(tokens.contains(tok),
+          s"interior point ($lon, $lat) cell $tok missing from cover")
+      }
+    }
+    assert(checked > 3000, s"sweep must actually hit the interior, got $checked")
+    // malformed: short ring, bad coordinates, antimeridian crossing
+    val shortRing = new GenericArrayData(ring.take(3)
+      .map(p => new GenericArrayData(p.map(_.asInstanceOf[Any])): Any))
+    assert(S2.polygonCover(shortRing, 7) == null)
+    val badRing = new GenericArrayData(Array[Any](
+      new GenericArrayData(Array[Any](200.0, 0.0)),
+      new GenericArrayData(Array[Any](0.0, 0.0)),
+      new GenericArrayData(Array[Any](1.0, 1.0)),
+      new GenericArrayData(Array[Any](200.0, 0.0))))
+    assert(S2.polygonCover(badRing, 7) == null)
+    val amRing = new GenericArrayData(Array[Any](
+      new GenericArrayData(Array[Any](-179.0, 0.0)),
+      new GenericArrayData(Array[Any](179.0, 0.0)),
+      new GenericArrayData(Array[Any](179.0, 1.0)),
+      new GenericArrayData(Array[Any](-179.0, 0.0))))
+    assert(intercept[IllegalArgumentException] {
+      S2.polygonCover(amRing, 7)
+    }.getMessage.contains("antimeridian"))
+  }
+
+  test("s2: geo_polygon_to_s2cells through the text front-end; default level 11") {
+    val ringJson =
+      """'{"type":"Polygon","coordinates":[[[-1.0,-1.0],[1.0,-1.0],[1.0,1.0],[-1.0,1.0],[-1.0,-1.0]]]}'"""
+    val r = one(s"tolong(array_length(geo_polygon_to_s2cells(parse_json($ringJson), 7)))")
+    assert(r.getLong(0) > 8, "a 2x2 degree ring at level 7 covers multiple cells")
+    // default level is 11 → strictly more, finer cells
+    val r11 = one(s"tolong(array_length(geo_polygon_to_s2cells(parse_json($ringJson))))")
+    assert(r11.getLong(0) > r.getLong(0))
+  }
+
   test("s2: codegen and interpreted eval agree") {
     import graft.functions.S2
     import org.apache.spark.unsafe.types.UTF8String
