@@ -148,6 +148,40 @@ object CdcQueries {
       keyCol = coalesce(col("payload.after.orderid"), col("payload.before.orderid")),
       orderCol = col("payload.source.lsn"))
 
+  /** q: the CDC→serving handoff END-TO-END (r12 verdict item 7 — the
+    * engine's two halves previously met only in specs): the SAME mixed
+    * envelope log as [[latestState]] replays through the STREAMING
+    * path — file-source stream → [[graft.streaming.StatefulLatestState]]
+    * (flatMapGroupsWithState upserts, Update mode) →
+    * [[graft.streaming.Sinks.upsertByKey]] versioned MERGE table
+    * (Trigger.AvailableNow; per-batch-id overwrite = exactly-once on
+    * at-least-once delivery) — and the final snapshot is COMPACTED
+    * into a bucketed serving table (bucketBy the upsert key, the
+    * Memo/prepareServedTable seam every served layout uses). The
+    * registered query reads the bucketed table; the oracle is
+    * [[latestState]]'s, reused verbatim — ingest → layout → query
+    * proven as one path. ServingHandoffSpec pins stream ≡ batch and
+    * the zero-Exchange bucketed scan on an orderid aggregate. */
+  def latestServed(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = "graft_latest_" + graft.Memo.pathDigest(sfDir)
+    graft.Memo.cached(spark, sfDir, "cdc_latest_served") {
+      graft.Memo.prepareServedTable(spark, table)
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_cdc_serve").toString
+      eventLog(spark, sfDir).write.parquet(s"$scratch/input")
+      val stream = spark.readStream.schema("value STRING")
+        .parquet(s"$scratch/input")
+      val q = graft.streaming.Materializer.startUpsert(stream,
+        tablePath = s"$scratch/upsert", checkpointPath = s"$scratch/ck",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      graft.streaming.Sinks.readLatest(spark, s"$scratch/upsert")
+        .write.bucketBy(8, "orderid").sortBy("orderid")
+        .mode("overwrite").saveAsTable(table)
+      spark.table(table)
+    }.select(col("orderid"), col("custid"), col("amount"), col("city"))
+  }
+
   /** q: per-op event counts over the mixed log (op router coverage,
     * README.md:288). */
   def opCounts(spark: SparkSession, sfDir: String): DataFrame =
@@ -223,6 +257,7 @@ object CdcQueries {
     "cdc_unwrap_sink" -> unwrapSink _,
     "cdc_unwrap_mixed" -> unwrapMixed _,
     "cdc_latest_state" -> latestState _,
+    "cdc_latest_served" -> latestServed _,
     "cdc_op_counts" -> opCounts _,
     "cdc_snapshot_handoff" -> snapshotHandoff _,
     "cdc_json_mapping" -> jsonPathMapping _,
@@ -248,6 +283,15 @@ object CdcQueries {
          |UNION ALL
          |SELECT orderid, custid, amount, city FROM orders_info WHERE orderid % 13 = 0""".stripMargin,
     "cdc_latest_state" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid, custid,
+         |       CAST(CASE WHEN orderid % 10 = 0 THEN amount + 7 ELSE amount END AS INTEGER) AS amount,
+         |       city
+         |FROM orders_info WHERE orderid % 17 <> 0""".stripMargin,
+    // the streaming-materialized serving table must change HOW the
+    // state is produced (stateful stream → MERGE sink → bucketed
+    // compaction), never WHAT it is — oracle reused verbatim.
+    "cdc_latest_served" ->
       s"""${Sql.ordersInfoCte}
          |SELECT orderid, custid,
          |       CAST(CASE WHEN orderid % 10 = 0 THEN amount + 7 ELSE amount END AS INTEGER) AS amount,
