@@ -4176,12 +4176,19 @@ object KqlParser {
                     }
                     out.append(s"transform(${args(0)}, $lam)")
                   case "series_pow" =>
-                    // elementwise x^y of two equal-length series (ADX
-                    // also broadcasts scalars; series-series only here —
-                    // wrap a constant exponent via the binary tier's
-                    // literal broadcast if needed)
-                    require(args.length == 2, "series_pow expects (series, series)")
-                    out.append(s"zip_with(${args(0)}, ${args(1)}, (x, y) -> power(x, y))")
+                    // elementwise x^y of two equal-length series, with
+                    // the same numeric-literal broadcast as the binary
+                    // arithmetic tier (a constant exponent/base is the
+                    // common dashboard form)
+                    require(args.length == 2, "series_pow expects (series, series|number)")
+                    def powLit(a: String): Boolean =
+                      a.matches("-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?")
+                    out.append(
+                      if (powLit(args(1)))
+                        s"transform(${args(0)}, x -> power(x, ${args(1)}))"
+                      else if (powLit(args(0)))
+                        s"transform(${args(1)}, y -> power(${args(0)}, y))"
+                      else s"zip_with(${args(0)}, ${args(1)}, (x, y) -> power(x, y))")
                   case "series_greater" | "series_greater_equals" | "series_less" |
                        "series_less_equals" | "series_equals" | "series_not_equals" =>
                     // r13: the elementwise comparison tier — boolean

@@ -1282,6 +1282,12 @@ class KqlSpec extends SparkSpec {
     // numeric-literal broadcast on either side
     assert(out.getSeq[Double](6) == Seq(3.0, 11.0, 7.0))
     assert(out.getSeq[Double](7) == Seq(9.0, 5.0, 7.0))
+    // series_pow broadcasts literals too: a^2 and 2^a
+    val powed = KqlParser.run(
+      "T | extend sq = series_pow(a, 2), ex2 = series_pow(2, a) | project sq, ex2",
+      reg).collect().head
+    assert(powed.getSeq[Double](0) == Seq(1.0, 25.0, 9.0))
+    assert(powed.getSeq[Double](1) == Seq(2.0, 32.0, 8.0))
 
     // null elements: unary maps null→null, comparisons are null-strict;
     // empty series stay empty

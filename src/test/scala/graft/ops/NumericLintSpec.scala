@@ -76,6 +76,7 @@ class NumericLintSpec extends AnyFunSuite {
     "sim_lsh_topk" -> "float cosine: irrational norms, mirrored folds",
     "sim_ivf_topk" -> "float cosine: irrational norms, mirrored folds",
     "sim_ivf_topk_partitioned" -> "float cosine: irrational norms, mirrored folds",
+    "sim_ivf_delta" -> "float cosine: irrational norms, mirrored folds",
     "sim_ivf_train" -> "member means: long-repr floats, mirrored folds",
     "sim_ivf_train_step" -> "member means: long-repr floats, mirrored folds",
     "sim_ivfpq_topk" -> "ADC sums: decimal-exact terms, mirrored folds",

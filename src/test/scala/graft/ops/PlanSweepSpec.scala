@@ -29,6 +29,7 @@ class PlanSweepSpec extends SparkSpec {
     "sim_dim_truncation", // three brute-force sweeps: broadcast 10-query × corpus non-equi scoring, same class as sim_topk_brute
     "sim_ivf_topk", "sim_ivf_train_step",
     "sim_ivf_topk_partitioned", // inherits ivfTopK's corpus × 16-centroid broadcast assignment pass; the serve join itself is an equi-join on the DPP-pruned cent_id
+    "sim_ivf_delta", // same shape as sim_ivf_topk_partitioned: the broadcast assignment pass feeds the probe side; the serve join is the same DPP-pruned equi-join over the appended layout
     "join_tpch_q22", // corpus × 1-row positive-balance avg broadcast (the scalar-subquery shape), text_vocab_coverage's class
     "sim_ivfpq_topk", // IVFADC: corpus × 16-centroid coarse assignment + residual × 16-codeword PQ encode (both broadcast codebooks); the ADC serve stage equi-joins on (cent_id, s, code_id)
     "sim_ivf_train", // the same Lloyd assignment pass, iterated (corpus × k-centroid broadcast per step)
