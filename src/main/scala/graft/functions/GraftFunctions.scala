@@ -22,6 +22,7 @@ object GraftFunctions {
     "graft_s2_center" -> (e => S2CellCenter(e(0))),
     "graft_s2_neighbors" -> (e => S2CellNeighbors(e(0))),
     "graft_s2_polygon_cover" -> (e => S2PolygonCover(e(0), e(1))),
+    "graft_s2_line_cover" -> (e => S2LineCover(e(0), e(1))),
   )
 
   def register(spark: SparkSession): Unit =

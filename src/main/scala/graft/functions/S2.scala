@@ -188,6 +188,86 @@ object S2 {
     cellValue(f2, ijFromST(stFromUV(u2), level), ijFromST(stFromUV(v2), level), level)
   }
 
+  /** Add the 3×3 cell ring around (lon, lat)'s cell (cross-face wrap). */
+  private def add3x3Into(cells: java.util.TreeSet[java.lang.Long],
+                         lon: Double, lat: Double, level: Int): Unit = {
+    val (face, u, v) = faceUV(lon, lat)
+    val ci = ijFromST(stFromUV(u), level)
+    val cj = ijFromST(stFromUV(v), level)
+    var dj = -1
+    while (dj <= 1) {
+      var di = -1
+      while (di <= 1) {
+        cells.add(wrapCell(face, ci + di, cj + dj, level)): Unit
+        di += 1
+      }
+      dj += 1
+    }
+  }
+
+  /** Sample every polyline edge at ≤ `step` per-axis spacing, adding
+    * each sample's 3×3 ring — the boundary half of [[polygonCover]],
+    * and the whole of [[lineCover]]. */
+  private def sampleEdges3x3(cells: java.util.TreeSet[java.lang.Long],
+                             lons: Array[Double], lats: Array[Double],
+                             level: Int, step: Double): Unit = {
+    var e = 0
+    while (e < lons.length - 1) {
+      val span = math.max(math.abs(lons(e + 1) - lons(e)),
+        math.abs(lats(e + 1) - lats(e)))
+      val k = math.max(1, math.ceil(span / step).toInt)
+      var s = 0
+      while (s <= k) {
+        val t = s.toDouble / k
+        add3x3Into(cells, lons(e) + (lons(e + 1) - lons(e)) * t,
+          lats(e) + (lats(e + 1) - lats(e)) * t, level)
+        s += 1
+      }
+      e += 1
+    }
+  }
+
+  private def tokensOf(cells: java.util.TreeSet[java.lang.Long]): ArrayData = {
+    val out = new Array[Any](cells.size())
+    val it = cells.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = UTF8String.fromString(java.lang.Long.toHexString(it.next())); o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Cell cover of a planar-lon/lat GeoJSON LineString at `level` —
+    * the route/corridor side of the cell-join backbone. Every cell the
+    * polyline passes through is covered: samples at ≤ ¼ min cell
+    * extent per axis, each adding its 3×3 ring (same completeness
+    * argument as [[polygonCover]]'s boundary half — a cell touching
+    * the line holds a line point within `step` of a sample, so it is
+    * in that sample's ring). ≥ 2 vertices; same validity/antimeridian
+    * rules as the polygon cover. */
+  def lineCover(line: ArrayData, level: Int): ArrayData = {
+    if (line == null || level < 0 || level > MaxLevel) return null
+    val n = line.numElements()
+    if (n < 2) return null
+    val lons = new Array[Double](n)
+    val lats = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = line.getArray(i)
+      if (v == null || v.numElements() < 2) return null
+      lons(i) = v.getDouble(0); lats(i) = v.getDouble(1)
+      if (!(lons(i) >= -180.0 && lons(i) <= 180.0) ||
+          !(lats(i) >= -90.0 && lats(i) <= 90.0)) return null
+      i += 1
+    }
+    require(lons.max - lons.min <= 180.0,
+      "geo_line_to_s2cells: lines crossing the antimeridian are unsupported")
+    val step = math.toDegrees(2.0 / 3.0) / (1L << level).toDouble / 4.0
+    val cells = new java.util.TreeSet[java.lang.Long]()
+    sampleEdges3x3(cells, lons, lats, level, step)
+    tokensOf(cells)
+  }
+
   /** Cell cover of a planar-lon/lat GeoJSON ring at `level` (r12
     * verdict item 6 — the polygon side of the cell-join backbone).
     * Semantics match the repo's polygon tier: the ring is PLANAR in
@@ -254,35 +334,10 @@ object S2 {
       c
     }
     val cells = new java.util.TreeSet[java.lang.Long]()
-    def add3x3(lon: Double, lat: Double): Unit = {
-      val (face, u, v) = faceUV(lon, lat)
-      val ci = ijFromST(stFromUV(u), level)
-      val cj = ijFromST(stFromUV(v), level)
-      var dj = -1
-      while (dj <= 1) {
-        var di = -1
-        while (di <= 1) {
-          cells.add(wrapCell(face, ci + di, cj + dj, level)): Unit
-          di += 1
-        }
-        dj += 1
-      }
-    }
+    def add3x3(lon: Double, lat: Double): Unit =
+      add3x3Into(cells, lon, lat, level)
     // 1. boundary samples
-    var e = 0
-    while (e < n - 1) {
-      val span = math.max(math.abs(lons(e + 1) - lons(e)),
-        math.abs(lats(e + 1) - lats(e)))
-      val k = math.max(1, math.ceil(span / step).toInt)
-      var s = 0
-      while (s <= k) {
-        val t = s.toDouble / k
-        add3x3(lons(e) + (lons(e + 1) - lons(e)) * t,
-          lats(e) + (lats(e + 1) - lats(e)) * t)
-        s += 1
-      }
-      e += 1
-    }
+    sampleEdges3x3(cells, lons, lats, level, step)
     // 2. interior lattice
     var li = 0L
     while (li < nLat) {
@@ -295,13 +350,7 @@ object S2 {
       }
       li += 1
     }
-    val out = new Array[Any](cells.size())
-    val it = cells.iterator()
-    var o = 0
-    while (it.hasNext) {
-      out(o) = UTF8String.fromString(java.lang.Long.toHexString(it.next())); o += 1
-    }
-    new GenericArrayData(out)
+    tokensOf(cells)
   }
 
   /** 8-neighborhood tokens, dj slow (S→N) then di fast (W→E in face
@@ -425,6 +474,40 @@ case class S2PolygonCover(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (ring, lvl) => {
       s"""
          |${ev.value} = graft.functions.S2.polygonCover($ring, $lvl);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** `graft_s2_line_cover(line, level)` → sorted cell-cover tokens of a
+  * planar GeoJSON LineString (array<array<double>>) at `level` — see
+  * [[S2.lineCover]]. Dim-side by design, like the polygon cover. */
+case class S2LineCover(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }) && right.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_s2_line_cover expects (array<array<double>>, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_s2_line_cover"
+
+  override def nullSafeEval(line: Any, lvl: Any): Any =
+    S2.lineCover(line.asInstanceOf[ArrayData], lvl.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (line, lvl) => {
+      s"""
+         |${ev.value} = graft.functions.S2.lineCover($line, $lvl);
          |${ev.isNull} = (${ev.value} == null);
        """.stripMargin
     })

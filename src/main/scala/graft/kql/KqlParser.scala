@@ -4058,6 +4058,7 @@ object KqlParser {
               "geo_polygon_area",
               "geo_point_to_s2cell", "geo_s2cell_to_central_point",
               "geo_s2cell_neighbors", "geo_polygon_to_s2cells",
+              "geo_line_to_s2cells", "geo_distance_point_to_line",
               "totimespan", "make_timespan", "format_timespan",
               "datetime_part", "make_datetime",
               "unixtime_seconds_todatetime", "unixtime_milliseconds_todatetime",
@@ -4965,6 +4966,32 @@ object KqlParser {
                 out.append(s"graft_s2_polygon_cover(try_cast(variant_get(" +
                   s"${args(0)}, '$$.coordinates[0]') AS ARRAY<ARRAY<DOUBLE>>), " +
                   s"CAST(($lvl) AS INT))")
+              case "geo_line_to_s2cells" =>
+                // ADX geo_line_to_s2cells(line[, level]) — the cell
+                // cover of a GeoJSON LineString (the route/corridor
+                // side of the cell join); same planar conventions,
+                // sampling construction, and default level 11 as the
+                // polygon cover (see S2.lineCover).
+                require(args.length == 1 || args.length == 2,
+                  "geo_line_to_s2cells expects (line [, level])")
+                val llvl = if (args.length == 2) args(1) else "11"
+                out.append(s"graft_s2_line_cover(try_cast(variant_get(" +
+                  s"${args(0)}, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>), " +
+                  s"CAST(($llvl) AS INT))")
+              case "geo_distance_point_to_line" =>
+                // ADX geo_distance_point_to_line(lon, lat, line) → m.
+                // DEVIATION (documented): equirectangular-projected
+                // planar point-to-segment minimum — vertices and the
+                // point scale to meters at the LINE's mean latitude
+                // (the geo_polygon_area convention), each segment gets
+                // the clamped projection parameter, min over segments.
+                // Within ~0.5 % of the geodesic for routes spanning a
+                // few degrees; every op is mirrored in the oracle
+                // (products spelled identically — (x2-x1)*kx, never
+                // x2*kx - x1*kx). Invalid point / <2-vertex line → null.
+                require(args.length == 3,
+                  "geo_distance_point_to_line expects (lon, lat, line)")
+                out.append(geoDistancePointToLineSql(args(0), args(1), args(2)))
               case "geo_polygon_area" =>
                 // ADX geo_polygon_area(polygon) → m². DEVIATION
                 // (documented): equirectangular-projected planar
@@ -6091,6 +6118,40 @@ object KqlParser {
       s"CASE WHEN abs(gpq.py) > 90.0 OR abs(gpq.px) > 180.0 " +
       s"OR gpq.r IS NULL OR size(gpq.r) < 4 THEN CAST(NULL AS BOOLEAN) " +
       s"ELSE size(filter(sequence(0, size(gpq.r) - 2), gpi -> $cross)) % 2 = 1 END), 1)"
+  }
+
+  /** Equirectangular point-to-polyline minimum distance (deviation
+    * documented at the dispatch case). Binding levels: `gdr` the raw
+    * coordinate array (for the mean-latitude fold), `gdl` the
+    * meter-scale context, `gsg` one segment's scaled endpoints/deltas,
+    * `gt` the clamped projection parameter. Every product is spelled
+    * once and mirrored op-for-op in the oracle. */
+  private[kql] def geoDistancePointToLineSql(lon: String, lat: String,
+                                             line: String): String = {
+    val coords = s"try_cast(variant_get($line, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
+    val latm = s"aggregate(gdr, CAST(0 AS DOUBLE), (la, lv) -> la + element_at(lv, 2)) / CAST(size(gdr) AS DOUBLE)"
+    def cx(i: String) = s"element_at(element_at(gdl.r, $i), 1)"
+    def cy(i: String) = s"element_at(element_at(gdl.r, $i), 2)"
+    val seg = "named_struct(" +
+      s"'ax', ${cx("gi")} * gdl.kx, 'ay', ${cy("gi")} * 110574.0, " +
+      s"'dx', (${cx("gi + 1")} - ${cx("gi")}) * gdl.kx, " +
+      s"'dy', (${cy("gi + 1")} - ${cy("gi")}) * 110574.0, " +
+      "'qx', gdl.px * gdl.kx, 'qy', gdl.py * 110574.0)"
+    val t = "CASE WHEN gsg.dx * gsg.dx + gsg.dy * gsg.dy = CAST(0 AS DOUBLE) " +
+      "THEN CAST(0 AS DOUBLE) " +
+      "ELSE least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), " +
+      "((gsg.qx - gsg.ax) * gsg.dx + (gsg.qy - gsg.ay) * gsg.dy) / " +
+      "(gsg.dx * gsg.dx + gsg.dy * gsg.dy))) END"
+    val segDist = s"element_at(transform(array($seg), gsg -> " +
+      s"element_at(transform(array($t), gt -> " +
+      "sqrt((gsg.qx - gsg.ax - gt * gsg.dx) * (gsg.qx - gsg.ax - gt * gsg.dx) + " +
+      "(gsg.qy - gsg.ay - gt * gsg.dy) * (gsg.qy - gsg.ay - gt * gsg.dy))), 1)), 1)"
+    s"element_at(transform(array(element_at(transform(array($coords), gdr -> " +
+      s"named_struct('r', gdr, 'kx', 111320.0 * cos(radians($latm)), " +
+      s"'px', CAST(($lon) AS DOUBLE), 'py', CAST(($lat) AS DOUBLE))), 1)), gdl -> " +
+      "CASE WHEN abs(gdl.py) > 90.0 OR abs(gdl.px) > 180.0 " +
+      "OR gdl.r IS NULL OR size(gdl.r) < 2 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE array_min(transform(sequence(1, size(gdl.r) - 1), gi -> $segDist)) END), 1)"
   }
 
   /** Equirectangular shoelace area (deviation documented at the

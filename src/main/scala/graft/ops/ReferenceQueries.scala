@@ -912,6 +912,35 @@ object ReferenceQueries {
       |            lat_max_u = max(tolong(floor(lat * 1000000.0, 1))) by city
       || sort by city asc""".stripMargin
 
+  /** r13 `geo_line_to_s2cells` + `geo_distance_point_to_line` — the
+    * route-corridor join (the LineString sibling of the polygon
+    * fence): the 4-segment route fans to its level-7 cell cover plus
+    * one neighbor ring, points key by their cell, the equi-join
+    * proposes candidates, the exact equirectangular point-to-segment
+    * distance verifies (R = 25 km ≤ half the level-7 minimum cell
+    * span over this window, and the cover is complete for cells
+    * touching the line, so two dilation rings cannot miss a within-R
+    * point). Oracle: the INDEPENDENT all-points distance formulation,
+    * mirrored op-for-op. */
+  val kqlGeoLineJoinText: String =
+    """let route = parse_json('{"type":"LineString","coordinates":[[-15.0,10.0],[-5.0,14.0],[5.0,12.0],[15.0,20.0],[25.0,26.0]]}');
+      |Orders
+      || extend lon = todouble(orderid % 6000) / 100.0 - 30.0, lat = 5.0 + todouble(custid % 1400) / 50.0
+      || extend cell = geo_point_to_s2cell(lon, lat, 7)
+      || join kind=inner (
+      |    datatable(seg:string)['route']
+      |    | extend c0s = geo_line_to_s2cells(route, 7)
+      |    | mv-expand c0 = c0s to typeof(string)
+      |    | extend cells = array_concat(pack_array(c0), geo_s2cell_neighbors(c0))
+      |    | mv-expand cell = cells to typeof(string)
+      |    | distinct cell
+      |  ) on cell
+      || where geo_distance_point_to_line(lon, lat, route) <= 25000.0
+      || summarize n = count(),
+      |    d_min_m = min(tolong(floor(geo_distance_point_to_line(lon, lat, route), 1))),
+      |    d_max_m = max(tolong(floor(geo_distance_point_to_line(lon, lat, route), 1))) by city
+      || sort by city asc""".stripMargin
+
   /** r11 `series_seasonal` — per-phase mean minus the series mean over
     * a 28-day axis (4 whole weeks, so phases balance and the component
     * zero-sums), weekly period 7. Exact integer phase sums; two
@@ -1406,6 +1435,7 @@ object ReferenceQueries {
     "kql_geo_join" -> kqlText(kqlGeoJoinText) _,
     "kql_geo_polygon" -> kqlText(kqlGeoPolygonText) _,
     "kql_geo_polygon_join" -> kqlText(kqlGeoPolygonJoinText) _,
+    "kql_geo_line_join" -> kqlText(kqlGeoLineJoinText) _,
     "kql_geo_area" -> kqlText(kqlGeoAreaText) _,
     "kql_parse_ua" -> kqlText(kqlParseUaText) _,
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
@@ -1964,6 +1994,44 @@ object ReferenceQueries {
          |  CAST(floor(MIN(lon) * 1000000.0) AS BIGINT) AS lon_min_u,
          |  CAST(floor(MAX(lat) * 1000000.0) AS BIGINT) AS lat_max_u
          |FROM cr WHERE inside GROUP BY city ORDER BY city ASC""".stripMargin,
+    // the INDEPENDENT all-points point-to-segment distance formulation,
+    // mirrored op-for-op against geoDistancePointToLineSql (products
+    // spelled identically, same clamp, same fold order for the mean
+    // latitude) — no cell arithmetic, so a line-cover miss fails here.
+    "kql_geo_line_join" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, city, CAST(orderid % 6000 AS DOUBLE) / 100.0 - 30.0 AS lon,
+         |    5.0 + CAST(custid % 1400 AS DOUBLE) / 50.0 AS lat
+         |  FROM orders_info),
+         |segs AS (
+         |  SELECT * FROM (VALUES
+         |    (-15.0, 10.0, -5.0, 14.0), (-5.0, 14.0, 5.0, 12.0),
+         |    (5.0, 12.0, 15.0, 20.0), (15.0, 20.0, 25.0, 26.0)) AS s(x1, y1, x2, y2)),
+         |k AS (SELECT 111320.0 * cos(radians(
+         |  (CAST(0 AS DOUBLE) + 10.0 + 14.0 + 12.0 + 20.0 + 26.0) / CAST(5 AS DOUBLE))) AS kx),
+         |segm AS (
+         |  SELECT x1 * kx AS ax, y1 * 110574.0 AS ay,
+         |    (x2 - x1) * kx AS dx, (y2 - y1) * 110574.0 AS dy
+         |  FROM segs CROSS JOIN k),
+         |pd AS (
+         |  SELECT p.orderid, p.city, p.lon * kx AS qx, p.lat * 110574.0 AS qy,
+         |    s.ax, s.ay, s.dx, s.dy
+         |  FROM pts p CROSS JOIN segm s CROSS JOIN k),
+         |pt AS (
+         |  SELECT *, CASE WHEN dx * dx + dy * dy = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+         |    ELSE least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+         |      ((qx - ax) * dx + (qy - ay) * dy) / (dx * dx + dy * dy))) END AS t
+         |  FROM pd),
+         |d AS (
+         |  SELECT orderid, city,
+         |    MIN(sqrt((qx - ax - t * dx) * (qx - ax - t * dx)
+         |      + (qy - ay - t * dy) * (qy - ay - t * dy))) AS dist
+         |  FROM pt GROUP BY 1, 2)
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(CAST(floor(dist) AS BIGINT)) AS d_min_m,
+         |  MAX(CAST(floor(dist) AS BIGINT)) AS d_max_m
+         |FROM d WHERE dist <= 25000.0 GROUP BY city ORDER BY city ASC""".stripMargin,
     // mirrors parseUserAgentSql's ordered cascade; nullif pins the
     // no-match/non-participating-group rendering on both engines.
     "kql_parse_ua" ->

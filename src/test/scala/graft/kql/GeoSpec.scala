@@ -310,6 +310,42 @@ class GeoSpec extends SparkSpec {
     assert(r11.getLong(0) > r.getLong(0))
   }
 
+  test("s2: line cover completeness; point-to-line distance conventions") {
+    import graft.functions.S2
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val line = Array(Array(-15.0, 10.0), Array(-5.0, 14.0), Array(5.0, 12.0))
+    val ad = new GenericArrayData(
+      line.map(p => new GenericArrayData(p.map(_.asInstanceOf[Any])): Any))
+    val cover = S2.lineCover(ad, 7)
+    assert(cover != null && cover.numElements() > 10)
+    val toks = (0 until cover.numElements())
+      .map(i => cover.getUTF8String(i).toString).toSet
+    // every point ON the line (dense parameter sweep) has its cell in
+    // the cover — the property a cover miss would break
+    for (e <- 0 until line.length - 1; s <- 0 to 500) {
+      val t = s / 500.0
+      val lon = line(e)(0) + (line(e + 1)(0) - line(e)(0)) * t
+      val lat = line(e)(1) + (line(e + 1)(1) - line(e)(1)) * t
+      assert(toks.contains(S2.cellToken(lon, lat, 7).toString),
+        s"on-line point ($lon, $lat) cell missing from cover")
+    }
+    val short = new GenericArrayData(line.take(1)
+      .map(p => new GenericArrayData(p.map(_.asInstanceOf[Any])): Any))
+    assert(S2.lineCover(short, 7) == null)
+
+    // distance conventions on an equator segment (latm = 0 → the meter
+    // scales are exact, every assert bit-exact): on-segment → 0,
+    // perpendicular → lat·110574, beyond-endpoint clamps to the vertex
+    val lj = """'{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0]]}'"""
+    assert(one(s"geo_distance_point_to_line(0.5, 0.0, parse_json($lj))").getDouble(0) == 0.0)
+    assert(one(s"geo_distance_point_to_line(0.5, 0.5, parse_json($lj))").getDouble(0) == 0.5 * 110574.0)
+    assert(one(s"geo_distance_point_to_line(2.0, 0.0, parse_json($lj))").getDouble(0) == 111320.0)
+    assert(one(s"geo_distance_point_to_line(200.0, 0.0, parse_json($lj))").isNullAt(0))
+    // a 1-vertex line is degenerate → null
+    val lj1 = """'{"type":"LineString","coordinates":[[0.0,0.0]]}'"""
+    assert(one(s"geo_distance_point_to_line(0.5, 0.0, parse_json($lj1))").isNullAt(0))
+  }
+
   test("s2: codegen and interpreted eval agree") {
     import graft.functions.S2
     import org.apache.spark.unsafe.types.UTF8String
