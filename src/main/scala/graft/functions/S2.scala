@@ -516,7 +516,8 @@ case class S2LineCover(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
-/** `graft_s2_neighbors(token)` → same-face 8-neighborhood tokens. */
+/** `graft_s2_neighbors(token)` → 8-neighborhood tokens (cross-face
+  * wrapped; 7 at cube corners — see [[S2.neighborsOf]]). */
 case class S2CellNeighbors(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

@@ -706,7 +706,8 @@ object ReferenceQueries {
     * second cell system over the same integer-exact cell-join
     * backbone as geohash (deviations documented at
     * [[graft.functions.S2]]: Morton intra-face order, compact
-    * self-describing hex token, same-face neighbors). The vector set
+    * self-describing hex token; neighbors wrap across faces as of
+    * r13). The vector set
     * hits all six faces plus an invalid point; center coordinates
     * floor to micro-degrees; the DuckDB oracle re-derives the whole
     * face→uv→st→quantize→Morton chain step by step in CTE columns. */
@@ -734,13 +735,15 @@ object ReferenceQueries {
 
   /** r12 S2 CELL JOIN — the same bounded-fan-out spatial-join shape as
     * [[kqlGeoJoinText]] but keyed on S2 cells: points carry their
-    * level-7 cell, sites fan out to cell ∪ same-face neighbors, and
+    * level-7 cell, sites fan out to cell ∪ 8-neighborhood (cross-face
+    * wrapped as of r13), and
     * the exact circle test verifies candidates. Coverage: level-7
     * cells span ≈0.7° of arc in each face direction (the quadratic ST
     * transform equalizes them; min metric span over this window
     * ≈55 km) ≥ R = 40 km, and the data window (lon ∈ [−30, 30),
-    * lat ∈ [5, 33)) keeps every point ≥ 7° inside face 0, so
-    * same-face neighbors suffice. The oracle is the INDEPENDENT
+    * lat ∈ [5, 33)) keeps every point ≥ 7° inside face 0 (face
+    * boundaries are additionally covered by the r13 cross-face
+    * neighbor wrap). The oracle is the INDEPENDENT
     * cross-join + haversine formulation — zero S2 arithmetic — so a
     * missed within-R pair fails the compare. */
   val kqlGeoS2JoinText: String =
@@ -920,25 +923,32 @@ object ReferenceQueries {
     * distance verifies (R = 25 km ≤ half the level-7 minimum cell
     * span over this window, and the cover is complete for cells
     * touching the line, so two dilation rings cannot miss a within-R
-    * point). Oracle: the INDEPENDENT all-points distance formulation,
-    * mirrored op-for-op. */
+    * point). The route travels as a DIM COLUMN (the multi-route dim
+    * shape, like the site join's slon/slat) deliberately: with a
+    * constant route the verify filter references only point columns
+    * and Catalyst pushes it below the join onto EVERY point — the
+    * cell join then prunes nothing and the query measures 2.5 s vs
+    * 1.2 s at sf0.1. Dim-column verify is the shape that scales to a
+    * route fleet. Oracle: the INDEPENDENT all-points distance
+    * formulation, mirrored op-for-op. */
   val kqlGeoLineJoinText: String =
-    """let route = parse_json('{"type":"LineString","coordinates":[[-15.0,10.0],[-5.0,14.0],[5.0,12.0],[15.0,20.0],[25.0,26.0]]}');
-      |Orders
+    """Orders
       || extend lon = todouble(orderid % 6000) / 100.0 - 30.0, lat = 5.0 + todouble(custid % 1400) / 50.0
       || extend cell = geo_point_to_s2cell(lon, lat, 7)
       || join kind=inner (
-      |    datatable(seg:string)['route']
-      |    | extend c0s = geo_line_to_s2cells(route, 7)
+      |    datatable(route_id:string, line:string)[
+      |      'r1', '{"type":"LineString","coordinates":[[-15.0,10.0],[-5.0,14.0],[5.0,12.0],[15.0,20.0],[25.0,26.0]]}']
+      |    | extend c0s = geo_line_to_s2cells(todynamic(line), 7)
       |    | mv-expand c0 = c0s to typeof(string)
       |    | extend cells = array_concat(pack_array(c0), geo_s2cell_neighbors(c0))
       |    | mv-expand cell = cells to typeof(string)
-      |    | distinct cell
+      |    | distinct cell, line
       |  ) on cell
-      || where geo_distance_point_to_line(lon, lat, route) <= 25000.0
+      || extend d_m = geo_distance_point_to_line(lon, lat, todynamic(line))
+      || where d_m <= 25000.0
       || summarize n = count(),
-      |    d_min_m = min(tolong(floor(geo_distance_point_to_line(lon, lat, route), 1))),
-      |    d_max_m = max(tolong(floor(geo_distance_point_to_line(lon, lat, route), 1))) by city
+      |    d_min_m = min(tolong(floor(d_m, 1))),
+      |    d_max_m = max(tolong(floor(d_m, 1))) by city
       || sort by city asc""".stripMargin
 
   /** r11 `series_seasonal` — per-phase mean minus the series mean over
@@ -2227,7 +2237,7 @@ object ReferenceQueries {
         |    - 1 AS BIGINT) END AS nnb
         |FROM cxyz""".stripMargin,
     // independent formulation (cross join + haversine, zero S2
-    // arithmetic): if the same-face neighbor fan-out missed any
+    // arithmetic): if the cell-neighbor fan-out missed any
     // within-R pair, the counts would not match.
     "kql_geo_s2_join" ->
       s"""${Sql.ordersInfoCte},
