@@ -60,8 +60,13 @@ object GraphAnalytics {
 
   /** The symmetrized part↔supplier edge relation lineitem induces —
     * shared by [[pageRank]] and [[labelPropagation]]. */
-  private def psEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, sfDir)
+  private def psEdges(spark: SparkSession, sfDir: String): DataFrame =
+    psEdgesOf(Tables.lineitem(spark, sfDir))
+
+  /** [[psEdges]] over an injected lineitem frame — the seam the
+    * delta-append path splits its batches through. */
+  private def psEdgesOf(li: DataFrame): DataFrame = {
+    val pairs = li
       .select((col("l_partkey").cast("bigint") * 2).as("p"),
         (col("l_suppkey").cast("bigint") * 2 + 1).as("s"))
       .distinct()
@@ -94,6 +99,39 @@ object GraphAnalytics {
         .mode("overwrite").saveAsTable(table)
       spark.table(table)
     }
+
+  /** [[pageRankBucketed]]'s INCREMENTAL maintenance path — the third
+    * served layout to get the append story (after the band table and
+    * the IVF assignment). The edge relation is NOT per-row (a
+    * cross-batch `distinct` dedupes pairs), so the append must
+    * DEDUPE AGAINST THE SERVED BASE: the new batch's edges anti-join
+    * the table before appending under the same bucketBy(src) spec —
+    * the nightly edge-ingest shape (new edges only; re-observed edges
+    * are no-ops because w ≡ 1). base-distinct ∪ (batch-distinct ∖
+    * base) = full-distinct, so the merged table is row-identical to
+    * the full rebuild and PageRank over it reproduces [[pageRank]]
+    * bit-for-bit (oracle reused verbatim). Appended buckets keep the
+    * hash clustering (sort drops with multi-file buckets), so the
+    * superstep edge side still plans no Exchange — DeltaServeSpec
+    * pins plan + equivalence. Registered split: edges induced by
+    * every 5th order arrive as the append batch. */
+  def pageRankDelta(spark: SparkSession, sfDir: String,
+                    iterations: Int = 3): DataFrame = {
+    val edges = graft.Memo.cached(spark, sfDir, "ps_edges_delta") {
+      val table = "graft_edges_delta_" + graft.Memo.pathDigest(sfDir)
+      graft.Memo.prepareServedTable(spark, table)
+      val li = Tables.lineitem(spark, sfDir)
+      psEdgesOf(li.filter(col("l_orderkey") % 5 =!= 0)).write
+        .bucketBy(EdgeBuckets, "src").sortBy("src")
+        .mode("overwrite").saveAsTable(table)
+      psEdgesOf(li.filter(col("l_orderkey") % 5 === 0))
+        .join(spark.table(table), Seq("src", "dst"), "left_anti")
+        .write.bucketBy(EdgeBuckets, "src").sortBy("src")
+        .mode("append").saveAsTable(table)
+      spark.table(table)
+    }
+    prReport(weightedPageRankServed(edges, iterations))
+  }
 
   /** The iterative core, generalized to WEIGHTED edges and any node
     * key type: `edges0` is (src, dst, w ≥ 1); rank flows proportional
@@ -261,6 +299,7 @@ object GraphAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
     "graph_pagerank_bucketed" -> ((s: SparkSession, d: String) => pageRankBucketed(s, d)),
+    "graph_pagerank_delta" -> ((s: SparkSession, d: String) => pageRankDelta(s, d)),
     "graph_textrank" -> ((s: SparkSession, d: String) => textRank(s, d)),
     "graph_lpa" -> ((s: SparkSession, d: String) => labelPropagation(s, d)),
     "graph_lpa_bucketed" -> ((s: SparkSession, d: String) => labelPropagationBucketed(s, d)),
@@ -274,6 +313,7 @@ object GraphAnalytics {
     val base = oracleSqlBase
     base +
       ("graph_pagerank_bucketed" -> base("graph_pagerank")) +
+      ("graph_pagerank_delta" -> base("graph_pagerank")) +
       ("graph_lpa_bucketed" -> base("graph_lpa"))
   }
 

@@ -66,6 +66,39 @@ class DeltaServeSpec extends SparkSpec {
     assertSame(df, Similarity.ivfTopK(spark, sfDir), "ivf topk after append")
   }
 
+  test("edge table append: anti-join dedupe vs the served base; pagerank identical; no edge-side Exchange") {
+    withNoBroadcast {
+      val delta = GraphAnalytics.pageRankDelta(spark, sfDir)
+      // the loop checkpoints each round, so the final frame's plan no
+      // longer shows the superstep — pin the in-loop plan separately
+      // below, over the delta-served edges
+      assertSame(delta, GraphAnalytics.pageRank(spark, sfDir),
+        "pagerank after edge append")
+      // the merged table must equal the full distinct edge relation,
+      // with both batches contributing (no silent no-op split)
+      val table = spark.catalog.listTables().collect()
+        .map(_.name).find(_.startsWith("graft_edges_delta_")).get
+      val served = spark.table(table)
+      import org.apache.spark.sql.functions._
+      assert(served.count() == served.select(col("src"), col("dst")).distinct().count(),
+        "append must not duplicate edges (anti-join dedupe)")
+      def scanNoJoinBelow(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table.startsWith("graft_edges_delta_"))
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case other => other.children.exists(scanNoJoinBelow)
+      }
+      val deg = served.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+      val pr0 = deg.select(col("src").as("node"), lit(1000L).as("pr"))
+      val step = GraphAnalytics.prContrib(pr0, deg, served)
+      val bad = step.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if scanNoJoinBelow(e.child) => e
+      }
+      assert(bad.isEmpty,
+        s"superstep must not shuffle the appended edge side:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("the appended tables hold BOTH batches (the split is real, not a no-op)") {
     import org.apache.spark.sql.functions._
     // derive the served frames through the registered paths, then check
