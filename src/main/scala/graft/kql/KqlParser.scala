@@ -3576,6 +3576,31 @@ object KqlParser {
           case "variancep"  => (var_pop(arg(0)), defName(args(0)))
           case "covariance"  => (covar_samp(arg(0), arg(1)), defName(args(0)))
           case "covariancep" => (covar_pop(arg(0), arg(1)), defName(args(0)))
+          case "make_bag" | "make_bag_if" =>
+            // ADX make_bag(bag) / make_bag_if(bag, predicate): ONE
+            // property bag per group, merging every row's bag. ADX
+            // resolves key conflicts with an ARBITRARY pick;
+            // DEVIATION (documented, determinism-for-the-oracle):
+            // bags merge in ascending order of their canonical JSON
+            // serialization, FIRST wins per key — bag_merge's
+            // convention, applied in a reproducible order. The
+            // optional maxSize argument is unsupported (arity check
+            // rejects it loudly). collect_list skips nulls, so _if's
+            // unmatched rows (and null bags) simply don't contribute.
+            val isIf = fn.toLowerCase.endsWith("_if")
+            require(args.length == (if (isIf) 2 else 1),
+              s"${fn.toLowerCase} expects (bag${if (isIf) ", predicate" else ""}) — maxSize unsupported")
+            val bagJson = {
+              val b = s"to_json(${rw(scalar(args(0), lets))})"
+              if (isIf) s"CASE WHEN (${rw(scalar(args(1), lets))}) THEN $b END" else b
+            }
+            val fold = s"aggregate(array_sort(collect_list($bagJson)), " +
+              "CAST(map() AS MAP<STRING, VARIANT>), (mbacc, mbj) -> " +
+              "map_concat(mbacc, map_filter(" +
+              "coalesce(try_cast(parse_json(mbj) AS MAP<STRING, VARIANT>), map()), " +
+              "(mbk, mbv) -> NOT array_contains(map_keys(mbacc), mbk))), " +
+              "mbacc -> parse_json(to_json(mbacc)))"
+            (expr(fold), defName(args(0)))
           case "make_list_if" =>
             // collect_list skips nulls, so the unmatched rows vanish —
             // exactly ADX's conditional collect

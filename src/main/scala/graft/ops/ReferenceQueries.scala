@@ -951,6 +951,25 @@ object ReferenceQueries {
       |    d_max_m = max(tolong(floor(d_m, 1))) by city
       || sort by city asc""".stripMargin
 
+  /** r13 `make_bag` / `make_bag_if` — the dynamic-aggregate closer:
+    * one merged property bag per customer from per-order bags. ADX
+    * resolves key conflicts arbitrarily; this engine merges in
+    * ascending canonical-JSON order with FIRST-wins per key
+    * (bag_merge's convention in a reproducible order), which the
+    * oracle replays as per-key min_by over the same strings (DuckDB
+    * builds the identical '{"c":…,"kX":…}' serialization, so the
+    * min-string row is the fold's first donor for each key). */
+  val kqlMakeBagText: String =
+    """Orders
+      || extend b = iff(orderid % 2 == 0,
+      |               bag_pack('c', city, 'even', amount),
+      |               bag_pack('c', city, 'odd', amount))
+      || summarize n = count(), bag = make_bag(b), bif = make_bag_if(b, orderid % 3 == 0) by custid
+      || extend c = tostring(bag.c), ev = tolong(bag.even), od = tolong(bag.odd),
+      |         nk = tolong(array_length(bag_keys(bag))),
+      |         ic = tostring(bif.c), iev = tolong(bif.even), iod = tolong(bif.odd)
+      || project custid, n, c, ev, od, nk, ic, iev, iod""".stripMargin
+
   /** r11 `series_seasonal` — per-phase mean minus the series mean over
     * a 28-day axis (4 whole weeks, so phases balance and the component
     * zero-sums), weekly period 7. Exact integer phase sums; two
@@ -1446,6 +1465,7 @@ object ReferenceQueries {
     "kql_geo_polygon" -> kqlText(kqlGeoPolygonText) _,
     "kql_geo_polygon_join" -> kqlText(kqlGeoPolygonJoinText) _,
     "kql_geo_line_join" -> kqlText(kqlGeoLineJoinText) _,
+    "kql_make_bag" -> kqlText(kqlMakeBagText) _,
     "kql_geo_area" -> kqlText(kqlGeoAreaText) _,
     "kql_parse_ua" -> kqlText(kqlParseUaText) _,
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
@@ -2004,6 +2024,28 @@ object ReferenceQueries {
          |  CAST(floor(MIN(lon) * 1000000.0) AS BIGINT) AS lon_min_u,
          |  CAST(floor(MAX(lat) * 1000000.0) AS BIGINT) AS lat_max_u
          |FROM cr WHERE inside GROUP BY city ORDER BY city ASC""".stripMargin,
+    // first-wins-in-json-order replayed per key: DuckDB builds the
+    // identical serialization, so min_by(value, js) IS the fold's
+    // first donor for each key; the bag's key count is 'c' plus the
+    // distinct k-classes present.
+    "kql_make_bag" ->
+      s"""${Sql.ordersInfoCte},
+         |r AS (
+         |  SELECT custid, orderid, amount, city,
+         |    '{"c":"' || city || '","'
+         |      || (CASE WHEN orderid % 2 = 0 THEN 'even' ELSE 'odd' END) || '":'
+         |      || CAST(amount AS VARCHAR) || '}' AS js
+         |  FROM orders_info)
+         |SELECT custid,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN_BY(city, js) AS c,
+         |  CAST(MIN_BY(amount, js) FILTER (WHERE orderid % 2 = 0) AS BIGINT) AS ev,
+         |  CAST(MIN_BY(amount, js) FILTER (WHERE orderid % 2 = 1) AS BIGINT) AS od,
+         |  CAST(1 + COUNT(DISTINCT orderid % 2) AS BIGINT) AS nk,
+         |  MIN_BY(city, js) FILTER (WHERE orderid % 3 = 0) AS ic,
+         |  CAST(MIN_BY(amount, js) FILTER (WHERE orderid % 3 = 0 AND orderid % 2 = 0) AS BIGINT) AS iev,
+         |  CAST(MIN_BY(amount, js) FILTER (WHERE orderid % 3 = 0 AND orderid % 2 = 1) AS BIGINT) AS iod
+         |FROM r GROUP BY custid""".stripMargin,
     // the INDEPENDENT all-points point-to-segment distance formulation,
     // mirrored op-for-op against geoDistancePointToLineSql (products
     // spelled identically, same clamp, same fold order for the mean

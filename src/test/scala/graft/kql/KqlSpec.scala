@@ -1242,6 +1242,31 @@ class KqlSpec extends SparkSpec {
     assert(r.getString(1).contains("\"a\":1") && r.getString(1).contains("\"k\":2"))
   }
 
+  test("parser: make_bag / make_bag_if — deterministic first-wins merge in json order") {
+    val reg = Map("T" -> Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (2L, "c", 3L)).toDF("g", "k", "v"))
+    val out = KqlParser.run(
+      "T | extend b = bag_pack('k', k, 'n', v) " +
+        "| summarize bag = make_bag(b), bif = make_bag_if(b, v == 2) by g " +
+        "| extend mk = tostring(bag.k), mn = tolong(bag.n), " +
+        "ik = tostring(bif.k) " +
+        "| project g, mk, mn, ik | sort by g asc", reg).collect()
+    // group 1 merges {"k":"a","n":1} and {"k":"b","n":2}: ascending json
+    // order puts the "a" bag first, and FIRST wins per key
+    assert(out(0).getLong(0) == 1L && out(0).getString(1) == "a" &&
+      out(0).getLong(2) == 1L)
+    // the _if form only sees v == 2
+    assert(out(0).getString(3) == "b")
+    assert(out(1).getLong(0) == 2L && out(1).getString(1) == "c")
+    // no matching rows → null bag path extraction
+    assert(out(1).isNullAt(3))
+    // maxSize arg rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | summarize b2 = make_bag(bag_pack('k', k), 10) by g", reg)
+    }
+    assert(e.getMessage.contains("maxSize unsupported"))
+  }
+
   test("parser: series unary tier — abs/exp/log/sign/floor/ceiling/round/pow") {
     val reg = Map("T" -> Seq(
       Tuple1(Seq(-1.5, -0.5, 0.0, 0.5, 2.5))).toDF("a"))
