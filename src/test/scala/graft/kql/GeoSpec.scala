@@ -235,6 +235,34 @@ class GeoSpec extends SparkSpec {
     assert(one("geo_point_to_s2cell(0.0, sqrt(-1.0), 7)").isNullAt(0))
   }
 
+  test("s2: cross-face wrap reciprocity holds along every face edge at multiple levels") {
+    import graft.functions.S2
+    import org.apache.spark.unsafe.types.UTF8String
+    def neighbors(tok: String): Seq[String] = {
+      val a = S2.neighborsOf(UTF8String.fromString(tok))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    // every face × every edge × a sweep of positions along it, at
+    // levels 3/5/8: each cell's wrapped neighbors must list it back.
+    // Corner cells are excluded from the strict-8 count (they report 7)
+    // but still checked for reciprocity.
+    for (level <- Seq(3, 5, 8); face <- 0 until 6) {
+      val n = 1L << level
+      val picks = Seq(0L, n / 3, n / 2, (2 * n) / 3, n - 1)
+      for (p <- picks; (i, j) <- Seq((0L, p), (n - 1, p), (p, 0L), (p, n - 1))) {
+        val tok = java.lang.Long.toHexString(S2.cellValue(face, i, j, level))
+        val nb = neighbors(tok)
+        val corner = (i == 0 || i == n - 1) && (j == 0 || j == n - 1)
+        assert(nb.size == (if (corner) 7 else 8),
+          s"face $face level $level ($i,$j): ${nb.size} neighbors")
+        nb.foreach { t =>
+          assert(neighbors(t).contains(tok),
+            s"face $face level $level ($i,$j): $t does not list $tok back")
+        }
+      }
+    }
+  }
+
   test("s2: polygon cover is complete over dense pseudo-random interior points") {
     import graft.functions.S2
     import org.apache.spark.sql.catalyst.util.GenericArrayData
