@@ -23,6 +23,7 @@ object GraftFunctions {
     "graft_s2_neighbors" -> (e => S2CellNeighbors(e(0))),
     "graft_s2_polygon_cover" -> (e => S2PolygonCover(e(0), e(1))),
     "graft_s2_line_cover" -> (e => S2LineCover(e(0), e(1))),
+    "graft_geo_dist_line" -> (e => GeoDistPointToLine(e(0), e(1), e(2))),
   )
 
   def register(spark: SparkSession): Unit =

@@ -482,6 +482,97 @@ case class S2PolygonCover(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** `graft_geo_dist_line(lon, lat, line)` → equirectangular
+  * point-to-polyline minimum distance in meters (the corridor join's
+  * verify stage as ONE codegen expression — the SQL-HOF formulation
+  * evaluated interpreted per candidate and was the join's dominant
+  * cost). Semantics and OP ORDER match the DuckDB oracle exactly:
+  * mean latitude as a left-to-right fold over the vertices, meter
+  * scales kx = 111320·cos(radians(latm)) / ky = 110574, per segment
+  * ax = x1·kx, dx = (x2−x1)·kx, the clamped projection parameter, and
+  * the min over segments — every op correctly-rounded IEEE, so
+  * results are bit-equal to the mirrored SQL. Null for an invalid
+  * point, a null line, or fewer than 2 vertices. */
+object GeoDistPointToLine {
+  /** The shared eval body (also called from generated code). */
+  def dist(lonDeg: Double, latDeg: Double, line: ArrayData): Any = {
+    if (line == null) return null
+    if (!(lonDeg >= -180.0 && lonDeg <= 180.0) ||
+        !(latDeg >= -90.0 && latDeg <= 90.0)) return null
+    val n = line.numElements()
+    if (n < 2) return null
+    var latSum = 0.0
+    var i = 0
+    while (i < n) {
+      val v = line.getArray(i)
+      if (v == null || v.numElements() < 2) return null
+      latSum = latSum + v.getDouble(1)
+      i += 1
+    }
+    val latm = latSum / n.toDouble
+    val kx = 111320.0 * math.cos(math.toRadians(latm))
+    val qx = lonDeg * kx
+    val qy = latDeg * 110574.0
+    var best = Double.PositiveInfinity
+    i = 0
+    while (i < n - 1) {
+      val a = line.getArray(i)
+      val b = line.getArray(i + 1)
+      val ax = a.getDouble(0) * kx
+      val ay = a.getDouble(1) * 110574.0
+      val dx = (b.getDouble(0) - a.getDouble(0)) * kx
+      val dy = (b.getDouble(1) - a.getDouble(1)) * 110574.0
+      val len2 = dx * dx + dy * dy
+      val t =
+        if (len2 == 0.0) 0.0
+        else math.min(1.0, math.max(0.0, ((qx - ax) * dx + (qy - ay) * dy) / len2))
+      val ex = qx - ax - t * dx
+      val ey = qy - ay - t * dy
+      val d = math.sqrt(ex * ex + ey * ey)
+      if (d < best) best = d
+      i += 1
+    }
+    java.lang.Double.valueOf(best)
+  }
+}
+
+case class GeoDistPointToLine(first: Expression, second: Expression,
+                              third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == DoubleType && second.dataType == DoubleType &&
+      (third.dataType match {
+        case ArrayType(ArrayType(DoubleType, _), _) => true
+        case _ => false
+      })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_geo_dist_line expects (double, double, array<array<double>>), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_geo_dist_line"
+
+  override def nullSafeEval(lon: Any, lat: Any, line: Any): Any =
+    GeoDistPointToLine.dist(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      line.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, line) => {
+      val r = ctx.freshName("graftGeoDist")
+      s"""
+         |Object $r = graft.functions.GeoDistPointToLine.dist($lon, $lat, $line);
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = ${ev.isNull} ? -1.0 : ((java.lang.Double) $r).doubleValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** `graft_s2_line_cover(line, level)` → sorted cell-cover tokens of a
   * planar GeoJSON LineString (array<array<double>>) at `level` — see
   * [[S2.lineCover]]. Dim-side by design, like the polygon cover. */

@@ -5011,12 +5011,19 @@ object KqlParser {
                 // (the geo_polygon_area convention), each segment gets
                 // the clamped projection parameter, min over segments.
                 // Within ~0.5 % of the geodesic for routes spanning a
-                // few degrees; every op is mirrored in the oracle
-                // (products spelled identically — (x2-x1)*kx, never
-                // x2*kx - x1*kx). Invalid point / <2-vertex line → null.
+                // few degrees. Emitted as the NATIVE codegen expression
+                // graft_geo_dist_line (a first SQL-HOF formulation
+                // evaluated interpreted per candidate and dominated the
+                // corridor join's cost); its op order — left-to-right
+                // mean-latitude fold, (x2-x1)*kx products, clamped t,
+                // per-segment min — is mirrored exactly by the oracle,
+                // so results are bit-equal. Invalid point / <2-vertex
+                // line → null.
                 require(args.length == 3,
                   "geo_distance_point_to_line expects (lon, lat, line)")
-                out.append(geoDistancePointToLineSql(args(0), args(1), args(2)))
+                out.append(s"graft_geo_dist_line(CAST((${args(0)}) AS DOUBLE), " +
+                  s"CAST((${args(1)}) AS DOUBLE), try_cast(variant_get(" +
+                  s"${args(2)}, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>))")
               case "geo_polygon_area" =>
                 // ADX geo_polygon_area(polygon) → m². DEVIATION
                 // (documented): equirectangular-projected planar
@@ -6143,105 +6150,6 @@ object KqlParser {
       s"CASE WHEN abs(gpq.py) > 90.0 OR abs(gpq.px) > 180.0 " +
       s"OR gpq.r IS NULL OR size(gpq.r) < 4 THEN CAST(NULL AS BOOLEAN) " +
       s"ELSE size(filter(sequence(0, size(gpq.r) - 2), gpi -> $cross)) % 2 = 1 END), 1)"
-  }
-
-  /** The coordinate pairs of a LITERAL `parse_json('{"type":
-    * "LineString",…}')` argument, textually — the common fence shape.
-    * None for anything non-literal (a column, a computed line). The
-    * numeric literals are kept as TEXT and spliced into SQL, so the
-    * engine's decimal→binary conversion is the one that runs — the
-    * same correctly-rounded value the runtime VariantGet path parses. */
-  private def geoLineLiteral(line: String): Option[Vector[(String, String)]] = {
-    // a let-substituted binding arrives parenthesized — strip any
-    // balanced outer wrapping before matching the literal shape
-    var s = line.trim
-    while (s.startsWith("(") && s.endsWith(")")) s = s.substring(1, s.length - 1).trim
-    """(?s)^parse_json\s*\(\s*'(.*)'\s*\)$""".r.findFirstMatchIn(s)
-      .flatMap { m =>
-        val j = m.group(1)
-        if (j.contains("'") ||
-            !j.replaceAll("\\s", "").contains("\"type\":\"LineString\"")) None
-        else Some("""\[\s*(-?[0-9][-0-9.eE+]*)\s*,\s*(-?[0-9][-0-9.eE+]*)\s*\]""".r
-          .findAllMatchIn(j).map(p => (p.group(1), p.group(2))).toVector)
-      }
-  }
-
-  /** Equirectangular point-to-polyline minimum distance (deviation
-    * documented at the dispatch case).
-    *
-    * Two emissions, value-identical by construction:
-    *  - LITERAL LineString (the common fence/route shape, ≤ 65
-    *    vertices): the segments unroll at PARSE time into a flat
-    *    `least(d1, …, dk)` of pure scalar arithmetic — every constant
-    *    sub-expression (mean latitude fold, meter scales, segment
-    *    endpoints) constant-folds, and the per-row work is codegen'd
-    *    multiply/add/sqrt with NO interpreted lambda (measured ~2× on
-    *    the corridor join vs the HOF form). The op sequence is spelled
-    *    identically to the runtime path, so results are bit-equal.
-    *  - otherwise: the general runtime form over the VariantGet'd
-    *    coordinate array. Binding levels: `gdr` the raw coordinate
-    *    array (for the mean-latitude fold), `gdl` the meter-scale
-    *    context, `gsg` one segment's scaled endpoints/deltas, `gt` the
-    *    clamped projection parameter.
-    * Every product is spelled once and mirrored op-for-op in the
-    * oracle. */
-  private[kql] def geoDistancePointToLineSql(lon: String, lat: String,
-                                             line: String): String = {
-    geoLineLiteral(line).filter(_.size <= 65) match {
-      case Some(ps) if ps.size < 2 => return "CAST(NULL AS DOUBLE)"
-      case Some(ps) if ps.exists { case (x, y) =>
-          val (xd, yd) = (x.toDouble, y.toDouble)
-          !(xd >= -180.0 && xd <= 180.0 && yd >= -90.0 && yd <= 90.0) } =>
-        return "CAST(NULL AS DOUBLE)"
-      case Some(ps) =>
-        val latm = ps.map(_._2)
-          .foldLeft("CAST(0 AS DOUBLE)")((a, y) => s"($a + ($y))") +
-          s" / CAST(${ps.size} AS DOUBLE)"
-        val kx = s"(111320.0 * cos(radians($latm)))"
-        val px = s"(CAST(($lon) AS DOUBLE) * $kx)"
-        val py = s"(CAST(($lat) AS DOUBLE) * 110574.0)"
-        val ds = ps.sliding(2).collect { case Vector((x1, y1), (x2, y2)) =>
-          val ax = s"(($x1) * $kx)"
-          val ay = s"(($y1) * 110574.0)"
-          val dx = s"((($x2) - ($x1)) * $kx)"
-          val dy = s"((($y2) - ($y1)) * 110574.0)"
-          val len2 = s"($dx * $dx + $dy * $dy)"
-          val dot = s"(($px - $ax) * $dx + ($py - $ay) * $dy)"
-          val t = s"(CASE WHEN $len2 = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
-            s"ELSE least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), $dot / $len2)) END)"
-          s"sqrt(($px - $ax - $t * $dx) * ($px - $ax - $t * $dx) + " +
-            s"($py - $ay - $t * $dy) * ($py - $ay - $t * $dy))"
-        }.toSeq
-        val body = if (ds.size == 1) ds.head else s"least(${ds.mkString(", ")})"
-        return s"(CASE WHEN abs(CAST(($lat) AS DOUBLE)) > 90.0 " +
-          s"OR abs(CAST(($lon) AS DOUBLE)) > 180.0 " +
-          s"THEN CAST(NULL AS DOUBLE) ELSE $body END)"
-      case None => ()
-    }
-    val coords = s"try_cast(variant_get($line, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
-    val latm = s"aggregate(gdr, CAST(0 AS DOUBLE), (la, lv) -> la + element_at(lv, 2)) / CAST(size(gdr) AS DOUBLE)"
-    def cx(i: String) = s"element_at(element_at(gdl.r, $i), 1)"
-    def cy(i: String) = s"element_at(element_at(gdl.r, $i), 2)"
-    val seg = "named_struct(" +
-      s"'ax', ${cx("gi")} * gdl.kx, 'ay', ${cy("gi")} * 110574.0, " +
-      s"'dx', (${cx("gi + 1")} - ${cx("gi")}) * gdl.kx, " +
-      s"'dy', (${cy("gi + 1")} - ${cy("gi")}) * 110574.0, " +
-      "'qx', gdl.px * gdl.kx, 'qy', gdl.py * 110574.0)"
-    val t = "CASE WHEN gsg.dx * gsg.dx + gsg.dy * gsg.dy = CAST(0 AS DOUBLE) " +
-      "THEN CAST(0 AS DOUBLE) " +
-      "ELSE least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), " +
-      "((gsg.qx - gsg.ax) * gsg.dx + (gsg.qy - gsg.ay) * gsg.dy) / " +
-      "(gsg.dx * gsg.dx + gsg.dy * gsg.dy))) END"
-    val segDist = s"element_at(transform(array($seg), gsg -> " +
-      s"element_at(transform(array($t), gt -> " +
-      "sqrt((gsg.qx - gsg.ax - gt * gsg.dx) * (gsg.qx - gsg.ax - gt * gsg.dx) + " +
-      "(gsg.qy - gsg.ay - gt * gsg.dy) * (gsg.qy - gsg.ay - gt * gsg.dy))), 1)), 1)"
-    s"element_at(transform(array(element_at(transform(array($coords), gdr -> " +
-      s"named_struct('r', gdr, 'kx', 111320.0 * cos(radians($latm)), " +
-      s"'px', CAST(($lon) AS DOUBLE), 'py', CAST(($lat) AS DOUBLE))), 1)), gdl -> " +
-      "CASE WHEN abs(gdl.py) > 90.0 OR abs(gdl.px) > 180.0 " +
-      "OR gdl.r IS NULL OR size(gdl.r) < 2 THEN CAST(NULL AS DOUBLE) " +
-      s"ELSE array_min(transform(sequence(1, size(gdl.r) - 1), gi -> $segDist)) END), 1)"
   }
 
   /** Equirectangular shoelace area (deviation documented at the
