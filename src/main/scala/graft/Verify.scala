@@ -103,9 +103,16 @@ object Verify {
   }
 
   /** The full dump pass, factored out of main so VerifySpec can drive
-    * it against the shared test session with a query filter. */
+    * it against the shared test session with a query filter. Budgets
+    * and pool size are PARAMETERS (env-defaulted in main) so the spec
+    * can execute the degradation ladder — cancel cap, degraded cap,
+    * loud skip — rather than trusting the scaladoc. */
   private[graft] def run(spark: SparkSession, sfDir: String, outDir: String,
-                         only: Option[Set[String]]): Unit = {
+                         only: Option[Set[String]],
+                         queryBudget: Double = 180.0,
+                         totalBudget: Double = 1200.0,
+                         skipAfter: Double = 600.0,
+                         par: Int = 4): Unit = {
     new java.io.File(outDir).mkdirs()
     acc.synchronized { acc.clear() }
     // (1) the comparator's prerequisite goes down before any query runs
@@ -126,10 +133,6 @@ object Verify {
       System.err.println(s"[verify] shutdown with $n/$total recorded — progress file written")
     })
     Runtime.getRuntime.addShutdownHook(hook)
-
-    val queryBudget = sys.env.getOrElse("SPARK_GRAFT_VERIFY_QUERY_BUDGET", "180").toDouble
-    val totalBudget = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TOTAL_BUDGET", "1200").toDouble
-    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
 
@@ -139,10 +142,10 @@ object Verify {
 
     def dumpOne(name: String): Unit = {
       // Degrade, never die: inside budget → full cap; past budget →
-      // 20 s cap; past budget + 600 s → skip (loudly).
+      // a tight degraded cap; past budget + skipAfter → skip (loudly).
       val cap =
         if (elapsed <= totalBudget) queryBudget
-        else if (elapsed <= totalBudget + 600) 20.0
+        else if (elapsed <= totalBudget + skipAfter) math.min(20.0, queryBudget)
         else {
           System.err.println(s"[verify] $name SKIPPED: wall budget exhausted (${elapsed.toInt} s)")
           acc.synchronized { acc.put(name, ("skipped", 0.0)): Unit }
@@ -205,7 +208,10 @@ object Verify {
       .config("spark.sql.extensions", classOf[functions.GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, sfDir, outDir, only)
+    run(spark, sfDir, outDir, only,
+      queryBudget = sys.env.getOrElse("SPARK_GRAFT_VERIFY_QUERY_BUDGET", "180").toDouble,
+      totalBudget = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TOTAL_BUDGET", "1200").toDouble,
+      par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt)
     spark.stop()
   }
 }

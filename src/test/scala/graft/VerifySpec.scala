@@ -44,6 +44,33 @@ class VerifySpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/ref_count_by_city").count() > 0)
   }
 
+  test("degradation ladder: wall-budget exhaustion skips loudly, never dies") {
+    val out = java.nio.file.Files.createTempDirectory("graft-verify").toString
+    // totalBudget + skipAfter both 0: every query is past the skip line
+    // the moment it is dequeued — all recorded as skipped, the oracle
+    // artifact still present (written first)
+    Verify.run(spark, sfDir, out,
+      only = Some(Set("ref_avg_by_city", "ref_count_by_city")),
+      totalBudget = 0.0, skipAfter = 0.0)
+    val progress = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/verify_progress.json"))
+    assert(progress.contains(""""skipped":2"""))
+    assert(progress.contains(""""recorded":2"""))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json")))
+  }
+
+  test("degradation ladder: the per-query cancel cap fires and is recorded as failed") {
+    val out = java.nio.file.Files.createTempDirectory("graft-verify").toString
+    // a 1 ms cap cancels the dump's job group mid-flight; the failure
+    // is recorded and the run completes normally
+    Verify.run(spark, sfDir, out,
+      only = Some(Set("win_running_total")), queryBudget = 0.001)
+    val progress = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/verify_progress.json"))
+    assert(progress.contains(""""failed":1"""), progress)
+  }
+
   test("a failing query is recorded as failed, not fatal") {
     // drive dumpOne's catch path via a name whose fn throws: simulate by
     // filtering to a real query but pointing sfDir at a missing path
