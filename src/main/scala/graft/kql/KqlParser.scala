@@ -4075,6 +4075,7 @@ object KqlParser {
               "parse_ipv4", "parse_ipv4_mask", "format_ipv4",
               "ipv4_is_private", "ipv4_is_in_range", "ipv4_compare",
               "ipv4_netmask_suffix",
+              "parse_ipv6", "parse_ipv6_mask", "ipv6_compare", "ipv6_is_match",
               "parse_url", "parse_urlquery", "parse_path",
               "parse_version", "parse_xml", "parse_user_agent",
               "geo_distance_2points", "geo_point_in_circle",
@@ -4524,6 +4525,31 @@ object KqlParser {
               case "array_sum" =>
                 require(args.length == 1, "array_sum expects (array)")
                 out.append(s"aggregate(${args(0)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+              case "parse_ipv6" =>
+                // ADX IPv6 tier via native codegen expressions (see
+                // graft.functions.Ipv6 for conventions: canonical
+                // 8×4-hex rendering, plain-IPv4 → ::ffff:a.b.c.d, and
+                // the same prefix-suffixed-input deviation as
+                // parse_ipv4 — use parse_ipv6_mask / the 3-arg
+                // compare forms for prefixes).
+                require(args.length == 1, "parse_ipv6 expects (ip)")
+                out.append(s"graft_ipv6_canon(${args(0)})")
+              case "parse_ipv6_mask" =>
+                require(args.length == 2,
+                  "parse_ipv6_mask expects (ip, prefix)")
+                out.append(s"graft_ipv6_mask(${args(0)}, CAST((${args(1)}) AS INT))")
+              case "ipv6_compare" =>
+                require(args.length == 2 || args.length == 3,
+                  "ipv6_compare expects (ip1, ip2 [, prefix])")
+                val p6 = if (args.length == 3) args(2) else "128"
+                out.append(s"CAST(graft_ipv6_cmp(${args(0)}, ${args(1)}, " +
+                  s"CAST(($p6) AS INT)) AS BIGINT)")
+              case "ipv6_is_match" =>
+                require(args.length == 2 || args.length == 3,
+                  "ipv6_is_match expects (ip1, ip2 [, prefix])")
+                val pm6 = if (args.length == 3) args(2) else "128"
+                out.append(s"(graft_ipv6_cmp(${args(0)}, ${args(1)}, " +
+                  s"CAST(($pm6) AS INT)) = 0)")
               case "parse_ipv4" =>
                 // ADX IPv4 tier: pure integer/string arithmetic, all
                 // map-side codegen-able expressions, null on any

@@ -970,6 +970,25 @@ object ReferenceQueries {
       |         ic = tostring(bif.c), iev = tolong(bif.even), iod = tolong(bif.odd)
       || project custid, n, c, ev, od, nk, ic, iev, iod""".stripMargin
 
+  /** r13 IPv6 scalar tier (`parse_ipv6`/`parse_ipv6_mask`/
+    * `ipv6_compare`/`ipv6_is_match` as native codegen expressions —
+    * see [[graft.functions.Ipv6]] for conventions) over RFC-vector
+    * inputs: compressed/full/uppercase forms, the `::` gap, embedded
+    * dotted-quad tails, plain-IPv4 mapping, and three malformed
+    * shapes. The oracle is the hand-derived expected table — the same
+    * spec-vector style as the geohash tests, stated independently. */
+  val kqlIpv6Text: String =
+    """datatable(name:string, ip:string)[
+      |  'h1', '2001:db8::1', 'h2', '::1', 'h3', '::',
+      |  'h4', 'fe80::204:61ff:fe9d:f156', 'h5', '::ffff:192.168.1.1',
+      |  'h6', '192.168.1.50', 'h7', '2001:0DB8:0:0:1:0:0:1',
+      |  'h8', 'not-an-ip', 'h9', '2001:db8::/32', 'h10', '1::2::3']
+      || extend canon = parse_ipv6(ip), m48 = parse_ipv6_mask(ip, 48),
+      |         cmp = ipv6_compare(ip, '2001:db8::1'),
+      |         m32 = ipv6_is_match(ip, '2001:db8::ffff', 32)
+      || project name, canon, m48, cmp, m32
+      || sort by name asc""".stripMargin
+
   /** r11 `series_seasonal` — per-phase mean minus the series mean over
     * a 28-day axis (4 whole weeks, so phases balance and the component
     * zero-sums), weekly period 7. Exact integer phase sums; two
@@ -1466,6 +1485,7 @@ object ReferenceQueries {
     "kql_geo_polygon_join" -> kqlText(kqlGeoPolygonJoinText) _,
     "kql_geo_line_join" -> kqlText(kqlGeoLineJoinText) _,
     "kql_make_bag" -> kqlText(kqlMakeBagText) _,
+    "kql_ipv6" -> kqlText(kqlIpv6Text) _,
     "kql_geo_area" -> kqlText(kqlGeoAreaText) _,
     "kql_parse_ua" -> kqlText(kqlParseUaText) _,
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
@@ -2024,6 +2044,21 @@ object ReferenceQueries {
          |  CAST(floor(MIN(lon) * 1000000.0) AS BIGINT) AS lon_min_u,
          |  CAST(floor(MAX(lat) * 1000000.0) AS BIGINT) AS lat_max_u
          |FROM cr WHERE inside GROUP BY city ORDER BY city ASC""".stripMargin,
+    // hand-derived RFC expected table (spec-vector oracle, stated
+    // independently of the engine's parser)
+    "kql_ipv6" ->
+      """SELECT name, canon, m48, CAST(cmp AS BIGINT) AS cmp, m32 FROM (VALUES
+        |  ('h1', '2001:0db8:0000:0000:0000:0000:0000:0001', '2001:0db8:0000:0000:0000:0000:0000:0000', 0, true),
+        |  ('h2', '0000:0000:0000:0000:0000:0000:0000:0001', '0000:0000:0000:0000:0000:0000:0000:0000', -1, false),
+        |  ('h3', '0000:0000:0000:0000:0000:0000:0000:0000', '0000:0000:0000:0000:0000:0000:0000:0000', -1, false),
+        |  ('h4', 'fe80:0000:0000:0000:0204:61ff:fe9d:f156', 'fe80:0000:0000:0000:0000:0000:0000:0000', 1, false),
+        |  ('h5', '0000:0000:0000:0000:0000:ffff:c0a8:0101', '0000:0000:0000:0000:0000:0000:0000:0000', -1, false),
+        |  ('h6', '0000:0000:0000:0000:0000:ffff:c0a8:0132', '0000:0000:0000:0000:0000:0000:0000:0000', -1, false),
+        |  ('h7', '2001:0db8:0000:0000:0001:0000:0000:0001', '2001:0db8:0000:0000:0000:0000:0000:0000', 1, true),
+        |  ('h8', NULL, NULL, NULL, NULL),
+        |  ('h9', NULL, NULL, NULL, NULL),
+        |  ('h10', NULL, NULL, NULL, NULL)) AS t(name, canon, m48, cmp, m32)
+        |ORDER BY name ASC""".stripMargin,
     // first-wins-in-json-order replayed per key: DuckDB builds the
     // identical serialization, so min_by(value, js) IS the fold's
     // first donor for each key; the bag's key count is 'c' plus the

@@ -1242,6 +1242,24 @@ class KqlSpec extends SparkSpec {
     assert(r.getString(1).contains("\"a\":1") && r.getString(1).contains("\"k\":2"))
   }
 
+  test("parser: ipv6 tier — prefix edges, default prefix, suffixed-input reject") {
+    val reg = Map("T" -> Seq(Tuple1(1L)).toDF("x"))
+    val r = KqlParser.run(
+      "T | extend a = ipv6_compare('2001:db8::1', 'fe80::1', 0), " +       // prefix 0: everything equal
+        "b = ipv6_compare('::1', '::2'), " +                               // default 128
+        "c = ipv6_is_match('2001:db8::1', '2001:db8::2'), " +              // default 128: differ
+        "d = parse_ipv6_mask('::1', 129), " +                              // prefix out of range
+        "e = parse_ipv6('::1/64'), " +                                     // suffixed input rejected
+        "f = parse_ipv6_mask('abcd:ef01::', 9) " +                         // partial-word mask: keep 9 bits of abcd
+        "| project a, b, c, d, e, f", reg).collect().head
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == -1L)
+    assert(!r.getBoolean(2))
+    assert(r.isNullAt(3) && r.isNullAt(4))
+    // 0xabcd = 1010101111001101; keeping 9 bits → 1010101110000000 = 0xab80
+    assert(r.getString(5) == "ab80:0000:0000:0000:0000:0000:0000:0000")
+  }
+
   test("parser: make_bag / make_bag_if — deterministic first-wins merge in json order") {
     val reg = Map("T" -> Seq(
       (1L, "a", 1L), (1L, "b", 2L), (2L, "c", 3L)).toDF("g", "k", "v"))
