@@ -506,6 +506,10 @@ object GeoDistPointToLine {
     while (i < n) {
       val v = line.getArray(i)
       if (v == null || v.numElements() < 2) return null
+      // inside-tests, so NaN vertices null out rather than poisoning
+      // the mean-latitude fold into a NaN "distance"
+      if (!(v.getDouble(0) >= -180.0 && v.getDouble(0) <= 180.0) ||
+          !(v.getDouble(1) >= -90.0 && v.getDouble(1) <= 90.0)) return null
       latSum = latSum + v.getDouble(1)
       i += 1
     }

@@ -5542,6 +5542,7 @@ object KqlParser {
               case "getmonth" | "monthofyear" => Some("month")
               case "getyear" => Some("year")
               case "hourofday" => Some("hour")
+              case "dayofmonth" => Some("day")
               case "week_of_year" => Some("weekofyear")
               case "tohex" => Some("hex")
               case "bitset_count_ones" => Some("bit_count")

@@ -2238,6 +2238,7 @@ class KqlSpec extends SparkSpec {
   test("parser: startofweek is Sunday-based; endof* land on the last microsecond") {
     // 2024-03-06 is a Wednesday; the ADX (Sunday-based) week runs
     // 2024-03-03 .. 2024-03-09, and 2024 is a leap year for endofmonth.
+    spark.version: Unit // print-root queries need an active session (test isolation)
     val out = KqlParser.run(
       """print sow = unix_millis(startofweek(datetime(2024-03-06 12:00:00))),
         |      eod = unix_millis(endofday(datetime(2024-03-06 12:00:00))),
@@ -2245,7 +2246,8 @@ class KqlSpec extends SparkSpec {
         |      eow = unix_millis(endofweek(datetime(2024-03-06))),
         |      dw = dayofweek(datetime(2024-03-06)), wy = week_of_year(datetime(2024-03-06)),
         |      hh = hourofday(datetime(2024-03-06 12:34:56)),
-        |      mo = getmonth(datetime(2024-03-06)), yy = getyear(datetime(2024-03-06))""".stripMargin,
+        |      mo = getmonth(datetime(2024-03-06)), yy = getyear(datetime(2024-03-06)),
+        |      dm = dayofmonth(datetime(2024-03-06))""".stripMargin,
       Map.empty).head()
     assert(out.getAs[Long]("sow") == 1709424000000L)  // 2024-03-03 00:00:00Z
     assert(out.getAs[Long]("eod") == 1709769599999L)  // 2024-03-06 23:59:59.999999
@@ -2256,6 +2258,7 @@ class KqlSpec extends SparkSpec {
     assert(out.getAs[Int]("hh") == 12)
     assert(out.getAs[Int]("mo") == 3)
     assert(out.getAs[Int]("yy") == 2024)
+    assert(out.getAs[Int]("dm") == 6)
   }
 
   test("parser: startofweek/endofweek are identities of the week fixpoints") {
