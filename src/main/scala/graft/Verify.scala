@@ -178,7 +178,16 @@ object Verify {
     val workers = (1 to math.max(1, par)).map { i =>
       val th = new Thread(() => {
         var n = queue.poll()
-        while (n != null) { dumpOne(n); n = queue.poll() }
+        while (n != null) {
+          // dumpOne catches query failures itself; this belt catches a
+          // failure OUTSIDE that try (scheduling, bookkeeping) so one
+          // surprise cannot kill the worker and strand the queue tail
+          try dumpOne(n) catch { case e: Throwable =>
+            System.err.println(s"[verify] $n worker-level failure: $e")
+            acc.synchronized { acc.put(n, ("failed", 0.0)): Unit }
+          }
+          n = queue.poll()
+        }
       }, s"verify-worker-$i")
       th.start(); th
     }
