@@ -39,7 +39,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *      funnels through repartition(1) rather than coalesce(1), which
   *      would collapse map-only plans to a single thread. Both cut the
   *      wall time that made the driver cap reachable (~13 min serial →
-  *      ~4 min pooled in a calm window).
+  *      MEASURED 55-70 s pooled for the full 282-query surface at
+  *      sf0.01/local[32]).
   */
 object Verify {
 
