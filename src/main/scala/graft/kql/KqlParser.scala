@@ -3581,26 +3581,26 @@ object KqlParser {
             // property bag per group, merging every row's bag. ADX
             // resolves key conflicts with an ARBITRARY pick;
             // DEVIATION (documented, determinism-for-the-oracle):
-            // bags merge in ascending order of their canonical JSON
-            // serialization, FIRST wins per key — bag_merge's
-            // convention, applied in a reproducible order. The
-            // optional maxSize argument is unsupported (arity check
-            // rejects it loudly). collect_list skips nulls, so _if's
-            // unmatched rows (and null bags) simply don't contribute.
+            // per key, the value comes from the bag with the MINIMUM
+            // canonical-JSON serialization holding that key — "first
+            // wins" under an ascending-JSON merge order, stated as a
+            // per-key argmin so the native partial+final aggregate
+            // ([[graft.functions.BagMergeAgg]] — state bounded by
+            // DISTINCT KEYS per group, not group rows; a first
+            // collect_list+fold cut held every row's rendering) is
+            // lawful. The optional maxSize argument is unsupported
+            // (arity check rejects it loudly); null bags and _if's
+            // unmatched rows don't contribute.
             val isIf = fn.toLowerCase.endsWith("_if")
             require(args.length == (if (isIf) 2 else 1),
               s"${fn.toLowerCase} expects (bag${if (isIf) ", predicate" else ""}) — maxSize unsupported")
-            val bagJson = {
-              val b = s"to_json(${rw(scalar(args(0), lets))})"
-              if (isIf) s"CASE WHEN (${rw(scalar(args(1), lets))}) THEN $b END" else b
-            }
-            val fold = s"aggregate(array_sort(collect_list($bagJson)), " +
-              "CAST(map() AS MAP<STRING, VARIANT>), (mbacc, mbj) -> " +
-              "map_concat(mbacc, map_filter(" +
-              "coalesce(try_cast(parse_json(mbj) AS MAP<STRING, VARIANT>), map()), " +
-              "(mbk, mbv) -> NOT array_contains(map_keys(mbacc), mbk))), " +
-              "mbacc -> parse_json(to_json(mbacc)))"
-            (expr(fold), defName(args(0)))
+            val bagSql = rw(scalar(args(0), lets))
+            def gated(e: String): String =
+              if (isIf) s"CASE WHEN (${rw(scalar(args(1), lets))}) THEN $e END" else e
+            val donor = gated(s"to_json($bagSql)")
+            val entries = gated(s"transform_values(" +
+              s"try_cast($bagSql AS MAP<STRING, VARIANT>), (mbk, mbv) -> to_json(mbv))")
+            (expr(s"parse_json(graft_make_bag($donor, $entries))"), defName(args(0)))
           case "make_list_if" =>
             // collect_list skips nulls, so the unmatched rows vanish —
             // exactly ADX's conditional collect
