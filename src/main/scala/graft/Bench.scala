@@ -103,9 +103,14 @@ object Bench {
     * (`{"...,"queries":{"name":1.23,...},...}`). Tolerant: any parse
     * failure yields an empty map (guard simply disarms). We wrote the
     * format ourselves (see emit), so a targeted scan beats pulling in a
-    * JSON library for one field. */
-  private[graft] def parsePriorTimes(json: String): Map[String, Double] = {
-    val key = "\"queries\":{"
+    * JSON library for one field. `section` selects the map — "queries"
+    * (default) or "cold" (Verify adds cold derivation costs to its
+    * cheapest-first ordering: the Memo-backed serving queries pay
+    * their table writes inside Verify, where the warm prior alone
+    * under-orders them). */
+  private[graft] def parsePriorTimes(json: String,
+                                     section: String = "queries"): Map[String, Double] = {
+    val key = "\"" + section + "\":{"
     val qIdx = json.indexOf(key)
     if (qIdx < 0) Map.empty
     else {

@@ -120,9 +120,16 @@ object Verify {
     writeOracle(outDir)
 
     val priorFile = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PRIOR", "BENCH_LOCAL.json")
+    // order by warm time + cold derivation cost: Verify runs each Memo-
+    // backed serving query COLD (fresh JVM), so the warm prior alone
+    // would sort a 7 s table build among the sub-second bulk
     val prior: Map[String, Double] =
-      try Bench.parsePriorTimes(Files.readString(Paths.get(priorFile)))
-      catch { case _: Throwable => Map.empty }
+      try {
+        val txt = Files.readString(Paths.get(priorFile))
+        val warm = Bench.parsePriorTimes(txt)
+        val cold = Bench.parsePriorTimes(txt, section = "cold")
+        warm.map { case (k, v) => k -> (v + cold.getOrElse(k, 0.0)) }
+      } catch { case _: Throwable => Map.empty }
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val ordered = orderByPrior(selected.keys.toSeq, prior)
