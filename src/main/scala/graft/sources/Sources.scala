@@ -96,12 +96,22 @@ object Sources {
   /** Parquet with schema assertion: fails fast if the file schema does
     * not contain the declared columns (name + type), instead of
     * surfacing nulls downstream. */
-  def parquetTable(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val df = spark.read.parquet(path)
+  def parquetTable(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    assertColumns(spark.read.parquet(path), path, schema, "parquet")
+
+  /** ORC with the same schema assertion as [[parquetTable]] — Spark's
+    * native ORC reader (no extra connector jar), same columnar
+    * pushdown/pruning contract as parquet, for lakes standardized on
+    * ORC (classic Hive/Hadoop estates). */
+  def orcTable(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    assertColumns(spark.read.orc(path), path, schema, "orc")
+
+  private def assertColumns(df: DataFrame, path: String,
+                            schema: StructType, fmt: String): DataFrame = {
     val have = df.schema.map(f => f.name -> f.dataType).toMap
     val missing = schema.filterNot(f => have.get(f.name).contains(f.dataType))
     require(missing.isEmpty,
-      s"parquet at $path is missing/mistyped columns: ${missing.map(_.name).mkString(", ")}")
+      s"$fmt at $path is missing/mistyped columns: ${missing.map(_.name).mkString(", ")}")
     df.select(schema.map(f => col(f.name)): _*)
   }
 }

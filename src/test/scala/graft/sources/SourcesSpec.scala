@@ -101,4 +101,22 @@ class SourcesSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("id"))
   }
+
+  test("orc loader round-trips with the same declared-column assertion") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/t"
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name").write.orc(dir)
+    val ok = Sources.orcTable(spark, dir, StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType))))
+    assert(ok.columns.toSeq == Seq("id", "name"))
+    assert(ok.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+    // pushdown reaches the ORC scan like parquet (columnar contract)
+    val plan = ok.filter($"id" > 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.toLowerCase.contains("greaterthan"),
+      s"orc scan must carry the pushed filter:\n${plan.take(1200)}")
+    val err = intercept[IllegalArgumentException] {
+      Sources.orcTable(spark, dir, StructType(Seq(StructField("id", LongType))))
+    }
+    assert(err.getMessage.contains("id"))
+  }
 }
