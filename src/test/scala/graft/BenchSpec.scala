@@ -36,6 +36,28 @@ class BenchSpec extends AnyFunSuite {
     assert(m.values.forall(t => t > 0 && t < 600))
   }
 
+  test("parsePriorTimes ignores the r14 artifact fields it doesn't read") {
+    // r14 schema adds total_excl_suspect / n_excl_suspect / capped —
+    // the guard must keep extracting `queries` from the new shape.
+    val json =
+      """{"metric":"total","value":12.3,"unit":"sec","total_excl_suspect":11.1,""" +
+      """"n_excl_suspect":2,"paging_probe":[1.0,1.1],"suspect":["slow"],""" +
+      """"capped":["slow"],"cold":{"served":3.5},"queries":{"q1":0.46,"slow":60.0},"sf":"/x"}"""
+    assert(Bench.parsePriorTimes(json) === Map("q1" -> 0.46, "slow" -> 60.0))
+    assert(Bench.parsePriorTimes(json, "cold") === Map("served" -> 3.5))
+  }
+
+  test("memoColdQueries: every prewarm name is a registered query") {
+    // The warmup pre-derives Memo-backed serving relations by running
+    // these queries; a renamed/removed query would silently turn the
+    // prewarm into a no-op and put the cold build back inside the
+    // timed window (the r13 failure shape).
+    val registered = SparkEntry.queries.keySet
+    val missing = Bench.memoColdQueries.filterNot(registered.contains)
+    assert(missing.isEmpty, s"prewarm names not in SparkEntry.queries: $missing")
+    assert(Bench.memoColdQueries.distinct.size === Bench.memoColdQueries.size)
+  }
+
   test("suspectCeil: absolute 10 s rule when no prior exists") {
     assert(Bench.suspectCeil(None) === 10.0)
   }
