@@ -24,6 +24,9 @@ object GraftFunctions {
     "graft_s2_polygon_cover" -> (e => S2PolygonCover(e(0), e(1))),
     "graft_s2_line_cover" -> (e => S2LineCover(e(0), e(1))),
     "graft_geo_dist_line" -> (e => GeoDistPointToLine(e(0), e(1), e(2))),
+    "graft_h3_cell" -> (e => H3CellToken(e(0), e(1), e(2))),
+    "graft_h3_center" -> (e => H3CellCenter(e(0))),
+    "graft_h3_neighbors" -> (e => H3CellNeighbors(e(0))),
     "graft_ipv6_canon" -> (e => Ipv6Canonical(e(0))),
     "graft_ipv6_mask" -> (e => Ipv6CanonicalMask(e(0), e(1))),
     "graft_ipv6_cmp" -> (e => Ipv6Compare(e(0), e(1), e(2))),

@@ -1,0 +1,336 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** H3-style icosahedral hexagonal cell system (public H3 definitions —
+  * h3geo.org: gnomonic projection onto the 20 faces of a regular
+  * icosahedron, nearest-face-center face selection, a hexagonal
+  * lattice per face, aperture-7 cell-count scaling per resolution).
+  * The THIRD cell system over the repo's integer-exact cell-join
+  * backbone, next to geohash (lat/lon rectangles — stretch toward the
+  * poles) and S2 (cube faces — near-uniform): icosahedral hexes have
+  * the lowest shape distortion of the three and 6-fold neighbor
+  * symmetry (every in-lattice cell has exactly 6 touching neighbors,
+  * vs 8 "neighbors" of a square of which 4 touch only at a corner).
+  *
+  * Documented deviations from Uber's reference cells (kept because
+  * the cell key only needs to be a deterministic, locality-preserving
+  * partition of the sphere — and these keep every step after one trig
+  * chain oracle-expressible as exact IEEE arithmetic):
+  *  - the token encodes (res, face, q, r) DIRECTLY — axial hex
+  *    coordinates on the owning face — rather than H3's base-cell +
+  *    aperture-7 digit path. Resolution still scales cell count by
+  *    7x per level (size /= sqrt 7), but WITHOUT H3's inter-level
+  *    Class II/III rotation: parent/child cells are not aligned,
+  *    which this engine never relies on (joins are same-resolution).
+  *  - face selection is nearest face CENTER (as real H3 does), with
+  *    ties to the lowest face id; the face numbering is the sorted
+  *    vertex-triple order of the canonical (0, ±1, ±φ)-cyclic
+  *    icosahedron, not H3's base-cell numbering.
+  *  - cells are planar hexagons in each face's gnomonic plane; cells
+  *    near face edges are clipped by face ownership instead of H3's
+  *    pentagon mechanism (H3 places 12 pentagons at icosahedron
+  *    vertices; here a near-vertex cell simply has fewer distinct
+  *    wrapped neighbors).
+  *  - neighbors re-encode the neighbor cell's virtual center through
+  *    xyz (cross-face wrap, same convention as the S2 tier): off-face
+  *    steps land in whichever cell owns that direction, duplicates
+  *    and self-collisions dedupe away, so edge cells may report < 6.
+  *
+  * Float contract (same class as the S2 tier): one trig chain
+  * (cos/sin of lon/lat) feeds a chain of +,-,*,/ and sqrt — every op
+  * correctly-rounded IEEE, mirrored op-for-op by the DuckDB oracle —
+  * into ONE floor-based hex rounding per axis. A last-ulp libm
+  * difference flips a cell only if the true point sits within an ulp
+  * of a lattice boundary — measure-zero, and the oracle compare
+  * verifies the actual corpus. Everything after the rounding is pure
+  * integer arithmetic.
+  */
+object H3 {
+
+  val MaxRes = 12   // |q|,|r| < 2^19 holds through res 12 (see pack)
+  val DefaultRes = 6
+
+  /** Res-0 hex circumradius in gnomonic-plane units (the face
+    * circumradius is tan 37.377° ≈ 0.764, so res 0 is a handful of
+    * cells per face); each resolution divides by sqrt 7. */
+  val Size0 = 0.35
+  private val Sqrt7 = math.sqrt(7.0)
+  private val Sqrt3 = math.sqrt(3.0)
+
+  private val Phi = (1.0 + math.sqrt(5.0)) / 2.0
+  private val VNorm = math.sqrt(1.0 + Phi * Phi)
+
+  /** The 12 icosahedron vertices (0, ±1, ±φ) cyclic, normalized. */
+  private val verts: Array[Array[Double]] = Array(
+    Array(0.0, 1.0, Phi), Array(0.0, 1.0, -Phi),
+    Array(0.0, -1.0, Phi), Array(0.0, -1.0, -Phi),
+    Array(1.0, Phi, 0.0), Array(1.0, -Phi, 0.0),
+    Array(-1.0, Phi, 0.0), Array(-1.0, -Phi, 0.0),
+    Array(Phi, 0.0, 1.0), Array(Phi, 0.0, -1.0),
+    Array(-Phi, 0.0, 1.0), Array(-Phi, 0.0, -1.0)
+  ).map(_.map(_ / VNorm))
+
+  /** The 20 faces as vertex-id triples, in sorted-triple order — the
+    * face numbering contract shared with the DuckDB oracle. */
+  private val faceIdx: Array[(Int, Int, Int)] = Array(
+    (0, 2, 8), (0, 2, 10), (0, 4, 6), (0, 4, 8), (0, 6, 10),
+    (1, 3, 9), (1, 3, 11), (1, 4, 6), (1, 4, 9), (1, 6, 11),
+    (2, 5, 7), (2, 5, 8), (2, 7, 10), (3, 5, 7), (3, 5, 9),
+    (3, 7, 11), (4, 8, 9), (5, 8, 9), (6, 10, 11), (7, 10, 11))
+
+  /** Per-face frame: center c (unit), in-plane orthonormal e1, e2
+    * (e1 toward the face's first vertex, e2 = c × e1). Derivation
+    * order mirrors the oracle SQL op-for-op. */
+  private val frames: Array[Array[Double]] = faceIdx.map { case (a, b, cc) =>
+    val va = verts(a); val vb = verts(b); val vc = verts(cc)
+    val mx = va(0) + vb(0) + vc(0)
+    val my = va(1) + vb(1) + vc(1)
+    val mz = va(2) + vb(2) + vc(2)
+    val mn = math.sqrt(mx * mx + my * my + mz * mz)
+    val cx = mx / mn; val cy = my / mn; val cz = mz / mn
+    val d = va(0) * cx + va(1) * cy + va(2) * cz
+    val wx = va(0) - d * cx; val wy = va(1) - d * cy; val wz = va(2) - d * cz
+    val wn = math.sqrt(wx * wx + wy * wy + wz * wz)
+    val e1x = wx / wn; val e1y = wy / wn; val e1z = wz / wn
+    val e2x = cy * e1z - cz * e1y
+    val e2y = cz * e1x - cx * e1z
+    val e2z = cx * e1y - cy * e1x
+    Array(cx, cy, cz, e1x, e1y, e1z, e2x, e2y, e2z)
+  }
+
+  /** Hex circumradius at `res` — repeated division, so a fixed-res
+    * oracle mirrors it as a literal division chain. */
+  def sizeAt(res: Int): Double = {
+    var s = Size0
+    var k = 0
+    while (k < res) { s = s / Sqrt7; k += 1 }
+    s
+  }
+
+  /** Nearest face center to direction (x, y, z); lowest id on ties. */
+  def faceOf(x: Double, y: Double, z: Double): Int = {
+    var best = Double.NegativeInfinity
+    var bf = 0
+    var f = 0
+    while (f < 20) {
+      val fr = frames(f)
+      val d = x * fr(0) + y * fr(1) + z * fr(2)
+      if (d > best) { best = d; bf = f }
+      f += 1
+    }
+    bf
+  }
+
+  /** Cell value of direction (x, y, z) at `res`: gnomonic projection
+    * onto the owning face's plane, pointy-top axial hex coordinates,
+    * cube rounding, bit-packed with a leading marker (see [[pack]]). */
+  def cellOfXYZ(x: Double, y: Double, z: Double, res: Int): Long = {
+    val f = faceOf(x, y, z)
+    val fr = frames(f)
+    val pd = x * fr(0) + y * fr(1) + z * fr(2)
+    val tx = x / pd - fr(0); val ty = y / pd - fr(1); val tz = z / pd - fr(2)
+    val lx = tx * fr(3) + ty * fr(4) + tz * fr(5)
+    val ly = tx * fr(6) + ty * fr(7) + tz * fr(8)
+    val size = sizeAt(res)
+    val qf = (Sqrt3 / 3.0 * lx - ly / 3.0) / size
+    val rf = (2.0 / 3.0 * ly) / size
+    // cube rounding: floor(v + 0.5) per axis, largest-error axis fixed
+    // (strict >, so exact ties fix the r axis — the oracle's CASE order)
+    val yf = -qf - rf
+    var rq = math.floor(qf + 0.5)
+    var ry = math.floor(yf + 0.5)
+    var rr = math.floor(rf + 0.5)
+    val dq = math.abs(rq - qf)
+    val dy = math.abs(ry - yf)
+    val dr = math.abs(rr - rf)
+    if (dq > dy && dq > dr) rq = -ry - rr
+    else if (dy > dr) ry = -rq - rr
+    else rr = -rq - ry
+    pack(res, f, rq.toLong, rr.toLong)
+  }
+
+  private val Off = 1L << 19
+
+  /** marker(bit 49) | res(4b) | face(5b) | q+2^19 (20b) | r+2^19 (20b). */
+  def pack(res: Int, face: Int, q: Long, r: Long): Long =
+    (1L << 49) | (res.toLong << 45) | (face.toLong << 40) |
+      ((q + Off) << 20) | (r + Off)
+
+  /** Token of the res-`res` cell containing (lon, lat); null for
+    * invalid coordinates (negated inside-tests so NaN nulls out) or
+    * an out-of-range resolution. */
+  def cellToken(lonDeg: Double, latDeg: Double, res: Int): UTF8String = {
+    if (!(lonDeg >= -180.0 && lonDeg <= 180.0) ||
+        !(latDeg >= -90.0 && latDeg <= 90.0) ||
+        res < 0 || res > MaxRes) return null
+    val lon = math.toRadians(lonDeg)
+    val lat = math.toRadians(latDeg)
+    val x = math.cos(lat) * math.cos(lon)
+    val y = math.cos(lat) * math.sin(lon)
+    val z = math.sin(lat)
+    UTF8String.fromString(java.lang.Long.toHexString(cellOfXYZ(x, y, z, res)))
+  }
+
+  /** (res, face, q, r) from a token; null on malformed input (bad hex,
+    * missing marker bit, res/face out of range). */
+  def decode(token: UTF8String): Array[Long] = {
+    if (token == null) return null
+    val s = token.toString
+    if (s.isEmpty || s.length > 13 || !s.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))) return null
+    val v = java.lang.Long.parseLong(s, 16)
+    if (v <= 0 || (64 - java.lang.Long.numberOfLeadingZeros(v)) != 50) return null
+    val res = ((v >> 45) & 0xfL).toInt
+    val face = ((v >> 40) & 0x1fL).toInt
+    if (res > MaxRes || face >= 20) return null
+    val q = ((v >> 20) & 0xfffffL) - Off
+    val r = (v & 0xfffffL) - Off
+    Array(res.toLong, face.toLong, q, r)
+  }
+
+  /** xyz of cell (face, q, r, res)'s planar center — the gnomonic
+    * plane point c + x·e1 + y·e2 (NOT normalized; every consumer is
+    * scale-invariant: atan2 ratios and the nearest-face argmax). */
+  private def centerXYZ(face: Int, q: Long, r: Long, res: Int): Array[Double] = {
+    val size = sizeAt(res)
+    val px = size * (Sqrt3 * q + Sqrt3 / 2.0 * r)
+    val py = size * (1.5 * r)
+    val fr = frames(face)
+    Array(fr(0) + px * fr(3) + py * fr(6),
+      fr(1) + px * fr(4) + py * fr(7),
+      fr(2) + px * fr(5) + py * fr(8))
+  }
+
+  /** Cell-center (lon°, lat°) — atan2 inversion, the same float class
+    * as the S2/haversine tiers. */
+  def centerOf(token: UTF8String): ArrayData = {
+    val d = decode(token)
+    if (d == null) return null
+    val w = centerXYZ(d(1).toInt, d(2), d(3), d(0).toInt)
+    new GenericArrayData(Array[Any](
+      math.toDegrees(math.atan2(w(1), w(0))),
+      math.toDegrees(math.atan2(w(2), math.sqrt(w(0) * w(0) + w(1) * w(1))))))
+  }
+
+  /** Axial 6-neighborhood deltas, E → NE → NW → W → SW → SE. */
+  private val deltas: Array[(Int, Int)] =
+    Array((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
+  /** 6-neighborhood tokens: each neighbor's virtual planar center is
+    * re-encoded through xyz (cross-face wrap — an off-face step lands
+    * in whichever cell owns that direction). Distinct, self excluded:
+    * near a face edge or icosahedron vertex, wrapped neighbors can
+    * collide with each other or with self and dedupe away, so edge
+    * cells may report fewer than 6 (the pentagon-analog convention
+    * documented above). Null on malformed input. */
+  def neighborsOf(token: UTF8String): ArrayData = {
+    val d = decode(token)
+    if (d == null) return null
+    val res = d(0).toInt; val face = d(1).toInt
+    val self = pack(res, face, d(2), d(3))
+    val out = new java.util.LinkedHashSet[Any](8)
+    var k = 0
+    while (k < 6) {
+      val (dq, dr) = deltas(k)
+      val w = centerXYZ(face, d(2) + dq, d(3) + dr, res)
+      val c = cellOfXYZ(w(0), w(1), w(2), res)
+      if (c != self)
+        out.add(UTF8String.fromString(java.lang.Long.toHexString(c))): Unit
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_h3_cell(lon, lat, res)` → hex token of the containing
+  * H3-style cell (see [[H3]] for semantics and deviations). One trig
+  * chain + a 20-face argmax + integer arithmetic per row, fully
+  * inside whole-stage codegen. */
+case class H3CellToken(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == DoubleType && second.dataType == DoubleType &&
+      third.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_h3_cell expects (double, double, int), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_h3_cell"
+
+  override def nullSafeEval(lon: Any, lat: Any, res: Any): Any =
+    H3.cellToken(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      res.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, res) => {
+      s"""
+         |${ev.value} = graft.functions.H3.cellToken($lon, $lat, $res);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** `graft_h3_center(token)` → [lon°, lat°] of the cell center. */
+case class H3CellCenter(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_h3_center expects (string), got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_h3_center"
+
+  override def nullSafeEval(tok: Any): Any =
+    H3.centerOf(tok.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, tok => {
+      s"""
+         |${ev.value} = graft.functions.H3.centerOf($tok);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `graft_h3_neighbors(token)` → 6-neighborhood tokens (cross-face
+  * wrapped; fewer near face edges/vertices — see [[H3.neighborsOf]]). */
+case class H3CellNeighbors(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_h3_neighbors expects (string), got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_h3_neighbors"
+
+  override def nullSafeEval(tok: Any): Any =
+    H3.neighborsOf(tok.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, tok => {
+      s"""
+         |${ev.value} = graft.functions.H3.neighborsOf($tok);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -4085,6 +4085,8 @@ object KqlParser {
               "geo_point_to_s2cell", "geo_s2cell_to_central_point",
               "geo_s2cell_neighbors", "geo_polygon_to_s2cells",
               "geo_line_to_s2cells", "geo_distance_point_to_line",
+              "geo_point_to_h3cell", "geo_h3cell_to_central_point",
+              "geo_h3cell_neighbors",
               "totimespan", "make_timespan", "format_timespan",
               "datetime_part", "make_datetime",
               "unixtime_seconds_todatetime", "unixtime_milliseconds_todatetime",
@@ -5127,6 +5129,50 @@ object KqlParser {
                 graft.functions.GraftFunctions.register(
                   org.apache.spark.sql.SparkSession.active)
                 out.append(s"graft_s2_neighbors(${args(0)})")
+              case "geo_point_to_h3cell" =>
+                // ADX geo_point_to_h3cell(lon, lat[, resolution]) →
+                // the H3-style cell TOKEN (res 0..12, default 6) —
+                // the THIRD cell system over the integer-exact
+                // cell-join backbone: icosahedral hexes (lowest shape
+                // distortion, 6-fold neighbor symmetry). Native
+                // codegen Expression ([[graft.functions.H3]]);
+                // deviations (direct (face, q, r) token, no
+                // inter-resolution rotation, clipped edge cells
+                // instead of pentagons) documented there.
+                require(args.length == 2 || args.length == 3,
+                  "geo_point_to_h3cell expects (lon, lat[, resolution])")
+                val res = args.lift(2).map { a =>
+                  val v = scala.util.Try(a.trim.toInt).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"geo_point_to_h3cell resolution must be an integer literal 0..${graft.functions.H3.MaxRes}: $a"))
+                  require(v >= 0 && v <= graft.functions.H3.MaxRes,
+                    s"geo_point_to_h3cell resolution must be in 0..${graft.functions.H3.MaxRes}: $a")
+                  v
+                }.getOrElse(graft.functions.H3.DefaultRes)
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_h3_cell(CAST((${args(0)}) AS DOUBLE), " +
+                  s"CAST((${args(1)}) AS DOUBLE), $res)")
+              case "geo_h3cell_to_central_point" =>
+                // GeoJSON Point of the cell center (the
+                // geo_s2cell_to_central_point shape); malformed
+                // tokens → null, ADX's convention.
+                require(args.length == 1,
+                  "geo_h3cell_to_central_point expects (token)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"element_at(transform(array(graft_h3_center(${args(0)})), " +
+                  "h3c -> CASE WHEN h3c IS NULL THEN NULL ELSE " +
+                  "named_struct('type', 'Point', 'coordinates', h3c) END), 1)")
+              case "geo_h3cell_neighbors" =>
+                // 6-neighborhood, cross-face wrapped; fewer near face
+                // edges/vertices (the pentagon-analog convention —
+                // see graft.functions.H3.neighborsOf).
+                require(args.length == 1,
+                  "geo_h3cell_neighbors expects (token)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_h3_neighbors(${args(0)})")
               case "geo_point_to_geohash" =>
                 // ADX geo_point_to_geohash(lon, lat[, accuracy]) →
                 // base32 geohash string (accuracy 1..12 characters,

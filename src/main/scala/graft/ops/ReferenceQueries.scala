@@ -733,6 +733,86 @@ object ReferenceQueries {
       || project name, c7, c11, clon, clat, nnb
       || sort by name asc""".stripMargin
 
+  /** r14 H3 cell tier (r13 verdict item 3): `geo_point_to_h3cell` /
+    * `geo_h3cell_to_central_point` / `geo_h3cell_neighbors` — the
+    * THIRD cell system over the integer-exact cell-join backbone:
+    * icosahedral hexagons (lowest shape distortion of the three,
+    * 6-fold neighbor symmetry). Deviations documented at
+    * [[graft.functions.H3]]: direct (res, face, q, r) token (no
+    * aperture-7 digit path / inter-resolution rotation), clipped edge
+    * cells instead of pentagons, cross-face neighbor wrap by
+    * re-encoding the virtual neighbor center. The vector set spans
+    * eight faces plus the north pole (which lies ON a face edge —
+    * ties break to the lowest face id), a face-edge equator point
+    * ('gw', whose 6-neighborhood wraps across faces), and an invalid
+    * point; center coordinates floor to micro-degrees; the DuckDB
+    * oracle re-derives the WHOLE chain step by step in CTE columns —
+    * icosahedron vertices from phi, face frames (center + in-plane
+    * orthonormal basis), nearest-face argmax, gnomonic projection,
+    * axial hex coordinates, cube rounding, bit-packing — and the
+    * neighbor count by re-running that chain on each of the 6 virtual
+    * neighbor centers (the cross-face wrap re-derived independently,
+    * not trusted). */
+  val kqlGeoH3Text: String =
+    """let P = datatable(name:string, lon:real, lat:real)[
+      |  'equ', -20.905, 0.0,
+      |  'gw', 0.0, 0.0,
+      |  'paris', 2.35, 48.86,
+      |  'syd', 151.21, -33.87,
+      |  'npole', 20.0, 90.0,
+      |  'rio', -43.2, -22.9,
+      |  'tok', 139.7, 35.7,
+      |  'cpt', 18.4, -33.9,
+      |  'bad', 200.0, 10.0
+      |];
+      |P
+      || extend c5 = geo_point_to_h3cell(lon, lat, 5),
+      |         cd = geo_point_to_h3cell(lon, lat)
+      || extend ctr = geo_h3cell_to_central_point(c5)
+      || extend clon = tolong(floor(ctr.coordinates[0] * 1000000.0, 1)),
+      |         clat = tolong(floor(ctr.coordinates[1] * 1000000.0, 1)),
+      |         nnb = tolong(array_length(geo_h3cell_neighbors(c5)))
+      || project name, c5, cd, clon, clat, nnb
+      || sort by name asc""".stripMargin
+
+  /** r14 H3 CELL JOIN — the bounded-fan-out spatial-join shape of
+    * [[kqlGeoS2JoinText]] keyed on H3-style hex cells: points carry
+    * their res-3 cell, sites fan out to cell ∪ 6-neighborhood, the
+    * exact circle test verifies candidates. Coverage argument (hex
+    * lattice, 1-ring): a site in cell C and a point within R can only
+    * land in a non-neighbor cell X if |center(C)−center(X)| ≥ 3·size,
+    * but that distance is ≤ 2·size + R_plane, so R_plane < size
+    * suffices; res-3 size = 0.35/√7³ ≈ 0.0189 rad ≈ 120 km ≫
+    * R_plane ≤ 1.05·40 km (gnomonic scale ≤ 1/cos² 12° over the data
+    * window). The window (lon ∈ [−29, −13), lat ∈ [−8, 8)) keeps
+    * every point ≥ 8.6° inside face 17 (inradius 20.07°), so all
+    * cells live on ONE hex lattice and the planar argument is exact.
+    * The oracle is the INDEPENDENT cross-join + haversine formulation
+    * — zero H3 arithmetic — so a missed within-R pair fails the
+    * compare. */
+  val kqlGeoH3JoinText: String =
+    """let Sites = datatable(site:string, slon:real, slat:real)[
+      |  'ana', -27.5, -6.2,
+      |  'bor', -24.0, 3.1,
+      |  'cen', -20.9, 0.0,
+      |  'dor', -16.3, 5.4,
+      |  'eri', -14.2, -4.8
+      |];
+      |Orders
+      || extend lon = todouble(orderid % 1600) / 100.0 - 29.0, lat = todouble(custid % 1000) / 62.5 - 8.0
+      || extend cell = geo_point_to_h3cell(lon, lat, 3)
+      || join kind=inner (
+      |    Sites
+      |    | extend cells = array_concat(pack_array(geo_point_to_h3cell(slon, slat, 3)),
+      |        geo_h3cell_neighbors(geo_point_to_h3cell(slon, slat, 3)))
+      |    | mv-expand cell = cells to typeof(string)
+      |  ) on cell
+      || where geo_point_in_circle(lon, lat, slon, slat, 40000.0)
+      || summarize n = count(),
+      |    d_min_m = min(tolong(floor(geo_distance_2points(lon, lat, slon, slat), 1))),
+      |    d_max_m = max(tolong(floor(geo_distance_2points(lon, lat, slon, slat), 1))) by site
+      || sort by site asc""".stripMargin
+
   /** r12 S2 CELL JOIN — the same bounded-fan-out spatial-join shape as
     * [[kqlGeoJoinText]] but keyed on S2 cells: points carry their
     * level-7 cell, sites fan out to cell ∪ 8-neighborhood (cross-face
@@ -1480,6 +1560,8 @@ object ReferenceQueries {
     "kql_pack_all" -> kqlText(kqlPackAllText) _,
     "kql_string_fns2" -> kqlText(kqlStringFns2Text) _,
     "kql_geo_s2_join" -> kqlText(kqlGeoS2JoinText) _,
+    "kql_geo_h3" -> kqlText(kqlGeoH3Text) _,
+    "kql_geo_h3_join" -> kqlText(kqlGeoH3JoinText) _,
     "kql_geo_join" -> kqlText(kqlGeoJoinText) _,
     "kql_geo_polygon" -> kqlText(kqlGeoPolygonText) _,
     "kql_geo_polygon_join" -> kqlText(kqlGeoPolygonJoinText) _,
@@ -2313,6 +2395,202 @@ object ReferenceQueries {
         |    * (CASE WHEN j7 > 0 THEN 1 ELSE 0 END + CASE WHEN j7 < 127 THEN 1 ELSE 0 END + 1)
         |    - 1 AS BIGINT) END AS nnb
         |FROM cxyz""".stripMargin,
+    // full icosahedral re-derivation in CTE columns: vertices from
+    // phi, face frames (center + in-plane orthonormal basis),
+    // nearest-face argmax, gnomonic projection, axial hex quantize,
+    // cube rounding, bit-packing — each step one column, the same
+    // single-rounded chain as graft.functions.H3, op for op. The
+    // neighbor count re-runs the WHOLE encode chain on each of the 6
+    // virtual neighbor centers (cross-face wrap re-derived, not
+    // trusted) and counts distinct non-self cells.
+    "kql_geo_h3" ->
+      """WITH k AS (SELECT (1.0 + sqrt(5.0)) / 2.0 AS phi),
+        |k2 AS (SELECT phi, sqrt(1.0 + phi * phi) AS vn FROM k),
+        |verts AS (
+        |  SELECT vid,
+        |    (CASE WHEN xc = 2 THEN phi WHEN xc = -2 THEN -phi ELSE CAST(xc AS DOUBLE) END) / vn AS vx,
+        |    (CASE WHEN yc = 2 THEN phi WHEN yc = -2 THEN -phi ELSE CAST(yc AS DOUBLE) END) / vn AS vy,
+        |    (CASE WHEN zc = 2 THEN phi WHEN zc = -2 THEN -phi ELSE CAST(zc AS DOUBLE) END) / vn AS vz
+        |  FROM (VALUES (0,0,1,2),(1,0,1,-2),(2,0,-1,2),(3,0,-1,-2),
+        |               (4,1,2,0),(5,1,-2,0),(6,-1,2,0),(7,-1,-2,0),
+        |               (8,2,0,1),(9,2,0,-1),(10,-2,0,1),(11,-2,0,-1))
+        |    vt(vid, xc, yc, zc) CROSS JOIN k2),
+        |fv AS (
+        |  SELECT fi.f, a.vx AS ax, a.vy AS ay, a.vz AS az,
+        |    b.vx AS bx, b.vy AS by, b.vz AS bz,
+        |    c.vx AS cx0, c.vy AS cy0, c.vz AS cz0
+        |  FROM (VALUES (0,0,2,8),(1,0,2,10),(2,0,4,6),(3,0,4,8),(4,0,6,10),
+        |               (5,1,3,9),(6,1,3,11),(7,1,4,6),(8,1,4,9),(9,1,6,11),
+        |               (10,2,5,7),(11,2,5,8),(12,2,7,10),(13,3,5,7),(14,3,5,9),
+        |               (15,3,7,11),(16,4,8,9),(17,5,8,9),(18,6,10,11),(19,7,10,11))
+        |    fi(f, va, vb, vc)
+        |  JOIN verts a ON a.vid = fi.va JOIN verts b ON b.vid = fi.vb
+        |  JOIN verts c ON c.vid = fi.vc),
+        |fm AS (SELECT *, ax + bx + cx0 AS mx, ay + by + cy0 AS my, az + bz + cz0 AS mz FROM fv),
+        |fm2 AS (SELECT *, sqrt(mx * mx + my * my + mz * mz) AS mn FROM fm),
+        |fc AS (SELECT f, ax, ay, az, mx / mn AS cx, my / mn AS cy, mz / mn AS cz FROM fm2),
+        |fd AS (SELECT *, ax * cx + ay * cy + az * cz AS dd FROM fc),
+        |fw AS (SELECT *, ax - dd * cx AS wx0, ay - dd * cy AS wy0, az - dd * cz AS wz0 FROM fd),
+        |fw2 AS (SELECT *, sqrt(wx0 * wx0 + wy0 * wy0 + wz0 * wz0) AS wn FROM fw),
+        |fe1 AS (SELECT f, cx, cy, cz, wx0 / wn AS e1x, wy0 / wn AS e1y, wz0 / wn AS e1z FROM fw2),
+        |frames AS (SELECT *, cy * e1z - cz * e1y AS e2x, cz * e1x - cx * e1z AS e2y,
+        |    cx * e1y - cy * e1x AS e2z FROM fe1),
+        |sz AS (SELECT 0.35 / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) AS s5,
+        |    0.35 / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) AS s6),
+        |pts AS (
+        |  SELECT * FROM (VALUES
+        |    ('equ', -20.905, 0.0), ('gw', 0.0, 0.0), ('paris', 2.35, 48.86),
+        |    ('syd', 151.21, -33.87), ('npole', 20.0, 90.0), ('rio', -43.2, -22.9),
+        |    ('tok', 139.7, 35.7), ('cpt', 18.4, -33.9), ('bad', 200.0, 10.0))
+        |    AS t(name, lon0, lat0)),
+        |p0 AS (
+        |  SELECT name, CAST(lon0 AS DOUBLE) AS lon, CAST(lat0 AS DOUBLE) AS lat,
+        |    lon0 >= -180.0 AND lon0 <= 180.0 AND lat0 >= -90.0 AND lat0 <= 90.0 AS ok
+        |  FROM pts),
+        |pxyz AS (
+        |  SELECT name, ok, cos(radians(lat)) * cos(radians(lon)) AS px,
+        |    cos(radians(lat)) * sin(radians(lon)) AS py, sin(radians(lat)) AS pz
+        |  FROM p0),
+        |pf AS (
+        |  SELECT p.name, p.ok, p.px, p.py, p.pz, fr.f, fr.cx, fr.cy, fr.cz,
+        |    fr.e1x, fr.e1y, fr.e1z, fr.e2x, fr.e2y, fr.e2z,
+        |    p.px * fr.cx + p.py * fr.cy + p.pz * fr.cz AS pd,
+        |    ROW_NUMBER() OVER (PARTITION BY p.name
+        |      ORDER BY p.px * fr.cx + p.py * fr.cy + p.pz * fr.cz DESC, fr.f ASC) AS rn
+        |  FROM pxyz p CROSS JOIN frames fr),
+        |psel AS (SELECT * FROM pf WHERE rn = 1),
+        |ploc AS (SELECT *, px / pd - cx AS tx, py / pd - cy AS ty, pz / pd - cz AS tz FROM psel),
+        |pxy AS (SELECT *, tx * e1x + ty * e1y + tz * e1z AS lx,
+        |    tx * e2x + ty * e2y + tz * e2z AS ly FROM ploc),
+        |pq AS (
+        |  SELECT pxy.*, sz.s5, sz.s6,
+        |    (sqrt(3.0) / 3.0 * lx - ly / 3.0) / s5 AS qf5, (2.0 / 3.0 * ly) / s5 AS rf5,
+        |    (sqrt(3.0) / 3.0 * lx - ly / 3.0) / s6 AS qf6, (2.0 / 3.0 * ly) / s6 AS rf6
+        |  FROM pxy CROSS JOIN sz),
+        |py2 AS (SELECT *, -qf5 - rf5 AS yf5, -qf6 - rf6 AS yf6 FROM pq),
+        |prnd AS (
+        |  SELECT *, floor(qf5 + 0.5) AS a5, floor(yf5 + 0.5) AS b5, floor(rf5 + 0.5) AS c5r,
+        |    floor(qf6 + 0.5) AS a6, floor(yf6 + 0.5) AS b6, floor(rf6 + 0.5) AS c6r
+        |  FROM py2),
+        |pdx AS (
+        |  SELECT *, abs(a5 - qf5) AS dq5, abs(b5 - yf5) AS dy5, abs(c5r - rf5) AS dr5,
+        |    abs(a6 - qf6) AS dq6, abs(b6 - yf6) AS dy6, abs(c6r - rf6) AS dr6
+        |  FROM prnd),
+        |pcell AS (
+        |  SELECT name, ok, f, cx, cy, cz, e1x, e1y, e1z, e2x, e2y, e2z, s5, s6,
+        |    CAST(CASE WHEN dq5 > dy5 AND dq5 > dr5 THEN -b5 - c5r ELSE a5 END AS BIGINT) AS q5,
+        |    CAST(CASE WHEN dq5 > dy5 AND dq5 > dr5 THEN c5r WHEN dy5 > dr5 THEN c5r
+        |         ELSE -a5 - b5 END AS BIGINT) AS r5,
+        |    CAST(CASE WHEN dq6 > dy6 AND dq6 > dr6 THEN -b6 - c6r ELSE a6 END AS BIGINT) AS q6,
+        |    CAST(CASE WHEN dq6 > dy6 AND dq6 > dr6 THEN c6r WHEN dy6 > dr6 THEN c6r
+        |         ELSE -a6 - b6 END AS BIGINT) AS r6
+        |  FROM pdx),
+        |ptok AS (
+        |  SELECT *,
+        |    (CAST(1 AS BIGINT) << 49) + 5 * (CAST(1 AS BIGINT) << 45)
+        |      + f * (CAST(1 AS BIGINT) << 40) + (q5 + 524288) * (CAST(1 AS BIGINT) << 20)
+        |      + (r5 + 524288) AS v5,
+        |    (CAST(1 AS BIGINT) << 49) + 6 * (CAST(1 AS BIGINT) << 45)
+        |      + f * (CAST(1 AS BIGINT) << 40) + (q6 + 524288) * (CAST(1 AS BIGINT) << 20)
+        |      + (r6 + 524288) AS v6
+        |  FROM pcell),
+        |pctr AS (
+        |  SELECT *, s5 * (sqrt(3.0) * q5 + sqrt(3.0) / 2.0 * r5) AS lcx,
+        |    s5 * (1.5 * r5) AS lcy
+        |  FROM ptok),
+        |pw AS (
+        |  SELECT *, cx + lcx * e1x + lcy * e2x AS cwx, cy + lcx * e1y + lcy * e2y AS cwy,
+        |    cz + lcx * e1z + lcy * e2z AS cwz
+        |  FROM pctr),
+        |nb0 AS (
+        |  SELECT pw.name, pw.f AS face0, pw.q5, pw.r5, pw.s5, pw.v5,
+        |    pw.cx AS ocx, pw.cy AS ocy, pw.cz AS ocz,
+        |    pw.e1x AS oe1x, pw.e1y AS oe1y, pw.e1z AS oe1z,
+        |    pw.e2x AS oe2x, pw.e2y AS oe2y, pw.e2z AS oe2z, d.dq, d.dr
+        |  FROM pw CROSS JOIN (VALUES (1,0),(1,-1),(0,-1),(-1,0),(-1,1),(0,1)) d(dq, dr)),
+        |nb1 AS (
+        |  SELECT *, s5 * (sqrt(3.0) * (q5 + dq) + sqrt(3.0) / 2.0 * (r5 + dr)) AS nlx,
+        |    s5 * (1.5 * (r5 + dr)) AS nly
+        |  FROM nb0),
+        |nb2 AS (
+        |  SELECT *, ocx + nlx * oe1x + nly * oe2x AS nwx,
+        |    ocy + nlx * oe1y + nly * oe2y AS nwy,
+        |    ocz + nlx * oe1z + nly * oe2z AS nwz
+        |  FROM nb1),
+        |nf AS (
+        |  SELECT n.name, n.dq, n.dr, n.s5, n.v5, n.nwx, n.nwy, n.nwz,
+        |    fr.f AS nface, fr.cx AS ncx, fr.cy AS ncy, fr.cz AS ncz,
+        |    fr.e1x AS ne1x, fr.e1y AS ne1y, fr.e1z AS ne1z,
+        |    fr.e2x AS ne2x, fr.e2y AS ne2y, fr.e2z AS ne2z,
+        |    n.nwx * fr.cx + n.nwy * fr.cy + n.nwz * fr.cz AS npd,
+        |    ROW_NUMBER() OVER (PARTITION BY n.name, n.dq, n.dr
+        |      ORDER BY n.nwx * fr.cx + n.nwy * fr.cy + n.nwz * fr.cz DESC, fr.f ASC) AS rn2
+        |  FROM nb2 n CROSS JOIN frames fr),
+        |nloc AS (
+        |  SELECT *, nwx / npd - ncx AS ntx, nwy / npd - ncy AS nty, nwz / npd - ncz AS ntz
+        |  FROM nf WHERE rn2 = 1),
+        |nxy AS (SELECT *, ntx * ne1x + nty * ne1y + ntz * ne1z AS nlx2,
+        |    ntx * ne2x + nty * ne2y + ntz * ne2z AS nly2 FROM nloc),
+        |nq AS (
+        |  SELECT *, (sqrt(3.0) / 3.0 * nlx2 - nly2 / 3.0) / s5 AS nqf,
+        |    (2.0 / 3.0 * nly2) / s5 AS nrf
+        |  FROM nxy),
+        |ny AS (SELECT *, -nqf - nrf AS nyf FROM nq),
+        |nrnd AS (
+        |  SELECT *, floor(nqf + 0.5) AS na, floor(nyf + 0.5) AS nb, floor(nrf + 0.5) AS nc
+        |  FROM ny),
+        |ndx AS (
+        |  SELECT *, abs(na - nqf) AS ndq, abs(nb - nyf) AS ndy, abs(nc - nrf) AS ndr
+        |  FROM nrnd),
+        |ncell AS (
+        |  SELECT name, v5, nface,
+        |    CAST(CASE WHEN ndq > ndy AND ndq > ndr THEN -nb - nc ELSE na END AS BIGINT) AS nq5,
+        |    CAST(CASE WHEN ndq > ndy AND ndq > ndr THEN nc WHEN ndy > ndr THEN nc
+        |         ELSE -na - nb END AS BIGINT) AS nr5
+        |  FROM ndx),
+        |nv AS (
+        |  SELECT name, v5,
+        |    (CAST(1 AS BIGINT) << 49) + 5 * (CAST(1 AS BIGINT) << 45)
+        |      + nface * (CAST(1 AS BIGINT) << 40) + (nq5 + 524288) * (CAST(1 AS BIGINT) << 20)
+        |      + (nr5 + 524288) AS nbv
+        |  FROM ncell),
+        |ncnt AS (
+        |  SELECT name, COUNT(DISTINCT nbv) FILTER (WHERE nbv <> v5) AS nnb0
+        |  FROM nv GROUP BY name)
+        |SELECT pw.name,
+        |  CASE WHEN pw.ok THEN lower(to_hex(pw.v5)) END AS c5,
+        |  CASE WHEN pw.ok THEN lower(to_hex(pw.v6)) END AS cd,
+        |  CASE WHEN pw.ok THEN CAST(floor(degrees(atan2(pw.cwy, pw.cwx)) * 1000000.0) AS BIGINT) END AS clon,
+        |  CASE WHEN pw.ok THEN CAST(floor(degrees(atan2(pw.cwz, sqrt(pw.cwx * pw.cwx + pw.cwy * pw.cwy))) * 1000000.0) AS BIGINT) END AS clat,
+        |  CASE WHEN pw.ok THEN CAST(ncnt.nnb0 AS BIGINT) END AS nnb
+        |FROM pw JOIN ncnt ON ncnt.name = pw.name
+        |ORDER BY pw.name ASC""".stripMargin,
+    // independent formulation (cross join + haversine, zero H3
+    // arithmetic): if the hex-cell 1-ring fan-out missed any within-R
+    // pair, the counts would not match.
+    "kql_geo_h3_join" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, CAST(orderid % 1600 AS DOUBLE) / 100.0 - 29.0 AS lon,
+         |    CAST(custid % 1000 AS DOUBLE) / 62.5 - 8.0 AS lat
+         |  FROM orders_info),
+         |sites AS (
+         |  SELECT * FROM (VALUES
+         |    ('ana', -27.5, -6.2), ('bor', -24.0, 3.1), ('cen', -20.9, 0.0),
+         |    ('dor', -16.3, 5.4), ('eri', -14.2, -4.8))
+         |    AS s(site, slon, slat)),
+         |d AS (
+         |  SELECT site,
+         |    2.0 * 6371000.0 * asin(sqrt(least(1.0,
+         |      sin((radians(slat) - radians(lat)) / 2) * sin((radians(slat) - radians(lat)) / 2)
+         |      + cos(radians(lat)) * cos(radians(slat))
+         |        * sin((radians(slon) - radians(lon)) / 2) * sin((radians(slon) - radians(lon)) / 2)))) AS dist
+         |  FROM pts CROSS JOIN sites)
+         |SELECT site, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(floor(MIN(dist)) AS BIGINT) AS d_min_m,
+         |  CAST(floor(MAX(dist)) AS BIGINT) AS d_max_m
+         |FROM d WHERE dist <= 40000.0
+         |GROUP BY site ORDER BY site ASC""".stripMargin,
     // independent formulation (cross join + haversine, zero S2
     // arithmetic): if the cell-neighbor fan-out missed any
     // within-R pair, the counts would not match.

@@ -374,6 +374,151 @@ class GeoSpec extends SparkSpec {
     assert(one(s"geo_distance_point_to_line(0.5, 0.0, parse_json($lj1))").isNullAt(0))
   }
 
+  test("h3: res-0 face assignment at face centers; invalid input -> null") {
+    import graft.functions.H3
+    // a point AT a face center projects to the lattice origin: token
+    // = pack(0, face, 0, 0). Face centers from the canonical
+    // sorted-triple numbering (lon, lat, face).
+    val centers = Seq((0.0, 69.095, 0), (90.0, 20.905, 2), (45.0, 35.264, 3),
+      (0.0, -69.095, 5), (-90.0, 20.905, 10), (20.905, 0.0, 16),
+      (-20.905, 0.0, 17), (159.095, 0.0, 18))
+    for ((lon, lat, f) <- centers) {
+      val expect = java.lang.Long.toHexString(H3.pack(0, f, 0L, 0L))
+      assert(one(s"geo_point_to_h3cell($lon, $lat, 0)").getString(0) == expect,
+        s"face center ($lon, $lat) must land on face $f's origin cell")
+    }
+    assert(one("geo_point_to_h3cell(200.0, 0.0, 5)").isNullAt(0))
+    assert(one("geo_point_to_h3cell(0.0, 91.0, 5)").isNullAt(0))
+    // NaN nulls out (negated inside-test); ANSI SQL rejects a 0/0
+    // literal, so pin via the static
+    assert(H3.cellToken(Double.NaN, 10.0, 5) == null)
+    assert(H3.cellToken(10.0, Double.NaN, 5) == null)
+  }
+
+  test("h3: token roundtrips through its center; central point is GeoJSON; malformed -> null") {
+    import graft.functions.H3
+    for ((lon, lat, res) <- Seq((2.35, 48.86, 5), (-20.9, 0.5, 7),
+        (151.21, -33.87, 3), (139.7, 35.7, 9))) {
+      val tok = one(s"geo_point_to_h3cell($lon, $lat, $res)").getString(0)
+      val ctr = one(s"geo_h3cell_to_central_point('$tok')").getStruct(0)
+      assert(ctr.getString(0) == "Point")
+      val coords = ctr.getSeq[Double](1)
+      val back = one(s"geo_point_to_h3cell(${coords(0)}, ${coords(1)}, $res)").getString(0)
+      assert(back == tok, s"center of $tok must map back to it, got $back")
+    }
+    assert(one("geo_h3cell_to_central_point('zzz')").isNullAt(0))
+    assert(one("geo_h3cell_neighbors('1')").isNullAt(0))      // no marker bit
+    // face 20 is out of range: craft the value directly
+    val bad = java.lang.Long.toHexString((1L << 49) | (20L << 40) | (524288L << 20) | 524288L)
+    assert(one(s"geo_h3cell_neighbors('$bad')").isNullAt(0))
+    // res 13 exceeds MaxRes both at encode and decode
+    intercept[Exception](one("geo_point_to_h3cell(0.0, 0.0, 13)"))
+    val badRes = java.lang.Long.toHexString((1L << 49) | (13L << 45) | (524288L << 20) | 524288L)
+    assert(one(s"geo_h3cell_to_central_point('$badRes')").isNullAt(0))
+  }
+
+  test("h3: interior cells have 6 distinct reciprocal same-face neighbors") {
+    import graft.functions.H3
+    import org.apache.spark.unsafe.types.UTF8String
+    def neighbors(tok: String): Seq[String] = {
+      val a = H3.neighborsOf(UTF8String.fromString(tok))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    // points well inside faces (>= 8 degrees from every face edge)
+    for ((lon, lat) <- Seq((-20.9, 0.5), (20.9, -0.5), (0.0, 66.0), (-45.0, -35.0));
+         res <- Seq(4, 6, 8)) {
+      val tok = one(s"geo_point_to_h3cell($lon, $lat, $res)").getString(0)
+      val nb = neighbors(tok)
+      assert(nb.size == 6 && nb.distinct.size == 6 && !nb.contains(tok),
+        s"interior cell $tok at res $res: $nb")
+      val face0 = H3.decode(UTF8String.fromString(tok))(1)
+      nb.foreach { t =>
+        assert(H3.decode(UTF8String.fromString(t))(1) == face0, "same face")
+        assert(neighbors(t).contains(tok), s"$t must list $tok back")
+      }
+    }
+  }
+
+  test("h3: face-edge neighbors wrap onto the adjacent face and stay local") {
+    import graft.functions.H3
+    import org.apache.spark.unsafe.types.UTF8String
+    def havM(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+      val dLat = math.toRadians(lat2 - lat1); val dLon = math.toRadians(lon2 - lon1)
+      val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.sin(dLon / 2) * math.sin(dLon / 2)
+      2.0 * 6371000.0 * math.asin(math.min(1.0, math.sqrt(a)))
+    }
+    def centerOf(tok: String): (Double, Double) = {
+      val c = H3.centerOf(UTF8String.fromString(tok))
+      (c.getDouble(0), c.getDouble(1))
+    }
+    // 'gw' (0, 0) sits ON the edge between faces 16 and 17 (tie ->
+    // 16); points just either side of several edges at several res.
+    // Hex lattices on adjacent faces do NOT align (unlike the S2
+    // quadratic-ST cube), so reciprocity is not asserted cross-face;
+    // what must hold: valid distinct tokens at the same res, at
+    // least one on a DIFFERENT face for an edge-straddling cell, and
+    // every neighbor center within 3 cell sizes of the cell center
+    // (locality of the wrap).
+    for ((lon, lat) <- Seq((0.0, 0.0), (0.01, 66.0), (-41.8, 0.0), (90.0, 0.01));
+         res <- Seq(3, 5, 7)) {
+      val tok = one(s"geo_point_to_h3cell($lon, $lat, $res)").getString(0)
+      val d = H3.decode(UTF8String.fromString(tok))
+      val nbArr = H3.neighborsOf(UTF8String.fromString(tok))
+      val nb = (0 until nbArr.numElements()).map(i => nbArr.getUTF8String(i).toString)
+      assert(nb.nonEmpty && nb.size <= 6 && nb.distinct.size == nb.size)
+      val faces = nb.map(t => H3.decode(UTF8String.fromString(t))(1)).toSet
+      assert(faces.contains(d(1)) || faces.size > 1, "neighbors exist somewhere")
+      assert(nb.forall(t => H3.decode(UTF8String.fromString(t))(0) == d(0)), "same res")
+      val (clon, clat) = centerOf(tok)
+      val sizeM = H3.sizeAt(res.toInt) * 6371000.0
+      nb.foreach { t =>
+        val (nlon, nlat) = centerOf(t)
+        assert(havM(clon, clat, nlon, nlat) <= 3.0 * sizeM,
+          s"wrapped neighbor $t of $tok drifted: ${havM(clon, clat, nlon, nlat)} m")
+      }
+      // an edge-straddling cell must reach the adjacent face
+      if ((lon, lat) == (0.0, 0.0)) assert(faces.exists(_ != d(1)),
+        s"edge cell $tok at res $res reported only same-face neighbors")
+    }
+  }
+
+  test("h3: every point lies within one cell circumradius of its cell center") {
+    import graft.functions.H3
+    import org.apache.spark.unsafe.types.UTF8String
+    // gnomonic projection is distance-expanding, cube rounding picks
+    // a center within the planar circumradius, so the sphere distance
+    // point -> center is <= size (in radians) with only ulp slack.
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 300) {
+      val lon = rnd.nextDouble() * 360.0 - 180.0
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2.0 - 1.0))
+      val res = rnd.nextInt(9)
+      val tok = H3.cellToken(lon, lat, res)
+      assert(tok != null)
+      val c = H3.centerOf(tok)
+      val dLat = math.toRadians(c.getDouble(1) - lat)
+      val dLon = math.toRadians(c.getDouble(0) - lon)
+      val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+        math.cos(math.toRadians(lat)) * math.cos(math.toRadians(c.getDouble(1))) *
+          math.sin(dLon / 2) * math.sin(dLon / 2)
+      val distRad = 2.0 * math.asin(math.min(1.0, math.sqrt(a)))
+      assert(distRad <= H3.sizeAt(res) * 1.0000001,
+        s"($lon, $lat) res $res: $distRad rad > size ${H3.sizeAt(res)}")
+    }
+  }
+
+  test("h3: codegen and interpreted eval agree") {
+    import graft.functions.H3
+    val rows = Seq((10.75, 59.91), (-21.94, 64.15), (151.21, -33.87), (178.44, -18.14))
+    val viaSql = rows.toDF("lon", "lat")
+      .selectExpr("graft_h3_cell(lon, lat, 6) AS c")
+      .collect().map(_.getString(0)).toSeq
+    val direct = rows.map { case (lon, lat) => H3.cellToken(lon, lat, 6).toString }
+    assert(viaSql == direct)
+  }
+
   test("s2: codegen and interpreted eval agree") {
     import graft.functions.S2
     import org.apache.spark.unsafe.types.UTF8String
