@@ -90,6 +90,37 @@ object Kql {
         exploded.withColumn(name, expr(s"try_cast(`$name` AS $t)")))
     }
 
+    /** KQL `mv-expand bagexpansion=(bag|array) name = <bag expr>` —
+      * one row per TOP-LEVEL property of a property bag, in CANONICAL
+      * sorted-key order (the VARIANT encoding sorts object fields;
+      * insertion order is not representable in a bag anywhere in this
+      * engine — with_itemindex exposes the canonical position, and the
+      * spec pins it). `bag` mode emits
+      * single-property bags {"k": v} (ADX's default for dynamic
+      * objects), `array` mode emits ["k", v] pairs; both stay VARIANT.
+      * A non-object cell (array, scalar, null) casts to a null map
+      * and the row drops — ADX's convention for expanding a non-bag
+      * under bagexpansion. Map-side generator, no shuffle. */
+    def mvExpandBag(name: String, bagSql: String, mode: String,
+                    ixName: Option[String]): DataFrame = {
+      ixName.foreach { ix =>
+        require(!df.columns.contains(ix),
+          s"mv-expand with_itemindex name '$ix' collides with an existing column")
+      }
+      val entries = expr(s"map_entries(try_cast(($bagSql) AS MAP<STRING, VARIANT>))")
+      val carried = df.columns.filterNot(_ == name).map(col).toSeq
+      val ec = "_graft_mv_bag"
+      val exploded = ixName match {
+        case Some(ix) => df.select(carried :+ posexplode(entries).as(Seq(ix, ec)): _*)
+        case None => df.select(carried :+ explode(entries).as(ec): _*)
+      }
+      val rendered = mode match {
+        case "bag" => s"parse_json(to_json(map($ec.key, $ec.value)))"
+        case _ => s"parse_json(to_json(array(cast($ec.key AS VARIANT), $ec.value)))"
+      }
+      exploded.withColumn(name, expr(rendered)).drop(ec)
+    }
+
     /** KQL `mv-expand a, b, …` — multi-column LOCKSTEP expansion. ADX
       * zips parallel arrays row-wise: the row expands to max(len(…))
       * rows, shorter arrays null-fill their column, a NULL array

@@ -1472,12 +1472,43 @@ object KqlParser {
                            lets: Map[String, String]): DataFrame = {
     import Kql.KqlOps
     var body = rest.trim
+    // ADX `mv-expand bagexpansion=(bag|array) col` — expand a PROPERTY
+    // BAG one row per top-level property: `bag` emits single-property
+    // bags {"k": v} (ADX's default for bags), `array` emits ["k", v]
+    // pairs. Entries come out in CANONICAL sorted-key order (the
+    // VARIANT encoding's field order — ADX leaves bag order
+    // unspecified; unspecified order cannot cross an oracle), which
+    // with_itemindex exposes.
+    val BagExpRe = "(?is)^bagexpansion\\s*=\\s*(bag|array)\\s+(.*)$".r
+    def takeBagMode(): Option[String] = body match {
+      case BagExpRe(m, tail) => body = tail.trim; Some(m.toLowerCase)
+      case _ => None
+    }
     // ADX `mv-expand with_itemindex=IxName col` — also emit each
-    // element's 0-based position.
+    // element's 0-based position. bagexpansion and with_itemindex are
+    // accepted in either order (ADX allows both).
     val ItemIxRe = "(?is)^with_itemindex\\s*=\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+(.*)$".r
+    var bagMode: Option[String] = takeBagMode()
     val itemIx: Option[String] = body match {
       case ItemIxRe(ix, tail) => body = tail.trim; Some(ix)
       case _ => None
+    }
+    if (bagMode.isEmpty) bagMode = takeBagMode()
+    bagMode.foreach { mode =>
+      val items = splitTopLevel(body, ',').map(_.trim).filter(_.nonEmpty)
+      require(items.length == 1,
+        s"mv-expand bagexpansion supports exactly one bag column: $body")
+      // reuse the single-item grammar (name = expr, no typeof — the
+      // output is always dynamic)
+      require(!items.head.toLowerCase.contains(" to typeof"),
+        "mv-expand bagexpansion output is dynamic; 'to typeof' is unsupported")
+      val (name, exprText) = items.head match {
+        case NamedRe(n, b) if !b.startsWith("=") && !b.startsWith("~") => (n, b.trim)
+        case other => (other.trim, other.trim)
+      }
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"mv-expand bagexpansion over an expression needs a name: ${items.head}")
+      return df.mvExpandBag(name, scalar(exprText, lets), mode, itemIx)
     }
     val TypeofRe = "(?s)^(.*?)\\s+to\\s+typeof\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
     // (name, array expr text, element cast) — the `to typeof()` suffix
@@ -3762,15 +3793,21 @@ object KqlParser {
     * `variant_get(d, '$.a.b')` (untyped: the result stays VARIANT,
     * so chains compose and `tostring()`/`tolong()` wrappers cast it,
     * mirroring ADX where dynamic subscripting yields dynamic). Roots
-    * that are not variant columns (struct fields, qualified names)
-    * pass through untouched; quote-aware so literals are never
-    * rewritten. Subscript syntax (`d['a']`) is not supported —
-    * dotted paths only (documented deviation). */
+    * that are not variant columns (struct fields, qualified names,
+    * typed arrays/maps) pass through untouched; quote-aware so
+    * literals are never rewritten. Subscript syntax is supported on
+    * variant roots (r14): `d[0]` → `$[0]`, `d['a']` → `$['a']`, and
+    * mixed chains (`d.a[0].b`) compose; a computed (non-literal)
+    * subscript stays unsupported — variant_get requires a foldable
+    * path (documented deviation). */
   private def rewriteVariantPaths(sql: String, df: DataFrame): String = {
     val variantRoots: Set[String] = df.schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.VariantType => f.name
     }.toSet
-    if (variantRoots.isEmpty || !sql.contains('.')) return sql
+    if (variantRoots.isEmpty || !(sql.contains('.') || sql.contains('['))) return sql
+    val Seg = ("^(?:(\\.[A-Za-z_][A-Za-z0-9_]*)" +           // .field
+      "|(\\[[0-9]+\\])" +                                    // [123]
+      "|(\\['[^'\\\\]*'\\])|(\\[\"[^\"\\\\]*\"\\]))").r      // ['k'] / ["k"]
     val out = new StringBuilder
     var i = 0
     while (i < sql.length) {
@@ -3780,16 +3817,28 @@ object KqlParser {
         while (i < sql.length && sql.charAt(i) != c) { out.append(sql.charAt(i)); i += 1 }
         if (i < sql.length) { out.append(c); i += 1 }
       } else if (c.isLetter || c == '_') {
-        val ChainRe = "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)+".r
-        ChainRe.findFirstIn(sql.substring(i)) match {
-          case Some(chain) if variantRoots(chain.takeWhile(_ != '.')) =>
-            val root = chain.takeWhile(_ != '.')
-            out.append(s"variant_get($root, '$$${chain.drop(root.length)}')")
-            i += chain.length
-          case _ =>
-            val w = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(sql.substring(i)).get
-            out.append(w); i += w.length
-        }
+        val root = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(sql.substring(i)).get
+        if (variantRoots(root)) {
+          // consume the longest run of path segments after the root
+          var j = i + root.length
+          val path = new StringBuilder
+          var more = true
+          while (more) {
+            Seg.findFirstMatchIn(sql.substring(j)) match {
+              case Some(m) =>
+                val seg = m.matched
+                // normalize to variant_get's JSON-path dialect:
+                // ["k"] → ['k']; .f and [N] and ['k'] pass through
+                path.append(if (seg.startsWith("[\""))
+                  "['" + seg.substring(2, seg.length - 2) + "']" else seg)
+                j += seg.length
+              case None => more = false
+            }
+          }
+          if (path.isEmpty) out.append(root)
+          else out.append(s"variant_get($root, '$$$path')")
+          i = j
+        } else { out.append(root); i += root.length }
       } else { out.append(c); i += 1 }
     }
     out.toString
@@ -4096,6 +4145,7 @@ object KqlParser {
               "replace_string", "replace_regex", "indexof_regex", "string_size",
               "dcount_intersect",
               "bag_keys", "bag_has_key", "bag_merge",
+              "bag_remove_keys", "bag_set_key",
               "format_bytes",
               "zip", "repeat", "gettype",
               "translate", "max_of", "min_of", "exp2", "exp10",
@@ -4821,6 +4871,44 @@ object KqlParser {
                   s"CASE WHEN bm.a IS NULL OR bm.b IS NULL THEN CAST(NULL AS VARIANT) " +
                   s"ELSE parse_json(to_json(map_concat(bm.a, " +
                   s"map_filter(bm.b, (bk, bv) -> NOT array_contains(map_keys(bm.a), bk))))) END), 1)")
+              case "bag_remove_keys" =>
+                // ADX bag_remove_keys(bag, keys): drops the listed
+                // TOP-LEVEL keys (ADX also accepts '$.'-prefixed JSON
+                // paths in the list — unsupported here, documented:
+                // list entries are treated as literal top-level keys,
+                // matching ADX for non-path entries). Survivors render
+                // in canonical sorted-key order (the VARIANT round
+                // trip re-canonicalizes). Non-object bag or null key
+                // list → null, the bag_merge convention.
+                require(args.length == 2, "bag_remove_keys expects (bag, keys)")
+                val (bm, bks) = (s"try_cast(${args(0)} AS MAP<STRING, VARIANT>)",
+                  s"try_cast(${args(1)} AS ARRAY<STRING>)")
+                out.append(s"element_at(transform(array(named_struct('m', $bm, 'ks', $bks)), brt -> " +
+                  s"CASE WHEN brt.m IS NULL OR brt.ks IS NULL THEN CAST(NULL AS VARIANT) " +
+                  s"ELSE parse_json(to_json(map_filter(brt.m, (brk, brv) -> " +
+                  s"NOT array_contains(brt.ks, brk)))) END), 1)")
+              case "bag_set_key" =>
+                // ADX bag_set_key(bag, key, value): upsert one
+                // TOP-LEVEL property ('$'-prefixed JSON paths rejected
+                // loudly, the bag_has_key convention). ADX leaves
+                // result key order unspecified; here the VARIANT
+                // round trip canonicalizes to sorted-key order
+                // (deterministic, the engine-wide bag convention).
+                // Any value type goes through one
+                // cast-to-VARIANT (scalars, arrays, bags, null — a
+                // null value sets the key to JSON null, matching ADX).
+                // Non-object bag or null key → null.
+                require(args.length == 3, "bag_set_key expects (bag, key, value)")
+                val keyArg = args(1).trim
+                require(!(keyArg.startsWith("'$") || keyArg.startsWith("\"$")),
+                  s"bag_set_key supports top-level keys only (JSON paths unsupported): $keyArg")
+                val bsm = s"try_cast(${args(0)} AS MAP<STRING, VARIANT>)"
+                out.append(s"element_at(transform(array(named_struct('m', $bsm, " +
+                  s"'k', CAST((${args(1)}) AS STRING), 'v', cast((${args(2)}) AS VARIANT))), bst -> " +
+                  s"CASE WHEN bst.m IS NULL OR bst.k IS NULL THEN CAST(NULL AS VARIANT) " +
+                  s"ELSE parse_json(to_json(CASE WHEN array_contains(map_keys(bst.m), bst.k) " +
+                  s"THEN transform_values(bst.m, (bsk, bsv) -> IF(bsk = bst.k, bst.v, bsv)) " +
+                  s"ELSE map_concat(bst.m, map(bst.k, bst.v)) END)) END), 1)")
               case "dcount_intersect" =>
                 // ADX dcount_intersect over two hll() sketches:
                 // inclusion–exclusion on DataSketches estimates —

@@ -1124,6 +1124,30 @@ object ReferenceQueries {
       |    m_b = tostring(m.b), m_d = tostring(m.d), m_m = tostring(m.m)
       || sort by keys1 asc""".stripMargin
 
+  /** r14 dynamic-bag tier 2 (r13 verdict item 4): `bag_remove_keys` /
+    * `bag_set_key` / `mv-expand bagexpansion=bag`. The pipeline packs
+    * a 4-key bag per order (keys deliberately NOT in sorted order),
+    * removes two keys, upserts one existing key and one new key, then
+    * bag-expands one row per property WITH its position — so the
+    * engine's documented deterministic key order (CANONICAL
+    * sorted-key, the VARIANT encoding's field order; ADX leaves bag
+    * order unspecified) is itself under oracle: oid was packed first
+    * but city must expand at position 0. The oracle is INDEPENDENT: a
+    * plain UNION ALL re-derivation of the three (key, position,
+    * value) streams with zero bag arithmetic. */
+  val kqlBagOps2Text: String =
+    """Orders
+      || where orderid < 500
+      || extend b = bag_pack('oid', orderid, 'drop1', amount, 'city', city, 'drop2', 'zz')
+      || extend b2 = bag_set_key(bag_remove_keys(b, pack_array('drop1', 'drop2')), 'parity', orderid % 2)
+      || extend b3 = bag_set_key(b2, 'city', strcat(city, '!'))
+      || mv-expand with_itemindex=ix bagexpansion=bag kv = b3
+      || extend k = strcat_array(bag_keys(kv), ','), ix = tolong(ix)
+      || extend v = iff(k == 'city', tostring(kv.city),
+      |               iff(k == 'oid', tostring(kv.oid), tostring(kv.parity)))
+      || summarize n = count(), nv = dcount(v) by k, ix
+      || sort by ix asc, k asc""".stripMargin
+
   /** r11 `geo_polygon_area` — equirectangular shoelace (deviation from
     * ADX's spheroid documented at the parser): a concave ring, a unit
     * triangle, and a degenerate ring (null). The oracle mirrors the
@@ -1553,6 +1577,7 @@ object ReferenceQueries {
     "kql_narrow" -> kqlText(kqlNarrowText) _,
     "kql_autocluster" -> kqlText(kqlAutoclusterText) _,
     "kql_bag_ops" -> kqlText(kqlBagOpsText) _,
+    "kql_bag_ops2" -> kqlText(kqlBagOps2Text) _,
     "kql_basket" -> kqlText(kqlBasketText) _,
     "kql_geo" -> kqlText(kqlGeoText) _,
     "kql_geo_s2" -> kqlText(kqlGeoS2Text) _,
@@ -2051,6 +2076,23 @@ object ReferenceQueries {
         |  CASE WHEN o12 THEN COALESCE(j1 ->> '$.d', j2 ->> '$.d') END AS m_d,
         |  CASE WHEN o12 THEN COALESCE(j1 ->> '$.m', j2 ->> '$.m') END AS m_m
         |FROM g ORDER BY keys1 ASC""".stripMargin,
+    // INDEPENDENT re-derivation of the three (key, position, value)
+    // streams as a plain UNION ALL — zero bag arithmetic, so the
+    // engine's whole remove/set/expand chain (including the
+    // documented key-order contract: originals keep order, in-place
+    // replace keeps position 0, the new key appends last) is under
+    // oracle.
+    "kql_bag_ops2" ->
+      s"""${Sql.ordersInfoCte},
+         |f AS (SELECT * FROM orders_info WHERE orderid < 500),
+         |u AS (
+         |  SELECT 'city' AS k, 0 AS ix, city || '!' AS v FROM f
+         |  UNION ALL SELECT 'oid', 1, CAST(orderid AS VARCHAR) FROM f
+         |  UNION ALL SELECT 'parity', 2, CAST(orderid % 2 AS VARCHAR) FROM f)
+         |SELECT k, CAST(ix AS BIGINT) AS ix, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT v) AS BIGINT) AS nv
+         |FROM u GROUP BY k, ix
+         |ORDER BY ix ASC, k ASC""".stripMargin,
     // frame-ordered running sum mirrors the parser's left-to-right
     // shoelace fold; mean-latitude sums are exact decimals on both
     // engines.

@@ -49,6 +49,66 @@ class KqlSpec extends SparkSpec {
     assert(df.projectAway("v").columns.toSeq == Seq("k"))
   }
 
+  test("mv-expand bagexpansion: bag/array modes, key order, non-object drop, loud rejects") {
+    val src = Seq(
+      ("r1", """{"b":1,"a":"x"}"""),   // keys deliberately NOT sorted
+      ("r2", """[1,2]"""),             // non-object: row drops
+      ("r3", """{"only":null}""")
+    ).toDF("id", "j")
+    val tables = Map("T" -> src)
+    // bag mode: one row per property, single-entry bags, CANONICAL
+    // sorted-key order (the VARIANT encoding's field order — insertion
+    // order is not preserved by bags anywhere in this engine), exposed
+    // by with_itemindex: a before b despite the source JSON's b-first
+    val bag = KqlParser.run(
+      "T | extend d = parse_json(j) " +
+        "| mv-expand with_itemindex=ix bagexpansion=bag kv = d " +
+        "| project id, ix, s = tostring(kv) | sort by id asc, ix asc", tables)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    assert(bag == Seq(("r1", 0, """{"a":"x"}"""), ("r1", 1, """{"b":1}"""),
+      ("r3", 0, """{"only":null}""")))
+    // array mode: ["k", v] pairs, subscriptable
+    val arr = KqlParser.run(
+      "T | extend d = parse_json(j) " +
+        "| mv-expand bagexpansion=array kv = d " +
+        "| project id, k = tostring(kv[0]), v = tostring(kv[1]) " +
+        "| sort by id asc, k asc", tables)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(arr.map(t => (t._1, t._2)) == Seq(("r1", "a"), ("r1", "b"), ("r3", "only")))
+    assert(arr.find(_._2 == "b").get._3 == "1")
+    // loud rejects: typeof suffix, multiple items, unnamed expression
+    intercept[IllegalArgumentException](KqlParser.run(
+      "T | extend d = parse_json(j) | mv-expand bagexpansion=bag kv = d to typeof(string)", tables))
+    intercept[IllegalArgumentException](KqlParser.run(
+      "T | extend d = parse_json(j) | mv-expand bagexpansion=bag d, d", tables))
+  }
+
+  test("bag_remove_keys / bag_set_key conventions") {
+    val src = Seq(("""{"a":1,"b":2,"c":3}"""), ("""[1,2]""")).toDF("j")
+    val tables = Map("T" -> src)
+    def col0(q: String): Seq[Any] =
+      KqlParser.run(q, tables).collect().map(r => r.get(0)).toSeq
+    // survivors render in canonical sorted-key order; non-object ->
+    // null (KQL asc sorts nulls first)
+    assert(col0("T | project r = tostring(bag_remove_keys(parse_json(j), pack_array('b'))) | sort by r asc") ==
+      Seq(null, """{"a":1,"c":3}"""))
+    // removing every key yields the empty bag, not null
+    assert(col0("T | where j startswith '{' | project r = tostring(bag_remove_keys(parse_json(j), pack_array('a','b','c')))") ==
+      Seq("{}"))
+    // unknown keys are no-ops; null key list -> null
+    assert(col0("T | where j startswith '{' | project r = tostring(bag_remove_keys(parse_json(j), pack_array('zz')))") ==
+      Seq("""{"a":1,"b":2,"c":3}"""))
+    // set: existing key replaced IN PLACE, new key appends, value
+    // types carry through (string / array / null)
+    assert(col0("T | where j startswith '{' | project r = tostring(bag_set_key(parse_json(j), 'b', 'str'))") ==
+      Seq("""{"a":1,"b":"str","c":3}"""))
+    assert(col0("T | where j startswith '{' | project r = tostring(bag_set_key(parse_json(j), 'z', pack_array(1, 2)))") ==
+      Seq("""{"a":1,"b":2,"c":3,"z":[1,2]}"""))
+    // JSON-path key rejected loudly (top-level only, bag_has_key's rule)
+    intercept[IllegalArgumentException](KqlParser.run(
+      "T | project r = bag_set_key(parse_json(j), '$.a.b', 1)", tables))
+  }
+
   test("parse extracts regex groups") {
     val out = Seq("id=42;x").toDF("s")
       .parseExtract("id", col("s"), "id=(\\d+)")
