@@ -4392,6 +4392,26 @@ object KqlParser {
                       s"transform(${args(0)}, (x, i) -> " +
                       s"${seriesIntercept(prefix)} + ${seriesSlope(prefix)} * i) " +
                       s"ELSE NULL END)")
+                  case "series_fit_poly" | "series_fit_poly_dynamic" =>
+                    // degree is the 2nd argument (integer literal
+                    // 1..3; default 1). ADX's (y, x, degree) custom-x
+                    // form is rejected loudly — see
+                    // seriesFitPolyDynamic's deviation notes.
+                    require(args.length == 1 || args.length == 2,
+                      s"$sfn expects (series [, degree])")
+                    val deg = args.lift(1).map { a =>
+                      scala.util.Try(a.trim.toInt).getOrElse(
+                        throw new IllegalArgumentException(
+                          s"$sfn degree must be an integer literal 1..3 " +
+                            s"(a custom x axis is unsupported): ${a.trim}"))
+                    }.getOrElse(1)
+                    require(deg >= 1 && deg <= 3,
+                      s"$sfn degree must be in 1..3: $deg")
+                    if (sfn == "series_fit_poly_dynamic")
+                      out.append(seriesFitPolyDynamic(args(0), deg))
+                    else
+                      out.append(s"element_at(transform(array(" +
+                        s"${seriesFitPolyDynamic(args(0), deg)}), pfr -> pfr.poly_fit), 1)")
                   case "series_fit_2lines" =>
                     // the non-dynamic form yields line_fit (the fitted
                     // array), the series_fit_line convention here; the
@@ -6045,6 +6065,95 @@ object KqlParser {
       s"'right', named_struct('slope', f2q.sr, 'interception', f2q.ir), " +
       s"'line_fit', transform($s, (lx, li) -> " +
       s"IF(li < f2b.s, f2q.il + f2q.sl * li, f2q.ir + f2q.sr * (li - f2b.s))))), 1)), 1)), 1) END)"
+  }
+
+  /** x^m as repeated multiplication text (left-assoc, so the oracle's
+    * `x * x * x` parses to the same tree — pow() is NOT used: libm pow
+    * is not guaranteed correctly rounded, repeated multiply is). */
+  private def polyPow(v: String, m: Int): String =
+    if (m == 0) "CAST(1 AS DOUBLE)"
+    else if (m == 1) v
+    else "(" + Seq.fill(m)(v).mkString(" * ") + ")"
+
+  /** Cofactor expansion of a symbolic determinant along the first
+    * column — the deterministic op-order contract shared with the
+    * DuckDB oracle (every product/sum is IEEE-rounded identically on
+    * both engines given bit-equal entries). */
+  private def polyDet(m: Vector[Vector[String]]): String =
+    if (m.size == 1) m(0)(0)
+    else m.indices.map { r =>
+      val minor = m.zipWithIndex.collect {
+        case (row, ri) if ri != r => row.drop(1)
+      }
+      val term = s"${m(r)(0)} * (${polyDet(minor)})"
+      if (r == 0) term else if (r % 2 == 1) s"- $term" else s"+ $term"
+    }.mkString(" ")
+
+  /** ADX series_fit_poly[_dynamic](y [, degree]) — least-squares
+    * polynomial of LITERAL degree 1..3 over the index axis x = 0..n−1,
+    * solved by Cramer's rule on the (k+1)×(k+1) normal equations:
+    * entries are the power sums S_m = Σ x^m (m ≤ 2k), the right side
+    * the moment sums T_m = Σ x^m·y. Returns the series_fit_line-shaped
+    * bag {rsquare, coefficients, variance, rvariance, poly_fit};
+    * coefficients are HIGHEST power first (ADX's order).
+    *
+    * Deviations (documented): ADX's 3-arg (y, x_series, degree) form
+    * with a custom x axis is rejected loudly (the 2nd argument here is
+    * the degree — an integer literal, so a caller passing an x series
+    * errors instead of silently refitting); degree is capped at 3 (the
+    * closed Cramer chain stays oracle-expressible; higher degrees need
+    * a pivoting solver, out of scope for a dashboard fit).
+    *
+    * Float contract: every SUM (S_m, T_m, Σy, Σy²) is an exact integer
+    * for counting series (order-independent cross-engine); the
+    * determinant products and division chains are mirrored op-for-op
+    * by the oracle, so outputs are bit-equal. ssres comes from the
+    * normal-equation identity Σy² − Σ a_m·T_m (no per-element residual
+    * pass — the same algebraic route as the fit2 tier). Null when the
+    * series is shorter than k+1 points (the normal matrix would be
+    * singular); rsquare is null for a constant series (SStot = 0). */
+  private[kql] def seriesFitPolyDynamic(s: String, k: Int): String = {
+    require(k >= 1 && k <= 3, s"series_fit_poly degree must be 1..3: $k")
+    val mat = Vector.tabulate(k + 1, k + 1)((r, c) => s"pf3s.s${r + c}")
+    val rhs = Vector.tabulate(k + 1)(r => s"pf3s.t$r")
+    val sumFields = (0 to 2 * k).map {
+      case 0 => s"'s0', CAST(size(pf1s.arr) AS DOUBLE)"
+      case m => s"'s$m', aggregate(pf1s.xs, CAST(0 AS DOUBLE), " +
+        s"(pfa, pfx) -> pfa + ${polyPow("pfx", m)})"
+    } ++ (0 to k).map {
+      case 0 => s"'t0', aggregate(pf1s.arr, CAST(0 AS DOUBLE), (pfa, pfy) -> pfa + pfy)"
+      case m => s"'t$m', aggregate(zip_with(pf1s.arr, pf1s.xs, " +
+        s"(pfy, pfx) -> pfy * ${polyPow("pfx", m)}), CAST(0 AS DOUBLE), (pfa, pfv) -> pfa + pfv)"
+    } :+ s"'u0', aggregate(pf1s.arr, CAST(0 AS DOUBLE), (pfa, pfy) -> pfa + pfy * pfy)"
+    val detFields = (s"'det', ${polyDet(mat)}" +:
+      (0 to k).map(c => s"'n$c', ${polyDet(mat.zipWithIndex.map { case (row, r) =>
+        row.updated(c, rhs(r)) })}")) ++
+      Seq("'s0', pf3s.s0", "'u0', pf3s.u0") ++
+      (0 to k).map(m => s"'t$m', pf3s.t$m") ++ Seq("'arr', pf3s.arr", "'xs', pf3s.xs")
+    val coefFields = (0 to k).map(c => s"'a$c', (pf4s.n$c / pf4s.det)") ++
+      Seq("'s0', pf4s.s0", "'u0', pf4s.u0") ++
+      (0 to k).map(m => s"'t$m', pf4s.t$m") ++ Seq("'arr', pf4s.arr", "'xs', pf4s.xs")
+    val ssres = s"(pf5s.u0 - (${(0 to k).map(c => s"pf5s.a$c * pf5s.t$c").mkString(" + ")}))"
+    val sstot = "(pf5s.u0 - pf5s.t0 * pf5s.t0 / pf5s.s0)"
+    val fitBody = (Seq("pf5s.a0") ++ (1 to k).map(m =>
+      s"pf5s.a$m * ${polyPow("pffx", m)}")).mkString(" + ")
+    val out = s"named_struct(" +
+      s"'rsquare', (CASE WHEN $sstot = 0 THEN NULL ELSE 1 - $ssres / $sstot END), " +
+      s"'coefficients', array(${(k to 0 by -1).map(c => s"pf5s.a$c").mkString(", ")}), " +
+      s"'variance', ($sstot / pf5s.s0), " +
+      s"'rvariance', ($ssres / pf5s.s0), " +
+      s"'poly_fit', transform(pf5s.xs, pffx -> $fitBody))"
+    val stage1 = s"named_struct('arr', $s, 'xs', " +
+      s"transform(sequence(0, size($s) - 1), pfi -> CAST(pfi AS DOUBLE)))"
+    val stage2 = s"named_struct(${sumFields.mkString(", ")}, " +
+      s"'arr', pf1s.arr, 'xs', pf1s.xs)"
+    val stage3 = s"named_struct(${detFields.mkString(", ")})"
+    val stage4 = s"named_struct(${coefFields.mkString(", ")})"
+    s"(CASE WHEN size($s) < ${k + 1} THEN NULL ELSE " +
+      s"element_at(transform(array($stage1), pf1s -> " +
+      s"element_at(transform(array($stage2), pf3s -> " +
+      s"element_at(transform(array($stage3), pf4s -> " +
+      s"element_at(transform(array($stage4), pf5s -> $out), 1)), 1)), 1)), 1) END)"
   }
 
   /** Population variance of a series. */

@@ -872,6 +872,28 @@ object ReferenceQueries {
       || project event_type, split_idx, rsq_u, var_u, rvar_u, sl_l_u, ic_l_u, sl_r_u, ic_r_u, fc
       || sort by event_type asc""".stripMargin
 
+  /** r14 `series_fit_poly[_dynamic]` (r13 verdict item 5) — the
+    * degree-k least-squares sibling of series_fit_line: Cramer's rule
+    * on the normal equations of exact-integer power/moment sums over
+    * the zero-filled daily count series (degree 2 here). Every sum is
+    * an exact integer (order-independent cross-engine); the oracle
+    * mirrors the determinant cofactor expansion and every division
+    * chain op-for-op, so all micro-unit outputs are bit-stable.
+    * Coefficients render highest power first (ADX's order). */
+  val kqlSeriesFitPolyText: String =
+    """Events
+      || make-series n = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+      || extend f = series_fit_poly_dynamic(n, 2)
+      || extend rsq_u = tolong(floor(f.rsquare * 1000000.0, 1)),
+      |    var_u = tolong(floor(f.variance * 1000000.0, 1)),
+      |    rvar_u = tolong(floor(f.rvariance * 1000000.0, 1)),
+      |    c2_u = tolong(floor(f.coefficients[0] * 1000000.0, 1)),
+      |    c1_u = tolong(floor(f.coefficients[1] * 1000000.0, 1)),
+      |    c0_u = tolong(floor(f.coefficients[2] * 1000000.0, 1)),
+      |    fc = array_join(transform(f.poly_fit, x -> string(tolong(floor(x * 1000000.0, 1)))), ',')
+      || project event_type, rsq_u, var_u, rvar_u, c2_u, c1_u, c0_u, fc
+      || sort by event_type asc""".stripMargin
+
   /** r11 series fill family — forward / backwards / linear over a
     * SPARSE daily avg series (value ≥ 300 leaves ~85 % of the bins
     * null, including leading and trailing gaps, so every edge
@@ -1597,6 +1619,7 @@ object ReferenceQueries {
     "kql_parse_ua" -> kqlText(kqlParseUaText) _,
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
     "kql_series_fit2" -> kqlText(kqlSeriesFit2Text) _,
+    "kql_series_fit_poly" -> kqlText(kqlSeriesFitPolyText) _,
     "kql_series_fill" -> kqlText(kqlSeriesFillText) _,
     "kql_series_seasonal" -> kqlText(kqlSeriesSeasonalText) _,
     "kql_series_decompose2" -> kqlText(kqlSeriesDecomposeSeasonalText) _,
@@ -2019,6 +2042,60 @@ object ReferenceQueries {
         |    ',' ORDER BY d.i) AS fc
         |FROM p JOIN dense d USING (event_type)
         |GROUP BY p.event_type, p.sp, p.rss, p.sl, p.sr, p.il, p.ir, p.sstot
+        |ORDER BY event_type ASC""".stripMargin,
+    // Cramer chain mirrored op-for-op: the power/moment sums are exact
+    // integers (order-free cross-engine), the determinant cofactor
+    // expansions below are textually the expressions the parser
+    // generates (expansion along the first column, same parse tree),
+    // and every division happens in the same order — so all micro-unit
+    // outputs are bit-equal.
+    "kql_series_fit_poly" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+        |g AS (SELECT event_type, i, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 30)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, CAST(COALESCE(g.c, 0) AS DOUBLE) AS v
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i),
+        |sums AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS DOUBLE) AS s0,
+        |    CAST(SUM(i) AS DOUBLE) AS s1,
+        |    CAST(SUM(i * i) AS DOUBLE) AS s2,
+        |    CAST(SUM(i * i * i) AS DOUBLE) AS s3,
+        |    CAST(SUM(i * i * i * i) AS DOUBLE) AS s4,
+        |    SUM(v) AS t0, SUM(v * i) AS t1, SUM(v * (i * i)) AS t2,
+        |    SUM(v * v) AS u0
+        |  FROM dense GROUP BY 1),
+        |det AS (
+        |  SELECT *,
+        |    s0 * (s2 * (s4) - s3 * (s3)) - s1 * (s1 * (s4) - s3 * (s2)) + s2 * (s1 * (s3) - s2 * (s2)) AS det,
+        |    t0 * (s2 * (s4) - s3 * (s3)) - t1 * (s1 * (s4) - s3 * (s2)) + t2 * (s1 * (s3) - s2 * (s2)) AS n0,
+        |    s0 * (t1 * (s4) - t2 * (s3)) - s1 * (t0 * (s4) - t2 * (s2)) + s2 * (t0 * (s3) - t1 * (s2)) AS n1,
+        |    s0 * (s2 * (t2) - s3 * (t1)) - s1 * (s1 * (t2) - s3 * (t0)) + s2 * (s1 * (t1) - s2 * (t0)) AS n2
+        |  FROM sums),
+        |cf AS (SELECT *, n0 / det AS a0, n1 / det AS a1, n2 / det AS a2 FROM det),
+        |fin AS (
+        |  SELECT *, (u0 - (a0 * t0 + a1 * t1 + a2 * t2)) AS ssres,
+        |    (u0 - t0 * t0 / s0) AS sstot
+        |  FROM cf)
+        |SELECT fin.event_type,
+        |  CAST(floor((CASE WHEN sstot = 0 THEN NULL ELSE 1 - ssres / sstot END) * 1000000.0) AS BIGINT) AS rsq_u,
+        |  CAST(floor((sstot / s0) * 1000000.0) AS BIGINT) AS var_u,
+        |  CAST(floor((ssres / s0) * 1000000.0) AS BIGINT) AS rvar_u,
+        |  CAST(floor(a2 * 1000000.0) AS BIGINT) AS c2_u,
+        |  CAST(floor(a1 * 1000000.0) AS BIGINT) AS c1_u,
+        |  CAST(floor(a0 * 1000000.0) AS BIGINT) AS c0_u,
+        |  string_agg(CAST(CAST(floor((a0 + a1 * d.i + a2 * (d.i * d.i)) * 1000000.0) AS BIGINT) AS VARCHAR),
+        |    ',' ORDER BY d.i) AS fc
+        |FROM fin JOIN dense d USING (event_type)
+        |GROUP BY fin.event_type, ssres, sstot, s0, a0, a1, a2
         |ORDER BY event_type ASC""".stripMargin,
     "kql_series_forecast" ->
       """WITH f AS (

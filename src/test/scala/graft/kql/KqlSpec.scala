@@ -109,6 +109,46 @@ class KqlSpec extends SparkSpec {
       "T | project r = bag_set_key(parse_json(j), '$.a.b', 1)", tables))
   }
 
+  test("series_fit_poly: exact quadratic recovery, degree default, loud rejects") {
+    val tables = Map("T" -> Seq(1).toDF("x"))
+    // (0..3, (x+1)^2): every sum/determinant is an exact small integer,
+    // so the Cramer chain recovers a2=1, a1=2, a0=1 bit-exactly
+    val r = KqlParser.run(
+      "T | extend s = pack_array(1.0, 4.0, 9.0, 16.0) " +
+        "| extend f = series_fit_poly_dynamic(s, 2) " +
+        "| project cs = f.coefficients, rsq = f.rsquare, rv = f.rvariance, fit = f.poly_fit",
+      tables).head()
+    assert(r.getSeq[Double](0) == Seq(1.0, 2.0, 1.0))     // highest first
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 0.0)
+    assert(r.getSeq[Double](3) == Seq(1.0, 4.0, 9.0, 16.0))
+    // degree 1 (the default) agrees with series_fit_line on an exact line
+    val l = KqlParser.run(
+      "T | extend s = pack_array(3.0, 5.0, 7.0, 9.0) " +
+        "| extend f = series_fit_poly_dynamic(s) " +
+        "| project cs = f.coefficients, fit = f.poly_fit, lf = series_fit_line(s)",
+      tables).head()
+    assert(l.getSeq[Double](0) == Seq(2.0, 3.0))          // slope, intercept
+    assert(l.getSeq[Double](1) == l.getSeq[Double](2))
+    // series shorter than degree+1 -> null (singular normal matrix)
+    val n = KqlParser.run(
+      "T | extend f = series_fit_poly_dynamic(pack_array(1.0, 2.0), 2) | project f",
+      tables).head()
+    assert(n.isNullAt(0))
+    // the non-dynamic form returns the fitted array directly
+    val p = KqlParser.run(
+      "T | extend f = series_fit_poly(pack_array(1.0, 4.0, 9.0, 16.0), 2) | project f",
+      tables).head()
+    assert(p.getSeq[Double](0) == Seq(1.0, 4.0, 9.0, 16.0))
+    // loud rejects: degree out of range, non-literal degree (ADX's
+    // custom-x 2nd argument)
+    intercept[IllegalArgumentException](KqlParser.run(
+      "T | extend f = series_fit_poly_dynamic(pack_array(1.0, 2.0), 0) | project f", tables))
+    intercept[IllegalArgumentException](KqlParser.run(
+      "T | extend f = series_fit_poly_dynamic(pack_array(1.0, 2.0), 4) | project f", tables))
+    intercept[IllegalArgumentException](KqlParser.run(
+      "T | extend f = series_fit_poly_dynamic(pack_array(1.0, 2.0), pack_array(0.0, 1.0)) | project f", tables))
+  }
+
   test("parse extracts regex groups") {
     val out = Seq("id=42;x").toDF("s")
       .parseExtract("id", col("s"), "id=(\\d+)")
