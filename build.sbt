@@ -32,6 +32,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // The container locale is POSIX, so JDK 17 defaults to US-ASCII —
+  // and Spark's VARIANT builder goes through the platform charset, so
+  // any non-ASCII string entering the variant tier silently corrupts
+  // (measured: one U+FFFD round-tripped to three). JDK 18+ defaults to
+  // UTF-8 (JEP 400); force it here. A production deployment carries
+  // this in spark.{driver,executor}.extraJavaOptions the same way.
+  "-Dfile.encoding=UTF-8",
   // 62 queries × local[32] shuffles in one JVM: 8g left ~10 s GC pauses
   // on the heavier CDC plans; the bench box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",

@@ -53,10 +53,6 @@ object Verify {
                                   prior: Map[String, Double]): Seq[String] =
     names.sortBy(n => (prior.getOrElse(n, 5.0), n))
 
-  // name -> (status, seconds). Insertion-ordered; synchronized on itself
-  // (mutated by pool workers, read by the progress writer + hook).
-  private val acc = new java.util.LinkedHashMap[String, (String, Double)]()
-
   private def jsonEsc(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -72,7 +68,8 @@ object Verify {
     * shutdown hook at any instant. Synchronized: pool workers call it
     * concurrently and share the temp-file name — unsynchronized, one
     * worker's move can steal another's temp file mid-write. */
-  private def writeProgress(outDir: String, total: Int): Unit = synchronized {
+  private def writeProgress(acc: java.util.LinkedHashMap[String, (String, Double)],
+                            outDir: String, total: Int): Unit = synchronized {
     val entries = acc.synchronized {
       import scala.jdk.CollectionConverters._
       acc.entrySet().asScala.toVector.map(e => e.getKey -> e.getValue)
@@ -115,7 +112,12 @@ object Verify {
                          skipAfter: Double = 600.0,
                          par: Int = 4): Unit = {
     new java.io.File(outDir).mkdirs()
-    acc.synchronized { acc.clear() }
+    // name -> (status, seconds). Insertion-ordered; synchronized on
+    // itself (mutated by pool workers, read by the progress writer +
+    // hook). LOCAL to this run (r13 advice: object-level state made
+    // run() non-reentrant — two concurrent runs, e.g. parallel spec
+    // execution, would interleave and clobber each other's accounting).
+    val acc = new java.util.LinkedHashMap[String, (String, Double)]()
     // (1) the comparator's prerequisite goes down before any query runs
     writeOracle(outDir)
 
@@ -136,7 +138,7 @@ object Verify {
     val total = ordered.size
 
     val hook = new Thread(() => {
-      writeProgress(outDir, total)
+      writeProgress(acc, outDir, total)
       val n = acc.synchronized(acc.size())
       System.err.println(s"[verify] shutdown with $n/$total recorded — progress file written")
     })
@@ -180,7 +182,7 @@ object Verify {
         } finally { cancel.cancel(); spark.sparkContext.clearJobGroup() }
       val sec = (System.nanoTime() - qt0) / 1e9
       acc.synchronized { acc.put(name, (status, math.rint(sec * 1000) / 1000)): Unit }
-      writeProgress(outDir, total)
+      writeProgress(acc, outDir, total)
     }
 
     val workers = (1 to math.max(1, par)).map { i =>
@@ -201,7 +203,7 @@ object Verify {
     }
     workers.foreach(_.join())
     watchdog.cancel()
-    writeProgress(outDir, total)
+    writeProgress(acc, outDir, total)
     try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => () }
     val failed = acc.synchronized {
       import scala.jdk.CollectionConverters._

@@ -119,9 +119,19 @@ case class BagMergeAgg(
   }
 
   override def eval(buf: mutable.HashMap[String, (Array[Byte], Array[Byte])]): Any = {
-    val body = buf.toSeq.sortBy(_._1).map { case (k, (_, v)) =>
-      "\"" + escKey(k) + "\":" + new String(v, java.nio.charset.StandardCharsets.UTF_8)
-    }.mkString("{", ",", "}")
+    // Output keys sort by UTF-8 BYTES — the same comparator the
+    // per-key donor pick uses — so both orderings share one canonical
+    // convention (r13 advice: Java String compareTo orders by UTF-16
+    // code unit, which disagrees for keys mixing supplementary-plane
+    // chars with U+E000..U+FFFF).
+    val body = buf.toSeq
+      .map { case (k, dv) =>
+        (k.getBytes(java.nio.charset.StandardCharsets.UTF_8), k, dv)
+      }
+      .sortWith((a, b) => less(a._1, b._1))
+      .map { case (_, k, (_, v)) =>
+        "\"" + escKey(k) + "\":" + new String(v, java.nio.charset.StandardCharsets.UTF_8)
+      }.mkString("{", ",", "}")
     UTF8String.fromString(body)
   }
 

@@ -24,9 +24,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null on malformed input or a prefix outside 0..128. */
 object Ipv6 {
 
+  // ASCII-only validation (r13 advice): Character.digit/Char.isDigit
+  // accept non-ASCII Unicode digits (e.g. fullwidth '２'), which would
+  // let '２001:db8::1' parse instead of canonicalizing to null.
+  private def asciiHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   private def hexWord(p: String): Int =
-    if (p.nonEmpty && p.length <= 4 &&
-        p.forall(c => Character.digit(c, 16) >= 0)) Integer.parseInt(p, 16)
+    if (p.nonEmpty && p.length <= 4 && p.forall(asciiHex))
+      Integer.parseInt(p, 16)
     else -1
 
   private def ipv4Octets(s: String): Array[Int] = {
@@ -36,7 +42,7 @@ object Ipv6 {
     var i = 0
     while (i < 4) {
       val p = parts(i)
-      if (p.isEmpty || p.length > 3 || !p.forall(_.isDigit)) return null
+      if (p.isEmpty || p.length > 3 || !p.forall(c => c >= '0' && c <= '9')) return null
       val v = p.toInt
       if (v > 255) return null
       o(i) = v
@@ -55,7 +61,11 @@ object Ipv6 {
       if (o == null) return null
       return Array(0, 0, 0, 0, 0, 0xffff, (o(0) << 8) | o(1), (o(2) << 8) | o(3))
     }
-    def sideWords(side: String): Array[Int] = {
+    // allowV4: RFC 4291 permits the dotted quad only as the FINAL 32
+    // bits of the address, so it may appear only as the last part of
+    // the RIGHT side of '::' (or of a gapless address) — the left side
+    // rejects '.' parts entirely (r13 advice: '1.2.3.4::' parsed).
+    def sideWords(side: String, allowV4: Boolean): Array[Int] = {
       if (side.isEmpty) return Array.emptyIntArray
       val parts = side.split(":", -1)
       if (parts.exists(_.isEmpty)) return null
@@ -64,7 +74,7 @@ object Ipv6 {
       while (i < parts.length) {
         val p = parts(i)
         if (p.indexOf('.') >= 0) {
-          if (i != parts.length - 1) return null
+          if (!allowV4 || i != parts.length - 1) return null
           val o = ipv4Octets(p)
           if (o == null) return null
           buf += ((o(0) << 8) | o(1))
@@ -81,14 +91,14 @@ object Ipv6 {
     val gi = s.indexOf("::")
     if (gi >= 0) {
       if (s.indexOf("::", gi + 1) >= 0) return null
-      val left = sideWords(s.substring(0, gi))
-      val right = sideWords(s.substring(gi + 2))
+      val left = sideWords(s.substring(0, gi), allowV4 = false)
+      val right = sideWords(s.substring(gi + 2), allowV4 = true)
       if (left == null || right == null) return null
       val fill = 8 - left.length - right.length
       if (fill < 1) return null
       left ++ Array.fill(fill)(0) ++ right
     } else {
-      val w = sideWords(s)
+      val w = sideWords(s, allowV4 = true)
       if (w == null || w.length != 8) return null
       w
     }

@@ -2051,7 +2051,11 @@ object KqlParser {
     def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
     while (i < s.length) {
       val c = s(i)
-      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      // inside quotes a backslash escapes the next char (the dialect's
+      // literals reach Spark SQL, whose default parses C-style escapes
+      // — 'it\'s' must not flip the quote state; r13 advice, applied
+      // to every quote scanner in this file)
+      if (quote != 0) { if (c == '\\') i += 2 else { if (c == quote) quote = 0; i += 1 } }
       else c match {
         case '"' | '\'' => quote = c; i += 1
         case '(' | '[' => depth += 1; i += 1
@@ -3388,7 +3392,7 @@ object KqlParser {
     var i = 1; var quote: Char = 0; var end = -1
     while (i < rest.length && end < 0) {
       val c = rest.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) { if (c == '\\') i += 1 else if (c == quote) quote = 0 }
       else if (c == '"' || c == '\'') quote = c
       else if (c == ']') end = i
       i += 1
@@ -3468,7 +3472,7 @@ object KqlParser {
     var i = open
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) { if (c == '\\') i += 1 else if (c == quote) quote = 0 }
       else c match {
         case '"' | '\'' => quote = c
         case '(' => depth += 1
@@ -3814,7 +3818,11 @@ object KqlParser {
       val c = sql.charAt(i)
       if (c == '"' || c == '\'') {
         out.append(c); i += 1
-        while (i < sql.length && sql.charAt(i) != c) { out.append(sql.charAt(i)); i += 1 }
+        while (i < sql.length && sql.charAt(i) != c) {
+          if (sql.charAt(i) == '\\' && i + 1 < sql.length) {
+            out.append(sql.charAt(i)).append(sql.charAt(i + 1)); i += 2
+          } else { out.append(sql.charAt(i)); i += 1 }
+        }
         if (i < sql.length) { out.append(c); i += 1 }
       } else if (c.isLetter || c == '_') {
         val root = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(sql.substring(i)).get
@@ -5813,7 +5821,9 @@ object KqlParser {
     while (i < item.length) {
       val ch = item.charAt(i)
       if (quote != 0) {
-        sb.append(ch); if (ch == quote) quote = 0; i += 1
+        if (ch == '\\' && i + 1 < item.length) {
+          sb.append(ch).append(item.charAt(i + 1)); i += 2
+        } else { sb.append(ch); if (ch == quote) quote = 0; i += 1 }
       } else if (ch == '\'' || ch == '"') {
         quote = ch; sb.append(ch); i += 1
       } else if (lower.startsWith("pack_all", i) &&
@@ -5835,8 +5845,13 @@ object KqlParser {
     val cur = new StringBuilder
     var depth = 0
     var quote: Char = 0
+    var esc = false
     s.foreach { c =>
-      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
+      if (esc) { cur.append(c); esc = false }
+      else if (quote != 0) {
+        cur.append(c)
+        if (c == '\\') esc = true else if (c == quote) quote = 0
+      }
       else c match {
         case '"' | '\'' => quote = c; cur.append(c)
         case '(' | '[' => depth += 1; cur.append(c)
@@ -5858,7 +5873,7 @@ object KqlParser {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) { if (c == '\\') i += 1 else if (c == quote) quote = 0 }
       else c match {
         case '"' | '\'' => quote = c
         case '(' | '[' => depth += 1

@@ -81,6 +81,24 @@ class Ipv6PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ipv6: dotted quad only as the final 32 bits; ASCII-only digits (r13 advice)") {
+    // RFC 4291: the embedded IPv4 form occupies the LOW 32 bits — a
+    // dotted quad left of '::', or not in last position, is malformed
+    assert(canon("1.2.3.4::") == null)
+    assert(canon("1.2.3.4::5") == null)
+    assert(canon("::5:1.2.3.4:6") == null)
+    assert(canon("1:1.2.3.4:2:3:4:5:6") == null)
+    // ...while the legitimate tail forms still parse
+    assert(canon("::ffff:1.2.3.4") == "0000:0000:0000:0000:0000:ffff:0102:0304")
+    assert(canon("1:2:3:4:5:6:7.8.9.10") == "0001:0002:0003:0004:0005:0006:0708:090a")
+    // non-ASCII Unicode digits (fullwidth '２' U+FF12, Devanagari '२'
+    // U+0968) must canonicalize to null, not parse as their numeric value
+    assert(canon("２001:db8::1") == null)
+    assert(canon("::２") == null)
+    assert(canon("२.168.1.1") == null)
+    assert(canon("192.168.１.1") == null)
+  }
+
   test("ipv6: compare reflexive, antisymmetric, total-equal at prefix 0") {
     cases.zip(cases.reverse).foreach { case ((_, fa, p), (_, fb, _)) =>
       assert(Ipv6.compare(u(fa), u(fa), p) == 0)

@@ -1333,6 +1333,17 @@ class KqlSpec extends SparkSpec {
     // a column name containing a quote embeds doubled
     assert(rewritePackAll("b = pack_all()", Seq("o'k")) ==
       "b = bag_pack('o''k', `o'k`)")
+    // a backslash-escaped quote inside a literal must not flip the
+    // quote state — the pack_all AFTER it still rewrites (r13 advice)
+    assert(rewritePackAll("""x = strcat('it\'s', ''), b = pack_all()""", Seq("a")) ==
+      """x = strcat('it\'s', ''), b = bag_pack('a', `a`)""")
+    // ...and one INSIDE a literal after an escaped quote stays literal
+    assert(rewritePackAll("""x = 'a\' pack_all() b'""", Seq("a")) ==
+      """x = 'a\' pack_all() b'""")
+    // splitTopLevel shares the convention: the comma inside the
+    // escaped literal does not split
+    assert(KqlParser.splitTopLevel("""f('it\'s, not', x), y""", ',') ==
+      Seq("""f('it\'s, not', x)""", " y"))
     // end-to-end: the literal survives to the output, the bag is real
     val reg = Map("T" -> Seq((1L, 2L)).toDF("a", "k"))
     val r = KqlParser.run(
@@ -1383,6 +1394,24 @@ class KqlSpec extends SparkSpec {
       KqlParser.run("T | summarize b2 = make_bag(bag_pack('k', k), 10) by g", reg)
     }
     assert(e.getMessage.contains("maxSize unsupported"))
+  }
+
+  test("graft_make_bag renders keys in UTF-8 byte order (r13 advice)") {
+    // U+FFFD (UTF-8 ef bf bd) vs U+1F600 (UTF-8 f0 9f 98 80, UTF-16
+    // surrogates d83d de00): UTF-16 code-unit order puts the emoji
+    // FIRST (d83d < fffd), UTF-8 byte order puts it LAST (f0 > ef) --
+    // the aggregate's rendered key order must share the UTF-8-byte
+    // convention its per-key donor pick uses. Pinned on the RAW
+    // aggregate output (the KQL make_bag path re-parses it into a
+    // VARIANT, whose round trip imposes Spark's own field order).
+    graft.functions.GraftFunctions.register(spark)
+    val (kRep, kEmo) = ("\uFFFD", "\uD83D\uDE00")
+    val out = spark.sql(
+      s"SELECT graft_make_bag(d, m) AS s FROM VALUES " +
+        s"('{}', map('$kEmo', '2', '$kRep', '1')) AS t(d, m)")
+      .head().getString(0)
+    assert(out == s"""{"$kRep":1,"$kEmo":2}""",
+      s"expected U+FFFD before U+1F600 (UTF-8 byte order), got $out")
   }
 
   test("parser: series unary tier — abs/exp/log/sign/floor/ceiling/round/pow") {
