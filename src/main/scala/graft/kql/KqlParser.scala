@@ -701,6 +701,33 @@ object KqlParser {
             df = sessionCountVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("ipv4_lookup")) {
             df = ipv4LookupVerb(df, body0, tbls, scoped); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("preview")) {
+            // `evaluate preview(N)` — ADX returns TWO tables (an
+            // N-row sample + the total row count); a one-frame engine
+            // folds the count in as a constant `preview_total` column
+            // (broadcast one-row cross join, the repo's grand-total
+            // idiom — no window, no second pass over the driver).
+            // DEVIATION (documented): ADX's sample is arbitrary; an
+            // arbitrary subset cannot cross an oracle, so the sample
+            // here is the first N rows in the TOTAL ordering of all
+            // columns — Spark plans the sort+limit as
+            // TakeOrderedAndProject (top-N per partition + merge, no
+            // global sort shuffle), so the determinism is free at
+            // scale. Columns must be orderable (project first if not).
+            val open = body0.indexOf('(')
+            require(open > 0 && matchingParen(body0, open) == body0.length - 1,
+              s"evaluate preview expects preview(N): $body0")
+            val nArg = body0.substring(open + 1, body0.length - 1).trim
+            val n = scala.util.Try(nArg.toInt).getOrElse(
+              throw new IllegalArgumentException(
+                s"evaluate preview expects an integer literal row count: $nArg"))
+            require(n > 0, s"evaluate preview row count must be positive: $n")
+            require(!df.columns.contains("preview_total"),
+              "evaluate preview: a 'preview_total' column already exists")
+            val totals = df.agg(count(lit(1)).as("preview_total"))
+            df = df.orderBy(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)
+              .limit(n).crossJoin(broadcast(totals))
+            serialOrder = None
           } else if (body0.toLowerCase.matches("(?i)narrow\\s*\\(\\s*\\)")) {
             // `evaluate narrow()` — ADX's transpose plugin: every value
             // column becomes a (Column, Value) row pair, values cast to
@@ -723,7 +750,7 @@ object KqlParser {
               "basket, diffpatterns, sliding_window_counts, activity_engagement, " +
               "activity_counts_metrics, new_activity_metrics, rolling_percentile, " +
               "active_users_count, sequence_detect, session_count, ipv4_lookup, " +
-              s"funnel_sequence, funnel_sequence_completion and narrow plugins: $body0")
+              s"funnel_sequence, funnel_sequence_completion, preview and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
             s"evaluate pivot expects pivot(col[, agg[, groupCols…]]): $body0")

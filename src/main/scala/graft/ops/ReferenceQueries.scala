@@ -1146,6 +1146,17 @@ object ReferenceQueries {
       |    m_b = tostring(m.b), m_d = tostring(m.d), m_m = tostring(m.m)
       || sort by keys1 asc""".stripMargin
 
+  /** r14 `evaluate preview(N)` — ADX's two-table sample+count plugin
+    * folded into one frame: the first N rows in the total ordering of
+    * all columns (deterministic, TakeOrderedAndProject — no global
+    * sort shuffle) plus a constant `preview_total` column via the
+    * broadcast grand-total idiom. Deviations at the parser. */
+  val kqlPreviewText: String =
+    """Orders
+      || project orderid, city
+      || evaluate preview(7)
+      || sort by orderid asc""".stripMargin
+
   /** r14 dynamic-bag tier 2 (r13 verdict item 4): `bag_remove_keys` /
     * `bag_set_key` / `mv-expand bagexpansion=bag`. The pipeline packs
     * a 4-key bag per order (keys deliberately NOT in sorted order),
@@ -1600,6 +1611,7 @@ object ReferenceQueries {
     "kql_autocluster" -> kqlText(kqlAutoclusterText) _,
     "kql_bag_ops" -> kqlText(kqlBagOpsText) _,
     "kql_bag_ops2" -> kqlText(kqlBagOps2Text) _,
+    "kql_preview" -> kqlText(kqlPreviewText) _,
     "kql_basket" -> kqlText(kqlBasketText) _,
     "kql_geo" -> kqlText(kqlGeoText) _,
     "kql_geo_s2" -> kqlText(kqlGeoS2Text) _,
@@ -2153,6 +2165,12 @@ object ReferenceQueries {
         |  CASE WHEN o12 THEN COALESCE(j1 ->> '$.d', j2 ->> '$.d') END AS m_d,
         |  CASE WHEN o12 THEN COALESCE(j1 ->> '$.m', j2 ->> '$.m') END AS m_m
         |FROM g ORDER BY keys1 ASC""".stripMargin,
+    "kql_preview" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid, city,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders_info) AS preview_total
+         |FROM orders_info
+         |ORDER BY orderid ASC, city ASC LIMIT 7""".stripMargin,
     // INDEPENDENT re-derivation of the three (key, position, value)
     // streams as a plain UNION ALL — zero bag arithmetic, so the
     // engine's whole remove/set/expand chain (including the

@@ -149,6 +149,20 @@ class KqlSpec extends SparkSpec {
       "T | extend f = series_fit_poly_dynamic(pack_array(1.0, 2.0), pack_array(0.0, 1.0)) | project f", tables))
   }
 
+  test("evaluate preview: deterministic top-N sample + folded total count") {
+    val reg = Map("T" -> Seq((3L, "c"), (1L, "a"), (2L, "b"), (4L, "d")).toDF("id", "v"))
+    val out = KqlParser.run("T | evaluate preview(2) | sort by id asc", reg).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 4L), (2L, "b", 4L)))
+    // N larger than the table: all rows, count intact
+    assert(KqlParser.run("T | evaluate preview(99)", reg).count() == 4)
+    // loud rejects: non-literal N, non-positive N, column collision
+    intercept[IllegalArgumentException](KqlParser.run("T | evaluate preview(id)", reg))
+    intercept[IllegalArgumentException](KqlParser.run("T | evaluate preview(0)", reg))
+    intercept[IllegalArgumentException](KqlParser.run(
+      "T | extend preview_total = 1 | evaluate preview(2)", reg))
+  }
+
   test("parse extracts regex groups") {
     val out = Seq("id=42;x").toDF("s")
       .parseExtract("id", col("s"), "id=(\\d+)")
