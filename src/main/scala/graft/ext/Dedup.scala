@@ -211,17 +211,32 @@ object Dedup {
         col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // Verify-stage fetch is two plain shuffle hash joins on doc_id: the
-    // candidate-pair set is tiny relative to the corpus, and the corpus
-    // word-sets must NEVER be broadcast (at 100 TB that is a driver OOM
-    // by construction). The shuffle_hash hint keeps the build side on
-    // the pair stream and avoids sorting the corpus; size-based AQE may
-    // still downgrade to broadcast at toy scale, which is fine — only
-    // the unconditional hint was the scale bug. PlanSpec pins this.
-    pairs.hint("shuffle_hash")
+    // Verify-stage fetch: the corpus word-sets must NEVER be broadcast
+    // (at 100 TB that is a driver OOM by construction). Shape (r14,
+    // after the sf1 stress pass): TWO SIDE-BY-SIDE shuffle hash
+    // fetches, each building the BARE pair stream — bounded per task
+    // by pairs/shuffle.partitions, the sizing contract a deployment
+    // controls — then one pair-keyed merge join of the two fetch
+    // results (sort-merge: sorts only pair-sized relations, spills
+    // gracefully). The previous shape chained the fetches with the
+    // hint on both, which made the SECOND build side pairs WITH the
+    // fetched wa arrays attached — unbounded in task memory, and
+    // ShuffledHashJoin's build cannot spill ("Can't acquire … to
+    // build hash relation", then an executor OOM that killed the JVM
+    // at 10x bench scale). The unhinted-second-join alternative was
+    // measured 2.0x slower at sf0.1 (it sorts the whole corpus); this
+    // shape measures at the old plan's time (1.30 vs 1.32 s) with
+    // every build side bounded. Size-based AQE may still downgrade a
+    // join to broadcast at toy scale, which is fine — only the
+    // unconditional broadcast was the original scale bug. PlanSpec
+    // pins this.
+    val fa = pairs.hint("shuffle_hash")
       .join(docsW.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
-      .hint("shuffle_hash")
+      .select(col("doc_a"), col("doc_b"), col("wa"))
+    val fb = pairs.hint("shuffle_hash")
       .join(docsW.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("wb"))
+    fa.join(fb, Seq("doc_a", "doc_b"))
       .withColumn("common", expr("size(array_intersect(wa, wb))"))
       .withColumn("jac", col("common").cast("double") /
         (expr("size(wa) + size(wb)") - col("common")))

@@ -99,8 +99,16 @@ class PlanSpec extends SparkSpec {
         graft.ops.Tables.documents(spark, sfDir)))
       assert(!p.contains("BroadcastExchange"),
         "minhash pipeline must not force-broadcast any side:\n" + p.take(3000))
-      assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
-        "verify-stage word-set fetches should be shuffle hash joins:\n" + p.take(3000))
+      // Two side-by-side word-set fetches, each a shuffle hash join
+      // building the BARE pair stream (bounded by pairs/partitions),
+      // merged by one pair-keyed spillable sort-merge join. The old
+      // chained-hint shape built pairs+wa arrays — unbounded, and the
+      // non-spillable hash build OOM'd the executor at 10x scale (r14
+      // sf1 stress finding).
+      assert("ShuffledHashJoin".r.findAllIn(p).size == 2,
+        "both word-set fetches should be shuffle hash joins:\n" + p.take(3000))
+      assert(p.contains("SortMergeJoin"),
+        "fetch results should merge via spillable sort-merge:\n" + p.take(3000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

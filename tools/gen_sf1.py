@@ -8,9 +8,11 @@ Replication semantics (stress-shape fidelity, not oracle correctness):
     replica so joins keep realistic key cardinalities; foreign keys into
     the unscaled dims stay, so per-dim fan-out grows 10x (the harsher
     direction for the join/agg plans under test);
-  - documents get a per-replica text suffix so the dedup tier's
-    duplicate-pair distribution scales instead of collapsing into
-    10-way exact-duplicate cliques;
+  - documents get per-replica WORD salting (every token suffixed with
+    the replica id) so replicas share no vocabulary: the within-replica
+    duplicate structure is preserved and the near-dup pair count scales
+    linearly (a plain text suffix made every replica a >0.9-Jaccard
+    near-dup of its 9 siblings — pair count grew ~100x, not 10x);
   - embeddings get a tiny per-replica perturbation so ANN candidates
     scale instead of degenerating into identical vectors;
   - dims (region, nation, customer, supplier, part) copy as-is.
@@ -60,9 +62,10 @@ gen("events", lambda r: (
 
 gen("documents", lambda r: (
     f"SELECT doc_id + {r*KD} AS doc_id, "
-    + ("text" if r == 0 else f"text || ' zrep{r}'") + " AS text, "
-    f"lang, source, n_chars + {0 if r == 0 else 6} AS n_chars "
-    f"FROM read_parquet('{SRC}/documents.parquet')"))
+    + ("text" if r == 0 else
+       f"array_to_string(list_transform(string_split(text, ' '), w -> w || 'z{r}'), ' ')")
+    + " AS text, "
+    f"lang, source, n_chars FROM read_parquet('{SRC}/documents.parquet')"))
 
 gen("embeddings", lambda r: (
     f"SELECT vec_id + {r*KV} AS vec_id, "
