@@ -222,6 +222,53 @@ object H3 {
   private val deltas: Array[(Int, Int)] =
     Array((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
 
+  /** The axial deltas of hex ring `k` (6k cells for k ≥ 1; [(0, 0)]
+    * for k = 0): start k steps east, walk the six edges. The standard
+    * hex-ring enumeration, counter-clockwise from the east corner. */
+  private[functions] def ringDeltas(k: Int): Array[(Int, Int)] = {
+    if (k == 0) return Array((0, 0))
+    val out = new Array[(Int, Int)](6 * k)
+    // walk order: from (k, 0) apply each neighbor delta k times,
+    // in the order NW, W, SW, SE, E, NE (indices 2,3,4,5,0,1) — the
+    // convention that closes the ring back at the start
+    var q = k; var r = 0
+    var o = 0
+    for (d <- Array(2, 3, 4, 5, 0, 1); _ <- 0 until k) {
+      out(o) = (q, r); o += 1
+      q += deltas(d)._1; r += deltas(d)._2
+    }
+    out
+  }
+
+  /** ADX geo_h3cell_rings(cell, N) → array of rings: ring 0 = [cell],
+    * ring k = the distinct cells at hex distance k, each candidate
+    * re-encoded through xyz (the cross-face wrap convention shared
+    * with [[neighborsOf]]). Near face edges wrapped candidates can
+    * collide with each other or with an INNER ring — duplicates drop
+    * and a cell never appears in two rings (inner-most wins), so edge
+    * rings may hold fewer than 6k cells. Null on malformed input or
+    * N < 0; N is capped at 16 (ADX's bound). */
+  def ringsOf(token: UTF8String, n: Int): ArrayData = {
+    val d = decode(token)
+    if (d == null || n < 0 || n > 16) return null
+    val res = d(0).toInt; val face = d(1).toInt
+    val seen = new java.util.HashSet[Long]()
+    val rings = new Array[Any](n + 1)
+    var k = 0
+    while (k <= n) {
+      val ring = new java.util.LinkedHashSet[Any](6 * math.max(k, 1) + 2)
+      for ((dq, dr) <- ringDeltas(k)) {
+        val w = centerXYZ(face, d(2) + dq, d(3) + dr, res)
+        val c = cellOfXYZ(w(0), w(1), w(2), res)
+        if (seen.add(c))
+          ring.add(UTF8String.fromString(java.lang.Long.toHexString(c))): Unit
+      }
+      rings(k) = new GenericArrayData(ring.toArray)
+      k += 1
+    }
+    new GenericArrayData(rings)
+  }
+
   /** 6-neighborhood tokens: each neighbor's virtual planar center is
     * re-encoded through xyz (cross-face wrap — an off-face step lands
     * in whichever cell owns that direction). Distinct, self excluded:
@@ -307,6 +354,37 @@ case class H3CellCenter(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** `graft_h3_rings(token, n)` → rings 0..n of distinct cells by hex
+  * distance, cross-face wrapped; inner rings win wrap collisions —
+  * see [[H3.ringsOf]]. */
+case class H3CellRings(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_h3_rings expects (string, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_h3_rings"
+
+  override def nullSafeEval(tok: Any, n: Any): Any =
+    H3.ringsOf(tok.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tok, n) => {
+      s"""
+         |${ev.value} = graft.functions.H3.ringsOf($tok, $n);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** `graft_h3_neighbors(token)` → 6-neighborhood tokens (cross-face

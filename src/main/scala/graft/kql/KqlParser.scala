@@ -4170,7 +4170,7 @@ object KqlParser {
               "geo_s2cell_neighbors", "geo_polygon_to_s2cells",
               "geo_line_to_s2cells", "geo_distance_point_to_line",
               "geo_point_to_h3cell", "geo_h3cell_to_central_point",
-              "geo_h3cell_neighbors",
+              "geo_h3cell_neighbors", "geo_h3cell_rings",
               "totimespan", "make_timespan", "format_timespan",
               "datetime_part", "make_datetime",
               "unixtime_seconds_todatetime", "unixtime_milliseconds_todatetime",
@@ -5316,6 +5316,21 @@ object KqlParser {
                 graft.functions.GraftFunctions.register(
                   org.apache.spark.sql.SparkSession.active)
                 out.append(s"graft_h3_neighbors(${args(0)})")
+              case "geo_h3cell_rings" =>
+                // ADX geo_h3cell_rings(cell, N) → rings 0..N by hex
+                // distance (cross-face wrapped; inner rings win wrap
+                // collisions — graft.functions.H3.ringsOf). N must be
+                // an integer literal 0..16 (ADX's bound).
+                require(args.length == 2,
+                  "geo_h3cell_rings expects (token, n)")
+                val nRings = scala.util.Try(args(1).trim.toInt).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"geo_h3cell_rings n must be an integer literal 0..16: ${args(1)}"))
+                require(nRings >= 0 && nRings <= 16,
+                  s"geo_h3cell_rings n must be in 0..16: $nRings")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_h3_rings(${args(0)}, $nRings)")
               case "geo_point_to_geohash" =>
                 // ADX geo_point_to_geohash(lon, lat[, accuracy]) →
                 // base32 geohash string (accuracy 1..12 characters,

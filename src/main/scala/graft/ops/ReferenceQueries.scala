@@ -750,9 +750,12 @@ object ReferenceQueries {
     * icosahedron vertices from phi, face frames (center + in-plane
     * orthonormal basis), nearest-face argmax, gnomonic projection,
     * axial hex coordinates, cube rounding, bit-packing — and the
-    * neighbor count by re-running that chain on each of the 6 virtual
-    * neighbor centers (the cross-face wrap re-derived independently,
-    * not trusted). */
+    * neighbor/ring counts by re-running that chain on all 19 ring-0/1/2
+    * virtual centers with the inner-ring-wins dedupe re-derived as a
+    * MIN(ring) grouping (the cross-face wrap independently re-derived,
+    * not trusted). r0ok pins the edge-cell ring-0 convention: ring 0 is
+    * the RE-ENCODED own center, which for a cell straddling a face
+    * boundary may differ from the cell itself. */
   val kqlGeoH3Text: String =
     """let P = datatable(name:string, lon:real, lat:real)[
       |  'equ', -20.905, 0.0,
@@ -771,8 +774,12 @@ object ReferenceQueries {
       || extend ctr = geo_h3cell_to_central_point(c5)
       || extend clon = tolong(floor(ctr.coordinates[0] * 1000000.0, 1)),
       |         clat = tolong(floor(ctr.coordinates[1] * 1000000.0, 1)),
-      |         nnb = tolong(array_length(geo_h3cell_neighbors(c5)))
-      || project name, c5, cd, clon, clat, nnb
+      |         nnb = tolong(array_length(geo_h3cell_neighbors(c5))),
+      |         rings = geo_h3cell_rings(c5, 2)
+      || extend nr1 = tolong(array_length(rings[1])),
+      |         nr2 = tolong(array_length(rings[2])),
+      |         r0ok = tolong(iff(tostring(rings[0][0]) == c5, 1, 0) + (nnb - nnb))
+      || project name, c5, cd, clon, clat, nnb, nr1, nr2, r0ok
       || sort by name asc""".stripMargin
 
   /** r14 H3 CELL JOIN — the bounded-fan-out spatial-join shape of
@@ -2643,8 +2650,12 @@ object ReferenceQueries {
         |  SELECT pw.name, pw.f AS face0, pw.q5, pw.r5, pw.s5, pw.v5,
         |    pw.cx AS ocx, pw.cy AS ocy, pw.cz AS ocz,
         |    pw.e1x AS oe1x, pw.e1y AS oe1y, pw.e1z AS oe1z,
-        |    pw.e2x AS oe2x, pw.e2y AS oe2y, pw.e2z AS oe2z, d.dq, d.dr
-        |  FROM pw CROSS JOIN (VALUES (1,0),(1,-1),(0,-1),(-1,0),(-1,1),(0,1)) d(dq, dr)),
+        |    pw.e2x AS oe2x, pw.e2y AS oe2y, pw.e2z AS oe2z, d.ring, d.dq, d.dr
+        |  FROM pw CROSS JOIN (VALUES
+        |    (0,0,0),
+        |    (1,1,0),(1,1,-1),(1,0,-1),(1,-1,0),(1,-1,1),(1,0,1),
+        |    (2,2,0),(2,2,-1),(2,2,-2),(2,1,-2),(2,0,-2),(2,-1,-1),
+        |    (2,-2,0),(2,-2,1),(2,-2,2),(2,-1,2),(2,0,2),(2,1,1)) d(ring, dq, dr)),
         |nb1 AS (
         |  SELECT *, s5 * (sqrt(3.0) * (q5 + dq) + sqrt(3.0) / 2.0 * (r5 + dr)) AS nlx,
         |    s5 * (1.5 * (r5 + dr)) AS nly
@@ -2655,7 +2666,7 @@ object ReferenceQueries {
         |    ocz + nlx * oe1z + nly * oe2z AS nwz
         |  FROM nb1),
         |nf AS (
-        |  SELECT n.name, n.dq, n.dr, n.s5, n.v5, n.nwx, n.nwy, n.nwz,
+        |  SELECT n.name, n.ring, n.dq, n.dr, n.s5, n.v5, n.nwx, n.nwy, n.nwz,
         |    fr.f AS nface, fr.cx AS ncx, fr.cy AS ncy, fr.cz AS ncz,
         |    fr.e1x AS ne1x, fr.e1y AS ne1y, fr.e1z AS ne1z,
         |    fr.e2x AS ne2x, fr.e2y AS ne2y, fr.e2z AS ne2z,
@@ -2680,27 +2691,39 @@ object ReferenceQueries {
         |  SELECT *, abs(na - nqf) AS ndq, abs(nb - nyf) AS ndy, abs(nc - nrf) AS ndr
         |  FROM nrnd),
         |ncell AS (
-        |  SELECT name, v5, nface,
+        |  SELECT name, ring, v5, nface,
         |    CAST(CASE WHEN ndq > ndy AND ndq > ndr THEN -nb - nc ELSE na END AS BIGINT) AS nq5,
         |    CAST(CASE WHEN ndq > ndy AND ndq > ndr THEN nc WHEN ndy > ndr THEN nc
         |         ELSE -na - nb END AS BIGINT) AS nr5
         |  FROM ndx),
         |nv AS (
-        |  SELECT name, v5,
+        |  SELECT name, ring, v5,
         |    (CAST(1 AS BIGINT) << 49) + 5 * (CAST(1 AS BIGINT) << 45)
         |      + nface * (CAST(1 AS BIGINT) << 40) + (nq5 + 524288) * (CAST(1 AS BIGINT) << 20)
         |      + (nr5 + 524288) AS nbv
         |  FROM ncell),
+        |nsets AS (
+        |  SELECT name, nbv, MIN(ring) AS ring, MAX(v5) AS v5 FROM nv GROUP BY name, nbv),
         |ncnt AS (
-        |  SELECT name, COUNT(DISTINCT nbv) FILTER (WHERE nbv <> v5) AS nnb0
-        |  FROM nv GROUP BY name)
+        |  SELECT nv.name,
+        |    COUNT(DISTINCT nv.nbv) FILTER (WHERE nv.ring = 1 AND nv.nbv <> nv.v5) AS nnb0
+        |  FROM nv GROUP BY nv.name),
+        |rcnt AS (
+        |  SELECT name,
+        |    COUNT(*) FILTER (WHERE ring = 1) AS nr1_0,
+        |    COUNT(*) FILTER (WHERE ring = 2) AS nr2_0,
+        |    COUNT(*) FILTER (WHERE ring = 0 AND nbv = v5) AS r0ok_0
+        |  FROM nsets GROUP BY name)
         |SELECT pw.name,
         |  CASE WHEN pw.ok THEN lower(to_hex(pw.v5)) END AS c5,
         |  CASE WHEN pw.ok THEN lower(to_hex(pw.v6)) END AS cd,
         |  CASE WHEN pw.ok THEN CAST(floor(degrees(atan2(pw.cwy, pw.cwx)) * 1000000.0) AS BIGINT) END AS clon,
         |  CASE WHEN pw.ok THEN CAST(floor(degrees(atan2(pw.cwz, sqrt(pw.cwx * pw.cwx + pw.cwy * pw.cwy))) * 1000000.0) AS BIGINT) END AS clat,
-        |  CASE WHEN pw.ok THEN CAST(ncnt.nnb0 AS BIGINT) END AS nnb
-        |FROM pw JOIN ncnt ON ncnt.name = pw.name
+        |  CASE WHEN pw.ok THEN CAST(ncnt.nnb0 AS BIGINT) END AS nnb,
+        |  CASE WHEN pw.ok THEN CAST(rcnt.nr1_0 AS BIGINT) END AS nr1,
+        |  CASE WHEN pw.ok THEN CAST(rcnt.nr2_0 AS BIGINT) END AS nr2,
+        |  CASE WHEN pw.ok THEN CAST(rcnt.r0ok_0 AS BIGINT) END AS r0ok
+        |FROM pw JOIN ncnt ON ncnt.name = pw.name JOIN rcnt ON rcnt.name = pw.name
         |ORDER BY pw.name ASC""".stripMargin,
     // independent formulation (cross join + haversine, zero H3
     // arithmetic): if the hex-cell 1-ring fan-out missed any within-R

@@ -75,7 +75,7 @@ class FunctionsSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1).toSet == Set("graft_dot", "graft_topk",
       "graft_s2_cell", "graft_s2_center", "graft_s2_neighbors",
       "graft_s2_polygon_cover", "graft_s2_line_cover", "graft_geo_dist_line",
-      "graft_h3_cell", "graft_h3_center", "graft_h3_neighbors",
+      "graft_h3_cell", "graft_h3_center", "graft_h3_neighbors", "graft_h3_rings",
       "graft_ipv6_canon", "graft_ipv6_mask", "graft_ipv6_cmp",
       "graft_make_bag"))
   }

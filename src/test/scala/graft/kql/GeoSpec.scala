@@ -509,6 +509,40 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("h3: rings — sizes, disjointness, ring-1 = neighbors, hex distance") {
+    import graft.functions.H3
+    import org.apache.spark.unsafe.types.UTF8String
+    // interior cell: rings 0..3 have the exact lattice sizes and are
+    // pairwise disjoint; ring 1 equals the neighbor set
+    val tok = one("geo_point_to_h3cell(-20.9, 0.5, 6)").getString(0)
+    val rings = one(s"geo_h3cell_rings('$tok', 3)").getSeq[scala.collection.Seq[String]](0)
+    assert(rings.map(_.size) == Seq(1, 6, 12, 18))
+    assert(rings.head.head == tok)
+    val all = rings.flatten
+    assert(all.distinct.size == all.size, "rings must be pairwise disjoint")
+    val nb = one(s"geo_h3cell_neighbors('$tok')").getSeq[String](0)
+    assert(rings(1).toSet == nb.toSet)
+    // ring-2 cells are neighbors of some ring-1 cell but not of the center
+    val nbSets = rings(1).map(t =>
+      (0 until H3.neighborsOf(UTF8String.fromString(t)).numElements()).map(i =>
+        H3.neighborsOf(UTF8String.fromString(t)).getUTF8String(i).toString).toSet)
+    rings(2).foreach { t =>
+      assert(nbSets.exists(_.contains(t)), s"$t unreachable from ring 1")
+      assert(!nb.contains(t) && t != tok)
+    }
+    // edge cell ('gw' straddles faces 16/17): rings stay valid,
+    // disjoint, and bounded by the lattice sizes
+    val etok = one("geo_point_to_h3cell(0.0, 0.0, 5)").getString(0)
+    val er = one(s"geo_h3cell_rings('$etok', 2)").getSeq[scala.collection.Seq[String]](0)
+    assert(er.size == 3 && er(1).size <= 6 && er(2).size <= 12)
+    val eall = er.flatten
+    assert(eall.distinct.size == eall.size)
+    // malformed input / out-of-range n -> null
+    assert(one("geo_h3cell_rings('zzz', 2)").isNullAt(0))
+    assert(H3.ringsOf(UTF8String.fromString(etok), 17) == null)
+    intercept[Exception](one(s"geo_h3cell_rings('$etok', 17)"))
+  }
+
   test("h3: codegen and interpreted eval agree") {
     import graft.functions.H3
     val rows = Seq((10.75, 59.91), (-21.94, 64.15), (151.21, -33.87), (178.44, -18.14))
