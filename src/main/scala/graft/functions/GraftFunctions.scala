@@ -28,6 +28,8 @@ object GraftFunctions {
     "graft_h3_center" -> (e => H3CellCenter(e(0))),
     "graft_h3_neighbors" -> (e => H3CellNeighbors(e(0))),
     "graft_h3_rings" -> (e => H3CellRings(e(0), e(1))),
+    "graft_h3_level" -> (e => H3CellLevel(e(0))),
+    "graft_h3_parent" -> (e => H3CellParent(e(0), e(1))),
     "graft_ipv6_canon" -> (e => Ipv6Canonical(e(0))),
     "graft_ipv6_mask" -> (e => Ipv6CanonicalMask(e(0), e(1))),
     "graft_ipv6_cmp" -> (e => Ipv6Compare(e(0), e(1), e(2))),

@@ -218,6 +218,28 @@ object H3 {
       math.toDegrees(math.atan2(w(2), math.sqrt(w(0) * w(0) + w(1) * w(1))))))
   }
 
+  /** Resolution of a token (boxed so null propagates); null on
+    * malformed input. */
+  def levelOf(token: UTF8String): Any = {
+    val d = decode(token)
+    if (d == null) null else java.lang.Integer.valueOf(d(0).toInt)
+  }
+
+  /** Containing cell at coarser resolution `res`: the cell's planar
+    * center re-encoded at `res` — the natural parent definition for a
+    * direct (face, q, r) token system (this engine has no aperture-7
+    * digit hierarchy, so parents are by CONTAINMENT OF THE CENTER, not
+    * H3's aligned subdivision — documented deviation; children are not
+    * offered at all, they would need a lattice search). Null on
+    * malformed input or res outside 0..cell res. */
+  def parentOf(token: UTF8String, res: Int): UTF8String = {
+    val d = decode(token)
+    if (d == null || res < 0 || res > d(0).toInt) return null
+    val w = centerXYZ(d(1).toInt, d(2), d(3), d(0).toInt)
+    UTF8String.fromString(
+      java.lang.Long.toHexString(cellOfXYZ(w(0), w(1), w(2), res)))
+  }
+
   /** Axial 6-neighborhood deltas, E → NE → NW → W → SW → SE. */
   private val deltas: Array[(Int, Int)] =
     Array((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
@@ -354,6 +376,63 @@ case class H3CellCenter(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** `graft_h3_level(token)` → the cell's resolution; null on malformed
+  * input. */
+case class H3CellLevel(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_h3_level expects (string), got ${child.dataType.simpleString}")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_h3_level"
+
+  override def nullSafeEval(tok: Any): Any =
+    H3.levelOf(tok.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, tok => {
+      val r = ctx.freshName("graftH3Lvl")
+      s"""
+         |Object $r = graft.functions.H3.levelOf($tok);
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = ${ev.isNull} ? -1 : ((java.lang.Integer) $r).intValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `graft_h3_parent(token, res)` → containing cell at coarser `res`
+  * (center containment — see [[H3.parentOf]]'s deviation notes). */
+case class H3CellParent(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_h3_parent expects (string, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_h3_parent"
+
+  override def nullSafeEval(tok: Any, res: Any): Any =
+    H3.parentOf(tok.asInstanceOf[UTF8String], res.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tok, res) => {
+      s"""
+         |${ev.value} = graft.functions.H3.parentOf($tok, $res);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** `graft_h3_rings(token, n)` → rings 0..n of distinct cells by hex

@@ -4171,6 +4171,7 @@ object KqlParser {
               "geo_line_to_s2cells", "geo_distance_point_to_line",
               "geo_point_to_h3cell", "geo_h3cell_to_central_point",
               "geo_h3cell_neighbors", "geo_h3cell_rings",
+              "geo_h3cell_level", "geo_h3cell_parent",
               "totimespan", "make_timespan", "format_timespan",
               "datetime_part", "make_datetime",
               "unixtime_seconds_todatetime", "unixtime_milliseconds_todatetime",
@@ -5316,6 +5317,38 @@ object KqlParser {
                 graft.functions.GraftFunctions.register(
                   org.apache.spark.sql.SparkSession.active)
                 out.append(s"graft_h3_neighbors(${args(0)})")
+              case "geo_h3cell_level" =>
+                // resolution of a cell token; null on malformed input.
+                require(args.length == 1, "geo_h3cell_level expects (token)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_h3_level(${args(0)})")
+              case "geo_h3cell_parent" =>
+                // ADX geo_h3cell_parent(cell[, resolution]) → the
+                // containing cell at a coarser resolution (default:
+                // one level up). DEVIATION (graft.functions.H3): the
+                // direct token has no aperture-7 digit hierarchy, so
+                // the parent is the cell containing THIS CELL'S CENTER
+                // at the coarser resolution; children are not offered.
+                // An explicit resolution must be an integer literal —
+                // coarser-than-cell validation happens per row (null
+                // on violation, ADX's convention).
+                require(args.length == 1 || args.length == 2,
+                  "geo_h3cell_parent expects (token[, resolution])")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                args.lift(1) match {
+                  case None =>
+                    out.append(s"graft_h3_parent(${args(0)}, " +
+                      s"graft_h3_level(${args(0)}) - 1)")
+                  case Some(a) =>
+                    val v = scala.util.Try(a.trim.toInt).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"geo_h3cell_parent resolution must be an integer literal: $a"))
+                    require(v >= 0 && v <= graft.functions.H3.MaxRes,
+                      s"geo_h3cell_parent resolution must be in 0..${graft.functions.H3.MaxRes}: $v")
+                    out.append(s"graft_h3_parent(${args(0)}, $v)")
+                }
               case "geo_h3cell_rings" =>
                 // ADX geo_h3cell_rings(cell, N) → rings 0..N by hex
                 // distance (cross-face wrapped; inner rings win wrap

@@ -778,8 +778,10 @@ object ReferenceQueries {
       |         rings = geo_h3cell_rings(c5, 2)
       || extend nr1 = tolong(array_length(rings[1])),
       |         nr2 = tolong(array_length(rings[2])),
-      |         r0ok = tolong(iff(tostring(rings[0][0]) == c5, 1, 0) + (nnb - nnb))
-      || project name, c5, cd, clon, clat, nnb, nr1, nr2, r0ok
+      |         r0ok = tolong(iff(tostring(rings[0][0]) == c5, 1, 0) + (nnb - nnb)),
+      |         p4 = geo_h3cell_parent(c5),
+      |         lvl = tolong(geo_h3cell_level(c5))
+      || project name, c5, cd, clon, clat, nnb, nr1, nr2, r0ok, p4, lvl
       || sort by name asc""".stripMargin
 
   /** r14 H3 CELL JOIN — the bounded-fan-out spatial-join shape of
@@ -2580,7 +2582,8 @@ object ReferenceQueries {
         |frames AS (SELECT *, cy * e1z - cz * e1y AS e2x, cz * e1x - cx * e1z AS e2y,
         |    cx * e1y - cy * e1x AS e2z FROM fe1),
         |sz AS (SELECT 0.35 / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) AS s5,
-        |    0.35 / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) AS s6),
+        |    0.35 / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) AS s6,
+        |    0.35 / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) AS s4),
         |pts AS (
         |  SELECT * FROM (VALUES
         |    ('equ', -20.905, 0.0), ('gw', 0.0, 0.0), ('paris', 2.35, 48.86),
@@ -2607,7 +2610,7 @@ object ReferenceQueries {
         |pxy AS (SELECT *, tx * e1x + ty * e1y + tz * e1z AS lx,
         |    tx * e2x + ty * e2y + tz * e2z AS ly FROM ploc),
         |pq AS (
-        |  SELECT pxy.*, sz.s5, sz.s6,
+        |  SELECT pxy.*, sz.s5, sz.s6, sz.s4,
         |    (sqrt(3.0) / 3.0 * lx - ly / 3.0) / s5 AS qf5, (2.0 / 3.0 * ly) / s5 AS rf5,
         |    (sqrt(3.0) / 3.0 * lx - ly / 3.0) / s6 AS qf6, (2.0 / 3.0 * ly) / s6 AS rf6
         |  FROM pxy CROSS JOIN sz),
@@ -2621,7 +2624,7 @@ object ReferenceQueries {
         |    abs(a6 - qf6) AS dq6, abs(b6 - yf6) AS dy6, abs(c6r - rf6) AS dr6
         |  FROM prnd),
         |pcell AS (
-        |  SELECT name, ok, f, cx, cy, cz, e1x, e1y, e1z, e2x, e2y, e2z, s5, s6,
+        |  SELECT name, ok, f, cx, cy, cz, e1x, e1y, e1z, e2x, e2y, e2z, s5, s6, s4,
         |    CAST(CASE WHEN dq5 > dy5 AND dq5 > dr5 THEN -b5 - c5r ELSE a5 END AS BIGINT) AS q5,
         |    CAST(CASE WHEN dq5 > dy5 AND dq5 > dr5 THEN c5r WHEN dy5 > dr5 THEN c5r
         |         ELSE -a5 - b5 END AS BIGINT) AS r5,
@@ -2646,6 +2649,41 @@ object ReferenceQueries {
         |  SELECT *, cx + lcx * e1x + lcy * e2x AS cwx, cy + lcx * e1y + lcy * e2y AS cwy,
         |    cz + lcx * e1z + lcy * e2z AS cwz
         |  FROM pctr),
+        |pp0 AS (
+        |  SELECT p.name, p.s4, p.cwx, p.cwy, p.cwz,
+        |    fr.f AS pf, fr.cx AS pcx, fr.cy AS pcy, fr.cz AS pcz,
+        |    fr.e1x AS pe1x, fr.e1y AS pe1y, fr.e1z AS pe1z,
+        |    fr.e2x AS pe2x, fr.e2y AS pe2y, fr.e2z AS pe2z,
+        |    p.cwx * fr.cx + p.cwy * fr.cy + p.cwz * fr.cz AS ppd,
+        |    ROW_NUMBER() OVER (PARTITION BY p.name
+        |      ORDER BY p.cwx * fr.cx + p.cwy * fr.cy + p.cwz * fr.cz DESC, fr.f ASC) AS prn
+        |  FROM pw p CROSS JOIN frames fr),
+        |pp1 AS (
+        |  SELECT *, cwx / ppd - pcx AS ptx, cwy / ppd - pcy AS pty,
+        |    cwz / ppd - pcz AS ptz
+        |  FROM pp0 WHERE prn = 1),
+        |pp2 AS (SELECT *, ptx * pe1x + pty * pe1y + ptz * pe1z AS plx,
+        |    ptx * pe2x + pty * pe2y + ptz * pe2z AS ply FROM pp1),
+        |pp3 AS (
+        |  SELECT *, (sqrt(3.0) / 3.0 * plx - ply / 3.0) / s4 AS pqf,
+        |    (2.0 / 3.0 * ply) / s4 AS prf
+        |  FROM pp2),
+        |pp4 AS (SELECT *, -pqf - prf AS pyf FROM pp3),
+        |pp5 AS (
+        |  SELECT *, floor(pqf + 0.5) AS pa, floor(pyf + 0.5) AS pb, floor(prf + 0.5) AS pc
+        |  FROM pp4),
+        |pp6 AS (
+        |  SELECT *, abs(pa - pqf) AS pdq, abs(pb - pyf) AS pdy, abs(pc - prf) AS pdr
+        |  FROM pp5),
+        |ppv AS (
+        |  SELECT name,
+        |    (CAST(1 AS BIGINT) << 49) + 4 * (CAST(1 AS BIGINT) << 45)
+        |      + pf * (CAST(1 AS BIGINT) << 40)
+        |      + (CAST(CASE WHEN pdq > pdy AND pdq > pdr THEN -pb - pc ELSE pa END AS BIGINT)
+        |         + 524288) * (CAST(1 AS BIGINT) << 20)
+        |      + (CAST(CASE WHEN pdq > pdy AND pdq > pdr THEN pc WHEN pdy > pdr THEN pc
+        |              ELSE -pa - pb END AS BIGINT) + 524288) AS v4
+        |  FROM pp6),
         |nb0 AS (
         |  SELECT pw.name, pw.f AS face0, pw.q5, pw.r5, pw.s5, pw.v5,
         |    pw.cx AS ocx, pw.cy AS ocy, pw.cz AS ocz,
@@ -2722,8 +2760,11 @@ object ReferenceQueries {
         |  CASE WHEN pw.ok THEN CAST(ncnt.nnb0 AS BIGINT) END AS nnb,
         |  CASE WHEN pw.ok THEN CAST(rcnt.nr1_0 AS BIGINT) END AS nr1,
         |  CASE WHEN pw.ok THEN CAST(rcnt.nr2_0 AS BIGINT) END AS nr2,
-        |  CASE WHEN pw.ok THEN CAST(rcnt.r0ok_0 AS BIGINT) END AS r0ok
+        |  CASE WHEN pw.ok THEN CAST(rcnt.r0ok_0 AS BIGINT) END AS r0ok,
+        |  CASE WHEN pw.ok THEN lower(to_hex(ppv.v4)) END AS p4,
+        |  CASE WHEN pw.ok THEN CAST(5 AS BIGINT) END AS lvl
         |FROM pw JOIN ncnt ON ncnt.name = pw.name JOIN rcnt ON rcnt.name = pw.name
+        |  JOIN ppv ON ppv.name = pw.name
         |ORDER BY pw.name ASC""".stripMargin,
     // independent formulation (cross join + haversine, zero H3
     // arithmetic): if the hex-cell 1-ring fan-out missed any within-R

@@ -543,6 +543,40 @@ class GeoSpec extends SparkSpec {
     intercept[Exception](one(s"geo_h3cell_rings('$etok', 17)"))
   }
 
+  test("h3: level and parent — containment, monotone chain, conventions") {
+    import graft.functions.H3
+    import org.apache.spark.unsafe.types.UTF8String
+    for ((lon, lat) <- Seq((-20.9, 0.5), (139.7, 35.7), (0.0, 66.0))) {
+      val c8 = one(s"geo_point_to_h3cell($lon, $lat, 8)").getString(0)
+      assert(one(s"geo_h3cell_level('$c8')").getInt(0) == 8)
+      // default parent is one level up; its level is 7
+      val p7 = one(s"geo_h3cell_parent('$c8')").getString(0)
+      assert(one(s"geo_h3cell_level('$p7')").getInt(0) == 7)
+      // parent by containment: re-encoding the child's center at res 7
+      // gives the parent — modulo the lon/lat ROUND TRIP this spec
+      // goes through (parentOf works on the exact planar center; the
+      // unaligned res-8/res-7 lattices let a child center sit within
+      // an ulp of a parent boundary), so tolerate a direct neighbor
+      val ctr = one(s"geo_h3cell_to_central_point('$c8')").getStruct(0).getSeq[Double](1)
+      val enc7 = one(s"geo_point_to_h3cell(${ctr(0)}, ${ctr(1)}, 7)").getString(0)
+      val p7nb = one(s"geo_h3cell_neighbors('$p7')").getSeq[String](0)
+      assert(enc7 == p7 || p7nb.contains(enc7),
+        s"child center re-encoded to $enc7, parent $p7 (neighbors $p7nb)")
+      // deep parent: explicit coarser res; chain is monotone in level
+      val p3 = one(s"geo_h3cell_parent('$c8', 3)").getString(0)
+      assert(one(s"geo_h3cell_level('$p3')").getInt(0) == 3)
+    }
+    // res above the cell's own res -> null (ADX convention); res 0 of a
+    // res-0 cell is itself
+    val c2 = one("geo_point_to_h3cell(-20.9, 0.5, 2)").getString(0)
+    assert(one(s"geo_h3cell_parent('$c2', 3)").isNullAt(0))
+    val c0 = one("geo_point_to_h3cell(-20.9, 0.5, 0)").getString(0)
+    assert(one(s"geo_h3cell_parent('$c0', 0)").getString(0) == c0)
+    assert(H3.parentOf(UTF8String.fromString(c0), -1) == null)
+    assert(one("geo_h3cell_level('zzz')").isNullAt(0))
+    assert(one("geo_h3cell_parent('zzz', 1)").isNullAt(0))
+  }
+
   test("h3: codegen and interpreted eval agree") {
     import graft.functions.H3
     val rows = Seq((10.75, 59.91), (-21.94, 64.15), (151.21, -33.87), (178.44, -18.14))
