@@ -262,6 +262,120 @@ object H3 {
     out
   }
 
+  /** The cell of (lon°, lat°) plus its 6-neighborhood, added into
+    * `cells` as packed longs — the hex 1-ring analog of the S2 cover's
+    * 3×3 block (neighbors re-encode through xyz, so rings wrap across
+    * faces). */
+  private def addCellAndRing(cells: java.util.TreeSet[java.lang.Long],
+                             lonDeg: Double, latDeg: Double, res: Int): Unit = {
+    val lon = math.toRadians(lonDeg)
+    val lat = math.toRadians(latDeg)
+    val c = cellOfXYZ(math.cos(lat) * math.cos(lon),
+      math.cos(lat) * math.sin(lon), math.sin(lat), res)
+    cells.add(c): Unit
+    val face = ((c >> 40) & 0x1fL).toInt
+    val q = ((c >> 20) & 0xfffffL) - Off
+    val r = (c & 0xfffffL) - Off
+    var k = 0
+    while (k < 6) {
+      val (dq, dr) = deltas(k)
+      val w = centerXYZ(face, q + dq, r + dr, res)
+      cells.add(cellOfXYZ(w(0), w(1), w(2), res)): Unit
+      k += 1
+    }
+  }
+
+  /** Cell cover of a planar-lon/lat GeoJSON ring at `res` — the H3
+    * sibling of [[S2.polygonCover]], same construction (edge samples +
+    * even-odd interior lattice, each sample adding its cell + 1-ring)
+    * and the same conservative over-covering contract: a false
+    * candidate only costs the verify stage, a missed cell would drop
+    * join hits. Completeness (within a face, formal): with step =
+    * ¼·size in degrees, any polygon point p lies within
+    * √2·step ≤ 0.354·size rad of a sample s; gnomonic plane distance
+    * ≤ 1.585× sphere distance over a face (worst radial scale at the
+    * 37.4° face circumradius), so |p−s|_plane ≤ 0.56·size < size, and
+    * a hex whose region is within `size` of s's cell region is s's
+    * cell or a direct neighbor (non-neighbor hex centers are ≥ 3·size
+    * apart, regions ≥ size). ACROSS faces the unaligned lattices void
+    * the formal bound — the wrap re-encode still lands rings on the
+    * adjacent face and GeoSpec pins completeness empirically on
+    * edge-straddling polygons, but a production fence spanning faces
+    * should use a finer res or verify-with-slack; the registered join
+    * keeps its fence inside one face. Lattice capped at 2M points
+    * (loud reject), rings crossing the antimeridian rejected. */
+  def polygonCover(ring: ArrayData, res: Int): ArrayData = {
+    if (ring == null || res < 0 || res > MaxRes) return null
+    val n = ring.numElements()
+    if (n < 4) return null
+    val lons = new Array[Double](n)
+    val lats = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = ring.getArray(i)
+      if (v == null || v.numElements() < 2) return null
+      lons(i) = v.getDouble(0); lats(i) = v.getDouble(1)
+      if (!(lons(i) >= -180.0 && lons(i) <= 180.0) ||
+          !(lats(i) >= -90.0 && lats(i) <= 90.0)) return null
+      i += 1
+    }
+    val minLon = lons.min; val maxLon = lons.max
+    val minLat = lats.min; val maxLat = lats.max
+    require(maxLon - minLon <= 180.0,
+      "geo_polygon_to_h3cells: rings crossing the antimeridian are unsupported")
+    val step = math.toDegrees(sizeAt(res)) / 4.0
+    val nLon = math.ceil((maxLon - minLon) / step).toLong + 1
+    val nLat = math.ceil((maxLat - minLat) / step).toLong + 1
+    require(nLon * nLat <= 2000000L,
+      s"geo_polygon_to_h3cells: cover lattice ${nLon}x$nLat exceeds 2M points " +
+        "— use a coarser resolution or a smaller ring")
+    def inside(px: Double, py: Double): Boolean = {
+      var c = false; var e = 0
+      while (e < n - 1) {
+        val (x1, y1, x2, y2) = (lons(e), lats(e), lons(e + 1), lats(e + 1))
+        if ((y1 > py) != (y2 > py) &&
+            px < x1 + (x2 - x1) * (py - y1) / (y2 - y1)) c = !c
+        e += 1
+      }
+      c
+    }
+    val cells = new java.util.TreeSet[java.lang.Long]()
+    // 1. boundary: sample every edge at <= step per-axis spacing
+    var e = 0
+    while (e < n - 1) {
+      val span = math.max(math.abs(lons(e + 1) - lons(e)),
+        math.abs(lats(e + 1) - lats(e)))
+      val k = math.max(1, math.ceil(span / step).toInt)
+      var s = 0
+      while (s <= k) {
+        val t = s.toDouble / k
+        addCellAndRing(cells, lons(e) + (lons(e + 1) - lons(e)) * t,
+          lats(e) + (lats(e + 1) - lats(e)) * t, res)
+        s += 1
+      }
+      e += 1
+    }
+    // 2. interior lattice
+    var li = 0L
+    while (li < nLat) {
+      val lat = math.min(maxLat, minLat + li * step)
+      var lj = 0L
+      while (lj < nLon) {
+        val lon = math.min(maxLon, minLon + lj * step)
+        if (inside(lon, lat)) addCellAndRing(cells, lon, lat, res)
+        lj += 1
+      }
+      li += 1
+    }
+    val out = new Array[Any](cells.size())
+    val it = cells.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = UTF8String.fromString(java.lang.Long.toHexString(it.next())); o += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ADX geo_h3cell_rings(cell, N) → array of rings: ring 0 = [cell],
     * ring k = the distinct cells at hex distance k, each candidate
     * re-encoded through xyz (the cross-face wrap convention shared
@@ -376,6 +490,41 @@ case class H3CellCenter(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** `graft_h3_polygon_cover(ring, res)` → sorted cell-cover tokens of a
+  * planar GeoJSON outer ring at `res` — see [[H3.polygonCover]] for
+  * construction, completeness, and the cross-face caveat. Dim-side by
+  * design: cost scales with ring bbox / cell size². */
+case class H3PolygonCover(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }) && right.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_h3_polygon_cover expects (array<array<double>>, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_h3_polygon_cover"
+
+  override def nullSafeEval(ring: Any, res: Any): Any =
+    H3.polygonCover(ring.asInstanceOf[ArrayData], res.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ring, res) => {
+      s"""
+         |${ev.value} = graft.functions.H3.polygonCover($ring, $res);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** `graft_h3_level(token)` → the cell's resolution; null on malformed

@@ -4171,7 +4171,7 @@ object KqlParser {
               "geo_line_to_s2cells", "geo_distance_point_to_line",
               "geo_point_to_h3cell", "geo_h3cell_to_central_point",
               "geo_h3cell_neighbors", "geo_h3cell_rings",
-              "geo_h3cell_level", "geo_h3cell_parent",
+              "geo_h3cell_level", "geo_h3cell_parent", "geo_polygon_to_h3cells",
               "totimespan", "make_timespan", "format_timespan",
               "datetime_part", "make_datetime",
               "unixtime_seconds_todatetime", "unixtime_milliseconds_todatetime",
@@ -5317,6 +5317,23 @@ object KqlParser {
                 graft.functions.GraftFunctions.register(
                   org.apache.spark.sql.SparkSession.active)
                 out.append(s"graft_h3_neighbors(${args(0)})")
+              case "geo_polygon_to_h3cells" =>
+                // ADX geo_polygon_to_h3cells(polygon[, resolution]) →
+                // the hex cell-cover token array of the OUTER ring
+                // (holes unsupported, planar even-odd convention
+                // matching geo_point_in_polygon so cover and verify
+                // agree; see H3.polygonCover for completeness and the
+                // cross-face caveat). ADX's default-resolution
+                // heuristic is replaced by the fixed point default 6.
+                require(args.length == 1 || args.length == 2,
+                  "geo_polygon_to_h3cells expects (polygon [, resolution])")
+                val pres = if (args.length == 2) args(1)
+                  else graft.functions.H3.DefaultRes.toString
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_h3_polygon_cover(try_cast(variant_get(" +
+                  s"${args(0)}, '$$.coordinates[0]') AS ARRAY<ARRAY<DOUBLE>>), " +
+                  s"CAST(($pres) AS INT))")
               case "geo_h3cell_level" =>
                 // resolution of a cell token; null on malformed input.
                 require(args.length == 1, "geo_h3cell_level expects (token)")

@@ -822,6 +822,30 @@ object ReferenceQueries {
       |    d_max_m = max(tolong(floor(geo_distance_2points(lon, lat, slon, slat), 1))) by site
       || sort by site asc""".stripMargin
 
+  /** r14 `geo_polygon_to_h3cells` + the H3 polygon-fence join — the
+    * hex sibling of [[kqlGeoPolygonJoinText]]: the non-convex fence
+    * fans to its res-3 hex cell cover (complete by construction
+    * within a face — see [[graft.functions.H3.polygonCover]]; this
+    * fence sits ≥ 9° inside face 17, so the formal bound applies),
+    * points key by their cell, the equi-join proposes candidates, the
+    * exact even-odd test verifies. Oracle: the INDEPENDENT all-points
+    * crossing-count formulation — zero H3 arithmetic — so a cover
+    * miss drops a join hit and fails the compare. */
+  val kqlGeoH3PolygonJoinText: String =
+    """let poly = parse_json('{"type":"Polygon","coordinates":[[[-27.0,-5.0],[-20.0,-6.5],[-15.0,-2.0],[-19.0,1.5],[-16.0,5.0],[-24.0,6.0],[-22.0,0.5],[-27.0,-5.0]]]}');
+      |Orders
+      || extend lon = todouble(orderid % 1600) / 100.0 - 29.0, lat = todouble(custid % 1000) / 62.5 - 8.0
+      || extend cell = geo_point_to_h3cell(lon, lat, 3)
+      || join kind=inner (
+      |    datatable(fence:string)['hex']
+      |    | extend cells = geo_polygon_to_h3cells(poly, 3)
+      |    | mv-expand cell = cells to typeof(string)
+      |  ) on cell
+      || where geo_point_in_polygon(lon, lat, poly)
+      || summarize n = count(), lon_min_u = min(tolong(floor(lon * 1000000.0, 1))),
+      |            lat_max_u = max(tolong(floor(lat * 1000000.0, 1))) by city
+      || sort by city asc""".stripMargin
+
   /** r12 S2 CELL JOIN — the same bounded-fan-out spatial-join shape as
     * [[kqlGeoJoinText]] but keyed on S2 cells: points carry their
     * level-7 cell, sites fan out to cell ∪ 8-neighborhood (cross-face
@@ -1630,6 +1654,7 @@ object ReferenceQueries {
     "kql_geo_s2_join" -> kqlText(kqlGeoS2JoinText) _,
     "kql_geo_h3" -> kqlText(kqlGeoH3Text) _,
     "kql_geo_h3_join" -> kqlText(kqlGeoH3JoinText) _,
+    "kql_geo_h3_polygon_join" -> kqlText(kqlGeoH3PolygonJoinText) _,
     "kql_geo_join" -> kqlText(kqlGeoJoinText) _,
     "kql_geo_polygon" -> kqlText(kqlGeoPolygonText) _,
     "kql_geo_polygon_join" -> kqlText(kqlGeoPolygonJoinText) _,
@@ -2766,6 +2791,29 @@ object ReferenceQueries {
         |FROM pw JOIN ncnt ON ncnt.name = pw.name JOIN rcnt ON rcnt.name = pw.name
         |  JOIN ppv ON ppv.name = pw.name
         |ORDER BY pw.name ASC""".stripMargin,
+    // independent all-points even-odd formulation (zero H3
+    // arithmetic): a cover miss would drop a join hit and fail.
+    "kql_geo_h3_polygon_join" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, city, CAST(orderid % 1600 AS DOUBLE) / 100.0 - 29.0 AS lon,
+         |    CAST(custid % 1000 AS DOUBLE) / 62.5 - 8.0 AS lat
+         |  FROM orders_info),
+         |edges AS (
+         |  SELECT * FROM (VALUES
+         |    (-27.0, -5.0, -20.0, -6.5), (-20.0, -6.5, -15.0, -2.0),
+         |    (-15.0, -2.0, -19.0, 1.5), (-19.0, 1.5, -16.0, 5.0),
+         |    (-16.0, 5.0, -24.0, 6.0), (-24.0, 6.0, -22.0, 0.5),
+         |    (-22.0, 0.5, -27.0, -5.0)) AS e(x1, y1, x2, y2)),
+         |cr AS (
+         |  SELECT p.orderid, p.city, p.lon, p.lat,
+         |    COUNT(*) FILTER (WHERE ((y1 > lat) <> (y2 > lat))
+         |      AND lon < x1 + (x2 - x1) * (lat - y1) / (y2 - y1)) % 2 = 1 AS inside
+         |  FROM pts p CROSS JOIN edges GROUP BY 1, 2, 3, 4)
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(floor(MIN(lon) * 1000000.0) AS BIGINT) AS lon_min_u,
+         |  CAST(floor(MAX(lat) * 1000000.0) AS BIGINT) AS lat_max_u
+         |FROM cr WHERE inside GROUP BY city ORDER BY city ASC""".stripMargin,
     // independent formulation (cross join + haversine, zero H3
     // arithmetic): if the hex-cell 1-ring fan-out missed any within-R
     // pair, the counts would not match.

@@ -577,6 +577,75 @@ class GeoSpec extends SparkSpec {
     assert(one("geo_h3cell_parent('zzz', 1)").isNullAt(0))
   }
 
+  test("h3: polygon cover is complete over dense pseudo-random interior points") {
+    import graft.functions.H3
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def cover(ring: Array[Array[Double]], res: Int): Set[String] = {
+      val ad = new GenericArrayData(
+        ring.map(p => new GenericArrayData(p.map(_.asInstanceOf[Any])): Any))
+      val c = H3.polygonCover(ad, res)
+      assert(c != null)
+      val ts = (0 until c.numElements()).map(i => c.getUTF8String(i).toString)
+      assert(ts.distinct.size == ts.size, "cover tokens distinct")
+      ts.toSet
+    }
+    def inside(ring: Array[Array[Double]], px: Double, py: Double): Boolean = {
+      var c = false
+      for (e <- 0 until ring.length - 1) {
+        val (x1, y1) = (ring(e)(0), ring(e)(1))
+        val (x2, y2) = (ring(e + 1)(0), ring(e + 1)(1))
+        if ((y1 > py) != (y2 > py) && px < x1 + (x2 - x1) * (py - y1) / (y2 - y1))
+          c = !c
+      }
+      c
+    }
+    def sweep(ring: Array[Array[Double]], res: Int,
+              bbox: (Double, Double, Double, Double), minHits: Int): Unit = {
+      val tokens = cover(ring, res)
+      var checked = 0
+      var g = 987654321L
+      for (_ <- 1 to 20000) {
+        g = (g * 6364136223846793005L + 1442695040888963407L)
+        val fx = ((g >>> 11).toDouble / (1L << 53).toDouble)
+        g = (g * 6364136223846793005L + 1442695040888963407L)
+        val fy = ((g >>> 11).toDouble / (1L << 53).toDouble)
+        val lon = bbox._1 + (bbox._2 - bbox._1) * fx
+        val lat = bbox._3 + (bbox._4 - bbox._3) * fy
+        if (inside(ring, lon, lat)) {
+          checked += 1
+          val tok = H3.cellToken(lon, lat, res).toString
+          assert(tokens.contains(tok),
+            s"interior point ($lon, $lat) cell $tok missing from cover")
+        }
+      }
+      assert(checked > minHits, s"sweep must hit the interior, got $checked")
+    }
+    // the registered fence (well inside face 17 — the formal regime)
+    val fence = Array(
+      Array(-27.0, -5.0), Array(-20.0, -6.5), Array(-15.0, -2.0),
+      Array(-19.0, 1.5), Array(-16.0, 5.0), Array(-24.0, 6.0),
+      Array(-22.0, 0.5), Array(-27.0, -5.0))
+    sweep(fence, 3, (-27.0, -15.0, -6.5, 6.0), 3000)
+    // a polygon STRADDLING the face 16/17 edge at lon 0 (the
+    // empirical-only regime the scaladoc documents): completeness must
+    // still hold on the sweep
+    val straddle = Array(
+      Array(-6.0, -4.0), Array(7.0, -5.0), Array(5.5, 4.0),
+      Array(-1.0, 1.0), Array(-5.0, 5.0), Array(-6.0, -4.0))
+    sweep(straddle, 4, (-6.0, 7.0, -5.0, 5.0), 3000)
+    // malformed: short ring, bad coordinates, antimeridian crossing
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val shortRing = new GenericArrayData(fence.take(3)
+      .map(p => new GenericArrayData(p.map(_.asInstanceOf[Any])): Any))
+    assert(H3.polygonCover(shortRing, 3) == null)
+    val xmer = Array(Array(170.0, 0.0), Array(-170.0, 0.0),
+      Array(175.0, 5.0), Array(170.0, 0.0))
+    intercept[IllegalArgumentException] {
+      H3.polygonCover(new GenericArrayData(
+        xmer.map(p => new GenericArrayData(p.map(_.asInstanceOf[Any])): Any)), 3)
+    }
+  }
+
   test("h3: codegen and interpreted eval agree") {
     import graft.functions.H3
     val rows = Seq((10.75, 59.91), (-21.94, 64.15), (151.21, -33.87), (178.44, -18.14))
