@@ -30,6 +30,7 @@ object GraftFunctions {
     "graft_h3_rings" -> (e => H3CellRings(e(0), e(1))),
     "graft_h3_level" -> (e => H3CellLevel(e(0))),
     "graft_h3_polygon_cover" -> (e => H3PolygonCover(e(0), e(1))),
+    "graft_h3_line_cover" -> (e => H3LineCover(e(0), e(1))),
     "graft_h3_parent" -> (e => H3CellParent(e(0), e(1))),
     "graft_ipv6_canon" -> (e => Ipv6Canonical(e(0))),
     "graft_ipv6_mask" -> (e => Ipv6CanonicalMask(e(0), e(1))),

@@ -376,6 +376,54 @@ object H3 {
     new GenericArrayData(out)
   }
 
+  /** Cell cover of a planar-lon/lat GeoJSON LineString at `res` — the
+    * boundary half of [[polygonCover]] on its own (the route/corridor
+    * side of the hex cell join): every edge sampled at ≤ ¼·size per
+    * axis, each sample adding its cell + hex 1-ring. Same completeness
+    * contract and cross-face caveat as the polygon cover. ≥ 2
+    * vertices; antimeridian-crossing lines rejected loudly. */
+  def lineCover(line: ArrayData, res: Int): ArrayData = {
+    if (line == null || res < 0 || res > MaxRes) return null
+    val n = line.numElements()
+    if (n < 2) return null
+    val lons = new Array[Double](n)
+    val lats = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = line.getArray(i)
+      if (v == null || v.numElements() < 2) return null
+      lons(i) = v.getDouble(0); lats(i) = v.getDouble(1)
+      if (!(lons(i) >= -180.0 && lons(i) <= 180.0) ||
+          !(lats(i) >= -90.0 && lats(i) <= 90.0)) return null
+      i += 1
+    }
+    require(lons.max - lons.min <= 180.0,
+      "geo_line_to_h3cells: lines crossing the antimeridian are unsupported")
+    val step = math.toDegrees(sizeAt(res)) / 4.0
+    val cells = new java.util.TreeSet[java.lang.Long]()
+    var e = 0
+    while (e < n - 1) {
+      val span = math.max(math.abs(lons(e + 1) - lons(e)),
+        math.abs(lats(e + 1) - lats(e)))
+      val k = math.max(1, math.ceil(span / step).toInt)
+      var s = 0
+      while (s <= k) {
+        val t = s.toDouble / k
+        addCellAndRing(cells, lons(e) + (lons(e + 1) - lons(e)) * t,
+          lats(e) + (lats(e + 1) - lats(e)) * t, res)
+        s += 1
+      }
+      e += 1
+    }
+    val out = new Array[Any](cells.size())
+    val it = cells.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = UTF8String.fromString(java.lang.Long.toHexString(it.next())); o += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ADX geo_h3cell_rings(cell, N) → array of rings: ring 0 = [cell],
     * ring k = the distinct cells at hex distance k, each candidate
     * re-encoded through xyz (the cross-face wrap convention shared
@@ -519,6 +567,40 @@ case class H3PolygonCover(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (ring, res) => {
       s"""
          |${ev.value} = graft.functions.H3.polygonCover($ring, $res);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** `graft_h3_line_cover(line, res)` → sorted cell-cover tokens of a
+  * planar GeoJSON LineString at `res` — see [[H3.lineCover]]. Dim-side
+  * by design, like the polygon cover. */
+case class H3LineCover(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }) && right.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_h3_line_cover expects (array<array<double>>, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_h3_line_cover"
+
+  override def nullSafeEval(line: Any, res: Any): Any =
+    H3.lineCover(line.asInstanceOf[ArrayData], res.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (line, res) => {
+      s"""
+         |${ev.value} = graft.functions.H3.lineCover($line, $res);
          |${ev.isNull} = (${ev.value} == null);
        """.stripMargin
     })

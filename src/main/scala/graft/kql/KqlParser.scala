@@ -4172,6 +4172,7 @@ object KqlParser {
               "geo_point_to_h3cell", "geo_h3cell_to_central_point",
               "geo_h3cell_neighbors", "geo_h3cell_rings",
               "geo_h3cell_level", "geo_h3cell_parent", "geo_polygon_to_h3cells",
+              "geo_line_to_h3cells",
               "totimespan", "make_timespan", "format_timespan",
               "datetime_part", "make_datetime",
               "unixtime_seconds_todatetime", "unixtime_milliseconds_todatetime",
@@ -5334,6 +5335,21 @@ object KqlParser {
                 out.append(s"graft_h3_polygon_cover(try_cast(variant_get(" +
                   s"${args(0)}, '$$.coordinates[0]') AS ARRAY<ARRAY<DOUBLE>>), " +
                   s"CAST(($pres) AS INT))")
+              case "geo_line_to_h3cells" =>
+                // ADX geo_line_to_h3cells(line[, resolution]) — the
+                // hex cell cover of a GeoJSON LineString (the
+                // route/corridor side of the cell join); same planar
+                // conventions, sampling construction, and default
+                // resolution 6 as the polygon cover (H3.lineCover).
+                require(args.length == 1 || args.length == 2,
+                  "geo_line_to_h3cells expects (line [, resolution])")
+                val lres = if (args.length == 2) args(1)
+                  else graft.functions.H3.DefaultRes.toString
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_h3_line_cover(try_cast(variant_get(" +
+                  s"${args(0)}, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>), " +
+                  s"CAST(($lres) AS INT))")
               case "geo_h3cell_level" =>
                 // resolution of a cell token; null on malformed input.
                 require(args.length == 1, "geo_h3cell_level expects (token)")

@@ -846,6 +846,37 @@ object ReferenceQueries {
       |            lat_max_u = max(tolong(floor(lat * 1000000.0, 1))) by city
       || sort by city asc""".stripMargin
 
+  /** r14 `geo_line_to_h3cells` + the H3 route-corridor join — the hex
+    * sibling of [[kqlGeoLineJoinText]]: the 3-segment route fans to
+    * its res-3 hex cover plus one neighbor ring, points key by their
+    * cell, the exact equirectangular point-to-segment distance
+    * verifies. Coverage: R_plane ≤ 1.05·25 km ≈ 0.004 rad < size =
+    * 0.0189 rad (the hex 1-ring bound — see the site join's argument),
+    * and the whole route sits ≥ 9° inside face 17 so the cover's
+    * formal completeness regime applies. Route as a DIM COLUMN (the
+    * r13 corridor lesson: a constant route lets Catalyst push the
+    * verify below the join onto every point). Oracle: the INDEPENDENT
+    * all-points distance formulation, mirrored op-for-op. */
+  val kqlGeoH3LineJoinText: String =
+    """Orders
+      || extend lon = todouble(orderid % 1600) / 100.0 - 29.0, lat = todouble(custid % 1000) / 62.5 - 8.0
+      || extend cell = geo_point_to_h3cell(lon, lat, 3)
+      || join kind=inner (
+      |    datatable(route_id:string, line:string)[
+      |      'r1', '{"type":"LineString","coordinates":[[-27.0,-6.0],[-22.0,-1.0],[-18.0,1.0],[-15.5,6.0]]}']
+      |    | extend c0s = geo_line_to_h3cells(todynamic(line), 3)
+      |    | mv-expand c0 = c0s to typeof(string)
+      |    | extend cells = array_concat(pack_array(c0), geo_h3cell_neighbors(c0))
+      |    | mv-expand cell = cells to typeof(string)
+      |    | distinct cell, line
+      |  ) on cell
+      || extend d_m = geo_distance_point_to_line(lon, lat, todynamic(line))
+      || where d_m <= 25000.0
+      || summarize n = count(),
+      |    d_min_m = min(tolong(floor(d_m, 1))),
+      |    d_max_m = max(tolong(floor(d_m, 1))) by city
+      || sort by city asc""".stripMargin
+
   /** r12 S2 CELL JOIN — the same bounded-fan-out spatial-join shape as
     * [[kqlGeoJoinText]] but keyed on S2 cells: points carry their
     * level-7 cell, sites fan out to cell ∪ 8-neighborhood (cross-face
@@ -1655,6 +1686,7 @@ object ReferenceQueries {
     "kql_geo_h3" -> kqlText(kqlGeoH3Text) _,
     "kql_geo_h3_join" -> kqlText(kqlGeoH3JoinText) _,
     "kql_geo_h3_polygon_join" -> kqlText(kqlGeoH3PolygonJoinText) _,
+    "kql_geo_h3_line_join" -> kqlText(kqlGeoH3LineJoinText) _,
     "kql_geo_join" -> kqlText(kqlGeoJoinText) _,
     "kql_geo_polygon" -> kqlText(kqlGeoPolygonText) _,
     "kql_geo_polygon_join" -> kqlText(kqlGeoPolygonJoinText) _,
@@ -2791,6 +2823,43 @@ object ReferenceQueries {
         |FROM pw JOIN ncnt ON ncnt.name = pw.name JOIN rcnt ON rcnt.name = pw.name
         |  JOIN ppv ON ppv.name = pw.name
         |ORDER BY pw.name ASC""".stripMargin,
+    // independent all-points distance formulation (zero H3
+    // arithmetic), mean-latitude fold and per-segment projection
+    // mirrored op-for-op from GeoDistPointToLine.
+    "kql_geo_h3_line_join" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, city, CAST(orderid % 1600 AS DOUBLE) / 100.0 - 29.0 AS lon,
+         |    CAST(custid % 1000 AS DOUBLE) / 62.5 - 8.0 AS lat
+         |  FROM orders_info),
+         |segs AS (
+         |  SELECT * FROM (VALUES
+         |    (-27.0, -6.0, -22.0, -1.0), (-22.0, -1.0, -18.0, 1.0),
+         |    (-18.0, 1.0, -15.5, 6.0)) AS s(x1, y1, x2, y2)),
+         |k AS (SELECT 111320.0 * cos(radians(
+         |  (CAST(0 AS DOUBLE) + -6.0 + -1.0 + 1.0 + 6.0) / CAST(4 AS DOUBLE))) AS kx),
+         |segm AS (
+         |  SELECT x1 * kx AS ax, y1 * 110574.0 AS ay,
+         |    (x2 - x1) * kx AS dx, (y2 - y1) * 110574.0 AS dy
+         |  FROM segs CROSS JOIN k),
+         |pd AS (
+         |  SELECT p.orderid, p.city, p.lon * kx AS qx, p.lat * 110574.0 AS qy,
+         |    s.ax, s.ay, s.dx, s.dy
+         |  FROM pts p CROSS JOIN segm s CROSS JOIN k),
+         |pt AS (
+         |  SELECT *, CASE WHEN dx * dx + dy * dy = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+         |    ELSE least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+         |      ((qx - ax) * dx + (qy - ay) * dy) / (dx * dx + dy * dy))) END AS t
+         |  FROM pd),
+         |d AS (
+         |  SELECT orderid, city,
+         |    MIN(sqrt((qx - ax - t * dx) * (qx - ax - t * dx)
+         |      + (qy - ay - t * dy) * (qy - ay - t * dy))) AS dist
+         |  FROM pt GROUP BY 1, 2)
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(CAST(floor(dist) AS BIGINT)) AS d_min_m,
+         |  MAX(CAST(floor(dist) AS BIGINT)) AS d_max_m
+         |FROM d WHERE dist <= 25000.0 GROUP BY city ORDER BY city ASC""".stripMargin,
     // independent all-points even-odd formulation (zero H3
     // arithmetic): a cover miss would drop a join hit and fail.
     "kql_geo_h3_polygon_join" ->
