@@ -407,9 +407,20 @@ object Bench {
     // Under the local ONLY iteration filter, prewarm just the filtered
     // queries (a filtered run that shares a Memo tag with an unfiltered
     // sibling still self-derives via the per-run computeCount path).
+    // Budgets: each prewarm is watchdog-capped at 180 s, and the WHOLE
+    // prewarm phase at 600 s (healthy total ≈ 60 s) — under a sustained
+    // host-paging episode nine capped stalls would otherwise eat 27
+    // minutes before the first timed query and trip the driver's outer
+    // timeout. A skipped prewarm degrades gracefully: the query's first
+    // timed attempt pays the cold build and the per-run computeCount
+    // path records it in `cold` (the pre-r14 behavior).
     val wd = new java.util.Timer("prewarm-watchdog", true)
+    val prewarmT0 = System.nanoTime()
+    def prewarmElapsed: Double = (System.nanoTime() - prewarmT0) / 1e9
     memoColdQueries.filter(n => only.forall(_.contains(n))).foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
+      if (prewarmElapsed > 600.0)
+        System.err.println(s"[bench] prewarm $name SKIPPED: prewarm wall budget exhausted")
+      else SparkEntry.queries.get(name).foreach { fn =>
         val t0 = System.nanoTime()
         val group = s"prewarm-$name"
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
