@@ -4429,6 +4429,18 @@ object KqlParser {
                       s"transform(${args(0)}, (x, i) -> " +
                       s"${seriesIntercept(prefix)} + ${seriesSlope(prefix)} * i) " +
                       s"ELSE NULL END)")
+                  case "series_fft" =>
+                    // returns the {re, im} bag (ADX's tuple-assign
+                    // extend form isn't supported here — the fit_line
+                    // convention); complex INPUT (the 2-arg form) is
+                    // rejected loudly.
+                    require(args.length == 1,
+                      "series_fft expects (series) — complex input is unsupported")
+                    out.append(seriesFftStruct(args(0)))
+                  case "series_ifft" =>
+                    require(args.length == 2,
+                      "series_ifft expects (re_series, im_series)")
+                    out.append(seriesIfftStruct(args(0), args(1)))
                   case "series_fit_poly" | "series_fit_poly_dynamic" =>
                     // degree is the 2nd argument (integer literal
                     // 1..3; default 1). ADX's (y, x, degree) custom-x
@@ -6277,6 +6289,55 @@ object KqlParser {
       s"element_at(transform(array($stage2), pf3s -> " +
       s"element_at(transform(array($stage3), pf4s -> " +
       s"element_at(transform(array($stage4), pf5s -> $out), 1)), 1)), 1)), 1) END)"
+  }
+
+  /** ADX series_fft(x) — the length-n DFT of a real series as a
+    * {re, im} bag of arrays: X_k = Σ_j x_j·e^(−2πi·jk/n), evaluated as
+    * the O(n²) direct sum (n is the make-series step count — bounded
+    * dashboard data; a radix FFT's reordering would also break the
+    * op-order mirror the oracle depends on). Float contract: the inner
+    * sum is a LEFT FOLD over j (DuckDB mirrors with list_reduce), the
+    * angle chain `2.0 * pi() * j * k / n` is mirrored op-for-op, and
+    * pi() is the same IEEE double on both engines; cos/sin carry the
+    * geo tier's last-ulp libm caveat (a flip needs a micro-floored
+    * output within ~1e-10 of a grid line — the oracle compare verifies
+    * the actual corpus at two scales). ADX's 2-arg complex-input form
+    * is rejected loudly. */
+  private[kql] def seriesFftStruct(s: String): String = {
+    val binder = s"named_struct('arr', $s, 'xs', " +
+      s"transform(sequence(0, size($s) - 1), pfi -> CAST(pfi AS DOUBLE)))"
+    val n = "CAST(size(pff1.arr) AS DOUBLE)"
+    def sum(trig: String): String =
+      s"aggregate(zip_with(pff1.arr, pff1.xs, (pfy, pfx) -> " +
+        s"pfy * $trig(2.0 * pi() * pfx * pfk / $n)), CAST(0 AS DOUBLE), " +
+        s"(pfa, pfb) -> pfa + pfb)"
+    s"element_at(transform(array($binder), pff1 -> named_struct(" +
+      s"'re', transform(pff1.xs, pfk -> ${sum("cos")}), " +
+      s"'im', transform(pff1.xs, pfk -> -(${sum("sin")})))), 1)"
+  }
+
+  /** ADX series_ifft(re, im) → the inverse DFT as a {re, im} bag:
+    * x_j = (1/n)·Σ_k (re_k + i·im_k)·e^(+2πi·jk/n). Same direct-sum /
+    * left-fold shape as [[seriesFftStruct]]; ifft(fft(x)) recovers a
+    * real series to ~1e-9 (KqlSpec pins the roundtrip — floating
+    * error, not an engine convention, so it is spec-pinned rather
+    * than micro-floor-oracled). */
+  private[kql] def seriesIfftStruct(re: String, im: String): String = {
+    val binder = s"named_struct('re', $re, 'im', $im, 'xs', " +
+      s"transform(sequence(0, size($re) - 1), pfi -> CAST(pfi AS DOUBLE)))"
+    val n = "CAST(size(pfg1.re) AS DOUBLE)"
+    // zip (re, im, k) into structs once; each output element folds over it
+    val zipped = s"zip_with(zip_with(pfg1.re, pfg1.im, (pfa, pfb) -> " +
+      s"named_struct('a', pfa, 'b', pfb)), pfg1.xs, (pfc, pfk) -> " +
+      s"named_struct('a', pfc.a, 'b', pfc.b, 'k', pfk))"
+    def body(sign: String): String =
+      s"aggregate($zipped, CAST(0 AS DOUBLE), (pfs, pfe) -> pfs + " +
+        s"(pfe.a * ${if (sign == "re") "cos" else "sin"}(2.0 * pi() * pfe.k * pfj / $n) " +
+        s"${if (sign == "re") "-" else "+"} pfe.b * " +
+        s"${if (sign == "re") "sin" else "cos"}(2.0 * pi() * pfe.k * pfj / $n)))"
+    s"element_at(transform(array($binder), pfg1 -> named_struct(" +
+      s"'re', transform(pfg1.xs, pfj -> (${body("re")}) / $n), " +
+      s"'im', transform(pfg1.xs, pfj -> (${body("im")}) / $n))), 1)"
   }
 
   /** Population variance of a series. */

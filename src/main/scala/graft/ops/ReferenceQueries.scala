@@ -958,6 +958,24 @@ object ReferenceQueries {
       || project event_type, rsq_u, var_u, rvar_u, c2_u, c1_u, c0_u, fc
       || sort by event_type asc""".stripMargin
 
+  /** r14 `series_fft` — the DFT of the zero-filled daily count series
+    * (micro-floored re/im per coefficient). The oracle re-derives the
+    * O(n²) direct sum with the SAME left-fold order (DuckDB
+    * list_reduce over an indexed list_transform) and the same angle
+    * chain op-for-op; pi() is bit-identical on both engines, cos/sin
+    * carry the geo tier's last-ulp caveat. `series_ifft`'s roundtrip
+    * is spec-pinned (KqlSpec) rather than oracled: ifft(fft(x))
+    * recovers x only to float error, which micro-flooring cannot
+    * stabilize at grid points. */
+  val kqlSeriesFftText: String =
+    """Events
+      || make-series n = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+      || extend f = series_fft(n)
+      || extend re_s = array_join(transform(f.re, x -> string(tolong(floor(x * 1000000.0, 1)))), ','),
+      |    im_s = array_join(transform(f.im, x -> string(tolong(floor(x * 1000000.0, 1)))), ',')
+      || project event_type, re_s, im_s
+      || sort by event_type asc""".stripMargin
+
   /** r11 series fill family — forward / backwards / linear over a
     * SPARSE daily avg series (value ≥ 300 leaves ~85 % of the bins
     * null, including leading and trailing gaps, so every edge
@@ -1698,6 +1716,7 @@ object ReferenceQueries {
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
     "kql_series_fit2" -> kqlText(kqlSeriesFit2Text) _,
     "kql_series_fit_poly" -> kqlText(kqlSeriesFitPolyText) _,
+    "kql_series_fft" -> kqlText(kqlSeriesFftText) _,
     "kql_series_fill" -> kqlText(kqlSeriesFillText) _,
     "kql_series_seasonal" -> kqlText(kqlSeriesSeasonalText) _,
     "kql_series_decompose2" -> kqlText(kqlSeriesDecomposeSeasonalText) _,
@@ -2174,6 +2193,39 @@ object ReferenceQueries {
         |    ',' ORDER BY d.i) AS fc
         |FROM fin JOIN dense d USING (event_type)
         |GROUP BY fin.event_type, ssres, sstot, s0, a0, a1, a2
+        |ORDER BY event_type ASC""".stripMargin,
+    // the DFT direct sum with the engine's exact fold order: DuckDB
+    // list_reduce left-folds like Spark's aggregate (the leading 0.0
+    // seed is IEEE-neutral), the indexed list_transform supplies j
+    // (1-based, shifted), and the angle chain is textually the
+    // parser's expression.
+    "kql_series_fft" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+        |g AS (SELECT event_type, i, COUNT(*) AS c FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 30)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, CAST(COALESCE(g.c, 0) AS DOUBLE) AS v
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i),
+        |lists AS (
+        |  SELECT event_type, list(v ORDER BY i) AS vs FROM dense GROUP BY 1),
+        |coef AS (
+        |  SELECT l.event_type, kk.k,
+        |    list_reduce(list_transform(l.vs, (x, j) ->
+        |      x * cos(2.0 * pi() * (j - 1) * kk.k / 30.0)), (a, b) -> a + b) AS re,
+        |    -(list_reduce(list_transform(l.vs, (x, j) ->
+        |      x * sin(2.0 * pi() * (j - 1) * kk.k / 30.0)), (a, b) -> a + b)) AS im
+        |  FROM lists l CROSS JOIN (SELECT CAST(unnest(range(0, 30)) AS INT) AS k) kk)
+        |SELECT event_type,
+        |  string_agg(CAST(CAST(floor(re * 1000000.0) AS BIGINT) AS VARCHAR), ',' ORDER BY k) AS re_s,
+        |  string_agg(CAST(CAST(floor(im * 1000000.0) AS BIGINT) AS VARCHAR), ',' ORDER BY k) AS im_s
+        |FROM coef GROUP BY event_type
         |ORDER BY event_type ASC""".stripMargin,
     "kql_series_forecast" ->
       """WITH f AS (

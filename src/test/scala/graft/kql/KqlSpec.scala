@@ -163,6 +163,48 @@ class KqlSpec extends SparkSpec {
       "T | extend preview_total = 1 | evaluate preview(2)", reg))
   }
 
+  test("series_fft / series_ifft: known vectors, roundtrip, loud rejects") {
+    val tables = Map("T" -> Seq(1).toDF("x"))
+    // constant series: X_0 = n*c, all other coefficients 0
+    val const = KqlParser.run(
+      "T | extend f = series_fft(pack_array(3.0, 3.0, 3.0, 3.0)) " +
+        "| project re = f.re, im = f.im", tables).head()
+    val re = const.getSeq[Double](0); val im = const.getSeq[Double](1)
+    assert(re.head == 12.0 && re.tail.forall(v => math.abs(v) < 1e-12))
+    assert(im.forall(v => math.abs(v) < 1e-12))
+    // alternating series of period 2: all energy at k = n/2
+    val alt = KqlParser.run(
+      "T | extend f = series_fft(pack_array(1.0, -1.0, 1.0, -1.0)) " +
+        "| project re = f.re", tables).head().getSeq[Double](0)
+    assert(math.abs(alt(2) - 4.0) < 1e-12 &&
+      Seq(0, 1, 3).forall(k => math.abs(alt(k)) < 1e-12))
+    // ifft(fft(x)) recovers x to float error; the imaginary part of a
+    // real series' roundtrip vanishes
+    val rt = KqlParser.run(
+      "T | extend s = pack_array(5.0, 1.0, 4.0, 1.0, 3.0, 9.0) " +
+        "| extend f = series_fft(s) | extend b = series_ifft(f.re, f.im) " +
+        "| project bre = b.re, bim = b.im", tables).head()
+    val src = Seq(5.0, 1.0, 4.0, 1.0, 3.0, 9.0)
+    val bre = rt.getSeq[Double](0)
+    val bim = rt.getSeq[Double](1)
+    src.indices.foreach { j =>
+      assert(math.abs(bre(j) - src(j)) < 1e-9, s"roundtrip drift at $j")
+      assert(math.abs(bim(j)) < 1e-9, s"imaginary residue at $j")
+    }
+    // Parseval: sum |X_k|^2 = n * sum x_j^2
+    val pv = KqlParser.run(
+      "T | extend s = pack_array(5.0, 1.0, 4.0, 1.0, 3.0, 9.0) " +
+        "| extend f = series_fft(s) " +
+        "| project lhs = series_sum(series_add(series_multiply(f.re, f.re), series_multiply(f.im, f.im))), " +
+        "rhs = series_sum(series_multiply(s, s))", tables).head()
+    assert(math.abs(pv.getDouble(0) - 6.0 * pv.getDouble(1)) < 1e-9)
+    // loud rejects: complex input, wrong ifft arity
+    intercept[IllegalArgumentException](KqlParser.run(
+      "T | extend f = series_fft(pack_array(1.0), pack_array(0.0)) | project f", tables))
+    intercept[IllegalArgumentException](KqlParser.run(
+      "T | extend f = series_ifft(pack_array(1.0)) | project f", tables))
+  }
+
   test("parse extracts regex groups") {
     val out = Seq("id=42;x").toDF("s")
       .parseExtract("id", col("s"), "id=(\\d+)")
