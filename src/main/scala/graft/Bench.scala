@@ -93,6 +93,8 @@ object Bench {
   private val coldAcc = new java.util.LinkedHashMap[String, Double]()
   @volatile private var probeStartV = -1.0
   @volatile private var emittedFinal = false
+  /** Prior-round per-query times (emit reads it for the `ambient` list). */
+  @volatile private var priorV: Map[String, Double] = Map.empty
 
   /** Serialize current state and write file + stdout line. Safe to call
     * from the shutdown hook at any point during the run. */
@@ -107,6 +109,11 @@ object Bench {
       .mkString("[", ",", "]")
     val capped = results.collect { case (k, r) if r.capped => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // >2.5x prior but NOT suspect (the floor escapees) — visible, never
+    // summed out; see isAmbient.
+    val ambient = results.collect {
+      case (k, r) if !r.suspect && isAmbient(r.min, priorV.get(k)) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val cold = coldAcc.synchronized {
       import scala.jdk.CollectionConverters._
       coldAcc.entrySet().asScala.toVector
@@ -123,7 +130,7 @@ object Bench {
     val probes = f""""paging_probe":[$probeStartV%.1f,$probeEnd%.1f]"""
     val partialField = if (partial) """"partial":true,""" else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_excl_suspect":$cleanTotal,"n_excl_suspect":$cleanN,$partialField$probes,"suspect":$suspects,"capped":$capped,"cold":$cold,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_excl_suspect":$cleanTotal,"n_excl_suspect":$cleanN,$partialField$probes,"suspect":$suspects,"ambient":$ambient,"capped":$capped,"cold":$cold,"queries":$qs,"sf":"$sfDir"}"""
     // The full per-query map is multi-KB — longer than the caller's
     // bounded output capture (r2 lost 26 per-query times to truncation,
     // r3's driver recorded parsed:null). So the FILE is the durable
@@ -132,7 +139,7 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_excl_suspect":$cleanTotal,"n_excl_suspect":$cleanN,"n_queries":${results.size},$partialField$probes,"suspect":$suspects,"capped":$capped,"queries_file":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_excl_suspect":$cleanTotal,"n_excl_suspect":$cleanN,"n_queries":${results.size},$partialField$probes,"suspect":$suspects,"ambient":$ambient,"capped":$capped,"queries_file":"$outFile","sf":"$sfDir"}""")
     System.out.flush()
   }
 
@@ -168,6 +175,26 @@ object Bench {
   private[graft] def suspectCeil(prior: Option[Double]): Double =
     prior.fold(10.0)(p => math.min(10.0, math.max(1.0, 2.0 * p)))
 
+  /** The `suspect` floor lets sub-second regressions escape (r14: two
+    * 2.5–3x sub-second readings slipped under the 1 s floor). Any min
+    * > 2.5x its prior — regardless of magnitude — is listed in a
+    * separate `ambient` field: NOT summed out of any total (sub-second
+    * noise doesn't move the headline), just visible so a real
+    * systematic regression on small queries can't hide across rounds. */
+  private[graft] def isAmbient(min: Double, prior: Option[Double]): Boolean =
+    prior.exists(p => min > 2.5 * p)
+
+  /** Prewarm order: most-expensive-first by the prior round's recorded
+    * cold build times (unknown queries first — a new serving table's
+    * cost is unknown and must not be starved to the back). With the
+    * wall budget, this means an exhausted budget skips the CHEAPEST
+    * builds — whose cold cost landing back inside a timed run does the
+    * least damage (r14: a single 131.6 s cdc_latest_served episode
+    * could consume a fifth of the budget before anything else ran). */
+  private[graft] def prewarmOrder(names: Seq[String],
+                                  priorCold: Map[String, Double]): Seq[String] =
+    names.sortBy(n => -priorCold.getOrElse(n, Double.MaxValue))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -186,9 +213,19 @@ object Bench {
     val hook = new Thread(() => if (!emittedFinal) emit(-1.0, partial = true, sfDir))
     Runtime.getRuntime.addShutdownHook(hook)
 
+    // Cross-round regression baseline: the prior round's committed
+    // artifact. Read BEFORE warmup (whose prewarm ordering uses the
+    // prior `cold` map) and before any emit can overwrite the path.
+    val priorFile0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json")
+    val priorJson: String =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get(priorFile0))
+      catch { case _: Throwable => "" }
+    priorV = parsePriorTimes(priorJson)
+    val priorCold = parsePriorTimes(priorJson, "cold")
+
     probeStartV = pagingProbe()
     warmup(spark, sfDir,
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet))
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet), priorCold)
 
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._
@@ -215,14 +252,9 @@ object Bench {
     // episode (healthy full run ≈ 100 s) — degrade to one 10 s-capped
     // run per remaining query so the final emit is always reached.
     val totalBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOTAL_BUDGET", "1500").toDouble
-    // Cross-round regression baseline: the prior round's committed
-    // artifact. Read BEFORE any emit can overwrite the default path.
-    val priorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json")
-    val prior: Map[String, Double] =
-      try parsePriorTimes(java.nio.file.Files.readString(java.nio.file.Paths.get(priorFile)))
-      catch { case _: Throwable => Map.empty }
+    val prior: Map[String, Double] = priorV
     if (prior.nonEmpty)
-      System.err.println(s"[bench] regression guard armed: ${prior.size} prior times from $priorFile")
+      System.err.println(s"[bench] regression guard armed: ${prior.size} prior times from $priorFile0")
     val benchT0 = System.nanoTime()
     def benchElapsed: Double = (System.nanoTime() - benchT0) / 1e9
     val watchdog = new java.util.Timer("bench-watchdog", true)
@@ -368,7 +400,8 @@ object Bench {
     * path), md5→conv hashing (the dedup path), and a forced scan of each
     * corpus table (parquet reader JIT + OS page cache). */
   private def warmup(spark: SparkSession, sfDir: String,
-                     only: Option[Set[String]] = None): Unit = {
+                     only: Option[Set[String]] = None,
+                     priorCold: Map[String, Double] = Map.empty): Unit = {
     import org.apache.spark.sql.expressions.Window
     val t = spark.range(1000000L)
       .select((col("id") % 97).as("k"), col("id").as("v"))
@@ -414,31 +447,60 @@ object Bench {
     // timeout. A skipped prewarm degrades gracefully: the query's first
     // timed attempt pays the cold build and the per-run computeCount
     // path records it in `cold` (the pre-r14 behavior).
+    // r15 (r14 verdict #2): the builds run MOST-EXPENSIVE-FIRST (by
+    // the prior round's recorded cold times — see prewarmOrder) on a
+    // 3-worker pool, so one paged streaming-handoff build (r14: a
+    // 131.6 s cdc_latest_served episode, 15x its committed 8.9 s)
+    // overlaps the other builds instead of starving them back into
+    // timed runs; if the 600 s wall budget is still exhausted, the
+    // skipped builds are the CHEAPEST ones. Job groups are per-thread,
+    // so each worker's watchdog cancels only its own build.
     val wd = new java.util.Timer("prewarm-watchdog", true)
     val prewarmT0 = System.nanoTime()
     def prewarmElapsed: Double = (System.nanoTime() - prewarmT0) / 1e9
-    memoColdQueries.filter(n => only.forall(_.contains(n))).foreach { name =>
-      if (prewarmElapsed > 600.0)
-        System.err.println(s"[bench] prewarm $name SKIPPED: prewarm wall budget exhausted")
-      else SparkEntry.queries.get(name).foreach { fn =>
-        val t0 = System.nanoTime()
-        val group = s"prewarm-$name"
-        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-        val cancel = new java.util.TimerTask {
-          override def run(): Unit = {
-            System.err.println(s"[bench] prewarm $name cancelled at 180 s cap")
-            spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    prewarmOrder(memoColdQueries.filter(n => only.forall(_.contains(n))), priorCold)
+      .foreach { name =>
+        pool.execute { () =>
+          if (prewarmElapsed > 600.0)
+            System.err.println(s"[bench] prewarm $name SKIPPED: prewarm wall budget exhausted")
+          else SparkEntry.queries.get(name).foreach { fn =>
+            val t0 = System.nanoTime()
+            val group = s"prewarm-$name"
+            spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+            val cancel = new java.util.TimerTask {
+              override def run(): Unit = {
+                System.err.println(s"[bench] prewarm $name cancelled at 180 s cap")
+                spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+              }
+            }
+            wd.schedule(cancel, 180000L)
+            // Only record a prewarm duration as the query's cold cost
+            // when the build actually COMPLETED: a failed or watchdog-
+            // cancelled prewarm would otherwise putIfAbsent cap/failure
+            // fiction into `cold` that the later successful timed
+            // derivation (the per-run computeCount path) could never
+            // overwrite — the same capped-value class the r14 warmup
+            // fix removed from the headline total.
+            val completed =
+              try { force(fn(spark, sfDir)); true } catch {
+                case e: Throwable =>
+                  System.err.println(s"[bench] prewarm $name failed: ${e.toString.take(200)}")
+                  false
+              } finally { cancel.cancel(); spark.sparkContext.clearJobGroup() }
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (completed) coldAcc.synchronized { coldAcc.putIfAbsent(name, dt) }
+            System.err.println(
+              f"[bench] prewarm $name%-26s ${dt}%7.2f s${if (completed) "" else " (NOT recorded: failed/cancelled)"}")
           }
         }
-        wd.schedule(cancel, 180000L)
-        try force(fn(spark, sfDir)) catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] prewarm $name failed: ${e.toString.take(200)}")
-        } finally { cancel.cancel(); spark.sparkContext.clearJobGroup() }
-        val dt = (System.nanoTime() - t0) / 1e9
-        coldAcc.synchronized { coldAcc.putIfAbsent(name, dt) }
-        System.err.println(f"[bench] prewarm $name%-26s ${dt}%7.2f s")
       }
+    pool.shutdown()
+    // 600 s budget + one 180 s cap of slack: a worker that started its
+    // build just inside the budget may legitimately run to its cap.
+    if (!pool.awaitTermination(780, java.util.concurrent.TimeUnit.SECONDS)) {
+      System.err.println("[bench] prewarm pool did not drain inside 780 s — abandoning")
+      pool.shutdownNow(): Unit
     }
     wd.cancel()
   }

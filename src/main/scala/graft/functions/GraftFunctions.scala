@@ -32,6 +32,11 @@ object GraftFunctions {
     "graft_h3_polygon_cover" -> (e => H3PolygonCover(e(0), e(1))),
     "graft_h3_line_cover" -> (e => H3LineCover(e(0), e(1))),
     "graft_h3_parent" -> (e => H3CellParent(e(0), e(1))),
+    "graft_h3_children" -> (e => H3CellChildren(e(0), e(1))),
+    "graft_codepoints" -> (e => UnicodeCodepoints(e(0))),
+    "graft_from_codepoints" -> (e => UnicodeFromCodepoints(e(0))),
+    "graft_punycode_encode" -> (e => PunycodeEncode(e(0))),
+    "graft_punycode_decode" -> (e => PunycodeDecode(e(0))),
     "graft_ipv6_canon" -> (e => Ipv6Canonical(e(0))),
     "graft_ipv6_mask" -> (e => Ipv6CanonicalMask(e(0), e(1))),
     "graft_ipv6_cmp" -> (e => Ipv6Compare(e(0), e(1), e(2))),

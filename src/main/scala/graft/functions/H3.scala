@@ -229,8 +229,8 @@ object H3 {
     * center re-encoded at `res` — the natural parent definition for a
     * direct (face, q, r) token system (this engine has no aperture-7
     * digit hierarchy, so parents are by CONTAINMENT OF THE CENTER, not
-    * H3's aligned subdivision — documented deviation; children are not
-    * offered at all, they would need a lattice search). Null on
+    * H3's aligned subdivision — documented deviation; [[childrenOf]]
+    * is the exact inverse, by lattice search + parent check). Null on
     * malformed input or res outside 0..cell res. */
   def parentOf(token: UTF8String, res: Int): UTF8String = {
     val d = decode(token)
@@ -238,6 +238,95 @@ object H3 {
     val w = centerXYZ(d(1).toInt, d(2), d(3), d(0).toInt)
     UTF8String.fromString(
       java.lang.Long.toHexString(cellOfXYZ(w(0), w(1), w(2), res)))
+  }
+
+  /** Children of a cell at finer resolution `childRes`: every res-
+    * `childRes` cell whose parent (by [[parentOf]]'s center-containment
+    * convention) is this cell — the exact inverse of parent, so
+    * `parentOf(child, res) == cell` holds for every emitted child BY
+    * CONSTRUCTION. DEVIATION (same family as parent): this token
+    * system has no aperture-7 digit hierarchy, so children are found
+    * by CANDIDATE ENUMERATION + parent check, not digit append:
+    *
+    *  1. SAMPLE the parent's hex disk (radius size_p + 2·size_c, the
+    *     covers' construction) on the parent's OWN face plane at
+    *     step size_c/4 per axis — every sample is a real point, so
+    *     every candidate is a PRODUCIBLE cell (the encode of a point);
+    *  2. each sample encodes through xyz at `childRes` (cross-face
+    *     wrap: samples in parts of the parent hex owned by an adjacent
+    *     face land in that face's cells, the rings/neighbors
+    *     convention), distinct candidates collected;
+    *  3. a candidate is kept iff its OWN planar center re-encodes at
+    *     the parent res to exactly this cell — so
+    *     `parentOf(child) == cell` holds by construction.
+    *
+    * Completeness is the covers' conservative contract: a child whose
+    * parent is this cell has its center inside the parent hex, so its
+    * region overlaps the sampled disk and a size_c/4 grid sample lands
+    * in it (an ownership-clipped sliver thinner than the step could
+    * escape — the partition pin in GeoSpec sweeps the actual regime,
+    * including face-straddling cells). Resolution gap capped at 4
+    * (7⁴ ≈ 2.4k children, ~((8·7^gap)²) sample encodes at gap 4 —
+    * dim-side by design, like the covers); larger gaps are rejected
+    * loudly. `childRes == res` returns `[cell]` (Uber H3's
+    * convention). Null on malformed input or childRes < res /
+    * > MaxRes. */
+  def childrenOf(token: UTF8String, childRes: Int): ArrayData = {
+    val d = decode(token)
+    if (d == null || childRes < d(0).toInt || childRes > MaxRes) return null
+    val p = d(0).toInt
+    val gap = childRes - p
+    require(gap <= 4,
+      s"geo_h3cell_children: resolution gap $gap exceeds 4 (7^gap children " +
+        "— drill down level by level instead)")
+    val face = d(1).toInt
+    val self = pack(p, face, d(2), d(3))
+    if (gap == 0)
+      return new GenericArrayData(Array[Any](
+        UTF8String.fromString(java.lang.Long.toHexString(self))))
+    val sp = sizeAt(p)
+    val sc = sizeAt(childRes)
+    // parent planar center in its OWN face frame (the sampling origin)
+    val px = sp * (Sqrt3 * d(2) + Sqrt3 / 2.0 * d(3))
+    val py = sp * (1.5 * d(3))
+    val fr = frames(face)
+    val half = sp + 2.0 * sc
+    val step = sc / 4.0
+    val m = math.ceil(half / step).toInt
+    // 1+2: sample grid → candidate cells (distinct)
+    val cand = new java.util.TreeSet[java.lang.Long]()
+    var i = -m
+    while (i <= m) {
+      val sx = px + i * step
+      var j = -m
+      while (j <= m) {
+        val sy = py + j * step
+        val x = fr(0) + sx * fr(3) + sy * fr(6)
+        val y = fr(1) + sx * fr(4) + sy * fr(7)
+        val z = fr(2) + sx * fr(5) + sy * fr(8)
+        cand.add(cellOfXYZ(x, y, z, childRes)): Unit
+        j += 1
+      }
+      i += 1
+    }
+    // 3: parent check on each distinct candidate's own center
+    val cells = new java.util.TreeSet[java.lang.Long]()
+    val it0 = cand.iterator()
+    while (it0.hasNext) {
+      val c = it0.next().longValue()
+      val cf = ((c >> 40) & 0x1fL).toInt
+      val cq = ((c >> 20) & 0xfffffL) - Off
+      val cr = (c & 0xfffffL) - Off
+      val wc = centerXYZ(cf, cq, cr, childRes)
+      if (cellOfXYZ(wc(0), wc(1), wc(2), p) == self) cells.add(c): Unit
+    }
+    val out = new Array[Any](cells.size())
+    val it = cells.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = UTF8String.fromString(java.lang.Long.toHexString(it.next())); o += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Axial 6-neighborhood deltas, E → NE → NW → W → SW → SE. */
@@ -319,6 +408,10 @@ object H3 {
           !(lats(i) >= -90.0 && lats(i) <= 90.0)) return null
       i += 1
     }
+    require(lons(0) == lons(n - 1) && lats(0) == lats(n - 1),
+      "geo_polygon_to_h3cells: ring must be closed (first vertex == last " +
+        "vertex, the GeoJSON closed-ring contract) — an open ring would " +
+        "silently drop the closing edge from the cover")
     val minLon = lons.min; val maxLon = lons.max
     val minLat = lats.min; val maxLat = lats.max
     require(maxLon - minLon <= 180.0,
@@ -689,6 +782,38 @@ case class H3CellRings(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (tok, n) => {
       s"""
          |${ev.value} = graft.functions.H3.ringsOf($tok, $n);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** `graft_h3_children(token, childRes)` → sorted tokens of every
+  * res-`childRes` cell whose parent is this cell — the exact inverse
+  * of `graft_h3_parent` (candidate enumeration + parent check; see
+  * [[H3.childrenOf]] for the convention, the gap≤4 loud reject, and
+  * the cross-face caveat). Dim-side by design. */
+case class H3CellChildren(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_h3_children expects (string, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_h3_children"
+
+  override def nullSafeEval(tok: Any, res: Any): Any =
+    H3.childrenOf(tok.asInstanceOf[UTF8String], res.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tok, res) => {
+      s"""
+         |${ev.value} = graft.functions.H3.childrenOf($tok, $res);
          |${ev.isNull} = (${ev.value} == null);
        """.stripMargin
     })

@@ -312,6 +312,10 @@ object S2 {
           !(lats(i) >= -90.0 && lats(i) <= 90.0)) return null
       i += 1
     }
+    require(lons(0) == lons(n - 1) && lats(0) == lats(n - 1),
+      "geo_polygon_to_s2cells: ring must be closed (first vertex == last " +
+        "vertex, the GeoJSON closed-ring contract) — an open ring would " +
+        "silently drop the closing edge from the cover")
     val minLon = lons.min; val maxLon = lons.max
     val minLat = lats.min; val maxLat = lats.max
     require(maxLon - minLon <= 180.0,

@@ -713,7 +713,12 @@ object KqlParser {
             // columns — Spark plans the sort+limit as
             // TakeOrderedAndProject (top-N per partition + merge, no
             // global sort shuffle), so the determinism is free at
-            // scale. Columns must be orderable (project first if not).
+            // scale. Columns must be orderable — VARIANT/map columns
+            // are rejected loudly (project them away first; ADX's
+            // arbitrary sample has no such restriction, but an
+            // arbitrary sample cannot cross an oracle). Nulls sort
+            // LAST (asc_nulls_last) — DuckDB's ASC default, so the
+            // oracle compare holds on nullable columns too.
             val open = body0.indexOf('(')
             require(open > 0 && matchingParen(body0, open) == body0.length - 1,
               s"evaluate preview expects preview(N): $body0")
@@ -724,8 +729,17 @@ object KqlParser {
             require(n > 0, s"evaluate preview row count must be positive: $n")
             require(!df.columns.contains("preview_total"),
               "evaluate preview: a 'preview_total' column already exists")
+            val unorderable = df.schema.fields.filter { f =>
+              !org.apache.spark.sql.catalyst.expressions.RowOrdering
+                .isOrderable(f.dataType)
+            }.map(_.name)
+            require(unorderable.isEmpty,
+              "evaluate preview orders by every column for a deterministic " +
+                s"sample; non-orderable columns (project them away first): " +
+                unorderable.mkString(", "))
             val totals = df.agg(count(lit(1)).as("preview_total"))
-            df = df.orderBy(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)
+            df = df.orderBy(df.columns.toIndexedSeq
+                .map(c => col(s"`$c`").asc_nulls_last): _*)
               .limit(n).crossJoin(broadcast(totals))
             serialOrder = None
           } else if (body0.toLowerCase.matches("(?i)narrow\\s*\\(\\s*\\)")) {
@@ -3863,9 +3877,21 @@ object KqlParser {
               case Some(m) =>
                 val seg = m.matched
                 // normalize to variant_get's JSON-path dialect:
-                // ["k"] → ['k']; .f and [N] and ['k'] pass through
-                path.append(if (seg.startsWith("[\""))
-                  "['" + seg.substring(2, seg.length - 2) + "']" else seg)
+                // ["k"] → ['k']; .f and [N] and ['k'] pass through.
+                // The whole path is later spliced into a single-quoted
+                // SQL literal, so a key containing a single quote would
+                // produce malformed (or silently mis-parsed) SQL —
+                // loud-reject it, the repo's convention for paths the
+                // dialect cannot carry (['k'] keys can't contain ' by
+                // the Seg regex, so only the ["k"] form can hit this).
+                path.append(if (seg.startsWith("[\"")) {
+                  val key = seg.substring(2, seg.length - 2)
+                  require(!key.contains('\''),
+                    "variant subscript keys containing a single quote are " +
+                      s"unsupported (cannot be carried in variant_get's " +
+                      s"single-quoted JSON path): [\"$key\"]")
+                  "['" + key + "']"
+                } else seg)
                 j += seg.length
               case None => more = false
             }
@@ -4165,13 +4191,16 @@ object KqlParser {
               "geo_distance_2points", "geo_point_in_circle",
               "geo_point_to_geohash", "geo_geohash_to_central_point",
               "geo_geohash_neighbors", "geo_point_in_polygon",
-              "geo_polygon_area",
+              "geo_polygon_area", "geo_polygon_perimeter",
+              "geo_polygon_centroid", "geo_line_length",
+              "geo_line_centroid", "geo_intersects_2lines",
               "geo_point_to_s2cell", "geo_s2cell_to_central_point",
               "geo_s2cell_neighbors", "geo_polygon_to_s2cells",
               "geo_line_to_s2cells", "geo_distance_point_to_line",
               "geo_point_to_h3cell", "geo_h3cell_to_central_point",
               "geo_h3cell_neighbors", "geo_h3cell_rings",
-              "geo_h3cell_level", "geo_h3cell_parent", "geo_polygon_to_h3cells",
+              "geo_h3cell_level", "geo_h3cell_parent", "geo_h3cell_children",
+              "geo_h3cell_childcount", "geo_polygon_to_h3cells",
               "geo_line_to_h3cells",
               "totimespan", "make_timespan", "format_timespan",
               "datetime_part", "make_datetime",
@@ -4186,6 +4215,14 @@ object KqlParser {
               "format_bytes",
               "zip", "repeat", "gettype",
               "translate", "max_of", "min_of", "exp2", "exp10",
+              "around", "array_split", "has_any_index",
+              "convert_length", "convert_mass", "convert_speed",
+              "convert_angle", "convert_energy", "convert_volume",
+              "convert_force", "convert_temperature",
+              "hash_md5", "hash_sha1", "hash_sha256",
+              "gamma", "loggamma", "beta_cdf", "beta_pdf", "welch_test",
+              "unicode_codepoints_from_string", "unicode_codepoints_to_string",
+              "punycode_from_string", "punycode_to_string",
               "strcat_array", "isinf", "isfinite",
               "set_union", "set_intersect", "set_difference", "set_has_element",
               "array_rotate_left", "array_rotate_right",
@@ -4971,10 +5008,18 @@ object KqlParser {
                 val keyArg = args(1).trim
                 require(!(keyArg.startsWith("'$") || keyArg.startsWith("\"$")),
                   s"bag_set_key supports top-level keys only (JSON paths unsupported): $keyArg")
+                // The guard above only sees LITERAL key arguments; a
+                // computed key that evaluates to a '$'-prefixed path
+                // (strcat('$', '.a')) would otherwise be treated
+                // silently as a literal top-level key, diverging from
+                // ADX's path semantics without the documented error —
+                // so the same reject is enforced at runtime too.
                 val bsm = s"try_cast(${args(0)} AS MAP<STRING, VARIANT>)"
                 out.append(s"element_at(transform(array(named_struct('m', $bsm, " +
                   s"'k', CAST((${args(1)}) AS STRING), 'v', cast((${args(2)}) AS VARIANT))), bst -> " +
                   s"CASE WHEN bst.m IS NULL OR bst.k IS NULL THEN CAST(NULL AS VARIANT) " +
+                  s"WHEN startswith(bst.k, '$$') THEN cast(raise_error(concat(" +
+                  s"'bag_set_key supports top-level keys only (JSON paths unsupported): ', bst.k)) AS VARIANT) " +
                   s"ELSE parse_json(to_json(CASE WHEN array_contains(map_keys(bst.m), bst.k) " +
                   s"THEN transform_values(bst.m, (bsk, bsv) -> IF(bsk = bst.k, bst.v, bsv)) " +
                   s"ELSE map_concat(bst.m, map(bst.k, bst.v)) END)) END), 1)")
@@ -4989,6 +5034,301 @@ object KqlParser {
                 val (h1, h2) = (args(0), args(1))
                 out.append(s"greatest(0L, hll_sketch_estimate($h1) + " +
                   s"hll_sketch_estimate($h2) - hll_sketch_estimate(hll_union($h1, $h2)))")
+              case cf @ ("convert_length" | "convert_mass" | "convert_speed" |
+                         "convert_angle" | "convert_energy" | "convert_volume" |
+                         "convert_force") =>
+                // ADX convert_*(value, from, to) → value in `to` units.
+                // Units must be string LITERALS (the factor compiles
+                // into the plan; UnitsNet enum names, documented subset
+                // below — unknown units reject loudly listing the
+                // supported set). value · f_from / f_to with exact
+                // published factors (international yard/pound etc.),
+                // the same literal arithmetic the oracle replays.
+                require(args.length == 3, s"$cf expects (value, from, to)")
+                def unitLit(a: String): String = {
+                  val t = a.trim
+                  require(t.length >= 2 &&
+                      (t.head == '\'' || t.head == '"') && t.last == t.head,
+                    s"$cf units must be string literals: $a")
+                  t.substring(1, t.length - 1)
+                }
+                val table: Map[String, String] = cf match {
+                  case "convert_length" => Map(
+                    "Meter" -> "1.0", "Kilometer" -> "1000.0",
+                    "Centimeter" -> "0.01", "Millimeter" -> "0.001",
+                    "Micrometer" -> "0.000001", "Nanometer" -> "1.0E-9",
+                    "Mile" -> "1609.344", "Yard" -> "0.9144",
+                    "Foot" -> "0.3048", "Inch" -> "0.0254",
+                    "NauticalMile" -> "1852.0")
+                  case "convert_mass" => Map(
+                    "Kilogram" -> "1.0", "Gram" -> "0.001",
+                    "Milligram" -> "0.000001", "Tonne" -> "1000.0",
+                    "Pound" -> "0.45359237", "Ounce" -> "0.028349523125",
+                    "Stone" -> "6.35029318")
+                  case "convert_speed" => Map(
+                    "MeterPerSecond" -> "1.0",
+                    "KilometerPerHour" -> "0.2777777777777778",
+                    "MilePerHour" -> "0.44704",
+                    "Knot" -> "0.5144444444444445",
+                    "FootPerSecond" -> "0.3048")
+                  case "convert_angle" => Map(
+                    "Radian" -> "1.0",
+                    "Degree" -> "0.017453292519943295",
+                    "Gradian" -> "0.015707963267948967",
+                    "Arcminute" -> "2.908882086657216E-4",
+                    "Arcsecond" -> "4.84813681109536E-6",
+                    "Revolution" -> "6.283185307179586")
+                  case "convert_energy" => Map(
+                    "Joule" -> "1.0", "Kilojoule" -> "1000.0",
+                    "Calorie" -> "4.184", "Kilocalorie" -> "4184.0",
+                    "WattHour" -> "3600.0", "KilowattHour" -> "3600000.0",
+                    "BritishThermalUnit" -> "1055.05585262",
+                    "ElectronVolt" -> "1.602176634E-19")
+                  case "convert_volume" => Map(
+                    "CubicMeter" -> "1.0", "Liter" -> "0.001",
+                    "Milliliter" -> "0.000001",
+                    "CubicFoot" -> "0.028316846592",
+                    "CubicInch" -> "0.000016387064",
+                    "UsGallon" -> "0.003785411784",
+                    "ImperialGallon" -> "0.00454609")
+                  case _ => Map( // convert_force
+                    "Newton" -> "1.0", "Kilonewton" -> "1000.0",
+                    "PoundForce" -> "4.4482216152605",
+                    "KilogramForce" -> "9.80665", "Dyn" -> "0.00001")
+                }
+                val (fu, tu) = (unitLit(args(1)), unitLit(args(2)))
+                for (u <- Seq(fu, tu)) require(table.contains(u),
+                  s"$cf: unsupported unit '$u' — supported: ${table.keys.toSeq.sorted.mkString(", ")}")
+                out.append(s"(CAST((${args(0)}) AS DOUBLE) * ${table(fu)} / ${table(tu)})")
+              case "convert_temperature" =>
+                // Affine (not a pure factor): via Kelvin. Supported:
+                // Kelvin, DegreeCelsius, DegreeFahrenheit (literal
+                // units, same rules as the factor family).
+                require(args.length == 3,
+                  "convert_temperature expects (value, from, to)")
+                def tUnit(a: String): String = {
+                  val t = a.trim
+                  require(t.length >= 2 &&
+                      (t.head == '\'' || t.head == '"') && t.last == t.head,
+                    s"convert_temperature units must be string literals: $a")
+                  t.substring(1, t.length - 1)
+                }
+                val supported = Set("Kelvin", "DegreeCelsius", "DegreeFahrenheit")
+                val (fu, tu) = (tUnit(args(1)), tUnit(args(2)))
+                for (u <- Seq(fu, tu)) require(supported(u),
+                  s"convert_temperature: unsupported unit '$u' — supported: ${supported.toSeq.sorted.mkString(", ")}")
+                // ×5 then ÷9 on the DOUBLE value (never a bare literal
+                // `5.0 / 9.0` subexpression — Spark types that DECIMAL
+                // and rounds the quotient to 6 digits)
+                val k = fu match {
+                  case "Kelvin" => s"(CAST((${args(0)}) AS DOUBLE))"
+                  case "DegreeCelsius" => s"(CAST((${args(0)}) AS DOUBLE) + 273.15)"
+                  case _ => s"((CAST((${args(0)}) AS DOUBLE) + 459.67) * 5.0 / 9.0)"
+                }
+                out.append(tu match {
+                  case "Kelvin" => k
+                  case "DegreeCelsius" => s"($k - 273.15)"
+                  case _ => s"($k * 1.8 - 459.67)"
+                })
+              case "around" =>
+                // ADX around(value, center, delta) → value within
+                // [center-delta, center+delta] inclusive.
+                require(args.length == 3,
+                  "around expects (value, center, delta)")
+                out.append(s"((${args(0)}) BETWEEN ((${args(1)}) - (${args(2)})) " +
+                  s"AND ((${args(1)}) + (${args(2)})))")
+              case "array_split" =>
+                // ADX array_split(arr, index|indices) → array of
+                // subarrays split BEFORE each zero-based index
+                // (negative indices count from the end; out-of-range
+                // clamps, so pieces can be empty). The split points
+                // may be one int or a dynamic array of ints; indices
+                // are assumed ascending (ADX's contract). Null arr or
+                // null indices → null.
+                require(args.length == 2,
+                  "array_split expects (arr, index or indices)")
+                val asArr = s"try_cast(${args(0)} AS ARRAY<VARIANT>)"
+                // The indices arg is either one int or an array of
+                // ints; the two shapes need DIFFERENT casts and an
+                // int→array cast is an analysis-time error, so the
+                // shape is decided at parse time: dynamic([...]) (raw —
+                // scalar() leaves it untouched), array(...) (the
+                // pack_array rename), or parse_json(...) are array
+                // forms; anything else is a scalar index expression.
+                val ixRaw = args(1).trim
+                val ixLower = ixRaw.toLowerCase
+                val asIx =
+                  if (ixLower.startsWith("dynamic(")) {
+                    val inner = ixRaw.substring(ixRaw.indexOf('(') + 1,
+                      ixRaw.length - 1).trim
+                    require(inner.startsWith("[") && inner.endsWith("]"),
+                      s"array_split indices must be dynamic([...]): $ixRaw")
+                    s"try_cast(array(${inner.substring(1, inner.length - 1)}) AS ARRAY<INT>)"
+                  } else if (ixLower.startsWith("array(") ||
+                             ixLower.startsWith("parse_json("))
+                    s"try_cast($ixRaw AS ARRAY<INT>)"
+                  else s"array(CAST(($ixRaw) AS INT))"
+                out.append(s"element_at(transform(array(named_struct(" +
+                  s"'a', $asArr, 'ix', $asIx)), asp -> " +
+                  s"CASE WHEN asp.a IS NULL OR exists(asp.ix, asv -> asv IS NULL) " +
+                  s"THEN CAST(NULL AS ARRAY<ARRAY<VARIANT>>) ELSE " +
+                  // bounds = [0] ++ clamp(ix) ++ [size]; piece j =
+                  // slice(a, bounds[j]+1, bounds[j+1]-bounds[j])
+                  s"transform(sequence(1, size(asp.ix) + 1), asj -> " +
+                  s"element_at(transform(array(concat(array(0), " +
+                  s"transform(asp.ix, asv -> CASE WHEN asv < 0 " +
+                  s"THEN greatest(0, size(asp.a) + asv) " +
+                  s"ELSE least(asv, size(asp.a)) END), " +
+                  s"array(size(asp.a)))), asb -> " +
+                  s"slice(asp.a, element_at(asb, asj) + 1, " +
+                  s"greatest(0, element_at(asb, asj + 1) - element_at(asb, asj)))), 1)) " +
+                  s"END), 1)")
+              case "has_any_index" =>
+                // ADX has_any_index(source, values) → the zero-based
+                // index IN `values` of the first value the source
+                // `has` (case-insensitive whole-term match, the same
+                // semantics as the has operator); -1 when none match.
+                // `values` must be a parse-time literal list
+                // (dynamic([...]) or pack_array(...)) of string
+                // literals — the term regexes compile into the plan.
+                require(args.length == 2,
+                  "has_any_index expects (source, values)")
+                val rawList = args(1).trim
+                val lowerList = rawList.toLowerCase
+                // dynamic([...]) passes through scalar() untouched;
+                // pack_array(...) arrives renamed to array(...);
+                // todynamic('[..]') arrives as parse_json('[..]').
+                val innerList =
+                  if (lowerList.startsWith("dynamic(") ||
+                      lowerList.startsWith("array(") ||
+                      lowerList.startsWith("parse_json("))
+                    rawList.substring(rawList.indexOf('(') + 1, rawList.length - 1)
+                  else throw new IllegalArgumentException(
+                    s"has_any_index values must be a literal dynamic([...]) or pack_array(...): $rawList")
+                val stripped0 = innerList.trim
+                // parse_json's payload is itself a quoted JSON literal
+                val stripped1 =
+                  if (stripped0.length >= 2 && stripped0.head == '\'' &&
+                      stripped0.last == '\'')
+                    stripped0.substring(1, stripped0.length - 1).trim
+                  else stripped0
+                val inner2 = stripped1.stripPrefix("[").stripSuffix("]")
+                val terms = splitTopLevel(inner2, ',').map(_.trim).filter(_.nonEmpty)
+                require(terms.nonEmpty && terms.forall(t =>
+                    t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head),
+                  s"has_any_index expects a literal list of strings: $rawList")
+                val whens = terms.zipWithIndex.map { case (t, ti) =>
+                  s"WHEN ${hasTermSql(args(0), t.substring(1, t.length - 1))} THEN $ti"
+                }.mkString(" ")
+                out.append(s"(CASE $whens ELSE -1 END)")
+              case "hash_md5" =>
+                // ADX hash_md5(source) → lowercase hex digest of the
+                // string form (casted, matching ADX's string coercion).
+                require(args.length == 1, "hash_md5 expects (source)")
+                out.append(s"md5(CAST((${args(0)}) AS STRING))")
+              case "hash_sha1" =>
+                require(args.length == 1, "hash_sha1 expects (source)")
+                out.append(s"sha1(CAST((${args(0)}) AS STRING))")
+              case "hash_sha256" =>
+                require(args.length == 1, "hash_sha256 expects (source)")
+                out.append(s"sha2(CAST((${args(0)}) AS STRING), 256)")
+              case "gamma" =>
+                // ADX gamma(x) → Γ(x). exp of the loggamma chain —
+                // see loggammaSql for the Lanczos construction and
+                // the positive-domain deviation.
+                require(args.length == 1, "gamma expects (x)")
+                out.append(s"exp(${loggammaSql(args(0))})")
+              case "loggamma" =>
+                // ADX loggamma(x) → ln|Γ(x)|. DEVIATION (documented at
+                // loggammaSql): x > 0 only (negative non-integers via
+                // reflection unsupported; x ≤ 0 → null).
+                require(args.length == 1, "loggamma expects (x)")
+                out.append(loggammaSql(args(0)))
+              case "beta_cdf" =>
+                // ADX beta_cdf(x, alpha, beta) → the regularized
+                // incomplete beta I_x(α, β) — see ibetaSql (fixed
+                // 200-iteration Lentz fraction, oracle-mirrorable).
+                require(args.length == 3, "beta_cdf expects (x, alpha, beta)")
+                out.append(ibetaSql(args(1), args(2), args(0)))
+              case "beta_pdf" =>
+                // ADX beta_pdf(x, alpha, beta) = x^(α−1)(1−x)^(β−1)/B(α,β)
+                // via the Lanczos lnΓ chains; outside (0,1) → 0,
+                // non-positive shape → null.
+                require(args.length == 3, "beta_pdf expects (x, alpha, beta)")
+                out.append(s"element_at(transform(array(named_struct(" +
+                  s"'x', CAST((${args(0)}) AS DOUBLE), " +
+                  s"'a', CAST((${args(1)}) AS DOUBLE), " +
+                  s"'b', CAST((${args(2)}) AS DOUBLE))), bpq -> " +
+                  s"CASE WHEN bpq.a <= 0.0 OR bpq.b <= 0.0 THEN CAST(NULL AS DOUBLE) " +
+                  s"WHEN bpq.x <= 0.0 OR bpq.x >= 1.0 THEN 0.0 " +
+                  s"ELSE exp((bpq.a - 1.0) * ln(bpq.x) + (bpq.b - 1.0) * ln(1.0 - bpq.x) " +
+                  s"+ ${loggammaSql("bpq.a + bpq.b")} - ${loggammaSql("bpq.a")} " +
+                  s"- ${loggammaSql("bpq.b")}) END), 1)")
+              case "welch_test" =>
+                // ADX welch_test(mean1, var1, count1, mean2, var2,
+                // count2) → two-sided p-value of Welch's unequal-
+                // variance t-test: t = (m1−m2)/√(v1/n1 + v2/n2),
+                // Welch–Satterthwaite df, p = I_{df/(df+t²)}(df/2, ½)
+                // (the t-CDF tail via one ibeta call — same fixed-
+                // iteration fraction as beta_cdf, fully mirrored by
+                // the oracle). counts must be ≥ 2 and variances ≥ 0
+                // with a positive pooled SE → else null.
+                require(args.length == 6,
+                  "welch_test expects (mean1, var1, count1, mean2, var2, count2)")
+                val binder = s"named_struct(" +
+                  s"'m1', CAST((${args(0)}) AS DOUBLE), 'v1', CAST((${args(1)}) AS DOUBLE), " +
+                  s"'n1', CAST((${args(2)}) AS DOUBLE), 'm2', CAST((${args(3)}) AS DOUBLE), " +
+                  s"'v2', CAST((${args(4)}) AS DOUBLE), 'n2', CAST((${args(5)}) AS DOUBLE))"
+                val se2 = "(wtq.v1 / wtq.n1 + wtq.v2 / wtq.n2)"
+                val df = s"($se2 * $se2 / " +
+                  s"((wtq.v1 / wtq.n1) * (wtq.v1 / wtq.n1) / (wtq.n1 - 1.0) " +
+                  s"+ (wtq.v2 / wtq.n2) * (wtq.v2 / wtq.n2) / (wtq.n2 - 1.0)))"
+                val t2 = s"((wtq.m1 - wtq.m2) * (wtq.m1 - wtq.m2) / $se2)"
+                out.append(s"element_at(transform(array($binder), wtq -> " +
+                  s"CASE WHEN wtq.n1 < 2.0 OR wtq.n2 < 2.0 OR wtq.v1 < 0.0 " +
+                  s"OR wtq.v2 < 0.0 OR $se2 <= 0.0 THEN CAST(NULL AS DOUBLE) " +
+                  s"ELSE ${ibetaSql(s"$df / 2.0", "0.5", s"$df / ($df + $t2)")} " +
+                  s"END), 1)")
+              case "unicode_codepoints_from_string" =>
+                // ADX unicode_codepoints_from_string(s) → dynamic
+                // array of codepoints. Native expression
+                // (graft.functions.Unicode): Spark-side SQL routes
+                // fail outside Latin-1 (chr is mod-256) and per-index
+                // substring probing is O(n²); pure integer transcode,
+                // astral-safe, mirrored bit-exactly by the oracle.
+                require(args.length == 1,
+                  "unicode_codepoints_from_string expects (string)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_codepoints(CAST((${args(0)}) AS STRING))")
+              case "unicode_codepoints_to_string" =>
+                // Inverse: null on any invalid codepoint.
+                require(args.length == 1,
+                  "unicode_codepoints_to_string expects (array)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_from_codepoints(" +
+                  s"try_cast(${args(0)} AS ARRAY<INT>))")
+              case "punycode_from_string" =>
+                // ADX punycode_from_string(s) → RFC 3492 punycode of
+                // one label (no xn-- prefix; ADX's raw-label form).
+                // Native expression; no DuckDB oracle exists for
+                // punycode, so the contract is pinned in KqlSpec with
+                // RFC 3492 §7.1 test vectors instead.
+                require(args.length == 1,
+                  "punycode_from_string expects (string)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_punycode_encode(CAST((${args(0)}) AS STRING))")
+              case "punycode_to_string" =>
+                // Inverse; malformed punycode → null (ADX returns
+                // empty — documented deviation, the engine's malformed
+                // convention is null).
+                require(args.length == 1,
+                  "punycode_to_string expects (string)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_punycode_decode(CAST((${args(0)}) AS STRING))")
               case "set_union" =>
                 // ADX set_* are SET-semantics array ops (results
                 // deduped); element order is unspecified in ADX, and
@@ -5222,6 +5562,42 @@ object KqlParser {
                 // degenerate ring (< 4 GeoJSON entries) → null.
                 require(args.length == 1, "geo_polygon_area expects (polygon)")
                 out.append(geoPolygonAreaSql(args(0)))
+              case "geo_polygon_perimeter" =>
+                // ADX geo_polygon_perimeter(polygon) → meters. Same
+                // equirectangular deviation as geo_polygon_area (local
+                // meter scales at the ring's mean latitude instead of
+                // WGS84 geodesics) — see geoPolygonPerimeterSql.
+                require(args.length == 1,
+                  "geo_polygon_perimeter expects (polygon)")
+                out.append(geoPolygonPerimeterSql(args(0)))
+              case "geo_line_length" =>
+                // ADX geo_line_length(line) → meters (equirectangular
+                // per-edge hypot, the perimeter convention — see
+                // geoLineLengthSql).
+                require(args.length == 1, "geo_line_length expects (line)")
+                out.append(geoLineLengthSql(args(0)))
+              case "geo_line_centroid" =>
+                // ADX geo_line_centroid(line) → GeoJSON Point: length-
+                // weighted edge-midpoint average — see
+                // geoLineCentroidSql.
+                require(args.length == 1, "geo_line_centroid expects (line)")
+                out.append(geoLineCentroidSql(args(0)))
+              case "geo_intersects_2lines" =>
+                // ADX geo_intersects_2lines(l1, l2) → do the two
+                // LineStrings intersect (planar deviation documented
+                // at geoIntersects2LinesSql).
+                require(args.length == 2,
+                  "geo_intersects_2lines expects (line1, line2)")
+                out.append(geoIntersects2LinesSql(args(0), args(1)))
+              case "geo_polygon_centroid" =>
+                // ADX geo_polygon_centroid(polygon) → GeoJSON Point.
+                // Planar shoelace centroid in degree coordinates (the
+                // centroid commutes with the equirectangular axis
+                // scaling, so no trig is needed at all) — see
+                // geoPolygonCentroidSql; zero-area ring → null.
+                require(args.length == 1,
+                  "geo_polygon_centroid expects (polygon)")
+                out.append(geoPolygonCentroidSql(args(0)))
               case "geo_distance_2points" =>
                 // ADX geo_distance_2points(lon1, lat1, lon2, lat2) →
                 // meters. DEVIATION (documented): haversine great-circle
@@ -5374,7 +5750,8 @@ object KqlParser {
                 // one level up). DEVIATION (graft.functions.H3): the
                 // direct token has no aperture-7 digit hierarchy, so
                 // the parent is the cell containing THIS CELL'S CENTER
-                // at the coarser resolution; children are not offered.
+                // at the coarser resolution; geo_h3cell_children is
+                // the exact inverse (enumeration + parent check).
                 // An explicit resolution must be an integer literal —
                 // coarser-than-cell validation happens per row (null
                 // on violation, ADX's convention).
@@ -5394,6 +5771,37 @@ object KqlParser {
                       s"geo_h3cell_parent resolution must be in 0..${graft.functions.H3.MaxRes}: $v")
                     out.append(s"graft_h3_parent(${args(0)}, $v)")
                 }
+              case fname @ ("geo_h3cell_children" | "geo_h3cell_childcount") =>
+                // ADX geo_h3cell_children(cell[, resolution]) → the
+                // finer-resolution cells whose parent is this cell
+                // (default: one level down); geo_h3cell_childcount is
+                // its count. DEVIATION (graft.functions.H3.childrenOf,
+                // the inverse of the parent deviation): no aperture-7
+                // digit hierarchy, so children come from candidate
+                // enumeration + a per-candidate parent re-encode —
+                // parent(child) == cell holds for every emitted child
+                // by construction. Resolution must be an integer
+                // literal; finer-than-cell validation happens per row
+                // (null on violation, the parent convention), and a
+                // resolution gap > 4 rejects loudly at runtime.
+                require(args.length == 1 || args.length == 2,
+                  s"$fname expects (token[, resolution])")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                val childExpr = args.lift(1) match {
+                  case None =>
+                    s"graft_h3_children(${args(0)}, " +
+                      s"graft_h3_level(${args(0)}) + 1)"
+                  case Some(a) =>
+                    val v = scala.util.Try(a.trim.toInt).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"$fname resolution must be an integer literal: $a"))
+                    require(v >= 0 && v <= graft.functions.H3.MaxRes,
+                      s"$fname resolution must be in 0..${graft.functions.H3.MaxRes}: $v")
+                    s"graft_h3_children(${args(0)}, $v)"
+                }
+                out.append(if (fname == "geo_h3cell_childcount")
+                  s"size($childExpr)" else childExpr)
               case "geo_h3cell_rings" =>
                 // ADX geo_h3cell_rings(cell, N) → rings 0..N by hex
                 // distance (cross-face wrapped; inner rings win wrap
@@ -6302,8 +6710,19 @@ object KqlParser {
     * geo tier's last-ulp libm caveat (a flip needs a micro-floored
     * output within ~1e-10 of a grid line — the oracle compare verifies
     * the actual corpus at two scales). ADX's 2-arg complex-input form
-    * is rejected loudly. */
-  private[kql] def seriesFftStruct(s: String): String = {
+    * is rejected loudly. Length is capped at 4096 with a loud runtime
+    * reject (measured on this box: the direct sum costs ~2 µs·(n/64)²
+    * per row — 0.4 ms at n=512, ~26 ms at n=4096, but an adversarial
+    * 100k-point series would cost ~15 s PER ROW; bin make-series
+    * coarser instead of detonating the O(n²) sum). */
+  private[kql] val SeriesFftMaxLen = 4096
+  private[kql] def seriesFftLenGuard(s: String, fn: String): String =
+    s"CASE WHEN size($s) > $SeriesFftMaxLen THEN raise_error(concat(" +
+      s"'$fn: series length ', CAST(size($s) AS STRING), " +
+      s"' exceeds the $SeriesFftMaxLen cap — the direct-sum DFT is O(n²); " +
+      s"bin make-series coarser')) ELSE $s END"
+  private[kql] def seriesFftStruct(s0: String): String = {
+    val s = seriesFftLenGuard(s0, "series_fft")
     val binder = s"named_struct('arr', $s, 'xs', " +
       s"transform(sequence(0, size($s) - 1), pfi -> CAST(pfi AS DOUBLE)))"
     val n = "CAST(size(pff1.arr) AS DOUBLE)"
@@ -6321,8 +6740,10 @@ object KqlParser {
     * left-fold shape as [[seriesFftStruct]]; ifft(fft(x)) recovers a
     * real series to ~1e-9 (KqlSpec pins the roundtrip — floating
     * error, not an engine convention, so it is spec-pinned rather
-    * than micro-floor-oracled). */
-  private[kql] def seriesIfftStruct(re: String, im: String): String = {
+    * than micro-floor-oracled). Same 4096 length cap / loud reject as
+    * [[seriesFftStruct]] (same O(n²) direct sum). */
+  private[kql] def seriesIfftStruct(re0: String, im: String): String = {
+    val re = seriesFftLenGuard(re0, "series_ifft")
     val binder = s"named_struct('re', $re, 'im', $im, 'xs', " +
       s"transform(sequence(0, size($re) - 1), pfi -> CAST(pfi AS DOUBLE)))"
     val n = "CAST(size(pfg1.re) AS DOUBLE)"
@@ -6624,6 +7045,228 @@ object KqlParser {
       s"CASE WHEN gaq.r IS NULL OR size(gaq.r) < 4 THEN CAST(NULL AS DOUBLE) " +
       s"ELSE abs(aggregate(sequence(0, size(gaq.r) - 2), CAST(0 AS DOUBLE), " +
       s"(ga, ge) -> ga + $term)) / 2.0 END), 1)"
+  }
+
+  /** ADX loggamma(x) → ln Γ(x) via the Lanczos approximation (g = 7,
+    * n = 9 — the standard published double-precision coefficients),
+    * entirely as explicit SQL arithmetic so the DuckDB oracle mirrors
+    * the SAME chain op-for-op (DuckDB's built-in lgamma is a different
+    * libm path and would drift in the last ulps). For 0 < x < 0.5 the
+    * shift identity lnΓ(x) = lnΓ(x+1) − ln x avoids the low-accuracy
+    * Lanczos region without the reflection formula's sin(πx).
+    * DEVIATION (documented): positive domain only — x ≤ 0 → null (ADX
+    * also covers negative non-integers via reflection). Accuracy vs
+    * true Γ: ~1e-13 relative (KqlSpec pins Γ(5)=24, Γ(0.5)=√π). */
+  private[kql] def loggammaSql(x0: String): String = {
+    // bind x once; z = x' - 1 with the <0.5 shift applied
+    val coefs = Seq(
+      "676.5203681218851", "-1259.1392167224028", "771.32342877765313",
+      "-176.61502916214059", "12.507343278686905", "-0.13857109526572012",
+      "0.0000099843695780195716", "0.00000015056327351493116")
+    val sum = coefs.zipWithIndex.foldLeft("0.99999999999980993") {
+      case (acc, (c, i)) => s"($acc + ($c) / (lgz.z + ${i + 1}.0))"
+    }
+    s"element_at(transform(array(named_struct('x', CAST(($x0) AS DOUBLE))), lgx -> " +
+      s"element_at(transform(array(named_struct('z', " +
+      s"CASE WHEN lgx.x < 0.5 THEN lgx.x ELSE lgx.x - 1.0 END)), lgz -> " +
+      s"CASE WHEN lgx.x <= 0.0 THEN CAST(NULL AS DOUBLE) ELSE " +
+      s"(0.5 * ln(2.0 * pi()) + (lgz.z + 0.5) * ln(lgz.z + 7.5) " +
+      s"- (lgz.z + 7.5) + ln($sum)) " +
+      s"- (CASE WHEN lgx.x < 0.5 THEN ln(lgx.x) ELSE 0.0 END) END), 1)), 1)"
+  }
+
+  /** ADX geo_polygon_perimeter(polygon) → meters. Same equirectangular
+    * convention as [[geoPolygonAreaSql]] (deviation documented at the
+    * dispatch case): each edge's length is
+    * sqrt((Δlon·kx)² + (Δlat·110574)²) with kx = 111320·cos(mean lat
+    * over ALL ring entries, closing vertex included) — one trig call
+    * total, the edge fold left-to-right so the oracle mirrors the
+    * summation order. Degenerate ring (< 4 entries) → null. */
+  private[kql] def geoPolygonPerimeterSql(poly: String): String = {
+    val ring = s"try_cast(variant_get($poly, '$$.coordinates[0]') AS ARRAY<ARRAY<DOUBLE>>)"
+    val latc = s"aggregate(gbr, CAST(0 AS DOUBLE), (lb, lv) -> lb + element_at(lv, 2)) / CAST(size(gbr) AS DOUBLE)"
+    def x(i: String) = s"element_at(element_at(gbq.r, $i), 1)"
+    def y(i: String) = s"element_at(element_at(gbq.r, $i), 2)"
+    val dx = s"((${x("gb + 2")} - ${x("gb + 1")}) * gbq.kx)"
+    val dy = s"((${y("gb + 2")} - ${y("gb + 1")}) * 110574.0)"
+    s"element_at(transform(array(element_at(transform(array($ring), gbr -> " +
+      s"named_struct('r', gbr, 'kx', 111320.0 * cos(radians($latc)))), 1)), gbq -> " +
+      s"CASE WHEN gbq.r IS NULL OR size(gbq.r) < 4 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE aggregate(sequence(0, size(gbq.r) - 2), CAST(0 AS DOUBLE), " +
+      s"(gs, gb) -> gs + sqrt($dx * $dx + $dy * $dy)) END), 1)"
+  }
+
+  /** Lentz/NR continued fraction for the regularized incomplete beta
+    * I_x(a,b) — the engine's ONLY special-function iteration, shared
+    * by beta_cdf and welch_test (the t-distribution CDF is one ibeta
+    * call). FIXED 200 iterations (no early break — a data-dependent
+    * break would not be oracle-mirrorable; 200 covers a,b up to the
+    * thousands at double precision), 1e-30 underflow guards exactly as
+    * published, every op exact IEEE and replayed by the DuckDB oracle
+    * via list_reduce over the same fold. `a`, `b`, `x` are SQL
+    * fragments; a,b must be > 0 (guarded at the call sites). */
+  private[kql] def betacfFold(a: String, b: String, x: String,
+                              acc: String, m: String): (String, String, String) = {
+    def guard(v: String) =
+      s"(CASE WHEN abs($v) < 1.0E-30 THEN 1.0E-30 ELSE ($v) END)"
+    val mD = s"CAST($m AS DOUBLE)"
+    val aa1 = s"($mD * ($b - $mD) * $x / (($a - 1.0 + 2.0 * $mD) * ($a + 2.0 * $mD)))"
+    val d1i = s"(1.0 / ${guard(s"1.0 + $aa1 * $acc.d")})"
+    val c1 = guard(s"1.0 + $aa1 / $acc.c")
+    val h1 = s"($acc.h * $d1i * $c1)"
+    val aa2 = s"(-(($a + $mD) * ($a + $b + $mD) * $x) / " +
+      s"(($a + 2.0 * $mD) * ($a + 1.0 + 2.0 * $mD)))"
+    val d2i = s"(1.0 / ${guard(s"1.0 + $aa2 * $d1i")})"
+    val c2 = guard(s"1.0 + $aa2 / $c1")
+    val h2 = s"($h1 * $d2i * $c2)"
+    (c2, d2i, h2)
+  }
+
+  /** I_x(a,b): front factor exp(lnΓ(a+b) − lnΓ(a) − lnΓ(b) + a·ln x +
+    * b·ln(1−x)) (the Lanczos chains of [[loggammaSql]]) times the
+    * continued fraction, with the NR symmetry split at
+    * x < (a+1)/(a+b+2). x ≤ 0 → 0, x ≥ 1 → 1; a ≤ 0 or b ≤ 0 → null. */
+  private[kql] def ibetaSql(a0: String, b0: String, x0: String): String = {
+    def cf(a: String, b: String, x: String): String = {
+      val init = s"named_struct('c', CAST(1.0 AS DOUBLE), " +
+        s"'d', CAST(1.0 / (CASE WHEN abs(1.0 - ($a + $b) * $x / ($a + 1.0)) < 1.0E-30 " +
+        s"THEN 1.0E-30 ELSE 1.0 - ($a + $b) * $x / ($a + 1.0) END) AS DOUBLE), " +
+        s"'h', CAST(1.0 / (CASE WHEN abs(1.0 - ($a + $b) * $x / ($a + 1.0)) < 1.0E-30 " +
+        s"THEN 1.0E-30 ELSE 1.0 - ($a + $b) * $x / ($a + 1.0) END) AS DOUBLE))"
+      val (c2, d2i, h2) = betacfFold(a, b, x, "ibc", "ibm")
+      s"aggregate(sequence(1, 200), $init, (ibc, ibm) -> " +
+        s"named_struct('c', $c2, 'd', $d2i, 'h', $h2), ibf -> ibf.h)"
+    }
+    def front(a: String, b: String, x: String): String =
+      s"exp(${loggammaSql(s"$a + $b")} - ${loggammaSql(a)} - ${loggammaSql(b)} " +
+        s"+ $a * ln($x) + $b * ln(1.0 - $x))"
+    // bind a, b, x once
+    s"element_at(transform(array(named_struct('a', CAST(($a0) AS DOUBLE), " +
+      s"'b', CAST(($b0) AS DOUBLE), 'x', CAST(($x0) AS DOUBLE))), ibq -> " +
+      s"CASE WHEN ibq.a <= 0.0 OR ibq.b <= 0.0 THEN CAST(NULL AS DOUBLE) " +
+      s"WHEN ibq.x <= 0.0 THEN 0.0 WHEN ibq.x >= 1.0 THEN 1.0 " +
+      s"WHEN ibq.x < (ibq.a + 1.0) / (ibq.a + ibq.b + 2.0) THEN " +
+      s"${front("ibq.a", "ibq.b", "ibq.x")} * ${cf("ibq.a", "ibq.b", "ibq.x")} / ibq.a " +
+      s"ELSE 1.0 - ${front("ibq.b", "ibq.a", "(1.0 - ibq.x)")} * " +
+      s"${cf("ibq.b", "ibq.a", "(1.0 - ibq.x)")} / ibq.b END), 1)"
+  }
+
+  /** ADX geo_line_length(lineString) → meters. The line sibling of
+    * [[geoPolygonPerimeterSql]]: per-edge equirectangular hypot at the
+    * mean latitude over ALL vertices, left-to-right edge fold.
+    * LineString coordinates are at `$.coordinates` (not `[0]` — no
+    * ring nesting); < 2 vertices → null. */
+  private[kql] def geoLineLengthSql(line: String): String = {
+    val pts = s"try_cast(variant_get($line, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
+    val latc = s"aggregate(glr, CAST(0 AS DOUBLE), (ll, lv) -> ll + element_at(lv, 2)) / CAST(size(glr) AS DOUBLE)"
+    def x(i: String) = s"element_at(element_at(glq.r, $i), 1)"
+    def y(i: String) = s"element_at(element_at(glq.r, $i), 2)"
+    val dx = s"((${x("gl + 2")} - ${x("gl + 1")}) * glq.kx)"
+    val dy = s"((${y("gl + 2")} - ${y("gl + 1")}) * 110574.0)"
+    s"element_at(transform(array(element_at(transform(array($pts), glr -> " +
+      s"named_struct('r', glr, 'kx', 111320.0 * cos(radians($latc)))), 1)), glq -> " +
+      s"CASE WHEN glq.r IS NULL OR size(glq.r) < 2 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE aggregate(sequence(0, size(glq.r) - 2), CAST(0 AS DOUBLE), " +
+      s"(gs, gl) -> gs + sqrt($dx * $dx + $dy * $dy)) END), 1)"
+  }
+
+  /** ADX geo_line_centroid(lineString) → GeoJSON Point: the
+    * length-weighted average of edge midpoints — midpoints in DEGREES,
+    * weights the meter edge lengths of [[geoLineLengthSql]] (same
+    * mean-latitude scale), both folds left-to-right. Zero total
+    * length (coincident points) or < 2 vertices → null. */
+  private[kql] def geoLineCentroidSql(line: String): String = {
+    val pts = s"try_cast(variant_get($line, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
+    val latc = s"aggregate(gmr, CAST(0 AS DOUBLE), (lm, lv) -> lm + element_at(lv, 2)) / CAST(size(gmr) AS DOUBLE)"
+    def x(i: String) = s"element_at(element_at(gmq.r, $i), 1)"
+    def y(i: String) = s"element_at(element_at(gmq.r, $i), 2)"
+    val dx = s"((${x("gm + 2")} - ${x("gm + 1")}) * gmq.kx)"
+    val dy = s"((${y("gm + 2")} - ${y("gm + 1")}) * 110574.0)"
+    val len = s"sqrt($dx * $dx + $dy * $dy)"
+    def fold(w: String) =
+      s"aggregate(sequence(0, size(gmq.r) - 2), CAST(0 AS DOUBLE), (gs, gm) -> gs + $w)"
+    val tot = fold(len)
+    val sx = fold(s"(${x("gm + 1")} + ${x("gm + 2")}) / 2.0 * $len")
+    val sy = fold(s"(${y("gm + 1")} + ${y("gm + 2")}) / 2.0 * $len")
+    s"element_at(transform(array(element_at(transform(array($pts), gmr -> " +
+      s"named_struct('r', gmr, 'kx', 111320.0 * cos(radians($latc)))), 1)), gmq -> " +
+      s"CASE WHEN gmq.r IS NULL OR size(gmq.r) < 2 OR $tot = 0.0 " +
+      s"THEN CAST(NULL AS STRUCT<type: STRING, coordinates: ARRAY<DOUBLE>>) " +
+      s"ELSE named_struct('type', 'Point', 'coordinates', " +
+      s"array($sx / $tot, $sy / $tot)) END), 1)"
+  }
+
+  /** ADX geo_intersects_2lines(l1, l2) → boolean: do any two segments
+    * of the two LineStrings intersect (touching endpoints and
+    * collinear overlap count — the standard orientation + on-segment
+    * test). DEVIATION (documented, the polygon tier's convention):
+    * PLANAR in lon/lat degrees, not ADX's spherical geodesics — exact
+    * double arithmetic with no trig, so every comparison mirrors
+    * op-for-op in the oracle. O(n·m) segment pairs per row — dim-side
+    * geometry by design, like the covers. < 2 vertices on either
+    * line → null. */
+  private[kql] def geoIntersects2LinesSql(l1: String, l2: String): String = {
+    val p1 = s"try_cast(variant_get($l1, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
+    val p2 = s"try_cast(variant_get($l2, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
+    // segment endpoints: A,B from line1 edge gi, C,D from line2 edge gj
+    def pt(src: String, i: String, c: Int) =
+      s"element_at(element_at($src, $i), $c)"
+    val binder = s"named_struct(" +
+      s"'ax', ${pt("gxq.r1", "gi + 1", 1)}, 'ay', ${pt("gxq.r1", "gi + 1", 2)}, " +
+      s"'bx', ${pt("gxq.r1", "gi + 2", 1)}, 'by', ${pt("gxq.r1", "gi + 2", 2)}, " +
+      s"'cx', ${pt("gxq.r2", "gj + 1", 1)}, 'cy', ${pt("gxq.r2", "gj + 1", 2)}, " +
+      s"'dx', ${pt("gxq.r2", "gj + 2", 1)}, 'dy', ${pt("gxq.r2", "gj + 2", 2)})"
+    // orientations bound once per segment pair
+    val o = s"named_struct('s', gsp, " +
+      s"'o1', (gsp.bx - gsp.ax) * (gsp.cy - gsp.ay) - (gsp.by - gsp.ay) * (gsp.cx - gsp.ax), " +
+      s"'o2', (gsp.bx - gsp.ax) * (gsp.dy - gsp.ay) - (gsp.by - gsp.ay) * (gsp.dx - gsp.ax), " +
+      s"'o3', (gsp.dx - gsp.cx) * (gsp.ay - gsp.cy) - (gsp.dy - gsp.cy) * (gsp.ax - gsp.cx), " +
+      s"'o4', (gsp.dx - gsp.cx) * (gsp.by - gsp.cy) - (gsp.dy - gsp.cy) * (gsp.bx - gsp.cx))"
+    def onSeg(px: String, py: String, qx: String, qy: String, rx: String, ry: String) =
+      s"($rx >= least($px, $qx) AND $rx <= greatest($px, $qx) AND " +
+        s"$ry >= least($py, $qy) AND $ry <= greatest($py, $qy))"
+    val s2 = "gso.s"
+    val hit =
+      s"(((gso.o1 > 0 AND gso.o2 < 0) OR (gso.o1 < 0 AND gso.o2 > 0)) AND " +
+        s"((gso.o3 > 0 AND gso.o4 < 0) OR (gso.o3 < 0 AND gso.o4 > 0))) " +
+        s"OR (gso.o1 = 0 AND ${onSeg(s"$s2.ax", s"$s2.ay", s"$s2.bx", s"$s2.by", s"$s2.cx", s"$s2.cy")}) " +
+        s"OR (gso.o2 = 0 AND ${onSeg(s"$s2.ax", s"$s2.ay", s"$s2.bx", s"$s2.by", s"$s2.dx", s"$s2.dy")}) " +
+        s"OR (gso.o3 = 0 AND ${onSeg(s"$s2.cx", s"$s2.cy", s"$s2.dx", s"$s2.dy", s"$s2.ax", s"$s2.ay")}) " +
+        s"OR (gso.o4 = 0 AND ${onSeg(s"$s2.cx", s"$s2.cy", s"$s2.dx", s"$s2.dy", s"$s2.bx", s"$s2.by")})"
+    s"element_at(transform(array(named_struct('r1', $p1, 'r2', $p2)), gxq -> " +
+      s"CASE WHEN gxq.r1 IS NULL OR gxq.r2 IS NULL OR size(gxq.r1) < 2 " +
+      s"OR size(gxq.r2) < 2 THEN CAST(NULL AS BOOLEAN) ELSE " +
+      s"exists(sequence(0, size(gxq.r1) - 2), gi -> " +
+      s"exists(sequence(0, size(gxq.r2) - 2), gj -> " +
+      s"element_at(transform(array($binder), gsp -> " +
+      s"element_at(transform(array($o), gso -> ($hit)), 1)), 1))) END), 1)"
+  }
+
+  /** ADX geo_polygon_centroid(polygon) → GeoJSON Point of the planar
+    * shoelace centroid. Computed DIRECTLY in degree coordinates: the
+    * centroid commutes with the axis scaling the area/perimeter tier
+    * applies (centroid(A·p) = A·centroid(p) for the diagonal
+    * lon·kx/lat·ky map), so the degree-space shoelace centroid IS the
+    * meter-space one mapped back — no trig at all, every op exact-
+    * mirrorable. Cx = Σ(x_i+x_{i+1})·cross_i / (3·Σcross_i) with
+    * cross_i = x_i·y_{i+1} − x_{i+1}·y_i, both folds left-to-right.
+    * Degenerate ring (< 4 entries) or zero signed area → null. */
+  private[kql] def geoPolygonCentroidSql(poly: String): String = {
+    val ring = s"try_cast(variant_get($poly, '$$.coordinates[0]') AS ARRAY<ARRAY<DOUBLE>>)"
+    def x(i: String) = s"element_at(element_at(gcq.r, $i), 1)"
+    def y(i: String) = s"element_at(element_at(gcq.r, $i), 2)"
+    val cross = s"(${x("gc + 1")} * ${y("gc + 2")} - ${x("gc + 2")} * ${y("gc + 1")})"
+    def fold(w: String) =
+      s"aggregate(sequence(0, size(gcq.r) - 2), CAST(0 AS DOUBLE), (gs, gc) -> gs + $w)"
+    val a2 = fold(cross)
+    val sx = fold(s"(${x("gc + 1")} + ${x("gc + 2")}) * $cross")
+    val sy = fold(s"(${y("gc + 1")} + ${y("gc + 2")}) * $cross")
+    s"element_at(transform(array(element_at(transform(array($ring), gcr -> " +
+      s"named_struct('r', gcr)), 1)), gcq -> " +
+      s"CASE WHEN gcq.r IS NULL OR size(gcq.r) < 4 OR $a2 = 0.0 " +
+      s"THEN CAST(NULL AS STRUCT<type: STRING, coordinates: ARRAY<DOUBLE>>) " +
+      s"ELSE named_struct('type', 'Point', 'coordinates', " +
+      s"array($sx / (3.0 * $a2), $sy / (3.0 * $a2))) END), 1)"
   }
 
   /** Ordered regex cascade for parse_user_agent — ancestors' tokens

@@ -1263,6 +1263,36 @@ object ReferenceQueries {
       || summarize n = count(), nv = dcount(v) by k, ix
       || sort by ix asc, k asc""".stripMargin
 
+  /** r15 `geo_h3cell_children` + `geo_h3cell_childcount` — the inverse
+    * of r14's center-containment parent (VERDICT r14 item 3). Four
+    * sample cells at res 4 (one face-interior, one face-EDGE straddler
+    * whose region is ownership-clipped, two mid-latitude) emit their
+    * res-5 children (sorted token list + count) plus the gap-0
+    * convention (children at the cell's own res = [cell]). The oracle
+    * re-derives the ENTIRE construction op-for-op in DuckDB: encode
+    * each point at res 4, sample the parent hex disk (radius
+    * s4 + 2·s5, step s5/4 — the engine's grid), encode every sample at
+    * res 5 (nearest-face argmax + hex round, cross-face wrap), dedupe,
+    * and keep candidates whose own center re-encodes at res 4 to the
+    * parent — the same float contract as the kql_geo_h3 oracle (one
+    * trig chain per point, then exact IEEE arithmetic into floor-based
+    * roundings). GeoSpec pins reciprocity and partition completeness. */
+  val kqlGeoH3ChildrenText: String =
+    """let P = datatable(name:string, lon:real, lat:real)[
+      |  'equ', -20.905, 0.0,
+      |  'gw', 0.05, 0.05,
+      |  'paris', 2.35, 48.86,
+      |  'syd', 151.21, -33.87
+      |];
+      |P
+      || extend p4 = geo_point_to_h3cell(lon, lat, 4)
+      || extend kids = geo_h3cell_children(p4, 5)
+      || extend nkids = tolong(geo_h3cell_childcount(p4, 5)),
+      |         kidcat = strcat_array(kids, ','),
+      |         self0 = strcat_array(geo_h3cell_children(p4, 4), ',')
+      || project name, p4, nkids, kidcat, self0
+      || sort by name asc""".stripMargin
+
   /** r11 `geo_polygon_area` — equirectangular shoelace (deviation from
     * ADX's spheroid documented at the parser): a concave ring, a unit
     * triangle, and a degenerate ring (null). The oracle mirrors the
@@ -1278,6 +1308,106 @@ object ReferenceQueries {
       |P
       || extend a_m2 = tolong(floor(geo_polygon_area(parse_json(pj)), 1))
       || project name, a_m2
+      || sort by name asc""".stripMargin
+
+  /** r15 `geo_polygon_perimeter` + `geo_polygon_centroid` — the two
+    * remaining geo-measurement functions on the area tier's
+    * equirectangular infrastructure (VERDICT r14 item 4). Perimeter
+    * mirrors area's mean-latitude meter scales edge by edge; the
+    * centroid is the planar shoelace centroid computed DIRECTLY in
+    * degrees (the centroid commutes with the axis scaling — no trig).
+    * The oracle re-derives both with frame-ordered running sums, the
+    * same summation-order contract as kql_geo_area. A zero-area
+    * (collinear) ring and a degenerate ring pin the null conventions. */
+  val kqlGeoMeasuresText: String =
+    """let P = datatable(name:string, pj:string)[
+      |  'concave', '{"type":"Polygon","coordinates":[[[-5.0,45.0],[5.0,43.0],[12.0,50.0],[0.0,47.5],[-8.0,52.0],[-5.0,45.0]]]}',
+      |  'triangle', '{"type":"Polygon","coordinates":[[[10.0,50.0],[11.0,50.0],[10.0,51.0],[10.0,50.0]]]}',
+      |  'square', '{"type":"Polygon","coordinates":[[[10.0,0.0],[11.0,0.0],[11.0,1.0],[10.0,1.0],[10.0,0.0]]]}',
+      |  'collinear', '{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,1.0],[2.0,2.0],[0.0,0.0]]]}',
+      |  'degenerate', '{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,1.0]]]}'
+      |];
+      |P
+      || extend per_m = tolong(floor(geo_polygon_perimeter(parse_json(pj)), 1)),
+      |         c = geo_polygon_centroid(parse_json(pj))
+      || extend cx_u = tolong(floor(c.coordinates[0] * 1000000.0, 1)),
+      |         cy_u = tolong(floor(c.coordinates[1] * 1000000.0, 1)),
+      |         has_c = tolong(iff(isnotnull(c), 1, 0))
+      || project name, per_m, cx_u, cy_u, has_c
+      || sort by name asc""".stripMargin
+
+  /** r15 scalar wave 3: `around` (inclusive band), `array_split`
+    * (split-before-index with negative/clamped indices),
+    * `has_any_index` (whole-term ci match, index in the VALUES list),
+    * `hash_md5`/`hash_sha256` (lowercase hex of the string form),
+    * `gamma`/`loggamma` (explicit Lanczos g=7/n=9 chain — the oracle
+    * replays the SAME chain, not DuckDB's libm lgamma), and
+    * `unicode_codepoints_from_string`/`_to_string` (native codepoint
+    * transcode, astral-safe — the oracle rebuilds codepoints and the
+    * round-trip with unicode(substr)/chr). All outputs integer/hex
+    * strings so the compare is exact. */
+  val kqlScalarFns3Text: String =
+    """Orders
+      || where orderid < 400
+      || extend txt = strcat('order ', tostring(orderid), iff(orderid % 3 == 0, ' priority', ' normal'))
+      || extend near150 = tolong(iff(around(todouble(amount), 150.0, 25.0), 1, 0)),
+      |         hidx = has_any_index(txt, dynamic(['urgent', 'priority', 'normal'])),
+      |         md5h = hash_md5(strcat('o', tostring(orderid))),
+      |         sh256 = hash_sha256(city),
+      |         parts = array_split(pack_array(orderid, custid, amount, orderid + custid), 2),
+      |         parts2 = array_split(pack_array(orderid, custid, amount, orderid + custid), dynamic([1, 3]))
+      || extend np = tolong(array_length(parts)) + 10 * tolong(array_length(parts2)),
+      |         pick = tolong(parts[0][1]) * 100000 + tolong(parts[1][0]) + tolong(parts2[1][1]),
+      |         lg_u = tolong(floor(loggamma(todouble(orderid % 7 + 1) + 0.5) * 1000000.0, 1)),
+      |         g_u = tolong(floor(gamma(todouble(orderid % 8 + 1) / 4.0) * 1000000.0, 1)),
+      |         cps = unicode_codepoints_from_string(city)
+      || extend cp_sum = tolong(array_sum(cps)), cp_n = tolong(array_length(cps)),
+      |         rt_ok = tolong(iff(unicode_codepoints_to_string(cps) == city, 1, 0))
+      || project orderid, near150, hidx, md5h, sh256, np, pick, lg_u, g_u, cp_sum, cp_n, rt_ok
+      || sort by orderid asc""".stripMargin
+
+  /** r15 `convert_*` unit families — exact published factors compiled
+    * into the plan from literal UnitsNet unit names (loud reject on
+    * unknown units), temperature affine via Kelvin. The oracle replays
+    * the same literal arithmetic; micro-floor keeps the compare
+    * exact. */
+  val kqlConvertUnitsText: String =
+    """Orders
+      || where orderid < 100
+      || extend v = todouble(amount)
+      || extend km_u = tolong(floor(convert_length(v, 'Mile', 'Kilometer') * 1000000.0, 1)),
+      |         kg_u = tolong(floor(convert_mass(v, 'Pound', 'Kilogram') * 1000000.0, 1)),
+      |         mps_u = tolong(floor(convert_speed(v, 'KilometerPerHour', 'MeterPerSecond') * 1000000.0, 1)),
+      |         rad_u = tolong(floor(convert_angle(v, 'Degree', 'Radian') * 1000000.0, 1)),
+      |         kj_u = tolong(floor(convert_energy(v, 'Kilocalorie', 'Kilojoule') * 1000000.0, 1)),
+      |         l_u = tolong(floor(convert_volume(v, 'UsGallon', 'Liter') * 1000000.0, 1)),
+      |         n_u = tolong(floor(convert_force(v, 'PoundForce', 'Newton') * 1000000.0, 1)),
+      |         c_u = tolong(floor(convert_temperature(v, 'DegreeFahrenheit', 'DegreeCelsius') * 1000000.0, 1))
+      || project orderid, km_u, kg_u, mps_u, rad_u, kj_u, l_u, n_u, c_u
+      || sort by orderid asc""".stripMargin
+
+  /** r15 geo line measures + intersection: `geo_line_length` /
+    * `geo_line_centroid` (the line siblings of perimeter/centroid,
+    * same equirectangular mean-latitude convention) and
+    * `geo_intersects_2lines` (planar orientation + on-segment test —
+    * spherical-geodesic deviation documented at the parser; touching
+    * endpoints and collinear overlap count as intersecting). The
+    * oracle re-derives lengths/centroids with frame-ordered running
+    * sums and the intersection with an independent edge cross-join. */
+  val kqlGeoLines2Text: String =
+    """let L = datatable(name:string, l1:string, l2:string)[
+      |  'crossx', '{"type":"LineString","coordinates":[[0.0,0.0],[2.0,2.0]]}', '{"type":"LineString","coordinates":[[0.0,2.0],[2.0,0.0]]}',
+      |  'touch', '{"type":"LineString","coordinates":[[0.0,0.0],[1.0,1.0]]}', '{"type":"LineString","coordinates":[[1.0,1.0],[2.0,0.0]]}',
+      |  'apart', '{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0]]}', '{"type":"LineString","coordinates":[[0.0,1.0],[1.0,1.0]]}',
+      |  'multi', '{"type":"LineString","coordinates":[[0.0,5.0],[1.0,5.0],[3.0,0.0],[3.0,4.0]]}', '{"type":"LineString","coordinates":[[0.0,6.0],[1.0,6.0],[2.0,2.0],[4.0,2.0]]}'
+      |];
+      |L
+      || extend len_u = tolong(floor(geo_line_length(parse_json(l1)) * 1000.0, 1)),
+      |         c1 = geo_line_centroid(parse_json(l1)),
+      |         hit = tolong(iff(geo_intersects_2lines(parse_json(l1), parse_json(l2)), 1, 0))
+      || extend cx_u = tolong(floor(c1.coordinates[0] * 1000000.0, 1)),
+      |         cy_u = tolong(floor(c1.coordinates[1] * 1000000.0, 1))
+      || project name, len_u, cx_u, cy_u, hit
       || sort by name asc""".stripMargin
 
   val kqlBasketText: String =
@@ -1702,6 +1832,7 @@ object ReferenceQueries {
     "kql_string_fns2" -> kqlText(kqlStringFns2Text) _,
     "kql_geo_s2_join" -> kqlText(kqlGeoS2JoinText) _,
     "kql_geo_h3" -> kqlText(kqlGeoH3Text) _,
+    "kql_geo_h3_children" -> kqlText(kqlGeoH3ChildrenText) _,
     "kql_geo_h3_join" -> kqlText(kqlGeoH3JoinText) _,
     "kql_geo_h3_polygon_join" -> kqlText(kqlGeoH3PolygonJoinText) _,
     "kql_geo_h3_line_join" -> kqlText(kqlGeoH3LineJoinText) _,
@@ -1712,6 +1843,10 @@ object ReferenceQueries {
     "kql_make_bag" -> kqlText(kqlMakeBagText) _,
     "kql_ipv6" -> kqlText(kqlIpv6Text) _,
     "kql_geo_area" -> kqlText(kqlGeoAreaText) _,
+    "kql_geo_measures" -> kqlText(kqlGeoMeasuresText) _,
+    "kql_scalar_fns3" -> kqlText(kqlScalarFns3Text) _,
+    "kql_convert_units" -> kqlText(kqlConvertUnitsText) _,
+    "kql_geo_lines2" -> kqlText(kqlGeoLines2Text) _,
     "kql_parse_ua" -> kqlText(kqlParseUaText) _,
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
     "kql_series_fit2" -> kqlText(kqlSeriesFit2Text) _,
@@ -2335,6 +2470,211 @@ object ReferenceQueries {
         |SELECT name, CAST(floor(abs(run) / 2.0) AS BIGINT) AS a_m2 FROM f
         |UNION ALL SELECT 'degenerate', CAST(NULL AS BIGINT)
         |ORDER BY name ASC""".stripMargin,
+    // around/array_split/has_any_index/hash/gamma/unicode: everything
+    // re-derived — the term regexes replayed via regexp_matches, the
+    // split pieces via the literal index arithmetic, the Lanczos chain
+    // replayed op-for-op (NOT DuckDB's lgamma — different libm), the
+    // codepoint list and the round-trip rebuilt with unicode/chr.
+    "kql_scalar_fns3" ->
+      s"""${Sql.ordersInfoCte},
+         |base AS (
+         |  SELECT orderid, custid, amount, city,
+         |    'order ' || CAST(orderid AS VARCHAR)
+         |      || (CASE WHEN orderid % 3 = 0 THEN ' priority' ELSE ' normal' END) AS txt,
+         |    CAST(orderid % 7 + 1 AS DOUBLE) + 0.5 AS lgx,
+         |    CAST(orderid % 8 + 1 AS DOUBLE) / 4.0 AS ggx
+         |  FROM orders_info WHERE orderid < 400),
+         |zz AS (
+         |  SELECT *,
+         |    CASE WHEN lgx < 0.5 THEN lgx ELSE lgx - 1.0 END AS lz,
+         |    CASE WHEN ggx < 0.5 THEN ggx ELSE ggx - 1.0 END AS gz
+         |  FROM base),
+         |lanc AS (
+         |  SELECT *,
+         |    (0.5 * ln(2.0 * pi()) + (lz + 0.5) * ln(lz + 7.5) - (lz + 7.5)
+         |      + ln(((((((((0.99999999999980993
+         |        + (676.5203681218851) / (lz + 1.0))
+         |        + (-1259.1392167224028) / (lz + 2.0))
+         |        + (771.32342877765313) / (lz + 3.0))
+         |        + (-176.61502916214059) / (lz + 4.0))
+         |        + (12.507343278686905) / (lz + 5.0))
+         |        + (-0.13857109526572012) / (lz + 6.0))
+         |        + (0.0000099843695780195716) / (lz + 7.0))
+         |        + (0.00000015056327351493116) / (lz + 8.0))))
+         |      - (CASE WHEN lgx < 0.5 THEN ln(lgx) ELSE 0.0 END) AS lgv,
+         |    (0.5 * ln(2.0 * pi()) + (gz + 0.5) * ln(gz + 7.5) - (gz + 7.5)
+         |      + ln(((((((((0.99999999999980993
+         |        + (676.5203681218851) / (gz + 1.0))
+         |        + (-1259.1392167224028) / (gz + 2.0))
+         |        + (771.32342877765313) / (gz + 3.0))
+         |        + (-176.61502916214059) / (gz + 4.0))
+         |        + (12.507343278686905) / (gz + 5.0))
+         |        + (-0.13857109526572012) / (gz + 6.0))
+         |        + (0.0000099843695780195716) / (gz + 7.0))
+         |        + (0.00000015056327351493116) / (gz + 8.0))))
+         |      - (CASE WHEN ggx < 0.5 THEN ln(ggx) ELSE 0.0 END) AS ggv
+         |  FROM zz)
+         |SELECT orderid,
+         |  CAST(CASE WHEN CAST(amount AS DOUBLE) BETWEEN 150.0 - 25.0 AND 150.0 + 25.0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS near150,
+         |  CASE
+         |    WHEN regexp_matches(lower(txt), '(^|[^a-z0-9])urgent([^a-z0-9]|$$)') THEN 0
+         |    WHEN regexp_matches(lower(txt), '(^|[^a-z0-9])priority([^a-z0-9]|$$)') THEN 1
+         |    WHEN regexp_matches(lower(txt), '(^|[^a-z0-9])normal([^a-z0-9]|$$)') THEN 2
+         |    ELSE -1 END AS hidx,
+         |  md5('o' || CAST(orderid AS VARCHAR)) AS md5h,
+         |  sha256(city) AS sh256,
+         |  CAST((1 + 1) + 10 * (2 + 1) AS BIGINT) AS np,
+         |  CAST(custid AS BIGINT) * 100000 + CAST(amount AS BIGINT) + CAST(amount AS BIGINT) AS pick,
+         |  CAST(floor(lgv * 1000000.0) AS BIGINT) AS lg_u,
+         |  CAST(floor(exp(ggv) * 1000000.0) AS BIGINT) AS g_u,
+         |  CAST(list_aggregate(list_transform(range(1, length(city) + 1),
+         |    ci -> unicode(substr(city, CAST(ci AS INT), 1))), 'sum') AS BIGINT) AS cp_sum,
+         |  CAST(length(city) AS BIGINT) AS cp_n,
+         |  CAST(CASE WHEN list_reduce(list_transform(range(1, length(city) + 1),
+         |    ci -> chr(unicode(substr(city, CAST(ci AS INT), 1)))),
+         |    (ca, cb) -> ca || cb) = city THEN 1 ELSE 0 END AS BIGINT) AS rt_ok
+         |FROM lanc
+         |ORDER BY orderid ASC""".stripMargin,
+    // literal factor arithmetic replayed per conversion; temperature
+    // affine via Kelvin with the engine's ×5-then-÷9 double chain.
+    "kql_convert_units" ->
+      s"""${Sql.ordersInfoCte},
+         |b AS (SELECT orderid, CAST(amount AS DOUBLE) AS v
+         |      FROM orders_info WHERE orderid < 100)
+         |SELECT orderid,
+         |  CAST(floor((v * 1609.344 / 1000.0) * 1000000.0) AS BIGINT) AS km_u,
+         |  CAST(floor((v * 0.45359237 / 1.0) * 1000000.0) AS BIGINT) AS kg_u,
+         |  CAST(floor((v * 0.2777777777777778 / 1.0) * 1000000.0) AS BIGINT) AS mps_u,
+         |  CAST(floor((v * 0.017453292519943295 / 1.0) * 1000000.0) AS BIGINT) AS rad_u,
+         |  CAST(floor((v * 4184.0 / 1000.0) * 1000000.0) AS BIGINT) AS kj_u,
+         |  CAST(floor((v * 0.003785411784 / 0.001) * 1000000.0) AS BIGINT) AS l_u,
+         |  CAST(floor((v * 4.4482216152605 / 1.0) * 1000000.0) AS BIGINT) AS n_u,
+         |  CAST(floor((((v + 459.67) * 5.0 / 9.0) - 273.15) * 1000000.0) AS BIGINT) AS c_u
+         |FROM b ORDER BY orderid ASC""".stripMargin,
+    // lengths/centroids re-derived with frame-ordered running sums
+    // (mean-lat kx over ALL vertices, the engine's fold order);
+    // intersection via an INDEPENDENT edge cross-join with the same
+    // orientation + on-segment arithmetic.
+    "kql_geo_lines2" ->
+      """WITH v1 AS (
+        |  SELECT * FROM (VALUES
+        |    ('crossx', 0, 0.0, 0.0), ('crossx', 1, 2.0, 2.0),
+        |    ('touch', 0, 0.0, 0.0), ('touch', 1, 1.0, 1.0),
+        |    ('apart', 0, 0.0, 0.0), ('apart', 1, 1.0, 0.0),
+        |    ('multi', 0, 0.0, 5.0), ('multi', 1, 1.0, 5.0),
+        |    ('multi', 2, 3.0, 0.0), ('multi', 3, 3.0, 4.0))
+        |    AS t(name, i, lon, lat)),
+        |v2 AS (
+        |  SELECT * FROM (VALUES
+        |    ('crossx', 0, 0.0, 2.0), ('crossx', 1, 2.0, 0.0),
+        |    ('touch', 0, 1.0, 1.0), ('touch', 1, 2.0, 0.0),
+        |    ('apart', 0, 0.0, 1.0), ('apart', 1, 1.0, 1.0),
+        |    ('multi', 0, 0.0, 6.0), ('multi', 1, 1.0, 6.0),
+        |    ('multi', 2, 2.0, 2.0), ('multi', 3, 4.0, 2.0))
+        |    AS t(name, i, lon, lat)),
+        |c AS (SELECT name, SUM(lat) / CAST(COUNT(*) AS DOUBLE) AS latc FROM v1 GROUP BY 1),
+        |k AS (SELECT name, 111320.0 * cos(radians(latc)) AS kx FROM c),
+        |e AS (
+        |  SELECT a.name, a.i,
+        |    sqrt(((b.lon - a.lon) * kx) * ((b.lon - a.lon) * kx)
+        |       + ((b.lat - a.lat) * 110574.0) * ((b.lat - a.lat) * 110574.0)) AS elen,
+        |    (a.lon + b.lon) / 2.0 AS midx, (a.lat + b.lat) / 2.0 AS midy
+        |  FROM v1 a JOIN v1 b ON b.name = a.name AND b.i = a.i + 1
+        |  JOIN k ON k.name = a.name),
+        |s AS (
+        |  SELECT name, i,
+        |    SUM(elen) OVER (PARTITION BY name ORDER BY i ROWS UNBOUNDED PRECEDING) AS lrun,
+        |    SUM(midx * elen) OVER (PARTITION BY name ORDER BY i ROWS UNBOUNDED PRECEDING) AS xrun,
+        |    SUM(midy * elen) OVER (PARTITION BY name ORDER BY i ROWS UNBOUNDED PRECEDING) AS yrun
+        |  FROM e),
+        |f AS (
+        |  SELECT name, lrun, xrun, yrun FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY name ORDER BY i DESC) AS rn
+        |    FROM s) WHERE rn = 1),
+        |e1 AS (
+        |  SELECT a.name, a.lon AS ax, a.lat AS ay, b.lon AS bx, b.lat AS by0
+        |  FROM v1 a JOIN v1 b ON b.name = a.name AND b.i = a.i + 1),
+        |e2 AS (
+        |  SELECT a.name, a.lon AS cx0, a.lat AS cy0, b.lon AS dx0, b.lat AS dy0
+        |  FROM v2 a JOIN v2 b ON b.name = a.name AND b.i = a.i + 1),
+        |pairs AS (
+        |  SELECT e1.name, ax, ay, bx, by0, cx0, cy0, dx0, dy0,
+        |    (bx - ax) * (cy0 - ay) - (by0 - ay) * (cx0 - ax) AS o1,
+        |    (bx - ax) * (dy0 - ay) - (by0 - ay) * (dx0 - ax) AS o2,
+        |    (dx0 - cx0) * (ay - cy0) - (dy0 - cy0) * (ax - cx0) AS o3,
+        |    (dx0 - cx0) * (by0 - cy0) - (dy0 - cy0) * (bx - cx0) AS o4
+        |  FROM e1 JOIN e2 ON e2.name = e1.name),
+        |hits AS (
+        |  SELECT name, MAX(CASE WHEN
+        |    (((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0)) AND
+        |     ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0)))
+        |    OR (o1 = 0 AND cx0 >= least(ax, bx) AND cx0 <= greatest(ax, bx)
+        |        AND cy0 >= least(ay, by0) AND cy0 <= greatest(ay, by0))
+        |    OR (o2 = 0 AND dx0 >= least(ax, bx) AND dx0 <= greatest(ax, bx)
+        |        AND dy0 >= least(ay, by0) AND dy0 <= greatest(ay, by0))
+        |    OR (o3 = 0 AND ax >= least(cx0, dx0) AND ax <= greatest(cx0, dx0)
+        |        AND ay >= least(cy0, dy0) AND ay <= greatest(cy0, dy0))
+        |    OR (o4 = 0 AND bx >= least(cx0, dx0) AND bx <= greatest(cx0, dx0)
+        |        AND by0 >= least(cy0, dy0) AND by0 <= greatest(cy0, dy0))
+        |    THEN 1 ELSE 0 END) AS hit0
+        |  FROM pairs GROUP BY name)
+        |SELECT f.name, CAST(floor(f.lrun * 1000.0) AS BIGINT) AS len_u,
+        |  CAST(floor((f.xrun / f.lrun) * 1000000.0) AS BIGINT) AS cx_u,
+        |  CAST(floor((f.yrun / f.lrun) * 1000000.0) AS BIGINT) AS cy_u,
+        |  CAST(hits.hit0 AS BIGINT) AS hit
+        |FROM f JOIN hits ON hits.name = f.name
+        |ORDER BY f.name ASC""".stripMargin,
+    // perimeter: mean-lat kx + per-edge hypot, frame-ordered running
+    // sum (the engine's left fold); centroid: the degree-space
+    // shoelace folds for 2A, Σ(x_i+x_{i+1})·cross, Σ(y_i+y_{i+1})·cross
+    // — every product and the final divisions mirrored op-for-op.
+    "kql_geo_measures" ->
+      """WITH v AS (
+        |  SELECT * FROM (VALUES
+        |    ('concave', 0, -5.0, 45.0), ('concave', 1, 5.0, 43.0),
+        |    ('concave', 2, 12.0, 50.0), ('concave', 3, 0.0, 47.5),
+        |    ('concave', 4, -8.0, 52.0), ('concave', 5, -5.0, 45.0),
+        |    ('triangle', 0, 10.0, 50.0), ('triangle', 1, 11.0, 50.0),
+        |    ('triangle', 2, 10.0, 51.0), ('triangle', 3, 10.0, 50.0),
+        |    ('square', 0, 10.0, 0.0), ('square', 1, 11.0, 0.0),
+        |    ('square', 2, 11.0, 1.0), ('square', 3, 10.0, 1.0),
+        |    ('square', 4, 10.0, 0.0),
+        |    ('collinear', 0, 0.0, 0.0), ('collinear', 1, 1.0, 1.0),
+        |    ('collinear', 2, 2.0, 2.0), ('collinear', 3, 0.0, 0.0))
+        |    AS t(name, i, lon, lat)),
+        |c AS (SELECT name, SUM(lat) / CAST(COUNT(*) AS DOUBLE) AS latc FROM v GROUP BY 1),
+        |k AS (SELECT name, 111320.0 * cos(radians(latc)) AS kx FROM c),
+        |e AS (
+        |  SELECT a.name, a.i,
+        |    sqrt(((b.lon - a.lon) * kx) * ((b.lon - a.lon) * kx)
+        |       + ((b.lat - a.lat) * 110574.0) * ((b.lat - a.lat) * 110574.0)) AS plen,
+        |    (a.lon * b.lat - b.lon * a.lat) AS cross0,
+        |    (a.lon + b.lon) * (a.lon * b.lat - b.lon * a.lat) AS sxw,
+        |    (a.lat + b.lat) * (a.lon * b.lat - b.lon * a.lat) AS syw
+        |  FROM v a JOIN v b ON b.name = a.name AND b.i = a.i + 1
+        |  JOIN k ON k.name = a.name),
+        |s AS (
+        |  SELECT name, i,
+        |    SUM(plen) OVER (PARTITION BY name ORDER BY i ROWS UNBOUNDED PRECEDING) AS prun,
+        |    SUM(cross0) OVER (PARTITION BY name ORDER BY i ROWS UNBOUNDED PRECEDING) AS a2run,
+        |    SUM(sxw) OVER (PARTITION BY name ORDER BY i ROWS UNBOUNDED PRECEDING) AS sxrun,
+        |    SUM(syw) OVER (PARTITION BY name ORDER BY i ROWS UNBOUNDED PRECEDING) AS syrun
+        |  FROM e),
+        |f AS (
+        |  SELECT name, prun, a2run, sxrun, syrun FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY name ORDER BY i DESC) AS rn
+        |    FROM s) WHERE rn = 1)
+        |SELECT name, CAST(floor(prun) AS BIGINT) AS per_m,
+        |  CASE WHEN a2run <> 0.0
+        |    THEN CAST(floor((sxrun / (3.0 * a2run)) * 1000000.0) AS BIGINT) END AS cx_u,
+        |  CASE WHEN a2run <> 0.0
+        |    THEN CAST(floor((syrun / (3.0 * a2run)) * 1000000.0) AS BIGINT) END AS cy_u,
+        |  CAST(CASE WHEN a2run <> 0.0 THEN 1 ELSE 0 END AS BIGINT) AS has_c
+        |FROM f
+        |UNION ALL SELECT 'degenerate', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(0 AS BIGINT)
+        |ORDER BY name ASC""".stripMargin,
     // mirrors geoPointInPolygonSql: the ring as an explicit edge list,
     // the crossing test's single division op-for-op; per-point identity
     // keeps duplicate (lon, lat) derivations distinct before the city
@@ -2658,6 +2998,175 @@ object ReferenceQueries {
     // neighbor count re-runs the WHOLE encode chain on each of the 6
     // virtual neighbor centers (cross-face wrap re-derived, not
     // trusted) and counts distinct non-self cells.
+    // full re-derivation of the children construction: res-4 encode,
+    // the (2m+1)^2 sample grid over the parent hex disk, res-5 encode
+    // of every sample (nearest-face argmax + hex round), dedupe, and
+    // the per-candidate res-4 parent re-encode check — the same float
+    // contract as the kql_geo_h3 oracle below.
+    "kql_geo_h3_children" ->
+      """WITH k AS (SELECT (1.0 + sqrt(5.0)) / 2.0 AS phi),
+        |k2 AS (SELECT phi, sqrt(1.0 + phi * phi) AS vn FROM k),
+        |verts AS (
+        |  SELECT vid,
+        |    (CASE WHEN xc = 2 THEN phi WHEN xc = -2 THEN -phi ELSE CAST(xc AS DOUBLE) END) / vn AS vx,
+        |    (CASE WHEN yc = 2 THEN phi WHEN yc = -2 THEN -phi ELSE CAST(yc AS DOUBLE) END) / vn AS vy,
+        |    (CASE WHEN zc = 2 THEN phi WHEN zc = -2 THEN -phi ELSE CAST(zc AS DOUBLE) END) / vn AS vz
+        |  FROM (VALUES (0,0,1,2),(1,0,1,-2),(2,0,-1,2),(3,0,-1,-2),
+        |               (4,1,2,0),(5,1,-2,0),(6,-1,2,0),(7,-1,-2,0),
+        |               (8,2,0,1),(9,2,0,-1),(10,-2,0,1),(11,-2,0,-1))
+        |    vt(vid, xc, yc, zc) CROSS JOIN k2),
+        |fv AS (
+        |  SELECT fi.f, a.vx AS ax, a.vy AS ay, a.vz AS az,
+        |    b.vx AS bx, b.vy AS by, b.vz AS bz,
+        |    c.vx AS cx0, c.vy AS cy0, c.vz AS cz0
+        |  FROM (VALUES (0,0,2,8),(1,0,2,10),(2,0,4,6),(3,0,4,8),(4,0,6,10),
+        |               (5,1,3,9),(6,1,3,11),(7,1,4,6),(8,1,4,9),(9,1,6,11),
+        |               (10,2,5,7),(11,2,5,8),(12,2,7,10),(13,3,5,7),(14,3,5,9),
+        |               (15,3,7,11),(16,4,8,9),(17,5,8,9),(18,6,10,11),(19,7,10,11))
+        |    fi(f, va, vb, vc)
+        |  JOIN verts a ON a.vid = fi.va JOIN verts b ON b.vid = fi.vb
+        |  JOIN verts c ON c.vid = fi.vc),
+        |fm AS (SELECT *, ax + bx + cx0 AS mx, ay + by + cy0 AS my, az + bz + cz0 AS mz FROM fv),
+        |fm2 AS (SELECT *, sqrt(mx * mx + my * my + mz * mz) AS mn FROM fm),
+        |fc AS (SELECT f, ax, ay, az, mx / mn AS cx, my / mn AS cy, mz / mn AS cz FROM fm2),
+        |fd AS (SELECT *, ax * cx + ay * cy + az * cz AS dd FROM fc),
+        |fw AS (SELECT *, ax - dd * cx AS wx0, ay - dd * cy AS wy0, az - dd * cz AS wz0 FROM fd),
+        |fw2 AS (SELECT *, sqrt(wx0 * wx0 + wy0 * wy0 + wz0 * wz0) AS wn FROM fw),
+        |fe1 AS (SELECT f, cx, cy, cz, wx0 / wn AS e1x, wy0 / wn AS e1y, wz0 / wn AS e1z FROM fw2),
+        |frames AS (SELECT *, cy * e1z - cz * e1y AS e2x, cz * e1x - cx * e1z AS e2y,
+        |    cx * e1y - cy * e1x AS e2z FROM fe1),
+        |sz AS (SELECT 0.35 / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) AS s4,
+        |    0.35 / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) AS s5),
+        |pts AS (
+        |  SELECT * FROM (VALUES
+        |    ('equ', -20.905, 0.0), ('gw', 0.05, 0.05),
+        |    ('paris', 2.35, 48.86), ('syd', 151.21, -33.87))
+        |    AS t(name, lon0, lat0)),
+        |pxyz AS (
+        |  SELECT name, cos(radians(CAST(lat0 AS DOUBLE))) * cos(radians(CAST(lon0 AS DOUBLE))) AS px,
+        |    cos(radians(CAST(lat0 AS DOUBLE))) * sin(radians(CAST(lon0 AS DOUBLE))) AS py,
+        |    sin(radians(CAST(lat0 AS DOUBLE))) AS pz
+        |  FROM pts),
+        |pf AS (
+        |  SELECT p.name, p.px, p.py, p.pz, fr.f, fr.cx, fr.cy, fr.cz,
+        |    fr.e1x, fr.e1y, fr.e1z, fr.e2x, fr.e2y, fr.e2z,
+        |    p.px * fr.cx + p.py * fr.cy + p.pz * fr.cz AS pd,
+        |    ROW_NUMBER() OVER (PARTITION BY p.name
+        |      ORDER BY p.px * fr.cx + p.py * fr.cy + p.pz * fr.cz DESC, fr.f ASC) AS rn
+        |  FROM pxyz p CROSS JOIN frames fr),
+        |ploc AS (SELECT * , px / pd - cx AS tx, py / pd - cy AS ty, pz / pd - cz AS tz
+        |  FROM pf WHERE rn = 1),
+        |pxy AS (SELECT *, tx * e1x + ty * e1y + tz * e1z AS lx,
+        |    tx * e2x + ty * e2y + tz * e2z AS ly FROM ploc),
+        |pq0 AS (
+        |  SELECT pxy.*, sz.s4, sz.s5,
+        |    (sqrt(3.0) / 3.0 * lx - ly / 3.0) / s4 AS qf, (2.0 / 3.0 * ly) / s4 AS rf
+        |  FROM pxy CROSS JOIN sz),
+        |pq1 AS (SELECT *, -qf - rf AS yf FROM pq0),
+        |pq2 AS (SELECT *, floor(qf + 0.5) AS ra, floor(yf + 0.5) AS rb, floor(rf + 0.5) AS rc
+        |  FROM pq1),
+        |pq3 AS (SELECT *, abs(ra - qf) AS dq, abs(rb - yf) AS dy, abs(rc - rf) AS dr FROM pq2),
+        |par AS (
+        |  SELECT name, f AS pface, s4, s5, cx, cy, cz, e1x, e1y, e1z, e2x, e2y, e2z,
+        |    CAST(CASE WHEN dq > dy AND dq > dr THEN -rb - rc ELSE ra END AS BIGINT) AS pq,
+        |    CAST(CASE WHEN dq > dy AND dq > dr THEN rc WHEN dy > dr THEN rc
+        |         ELSE -ra - rb END AS BIGINT) AS pr
+        |  FROM pq3),
+        |parv AS (
+        |  SELECT *,
+        |    (CAST(1 AS BIGINT) << 49) + 4 * (CAST(1 AS BIGINT) << 45)
+        |      + pface * (CAST(1 AS BIGINT) << 40) + (pq + 524288) * (CAST(1 AS BIGINT) << 20)
+        |      + (pr + 524288) AS v4,
+        |    s4 * (sqrt(3.0) * pq + sqrt(3.0) / 2.0 * pr) AS ppx,
+        |    s4 * (1.5 * pr) AS ppy,
+        |    CAST(ceil((s4 + 2.0 * s5) / (s5 / 4.0)) AS INT) AS m
+        |  FROM par),
+        |ij AS (SELECT a.i, b.j FROM range(-60, 61) a(i) CROSS JOIN range(-60, 61) b(j)),
+        |samp AS (
+        |  SELECT p.name, p.v4, p.pface, p.pq, p.pr, p.s4, p.s5, ij.i, ij.j,
+        |    p.cx + (p.ppx + ij.i * (p.s5 / 4.0)) * p.e1x + (p.ppy + ij.j * (p.s5 / 4.0)) * p.e2x AS wx,
+        |    p.cy + (p.ppx + ij.i * (p.s5 / 4.0)) * p.e1y + (p.ppy + ij.j * (p.s5 / 4.0)) * p.e2y AS wy,
+        |    p.cz + (p.ppx + ij.i * (p.s5 / 4.0)) * p.e1z + (p.ppy + ij.j * (p.s5 / 4.0)) * p.e2z AS wz
+        |  FROM parv p JOIN ij ON abs(ij.i) <= p.m AND abs(ij.j) <= p.m),
+        |sf AS (
+        |  SELECT s.name, s.v4, s.pface, s.pq, s.pr, s.s4, s.s5, s.i, s.j,
+        |    s.wx, s.wy, s.wz, fr.f AS cf, fr.cx AS scx, fr.cy AS scy, fr.cz AS scz,
+        |    fr.e1x AS se1x, fr.e1y AS se1y, fr.e1z AS se1z,
+        |    fr.e2x AS se2x, fr.e2y AS se2y, fr.e2z AS se2z,
+        |    s.wx * fr.cx + s.wy * fr.cy + s.wz * fr.cz AS spd,
+        |    ROW_NUMBER() OVER (PARTITION BY s.name, s.i, s.j
+        |      ORDER BY s.wx * fr.cx + s.wy * fr.cy + s.wz * fr.cz DESC, fr.f ASC) AS srn
+        |  FROM samp s CROSS JOIN frames fr),
+        |sloc AS (SELECT *, wx / spd - scx AS stx, wy / spd - scy AS sty, wz / spd - scz AS stz
+        |  FROM sf WHERE srn = 1),
+        |sxy AS (SELECT *, stx * se1x + sty * se1y + stz * se1z AS slx,
+        |    stx * se2x + sty * se2y + stz * se2z AS sly FROM sloc),
+        |sq0 AS (SELECT *, (sqrt(3.0) / 3.0 * slx - sly / 3.0) / s5 AS sqf,
+        |    (2.0 / 3.0 * sly) / s5 AS srf FROM sxy),
+        |sq1 AS (SELECT *, -sqf - srf AS syf FROM sq0),
+        |sq2 AS (SELECT *, floor(sqf + 0.5) AS sa, floor(syf + 0.5) AS sb, floor(srf + 0.5) AS sc
+        |  FROM sq1),
+        |sq3 AS (SELECT *, abs(sa - sqf) AS sdq, abs(sb - syf) AS sdy, abs(sc - srf) AS sdr
+        |  FROM sq2),
+        |scell AS (
+        |  SELECT name, v4, pface, pq, pr, s4, s5, cf,
+        |    CAST(CASE WHEN sdq > sdy AND sdq > sdr THEN -sb - sc ELSE sa END AS BIGINT) AS cq,
+        |    CAST(CASE WHEN sdq > sdy AND sdq > sdr THEN sc WHEN sdy > sdr THEN sc
+        |         ELSE -sa - sb END AS BIGINT) AS cr
+        |  FROM sq3),
+        |cand AS (SELECT DISTINCT name, v4, pface, pq, pr, s4, s5, cf, cq, cr FROM scell),
+        |cv AS (
+        |  SELECT c.*, fr.cx AS fcx, fr.cy AS fcy, fr.cz AS fcz,
+        |    fr.e1x AS fe1x, fr.e1y AS fe1y, fr.e1z AS fe1z,
+        |    fr.e2x AS fe2x, fr.e2y AS fe2y, fr.e2z AS fe2z,
+        |    (CAST(1 AS BIGINT) << 49) + 5 * (CAST(1 AS BIGINT) << 45)
+        |      + c.cf * (CAST(1 AS BIGINT) << 40) + (c.cq + 524288) * (CAST(1 AS BIGINT) << 20)
+        |      + (c.cr + 524288) AS v5,
+        |    c.s5 * (sqrt(3.0) * c.cq + sqrt(3.0) / 2.0 * c.cr) AS clx,
+        |    c.s5 * (1.5 * c.cr) AS cly
+        |  FROM cand c JOIN frames fr ON fr.f = c.cf),
+        |cxyz AS (
+        |  SELECT name, v4, pface, pq, pr, s4, v5,
+        |    fcx + clx * fe1x + cly * fe2x AS cwx,
+        |    fcy + clx * fe1y + cly * fe2y AS cwy,
+        |    fcz + clx * fe1z + cly * fe2z AS cwz
+        |  FROM cv),
+        |vf AS (
+        |  SELECT c.name, c.v4, c.pface, c.pq, c.pr, c.s4, c.v5,
+        |    c.cwx, c.cwy, c.cwz, fr.f AS vface, fr.cx AS vcx, fr.cy AS vcy, fr.cz AS vcz,
+        |    fr.e1x AS ve1x, fr.e1y AS ve1y, fr.e1z AS ve1z,
+        |    fr.e2x AS ve2x, fr.e2y AS ve2y, fr.e2z AS ve2z,
+        |    c.cwx * fr.cx + c.cwy * fr.cy + c.cwz * fr.cz AS vpd,
+        |    ROW_NUMBER() OVER (PARTITION BY c.name, c.v5
+        |      ORDER BY c.cwx * fr.cx + c.cwy * fr.cy + c.cwz * fr.cz DESC, fr.f ASC) AS vrn
+        |  FROM cxyz c CROSS JOIN frames fr),
+        |vloc AS (SELECT *, cwx / vpd - vcx AS vtx, cwy / vpd - vcy AS vty, cwz / vpd - vcz AS vtz
+        |  FROM vf WHERE vrn = 1),
+        |vxy AS (SELECT *, vtx * ve1x + vty * ve1y + vtz * ve1z AS vlx,
+        |    vtx * ve2x + vty * ve2y + vtz * ve2z AS vly FROM vloc),
+        |vq0 AS (SELECT *, (sqrt(3.0) / 3.0 * vlx - vly / 3.0) / s4 AS vqf,
+        |    (2.0 / 3.0 * vly) / s4 AS vrf FROM vxy),
+        |vq1 AS (SELECT *, -vqf - vrf AS vyf FROM vq0),
+        |vq2 AS (SELECT *, floor(vqf + 0.5) AS va, floor(vyf + 0.5) AS vb, floor(vrf + 0.5) AS vc
+        |  FROM vq1),
+        |vq3 AS (SELECT *, abs(va - vqf) AS vdq, abs(vb - vyf) AS vdy, abs(vc - vrf) AS vdr
+        |  FROM vq2),
+        |vcell AS (
+        |  SELECT name, v4, pface, pq, pr, v5, vface,
+        |    CAST(CASE WHEN vdq > vdy AND vdq > vdr THEN -vb - vc ELSE va END AS BIGINT) AS vq,
+        |    CAST(CASE WHEN vdq > vdy AND vdq > vdr THEN vc WHEN vdy > vdr THEN vc
+        |         ELSE -va - vb END AS BIGINT) AS vr
+        |  FROM vq3),
+        |kids AS (SELECT name, v5 FROM vcell
+        |  WHERE vface = pface AND vq = pq AND vr = pr),
+        |agg AS (
+        |  SELECT name, COUNT(*) AS nk,
+        |    string_agg(lower(to_hex(v5)), ',' ORDER BY v5) AS kc
+        |  FROM kids GROUP BY name)
+        |SELECT p.name, lower(to_hex(p.v4)) AS p4, CAST(agg.nk AS BIGINT) AS nkids,
+        |  agg.kc AS kidcat, lower(to_hex(p.v4)) AS self0
+        |FROM parv p JOIN agg ON agg.name = p.name
+        |ORDER BY p.name ASC""".stripMargin,
     "kql_geo_h3" ->
       """WITH k AS (SELECT (1.0 + sqrt(5.0)) / 2.0 AS phi),
         |k2 AS (SELECT phi, sqrt(1.0 + phi * phi) AS vn FROM k),

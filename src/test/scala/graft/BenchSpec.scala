@@ -74,4 +74,22 @@ class BenchSpec extends AnyFunSuite {
     // very slow prior never RAISES the ceiling past 10 s.
     assert(Bench.suspectCeil(Some(8.0)) === 10.0)
   }
+
+  test("isAmbient: >2.5x prior regardless of magnitude; no prior -> never") {
+    // the two r14 floor escapees: 0.28->0.85 (3.0x) and 0.27->0.69 (2.5x)
+    assert(Bench.isAmbient(0.85, Some(0.28)))
+    assert(Bench.isAmbient(0.69, Some(0.27)))   // 0.69 > 2.5*0.27 = 0.675
+    assert(!Bench.isAmbient(0.5, Some(0.28)))   // < 2.5x: ordinary jitter
+    assert(!Bench.isAmbient(100.0, None))       // no prior: nothing to compare
+    assert(Bench.isAmbient(30.0, Some(10.0)))   // large queries flag too
+  }
+
+  test("prewarmOrder: most-expensive-first by prior cold; unknown builds first") {
+    val priorCold = Map("a" -> 5.1, "b" -> 131.6, "c" -> 8.9)
+    // 'new' has no prior cold -> unknown cost, scheduled first
+    assert(Bench.prewarmOrder(Seq("a", "b", "c", "new"), priorCold)
+      === Seq("new", "b", "c", "a"))
+    // no priors at all: original order preserved (stable sort)
+    assert(Bench.prewarmOrder(Seq("a", "b", "c"), Map.empty) === Seq("a", "b", "c"))
+  }
 }

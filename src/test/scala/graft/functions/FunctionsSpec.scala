@@ -76,7 +76,10 @@ class FunctionsSpec extends SparkSpec {
       "graft_s2_cell", "graft_s2_center", "graft_s2_neighbors",
       "graft_s2_polygon_cover", "graft_s2_line_cover", "graft_geo_dist_line",
       "graft_h3_cell", "graft_h3_center", "graft_h3_neighbors", "graft_h3_rings",
-      "graft_h3_level", "graft_h3_parent", "graft_h3_polygon_cover", "graft_h3_line_cover",
+      "graft_h3_level", "graft_h3_parent", "graft_h3_children",
+      "graft_h3_polygon_cover", "graft_h3_line_cover",
+      "graft_codepoints", "graft_from_codepoints",
+      "graft_punycode_encode", "graft_punycode_decode",
       "graft_ipv6_canon", "graft_ipv6_mask", "graft_ipv6_cmp",
       "graft_make_bag"))
   }

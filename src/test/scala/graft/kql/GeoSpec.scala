@@ -96,6 +96,83 @@ class GeoSpec extends SparkSpec {
     assert(one("geo_polygon_area(parse_json('{\"type\":\"Point\"}'))").isNullAt(0))
   }
 
+  test("polygon perimeter: analytic rectangle, orientation-invariant, degenerate null") {
+    def per(ring: String): org.apache.spark.sql.Row =
+      one(s"""geo_polygon_perimeter(parse_json('{"type":"Polygon","coordinates":[[$ring]]}'))""")
+    // 1°x1° square at the equator-symmetric band: mean lat over the 5
+    // entries (closing vertex included) = (0+0+1+1+0)/5 = 0.4
+    val sq = per("[10.0,0.0],[11.0,0.0],[11.0,1.0],[10.0,1.0],[10.0,0.0]").getDouble(0)
+    val kx = 111320.0 * math.cos(math.toRadians(0.4))
+    val expect = 2.0 * kx + 2.0 * 110574.0
+    assert(math.abs(sq - expect) / expect < 1e-12, s"$sq vs $expect")
+    // reversed winding: same edges, same sum magnitude
+    val rev = per("[10.0,0.0],[10.0,1.0],[11.0,1.0],[11.0,0.0],[10.0,0.0]").getDouble(0)
+    assert(math.abs(rev - sq) / sq < 1e-12)
+    assert(per("[0.0,0.0],[1.0,1.0]").isNullAt(0))
+    assert(one("geo_polygon_perimeter(parse_json('{\"type\":\"Point\"}'))").isNullAt(0))
+  }
+
+  test("polygon centroid: analytic values, GeoJSON shape, zero-area null") {
+    def cen(ring: String): org.apache.spark.sql.Row =
+      one(s"""geo_polygon_centroid(parse_json('{"type":"Polygon","coordinates":[[$ring]]}'))""")
+    // square: centroid at the middle, exactly (affine shoelace in degrees)
+    val sq = cen("[10.0,50.0],[11.0,50.0],[11.0,51.0],[10.0,51.0],[10.0,50.0]").getStruct(0)
+    assert(sq.getString(0) == "Point")
+    val c = sq.getSeq[Double](1)
+    assert(math.abs(c(0) - 10.5) < 1e-12 && math.abs(c(1) - 50.5) < 1e-12, c)
+    // right triangle (0,0)(3,0)(0,3): centroid (1, 1)
+    val tr = cen("[0.0,0.0],[3.0,0.0],[0.0,3.0],[0.0,0.0]").getStruct(0).getSeq[Double](1)
+    assert(math.abs(tr(0) - 1.0) < 1e-12 && math.abs(tr(1) - 1.0) < 1e-12, tr)
+    // winding direction must not move the centroid (signed/signed cancels)
+    val trRev = cen("[0.0,0.0],[0.0,3.0],[3.0,0.0],[0.0,0.0]").getStruct(0).getSeq[Double](1)
+    assert(trRev == tr)
+    // zero-area (collinear) ring and degenerate input -> null
+    assert(cen("[0.0,0.0],[1.0,1.0],[2.0,2.0],[0.0,0.0]").isNullAt(0))
+    assert(cen("[0.0,0.0],[1.0,1.0]").isNullAt(0))
+    assert(one("geo_polygon_centroid(parse_json('{\"type\":\"Point\"}'))").isNullAt(0))
+  }
+
+  test("line length/centroid: analytic values, degenerate nulls") {
+    def lj(coords: String) =
+      s"""parse_json('{"type":"LineString","coordinates":[$coords]}')"""
+    // two-segment L at the equator band: mean lat over 3 vertices = 1/3
+    val len = one(s"geo_line_length(${lj("[0.0,0.0],[1.0,0.0],[1.0,1.0]")})").getDouble(0)
+    val kx = 111320.0 * math.cos(math.toRadians(1.0 / 3.0))
+    assert(math.abs(len - (kx + 110574.0)) / len < 1e-12, len)
+    // centroid: length-weighted midpoints
+    val c = one(s"geo_line_centroid(${lj("[0.0,0.0],[1.0,0.0],[1.0,1.0]")})").getStruct(0)
+    assert(c.getString(0) == "Point")
+    val cc = c.getSeq[Double](1)
+    val expX = (0.5 * kx + 1.0 * 110574.0) / (kx + 110574.0)
+    val expY = (0.0 * kx + 0.5 * 110574.0) / (kx + 110574.0)
+    assert(math.abs(cc(0) - expX) < 1e-12 && math.abs(cc(1) - expY) < 1e-12, cc)
+    // single-vertex line and zero-length line -> null
+    assert(one(s"geo_line_length(${lj("[0.0,0.0]")})").isNullAt(0))
+    assert(one(s"geo_line_centroid(${lj("[2.0,2.0],[2.0,2.0]")})").isNullAt(0))
+  }
+
+  test("geo_intersects_2lines: crossing, touching, collinear, disjoint, degenerate") {
+    def lj(coords: String) =
+      s"""parse_json('{"type":"LineString","coordinates":[$coords]}')"""
+    def x2(a: String, b: String) =
+      one(s"geo_intersects_2lines(${lj(a)}, ${lj(b)})")
+    // proper crossing
+    assert(x2("[0.0,0.0],[2.0,2.0]", "[0.0,2.0],[2.0,0.0]").getBoolean(0))
+    // touching at an endpoint
+    assert(x2("[0.0,0.0],[1.0,1.0]", "[1.0,1.0],[2.0,0.0]").getBoolean(0))
+    // collinear overlap
+    assert(x2("[0.0,0.0],[3.0,0.0]", "[1.0,0.0],[5.0,0.0]").getBoolean(0))
+    // collinear but disjoint
+    assert(!x2("[0.0,0.0],[1.0,0.0]", "[2.0,0.0],[3.0,0.0]").getBoolean(0))
+    // plainly disjoint
+    assert(!x2("[0.0,0.0],[1.0,0.0]", "[0.0,1.0],[1.0,1.0]").getBoolean(0))
+    // multi-segment: only the second segment of each crosses
+    assert(x2("[0.0,5.0],[1.0,5.0],[3.0,0.0],[3.0,4.0]",
+              "[0.0,6.0],[1.0,6.0],[2.0,2.0],[4.0,2.0]").getBoolean(0))
+    // degenerate (single vertex) -> null
+    assert(x2("[0.0,0.0]", "[0.0,1.0],[1.0,1.0]").isNullAt(0))
+  }
+
   test("geohash central point: decode inverts encode, GeoJSON shape, malformed -> null") {
     // the cell center re-encodes to the SAME cell at every accuracy
     for (acc <- Seq(1, 3, 5, 7)) {
@@ -326,6 +403,12 @@ class GeoSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       S2.polygonCover(amRing, 7)
     }.getMessage.contains("antimeridian"))
+    // unclosed ring (first != last) rejects loudly
+    val openRing = new GenericArrayData((ring.dropRight(1) :+ Array(-4.0, 46.0))
+      .map(p => new GenericArrayData(p.map(_.asInstanceOf[Any])): Any))
+    assert(intercept[IllegalArgumentException] {
+      S2.polygonCover(openRing, 7)
+    }.getMessage.contains("closed"))
   }
 
   test("s2: geo_polygon_to_s2cells through the text front-end; default level 11") {
@@ -577,6 +660,74 @@ class GeoSpec extends SparkSpec {
     assert(one("geo_h3cell_parent('zzz', 1)").isNullAt(0))
   }
 
+  test("h3: children — reciprocity, coverage, counts, conventions") {
+    import graft.functions.H3
+    import org.apache.spark.unsafe.types.UTF8String
+    // interior cell (face 17) and a face-edge cell (gw straddles 16/17)
+    for ((lon, lat) <- Seq((-20.9, 0.5), (139.7, 35.7), (0.05, 0.05))) {
+      val p4 = one(s"geo_point_to_h3cell($lon, $lat, 4)").getString(0)
+      val kids = one(s"geo_h3cell_children('$p4', 5)").getSeq[String](0)
+      // aperture 7: ~7 children; a face-EDGE cell's region is clipped
+      // by ownership, so several of its hex's children center-round
+      // into the adjacent face's parent instead (the 0.05/0.05 sample
+      // measures 4 — brute-force verified)
+      assert(kids.size >= 3 && kids.size <= 9, s"children of $p4: $kids")
+      assert(kids.distinct.size == kids.size)
+      assert(kids == kids.sorted, "children sorted")
+      // RECIPROCITY: parent(child, 4) == cell for EVERY emitted child
+      kids.foreach { k =>
+        assert(one(s"geo_h3cell_level('$k')").getInt(0) == 5)
+        assert(one(s"geo_h3cell_parent('$k', 4)").getString(0) == p4,
+          s"parent of child $k is not $p4")
+      }
+      // childcount == size(children); default res is one level down
+      assert(one(s"geo_h3cell_childcount('$p4', 5)").getInt(0) == kids.size)
+      assert(one(s"geo_h3cell_children('$p4')").getSeq[String](0) == kids)
+      // PARTITION COMPLETENESS: children-by-center-containment
+      // partition the res-5 CELLS (each child cell has exactly one
+      // parent), not the parent's REGION — the unaligned lattices let
+      // a point sit in parent P while its res-5 cell's CENTER sits in
+      // a neighbor of P (true of real H3 too: a child hex is not
+      // geometrically contained in its parent hex). The exact pin is
+      // therefore: every sampled res-5 cell W appears in
+      // childrenOf(parentOf(W)) — the enumeration misses nothing.
+      var g = 424242L
+      var hits = 0
+      for (_ <- 1 to 2000) {
+        g = g * 6364136223846793005L + 1442695040888963407L
+        val fx = (g >>> 11).toDouble / (1L << 53).toDouble
+        g = g * 6364136223846793005L + 1442695040888963407L
+        val fy = (g >>> 11).toDouble / (1L << 53).toDouble
+        val plon = lon - 2.0 + 4.0 * fx
+        val plat = lat - 2.0 + 4.0 * fy
+        hits += 1
+        val w = H3.cellToken(plon, plat, 5)
+        val par = H3.parentOf(w, 4)
+        val ch = H3.childrenOf(par, 5)
+        val chSet = (0 until ch.numElements())
+          .map(i => ch.getUTF8String(i).toString).toSet
+        assert(chSet.contains(w.toString),
+          s"res-5 cell $w missing from children of its own parent $par")
+      }
+      assert(hits > 100)
+    }
+    // gap 2: ~49 children, all reciprocal
+    val p3 = one("geo_point_to_h3cell(-20.9, 0.5, 3)").getString(0)
+    val kids2 = one(s"geo_h3cell_children('$p3', 5)").getSeq[String](0)
+    assert(kids2.size >= 40 && kids2.size <= 58, s"gap-2 count ${kids2.size}")
+    kids2.foreach { k =>
+      assert(one(s"geo_h3cell_parent('$k', 3)").getString(0) == p3)
+    }
+    // conventions: same res -> [cell]; finer-than-MaxRes/coarser -> null;
+    // gap > 4 rejects loudly; malformed -> null
+    assert(one(s"geo_h3cell_children('$p3', 3)").getSeq[String](0) == Seq(p3))
+    assert(one(s"geo_h3cell_children('$p3', 2)").isNullAt(0))
+    assert(H3.childrenOf(UTF8String.fromString(p3), 13) == null)
+    intercept[Exception](one(s"geo_h3cell_children('$p3', 8)").getSeq[String](0))
+    assert(one("geo_h3cell_children('zzz', 5)").isNullAt(0))
+    assert(one("geo_h3cell_childcount('zzz', 5)").isNullAt(0))
+  }
+
   test("h3: polygon cover is complete over dense pseudo-random interior points") {
     import graft.functions.H3
     import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -643,6 +794,13 @@ class GeoSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       H3.polygonCover(new GenericArrayData(
         xmer.map(p => new GenericArrayData(p.map(_.asInstanceOf[Any])): Any)), 3)
+    }
+    // unclosed ring (first != last) rejects loudly — an open ring would
+    // silently drop the closing edge from the cover
+    val open = fence.dropRight(1) :+ Array(-26.0, -4.0)
+    intercept[IllegalArgumentException] {
+      H3.polygonCover(new GenericArrayData(
+        open.map(p => new GenericArrayData(p.map(_.asInstanceOf[Any])): Any)), 3)
     }
   }
 

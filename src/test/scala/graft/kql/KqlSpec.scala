@@ -3019,4 +3019,134 @@ class KqlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("parser: around / array_split / has_any_index / hash_* scalars") {
+    val reg = Map("T" -> Seq(Tuple1("ignored")).toDF("x"))
+    def one(q: String) = KqlParser.run("T | project v = " + q, reg).collect().head
+    // around: inclusive band
+    assert(one("around(10, 12, 2)").getBoolean(0))
+    assert(one("around(10.0, 12.0, 1.9)").getBoolean(0) == false)
+    assert(one("around(14, 12, 2)").getBoolean(0))
+    // array_split: single index, index list, negative, out-of-range
+    def splitStr(q: String): String =
+      one(s"tostring($q)").getString(0)
+    assert(splitStr("array_split(pack_array(1, 2, 3, 4, 5), 2)")
+      == """[[1, 2], [3, 4, 5]]""")
+    assert(splitStr("array_split(pack_array(1, 2, 3, 4, 5), dynamic([1, 3]))")
+      == """[[1], [2, 3], [4, 5]]""")
+    assert(splitStr("array_split(pack_array(1, 2, 3, 4, 5), -2)")
+      == """[[1, 2, 3], [4, 5]]""")
+    assert(splitStr("array_split(pack_array(1, 2), 7)")
+      == """[[1, 2], []]""")
+    assert(splitStr("array_split(pack_array(1, 2), 0)")
+      == """[[], [1, 2]]""")
+    // has_any_index: index IN VALUES of first term the source has;
+    // whole-term ci semantics (substring inside a word must NOT hit)
+    assert(one("has_any_index('where is the START point', dynamic(['middle', 'start']))").getInt(0) == 1)
+    assert(one("has_any_index('restart now', dynamic(['start', 'now']))").getInt(0) == 1)
+    assert(one("has_any_index('nothing here', dynamic(['a', 'b']))").getInt(0) == -1)
+    // hash tiers: published digests of 'abc'
+    assert(one("hash_md5('abc')").getString(0) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(one("hash_sha1('abc')").getString(0) == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(one("hash_sha256('abc')").getString(0) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+
+  test("parser: convert_* unit families — exact factors, affine temperature, loud rejects") {
+    val reg = Map("T" -> Seq(Tuple1("ignored")).toDF("x"))
+    def one(q: String) = KqlParser.run("T | project v = " + q, reg).collect().head
+    assert(one("convert_length(1.0, 'Mile', 'Meter')").getDouble(0) == 1609.344)
+    assert(one("convert_length(12.0, 'Inch', 'Foot')").getDouble(0) == 12.0 * 0.0254 / 0.3048)
+    assert(one("convert_mass(1.0, 'Pound', 'Gram')").getDouble(0) == 0.45359237 / 0.001)
+    assert(one("convert_speed(1.0, 'MilePerHour', 'MeterPerSecond')").getDouble(0) == 0.44704)
+    assert(math.abs(one("convert_angle(180.0, 'Degree', 'Radian')").getDouble(0) - math.Pi) < 1e-12)
+    assert(one("convert_energy(1.0, 'KilowattHour', 'Joule')").getDouble(0) == 3600000.0)
+    assert(one("convert_volume(1.0, 'UsGallon', 'Liter')").getDouble(0) == 0.003785411784 / 0.001)
+    assert(one("convert_force(1.0, 'KilogramForce', 'Newton')").getDouble(0) == 9.80665)
+    // temperature is affine, not a factor
+    // C -> F routes through Kelvin (two affine steps), so the result
+    // carries the chain's rounding: 211.99999999999994, not 212.0
+    assert(math.abs(one("convert_temperature(100.0, 'DegreeCelsius', 'DegreeFahrenheit')")
+      .getDouble(0) - 212.0) < 1e-12)
+    assert(math.abs(one("convert_temperature(32.0, 'DegreeFahrenheit', 'DegreeCelsius')")
+      .getDouble(0)) < 1e-12)
+    assert(one("convert_temperature(0.0, 'DegreeCelsius', 'Kelvin')").getDouble(0) == 273.15)
+    // unknown unit / non-literal unit reject loudly
+    val e1 = intercept[IllegalArgumentException](one("convert_length(1.0, 'Cubit', 'Meter')"))
+    assert(e1.getMessage.contains("Cubit") && e1.getMessage.contains("supported"))
+    intercept[IllegalArgumentException](one("convert_length(1.0, x, 'Meter')"))
+  }
+
+  test("parser: gamma/loggamma — analytic pins, domain null") {
+    val reg = Map("T" -> Seq(Tuple1("ignored")).toDF("x"))
+    def one(q: String) = KqlParser.run("T | project v = " + q, reg).collect().head
+    assert(math.abs(one("gamma(5.0)").getDouble(0) - 24.0) < 1e-11)
+    assert(math.abs(one("gamma(0.5)").getDouble(0) - math.sqrt(math.Pi)) < 1e-12)
+    assert(math.abs(one("gamma(1.0)").getDouble(0) - 1.0) < 1e-13)
+    assert(math.abs(one("gamma(0.1)").getDouble(0) - 9.513507698668732) < 1e-10)
+    assert(math.abs(one("loggamma(10.5)").getDouble(0) - 13.940625219403763) < 1e-10)
+    assert(math.abs(one("loggamma(100.0)").getDouble(0) - 359.1342053695754) < 1e-9)
+    assert(one("gamma(0.0)").isNullAt(0))
+    assert(one("loggamma(-2.5)").isNullAt(0))
+  }
+
+  test("parser: beta_cdf/beta_pdf/welch_test — analytic and scipy-pinned values") {
+    val reg = Map("T" -> Seq(Tuple1("ignored")).toDF("x"))
+    def one(q: String) = KqlParser.run("T | project v = " + q, reg).collect().head
+    // Beta(1,1) is uniform: cdf(x) = x, pdf = 1
+    assert(math.abs(one("beta_cdf(0.3, 1.0, 1.0)").getDouble(0) - 0.3) < 1e-12)
+    assert(math.abs(one("beta_pdf(0.3, 1.0, 1.0)").getDouble(0) - 1.0) < 1e-12)
+    // Beta(2,2): cdf(x) = 3x^2 - 2x^3 -> cdf(0.25) = 0.15625
+    assert(math.abs(one("beta_cdf(0.25, 2.0, 2.0)").getDouble(0) - 0.15625) < 1e-12)
+    // pdf Beta(2,5) at 0.2: 30*0.2*(0.8)^4 = 2.4576
+    assert(math.abs(one("beta_pdf(0.2, 2.0, 5.0)").getDouble(0) - 2.4576) < 1e-10)
+    // symmetric-branch side (x above the split), large shapes —
+    // reference value from an independent NR-ibeta implementation
+    assert(math.abs(one("beta_cdf(0.9, 20.0, 3.0)").getDouble(0)
+      - 0.6200409384119172) < 1e-10)
+    // bounds and domain
+    assert(one("beta_cdf(-0.5, 2.0, 2.0)").getDouble(0) == 0.0)
+    assert(one("beta_cdf(1.5, 2.0, 2.0)").getDouble(0) == 1.0)
+    assert(one("beta_cdf(0.5, 0.0, 2.0)").isNullAt(0))
+    assert(one("beta_pdf(0.5, -1.0, 2.0)").isNullAt(0))
+    // welch: equal groups -> t = 0 -> p = 1
+    assert(math.abs(one("welch_test(5.0, 1.0, 10, 5.0, 1.0, 10)").getDouble(0) - 1.0) < 1e-12)
+    // Welch p for (m 5, v 1, n 10) vs (m 6, v 2, n 12): t = −1.936,
+    // Welch–Satterthwaite df ≈ 19.56 — reference 0.0673935175609...
+    // from an independent NR-ibeta implementation
+    assert(math.abs(one("welch_test(5.0, 1.0, 10, 6.0, 2.0, 12)").getDouble(0)
+      - 0.06739351756097958) < 1e-10)
+    // degenerate inputs -> null
+    assert(one("welch_test(5.0, 1.0, 1, 6.0, 2.0, 12)").isNullAt(0))
+    assert(one("welch_test(5.0, 0.0, 10, 6.0, 0.0, 12)").isNullAt(0))
+  }
+
+  test("parser: unicode codepoints round-trip, astral-safe; punycode RFC vectors") {
+    val reg = Map("T" -> Seq(Tuple1("ignored")).toDF("x"))
+    def one(q: String) = KqlParser.run("T | project v = " + q, reg).collect().head
+    assert(one("tostring(unicode_codepoints_from_string('héx'))").getString(0)
+      == "[104, 233, 120]")
+    assert(one("unicode_codepoints_from_string('')").getSeq[Int](0).isEmpty)
+    // astral U+1D11E counts as ONE codepoint
+    assert(one("unicode_codepoints_from_string(unicode_codepoints_to_string(pack_array(119070)))")
+      .getSeq[Int](0) == Seq(119070))
+    assert(one("unicode_codepoints_to_string(pack_array(104, 233, 120))").getString(0) == "héx")
+    assert(one("unicode_codepoints_to_string(pack_array(104, -1))").isNullAt(0))
+    // round-trip through both directions
+    assert(one("unicode_codepoints_to_string(unicode_codepoints_from_string('año 2024'))")
+      .getString(0) == "año 2024")
+    // punycode: RFC 3492 / known-label vectors, raw (no xn--)
+    assert(one("punycode_from_string('bücher')").getString(0) == "bcher-kva")
+    assert(one("punycode_to_string('bcher-kva')").getString(0) == "bücher")
+    assert(one("punycode_from_string('münchen')").getString(0) == "mnchen-3ya")
+    assert(one("punycode_to_string('mnchen-3ya')").getString(0) == "münchen")
+    // pure-ASCII label: raw form appends the delimiter
+    assert(one("punycode_from_string('abc')").getString(0) == "abc-")
+    assert(one("punycode_to_string('abc-')").getString(0) == "abc")
+    // round-trip on a mixed label
+    assert(one("punycode_to_string(punycode_from_string('日本語テスト'))")
+      .getString(0) == "日本語テスト")
+    // malformed decode → null (engine convention)
+    assert(one("punycode_to_string('###')").isNullAt(0))
+  }
 }
