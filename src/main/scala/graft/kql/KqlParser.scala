@@ -3585,11 +3585,24 @@ object KqlParser {
           case "min"     => (min(arg(0)), defName(args(0)))
           case "max"     => (max(arg(0)), defName(args(0)))
           case "dcount"  => (count_distinct(arg(0)), defName(args(0)))
+          // ADX count_distinct/count_distinctif are the EXACT forms
+          // (dcount is HLL-approximate there); this engine's dcount is
+          // already exact (documented strengthening), so the four
+          // spellings share one implementation.
+          case "count_distinct" => (count_distinct(arg(0)), defName(args(0)))
+          case "count_distinctif" =>
+            (count_distinct(when(arg(1), arg(0))), defName(args(0)))
           case "countif" => (Kql.countif(arg(0)), "countif_")
           case "dcountif" => (count_distinct(when(arg(1), arg(0))), defName(args(0)))
           case "arg_max" => (Kql.argMax(arg(0), arg(1)), defName(args(1)))
           case "arg_min" => (Kql.argMin(arg(0), arg(1)), defName(args(1)))
           case "make_list" => (Kql.makeList(arg(0)), defName(args(0)))
+          case "make_list_with_nulls" =>
+            // collect_list DROPS nulls; ADX keeps them — wrap each
+            // value in a single-field struct (never null) and unwrap
+            // after collecting.
+            (transform(collect_list(struct(arg(0).as("v"))), mlw => mlw.getField("v")),
+              defName(args(0)))
           case "make_set"  => (Kql.makeSet(arg(0)), defName(args(0)))
           case "percentile" =>
             // ADX percentile(col, P) takes P in [0, 100] and is
@@ -4183,6 +4196,7 @@ object KqlParser {
               "base64_encode_tostring", "base64_decode_tostring", "hash",
               "array_index_of", "array_sum",
               "parse_ipv4", "parse_ipv4_mask", "format_ipv4",
+              "format_ipv4_mask", "base64_decode_toarray",
               "ipv4_is_private", "ipv4_is_in_range", "ipv4_compare",
               "ipv4_netmask_suffix",
               "parse_ipv6", "parse_ipv6_mask", "ipv6_compare", "ipv6_is_match",
@@ -4732,6 +4746,39 @@ object KqlParser {
                   s"CAST(shiftright($x, 16) & 255 AS STRING), '.', " +
                   s"CAST(shiftright($x, 8) & 255 AS STRING), '.', " +
                   s"CAST($x & 255 AS STRING)) ELSE CAST(NULL AS STRING) END)")
+              case "format_ipv4_mask" =>
+                // ADX format_ipv4_mask(ip, prefix) → "a.b.c.d/p" with
+                // the host bits zeroed. Same string-ip contract as
+                // parse_ipv4_mask; prefix outside 0..32 or a malformed
+                // ip → null.
+                require(args.length == 2,
+                  "format_ipv4_mask expects (ip, prefix)")
+                val fp = s"CAST(${args(1)} AS INT)"
+                val fsh = s"(32 - $fp)"
+                val fmasked = s"shiftleft(shiftright(${ipv4Long(args(0))}, $fsh), $fsh)"
+                out.append(s"element_at(transform(array(named_struct(" +
+                  s"'m', $fmasked, 'p', $fp)), fim -> " +
+                  s"CASE WHEN fim.m IS NULL OR fim.p IS NULL OR fim.p < 0 " +
+                  s"OR fim.p > 32 THEN CAST(NULL AS STRING) ELSE concat(" +
+                  s"CAST(shiftright(fim.m, 24) & 255 AS STRING), '.', " +
+                  s"CAST(shiftright(fim.m, 16) & 255 AS STRING), '.', " +
+                  s"CAST(shiftright(fim.m, 8) & 255 AS STRING), '.', " +
+                  s"CAST(fim.m & 255 AS STRING), '/', " +
+                  s"CAST(fim.p AS STRING)) END), 1)")
+              case "base64_decode_toarray" =>
+                // ADX base64_decode_toarray(s) → dynamic array of the
+                // decoded BYTES (ints 0..255). The hex-pair route
+                // keeps arbitrary binary exact (a binary→string cast
+                // would mangle non-UTF-8 bytes). DEVIATION: Spark's
+                // unbase64 is lenient about padding/garbage where ADX
+                // returns empty — malformed input may decode here.
+                require(args.length == 1,
+                  "base64_decode_toarray expects (string)")
+                out.append(s"element_at(transform(array(hex(unbase64(${args(0)}))), b64h -> " +
+                  s"CASE WHEN b64h IS NULL THEN CAST(NULL AS ARRAY<INT>) " +
+                  s"WHEN length(b64h) = 0 THEN CAST(array() AS ARRAY<INT>) ELSE " +
+                  s"transform(sequence(1, length(b64h) DIV 2), b64i -> " +
+                  s"CAST(conv(substring(b64h, b64i * 2 - 1, 2), 16, 10) AS INT)) END), 1)")
               case "ipv4_is_private" =>
                 // RFC1918: 10.0.0.0/8, 172.16.0.0/12, 192.168.0.0/16
                 require(args.length == 1, "ipv4_is_private expects (ip)")
@@ -7057,22 +7104,32 @@ object KqlParser {
     * DEVIATION (documented): positive domain only — x ≤ 0 → null (ADX
     * also covers negative non-integers via reflection). Accuracy vs
     * true Γ: ~1e-13 relative (KqlSpec pins Γ(5)=24, Γ(0.5)=√π). */
-  private[kql] def loggammaSql(x0: String): String = {
-    // bind x once; z = x' - 1 with the <0.5 shift applied
+  /** The Lanczos arithmetic itself, dialect-NEUTRAL (plain ln/CASE/
+    * arithmetic — valid in both Spark SQL and DuckDB) in terms of
+    * caller-supplied `x` and `z` expressions (z = x if x < 0.5 else
+    * x − 1; the caller binds or repeats them). Shared by the engine
+    * ([[loggammaSql]]) and the DuckDB oracle builders so both replay
+    * the SAME op chain. No domain guard — callers add x ≤ 0 → null. */
+  private[graft] def loggammaCore(x: String, z: String): String = {
     val coefs = Seq(
       "676.5203681218851", "-1259.1392167224028", "771.32342877765313",
       "-176.61502916214059", "12.507343278686905", "-0.13857109526572012",
       "0.0000099843695780195716", "0.00000015056327351493116")
     val sum = coefs.zipWithIndex.foldLeft("0.99999999999980993") {
-      case (acc, (c, i)) => s"($acc + ($c) / (lgz.z + ${i + 1}.0))"
+      case (acc, (c, i)) => s"($acc + ($c) / ($z + ${i + 1}.0))"
     }
+    s"(0.5 * ln(2.0 * pi()) + ($z + 0.5) * ln($z + 7.5) " +
+      s"- ($z + 7.5) + ln($sum)) " +
+      s"- (CASE WHEN $x < 0.5 THEN ln($x) ELSE 0.0 END)"
+  }
+
+  private[kql] def loggammaSql(x0: String): String = {
+    // bind x once; z = x' - 1 with the <0.5 shift applied
     s"element_at(transform(array(named_struct('x', CAST(($x0) AS DOUBLE))), lgx -> " +
       s"element_at(transform(array(named_struct('z', " +
       s"CASE WHEN lgx.x < 0.5 THEN lgx.x ELSE lgx.x - 1.0 END)), lgz -> " +
       s"CASE WHEN lgx.x <= 0.0 THEN CAST(NULL AS DOUBLE) ELSE " +
-      s"(0.5 * ln(2.0 * pi()) + (lgz.z + 0.5) * ln(lgz.z + 7.5) " +
-      s"- (lgz.z + 7.5) + ln($sum)) " +
-      s"- (CASE WHEN lgx.x < 0.5 THEN ln(lgx.x) ELSE 0.0 END) END), 1)), 1)"
+      s"${loggammaCore("lgx.x", "lgz.z")} END), 1)), 1)"
   }
 
   /** ADX geo_polygon_perimeter(polygon) → meters. Same equirectangular
@@ -7105,8 +7162,8 @@ object KqlParser {
     * published, every op exact IEEE and replayed by the DuckDB oracle
     * via list_reduce over the same fold. `a`, `b`, `x` are SQL
     * fragments; a,b must be > 0 (guarded at the call sites). */
-  private[kql] def betacfFold(a: String, b: String, x: String,
-                              acc: String, m: String): (String, String, String) = {
+  private[graft] def betacfFold(a: String, b: String, x: String,
+                                acc: String, m: String): (String, String, String) = {
     def guard(v: String) =
       s"(CASE WHEN abs($v) < 1.0E-30 THEN 1.0E-30 ELSE ($v) END)"
     val mD = s"CAST($m AS DOUBLE)"
@@ -7126,13 +7183,17 @@ object KqlParser {
     * b·ln(1−x)) (the Lanczos chains of [[loggammaSql]]) times the
     * continued fraction, with the NR symmetry split at
     * x < (a+1)/(a+b+2). x ≤ 0 → 0, x ≥ 1 → 1; a ≤ 0 or b ≤ 0 → null. */
+  /** Initial (post-reciprocal) `d`/`h` of the NR fraction — shared
+    * with the oracle builders like [[betacfFold]]. */
+  private[graft] def betacfInitD(a: String, b: String, x: String): String =
+    s"1.0 / (CASE WHEN abs(1.0 - ($a + $b) * $x / ($a + 1.0)) < 1.0E-30 " +
+      s"THEN 1.0E-30 ELSE 1.0 - ($a + $b) * $x / ($a + 1.0) END)"
+
   private[kql] def ibetaSql(a0: String, b0: String, x0: String): String = {
     def cf(a: String, b: String, x: String): String = {
       val init = s"named_struct('c', CAST(1.0 AS DOUBLE), " +
-        s"'d', CAST(1.0 / (CASE WHEN abs(1.0 - ($a + $b) * $x / ($a + 1.0)) < 1.0E-30 " +
-        s"THEN 1.0E-30 ELSE 1.0 - ($a + $b) * $x / ($a + 1.0) END) AS DOUBLE), " +
-        s"'h', CAST(1.0 / (CASE WHEN abs(1.0 - ($a + $b) * $x / ($a + 1.0)) < 1.0E-30 " +
-        s"THEN 1.0E-30 ELSE 1.0 - ($a + $b) * $x / ($a + 1.0) END) AS DOUBLE))"
+        s"'d', CAST(${betacfInitD(a, b, x)} AS DOUBLE), " +
+        s"'h', CAST(${betacfInitD(a, b, x)} AS DOUBLE))"
       val (c2, d2i, h2) = betacfFold(a, b, x, "ibc", "ibm")
       s"aggregate(sequence(1, 200), $init, (ibc, ibm) -> " +
         s"named_struct('c', $c2, 'd', $d2i, 'h', $h2), ibf -> ibf.h)"

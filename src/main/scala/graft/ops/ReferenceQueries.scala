@@ -1410,6 +1410,91 @@ object ReferenceQueries {
       || project name, len_u, cx_u, cy_u, hit
       || sort by name asc""".stripMargin
 
+  /** r15 statistical tier: `beta_cdf` / `beta_pdf` / `welch_test`.
+    * The CDF (and the t-distribution tail inside welch) is the NR
+    * regularized incomplete beta — a FIXED 200-iteration Lentz
+    * continued fraction plus Lanczos lnΓ chains, all expressed as
+    * explicit SQL arithmetic so the DuckDB oracle replays the
+    * identical fold via `list_reduce` (both sides generated from the
+    * SAME Scala builders — see KqlParser.betacfFold/loggammaCore).
+    * Shapes/means derive from orders so both CASE branches of the
+    * symmetry split execute. */
+  val kqlStatTestsText: String =
+    """Orders
+      || where orderid < 60
+      || extend xb = todouble(amount % 47 + 1) / 49.0,
+      |         aa = todouble(orderid % 4 + 1) / 2.0,
+      |         bb = todouble(custid % 3 + 2) / 2.0
+      || extend cdf_u = tolong(floor(beta_cdf(xb, aa, bb) * 1000000.0, 1)),
+      |         pdf_u = tolong(floor(beta_pdf(xb, aa, bb) * 1000000.0, 1)),
+      |         p_u = tolong(floor(welch_test(todouble(amount), todouble(amount % 7 + 1), 10 + orderid % 5,
+      |                                       todouble(amount) - todouble(custid % 5) / 2.0, todouble(custid % 9 + 1), 12 + custid % 4) * 1000000.0, 1))
+      || project orderid, cdf_u, pdf_u, p_u
+      || sort by orderid asc""".stripMargin
+
+  /** r15 aggregate variants: exact `count_distinct`/`count_distinctif`
+    * (ADX's exact forms — this engine's dcount is already exact, so
+    * the four spellings share one implementation) and
+    * `make_list_with_nulls` (struct-wrap keeps the null holes
+    * collect_list drops). The null payload rides format_ipv4's
+    * out-of-range null convention. */
+  val kqlAggVariantsText: String =
+    """Orders
+      || extend seg = orderid % 4
+      || extend sval = iff(amount % 3 == 0, format_ipv4(4294967296), tostring(amount))
+      || summarize nd = count_distinct(city),
+      |            ndi = count_distinctif(city, amount > 150),
+      |            lst = make_list_with_nulls(sval),
+      |            plain = make_list(sval) by seg
+      || project seg, nd, ndi, nwn = tolong(array_length(lst)),
+      |          nplain = tolong(array_length(plain)),
+      |          nnull = tolong(array_length(lst)) - tolong(array_length(plain))
+      || sort by seg asc""".stripMargin
+
+  /** r15 `format_ipv4_mask` + `base64_decode_toarray`: masked dotted-
+    * quad with suffix (host bits zeroed), and base64 → BYTE array
+    * (UTF-8 bytes, not codepoints — the oracle recomputes both
+    * independently from the constructed octets / city text). */
+  val kqlNetB64Text: String =
+    """Orders
+      || where orderid < 50
+      || extend ip = strcat(tostring(orderid % 224 + 1), '.', tostring(custid % 256), '.',
+      |                     tostring(amount % 256), '.', tostring((orderid * 7) % 256))
+      || extend m16 = format_ipv4_mask(ip, 16), m28 = format_ipv4_mask(ip, 28),
+      |         bytes = base64_decode_toarray(base64_encode_tostring(city))
+      || extend bsum = tolong(array_sum(bytes)), bn = tolong(array_length(bytes))
+      || project orderid, m16, m28, bsum, bn
+      || sort by orderid asc""".stripMargin
+
+  // ---- DuckDB mirrors of the special-function chains (shared Scala
+  // builders with the engine: KqlParser.loggammaCore / betacfFold /
+  // betacfInitD generate the arithmetic; only the struct/fold syntax
+  // differs per dialect) -----------------------------------------------
+
+  /** lnΓ for positive args — the engine's Lanczos chain with the z
+    * shift repeated textually (same values, DuckDB has no binder). */
+  private def duckLgamma(x: String): String = {
+    val z = s"(CASE WHEN $x < 0.5 THEN $x ELSE $x - 1.0 END)"
+    "(" + graft.kql.KqlParser.loggammaCore(x, z) + ")"
+  }
+
+  private def duckFront(a: String, b: String, x: String): String =
+    s"exp(${duckLgamma(s"$a + $b")} - ${duckLgamma(a)} - ${duckLgamma(b)} " +
+      s"+ $a * ln($x) + $b * ln(1.0 - $x))"
+
+  // The 200-iteration Lentz fraction runs as a RECURSIVE CTE in the
+  // oracle, not a lambda fold: DuckDB 1.0.0's list_reduce mis-evaluates
+  // multi-field struct accumulators (probed: a field expression can
+  // read another field's UPDATED value mid-step), while the recursive
+  // CTE's row-to-row semantics are standard. The per-step arithmetic
+  // still comes from the SAME Scala builder the engine compiles
+  // (KqlParser.betacfFold), applied to the prior row aliased `cfr` with
+  // the fraction args in columns fa/fb/fx.
+  private def duckBetacfStep: (String, String, String) =
+    graft.kql.KqlParser.betacfFold("cfr.fa", "cfr.fb", "cfr.fx", "cfr", "(cfr.m + 1)")
+  private def duckBetacfInitD: String =
+    graft.kql.KqlParser.betacfInitD("fa", "fb", "fx")
+
   val kqlBasketText: String =
     """Events
       || extend vband = tolong(floor(bin(value, 200) + 0.5, 1)), hot = value >= 400
@@ -1847,6 +1932,9 @@ object ReferenceQueries {
     "kql_scalar_fns3" -> kqlText(kqlScalarFns3Text) _,
     "kql_convert_units" -> kqlText(kqlConvertUnitsText) _,
     "kql_geo_lines2" -> kqlText(kqlGeoLines2Text) _,
+    "kql_stat_tests" -> kqlText(kqlStatTestsText) _,
+    "kql_agg_variants" -> kqlText(kqlAggVariantsText) _,
+    "kql_net_b64" -> kqlText(kqlNetB64Text) _,
     "kql_parse_ua" -> kqlText(kqlParseUaText) _,
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
     "kql_series_fit2" -> kqlText(kqlSeriesFit2Text) _,
@@ -2536,6 +2624,104 @@ object ReferenceQueries {
          |    (ca, cb) -> ca || cb) = city THEN 1 ELSE 0 END AS BIGINT) AS rt_ok
          |FROM lanc
          |ORDER BY orderid ASC""".stripMargin,
+    // exact-distinct counts and the with-nulls/plain list length split
+    // re-derived with FILTER/CASE aggregates.
+    "kql_agg_variants" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid % 4 AS seg,
+         |  CAST(COUNT(DISTINCT city) AS BIGINT) AS nd,
+         |  CAST(COUNT(DISTINCT CASE WHEN amount > 150 THEN city END) AS BIGINT) AS ndi,
+         |  CAST(COUNT(*) AS BIGINT) AS nwn,
+         |  CAST(COUNT(*) FILTER (WHERE amount % 3 <> 0) AS BIGINT) AS nplain,
+         |  CAST(COUNT(*) FILTER (WHERE amount % 3 = 0) AS BIGINT) AS nnull
+         |FROM orders_info GROUP BY 1 ORDER BY seg ASC""".stripMargin,
+    // masked quad rebuilt from the constructed octets (the /28 zeroes
+    // the low 4 bits of the last octet); bytes re-derived from the
+    // ASCII city text via unicode codepoints.
+    "kql_net_b64" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid,
+         |  CAST(orderid % 224 + 1 AS VARCHAR) || '.' || CAST(custid % 256 AS VARCHAR)
+         |    || '.0.0/16' AS m16,
+         |  CAST(orderid % 224 + 1 AS VARCHAR) || '.' || CAST(custid % 256 AS VARCHAR)
+         |    || '.' || CAST(amount % 256 AS VARCHAR) || '.'
+         |    || CAST(((orderid * 7) % 256) // 16 * 16 AS VARCHAR) || '/28' AS m28,
+         |  CAST(list_aggregate(list_transform(range(1, length(city) + 1),
+         |    bi -> unicode(substr(city, CAST(bi AS INT), 1))), 'sum') AS BIGINT) AS bsum,
+         |  CAST(length(city) AS BIGINT) AS bn
+         |FROM orders_info WHERE orderid < 50 ORDER BY orderid ASC""".stripMargin,
+    // the incomplete-beta fraction replayed as a RECURSIVE CTE from the
+    // SAME Scala fold builder the engine compiles (duckBetacfStep —
+    // see the list_reduce caveat above); welch's se²/df/t² arithmetic
+    // mirrored inline; the symmetry split selects the fraction args
+    // (fa, fb, fx) per row exactly as ibetaSql's CASE does.
+    "kql_stat_tests" -> {
+      val (c2, d2i, h2) = duckBetacfStep
+      s"""WITH RECURSIVE ${Sql.ordersInfoCte.stripPrefix("WITH ")},
+         |b1 AS (
+         |  SELECT orderid,
+         |    CAST(amount % 47 + 1 AS DOUBLE) / 49.0 AS xb,
+         |    CAST(orderid % 4 + 1 AS DOUBLE) / 2.0 AS aa,
+         |    CAST(custid % 3 + 2 AS DOUBLE) / 2.0 AS bb,
+         |    CAST(amount AS DOUBLE) AS m1,
+         |    CAST(amount % 7 + 1 AS DOUBLE) AS v1,
+         |    CAST(10 + orderid % 5 AS DOUBLE) AS n1,
+         |    CAST(amount AS DOUBLE) - CAST(custid % 5 AS DOUBLE) / 2.0 AS m2,
+         |    CAST(custid % 9 + 1 AS DOUBLE) AS v2,
+         |    CAST(12 + custid % 4 AS DOUBLE) AS n2
+         |  FROM orders_info WHERE orderid < 60),
+         |b2 AS (
+         |  SELECT *, (v1 / n1 + v2 / n2) AS se2 FROM b1),
+         |b3 AS (
+         |  SELECT *,
+         |    (se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+         |      + (v2 / n2) * (v2 / n2) / (n2 - 1.0))) AS df,
+         |    ((m1 - m2) * (m1 - m2) / se2) AS t2
+         |  FROM b2),
+         |b4 AS (
+         |  SELECT *, df / 2.0 AS wa, df / (df + t2) AS wx FROM b3),
+         |frin AS (
+         |  SELECT orderid, 'cdf' AS kind,
+         |    CASE WHEN xb < (aa + 1.0) / (aa + bb + 2.0) THEN aa ELSE bb END AS fa,
+         |    CASE WHEN xb < (aa + 1.0) / (aa + bb + 2.0) THEN bb ELSE aa END AS fb,
+         |    CASE WHEN xb < (aa + 1.0) / (aa + bb + 2.0) THEN xb ELSE (1.0 - xb) END AS fx
+         |  FROM b4
+         |  UNION ALL
+         |  SELECT orderid, 'p' AS kind,
+         |    CASE WHEN wx < (wa + 1.0) / (wa + 0.5 + 2.0) THEN wa ELSE 0.5 END AS fa,
+         |    CASE WHEN wx < (wa + 1.0) / (wa + 0.5 + 2.0) THEN 0.5 ELSE wa END AS fb,
+         |    CASE WHEN wx < (wa + 1.0) / (wa + 0.5 + 2.0) THEN wx ELSE (1.0 - wx) END AS fx
+         |  FROM b4),
+         |cf AS (
+         |  SELECT orderid, kind, fa, fb, fx, 0 AS m,
+         |    CAST(1.0 AS DOUBLE) AS c,
+         |    CAST($duckBetacfInitD AS DOUBLE) AS d,
+         |    CAST($duckBetacfInitD AS DOUBLE) AS h
+         |  FROM frin
+         |  UNION ALL
+         |  SELECT cfr.orderid, cfr.kind, cfr.fa, cfr.fb, cfr.fx, cfr.m + 1,
+         |    CAST($c2 AS DOUBLE), CAST($d2i AS DOUBLE), CAST($h2 AS DOUBLE)
+         |  FROM cf cfr WHERE cfr.m < 200),
+         |fr AS (SELECT orderid, kind, h FROM cf WHERE m = 200)
+         |SELECT b4.orderid,
+         |  CAST(floor((CASE WHEN xb <= 0.0 THEN 0.0 WHEN xb >= 1.0 THEN 1.0
+         |    WHEN xb < (aa + 1.0) / (aa + bb + 2.0) THEN
+         |      ${duckFront("aa", "bb", "xb")} * fc.h / aa
+         |    ELSE 1.0 - ${duckFront("bb", "aa", "(1.0 - xb)")} * fc.h / bb END)
+         |    * 1000000.0) AS BIGINT) AS cdf_u,
+         |  CAST(floor(exp((aa - 1.0) * ln(xb) + (bb - 1.0) * ln(1.0 - xb)
+         |    + ${duckLgamma("aa + bb")} - ${duckLgamma("aa")} - ${duckLgamma("bb")})
+         |    * 1000000.0) AS BIGINT) AS pdf_u,
+         |  CAST(floor((CASE WHEN wx <= 0.0 THEN 0.0 WHEN wx >= 1.0 THEN 1.0
+         |    WHEN wx < (wa + 1.0) / (wa + 0.5 + 2.0) THEN
+         |      ${duckFront("wa", "0.5", "wx")} * fp.h / wa
+         |    ELSE 1.0 - ${duckFront("0.5", "wa", "(1.0 - wx)")} * fp.h / 0.5 END)
+         |    * 1000000.0) AS BIGINT) AS p_u
+         |FROM b4
+         |JOIN fr fc ON fc.orderid = b4.orderid AND fc.kind = 'cdf'
+         |JOIN fr fp ON fp.orderid = b4.orderid AND fp.kind = 'p'
+         |ORDER BY b4.orderid ASC""".stripMargin
+    },
     // literal factor arithmetic replayed per conversion; temperature
     // affine via Kelvin with the engine's ×5-then-÷9 double chain.
     "kql_convert_units" ->

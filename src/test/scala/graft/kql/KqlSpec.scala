@@ -3090,6 +3090,36 @@ class KqlSpec extends SparkSpec {
     assert(one("loggamma(-2.5)").isNullAt(0))
   }
 
+  test("parser: count_distinct[if], make_list_with_nulls, format_ipv4_mask, base64_decode_toarray") {
+    val reg = Map("T" -> Seq(("a", 1), ("b", 2), ("a", 3), ("c", 4), ("b", 5)).toDF("k", "v"))
+    // exact distinct forms share the dcount implementation
+    val r = KqlParser.run(
+      "T | summarize nd = count_distinct(k), ndi = count_distinctif(k, v >= 3)", reg).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3) // a,b,c; a(3),c(4),b(5)
+    // make_list_with_nulls keeps the null holes make_list drops
+    // (the null comes from format_ipv4's out-of-range convention)
+    val r2 = KqlParser.run(
+      "T | extend s3 = iff(v % 2 == 0, tostring(v), format_ipv4(4294967296)) " +
+        "| summarize lst = make_list_with_nulls(s3), plain = make_list(s3) " +
+        "| project nwn = tolong(array_length(lst)), np = tolong(array_length(plain))",
+      reg).head()
+    assert(r2.getLong(0) == 5, r2)
+    assert(r2.getLong(1) == 2) // make_list dropped 3 nulls
+    val reg1 = Map("T" -> Seq(Tuple1("ignored")).toDF("x"))
+    def one(q: String) = KqlParser.run("T | project v = " + q, reg1).collect().head
+    // format_ipv4_mask
+    assert(one("format_ipv4_mask('192.168.10.77', 24)").getString(0) == "192.168.10.0/24")
+    assert(one("format_ipv4_mask('10.99.88.77', 8)").getString(0) == "10.0.0.0/8")
+    assert(one("format_ipv4_mask('1.2.3.4', 32)").getString(0) == "1.2.3.4/32")
+    assert(one("format_ipv4_mask('1.2.3.4', 33)").isNullAt(0))
+    assert(one("format_ipv4_mask('999.2.3.4', 24)").isNullAt(0))
+    // base64_decode_toarray: 'abc' = YWJj -> [97, 98, 99]; '' -> []
+    assert(one("tostring(base64_decode_toarray('YWJj'))").getString(0) == "[97, 98, 99]")
+    assert(one("base64_decode_toarray('')").getSeq[Int](0).isEmpty)
+    assert(one("base64_decode_toarray(base64_encode_tostring('héx'))").getSeq[Int](0)
+      == Seq(104, 0xc3, 0xa9, 120)) // UTF-8 bytes, not codepoints
+  }
+
   test("parser: beta_cdf/beta_pdf/welch_test — analytic and scipy-pinned values") {
     val reg = Map("T" -> Seq(Tuple1("ignored")).toDF("x"))
     def one(q: String) = KqlParser.run("T | project v = " + q, reg).collect().head
