@@ -3769,7 +3769,7 @@ object KqlParser {
       helpers: scala.collection.mutable.ArrayBuffer[(String, String)] =
         scala.collection.mutable.ArrayBuffer.empty): String = {
     val names = Set("prev", "next", "row_cumsum", "row_number",
-      "row_rank_min", "row_rank_dense")
+      "row_rank_min", "row_rank_dense", "row_window_session")
     val lower = sql.toLowerCase
     if (!names.exists(lower.contains)) return sql
     val out = new StringBuilder
@@ -3811,6 +3811,46 @@ object KqlParser {
                 s"sum(${args.head}) OVER (PARTITION BY $grp ORDER BY $ord " +
                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
               }
+            case "row_window_session" =>
+              // ADX row_window_session(expr, maxWindowSize,
+              // idleTimeout[, restart]) → the session-BEGIN datetime
+              // for each row of the serialized frame: a session starts
+              // at the first row, when the gap from the previous row
+              // exceeds idleTimeout, when the restart predicate fires,
+              // or when the row lies more than maxWindowSize past the
+              // current session's begin. The LAST rule is a true
+              // sequential recurrence (the begin depends on itself) no
+              // SQL window expresses — desugared as: an idle-session
+              // id (the row_cumsum restart helper shape), the running
+              // PREFIX of event micros within the idle session
+              // (collect_list window), and a left fold over that
+              // prefix applying the greedy max-window restart. O(rows
+              // per idle-session) per row — inherent to the serialized
+              // contract, like every row-window function here. Expr
+              // must be datetime; the window sizes must be timespan
+              // literals (they compile into the plan).
+              require(args.length == 3 || args.length == 4,
+                "row_window_session expects (expr, maxWindowSize, idleTimeout[, restart])")
+              val tUs = s"unix_micros(CAST((${args(0)}) AS TIMESTAMP))"
+              val maxUs = spanSecs(args(1), "row_window_session") * 1000000L
+              val idleUs = spanSecs(args(2), "row_window_session") * 1000000L
+              val restart = args.lift(3).map(r => s" OR ($r)").getOrElse("")
+              val flag = s"__rws_new_${helpers.length}"
+              helpers += flag ->
+                (s"CASE WHEN (lag($tUs) OVER (ORDER BY $ord)) IS NULL " +
+                  s"OR $tUs - (lag($tUs) OVER (ORDER BY $ord)) > ${idleUs}L$restart " +
+                  "THEN 1 ELSE 0 END")
+              val grp = s"__rws_grp_${helpers.length}"
+              helpers += grp ->
+                (s"sum($flag) OVER (ORDER BY $ord " +
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+              val pre = s"__rws_pre_${helpers.length}"
+              helpers += pre ->
+                (s"collect_list($tUs) OVER (PARTITION BY $grp ORDER BY $ord " +
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+              s"timestamp_micros(aggregate(slice($pre, 2, size($pre) - 1), " +
+                s"element_at($pre, 1), (rws, rwt) -> " +
+                s"CASE WHEN rwt - rws > ${maxUs}L THEN rwt ELSE rws END))"
             case "row_number" =>
               require(args.length <= 1, "row_number expects () or (startingIndex)")
               if (args.isEmpty) s"row_number() OVER (ORDER BY $ord)"
@@ -3858,7 +3898,50 @@ object KqlParser {
     * mixed chains (`d.a[0].b`) compose; a computed (non-literal)
     * subscript stays unsupported — variant_get requires a foldable
     * path (documented deviation). */
-  private def rewriteVariantPaths(sql: String, df: DataFrame): String = {
+  /** ADX column_ifexists(name, default) → the column when the CURRENT
+    * frame has it, else the default expression — resolved HERE (the
+    * stage rewrite is the first point with the frame's schema in
+    * hand; scalar() is schema-blind). The name must be a string
+    * literal; matching is exact (ADX is case-insensitive on names —
+    * documented deviation, this engine's columns are case-exact
+    * everywhere). Applied before the variant-path rewrite so the
+    * substituted column participates in dynamic-path resolution. */
+  private def rewriteColumnIfExists(sql: String, df: DataFrame): String = {
+    if (!sql.toLowerCase.contains("column_ifexists")) return sql
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '"' || c == '\'') {
+        out.append(c); i += 1
+        while (i < sql.length && sql.charAt(i) != c) { out.append(sql.charAt(i)); i += 1 }
+        if (i < sql.length) { out.append(c); i += 1 }
+      } else if ((c.isLetter || c == '_') &&
+          sql.regionMatches(true, i, "column_ifexists", 0, 15) &&
+          (i == 0 || !(sql.charAt(i - 1).isLetterOrDigit || sql.charAt(i - 1) == '_'))) {
+        var j = i + 15
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        require(j < sql.length && sql.charAt(j) == '(',
+          "column_ifexists expects (name, default)")
+        val close = matchingParen(sql, j)
+        val args = splitTopLevel(sql.substring(j + 1, close), ',')
+          .map(_.trim).filter(_.nonEmpty)
+        require(args.length == 2, "column_ifexists expects (name, default)")
+        val n = args(0)
+        require(n.length >= 2 && (n.head == '\'' || n.head == '"') && n.last == n.head,
+          s"column_ifexists name must be a string literal: $n")
+        val name = n.substring(1, n.length - 1)
+        out.append(
+          if (df.columns.contains(name)) s"`$name`"
+          else s"(${rewriteColumnIfExists(args(1), df)})")
+        i = close + 1
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  private def rewriteVariantPaths(sql0: String, df: DataFrame): String = {
+    val sql = rewriteColumnIfExists(sql0, df)
     val variantRoots: Set[String] = df.schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.VariantType => f.name
     }.toSet

@@ -1432,6 +1432,36 @@ object ReferenceQueries {
       || project orderid, cdf_u, pdf_u, p_u
       || sort by orderid asc""".stripMargin
 
+  /** r15 `row_window_session` — ADX's sessionization over a serialized
+    * frame: session begins at the first row, on an idle gap >
+    * idleTimeout, or when the row is more than maxWindowSize past the
+    * current session's begin (a TRUE sequential recurrence — the
+    * engine desugars to idle-group helper windows + a left fold over
+    * the in-group prefix; see the parser). The scrambled-hash event
+    * times give irregular gaps so both the idle and max-window rules
+    * fire. The oracle replays the same grouping + a scalar list_reduce
+    * fold (single-value state — safe from the DuckDB struct-fold bug
+    * the stat tier works around). */
+  val kqlRowSessionText: String =
+    """Orders
+      || where orderid < 200
+      || extend ts = unixtime_seconds_todatetime(1700000000 + (orderid * 7919) % 20000)
+      || sort by ts asc, orderid asc
+      || extend sb = row_window_session(ts, 20m, 5m)
+      || project orderid, ms = unix_millis(sb)
+      || sort by orderid asc""".stripMargin
+
+  /** r15 `column_ifexists` — schema-conditional column reference,
+    * resolved at the stage rewrite (the first point with the frame
+    * schema in hand): present column → the column, absent → the
+    * default expression. */
+  val kqlColumnIfExistsText: String =
+    """Orders
+      || where orderid < 40
+      || project orderid, a = column_ifexists('amount', 0) * 2,
+      |          m = column_ifexists('missing_col', orderid * 10) + 1
+      || sort by orderid asc""".stripMargin
+
   /** r15 aggregate variants: exact `count_distinct`/`count_distinctif`
     * (ADX's exact forms — this engine's dcount is already exact, so
     * the four spellings share one implementation) and
@@ -1935,6 +1965,8 @@ object ReferenceQueries {
     "kql_stat_tests" -> kqlText(kqlStatTestsText) _,
     "kql_agg_variants" -> kqlText(kqlAggVariantsText) _,
     "kql_net_b64" -> kqlText(kqlNetB64Text) _,
+    "kql_row_session" -> kqlText(kqlRowSessionText) _,
+    "kql_column_ifexists" -> kqlText(kqlColumnIfExistsText) _,
     "kql_parse_ua" -> kqlText(kqlParseUaText) _,
     "kql_series_forecast" -> kqlText(kqlSeriesForecastText) _,
     "kql_series_fit2" -> kqlText(kqlSeriesFit2Text) _,
@@ -2624,6 +2656,42 @@ object ReferenceQueries {
          |    (ca, cb) -> ca || cb) = city THEN 1 ELSE 0 END AS BIGINT) AS rt_ok
          |FROM lanc
          |ORDER BY orderid ASC""".stripMargin,
+    "kql_column_ifexists" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid, amount * 2 AS a,
+         |  CAST(orderid * 10 + 1 AS INTEGER) AS m
+         |FROM orders_info WHERE orderid < 40 ORDER BY orderid ASC""".stripMargin,
+    // sessionization replayed independently: the idle-gap groups via
+    // lag + running sum, the greedy max-window restarts via a SCALAR
+    // list_reduce over the in-group running prefix (single-value
+    // state — unaffected by the struct-fold bug noted at the stat
+    // tier); unix_millis compared as integers.
+    "kql_row_session" ->
+      s"""${Sql.ordersInfoCte},
+         |ev AS (
+         |  SELECT orderid,
+         |    CAST((1700000000 + (orderid * 7919) % 20000) AS BIGINT) * 1000000 AS tus
+         |  FROM orders_info WHERE orderid < 200),
+         |fl AS (
+         |  SELECT orderid, tus,
+         |    CASE WHEN lag(tus) OVER (ORDER BY tus, orderid) IS NULL
+         |      OR tus - lag(tus) OVER (ORDER BY tus, orderid) > 300000000
+         |      THEN 1 ELSE 0 END AS flag
+         |  FROM ev),
+         |gr AS (
+         |  SELECT orderid, tus,
+         |    SUM(flag) OVER (ORDER BY tus, orderid
+         |      ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM fl),
+         |pre AS (
+         |  SELECT orderid,
+         |    list(tus) OVER (PARTITION BY g ORDER BY tus, orderid
+         |      ROWS UNBOUNDED PRECEDING) AS p
+         |  FROM gr)
+         |SELECT orderid,
+         |  CAST(list_reduce(p, (rws, rwt) ->
+         |    CASE WHEN rwt - rws > 1200000000 THEN rwt ELSE rws END) // 1000 AS BIGINT) AS ms
+         |FROM pre ORDER BY orderid ASC""".stripMargin,
     // exact-distinct counts and the with-nulls/plain list length split
     // re-derived with FILTER/CASE aggregates.
     "kql_agg_variants" ->

@@ -3090,6 +3090,53 @@ class KqlSpec extends SparkSpec {
     assert(one("loggamma(-2.5)").isNullAt(0))
   }
 
+  test("parser: column_ifexists resolves against the current frame") {
+    val reg = Map("T" -> Seq((1, "x"), (2, "y")).toDF("v", "k"))
+    val r = KqlParser.run(
+      "T | project v, a = column_ifexists('v', 0) * 2, " +
+        "m = column_ifexists('nope', v * 10) + 1 | sort by v asc", reg).collect()
+    assert(r.map(_.getInt(1)).toSeq == Seq(2, 4))
+    assert(r.map(_.getInt(2)).toSeq == Seq(11, 21))
+    // a string literal CONTAINING the function name is not rewritten
+    val s = KqlParser.run(
+      "T | project s = 'column_ifexists(v, 1)' | take 1", reg).head().getString(0)
+    assert(s == "column_ifexists(v, 1)")
+    // non-literal name rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | project a = column_ifexists(k, 0)", reg).collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
+
+  test("parser: row_window_session — idle, max-window, and restart rules") {
+    // minutes: 0,2,4 | 12,14,16,18,20,22 | 24 with idle 3m, max 10m:
+    // gap 12-4=8 > 3m opens the second session; 22-12=10 is NOT > 10m
+    // (inclusive bound) so 22 stays; 24-12=12 > 10m restarts at 24.
+    val mins = Seq(0, 2, 4, 12, 14, 16, 18, 20, 22, 24)
+    val reg = Map("T" -> mins.zipWithIndex
+      .map { case (m, i) => (i, f"2024-01-01 00:$m%02d:00") }.toDF("i", "s"))
+    val rows = KqlParser.run(
+      "T | extend ts = todatetime(s) | sort by i asc " +
+        "| extend sb = row_window_session(ts, 10m, 3m) " +
+        "| project i, ms = unix_millis(sb) | sort by i asc", reg).collect()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val starts = rows.map(r => ((r.getLong(1) - base) / 60000L).toInt).toSeq
+    assert(starts == Seq(0, 0, 0, 12, 12, 12, 12, 12, 12, 24), starts)
+    // restart predicate forces a new session mid-stream
+    val rows2 = KqlParser.run(
+      "T | extend ts = todatetime(s) | sort by i asc " +
+        "| extend sb = row_window_session(ts, 100m, 100m, i == 5) " +
+        "| project i, ms = unix_millis(sb) | sort by i asc", reg).collect()
+    val starts2 = rows2.map(r => ((r.getLong(1) - base) / 60000L).toInt).toSeq
+    assert(starts2 == Seq(0, 0, 0, 0, 0, 16, 16, 16, 16, 16), starts2)
+    // unserialized frame rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | extend ts = todatetime(s) " +
+        "| extend sb = row_window_session(ts, 10m, 3m)", reg).collect()
+    }
+    assert(e.getMessage.contains("serialized"))
+  }
+
   test("parser: count_distinct[if], make_list_with_nulls, format_ipv4_mask, base64_decode_toarray") {
     val reg = Map("T" -> Seq(("a", 1), ("b", 2), ("a", 3), ("c", 4), ("b", 5)).toDF("k", "v"))
     // exact distinct forms share the dcount implementation
