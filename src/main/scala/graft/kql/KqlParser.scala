@@ -4281,8 +4281,13 @@ object KqlParser {
               "parse_ipv4", "parse_ipv4_mask", "format_ipv4",
               "format_ipv4_mask", "base64_decode_toarray",
               "ipv4_is_private", "ipv4_is_in_range", "ipv4_compare",
-              "ipv4_netmask_suffix",
+              "ipv4_netmask_suffix", "ipv4_is_in_any_range",
+              "has_ipv4", "has_any_ipv4", "has_ipv4_prefix",
+              "has_any_ipv4_prefix",
               "parse_ipv6", "parse_ipv6_mask", "ipv6_compare", "ipv6_is_match",
+              "ipv6_is_in_range", "ipv6_is_in_any_range",
+              "strcmp", "regex_quote", "jaccard_index", "bag_zip",
+              "base64_encode_fromarray", "array_sort_desc",
               "parse_url", "parse_urlquery", "parse_path",
               "parse_version", "parse_xml", "parse_user_agent",
               "geo_distance_2points", "geo_point_in_circle",
@@ -4396,7 +4401,9 @@ object KqlParser {
                         s"transform(${args(1)}, y -> ${args(0)} $op y)"
                       else s"zip_with(${args(0)}, ${args(1)}, (x, y) -> x $op y)")
                   case "series_abs" | "series_exp" | "series_log" | "series_sign" |
-                       "series_floor" | "series_ceiling" | "series_round" =>
+                       "series_floor" | "series_ceiling" | "series_round" |
+                       "series_sin" | "series_cos" | "series_tan" |
+                       "series_asin" | "series_acos" | "series_atan" =>
                     // r13: the elementwise unary tier. Conventions:
                     // null elements map to null (every lambda below is
                     // null-strict), empty series stay empty. Types stay
@@ -4420,6 +4427,21 @@ object KqlParser {
                           "WHEN x = 0 THEN 0 END AS DOUBLE)"
                       case "series_floor" => "x -> CAST(floor(x) AS DOUBLE)"
                       case "series_ceiling" => "x -> CAST(ceiling(x) AS DOUBLE)"
+                      // r15: the elementwise trig tier (ADX series_sin
+                      // et al.) — IEEE libm calls, identical in Spark
+                      // and DuckDB for the correctly-rounded cases; the
+                      // oracle compare floors to micro-units as with
+                      // every double surface. asin/acos outside [-1,1]
+                      // yield NaN in both engines → surfaced as NULL
+                      // (nanvl), the loud in-band convention.
+                      case "series_sin" => "x -> sin(x)"
+                      case "series_cos" => "x -> cos(x)"
+                      case "series_tan" => "x -> tan(x)"
+                      case "series_asin" =>
+                        "x -> IF(abs(x) <= 1.0D, asin(x), CAST(NULL AS DOUBLE))"
+                      case "series_acos" =>
+                        "x -> IF(abs(x) <= 1.0D, acos(x), CAST(NULL AS DOUBLE))"
+                      case "series_atan" => "x -> atan(x)"
                       case _ => // series_round
                         "x -> IF(x >= 0D, CAST(floor(x + 0.5D) AS DOUBLE), " +
                           "CAST(-floor(-x + 0.5D) AS DOUBLE))"
@@ -4888,6 +4910,93 @@ object KqlParser {
               case "ipv4_netmask_suffix" =>
                 require(args.length == 1, "ipv4_netmask_suffix expects (range)")
                 out.append(cidrPrefix(args(0)))
+              case "ipv4_is_in_any_range" =>
+                // r15: OR over the ipv4_is_in_range test per range
+                // argument (SQL three-valued OR — null only when no
+                // range matches and some side was malformed, ADX's
+                // null-on-invalid shape). The ip expression repeats
+                // per range; all arms are map-side codegen arithmetic.
+                require(args.length >= 2,
+                  "ipv4_is_in_any_range expects (ip, range, ...)")
+                val anyTests = args.tail.map { r =>
+                  val sh = s"(32 - ${cidrPrefix(r)})"
+                  s"(shiftright(${ipv4Long(args(0))}, $sh) = " +
+                    s"shiftright(${ipv4Long(cidrBase(r))}, $sh))"
+                }
+                out.append(anyTests.mkString("(", " OR ", ")"))
+              case "ipv6_is_in_range" | "ipv6_is_in_any_range" =>
+                // r15: range is "addr/p" (plain address = /128);
+                // equality of the top p bits via the native prefix
+                // comparator (graft_ipv6_cmp — the ipv6_is_match
+                // kernel). _in_any_range ORs the per-range tests.
+                require(args.length >= 2,
+                  s"${w.toLowerCase} expects (ip, range, ...)")
+                def cidr6Prefix(e: String): String =
+                  s"(CASE WHEN instr($e, '/') > 0 THEN " +
+                    s"try_cast(substring($e, instr($e, '/') + 1, 2147483647) AS INT) " +
+                    s"ELSE 128 END)"
+                require(w.toLowerCase == "ipv6_is_in_any_range" || args.length == 2,
+                  "ipv6_is_in_range expects (ip, range)")
+                val v6Tests = args.tail.map { r =>
+                  s"(graft_ipv6_cmp(${args(0)}, ${cidrBase(r)}, ${cidr6Prefix(r)}) = 0)"
+                }
+                out.append(v6Tests.mkString("(", " OR ", ")"))
+              case "has_ipv4" | "has_any_ipv4" | "has_ipv4_prefix" |
+                   "has_any_ipv4_prefix" =>
+                // r15: ADX textual-IPv4 detection — true when the text
+                // contains a VALID dotted-quad as a whole term (term
+                // boundaries are non-alphanumeric excluding '.', so a
+                // 5-octet token never half-matches). One candidate
+                // extraction regex (strict octets, no leading zeros,
+                // no lookbehind — DuckDB's RE2 has none; the oracle
+                // mirrors it verbatim) + an exists() test per variant.
+                // Prefix args are enforced at OCTET boundaries: a
+                // prefix not ending in '.' matches only a full-octet
+                // cut ('127.0' matches 127.0.x.x, never 127.01.x.x).
+                // IP/prefix arguments must be string literals (the
+                // has_any_index convention — they compile into the
+                // plan).
+                require(args.length >= 1, s"${w.toLowerCase} expects (source, ...)")
+                // Tokenize on the term-boundary class FIRST (a
+                // boundary-consuming match regex would miss adjacent
+                // IPs, and RE2 — the oracle's engine — has no
+                // lookaround), then full-match each dotted token.
+                val oct = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+                val cands = s"filter(split(${args(0)}, '[^0-9A-Za-z.]+'), " +
+                  s"hip -> hip RLIKE '^($oct[.]){3}$oct$$')"
+                def litArg(a: String): String = {
+                  val t = a.trim
+                  require(t.length >= 2 &&
+                      (t.head == '\'' || t.head == '"') && t.last == t.head,
+                    s"${w.toLowerCase}: IP/prefix arguments must be string literals: $a")
+                  t.substring(1, t.length - 1)
+                }
+                w.toLowerCase match {
+                  case "has_ipv4" =>
+                    require(args.length == 1, "has_ipv4 expects (source)")
+                    out.append(s"(size($cands) > 0)")
+                  case "has_any_ipv4" =>
+                    require(args.length >= 2, "has_any_ipv4 expects (source, ip, ...)")
+                    val ips = args.tail.map(litArg)
+                      .map(ip => "'" + ip.replace("'", "''") + "'")
+                      .mkString(", ")
+                    out.append(s"exists($cands, hip -> hip IN ($ips))")
+                  case _ => // has_ipv4_prefix | has_any_ipv4_prefix
+                    require(args.length >= 2,
+                      s"${w.toLowerCase} expects (source, prefix, ...)")
+                    if (w.toLowerCase == "has_ipv4_prefix")
+                      require(args.length == 2, "has_ipv4_prefix expects (source, prefix)")
+                    val tests = args.tail.map(litArg).map { p0 =>
+                      val p = if (p0.endsWith(".")) p0 else p0 + "."
+                      val lit = "'" + p.replace("'", "''") + "'"
+                      // full-prefix tokens ('1.2.3.4' vs prefix
+                      // '1.2.3.4.') can never match a longer IP, so
+                      // also accept candidate == prefix-without-dot
+                      s"(startswith(hip, $lit) OR hip = '" +
+                        p0.stripSuffix(".").replace("'", "''") + "')"
+                    }
+                    out.append(s"exists($cands, hip -> ${tests.mkString("(", " OR ", ")")})")
+                }
               case "zip" =>
                 // ADX zip(a, b) → array of 2-element pairs. Emitted as
                 // pair ARRAYS via zip_with, so both inputs must share
@@ -5267,6 +5376,75 @@ object KqlParser {
                   "around expects (value, center, delta)")
                 out.append(s"((${args(0)}) BETWEEN ((${args(1)}) - (${args(2)})) " +
                   s"AND ((${args(1)}) + (${args(2)})))")
+              case "strcmp" =>
+                // r15: ordinal 3-way compare. Both engines order
+                // strings by raw bytes (Spark UTF8String, DuckDB
+                // memcmp) so the sign agrees on any UTF-8 input;
+                // null in → null out (no-ELSE CASE).
+                require(args.length == 2, "strcmp expects (s1, s2)")
+                out.append(s"(CASE WHEN (${args(0)}) < (${args(1)}) THEN -1 " +
+                  s"WHEN (${args(0)}) = (${args(1)}) THEN 0 " +
+                  s"WHEN (${args(0)}) > (${args(1)}) THEN 1 END)")
+              case "regex_quote" =>
+                // r15: escape the RE2/Java-common metacharacters with
+                // a backslash — one regexp_replace with a character
+                // class, global in Spark by default (the oracle adds
+                // DuckDB's 'g' flag). \Q..\E would be Java-only.
+                require(args.length == 1, "regex_quote expects (string)")
+                out.append(s"regexp_replace(${args(0)}, " +
+                  "'([.^$*+?()\\\\[\\\\]{}|\\\\\\\\])', '\\\\\\\\$1')")
+              case "array_sort_desc" =>
+                // r15: descending sibling of the array_sort_asc rename
+                // (sort_array's second arg). Nulls sort LAST both ways
+                // here (Spark's desc convention; asc's nulls-first is
+                // documented at the rename) — the multi-array form is
+                // not supported, matching array_sort_asc.
+                require(args.length == 1,
+                  "array_sort_desc expects (array) — the multi-array form is not supported")
+                out.append(s"sort_array(${args(0)}, false)")
+              case "jaccard_index" =>
+                // r15: |A∩B| / |A∪B| over the DISTINCT elements (ADX
+                // treats the inputs as sets); both-empty → null (0/0
+                // via nullif), ADX's real-division convention.
+                require(args.length == 2, "jaccard_index expects (set1, set2)")
+                out.append(s"(CAST(size(array_intersect(${args(0)}, ${args(1)})) AS DOUBLE) " +
+                  s"/ nullif(size(array_union(${args(0)}, ${args(1)})), 0))")
+              case "bag_zip" =>
+                // r15: ADX bag_zip(keys, values) → property bag. Keys
+                // cast to string; length mismatch or null side → null
+                // (ADX contract); null keys drop; duplicate keys keep
+                // the FIRST occurrence (deterministic — ADX leaves it
+                // unspecified; the make_bag first-wins convention);
+                // the VARIANT round trip canonicalizes to sorted-key
+                // order (engine-wide bag convention).
+                require(args.length == 2, "bag_zip expects (keys, values)")
+                out.append(s"element_at(transform(array(named_struct(" +
+                  s"'k', try_cast(${args(0)} AS ARRAY<STRING>), " +
+                  s"'v', try_cast(${args(1)} AS ARRAY<VARIANT>))), bzt -> " +
+                  s"CASE WHEN bzt.k IS NULL OR bzt.v IS NULL " +
+                  s"OR size(bzt.k) <> size(bzt.v) THEN CAST(NULL AS VARIANT) " +
+                  s"ELSE parse_json(to_json(map_from_arrays(" +
+                  s"transform(filter(sequence(1, size(bzt.k)), bzi -> " +
+                  s"element_at(bzt.k, bzi) IS NOT NULL AND " +
+                  s"array_position(bzt.k, element_at(bzt.k, bzi)) = bzi), " +
+                  s"bzi -> element_at(bzt.k, bzi)), " +
+                  s"transform(filter(sequence(1, size(bzt.k)), bzi -> " +
+                  s"element_at(bzt.k, bzi) IS NOT NULL AND " +
+                  s"array_position(bzt.k, element_at(bzt.k, bzi)) = bzi), " +
+                  s"bzi -> element_at(bzt.v, bzi))))) END), 1)")
+              case "base64_encode_fromarray" =>
+                // r15: bytes array → base64 (the decode_toarray
+                // inverse). Elements are taken mod 256 (signed bytes
+                // accepted); the fold renders each byte as 2 hex
+                // digits and unhex()es once — a per-element string
+                // fold, fine at the bounded array sizes this surface
+                // carries (same tradeoff as strcat_array).
+                require(args.length == 1,
+                  "base64_encode_fromarray expects (bytes array)")
+                out.append(s"base64(unhex(aggregate(" +
+                  s"try_cast(${args(0)} AS ARRAY<INT>), '', " +
+                  s"(b64acc, b64x) -> concat(b64acc, " +
+                  s"lpad(hex((b64x % 256 + 256) % 256), 2, '0')))))")
               case "array_split" =>
                 // ADX array_split(arr, index|indices) → array of
                 // subarrays split BEFORE each zero-based index

@@ -1366,6 +1366,79 @@ object ReferenceQueries {
       || project orderid, near150, hidx, md5h, sh256, np, pick, lg_u, g_u, cp_sum, cp_n, rt_ok
       || sort by orderid asc""".stripMargin
 
+  /** r15 scalar wave 4 — `strcmp` (ordinal 3-way, byte order in both
+    * engines), `regex_quote` (one metachar-class regexp_replace),
+    * `array_sort_desc`, `jaccard_index` (distinct-set ∩/∪ cardinality
+    * ratio), `bag_zip` (first-wins duplicate keys, sorted-key VARIANT
+    * canon), and `base64_encode_fromarray` (per-byte hex fold →
+    * unhex → base64). The oracle re-derives every column from
+    * orders_info: the sort via greatest/least, the Jaccard via
+    * list_distinct/list_filter cardinalities, the bag fields from the
+    * first-wins rule directly, the base64 via the same hex fold. */
+  val kqlScalarFns4Text: String =
+    """Orders
+      || where orderid < 300
+      || extend s2 = strcat('c', substring(city, 2, 3))
+      || extend cmp = strcmp(strcat('c', city), s2),
+      |         rq = regex_quote(strcat(city, '+(', tostring(orderid % 10), ').*')),
+      |         sd = array_sort_desc(pack_array(orderid % 7, orderid % 5, orderid % 3, amount % 11)),
+      |         ja_u = tolong(floor(jaccard_index(pack_array(orderid % 4, orderid % 6, 2), pack_array(orderid % 6, 3, 2)) * 1000000.0, 1)),
+      |         bz = bag_zip(pack_array('k1', 'k2', 'k1'), pack_array(orderid, amount, custid)),
+      |         b64 = base64_encode_fromarray(pack_array(orderid % 256, amount % 256, custid % 256, 200))
+      || extend sd0 = tolong(sd[0]), sd3 = tolong(sd[3]),
+      |         bza = tolong(bz.k1), bzb = tolong(bz.k2),
+      |         bkeys = strcat_array(bag_keys(bz), ',')
+      || project orderid, cmp, rq, ja_u, sd0, sd3, bza, bzb, bkeys, b64
+      || sort by orderid asc""".stripMargin
+
+  /** r15 IP-text tier 2 — `ipv4_is_in_any_range` (OR over per-range
+    * top-bit equality), `ipv6_is_in_range` / `ipv6_is_in_any_range`
+    * (the graft_ipv6_cmp prefix kernel against "addr/p" CIDR text),
+    * and the textual-IPv4 detectors `has_ipv4` / `has_any_ipv4` /
+    * `has_ipv4_prefix` / `has_any_ipv4_prefix` (tokenize on the
+    * term-boundary class, then full-match strict dotted-quads —
+    * prefixes enforced at octet boundaries). Fixed datatable inputs;
+    * the oracle carries the hand-derived per-literal expectations,
+    * the kql_ipv6 fixture convention. */
+  val kqlIpFns2Text: String =
+    """let T = datatable(id:long, txt:string, ip:string, ip6:string)[
+      |  1, 'connect from 10.1.2.3 ok', '10.1.2.3', 'fe80::1ff:fe23:4567:890a',
+      |  2, 'bad 999.1.2.3 and 10.1.2.300', '192.168.7.14', '2001:db8:1234::1',
+      |  3, 'multi 10.0.0.1 10.0.0.2', '172.16.5.9', '2001:db8:abcd:12::ff',
+      |  4, 'prefix 127.0.1.5 hit', '8.8.8.8', '::ffff:192.0.2.1',
+      |  5, 'dotted 1.2.3.4.5 no', '10.255.255.254', 'fe80::a'
+      |];
+      |T
+      || extend any4 = tolong(iff(ipv4_is_in_any_range(ip, '10.0.0.0/8', '192.168.0.0/16'), 1, 0)),
+      |         in6 = tolong(iff(ipv6_is_in_range(ip6, '2001:db8::/32'), 1, 0)),
+      |         any6 = tolong(iff(ipv6_is_in_any_range(ip6, 'fe80::/10', '2001:db8:abcd::/48'), 1, 0)),
+      |         h4 = tolong(iff(has_ipv4(txt), 1, 0)),
+      |         ha4 = tolong(iff(has_any_ipv4(txt, '10.0.0.2', '10.1.2.3'), 1, 0)),
+      |         hp4 = tolong(iff(has_ipv4_prefix(txt, '127.0.'), 1, 0)),
+      |         hap4 = tolong(iff(has_any_ipv4_prefix(txt, '10.0.', '99.'), 1, 0))
+      || project id, any4, in6, any6, h4, ha4, hp4, hap4
+      || sort by id asc""".stripMargin
+
+  /** r15 elementwise trig tier — `series_sin/cos/tan/asin/acos/atan`
+    * over pack_array series; outputs are micro-floored left-fold sums
+    * (the series_sum order), the oracle replaying the identical
+    * parenthesized additions over libm calls. asin/acos outside
+    * [-1, 1] yield NULL (nanvl'd in-band convention) — the `a_null`
+    * column pins the propagation through the fold. */
+  val kqlSeriesTrigText: String =
+    """Orders
+      || where orderid < 200
+      || extend xs = pack_array(todouble(orderid % 7) / 3.0, todouble(amount % 13) / 6.0, -1.25, 2.0)
+      || extend sn_u = tolong(floor(series_sum(series_sin(xs)) * 1000000.0, 1)),
+      |         cn_u = tolong(floor(series_sum(series_cos(xs)) * 1000000.0, 1)),
+      |         tn_u = tolong(floor(series_sum(series_tan(xs)) * 1000000.0, 1)),
+      |         at_u = tolong(floor(series_sum(series_atan(xs)) * 1000000.0, 1)),
+      |         as_u = tolong(floor(series_sum(series_asin(series_divide(xs, 4.0))) * 1000000.0, 1)),
+      |         ac_u = tolong(floor(series_sum(series_acos(series_divide(xs, 4.0))) * 1000000.0, 1)),
+      |         a_null = tolong(iff(isnull(series_sum(series_asin(xs))), 1, 0))
+      || project orderid, sn_u, cn_u, tn_u, at_u, as_u, ac_u, a_null
+      || sort by orderid asc""".stripMargin
+
   /** r15 `convert_*` unit families — exact published factors compiled
     * into the plan from literal UnitsNet unit names (loud reject on
     * unknown units), temperature affine via Kelvin. The oracle replays
@@ -1960,6 +2033,9 @@ object ReferenceQueries {
     "kql_geo_area" -> kqlText(kqlGeoAreaText) _,
     "kql_geo_measures" -> kqlText(kqlGeoMeasuresText) _,
     "kql_scalar_fns3" -> kqlText(kqlScalarFns3Text) _,
+    "kql_scalar_fns4" -> kqlText(kqlScalarFns4Text) _,
+    "kql_ip_fns2" -> kqlText(kqlIpFns2Text) _,
+    "kql_series_trig" -> kqlText(kqlSeriesTrigText) _,
     "kql_convert_units" -> kqlText(kqlConvertUnitsText) _,
     "kql_geo_lines2" -> kqlText(kqlGeoLines2Text) _,
     "kql_stat_tests" -> kqlText(kqlStatTestsText) _,
@@ -2661,6 +2737,73 @@ object ReferenceQueries {
          |SELECT orderid, amount * 2 AS a,
          |  CAST(orderid * 10 + 1 AS INTEGER) AS m
          |FROM orders_info WHERE orderid < 40 ORDER BY orderid ASC""".stripMargin,
+    // scalar wave 4: strcmp via the same 3-way CASE over byte-ordered
+    // strings, regex_quote via the identical metachar-class replace
+    // (DuckDB needs the 'g' flag; backslashes are literal in DuckDB
+    // strings where Spark literals escape them), the desc sort read
+    // back as greatest/least, Jaccard re-derived from
+    // list_distinct/list_filter cardinalities in the same op order,
+    // the bag fields from the first-wins duplicate rule directly, and
+    // the base64 via the same per-byte hex fold.
+    "kql_scalar_fns4" ->
+      s"""${Sql.ordersInfoCte},
+         |b AS (
+         |  SELECT orderid, custid, amount, city,
+         |    'c' || city AS s1v, 'c' || substr(city, 3, 3) AS s2v,
+         |    list_distinct([orderid % 4, orderid % 6, 2]) AS la,
+         |    list_distinct([orderid % 6, 3, 2]) AS lb
+         |  FROM orders_info WHERE orderid < 300)
+         |SELECT orderid,
+         |  CASE WHEN s1v < s2v THEN -1 WHEN s1v = s2v THEN 0
+         |    WHEN s1v > s2v THEN 1 END AS cmp,
+         |  regexp_replace(city || '+(' || CAST(orderid % 10 AS VARCHAR) || ').*',
+         |    '([.^$$*+?()\\[\\]{}|\\\\])', '\\\\\\1', 'g') AS rq,
+         |  CAST(floor(CAST(len(list_filter(la, jx -> list_contains(lb, jx))) AS DOUBLE)
+         |    / nullif(len(list_distinct(list_concat(la, lb))), 0) * 1000000.0) AS BIGINT) AS ja_u,
+         |  CAST(greatest(orderid % 7, orderid % 5, orderid % 3, amount % 11) AS BIGINT) AS sd0,
+         |  CAST(least(orderid % 7, orderid % 5, orderid % 3, amount % 11) AS BIGINT) AS sd3,
+         |  CAST(orderid AS BIGINT) AS bza,
+         |  CAST(amount AS BIGINT) AS bzb,
+         |  'k1,k2' AS bkeys,
+         |  to_base64(from_hex(
+         |    lpad(to_hex(orderid % 256), 2, '0') || lpad(to_hex(amount % 256), 2, '0')
+         |    || lpad(to_hex(custid % 256), 2, '0') || lpad(to_hex(200), 2, '0'))) AS b64
+         |FROM b
+         |ORDER BY orderid ASC""".stripMargin,
+    // IP tier 2: fixed-datatable fixture expectations (the kql_ipv6
+    // convention) — every bit hand-derived from the literals: CIDR
+    // top-bit membership, strict-octet term detection over the
+    // boundary-class tokenization, octet-boundary prefix rule.
+    "kql_ip_fns2" ->
+      """SELECT id, any4, in6, any6, h4, ha4, hp4, hap4 FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(id, any4, in6, any6, h4, ha4, hp4, hap4)
+        |ORDER BY id ASC""".stripMargin,
+    // trig tier: the identical left-fold addition order over libm
+    // calls (0.0 + sin(x1) collapses exactly), micro-floored; the
+    // out-of-range asin NULL pin re-derived from the range test.
+    "kql_series_trig" ->
+      s"""${Sql.ordersInfoCte},
+         |b AS (
+         |  SELECT orderid,
+         |    CAST(orderid % 7 AS DOUBLE) / 3.0 AS x1,
+         |    CAST(amount % 13 AS DOUBLE) / 6.0 AS x2,
+         |    CAST(-1.25 AS DOUBLE) AS x3, CAST(2.0 AS DOUBLE) AS x4
+         |  FROM orders_info WHERE orderid < 200)
+         |SELECT orderid,
+         |  CAST(floor((((sin(x1) + sin(x2)) + sin(x3)) + sin(x4)) * 1000000.0) AS BIGINT) AS sn_u,
+         |  CAST(floor((((cos(x1) + cos(x2)) + cos(x3)) + cos(x4)) * 1000000.0) AS BIGINT) AS cn_u,
+         |  CAST(floor((((tan(x1) + tan(x2)) + tan(x3)) + tan(x4)) * 1000000.0) AS BIGINT) AS tn_u,
+         |  CAST(floor((((atan(x1) + atan(x2)) + atan(x3)) + atan(x4)) * 1000000.0) AS BIGINT) AS at_u,
+         |  CAST(floor((((asin(x1 / 4.0) + asin(x2 / 4.0)) + asin(x3 / 4.0)) + asin(x4 / 4.0)) * 1000000.0) AS BIGINT) AS as_u,
+         |  CAST(floor((((acos(x1 / 4.0) + acos(x2 / 4.0)) + acos(x3 / 4.0)) + acos(x4 / 4.0)) * 1000000.0) AS BIGINT) AS ac_u,
+         |  CAST(CASE WHEN abs(x3) > 1.0 OR abs(x4) > 1.0 THEN 1 ELSE 0 END AS BIGINT) AS a_null
+         |FROM b
+         |ORDER BY orderid ASC""".stripMargin,
     // sessionization replayed independently: the idle-gap groups via
     // lag + running sum, the greedy max-window restarts via a SCALAR
     // list_reduce over the in-group running prefix (single-value

@@ -3226,4 +3226,79 @@ class KqlSpec extends SparkSpec {
     // malformed decode → null (engine convention)
     assert(one("punycode_to_string('###')").isNullAt(0))
   }
+
+  test("parser: scalar wave 4 — strcmp/regex_quote/array_sort_desc/jaccard/bag_zip/b64") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    // strcmp: ordinal sign, null in → null out
+    assert(one("strcmp('abc', 'abd')").getInt(0) == -1)
+    assert(one("strcmp('abc', 'abc')").getInt(0) == 0)
+    assert(one("strcmp('b', 'a')").getInt(0) == 1)
+    assert(one("strcmp(tostring(c), '')").getInt(0) == 1)
+    // regex_quote output used AS a regex matches the original literally
+    assert(one("tolong(iff('a+b(c)' matches regex regex_quote('a+b(c)'), 1, 0))")
+      .getLong(0) == 1L)
+    assert(one("regex_quote('1.2*3')").getString(0) == "1\\.2\\*3")
+    assert(one("regex_quote('back\\\\slash')").getString(0) == "back\\\\slash")
+    // array_sort_desc
+    assert(one("array_sort_desc(pack_array(2, 9, 4))").getSeq[Int](0) == Seq(9, 4, 2))
+    // jaccard_index: distinct-set semantics; both-empty → null
+    assert(one("jaccard_index(pack_array(1, 2, 2), pack_array(2, 3))").getDouble(0)
+      == 1.0 / 3.0)
+    assert(one("jaccard_index(pack_array(1), pack_array(1))").getDouble(0) == 1.0)
+    // bag_zip: first-wins dup keys, sorted-key canon, mismatch → null
+    assert(one("tostring(bag_zip(pack_array('b', 'a', 'b'), pack_array(1, 2, 3)))")
+      .getString(0) == """{"a":2,"b":1}""")
+    assert(one("bag_zip(pack_array('a'), pack_array(1, 2))").isNullAt(0))
+    // base64_encode_fromarray inverts base64_decode_toarray
+    assert(one("base64_encode_fromarray(pack_array(77, 97, 110))").getString(0) == "TWFu")
+    assert(one("strcat_array(base64_decode_toarray(" +
+      "base64_encode_fromarray(pack_array(0, 255, 128))), ',')")
+      .getString(0) == "0,255,128")
+  }
+
+  test("parser: IP tier 2 — in_any_range, ipv6 CIDR, textual IPv4 detection") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = tolong(iff($e, 1, 0))", reg).head()
+    assert(one("ipv4_is_in_any_range('10.2.3.4', '11.0.0.0/8', '10.0.0.0/8')").getLong(0) == 1L)
+    assert(one("ipv4_is_in_any_range('12.2.3.4', '11.0.0.0/8', '10.0.0.0/8')").getLong(0) == 0L)
+    // plain address range = /128; '::'-gapped CIDR base parses
+    assert(one("ipv6_is_in_range('2001:db8::1', '2001:db8::1')").getLong(0) == 1L)
+    assert(one("ipv6_is_in_range('2001:db8::2', '2001:db8::1')").getLong(0) == 0L)
+    assert(one("ipv6_is_in_any_range('fe80::9', 'fc00::/7', 'fe80::/10')").getLong(0) == 1L)
+    // adjacent IPs one separator apart are BOTH terms (the tokenize-
+    // first design; a boundary-consuming regex would miss the second)
+    assert(one("has_ipv4('x 1.2.3.4 5.6.7.8')").getLong(0) == 1L)
+    assert(one("has_any_ipv4('x 1.2.3.4 5.6.7.8', '5.6.7.8')").getLong(0) == 1L)
+    // 5-octet dotted token is NOT an IP; octets over 255 reject
+    assert(one("has_ipv4('no 1.2.3.4.5 here')").getLong(0) == 0L)
+    assert(one("has_ipv4('no 256.1.2.3 here')").getLong(0) == 0L)
+    // prefix matching stops at octet boundaries
+    assert(one("has_ipv4_prefix('from 127.0.1.5', '127.0.')").getLong(0) == 1L)
+    assert(one("has_ipv4_prefix('from 127.01.1.5', '127.0')").getLong(0) == 0L)
+    assert(one("has_any_ipv4_prefix('from 10.1.2.3', '99.', '10.1.')").getLong(0) == 1L)
+    // non-literal IP args reject loudly
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | project r = has_any_ipv4('t', c)", reg).collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
+
+  test("parser: series trig tier — libm lambdas, asin/acos domain → null") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    val sins = one("series_sin(pack_array(0.0, 1.0))").getSeq[Double](0)
+    assert(sins(0) == 0.0 && math.abs(sins(1) - math.sin(1.0)) < 1e-15)
+    val coss = one("series_cos(pack_array(0.0))").getSeq[Double](0)
+    assert(coss(0) == 1.0)
+    assert(math.abs(one("series_sum(series_tan(pack_array(0.5)))").getDouble(0)
+      - math.tan(0.5)) < 1e-15)
+    assert(math.abs(one("series_sum(series_atan(pack_array(2.0)))").getDouble(0)
+      - math.atan(2.0)) < 1e-15)
+    // out-of-domain asin/acos → null element (never NaN), which
+    // propagates through the series_sum fold
+    val asr = one("series_asin(pack_array(0.5, 2.0))").getSeq[Any](0)
+    assert(asr(0) == math.asin(0.5) && asr(1) == null)
+    assert(one("series_sum(series_acos(pack_array(0.5, -2.0)))").isNullAt(0))
+  }
 }
