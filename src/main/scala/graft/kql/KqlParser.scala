@@ -4323,6 +4323,7 @@ object KqlParser {
               "convert_force", "convert_temperature",
               "hash_md5", "hash_sha1", "hash_sha256",
               "gamma", "loggamma", "beta_cdf", "beta_pdf", "welch_test",
+              "erf", "erfc", "beta_inv",
               "unicode_codepoints_from_string", "unicode_codepoints_to_string",
               "punycode_from_string", "punycode_to_string",
               "strcat_array", "isinf", "isfinite",
@@ -5572,6 +5573,26 @@ object KqlParser {
                   s"ELSE exp((bpq.a - 1.0) * ln(bpq.x) + (bpq.b - 1.0) * ln(1.0 - bpq.x) " +
                   s"+ ${loggammaSql("bpq.a + bpq.b")} - ${loggammaSql("bpq.a")} " +
                   s"- ${loggammaSql("bpq.b")}) END), 1)")
+              case "erf" =>
+                // ADX erf(x) — see erfSql (fixed 160-term confluent
+                // series, ±1 saturation past |x| = 6).
+                require(args.length == 1, "erf expects (x)")
+                out.append(erfSql(args(0)))
+              case "erfc" =>
+                // ADX erfc(x) = 1 − erf(x). DEVIATION (documented):
+                // computed BY that subtraction, so relative accuracy
+                // degrades in the far tail (absolute error stays
+                // ~1 ulp of 1 — invisible at the micro-unit
+                // surfaces); a dedicated continued fraction would not
+                // mirror into the oracle any better.
+                require(args.length == 1, "erfc expects (x)")
+                out.append(s"(1.0 - ${erfSql(args(0))})")
+              case "beta_inv" =>
+                // ADX beta_inv(p, alpha, beta) — see betaInvSql
+                // (24-iteration bisection-safeguarded Newton over the
+                // ibetaSql fraction).
+                require(args.length == 3, "beta_inv expects (p, alpha, beta)")
+                out.append(betaInvSql(args(0), args(1), args(2)))
               case "welch_test" =>
                 // ADX welch_test(mean1, var1, count1, mean2, var2,
                 // count2) → two-sided p-value of Welch's unequal-
@@ -7471,6 +7492,75 @@ object KqlParser {
       s"${front("ibq.a", "ibq.b", "ibq.x")} * ${cf("ibq.a", "ibq.b", "ibq.x")} / ibq.a " +
       s"ELSE 1.0 - ${front("ibq.b", "ibq.a", "(1.0 - ibq.x)")} * " +
       s"${cf("ibq.b", "ibq.a", "(1.0 - ibq.x)")} / ibq.b END), 1)"
+  }
+
+  /** One step of the erf confluent-series fold (t = running term,
+    * s = running sum): t ← t·q/(2m+1), s ← s+t with q = 2x². Shared
+    * verbatim with the oracle builder (the betacfFold convention). */
+  private[graft] def erfFoldStep(acc: String, m: String, q: String): (String, String) = {
+    val t1 = s"($acc.t * $q / (2.0 * CAST($m AS DOUBLE) + 1.0))"
+    (t1, s"($acc.s + $t1)")
+  }
+
+  /** erf(x) = 2x/√π · e^(−x²) · Σ_{n≥0} (2x²)^n / (1·3·…·(2n+1)) —
+    * the all-positive-terms confluent series, FIXED 160 iterations
+    * (no early break — a data-dependent break would not be
+    * oracle-mirrorable; the tail is below 1 ulp for |x| < 6).
+    * |x| ≥ 6 saturates to ±1 (true |erfc| < 3e-17 there, invisible
+    * at the engine's micro-unit surfaces — documented deviation).
+    * Every op exact IEEE; the oracle replays the identical fold as a
+    * recursive CTE from the same builder. */
+  private[kql] def erfSql(x0: String): String = {
+    val (t1, s1) = erfFoldStep("efc", "efm", "efq.q")
+    s"element_at(transform(array(named_struct('x', CAST(($x0) AS DOUBLE))), efx -> " +
+      s"element_at(transform(array(named_struct('q', 2.0 * efx.x * efx.x)), efq -> " +
+      s"CASE WHEN abs(efx.x) >= 6.0 THEN CAST(sign(efx.x) AS DOUBLE) ELSE " +
+      s"2.0 * efx.x / sqrt(pi()) * exp(-(efx.x * efx.x)) * " +
+      s"aggregate(sequence(1, 160), " +
+      s"named_struct('t', CAST(1.0 AS DOUBLE), 's', CAST(1.0 AS DOUBLE)), " +
+      s"(efc, efm) -> named_struct('t', $t1, 's', $s1), eff -> eff.s) END), 1)), 1)"
+  }
+
+  /** ADX beta_inv(p, a, b) — the inverse regularized incomplete beta,
+    * as a bisection-SAFEGUARDED Newton iteration (the NR invbetai
+    * shape) with a FIXED 24 iterations: start at the mean a/(a+b)
+    * with bracket (1e-12, 1−1e-12); each step evaluates I_x(a,b) (the
+    * same 200-iteration [[ibetaSql]] fraction) and the pdf, tightens
+    * the bracket by the sign of cdf−p, takes the Newton candidate
+    * when it stays inside the bracket and the midpoint otherwise
+    * (pdf underflow → ±Inf candidate → midpoint, no NaN path).
+    * p∉[0,1] or non-positive shapes → null; p=0→0, p=1→1. The oracle
+    * replays the identical composite loop as ONE flattened recursive
+    * CTE (24 outer × 201 fraction rows) built from the same
+    * betacfFold/loggammaCore/erf-style builders. */
+  private[kql] def betaInvSql(p0: String, a0: String, b0: String): String = {
+    val cdf = ibetaSql("biq.a", "biq.b", "bni.x")
+    val pdf = s"exp((biq.a - 1.0) * ln(bni.x) + (biq.b - 1.0) * ln(1.0 - bni.x) " +
+      s"+ ${loggammaSql("biq.a + biq.b")} - ${loggammaSql("biq.a")} " +
+      s"- ${loggammaSql("biq.b")})"
+    s"element_at(transform(array(named_struct('p', CAST(($p0) AS DOUBLE), " +
+      s"'a', CAST(($a0) AS DOUBLE), 'b', CAST(($b0) AS DOUBLE))), biq -> " +
+      s"CASE WHEN biq.a <= 0.0 OR biq.b <= 0.0 OR biq.p < 0.0 OR biq.p > 1.0 " +
+      s"THEN CAST(NULL AS DOUBLE) " +
+      s"WHEN biq.p = 0.0 THEN 0.0 WHEN biq.p = 1.0 THEN 1.0 " +
+      s"ELSE aggregate(sequence(1, 24), " +
+      s"named_struct('lo', CAST(1.0E-12 AS DOUBLE), " +
+      s"'hi', CAST(1.0 AS DOUBLE) - 1.0E-12, 'x', biq.a / (biq.a + biq.b)), " +
+      s"(bni, bnm) -> element_at(transform(array(named_struct(" +
+      s"'f', ($cdf) - biq.p, 'pd', $pdf)), bns -> " +
+      s"element_at(transform(array(named_struct(" +
+      s"'lo2', CASE WHEN bns.f > 0.0 THEN bni.lo ELSE bni.x END, " +
+      s"'hi2', CASE WHEN bns.f > 0.0 THEN bni.x ELSE bni.hi END, " +
+      s"'xn', bni.x - bns.f / bns.pd)), bnu -> " +
+      s"named_struct('lo', bnu.lo2, 'hi', bnu.hi2, " +
+      // INCLUSIVE bracket test: at exact convergence f = 0 makes
+      // xn == x == one bracket end — a strict test would reject the
+      // root and bisect away from it (measured: 6e-7 residual after
+      // 24 iterations on (0.95, 0.5, 1.5)); xn == x only at f = 0,
+      // so inclusive acceptance parks the iteration on the root.
+      s"'x', CASE WHEN bnu.xn >= bnu.lo2 AND bnu.xn <= bnu.hi2 THEN bnu.xn " +
+      s"ELSE (bnu.lo2 + bnu.hi2) / 2.0 END)), 1)), 1), " +
+      s"bnf -> bnf.x) END), 1)"
   }
 
   /** ADX geo_line_length(lineString) → meters. The line sibling of

@@ -1505,6 +1505,29 @@ object ReferenceQueries {
       || project orderid, cdf_u, pdf_u, p_u
       || sort by orderid asc""".stripMargin
 
+  /** r15 statistical tier 2: `erf` / `erfc` (fixed 160-term confluent
+    * series — see KqlParser.erfSql; erfc = 1 − erf, documented) and
+    * `beta_inv` (24-iteration bisection-safeguarded Newton over the
+    * 200-iteration incomplete-beta fraction — KqlParser.betaInvSql).
+    * The oracle replays BOTH iterations as recursive CTEs generated
+    * from the same Scala builders (erfFoldStep / betacfFold /
+    * betacfInitD / loggammaCore): the erf sum as a 160-row recursion,
+    * the inverse as ONE flattened recursion with a 203-phase inner
+    * cycle (200 fraction steps, an f-stage, a move-stage, a re-init
+    * stage) per Newton iteration. */
+  val kqlStatTests2Text: String =
+    """Orders
+      || where orderid < 30
+      || extend xe = (todouble(amount) - 149.5) / 33.0,
+      |         pp = todouble(amount % 19 + 1) / 20.0,
+      |         aa = todouble(orderid % 4 + 1) / 2.0,
+      |         bb = todouble(custid % 3 + 2) / 2.0
+      || extend erf_u = tolong(floor(erf(xe) * 1000000.0, 1)),
+      |         erfc_u = tolong(floor(erfc(xe * 2.5) * 1000000.0, 1)),
+      |         inv_u = tolong(floor(beta_inv(pp, aa, bb) * 1000000.0, 1))
+      || project orderid, erf_u, erfc_u, inv_u
+      || sort by orderid asc""".stripMargin
+
   /** r15 `row_window_session` — ADX's sessionization over a serialized
     * frame: session begins at the first row, on an idle gap >
     * idleTimeout, or when the row is more than maxWindowSize past the
@@ -1597,6 +1620,10 @@ object ReferenceQueries {
     graft.kql.KqlParser.betacfFold("cfr.fa", "cfr.fb", "cfr.fx", "cfr", "(cfr.m + 1)")
   private def duckBetacfInitD: String =
     graft.kql.KqlParser.betacfInitD("fa", "fb", "fx")
+  /** One erf series step applied to the prior recursion row `cfr` —
+    * the engine's KqlParser.erfFoldStep verbatim. */
+  private def duckErfStep: (String, String) =
+    graft.kql.KqlParser.erfFoldStep("cfr", "(cfr.m + 1)", "cfr.q")
 
   val kqlBasketText: String =
     """Events
@@ -2039,6 +2066,7 @@ object ReferenceQueries {
     "kql_convert_units" -> kqlText(kqlConvertUnitsText) _,
     "kql_geo_lines2" -> kqlText(kqlGeoLines2Text) _,
     "kql_stat_tests" -> kqlText(kqlStatTestsText) _,
+    "kql_stat_tests2" -> kqlText(kqlStatTests2Text) _,
     "kql_agg_variants" -> kqlText(kqlAggVariantsText) _,
     "kql_net_b64" -> kqlText(kqlNetB64Text) _,
     "kql_row_session" -> kqlText(kqlRowSessionText) _,
@@ -2932,6 +2960,101 @@ object ReferenceQueries {
          |JOIN fr fc ON fc.orderid = b4.orderid AND fc.kind = 'cdf'
          |JOIN fr fp ON fp.orderid = b4.orderid AND fp.kind = 'p'
          |ORDER BY b4.orderid ASC""".stripMargin
+    },
+    // stat tier 2: the erf series and the beta_inv safeguarded Newton
+    // replayed as recursive CTEs from the SAME Scala builders as the
+    // engine (erfFoldStep / betacfFold / betacfInitD / loggammaCore).
+    // The inverse runs as ONE flattened recursion with a 203-phase
+    // cycle per Newton step: m 0..199 advance the Lentz fraction,
+    // m=200→201 stores f = cdf−p (fv column), 201→202 moves x
+    // (bracket + inclusive Newton/bisect choice), 202→0 re-derives
+    // the fraction args and re-inits (c, d, h) for the new x.
+    "kql_stat_tests2" -> {
+      val (c2, d2i, h2) = duckBetacfStep
+      val (et1, es1) = duckErfStep
+      def split(x: String) = s"($x < (cfr.a + 1.0) / (cfr.a + cfr.b + 2.0))"
+      val cdfCur = s"(CASE WHEN ${split("cfr.x")} THEN " +
+        s"${duckFront("cfr.a", "cfr.b", "cfr.x")} * cfr.h / cfr.a " +
+        s"ELSE 1.0 - ${duckFront("cfr.b", "cfr.a", "(1.0 - cfr.x)")} * cfr.h / cfr.b END)"
+      val pd = s"exp((cfr.a - 1.0) * ln(cfr.x) + (cfr.b - 1.0) * ln(1.0 - cfr.x) " +
+        s"+ ${duckLgamma("cfr.a + cfr.b")} - ${duckLgamma("cfr.a")} - ${duckLgamma("cfr.b")})"
+      val lo2 = s"(CASE WHEN cfr.fv > 0.0 THEN cfr.lo ELSE cfr.x END)"
+      val hi2 = s"(CASE WHEN cfr.fv > 0.0 THEN cfr.x ELSE cfr.hi END)"
+      val xn = s"(cfr.x - cfr.fv / $pd)"
+      val xAcc = s"(CASE WHEN $xn >= $lo2 AND $xn <= $hi2 THEN $xn " +
+        s"ELSE ($lo2 + $hi2) / 2.0 END)"
+      val fa2 = s"(CASE WHEN ${split("cfr.x")} THEN cfr.a ELSE cfr.b END)"
+      val fb2 = s"(CASE WHEN ${split("cfr.x")} THEN cfr.b ELSE cfr.a END)"
+      val fx2 = s"(CASE WHEN ${split("cfr.x")} THEN cfr.x ELSE (1.0 - cfr.x) END)"
+      val initD2 = graft.kql.KqlParser.betacfInitD(fa2, fb2, fx2)
+      s"""WITH RECURSIVE ${Sql.ordersInfoCte.stripPrefix("WITH ")},
+         |base AS (
+         |  SELECT orderid,
+         |    (CAST(amount AS DOUBLE) - 149.5) / 33.0 AS xe,
+         |    CAST(amount % 19 + 1 AS DOUBLE) / 20.0 AS p,
+         |    CAST(orderid % 4 + 1 AS DOUBLE) / 2.0 AS a,
+         |    CAST(custid % 3 + 2 AS DOUBLE) / 2.0 AS b
+         |  FROM orders_info WHERE orderid < 30),
+         |efin AS (
+         |  SELECT orderid, 'e' AS kind, xe AS x FROM base
+         |  UNION ALL SELECT orderid, 'c' AS kind, xe * 2.5 AS x FROM base),
+         |ef AS (
+         |  SELECT orderid, kind, x, 2.0 * x * x AS q, 0 AS m,
+         |    CAST(1.0 AS DOUBLE) AS t, CAST(1.0 AS DOUBLE) AS s
+         |  FROM efin
+         |  UNION ALL
+         |  SELECT cfr.orderid, cfr.kind, cfr.x, cfr.q, cfr.m + 1,
+         |    CAST($et1 AS DOUBLE), CAST($es1 AS DOUBLE)
+         |  FROM ef cfr WHERE cfr.m < 160),
+         |efv AS (
+         |  SELECT orderid, kind,
+         |    CASE WHEN abs(x) >= 6.0 THEN CAST(sign(x) AS DOUBLE)
+         |      ELSE 2.0 * x / sqrt(pi()) * exp(-(x * x)) * s END AS ev
+         |  FROM ef WHERE m = 160),
+         |bi0 AS (
+         |  SELECT orderid, p, a, b, a / (a + b) AS x,
+         |    CASE WHEN a / (a + b) < (a + 1.0) / (a + b + 2.0) THEN a ELSE b END AS fa,
+         |    CASE WHEN a / (a + b) < (a + 1.0) / (a + b + 2.0) THEN b ELSE a END AS fb,
+         |    CASE WHEN a / (a + b) < (a + 1.0) / (a + b + 2.0) THEN a / (a + b)
+         |      ELSE (1.0 - a / (a + b)) END AS fx
+         |  FROM base),
+         |bi AS (
+         |  SELECT orderid, p, a, b, 0 AS it, 0 AS m,
+         |    CAST(1.0E-12 AS DOUBLE) AS lo, 1.0 - 1.0E-12 AS hi, x,
+         |    CAST(0.0 AS DOUBLE) AS fv, fa, fb, fx,
+         |    CAST(1.0 AS DOUBLE) AS c,
+         |    CAST($duckBetacfInitD AS DOUBLE) AS d,
+         |    CAST($duckBetacfInitD AS DOUBLE) AS h
+         |  FROM bi0
+         |  UNION ALL
+         |  SELECT cfr.orderid, cfr.p, cfr.a, cfr.b,
+         |    CASE WHEN cfr.m = 202 THEN cfr.it + 1 ELSE cfr.it END,
+         |    CASE WHEN cfr.m < 200 THEN cfr.m + 1 WHEN cfr.m = 200 THEN 201
+         |      WHEN cfr.m = 201 THEN 202 ELSE 0 END,
+         |    CASE WHEN cfr.m = 201 THEN $lo2 ELSE cfr.lo END,
+         |    CASE WHEN cfr.m = 201 THEN $hi2 ELSE cfr.hi END,
+         |    CASE WHEN cfr.m = 201 THEN $xAcc ELSE cfr.x END,
+         |    CASE WHEN cfr.m = 200 THEN $cdfCur - cfr.p ELSE cfr.fv END,
+         |    CASE WHEN cfr.m = 202 THEN $fa2 ELSE cfr.fa END,
+         |    CASE WHEN cfr.m = 202 THEN $fb2 ELSE cfr.fb END,
+         |    CASE WHEN cfr.m = 202 THEN $fx2 ELSE cfr.fx END,
+         |    CASE WHEN cfr.m < 200 THEN CAST($c2 AS DOUBLE)
+         |      WHEN cfr.m = 202 THEN CAST(1.0 AS DOUBLE) ELSE cfr.c END,
+         |    CASE WHEN cfr.m < 200 THEN CAST($d2i AS DOUBLE)
+         |      WHEN cfr.m = 202 THEN CAST($initD2 AS DOUBLE) ELSE cfr.d END,
+         |    CASE WHEN cfr.m < 200 THEN CAST($h2 AS DOUBLE)
+         |      WHEN cfr.m = 202 THEN CAST($initD2 AS DOUBLE) ELSE cfr.h END
+         |  FROM bi cfr WHERE NOT (cfr.it = 24 AND cfr.m = 0)),
+         |fin AS (SELECT orderid, x FROM bi WHERE it = 24 AND m = 0)
+         |SELECT base.orderid,
+         |  CAST(floor(ee.ev * 1000000.0) AS BIGINT) AS erf_u,
+         |  CAST(floor((1.0 - ec.ev) * 1000000.0) AS BIGINT) AS erfc_u,
+         |  CAST(floor(fin.x * 1000000.0) AS BIGINT) AS inv_u
+         |FROM base
+         |JOIN efv ee ON ee.orderid = base.orderid AND ee.kind = 'e'
+         |JOIN efv ec ON ec.orderid = base.orderid AND ec.kind = 'c'
+         |JOIN fin ON fin.orderid = base.orderid
+         |ORDER BY base.orderid ASC""".stripMargin
     },
     // literal factor arithmetic replayed per conversion; temperature
     // affine via Kelvin with the engine's ×5-then-÷9 double chain.

@@ -3284,6 +3284,28 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("string literal"))
   }
 
+  test("parser: erf/erfc/beta_inv — series + safeguarded-Newton chains") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    assert(one("erf(0.0)").getDouble(0) == 0.0)
+    assert(math.abs(one("erf(1.0)").getDouble(0) - 0.8427007929497149) < 1e-12)
+    assert(math.abs(one("erf(2.5)").getDouble(0) - 0.999593047982555) < 1e-12)
+    assert(one("erf(-1.0)").getDouble(0) == -one("erf(1.0)").getDouble(0))
+    assert(one("erf(7.0)").getDouble(0) == 1.0) // saturation branch
+    assert(math.abs(one("erfc(0.5)").getDouble(0) - 0.4795001221869535) < 1e-12)
+    assert(math.abs(one("erfc(-0.5)").getDouble(0) - 1.5204998778130465) < 1e-12)
+    // beta_inv: symmetric-median exactness, cdf round-trip, edges
+    assert(math.abs(one("beta_inv(0.5, 2.0, 2.0)").getDouble(0) - 0.5) < 1e-10)
+    assert(math.abs(one("beta_cdf(beta_inv(0.3, 2.0, 3.0), 2.0, 3.0)").getDouble(0)
+      - 0.3) < 1e-9)
+    assert(math.abs(one("beta_cdf(beta_inv(0.95, 0.5, 1.5), 0.5, 1.5)").getDouble(0)
+      - 0.95) < 1e-9)
+    assert(one("beta_inv(0.0, 2.0, 2.0)").getDouble(0) == 0.0)
+    assert(one("beta_inv(1.0, 2.0, 2.0)").getDouble(0) == 1.0)
+    assert(one("beta_inv(1.5, 2.0, 2.0)").isNullAt(0))
+    assert(one("beta_inv(0.5, -1.0, 2.0)").isNullAt(0))
+  }
+
   test("parser: series trig tier — libm lambdas, asin/acos domain → null") {
     val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
     def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
