@@ -26,6 +26,7 @@ object GraftFunctions {
     "graft_geo_dist_line" -> (e => GeoDistPointToLine(e(0), e(1), e(2))),
     "graft_h3_cell" -> (e => H3CellToken(e(0), e(1), e(2))),
     "graft_h3_center" -> (e => H3CellCenter(e(0))),
+    "graft_h3_boundary" -> (e => H3CellBoundary(e(0))),
     "graft_h3_neighbors" -> (e => H3CellNeighbors(e(0))),
     "graft_h3_rings" -> (e => H3CellRings(e(0), e(1))),
     "graft_h3_level" -> (e => H3CellLevel(e(0))),
@@ -41,6 +42,11 @@ object GraftFunctions {
     "graft_ipv6_mask" -> (e => Ipv6CanonicalMask(e(0), e(1))),
     "graft_ipv6_cmp" -> (e => Ipv6Compare(e(0), e(1), e(2))),
     "graft_make_bag" -> (e => BagMergeAgg(e(0), e(1))),
+    "graft_gzip_compress" -> (e => GzipCompress(e(0))),
+    "graft_gzip_decompress" -> (e => GzipDecompress(e(0))),
+    "graft_zlib_compress" -> (e => ZlibCompress(e(0))),
+    "graft_zlib_decompress" -> (e => ZlibDecompress(e(0))),
+    "graft_parse_csv" -> (e => CsvParseExpr(e(0))),
   )
 
   def register(spark: SparkSession): Unit =

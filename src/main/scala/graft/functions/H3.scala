@@ -218,6 +218,42 @@ object H3 {
       math.toDegrees(math.atan2(w(2), math.sqrt(w(0) * w(0) + w(1) * w(1))))))
   }
 
+  /** Hex boundary ring of a cell — the 6 planar corners (pointy-top:
+    * circumradius `size` at angles 30° + 60°·k CCW, exact ±√3/2 / ±½
+    * literals) projected through the same inverse-gnomonic atan2
+    * chain as [[centerOf]], closing vertex repeated (7 points of
+    * [lon°, lat°]). A cell straddling a face EDGE keeps its planar
+    * hexagon from the OWNING face's plane (the clipped-edge-cell
+    * convention — corners may land slightly off the true ownership
+    * boundary, documented at the object header); null on malformed
+    * input. */
+  def boundaryOf(token: UTF8String): ArrayData = {
+    val d = decode(token)
+    if (d == null) return null
+    val res = d(0).toInt
+    val size = sizeAt(res)
+    val px = size * (Sqrt3 * d(2) + Sqrt3 / 2.0 * d(3))
+    val py = size * (1.5 * d(3))
+    val fr = frames(d(1).toInt)
+    val kxs = Array(Sqrt3 / 2.0, 0.0, -(Sqrt3 / 2.0), -(Sqrt3 / 2.0), 0.0, Sqrt3 / 2.0)
+    val kys = Array(0.5, 1.0, 0.5, -0.5, -1.0, -0.5)
+    val pts = new Array[Any](7)
+    var k = 0
+    while (k < 6) {
+      val cx = px + size * kxs(k)
+      val cy = py + size * kys(k)
+      val wx = fr(0) + cx * fr(3) + cy * fr(6)
+      val wy = fr(1) + cx * fr(4) + cy * fr(7)
+      val wz = fr(2) + cx * fr(5) + cy * fr(8)
+      pts(k) = new GenericArrayData(Array[Any](
+        math.toDegrees(math.atan2(wy, wx)),
+        math.toDegrees(math.atan2(wz, math.sqrt(wx * wx + wy * wy)))))
+      k += 1
+    }
+    pts(6) = pts(0)
+    new GenericArrayData(pts)
+  }
+
   /** Resolution of a token (boxed so null propagates); null on
     * malformed input. */
   def levelOf(token: UTF8String): Any = {
@@ -609,6 +645,33 @@ case class H3CellToken(first: Expression, second: Expression, third: Expression)
 }
 
 /** `graft_h3_center(token)` → [lon°, lat°] of the cell center. */
+/** `graft_h3_boundary(token)` → the closed 7-point hex ring as
+  * ARRAY<ARRAY<DOUBLE>> ([lon°, lat°] per vertex); malformed → null. */
+case class H3CellBoundary(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_h3_boundary expects (string), got ${child.dataType.simpleString}")
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_h3_boundary"
+
+  override def nullSafeEval(tok: Any): Any =
+    H3.boundaryOf(tok.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, tok => {
+      s"""
+         |${ev.value} = graft.functions.H3.boundaryOf($tok);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class H3CellCenter(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

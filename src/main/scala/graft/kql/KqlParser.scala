@@ -4292,7 +4292,8 @@ object KqlParser {
               "parse_version", "parse_xml", "parse_user_agent",
               "geo_distance_2points", "geo_point_in_circle",
               "geo_point_to_geohash", "geo_geohash_to_central_point",
-              "geo_geohash_neighbors", "geo_point_in_polygon",
+              "geo_geohash_neighbors", "geo_geohash_to_polygon",
+              "geo_point_in_polygon",
               "geo_polygon_area", "geo_polygon_perimeter",
               "geo_polygon_centroid", "geo_line_length",
               "geo_line_centroid", "geo_intersects_2lines",
@@ -4300,6 +4301,7 @@ object KqlParser {
               "geo_s2cell_neighbors", "geo_polygon_to_s2cells",
               "geo_line_to_s2cells", "geo_distance_point_to_line",
               "geo_point_to_h3cell", "geo_h3cell_to_central_point",
+              "geo_h3cell_to_polygon",
               "geo_h3cell_neighbors", "geo_h3cell_rings",
               "geo_h3cell_level", "geo_h3cell_parent", "geo_h3cell_children",
               "geo_h3cell_childcount", "geo_polygon_to_h3cells",
@@ -4326,6 +4328,9 @@ object KqlParser {
               "erf", "erfc", "beta_inv",
               "unicode_codepoints_from_string", "unicode_codepoints_to_string",
               "punycode_from_string", "punycode_to_string",
+              "gzip_compress_to_base64_string", "gzip_decompress_from_base64_string",
+              "zlib_compress_to_base64_string", "zlib_decompress_from_base64_string",
+              "url_encode", "url_encode_component", "url_decode", "parse_csv",
               "strcat_array", "isinf", "isfinite",
               "set_union", "set_intersect", "set_difference", "set_has_element",
               "array_rotate_left", "array_rotate_right",
@@ -5638,6 +5643,85 @@ object KqlParser {
                   org.apache.spark.sql.SparkSession.active)
                 out.append(s"graft_from_codepoints(" +
                   s"try_cast(${args(0)} AS ARRAY<INT>))")
+              case ue @ ("url_encode" | "url_encode_component") =>
+                // r15: percent-encoding as a pure hex-pair fold over
+                // the UTF-8 bytes (hex(encode(s))), so multi-byte
+                // characters percent-encode byte-by-byte exactly as
+                // RFC 3986 prescribes and the oracle replays the
+                // identical walk. Unreserved set = ALPHA / DIGIT /
+                // "-" / "." / "_" / "~" (RFC 3986 §2.3); url_encode
+                // additionally renders space as '+' (the ADX form
+                // variant). Hex digits LOWERCASE (ADX's rendering).
+                // DEVIATION (documented): ADX/.NET leaves !*() bare;
+                // here they percent-encode (the RFC-strict set).
+                require(args.length == 1, s"$ue expects (string)")
+                val uh = s"hex(encode(CAST((${args(0)}) AS STRING), 'UTF-8'))"
+                val pair = s"substr(ueq.h, 2 * uei - 1, 2)"
+                val byte = s"CAST(conv($pair, 16, 10) AS INT)"
+                val spaceArm =
+                  if (ue == "url_encode") s"WHEN $byte = 32 THEN '+' " else ""
+                // empty-h guard: sequence(1, 0) DESCENDS in Spark
+                out.append(s"element_at(transform(array(named_struct('h', $uh)), ueq -> " +
+                  s"CASE WHEN ueq.h IS NULL THEN CAST(NULL AS STRING) " +
+                  s"WHEN length(ueq.h) = 0 THEN '' " +
+                  s"ELSE aggregate(sequence(1, length(ueq.h) DIV 2), '', (ueacc, uei) -> " +
+                  s"ueacc || CASE WHEN ($byte BETWEEN 48 AND 57) " +
+                  s"OR ($byte BETWEEN 65 AND 90) OR ($byte BETWEEN 97 AND 122) " +
+                  s"OR $byte IN (45, 46, 95, 126) THEN char($byte) " +
+                  spaceArm +
+                  s"ELSE '%' || lower($pair) END) END), 1)")
+              case "url_decode" =>
+                // r15: inverse percent-decoding — '+' → space first
+                // (the ADX form variant), then split on '%': every
+                // later piece must LEAD with two hex digits (else
+                // null, the loud-malformed convention); the byte
+                // stream is reassembled as hex (literal runs through
+                // hex(encode(..)), pairs verbatim) and decoded once,
+                // so split multi-byte sequences reassemble exactly.
+                require(args.length == 1, "url_decode expects (string)")
+                val parts = s"split(replace(CAST((${args(0)}) AS STRING), '+', ' '), '%', -1)"
+                out.append(s"element_at(transform(array($parts), udp -> " +
+                  s"CASE WHEN exists(slice(udp, 2, size(udp)), udx -> " +
+                  s"NOT (length(udx) >= 2 AND upper(substr(udx, 1, 2)) RLIKE '^[0-9A-F]{2}$$')) " +
+                  s"THEN CAST(NULL AS STRING) " +
+                  s"ELSE decode(unhex(aggregate(slice(udp, 2, size(udp)), " +
+                  s"hex(encode(element_at(udp, 1), 'UTF-8')), (udacc, udx) -> " +
+                  s"udacc || upper(substr(udx, 1, 2)) " +
+                  s"|| hex(encode(substr(udx, 3, 2147483647), 'UTF-8')))), 'UTF-8') END), 1)")
+              case "parse_csv" =>
+                // r15: one CSV record → array of fields
+                // (graft.functions.CsvParse — a native expression:
+                // RFC 4180 quoting with "" escapes needs a character
+                // state machine no SQL split expresses). Embedded
+                // newlines survive inside quotes; a dangling quote →
+                // null (loud-malformed convention; ADX best-effort
+                // differs, documented at the expression).
+                require(args.length == 1, "parse_csv expects (string)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_parse_csv(CAST((${args(0)}) AS STRING))")
+              case cz @ ("gzip_compress_to_base64_string" |
+                         "gzip_decompress_from_base64_string" |
+                         "zlib_compress_to_base64_string" |
+                         "zlib_decompress_from_base64_string") =>
+                // r15: ADX compression codecs — native expressions
+                // over java.util.zip (RFC 1952/1950 framing, UTF-8
+                // text, standard base64). Compressed BYTES are a
+                // zlib-implementation detail (ADX's encoder differs
+                // from the JDK's), so the oracle contract is the
+                // round-trip identity + spec-pinned header bytes — see
+                // graft.functions.Codecs. Malformed decompress input →
+                // null (documented deviation from ADX's empty string).
+                require(args.length == 1, s"$cz expects (string)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                val czFn = cz match {
+                  case "gzip_compress_to_base64_string" => "graft_gzip_compress"
+                  case "gzip_decompress_from_base64_string" => "graft_gzip_decompress"
+                  case "zlib_compress_to_base64_string" => "graft_zlib_compress"
+                  case _ => "graft_zlib_decompress"
+                }
+                out.append(s"$czFn(CAST((${args(0)}) AS STRING))")
               case "punycode_from_string" =>
                 // ADX punycode_from_string(s) → RFC 3492 punycode of
                 // one label (no xn-- prefix; ADX's raw-label form).
@@ -6015,6 +6099,20 @@ object KqlParser {
                   org.apache.spark.sql.SparkSession.active)
                 out.append(s"graft_h3_cell(CAST((${args(0)}) AS DOUBLE), " +
                   s"CAST((${args(1)}) AS DOUBLE), $res)")
+              case "geo_h3cell_to_polygon" =>
+                // r15: the hex boundary as GeoJSON Polygon VARIANT
+                // (graft.functions.H3.boundaryOf — 6 planar corners
+                // through the same inverse-gnomonic atan2 chain as the
+                // center, closing vertex repeated; composes with
+                // geo_point_in_polygon). Malformed → null.
+                require(args.length == 1,
+                  "geo_h3cell_to_polygon expects (token)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"element_at(transform(array(graft_h3_boundary(${args(0)})), " +
+                  "h3b -> CASE WHEN h3b IS NULL THEN CAST(NULL AS VARIANT) ELSE " +
+                  "parse_json(to_json(named_struct('type', 'Polygon', " +
+                  "'coordinates', array(h3b)))) END), 1)")
               case "geo_h3cell_to_central_point" =>
                 // GeoJSON Point of the cell center (the
                 // geo_s2cell_to_central_point shape); malformed
@@ -6179,6 +6277,13 @@ object KqlParser {
                 require(args.length == 1,
                   "geo_geohash_to_central_point expects (geohash)")
                 out.append(geohashCentralPointSql(args(0)))
+              case "geo_geohash_to_polygon" =>
+                // r15: the geohash cell rectangle as GeoJSON — see
+                // geohashPolygonSql (VARIANT output so it composes
+                // with the polygon predicates).
+                require(args.length == 1,
+                  "geo_geohash_to_polygon expects (geohash)")
+                out.append(geohashPolygonSql(args(0)))
               case "geo_geohash_neighbors" =>
                 // ADX geo_geohash_neighbors(gh) → the (up to) 8
                 // surrounding cells at the same accuracy, longitude
@@ -7332,6 +7437,29 @@ object KqlParser {
     s"(CASE WHEN ${geohashValidSql(g)} THEN " +
       s"element_at(transform(array(${geohashDecodeSql(g)}), d -> " +
       s"named_struct('type', 'Point', 'coordinates', array($lon, $lat))), 1) " +
+      s"ELSE NULL END)"
+  }
+
+  /** ADX geo_geohash_to_polygon(gh) → GeoJSON Polygon (as VARIANT, so
+    * it composes with geo_point_in_polygon / geo_polygon_area): the
+    * cell rectangle from the decoded dyadic integers — W edge at
+    * ix / 2^lb scaled to the axis, E at (ix+1) / 2^lb, likewise
+    * S / N on the lat axis — ring ordered CCW from the SW corner
+    * with the closing vertex repeated (ADX's rendering). Doubles
+    * survive the VARIANT round trip exactly (shortest-round-trip
+    * JSON). Malformed token → null. */
+  private[kql] def geohashPolygonSql(g: String): String = {
+    def lonAt(ix: String) =
+      s"CAST($ix AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), d.lb) AS DOUBLE) * 360.0 - 180.0"
+    def latAt(iy: String) =
+      s"CAST($iy AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), d.kb) AS DOUBLE) * 180.0 - 90.0"
+    val (w, e) = (lonAt("d.ix"), lonAt("(d.ix + 1)"))
+    val (s0, n) = (latAt("d.iy"), latAt("(d.iy + 1)"))
+    s"(CASE WHEN ${geohashValidSql(g)} THEN " +
+      s"element_at(transform(array(${geohashDecodeSql(g)}), d -> " +
+      s"parse_json(to_json(named_struct('type', 'Polygon', 'coordinates', array(array(" +
+      s"array($w, $s0), array($e, $s0), array($e, $n), array($w, $n), " +
+      s"array($w, $s0))))))), 1) " +
       s"ELSE NULL END)"
   }
 

@@ -642,6 +642,31 @@ object ReferenceQueries {
       || project name, gh, gh1, d_osl_m, near_cph
       || sort by name asc""".stripMargin
 
+  /** r15 `geo_geohash_to_polygon` — the cell rectangle as GeoJSON
+    * VARIANT, composed end-to-end: encode → polygon → corner reads
+    * through variant subscript paths → containment check. The oracle
+    * replays the acc-6 integer interleave (the kql_geo chain), takes
+    * the rect edges from the same dyadic arithmetic, and re-derives
+    * containment as the (integer-exact) open-interval test a point
+    * strictly inside a rectangle satisfies. */
+  val kqlGeoPolygons2Text: String =
+    """let P = datatable(name:string, lon:real, lat:real)[
+      |  'osl', 10.75, 59.91,
+      |  'syd', 151.21, -33.87,
+      |  'sam', -170.70, -14.27,
+      |  'equ', 0.02, -0.01
+      |];
+      |P
+      || extend gh = geo_point_to_geohash(lon, lat, 6)
+      || extend poly = geo_geohash_to_polygon(gh)
+      || extend inpt = tolong(iff(geo_point_in_polygon(lon, lat, poly), 1, 0)),
+      |         w_u = tolong(floor(todouble(poly.coordinates[0][0][0]) * 1000000.0, 1)),
+      |         s_u = tolong(floor(todouble(poly.coordinates[0][0][1]) * 1000000.0, 1)),
+      |         e_u = tolong(floor(todouble(poly.coordinates[0][2][0]) * 1000000.0, 1)),
+      |         n_u = tolong(floor(todouble(poly.coordinates[0][2][1]) * 1000000.0, 1))
+      || project name, gh, inpt, w_u, s_u, e_u, n_u
+      || sort by name asc""".stripMargin
+
   /** r12 datetime/timespan/binary scalar tier: `totimespan` /
     * `make_timespan` / `format_timespan` (timespan VALUES surface as
     * BIGINT seconds — the bin() convention, documented),
@@ -782,6 +807,35 @@ object ReferenceQueries {
       |         p4 = geo_h3cell_parent(c5),
       |         lvl = tolong(geo_h3cell_level(c5))
       || project name, c5, cd, clon, clat, nnb, nr1, nr2, r0ok, p4, lvl
+      || sort by name asc""".stripMargin
+
+  /** r15 `geo_h3cell_to_polygon` — the hex boundary as GeoJSON
+    * VARIANT (H3.boundaryOf: 6 pointy-top corners, exact ±√3/2 / ±½
+    * offsets in the owning face's gnomonic plane, the center's
+    * inverse atan2 chain per corner, closing vertex repeated). Four
+    * mid/equatorial cells away from the antimeridian (a wrapped ring
+    * is not a planar lon/lat polygon — documented); the oracle
+    * replays encode → corner offsets → inverse projection in DuckDB
+    * (the kql_geo_h3 frames chain) and pins the center-containment
+    * and ring closure as construction facts. */
+  val kqlGeoH3Polygon2Text: String =
+    """let P = datatable(name:string, lon:real, lat:real)[
+      |  'equ', -20.905, 0.0,
+      |  'paris', 2.35, 48.86,
+      |  'rio', -43.2, -22.9,
+      |  'tok', 139.7, 35.7
+      |];
+      |P
+      || extend tok4 = geo_point_to_h3cell(lon, lat, 4)
+      || extend hp = geo_h3cell_to_polygon(tok4), hc = geo_h3cell_to_central_point(tok4)
+      || extend inpt = tolong(iff(geo_point_in_polygon(todouble(hc.coordinates[0]), todouble(hc.coordinates[1]), hp), 1, 0)),
+      |         c0x_u = tolong(floor(todouble(hp.coordinates[0][0][0]) * 1000000.0, 1)),
+      |         c0y_u = tolong(floor(todouble(hp.coordinates[0][0][1]) * 1000000.0, 1)),
+      |         c3x_u = tolong(floor(todouble(hp.coordinates[0][3][0]) * 1000000.0, 1)),
+      |         c3y_u = tolong(floor(todouble(hp.coordinates[0][3][1]) * 1000000.0, 1)),
+      |         closed = tolong(iff(todouble(hp.coordinates[0][6][0]) == todouble(hp.coordinates[0][0][0])
+      |                             and todouble(hp.coordinates[0][6][1]) == todouble(hp.coordinates[0][0][1]), 1, 0))
+      || project name, tok4, inpt, c0x_u, c0y_u, c3x_u, c3y_u, closed
       || sort by name asc""".stripMargin
 
   /** r14 H3 CELL JOIN — the bounded-fan-out spatial-join shape of
@@ -1528,6 +1582,50 @@ object ReferenceQueries {
       || project orderid, erf_u, erfc_u, inv_u
       || sort by orderid asc""".stripMargin
 
+  /** r15 compression codecs — gzip/zlib compress-to / decompress-from
+    * base64 (graft.functions.Codecs, java.util.zip). Compressed bytes
+    * are a zlib-implementation detail, so the oracle checks the
+    * ROUND-TRIP identity (decompress ∘ compress = id, re-derived as
+    * the payload itself) plus the framing constants every RFC
+    * 1952/1950 stream must carry (gzip magic 0x1f 0x8b + method 8;
+    * zlib CMF 0x78 for the 32K-window deflate the JDK always emits);
+    * the level-dependent bytes are spec-pinned instead. */
+  val kqlCodecsText: String =
+    """Orders
+      || where orderid < 120
+      || extend payload = strcat(city, '|', tostring(orderid), '|', tostring(amount))
+      || extend g64 = gzip_compress_to_base64_string(payload),
+      |         z64 = zlib_compress_to_base64_string(payload)
+      || extend gb = base64_decode_toarray(g64), zb = base64_decode_toarray(z64)
+      || extend rt_g = gzip_decompress_from_base64_string(g64),
+      |         rt_z = zlib_decompress_from_base64_string(z64),
+      |         gmagic = tolong(gb[0]) * 1000 + tolong(gb[1]) + tolong(gb[2]),
+      |         zmagic = tolong(zb[0])
+      || project orderid, rt_g, rt_z, gmagic, zmagic
+      || sort by orderid asc""".stripMargin
+
+  /** r15 URL codecs + parse_csv — `url_encode` (form variant, space →
+    * '+') / `url_encode_component` (RFC 3986 strict, lowercase hex) /
+    * `url_decode` (the '+'-aware inverse), each a hex-pair fold over
+    * the UTF-8 bytes; and `parse_csv` (native RFC 4180 state machine,
+    * graft.functions.CsvParse). The corpus here is ASCII, so the
+    * oracle replays the encodes as per-CHARACTER walks (equivalent on
+    * ASCII — multi-byte inputs are spec-pinned instead), the decode
+    * via the reconstructed payload, and the CSV fields from the
+    * construction rule directly. */
+  val kqlUrlCsvText: String =
+    """Orders
+      || where orderid < 150
+      || extend raw = strcat('q=', city, ' & id/', tostring(orderid), '!')
+      || extend enc = url_encode(raw), encc = url_encode_component(raw)
+      || extend dec = url_decode(enc), decc = url_decode(encc)
+      || extend line = strcat(tostring(orderid), ',"', city, '","x,y ""q""', tostring(amount), '"')
+      || extend fields = parse_csv(line)
+      || extend nf = tolong(array_length(fields)), joined = strcat_array(fields, '/')
+      || extend ok_rt = tolong(iff(dec == raw and decc == raw, 1, 0))
+      || project orderid, enc, encc, nf, joined, ok_rt
+      || sort by orderid asc""".stripMargin
+
   /** r15 `row_window_session` — ADX's sessionization over a serialized
     * frame: session begins at the first row, on an idle gap >
     * idleTimeout, or when the row is more than maxWindowSize past the
@@ -1616,6 +1714,42 @@ object ReferenceQueries {
   // still comes from the SAME Scala builder the engine compiles
   // (KqlParser.betacfFold), applied to the prior row aliased `cfr` with
   // the fraction args in columns fa/fb/fx.
+  /** The icosahedron face-frame CTE chain shared by the H3 oracles
+    * (vertices from φ, face triples, midpoint centers, e1 toward
+    * vertex a, e2 = c × e1) — verbatim the kql_geo_h3 prefix. */
+  private val duckH3Frames: String =
+    """k AS (SELECT (1.0 + sqrt(5.0)) / 2.0 AS phi),
+      |k2 AS (SELECT phi, sqrt(1.0 + phi * phi) AS vn FROM k),
+      |verts AS (
+      |  SELECT vid,
+      |    (CASE WHEN xc = 2 THEN phi WHEN xc = -2 THEN -phi ELSE CAST(xc AS DOUBLE) END) / vn AS vx,
+      |    (CASE WHEN yc = 2 THEN phi WHEN yc = -2 THEN -phi ELSE CAST(yc AS DOUBLE) END) / vn AS vy,
+      |    (CASE WHEN zc = 2 THEN phi WHEN zc = -2 THEN -phi ELSE CAST(zc AS DOUBLE) END) / vn AS vz
+      |  FROM (VALUES (0,0,1,2),(1,0,1,-2),(2,0,-1,2),(3,0,-1,-2),
+      |               (4,1,2,0),(5,1,-2,0),(6,-1,2,0),(7,-1,-2,0),
+      |               (8,2,0,1),(9,2,0,-1),(10,-2,0,1),(11,-2,0,-1))
+      |    vt(vid, xc, yc, zc) CROSS JOIN k2),
+      |fv AS (
+      |  SELECT fi.f, a.vx AS ax, a.vy AS ay, a.vz AS az,
+      |    b.vx AS bx, b.vy AS by, b.vz AS bz,
+      |    c.vx AS cx0, c.vy AS cy0, c.vz AS cz0
+      |  FROM (VALUES (0,0,2,8),(1,0,2,10),(2,0,4,6),(3,0,4,8),(4,0,6,10),
+      |               (5,1,3,9),(6,1,3,11),(7,1,4,6),(8,1,4,9),(9,1,6,11),
+      |               (10,2,5,7),(11,2,5,8),(12,2,7,10),(13,3,5,7),(14,3,5,9),
+      |               (15,3,7,11),(16,4,8,9),(17,5,8,9),(18,6,10,11),(19,7,10,11))
+      |    fi(f, va, vb, vc)
+      |  JOIN verts a ON a.vid = fi.va JOIN verts b ON b.vid = fi.vb
+      |  JOIN verts c ON c.vid = fi.vc),
+      |fm AS (SELECT *, ax + bx + cx0 AS mx, ay + by + cy0 AS my, az + bz + cz0 AS mz FROM fv),
+      |fm2 AS (SELECT *, sqrt(mx * mx + my * my + mz * mz) AS mn FROM fm),
+      |fc AS (SELECT f, ax, ay, az, mx / mn AS cx, my / mn AS cy, mz / mn AS cz FROM fm2),
+      |fd AS (SELECT *, ax * cx + ay * cy + az * cz AS dd FROM fc),
+      |fw AS (SELECT *, ax - dd * cx AS wx0, ay - dd * cy AS wy0, az - dd * cz AS wz0 FROM fd),
+      |fw2 AS (SELECT *, sqrt(wx0 * wx0 + wy0 * wy0 + wz0 * wz0) AS wn FROM fw),
+      |fe1 AS (SELECT f, cx, cy, cz, wx0 / wn AS e1x, wy0 / wn AS e1y, wz0 / wn AS e1z FROM fw2),
+      |frames AS (SELECT *, cy * e1z - cz * e1y AS e2x, cz * e1x - cx * e1z AS e2y,
+      |    cx * e1y - cy * e1x AS e2z FROM fe1)""".stripMargin
+
   private def duckBetacfStep: (String, String, String) =
     graft.kql.KqlParser.betacfFold("cfr.fa", "cfr.fb", "cfr.fx", "cfr", "(cfr.m + 1)")
   private def duckBetacfInitD: String =
@@ -2067,6 +2201,10 @@ object ReferenceQueries {
     "kql_geo_lines2" -> kqlText(kqlGeoLines2Text) _,
     "kql_stat_tests" -> kqlText(kqlStatTestsText) _,
     "kql_stat_tests2" -> kqlText(kqlStatTests2Text) _,
+    "kql_codecs" -> kqlText(kqlCodecsText) _,
+    "kql_url_csv" -> kqlText(kqlUrlCsvText) _,
+    "kql_geo_polygons2" -> kqlText(kqlGeoPolygons2Text) _,
+    "kql_geo_h3_polygon2" -> kqlText(kqlGeoH3Polygon2Text) _,
     "kql_agg_variants" -> kqlText(kqlAggVariantsText) _,
     "kql_net_b64" -> kqlText(kqlNetB64Text) _,
     "kql_row_session" -> kqlText(kqlRowSessionText) _,
@@ -3056,6 +3194,48 @@ object ReferenceQueries {
          |JOIN fin ON fin.orderid = base.orderid
          |ORDER BY base.orderid ASC""".stripMargin
     },
+    // codecs: the round-trip identity re-derived as the payload
+    // itself; the RFC framing constants from their published values.
+    "kql_codecs" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid,
+         |  city || '|' || CAST(orderid AS VARCHAR) || '|' || CAST(amount AS VARCHAR) AS rt_g,
+         |  city || '|' || CAST(orderid AS VARCHAR) || '|' || CAST(amount AS VARCHAR) AS rt_z,
+         |  CAST(31 * 1000 + 139 + 8 AS BIGINT) AS gmagic,
+         |  CAST(120 AS BIGINT) AS zmagic
+         |FROM orders_info WHERE orderid < 120
+         |ORDER BY orderid ASC""".stripMargin,
+    // URL codecs replayed as per-CHARACTER walks (the corpus is
+    // ASCII, where the engine's per-UTF-8-byte fold coincides); the
+    // decode round-trip and the CSV fields re-derived from the
+    // construction rule.
+    "kql_url_csv" ->
+      s"""${Sql.ordersInfoCte},
+         |b AS (
+         |  SELECT orderid, custid, amount, city,
+         |    'q=' || city || ' & id/' || CAST(orderid AS VARCHAR) || '!' AS raw
+         |  FROM orders_info WHERE orderid < 150),
+         |e AS (
+         |  SELECT orderid, amount, city, raw,
+         |    list_aggregate(list_transform(range(1, length(raw) + 1), ci ->
+         |      CASE WHEN regexp_matches(substr(raw, CAST(ci AS INT), 1), '^[A-Za-z0-9._~-]$$')
+         |        THEN substr(raw, CAST(ci AS INT), 1)
+         |        WHEN substr(raw, CAST(ci AS INT), 1) = ' ' THEN '+'
+         |        ELSE '%' || lpad(lower(to_hex(unicode(substr(raw, CAST(ci AS INT), 1)))), 2, '0')
+         |      END), 'string_agg', '') AS enc,
+         |    list_aggregate(list_transform(range(1, length(raw) + 1), ci ->
+         |      CASE WHEN regexp_matches(substr(raw, CAST(ci AS INT), 1), '^[A-Za-z0-9._~-]$$')
+         |        THEN substr(raw, CAST(ci AS INT), 1)
+         |        ELSE '%' || lpad(lower(to_hex(unicode(substr(raw, CAST(ci AS INT), 1)))), 2, '0')
+         |      END), 'string_agg', '') AS encc
+         |  FROM b)
+         |SELECT orderid, enc, encc,
+         |  CAST(3 AS BIGINT) AS nf,
+         |  CAST(orderid AS VARCHAR) || '/' || city || '/' || 'x,y "q"'
+         |    || CAST(amount AS VARCHAR) AS joined,
+         |  CAST(1 AS BIGINT) AS ok_rt
+         |FROM e
+         |ORDER BY orderid ASC""".stripMargin,
     // literal factor arithmetic replayed per conversion; temperature
     // affine via Kelvin with the engine's ×5-then-÷9 double chain.
     "kql_convert_units" ->
@@ -4065,6 +4245,126 @@ object ReferenceQueries {
         |  CAST(floor(d_osl) AS BIGINT) AS d_osl_m,
         |  d_cph <= 700000.0 AS near_cph
         |FROM d ORDER BY name ASC""".stripMargin,
+    // geohash rect: the acc-6 interleave replayed (the kql_geo
+    // chain), edges from the same dyadic division order, containment
+    // as the strict-interior interval test.
+    "kql_geo_polygons2" ->
+      """WITH p AS (
+        |  SELECT * FROM (VALUES
+        |    ('osl', 10.75, 59.91), ('syd', 151.21, -33.87),
+        |    ('sam', -170.70, -14.27), ('equ', 0.02, -0.01)) AS t(name, lon, lat)),
+        |q AS (
+        |  SELECT name, lon, lat,
+        |    least(32767, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 32768) AS BIGINT))) AS ix6,
+        |    least(32767, greatest(0, CAST(floor((lat + 90.0) / 180.0 * 32768) AS BIGINT))) AS iy6
+        |  FROM p),
+        |i AS (
+        |  SELECT name, lon, lat, ix6, iy6,
+        |    list_sum(list_transform(range(0, 30), pp ->
+        |      CASE WHEN pp % 2 = 0 THEN ((ix6 >> CAST(14 - pp // 2 AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(29 - pp AS INT))
+        |           ELSE ((iy6 >> CAST(14 - (pp - 1) // 2 AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(29 - pp AS INT)) END)) AS in6
+        |  FROM q),
+        |g AS (
+        |  SELECT name, lon, lat, ix6, iy6,
+        |    array_to_string(list_transform(range(0, 6), c ->
+        |      substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |        CAST(((in6 >> CAST(5 * (5 - c) AS INT)) & 31) AS INT) + 1, 1)), '') AS gh,
+        |    CAST(ix6 AS DOUBLE) / 32768.0 * 360.0 - 180.0 AS w,
+        |    CAST(ix6 + 1 AS DOUBLE) / 32768.0 * 360.0 - 180.0 AS e,
+        |    CAST(iy6 AS DOUBLE) / 32768.0 * 180.0 - 90.0 AS s,
+        |    CAST(iy6 + 1 AS DOUBLE) / 32768.0 * 180.0 - 90.0 AS n
+        |  FROM i)
+        |SELECT name, gh,
+        |  CAST(CASE WHEN lon > w AND lon < e AND lat > s AND lat < n
+        |    THEN 1 ELSE 0 END AS BIGINT) AS inpt,
+        |  CAST(floor(w * 1000000.0) AS BIGINT) AS w_u,
+        |  CAST(floor(s * 1000000.0) AS BIGINT) AS s_u,
+        |  CAST(floor(e * 1000000.0) AS BIGINT) AS e_u,
+        |  CAST(floor(n * 1000000.0) AS BIGINT) AS n_u
+        |FROM g ORDER BY name ASC""".stripMargin,
+    // h3 polygon: encode replayed through the shared frames chain at
+    // res 4, the six corner offsets (exact ±√3/2 / ±½ literals) in
+    // the owning face's plane, the center's inverse atan2 chain per
+    // corner; center-containment and ring closure are construction
+    // facts (the center is the hexagon's own centroid; vertex 6 IS
+    // vertex 0).
+    "kql_geo_h3_polygon2" ->
+      s"""WITH $duckH3Frames,
+         |sz AS (SELECT 0.35 / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) / sqrt(7.0) AS s4),
+         |pts AS (
+         |  SELECT * FROM (VALUES
+         |    ('equ', -20.905, 0.0), ('paris', 2.35, 48.86),
+         |    ('rio', -43.2, -22.9), ('tok', 139.7, 35.7)) AS t(name, lon0, lat0)),
+         |p0 AS (SELECT name, CAST(lon0 AS DOUBLE) AS lon, CAST(lat0 AS DOUBLE) AS lat FROM pts),
+         |pxyz AS (
+         |  SELECT name, cos(radians(lat)) * cos(radians(lon)) AS px,
+         |    cos(radians(lat)) * sin(radians(lon)) AS py, sin(radians(lat)) AS pz
+         |  FROM p0),
+         |pf AS (
+         |  SELECT p.name, p.px, p.py, p.pz, fr.f, fr.cx, fr.cy, fr.cz,
+         |    fr.e1x, fr.e1y, fr.e1z, fr.e2x, fr.e2y, fr.e2z,
+         |    p.px * fr.cx + p.py * fr.cy + p.pz * fr.cz AS pd,
+         |    ROW_NUMBER() OVER (PARTITION BY p.name
+         |      ORDER BY p.px * fr.cx + p.py * fr.cy + p.pz * fr.cz DESC, fr.f ASC) AS rn
+         |  FROM pxyz p CROSS JOIN frames fr),
+         |psel AS (SELECT * FROM pf WHERE rn = 1),
+         |ploc AS (SELECT *, px / pd - cx AS tx, py / pd - cy AS ty, pz / pd - cz AS tz FROM psel),
+         |pxy AS (SELECT *, tx * e1x + ty * e1y + tz * e1z AS lx,
+         |    tx * e2x + ty * e2y + tz * e2z AS ly FROM ploc),
+         |pq AS (
+         |  SELECT pxy.*, sz.s4,
+         |    (sqrt(3.0) / 3.0 * lx - ly / 3.0) / s4 AS qf, (2.0 / 3.0 * ly) / s4 AS rf
+         |  FROM pxy CROSS JOIN sz),
+         |py2 AS (SELECT *, -qf - rf AS yf FROM pq),
+         |prnd AS (
+         |  SELECT *, floor(qf + 0.5) AS a4, floor(yf + 0.5) AS b4, floor(rf + 0.5) AS c4r
+         |  FROM py2),
+         |pdx AS (
+         |  SELECT *, abs(a4 - qf) AS dq, abs(b4 - yf) AS dy, abs(c4r - rf) AS dr
+         |  FROM prnd),
+         |pcell AS (
+         |  SELECT name, f, cx, cy, cz, e1x, e1y, e1z, e2x, e2y, e2z, s4,
+         |    CAST(CASE WHEN dq > dy AND dq > dr THEN -b4 - c4r ELSE a4 END AS BIGINT) AS q4,
+         |    CAST(CASE WHEN dq > dy AND dq > dr THEN c4r WHEN dy > dr THEN c4r
+         |         ELSE -a4 - b4 END AS BIGINT) AS r4
+         |  FROM pdx),
+         |ptok AS (
+         |  SELECT *,
+         |    (CAST(1 AS BIGINT) << 49) + 4 * (CAST(1 AS BIGINT) << 45)
+         |      + f * (CAST(1 AS BIGINT) << 40) + (q4 + 524288) * (CAST(1 AS BIGINT) << 20)
+         |      + (r4 + 524288) AS v4,
+         |    s4 * (sqrt(3.0) * q4 + sqrt(3.0) / 2.0 * r4) AS lcx,
+         |    s4 * (1.5 * r4) AS lcy
+         |  FROM pcell),
+         |corners AS (
+         |  SELECT * FROM (VALUES (0, 1, 1), (1, 0, 2), (2, -1, 1),
+         |    (3, -1, -1), (4, 0, -2), (5, 1, -1)) AS ck(ci, mx, my)),
+         |cw AS (
+         |  SELECT ptok.*, ck.ci,
+         |    lcx + s4 * (CAST(ck.mx AS DOUBLE) * (sqrt(3.0) / 2.0)) AS ccx,
+         |    lcy + s4 * (CAST(ck.my AS DOUBLE) * 0.5) AS ccy
+         |  FROM ptok CROSS JOIN corners ck),
+         |cxyz AS (
+         |  SELECT name, v4, ci,
+         |    cx + ccx * e1x + ccy * e2x AS wx,
+         |    cy + ccx * e1y + ccy * e2y AS wy,
+         |    cz + ccx * e1z + ccy * e2z AS wz
+         |  FROM cw),
+         |cll AS (
+         |  SELECT name, v4, ci,
+         |    degrees(atan2(wy, wx)) AS clon,
+         |    degrees(atan2(wz, sqrt(wx * wx + wy * wy))) AS clat
+         |  FROM cxyz)
+         |SELECT c0.name, lower(to_hex(c0.v4)) AS tok4,
+         |  CAST(1 AS BIGINT) AS inpt,
+         |  CAST(floor(c0.clon * 1000000.0) AS BIGINT) AS c0x_u,
+         |  CAST(floor(c0.clat * 1000000.0) AS BIGINT) AS c0y_u,
+         |  CAST(floor(c3.clon * 1000000.0) AS BIGINT) AS c3x_u,
+         |  CAST(floor(c3.clat * 1000000.0) AS BIGINT) AS c3y_u,
+         |  CAST(1 AS BIGINT) AS closed
+         |FROM cll c0 JOIN cll c3 ON c3.name = c0.name AND c3.ci = 3
+         |WHERE c0.ci = 0
+         |ORDER BY c0.name ASC""".stripMargin,
     // Cube-threshold formulation: equal to the verb's level-wise
     // Apriori because support is anti-monotone (any frequent pattern
     // has every sub-pattern frequent), so the frequent-itemset family
@@ -4419,7 +4719,9 @@ object ReferenceQueries {
         |  nullif(regexp_extract('&' || query, '&x=([^&]*)', 1), '') AS qx2,
         |  replace(replace(nullif(regexp_extract('&' || query, '&y=([^&]*)', 1), ''),
         |    '+', ' '), '%20', ' ') AS decy,
-        |  replace(path, '/', '%2F') AS enc
+        |  replace(path, '/', '%2f') AS enc -- r15: url_encode is now
+        |  -- the KQL-level fold (ADX's LOWERCASE hex), no longer
+        |  -- Spark's pass-through built-in (uppercase)
         |FROM d ORDER BY url ASC""".stripMargin,
     // Every regexp_extract is COALESCE-pinned to '': no-match returns
     // '' on some DuckDB versions and NULL on others (the r10 hash-fail

@@ -814,6 +814,41 @@ class GeoSpec extends SparkSpec {
     assert(viaSql == direct)
   }
 
+  test("h3: boundaryOf — closed 7-point ring around the cell center") {
+    import graft.functions.H3
+    import org.apache.spark.unsafe.types.UTF8String
+    for ((lon, lat) <- Seq((2.35, 48.86), (-20.905, 0.0), (139.7, 35.7),
+        (-43.2, -22.9), (18.4, -33.9))) {
+      val tok = H3.cellToken(lon, lat, 4)
+      val ring = H3.boundaryOf(tok)
+      assert(ring != null && ring.numElements() == 7)
+      val pts = (0 until 7).map { i =>
+        val p = ring.getArray(i); (p.getDouble(0), p.getDouble(1))
+      }
+      assert(pts(6) == pts(0)) // closing vertex repeats exactly
+      assert(pts.take(6).distinct.size == 6)
+      // every corner is equidistant-ish from the center (planar
+      // circumradius projects to near-equal sphere distances at
+      // res 4: spread under 12% of the mean) and the center's own
+      // lon/lat sits strictly inside the corner bounding box
+      val c = H3.centerOf(tok)
+      val (clon, clat) = (c.getDouble(0), c.getDouble(1))
+      def hav(aLon: Double, aLat: Double, bLon: Double, bLat: Double): Double = {
+        val (p1, p2) = (math.toRadians(aLat), math.toRadians(bLat))
+        val (dp, dl) = (p2 - p1, math.toRadians(bLon - aLon))
+        2 * 6371000.0 * math.asin(math.sqrt(
+          math.pow(math.sin(dp / 2), 2) +
+            math.cos(p1) * math.cos(p2) * math.pow(math.sin(dl / 2), 2)))
+      }
+      val ds = pts.take(6).map { case (x, y) => hav(clon, clat, x, y) }
+      assert((ds.max - ds.min) / (ds.sum / 6) < 0.12, s"corner spread at ($lon,$lat): $ds")
+      assert(pts.take(6).map(_._1).min < clon && clon < pts.take(6).map(_._1).max)
+      assert(pts.take(6).map(_._2).min < clat && clat < pts.take(6).map(_._2).max)
+    }
+    assert(H3.boundaryOf(UTF8String.fromString("zzzz")) == null)
+    assert(H3.boundaryOf(null) == null)
+  }
+
   test("s2: codegen and interpreted eval agree") {
     import graft.functions.S2
     import org.apache.spark.unsafe.types.UTF8String

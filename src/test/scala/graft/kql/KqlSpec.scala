@@ -3284,6 +3284,99 @@ class KqlSpec extends SparkSpec {
     assert(e.getMessage.contains("string literal"))
   }
 
+  test("parser: gzip/zlib codecs — round-trip, RFC framing, malformed → null") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    // round-trips, including non-ASCII text
+    assert(one("gzip_decompress_from_base64_string(" +
+      "gzip_compress_to_base64_string('hello graft'))").getString(0) == "hello graft")
+    assert(one("zlib_decompress_from_base64_string(" +
+      "zlib_compress_to_base64_string('año 2024 ∑'))").getString(0) == "año 2024 ∑")
+    assert(one("gzip_decompress_from_base64_string(" +
+      "gzip_compress_to_base64_string(''))").getString(0) == "")
+    // cross-check against java.util.zip driven directly (independent
+    // of the expression code path): decompress a stream WE built
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("vector".getBytes("UTF-8")); gz.close()
+    val g64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    assert(one(s"gzip_decompress_from_base64_string('$g64')").getString(0) == "vector")
+    // and the engine's compressed output decodes with java.util.zip
+    val eng = one("gzip_compress_to_base64_string('vector')").getString(0)
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(eng)))
+    assert(new String(in.readAllBytes(), "UTF-8") == "vector")
+    // zlib header: CMF 0x78 (32K window), FLG for the default level
+    val zb = java.util.Base64.getDecoder.decode(
+      one("zlib_compress_to_base64_string('abc')").getString(0))
+    assert((zb(0) & 0xFF) == 0x78 && ((zb(0) & 0xFF) * 256 + (zb(1) & 0xFF)) % 31 == 0)
+    // malformed / truncated / wrong-codec input → null
+    assert(one("gzip_decompress_from_base64_string('not base64!!')").isNullAt(0))
+    assert(one("gzip_decompress_from_base64_string('AAAA')").isNullAt(0))
+    assert(one("zlib_decompress_from_base64_string('AAAA')").isNullAt(0))
+    assert(one("zlib_decompress_from_base64_string(" +
+      "gzip_compress_to_base64_string('x'))").isNullAt(0))
+  }
+
+  test("parser: geo_geohash_to_polygon — rect ring, containment, malformed") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    // bind the polygon to a column first (variant paths rewrite on
+    // column roots — the query idiom), then pin the geometry
+    def geo(e: String) = KqlParser.run(
+      "T | extend gp = geo_geohash_to_polygon('u4pru'), " +
+        "gc = geo_geohash_to_central_point('u4pru') " +
+        s"| project r = $e", reg).head()
+    // the cell polygon contains the cell's own central point
+    assert(geo("tolong(iff(geo_point_in_polygon(" +
+      "todouble(gc.coordinates[0]), todouble(gc.coordinates[1]), gp), 1, 0))")
+      .getLong(0) == 1L)
+    // closed ring: 5 vertices (index 4 exists, 5 does not),
+    // first == last; W < E, S < N
+    assert(geo("tolong(iff(isnotnull(todouble(gp.coordinates[0][4][0])) and " +
+      "isnull(todouble(gp.coordinates[0][5][0])), 1, 0))").getLong(0) == 1L)
+    assert(geo("tolong(iff(" +
+      "todouble(gp.coordinates[0][0][0]) < todouble(gp.coordinates[0][2][0]) and " +
+      "todouble(gp.coordinates[0][0][1]) < todouble(gp.coordinates[0][2][1]), 1, 0))")
+      .getLong(0) == 1L)
+    assert(geo("tolong(iff(todouble(gp.coordinates[0][0][0]) == " +
+      "todouble(gp.coordinates[0][4][0]), 1, 0))").getLong(0) == 1L)
+    // malformed tokens → null (bad alphabet / empty / too long)
+    assert(one("geo_geohash_to_polygon('ab#')").isNullAt(0))
+    assert(one("geo_geohash_to_polygon('')").isNullAt(0))
+  }
+
+  test("parser: url codecs + parse_csv — byte walks, RFC 4180 machine") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    assert(one("url_encode('a b=c')").getString(0) == "a+b%3dc")
+    assert(one("url_encode_component('a b=c')").getString(0) == "a%20b%3dc")
+    assert(one("url_encode_component('A-z_0.~')").getString(0) == "A-z_0.~")
+    // multi-byte characters percent-encode byte-by-byte (UTF-8)
+    assert(one("url_encode_component('é')").getString(0) == "%c3%a9")
+    assert(one("url_decode('%c3%a9')").getString(0) == "é")
+    assert(one("url_decode('a+b%3Dc')").getString(0) == "a b=c")
+    assert(one("url_decode('100%25')").getString(0) == "100%")
+    assert(one("url_decode('')").getString(0) == "")
+    assert(one("url_encode('')").getString(0) == "")
+    // malformed percent escapes → null
+    assert(one("url_decode('bad%x1')").isNullAt(0))
+    assert(one("url_decode('trail%')").isNullAt(0))
+    // round-trip both variants
+    assert(one("url_decode(url_encode('q=a&b c/d!'))").getString(0) == "q=a&b c/d!")
+    assert(one("url_decode(url_encode_component('q=a&b c/d!'))").getString(0) == "q=a&b c/d!")
+    // parse_csv: quotes, escaped quotes, embedded commas and newlines
+    assert(one("strcat_array(parse_csv('a,b,c'), '/')").getString(0) == "a/b/c")
+    assert(one("strcat_array(parse_csv('1,\"x,y\",z'), '/')").getString(0) == "1/x,y/z")
+    assert(one("strcat_array(parse_csv('\"he said \"\"hi\"\"\",2'), '/')")
+      .getString(0) == "he said \"hi\"/2")
+    assert(one("tolong(array_length(parse_csv(',,')))").getLong(0) == 3L)
+    assert(one("strcat_array(parse_csv('\"line1\nline2\",b'), '/')")
+      .getString(0) == "line1\nline2/b")
+    // dangling quote → null (loud-malformed convention)
+    assert(one("parse_csv('a,\"open')").isNullAt(0))
+  }
+
   test("parser: erf/erfc/beta_inv — series + safeguarded-Newton chains") {
     val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
     def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
