@@ -4288,6 +4288,7 @@ object KqlParser {
               "ipv6_is_in_range", "ipv6_is_in_any_range",
               "strcmp", "regex_quote", "jaccard_index", "bag_zip",
               "base64_encode_fromarray", "array_sort_desc",
+              "isascii", "toguid", "todecimal",
               "parse_url", "parse_urlquery", "parse_path",
               "parse_version", "parse_xml", "parse_user_agent",
               "geo_distance_2points", "geo_point_in_circle",
@@ -5382,6 +5383,29 @@ object KqlParser {
                   "around expects (value, center, delta)")
                 out.append(s"((${args(0)}) BETWEEN ((${args(1)}) - (${args(2)})) " +
                   s"AND ((${args(1)}) + (${args(2)})))")
+              case "isascii" =>
+                // r15: ADX isascii(s) — every codepoint ≤ 127. One
+                // anchored RE2/Java-common class test; null → null
+                // (rlike's null propagation).
+                require(args.length == 1, "isascii expects (string)")
+                out.append(s"((${args(0)}) RLIKE '^[\\\\x00-\\\\x7f]*$$')")
+              case "toguid" =>
+                // r15: ADX toguid(s) — canonical 8-4-4-4-12 GUID
+                // (lowercased) or null. The guid type surfaces as its
+                // canonical STRING here (the timespan-as-seconds
+                // convention class).
+                require(args.length == 1, "toguid expects (string)")
+                val hx = "[0-9a-f]"
+                out.append(s"(CASE WHEN lower(CAST((${args(0)}) AS STRING)) RLIKE " +
+                  s"'^$hx{8}-$hx{4}-$hx{4}-$hx{4}-$hx{12}$$' " +
+                  s"THEN lower(CAST((${args(0)}) AS STRING)) END)")
+              case "todecimal" =>
+                // r15: ADX todecimal(v) — 128-bit decimal. Surfaces as
+                // DECIMAL(38, 10) (documented precision bound; ADX's
+                // dynamic scale has no Spark/DuckDB analogue);
+                // unparseable → null via try_cast.
+                require(args.length == 1, "todecimal expects (value)")
+                out.append(s"try_cast((${args(0)}) AS DECIMAL(38, 10))")
               case "strcmp" =>
                 // r15: ordinal 3-way compare. Both engines order
                 // strings by raw bytes (Spark UTF8String, DuckDB

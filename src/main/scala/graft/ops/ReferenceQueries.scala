@@ -1582,6 +1582,25 @@ object ReferenceQueries {
       || project orderid, erf_u, erfc_u, inv_u
       || sort by orderid asc""".stripMargin
 
+  /** r15 scalar wave 5 — `isascii` (anchored codepoint-class test),
+    * `toguid` (canonical lowercase 8-4-4-4-12 or null; guid surfaces
+    * as its canonical string), `todecimal` (DECIMAL(38,10), the
+    * documented precision bound — rendered to string for the compare
+    * since both engines keep full-scale trailing zeros). */
+  val kqlScalarFns5Text: String =
+    """Orders
+      || where orderid < 100
+      || extend h = hash_md5(tostring(orderid))
+      || extend g = strcat(substring(h, 0, 8), '-', substring(h, 8, 4), '-',
+      |                    substring(h, 12, 4), '-', substring(h, 16, 4), '-',
+      |                    substring(h, 20, 12))
+      || extend gid = toguid(g), bad = toguid(city),
+      |         asc1 = tolong(iff(isascii(city), 1, 0)),
+      |         asc2 = tolong(iff(isascii(strcat(city, unicode_codepoints_to_string(pack_array(233)))), 1, 0)),
+      |         dec2 = tostring(todecimal(strcat(tostring(orderid), '.', tostring(amount))))
+      || project orderid, gid, bad, asc1, asc2, dec2
+      || sort by orderid asc""".stripMargin
+
   /** r15 compression codecs — gzip/zlib compress-to / decompress-from
     * base64 (graft.functions.Codecs, java.util.zip). Compressed bytes
     * are a zlib-implementation detail, so the oracle checks the
@@ -2203,6 +2222,7 @@ object ReferenceQueries {
     "kql_stat_tests2" -> kqlText(kqlStatTests2Text) _,
     "kql_codecs" -> kqlText(kqlCodecsText) _,
     "kql_url_csv" -> kqlText(kqlUrlCsvText) _,
+    "kql_scalar_fns5" -> kqlText(kqlScalarFns5Text) _,
     "kql_geo_polygons2" -> kqlText(kqlGeoPolygons2Text) _,
     "kql_geo_h3_polygon2" -> kqlText(kqlGeoH3Polygon2Text) _,
     "kql_agg_variants" -> kqlText(kqlAggVariantsText) _,
@@ -3194,6 +3214,23 @@ object ReferenceQueries {
          |JOIN fin ON fin.orderid = base.orderid
          |ORDER BY base.orderid ASC""".stripMargin
     },
+    // scalar wave 5: the GUID re-assembled from the same md5 slices,
+    // ascii-ness via the complementary class match, the decimal
+    // re-rendered at the same scale.
+    "kql_scalar_fns5" ->
+      s"""${Sql.ordersInfoCte},
+         |b AS (
+         |  SELECT orderid, city, amount, md5(CAST(orderid AS VARCHAR)) AS h
+         |  FROM orders_info WHERE orderid < 100)
+         |SELECT orderid,
+         |  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+         |    || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS gid,
+         |  CAST(NULL AS VARCHAR) AS bad,
+         |  CAST(CASE WHEN regexp_matches(city, '[^\\x00-\\x7f]') THEN 0 ELSE 1 END AS BIGINT) AS asc1,
+         |  CAST(0 AS BIGINT) AS asc2,
+         |  CAST(CAST(CAST(orderid AS VARCHAR) || '.' || CAST(amount AS VARCHAR)
+         |    AS DECIMAL(38, 10)) AS VARCHAR) AS dec2
+         |FROM b ORDER BY orderid ASC""".stripMargin,
     // codecs: the round-trip identity re-derived as the payload
     // itself; the RFC framing constants from their published values.
     "kql_codecs" ->

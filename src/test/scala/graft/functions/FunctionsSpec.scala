@@ -81,6 +81,9 @@ class FunctionsSpec extends SparkSpec {
       "graft_codepoints", "graft_from_codepoints",
       "graft_punycode_encode", "graft_punycode_decode",
       "graft_ipv6_canon", "graft_ipv6_mask", "graft_ipv6_cmp",
-      "graft_make_bag"))
+      "graft_make_bag",
+      "graft_gzip_compress", "graft_gzip_decompress",
+      "graft_zlib_compress", "graft_zlib_decompress",
+      "graft_parse_csv", "graft_h3_boundary"))
   }
 }
