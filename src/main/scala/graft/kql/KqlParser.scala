@@ -3628,6 +3628,15 @@ object KqlParser {
             // truncates fractional weights too).
             (expr(rw(s"percentile(${scalar(args(0), lets)}, (${args(2)}) / 100.0, " +
               s"${scalar(args(1), lets)})")), defName(args(0)))
+          case "percentilesw_array" =>
+            // r15: ADX percentilesw_array(col, weight, P1, P2, ...) —
+            // the weighted percentiles in one dynamic array cell
+            // (percentilew × percentiles_array composed; same EXACT-
+            // vs-T-digest documented deviation, same positive-integer
+            // frequency contract).
+            (expr(rw(s"percentile(${scalar(args(0), lets)}, array(" +
+              args.drop(2).map(p => s"CAST(($p) / 100.0 AS DOUBLE)").mkString(", ") +
+              s"), ${scalar(args(1), lets)})")), defName(args(0)))
           case "take_any" | "any" =>
             // ADX's contract is "some value from the group"; this
             // engine picks DETERMINISTICALLY (min) so results are
@@ -4289,6 +4298,7 @@ object KqlParser {
               "strcmp", "regex_quote", "jaccard_index", "bag_zip",
               "base64_encode_fromarray", "array_sort_desc",
               "isascii", "toguid", "todecimal",
+              "base64_encode_fromguid", "base64_decode_toguid",
               "parse_url", "parse_urlquery", "parse_path",
               "parse_version", "parse_xml", "parse_user_agent",
               "geo_distance_2points", "geo_point_in_circle",
@@ -5383,6 +5393,35 @@ object KqlParser {
                   "around expects (value, center, delta)")
                 out.append(s"((${args(0)}) BETWEEN ((${args(1)}) - (${args(2)})) " +
                   s"AND ((${args(1)}) + (${args(2)})))")
+              case "base64_encode_fromguid" =>
+                // r15: GUID → base64 of its 16 bytes in the .NET
+                // Guid.ToByteArray order ADX uses: the first three
+                // groups little-endian (4+2+2 bytes reversed
+                // pairwise), the last 8 bytes big-endian. Pure hex
+                // slicing, mirrored verbatim; non-GUID input → null.
+                require(args.length == 1, "base64_encode_fromguid expects (guid)")
+                val hx = "[0-9a-f]"
+                out.append(s"element_at(transform(array(" +
+                  s"replace(lower(CAST((${args(0)}) AS STRING)), '-', '')), bgh -> " +
+                  s"CASE WHEN lower(CAST((${args(0)}) AS STRING)) RLIKE " +
+                  s"'^$hx{8}-$hx{4}-$hx{4}-$hx{4}-$hx{12}$$' THEN " +
+                  s"base64(unhex(concat(" +
+                  s"substr(bgh, 7, 2), substr(bgh, 5, 2), substr(bgh, 3, 2), substr(bgh, 1, 2), " +
+                  s"substr(bgh, 11, 2), substr(bgh, 9, 2), " +
+                  s"substr(bgh, 15, 2), substr(bgh, 13, 2), " +
+                  s"substr(bgh, 17, 16)))) END), 1)")
+              case "base64_decode_toguid" =>
+                // r15: inverse — base64 → 16 bytes → canonical
+                // lowercase GUID (the .NET byte order undone); wrong
+                // payload size or bad base64 → null.
+                require(args.length == 1, "base64_decode_toguid expects (base64)")
+                out.append(s"element_at(transform(array(" +
+                  s"lower(hex(unbase64(CAST((${args(0)}) AS STRING))))), bdh -> " +
+                  s"CASE WHEN bdh RLIKE '^[0-9a-f]{32}$$' THEN concat(" +
+                  s"substr(bdh, 7, 2), substr(bdh, 5, 2), substr(bdh, 3, 2), substr(bdh, 1, 2), '-', " +
+                  s"substr(bdh, 11, 2), substr(bdh, 9, 2), '-', " +
+                  s"substr(bdh, 15, 2), substr(bdh, 13, 2), '-', " +
+                  s"substr(bdh, 17, 4), '-', substr(bdh, 21, 12)) END), 1)")
               case "isascii" =>
                 // r15: ADX isascii(s) — every codepoint ≤ 127. One
                 // anchored RE2/Java-common class test; null → null

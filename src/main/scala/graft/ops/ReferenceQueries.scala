@@ -1601,6 +1601,24 @@ object ReferenceQueries {
       || project orderid, gid, bad, asc1, asc2, dec2
       || sort by orderid asc""".stripMargin
 
+  /** r15 GUID ↔ base64 — `base64_encode_fromguid` /
+    * `base64_decode_toguid` over the .NET Guid.ToByteArray order ADX
+    * uses (first three groups little-endian, last 8 bytes big-endian)
+    * as pure hex slicing; the oracle replays the same slices, the
+    * round-trip re-derives the constructed GUID, non-GUID input →
+    * null. */
+  val kqlGuidB64Text: String =
+    """Orders
+      || where orderid < 80
+      || extend h = hash_md5(tostring(orderid))
+      || extend g = strcat(substring(h, 0, 8), '-', substring(h, 8, 4), '-',
+      |                    substring(h, 12, 4), '-', substring(h, 16, 4), '-',
+      |                    substring(h, 20, 12))
+      || extend b = base64_encode_fromguid(g)
+      || extend rt = base64_decode_toguid(b), bad = base64_encode_fromguid(city)
+      || project orderid, b, rt, bad
+      || sort by orderid asc""".stripMargin
+
   /** r15 compression codecs — gzip/zlib compress-to / decompress-from
     * base64 (graft.functions.Codecs, java.util.zip). Compressed bytes
     * are a zlib-implementation detail, so the oracle checks the
@@ -1876,8 +1894,10 @@ object ReferenceQueries {
   val kqlPercentilewText: String =
     """Events
       || extend wgt = toint(user_id % 5 + 1)
-      || summarize p90w = percentilew(value, wgt, 90) by event_type
-      || project event_type, p90w = round(p90w, 6)
+      || summarize p90w = percentilew(value, wgt, 90),
+      |            parr = percentilesw_array(value, wgt, 50, 90) by event_type
+      || project event_type, p90w = round(p90w, 6),
+      |          p50a = round(todouble(parr[0]), 6), p90a = round(todouble(parr[1]), 6)
       || sort by event_type asc""".stripMargin
 
   /** r10 series similarity tier — dot product / magnitude / cosine /
@@ -2223,6 +2243,7 @@ object ReferenceQueries {
     "kql_codecs" -> kqlText(kqlCodecsText) _,
     "kql_url_csv" -> kqlText(kqlUrlCsvText) _,
     "kql_scalar_fns5" -> kqlText(kqlScalarFns5Text) _,
+    "kql_guid_b64" -> kqlText(kqlGuidB64Text) _,
     "kql_geo_polygons2" -> kqlText(kqlGeoPolygons2Text) _,
     "kql_geo_h3_polygon2" -> kqlText(kqlGeoH3Polygon2Text) _,
     "kql_agg_variants" -> kqlText(kqlAggVariantsText) _,
@@ -3214,6 +3235,23 @@ object ReferenceQueries {
          |JOIN fin ON fin.orderid = base.orderid
          |ORDER BY base.orderid ASC""".stripMargin
     },
+    // guid/base64: the same hex slices re-ordered (little-endian first
+    // three groups), round-trip re-derived as the constructed guid.
+    "kql_guid_b64" ->
+      s"""${Sql.ordersInfoCte},
+         |b AS (
+         |  SELECT orderid, city, md5(CAST(orderid AS VARCHAR)) AS h
+         |  FROM orders_info WHERE orderid < 80)
+         |SELECT orderid,
+         |  to_base64(from_hex(
+         |    substr(h, 7, 2) || substr(h, 5, 2) || substr(h, 3, 2) || substr(h, 1, 2)
+         |    || substr(h, 11, 2) || substr(h, 9, 2)
+         |    || substr(h, 15, 2) || substr(h, 13, 2)
+         |    || substr(h, 17, 16))) AS b,
+         |  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+         |    || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS rt,
+         |  CAST(NULL AS VARCHAR) AS bad
+         |FROM b ORDER BY orderid ASC""".stripMargin,
     // scalar wave 5: the GUID re-assembled from the same md5 slices,
     // ascii-ness via the complementary class match, the decimal
     // re-rendered at the same scale.
@@ -4470,7 +4508,9 @@ object ReferenceQueries {
         |    CAST(user_id % 5 + 1 AS INTEGER) AS wgt
         |  FROM events),
         |x AS (SELECT event_type, v FROM w, LATERAL (SELECT unnest(range(wgt)) AS r) r)
-        |SELECT event_type, round(quantile_cont(v, 0.90), 6) AS p90w
+        |SELECT event_type, round(quantile_cont(v, 0.90), 6) AS p90w,
+        |  round(quantile_cont(v, 0.50), 6) AS p50a,
+        |  round(quantile_cont(v, 0.90), 6) AS p90a
         |FROM x GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "kql_series_similarity" ->
       """WITH f AS (

@@ -2086,6 +2086,18 @@ class KqlSpec extends SparkSpec {
     assert(u.getDouble(0) == 2.5)
   }
 
+  test("parser: percentilesw_array — weighted percentiles in one cell") {
+    val reg = Map("T" -> Seq((1.0, 1), (2.0, 1), (3.0, 1), (4.0, 7)).toDF("v", "w"))
+    val r = KqlParser.run(
+      "T | summarize p = percentilesw_array(v, w, 25, 50, 95)", reg).collect().head
+    val arr = r.getSeq[Double](0)
+    assert(arr.length == 3 && arr(1) == 4.0 && arr(2) == 4.0)
+    // unweighted sibling disagrees at the median (2.5) — the weight arm matters
+    val u = KqlParser.run(
+      "T | summarize p = percentiles_array(v, 25, 50, 95)", reg).collect().head
+    assert(u.getSeq[Double](0)(1) == 2.5)
+  }
+
   test("parser: series_decompose / _anomalies — moving-average trend, k-sigma flags") {
     // 4 points: every 7-point window clamps to the whole array, so the
     // trend is flat 2.0 and the residual is y - 2.
