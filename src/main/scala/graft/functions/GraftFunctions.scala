@@ -47,6 +47,7 @@ object GraftFunctions {
     "graft_zlib_compress" -> (e => ZlibCompress(e(0))),
     "graft_zlib_decompress" -> (e => ZlibDecompress(e(0))),
     "graft_parse_csv" -> (e => CsvParseExpr(e(0))),
+    "graft_parse_cmdline" -> (e => CommandLineExpr(e(0))),
   )
 
   def register(spark: SparkSession): Unit =

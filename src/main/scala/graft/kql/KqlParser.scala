@@ -4319,6 +4319,7 @@ object KqlParser {
               "geo_line_to_h3cells",
               "totimespan", "make_timespan", "format_timespan",
               "datetime_part", "make_datetime",
+              "datetime_utc_to_local", "datetime_local_to_utc",
               "unixtime_seconds_todatetime", "unixtime_milliseconds_todatetime",
               "unixtime_microseconds_todatetime",
               "binary_and", "binary_or", "binary_xor", "binary_not",
@@ -4342,6 +4343,7 @@ object KqlParser {
               "gzip_compress_to_base64_string", "gzip_decompress_from_base64_string",
               "zlib_compress_to_base64_string", "zlib_decompress_from_base64_string",
               "url_encode", "url_encode_component", "url_decode", "parse_csv",
+              "extractjson", "extract_json", "parse_command_line",
               "strcat_array", "isinf", "isfinite",
               "set_union", "set_intersect", "set_difference", "set_has_element",
               "array_rotate_left", "array_rotate_right",
@@ -4812,10 +4814,37 @@ object KqlParser {
               case "array_index_of" =>
                 // ADX: 0-based index, -1 when absent. Spark
                 // array_position is 1-based with 0-absent — shifting by
-                // one maps both conventions at once.
-                require(args.length == 2,
-                  s"array_index_of expects (array, value): ${s.substring(i, close + 1)}")
-                out.append(s"(array_position(${args(0)}, ${args(1)}) - 1)")
+                // one maps both conventions at once. r15: the optional
+                // (start, length, occurrence) arms land via a filtered
+                // index scan (negative start counts from the end,
+                // length -1 = unbounded, occurrence 1-based — ADX's
+                // documented contract; out-of-range occurrence → -1).
+                require(args.length >= 2 && args.length <= 5,
+                  s"array_index_of expects (array, value[, start[, length[, occurrence]]]): ${s.substring(i, close + 1)}")
+                if (args.length == 2)
+                  out.append(s"(array_position(${args(0)}, ${args(1)}) - 1)")
+                else {
+                  val sIx = args.lift(2).getOrElse("0")
+                  val lIx = args.lift(3).getOrElse("-1")
+                  val oIx = args.lift(4).getOrElse("1")
+                  out.append(s"element_at(transform(array(named_struct(" +
+                    s"'a', ${args(0)}, 'v', ${args(1)}, " +
+                    s"'s', CAST(($sIx) AS INT), 'l', CAST(($lIx) AS INT), " +
+                    s"'o', CAST(($oIx) AS INT))), aio -> " +
+                    // st = normalized 0-based start; hits = matching
+                    // indices within [st, st+len); answer = hits[o]
+                    s"element_at(transform(array(CASE WHEN aio.s < 0 " +
+                    s"THEN greatest(0, size(aio.a) + aio.s) ELSE aio.s END), aist -> " +
+                    // empty array → sequence(0, -1) would DESCEND;
+                    // occurrence < 1 → element_at(_, 0) would error
+                    s"CASE WHEN aio.a IS NULL THEN CAST(NULL AS INT) " +
+                    s"WHEN size(aio.a) = 0 OR aio.o < 1 THEN -1 ELSE " +
+                    // try_element_at: an occurrence past the match
+                    // count must yield -1, not an ANSI index error
+                    s"coalesce(try_element_at(filter(sequence(0, size(aio.a) - 1), aii -> " +
+                    s"aii >= aist AND (aio.l < 0 OR aii < aist + aio.l) " +
+                    s"AND element_at(aio.a, aii + 1) = aio.v), aio.o), -1) END), 1)), 1)")
+                }
               case "array_sum" =>
                 require(args.length == 1, "array_sum expects (array)")
                 out.append(s"aggregate(${args(0)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
@@ -5104,6 +5133,23 @@ object KqlParser {
                     s"format_timespan format not supported: $other ('d.hh:mm:ss', 'hh:mm:ss')")
                 }
                 out.append(s"(CASE WHEN ($t) < 0 THEN CAST(NULL AS STRING) ELSE $body END)")
+              case dtz @ ("datetime_utc_to_local" | "datetime_local_to_utc") =>
+                // r15: timezone conversion through the JVM tzdb
+                // (from_utc_timestamp / to_utc_timestamp); the zone
+                // must be a string LITERAL (compiled into the plan).
+                // IANA names resolve via the JVM (DST-correct,
+                // spec-pinned on boundary vectors); the ORACLE path
+                // uses fixed-offset zones ('+HH:MM'), the only form
+                // the DuckDB harness can replay without an ICU tzdb.
+                require(args.length == 2, s"$dtz expects (datetime, timezone)")
+                val tzl = args(1).trim
+                require(tzl.length >= 2 &&
+                    (tzl.head == '\'' || tzl.head == '"') && tzl.last == tzl.head,
+                  s"$dtz timezone must be a string literal: ${args(1)}")
+                out.append(
+                  if (dtz == "datetime_utc_to_local")
+                    s"from_utc_timestamp(${args(0)}, $tzl)"
+                  else s"to_utc_timestamp(${args(0)}, $tzl)")
               case "datetime_part" =>
                 // datetime_part('part', dt) → BIGINT (ADX returns long).
                 require(args.length == 2, "datetime_part expects (part, datetime)")
@@ -5751,6 +5797,50 @@ object KqlParser {
                   s"hex(encode(element_at(udp, 1), 'UTF-8')), (udacc, udx) -> " +
                   s"udacc || upper(substr(udx, 1, 2)) " +
                   s"|| hex(encode(substr(udx, 3, 2147483647), 'UTF-8')))), 'UTF-8') END), 1)")
+              case "extractjson" | "extract_json" =>
+                // r15: ADX extractjson(jsonPath, dataSource[, typeof])
+                // — JSON-text extraction by a LITERAL '$'-path
+                // (compiled into the plan as variant_get's path; keys
+                // containing a quote reject, the variant-path
+                // convention). Optional third arg `typeof(t)` casts
+                // the extracted VARIANT.
+                require(args.length == 2 || args.length == 3,
+                  s"${w.toLowerCase} expects (jsonPath, dataSource[, typeof(t)])")
+                val pRaw = args(0).trim
+                require(pRaw.length >= 2 &&
+                    (pRaw.head == '\'' || pRaw.head == '"') && pRaw.last == pRaw.head,
+                  s"${w.toLowerCase} path must be a string literal: $pRaw")
+                val pIn = pRaw.substring(1, pRaw.length - 1)
+                require(pIn.startsWith("$"),
+                  s"${w.toLowerCase} path must start with '$$': $pIn")
+                require(!pIn.contains('\''),
+                  s"${w.toLowerCase} path cannot contain a single quote " +
+                    s"(cannot ride variant_get's single-quoted path): $pIn")
+                val ejBase = s"variant_get(parse_json(${args(1)}), '$pIn')"
+                if (args.length == 3) {
+                  val tRaw = args(2).trim
+                  val TypeofEj = "(?i)^typeof\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+                  tRaw match {
+                    case TypeofEj(t) =>
+                      out.append(s"try_cast($ejBase AS ${kqlTypeToSpark(t)})")
+                    case other => throw new IllegalArgumentException(
+                      s"${w.toLowerCase} third argument must be typeof(type): $other")
+                  }
+                } else out.append(ejBase)
+              case "parse_command_line" =>
+                // r15: Windows CommandLineToArgvW splitting
+                // (graft.functions.CommandLine — the published MSDN
+                // backslash/quote rules need a character state
+                // machine). Only the 'windows' parser type exists (as
+                // in ADX); anything else rejects loudly.
+                require(args.length == 2,
+                  "parse_command_line expects (command, 'windows')")
+                val ty = args(1).trim.toLowerCase
+                require(ty == "'windows'" || ty == "\"windows\"",
+                  s"parse_command_line: only the 'windows' parser type is supported: ${args(1)}")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_parse_cmdline(CAST((${args(0)}) AS STRING))")
               case "parse_csv" =>
                 // r15: one CSV record → array of fields
                 // (graft.functions.CsvParse — a native expression:

@@ -1601,6 +1601,45 @@ object ReferenceQueries {
       || project orderid, gid, bad, asc1, asc2, dec2
       || sort by orderid asc""".stripMargin
 
+  /** r15 `extractjson` + `parse_command_line` — literal-'$'-path JSON
+    * text extraction (variant_get over parse_json, optional typeof
+    * cast) and Windows CommandLineToArgvW splitting
+    * (graft.functions.CommandLine). The JSON and the command line are
+    * CONSTRUCTED from columns, so the oracle re-derives every output
+    * from the construction rule directly (the parse_csv convention). */
+  val kqlJsonCmdlineText: String =
+    """Orders
+      || where orderid < 90
+      || extend js = strcat('{"meta": {"city": "', city, '", "ids": [', tostring(orderid), ', ', tostring(custid), ']}, "amt": ', tostring(amount), '}')
+      || extend c = tostring(extractjson('$.meta.city', js)),
+      |         i1 = extractjson('$.meta.ids[1]', js, typeof(long)),
+      |         amt2 = extractjson('$.amt', js, typeof(long)) * 2
+      || extend cmd = strcat('prog.exe -n ', tostring(orderid), ' "', city, '" C:\\tmp\\f.txt')
+      || extend argsx = parse_command_line(cmd, 'windows')
+      || extend na = tolong(array_length(argsx)), a2 = tostring(argsx[2]),
+      |         a3 = tostring(argsx[3]), a4 = tostring(argsx[4])
+      || project orderid, c, i1, amt2, na, a2, a3, a4
+      || sort by orderid asc""".stripMargin
+
+  /** r15 `datetime_utc_to_local` / `datetime_local_to_utc` (fixed-
+    * offset oracle form — IANA names spec-pinned) + the optional
+    * `array_index_of` (start, length, occurrence) arms. */
+  val kqlTzIndexText: String =
+    """Orders
+      || where orderid < 60
+      || extend ts = unixtime_seconds_todatetime(1700000000 + orderid * 3600)
+      || extend loc = datetime_utc_to_local(ts, '+05:30'),
+      |         arr = pack_array(orderid % 3, 7, orderid % 3, 7, orderid % 3)
+      || extend back = datetime_local_to_utc(loc, '+05:30')
+      || extend lms = unix_millis(loc),
+      |         rt_ok = tolong(iff(back == ts, 1, 0)),
+      |         i2 = toint(array_index_of(arr, orderid % 3, 1)),
+      |         i3 = toint(array_index_of(arr, orderid % 3, 0, -1, 3)),
+      |         im = toint(array_index_of(arr, orderid % 3, 0, 1, 2)),
+      |         ineg = toint(array_index_of(arr, 7, -2))
+      || project orderid, lms, rt_ok, i2, i3, im, ineg
+      || sort by orderid asc""".stripMargin
+
   /** r15 GUID ↔ base64 — `base64_encode_fromguid` /
     * `base64_decode_toguid` over the .NET Guid.ToByteArray order ADX
     * uses (first three groups little-endian, last 8 bytes big-endian)
@@ -2244,6 +2283,8 @@ object ReferenceQueries {
     "kql_url_csv" -> kqlText(kqlUrlCsvText) _,
     "kql_scalar_fns5" -> kqlText(kqlScalarFns5Text) _,
     "kql_guid_b64" -> kqlText(kqlGuidB64Text) _,
+    "kql_json_cmdline" -> kqlText(kqlJsonCmdlineText) _,
+    "kql_tz_index" -> kqlText(kqlTzIndexText) _,
     "kql_geo_polygons2" -> kqlText(kqlGeoPolygons2Text) _,
     "kql_geo_h3_polygon2" -> kqlText(kqlGeoH3Polygon2Text) _,
     "kql_agg_variants" -> kqlText(kqlAggVariantsText) _,
@@ -3235,6 +3276,31 @@ object ReferenceQueries {
          |JOIN fin ON fin.orderid = base.orderid
          |ORDER BY base.orderid ASC""".stripMargin
     },
+    // tz conversion: the fixed +05:30 offset is 19800 s added to the
+    // instant; the index arms re-derived from the [m,7,m,7,m] layout
+    // (matches at 0/2/4 for m and 1/3 for 7 — start 1 → 2, third
+    // occurrence → 4, window [0,1) second occurrence → none,
+    // start −2 → 3).
+    "kql_tz_index" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid,
+         |  (CAST(1700000000 AS BIGINT) + orderid * 3600 + 19800) * 1000 AS lms,
+         |  CAST(1 AS BIGINT) AS rt_ok,
+         |  CAST(2 AS INTEGER) AS i2, CAST(4 AS INTEGER) AS i3,
+         |  CAST(-1 AS INTEGER) AS im, CAST(3 AS INTEGER) AS ineg
+         |FROM orders_info WHERE orderid < 60
+         |ORDER BY orderid ASC""".stripMargin,
+    // extractjson / parse_command_line: every output re-derived from
+    // the construction rule (cities carry no JSON/cmdline metachars).
+    "kql_json_cmdline" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid, city AS c, CAST(custid AS BIGINT) AS i1,
+         |  CAST(amount * 2 AS BIGINT) AS amt2,
+         |  CAST(5 AS BIGINT) AS na,
+         |  CAST(orderid AS VARCHAR) AS a2, city AS a3,
+         |  'C:\\tmp\\f.txt' AS a4
+         |FROM orders_info WHERE orderid < 90
+         |ORDER BY orderid ASC""".stripMargin,
     // guid/base64: the same hex slices re-ordered (little-endian first
     // three groups), round-trip re-derived as the constructed guid.
     "kql_guid_b64" ->

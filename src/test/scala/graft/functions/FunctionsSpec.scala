@@ -84,6 +84,6 @@ class FunctionsSpec extends SparkSpec {
       "graft_make_bag",
       "graft_gzip_compress", "graft_gzip_decompress",
       "graft_zlib_compress", "graft_zlib_decompress",
-      "graft_parse_csv", "graft_h3_boundary"))
+      "graft_parse_csv", "graft_h3_boundary", "graft_parse_cmdline"))
   }
 }

@@ -3358,6 +3358,70 @@ class KqlSpec extends SparkSpec {
     assert(one("geo_geohash_to_polygon('')").isNullAt(0))
   }
 
+  test("parser: datetime tz conversion + array_index_of optional arms") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    // IANA zones resolve through the JVM tzdb, DST-correct: New York
+    // is UTC-4 in June (EDT) and UTC-5 in January (EST)
+    assert(one("unix_millis(datetime_utc_to_local(todatetime('2024-06-15 12:00:00'), 'America/New_York'))")
+      .getLong(0) == one("unix_millis(todatetime('2024-06-15 08:00:00'))").getLong(0))
+    assert(one("unix_millis(datetime_utc_to_local(todatetime('2024-01-15 12:00:00'), 'America/New_York'))")
+      .getLong(0) == one("unix_millis(todatetime('2024-01-15 07:00:00'))").getLong(0))
+    // round-trip through the inverse
+    assert(one("unix_millis(datetime_local_to_utc(datetime_utc_to_local(" +
+      "todatetime('2024-06-15 12:00:00'), 'Europe/Paris'), 'Europe/Paris'))")
+      .getLong(0) == one("unix_millis(todatetime('2024-06-15 12:00:00'))").getLong(0))
+    // non-literal zone rejects loudly
+    intercept[IllegalArgumentException] {
+      KqlParser.run("T | project r = datetime_utc_to_local(now(), c)", reg).collect()
+    }
+    // array_index_of optional arms: start / length / occurrence,
+    // negative start, out-of-range occurrence, empty array
+    assert(one("toint(array_index_of(pack_array(5, 7, 5, 7, 5), 5, 1))").getInt(0) == 2)
+    assert(one("toint(array_index_of(pack_array(5, 7, 5, 7, 5), 5, 0, -1, 3))").getInt(0) == 4)
+    assert(one("toint(array_index_of(pack_array(5, 7, 5, 7, 5), 5, 0, 1, 2))").getInt(0) == -1)
+    assert(one("toint(array_index_of(pack_array(5, 7, 5, 7, 5), 7, -2))").getInt(0) == 3)
+    assert(one("toint(array_index_of(pack_array(5), 9, 0, -1, 1))").getInt(0) == -1)
+  }
+
+  test("parser: extractjson + parse_command_line — paths and argv rules") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    assert(one("""tostring(extractjson('$.a.b', '{"a":{"b":"v"}}'))""")
+      .getString(0) == "v")
+    assert(one("""extractjson('$.xs[1]', '{"xs":[3,5,7]}', typeof(long))""")
+      .getLong(0) == 5L)
+    assert(one("""extract_json('$.m', '{"m":2}', typeof(int))""").getInt(0) == 2)
+    assert(one("""extractjson('$.missing', '{"m":2}', typeof(long))""").isNullAt(0))
+    intercept[IllegalArgumentException] {
+      KqlParser.run("T | project r = extractjson(c, '{}')", reg).collect()
+    }
+    // argv rules (MSDN): quotes group, 2n/2n+1 backslash-quote rule,
+    // "" inside quotes is a literal quote, blanks split. Backslash
+    // and quote are BUILT from codepoints (92/34) so no string passes
+    // through three escape layers.
+    def argv(cmdExpr: String) = KqlParser.run(
+      "T | extend bs = unicode_codepoints_to_string(pack_array(92)), " +
+        "qq = unicode_codepoints_to_string(pack_array(34)) " +
+        s"| project r = parse_command_line($cmdExpr, 'windows')", reg)
+      .head().getSeq[String](0)
+    assert(argv("'a b  c'") == Seq("a", "b", "c"))
+    assert(argv("strcat('x ', qq, 'a b', qq, ' y')") == Seq("x", "a b", "y"))
+    // 2 backslashes + quote: one literal backslash, quote toggles
+    assert(argv("strcat('a', bs, bs, qq, 'b')") == Seq("a\\b"))
+    // odd run: backslash-escaped literal quote
+    assert(argv("strcat('a', bs, qq, 'b')") == Seq("a\"b"))
+    // "" inside quotes emits a literal quote and stays in quotes
+    assert(argv("strcat(qq, 'he said ', qq, qq, 'hi', qq, qq, qq, ' end')")
+      == Seq("he said \"hi\"", "end"))
+    // backslashes not before a quote are literal
+    assert(argv("strcat('C:', bs, 'tmp', bs, 'f.txt')") == Seq("C:\\tmp\\f.txt"))
+    assert(one("parse_command_line('   ', 'windows')").isNullAt(0))
+    intercept[IllegalArgumentException] {
+      KqlParser.run("T | project r = parse_command_line('a', 'posix')", reg).collect()
+    }
+  }
+
   test("parser: url codecs + parse_csv — byte walks, RFC 4180 machine") {
     val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
     def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
