@@ -4304,6 +4304,7 @@ object KqlParser {
               "geo_distance_2points", "geo_point_in_circle",
               "geo_point_to_geohash", "geo_geohash_to_central_point",
               "geo_geohash_neighbors", "geo_geohash_to_polygon",
+              "geo_line_densify", "geo_polygon_densify",
               "geo_point_in_polygon",
               "geo_polygon_area", "geo_polygon_perimeter",
               "geo_polygon_centroid", "geo_line_length",
@@ -6430,6 +6431,13 @@ object KqlParser {
                 require(args.length == 1,
                   "geo_geohash_to_central_point expects (geohash)")
                 out.append(geohashCentralPointSql(args(0)))
+              case gd @ ("geo_line_densify" | "geo_polygon_densify") =>
+                // r15: equal-parts edge subdivision — see geoDensifySql
+                // (planar-chord deviation + the 4096-segment loud cap
+                // documented there).
+                require(args.length == 2, s"$gd expects (geometry, tolerance_m)")
+                out.append(geoDensifySql(args(0), args(1),
+                  polygon = gd == "geo_polygon_densify"))
               case "geo_geohash_to_polygon" =>
                 // r15: the geohash cell rectangle as GeoJSON — see
                 // geohashPolygonSql (VARIANT output so it composes
@@ -7614,6 +7622,55 @@ object KqlParser {
       s"array($w, $s0), array($e, $s0), array($e, $n), array($w, $n), " +
       s"array($w, $s0))))))), 1) " +
       s"ELSE NULL END)"
+  }
+
+  /** ADX geo_line_densify / geo_polygon_densify — subdivide every
+    * edge into ceil(edge_m / tolerance) EQUAL parts in degree space
+    * (edge lengths by the equirectangular mean-latitude convention of
+    * [[geoLineLengthSql]]). DEVIATION (documented, the measurement
+    * tier's convention): ADX inserts points so planar edges
+    * approximate GEODESICS; equal-parameter subdivision of the
+    * degree-space chord is the planar analogue, deterministic and
+    * oracle-mirrorable with zero trig beyond the one mean-lat cosine.
+    * Guards: degenerate geometry or non-positive/NaN tolerance →
+    * null; an edge needing > 4096 segments → null (the series_fft
+    * loud-cap class — a micro-tolerance would otherwise explode the
+    * row). Output is GeoJSON VARIANT (composes with the length/
+    * perimeter/containment family); closing vertex handling is
+    * inherited from the input (the last vertex is appended verbatim,
+    * so a closed ring stays closed). */
+  private[kql] def geoDensifySql(geo: String, tol: String, polygon: Boolean): String = {
+    // plain (non-interpolated) strings: single '$' literals
+    val path = if (polygon) "$.coordinates[0]" else "$.coordinates"
+    val ring = s"try_cast(variant_get($geo, '$path') AS ARRAY<ARRAY<DOUBLE>>)"
+    val minV = if (polygon) 4 else 2
+    val latc = s"aggregate(gdr, CAST(0 AS DOUBLE), (gl, gv) -> gl + element_at(gv, 2)) / CAST(size(gdr) AS DOUBLE)"
+    def x(i: String) = s"element_at(element_at(gdq.r, $i), 1)"
+    def y(i: String) = s"element_at(element_at(gdq.r, $i), 2)"
+    val dx = s"((${x("gi + 2")} - ${x("gi + 1")}) * gdq.kx)"
+    val dy = s"((${y("gi + 2")} - ${y("gi + 1")}) * 110574.0)"
+    val eLen = s"sqrt($dx * $dx + $dy * $dy)"
+    val nSeg = s"greatest(1, CAST(ceil($eLen / gdq.tol) AS INT))"
+    val newPts =
+      s"concat(flatten(transform(sequence(0, size(gdq.r) - 2), gi -> " +
+      s"transform(sequence(0, $nSeg - 1), gj -> " +
+      s"array(${x("gi + 1")} + (${x("gi + 2")} - ${x("gi + 1")}) * (CAST(gj AS DOUBLE) / $nSeg), " +
+      s"${y("gi + 1")} + (${y("gi + 2")} - ${y("gi + 1")}) * (CAST(gj AS DOUBLE) / $nSeg))))), " +
+      s"array(element_at(gdq.r, size(gdq.r))))"
+    val gtype = if (polygon) "Polygon" else "LineString"
+    val coordsExpr = if (polygon) s"array($newPts)" else newPts
+    // the guards are SEPARATE WHEN arms: the cap scan and the build
+    // both index past size-2 sequences that would DESCEND on
+    // degenerate input — CaseWhen evaluates arms in order
+    s"element_at(transform(array(element_at(transform(array($ring), gdr -> " +
+      s"named_struct('r', gdr, 'kx', 111320.0 * cos(radians($latc)), " +
+      s"'tol', CAST(($tol) AS DOUBLE))), 1)), gdq -> " +
+      s"CASE WHEN gdq.r IS NULL OR size(gdq.r) < $minV " +
+      s"OR NOT (gdq.tol > 0.0) THEN CAST(NULL AS VARIANT) " +
+      s"WHEN exists(sequence(0, size(gdq.r) - 2), gi -> $nSeg > 4096) " +
+      s"THEN CAST(NULL AS VARIANT) ELSE " +
+      s"parse_json(to_json(named_struct('type', '$gtype', " +
+      s"'coordinates', $coordsExpr))) END), 1)"
   }
 
   /** Even-odd ray casting over the GeoJSON Polygon's outer ring: a

@@ -1621,6 +1621,31 @@ object ReferenceQueries {
       || project orderid, c, i1, amt2, na, a2, a3, a4
       || sort by orderid asc""".stripMargin
 
+  /** r15 `geo_line_densify` / `geo_polygon_densify` — equal-parts
+    * edge subdivision (ceil(edge_m / tolerance) pieces per edge, the
+    * planar-chord deviation documented at the builder). The oracle
+    * regenerates the densified vertex list (edges × range rows,
+    * ordered edge-major), re-measures it with the same mean-latitude
+    * folds the length/perimeter family uses, and re-derives the
+    * second vertex from the subdivision formula; the closing-vertex
+    * and point-count pins ride literal index probes. */
+  val kqlGeoDensifyText: String =
+    """let G = datatable(name:string, kind:string, g:string)[
+      |  'ln', 'L', '{"type":"LineString","coordinates":[[10.0,50.0],[10.5,50.2],[10.5,50.6]]}',
+      |  'pg', 'P', '{"type":"Polygon","coordinates":[[[0.0,0.0],[0.4,0.0],[0.4,0.3],[0.0,0.0]]]}'
+      |];
+      |G
+      || extend d = iff(kind == 'L', geo_line_densify(parse_json(g), 9000.0),
+      |                geo_polygon_densify(parse_json(g), 9000.0))
+      || extend len_u = tolong(floor(iff(kind == 'L', geo_line_length(d), geo_polygon_perimeter(d)) * 1000.0, 1)),
+      |         p1x_u = tolong(floor(todouble(iff(kind == 'L', d.coordinates[1][0], d.coordinates[0][1][0])) * 1000000.0, 1)),
+      |         p1y_u = tolong(floor(todouble(iff(kind == 'L', d.coordinates[1][1], d.coordinates[0][1][1])) * 1000000.0, 1)),
+      |         last_ok = tolong(iff(kind == 'L',
+      |             iff(todouble(d.coordinates[10][1]) == 50.6 and isnull(todouble(d.coordinates[11][0])), 1, 0),
+      |             iff(todouble(d.coordinates[0][16][1]) == 0.0 and isnull(todouble(d.coordinates[0][17][0])), 1, 0)))
+      || project name, len_u, p1x_u, p1y_u, last_ok
+      || sort by name asc""".stripMargin
+
   /** r15 `datetime_utc_to_local` / `datetime_local_to_utc` (fixed-
     * offset oracle form — IANA names spec-pinned) + the optional
     * `array_index_of` (start, length, occurrence) arms. */
@@ -2285,6 +2310,7 @@ object ReferenceQueries {
     "kql_guid_b64" -> kqlText(kqlGuidB64Text) _,
     "kql_json_cmdline" -> kqlText(kqlJsonCmdlineText) _,
     "kql_tz_index" -> kqlText(kqlTzIndexText) _,
+    "kql_geo_densify" -> kqlText(kqlGeoDensifyText) _,
     "kql_geo_polygons2" -> kqlText(kqlGeoPolygons2Text) _,
     "kql_geo_h3_polygon2" -> kqlText(kqlGeoH3Polygon2Text) _,
     "kql_agg_variants" -> kqlText(kqlAggVariantsText) _,
@@ -3276,6 +3302,65 @@ object ReferenceQueries {
          |JOIN fin ON fin.orderid = base.orderid
          |ORDER BY base.orderid ASC""".stripMargin
     },
+    // densify: the vertex list regenerated edge-major (edges × range
+    // rows), lengths re-measured with the SAME mean-latitude folds
+    // (list() ORDER BY keeps the engine's left-fold order; list_reduce
+    // carries the scalar running sum).
+    "kql_geo_densify" ->
+      """WITH verts AS (
+        |  SELECT name, i, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+        |  FROM (VALUES
+        |    ('ln', 0, 10.0, 50.0), ('ln', 1, 10.5, 50.2), ('ln', 2, 10.5, 50.6),
+        |    ('pg', 0, 0.0, 0.0), ('pg', 1, 0.4, 0.0), ('pg', 2, 0.4, 0.3),
+        |    ('pg', 3, 0.0, 0.0)) AS t(name, i, x, y)),
+        |c AS (
+        |  SELECT name,
+        |    list_reduce(list(y ORDER BY i), (la, lb) -> la + lb)
+        |      / CAST(COUNT(*) AS DOUBLE) AS latc
+        |  FROM verts GROUP BY name),
+        |k AS (SELECT name, 111320.0 * cos(radians(latc)) AS kx FROM c),
+        |e AS (
+        |  SELECT a.name, a.i, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2, k.kx,
+        |    greatest(1, CAST(ceil(sqrt(((b.x - a.x) * k.kx) * ((b.x - a.x) * k.kx)
+        |      + ((b.y - a.y) * 110574.0) * ((b.y - a.y) * 110574.0)) / 9000.0) AS INT)) AS n
+        |  FROM verts a
+        |  JOIN verts b ON b.name = a.name AND b.i = a.i + 1
+        |  JOIN k ON k.name = a.name),
+        |pj AS (
+        |  SELECT name, i, unnest(range(n)) AS j, x1, y1, x2, y2, n FROM e),
+        |pts AS (
+        |  SELECT name, i, CAST(j AS INT) AS j,
+        |    x1 + (x2 - x1) * (CAST(j AS DOUBLE) / n) AS px,
+        |    y1 + (y2 - y1) * (CAST(j AS DOUBLE) / n) AS py
+        |  FROM pj
+        |  UNION ALL
+        |  SELECT v.name, 999999, 0, v.x, v.y
+        |  FROM verts v
+        |  JOIN (SELECT name, MAX(i) AS mi FROM verts GROUP BY name) m
+        |    ON m.name = v.name AND m.mi = v.i),
+        |lp AS (
+        |  SELECT name, list([px, py] ORDER BY i, j) AS p FROM pts GROUP BY name),
+        |m1 AS (
+        |  SELECT name, p,
+        |    list_reduce(list_transform(p, pp -> pp[2]), (la, lb) -> la + lb)
+        |      / CAST(len(p) AS DOUBLE) AS latc2
+        |  FROM lp),
+        |m2 AS (SELECT name, p, 111320.0 * cos(radians(latc2)) AS kx2 FROM m1),
+        |m3 AS (
+        |  SELECT name, p,
+        |    list_reduce(list_transform(range(1, len(p)), kk ->
+        |      sqrt(((p[CAST(kk AS INT) + 1][1] - p[CAST(kk AS INT)][1]) * kx2)
+        |             * ((p[CAST(kk AS INT) + 1][1] - p[CAST(kk AS INT)][1]) * kx2)
+        |           + ((p[CAST(kk AS INT) + 1][2] - p[CAST(kk AS INT)][2]) * 110574.0)
+        |             * ((p[CAST(kk AS INT) + 1][2] - p[CAST(kk AS INT)][2]) * 110574.0))),
+        |      (la, lb) -> la + lb) AS dlen
+        |  FROM m2)
+        |SELECT name,
+        |  CAST(floor(dlen * 1000.0) AS BIGINT) AS len_u,
+        |  CAST(floor(p[2][1] * 1000000.0) AS BIGINT) AS p1x_u,
+        |  CAST(floor(p[2][2] * 1000000.0) AS BIGINT) AS p1y_u,
+        |  CAST(1 AS BIGINT) AS last_ok
+        |FROM m3 ORDER BY name ASC""".stripMargin,
     // tz conversion: the fixed +05:30 offset is 19800 s added to the
     // instant; the index arms re-derived from the [m,7,m,7,m] layout
     // (matches at 0/2/4 for m and 1/3 for 7 — start 1 → 2, third

@@ -3358,6 +3358,38 @@ class KqlSpec extends SparkSpec {
     assert(one("geo_geohash_to_polygon('')").isNullAt(0))
   }
 
+  test("parser: geo densify — subdivision, guards, closed rings") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    val line = """'{"type":"LineString","coordinates":[[0.0,0.0],[0.9,0.0]]}'"""
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    // 0.9 deg at the equator ≈ 100.2 km; 10 km tolerance → 11 segments
+    // = 12 points (indices 0..11), interior points at i/11 of the chord
+    val d = KqlParser.run(
+      s"T | extend d = geo_line_densify(parse_json($line), 10000.0) " +
+        "| project x1 = todouble(d.coordinates[1][0]), " +
+        "  n10 = isnotnull(todouble(d.coordinates[11][0])), " +
+        "  n11 = isnull(todouble(d.coordinates[12][0]))", reg).head()
+    assert(math.abs(d.getDouble(0) - 0.9 / 11.0) < 1e-12 && d.getBoolean(1) && d.getBoolean(2))
+    // densified length equals the original chord's length to an ulp
+    val l = KqlParser.run(
+      s"T | extend g = parse_json($line) " +
+        "| extend d = geo_line_densify(g, 10000.0) " +
+        "| project a = geo_line_length(g), b = geo_line_length(d)", reg).head()
+    assert(math.abs(l.getDouble(0) - l.getDouble(1)) < 1e-6)
+    // guards: bad tolerance, degenerate geometry, micro-tolerance cap
+    assert(one(s"geo_line_densify(parse_json($line), 0.0)").isNullAt(0))
+    assert(one(s"geo_line_densify(parse_json($line), -5.0)").isNullAt(0))
+    assert(one("geo_line_densify(parse_json('{\"type\":\"LineString\",\"coordinates\":[[1.0,1.0]]}'), 100.0)").isNullAt(0))
+    assert(one(s"geo_line_densify(parse_json($line), 0.001)").isNullAt(0)) // > 4096 segments
+    // a closed polygon ring stays closed
+    val pg = """'{"type":"Polygon","coordinates":[[[0.0,0.0],[0.5,0.0],[0.5,0.5],[0.0,0.0]]]}'"""
+    val p = KqlParser.run(
+      s"T | extend d = geo_polygon_densify(parse_json($pg), 20000.0) " +
+        "| project ok = todouble(d.coordinates[0][0][0]) == 0.0, " +
+        "  per = geo_polygon_perimeter(d)", reg).head()
+    assert(p.getBoolean(0) && p.getDouble(1) > 0.0)
+  }
+
   test("parser: datetime tz conversion + array_index_of optional arms") {
     val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
     def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
