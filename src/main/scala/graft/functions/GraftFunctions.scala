@@ -24,6 +24,7 @@ object GraftFunctions {
     "graft_s2_polygon_cover" -> (e => S2PolygonCover(e(0), e(1))),
     "graft_s2_line_cover" -> (e => S2LineCover(e(0), e(1))),
     "graft_geo_dist_line" -> (e => GeoDistPointToLine(e(0), e(1), e(2))),
+    "graft_geo_closest_line" -> (e => GeoClosestPointOnLine(e(0), e(1), e(2))),
     "graft_h3_cell" -> (e => H3CellToken(e(0), e(1), e(2))),
     "graft_h3_center" -> (e => H3CellCenter(e(0))),
     "graft_h3_boundary" -> (e => H3CellBoundary(e(0))),

@@ -542,6 +542,100 @@ object GeoDistPointToLine {
     }
     java.lang.Double.valueOf(best)
   }
+
+  /** The closest POINT on the line (the argmin foot of [[dist]] —
+    * identical per-segment arithmetic, the FIRST strictly-better
+    * segment wins ties, so an endpoint shared by two segments
+    * resolves to the lower segment index, the oracle's ORDER BY
+    * d, i tiebreak). Returns [lon°, lat°] (degrees recovered by
+    * dividing the meter foot by the same scale factors). */
+  def closest(lonDeg: Double, latDeg: Double, line: ArrayData): Any = {
+    if (line == null) return null
+    if (!(lonDeg >= -180.0 && lonDeg <= 180.0) ||
+        !(latDeg >= -90.0 && latDeg <= 90.0)) return null
+    val n = line.numElements()
+    if (n < 2) return null
+    var latSum = 0.0
+    var i = 0
+    while (i < n) {
+      val v = line.getArray(i)
+      if (v == null || v.numElements() < 2) return null
+      if (!(v.getDouble(0) >= -180.0 && v.getDouble(0) <= 180.0) ||
+          !(v.getDouble(1) >= -90.0 && v.getDouble(1) <= 90.0)) return null
+      latSum = latSum + v.getDouble(1)
+      i += 1
+    }
+    val latm = latSum / n.toDouble
+    val kx = 111320.0 * math.cos(math.toRadians(latm))
+    val qx = lonDeg * kx
+    val qy = latDeg * 110574.0
+    var best = Double.PositiveInfinity
+    var bx = 0.0
+    var by = 0.0
+    i = 0
+    while (i < n - 1) {
+      val a = line.getArray(i)
+      val b = line.getArray(i + 1)
+      val ax = a.getDouble(0) * kx
+      val ay = a.getDouble(1) * 110574.0
+      val dx = (b.getDouble(0) - a.getDouble(0)) * kx
+      val dy = (b.getDouble(1) - a.getDouble(1)) * 110574.0
+      val len2 = dx * dx + dy * dy
+      val t =
+        if (len2 == 0.0) 0.0
+        else math.min(1.0, math.max(0.0, ((qx - ax) * dx + (qy - ay) * dy) / len2))
+      val ex = qx - ax - t * dx
+      val ey = qy - ay - t * dy
+      val d = math.sqrt(ex * ex + ey * ey)
+      if (d < best) {
+        best = d
+        bx = (ax + t * dx) / kx
+        by = (ay + t * dy) / 110574.0
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](bx, by))
+  }
+}
+
+/** `graft_geo_closest_line(lon, lat, line)` → [lon°, lat°] of the
+  * closest point on the LineString; invalid input → null. */
+case class GeoClosestPointOnLine(first: Expression, second: Expression,
+                                 third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == DoubleType && second.dataType == DoubleType &&
+      (third.dataType match {
+        case ArrayType(ArrayType(DoubleType, _), _) => true
+        case _ => false
+      })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_geo_closest_line expects (double, double, array<array<double>>), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_geo_closest_line"
+
+  override def nullSafeEval(lon: Any, lat: Any, line: Any): Any =
+    GeoDistPointToLine.closest(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      line.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, line) => {
+      val r = ctx.freshName("graftGeoClosest")
+      s"""
+         |Object $r = graft.functions.GeoDistPointToLine.closest($lon, $lat, $line);
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = ${ev.isNull} ? null :
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 case class GeoDistPointToLine(first: Expression, second: Expression,

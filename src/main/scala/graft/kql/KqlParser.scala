@@ -4312,6 +4312,7 @@ object KqlParser {
               "geo_point_to_s2cell", "geo_s2cell_to_central_point",
               "geo_s2cell_neighbors", "geo_polygon_to_s2cells",
               "geo_line_to_s2cells", "geo_distance_point_to_line",
+              "geo_closest_point_on_line",
               "geo_point_to_h3cell", "geo_h3cell_to_central_point",
               "geo_h3cell_to_polygon",
               "geo_h3cell_neighbors", "geo_h3cell_rings",
@@ -6116,6 +6117,24 @@ object KqlParser {
                 out.append(s"graft_geo_dist_line(CAST((${args(0)}) AS DOUBLE), " +
                   s"CAST((${args(1)}) AS DOUBLE), try_cast(variant_get(" +
                   s"${args(2)}, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>))")
+              case "geo_closest_point_on_line" =>
+                // r15: ADX geo_closest_point_on_line(lon, lat, line)
+                // → GeoJSON Point of the argmin foot — the
+                // geo_distance_point_to_line kernel tracking the foot
+                // (first strictly-better segment wins ties, so shared
+                // vertices resolve to the lower index; degrees
+                // recovered by the inverse scale divisions —
+                // graft.functions.GeoDistPointToLine.closest).
+                require(args.length == 3,
+                  "geo_closest_point_on_line expects (lon, lat, line)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"element_at(transform(array(graft_geo_closest_line(" +
+                  s"CAST((${args(0)}) AS DOUBLE), CAST((${args(1)}) AS DOUBLE), " +
+                  s"try_cast(variant_get(${args(2)}, '$$.coordinates') " +
+                  s"AS ARRAY<ARRAY<DOUBLE>>))), gcl -> " +
+                  "CASE WHEN gcl IS NULL THEN NULL ELSE " +
+                  "named_struct('type', 'Point', 'coordinates', gcl) END), 1)")
               case "geo_polygon_area" =>
                 // ADX geo_polygon_area(polygon) → m². DEVIATION
                 // (documented): equirectangular-projected planar

@@ -1646,6 +1646,27 @@ object ReferenceQueries {
       || project name, len_u, p1x_u, p1y_u, last_ok
       || sort by name asc""".stripMargin
 
+  /** r15 `geo_closest_point_on_line` — the argmin foot of the
+    * point-to-line distance kernel (same per-segment arithmetic as
+    * geo_distance_point_to_line; first strictly-better segment wins
+    * ties). Three query points exercise an interior foot, a clamped
+    * endpoint, and a shared-vertex tie; the oracle replays the edge
+    * scan with a ROW_NUMBER(d, i) argmin. */
+  val kqlGeoClosestText: String =
+    """let L = datatable(name:string, qlon:real, qlat:real)[
+      |  'mid', 10.2, 50.4,
+      |  'far', 11.0, 51.0,
+      |  'vert', 10.5, 50.2
+      |];
+      |L
+      || extend g = '{"type":"LineString","coordinates":[[10.0,50.0],[10.5,50.2],[10.5,50.6]]}'
+      || extend cp = geo_closest_point_on_line(qlon, qlat, parse_json(g))
+      || extend cx_u = tolong(floor(cp.coordinates[0] * 1000000.0, 1)),
+      |         cy_u = tolong(floor(cp.coordinates[1] * 1000000.0, 1)),
+      |         d_u = tolong(floor(geo_distance_point_to_line(qlon, qlat, parse_json(g)), 1))
+      || project name, cx_u, cy_u, d_u
+      || sort by name asc""".stripMargin
+
   /** r15 `datetime_utc_to_local` / `datetime_local_to_utc` (fixed-
     * offset oracle form — IANA names spec-pinned) + the optional
     * `array_index_of` (start, length, occurrence) arms. */
@@ -2311,6 +2332,7 @@ object ReferenceQueries {
     "kql_json_cmdline" -> kqlText(kqlJsonCmdlineText) _,
     "kql_tz_index" -> kqlText(kqlTzIndexText) _,
     "kql_geo_densify" -> kqlText(kqlGeoDensifyText) _,
+    "kql_geo_closest" -> kqlText(kqlGeoClosestText) _,
     "kql_geo_polygons2" -> kqlText(kqlGeoPolygons2Text) _,
     "kql_geo_h3_polygon2" -> kqlText(kqlGeoH3Polygon2Text) _,
     "kql_agg_variants" -> kqlText(kqlAggVariantsText) _,
@@ -3302,6 +3324,45 @@ object ReferenceQueries {
          |JOIN fin ON fin.orderid = base.orderid
          |ORDER BY base.orderid ASC""".stripMargin
     },
+    // closest point: the per-edge clamped-projection scan replayed as
+    // rows, argmin via ROW_NUMBER(d, i) — the same first-best
+    // tiebreak as the engine's strict-< fold; the mean latitude is a
+    // line CONSTANT here, written as the engine's literal fold.
+    "kql_geo_closest" ->
+      """WITH k AS (
+        |  SELECT 111320.0 * cos(radians((((0.0 + 50.0) + 50.2) + 50.6) / 3.0)) AS kx),
+        |verts AS (
+        |  SELECT i, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM (VALUES
+        |    (0, 10.0, 50.0), (1, 10.5, 50.2), (2, 10.5, 50.6)) AS t(i, x, y)),
+        |q AS (
+        |  SELECT name, CAST(qlon AS DOUBLE) AS qlon, CAST(qlat AS DOUBLE) AS qlat
+        |  FROM (VALUES ('mid', 10.2, 50.4), ('far', 11.0, 51.0),
+        |               ('vert', 10.5, 50.2)) AS t(name, qlon, qlat)),
+        |e AS (
+        |  SELECT q.name, a.i, k.kx,
+        |    q.qlon * k.kx AS qx, q.qlat * 110574.0 AS qy,
+        |    a.x * k.kx AS ax, a.y * 110574.0 AS ay,
+        |    (b.x - a.x) * k.kx AS dx, (b.y - a.y) * 110574.0 AS dy
+        |  FROM q CROSS JOIN k
+        |  JOIN verts a ON TRUE JOIN verts b ON b.i = a.i + 1),
+        |f0 AS (SELECT *, dx * dx + dy * dy AS len2 FROM e),
+        |f1 AS (
+        |  SELECT *, CASE WHEN len2 = 0.0 THEN 0.0
+        |    ELSE least(1.0, greatest(0.0, ((qx - ax) * dx + (qy - ay) * dy) / len2))
+        |  END AS t FROM f0),
+        |f2 AS (
+        |  SELECT name, i, kx, t, ax, ay, dx, dy,
+        |    sqrt((qx - ax - t * dx) * (qx - ax - t * dx)
+        |       + (qy - ay - t * dy) * (qy - ay - t * dy)) AS d
+        |  FROM f1),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY name ORDER BY d ASC, i ASC) AS rn
+        |  FROM f2)
+        |SELECT name,
+        |  CAST(floor((ax + t * dx) / kx * 1000000.0) AS BIGINT) AS cx_u,
+        |  CAST(floor((ay + t * dy) / 110574.0 * 1000000.0) AS BIGINT) AS cy_u,
+        |  CAST(floor(d) AS BIGINT) AS d_u
+        |FROM r WHERE rn = 1 ORDER BY name ASC""".stripMargin,
     // densify: the vertex list regenerated edge-major (edges × range
     // rows), lengths re-measured with the SAME mean-latitude folds
     // (list() ORDER BY keeps the engine's left-fold order; list_reduce

@@ -3358,6 +3358,30 @@ class KqlSpec extends SparkSpec {
     assert(one("geo_geohash_to_polygon('')").isNullAt(0))
   }
 
+  test("parser: geo_closest_point_on_line — foot point consistency") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    val line = """'{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0]]}'"""
+    // perpendicular foot: (0.4, 0.3) projects to (0.4, 0.0)
+    val r = KqlParser.run(
+      s"T | extend cp = geo_closest_point_on_line(0.4, 0.3, parse_json($line)) " +
+        "| project x = cp.coordinates[0], y = cp.coordinates[1]", reg).head()
+    assert(math.abs(r.getDouble(0) - 0.4) < 1e-9 && math.abs(r.getDouble(1)) < 1e-12)
+    // beyond the end: clamps to the endpoint
+    val e = KqlParser.run(
+      s"T | extend cp = geo_closest_point_on_line(2.0, 0.5, parse_json($line)) " +
+        "| project x = cp.coordinates[0]", reg).head()
+    assert(e.getDouble(0) == 1.0)
+    // the foot's own distance to the line is ~0; invalid point → null
+    val z = KqlParser.run(
+      s"T | extend cp = geo_closest_point_on_line(0.4, 0.3, parse_json($line)) " +
+        s"| project d = geo_distance_point_to_line(cp.coordinates[0], cp.coordinates[1], parse_json($line))",
+      reg).head()
+    assert(z.getDouble(0) < 1e-6)
+    assert(KqlParser.run(
+      s"T | project r = geo_closest_point_on_line(200.0, 0.0, parse_json($line))", reg)
+      .head().isNullAt(0))
+  }
+
   test("parser: geo densify — subdivision, guards, closed rings") {
     val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
     val line = """'{"type":"LineString","coordinates":[[0.0,0.0],[0.9,0.0]]}'"""
