@@ -75,6 +75,11 @@ object Bench {
     * A query missing from this list still gets its cold run detected
     * per-attempt (computeCount delta) — this list only moves the cost
     * out of the timed window, it is not load-bearing for correctness. */
+  /** Cold serving-table builds run one at a time (r15 verdict #1: the
+    * 3-worker prewarm pool multiplied the phase's peak RSS and widened
+    * the driver host's paging band). BenchSpec pins this at 1. */
+  private[graft] val PrewarmConcurrency: Int = 1
+
   private[graft] val memoColdQueries: Seq[String] = Seq(
     "dedup_cluster_sizes",        // tag dedup_clusters
     "dedup_cleaned_near",         // tag minhash_pairs:<threshold>
@@ -201,6 +206,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // ContextCleaner only releases dropped checkpoint/broadcast
+      // blocks after a JVM GC enqueues their weak refs; the default
+      // 30 min periodic GC never fires inside a sweep, so transient
+      // per-query blocks accumulated for the whole run (r15 verdict
+      // #1 — sweep memory residency). 5 min + the explicit sweep GC
+      // below keep the block manager near the live set.
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", classOf[functions.GraftExtensions].getName)
       .getOrCreate()
@@ -258,9 +270,18 @@ object Bench {
     val benchT0 = System.nanoTime()
     def benchElapsed: Double = (System.nanoTime() - benchT0) / 1e9
     val watchdog = new java.util.Timer("bench-watchdog", true)
+    // Untimed between-queries GC every 25 queries: lets ContextCleaner
+    // release the transient localCheckpoint/broadcast blocks the last
+    // family dropped, and G1 (JDK17) uncommits the freed heap back to
+    // the OS — the sweep's RSS tracks the live set instead of ratcheting
+    // to the high-water mark across 314 queries (r15 verdict #1: the
+    // engine's residency, not just the artifact's accounting).
+    var sinceGc = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      sinceGc += 1
+      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
       // Timed executions per query; report the min. Run-to-run
       // deltas here are Janino whole-stage-codegen compilation and JVM
       // JIT churn (measured: ~0 GC, multi-second jitter landing on
@@ -447,18 +468,20 @@ object Bench {
     // timeout. A skipped prewarm degrades gracefully: the query's first
     // timed attempt pays the cold build and the per-run computeCount
     // path records it in `cold` (the pre-r14 behavior).
-    // r15 (r14 verdict #2): the builds run MOST-EXPENSIVE-FIRST (by
-    // the prior round's recorded cold times — see prewarmOrder) on a
-    // 3-worker pool, so one paged streaming-handoff build (r14: a
-    // 131.6 s cdc_latest_served episode, 15x its committed 8.9 s)
-    // overlaps the other builds instead of starving them back into
-    // timed runs; if the 600 s wall budget is still exhausted, the
-    // skipped builds are the CHEAPEST ones. Job groups are per-thread,
-    // so each worker's watchdog cancels only its own build.
+    // r16 (r15 verdict #1): the builds run MOST-EXPENSIVE-FIRST (by
+    // the prior round's recorded cold times — see prewarmOrder) but
+    // STRICTLY SEQUENTIALLY ([[PrewarmConcurrency]] = 1, pinned by
+    // BenchSpec). r15's 3-worker pool was meant to overlap one paged
+    // build with the others; in practice three concurrent cold builds
+    // (LSH band write + CC iteration + streaming upsert) tripled the
+    // phase's peak RSS on a memory-tight host and the paging band got
+    // WORSE (23 suspects vs 6). One build at a time bounds peak
+    // residency at the largest single build; with an exhausted wall
+    // budget the skipped builds are still the cheapest ones.
     val wd = new java.util.Timer("prewarm-watchdog", true)
     val prewarmT0 = System.nanoTime()
     def prewarmElapsed: Double = (System.nanoTime() - prewarmT0) / 1e9
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(PrewarmConcurrency)
     prewarmOrder(memoColdQueries.filter(n => only.forall(_.contains(n))), priorCold)
       .foreach { name =>
         pool.execute { () =>
@@ -503,5 +526,9 @@ object Bench {
       pool.shutdownNow(): Unit
     }
     wd.cancel()
+    // Drop the build phase's garbage (shuffle buffers, codegen classes,
+    // write-path allocations) before the first timed query: G1 returns
+    // the freed heap to the OS, so the sweep starts from a small RSS.
+    System.gc()
   }
 }

@@ -105,14 +105,19 @@ object Dedup {
     // dedup pipeline — [[dedupClusters]], [[cleanedNearCorpus]],
     // [[qualityDedupCorpus]] and the raw pair report all consume it,
     // and each was re-running the full LSH+verify pipeline per sweep.
-    // Memoized per (session, corpus fingerprint) as an eager
-    // localCheckpoint ([[graft.Memo]] owns staleness + eviction;
-    // BENCH_NOTES.md discloses the bench semantics, Bench records the
-    // cold derivation separately). The checkpoint is pair-sized —
-    // orders of magnitude below the corpus — so the pinned blocks are
-    // the small relation a production job would have written anyway.
+    // Memoized per (session, corpus fingerprint) as a WRITTEN parquet
+    // table ([[graft.Memo]] owns staleness + eviction; BENCH_NOTES.md
+    // discloses the bench semantics, Bench records the cold derivation
+    // separately). Disk, not a RAM localCheckpoint (r15 verdict #1):
+    // every consumer re-reads a pair-sized parquet scan — the exact
+    // cost of querying the table a production job writes — and the
+    // sweep's peak memory residency stays flat.
     graft.Memo.cached(spark, sfDir, s"minhash_pairs:$threshold") {
-      minhashPairsOn(Tables.documents(spark, sfDir), threshold).localCheckpoint(true)
+      val dir = graft.Memo.servedDir(
+        spark, f"graft_pairs_t${math.round(threshold * 100)}%d_", sfDir)
+      minhashPairsOn(Tables.documents(spark, sfDir), threshold)
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
     }
 
   /** [[minhashPairs]] served from a WRITE-TIME bucketed band table:
@@ -391,7 +396,15 @@ object Dedup {
     * pin. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     graft.Memo.cached(spark, sfDir, "dedup_clusters") {
-      computeDedupClusters(spark, sfDir)
+      // Served from a WRITTEN parquet table, not the loop's final RAM
+      // checkpoint (r15 verdict #1): the write drains the converged
+      // assignment once, the final checkpoint is released immediately,
+      // and every downstream report pays a small parquet scan.
+      val dir = graft.Memo.servedDir(spark, "graft_clusters_", sfDir)
+      val asg = computeDedupClusters(spark, sfDir)
+      asg.write.mode("overwrite").parquet(dir)
+      asg.unpersist()
+      spark.read.parquet(dir)
     }
 
   private def computeDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {

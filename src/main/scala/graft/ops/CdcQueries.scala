@@ -50,7 +50,14 @@ object CdcQueries {
           evictLogsFor(spark)
       })
     }
-    logCache.computeIfAbsent((spark, sfDir, name), _ => build.cache())
+    // DISK_ONLY, not the default heap-deserialized cache (r15 verdict
+    // #1): three JSON-string logs held deserialized on-heap for the
+    // whole sweep contributed to the peak RSS that paged the driver
+    // host. Serialized-on-disk blocks re-read in ~the time the block
+    // transfer costs, and model the durable topic a real CDC pipeline
+    // replays from anyway.
+    logCache.computeIfAbsent((spark, sfDir, name),
+      _ => build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
   }
 
   /** Drop (and unpersist) every cached envelope log owned by `spark` —

@@ -92,4 +92,10 @@ class BenchSpec extends AnyFunSuite {
     // no priors at all: original order preserved (stable sort)
     assert(Bench.prewarmOrder(Seq("a", "b", "c"), Map.empty) === Seq("a", "b", "c"))
   }
+
+  test("prewarm builds cold serving tables one at a time (r15: a 3-worker " +
+       "pool tripled the build phase's peak RSS and widened the driver " +
+       "host's paging band — 23 suspects vs 6)") {
+    assert(Bench.PrewarmConcurrency === 1)
+  }
 }
