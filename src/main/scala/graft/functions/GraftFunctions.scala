@@ -49,6 +49,9 @@ object GraftFunctions {
     "graft_zlib_decompress" -> (e => ZlibDecompress(e(0))),
     "graft_parse_csv" -> (e => CsvParseExpr(e(0))),
     "graft_parse_cmdline" -> (e => CommandLineExpr(e(0))),
+    "graft_ibeta" -> (e => GraftIbeta(e(0), e(1), e(2))),
+    "graft_erf" -> (e => GraftErf(e(0))),
+    "graft_beta_inv" -> (e => GraftBetaInv(e(0), e(1), e(2))),
   )
 
   def register(spark: SparkSession): Unit =

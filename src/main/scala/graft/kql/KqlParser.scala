@@ -5671,10 +5671,17 @@ object KqlParser {
                 out.append(loggammaSql(args(0)))
               case "beta_cdf" =>
                 // ADX beta_cdf(x, alpha, beta) → the regularized
-                // incomplete beta I_x(α, β) — see ibetaSql (fixed
-                // 200-iteration Lentz fraction, oracle-mirrorable).
+                // incomplete beta I_x(α, β). Native codegen kernel
+                // (graft.functions.SpecialMath.ibeta — fixed
+                // 200-iteration Lentz fraction): the former SQL
+                // higher-order fold evaluated interpreted and cost
+                // seconds of analysis + eval per query (r15 verdict
+                // #3); the kernel runs the identical IEEE op sequence,
+                // so the oracle's recursive-CTE replay (same shared
+                // builders) still matches bit-for-bit.
                 require(args.length == 3, "beta_cdf expects (x, alpha, beta)")
-                out.append(ibetaSql(args(1), args(2), args(0)))
+                out.append(s"graft_ibeta(CAST((${args(1)}) AS DOUBLE), " +
+                  s"CAST((${args(2)}) AS DOUBLE), CAST((${args(0)}) AS DOUBLE))")
               case "beta_pdf" =>
                 // ADX beta_pdf(x, alpha, beta) = x^(α−1)(1−x)^(β−1)/B(α,β)
                 // via the Lanczos lnΓ chains; outside (0,1) → 0,
@@ -5690,10 +5697,12 @@ object KqlParser {
                   s"+ ${loggammaSql("bpq.a + bpq.b")} - ${loggammaSql("bpq.a")} " +
                   s"- ${loggammaSql("bpq.b")}) END), 1)")
               case "erf" =>
-                // ADX erf(x) — see erfSql (fixed 160-term confluent
-                // series, ±1 saturation past |x| = 6).
+                // ADX erf(x) — native codegen kernel (SpecialMath.erf:
+                // fixed 160-term confluent series, ±1 saturation past
+                // |x| = 6; oracle replays the same series as a
+                // recursive CTE from the shared erfFoldStep builder).
                 require(args.length == 1, "erf expects (x)")
-                out.append(erfSql(args(0)))
+                out.append(s"graft_erf(CAST((${args(0)}) AS DOUBLE))")
               case "erfc" =>
                 // ADX erfc(x) = 1 − erf(x). DEVIATION (documented):
                 // computed BY that subtraction, so relative accuracy
@@ -5702,13 +5711,16 @@ object KqlParser {
                 // surfaces); a dedicated continued fraction would not
                 // mirror into the oracle any better.
                 require(args.length == 1, "erfc expects (x)")
-                out.append(s"(1.0 - ${erfSql(args(0))})")
+                out.append(s"(1.0 - graft_erf(CAST((${args(0)}) AS DOUBLE)))")
               case "beta_inv" =>
-                // ADX beta_inv(p, alpha, beta) — see betaInvSql
-                // (24-iteration bisection-safeguarded Newton over the
-                // ibetaSql fraction).
+                // ADX beta_inv(p, alpha, beta) — native codegen kernel
+                // (SpecialMath.betaInv: 24-iteration bisection-
+                // safeguarded Newton over the 200-step Lentz fraction,
+                // identical IEEE op order to the oracle's flattened
+                // recursion).
                 require(args.length == 3, "beta_inv expects (p, alpha, beta)")
-                out.append(betaInvSql(args(0), args(1), args(2)))
+                out.append(s"graft_beta_inv(CAST((${args(0)}) AS DOUBLE), " +
+                  s"CAST((${args(1)}) AS DOUBLE), CAST((${args(2)}) AS DOUBLE))")
               case "welch_test" =>
                 // ADX welch_test(mean1, var1, count1, mean2, var2,
                 // count2) → two-sided p-value of Welch's unequal-
@@ -5732,7 +5744,8 @@ object KqlParser {
                 out.append(s"element_at(transform(array($binder), wtq -> " +
                   s"CASE WHEN wtq.n1 < 2.0 OR wtq.n2 < 2.0 OR wtq.v1 < 0.0 " +
                   s"OR wtq.v2 < 0.0 OR $se2 <= 0.0 THEN CAST(NULL AS DOUBLE) " +
-                  s"ELSE ${ibetaSql(s"$df / 2.0", "0.5", s"$df / ($df + $t2)")} " +
+                  s"ELSE graft_ibeta(CAST(($df / 2.0) AS DOUBLE), " +
+                  s"CAST(0.5 AS DOUBLE), CAST(($df / ($df + $t2)) AS DOUBLE)) " +
                   s"END), 1)")
               case "unicode_codepoints_from_string" =>
                 // ADX unicode_codepoints_from_string(s) → dynamic
@@ -7793,14 +7806,15 @@ object KqlParser {
   }
 
   /** Lentz/NR continued fraction for the regularized incomplete beta
-    * I_x(a,b) — the engine's ONLY special-function iteration, shared
-    * by beta_cdf and welch_test (the t-distribution CDF is one ibeta
-    * call). FIXED 200 iterations (no early break — a data-dependent
-    * break would not be oracle-mirrorable; 200 covers a,b up to the
-    * thousands at double precision), 1e-30 underflow guards exactly as
-    * published, every op exact IEEE and replayed by the DuckDB oracle
-    * via list_reduce over the same fold. `a`, `b`, `x` are SQL
-    * fragments; a,b must be > 0 (guarded at the call sites). */
+    * I_x(a,b) — ORACLE-SIDE builder: the engine evaluates the beta
+    * tier through the native codegen kernel
+    * (graft.functions.SpecialMath, identical IEEE op sequence), and
+    * the DuckDB oracle replays this fold as a recursive CTE generated
+    * from these fragments. FIXED 200 iterations (no early break — a
+    * data-dependent break would not be oracle-mirrorable; 200 covers
+    * a,b up to the thousands at double precision), 1e-30 underflow
+    * guards exactly as published. `a`, `b`, `x` are SQL fragments;
+    * a,b must be > 0 (guarded at the call sites). */
   private[graft] def betacfFold(a: String, b: String, x: String,
                                 acc: String, m: String): (String, String, String) = {
     def guard(v: String) =
@@ -7818,38 +7832,11 @@ object KqlParser {
     (c2, d2i, h2)
   }
 
-  /** I_x(a,b): front factor exp(lnΓ(a+b) − lnΓ(a) − lnΓ(b) + a·ln x +
-    * b·ln(1−x)) (the Lanczos chains of [[loggammaSql]]) times the
-    * continued fraction, with the NR symmetry split at
-    * x < (a+1)/(a+b+2). x ≤ 0 → 0, x ≥ 1 → 1; a ≤ 0 or b ≤ 0 → null. */
   /** Initial (post-reciprocal) `d`/`h` of the NR fraction — shared
     * with the oracle builders like [[betacfFold]]. */
   private[graft] def betacfInitD(a: String, b: String, x: String): String =
     s"1.0 / (CASE WHEN abs(1.0 - ($a + $b) * $x / ($a + 1.0)) < 1.0E-30 " +
       s"THEN 1.0E-30 ELSE 1.0 - ($a + $b) * $x / ($a + 1.0) END)"
-
-  private[kql] def ibetaSql(a0: String, b0: String, x0: String): String = {
-    def cf(a: String, b: String, x: String): String = {
-      val init = s"named_struct('c', CAST(1.0 AS DOUBLE), " +
-        s"'d', CAST(${betacfInitD(a, b, x)} AS DOUBLE), " +
-        s"'h', CAST(${betacfInitD(a, b, x)} AS DOUBLE))"
-      val (c2, d2i, h2) = betacfFold(a, b, x, "ibc", "ibm")
-      s"aggregate(sequence(1, 200), $init, (ibc, ibm) -> " +
-        s"named_struct('c', $c2, 'd', $d2i, 'h', $h2), ibf -> ibf.h)"
-    }
-    def front(a: String, b: String, x: String): String =
-      s"exp(${loggammaSql(s"$a + $b")} - ${loggammaSql(a)} - ${loggammaSql(b)} " +
-        s"+ $a * ln($x) + $b * ln(1.0 - $x))"
-    // bind a, b, x once
-    s"element_at(transform(array(named_struct('a', CAST(($a0) AS DOUBLE), " +
-      s"'b', CAST(($b0) AS DOUBLE), 'x', CAST(($x0) AS DOUBLE))), ibq -> " +
-      s"CASE WHEN ibq.a <= 0.0 OR ibq.b <= 0.0 THEN CAST(NULL AS DOUBLE) " +
-      s"WHEN ibq.x <= 0.0 THEN 0.0 WHEN ibq.x >= 1.0 THEN 1.0 " +
-      s"WHEN ibq.x < (ibq.a + 1.0) / (ibq.a + ibq.b + 2.0) THEN " +
-      s"${front("ibq.a", "ibq.b", "ibq.x")} * ${cf("ibq.a", "ibq.b", "ibq.x")} / ibq.a " +
-      s"ELSE 1.0 - ${front("ibq.b", "ibq.a", "(1.0 - ibq.x)")} * " +
-      s"${cf("ibq.b", "ibq.a", "(1.0 - ibq.x)")} / ibq.b END), 1)"
-  }
 
   /** One step of the erf confluent-series fold (t = running term,
     * s = running sum): t ← t·q/(2m+1), s ← s+t with q = 2x². Shared
@@ -7857,67 +7844,6 @@ object KqlParser {
   private[graft] def erfFoldStep(acc: String, m: String, q: String): (String, String) = {
     val t1 = s"($acc.t * $q / (2.0 * CAST($m AS DOUBLE) + 1.0))"
     (t1, s"($acc.s + $t1)")
-  }
-
-  /** erf(x) = 2x/√π · e^(−x²) · Σ_{n≥0} (2x²)^n / (1·3·…·(2n+1)) —
-    * the all-positive-terms confluent series, FIXED 160 iterations
-    * (no early break — a data-dependent break would not be
-    * oracle-mirrorable; the tail is below 1 ulp for |x| < 6).
-    * |x| ≥ 6 saturates to ±1 (true |erfc| < 3e-17 there, invisible
-    * at the engine's micro-unit surfaces — documented deviation).
-    * Every op exact IEEE; the oracle replays the identical fold as a
-    * recursive CTE from the same builder. */
-  private[kql] def erfSql(x0: String): String = {
-    val (t1, s1) = erfFoldStep("efc", "efm", "efq.q")
-    s"element_at(transform(array(named_struct('x', CAST(($x0) AS DOUBLE))), efx -> " +
-      s"element_at(transform(array(named_struct('q', 2.0 * efx.x * efx.x)), efq -> " +
-      s"CASE WHEN abs(efx.x) >= 6.0 THEN CAST(sign(efx.x) AS DOUBLE) ELSE " +
-      s"2.0 * efx.x / sqrt(pi()) * exp(-(efx.x * efx.x)) * " +
-      s"aggregate(sequence(1, 160), " +
-      s"named_struct('t', CAST(1.0 AS DOUBLE), 's', CAST(1.0 AS DOUBLE)), " +
-      s"(efc, efm) -> named_struct('t', $t1, 's', $s1), eff -> eff.s) END), 1)), 1)"
-  }
-
-  /** ADX beta_inv(p, a, b) — the inverse regularized incomplete beta,
-    * as a bisection-SAFEGUARDED Newton iteration (the NR invbetai
-    * shape) with a FIXED 24 iterations: start at the mean a/(a+b)
-    * with bracket (1e-12, 1−1e-12); each step evaluates I_x(a,b) (the
-    * same 200-iteration [[ibetaSql]] fraction) and the pdf, tightens
-    * the bracket by the sign of cdf−p, takes the Newton candidate
-    * when it stays inside the bracket and the midpoint otherwise
-    * (pdf underflow → ±Inf candidate → midpoint, no NaN path).
-    * p∉[0,1] or non-positive shapes → null; p=0→0, p=1→1. The oracle
-    * replays the identical composite loop as ONE flattened recursive
-    * CTE (24 outer × 201 fraction rows) built from the same
-    * betacfFold/loggammaCore/erf-style builders. */
-  private[kql] def betaInvSql(p0: String, a0: String, b0: String): String = {
-    val cdf = ibetaSql("biq.a", "biq.b", "bni.x")
-    val pdf = s"exp((biq.a - 1.0) * ln(bni.x) + (biq.b - 1.0) * ln(1.0 - bni.x) " +
-      s"+ ${loggammaSql("biq.a + biq.b")} - ${loggammaSql("biq.a")} " +
-      s"- ${loggammaSql("biq.b")})"
-    s"element_at(transform(array(named_struct('p', CAST(($p0) AS DOUBLE), " +
-      s"'a', CAST(($a0) AS DOUBLE), 'b', CAST(($b0) AS DOUBLE))), biq -> " +
-      s"CASE WHEN biq.a <= 0.0 OR biq.b <= 0.0 OR biq.p < 0.0 OR biq.p > 1.0 " +
-      s"THEN CAST(NULL AS DOUBLE) " +
-      s"WHEN biq.p = 0.0 THEN 0.0 WHEN biq.p = 1.0 THEN 1.0 " +
-      s"ELSE aggregate(sequence(1, 24), " +
-      s"named_struct('lo', CAST(1.0E-12 AS DOUBLE), " +
-      s"'hi', CAST(1.0 AS DOUBLE) - 1.0E-12, 'x', biq.a / (biq.a + biq.b)), " +
-      s"(bni, bnm) -> element_at(transform(array(named_struct(" +
-      s"'f', ($cdf) - biq.p, 'pd', $pdf)), bns -> " +
-      s"element_at(transform(array(named_struct(" +
-      s"'lo2', CASE WHEN bns.f > 0.0 THEN bni.lo ELSE bni.x END, " +
-      s"'hi2', CASE WHEN bns.f > 0.0 THEN bni.x ELSE bni.hi END, " +
-      s"'xn', bni.x - bns.f / bns.pd)), bnu -> " +
-      s"named_struct('lo', bnu.lo2, 'hi', bnu.hi2, " +
-      // INCLUSIVE bracket test: at exact convergence f = 0 makes
-      // xn == x == one bracket end — a strict test would reject the
-      // root and bisect away from it (measured: 6e-7 residual after
-      // 24 iterations on (0.95, 0.5, 1.5)); xn == x only at f = 0,
-      // so inclusive acceptance parks the iteration on the root.
-      s"'x', CASE WHEN bnu.xn >= bnu.lo2 AND bnu.xn <= bnu.hi2 THEN bnu.xn " +
-      s"ELSE (bnu.lo2 + bnu.hi2) / 2.0 END)), 1)), 1), " +
-      s"bnf -> bnf.x) END), 1)"
   }
 
   /** ADX geo_line_length(lineString) → meters. The line sibling of
