@@ -670,17 +670,44 @@ object AdvancedAnalytics {
       .groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n"), sum(col("pv")).cast("double").as("total_value"))
 
-  // ---- sketches (approximate — no SQL oracle, rows-only check) -----------
+  // ---- sketches ----------------------------------------------------------
 
-  /** HLL distinct + approximate percentile per event type: the bounded-
-    * memory aggregates that replace exact distinct/percentile at 100 TB. */
-  def sketches(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy(col("event_type"))
+  /** HLL distinct + approximate percentile per event type — the bounded-
+    * memory aggregates that replace exact distinct/percentile at 100 TB —
+    * registered as an ERROR-BOUND AUDIT (r15 verdict #4: the raw
+    * estimates had no DuckDB mirror, so the entry was a weak rows-only
+    * check). The query emits, per group, the exact sides (n, exact
+    * distinct) plus two booleans-as-longs asserting the sketches hit
+    * their published bounds: `users_ok` = |HLL++ estimate − exact| ≤
+    * 15% of exact (3× the default 5% rsd), and `p50_ok` = the exact
+    * rank fraction of the returned approximate median lies in
+    * [0.48, 0.52] (accuracy 1000 ⇒ rank error ≤ 0.1%; the slack covers
+    * discreteness). The oracle computes the exact sides in DuckDB and
+    * asserts both flags TRUE — a broken sketch now hash-mismatches.
+    * Estimates are deterministic, so the audit is stable. The rank
+    * audit joins the 5-row group stats back to events (broadcast) —
+    * one extra scan, the exact shape of a production accuracy audit. */
+  def sketches(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val g = ev.groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
         count(lit(1)).as("n"))
+    val rank = ev.join(broadcast(g.select(col("event_type"), col("p50_value"))),
+        "event_type")
+      .groupBy(col("event_type"))
+      .agg((sum(when(col("value") <= col("p50_value"), 1L).otherwise(0L)) /
+        count(lit(1))).as("p50_frac"))
+    g.join(broadcast(rank), "event_type")
+      .select(
+        col("event_type"), col("n"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.15).cast("long").as("users_ok"),
+        (col("p50_frac") >= 0.48 && col("p50_frac") <= 0.52)
+          .cast("long").as("p50_ok"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_cube" -> cubeAcctbal _,
@@ -728,6 +755,15 @@ object AdvancedAnalytics {
     quarters.map { case (l, s, e) => s"('$l', DATE '$s', DATE '$e')" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // Error-bound audit (see [[sketches]]): DuckDB computes the exact
+    // sides and asserts both accuracy flags TRUE; the engine computes
+    // the flags from its sketches, so an out-of-bound estimate
+    // hash-mismatches.
+    "sketch_approx" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(1 AS BIGINT) AS users_ok, CAST(1 AS BIGINT) AS p50_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "agg_cube" ->
       """SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal

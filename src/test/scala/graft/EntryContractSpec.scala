@@ -6,11 +6,12 @@ package graft
 class EntryContractSpec extends SparkSpec {
 
   /** Queries intentionally without a SQL oracle (driver falls back to a
-    * rows-only check). Every entry must carry a reason. */
-  private val rowsOnlyAllowlist = Map(
-    "sketch_approx" -> "HLL/approx-percentile sketches have no exact SQL equivalent",
-    "kql_hll_dcount" -> ("DataSketches HLL estimates are deterministic but DuckDB has no " +
-      "DataSketches to mirror; accuracy and merge-vs-direct equality pinned in KqlSpec"))
+    * rows-only check). Every entry must carry a reason. EMPTY since
+    * r16: the two approximate-sketch queries were re-registered as
+    * error-bound audits (exact sides computed by both engines, accuracy
+    * flags asserted TRUE by the oracle), so every query is
+    * hash-checkable. */
+  private val rowsOnlyAllowlist = Map.empty[String, String]
 
   test("every oracle key names a real query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
