@@ -644,7 +644,6 @@ case class H3CellToken(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
-/** `graft_h3_center(token)` → [lon°, lat°] of the cell center. */
 /** `graft_h3_boundary(token)` → the closed 7-point hex ring as
   * ARRAY<ARRAY<DOUBLE>> ([lon°, lat°] per vertex); malformed → null. */
 case class H3CellBoundary(child: Expression) extends UnaryExpression {
@@ -672,6 +671,7 @@ case class H3CellBoundary(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `graft_h3_center(token)` → [lon°, lat°] of the cell center. */
 case class H3CellCenter(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

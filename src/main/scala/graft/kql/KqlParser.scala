@@ -5038,10 +5038,15 @@ object KqlParser {
                       val p = if (p0.endsWith(".")) p0 else p0 + "."
                       val lit = "'" + p.replace("'", "''") + "'"
                       // full-prefix tokens ('1.2.3.4' vs prefix
-                      // '1.2.3.4.') can never match a longer IP, so
-                      // also accept candidate == prefix-without-dot
-                      s"(startswith(hip, $lit) OR hip = '" +
-                        p0.stripSuffix(".").replace("'", "''") + "')"
+                      // '1.2.3.4') can never match a longer IP, so
+                      // also accept candidate == prefix — but ONLY
+                      // when the user's prefix did not itself end with
+                      // '.': ADX treats an explicit trailing dot as
+                      // requiring a longer token ('10.1.2.3' does not
+                      // start with '10.1.2.3.')
+                      if (p0.endsWith(".")) s"startswith(hip, $lit)"
+                      else s"(startswith(hip, $lit) OR hip = '" +
+                        p0.replace("'", "''") + "')"
                     }
                     out.append(s"exists($cands, hip -> ${tests.mkString("(", " OR ", ")")})")
                 }
@@ -7664,7 +7669,11 @@ object KqlParser {
     * approximate GEODESICS; equal-parameter subdivision of the
     * degree-space chord is the planar analogue, deterministic and
     * oracle-mirrorable with zero trig beyond the one mean-lat cosine.
-    * Guards: degenerate geometry or non-positive/NaN tolerance →
+    * Polygon form is OUTER-RING-ONLY like the rest of the polygon
+    * family ([[geoPolygonPerimeterSql]]/area/containment read
+    * `$.coordinates[0]`): interior rings (holes) are not carried into
+    * the densified output — documented contract, not an oversight.
+    * Guards: degenerate geometry or non-positive/NaN/null tolerance →
     * null; an edge needing > 4096 segments → null (the series_fft
     * loud-cap class — a micro-tolerance would otherwise explode the
     * row). Output is GeoJSON VARIANT (composes with the length/
@@ -7697,8 +7706,11 @@ object KqlParser {
     s"element_at(transform(array(element_at(transform(array($ring), gdr -> " +
       s"named_struct('r', gdr, 'kx', 111320.0 * cos(radians($latc)), " +
       s"'tol', CAST(($tol) AS DOUBLE))), 1)), gdq -> " +
+      // explicit IS NULL arm: NOT (null > 0.0) is NULL, not TRUE, so a
+      // null tolerance would otherwise fall through to the build and
+      // emit a non-null VARIANT with null coordinates
       s"CASE WHEN gdq.r IS NULL OR size(gdq.r) < $minV " +
-      s"OR NOT (gdq.tol > 0.0) THEN CAST(NULL AS VARIANT) " +
+      s"OR gdq.tol IS NULL OR NOT (gdq.tol > 0.0) THEN CAST(NULL AS VARIANT) " +
       s"WHEN exists(sequence(0, size(gdq.r) - 2), gi -> $nSeg > 4096) " +
       s"THEN CAST(NULL AS VARIANT) ELSE " +
       s"parse_json(to_json(named_struct('type', '$gtype', " +

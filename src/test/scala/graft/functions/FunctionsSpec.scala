@@ -85,6 +85,7 @@ class FunctionsSpec extends SparkSpec {
       "graft_gzip_compress", "graft_gzip_decompress",
       "graft_zlib_compress", "graft_zlib_decompress",
       "graft_parse_csv", "graft_h3_boundary", "graft_parse_cmdline",
-      "graft_geo_closest_line"))
+      "graft_geo_closest_line",
+      "graft_ibeta", "graft_erf", "graft_beta_inv"))
   }
 }

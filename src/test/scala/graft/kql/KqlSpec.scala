@@ -3289,6 +3289,10 @@ class KqlSpec extends SparkSpec {
     assert(one("has_ipv4_prefix('from 127.0.1.5', '127.0.')").getLong(0) == 1L)
     assert(one("has_ipv4_prefix('from 127.01.1.5', '127.0')").getLong(0) == 0L)
     assert(one("has_any_ipv4_prefix('from 10.1.2.3', '99.', '10.1.')").getLong(0) == 1L)
+    // a full-IP prefix WITHOUT a trailing dot matches the bare token;
+    // an explicit trailing dot demands a longer token (ADX semantics)
+    assert(one("has_ipv4_prefix('from 10.1.2.3 x', '10.1.2.3')").getLong(0) == 1L)
+    assert(one("has_ipv4_prefix('from 10.1.2.3 x', '10.1.2.3.')").getLong(0) == 0L)
     // non-literal IP args reject loudly
     val e = intercept[IllegalArgumentException] {
       KqlParser.run("T | project r = has_any_ipv4('t', c)", reg).collect()
@@ -3403,6 +3407,9 @@ class KqlSpec extends SparkSpec {
     // guards: bad tolerance, degenerate geometry, micro-tolerance cap
     assert(one(s"geo_line_densify(parse_json($line), 0.0)").isNullAt(0))
     assert(one(s"geo_line_densify(parse_json($line), -5.0)").isNullAt(0))
+    // null tolerance must yield null, not a coordinate-less VARIANT
+    // (three-value logic: NOT (null > 0) is null, needs its own arm)
+    assert(one(s"geo_line_densify(parse_json($line), todouble(parse_json('null')))").isNullAt(0))
     assert(one("geo_line_densify(parse_json('{\"type\":\"LineString\",\"coordinates\":[[1.0,1.0]]}'), 100.0)").isNullAt(0))
     assert(one(s"geo_line_densify(parse_json($line), 0.001)").isNullAt(0)) // > 4096 segments
     // a closed polygon ring stays closed
