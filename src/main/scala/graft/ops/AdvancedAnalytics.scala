@@ -687,14 +687,21 @@ object AdvancedAnalytics {
     * Estimates are deterministic, so the audit is stable. The rank
     * audit joins the 5-row group stats back to events (broadcast) —
     * one extra scan, the exact shape of a production accuracy audit. */
-  def sketches(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val g = ev.groupBy(col("event_type"))
+  /** The raw per-group sketch estimates next to their exact sides —
+    * the audit's input, exposed so SketchBoundsSpec can assert the
+    * tighter documented envelopes directly on the estimates. */
+  def sketchEstimates(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         count_distinct(col("user_id")).as("exact_users"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
         count(lit(1)).as("n"))
+
+  def sketches(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val g = sketchEstimates(spark, sfDir)
     val rank = ev.join(broadcast(g.select(col("event_type"), col("p50_value"))),
         "event_type")
       .groupBy(col("event_type"))

@@ -49,7 +49,8 @@ class PlanSweepSpec extends SparkSpec {
     "search_tfidf_topk", "search_bm25_topk", // corpus × 1-row corpus-stats broadcast (N, df_t, Σdl)
     "search_hybrid_rrf", // inherits the bm25 stats row + corpus × 1-row query-vector broadcast
     "kql_diffpatterns", // cube cells × 1-row slice-denominator broadcast (replaced the partitionBy()-less window per r10 ADVICE)
-    "kql_preview") // top-N rows × 1-row grand-total broadcast (evaluate preview's folded count — text_vocab_coverage's class)
+    "kql_preview", // top-N rows × 1-row grand-total broadcast (evaluate preview's folded count — text_vocab_coverage's class)
+    "kql_hll_dcount") // r16 error-bound audit: the 'ALL' row joins two 1-row frames (merged sketch × global exact) on a constant key, which folds to a 1×1 nested-loop
 
   test("no unintended cartesian/nested-loop joins, no Python UDFs, anywhere") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

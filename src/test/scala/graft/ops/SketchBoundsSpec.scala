@@ -4,21 +4,21 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Accuracy bounds for the sketch query (`sketch_approx`), which the
-  * DuckDB oracle can't hash-check (HLL/KLL internals differ per engine,
-  * so the driver records a rows-only result). These assertions make the
-  * sketches non-assertion-free: each approximate answer must land within
-  * its aggregate's documented error envelope of the exact answer,
-  * computed on the same sf0.01 events the driver verifies against.
-  * Both sketches are deterministic for fixed input, so the bounds are
-  * stable, not flaky. */
+/** Accuracy bounds for the sketch estimates behind `sketch_approx`.
+  * Since r16 the registered query IS an oracle-checked error-bound
+  * audit (the driver hash-compares the audit flags against DuckDB's
+  * exact sides); these assertions additionally pin the TIGHTER
+  * documented envelopes directly on the raw estimates
+  * ([[AdvancedAnalytics.sketchEstimates]]), on the same sf0.01 events
+  * the driver verifies against. Both sketches are deterministic for
+  * fixed input, so the bounds are stable, not flaky. */
 class SketchBoundsSpec extends SparkSpec {
 
   private val sf01 = "/root/testdata/sf0.01"
 
   test("approx_count_distinct within its documented rsd of the exact count, per group") {
     // default relativeSD = 0.05; allow 4 standard errors of slack
-    val approx = AdvancedAnalytics.sketches(spark, sf01)
+    val approx = AdvancedAnalytics.sketchEstimates(spark, sf01)
       .select(col("event_type"), col("approx_users"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.events(spark, sf01)
@@ -35,7 +35,7 @@ class SketchBoundsSpec extends SparkSpec {
   test("percentile_approx(0.5, 1000): returned value's exact rank stays near the median") {
     // KLL-style guarantee: rank error ≤ N/accuracy = 0.1% of rows;
     // assert a 10× slack band (±1 percentile point) on the exact rank.
-    val p50 = AdvancedAnalytics.sketches(spark, sf01)
+    val p50 = AdvancedAnalytics.sketchEstimates(spark, sf01)
       .select(col("event_type"), col("p50_value"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val ev = Tables.events(spark, sf01).select(col("event_type"), col("value")).cache()
