@@ -42,12 +42,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 62 queries × local[32] shuffles in one JVM: 8g left ~10 s GC pauses
   // on the heavier CDC plans; the bench box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // Return freed heap to the OS aggressively: G1 honors these on the
-  // full GCs graft.Bench triggers between query families, so the
-  // sweep's RSS tracks the live set (~2-4 GB at sf0.1) instead of
-  // ratcheting toward -Xmx on a memory-tight host (r15: three rounds
-  // of driver-side paging during the bench window).
-  "-XX:MinHeapFreeRatio=10", "-XX:MaxHeapFreeRatio=30",
+  // Return freed heap to the OS: G1 honors these on the full GCs
+  // graft.Bench triggers between query families, so the sweep's RSS
+  // tracks the live set instead of ratcheting toward -Xmx on a
+  // memory-tight host (r15: three rounds of driver-side paging during
+  // the bench window). 15/40, not the tighter 10/30 first tried:
+  // shrinking to live+30% made every alloc-heavy query re-commit GBs
+  // of heap inside its timed run (graph_lpa 3.8->7 s).
+  "-XX:MinHeapFreeRatio=15", "-XX:MaxHeapFreeRatio=40",
   // ~100 queries × 2 runs of whole-stage-codegen classes overflow the
   // default 240 MB JIT code cache mid-suite; flushing then deopts hot
   // methods and the iterative queries (dedup_clusters) pay multi-second

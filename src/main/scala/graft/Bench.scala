@@ -207,12 +207,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // ContextCleaner only releases dropped checkpoint/broadcast
-      // blocks after a JVM GC enqueues their weak refs; the default
-      // 30 min periodic GC never fires inside a sweep, so transient
-      // per-query blocks accumulated for the whole run (r15 verdict
-      // #1 — sweep memory residency). 5 min + the explicit sweep GC
-      // below keep the block manager near the live set.
-      .config("spark.cleaner.periodicGC.interval", "5min")
+      // blocks after a JVM GC enqueues their weak refs. The explicit
+      // BETWEEN-queries GC below drives that deterministically outside
+      // timed windows; a short periodicGC interval was tried and
+      // REVERTED — its timer fires mid-run and charges a full GC to
+      // whichever query is executing.
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", classOf[functions.GraftExtensions].getName)
       .getOrCreate()

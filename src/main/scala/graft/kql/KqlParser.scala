@@ -4350,7 +4350,9 @@ object KqlParser {
               "set_union", "set_intersect", "set_difference", "set_has_element",
               "array_rotate_left", "array_rotate_right",
               "array_shift_left", "array_shift_right",
-              "array_slice", "array_iff", "array_iif")(w.toLowerCase) ||
+              "array_slice", "array_iff", "array_iif",
+              "todouble", "toreal", "tolong", "toint", "tobool",
+              "toboolean", "todatetime")(w.toLowerCase) ||
               w.toLowerCase.startsWith("series_")) && {
               var j = i + w.length
               while (j < s.length && s.charAt(j).isWhitespace) j += 1
@@ -4369,6 +4371,23 @@ object KqlParser {
             val args = splitTopLevel(s.substring(open + 1, close), ',')
               .map(a => scalar(a.trim, lets))
             w.toLowerCase match {
+              case conv @ ("todouble" | "toreal" | "tolong" | "toint" |
+                           "tobool" | "toboolean" | "todatetime") =>
+                // ADX to*() conversions return null on malformed input
+                // (todouble('x') = real(null)), while the former bare
+                // name-swap to an ANSI cast THREW at runtime. try_cast
+                // restores ADX semantics; valid inputs cast
+                // identically, so every oracle mirror (plain CAST over
+                // clean columns) is unaffected.
+                require(args.length == 1, s"$conv expects (value)")
+                val sqlType = conv match {
+                  case "todouble" | "toreal" => "DOUBLE"
+                  case "tolong" => "BIGINT"
+                  case "toint" => "INT"
+                  case "tobool" | "toboolean" => "BOOLEAN"
+                  case _ => "TIMESTAMP"
+                }
+                out.append(s"try_cast((${args(0)}) AS $sqlType)")
               case "extract" =>
                 require(args.length == 3,
                   s"extract expects (regex, captureGroup, source): ${s.substring(i, close + 1)}")
@@ -6849,11 +6868,9 @@ object KqlParser {
               case "array_reverse"  => Some("reverse")
               case "array_concat"   => Some("concat")
               case "tostring" => Some("string")
-              case "tolong"   => Some("bigint")
-              case "toint"    => Some("int")
-              case "todouble" | "toreal" => Some("double")
-              case "todatetime" => Some("timestamp")
-              case "tobool" | "toboolean" => Some("boolean")
+              // tolong/toint/todouble/toreal/tobool/todatetime are
+              // handled in the args-aware tier above (try_cast — ADX
+              // null-on-malformed semantics)
               case "pack_array" => Some("array")
               case "iif" | "iff" => Some("if")
               case "todynamic" => Some("parse_json") // dynamic = VARIANT

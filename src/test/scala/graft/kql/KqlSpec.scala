@@ -1569,6 +1569,24 @@ class KqlSpec extends SparkSpec {
     assert(one("format_bytes(-1)").isNullAt(0))
   }
 
+  test("parser: to*() conversions are null-on-malformed (ADX), not ANSI throws") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    assert(one("todouble('abc')").isNullAt(0))
+    assert(one("todouble('')").isNullAt(0))
+    assert(one("todouble('2.5')").getDouble(0) == 2.5)
+    assert(one("toreal('1e3')").getDouble(0) == 1000.0)
+    assert(one("tolong('notanumber')").isNullAt(0))
+    assert(one("tolong('42')").getLong(0) == 42L)
+    assert(one("toint('12')").getInt(0) == 12)
+    assert(one("toint('x12')").isNullAt(0))
+    assert(one("tobool('true')").getBoolean(0))
+    assert(one("tobool('banana')").isNullAt(0))
+    assert(one("todatetime('2024-01-02 03:04:05')").getTimestamp(0).toString
+      .startsWith("2024-01-02"))
+    assert(one("todatetime('not a date')").isNullAt(0))
+  }
+
   test("parser: bag_keys/bag_has_key/bag_merge semantics") {
     val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
     def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
