@@ -41,6 +41,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Memo {
   private val MaxEntries = 32
 
+  /** Bucket count for the written serving layouts (band tables, graph
+    * edges, the CDC latest-state table) — sized to the execution
+    * parallelism (local[32]): a zero-Exchange bucketed join runs one
+    * task per bucket, so an under-bucketed layout (8 was first used)
+    * turns the stage into a few fat tasks whose wall time is hostage
+    * to any single-core stall (measured 2 s → 22 s bimodal on the
+    * band self-join). A real deployment sizes this to its cluster at
+    * ingest exactly the same way. */
+  val ServingBuckets = 32
+
   private final case class Entry(sfDir: String, df: DataFrame)
 
   // Access-order LinkedHashMap = LRU; all access synchronized on it

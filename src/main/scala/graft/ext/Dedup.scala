@@ -132,14 +132,18 @@ object Dedup {
     * word fetches shuffle. Same results as [[minhashPairs]] by
     * construction (same bands, same verify); the oracle is reused
     * verbatim. Bucket count mirrors [[GraphAnalytics]]'s served-edge
-    * layout: a real deployment sizes it to the cluster at ingest. */
+    * layout — sized to the execution parallelism (32, the bench
+    * cluster's local[32]): an 8-bucket layout made the self-join an
+    * 8-fat-task stage whose wall time was hostage to any single-core
+    * stall on the host (measured 2 s -> 22 s bimodal); a real
+    * deployment sizes it to the cluster at ingest the same way. */
   def minhashPairsBucketed(spark: SparkSession, sfDir: String,
                            threshold: Double = 0.9): DataFrame = {
     val bands = graft.Memo.cached(spark, sfDir, "minhash_bands_bucketed") {
       val table = "graft_bands_" + graft.Memo.pathDigest(sfDir)
       graft.Memo.prepareServedTable(spark, table)
       bandKeys(Tables.documents(spark, sfDir)).write
-        .bucketBy(8, "lang", "band_idx", "band_key")
+        .bucketBy(graft.Memo.ServingBuckets, "lang", "band_idx", "band_key")
         .sortBy("lang", "band_idx", "band_key")
         .mode("overwrite").saveAsTable(table)
       spark.table(table)
@@ -170,7 +174,7 @@ object Dedup {
       graft.Memo.prepareServedTable(spark, table)
       def write(batch: DataFrame, mode: String): Unit =
         bandKeys(batch).write
-          .bucketBy(8, "lang", "band_idx", "band_key")
+          .bucketBy(graft.Memo.ServingBuckets, "lang", "band_idx", "band_key")
           .sortBy("lang", "band_idx", "band_key")
           .mode(mode).saveAsTable(table)
       write(docs.filter(col("doc_id") % 5 =!= 0), "overwrite")

@@ -79,6 +79,11 @@ object GraphAnalytics {
     * sizes this to cluster parallelism at WRITE time — the whole point
     * is that the per-superstep join inherits the layout instead of
     * re-shuffling, so the knob is paid once per ingest, not per query. */
+  // NOT Memo.ServingBuckets (32): the edge table feeds ITERATIVE
+  // supersteps, so bucket count multiplies task launches per round —
+  // at bench scale 32 buckets × ~10 rounds of tiny per-round data
+  // cost ~+1 s of pure scheduling vs 8 (measured). A real deployment
+  // sizes this to its executor count at ingest like the other layouts.
   private val EdgeBuckets = 8
 
   /** The write-time serving layout for the iterative cores: the edge

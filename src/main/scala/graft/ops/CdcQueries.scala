@@ -183,7 +183,7 @@ object CdcQueries {
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
       q.awaitTermination()
       graft.streaming.Sinks.readLatest(spark, s"$scratch/upsert")
-        .write.bucketBy(8, "orderid").sortBy("orderid")
+        .write.bucketBy(graft.Memo.ServingBuckets, "orderid").sortBy("orderid")
         .mode("overwrite").saveAsTable(table)
       spark.table(table)
     }.select(col("orderid"), col("custid"), col("amount"), col("city"))
