@@ -65,6 +65,11 @@ object Bench {
     * (mutated by the bench loop, read by the shutdown hook). */
   private val acc = new java.util.LinkedHashMap[String, QRes]()
 
+  /** Cold serving-table builds run one at a time (r15 verdict #1: the
+    * 3-worker prewarm pool multiplied the phase's peak RSS and widened
+    * the driver host's paging band). BenchSpec pins this at 1. */
+  private[graft] val PrewarmConcurrency: Int = 1
+
   /** Queries whose first execution derives a [[Memo]]-backed serving
     * relation (written table / pair relation / bucketed layout). The
     * warmup runs these once — timed into the `cold` map — so the timed
@@ -75,11 +80,6 @@ object Bench {
     * A query missing from this list still gets its cold run detected
     * per-attempt (computeCount delta) — this list only moves the cost
     * out of the timed window, it is not load-bearing for correctness. */
-  /** Cold serving-table builds run one at a time (r15 verdict #1: the
-    * 3-worker prewarm pool multiplied the phase's peak RSS and widened
-    * the driver host's paging band). BenchSpec pins this at 1. */
-  private[graft] val PrewarmConcurrency: Int = 1
-
   private[graft] val memoColdQueries: Seq[String] = Seq(
     "dedup_cluster_sizes",        // tag dedup_clusters
     "dedup_cleaned_near",         // tag minhash_pairs:<threshold>
@@ -171,6 +171,13 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
   }
+
+  /** Per-attempt wall cap: 4x the prior round's time, floored at the
+    * 10 s suspect line; the full query budget when no prior exists.
+    * Bounds what one host-stalled attempt can cost (see the attempt
+    * loop comment). */
+  private[graft] def attemptCap(prior: Option[Double], queryBudget: Double): Double =
+    prior.fold(queryBudget)(p => math.max(10.0, 4.0 * p))
 
   /** The time above which a query's min is considered contaminated.
     * Absolute rule: 10 s (no query's steady state exceeds it at sf0.1).
@@ -351,13 +358,28 @@ object Bench {
         acc.put(name, QRes(best._1, best._1 > ceil, best._2))
       }
       def remaining: Double = queryBudget - times.map(_._1).sum
+      // Per-ATTEMPT cap (r16, the r15 dedup_cleaned post-mortem): with
+      // only the cumulative budget, ONE host-stalled first attempt
+      // could eat the whole 60 s (r16 measured: a 39 s stall left room
+      // for a single cancelled retry → the artifact recorded a capped
+      // lower bound and nothing else). Capping every attempt at
+      // 4x the prior round's time (floored at the 10 s suspect line;
+      // full budget when no prior exists) turns a stall into a ~10 s
+      // loss, so the remaining budget still buys several attempts and
+      // one calm window records the true steady state. A query that
+      // GENUINELY regressed past 4x prior records the cap as a lower
+      // bound + suspect + capped — exactly what the old path recorded,
+      // reached sooner.
+      val cap = attemptCap(prior.get(name), queryBudget)
       if (benchElapsed > totalBudget) {
         // Degraded mode: one capped run, move on. Every query still
         // lands in the artifact.
         times += run1(10.0); record()
       } else {
-        times += run1(queryBudget); record()
-        while (times.size < runs && remaining > 0) { times += run1(remaining); record() }
+        times += run1(math.min(queryBudget, cap)); record()
+        while (times.size < runs && remaining > 0) {
+          times += run1(math.min(remaining, cap)); record()
+        }
         // Host-paging insurance (see pagingProbe): no query's steady
         // state exceeds 10 s, so if even the BEST run did, every attempt
         // likely landed in a host-paging episode (measured 40-230 s
@@ -370,7 +392,7 @@ object Bench {
         // pushed the whole bench past the driver timeout).
         var extra = 0
         while (extra < 2 && times.map(_._1).min > ceil && remaining > 0) {
-          times += run1(remaining); record(); extra += 1
+          times += run1(math.min(remaining, cap)); record(); extra += 1
         }
         record()
       }

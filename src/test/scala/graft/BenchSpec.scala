@@ -93,6 +93,13 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.prewarmOrder(Seq("a", "b", "c"), Map.empty) === Seq("a", "b", "c"))
   }
 
+  test("attemptCap: 4x prior floored at 10s; full budget without a prior") {
+    assert(Bench.attemptCap(None, 60.0) === 60.0)
+    assert(Bench.attemptCap(Some(0.24), 60.0) === 10.0)   // floor
+    assert(Bench.attemptCap(Some(5.0), 60.0) === 20.0)    // 4x prior
+    assert(Bench.attemptCap(Some(100.0), 60.0) === 400.0) // loop min()s vs budget
+  }
+
   test("prewarm builds cold serving tables one at a time (r15: a 3-worker " +
        "pool tripled the build phase's peak RSS and widened the driver " +
        "host's paging band — 23 suspects vs 6)") {
