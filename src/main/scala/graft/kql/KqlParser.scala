@@ -36,6 +36,7 @@ import org.apache.spark.sql.functions._
   * repeated variables — see [[graphMatchVerb]] for deviations),
   * `graph-shortest-paths` (level-synchronous distributed BFS; hop
   * counts via array_length(e), see [[graphShortestPathsVerb]]),
+  * `graph-to-table` (nodes/edges export — see [[graphToTableVerb]]),
   * `reduce by` (log-pattern clustering — deterministic digit-run
   * normalization, documented deviation from ADX's similarity mining),
   * `evaluate pivot` (native Spark pivot), `evaluate bag_unpack`,
@@ -401,6 +402,8 @@ object KqlParser {
           ("graph-match", r.stripPrefix("-match").trim)
         case ("graph", r) if r.startsWith("-shortest-paths") =>
           ("graph-shortest-paths", r.stripPrefix("-shortest-paths").trim)
+        case ("graph", r) if r.startsWith("-to-table") =>
+          ("graph-to-table", r.stripPrefix("-to-table").trim)
         case ("parse", r) if r.startsWith("-where") =>
           ("parse-where", r.stripPrefix("-where").trim)
         case ("parse", r) if r.startsWith("-kv") =>
@@ -890,6 +893,12 @@ object KqlParser {
           val g = graphDef.getOrElse(throw new IllegalArgumentException(
             "graph-shortest-paths requires a preceding make-graph"))
           df = graphShortestPathsVerb(g, rest, scoped)
+          graphDef = None
+          serialOrder = None
+        case "graph-to-table" =>
+          val g = graphDef.getOrElse(throw new IllegalArgumentException(
+            "graph-to-table requires a preceding make-graph"))
+          df = graphToTableVerb(g, rest)
           graphDef = None
           serialOrder = None
         case "getschema" =>
@@ -1890,6 +1899,70 @@ object KqlParser {
     * triangle/path enumeration; node-property joins hash on the node
     * id. No cartesian anywhere; Catalyst broadcasts the small side
     * (dimension-sized node tables) on its own. */
+  /** `graph-to-table nodes [with_node_id=Name]` /
+    * `graph-to-table edges [with_source_id=Name] [with_target_id=Name]`
+    * — export the `make-graph` view back to tabular form (ADX's third
+    * graph verb).
+    *
+    *  - `edges`: the edge frame, with the requested id columns
+    *    prepended (duplicates of the make-graph src/dst columns under
+    *    the caller's names — ADX renders them first).
+    *  - `nodes`: the attached node-property table when `make-graph …
+    *    with Nodes on id` was used (with_node_id prepends a copy of
+    *    the id column); otherwise the node set is DERIVED as the
+    *    distinct union of edge endpoints, one column named by
+    *    with_node_id (default `node_id`).
+    *
+    * The combined ADX form `graph-to-table nodes as N, edges as E`
+    * yields two result tables and is rejected loudly (documented
+    * deviation — the pipeline carries one frame).
+    *
+    * Scale shape: `edges` is a projection (no shuffle); derived
+    * `nodes` is union + distinct — one hash aggregate over the
+    * endpoint ids. */
+  private def graphToTableVerb(
+      g: (DataFrame, String, String, Option[(DataFrame, String)]),
+      rest: String): DataFrame = {
+    val (edges, srcC, dstC, nodesOpt) = g
+    val parts = rest.trim.split("\\s+").toList.filter(_.nonEmpty)
+    require(parts.nonEmpty && !rest.contains(","),
+      s"graph-to-table expects 'nodes [with_node_id=N]' or " +
+        s"'edges [with_source_id=N] [with_target_id=N]' (the two-output " +
+        s"'nodes as N, edges as E' form is not supported): $rest")
+    val opts = parts.tail.map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if v.nonEmpty &&
+            v.matches("[A-Za-z_][A-Za-z0-9_]*") => k.toLowerCase -> v
+        case _ => throw new IllegalArgumentException(
+          s"graph-to-table option must be key=identifier: $kv")
+      }
+    }.toMap
+    parts.head.toLowerCase match {
+      case "edges" =>
+        val unknown = opts.keySet -- Set("with_source_id", "with_target_id")
+        require(unknown.isEmpty, s"graph-to-table edges: unknown option(s) $unknown")
+        val idCols =
+          opts.get("with_source_id").map(n => col(srcC).as(n)).toSeq ++
+          opts.get("with_target_id").map(n => col(dstC).as(n)).toSeq
+        edges.select(idCols ++ edges.columns.toIndexedSeq.map(col): _*)
+      case "nodes" =>
+        val unknown = opts.keySet -- Set("with_node_id")
+        require(unknown.isEmpty, s"graph-to-table nodes: unknown option(s) $unknown")
+        nodesOpt match {
+          case Some((nt, idC)) =>
+            val idCols = opts.get("with_node_id").map(n => col(idC).as(n)).toSeq
+            nt.select(idCols ++ nt.columns.toIndexedSeq.map(col): _*)
+          case None =>
+            val name = opts.getOrElse("with_node_id", "node_id")
+            edges.select(col(srcC).as(name))
+              .unionAll(edges.select(col(dstC).as(name)))
+              .distinct()
+        }
+      case other => throw new IllegalArgumentException(
+        s"graph-to-table expects 'nodes' or 'edges', got: $other")
+    }
+  }
+
   private def graphMatchVerb(g: (DataFrame, String, String, Option[(DataFrame, String)]),
                              rest: String,
                              lets: Map[String, String]): DataFrame = {

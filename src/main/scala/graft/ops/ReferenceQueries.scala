@@ -2250,6 +2250,23 @@ object ReferenceQueries {
       || summarize n = count() by city
       || sort by city asc""".stripMargin
 
+  /** r16 `graph-to-table` — the make-graph view exported back to
+    * tabular form: the DERIVED node set (distinct union of edge
+    * endpoints, no node-property table attached) rolled up by id
+    * prefix, so both the union-distinct derivation and the
+    * with_node_id naming are under the oracle. */
+  val kqlGraphToTableText: String =
+    """let CityRegion = datatable(src:string, dst:string)[
+      |  'New Delhi','APAC','Seattle','WEST','New York','EAST',
+      |  'Austin','SOUTH','Chicago','MIDWEST','Cleveland','MIDWEST'];
+      |let CustCity = Orders | distinct custid, city | project src = strcat('u', tostring(custid)), dst = city;
+      |CustCity
+      || union (CityRegion)
+      || make-graph src --> dst
+      || graph-to-table nodes with_node_id=node
+      || summarize n = count(), first_node = min(node) by prefix = substring(node, 0, 1)
+      || sort by prefix asc""".stripMargin
+
   /** r10 `graph-shortest-paths` — distributed BFS over the make-graph
     * edge list. Customers reach WORLD through city→region→WORLD (3
     * hops), except Chicago customers, for whom a direct Chicago→WORLD
@@ -2298,6 +2315,7 @@ object ReferenceQueries {
     "kql_bitwise" -> kqlText(kqlBitwiseText) _,
     "kql_invoke" -> kqlText(kqlInvokeText) _,
     "kql_graph_match" -> kqlText(kqlGraphMatchText) _,
+    "kql_graph_to_table" -> kqlText(kqlGraphToTableText) _,
     "kql_graph_shortest" -> kqlText(kqlShortestPathsText) _,
     "kql_scan_funnel" -> kqlText(kqlScanFunnelText) _,
     "kql_narrow" -> kqlText(kqlNarrowText) _,
@@ -2463,6 +2481,20 @@ object ReferenceQueries {
          |FROM e h1 JOIN e h2 ON h1.dst = h2.src
          |WHERE h2.dst = 'MIDWEST'
          |GROUP BY 1 ORDER BY city ASC""".stripMargin,
+    "kql_graph_to_table" ->
+      s"""${Sql.ordersInfoCte},
+         |cr AS (SELECT * FROM (VALUES
+         |  ('New Delhi','APAC'), ('Seattle','WEST'), ('New York','EAST'),
+         |  ('Austin','SOUTH'), ('Chicago','MIDWEST'), ('Cleveland','MIDWEST'))
+         |  AS t(src, dst)),
+         |cc AS (SELECT DISTINCT 'u' || CAST(custid AS VARCHAR) AS src, city AS dst
+         |       FROM orders_info),
+         |e AS (SELECT * FROM cc UNION ALL SELECT * FROM cr),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))
+         |SELECT substring(node, 1, 1) AS prefix, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(node) AS first_node
+         |FROM nodes GROUP BY 1 ORDER BY prefix ASC""".stripMargin,
     "kql_graph_shortest" ->
       s"""${Sql.ordersInfoCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |cr AS (SELECT * FROM (VALUES

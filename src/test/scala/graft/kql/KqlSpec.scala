@@ -2956,6 +2956,44 @@ class KqlSpec extends SparkSpec {
     assert(e3.getMessage.contains("not supported"))
   }
 
+  test("parser: graph-to-table exports nodes and edges back to tabular form") {
+    val edges = Seq(("u1", "city1", 5), ("u2", "city1", 7)).toDF("src", "dst", "w")
+    val nodes = Seq(("u1", "user"), ("u2", "user"), ("city1", "city"))
+      .toDF("id", "kind")
+    val reg = Map("E" -> edges, "N" -> nodes)
+    // edges with both id columns prepended (duplicates of src/dst)
+    val e = KqlParser.run(
+      "E | make-graph src --> dst | graph-to-table edges with_source_id=sid with_target_id=tid",
+      reg)
+    assert(e.columns.toSeq == Seq("sid", "tid", "src", "dst", "w"))
+    assert(e.collect().map(r => (r.getString(0), r.getString(1), r.getInt(4))).toSet ==
+      Set(("u1", "city1", 5), ("u2", "city1", 7)))
+    // attached node-property table, id copied under the caller's name
+    val n1 = KqlParser.run(
+      "E | make-graph src --> dst with N on id | graph-to-table nodes with_node_id=node",
+      reg)
+    assert(n1.columns.toSeq == Seq("node", "id", "kind"))
+    assert(n1.collect().map(_.getString(0)).toSet == Set("u1", "u2", "city1"))
+    // no node table: the node set derives as distinct endpoint union
+    val n2 = KqlParser.run(
+      "E | make-graph src --> dst | graph-to-table nodes with_node_id=v", reg)
+    assert(n2.columns.toSeq == Seq("v"))
+    assert(n2.collect().map(_.getString(0)).toSet == Set("u1", "u2", "city1"))
+    // loud rejections: two-output form, unknown option, no make-graph
+    val e1 = intercept[IllegalArgumentException] {
+      KqlParser.run("E | make-graph src --> dst | graph-to-table nodes as N, edges as E2", reg)
+    }
+    assert(e1.getMessage.contains("not supported"))
+    val e2 = intercept[IllegalArgumentException] {
+      KqlParser.run("E | make-graph src --> dst | graph-to-table edges with_node_id=x", reg)
+    }
+    assert(e2.getMessage.contains("unknown option"))
+    val e3 = intercept[IllegalArgumentException] {
+      KqlParser.run("E | graph-to-table edges", reg)
+    }
+    assert(e3.getMessage.contains("make-graph"))
+  }
+
   test("parser: graph-shortest-paths BFS finds minimal hops, shortcut beats long route") {
     // diamond with a shortcut: s->m1->m2->t (3 hops) AND s->t (1 hop);
     // u->m1->m2->t only (3 hops). BFS must report 1 for s, 3 for u —
