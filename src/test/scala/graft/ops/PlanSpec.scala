@@ -127,6 +127,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("memo-served relations read WRITTEN parquet, not RAM checkpoints " +
+       "(r16: RAM localCheckpoint entries across a 314-query sweep drove " +
+       "the driver host into paging)") {
+    // The serving reads must be file scans; a LogicalRDD/ExistingRDD
+    // scan means someone re-introduced a block-manager-resident entry.
+    val pairs = phys(graft.ext.Dedup.minhashPairs(spark, sfDir))
+    assert(pairs.contains("FileScan parquet") && !pairs.contains("ExistingRDD"),
+      s"minhash_pairs must serve from written parquet:\n$pairs")
+    val clusters = phys(graft.ext.Dedup.dedupClusters(spark, sfDir))
+    assert(clusters.contains("FileScan parquet") && !clusters.contains("ExistingRDD"),
+      s"dedup_clusters must serve from written parquet:\n$clusters")
+  }
+
   test("latest-state CDC: max_by hash aggregate, not a row_number window sort") {
     val p = phys(CdcQueries.latestState(spark, sfDir))
     assert(p.contains("max_by") || p.contains("HashAggregate") || p.contains("SortAggregate"))
