@@ -25,6 +25,14 @@ class SessionHygieneSpec extends SparkSpec {
     CdcQueries.evictLogsFor(spark)
   }
 
+  test("envelope-log fixtures persist DISK_ONLY (r16: heap-deserialized " +
+       "log caches contributed to the sweep RSS that paged the bench host)") {
+    val log = CdcQueries.eventLog(spark, sfDir)
+    assert(log.storageLevel == org.apache.spark.storage.StorageLevel.DISK_ONLY,
+      s"expected DISK_ONLY, got ${log.storageLevel}")
+    CdcQueries.evictLogsFor(spark)
+  }
+
   test("base-index cache: one index per (session, corpus), emptied by eviction, rebuilds cold") {
     // Snapshot the persisted-RDD set (the suite JVM's session is shared;
     // other suites may legitimately hold caches) — the contract is that
