@@ -31,10 +31,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    lookup: microseconds locally, one LIST per query on an object
   *    store — noise next to the derivation it saves.
   *  - The cache is LRU-capped at [[MaxEntries]]. Eviction drops the
-  *    strong reference; Spark's ContextCleaner then GC-releases the
-  *    localCheckpoint blocks (and the session, once its last entry
-  *    goes). [[invalidate]]/[[clearAll]] give tests and hosts an
-  *    explicit path.
+  *    strong reference to the lazy READ PLAN only — the written
+  *    parquet/table stays on disk, so a re-derivation after eviction
+  *    OVERWRITES the served directory in place. Caveat: a caller that
+  *    held the pre-eviction DataFrame across that overwrite would read
+  *    deleted files (FileNotFoundException), unlike the old RAM
+  *    localCheckpoint entries which kept working until GC. The
+  *    bench/verify drivers and tests never hold a served frame across
+  *    an eviction+recompute (MaxEntries=32 exceeds the live tag count),
+  *    so this stays a documented edge, not a versioned-dir scheme.
+  *    [[invalidate]]/[[clearAll]] give tests and hosts an explicit
+  *    path.
   *  - Sessions pin nothing beyond their live entries: when the
   *    application ends, a listener clears the whole cache.
   */

@@ -82,11 +82,22 @@ object Verify {
     }.mkString("{", ",", "}")
     val json =
       s"""{"total":$total,"recorded":${entries.size},$counts,"queries":$body}"""
+    // verify_summary.json: the self-describing header a partial driver
+    // handoff still carries (r16 verdict #1 — CORRECTNESS_r16.json came
+    // back {} twice now; a comparator that finds this file next to
+    // oracle_sql.json can at least report what Verify itself recorded).
+    val summary =
+      s"""{"total":$total,"recorded":${entries.size},$counts,""" +
+        s""""oracle":"oracle_sql.json","sec":${entries.map(_._2._2).sum}}"""
     try {
-      val tmp = Paths.get(s"$outDir/.verify_progress.json.tmp")
-      Files.writeString(tmp, json + "\n")
-      Files.move(tmp, Paths.get(s"$outDir/verify_progress.json"),
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      def atomicWrite(name: String, content: String): Unit = {
+        val tmp = Paths.get(s"$outDir/.$name.tmp")
+        Files.writeString(tmp, content + "\n")
+        Files.move(tmp, Paths.get(s"$outDir/$name"),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      }
+      atomicWrite("verify_progress.json", json)
+      atomicWrite("verify_summary.json", summary)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] progress write failed: $e")
     }

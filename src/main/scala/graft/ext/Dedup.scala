@@ -113,8 +113,13 @@ object Dedup {
     // cost of querying the table a production job writes — and the
     // sweep's peak memory residency stays flat.
     graft.Memo.cached(spark, sfDir, s"minhash_pairs:$threshold") {
+      // Dir name embeds the FULL threshold (bit pattern, not a rounded
+      // percent): two thresholds rounding to the same integer percent
+      // (0.895 vs 0.9) must not silently share one served directory
+      // while both Memo entries stay live.
       val dir = graft.Memo.servedDir(
-        spark, f"graft_pairs_t${math.round(threshold * 100)}%d_", sfDir)
+        spark,
+        f"graft_pairs_t${java.lang.Double.doubleToLongBits(threshold)}%x_", sfDir)
       minhashPairsOn(Tables.documents(spark, sfDir), threshold)
         .write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir)
@@ -138,8 +143,17 @@ object Dedup {
     * stall on the host (measured 2 s -> 22 s bimodal); a real
     * deployment sizes it to the cluster at ingest the same way. */
   def minhashPairsBucketed(spark: SparkSession, sfDir: String,
-                           threshold: Double = 0.9): DataFrame = {
-    val bands = graft.Memo.cached(spark, sfDir, "minhash_bands_bucketed") {
+                           threshold: Double = 0.9): DataFrame =
+    pairsFromBands(bucketedBands(spark, sfDir),
+      minhashWords(Tables.documents(spark, sfDir)), threshold)
+
+  /** The served write-time-bucketed band table (Memo-backed) — shared
+    * by [[minhashPairsBucketed]] and, as the DELTA path's base source,
+    * by [[minhashPairsDelta]]: the minhash signature pass (explode all
+    * words, one md5 per word, 16 min-aggregates) is the dominant cold
+    * cost, and deriving it once serves both layouts. */
+  private def bucketedBands(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Memo.cached(spark, sfDir, "minhash_bands_bucketed") {
       val table = "graft_bands_" + graft.Memo.pathDigest(sfDir)
       graft.Memo.prepareServedTable(spark, table)
       bandKeys(Tables.documents(spark, sfDir)).write
@@ -148,8 +162,6 @@ object Dedup {
         .mode("overwrite").saveAsTable(table)
       spark.table(table)
     }
-    pairsFromBands(bands, minhashWords(Tables.documents(spark, sfDir)), threshold)
-  }
 
   /** [[minhashPairsBucketed]]'s INCREMENTAL maintenance path (r12
     * verdict: the served band table was a full rewrite per corpus
@@ -173,12 +185,24 @@ object Dedup {
       val table = "graft_bands_delta_" + graft.Memo.pathDigest(sfDir)
       graft.Memo.prepareServedTable(spark, table)
       def write(batch: DataFrame, mode: String): Unit =
-        bandKeys(batch).write
+        batch.select(col("doc_id"), col("lang"), col("band_idx"), col("band_key"))
+          .write
           .bucketBy(graft.Memo.ServingBuckets, "lang", "band_idx", "band_key")
           .sortBy("lang", "band_idx", "band_key")
           .mode(mode).saveAsTable(table)
-      write(docs.filter(col("doc_id") % 5 =!= 0), "overwrite")
-      write(docs.filter(col("doc_id") % 5 === 0), "append")
+      // The BASE slice is a filtered re-write of the already-served
+      // bucketed band table — bands are per-doc, so filtering the full
+      // relation on doc_id is row-identical to recomputing bands over
+      // the base docs, and the read is already in the target bucket
+      // layout (no second full minhash pass, no re-shuffle; r16 verdict
+      // #3: this build cold-ran 94 s in the driver environment, ~all of
+      // it the duplicated signature pass). This is also the production
+      // shape: a migration seeds a delta-maintained table FROM the
+      // existing written one, not from raw text.
+      write(bucketedBands(spark, sfDir).filter(col("doc_id") % 5 =!= 0), "overwrite")
+      // The APPEND batch is the genuine ingest path: fresh documents →
+      // signatures → band keys, appended under the same bucket spec.
+      write(bandKeys(docs.filter(col("doc_id") % 5 === 0)), "append")
       spark.table(table)
     }
     pairsFromBands(bands, minhashWords(docs), threshold)

@@ -857,6 +857,15 @@ object KqlParser {
           }
           serialOrder = None
         case "count" => df = df.kqlCount
+        case "consume" =>
+          // ADX `consume` executes the pipeline and emits no rows
+          // (its optional decodeblocks stats table is a service-side
+          // diagnostic — documented deviation: this engine returns the
+          // input schema with zero rows, the "run for side effects /
+          // warmup" use the verb exists for).
+          require(rest.trim.isEmpty || rest.trim.startsWith("decodeblocks"),
+            s"consume takes no arguments (or 'decodeblocks=true', ignored): $rest")
+          df = df.filter(lit(false))
         case "distinct" =>
           df = if (rest.trim == "*") df.distinct()
                else df.kqlDistinct(splitTopLevel(rest, ',').map(s => expr(scalar(s.trim, scoped))): _*)
@@ -1941,6 +1950,13 @@ object KqlParser {
       case "edges" =>
         val unknown = opts.keySet -- Set("with_source_id", "with_target_id")
         require(unknown.isEmpty, s"graph-to-table edges: unknown option(s) $unknown")
+        // The prepended copies must not collide with an existing edge
+        // column: two same-named columns would only surface later as an
+        // ambiguous-reference error far from this verb.
+        Seq("with_source_id", "with_target_id").flatMap(opts.get).foreach { n =>
+          require(!edges.columns.contains(n),
+            s"graph-to-table edges: requested id name '$n' collides with an existing edge column")
+        }
         val idCols =
           opts.get("with_source_id").map(n => col(srcC).as(n)).toSeq ++
           opts.get("with_target_id").map(n => col(dstC).as(n)).toSeq
@@ -1950,6 +1966,10 @@ object KqlParser {
         require(unknown.isEmpty, s"graph-to-table nodes: unknown option(s) $unknown")
         nodesOpt match {
           case Some((nt, idC)) =>
+            opts.get("with_node_id").foreach { n =>
+              require(!nt.columns.contains(n),
+                s"graph-to-table nodes: requested id name '$n' collides with an existing node column")
+            }
             val idCols = opts.get("with_node_id").map(n => col(idC).as(n)).toSeq
             nt.select(idCols ++ nt.columns.toIndexedSeq.map(col): _*)
           case None =>
@@ -4363,6 +4383,7 @@ object KqlParser {
               "parse_ipv4", "parse_ipv4_mask", "format_ipv4",
               "format_ipv4_mask", "base64_decode_toarray",
               "ipv4_is_private", "ipv4_is_in_range", "ipv4_compare",
+              "ipv4_is_match",
               "ipv4_netmask_suffix", "ipv4_is_in_any_range",
               "has_ipv4", "has_any_ipv4", "has_ipv4_prefix",
               "has_any_ipv4_prefix",
@@ -4375,6 +4396,7 @@ object KqlParser {
               "parse_url", "parse_urlquery", "parse_path",
               "parse_version", "parse_xml", "parse_user_agent",
               "geo_distance_2points", "geo_point_in_circle",
+              "geo_azimuth", "geo_distance_point_to_polygon",
               "geo_point_to_geohash", "geo_geohash_to_central_point",
               "geo_geohash_neighbors", "geo_geohash_to_polygon",
               "geo_line_densify", "geo_polygon_densify",
@@ -4397,9 +4419,12 @@ object KqlParser {
               "datetime_utc_to_local", "datetime_local_to_utc",
               "unixtime_seconds_todatetime", "unixtime_milliseconds_todatetime",
               "unixtime_microseconds_todatetime",
+              "unixtime_nanoseconds_todatetime",
+              "isutf8", "new_guid", "dynamic_to_json",
               "binary_and", "binary_or", "binary_xor", "binary_not",
               "binary_shift_left", "binary_shift_right",
-              "replace_string", "replace_regex", "indexof_regex", "string_size",
+              "replace_string", "replace_regex", "replace_strings",
+              "indexof_regex", "string_size",
               "dcount_intersect",
               "bag_keys", "bag_has_key", "bag_merge",
               "bag_remove_keys", "bag_set_key",
@@ -4411,10 +4436,13 @@ object KqlParser {
               "convert_angle", "convert_energy", "convert_volume",
               "convert_force", "convert_temperature",
               "hash_md5", "hash_sha1", "hash_sha256",
+              "hash_xxhash64", "hash_many", "hash_combine",
+              "bag_pack_columns",
               "gamma", "loggamma", "beta_cdf", "beta_pdf", "welch_test",
               "erf", "erfc", "beta_inv",
               "unicode_codepoints_from_string", "unicode_codepoints_to_string",
               "punycode_from_string", "punycode_to_string",
+              "punycode_domain_from_string", "punycode_domain_to_string",
               "gzip_compress_to_base64_string", "gzip_decompress_from_base64_string",
               "zlib_compress_to_base64_string", "zlib_decompress_from_base64_string",
               "url_encode", "url_encode_component", "url_decode", "parse_csv",
@@ -4610,6 +4638,13 @@ object KqlParser {
                   case "series_stats_dynamic" =>
                     require(args.length == 1, "series_stats_dynamic expects (series)")
                     out.append(seriesStatsDynamic(args(0)))
+                  case "series_stats" =>
+                    // ADX's multi-column tuple-assign form is not
+                    // supported (the series_fit_line convention) —
+                    // the single-value form yields the SAME bag as
+                    // series_stats_dynamic, ADX's own _dynamic twin.
+                    require(args.length == 1, "series_stats expects (series)")
+                    out.append(seriesStatsDynamic(args(0)))
                   case "series_outliers" =>
                     // Deviation (documented): ADX scores by Tukey fences
                     // (quartile-based); this engine emits the z-score
@@ -4789,6 +4824,31 @@ object KqlParser {
                     out.append(
                       s"named_struct('periods', transform($sorted, x -> CAST(x.l AS DOUBLE)), " +
                       s"'scores', transform($sorted, x -> -x.s))")
+                  case "series_periods_validate" =>
+                    // ADX series_periods_validate(series, period1, ...):
+                    // scores the GIVEN candidate periods with the same
+                    // overlap-dot-product kernel as
+                    // series_periods_detect (same documented deviation
+                    // from ADX's normalized autocorrelation — the same
+                    // monotone "how periodic" axis), returning the
+                    // {periods, scores} bag in ARGUMENT order, ADX's
+                    // output convention for the validate form.
+                    require(args.length >= 2,
+                      "series_periods_validate expects (series, period1, ...)")
+                    val vPers = args.drop(1).map(a =>
+                      scala.util.Try(a.trim.toInt).getOrElse(
+                        throw new IllegalArgumentException(
+                          s"series_periods_validate periods must be integer literals: $a")))
+                    require(vPers.forall(_ >= 1),
+                      s"series_periods_validate periods must be >= 1: ${vPers.mkString(",")}")
+                    val vArg = args(0)
+                    def vScore(l: Int) = s"(CASE WHEN size($vArg) > $l THEN " +
+                      s"aggregate(sequence(1, size($vArg) - $l), CAST(0 AS DOUBLE), " +
+                      s"(acc, i) -> acc + element_at($vArg, i) * element_at($vArg, i + $l)) " +
+                      "ELSE CAST(0 AS DOUBLE) END)"
+                    out.append(
+                      s"named_struct('periods', array(${vPers.map(p => s"CAST($p AS DOUBLE)").mkString(", ")}), " +
+                      s"'scores', array(${vPers.map(vScore).mkString(", ")}))")
                   case "series_dot_product" =>
                     require(args.length == 2, "series_dot_product expects (series, series)")
                     out.append(seriesDot(args(0), args(1)))
@@ -5047,6 +5107,21 @@ object KqlParser {
                 val sh = if (args.length == 3) s"(32 - CAST(${args(2)} AS INT))" else "0"
                 out.append(s"CAST(sign(shiftright(${ipv4Long(args(0))}, $sh) - " +
                   s"shiftright(${ipv4Long(args(1))}, $sh)) AS INT)")
+              case "ipv4_is_match" =>
+                // ADX ipv4_is_match(ip1, ip2[, prefix]): equality of the
+                // two addresses under the EFFECTIVE prefix — the minimum
+                // of each argument's own "/p" suffix (32 when absent)
+                // and the optional prefix argument. Malformed input
+                // nulls out through the ipv4Long/try_cast chain, ADX's
+                // null-on-invalid shape.
+                require(args.length == 2 || args.length == 3,
+                  "ipv4_is_match expects (ip1, ip2[, prefix])")
+                val effParts = Seq(cidrPrefix(args(0)), cidrPrefix(args(1))) ++
+                  args.lift(2).map(p => s"CAST(($p) AS INT)")
+                val eff = s"least(${effParts.mkString(", ")})"
+                val shm = s"(32 - $eff)"
+                out.append(s"(shiftright(${ipv4Long(cidrBase(args(0)))}, $shm) = " +
+                  s"shiftright(${ipv4Long(cidrBase(args(1)))}, $shm))")
               case "ipv4_netmask_suffix" =>
                 require(args.length == 1, "ipv4_netmask_suffix expects (range)")
                 out.append(cidrPrefix(args(0)))
@@ -5283,6 +5358,35 @@ object KqlParser {
               case "unixtime_microseconds_todatetime" =>
                 require(args.length == 1, "unixtime_microseconds_todatetime expects (micros)")
                 out.append(s"timestamp_micros(CAST(${args(0)} AS BIGINT))")
+              case "unixtime_nanoseconds_todatetime" =>
+                // Spark timestamps carry microseconds — nanos TRUNCATE
+                // to micros (integer DIV, documented; ADX ticks are
+                // 100 ns so it truncates sub-tick too).
+                require(args.length == 1, "unixtime_nanoseconds_todatetime expects (nanos)")
+                out.append(s"timestamp_micros(CAST(${args(0)} AS BIGINT) DIV 1000)")
+              case "isutf8" =>
+                // Spark strings are valid UTF-8 by construction (binary
+                // that fails decode never becomes a STRING value), so
+                // any non-null string IS valid — trivially-true
+                // deviation, documented; null → null like ADX.
+                require(args.length == 1, "isutf8 expects (value)")
+                out.append(s"(CASE WHEN CAST((${args(0)}) AS STRING) IS NULL " +
+                  "THEN CAST(NULL AS BOOLEAN) ELSE TRUE END)")
+              case "new_guid" =>
+                // Nondeterministic by contract (like rand()) — maps to
+                // Spark's uuid(); pinned by format/uniqueness in
+                // KqlSpec, never by the cross-engine oracle.
+                // splitTopLevel of an empty arg list yields one blank
+                // entry — accept only blanks.
+                require(args.forall(_.trim.isEmpty), "new_guid expects no arguments")
+                out.append("uuid()")
+              case "dynamic_to_json" =>
+                // ADX dynamic_to_json(d): the CANONICAL JSON form with
+                // object keys sorted. The engine's VARIANT round-trip
+                // already normalizes key order to sorted, so this is
+                // exactly to_json over the variant.
+                require(args.length == 1, "dynamic_to_json expects (dynamic)")
+                out.append(s"to_json(${args(0)})")
               case "binary_and" | "binary_or" | "binary_xor" =>
                 // ADX binary_* names for the infix bit operators,
                 // widened to BIGINT (ADX operates on long).
@@ -6315,6 +6419,36 @@ object KqlParser {
                 val d = geoDistanceSql(args(0), args(1), args(2), args(3))
                 out.append(s"(CASE WHEN (${args(4)}) < 0 THEN CAST(NULL AS BOOLEAN) " +
                   s"ELSE $d <= (${args(4)}) END)")
+              case "geo_azimuth" =>
+                // ADX geo_azimuth(lon1, lat1, lon2, lat2) → the initial
+                // bearing from p1 to p2, clockwise from true north, in
+                // radians [0, 2π). DEVIATION (documented): spherical
+                // initial bearing (atan2 form) instead of ADX's WGS84
+                // geodesic azimuth — within ~0.2° everywhere off the
+                // poles, deterministic and oracle-expressible. Identical
+                // points yield 0 (atan2(0, 0)); invalid coordinates
+                // null, the geo_distance_2points convention.
+                require(args.length == 4,
+                  "geo_azimuth expects (lon1, lat1, lon2, lat2)")
+                out.append(geoAzimuthSql(args(0), args(1), args(2), args(3)))
+              case "geo_distance_point_to_polygon" =>
+                // ADX geo_distance_point_to_polygon(lon, lat, polygon)
+                // → meters; 0 when the point is inside. Composition of
+                // the two existing kernels: even-odd containment
+                // (geo_point_in_polygon — outer ring only, holes
+                // unsupported) gates a point-to-ring distance, where
+                // the CLOSED outer ring fed to the point-to-line kernel
+                // covers exactly the polygon's boundary segments (same
+                // equirectangular deviation as geo_distance_point_to_
+                // line). Invalid point or degenerate ring → null.
+                require(args.length == 3,
+                  "geo_distance_point_to_polygon expects (lon, lat, polygon)")
+                val inP = geoPointInPolygonSql(args(0), args(1), args(2))
+                val ringDist = s"graft_geo_dist_line(CAST((${args(0)}) AS DOUBLE), " +
+                  s"CAST((${args(1)}) AS DOUBLE), try_cast(variant_get(" +
+                  s"${args(2)}, '$$.coordinates[0]') AS ARRAY<ARRAY<DOUBLE>>))"
+                out.append(s"(CASE WHEN $inP THEN CAST(0.0 AS DOUBLE) " +
+                  s"ELSE $ringDist END)")
               case "geo_point_to_s2cell" =>
                 // ADX geo_point_to_s2cell(lon, lat[, level]) → the
                 // S2 cell TOKEN (level 0..28, ADX default 11) — the
@@ -6738,6 +6872,109 @@ object KqlParser {
                   s"hash expects (source[, mod]): ${s.substring(i, close + 1)}")
                 if (args.length == 1) out.append(s"xxhash64(${args.head})")
                 else out.append(s"pmod(xxhash64(${args(0)}), CAST(${args(1)} AS BIGINT))")
+              case "hash_xxhash64" =>
+                // ADX hash_xxhash64(source[, mod]) — the explicitly-
+                // named sibling of hash() (this engine's hash() is
+                // already xxhash64-backed; same documented bit-level
+                // deviation from the ADX service, same pmod range).
+                require(args.length == 1 || args.length == 2,
+                  s"hash_xxhash64 expects (source[, mod]): ${s.substring(i, close + 1)}")
+                if (args.length == 1) out.append(s"xxhash64(${args.head})")
+                else out.append(s"pmod(xxhash64(${args(0)}), CAST(${args(1)} AS BIGINT))")
+              case "hash_many" =>
+                // ADX hash_many(v1, v2, ...) — one hash over all
+                // arguments; Spark's xxhash64 is natively variadic, so
+                // this is the direct emission. Bit values are engine-
+                // specific (the hash() deviation); cross-engine checks
+                // assert determinism/injectivity, KqlSpec pins values.
+                require(args.nonEmpty,
+                  s"hash_many expects (value, ...): ${s.substring(i, close + 1)}")
+                out.append(s"xxhash64(${args.mkString(", ")})")
+              case "hash_combine" =>
+                // ADX hash_combine(h1, h2, ...) — combines already-
+                // computed hash VALUES. DEVIATION (documented): ADX
+                // does not publish its mixer; this engine re-keys the
+                // operand hashes through the same xxhash64 family, so
+                // combined values keep full 64-bit dispersion and the
+                // function stays order-sensitive like ADX's.
+                require(args.length >= 2,
+                  s"hash_combine expects (h1, h2, ...): ${s.substring(i, close + 1)}")
+                out.append(
+                  s"xxhash64(${args.map(a => s"CAST(($a) AS BIGINT)").mkString(", ")})")
+              case "bag_pack_columns" =>
+                // ADX bag_pack_columns(col1, ..., colN) → a bag keyed
+                // by the COLUMN NAMES. Arguments must be bare column
+                // identifiers (computed expressions are rejected loudly
+                // — the bag_pack computed-key convention). Null-valued
+                // fields are omitted from the bag (the to_json path's
+                // convention, shared with bag_pack), and the VARIANT
+                // round-trip normalizes key order to SORTED.
+                val rawCols = splitTopLevel(s.substring(open + 1, close), ',')
+                  .map(_.trim)
+                require(rawCols.nonEmpty &&
+                    rawCols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+                  s"bag_pack_columns expects bare column names: ${s.substring(i, close + 1)}")
+                val kvs = rawCols.map(n => s"'$n', ${scalar(n, lets)}").mkString(", ")
+                out.append(s"parse_json(to_json(named_struct($kvs)))")
+              case "replace_strings" =>
+                // ADX replace_strings(text, lookups, rewrites):
+                // replace each lookup with its rewrite, applied
+                // SEQUENTIALLY left-to-right (ADX's order — later pairs
+                // see earlier pairs' output) via one fold over the
+                // zipped pair arrays. Length mismatch → null (ADX
+                // errors; null is this engine's in-band convention).
+                require(args.length == 3,
+                  "replace_strings expects (text, lookups, rewrites)")
+                // dynamic([...]) passes through scalar() untouched (the
+                // array_split/has_any_index convention) — unwrap it to
+                // array(...); computed array expressions cast through.
+                def rsArr(raw0: String): String = {
+                  val raw = raw0.trim
+                  if (raw.toLowerCase.startsWith("dynamic(")) {
+                    val inner = raw.substring(raw.indexOf('(') + 1,
+                      raw.length - 1).trim
+                    require(inner.startsWith("[") && inner.endsWith("]"),
+                      s"replace_strings lists must be dynamic([...]): $raw")
+                    s"try_cast(array(${inner.substring(1, inner.length - 1)}) AS ARRAY<STRING>)"
+                  } else s"try_cast(($raw) AS ARRAY<STRING>)"
+                }
+                val lk = rsArr(args(1))
+                val rw = rsArr(args(2))
+                val pairs = s"zip_with($lk, $rw, (sx, rx) -> named_struct('s', sx, 'r', rx))"
+                out.append(s"(CASE WHEN size($lk) = size($rw) THEN " +
+                  s"aggregate($pairs, CAST((${args(0)}) AS STRING), " +
+                  "(acc, p) -> replace(acc, p.s, p.r)) " +
+                  "ELSE CAST(NULL AS STRING) END)")
+              case "punycode_domain_from_string" =>
+                // ADX punycode_domain_from_string(domain): the IDNA ACE
+                // form — each dot-separated label containing any
+                // non-ASCII character becomes 'xn--' + punycode(label);
+                // pure-ASCII labels pass through. An unencodable label
+                // nulls the whole result (ADX returns empty; null is
+                // the engine's in-band convention, same as
+                // punycode_from_string).
+                require(args.length == 1,
+                  "punycode_domain_from_string expects (string)")
+                val encLabels = s"transform(split(CAST((${args(0)}) AS STRING), '\\\\.'), " +
+                  "pl -> CASE WHEN pl RLIKE '[^\\\\x00-\\\\x7F]' " +
+                  "THEN concat('xn--', graft_punycode_encode(pl)) ELSE pl END)"
+                out.append(s"element_at(transform(array($encLabels), pls -> " +
+                  "CASE WHEN exists(pls, px -> px IS NULL) THEN CAST(NULL AS STRING) " +
+                  "ELSE array_join(pls, '.') END), 1)")
+              case "punycode_domain_to_string" =>
+                // Inverse: labels with the 'xn--' ACE prefix decode,
+                // others pass through; a malformed ACE label nulls the
+                // whole result (array_join would silently DROP null
+                // labels, hence the explicit exists() guard — shared
+                // with the encode direction).
+                require(args.length == 1,
+                  "punycode_domain_to_string expects (string)")
+                val decLabels = s"transform(split(CAST((${args(0)}) AS STRING), '\\\\.'), " +
+                  "pl -> CASE WHEN substring(pl, 1, 4) = 'xn--' " +
+                  "THEN graft_punycode_decode(substring(pl, 5, 2147483647)) ELSE pl END)"
+                out.append(s"element_at(transform(array($decLabels), pls -> " +
+                  "CASE WHEN exists(pls, px -> px IS NULL) THEN CAST(NULL AS STRING) " +
+                  "ELSE array_join(pls, '.') END), 1)")
               case empt =>
                 require(args.length == 1,
                   s"$empt expects one argument: ${s.substring(i, close + 1)}")
@@ -7586,6 +7823,26 @@ object KqlParser {
     s"(CASE WHEN abs($a1) > 90.0 OR abs($a2) > 90.0 " +
       s"OR abs($o1) > 180.0 OR abs($o2) > 180.0 THEN CAST(NULL AS DOUBLE) " +
       s"ELSE 2.0 * 6371000.0 * asin(sqrt(least(1.0, $h))) END)"
+  }
+
+  /** Spherical initial bearing (azimuth) from p1 to p2, clockwise from
+    * true north, radians in [0, 2π) — backs `geo_azimuth`. Standard
+    * atan2 form: θ = atan2(sin Δλ · cos φ2, cos φ1 · sin φ2 − sin φ1 ·
+    * cos φ2 · cos Δλ), normalized by the explicit ((θ % 2π) + 2π) % 2π
+    * chain (written out, not pmod, so the oracle mirrors it op-for-op
+    * in DuckDB's fmod semantics). Validity convention shared with
+    * [[geoDistanceSql]]. */
+  private[kql] def geoAzimuthSql(lon1: String, lat1: String,
+                                 lon2: String, lat2: String): String = {
+    def d(x: String) = s"CAST(($x) AS DOUBLE)"
+    val (o1, a1, o2, a2) = (d(lon1), d(lat1), d(lon2), d(lat2))
+    val dlon = s"(radians($o2) - radians($o1))"
+    val y = s"(sin($dlon) * cos(radians($a2)))"
+    val x = s"(cos(radians($a1)) * sin(radians($a2)) - " +
+      s"sin(radians($a1)) * cos(radians($a2)) * cos($dlon))"
+    s"(CASE WHEN abs($a1) > 90.0 OR abs($a2) > 90.0 " +
+      s"OR abs($o1) > 180.0 OR abs($o2) > 180.0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE (((atan2($y, $x) % (2.0 * pi())) + 2.0 * pi()) % (2.0 * pi())) END)"
   }
 
   /** Base32 geohash of (lon, lat) at `acc` characters — pure integer

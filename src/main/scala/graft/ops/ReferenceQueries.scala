@@ -2311,7 +2311,150 @@ object ReferenceQueries {
       |            big_hex = take_anyif(tohex(amount), amount >= 180) by city
       || sort by city asc""".stripMargin
 
+  /** r17 `ipv4_is_match` — prefix-notation equality (the security-query
+    * staple): effective prefix = min of each argument's own "/p" suffix
+    * and the optional prefix argument; malformed input nulls out (and
+    * iff(null) takes the else branch). Oracle hard-codes the expected
+    * booleans per hand-checked row. */
+  val kqlIpv4MatchText: String =
+    """let T = datatable(name:string, ip1:string, ip2:string)[
+      |  'eq', '192.168.1.1', '192.168.1.1',
+      |  'neq', '192.168.1.1', '192.168.1.9',
+      |  'cidr24', '192.168.1.1/24', '192.168.1.200',
+      |  'cidr_both', '10.0.0.1/16', '10.0.200.1/24',
+      |  'bad', '300.1.2.3', '10.0.0.1'
+      |];
+      |T
+      || extend m = tolong(iff(ipv4_is_match(ip1, ip2), 1, 0)),
+      |         m24 = tolong(iff(ipv4_is_match(ip1, ip2, 24), 1, 0)),
+      |         m30 = tolong(iff(ipv4_is_match(ip1, ip2, 30), 1, 0))
+      || project name, m, m24, m30
+      || sort by name asc""".stripMargin
+
+  /** r17 hash tier 2 — `hash_many` / `hash_combine` / `hash_xxhash64`.
+    * Bit values are engine-specific (the hash() deviation, pinned in
+    * KqlSpec); the CROSS-ENGINE oracle asserts the properties a
+    * sharding/dedup consumer depends on: injectivity at corpus scale
+    * (distinct hashes = distinct keys), the pmod range contract, and
+    * hash_combine's argument-order sensitivity. */
+  val kqlHashFuncsText: String =
+    """Orders
+      || extend hm = hash_many(city, orderid), hx = hash_xxhash64(city),
+      |         hxm = hash_xxhash64(orderid, 97),
+      |         hc_ab = hash_combine(hash(city), hash(orderid)),
+      |         hc_ba = hash_combine(hash(orderid), hash(city))
+      || summarize n_keys = count_distinct(strcat(city, '|', tostring(orderid))),
+      |            n_hm = count_distinct(hm),
+      |            n_cities = count_distinct(city), n_hx = count_distinct(hx),
+      |            mod_min = min(hxm), mod_max = max(hxm),
+      |            n_osens = countif(hc_ab != hc_ba), n = count()
+      || project n_keys,
+      |          inj_hm = tolong(iff(n_hm == n_keys, 1, 0)),
+      |          inj_hx = tolong(iff(n_hx == n_cities, 1, 0)),
+      |          mod_ok = tolong(iff(mod_min >= 0 and mod_max <= 96, 1, 0)),
+      |          osens = tolong(iff(n_osens == n, 1, 0))""".stripMargin
+
+  /** r17 `geo_azimuth` — spherical initial bearing (deviation from the
+    * WGS84 geodesic documented at the function), serialized in the
+    * floor-micro-radian convention; the oracle mirrors the atan2 chain
+    * op-for-op including the explicit fmod normalization. */
+  val kqlGeoAzimuthText: String =
+    """let P = datatable(name:string, lon:real, lat:real)[
+      |  'osl', 10.75, 59.91,
+      |  'syd', 151.21, -33.87,
+      |  'sam', -170.70, -14.27,
+      |  'rey', -21.94, 64.15,
+      |  'bad', 200.0, 10.0
+      |];
+      |P
+      || extend az_cph = tolong(floor(geo_azimuth(lon, lat, 12.57, 55.69) * 1000000.0, 1)),
+      |         az_back = tolong(floor(geo_azimuth(12.57, 55.69, lon, lat) * 1000000.0, 1))
+      || project name, az_cph, az_back
+      || sort by name asc""".stripMargin
+
+  /** r17 `geo_distance_point_to_polygon` — 0 inside, point-to-boundary
+    * distance outside, over the non-convex dent ring (same derived
+    * point field as `kql_geo_polygon`). The oracle combines that
+    * query's even-odd crossing CTE with `kql_geo_closest`'s
+    * point-to-segment distance mirror (the closed ring's 5 edges ARE
+    * the boundary segments; mean-latitude fold over all 6 ring
+    * vertices, matching graft_geo_dist_line's left-to-right fold). */
+  val kqlGeoDistPolygonText: String =
+    """let poly = parse_json('{"type":"Polygon","coordinates":[[[-5.0,45.0],[5.0,43.0],[12.0,50.0],[0.0,47.5],[-8.0,52.0],[-5.0,45.0]]]}');
+      |Orders
+      || extend lon = todouble(orderid % 4000) / 100.0 - 20.0, lat = 40.0 + todouble(custid % 1000) / 50.0
+      || extend d = geo_distance_point_to_polygon(lon, lat, poly)
+      || summarize n_zero = countif(d == 0.0), d_max = max(tolong(floor(d, 1))),
+      |            d_sum = sum(tolong(floor(d, 1))) by city
+      || sort by city asc""".stripMargin
+
+  /** r17 string tier 3 — `replace_strings` (sequential pair fold),
+    * `bag_pack_columns` (column-name-keyed bag), and the IDNA domain
+    * punycode pair (`punycode_domain_from_string` round-tripped; the
+    * ACE form of 'bücher' is the RFC 3492 / IDNA documented
+    * 'xn--bcher-kva'). */
+  val kqlStringFuncs3Text: String =
+    """Orders
+      || where orderid < 150
+      || extend fixed = replace_strings(city, dynamic(['New ', 'e']), dynamic(['Old ', 'E'])),
+      |         bs = tostring(bag_pack_columns(city, orderid)),
+      |         dom = strcat('bücher.', tolower(replace_string(city, ' ', '-')), '.example.com')
+      || extend ace = punycode_domain_from_string(dom),
+      |         rt = tolong(iff(punycode_domain_to_string(punycode_domain_from_string(dom)) == dom, 1, 0))
+      || project orderid, fixed, bs, ace, rt
+      || sort by orderid asc""".stripMargin
+
+  /** r17 `series_periods_validate` — scores the GIVEN candidate periods
+    * (3 and 7 days) over the same dense daily count series as
+    * `kql_periods_detect`, output in argument order (kernel deviation
+    * documented at the function). */
+  val kqlPeriodsValidateText: String =
+    """Events
+      || make-series n = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+      || extend pv = series_periods_validate(n, 3, 7)
+      || project event_type, p1 = tolong(pv.periods[0]), s1 = tolong(pv.scores[0]),
+      |          p2 = tolong(pv.periods[1]), s2 = tolong(pv.scores[1])
+      || sort by event_type asc""".stripMargin
+
+  /** r17 pass-through scalar tier — the ADX math names whose Spark SQL
+    * equivalents are name-and-semantics identical (abs/sign/sqrt/exp/
+    * log family/pow/atan2/cot/degrees/radians/pi, and the null tier
+    * coalesce/isnull/isnotnull). No parser case exists for these BY
+    * DESIGN (they pass through the scalar rewriter untouched); this
+    * query pins that the pass-through seam actually works end-to-end.
+    * NOTE for the oracle: DuckDB's log() is log10 — natural log is
+    * ln() there, log() here. */
+  val kqlPassthroughScalarsText: String =
+    """Orders
+      || where orderid < 200
+      || extend v = todouble(amount)
+      || extend r_abs = tolong(abs(-1.0 * v)), r_sign = tolong(sign(v - 150.0)),
+      |         r_sqrt = tolong(floor(sqrt(v) * 1000000.0, 1)),
+      |         r_exp = tolong(floor(exp(v / 100.0) * 1000000.0, 1)),
+      |         r_log = tolong(floor(log(v) * 1000000.0, 1)),
+      |         r_log10 = tolong(floor(log10(v) * 1000000.0, 1)),
+      |         r_log2 = tolong(floor(log2(v) * 1000000.0, 1)),
+      |         r_pow = tolong(floor(pow(v, 1.5), 1)),
+      |         r_atan2 = tolong(floor(atan2(v, 100.0) * 1000000.0, 1)),
+      |         r_cot = tolong(floor(cot(v / 100.0) * 1000000.0, 1)),
+      |         r_deg = tolong(floor(degrees(v / 100.0) * 1000000.0, 1)),
+      |         r_rad = tolong(floor(radians(v) * 1000000.0, 1)),
+      |         r_pi = tolong(floor(pi() * 1000000.0, 1)),
+      |         r_coal = coalesce(city, 'x'),
+      |         r_isnull = tolong(iff(isnull(city), 1, 0)),
+      |         r_isnotnull = tolong(iff(isnotnull(city), 1, 0))
+      || project orderid, r_abs, r_sign, r_sqrt, r_exp, r_log, r_log10, r_log2,
+      |          r_pow, r_atan2, r_cot, r_deg, r_rad, r_pi, r_coal, r_isnull, r_isnotnull
+      || sort by orderid asc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_ipv4_match" -> kqlText(kqlIpv4MatchText) _,
+    "kql_hash_funcs" -> kqlText(kqlHashFuncsText) _,
+    "kql_geo_azimuth" -> kqlText(kqlGeoAzimuthText) _,
+    "kql_geo_dist_polygon" -> kqlText(kqlGeoDistPolygonText) _,
+    "kql_string_funcs3" -> kqlText(kqlStringFuncs3Text) _,
+    "kql_periods_validate" -> kqlText(kqlPeriodsValidateText) _,
+    "kql_passthrough_scalars" -> kqlText(kqlPassthroughScalarsText) _,
     "kql_bitwise" -> kqlText(kqlBitwiseText) _,
     "kql_invoke" -> kqlText(kqlInvokeText) _,
     "kql_graph_match" -> kqlText(kqlGraphMatchText) _,
@@ -2453,6 +2596,165 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // ipv4_is_match: expected booleans hand-checked per row (effective
+    // prefix = min of each side's "/p" and the optional argument;
+    // malformed 'bad' row nulls → iff else-branch 0).
+    "kql_ipv4_match" ->
+      """SELECT * FROM (VALUES
+        |  ('bad', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('cidr24', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('cidr_both', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('eq', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('neq', CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(name, m, m24, m30) ORDER BY name ASC""".stripMargin,
+    // hash tier 2: bit values are engine-specific (KqlSpec pins them);
+    // the cross-engine contract is the PROPERTY set — injectivity at
+    // corpus scale, pmod range, argument-order sensitivity — plus the
+    // data-derived key count.
+    "kql_hash_funcs" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT
+         |  CAST(COUNT(DISTINCT city || '|' || CAST(orderid AS VARCHAR)) AS BIGINT) AS n_keys,
+         |  CAST(1 AS BIGINT) AS inj_hm, CAST(1 AS BIGINT) AS inj_hx,
+         |  CAST(1 AS BIGINT) AS mod_ok, CAST(1 AS BIGINT) AS osens
+         |FROM orders_info""".stripMargin,
+    // geo_azimuth: the spherical-bearing atan2 chain mirrored
+    // op-for-op, including the explicit ((θ % 2π) + 2π) % 2π
+    // normalization (DuckDB's % on doubles is the same fmod).
+    "kql_geo_azimuth" ->
+      """WITH p AS (
+        |  SELECT name, CAST(lon AS DOUBLE) AS lon, CAST(lat AS DOUBLE) AS lat
+        |  FROM (VALUES ('osl', 10.75, 59.91), ('syd', 151.21, -33.87),
+        |    ('sam', -170.70, -14.27), ('rey', -21.94, 64.15),
+        |    ('bad', 200.0, 10.0)) AS t(name, lon, lat)),
+        |a AS (
+        |  SELECT name,
+        |    CASE WHEN abs(lat) > 90.0 OR abs(lon) > 180.0 THEN NULL ELSE
+        |      (((atan2(sin(radians(12.57) - radians(lon)) * cos(radians(55.69)),
+        |                cos(radians(lat)) * sin(radians(55.69)) -
+        |                sin(radians(lat)) * cos(radians(55.69)) *
+        |                  cos(radians(12.57) - radians(lon)))
+        |          % (2.0 * pi())) + 2.0 * pi()) % (2.0 * pi())) END AS az_f,
+        |    CASE WHEN abs(lat) > 90.0 OR abs(lon) > 180.0 THEN NULL ELSE
+        |      (((atan2(sin(radians(lon) - radians(12.57)) * cos(radians(lat)),
+        |                cos(radians(55.69)) * sin(radians(lat)) -
+        |                sin(radians(55.69)) * cos(radians(lat)) *
+        |                  cos(radians(lon) - radians(12.57)))
+        |          % (2.0 * pi())) + 2.0 * pi()) % (2.0 * pi())) END AS az_b
+        |  FROM p)
+        |SELECT name, CAST(floor(az_f * 1000000.0) AS BIGINT) AS az_cph,
+        |  CAST(floor(az_b * 1000000.0) AS BIGINT) AS az_back
+        |FROM a ORDER BY name ASC""".stripMargin,
+    // geo_distance_point_to_polygon: kql_geo_polygon's even-odd
+    // crossing CTE gates kql_geo_closest's point-to-segment mirror
+    // over the ring's 5 edges (mean-latitude fold over all 6 ring
+    // vertices, the graft_geo_dist_line left-to-right order).
+    "kql_geo_dist_polygon" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, city, CAST(orderid % 4000 AS DOUBLE) / 100.0 - 20.0 AS lon,
+         |    40.0 + CAST(custid % 1000 AS DOUBLE) / 50.0 AS lat
+         |  FROM orders_info),
+         |edges AS (
+         |  SELECT * FROM (VALUES
+         |    (-5.0, 45.0, 5.0, 43.0), (5.0, 43.0, 12.0, 50.0),
+         |    (12.0, 50.0, 0.0, 47.5), (0.0, 47.5, -8.0, 52.0),
+         |    (-8.0, 52.0, -5.0, 45.0)) AS e(x1, y1, x2, y2)),
+         |k AS (
+         |  SELECT 111320.0 * cos(radians(
+         |    ((((((0.0 + 45.0) + 43.0) + 50.0) + 47.5) + 52.0) + 45.0) / 6.0)) AS kx),
+         |cr AS (
+         |  SELECT p.orderid, p.city, p.lon, p.lat,
+         |    COUNT(*) FILTER (WHERE ((y1 > lat) <> (y2 > lat))
+         |      AND lon < x1 + (x2 - x1) * (lat - y1) / (y2 - y1)) % 2 = 1 AS inside
+         |  FROM pts p CROSS JOIN edges GROUP BY 1, 2, 3, 4),
+         |seg AS (
+         |  SELECT c.orderid, c.city, c.inside,
+         |    c.lon * k.kx AS qx, c.lat * 110574.0 AS qy,
+         |    e.x1 * k.kx AS ax, e.y1 * 110574.0 AS ay,
+         |    (e.x2 - e.x1) * k.kx AS dx, (e.y2 - e.y1) * 110574.0 AS dy
+         |  FROM cr c CROSS JOIN k JOIN edges e ON TRUE),
+         |f1 AS (
+         |  SELECT *, dx * dx + dy * dy AS len2 FROM seg),
+         |f2 AS (
+         |  SELECT *, CASE WHEN len2 = 0.0 THEN 0.0
+         |    ELSE least(1.0, greatest(0.0, ((qx - ax) * dx + (qy - ay) * dy) / len2))
+         |  END AS t FROM f1),
+         |dmin AS (
+         |  SELECT orderid, city, inside,
+         |    MIN(sqrt((qx - ax - t * dx) * (qx - ax - t * dx)
+         |           + (qy - ay - t * dy) * (qy - ay - t * dy))) AS d
+         |  FROM f2 GROUP BY 1, 2, 3),
+         |fin AS (
+         |  SELECT city, CASE WHEN inside THEN 0.0 ELSE d END AS d FROM dmin)
+         |SELECT city,
+         |  CAST(COUNT(*) FILTER (WHERE d = 0.0) AS BIGINT) AS n_zero,
+         |  MAX(CAST(floor(d) AS BIGINT)) AS d_max,
+         |  CAST(SUM(CAST(floor(d) AS BIGINT)) AS BIGINT) AS d_sum
+         |FROM fin GROUP BY city ORDER BY city ASC""".stripMargin,
+    // string tier 3: sequential replace mirrored as a nested replace
+    // chain; the bag is the compact to_json form; the ACE form of
+    // 'bücher' is the RFC 3492 documented 'bcher-kva'; round-trip
+    // flag hardcoded TRUE.
+    "kql_string_funcs3" ->
+      s"""${Sql.ordersInfoCte}
+         |SELECT orderid,
+         |  replace(replace(city, 'New ', 'Old '), 'e', 'E') AS fixed,
+         |  '{"city":"' || city || '","orderid":' || CAST(orderid AS VARCHAR) || '}' AS bs,
+         |  'xn--bcher-kva.' || lower(replace(city, ' ', '-')) || '.example.com' AS ace,
+         |  CAST(1 AS BIGINT) AS rt
+         |FROM orders_info WHERE orderid < 150 ORDER BY orderid ASC""".stripMargin,
+    // series_periods_validate: the periods_detect dense-series CTE with
+    // the two GIVEN lags, output in argument order.
+    "kql_periods_validate" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts) // 1000000000
+        |      - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 86400 AS INT) AS i
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+        |g AS (SELECT event_type, i, CAST(COUNT(*) AS BIGINT) AS v FROM f GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM f),
+        |axis AS (SELECT CAST(unnest(range(0, 30)) AS INT) AS i),
+        |dense AS (
+        |  SELECT k.event_type, a.i, COALESCE(g.v, CAST(0 AS BIGINT)) AS v
+        |  FROM k CROSS JOIN axis a
+        |  LEFT JOIN g ON g.event_type = k.event_type AND g.i = a.i),
+        |scores AS (
+        |  SELECT d1.event_type, L.l AS lag, SUM(d1.v * d2.v) AS s
+        |  FROM dense d1
+        |  JOIN (SELECT CAST(unnest([3, 7]) AS INT) AS l) L ON TRUE
+        |  JOIN dense d2 ON d2.event_type = d1.event_type AND d2.i = d1.i + L.l
+        |  GROUP BY 1, 2)
+        |SELECT s3.event_type,
+        |  CAST(3 AS BIGINT) AS p1, CAST(s3.s AS BIGINT) AS s1,
+        |  CAST(7 AS BIGINT) AS p2, CAST(s7.s AS BIGINT) AS s2
+        |FROM scores s3 JOIN scores s7
+        |  ON s7.event_type = s3.event_type AND s3.lag = 3 AND s7.lag = 7
+        |ORDER BY s3.event_type ASC""".stripMargin,
+    // pass-through scalars: identical names/semantics in DuckDB except
+    // log (DuckDB log() is log10 — natural log is ln() there).
+    "kql_passthrough_scalars" ->
+      s"""${Sql.ordersInfoCte},
+         |b AS (SELECT orderid, city, CAST(amount AS DOUBLE) AS v
+         |      FROM orders_info WHERE orderid < 200)
+         |SELECT orderid,
+         |  CAST(abs(-1.0 * v) AS BIGINT) AS r_abs,
+         |  CAST(sign(v - 150.0) AS BIGINT) AS r_sign,
+         |  CAST(floor(sqrt(v) * 1000000.0) AS BIGINT) AS r_sqrt,
+         |  CAST(floor(exp(v / 100.0) * 1000000.0) AS BIGINT) AS r_exp,
+         |  CAST(floor(ln(v) * 1000000.0) AS BIGINT) AS r_log,
+         |  CAST(floor(log10(v) * 1000000.0) AS BIGINT) AS r_log10,
+         |  CAST(floor(log2(v) * 1000000.0) AS BIGINT) AS r_log2,
+         |  CAST(floor(pow(v, 1.5)) AS BIGINT) AS r_pow,
+         |  CAST(floor(atan2(v, 100.0) * 1000000.0) AS BIGINT) AS r_atan2,
+         |  CAST(floor(cot(v / 100.0) * 1000000.0) AS BIGINT) AS r_cot,
+         |  CAST(floor(degrees(v / 100.0) * 1000000.0) AS BIGINT) AS r_deg,
+         |  CAST(floor(radians(v) * 1000000.0) AS BIGINT) AS r_rad,
+         |  CAST(floor(pi() * 1000000.0) AS BIGINT) AS r_pi,
+         |  city AS r_coal,
+         |  CAST(0 AS BIGINT) AS r_isnull, CAST(1 AS BIGINT) AS r_isnotnull
+         |FROM b ORDER BY orderid ASC""".stripMargin,
     "kql_bitwise" ->
       s"""${Sql.ordersInfoCte}
          |SELECT city,

@@ -42,6 +42,15 @@ class VerifySpec extends SparkSpec {
     // and the dumps themselves are readable, non-empty parquet
     assert(spark.read.parquet(s"$out/ref_avg_by_city").count() > 0)
     assert(spark.read.parquet(s"$out/ref_count_by_city").count() > 0)
+
+    // verify_summary.json: the self-describing header (r16 verdict #1 —
+    // a partial driver handoff must carry its own ok/failed counts and
+    // the oracle path, machine-readably, next to oracle_sql.json)
+    val summary = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/verify_summary.json"))
+    assert(summary.contains(""""total":2"""))
+    assert(summary.contains(""""ok":2"""))
+    assert(summary.contains(""""oracle":"oracle_sql.json""""))
   }
 
   test("degradation ladder: wall-budget exhaustion skips loudly, never dies") {

@@ -3611,4 +3611,104 @@ class KqlSpec extends SparkSpec {
     assert(asr(0) == math.asin(0.5) && asr(1) == null)
     assert(one("series_sum(series_acos(pack_array(0.5, -2.0)))").isNullAt(0))
   }
+
+  test("parser: r17 wave — ipv4_is_match / hash tier 2 / geo_azimuth & dist-to-polygon") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    // ipv4_is_match: effective prefix = min(each side's /p, optional arg)
+    assert(one("ipv4_is_match('192.168.1.1', '192.168.1.1')").getBoolean(0))
+    assert(!one("ipv4_is_match('192.168.1.1', '192.168.1.9')").getBoolean(0))
+    assert(one("ipv4_is_match('192.168.1.1/24', '192.168.1.200')").getBoolean(0))
+    assert(one("ipv4_is_match('10.0.0.1/16', '10.0.200.1/24')").getBoolean(0))
+    assert(one("ipv4_is_match('192.168.1.1', '192.168.1.9', 24)").getBoolean(0))
+    assert(one("ipv4_is_match('300.1.2.3', '10.0.0.1')").isNullAt(0))
+    // hash tier 2: hash_xxhash64 IS hash's kernel; hash_combine is
+    // argument-order sensitive; hash_many mixes every argument; the
+    // mod form stays in [0, mod)
+    assert(one("hash_xxhash64('a')").getLong(0) == one("hash('a')").getLong(0))
+    assert(one("hash_combine(hash('a'), hash('b'))").getLong(0) !=
+      one("hash_combine(hash('b'), hash('a'))").getLong(0))
+    assert(one("hash_many('a', 1)").getLong(0) != one("hash_many('a', 2)").getLong(0))
+    val hx = one("hash_xxhash64('abc', 97)").getLong(0)
+    assert(hx >= 0L && hx < 97L)
+    // geo_azimuth: compass anchors from the origin (atan2 form) —
+    // north 0, east π/2, south π, west 3π/2; invalid coordinate → null
+    assert(one("geo_azimuth(0.0, 0.0, 0.0, 1.0)").getDouble(0) == 0.0)
+    assert(math.abs(one("geo_azimuth(0.0, 0.0, 1.0, 0.0)").getDouble(0)
+      - math.Pi / 2) < 1e-9)
+    assert(math.abs(one("geo_azimuth(0.0, 0.0, 0.0, -1.0)").getDouble(0)
+      - math.Pi) < 1e-12)
+    assert(math.abs(one("geo_azimuth(0.0, 0.0, -1.0, 0.0)").getDouble(0)
+      - 3 * math.Pi / 2) < 1e-9)
+    assert(one("geo_azimuth(200.0, 0.0, 0.0, 0.0)").isNullAt(0))
+    // geo_distance_point_to_polygon: inside → exactly 0; one degree of
+    // latitude below the bottom edge → exactly the kernel's 110574
+    // m/deg scale (the nearest-edge projection is axis-aligned)
+    val sq = "parse_json('{\"type\":\"Polygon\",\"coordinates\":" +
+      "[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0],[0.0,0.0]]]}')"
+    assert(one(s"geo_distance_point_to_polygon(0.5, 0.5, $sq)").getDouble(0) == 0.0)
+    assert(math.abs(one(s"geo_distance_point_to_polygon(0.5, -1.0, $sq)").getDouble(0)
+      - 110574.0) < 1e-6)
+  }
+
+  test("parser: r17 wave — replace_strings / bag_pack_columns / punycode domains / periods_validate") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    // replace_strings: SEQUENTIAL pairs (the second replacement sees
+    // the first's output); length mismatch → null
+    assert(one("replace_strings('New Delhi', dynamic(['New ', 'e']), dynamic(['Old ', 'E']))")
+      .getString(0) == "Old DElhi")
+    assert(one("replace_strings('x', dynamic(['a']), dynamic([]))").isNullAt(0))
+    // bag_pack_columns: keys are the COLUMN NAMES; the VARIANT
+    // round-trip normalizes key order to SORTED (the engine's bag
+    // convention — same as bag_pack); computed expressions rejected
+    // loudly
+    val reg2 = Map("O" -> Seq((1, "a")).toDF("id", "name"))
+    assert(KqlParser.run("O | project r = tostring(bag_pack_columns(name, id))", reg2)
+      .head().getString(0) == """{"id":1,"name":"a"}""")
+    intercept[IllegalArgumentException] {
+      KqlParser.run("O | project r = bag_pack_columns(id + 1)", reg2)
+    }
+    // punycode domains: per-label ACE with the RFC 3492 vector;
+    // ASCII labels pass through; malformed ACE label nulls the WHOLE
+    // result (not a silently-dropped label)
+    assert(one("punycode_domain_from_string('bücher.example.com')")
+      .getString(0) == "xn--bcher-kva.example.com")
+    assert(one("punycode_domain_to_string('xn--bcher-kva.example.com')")
+      .getString(0) == "bücher.example.com")
+    assert(one("punycode_domain_to_string(punycode_domain_from_string('münchen.straße.de'))")
+      .getString(0) == "münchen.straße.de")
+    assert(one("punycode_domain_to_string('xn--###.com')").isNullAt(0))
+    // series_periods_validate: scores the GIVEN lags in argument order
+    // with the periods_detect kernel — [1,0,1,0,1,0] has overlap dot
+    // 2.0 at lag 2 and 0.0 at lag 3
+    val pv = KqlParser.run(
+      "T | extend pv = series_periods_validate(pack_array(1.0, 0.0, 1.0, 0.0, 1.0, 0.0), 2, 3) " +
+        "| project p1 = tolong(pv.periods[0]), s1 = pv.scores[0], " +
+        "p2 = tolong(pv.periods[1]), s2 = pv.scores[1]", reg).head()
+    assert(pv.getLong(0) == 2L && pv.getDouble(1) == 2.0 &&
+      pv.getLong(2) == 3L && pv.getDouble(3) == 0.0)
+  }
+
+  test("parser: r17 closers — isutf8/new_guid/dynamic_to_json/unixtime_nanos/series_stats/consume") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    // isutf8: trivially true for any non-null string (deviation doc'd)
+    assert(one("isutf8('héx')").getBoolean(0))
+    assert(one("isutf8(tostring(parse_json('null')))").isNullAt(0))
+    // new_guid: nondeterministic — pin format + per-call uniqueness
+    val g = KqlParser.run("T | project a = new_guid(), b = new_guid()", reg).head()
+    assert(g.getString(0).matches("[0-9a-f-]{36}") && g.getString(0) != g.getString(1))
+    // dynamic_to_json: canonical form with SORTED keys
+    assert(one("dynamic_to_json(parse_json('{\"b\":2,\"a\":1}'))")
+      .getString(0) == """{"a":1,"b":2}""")
+    // unixtime_nanoseconds_todatetime truncates to micros
+    assert(one("datetime_diff('second', unixtime_nanoseconds_todatetime(1700000000000000000), datetime(1970-01-01))")
+      .getLong(0) == 1700000000L)
+    // series_stats = the _dynamic bag (tuple-assign deviation doc'd)
+    assert(one("tolong(series_stats(pack_array(3.0, 1.0, 2.0)).min)").getLong(0) == 1L)
+    // consume: executes, emits zero rows, keeps the schema
+    val consumed = KqlParser.run("T | extend v = 1 | consume", reg)
+    assert(consumed.columns.toSeq == Seq("c", "v") && consumed.count() == 0L)
+  }
 }

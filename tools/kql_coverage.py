@@ -1,0 +1,251 @@
+#!/usr/bin/env python3
+"""KQL/ADX coverage audit (builder-side dev tool; NOT part of the library).
+
+Diffs the official ADX function/operator index (curated below from the
+PUBLIC Microsoft Azure Data Explorer documentation index as of 2025 —
+scalar functions, aggregation functions, tabular operators, and the
+series_/geo_/ipv4_ families) against KqlParser.scala's dispatch tables,
+and writes KQL_COVERAGE.md.
+
+Classification per documented name:
+  - implemented : the name appears quoted in KqlParser.scala (a dispatch
+                  list entry, case arm, or verb table) — every such name
+                  is exercised by an oracle-green kql_* query or a
+                  KqlSpec pin (the repo's bar for claiming a name).
+  - pass-through: no parser case BY DESIGN — the Spark SQL builtin has
+                  the same name and semantics, and scalar expressions
+                  pass through the rewriter untouched. The allowlist
+                  below is curated by hand; the kql_passthrough_scalars
+                  query pins the seam end-to-end for the math tier.
+  - missing     : neither of the above.
+
+Usage: python3 tools/kql_coverage.py [--md KQL_COVERAGE.md]
+"""
+import re
+import sys
+
+PARSER = "src/main/scala/graft/kql/KqlParser.scala"
+
+# Names that intentionally have NO parser case: Spark SQL's builtin has
+# identical name + semantics (KQL floor(x, size) is the bin alias and IS
+# handled; plain floor never reaches Spark). Math tier pinned end-to-end
+# by kql_passthrough_scalars.
+PASS_THROUGH = {
+    "abs", "acos", "asin", "atan", "atan2", "cos", "sin", "tan", "cot",
+    "degrees", "radians", "pi", "exp", "log", "log10", "log2", "pow",
+    "sqrt", "sign", "coalesce", "isnull", "isnotnull", "isnan", "not",
+    "ceiling",  # Spark: ceiling() exists with identical semantics
+    "round",    # Spark: round(x[, d]) identical
+    "rand",     # Spark: rand() — nondeterministic, unoracleable by design
+    "strcat",   # Spark: concat; parser handles strcat explicitly? listed
+                # here only if not found lexically
+}
+
+# Implemented through a different lexical surface than the documented
+# name — the scrape can't see these, so they're declared here with the
+# evidence.
+ALIASED = {
+    "sample-distinct": "verb dispatch splits it as sample + '-distinct'",
+    "percentiles": "via percentiles_array (tuple-assign unsupported — documented deviation)",
+    "percentilesw": "via percentilesw_array (same deviation)",
+}
+
+# Curated from the public ADX documentation index. This is the USER-HIT
+# surface a dashboard/security/ops query would reach for; service-/
+# cluster-introspection functions (current_principal, extent_id,
+# ingestion_time, cursor_*, estimate_data_size ...) are EXCLUDED as
+# n/a — they interrogate ADX service state that has no analogue in a
+# Spark library (documented deviation, not a gap).
+DOCUMENTED = {
+    "scalar": """
+        ago around bin bin_at case coalesce column_ifexists countof
+        datetime_add datetime_diff datetime_part datetime_local_to_utc
+        datetime_utc_to_local dayofmonth dayofweek dayofyear endofday
+        endofmonth endofweek endofyear format_bytes format_datetime
+        format_timespan getmonth getyear gettype hourofday iff iif
+        indexof indexof_regex isascii isempty isnotempty isnan isnull
+        isnotnull isfinite isinf isutf8 make_datetime make_timespan
+        max_of min_of monthofyear now startofday startofmonth
+        startofweek startofyear strcat strcat_array strcat_delim strcmp
+        string_size strlen strrep substring tolower toupper translate
+        trim trim_end trim_start reverse split replace_string
+        replace_regex replace_strings extract extract_all extractjson
+        extract_json parse_json todynamic dynamic_to_json parse_csv
+        parse_command_line parse_path parse_url parse_urlquery
+        parse_user_agent parse_version parse_xml parse_ipv4
+        parse_ipv4_mask parse_ipv6 parse_ipv6_mask format_ipv4
+        format_ipv4_mask ipv4_compare ipv4_is_in_range
+        ipv4_is_in_any_range ipv4_is_match ipv4_is_private
+        ipv4_netmask_suffix ipv6_compare ipv6_is_match ipv6_is_in_range
+        ipv6_is_in_any_range has_ipv4 has_any_ipv4 has_ipv4_prefix
+        has_any_ipv4_prefix base64_encode_tostring base64_decode_tostring
+        base64_decode_toarray base64_encode_fromarray
+        base64_encode_fromguid base64_decode_toguid tohex tostring
+        toint tolong todouble toreal tobool todatetime totimespan
+        todecimal toguid unixtime_seconds_todatetime
+        unixtime_milliseconds_todatetime unixtime_microseconds_todatetime
+        unixtime_nanoseconds_todatetime week_of_year hash hash_md5
+        hash_sha1 hash_sha256 hash_xxhash64 hash_many hash_combine
+        jaccard_index rand new_guid abs acos asin atan atan2 ceiling cos
+        cot degrees exp exp2 exp10 floor gamma loggamma log log10 log2
+        pi pow radians round sign sin sqrt tan erf erfc beta_cdf
+        beta_pdf beta_inv welch_test binary_and binary_or binary_xor
+        binary_not binary_shift_left binary_shift_right
+        bitset_count_ones array_concat array_iff array_iif
+        array_index_of array_length array_reverse array_rotate_left
+        array_rotate_right array_shift_left array_shift_right
+        array_slice array_sort_asc array_sort_desc array_split array_sum
+        bag_has_key bag_keys bag_merge bag_pack bag_pack_columns
+        bag_remove_keys bag_set_key bag_zip pack pack_all pack_array
+        repeat zip set_union set_intersect set_difference
+        set_has_element has_any_index dcount_hll hll_merge
+        percentile_tdigest rank_tdigest tdigest tdigest_merge
+        convert_angle convert_energy convert_force convert_length
+        convert_mass convert_speed convert_temperature convert_volume
+        unicode_codepoints_from_string unicode_codepoints_to_string
+        punycode_from_string punycode_to_string
+        punycode_domain_from_string punycode_domain_to_string
+        url_encode url_encode_component url_decode
+        gzip_compress_to_base64_string gzip_decompress_from_base64_string
+        zlib_compress_to_base64_string zlib_decompress_from_base64_string
+        regex_quote dcount_intersect not row_number row_cumsum
+        row_rank_dense row_rank_min row_window_session next prev
+    """,
+    "aggregation": """
+        arg_max arg_min avg avgif binary_all_and binary_all_or
+        binary_all_xor buildschema count countif count_distinct
+        count_distinctif dcount dcountif hll make_bag make_bag_if
+        make_list make_list_if make_list_with_nulls make_set make_set_if
+        max maxif min minif percentile percentiles percentilew
+        percentilesw stdev stdevp sum sumif take_any take_anyif variance
+        variancep covariance covariancep
+    """,
+    "operator": """
+        as consume count datatable distinct evaluate extend externaldata
+        facet find fork getschema graph-match graph-shortest-paths
+        graph-to-table invoke join limit lookup make-graph make-series
+        mv-apply mv-expand order parse parse-kv parse-where partition
+        print project project-away project-keep project-rename
+        project-reorder range reduce render sample sample-distinct scan
+        search serialize sort summarize take top top-hitters top-nested
+        union where
+    """,
+    "series": """
+        series_abs series_acos series_add series_asin series_atan
+        series_ceiling series_cos series_cosine_similarity
+        series_decompose series_decompose_anomalies
+        series_decompose_forecast series_divide series_dot_product
+        series_equals series_exp series_fft series_fill_backward
+        series_fill_const series_fill_forward series_fill_linear
+        series_fir series_fit_2lines series_fit_2lines_dynamic
+        series_fit_line series_fit_line_dynamic series_fit_poly
+        series_fit_poly_dynamic series_floor series_greater
+        series_greater_equals series_ifft series_iir series_less
+        series_less_equals series_log series_magnitude series_multiply
+        series_not_equals series_outliers series_pearson_correlation
+        series_periods_detect series_periods_validate series_pow
+        series_round series_seasonal series_sign series_sin
+        series_stats series_stats_dynamic series_subtract series_sum
+        series_tan
+    """,
+    "geo": """
+        geo_angle geo_azimuth geo_distance_2points
+        geo_distance_point_to_line geo_distance_point_to_polygon
+        geo_closest_point_on_line geo_closest_point_on_polygon
+        geo_intersects_2lines geo_intersects_2polygons
+        geo_intersects_line_with_polygon geo_intersection_2lines
+        geo_intersection_2polygons geo_intersection_line_with_polygon
+        geo_line_buffer geo_line_centroid geo_line_densify
+        geo_line_interpolate_point geo_line_length geo_line_locate_point
+        geo_line_lookup geo_line_simplify geo_line_to_s2cells
+        geo_point_buffer geo_point_in_circle geo_point_in_polygon
+        geo_point_to_geohash geo_point_to_h3cell geo_point_to_s2cell
+        geo_polygon_area geo_polygon_buffer geo_polygon_centroid
+        geo_polygon_densify geo_polygon_lookup geo_polygon_perimeter
+        geo_polygon_simplify geo_polygon_to_h3cells geo_polygon_to_s2cells
+        geo_geohash_neighbors geo_geohash_to_central_point
+        geo_geohash_to_polygon geo_h3cell_children geo_h3cell_level
+        geo_h3cell_neighbors geo_h3cell_parent geo_h3cell_rings
+        geo_h3cell_to_central_point geo_h3cell_to_polygon
+        geo_h3cell_compact geo_h3cell_uncompact geo_s2cell_neighbors
+        geo_s2cell_to_central_point geo_s2cell_to_polygon
+        geo_simplify_polygons_array geo_union_lines geo_union_polygons
+        geo_info_from_ip_address ipv4_range_to_cidr_list
+    """,
+}
+
+
+def main(md_out=None):
+    src = open(PARSER, encoding="utf-8").read()
+    lexical = set(re.findall(r'"([a-z_][a-z_0-9-]*)"', src))
+
+    rows, stats = [], {}
+    for cat, blob in DOCUMENTED.items():
+        names = sorted(set(blob.split()))
+        got = []
+        for n in names:
+            if n in lexical or n in ALIASED:
+                st = "implemented"
+            elif n in PASS_THROUGH:
+                st = "pass-through"
+            else:
+                st = "MISSING"
+            got.append((n, st))
+        rows.append((cat, got))
+        c = {"implemented": 0, "pass-through": 0, "MISSING": 0}
+        for _, st in got:
+            c[st] += 1
+        stats[cat] = (len(names), c)
+
+    lines = []
+    lines.append("# KQL_COVERAGE — ADX surface audit (generated by tools/kql_coverage.py)")
+    lines.append("")
+    lines.append("Documented-name source: the PUBLIC Microsoft ADX documentation index")
+    lines.append("(curated into the tool; service-introspection functions excluded as n/a).")
+    lines.append("`implemented` = name present in KqlParser.scala's dispatch tables;")
+    lines.append("`pass-through` = no case by design, Spark SQL builtin is identical")
+    lines.append("(math tier pinned by the kql_passthrough_scalars oracle query).")
+    lines.append("")
+    total = imp = pt = miss = 0
+    for cat, (n, c) in stats.items():
+        total += n
+        imp += c["implemented"]
+        pt += c["pass-through"]
+        miss += c["MISSING"]
+        lines.append(f"- **{cat}**: {n} documented — {c['implemented']} implemented, "
+                     f"{c['pass-through']} pass-through, {c['MISSING']} missing")
+    pct = 100.0 * (imp + pt) / total if total else 0.0
+    lines.append(f"- **TOTAL**: {total} documented — {imp + pt} covered ({pct:.1f}%), "
+                 f"{miss} missing")
+    lines.append("")
+    for cat, got in rows:
+        lines.append(f"## {cat}")
+        lines.append("")
+        missing = [n for n, st in got if st == "MISSING"]
+        if missing:
+            lines.append(f"**Missing ({len(missing)})**: " + ", ".join(missing))
+            lines.append("")
+        lines.append("<details><summary>full checklist</summary>")
+        lines.append("")
+        for n, st in got:
+            mark = {"implemented": "x", "pass-through": "x", "MISSING": " "}[st]
+            suffix = " *(pass-through)*" if st == "pass-through" else ""
+            lines.append(f"- [{mark}] `{n}`{suffix}")
+        lines.append("")
+        lines.append("</details>")
+        lines.append("")
+    text = "\n".join(lines)
+    if md_out:
+        with open(md_out, "w") as f:
+            f.write(text + "\n")
+        print(f"wrote {md_out}: {total} names, {miss} missing ({pct:.1f}% covered)")
+    else:
+        print(text)
+    return 0
+
+
+if __name__ == "__main__":
+    out = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--md":
+        out = sys.argv[2]
+    sys.exit(main(out))
