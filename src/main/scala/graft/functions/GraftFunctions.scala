@@ -20,6 +20,7 @@ object GraftFunctions {
     "graft_topk" -> (e => TopKBy(e(0), e(1), e(2))),
     "graft_s2_cell" -> (e => S2CellToken(e(0), e(1), e(2))),
     "graft_s2_center" -> (e => S2CellCenter(e(0))),
+    "graft_s2_cell_polygon" -> (e => S2CellPolygon(e(0))),
     "graft_s2_neighbors" -> (e => S2CellNeighbors(e(0))),
     "graft_s2_polygon_cover" -> (e => S2PolygonCover(e(0), e(1))),
     "graft_s2_line_cover" -> (e => S2LineCover(e(0), e(1))),

@@ -170,6 +170,30 @@ object S2 {
       .map(_.asInstanceOf[Any]))
   }
 
+  /** The cell's 4 corners as a CLOSED lon/lat ring (5 pairs, last =
+    * first) — backs `geo_s2cell_to_polygon`. Corners are the exact ST
+    * cell bounds pushed through the same face→xyz→lon/lat chain as
+    * [[centerLonLat]]; winding follows the face frame's (i, j) order
+    * (i, j) → (i+1, j) → (i+1, j+1) → (i, j+1), which is CCW on
+    * even-orientation faces (documented deviation: ADX normalizes to
+    * geodesic CCW; corner POSITIONS are identical either way). */
+  def polygonOf(token: UTF8String): ArrayData = {
+    val d = decode(token)
+    if (d == null) return null
+    val n = (1L << d(3)).toDouble
+    def corner(ci: Long, cj: Long): Any = {
+      val u = uvFromST(ci / n)
+      val v = uvFromST(cj / n)
+      val (x, y, z) = faceXYZ(d(0).toInt, u, v)
+      new GenericArrayData(Array[Any](
+        math.toDegrees(math.atan2(y, x)),
+        math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y)))))
+    }
+    val (i, j) = (d(1), d(2))
+    new GenericArrayData(Array(corner(i, j), corner(i + 1, j),
+      corner(i + 1, j + 1), corner(i, j + 1), corner(i, j)))
+  }
+
   /** The level-`level` cell holding the virtual center of (i2, j2) in
     * `face`'s frame, where (i2, j2) may lie one step OUTSIDE the face
     * grid: the center projects through xyz onto whichever face owns
@@ -443,6 +467,35 @@ case class S2CellCenter(child: Expression)
     nullSafeCodeGen(ctx, ev, tok => {
       s"""
          |${ev.value} = graft.functions.S2.centerOf($tok);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `graft_s2_cell_polygon(token)` → the cell's 4 corners as a closed
+  * lon/lat ring (array<array<double>>, 5 entries) — see
+  * [[S2.polygonOf]]; null on a malformed token. */
+case class S2CellPolygon(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_s2_cell_polygon expects (string), got ${child.dataType.simpleString}")
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_s2_cell_polygon"
+
+  override def nullSafeEval(tok: Any): Any =
+    S2.polygonOf(tok.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, tok => {
+      s"""
+         |${ev.value} = graft.functions.S2.polygonOf($tok);
          |${ev.isNull} = (${ev.value} == null);
        """.stripMargin
     })

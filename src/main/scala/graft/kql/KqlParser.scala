@@ -4397,6 +4397,8 @@ object KqlParser {
               "parse_version", "parse_xml", "parse_user_agent",
               "geo_distance_2points", "geo_point_in_circle",
               "geo_azimuth", "geo_distance_point_to_polygon",
+              "geo_angle", "geo_s2cell_to_polygon",
+              "geo_closest_point_on_polygon",
               "geo_point_to_geohash", "geo_geohash_to_central_point",
               "geo_geohash_neighbors", "geo_geohash_to_polygon",
               "geo_line_densify", "geo_polygon_densify",
@@ -6449,6 +6451,55 @@ object KqlParser {
                   s"${args(2)}, '$$.coordinates[0]') AS ARRAY<ARRAY<DOUBLE>>))"
                 out.append(s"(CASE WHEN $inP THEN CAST(0.0 AS DOUBLE) " +
                   s"ELSE $ringDist END)")
+              case "geo_closest_point_on_polygon" =>
+                // ADX geo_closest_point_on_polygon(lon, lat, polygon) →
+                // GeoJSON Point: the point ITSELF when inside (ADX's
+                // convention), else the closest point on the outer ring
+                // (the geo_closest_point_on_line kernel over the CLOSED
+                // ring — same planar deviations, same lower-index tie
+                // rule). Invalid point / degenerate ring → null.
+                require(args.length == 3,
+                  "geo_closest_point_on_polygon expects (lon, lat, polygon)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                val inCp = geoPointInPolygonSql(args(0), args(1), args(2))
+                out.append(s"(CASE WHEN $inCp THEN " +
+                  s"parse_json(to_json(named_struct('type', 'Point', 'coordinates', " +
+                  s"array(CAST((${args(0)}) AS DOUBLE), CAST((${args(1)}) AS DOUBLE))))) " +
+                  s"ELSE element_at(transform(array(graft_geo_closest_line(" +
+                  s"CAST((${args(0)}) AS DOUBLE), CAST((${args(1)}) AS DOUBLE), " +
+                  s"try_cast(variant_get(${args(2)}, '$$.coordinates[0]') " +
+                  s"AS ARRAY<ARRAY<DOUBLE>>))), gcp -> " +
+                  "CASE WHEN gcp IS NULL THEN NULL ELSE " +
+                  "parse_json(to_json(named_struct('type', 'Point', 'coordinates', gcp))) END), 1) END)")
+              case "geo_angle" =>
+                // ADX geo_angle(p1_lng, p1_lat, p2_lng, p2_lat, p3_lng,
+                // p3_lat) → the clockwise angle in radians at the SHARED
+                // vertex p2, from the ray toward p1 to the ray toward
+                // p3, in [0, 2π) — normalize(azimuth(p2→p3) −
+                // azimuth(p2→p1)). DEVIATION (documented): built from
+                // the spherical-bearing azimuth rather than ADX's WGS84
+                // geodesic, same class as geo_azimuth's. Invalid
+                // coordinates null out through the azimuth chain.
+                require(args.length == 6,
+                  "geo_angle expects (p1_lng, p1_lat, p2_lng, p2_lat, p3_lng, p3_lat)")
+                val azTo1 = geoAzimuthSql(args(2), args(3), args(0), args(1))
+                val azTo3 = geoAzimuthSql(args(2), args(3), args(4), args(5))
+                out.append(s"((((($azTo3) - ($azTo1)) % (2.0 * pi())) + 2.0 * pi()) % (2.0 * pi()))")
+              case "geo_s2cell_to_polygon" =>
+                // ADX geo_s2cell_to_polygon(token) → the cell rectangle
+                // as a GeoJSON Polygon VARIANT (closed 5-vertex ring,
+                // exact ST cell-bound corners; face-frame winding —
+                // deviation documented at S2.polygonOf). Malformed
+                // token → null.
+                require(args.length == 1,
+                  "geo_s2cell_to_polygon expects (token)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"element_at(transform(array(graft_s2_cell_polygon(" +
+                  s"CAST((${args(0)}) AS STRING))), s2r -> " +
+                  "CASE WHEN s2r IS NULL THEN NULL ELSE " +
+                  "parse_json(to_json(named_struct('type', 'Polygon', 'coordinates', array(s2r)))) END), 1)")
               case "geo_point_to_s2cell" =>
                 // ADX geo_point_to_s2cell(lon, lat[, level]) → the
                 // S2 cell TOKEN (level 0..28, ADX default 11) — the

@@ -2368,9 +2368,33 @@ object ReferenceQueries {
       |];
       |P
       || extend az_cph = tolong(floor(geo_azimuth(lon, lat, 12.57, 55.69) * 1000000.0, 1)),
-      |         az_back = tolong(floor(geo_azimuth(12.57, 55.69, lon, lat) * 1000000.0, 1))
-      || project name, az_cph, az_back
+      |         az_back = tolong(floor(geo_azimuth(12.57, 55.69, lon, lat) * 1000000.0, 1)),
+      |         ang = tolong(floor(geo_angle(10.75, 59.91, lon, lat, 12.57, 55.69) * 1000000.0, 1))
+      || project name, az_cph, az_back, ang
       || sort by name asc""".stripMargin
+
+  /** r17 `geo_closest_point_on_polygon` + `geo_s2cell_to_polygon` —
+    * the closest-point foot over the dent ring (inside → the point
+    * itself; the `kql_geo_closest` argmin mirror over the ring's 5
+    * edges) and the cell rectangle's self-consistency flags (center
+    * inside its own planar quad, ring closed at 5 vertices — the
+    * corner chain itself is native S2 math the oracle can't replay,
+    * the sketch-audit convention). */
+  val kqlGeoPolygons3Text: String =
+    """let poly = parse_json('{"type":"Polygon","coordinates":[[[-5.0,45.0],[5.0,43.0],[12.0,50.0],[0.0,47.5],[-8.0,52.0],[-5.0,45.0]]]}');
+      |Orders
+      || where orderid < 500
+      || extend lon = todouble(orderid % 4000) / 100.0 - 20.0, lat = 40.0 + todouble(custid % 1000) / 50.0
+      || extend cp = geo_closest_point_on_polygon(lon, lat, poly)
+      || extend cx_u = tolong(floor(todouble(cp.coordinates[0]) * 1000000.0, 1)),
+      |         cy_u = tolong(floor(todouble(cp.coordinates[1]) * 1000000.0, 1))
+      || extend cell = geo_point_to_s2cell(lon, lat, 7)
+      || extend cpoly = geo_s2cell_to_polygon(cell), cc = geo_s2cell_to_central_point(cell)
+      || extend c_in = tolong(iff(geo_point_in_polygon(todouble(cc.coordinates[0]), todouble(cc.coordinates[1]), cpoly), 1, 0)),
+      |         closed = tolong(iff(tostring(cpoly.coordinates[0][0]) == tostring(cpoly.coordinates[0][4]), 1, 0))
+      || summarize n = count(), in_ok = min(c_in), ring_ok = min(closed),
+      |            cx_sum = sum(cx_u), cy_sum = sum(cy_u) by city
+      || sort by city asc""".stripMargin
 
   /** r17 `geo_distance_point_to_polygon` — 0 inside, point-to-boundary
     * distance outside, over the non-convex dent ring (same derived
@@ -2451,6 +2475,7 @@ object ReferenceQueries {
     "kql_ipv4_match" -> kqlText(kqlIpv4MatchText) _,
     "kql_hash_funcs" -> kqlText(kqlHashFuncsText) _,
     "kql_geo_azimuth" -> kqlText(kqlGeoAzimuthText) _,
+    "kql_geo_polygons3" -> kqlText(kqlGeoPolygons3Text) _,
     "kql_geo_dist_polygon" -> kqlText(kqlGeoDistPolygonText) _,
     "kql_string_funcs3" -> kqlText(kqlStringFuncs3Text) _,
     "kql_periods_validate" -> kqlText(kqlPeriodsValidateText) _,
@@ -2640,11 +2665,71 @@ object ReferenceQueries {
         |                cos(radians(55.69)) * sin(radians(lat)) -
         |                sin(radians(55.69)) * cos(radians(lat)) *
         |                  cos(radians(lon) - radians(12.57)))
-        |          % (2.0 * pi())) + 2.0 * pi()) % (2.0 * pi())) END AS az_b
+        |          % (2.0 * pi())) + 2.0 * pi()) % (2.0 * pi())) END AS az_b,
+        |    CASE WHEN abs(lat) > 90.0 OR abs(lon) > 180.0 THEN NULL ELSE
+        |      (((atan2(sin(radians(10.75) - radians(lon)) * cos(radians(59.91)),
+        |                cos(radians(lat)) * sin(radians(59.91)) -
+        |                sin(radians(lat)) * cos(radians(59.91)) *
+        |                  cos(radians(10.75) - radians(lon)))
+        |          % (2.0 * pi())) + 2.0 * pi()) % (2.0 * pi())) END AS az_o
         |  FROM p)
         |SELECT name, CAST(floor(az_f * 1000000.0) AS BIGINT) AS az_cph,
-        |  CAST(floor(az_b * 1000000.0) AS BIGINT) AS az_back
+        |  CAST(floor(az_b * 1000000.0) AS BIGINT) AS az_back,
+        |  CAST(floor(((((az_f - az_o) % (2.0 * pi())) + 2.0 * pi()) % (2.0 * pi()))
+        |    * 1000000.0) AS BIGINT) AS ang
         |FROM a ORDER BY name ASC""".stripMargin,
+    // geo_closest_point_on_polygon: the kql_geo_closest argmin mirror
+    // over the dent ring's edges, gated by the even-odd containment
+    // (inside → the point itself); the s2 cell-polygon flags are
+    // spark-side self-consistency audits the oracle asserts TRUE
+    // (native corner math — the sketch-audit convention).
+    "kql_geo_polygons3" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, city, CAST(orderid % 4000 AS DOUBLE) / 100.0 - 20.0 AS lon,
+         |    40.0 + CAST(custid % 1000 AS DOUBLE) / 50.0 AS lat
+         |  FROM orders_info WHERE orderid < 500),
+         |edges AS (
+         |  SELECT * FROM (VALUES
+         |    (0, -5.0, 45.0, 5.0, 43.0), (1, 5.0, 43.0, 12.0, 50.0),
+         |    (2, 12.0, 50.0, 0.0, 47.5), (3, 0.0, 47.5, -8.0, 52.0),
+         |    (4, -8.0, 52.0, -5.0, 45.0)) AS e(i, x1, y1, x2, y2)),
+         |k AS (
+         |  SELECT 111320.0 * cos(radians(
+         |    ((((((0.0 + 45.0) + 43.0) + 50.0) + 47.5) + 52.0) + 45.0) / 6.0)) AS kx),
+         |cr AS (
+         |  SELECT p.orderid, p.city, p.lon, p.lat,
+         |    COUNT(*) FILTER (WHERE ((y1 > lat) <> (y2 > lat))
+         |      AND lon < x1 + (x2 - x1) * (lat - y1) / (y2 - y1)) % 2 = 1 AS inside
+         |  FROM pts p CROSS JOIN edges GROUP BY 1, 2, 3, 4),
+         |seg AS (
+         |  SELECT c.orderid, c.city, c.inside, c.lon, c.lat, e.i, k.kx,
+         |    c.lon * k.kx AS qx, c.lat * 110574.0 AS qy,
+         |    e.x1 * k.kx AS ax, e.y1 * 110574.0 AS ay,
+         |    (e.x2 - e.x1) * k.kx AS dx, (e.y2 - e.y1) * 110574.0 AS dy
+         |  FROM cr c CROSS JOIN k JOIN edges e ON TRUE),
+         |f1 AS (SELECT *, dx * dx + dy * dy AS len2 FROM seg),
+         |f2 AS (
+         |  SELECT *, CASE WHEN len2 = 0.0 THEN 0.0
+         |    ELSE least(1.0, greatest(0.0, ((qx - ax) * dx + (qy - ay) * dy) / len2))
+         |  END AS t FROM f1),
+         |f3 AS (
+         |  SELECT *, sqrt((qx - ax - t * dx) * (qx - ax - t * dx)
+         |       + (qy - ay - t * dy) * (qy - ay - t * dy)) AS d
+         |  FROM f2),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY orderid
+         |    ORDER BY d ASC, i ASC) AS rn FROM f3),
+         |foot AS (
+         |  SELECT orderid, city,
+         |    CASE WHEN inside THEN lon ELSE (ax + t * dx) / kx END AS cx,
+         |    CASE WHEN inside THEN lat ELSE (ay + t * dy) / 110574.0 END AS cy
+         |  FROM r WHERE rn = 1)
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(1 AS BIGINT) AS in_ok, CAST(1 AS BIGINT) AS ring_ok,
+         |  CAST(SUM(CAST(floor(cx * 1000000.0) AS BIGINT)) AS BIGINT) AS cx_sum,
+         |  CAST(SUM(CAST(floor(cy * 1000000.0) AS BIGINT)) AS BIGINT) AS cy_sum
+         |FROM foot GROUP BY city ORDER BY city ASC""".stripMargin,
     // geo_distance_point_to_polygon: kql_geo_polygon's even-odd
     // crossing CTE gates kql_geo_closest's point-to-segment mirror
     // over the ring's 5 edges (mean-latitude fold over all 6 ring

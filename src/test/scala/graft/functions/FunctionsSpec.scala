@@ -73,7 +73,8 @@ class FunctionsSpec extends SparkSpec {
     // injection is validated end-to-end by the registered-path tests
     // above; here we assert the injector covers the full surface
     assert(GraftFunctions.all.map(_._1).toSet == Set("graft_dot", "graft_topk",
-      "graft_s2_cell", "graft_s2_center", "graft_s2_neighbors",
+      "graft_s2_cell", "graft_s2_center", "graft_s2_cell_polygon",
+      "graft_s2_neighbors",
       "graft_s2_polygon_cover", "graft_s2_line_cover", "graft_geo_dist_line",
       "graft_h3_cell", "graft_h3_center", "graft_h3_neighbors", "graft_h3_rings",
       "graft_h3_level", "graft_h3_parent", "graft_h3_children",

@@ -3649,6 +3649,29 @@ class KqlSpec extends SparkSpec {
     assert(one(s"geo_distance_point_to_polygon(0.5, 0.5, $sq)").getDouble(0) == 0.0)
     assert(math.abs(one(s"geo_distance_point_to_polygon(0.5, -1.0, $sq)").getDouble(0)
       - 110574.0) < 1e-6)
+    // geo_angle: clockwise at the shared vertex — north ray to east
+    // ray is π/2; invalid coordinate → null
+    assert(math.abs(one("geo_angle(0.0, 1.0, 0.0, 0.0, 1.0, 0.0)").getDouble(0)
+      - math.Pi / 2) < 1e-9)
+    assert(one("geo_angle(0.0, 1.0, 200.0, 0.0, 1.0, 0.0)").isNullAt(0))
+    // geo_closest_point_on_polygon: inside → the point itself; due
+    // south of the unit square's bottom edge → the axis-aligned foot
+    def cpOf(lonLat: String) = KqlParser.run(
+      s"T | extend cp = geo_closest_point_on_polygon($lonLat, $sq) " +
+        "| project r = tostring(cp.coordinates)", reg).head()
+    assert(cpOf("0.5, 0.5").getString(0) == "[0.5,0.5]")
+    assert(cpOf("0.5, -1.0").getString(0) == "[0.5,0]")
+    // geo_s2cell_to_polygon: closed 5-vertex ring containing the
+    // cell's own central point; malformed token → null
+    val ringChk = KqlParser.run(
+      "T | extend cell = geo_point_to_s2cell(10.0, 50.0, 7) " +
+        "| extend cpoly = geo_s2cell_to_polygon(cell), cc = geo_s2cell_to_central_point(cell) " +
+        "| project closed = tostring(cpoly.coordinates[0][0]) == tostring(cpoly.coordinates[0][4]), " +
+        "beyond = tostring(cpoly.coordinates[0][5]), " +
+        "cin = geo_point_in_polygon(todouble(cc.coordinates[0]), todouble(cc.coordinates[1]), cpoly)",
+      reg).head()
+    assert(ringChk.getBoolean(0) && ringChk.isNullAt(1) && ringChk.getBoolean(2))
+    assert(one("geo_s2cell_to_polygon('zzzz')").isNullAt(0))
   }
 
   test("parser: r17 wave — replace_strings / bag_pack_columns / punycode domains / periods_validate") {
