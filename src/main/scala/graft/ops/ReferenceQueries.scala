@@ -107,12 +107,17 @@ object ReferenceQueries {
     * deliberately ragged (ys is 1 or 3 elements against xs's 2) so the
     * null-fill convention is what the oracle actually checks, and
     * with_itemindex pins the lockstep position. All-integer arithmetic,
-    * integer aggregates — no float surface. */
+    * integer aggregates — no float surface. The ys products go through
+    * tolong FIRST: ADX types integer literals as long (so `orderid *
+    * 30` widens there), but this engine emits literals as Spark ints —
+    * an INT product overflows once orderid reaches the sf1 stress
+    * corpus's shifted key range (caught by the r17 full-surface sf1
+    * sweep as an ANSI ARITHMETIC_OVERFLOW). */
   val kqlMvExpandMultiText: String =
     """Orders
       || extend xs = array(orderid, orderid + 1),
-      |         ys = iff(orderid % 2 == 0, array(orderid * 10),
-      |                  array(orderid * 10, orderid * 20, orderid * 30))
+      |         ys = iff(orderid % 2 == 0, array(tolong(orderid) * 10),
+      |                  array(tolong(orderid) * 10, tolong(orderid) * 20, tolong(orderid) * 30))
       || mv-expand with_itemindex=ix x = xs to typeof(long), y = ys
       || summarize n = count(), nx = countif(isnotnull(x)),
       |            ny = countif(isnotnull(y)), sx = sum(x), sy = sum(y),
