@@ -3730,6 +3730,34 @@ object KqlParser {
             (expr(rw(s"percentile(${scalar(args(0), lets)}, array(" +
               args.drop(2).map(p => s"CAST(($p) / 100.0 AS DOUBLE)").mkString(", ") +
               s"), ${scalar(args(1), lets)})")), defName(args(0)))
+          case "tdigest" =>
+            // ADX tdigest(col): a mergeable quantile sketch.
+            // DEVIATION (documented): a deterministic EQUI-DEPTH
+            // centroid digest (32 centroids = sorted group chunked
+            // into equal-count pieces, each summarized as (mean, w))
+            // instead of Dunning's scale-function t-digest — the
+            // streaming construction is partition-order-sensitive and
+            // unreproducible cross-engine, while this form is exact to
+            // replay (rank error ≤ 1/32 uniformly vs t-digest's
+            // tail-weighted bound). Chunk means are one-rounded
+            // divisions of a left-to-right fold over the SORTED
+            // values, so integer-valued inputs are cross-engine exact.
+            // Consumed by percentile_tdigest / rank_tdigest /
+            // tdigest_merge below.
+            require(args.length == 1, "tdigest expects (column)")
+            (expr(tdigestFromSortedSql(
+              s"array_sort(collect_list(CAST((${rw(scalar(args(0), lets))}) AS DOUBLE)))")),
+              defName(args(0)))
+          case "tdigest_merge" | "merge_tdigest" =>
+            // Merge digests: pool all centroids sorted by mean, chunk
+            // by CUMULATIVE WEIGHT into 32 equal-weight pieces (each
+            // centroid assigned whole to the chunk of its
+            // cumulative-before position), new mean = weighted mean
+            // (left-to-right fold, one rounding) — deterministic, and
+            // the oracle replays it with an ordered list_reduce.
+            require(args.length == 1, "tdigest_merge expects (digest column)")
+            (expr(tdigestMergeSql(
+              s"collect_list(${rw(scalar(args(0), lets))})")), defName(args(0)))
           case "take_any" | "any" =>
             // ADX's contract is "some value from the group"; this
             // engine picks DETERMINISTICALLY (min) so results are
@@ -4399,6 +4427,7 @@ object KqlParser {
               "geo_azimuth", "geo_distance_point_to_polygon",
               "geo_angle", "geo_s2cell_to_polygon",
               "geo_closest_point_on_polygon",
+              "geo_intersects_2polygons", "geo_intersects_line_with_polygon",
               "geo_point_to_geohash", "geo_geohash_to_central_point",
               "geo_geohash_neighbors", "geo_geohash_to_polygon",
               "geo_line_densify", "geo_polygon_densify",
@@ -4423,6 +4452,7 @@ object KqlParser {
               "unixtime_microseconds_todatetime",
               "unixtime_nanoseconds_todatetime",
               "isutf8", "new_guid", "dynamic_to_json",
+              "percentile_tdigest", "rank_tdigest",
               "binary_and", "binary_or", "binary_xor", "binary_not",
               "binary_shift_left", "binary_shift_right",
               "replace_string", "replace_regex", "replace_strings",
@@ -5389,6 +5419,17 @@ object KqlParser {
                 // exactly to_json over the variant.
                 require(args.length == 1, "dynamic_to_json expects (dynamic)")
                 out.append(s"to_json(${args(0)})")
+              case "percentile_tdigest" =>
+                // Reads the equi-depth digest the `tdigest` aggregate
+                // builds (deviation documented there). The optional
+                // third typeof() arg ADX takes is unnecessary here
+                // (the result is always the centroid-mean DOUBLE).
+                require(args.length == 2,
+                  "percentile_tdigest expects (digest, percentile)")
+                out.append(percentileTdigestSql(args(0), args(1)))
+              case "rank_tdigest" =>
+                require(args.length == 2, "rank_tdigest expects (digest, value)")
+                out.append(rankTdigestSql(args(0), args(1)))
               case "binary_and" | "binary_or" | "binary_xor" =>
                 // ADX binary_* names for the infix bit operators,
                 // widened to BIGINT (ADX operates on long).
@@ -6391,6 +6432,38 @@ object KqlParser {
                 require(args.length == 2,
                   "geo_intersects_2lines expects (line1, line2)")
                 out.append(geoIntersects2LinesSql(args(0), args(1)))
+              case "geo_intersects_2polygons" =>
+                // ADX geo_intersects_2polygons(p1, p2): for SIMPLE
+                // outer rings (holes unsupported — the polygon tier's
+                // convention), the polygons intersect iff any boundary
+                // segment pair intersects OR one contains the other —
+                // tested as ring1's first vertex inside p2 / ring2's
+                // first vertex inside p1 (interior overlap without
+                // boundary crossing implies containment for simple
+                // rings). Same planar deviation as the 2lines kernel.
+                require(args.length == 2,
+                  "geo_intersects_2polygons expects (polygon1, polygon2)")
+                def ringOf(p: String) =
+                  s"try_cast(variant_get($p, '$$.coordinates[0]') AS ARRAY<ARRAY<DOUBLE>>)"
+                def v0(p: String, c: Int) =
+                  s"element_at(element_at(${ringOf(p)}, 1), $c)"
+                out.append(s"((${geoSegsIntersectSql(ringOf(args(0)), ringOf(args(1)))}) OR " +
+                  s"(${geoPointInPolygonSql(v0(args(0), 1), v0(args(0), 2), args(1))}) OR " +
+                  s"(${geoPointInPolygonSql(v0(args(1), 1), v0(args(1), 2), args(0))}))")
+              case "geo_intersects_line_with_polygon" =>
+                // ADX geo_intersects_line_with_polygon(line, polygon):
+                // any line segment crosses the outer ring, OR the line
+                // lies wholly inside (first line vertex inside the
+                // polygon). Same simple-ring/planar conventions.
+                require(args.length == 2,
+                  "geo_intersects_line_with_polygon expects (line, polygon)")
+                val lineC =
+                  s"try_cast(variant_get(${args(0)}, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
+                val ringC =
+                  s"try_cast(variant_get(${args(1)}, '$$.coordinates[0]') AS ARRAY<ARRAY<DOUBLE>>)"
+                val lv0 = (c: Int) => s"element_at(element_at($lineC, 1), $c)"
+                out.append(s"((${geoSegsIntersectSql(lineC, ringC)}) OR " +
+                  s"(${geoPointInPolygonSql(lv0(1), lv0(2), args(1))}))")
               case "geo_polygon_centroid" =>
                 // ADX geo_polygon_centroid(polygon) → GeoJSON Point.
                 // Planar shoelace centroid in degree coordinates (the
@@ -7465,6 +7538,73 @@ object KqlParser {
     s"(CASE WHEN instr($e, '/') > 0 THEN " +
     s"try_cast(substring($e, instr($e, '/') + 1, 2147483647) AS INT) ELSE 32 END)"
 
+  // ---- tdigest tier (equi-depth deviation documented at the
+  //      summarize `tdigest` case) ---------------------------------
+
+  /** The 32-centroid equi-depth digest (array<struct<m, w>>) from a
+    * SORTED double-array expression: chunk ci covers sorted indices
+    * [ci·n DIV 32, (ci+1)·n DIV 32); m = one-rounded mean of a
+    * left-to-right fold; empty chunks filter out. */
+  private def tdigestFromSortedSql(sorted: String): String = {
+    val lo = "((tci * size(tds)) DIV 32)"
+    val hi = "(((tci + 1) * size(tds)) DIV 32)"
+    s"element_at(transform(array($sorted), tds -> " +
+      s"filter(transform(sequence(0, 31), tci -> named_struct(" +
+      s"'m', CASE WHEN $hi > $lo THEN " +
+      s"round(aggregate(slice(tds, $lo + 1, $hi - $lo), CAST(0 AS DOUBLE), " +
+      s"(ta, tx) -> ta + tx) / CAST($hi - $lo AS DOUBLE), 6) " +
+      s"ELSE CAST(NULL AS DOUBLE) END, " +
+      s"'w', CAST($hi - $lo AS BIGINT))), tcc -> tcc.w > 0)), 1)"
+  }
+
+  /** Merge a collect_list of digests: pool + sort centroids, annotate
+    * cumulative-before weight, re-chunk into 32 equal-WEIGHT pieces
+    * (chunk of centroid = cb·32 DIV N), weighted means one-rounded. */
+  private def tdigestMergeSql(collected: String): String = {
+    val cum = s"aggregate(array_sort(flatten($collected)), " +
+      "named_struct('cw', CAST(0 AS BIGINT), " +
+      "'out', CAST(array() AS ARRAY<STRUCT<m: DOUBLE, w: BIGINT, cb: BIGINT>>)), " +
+      "(tac, txx) -> named_struct('cw', tac.cw + txx.w, " +
+      "'out', array_append(tac.out, " +
+      "named_struct('m', txx.m, 'w', txx.w, 'cb', tac.cw)))).out"
+    s"element_at(transform(array($cum), tda -> " +
+      s"element_at(transform(array(aggregate(tda, CAST(0 AS BIGINT), " +
+      s"(tna, tnx) -> tna + tnx.w)), tn -> " +
+      s"filter(transform(sequence(0, 31), tci -> " +
+      s"element_at(transform(array(filter(tda, tmm -> " +
+      s"(tmm.cb * 32) DIV greatest(tn, 1) = tci)), tms -> named_struct(" +
+      s"'m', CASE WHEN size(tms) > 0 THEN " +
+      s"round(aggregate(tms, CAST(0 AS DOUBLE), " +
+      s"(tma, tmx) -> tma + tmx.m * CAST(tmx.w AS DOUBLE)) / " +
+      s"CAST(aggregate(tms, CAST(0 AS BIGINT), (twa, twx) -> twa + twx.w) AS DOUBLE), 6) " +
+      s"ELSE CAST(NULL AS DOUBLE) END, " +
+      s"'w', aggregate(tms, CAST(0 AS BIGINT), (twb, twy) -> twb + twy.w))), 1)), " +
+      s"tcc -> tcc.w > 0)), 1)), 1)"
+  }
+
+  /** percentile_tdigest(digest, p): the mean of the first centroid (in
+    * mean order) whose cumulative weight reaches p·N/100. */
+  private[kql] def percentileTdigestSql(d: String, p: String): String =
+    s"element_at(transform(array($d), tdg -> " +
+      s"element_at(transform(array(aggregate(tdg, CAST(0 AS BIGINT), " +
+      s"(tna, tnx) -> tna + tnx.w)), tn -> " +
+      s"CASE WHEN tn = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
+      s"aggregate(tdg, named_struct('cw', CAST(0 AS BIGINT), 'res', CAST(NULL AS DOUBLE)), " +
+      s"(tpc, tpx) -> named_struct('cw', tpc.cw + tpx.w, " +
+      s"'res', CASE WHEN tpc.res IS NULL AND " +
+      s"CAST(tpc.cw + tpx.w AS DOUBLE) >= ($p) * CAST(tn AS DOUBLE) / 100.0 " +
+      s"THEN tpx.m ELSE tpc.res END)).res END), 1)), 1)"
+
+  /** rank_tdigest(digest, v): 100·(Σ w where m ≤ v)/N, 6-dp rounded. */
+  private[kql] def rankTdigestSql(d: String, v: String): String =
+    s"element_at(transform(array($d), tdg -> " +
+      s"CASE WHEN size(tdg) = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
+      s"round(100.0 * CAST(aggregate(filter(tdg, trx -> " +
+      s"trx.m <= CAST(($v) AS DOUBLE)), CAST(0 AS BIGINT), " +
+      s"(tra, trw) -> tra + trw.w) AS DOUBLE) / " +
+      s"CAST(aggregate(tdg, CAST(0 AS BIGINT), (tnb, tny) -> tnb + tny.w) AS DOUBLE), 6) " +
+      s"END), 1)"
+
   /** Left-to-right fold of Σ a[i]·b[i] (the similarity tier's shared
     * kernel: dot product, magnitude via seriesDot(s,s), cosine,
     * Pearson's Σxy/Σx²/Σy² terms). */
@@ -8310,9 +8450,16 @@ object KqlParser {
     * op-for-op in the oracle. O(n·m) segment pairs per row — dim-side
     * geometry by design, like the covers. < 2 vertices on either
     * line → null. */
-  private[kql] def geoIntersects2LinesSql(l1: String, l2: String): String = {
-    val p1 = s"try_cast(variant_get($l1, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
-    val p2 = s"try_cast(variant_get($l2, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
+  private[kql] def geoIntersects2LinesSql(l1: String, l2: String): String =
+    geoSegsIntersectSql(
+      s"try_cast(variant_get($l1, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)",
+      s"try_cast(variant_get($l2, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)")
+
+  /** The segment-pair intersection core over two EXPLICIT point-array
+    * expressions — the seam the polygon-intersection predicates plug
+    * their closed rings into ([[geoIntersects2LinesSql]] passes line
+    * coordinates). */
+  private[kql] def geoSegsIntersectSql(p1: String, p2: String): String = {
     // segment endpoints: A,B from line1 edge gi, C,D from line2 edge gj
     def pt(src: String, i: String, c: Int) =
       s"element_at(element_at($src, $i), $c)"

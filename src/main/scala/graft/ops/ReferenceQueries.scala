@@ -2476,7 +2476,60 @@ object ReferenceQueries {
       |          r_pow, r_atan2, r_cot, r_deg, r_rad, r_pi, r_coal, r_isnull, r_isnotnull
       || sort by orderid asc""".stripMargin
 
+  /** r17 `tdigest` / `percentile_tdigest` / `rank_tdigest` — the
+    * quantile sketch tier (equi-depth deterministic deviation from
+    * Dunning's t-digest, documented at the aggregate): per-city
+    * digests over the INTEGER amount column (one-rounded chunk means
+    * — cross-engine exact), read back as p50/p90 and a rank. The
+    * oracle replays the sorted-chunk construction with the closed-form
+    * chunk index ((rn+1)·32 − 1) // n. */
+  val kqlTdigestText: String =
+    """Orders
+      || summarize d = tdigest(amount) by city
+      || extend p50 = percentile_tdigest(d, 50), p90 = percentile_tdigest(d, 90),
+      |         rk = rank_tdigest(d, 150), nc = tolong(array_length(d))
+      || project city, p50, p90, rk, nc
+      || sort by city asc""".stripMargin
+
+  /** r17 `tdigest_merge` — the mergeability half of the sketch
+    * contract: per-city digests pooled into one global digest
+    * (equal-weight re-chunk, weighted means one-rounded), read back as
+    * global percentiles + rank. The oracle replays the merge with a
+    * window cumulative-before and an ORDERED list_reduce (the engine's
+    * left-to-right fold). */
+  val kqlTdigestMergeText: String =
+    """Orders
+      || summarize d = tdigest(amount) by city
+      || summarize md = tdigest_merge(d)
+      || project gp50 = percentile_tdigest(md, 50), gp99 = percentile_tdigest(md, 99),
+      |          grk = rank_tdigest(md, 150), gnc = tolong(array_length(md))""".stripMargin
+
+  /** r17 `geo_intersects_2polygons` / `geo_intersects_line_with_polygon`
+    * — the boundary-crossing-or-containment composition over the dent
+    * ring (per-row square/line geometries built through bag_pack, so
+    * the variant path is exercised end-to-end). The oracle mirrors the
+    * orientation + on-segment tests and the even-odd containment
+    * op-for-op (pure double arithmetic, no trig). */
+  val kqlGeoIntersectsText: String =
+    """let poly = parse_json('{"type":"Polygon","coordinates":[[[-5.0,45.0],[5.0,43.0],[12.0,50.0],[0.0,47.5],[-8.0,52.0],[-5.0,45.0]]]}');
+      |Orders
+      || where orderid < 2000
+      || extend lon = todouble(orderid % 4000) / 100.0 - 20.0, lat = 40.0 + todouble(custid % 1000) / 50.0
+      || extend ln = bag_pack('type', 'LineString', 'coordinates',
+      |                       pack_array(pack_array(lon, lat), pack_array(lon + 3.0, lat + 3.0))),
+      |         sq = bag_pack('type', 'Polygon', 'coordinates',
+      |                       pack_array(pack_array(pack_array(lon, lat), pack_array(lon + 2.0, lat),
+      |                                  pack_array(lon + 2.0, lat + 2.0), pack_array(lon, lat + 2.0),
+      |                                  pack_array(lon, lat))))
+      || extend ilp = tolong(iff(geo_intersects_line_with_polygon(ln, poly), 1, 0)),
+      |         ipp = tolong(iff(geo_intersects_2polygons(sq, poly), 1, 0))
+      || summarize n = count(), n_ilp = sum(ilp), n_ipp = sum(ipp) by city
+      || sort by city asc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_geo_intersects2" -> kqlText(kqlGeoIntersectsText) _,
+    "kql_tdigest" -> kqlText(kqlTdigestText) _,
+    "kql_tdigest_merge" -> kqlText(kqlTdigestMergeText) _,
     "kql_ipv4_match" -> kqlText(kqlIpv4MatchText) _,
     "kql_hash_funcs" -> kqlText(kqlHashFuncsText) _,
     "kql_geo_azimuth" -> kqlText(kqlGeoAzimuthText) _,
@@ -2626,6 +2679,172 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // intersects predicates: the orientation (cross-product sign) +
+    // on-segment boundary test per segment pair, plus the even-odd
+    // containment fallbacks, each mirrored op-for-op. Line = 1
+    // segment; square = 4 edges; dent ring = 5 edges.
+    "kql_geo_intersects2" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, city, CAST(orderid % 4000 AS DOUBLE) / 100.0 - 20.0 AS lon,
+         |    40.0 + CAST(custid % 1000 AS DOUBLE) / 50.0 AS lat
+         |  FROM orders_info WHERE orderid < 2000),
+         |redges AS (
+         |  SELECT * FROM (VALUES
+         |    (-5.0, 45.0, 5.0, 43.0), (5.0, 43.0, 12.0, 50.0),
+         |    (12.0, 50.0, 0.0, 47.5), (0.0, 47.5, -8.0, 52.0),
+         |    (-8.0, 52.0, -5.0, 45.0)) AS e(cx, cy, dx, dy)),
+         |lnhit AS (
+         |  SELECT p.orderid, BOOL_OR(
+         |    (CASE WHEN ((((p.lon + 3.0) - p.lon) * (e.cy - p.lat) - (((p.lat + 3.0)) - p.lat) * (e.cx - p.lon)) > 0
+         |           AND  (((p.lon + 3.0) - p.lon) * (e.dy - p.lat) - (((p.lat + 3.0)) - p.lat) * (e.dx - p.lon)) < 0)
+         |          OR ((((p.lon + 3.0) - p.lon) * (e.cy - p.lat) - (((p.lat + 3.0)) - p.lat) * (e.cx - p.lon)) < 0
+         |           AND  (((p.lon + 3.0) - p.lon) * (e.dy - p.lat) - (((p.lat + 3.0)) - p.lat) * (e.dx - p.lon)) > 0)
+         |     THEN ((e.dx - e.cx) * (p.lat - e.cy) - (e.dy - e.cy) * (p.lon - e.cx)) > 0
+         |            AND ((e.dx - e.cx) * ((p.lat + 3.0) - e.cy) - (e.dy - e.cy) * ((p.lon + 3.0) - e.cx)) < 0
+         |         OR ((e.dx - e.cx) * (p.lat - e.cy) - (e.dy - e.cy) * (p.lon - e.cx)) < 0
+         |            AND ((e.dx - e.cx) * ((p.lat + 3.0) - e.cy) - (e.dy - e.cy) * ((p.lon + 3.0) - e.cx)) > 0
+         |     ELSE FALSE END)
+         |    OR ((((p.lon + 3.0) - p.lon) * (e.cy - p.lat) - (((p.lat + 3.0)) - p.lat) * (e.cx - p.lon)) = 0
+         |        AND e.cx >= least(p.lon, p.lon + 3.0) AND e.cx <= greatest(p.lon, p.lon + 3.0)
+         |        AND e.cy >= least(p.lat, p.lat + 3.0) AND e.cy <= greatest(p.lat, p.lat + 3.0))
+         |    OR ((((p.lon + 3.0) - p.lon) * (e.dy - p.lat) - (((p.lat + 3.0)) - p.lat) * (e.dx - p.lon)) = 0
+         |        AND e.dx >= least(p.lon, p.lon + 3.0) AND e.dx <= greatest(p.lon, p.lon + 3.0)
+         |        AND e.dy >= least(p.lat, p.lat + 3.0) AND e.dy <= greatest(p.lat, p.lat + 3.0))
+         |    OR (((e.dx - e.cx) * (p.lat - e.cy) - (e.dy - e.cy) * (p.lon - e.cx)) = 0
+         |        AND p.lon >= least(e.cx, e.dx) AND p.lon <= greatest(e.cx, e.dx)
+         |        AND p.lat >= least(e.cy, e.dy) AND p.lat <= greatest(e.cy, e.dy))
+         |    OR (((e.dx - e.cx) * ((p.lat + 3.0) - e.cy) - (e.dy - e.cy) * ((p.lon + 3.0) - e.cx)) = 0
+         |        AND (p.lon + 3.0) >= least(e.cx, e.dx) AND (p.lon + 3.0) <= greatest(e.cx, e.dx)
+         |        AND (p.lat + 3.0) >= least(e.cy, e.dy) AND (p.lat + 3.0) <= greatest(e.cy, e.dy))
+         |  ) AS seghit
+         |  FROM pts p CROSS JOIN redges e GROUP BY p.orderid),
+         |sqedges AS (
+         |  SELECT p.orderid, p.city, p.lon, p.lat, s.i,
+         |    CASE s.i WHEN 0 THEN p.lon WHEN 1 THEN p.lon + 2.0
+         |             WHEN 2 THEN p.lon + 2.0 ELSE p.lon END AS ax,
+         |    CASE s.i WHEN 0 THEN p.lat WHEN 1 THEN p.lat
+         |             WHEN 2 THEN p.lat + 2.0 ELSE p.lat + 2.0 END AS ay,
+         |    CASE s.i WHEN 0 THEN p.lon + 2.0 WHEN 1 THEN p.lon + 2.0
+         |             WHEN 2 THEN p.lon ELSE p.lon END AS bx,
+         |    CASE s.i WHEN 0 THEN p.lat WHEN 1 THEN p.lat + 2.0
+         |             WHEN 2 THEN p.lat + 2.0 ELSE p.lat END AS by
+         |  FROM pts p CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS i) s),
+         |sqhit AS (
+         |  SELECT q.orderid, BOOL_OR(
+         |    (CASE WHEN (((q.bx - q.ax) * (e.cy - q.ay) - (q.by - q.ay) * (e.cx - q.ax)) > 0
+         |            AND ((q.bx - q.ax) * (e.dy - q.ay) - (q.by - q.ay) * (e.dx - q.ax)) < 0)
+         |          OR (((q.bx - q.ax) * (e.cy - q.ay) - (q.by - q.ay) * (e.cx - q.ax)) < 0
+         |            AND ((q.bx - q.ax) * (e.dy - q.ay) - (q.by - q.ay) * (e.dx - q.ax)) > 0)
+         |     THEN ((e.dx - e.cx) * (q.ay - e.cy) - (e.dy - e.cy) * (q.ax - e.cx)) > 0
+         |            AND ((e.dx - e.cx) * (q.by - e.cy) - (e.dy - e.cy) * (q.bx - e.cx)) < 0
+         |         OR ((e.dx - e.cx) * (q.ay - e.cy) - (e.dy - e.cy) * (q.ax - e.cx)) < 0
+         |            AND ((e.dx - e.cx) * (q.by - e.cy) - (e.dy - e.cy) * (q.bx - e.cx)) > 0
+         |     ELSE FALSE END)
+         |    OR (((q.bx - q.ax) * (e.cy - q.ay) - (q.by - q.ay) * (e.cx - q.ax)) = 0
+         |        AND e.cx >= least(q.ax, q.bx) AND e.cx <= greatest(q.ax, q.bx)
+         |        AND e.cy >= least(q.ay, q.by) AND e.cy <= greatest(q.ay, q.by))
+         |    OR (((q.bx - q.ax) * (e.dy - q.ay) - (q.by - q.ay) * (e.dx - q.ax)) = 0
+         |        AND e.dx >= least(q.ax, q.bx) AND e.dx <= greatest(q.ax, q.bx)
+         |        AND e.dy >= least(q.ay, q.by) AND e.dy <= greatest(q.ay, q.by))
+         |    OR (((e.dx - e.cx) * (q.ay - e.cy) - (e.dy - e.cy) * (q.ax - e.cx)) = 0
+         |        AND q.ax >= least(e.cx, e.dx) AND q.ax <= greatest(e.cx, e.dx)
+         |        AND q.ay >= least(e.cy, e.dy) AND q.ay <= greatest(e.cy, e.dy))
+         |    OR (((e.dx - e.cx) * (q.by - e.cy) - (e.dy - e.cy) * (q.bx - e.cx)) = 0
+         |        AND q.bx >= least(e.cx, e.dx) AND q.bx <= greatest(e.cx, e.dx)
+         |        AND q.by >= least(e.cy, e.dy) AND q.by <= greatest(e.cy, e.dy))
+         |  ) AS seghit
+         |  FROM sqedges q CROSS JOIN redges e GROUP BY q.orderid),
+         |inpoly AS (
+         |  SELECT p.orderid,
+         |    COUNT(*) FILTER (WHERE ((e.cy > p.lat) <> (e.dy > p.lat))
+         |      AND p.lon < e.cx + (e.dx - e.cx) * (p.lat - e.cy) / (e.dy - e.cy)) % 2 = 1 AS inside
+         |  FROM pts p CROSS JOIN redges e GROUP BY p.orderid),
+         |ringv0insq AS (
+         |  SELECT q.orderid,
+         |    COUNT(*) FILTER (WHERE ((q.ay > 45.0) <> (q.by > 45.0))
+         |      AND -5.0 < q.ax + (q.bx - q.ax) * (45.0 - q.ay) / (q.by - q.ay)) % 2 = 1 AS inside
+         |  FROM sqedges q GROUP BY q.orderid),
+         |fin AS (
+         |  SELECT p.city,
+         |    CASE WHEN l.seghit OR i.inside THEN 1 ELSE 0 END AS ilp,
+         |    CASE WHEN s.seghit OR i.inside OR r.inside THEN 1 ELSE 0 END AS ipp
+         |  FROM pts p
+         |  JOIN lnhit l ON l.orderid = p.orderid
+         |  JOIN sqhit s ON s.orderid = p.orderid
+         |  JOIN inpoly i ON i.orderid = p.orderid
+         |  JOIN ringv0insq r ON r.orderid = p.orderid)
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(ilp) AS BIGINT) AS n_ilp, CAST(SUM(ipp) AS BIGINT) AS n_ipp
+         |FROM fin GROUP BY city ORDER BY city ASC""".stripMargin,
+    // tdigest: the sorted-chunk construction replayed — chunk of
+    // 0-based rank rn is ((rn+1)·32 − 1) // n (the closed form of
+    // "index in [ci·n DIV 32, (ci+1)·n DIV 32)"); chunk means are
+    // one-rounded divisions of exact integer sums; percentile = first
+    // centroid (mean order) whose cumulative weight reaches p·N/100.
+    "kql_tdigest" ->
+      s"""${Sql.ordersInfoCte},
+         |s AS (
+         |  SELECT city, amount,
+         |    ROW_NUMBER() OVER (PARTITION BY city ORDER BY amount) - 1 AS rn,
+         |    COUNT(*) OVER (PARTITION BY city) AS n
+         |  FROM orders_info),
+         |cent AS (
+         |  SELECT city, ((rn + 1) * 32 - 1) // n AS ci,
+         |    round(CAST(SUM(amount) AS DOUBLE) / COUNT(*), 6) AS m,
+         |    CAST(COUNT(*) AS BIGINT) AS w, MAX(n) AS n
+         |  FROM s GROUP BY city, ((rn + 1) * 32 - 1) // n),
+         |cum AS (
+         |  SELECT city, m, w, n, SUM(w) OVER (PARTITION BY city ORDER BY m, w
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+         |  FROM cent)
+         |SELECT city,
+         |  MIN(m) FILTER (WHERE CAST(cw AS DOUBLE) >= 50 * CAST(n AS DOUBLE) / 100.0) AS p50,
+         |  MIN(m) FILTER (WHERE CAST(cw AS DOUBLE) >= 90 * CAST(n AS DOUBLE) / 100.0) AS p90,
+         |  round(100.0 * CAST(SUM(w) FILTER (WHERE m <= 150.0) AS DOUBLE)
+         |    / CAST(SUM(w) AS DOUBLE), 6) AS rk,
+         |  CAST(COUNT(*) AS BIGINT) AS nc
+         |FROM cum GROUP BY city ORDER BY city ASC""".stripMargin,
+    // tdigest_merge: per-city centroids pooled, sorted by (m, w),
+    // cumulative-BEFORE weight assigns each centroid whole to chunk
+    // (cb·32) // N; weighted chunk means via an ORDERED list_reduce
+    // (the engine's left-to-right fold over the sorted pool).
+    "kql_tdigest_merge" ->
+      s"""${Sql.ordersInfoCte},
+         |s AS (
+         |  SELECT city, amount,
+         |    ROW_NUMBER() OVER (PARTITION BY city ORDER BY amount) - 1 AS rn,
+         |    COUNT(*) OVER (PARTITION BY city) AS n
+         |  FROM orders_info),
+         |cent AS (
+         |  SELECT city, ((rn + 1) * 32 - 1) // n AS ci,
+         |    round(CAST(SUM(amount) AS DOUBLE) / COUNT(*), 6) AS m,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM s GROUP BY city, ((rn + 1) * 32 - 1) // n),
+         |pool AS (
+         |  SELECT m, w,
+         |    SUM(w) OVER (ORDER BY m, w
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS cb,
+         |    SUM(w) OVER () AS nt
+         |  FROM cent),
+         |mchunk AS (
+         |  SELECT (cb * 32) // nt AS ci, nt,
+         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(m * CAST(w AS DOUBLE) ORDER BY m, w)), (la, lb) -> la + lb)
+         |      / CAST(SUM(w) AS DOUBLE), 6) AS m2,
+         |    CAST(SUM(w) AS BIGINT) AS w2
+         |  FROM pool GROUP BY (cb * 32) // nt, nt),
+         |mcum AS (
+         |  SELECT m2, w2, nt, SUM(w2) OVER (ORDER BY m2, w2
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+         |  FROM mchunk)
+         |SELECT
+         |  MIN(m2) FILTER (WHERE CAST(cw AS DOUBLE) >= 50 * CAST(nt AS DOUBLE) / 100.0) AS gp50,
+         |  MIN(m2) FILTER (WHERE CAST(cw AS DOUBLE) >= 99 * CAST(nt AS DOUBLE) / 100.0) AS gp99,
+         |  round(100.0 * CAST(SUM(w2) FILTER (WHERE m2 <= 150.0) AS DOUBLE)
+         |    / CAST(SUM(w2) AS DOUBLE), 6) AS grk,
+         |  CAST(COUNT(*) AS BIGINT) AS gnc
+         |FROM mcum""".stripMargin,
     // ipv4_is_match: expected booleans hand-checked per row (effective
     // prefix = min of each side's "/p" and the optional argument;
     // malformed 'bad' row nulls → iff else-branch 0).

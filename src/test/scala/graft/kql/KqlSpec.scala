@@ -3713,6 +3713,52 @@ class KqlSpec extends SparkSpec {
       pv.getLong(2) == 3L && pv.getDouble(3) == 0.0)
   }
 
+  test("parser: r17 intersects predicates — 2polygons / line_with_polygon") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    def sq(x0: Double, y0: Double, s: Double) =
+      s"""parse_json('{"type":"Polygon","coordinates":[[[$x0,$y0],[${x0 + s},$y0],[${x0 + s},${y0 + s}],[$x0,${y0 + s}],[$x0,$y0]]]}')"""
+    def ln(ax: Double, ay: Double, bx: Double, by: Double) =
+      s"""parse_json('{"type":"LineString","coordinates":[[$ax,$ay],[$bx,$by]]}')"""
+    // polygons: crossing, containment (no edge crossing), disjoint
+    assert(one(s"geo_intersects_2polygons(${sq(0, 0, 2)}, ${sq(1, 1, 2)})").getBoolean(0))
+    assert(one(s"geo_intersects_2polygons(${sq(0, 0, 10)}, ${sq(4, 4, 1)})").getBoolean(0))
+    assert(one(s"geo_intersects_2polygons(${sq(4, 4, 1)}, ${sq(0, 0, 10)})").getBoolean(0))
+    assert(!one(s"geo_intersects_2polygons(${sq(0, 0, 1)}, ${sq(5, 5, 1)})").getBoolean(0))
+    // line: crossing, wholly inside, outside
+    assert(one(s"geo_intersects_line_with_polygon(${ln(-1, 1, 3, 1)}, ${sq(0, 0, 2)})").getBoolean(0))
+    assert(one(s"geo_intersects_line_with_polygon(${ln(0.5, 0.5, 1.5, 1.5)}, ${sq(0, 0, 2)})").getBoolean(0))
+    assert(!one(s"geo_intersects_line_with_polygon(${ln(5, 5, 6, 6)}, ${sq(0, 0, 2)})").getBoolean(0))
+    // malformed geometry → null
+    assert(one(s"geo_intersects_line_with_polygon(parse_json('{}'), ${sq(0, 0, 2)})").isNullAt(0))
+  }
+
+  test("parser: r17 tdigest tier — equi-depth digest, percentile/rank reads, merge") {
+    val reg = Map("T" -> (1 to 64).map(i => ("g", i)).toDF("k", "v"))
+    // 64 values, one group → 32 centroids of w=2; centroid ci's mean is
+    // 2ci + 1.5. p50 target = 32 → centroid 15 (cum 32) → 31.5; p100 →
+    // the last centroid 63.5; rank(32) counts the 16 centroids ≤ 32.
+    val r = KqlParser.run(
+      "T | summarize d = tdigest(v) by k " +
+        "| project p50 = percentile_tdigest(d, 50), p100 = percentile_tdigest(d, 100), " +
+        "rk = rank_tdigest(d, 32), nc = tolong(array_length(d))", reg).head()
+    assert(r.getDouble(0) == 31.5 && r.getDouble(1) == 63.5 &&
+      r.getDouble(2) == 50.0 && r.getLong(3) == 32L)
+    // merge: two 2-value groups pool to 4 unit-weight centroids; the
+    // equal-weight re-chunk keeps them distinct (N=4 → chunks 0/8/16/24)
+    val reg2 = Map("T" -> Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4)).toDF("k", "v"))
+    val m = KqlParser.run(
+      "T | summarize d = tdigest(v) by k | summarize md = tdigest_merge(d) " +
+        "| project gp50 = percentile_tdigest(md, 50), grk = rank_tdigest(md, 2.5), " +
+        "gnc = tolong(array_length(md))", reg2).head()
+    assert(m.getDouble(0) == 2.0 && m.getDouble(1) == 50.0 && m.getLong(2) == 4L)
+    // empty-group read → null
+    val e = KqlParser.run(
+      "T | where v > 99 | summarize d = tdigest(v) by k " +
+        "| project p = percentile_tdigest(d, 50)", reg2)
+    assert(e.count() == 0L)
+  }
+
   test("parser: r17 closers — isutf8/new_guid/dynamic_to_json/unixtime_nanos/series_stats/consume") {
     val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
     def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()

@@ -62,6 +62,15 @@ class NumericLintSpec extends AnyFunSuite {
     "text_dsir_corpus" -> "log-likelihood ratios: transcendental",
     "text_ccnet_buckets" -> "log2 perplexity: transcendental",
     "text_perplexity" -> "avg log2: transcendental",
+    // tdigest chunk means: round(S/n, 6) where S is an exact-integer
+    // double sum (amounts < 2^53) and n an exact small int — BOTH
+    // engines divide the IDENTICAL exact operands, so they round the
+    // same double and tie behavior cannot diverge. The merge's
+    // weighted means fold Σ(m·w) left-to-right with the oracle
+    // mirroring the order via an ORDERED list_reduce — again identical
+    // doubles into one shared round.
+    "kql_tdigest" -> "one-rounded division of identical exact operands",
+    "kql_tdigest_merge" -> "order-mirrored fold into one shared round",
     // RRF: sums of 1/(60+rank), rank <= 50. The only power-of-10-smooth
     // denominators in [61,110] are 64, 80, 100; any pairwise lcm is
     // 2^a·5^b <= 1600, so every terminating value stops by digit 6 —
