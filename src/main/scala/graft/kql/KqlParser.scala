@@ -4428,6 +4428,7 @@ object KqlParser {
               "geo_angle", "geo_s2cell_to_polygon",
               "geo_closest_point_on_polygon",
               "geo_intersects_2polygons", "geo_intersects_line_with_polygon",
+              "geo_line_locate_point", "geo_line_interpolate_point",
               "geo_point_to_geohash", "geo_geohash_to_central_point",
               "geo_geohash_neighbors", "geo_geohash_to_polygon",
               "geo_line_densify", "geo_polygon_densify",
@@ -6374,6 +6375,20 @@ object KqlParser {
                 out.append(s"graft_geo_dist_line(CAST((${args(0)}) AS DOUBLE), " +
                   s"CAST((${args(1)}) AS DOUBLE), try_cast(variant_get(" +
                   s"${args(2)}, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>))")
+              case "geo_line_locate_point" =>
+                // ADX geo_line_locate_point(line, lng, lat) → meters
+                // from the line's start to the closest point on it
+                // (kernel + deviations at geoLineLocateSql).
+                require(args.length == 3,
+                  "geo_line_locate_point expects (line, lng, lat)")
+                out.append(geoLineLocateSql(args(0), args(1), args(2)))
+              case "geo_line_interpolate_point" =>
+                // ADX geo_line_interpolate_point(line, distance) → the
+                // Point `distance` meters along the line (clamping
+                // deviation documented at geoLineInterpolateSql).
+                require(args.length == 2,
+                  "geo_line_interpolate_point expects (line, distanceMeters)")
+                out.append(geoLineInterpolateSql(args(0), args(1)))
               case "geo_closest_point_on_line" =>
                 // r15: ADX geo_closest_point_on_line(lon, lat, line)
                 // → GeoJSON Point of the argmin foot — the
@@ -8413,6 +8428,81 @@ object KqlParser {
       s"CASE WHEN glq.r IS NULL OR size(glq.r) < 2 THEN CAST(NULL AS DOUBLE) " +
       s"ELSE aggregate(sequence(0, size(glq.r) - 2), CAST(0 AS DOUBLE), " +
       s"(gs, gl) -> gs + sqrt($dx * $dx + $dy * $dy)) END), 1)"
+  }
+
+  /** ADX geo_line_locate_point(line, lng, lat) → meters from the
+    * line's start to the CLOSEST point on it: one fold over segments
+    * carrying (cumulative length, best distance, best position), with
+    * the same equirectangular mean-latitude scaling, clamped-t
+    * projection, and first-strictly-better tie rule as the
+    * point-to-line distance kernel. Invalid point or < 2 vertices →
+    * null. */
+  private[kql] def geoLineLocateSql(line: String, lonE: String,
+                                    latE: String): String = {
+    val pts = s"try_cast(variant_get($line, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
+    val latc = s"aggregate(gcr, CAST(0 AS DOUBLE), (gc0, gcv) -> gc0 + element_at(gcv, 2)) / CAST(size(gcr) AS DOUBLE)"
+    def x(i: String) = s"element_at(element_at(gcq.r, $i), 1)"
+    def y(i: String) = s"element_at(element_at(gcq.r, $i), 2)"
+    val qx = s"(CAST(($lonE) AS DOUBLE) * gcq.kx)"
+    val qy = s"(CAST(($latE) AS DOUBLE) * 110574.0)"
+    val binder = s"named_struct(" +
+      s"'ax', ${x("gc + 1")} * gcq.kx, 'ay', ${y("gc + 1")} * 110574.0, " +
+      s"'dx', (${x("gc + 2")} - ${x("gc + 1")}) * gcq.kx, " +
+      s"'dy', (${y("gc + 2")} - ${y("gc + 1")}) * 110574.0)"
+    val len2 = "(gsg.dx * gsg.dx + gsg.dy * gsg.dy)"
+    val t = s"(CASE WHEN $len2 = 0.0 THEN 0.0 ELSE least(1.0, greatest(0.0, " +
+      s"(($qx - gsg.ax) * gsg.dx + ($qy - gsg.ay) * gsg.dy) / $len2)) END)"
+    val step = s"named_struct('t', $t, 'len', sqrt($len2), " +
+      s"'d', sqrt(($qx - gsg.ax - $t * gsg.dx) * ($qx - gsg.ax - $t * gsg.dx) + " +
+      s"($qy - gsg.ay - $t * gsg.dy) * ($qy - gsg.ay - $t * gsg.dy)))"
+    s"element_at(transform(array(element_at(transform(array($pts), gcr -> " +
+      s"named_struct('r', gcr, 'kx', 111320.0 * cos(radians($latc)))), 1)), gcq -> " +
+      s"CASE WHEN abs(CAST(($latE) AS DOUBLE)) > 90.0 OR abs(CAST(($lonE) AS DOUBLE)) > 180.0 " +
+      s"OR gcq.r IS NULL OR size(gcq.r) < 2 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE aggregate(sequence(0, size(gcq.r) - 2), " +
+      s"named_struct('cum', CAST(0 AS DOUBLE), 'bd', CAST(NULL AS DOUBLE), 'bp', CAST(NULL AS DOUBLE)), " +
+      s"(ga, gc) -> element_at(transform(array($binder), gsg -> " +
+      s"element_at(transform(array($step), gst -> named_struct(" +
+      s"'cum', ga.cum + gst.len, " +
+      s"'bd', CASE WHEN ga.bd IS NULL OR gst.d < ga.bd THEN gst.d ELSE ga.bd END, " +
+      s"'bp', CASE WHEN ga.bd IS NULL OR gst.d < ga.bd THEN ga.cum + gst.t * gst.len ELSE ga.bp END)), 1)), 1)).bp " +
+      s"END), 1)"
+  }
+
+  /** ADX geo_line_interpolate_point(line, distance) → the GeoJSON
+    * Point `distance` METERS along the line from its start. The walk
+    * uses the same mean-latitude meter lengths as
+    * [[geoLineLengthSql]]; the landing segment lerps in DEGREES (the
+    * meter fraction equals the degree fraction under the diagonal
+    * axis scaling). Distance CLAMPS to [0, total] (past-the-end lands
+    * on the final vertex — documented; ADX's off-range contract is an
+    * error). < 2 vertices → null. */
+  private[kql] def geoLineInterpolateSql(line: String, distE: String): String = {
+    val pts = s"try_cast(variant_get($line, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
+    val latc = s"aggregate(gir, CAST(0 AS DOUBLE), (gi0, giv) -> gi0 + element_at(giv, 2)) / CAST(size(gir) AS DOUBLE)"
+    def x(i: String) = s"element_at(element_at(giq.r, $i), 1)"
+    def y(i: String) = s"element_at(element_at(giq.r, $i), 2)"
+    val segBind = s"named_struct(" +
+      s"'x1', ${x("gi + 1")}, 'y1', ${y("gi + 1")}, " +
+      s"'x2', ${x("gi + 2")}, 'y2', ${y("gi + 2")}, " +
+      s"'len', sqrt(((${x("gi + 2")} - ${x("gi + 1")}) * giq.kx) * ((${x("gi + 2")} - ${x("gi + 1")}) * giq.kx) + " +
+      s"((${y("gi + 2")} - ${y("gi + 1")}) * 110574.0) * ((${y("gi + 2")} - ${y("gi + 1")}) * 110574.0)))"
+    val total = s"aggregate(sequence(0, size(giq.r) - 2), CAST(0 AS DOUBLE), " +
+      s"(gl0, gi) -> gl0 + element_at(transform(array($segBind), gsl -> gsl.len), 1))"
+    val frac = "(CASE WHEN gsw.len = 0.0 THEN 0.0 ELSE (gtt - gwa.cum) / gsw.len END)"
+    val walk = s"aggregate(sequence(0, size(giq.r) - 2), " +
+      s"named_struct('cum', CAST(0 AS DOUBLE), 'res', CAST(NULL AS ARRAY<DOUBLE>)), " +
+      s"(gwa, gw) -> element_at(transform(array(${segBind.replace("gi + ", "gw + ")}), gsw -> named_struct(" +
+      s"'cum', gwa.cum + gsw.len, " +
+      s"'res', CASE WHEN gwa.res IS NULL AND gwa.cum + gsw.len >= gtt THEN " +
+      s"array(gsw.x1 + $frac * (gsw.x2 - gsw.x1), gsw.y1 + $frac * (gsw.y2 - gsw.y1)) " +
+      s"ELSE gwa.res END)), 1))"
+    s"element_at(transform(array(element_at(transform(array($pts), gir -> " +
+      s"named_struct('r', gir, 'kx', 111320.0 * cos(radians($latc)))), 1)), giq -> " +
+      s"CASE WHEN giq.r IS NULL OR size(giq.r) < 2 THEN NULL " +
+      s"ELSE element_at(transform(array(least(greatest(CAST(($distE) AS DOUBLE), 0.0), $total)), gtt -> " +
+      s"element_at(transform(array(coalesce($walk.res, element_at(giq.r, size(giq.r)))), gfp -> " +
+      s"parse_json(to_json(named_struct('type', 'Point', 'coordinates', gfp)))), 1)), 1) END), 1)"
   }
 
   /** ADX geo_line_centroid(lineString) → GeoJSON Point: the

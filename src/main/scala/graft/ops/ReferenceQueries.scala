@@ -2526,7 +2526,27 @@ object ReferenceQueries {
       || summarize n = count(), n_ilp = sum(ilp), n_ipp = sum(ipp) by city
       || sort by city asc""".stripMargin
 
+  /** r17 `geo_line_locate_point` / `geo_line_interpolate_point` — the
+    * along-line walk pair over a fixed 3-edge route: locate = argmin
+    * foot's cumulative position (the kql_geo_closest mirror extended
+    * with a running length), interpolate = the clamped meter walk
+    * lerping the landing segment in degrees. Distances from the
+    * integer amount column so clamp paths (past-the-end) are
+    * exercised. */
+  val kqlGeoLineWalkText: String =
+    """let route = parse_json('{"type":"LineString","coordinates":[[10.0,50.0],[10.5,50.2],[10.5,50.6],[11.0,50.8]]}');
+      |Orders
+      || where orderid < 1000
+      || extend lon = 9.8 + todouble(orderid % 200) / 100.0, lat = 49.9 + todouble(custid % 120) / 100.0
+      || extend pos = tolong(floor(geo_line_locate_point(route, lon, lat), 1))
+      || extend ip = geo_line_interpolate_point(route, todouble(amount - 100) * 1000.0)
+      || extend ix_u = tolong(floor(todouble(ip.coordinates[0]) * 1000000.0, 1)),
+      |         iy_u = tolong(floor(todouble(ip.coordinates[1]) * 1000000.0, 1))
+      || summarize n = count(), pos_sum = sum(pos), ix_sum = sum(ix_u), iy_sum = sum(iy_u) by city
+      || sort by city asc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_geo_line_walk" -> kqlText(kqlGeoLineWalkText) _,
     "kql_geo_intersects2" -> kqlText(kqlGeoIntersectsText) _,
     "kql_tdigest" -> kqlText(kqlTdigestText) _,
     "kql_tdigest_merge" -> kqlText(kqlTdigestMergeText) _,
@@ -2679,6 +2699,79 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // line walk: the kql_geo_closest argmin mirror extended with a
+    // window running length (locate = cumb + t·len of the rn=1 row);
+    // interpolate = first segment whose cumulative reach covers the
+    // clamped target, degree lerp by the meter fraction. Segment
+    // lengths and cumulatives are windowed in edge order (the engine's
+    // left-to-right fold); kx at the 4-vertex mean-latitude fold.
+    "kql_geo_line_walk" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, city, amount,
+         |    9.8 + CAST(orderid % 200 AS DOUBLE) / 100.0 AS lon,
+         |    49.9 + CAST(custid % 120 AS DOUBLE) / 100.0 AS lat
+         |  FROM orders_info WHERE orderid < 1000),
+         |k AS (SELECT 111320.0 * cos(radians(
+         |  ((((0.0 + 50.0) + 50.2) + 50.6) + 50.8) / 4.0)) AS kx),
+         |verts AS (
+         |  SELECT i, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM (VALUES
+         |    (0, 10.0, 50.0), (1, 10.5, 50.2), (2, 10.5, 50.6), (3, 11.0, 50.8)) AS t(i, x, y)),
+         |segs AS (
+         |  SELECT a.i, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2, k.kx,
+         |    sqrt(((b.x - a.x) * k.kx) * ((b.x - a.x) * k.kx)
+         |       + ((b.y - a.y) * 110574.0) * ((b.y - a.y) * 110574.0)) AS len
+         |  FROM verts a JOIN verts b ON b.i = a.i + 1 CROSS JOIN k),
+         |segc AS (
+         |  SELECT *, SUM(len) OVER (ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS cumb,
+         |    SUM(len) OVER (ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+         |  FROM segs),
+         |e AS (
+         |  SELECT p.orderid, s.i, s.len, s.cumb,
+         |    p.lon * s.kx AS qx, p.lat * 110574.0 AS qy,
+         |    s.x1 * s.kx AS ax, s.y1 * 110574.0 AS ay,
+         |    (s.x2 - s.x1) * s.kx AS dx, (s.y2 - s.y1) * 110574.0 AS dy
+         |  FROM pts p CROSS JOIN segc s),
+         |f1 AS (SELECT *, dx * dx + dy * dy AS len2 FROM e),
+         |f2 AS (
+         |  SELECT *, CASE WHEN len2 = 0.0 THEN 0.0
+         |    ELSE least(1.0, greatest(0.0, ((qx - ax) * dx + (qy - ay) * dy) / len2))
+         |  END AS t FROM f1),
+         |f3 AS (
+         |  SELECT *, sqrt((qx - ax - t * dx) * (qx - ax - t * dx)
+         |       + (qy - ay - t * dy) * (qy - ay - t * dy)) AS d
+         |  FROM f2),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY orderid
+         |    ORDER BY d ASC, i ASC) AS rn FROM f3),
+         |loc AS (
+         |  SELECT orderid, CAST(floor(cumb + t * len) AS BIGINT) AS pos
+         |  FROM r WHERE rn = 1),
+         |tot AS (SELECT MAX(cumw) AS total FROM segc),
+         |tgt AS (
+         |  SELECT p.orderid,
+         |    least(greatest(CAST(p.amount - 100 AS DOUBLE) * 1000.0, 0.0), t.total) AS gtt
+         |  FROM pts p CROSS JOIN tot t),
+         |land AS (
+         |  SELECT g.orderid, g.gtt, MIN(s.i) AS li
+         |  FROM tgt g JOIN segc s ON s.cumb + s.len >= g.gtt
+         |  GROUP BY g.orderid, g.gtt),
+         |ip AS (
+         |  SELECT l.orderid,
+         |    s.x1 + (CASE WHEN s.len = 0.0 THEN 0.0 ELSE (l.gtt - s.cumb) / s.len END)
+         |      * (s.x2 - s.x1) AS ix,
+         |    s.y1 + (CASE WHEN s.len = 0.0 THEN 0.0 ELSE (l.gtt - s.cumb) / s.len END)
+         |      * (s.y2 - s.y1) AS iy
+         |  FROM land l JOIN segc s ON s.i = l.li)
+         |SELECT p.city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(loc.pos) AS BIGINT) AS pos_sum,
+         |  CAST(SUM(CAST(floor(ip.ix * 1000000.0) AS BIGINT)) AS BIGINT) AS ix_sum,
+         |  CAST(SUM(CAST(floor(ip.iy * 1000000.0) AS BIGINT)) AS BIGINT) AS iy_sum
+         |FROM pts p JOIN loc ON loc.orderid = p.orderid
+         |JOIN ip ON ip.orderid = p.orderid
+         |GROUP BY p.city ORDER BY p.city ASC""".stripMargin,
     // intersects predicates: the orientation (cross-product sign) +
     // on-segment boundary test per segment pair, plus the even-odd
     // containment fallbacks, each mirrored op-for-op. Line = 1

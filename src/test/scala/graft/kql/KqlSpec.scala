@@ -3713,6 +3713,33 @@ class KqlSpec extends SparkSpec {
       pv.getLong(2) == 3L && pv.getDouble(3) == 0.0)
   }
 
+  test("parser: r17 line walk — geo_line_locate_point / geo_line_interpolate_point") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    // equator segment [0,0]→[1,0]: kx = 111320·cos(0 mean-lat... the
+    // mean lat is 0 so kx = 111320); the foot of (0.5, 0.5) is at
+    // lon 0.5 → 0.5·111320 m from the start
+    val eq = """parse_json('{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0]]}')"""
+    assert(one(s"geo_line_locate_point($eq, 0.5, 0.5)").getDouble(0) == 0.5 * 111320.0)
+    // before the start clamps to 0; past the end clamps to the total
+    assert(one(s"geo_line_locate_point($eq, -2.0, 0.0)").getDouble(0) == 0.0)
+    assert(one(s"geo_line_locate_point($eq, 3.0, 0.0)").getDouble(0) == 111320.0)
+    assert(one(s"geo_line_locate_point($eq, 200.0, 0.0)").isNullAt(0))
+    // interpolate: halfway in meters lands at lon 0.5; clamps land on
+    // the endpoints
+    def ipt(d: String) = KqlParser.run(
+      s"T | extend p = geo_line_interpolate_point($eq, $d) " +
+        "| project r = tostring(p.coordinates)", reg).head().getString(0)
+    assert(ipt("55660.0") == "[0.5,0]")
+    assert(ipt("-5.0") == "[0,0]")
+    assert(ipt("999999.0") == "[1,0]")
+    // round-trip: interpolate at locate's answer recovers the foot
+    val rt = KqlParser.run(
+      s"T | extend p = geo_line_interpolate_point($eq, geo_line_locate_point($eq, 0.25, 1.0)) " +
+        "| project r = tostring(p.coordinates)", reg).head().getString(0)
+    assert(rt == "[0.25,0]")
+  }
+
   test("parser: r17 intersects predicates — 2polygons / line_with_polygon") {
     val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
     def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
