@@ -202,6 +202,20 @@ class PlanSpec extends SparkSpec {
       "exactly one hash shuffle on the scan keys:\n" + p.take(3000))
   }
 
+  test("tdigest: two-level build — rank window partitioned by group, no raw-value collect") {
+    val p = phys(graft.SparkEntry.queries("kql_tdigest")(spark, sfDir))
+    // the r17 build buffered each group via array_sort(collect_list(raw));
+    // the r18 two-level form ranks through a spill-safe window and the
+    // only collect is the ≤32-centroid struct list (VERDICT r17 #1)
+    assert(p.contains("row_number()"), p.take(2000))
+    assert(p.contains("windowspecdefinition(__gk0"),
+      "rank window must partition by the group key:\n" + p.take(3000))
+    assert(!p.contains("collect_list(cast"),
+      "no unbounded raw-value collect_list:\n" + p.take(3000))
+    assert(p.contains("collect_list(struct(m,"),
+      "digest collect must be over centroid structs:\n" + p.take(3000))
+  }
+
   test("sequence packing: window partitions by shard — no single global sort of the corpus") {
     val p = phys(graft.ext.TextAnalysis.packSequences(spark, sfDir))
     assert(p.contains("Window"), p.take(2000))
