@@ -36,6 +36,8 @@ object GraftFunctions {
     "graft_h3_line_cover" -> (e => H3LineCover(e(0), e(1))),
     "graft_h3_parent" -> (e => H3CellParent(e(0), e(1))),
     "graft_h3_children" -> (e => H3CellChildren(e(0), e(1))),
+    "graft_h3_compact" -> (e => H3CellCompact(e(0))),
+    "graft_h3_uncompact" -> (e => H3CellUncompact(e(0), e(1))),
     "graft_codepoints" -> (e => UnicodeCodepoints(e(0))),
     "graft_from_codepoints" -> (e => UnicodeFromCodepoints(e(0))),
     "graft_punycode_encode" -> (e => PunycodeEncode(e(0))),
@@ -44,6 +46,7 @@ object GraftFunctions {
     "graft_ipv6_mask" -> (e => Ipv6CanonicalMask(e(0), e(1))),
     "graft_ipv6_cmp" -> (e => Ipv6Compare(e(0), e(1), e(2))),
     "graft_make_bag" -> (e => BagMergeAgg(e(0), e(1))),
+    "graft_build_schema" -> (e => BuildSchemaAgg(e(0))),
     "graft_gzip_compress" -> (e => GzipCompress(e(0))),
     "graft_gzip_decompress" -> (e => GzipDecompress(e(0))),
     "graft_zlib_compress" -> (e => ZlibCompress(e(0))),

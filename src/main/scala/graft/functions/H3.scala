@@ -606,6 +606,108 @@ object H3 {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** ADX geo_h3cell_compact(cells): repeatedly replace every COMPLETE
+    * sibling set with its parent until stable — the standard compact,
+    * under THIS token system's center-containment parent/child
+    * convention ([[parentOf]]/[[childrenOf]]): a sibling set is
+    * complete when every cell of `childrenOf(parent)` is present
+    * (clipped edge parents can have < 7 children — completeness is
+    * against the ACTUAL child set, not a fixed aperture). Output is
+    * sorted + deduped (deterministic). Dim-side by design, like the
+    * covers: each fixpoint pass runs one childrenOf enumeration per
+    * candidate parent. Null on malformed/null tokens (ADX's
+    * null-on-invalid shape); mixed resolutions are fine. */
+  def compactCells(cells: ArrayData): ArrayData = {
+    if (cells == null) return null
+    val set = new java.util.TreeSet[String]()
+    var i = 0
+    val n = cells.numElements()
+    while (i < n) {
+      if (cells.isNullAt(i)) return null
+      val t = cells.getUTF8String(i)
+      if (decode(t) == null) return null
+      set.add(t.toString): Unit
+      i += 1
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      // group the current cells by their one-level-up parent
+      val byParent = new java.util.TreeMap[String, java.util.TreeSet[String]]()
+      val it = set.iterator()
+      while (it.hasNext) {
+        val s = it.next()
+        val tok = UTF8String.fromString(s)
+        val lvl = decode(tok)(0).toInt
+        if (lvl > 0) {
+          val p = parentOf(tok, lvl - 1).toString
+          byParent.computeIfAbsent(p,
+            _ => new java.util.TreeSet[String]()).add(s): Unit
+        }
+      }
+      val pit = byParent.entrySet().iterator()
+      while (pit.hasNext) {
+        val e = pit.next()
+        val p = e.getKey
+        val present = e.getValue
+        val ptok = UTF8String.fromString(p)
+        val plvl = decode(ptok)(0).toInt
+        val ch = childrenOf(ptok, plvl + 1)
+        var complete = ch.numElements() > 0
+        var j = 0
+        while (complete && j < ch.numElements()) {
+          complete = present.contains(ch.getUTF8String(j).toString)
+          j += 1
+        }
+        if (complete) {
+          j = 0
+          while (j < ch.numElements()) {
+            set.remove(ch.getUTF8String(j).toString): Unit
+            j += 1
+          }
+          set.add(p): Unit
+          changed = true
+        }
+      }
+    }
+    val out = new Array[Any](set.size())
+    val oit = set.iterator()
+    var o = 0
+    while (oit.hasNext) { out(o) = UTF8String.fromString(oit.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** ADX geo_h3cell_uncompact(cells, res): every input cell expanded
+    * to its full descendant set at `res` (cells already at `res` pass
+    * through; [[childrenOf]]'s gap ≤ 4 bound applies per cell and a
+    * larger gap rejects loudly). Output sorted + deduped. Null when
+    * any token is malformed/null, finer than `res`, or `res` is out
+    * of range — ADX's null-on-invalid shape. */
+  def uncompactCells(cells: ArrayData, res: Int): ArrayData = {
+    if (cells == null || res < 0 || res > MaxRes) return null
+    val out = new java.util.TreeSet[String]()
+    var i = 0
+    val n = cells.numElements()
+    while (i < n) {
+      if (cells.isNullAt(i)) return null
+      val t = cells.getUTF8String(i)
+      val d = decode(t)
+      if (d == null || d(0).toInt > res) return null
+      val ch = childrenOf(t, res)
+      var j = 0
+      while (j < ch.numElements()) {
+        out.add(ch.getUTF8String(j).toString): Unit
+        j += 1
+      }
+      i += 1
+    }
+    val arr = new Array[Any](out.size())
+    val oit = out.iterator()
+    var o = 0
+    while (oit.hasNext) { arr(o) = UTF8String.fromString(oit.next()); o += 1 }
+    new GenericArrayData(arr)
+  }
 }
 
 /** `graft_h3_cell(lon, lat, res)` → hex token of the containing
@@ -909,4 +1011,64 @@ case class H3CellNeighbors(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** `graft_h3_compact(tokens)` → the minimal mixed-resolution cover:
+  * complete sibling sets collapse to their parent, repeatedly (see
+  * [[H3.compactCells]]; sorted + deduped, null on invalid). */
+case class H3CellCompact(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_h3_compact expects (array<string>), got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_h3_compact"
+
+  override def nullSafeEval(cells: Any): Any =
+    H3.compactCells(cells.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, cells => {
+      s"""
+         |${ev.value} = graft.functions.H3.compactCells($cells);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `graft_h3_uncompact(tokens, res)` → every cell expanded to its
+  * descendant set at `res` (see [[H3.uncompactCells]]; gap ≤ 4 per
+  * cell, sorted + deduped, null on invalid). */
+case class H3CellUncompact(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_h3_uncompact expects (array<string>, int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_h3_uncompact"
+
+  override def nullSafeEval(cells: Any, res: Any): Any =
+    H3.uncompactCells(cells.asInstanceOf[ArrayData], res.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cells, res) => {
+      s"""
+         |${ev.value} = graft.functions.H3.uncompactCells($cells, $res);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }

@@ -704,6 +704,10 @@ object KqlParser {
             df = sessionCountVerb(df, body0); serialOrder = None
           } else if (body0.toLowerCase.startsWith("ipv4_lookup")) {
             df = ipv4LookupVerb(df, body0, tbls, scoped); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("geo_polygon_lookup")) {
+            df = geoPolygonLookupVerb(df, body0, tbls, scoped); serialOrder = None
+          } else if (body0.toLowerCase.startsWith("geo_line_lookup")) {
+            df = geoLineLookupVerb(df, body0, tbls, scoped); serialOrder = None
           } else if (body0.toLowerCase.startsWith("preview")) {
             // `evaluate preview(N)` — ADX returns TWO tables (an
             // N-row sample + the total row count); a one-frame engine
@@ -767,6 +771,7 @@ object KqlParser {
               "basket, diffpatterns, sliding_window_counts, activity_engagement, " +
               "activity_counts_metrics, new_activity_metrics, rolling_percentile, " +
               "active_users_count, sequence_detect, session_count, ipv4_lookup, " +
+              "geo_polygon_lookup, geo_line_lookup, " +
               s"funnel_sequence, funnel_sequence_completion, preview and narrow plugins: $body0")
           val open = body0.indexOf('(')
           require(open > 0 && matchingParen(body0, open) == body0.length - 1,
@@ -2742,6 +2747,129 @@ object KqlParser {
     df.join(best, Seq(ipCol))
   }
 
+  /** `evaluate geo_polygon_lookup(LookupTable, polygonCol, lonCol,
+    * latCol[, level])` — ADX's polygon lookup plugin: each source row
+    * joins every lookup row whose polygon CONTAINS its point
+    * (return_unmatched=false, the default; unmatched rows drop).
+    * DEVIATIONS (documented): the cell level is an explicit integer
+    * literal (default 7) instead of ADX's automatic pick — coverage
+    * is complete at ANY level (the cover construction's contract,
+    * [[graft.functions.S2.polygonCover]]); level only tunes the
+    * candidate fan-out — and containment is the engine's planar
+    * even-odd test (holes unsupported, edge points undefined).
+    *
+    * Shape (100 TB): the lookup table is a dimension — its polygons
+    * fan out dim-side to their cell covers and BROADCAST into an
+    * equi-join on the point's cell; the exact even-odd test verifies
+    * candidates. The raw corpus never shuffles (the cover-join shape
+    * of kql_geo_polygon_join, re-exposed as a verb). */
+  private def geoPolygonLookupVerb(df: DataFrame, body: String,
+                                   tables: Map[String, DataFrame],
+                                   lets: Map[String, String]): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      s"evaluate geo_polygon_lookup expects (LookupTable, polygonCol, " +
+        s"lonCol, latCol[, level]): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length == 4 || args.length == 5,
+      s"geo_polygon_lookup takes (LookupTable, polygonCol, lonCol, latCol[, level]): $body")
+    val (dimExpr, polyCol, lonCol, latCol) = (args(0), args(1), args(2), args(3))
+    val level = args.lift(4).map(a => scala.util.Try(a.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"geo_polygon_lookup level must be an integer literal: $a"))).getOrElse(7)
+    val dimRef =
+      if (dimExpr.startsWith("(") && matchingParen(dimExpr, 0) == dimExpr.length - 1)
+        dimExpr.substring(1, dimExpr.length - 1).trim
+      else dimExpr
+    val dim = if (tables.contains(dimRef)) tables(dimRef)
+              else pipeline(dimRef, tables, lets).df
+    Seq(lonCol, latCol).foreach(c => require(
+      c.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(c),
+      s"geo_polygon_lookup point column '$c' not found (have: ${df.columns.mkString(", ")})"))
+    require(polyCol.matches("[A-Za-z_][A-Za-z0-9_]*") && dim.columns.contains(polyCol),
+      s"geo_polygon_lookup polygon column '$polyCol' not found in lookup " +
+        s"(has: ${dim.columns.mkString(", ")})")
+    val shared = df.columns.toSet.intersect(dim.columns.toSet)
+    require(shared.isEmpty,
+      s"geo_polygon_lookup source and lookup columns must be disjoint: ${shared.mkString(", ")}")
+    val dimCells = dim.withColumn("__glk_cell",
+      explode(expr(scalar(s"geo_polygon_to_s2cells($polyCol, $level)", lets))))
+    val pts = df.withColumn("__glk_cell",
+      expr(scalar(s"geo_point_to_s2cell($lonCol, $latCol, $level)", lets)))
+    pts.join(broadcast(dimCells), Seq("__glk_cell"))
+      .filter(expr(scalar(s"geo_point_in_polygon($lonCol, $latCol, $polyCol)", lets)))
+      .drop("__glk_cell")
+  }
+
+  /** `evaluate geo_line_lookup(LookupTable, lineCol, lonCol, latCol,
+    * tolerance[, level])` — ADX's line lookup plugin: each source row
+    * joins every lookup row whose LineString passes within
+    * `tolerance` meters of its point. Same deviations as
+    * geo_polygon_lookup (explicit level, default 7; planar
+    * equirectangular distance), plus the corridor join's completeness
+    * contract: the line cover is dilated by ONE neighbor ring, so
+    * candidates are complete when tolerance ≤ the minimum cell span
+    * at `level` over the data window (kql_geo_line_join's bound —
+    * pick a coarser level for wider corridors).
+    *
+    * Shape (100 TB): dim-side cover + ring dilation, broadcast
+    * equi-join on the point's cell, exact distance verify — the
+    * corridor shape re-exposed as a verb; the corpus never shuffles. */
+  private def geoLineLookupVerb(df: DataFrame, body: String,
+                                tables: Map[String, DataFrame],
+                                lets: Map[String, String]): DataFrame = {
+    val open = body.indexOf('(')
+    require(open > 0 && matchingParen(body, open) == body.length - 1,
+      s"evaluate geo_line_lookup expects (LookupTable, lineCol, lonCol, " +
+        s"latCol, tolerance[, level]): $body")
+    val args = splitTopLevel(body.substring(open + 1, body.length - 1), ',')
+      .map(_.trim).filter(_.nonEmpty)
+    require(args.length == 5 || args.length == 6,
+      s"geo_line_lookup takes (LookupTable, lineCol, lonCol, latCol, tolerance[, level]): $body")
+    val (dimExpr, lineCol, lonCol, latCol) = (args(0), args(1), args(2), args(3))
+    val tol = scala.util.Try(args(4).trim.toDouble).getOrElse(
+      throw new IllegalArgumentException(
+        s"geo_line_lookup tolerance must be a numeric literal (meters): ${args(4)}"))
+    require(tol > 0.0, s"geo_line_lookup tolerance must be positive: $tol")
+    val level = args.lift(5).map(a => scala.util.Try(a.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"geo_line_lookup level must be an integer literal: $a"))).getOrElse(7)
+    val dimRef =
+      if (dimExpr.startsWith("(") && matchingParen(dimExpr, 0) == dimExpr.length - 1)
+        dimExpr.substring(1, dimExpr.length - 1).trim
+      else dimExpr
+    val dim = if (tables.contains(dimRef)) tables(dimRef)
+              else pipeline(dimRef, tables, lets).df
+    Seq(lonCol, latCol).foreach(c => require(
+      c.matches("[A-Za-z_][A-Za-z0-9_]*") && df.columns.contains(c),
+      s"geo_line_lookup point column '$c' not found (have: ${df.columns.mkString(", ")})"))
+    require(lineCol.matches("[A-Za-z_][A-Za-z0-9_]*") && dim.columns.contains(lineCol),
+      s"geo_line_lookup line column '$lineCol' not found in lookup " +
+        s"(has: ${dim.columns.mkString(", ")})")
+    val shared = df.columns.toSet.intersect(dim.columns.toSet)
+    require(shared.isEmpty,
+      s"geo_line_lookup source and lookup columns must be disjoint: ${shared.mkString(", ")}")
+    // cover + one-ring dilation as ONE deduped array per dim row (a
+    // dropDuplicates here would hit Spark's no-set-ops-on-VARIANT rule
+    // through the line column)
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val dimCells = dim
+      .withColumn("__glk_c0s",
+        expr(scalar(s"geo_line_to_s2cells($lineCol, $level)", lets)))
+      .withColumn("__glk_cell", explode(expr(
+        "array_distinct(flatten(transform(__glk_c0s, __glk_c -> " +
+          "concat(array(__glk_c), graft_s2_neighbors(__glk_c)))))")))
+      .drop("__glk_c0s")
+    val pts = df.withColumn("__glk_cell",
+      expr(scalar(s"geo_point_to_s2cell($lonCol, $latCol, $level)", lets)))
+    pts.join(broadcast(dimCells), Seq("__glk_cell"))
+      .filter(expr(scalar(
+        s"geo_distance_point_to_line($lonCol, $latCol, $lineCol)", lets)) <= tol)
+      .drop("__glk_cell")
+  }
+
   /** `evaluate session_count(idCol, timeCol, Start, End, Bin,
     * LookBackWindow)` — sessions started per bin: an event STARTS a
     * session when its id had no event in the preceding LookBackWindow
@@ -3954,6 +4082,16 @@ object KqlParser {
             val entries = gated(s"transform_values(" +
               s"try_cast($bagSql AS MAP<STRING, VARIANT>), (mbk, mbv) -> to_json(mbv))")
             (expr(s"parse_json(graft_make_bag($donor, $entries))"), defName(args(0)))
+          case "buildschema" =>
+            // ADX buildschema(dyn): the minimal schema admitting every
+            // value in the group — a native partial+final aggregate
+            // over each row's canonical JSON rendering, state bounded
+            // by SCHEMA COMPLEXITY, not group rows
+            // ([[graft.functions.BuildSchemaAgg]] — schema language
+            // and deviations documented there).
+            require(args.length == 1, "buildschema expects (dynamic column)")
+            (expr(s"parse_json(graft_build_schema(" +
+              s"to_json(${rw(scalar(args(0), lets))})))"), defName(args(0)))
           case "make_list_if" =>
             // collect_list skips nulls, so the unmatched rows vanish —
             // exactly ADX's conditional collect
@@ -4580,6 +4718,8 @@ object KqlParser {
               "geo_h3cell_level", "geo_h3cell_parent", "geo_h3cell_children",
               "geo_h3cell_childcount", "geo_polygon_to_h3cells",
               "geo_line_to_h3cells",
+              "geo_h3cell_compact", "geo_h3cell_uncompact",
+              "geo_intersection_2lines", "ipv4_range_to_cidr_list",
               "totimespan", "make_timespan", "format_timespan",
               "datetime_part", "make_datetime",
               "datetime_utc_to_local", "datetime_local_to_utc",
@@ -5283,12 +5423,20 @@ object KqlParser {
                 // null-on-invalid shape.
                 require(args.length == 2 || args.length == 3,
                   "ipv4_is_match expects (ip1, ip2[, prefix])")
+                // r17 ADVICE: propagate NULL from a malformed '/p'
+                // suffix (least() would silently skip it) and null out
+                // prefixes outside 0..32 (shiftright's Java mod-64
+                // count would return a silently-wrong boolean)
                 val effParts = Seq(cidrPrefix(args(0)), cidrPrefix(args(1))) ++
-                  args.lift(2).map(p => s"CAST(($p) AS INT)")
-                val eff = s"least(${effParts.mkString(", ")})"
+                  args.lift(2).map(p => s"try_cast(($p) AS INT)")
+                val eff = s"(CASE WHEN ${effParts.map(p => s"($p) IS NULL")
+                  .mkString(" OR ")} THEN CAST(NULL AS INT) " +
+                  s"ELSE least(${effParts.mkString(", ")}) END)"
                 val shm = s"(32 - $eff)"
-                out.append(s"(shiftright(${ipv4Long(cidrBase(args(0)))}, $shm) = " +
-                  s"shiftright(${ipv4Long(cidrBase(args(1)))}, $shm))")
+                out.append(s"(CASE WHEN $eff BETWEEN 0 AND 32 THEN " +
+                  s"(shiftright(${ipv4Long(cidrBase(args(0)))}, $shm) = " +
+                  s"shiftright(${ipv4Long(cidrBase(args(1)))}, $shm)) " +
+                  "ELSE CAST(NULL AS BOOLEAN) END)")
               case "ipv4_netmask_suffix" =>
                 require(args.length == 1, "ipv4_netmask_suffix expects (range)")
                 out.append(cidrPrefix(args(0)))
@@ -5306,6 +5454,25 @@ object KqlParser {
                     s"shiftright(${ipv4Long(cidrBase(r))}, $sh))"
                 }
                 out.append(anyTests.mkString("(", " OR ", ")"))
+              case "ipv4_range_to_cidr_list" =>
+                // ADX ipv4_range_to_cidr_list(startIp, endIp) → the
+                // canonical minimal CIDR cover of [start, end] as a
+                // dynamic array of "a.b.c.d/p" strings: the textbook
+                // greedy — from the low end, emit the largest block
+                // both ALIGNED at cur and FITTING in the remainder,
+                // advance past it. ≤ 62 blocks cover any 32-bit range,
+                // so the loop is a FIXED 64-step fold (no-op once cur
+                // passes end). All power-of-two arithmetic is integer
+                // (cur & -cur alignment, an OR-cascade highest-bit
+                // fill, bit_count(blk−1) for the prefix width — no
+                // log2, whose rounding differs across libms), so the
+                // DuckDB oracle replays the same greedy exactly as a
+                // recursive CTE. Malformed endpoints or start > end →
+                // null, ADX's null-on-invalid shape.
+                require(args.length == 2,
+                  "ipv4_range_to_cidr_list expects (startIp, endIp)")
+                out.append(ipv4RangeToCidrsSql(
+                  ipv4Long(args(0)), ipv4Long(args(1))))
               case "ipv6_is_in_range" | "ipv6_is_in_any_range" =>
                 // r15: range is "addr/p" (plain address = /128);
                 // equality of the top p bits via the native prefix
@@ -6581,6 +6748,15 @@ object KqlParser {
                 require(args.length == 2,
                   "geo_intersects_2lines expects (line1, line2)")
                 out.append(geoIntersects2LinesSql(args(0), args(1)))
+              case "geo_intersection_2lines" =>
+                // ADX geo_intersection_2lines(l1, l2) → the
+                // intersection geometry (Point / MultiPoint / empty
+                // GeometryCollection — deviations documented at
+                // geoIntersection2LinesSql; same kernel as the
+                // boolean predicate above).
+                require(args.length == 2,
+                  "geo_intersection_2lines expects (line1, line2)")
+                out.append(geoIntersection2LinesSql(args(0), args(1)))
               case "geo_intersects_2polygons" =>
                 // ADX geo_intersects_2polygons(p1, p2): for SIMPLE
                 // outer rings (holes unsupported — the polygon tier's
@@ -6919,6 +7095,40 @@ object KqlParser {
                 }
                 out.append(if (fname == "geo_h3cell_childcount")
                   s"size($childExpr)" else childExpr)
+              case "geo_h3cell_compact" =>
+                // ADX geo_h3cell_compact(cells) → the minimal mixed-
+                // resolution cover: complete sibling sets collapse to
+                // their parent, repeatedly (graft.functions.H3
+                // .compactCells — completeness against the ACTUAL
+                // child set of this token system's center-containment
+                // hierarchy, so clipped edge parents compact too).
+                // Sorted + deduped output; null on invalid, ADX's
+                // shape. Dynamic arrays cast through ARRAY<STRING>.
+                require(args.length == 1, "geo_h3cell_compact expects (cells)")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_h3_compact(" +
+                  s"try_cast((${args(0)}) AS ARRAY<STRING>))")
+              case "geo_h3cell_uncompact" =>
+                // ADX geo_h3cell_uncompact(cells, resolution) → every
+                // cell expanded to its descendant set at `resolution`
+                // (graft.functions.H3.uncompactCells — the children
+                // machinery folded over the array; gap ≤ 4 per cell,
+                // larger gaps reject loudly like geo_h3cell_children).
+                // Resolution must be an integer literal.
+                require(args.length == 2,
+                  "geo_h3cell_uncompact expects (cells, resolution)")
+                val ures = scala.util.Try(args(1).trim.toInt).getOrElse(
+                  throw new IllegalArgumentException(
+                    "geo_h3cell_uncompact resolution must be an integer " +
+                      s"literal: ${args(1)}"))
+                require(ures >= 0 && ures <= graft.functions.H3.MaxRes,
+                  s"geo_h3cell_uncompact resolution must be in " +
+                    s"0..${graft.functions.H3.MaxRes}: $ures")
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_h3_uncompact(" +
+                  s"try_cast((${args(0)}) AS ARRAY<STRING>), $ures)")
               case "geo_h3cell_rings" =>
                 // ADX geo_h3cell_rings(cell, N) → rings 0..N by hex
                 // distance (cross-face wrapped; inner rings win wrap
@@ -7239,12 +7449,17 @@ object KqlParser {
                 // others pass through; a malformed ACE label nulls the
                 // whole result (array_join would silently DROP null
                 // labels, hence the explicit exists() guard — shared
-                // with the encode direction).
+                // with the encode direction). The ACE prefix match is
+                // CASE-INSENSITIVE and the payload case-folds before
+                // decoding (r17 ADVICE: domains are case-insensitive
+                // per IDNA, so 'XN--BCHER-KVA.example' must decode —
+                // and IDNA ToUnicode lowercases, so it decodes to the
+                // same 'bücher' as the lowercase form).
                 require(args.length == 1,
                   "punycode_domain_to_string expects (string)")
                 val decLabels = s"transform(split(CAST((${args(0)}) AS STRING), '\\\\.'), " +
-                  "pl -> CASE WHEN substring(pl, 1, 4) = 'xn--' " +
-                  "THEN graft_punycode_decode(substring(pl, 5, 2147483647)) ELSE pl END)"
+                  "pl -> CASE WHEN lower(substring(pl, 1, 4)) = 'xn--' " +
+                  "THEN graft_punycode_decode(lower(substring(pl, 5, 2147483647))) ELSE pl END)"
                 out.append(s"element_at(transform(array($decLabels), pls -> " +
                   "CASE WHEN exists(pls, px -> px IS NULL) THEN CAST(NULL AS STRING) " +
                   "ELSE array_join(pls, '.') END), 1)")
@@ -7686,6 +7901,38 @@ object KqlParser {
   private def cidrPrefix(e: String): String =
     s"(CASE WHEN instr($e, '/') > 0 THEN " +
     s"try_cast(substring($e, instr($e, '/') + 1, 2147483647) AS INT) ELSE 32 END)"
+
+  /** The greedy minimal CIDR cover of [lo, hi] (BIGINT ipv4 value
+    * expressions) as ARRAY<STRING> — the dispatch comment has the
+    * algorithm. Fixed 64-step fold; every step binds the remainder
+    * once and derives the block size with pure integer bit ops (the
+    * OR-cascade highest-bit fill, `cur & -cur` alignment,
+    * `bit_count(blk − 1)` prefix width), so the DuckDB recursive-CTE
+    * replay is exact. */
+  private def ipv4RangeToCidrsSql(loE: String, hiE: String): String = {
+    // largest power of two ≤ gr (gr in [1, 2^32]): fill all bits below
+    // the msb, then (h >> 1) + 1
+    var fill = "gr"
+    Seq(1, 2, 4, 8, 16, 32).foreach(s => fill = s"($fill | shiftright($fill, $s))")
+    val highest = s"(shiftright($fill, 1) + 1L)"
+    val align = "CASE WHEN ga.c = 0L THEN 4294967296L ELSE (ga.c & -ga.c) END"
+    val blk = s"element_at(transform(array(gq.hi - ga.c + 1L), gr -> " +
+      s"least($align, $highest)), 1)"
+    val cidr = "concat(CAST(ga.c DIV 16777216 AS STRING), '.', " +
+      "CAST((ga.c DIV 65536) % 256 AS STRING), '.', " +
+      "CAST((ga.c DIV 256) % 256 AS STRING), '.', " +
+      "CAST(ga.c % 256 AS STRING), '/', " +
+      "CAST(32 - bit_count(gb - 1L) AS STRING))"
+    val step = s"element_at(transform(array($blk), gb -> named_struct(" +
+      s"'c', ga.c + gb, 'o', array_append(ga.o, $cidr))), 1)"
+    s"element_at(transform(array(named_struct('lo', $loE, 'hi', $hiE)), gq -> " +
+      s"CASE WHEN gq.lo IS NULL OR gq.hi IS NULL OR gq.lo > gq.hi " +
+      s"THEN CAST(NULL AS ARRAY<STRING>) ELSE " +
+      s"aggregate(sequence(1, 64), " +
+      s"named_struct('c', gq.lo, 'o', CAST(array() AS ARRAY<STRING>)), " +
+      s"(ga, gi) -> CASE WHEN ga.c > gq.hi THEN ga ELSE $step END, " +
+      s"gacc -> gacc.o) END), 1)"
+  }
 
   // ---- tdigest tier (equi-depth deviation documented at the
   //      summarize `tdigest` case) ---------------------------------
@@ -8704,6 +8951,86 @@ object KqlParser {
       s"exists(sequence(0, size(gxq.r2) - 2), gj -> " +
       s"element_at(transform(array($binder), gsp -> " +
       s"element_at(transform(array($o), gso -> ($hit)), 1)), 1))) END), 1)"
+  }
+
+  /** ADX geo_intersection_2lines(l1, l2) → the intersection GEOMETRY
+    * of two LineStrings as GeoJSON: Point for one intersection point,
+    * MultiPoint for several, an empty GeometryCollection for none —
+    * null on malformed/degenerate input ([[geoIntersects2LinesSql]]'s
+    * convention). Same PLANAR-degrees deviation and the same
+    * orientation + on-segment kernel as the boolean predicate, so
+    * `geo_intersects_2lines` is true exactly when this returns a
+    * non-empty geometry. Per segment pair: a PROPER crossing (strict
+    * opposite orientations — which implies a nonzero denominator)
+    * emits A + t·(B−A) with the standard t = cross(C−A, D−C) / den;
+    * every oᵢ = 0 + on-segment case (endpoint touch or collinear
+    * overlap) emits that ENDPOINT directly — so a collinear overlap
+    * contributes its overlap-segment endpoints, a documented
+    * deviation (ADX would return the overlap as a line). All points
+    * one-rounded to 9 dp before dedup + sort, so the computed-vs-
+    * endpoint forms of a shared point collapse and the output order
+    * is deterministic; the oracle mirrors every op. */
+  private[kql] def geoIntersection2LinesSql(l1: String, l2: String): String = {
+    val p1 = s"try_cast(variant_get($l1, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
+    val p2 = s"try_cast(variant_get($l2, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
+    def pt(src: String, i: String, c: Int) =
+      s"element_at(element_at($src, $i), $c)"
+    val binder = s"named_struct(" +
+      s"'ax', ${pt("gxq.r1", "gi + 1", 1)}, 'ay', ${pt("gxq.r1", "gi + 1", 2)}, " +
+      s"'bx', ${pt("gxq.r1", "gi + 2", 1)}, 'by', ${pt("gxq.r1", "gi + 2", 2)}, " +
+      s"'cx', ${pt("gxq.r2", "gj + 1", 1)}, 'cy', ${pt("gxq.r2", "gj + 1", 2)}, " +
+      s"'dx', ${pt("gxq.r2", "gj + 2", 1)}, 'dy', ${pt("gxq.r2", "gj + 2", 2)})"
+    val o = s"named_struct('s', gsp, " +
+      s"'o1', (gsp.bx - gsp.ax) * (gsp.cy - gsp.ay) - (gsp.by - gsp.ay) * (gsp.cx - gsp.ax), " +
+      s"'o2', (gsp.bx - gsp.ax) * (gsp.dy - gsp.ay) - (gsp.by - gsp.ay) * (gsp.dx - gsp.ax), " +
+      s"'o3', (gsp.dx - gsp.cx) * (gsp.ay - gsp.cy) - (gsp.dy - gsp.cy) * (gsp.ax - gsp.cx), " +
+      s"'o4', (gsp.dx - gsp.cx) * (gsp.by - gsp.cy) - (gsp.dy - gsp.cy) * (gsp.bx - gsp.cx))"
+    def onSeg(px: String, py: String, qx: String, qy: String, rx: String, ry: String) =
+      s"($rx >= least($px, $qx) AND $rx <= greatest($px, $qx) AND " +
+        s"$ry >= least($py, $qy) AND $ry <= greatest($py, $qy))"
+    val s2 = "gso.s"
+    val proper =
+      s"(((gso.o1 > 0 AND gso.o2 < 0) OR (gso.o1 < 0 AND gso.o2 > 0)) AND " +
+        s"((gso.o3 > 0 AND gso.o4 < 0) OR (gso.o3 < 0 AND gso.o4 > 0)))"
+    val den = s"(($s2.bx - $s2.ax) * ($s2.dy - $s2.cy) - " +
+      s"($s2.by - $s2.ay) * ($s2.dx - $s2.cx))"
+    val tNum = s"(($s2.cx - $s2.ax) * ($s2.dy - $s2.cy) - " +
+      s"($s2.cy - $s2.ay) * ($s2.dx - $s2.cx))"
+    val properPt = s"element_at(transform(array($tNum / $den), gt -> " +
+      s"named_struct('x', round($s2.ax + gt * ($s2.bx - $s2.ax), 9), " +
+      s"'y', round($s2.ay + gt * ($s2.by - $s2.ay), 9))), 1)"
+    def endPt(x: String, y: String) =
+      s"named_struct('x', round($x, 9), 'y', round($y, 9))"
+    def arm(cond: String, p: String) =
+      s"CASE WHEN $cond THEN array($p) ELSE " +
+        s"CAST(array() AS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>) END"
+    val pairPts = s"concat(" +
+      s"${arm(proper, properPt)}, " +
+      s"${arm(s"gso.o1 = 0 AND ${onSeg(s"$s2.ax", s"$s2.ay", s"$s2.bx", s"$s2.by", s"$s2.cx", s"$s2.cy")}",
+        endPt(s"$s2.cx", s"$s2.cy"))}, " +
+      s"${arm(s"gso.o2 = 0 AND ${onSeg(s"$s2.ax", s"$s2.ay", s"$s2.bx", s"$s2.by", s"$s2.dx", s"$s2.dy")}",
+        endPt(s"$s2.dx", s"$s2.dy"))}, " +
+      s"${arm(s"gso.o3 = 0 AND ${onSeg(s"$s2.cx", s"$s2.cy", s"$s2.dx", s"$s2.dy", s"$s2.ax", s"$s2.ay")}",
+        endPt(s"$s2.ax", s"$s2.ay"))}, " +
+      s"${arm(s"gso.o4 = 0 AND ${onSeg(s"$s2.cx", s"$s2.cy", s"$s2.dx", s"$s2.dy", s"$s2.bx", s"$s2.by")}",
+        endPt(s"$s2.bx", s"$s2.by"))})"
+    val allPts = s"array_sort(array_distinct(flatten(" +
+      s"transform(sequence(0, size(gxq.r1) - 2), gi -> flatten(" +
+      s"transform(sequence(0, size(gxq.r2) - 2), gj -> " +
+      s"element_at(transform(array($binder), gsp -> " +
+      s"element_at(transform(array($o), gso -> $pairPts), 1)), 1)))))))"
+    def num(e: String) = s"CAST($e AS STRING)"
+    val json = s"CASE WHEN size(gpt) = 0 THEN " +
+      s"'{\"type\":\"GeometryCollection\",\"geometries\":[]}' " +
+      s"WHEN size(gpt) = 1 THEN concat('{\"type\":\"Point\",\"coordinates\":[', " +
+      s"${num("element_at(gpt, 1).x")}, ',', ${num("element_at(gpt, 1).y")}, ']}') " +
+      s"ELSE concat('{\"type\":\"MultiPoint\",\"coordinates\":[', " +
+      s"array_join(transform(gpt, gp -> concat('[', ${num("gp.x")}, ',', " +
+      s"${num("gp.y")}, ']')), ','), ']}') END"
+    s"parse_json(element_at(transform(array(named_struct('r1', $p1, 'r2', $p2)), gxq -> " +
+      s"CASE WHEN gxq.r1 IS NULL OR gxq.r2 IS NULL OR size(gxq.r1) < 2 " +
+      s"OR size(gxq.r2) < 2 THEN CAST(NULL AS STRING) ELSE " +
+      s"element_at(transform(array($allPts), gpt -> $json), 1) END), 1))"
   }
 
   /** ADX geo_polygon_centroid(polygon) → GeoJSON Point of the planar

@@ -2545,7 +2545,160 @@ object ReferenceQueries {
       || summarize n = count(), pos_sum = sum(pos), ix_sum = sum(ix_u), iy_sum = sum(iy_u) by city
       || sort by city asc""".stripMargin
 
+  /** r18 `geo_intersection_2lines` — the point-emitting sibling of the
+    * intersects predicate, over INTEGER-VALUED per-row segment pairs so
+    * every cross product, the t division (t = (d+4)/8, a dyadic
+    * rational), and the emitted coordinates are EXACT doubles — the
+    * oracle replays them in closed form (gx = x + (d+4)/2). d ∈ 0..6
+    * sweeps proper crossings (d < 4), the shared-endpoint touch
+    * (d = 4 — the o-zero arm, no division), and disjoint (d > 4 →
+    * empty GeometryCollection); the l1 ∩ l3 pair is a collinear
+    * overlap whose deviation (overlap ENDPOINTS as MultiPoint,
+    * documented at the builder) pins to [x+2, x+4]. */
+  val kqlGeoIntersection2Text: String =
+    """Orders
+      || where orderid < 4000
+      || extend x = todouble(orderid % 40), y = todouble(custid % 40), d = todouble(orderid % 7)
+      || extend l1 = bag_pack('type', 'LineString', 'coordinates',
+      |                       pack_array(pack_array(x, y), pack_array(x + 4.0, y + 4.0))),
+      |         l2 = bag_pack('type', 'LineString', 'coordinates',
+      |                       pack_array(pack_array(x + d, y + 4.0), pack_array(x + d + 4.0, y))),
+      |         l3 = bag_pack('type', 'LineString', 'coordinates',
+      |                       pack_array(pack_array(x + 2.0, y + 2.0), pack_array(x + 6.0, y + 6.0)))
+      || extend g = geo_intersection_2lines(l1, l2), m = geo_intersection_2lines(l1, l3)
+      || extend gt = tostring(g.type),
+      |         gx = todouble(g.coordinates[0]), gy = todouble(g.coordinates[1]),
+      |         m0 = todouble(m.coordinates[0][0]), m1 = todouble(m.coordinates[1][0])
+      || summarize n = count(), n_pt = countif(gt == 'Point'),
+      |            n_mp = countif(tostring(m.type) == 'MultiPoint'),
+      |            sgx = sum(iff(gt == 'Point', tolong(floor(gx * 1000000.0, 1)), 0)),
+      |            sgy = sum(iff(gt == 'Point', tolong(floor(gy * 1000000.0, 1)), 0)),
+      |            sm = sum(tolong(floor((m0 + m1) * 1000000.0, 1))) by city
+      || sort by city asc""".stripMargin
+
+  /** r18 `ipv4_range_to_cidr_list` (+ format_ipv4 as the range
+    * builder): per-row data-derived [lo, lo + span] ranges; the oracle
+    * replays the SAME integer-only greedy (alignment = cur & −cur,
+    * OR-cascade highest-bit, bit_count prefix width) as a recursive
+    * CTE and re-joins the per-row cidr strings in emission order, so
+    * the count AND the exact string forms cross engines. */
+  val kqlIpv4CidrListText: String =
+    """Orders
+      || where orderid < 3000
+      || extend lo = 167772160 + (orderid % 65536) * 256 + custid % 256
+      || extend start = format_ipv4(lo), fin = format_ipv4(lo + orderid % 1000)
+      || extend cl = ipv4_range_to_cidr_list(start, fin)
+      || extend nc = tolong(array_length(cl)), cs = strcat_array(cl, ';')
+      || summarize n = count(), snc = sum(nc), cs_min = min(cs), cs_max = max(cs) by city
+      || sort by city asc""".stripMargin
+
+  /** r18 `geo_h3cell_compact` / `geo_h3cell_uncompact` — the sibling
+    * folds over the center-containment hierarchy, pinned as INVARIANT
+    * AUDITS over the H3 vector set (the sketch_approx convention: cell
+    * tokens are engine-specific, so the cross-engine contract is the
+    * property set — compact(children(c)) = [c], uncompact([c]) =
+    * children(c), a partial sibling set stays unfolded, same-res
+    * uncompact is identity, and a mixed-res input folds only the
+    * complete family): the oracle asserts the flags; KqlSpec pins the
+    * concrete arrays. Two sites pin the DEGENERATE regime: 'gw' (a
+    * face-edge equator point) and 'npole' sit where ownership clipping
+    * leaves a SINGLETON family up the chain (children(parent(c4)) ==
+    * [c4]), so compact lawfully folds PAST the input resolution (the
+    * parent's res-4 territory is exactly c4) — and because uncompact
+    * expands by DIRECT gap enumeration while center-containment is not
+    * transitive across levels, the round-trip flags there are pinned
+    * FALSE (0), the family-fold flags on the six generic sites TRUE. */
+  val kqlGeoH3CompactText: String =
+    """let P = datatable(name:string, lon:real, lat:real)[
+      |  'equ', -20.905, 0.0,
+      |  'gw', 0.0, 0.0,
+      |  'paris', 2.35, 48.86,
+      |  'syd', 151.21, -33.87,
+      |  'npole', 20.0, 90.0,
+      |  'rio', -43.2, -22.9,
+      |  'tok', 139.7, 35.7,
+      |  'cpt', 18.4, -33.9
+      |];
+      |P
+      || extend c4 = geo_point_to_h3cell(lon, lat, 4),
+      |         cb = geo_point_to_h3cell(lon + 9.0, lat - 9.0, 4)
+      || extend ch = geo_h3cell_children(c4, 5)
+      || extend cc = geo_h3cell_compact(ch)
+      || extend rt = geo_h3cell_uncompact(cc, 5)
+      || extend part = array_slice(ch, 1, array_length(ch) - 1)
+      || extend mix = geo_h3cell_compact(array_concat(ch, pack_array(cb)))
+      || project name,
+      |    ok_fold = tolong(iff(array_length(cc) == 1 and tostring(cc[0]) == c4, 1, 0)),
+      |    ok_rt = tolong(iff(tostring(rt) == tostring(array_sort_asc(ch)), 1, 0)),
+      |    ok_part = tolong(iff(tostring(geo_h3cell_compact(part)) == tostring(array_sort_asc(part)), 1, 0)),
+      |    ok_id = tolong(iff(tostring(geo_h3cell_uncompact(pack_array(c4), 4)) == tostring(pack_array(c4)), 1, 0)),
+      |    ok_mix = tolong(iff(tostring(mix) == tostring(array_sort_asc(array_concat(pack_array(c4), pack_array(cb)))), 1, 0))
+      || sort by name asc""".stripMargin
+
+  /** r18 `buildschema` — the last documented ADX aggregation: the
+    * minimal schema admitting every dynamic value in the group, via
+    * the native partial+final [[graft.functions.BuildSchemaAgg]]
+    * (schema language + deviations documented there). Fixed vectors
+    * spanning scalar/object/array unions, nested objects, and a
+    * top-level mixed-kind group; the oracle is the hand-derived
+    * schema literal per group. */
+  val kqlBuildschemaText: String =
+    """let D = datatable(g:string, v:string)[
+      |  'a', '{"x":1,"y":3.5}',
+      |  'a', '{"x":"s","y":{"w":"z"}}',
+      |  'b', '{"x":[1,2],"y":{"w":5,"v":true}}',
+      |  'b', '[1,"a"]',
+      |  'b', '7'
+      |];
+      |D
+      || extend dv = todynamic(v)
+      || summarize sc = buildschema(dv) by g
+      || project g, s = tostring(dynamic_to_json(sc))
+      || sort by g asc""".stripMargin
+
+  /** r18 `evaluate geo_polygon_lookup` — the cover-join machinery of
+    * [[kqlGeoPolygonJoinText]] re-exposed as ADX's lookup plugin: TWO
+    * fences (the non-convex dent ring + a disjoint box, so per-fence
+    * attribution is visible), matched rows keep source + lookup
+    * columns. Oracle: the INDEPENDENT all-points even-odd formulation
+    * per fence — zero cell arithmetic, a cover miss fails the compare. */
+  val kqlGeoPolygonLookupText: String =
+    """let F = datatable(fence:string, pj:string)[
+      |  'dent', '{"type":"Polygon","coordinates":[[[-5.0,45.0],[5.0,43.0],[12.0,50.0],[0.0,47.5],[-8.0,52.0],[-5.0,45.0]]]}',
+      |  'box', '{"type":"Polygon","coordinates":[[[-18.0,41.0],[-10.0,41.0],[-10.0,49.0],[-18.0,49.0],[-18.0,41.0]]]}'
+      |];
+      |Orders
+      || extend lon = todouble(orderid % 4000) / 100.0 - 20.0, lat = 40.0 + todouble(custid % 1000) / 50.0
+      || evaluate geo_polygon_lookup((F | extend poly = todynamic(pj) | project fence, poly), poly, lon, lat)
+      || summarize n = count(), lon_min_u = min(tolong(floor(lon * 1000000.0, 1))),
+      |            lat_max_u = max(tolong(floor(lat * 1000000.0, 1))) by city, fence
+      || sort by city asc, fence asc""".stripMargin
+
+  /** r18 `evaluate geo_line_lookup` — the corridor join of
+    * [[kqlGeoLineJoinText]] as the lookup plugin: two routes, 25 km
+    * tolerance at level 7 (inside the one-ring completeness bound).
+    * Oracle: the independent all-points distance formulation per
+    * route, mirrored op-for-op. */
+  val kqlGeoLineLookupText: String =
+    """let R = datatable(route_id:string, lj:string)[
+      |  'r1', '{"type":"LineString","coordinates":[[-15.0,10.0],[-5.0,14.0],[5.0,12.0],[15.0,20.0],[25.0,26.0]]}',
+      |  'r2', '{"type":"LineString","coordinates":[[-25.0,30.0],[-15.0,26.0],[-5.0,28.0]]}'
+      |];
+      |Orders
+      || extend lon = todouble(orderid % 6000) / 100.0 - 30.0, lat = 5.0 + todouble(custid % 1400) / 50.0
+      || evaluate geo_line_lookup((R | extend line = todynamic(lj) | project route_id, line), line, lon, lat, 25000.0)
+      || extend d_m = geo_distance_point_to_line(lon, lat, line)
+      || summarize n = count(), d_min_m = min(tolong(floor(d_m, 1))),
+      |            d_max_m = max(tolong(floor(d_m, 1))) by city, route_id
+      || sort by city asc, route_id asc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_geo_polygon_lookup" -> kqlText(kqlGeoPolygonLookupText) _,
+    "kql_geo_line_lookup" -> kqlText(kqlGeoLineLookupText) _,
+    "kql_buildschema" -> kqlText(kqlBuildschemaText) _,
+    "kql_geo_intersection2" -> kqlText(kqlGeoIntersection2Text) _,
+    "kql_ipv4_cidr_list" -> kqlText(kqlIpv4CidrListText) _,
+    "kql_geo_h3_compact" -> kqlText(kqlGeoH3CompactText) _,
     "kql_geo_line_walk" -> kqlText(kqlGeoLineWalkText) _,
     "kql_geo_intersects2" -> kqlText(kqlGeoIntersectsText) _,
     "kql_tdigest" -> kqlText(kqlTdigestText) _,
@@ -2699,6 +2852,156 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // geo_polygon_lookup: the independent per-fence even-odd
+    // formulation (kql_geo_polygon_join's oracle, keyed by fence) —
+    // zero cell arithmetic, so a cover miss drops a row and fails
+    "kql_geo_polygon_lookup" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, city, CAST(orderid % 4000 AS DOUBLE) / 100.0 - 20.0 AS lon,
+         |    40.0 + CAST(custid % 1000 AS DOUBLE) / 50.0 AS lat
+         |  FROM orders_info),
+         |edges AS (
+         |  SELECT * FROM (VALUES
+         |    ('dent', -5.0, 45.0, 5.0, 43.0), ('dent', 5.0, 43.0, 12.0, 50.0),
+         |    ('dent', 12.0, 50.0, 0.0, 47.5), ('dent', 0.0, 47.5, -8.0, 52.0),
+         |    ('dent', -8.0, 52.0, -5.0, 45.0),
+         |    ('box', -18.0, 41.0, -10.0, 41.0), ('box', -10.0, 41.0, -10.0, 49.0),
+         |    ('box', -10.0, 49.0, -18.0, 49.0), ('box', -18.0, 49.0, -18.0, 41.0)
+         |  ) AS e(fence, x1, y1, x2, y2)),
+         |cr AS (
+         |  SELECT p.orderid, p.city, e.fence, p.lon, p.lat,
+         |    COUNT(*) FILTER (WHERE ((y1 > lat) <> (y2 > lat))
+         |      AND lon < x1 + (x2 - x1) * (lat - y1) / (y2 - y1)) % 2 = 1 AS inside
+         |  FROM pts p CROSS JOIN edges e GROUP BY 1, 2, 3, 4, 5)
+         |SELECT city, fence, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(floor(MIN(lon) * 1000000.0) AS BIGINT) AS lon_min_u,
+         |  CAST(floor(MAX(lat) * 1000000.0) AS BIGINT) AS lat_max_u
+         |FROM cr WHERE inside GROUP BY city, fence ORDER BY city ASC, fence ASC""".stripMargin,
+    // geo_line_lookup: the independent per-route distance formulation
+    // (kql_geo_line_join's oracle, keyed by route; each route's kx
+    // from its own seed-0 mean-latitude fold)
+    "kql_geo_line_lookup" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT orderid, city, CAST(orderid % 6000 AS DOUBLE) / 100.0 - 30.0 AS lon,
+         |    5.0 + CAST(custid % 1400 AS DOUBLE) / 50.0 AS lat
+         |  FROM orders_info),
+         |segs AS (
+         |  SELECT * FROM (VALUES
+         |    ('r1', -15.0, 10.0, -5.0, 14.0), ('r1', -5.0, 14.0, 5.0, 12.0),
+         |    ('r1', 5.0, 12.0, 15.0, 20.0), ('r1', 15.0, 20.0, 25.0, 26.0),
+         |    ('r2', -25.0, 30.0, -15.0, 26.0), ('r2', -15.0, 26.0, -5.0, 28.0)
+         |  ) AS s(route_id, x1, y1, x2, y2)),
+         |k AS (
+         |  SELECT 'r1' AS route_id, 111320.0 * cos(radians(
+         |    (CAST(0 AS DOUBLE) + 10.0 + 14.0 + 12.0 + 20.0 + 26.0) / CAST(5 AS DOUBLE))) AS kx
+         |  UNION ALL
+         |  SELECT 'r2', 111320.0 * cos(radians(
+         |    (CAST(0 AS DOUBLE) + 30.0 + 26.0 + 28.0) / CAST(3 AS DOUBLE)))),
+         |segm AS (
+         |  SELECT s.route_id, x1 * kx AS ax, y1 * 110574.0 AS ay,
+         |    (x2 - x1) * kx AS dx, (y2 - y1) * 110574.0 AS dy
+         |  FROM segs s JOIN k ON k.route_id = s.route_id),
+         |pd AS (
+         |  SELECT p.orderid, p.city, s.route_id, p.lon * k.kx AS qx, p.lat * 110574.0 AS qy,
+         |    s.ax, s.ay, s.dx, s.dy
+         |  FROM pts p CROSS JOIN segm s JOIN k ON k.route_id = s.route_id),
+         |pt AS (
+         |  SELECT *, CASE WHEN dx * dx + dy * dy = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+         |    ELSE least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+         |      ((qx - ax) * dx + (qy - ay) * dy) / (dx * dx + dy * dy))) END AS t
+         |  FROM pd),
+         |d AS (
+         |  SELECT orderid, city, route_id,
+         |    MIN(sqrt((qx - ax - t * dx) * (qx - ax - t * dx)
+         |      + (qy - ay - t * dy) * (qy - ay - t * dy))) AS dist
+         |  FROM pt GROUP BY 1, 2, 3)
+         |SELECT city, route_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(CAST(floor(dist) AS BIGINT)) AS d_min_m,
+         |  MAX(CAST(floor(dist) AS BIGINT)) AS d_max_m
+         |FROM d WHERE dist <= 25000.0
+         |GROUP BY city, route_id ORDER BY city ASC, route_id ASC""".stripMargin,
+    // buildschema: fixed vectors → the hand-derived schema literal per
+    // group (alternatives scalars-sorted, then array form, then object
+    // form; arrays as the ADX `indexer` convention — see BuildSchemaAgg)
+    "kql_buildschema" ->
+      """SELECT * FROM (VALUES
+        |  ('a', '{"x":["long","string"],"y":["double",{"w":"string"}]}'),
+        |  ('b', '["long",{"`indexer`":["long","string"]},{"x":{"`indexer`":"long"},"y":{"v":"bool","w":"long"}}]')
+        |) AS t(g, s) ORDER BY g ASC""".stripMargin,
+    // geo_intersection_2lines: integer-valued geometries make every
+    // emitted coordinate EXACT, so the oracle is the closed form of
+    // the crossing (t = (d+4)/8 → gx = x + (d+4)/2; d = 4 is the
+    // touch arm, same closed form; d > 4 empty) and of the collinear
+    // overlap endpoints ([x+2, x+4]).
+    "kql_geo_intersection2" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT city, CAST(orderid % 40 AS DOUBLE) AS x,
+         |         CAST(custid % 40 AS DOUBLE) AS y, CAST(orderid % 7 AS DOUBLE) AS d
+         |  FROM orders_info WHERE orderid < 4000)
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(*) FILTER (WHERE d <= 4) AS BIGINT) AS n_pt,
+         |  CAST(COUNT(*) AS BIGINT) AS n_mp,
+         |  CAST(SUM(CASE WHEN d <= 4 THEN CAST(floor((x + (d + 4.0) / 2.0) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sgx,
+         |  CAST(SUM(CASE WHEN d <= 4 THEN CAST(floor((y + (d + 4.0) / 2.0) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sgy,
+         |  CAST(SUM(CAST(floor((2.0 * x + 6.0) * 1000000.0) AS BIGINT)) AS BIGINT) AS sm
+         |FROM pts GROUP BY city ORDER BY city ASC""".stripMargin,
+    // ipv4_range_to_cidr_list: the SAME integer-only greedy replayed
+    // as a recursive CTE (alignment = cur & −cur, OR-cascade highest
+    // bit, bit_count(blk−1) prefix width), cidr strings re-joined in
+    // emission order — count AND exact strings cross engines.
+    "kql_ipv4_cidr_list" ->
+      s"""WITH RECURSIVE ${Sql.ordersInfoCte.stripPrefix("WITH ")},
+         |rngs AS (
+         |  SELECT orderid, city,
+         |    CAST(167772160 + (orderid % 65536) * 256 + custid % 256 AS BIGINT) AS lo,
+         |    CAST(167772160 + (orderid % 65536) * 256 + custid % 256 + orderid % 1000 AS BIGINT) AS hi
+         |  FROM orders_info WHERE orderid < 3000),
+         |steps AS (
+         |  SELECT orderid, hi, lo AS cur, 0 AS i, CAST(NULL AS VARCHAR) AS cidr FROM rngs
+         |  UNION ALL
+         |  SELECT orderid, hi, cur + blk, i + 1,
+         |    CAST(cur // 16777216 AS VARCHAR) || '.' || CAST((cur // 65536) % 256 AS VARCHAR) || '.' ||
+         |    CAST((cur // 256) % 256 AS VARCHAR) || '.' || CAST(cur % 256 AS VARCHAR) || '/' ||
+         |    CAST(32 - bit_count(blk - 1) AS VARCHAR)
+         |  FROM (
+         |    SELECT orderid, hi, cur, i,
+         |      least(CASE WHEN cur = 0 THEN CAST(4294967296 AS BIGINT) ELSE cur & -cur END,
+         |            (f5 >> 1) + 1) AS blk
+         |    FROM (SELECT *, (f4 | (f4 >> 32)) AS f5 FROM (
+         |          SELECT *, (f3 | (f3 >> 16)) AS f4 FROM (
+         |          SELECT *, (f2 | (f2 >> 8)) AS f3 FROM (
+         |          SELECT *, (f1 | (f1 >> 4)) AS f2 FROM (
+         |          SELECT *, (f0 | (f0 >> 2)) AS f1 FROM (
+         |          SELECT *, (rem | (rem >> 1)) AS f0 FROM (
+         |            SELECT orderid, hi, cur, i, hi - cur + 1 AS rem
+         |            FROM steps WHERE cur <= hi)))))))
+         |  )),
+         |perrow AS (
+         |  SELECT orderid, string_agg(cidr, ';' ORDER BY i) AS cs,
+         |         CAST(COUNT(*) AS BIGINT) AS nc
+         |  FROM steps WHERE cidr IS NOT NULL GROUP BY orderid)
+         |SELECT r.city, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p.nc) AS BIGINT) AS snc,
+         |  MIN(p.cs) AS cs_min, MAX(p.cs) AS cs_max
+         |FROM rngs r JOIN perrow p ON p.orderid = r.orderid
+         |GROUP BY r.city ORDER BY r.city ASC""".stripMargin,
+    // h3 compact/uncompact: cell tokens are engine-specific — the
+    // cross-engine contract is the INVARIANT AUDIT (the sketch_approx
+    // convention): the oracle asserts every family-fold flag TRUE;
+    // KqlSpec pins the concrete arrays.
+    "kql_geo_h3_compact" ->
+      """SELECT * FROM (VALUES
+        |  ('cpt', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('equ', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('gw', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('npole', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('paris', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('rio', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('syd', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('tok', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+        |) AS t(name, ok_fold, ok_rt, ok_part, ok_id, ok_mix) ORDER BY name ASC""".stripMargin,
     // line walk: the kql_geo_closest argmin mirror extended with a
     // window running length (locate = cumb + t·len of the rn=1 row);
     // interpolate = first segment whose cumulative reach covers the

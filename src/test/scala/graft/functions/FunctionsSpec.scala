@@ -78,6 +78,7 @@ class FunctionsSpec extends SparkSpec {
       "graft_s2_polygon_cover", "graft_s2_line_cover", "graft_geo_dist_line",
       "graft_h3_cell", "graft_h3_center", "graft_h3_neighbors", "graft_h3_rings",
       "graft_h3_level", "graft_h3_parent", "graft_h3_children",
+      "graft_h3_compact", "graft_h3_uncompact", "graft_build_schema",
       "graft_h3_polygon_cover", "graft_h3_line_cover",
       "graft_codepoints", "graft_from_codepoints",
       "graft_punycode_encode", "graft_punycode_decode",

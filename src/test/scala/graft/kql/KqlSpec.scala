@@ -3293,6 +3293,12 @@ class KqlSpec extends SparkSpec {
       .getString(0) == "日本語テスト")
     // malformed decode → null (engine convention)
     assert(one("punycode_to_string('###')").isNullAt(0))
+    // r18 (r17 ADVICE): the ACE prefix is case-insensitive per IDNA —
+    // an uppercase 'XN--' label must decode, not pass through
+    assert(one("punycode_domain_to_string('XN--BCHER-KVA.example.com')")
+      .getString(0) == "bücher.example.com")
+    assert(one("punycode_domain_to_string('xn--bcher-kva.example.com')")
+      .getString(0) == "bücher.example.com")
   }
 
   test("parser: scalar wave 4 — strcmp/regex_quote/array_sort_desc/jaccard/bag_zip/b64") {
@@ -3784,6 +3790,120 @@ class KqlSpec extends SparkSpec {
       "T | where v > 99 | summarize d = tdigest(v) by k " +
         "| project p = percentile_tdigest(d, 50)", reg2)
     assert(e.count() == 0L)
+  }
+
+  test("parser: r18 buildschema — union tree, nulls skipped, empty = dynamic") {
+    import org.apache.spark.sql.Row
+    val reg = Map("T" -> Seq(
+      ("a", """{"x":1}"""),
+      ("a", """{"x":2.5,"z":[true]}"""),
+      ("a", null.asInstanceOf[String]),
+      ("b", "null")).toDF("g", "v"))
+    val r = KqlParser.run(
+      "T | extend dv = todynamic(v) | summarize sc = buildschema(dv) by g " +
+        "| project g, s = tostring(dynamic_to_json(sc)) | sort by g asc",
+      reg).collect()
+    assert(r.toSeq == Seq(
+      Row("a", """{"x":["double","long"],"z":{"`indexer`":"bool"}}"""),
+      // a group with only JSON-null evidence has no typed paths
+      Row("b", "\"dynamic\"")))
+    // groupless form + deep nesting
+    val g = KqlParser.run(
+      "T | where g == 'a' | extend dv = todynamic(v) " +
+        "| summarize sc = buildschema(dv) " +
+        "| project s = tostring(dynamic_to_json(sc))", reg).head()
+    assert(g.getString(0) == """{"x":["double","long"],"z":{"`indexer`":"bool"}}""")
+  }
+
+  test("parser: r18 ipv4_range_to_cidr_list — greedy minimal cover") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def cidrs(a: String, b: String): Seq[String] = {
+      val r = KqlParser.run(
+        s"T | project r = ipv4_range_to_cidr_list('$a', '$b')", reg).head()
+      if (r.isNullAt(0)) null else r.getSeq[String](0)
+    }
+    assert(cidrs("10.0.0.1", "10.0.0.6") ==
+      Seq("10.0.0.1/32", "10.0.0.2/31", "10.0.0.4/31", "10.0.0.6/32"))
+    assert(cidrs("10.0.0.0", "10.0.0.255") == Seq("10.0.0.0/24"))
+    assert(cidrs("0.0.0.0", "255.255.255.255") == Seq("0.0.0.0/0"))
+    assert(cidrs("1.2.3.4", "1.2.3.4") == Seq("1.2.3.4/32"))
+    assert(cidrs("192.168.1.255", "192.168.2.1") ==
+      Seq("192.168.1.255/32", "192.168.2.0/31"))
+    // start > end and malformed → null (ADX's null-on-invalid)
+    assert(cidrs("10.0.0.6", "10.0.0.1") == null)
+    assert(cidrs("10.0.0.x", "10.0.0.1") == null)
+  }
+
+  test("parser: r18 geo_h3cell_compact / geo_h3cell_uncompact — sibling folds") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    val r = KqlParser.run(
+      "T | extend c = geo_point_to_h3cell(2.35, 48.86, 4) " +
+        "| extend ch = geo_h3cell_children(c, 5) " +
+        "| extend cc = geo_h3cell_compact(ch), " +
+        "  uc = geo_h3cell_uncompact(pack_array(c), 5), " +
+        "  rt = geo_h3cell_uncompact(geo_h3cell_compact(ch), 5) " +
+        "| project nch = tolong(array_length(ch)), " +
+        "  ok_c = tolong(iff(array_length(cc) == 1 and tostring(cc[0]) == c, 1, 0)), " +
+        "  ok_u = tolong(iff(tostring(uc) == tostring(array_sort_asc(ch)), 1, 0)), " +
+        "  ok_rt = tolong(iff(tostring(rt) == tostring(array_sort_asc(ch)), 1, 0))",
+      reg).head()
+    assert(r.getLong(0) >= 5L, "a res-4 cell should have several children")
+    assert(r.getLong(1) == 1L, "compact(children(c)) must fold to [c]")
+    assert(r.getLong(2) == 1L, "uncompact([c]) must equal children(c)")
+    assert(r.getLong(3) == 1L, "uncompact(compact(S)) must round-trip S")
+    // an INCOMPLETE sibling set must not fold; same-res uncompact is
+    // identity; invalid tokens null out
+    val r2 = KqlParser.run(
+      "T | extend c = geo_point_to_h3cell(2.35, 48.86, 4) " +
+        "| extend ch = geo_h3cell_children(c, 5) " +
+        "| extend part = array_slice(ch, 1, array_length(ch) - 1) " +
+        "| extend cp = geo_h3cell_compact(part) " +
+        "| project ok_p = tolong(iff(tostring(cp) == tostring(array_sort_asc(part)), 1, 0)), " +
+        "  ok_id = tolong(iff(tostring(geo_h3cell_uncompact(pack_array(c), 4)) " +
+        "    == tostring(pack_array(c)), 1, 0)), " +
+        "  bad = geo_h3cell_compact(pack_array('nope'))", reg).head()
+    assert(r2.getLong(0) == 1L, "a partial sibling set must stay unfolded")
+    assert(r2.getLong(1) == 1L)
+    assert(r2.isNullAt(2))
+  }
+
+  test("parser: r18 geo_intersection_2lines — point / multipoint / empty / null") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def ln(pts: (Double, Double)*) =
+      s"""parse_json('{"type":"LineString","coordinates":[${
+        pts.map { case (x, y) => s"[$x,$y]" }.mkString(",")}]}')"""
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    // proper crossing → Point (1, 1)
+    val cross = one(s"geo_intersection_2lines(${ln((0, 0), (2, 2))}, ${ln((0, 2), (2, 0))})")
+    val crossed = KqlParser.run(
+      s"T | extend g = geo_intersection_2lines(${ln((0, 0), (2, 2))}, ${ln((0, 2), (2, 0))}) " +
+        "| project t = tostring(g.type), x = todouble(g.coordinates[0]), " +
+        "  y = todouble(g.coordinates[1])", reg).head()
+    assert(!cross.isNullAt(0))
+    assert(crossed.getString(0) == "Point" &&
+      crossed.getDouble(1) == 1.0 && crossed.getDouble(2) == 1.0)
+    // endpoint touch → that endpoint, exactly
+    val touch = KqlParser.run(
+      s"T | extend g = geo_intersection_2lines(${ln((0, 0), (1, 1))}, ${ln((1, 1), (2, 0))}) " +
+        "| project t = tostring(g.type), x = todouble(g.coordinates[0])", reg).head()
+    assert(touch.getString(0) == "Point" && touch.getDouble(1) == 1.0)
+    // collinear overlap → the overlap-segment endpoints as MultiPoint
+    val over = KqlParser.run(
+      s"T | extend g = geo_intersection_2lines(${ln((0, 0), (2, 0))}, ${ln((1, 0), (3, 0))}) " +
+        "| project t = tostring(g.type), " +
+        "  x0 = todouble(g.coordinates[0][0]), x1 = todouble(g.coordinates[1][0]), " +
+        "  x2 = todouble(g.coordinates[2][0])", reg).head()
+    assert(over.getString(0) == "MultiPoint" &&
+      over.getDouble(1) == 1.0 && over.getDouble(2) == 2.0 && over.isNullAt(3))
+    // disjoint → empty GeometryCollection; consistency with the predicate
+    val none = KqlParser.run(
+      s"T | extend g = geo_intersection_2lines(${ln((0, 0), (1, 0))}, ${ln((5, 5), (6, 6))}) " +
+        s"| project t = tostring(g.type), e = tostring(g.geometries), " +
+        s"  p = geo_intersects_2lines(${ln((0, 0), (1, 0))}, ${ln((5, 5), (6, 6))})", reg).head()
+    assert(none.getString(0) == "GeometryCollection" && none.getString(1) == "[]" &&
+      !none.getBoolean(2))
+    // malformed → null
+    assert(one(s"geo_intersection_2lines(parse_json('{}'), ${ln((0, 0), (1, 1))})").isNullAt(0))
   }
 
   test("parser: r17 closers — isutf8/new_guid/dynamic_to_json/unixtime_nanos/series_stats/consume") {

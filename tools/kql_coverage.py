@@ -48,6 +48,13 @@ ALIASED = {
     "sample-distinct": "verb dispatch splits it as sample + '-distinct'",
     "percentiles": "via percentiles_array (tuple-assign unsupported — documented deviation)",
     "percentilesw": "via percentilesw_array (same deviation)",
+    # implemented through custom scanners / equality gates the
+    # dispatch-context scrape can't see (r17 ADVICE tightening):
+    "column_ifexists": "regionMatches scanner (rewriteColumnIfExists)",
+    "floor": "bin-alias gate (`w.toLowerCase == \"floor\"`)",
+    "pack_all": "custom scanner (startsWith in the pack_all rewrite)",
+    "parse_json": "Spark 4 parse_json builtin is identical (todynamic's rewrite target)",
+    "reverse": "Spark reverse builtin is identical on strings and arrays",
 }
 
 # Curated from the public ADX documentation index. This is the USER-HIT
@@ -177,7 +184,33 @@ DOCUMENTED = {
 
 def main(md_out=None):
     src = open(PARSER, encoding="utf-8").read()
-    lexical = set(re.findall(r'"([a-z_][a-z_0-9-]*)"', src))
+    # Restrict the scrape to DISPATCH contexts (r17 ADVICE: a bare
+    # quoted-string scan would count a name that only appears in an
+    # error message or SQL fragment): case arms (incl. |-alternatives
+    # and name-binding forms), Set(...)/startsWith dispatch gates, and
+    # rewrite-map arrows.
+    lexical = set()
+    # case arms, including |-alternative chains spanning lines and
+    # name-binding forms (fname @ "a" | "b")
+    for m in re.finditer(
+            r'case\s+(?:[A-Za-z_]+ @ )?\(?\s*'
+            r'((?:"[a-z_][a-z_0-9-]*"\s*\|\s*)*"[a-z_][a-z_0-9-]*")', src, re.S):
+        lexical.update(re.findall(r'"([a-z_][a-z_0-9-]*)"', m.group(1)))
+    for m in re.finditer(r'startsWith\("([a-z_][a-z_0-9-]*)"\)', src):
+        lexical.add(m.group(1))
+    # equality-gated dispatch (`w.toLowerCase == "bin"` guard forms)
+    for m in re.finditer(r'==\s*"([a-z_][a-z_0-9-]*)"', src):
+        lexical.add(m.group(1))
+    for m in re.finditer(r'"([a-z_][a-z_0-9-]*)"\s*->', src):
+        lexical.add(m.group(1))
+    # the big name-gate Sets: Set("a", "b", ...) possibly spanning lines
+    for m in re.finditer(r'Set\(((?:[^()]|\([^()]*\))*?)\)', src, re.S):
+        lexical.update(re.findall(r'"([a-z_][a-z_0-9-]*)"', m.group(1)))
+    # multi-line quoted-name lists that continue a Set/case context:
+    # lines consisting solely of quoted names + commas
+    for m in re.finditer(r'^\s*(?:"[a-z_][a-z_0-9-]*"\s*,?\s*)+\|?\s*$',
+                         src, re.M):
+        lexical.update(re.findall(r'"([a-z_][a-z_0-9-]*)"', m.group(0)))
 
     rows, stats = [], {}
     for cat, blob in DOCUMENTED.items():

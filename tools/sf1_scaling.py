@@ -29,6 +29,10 @@ def main(log_path, top_n=20):
         m = re.match(r"\[bench\] (\S+) FAILED", line)
         if m:
             failed[m.group(1)] = failed.get(m.group(1), 0) + 1
+            # a non-watchdog failure still emits a paired timing line
+            # (possibly a fast 0.2 s exception) — exclude it from the
+            # min-over-completed, like cancelled attempts (r17 ADVICE)
+            cancelled_next.add(m.group(1))
             continue
         m = re.match(r"\[bench\] (\S+)\s+([0-9.]+) s  gc=", line)
         if m:
