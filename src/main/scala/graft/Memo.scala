@@ -151,6 +151,85 @@ object Memo {
     spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" +
       prefix + pathDigest(sfDir)
 
+  /** Cross-SESSION reuse marker (r17 verdict #5: the two heaviest
+    * driver colds re-ran a full streaming upsert / iterative CC per
+    * cold session even though the warehouse dir — and the previous
+    * session's written serving layout — survives the JVM): a build
+    * stamps `_graft_served.json` (corpus fingerprint + a buildTag
+    * naming the derivation's logic version) next to the written
+    * files; a later session that finds the marker matching the
+    * CURRENT fingerprint serves the existing files without
+    * re-deriving. Bump the buildTag when the compute's semantics
+    * change, or the stale layout of an older engine build would
+    * serve. Underscore-prefixed files are invisible to Spark's file
+    * listing, so the marker never pollutes the scan. */
+  private def markerPath(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      new java.net.URI(dir).getScheme match {
+        case null => dir
+        case _ => new java.net.URI(dir).getPath
+      }, "_graft_served.json")
+
+  def markServed(dir: String, sfDir: String, buildTag: String): Unit =
+    try
+      java.nio.file.Files.writeString(markerPath(dir),
+        s"""{"fingerprint":"${fingerprint(sfDir)}","build":"$buildTag"}"""): Unit
+    catch { case _: Throwable => () }
+
+  def servedFresh(dir: String, sfDir: String, buildTag: String): Boolean =
+    try {
+      val p = markerPath(dir)
+      java.nio.file.Files.isReadable(p) &&
+        java.nio.file.Files.readString(p) ==
+          s"""{"fingerprint":"${fingerprint(sfDir)}","build":"$buildTag"}"""
+    } catch { case _: Throwable => false }
+
+  /** [[cached]] over a cross-session-reusable served PARQUET dir:
+    * `compute` must write the relation to `dir` (overwrite mode); the
+    * marker then lets the NEXT session skip the build entirely. */
+  def cachedServedDir(spark: SparkSession, sfDir: String, tag: String,
+                      prefix: String, buildTag: String)
+                     (compute: String => Unit): DataFrame =
+    cached(spark, sfDir, tag) {
+      val dir = servedDir(spark, prefix, sfDir)
+      if (!servedFresh(dir, sfDir, buildTag)) {
+        compute(dir)
+        markServed(dir, sfDir, buildTag)
+      }
+      spark.read.parquet(dir)
+    }
+
+  /** [[cached]] over a cross-session-reusable BUCKETED catalog table:
+    * on a marker hit in a fresh session (in-memory catalog = no
+    * entry), the existing files are re-registered as an external
+    * bucketed table — bucket ids live in the written file names, so
+    * the zero-Exchange layout survives the re-registration. */
+  def cachedServedTable(spark: SparkSession, sfDir: String, tag: String,
+                        table: String, bucketCol: String, buildTag: String)
+                       (compute: => Unit): DataFrame =
+    cached(spark, sfDir, tag) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val uri = new java.net.URI(wh)
+      val base = if (uri.getScheme == null) wh else uri.getPath
+      val dir = new java.io.File(base, table).getAbsolutePath
+      if (servedFresh(dir, sfDir, buildTag)) {
+        // a live catalog entry (same-JVM sibling session) already
+        // points at these files — never DROP here, a managed entry's
+        // drop would delete the data being reused
+        if (!spark.catalog.tableExists(table)) {
+          val schema = spark.read.parquet(dir).schema.toDDL
+          spark.sql(s"CREATE TABLE `$table` ($schema) USING PARQUET " +
+            s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) " +
+            s"INTO $ServingBuckets BUCKETS LOCATION '$dir'")
+        }
+      } else {
+        prepareServedTable(spark, table)
+        compute
+        markServed(dir, sfDir, buildTag)
+      }
+      spark.table(table)
+    }
+
   /** Make `table` writable via saveAsTable in THIS session: drop any
     * catalog entry and clear a stale warehouse directory. Needed
     * because the serving tables outlive the JVM (the warehouse dir

@@ -423,16 +423,18 @@ object Dedup {
     * Staleness/eviction live in Memo: the key fingerprints the corpus
     * files and entries are LRU-bounded. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Memo.cached(spark, sfDir, "dedup_clusters") {
-      // Served from a WRITTEN parquet table, not the loop's final RAM
-      // checkpoint (r15 verdict #1): the write drains the converged
-      // assignment once, the final checkpoint is released immediately,
-      // and every downstream report pays a small parquet scan.
-      val dir = graft.Memo.servedDir(spark, "graft_clusters_", sfDir)
+    // Served from a WRITTEN parquet table, not the loop's final RAM
+    // checkpoint (r15 verdict #1): the write drains the converged
+    // assignment once, the final checkpoint is released immediately,
+    // and every downstream report pays a small parquet scan. r18
+    // (r17 verdict #5): the written assignment is also reused ACROSS
+    // SESSIONS via the fingerprint marker — a cold session with an
+    // unchanged corpus skips the iterative CC entirely.
+    graft.Memo.cachedServedDir(spark, sfDir, "dedup_clusters",
+        "graft_clusters_", "r18") { dir =>
       val asg = computeDedupClusters(spark, sfDir)
       asg.write.mode("overwrite").parquet(dir)
-      asg.unpersist()
-      spark.read.parquet(dir)
+      asg.unpersist(): Unit
     }
 
   private def computeDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {

@@ -171,8 +171,15 @@ object CdcQueries {
     * the zero-Exchange bucketed scan on an orderid aggregate. */
   def latestServed(spark: SparkSession, sfDir: String): DataFrame = {
     val table = "graft_latest_" + graft.Memo.pathDigest(sfDir)
-    graft.Memo.cached(spark, sfDir, "cdc_latest_served") {
-      graft.Memo.prepareServedTable(spark, table)
+    // Cross-session reuse (r17 verdict #5: this build — a full
+    // streaming upsert + bucketed compact — was the heaviest driver
+    // cold at 18.4 s PER COLD SESSION): the compacted table persists
+    // in the warehouse dir, so a later session with an unchanged
+    // corpus fingerprint re-registers the bucketed files instead of
+    // replaying the stream. The streaming path itself stays covered
+    // every build (and by ServingHandoffSpec / RestartRecoverySpec).
+    graft.Memo.cachedServedTable(spark, sfDir, "cdc_latest_served",
+        table, bucketCol = "orderid", buildTag = "r18") {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft_cdc_serve").toString
       eventLog(spark, sfDir).write.parquet(s"$scratch/input")
@@ -185,7 +192,6 @@ object CdcQueries {
       graft.streaming.Sinks.readLatest(spark, s"$scratch/upsert")
         .write.bucketBy(graft.Memo.ServingBuckets, "orderid").sortBy("orderid")
         .mode("overwrite").saveAsTable(table)
-      spark.table(table)
     }.select(col("orderid"), col("custid"), col("amount"), col("city"))
   }
 

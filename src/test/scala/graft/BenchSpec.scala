@@ -75,10 +75,14 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.suspectCeil(Some(8.0)) === 10.0)
   }
 
-  test("isAmbient: >2.5x prior regardless of magnitude; no prior -> never") {
-    // the two r14 floor escapees: 0.28->0.85 (3.0x) and 0.27->0.69 (2.5x)
-    assert(Bench.isAmbient(0.85, Some(0.28)))
-    assert(Bench.isAmbient(0.69, Some(0.27)))   // 0.69 > 2.5*0.27 = 0.675
+  test("isAmbient: >2.5x prior AND >0.5s absolute excess; no prior -> never") {
+    // r18 absolute-excess floor (r17 verdict #4): a sub-second reading
+    // whose whole "regression" is the fixed probe band carries no
+    // ratio signal — 0.28->0.85 is 3.0x but only 0.57 s excess (flags,
+    // barely); 0.27->0.69 is 2.6x with 0.42 s excess (probe band, no
+    // longer flags)
+    assert(Bench.isAmbient(0.85, Some(0.28)))   // excess 0.57 s > 0.5
+    assert(!Bench.isAmbient(0.69, Some(0.27)))  // excess 0.42 s: probe band
     assert(!Bench.isAmbient(0.5, Some(0.28)))   // < 2.5x: ordinary jitter
     assert(!Bench.isAmbient(100.0, None))       // no prior: nothing to compare
     assert(Bench.isAmbient(30.0, Some(10.0)))   // large queries flag too

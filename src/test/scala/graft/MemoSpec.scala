@@ -76,4 +76,60 @@ class MemoSpec extends AnyFunSuite {
     }
     assert(x.count() == 1 && y.count() == 2)
   }
+
+  test("cachedServedDir: marker skips the build across entries; buildTag bump rebuilds") {
+    val corpus = Files.createTempDirectory("memoC").toString
+    Files.writeString(java.nio.file.Paths.get(corpus, "t.txt"), "v1")
+    var built = 0
+    def get(tag: String, build: String) =
+      Memo.cachedServedDir(spark, corpus, tag, "graft_memospec_", build) { dir =>
+        built += 1
+        spark.range(4).toDF("id").write.mode("overwrite").parquet(dir)
+      }
+    assert(get("s1", "v1").count() == 4)
+    assert(built == 1)
+    // a DIFFERENT Memo entry (new tag — what a fresh session's empty
+    // cache looks like to the seam) finds the marker and skips compute
+    assert(get("s2", "v1").count() == 4)
+    assert(built == 1, "marker hit must not rebuild")
+    // derivation-logic version bump invalidates the layout
+    assert(get("s3", "v2").count() == 4)
+    assert(built == 2, "buildTag bump must rebuild")
+    // corpus rewrite invalidates the marker too
+    Files.writeString(java.nio.file.Paths.get(corpus, "t.txt"), "v2-longer")
+    assert(get("s4", "v2").count() == 4)
+    assert(built == 3, "fingerprint change must rebuild")
+  }
+
+  test("cachedServedTable: re-registers existing bucketed files without rebuild") {
+    val corpus = Files.createTempDirectory("memoT").toString
+    Files.writeString(java.nio.file.Paths.get(corpus, "t.txt"), "v1")
+    var built = 0
+    val table = "graft_memospec_srv"
+    def get(tag: String) =
+      Memo.cachedServedTable(spark, corpus, tag, table, "id", "v1") {
+        built += 1
+        spark.range(8).toDF("id")
+          .write.bucketBy(Memo.ServingBuckets, "id").sortBy("id")
+          .mode("overwrite").saveAsTable(table)
+      }
+    assert(get("t1").count() == 8)
+    assert(built == 1)
+    // simulate a fresh session's empty catalog: drop ONLY the catalog
+    // entry (external-ize first so the files survive), then a new Memo
+    // entry must re-register instead of rebuilding
+    spark.sessionState.catalog.externalCatalog
+      .alterTable(spark.sessionState.catalog.externalCatalog
+        .getTable("default", table)
+        .copy(tableType =
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL))
+    spark.sql(s"DROP TABLE `$table`")
+    assert(get("t2").count() == 8)
+    assert(built == 1, "marker hit must re-register, not rebuild")
+    // and the re-registered table still carries the bucket spec
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+    assert(bucketSpec.exists(_.bucketColumnNames == Seq("id")))
+  }
 }
