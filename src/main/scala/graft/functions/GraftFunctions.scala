@@ -38,6 +38,15 @@ object GraftFunctions {
     "graft_h3_children" -> (e => H3CellChildren(e(0), e(1))),
     "graft_h3_compact" -> (e => H3CellCompact(e(0))),
     "graft_h3_uncompact" -> (e => H3CellUncompact(e(0), e(1))),
+    "graft_geo_point_buffer" -> (e => GeoPointBufferExpr(e(0), e(1), e(2))),
+    "graft_geo_line_buffer" -> (e => GeoLineBufferExpr(e(0), e(1))),
+    "graft_geo_polygon_buffer" -> (e => GeoPolygonBufferExpr(e(0), e(1))),
+    "graft_geo_simplify_line" -> (e => GeoSimplifyLineExpr(e(0), e(1))),
+    "graft_geo_simplify_polygon" -> (e => GeoSimplifyPolygonExpr(e(0), e(1))),
+    "graft_geo_clip_line" -> (e => GeoClipLineExpr(e(0), e(1))),
+    "graft_geo_poly_bool" -> (e => GeoPolyBoolExpr(e(0), e(1), e(2))),
+    "graft_geo_union_polys" -> (e => GeoUnionPolygonsExpr(e(0))),
+    "graft_geo_union_lines" -> (e => GeoUnionLinesExpr(e(0))),
     "graft_codepoints" -> (e => UnicodeCodepoints(e(0))),
     "graft_from_codepoints" -> (e => UnicodeFromCodepoints(e(0))),
     "graft_punycode_encode" -> (e => PunycodeEncode(e(0))),

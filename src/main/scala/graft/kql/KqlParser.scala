@@ -4720,6 +4720,11 @@ object KqlParser {
               "geo_line_to_h3cells",
               "geo_h3cell_compact", "geo_h3cell_uncompact",
               "geo_intersection_2lines", "ipv4_range_to_cidr_list",
+              "geo_point_buffer", "geo_line_buffer", "geo_polygon_buffer",
+              "geo_line_simplify", "geo_polygon_simplify",
+              "geo_simplify_polygons_array",
+              "geo_intersection_2polygons", "geo_intersection_line_with_polygon",
+              "geo_union_polygons", "geo_union_lines",
               "totimespan", "make_timespan", "format_timespan",
               "datetime_part", "make_datetime",
               "datetime_utc_to_local", "datetime_local_to_utc",
@@ -6757,6 +6762,91 @@ object KqlParser {
                 require(args.length == 2,
                   "geo_intersection_2lines expects (line1, line2)")
                 out.append(geoIntersection2LinesSql(args(0), args(1)))
+              case gb @ ("geo_point_buffer" | "geo_line_buffer" |
+                         "geo_polygon_buffer" | "geo_line_simplify" |
+                         "geo_polygon_simplify" | "geo_simplify_polygons_array" |
+                         "geo_intersection_2polygons" |
+                         "geo_intersection_line_with_polygon" |
+                         "geo_union_polygons" | "geo_union_lines") =>
+                // ADX buffer / simplify / boolean-operation tier —
+                // native [[graft.functions.Geom]] kernels (planar
+                // equirectangular meters, simple outer rings, holes
+                // discarded, canonical deterministic output; full
+                // deviation contract documented at the object).
+                // geo_point_buffer(lon, lat, radiusM);
+                // geo_line_buffer(line, radiusM) / geo_polygon_buffer:
+                // union of segment rectangles + vertex 16-gons (+ the
+                // ring itself); geo_*_simplify: Douglas–Peucker at
+                // meter tolerance (polygon default 10 m, ADX's);
+                // geo_intersection_2polygons / geo_union_polygons:
+                // Greiner–Hormann even-odd boolean;
+                // geo_intersection_line_with_polygon: inside-run clip;
+                // geo_union_lines: MultiLineString collection (no
+                // collinear dissolve — documented deviation).
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                def lineC(e: String) =
+                  s"try_cast(variant_get($e, '$$.coordinates') AS ARRAY<ARRAY<DOUBLE>>)"
+                def ringC(e: String) =
+                  s"try_cast(variant_get($e, '$$.coordinates[0]') AS ARRAY<ARRAY<DOUBLE>>)"
+                def dbl(e: String) = s"CAST(($e) AS DOUBLE)"
+                gb match {
+                  case "geo_point_buffer" =>
+                    require(args.length == 3,
+                      "geo_point_buffer expects (lon, lat, radiusMeters)")
+                    out.append(s"parse_json(graft_geo_point_buffer(" +
+                      s"${dbl(args(0))}, ${dbl(args(1))}, ${dbl(args(2))}))")
+                  case "geo_line_buffer" =>
+                    require(args.length == 2,
+                      "geo_line_buffer expects (line, radiusMeters)")
+                    out.append(s"parse_json(graft_geo_line_buffer(" +
+                      s"${lineC(args(0))}, ${dbl(args(1))}))")
+                  case "geo_polygon_buffer" =>
+                    require(args.length == 2,
+                      "geo_polygon_buffer expects (polygon, radiusMeters)")
+                    out.append(s"parse_json(graft_geo_polygon_buffer(" +
+                      s"${ringC(args(0))}, ${dbl(args(1))}))")
+                  case "geo_line_simplify" =>
+                    require(args.length == 2,
+                      "geo_line_simplify expects (line, toleranceMeters)")
+                    out.append(s"parse_json(graft_geo_simplify_line(" +
+                      s"${lineC(args(0))}, ${dbl(args(1))}))")
+                  case "geo_polygon_simplify" =>
+                    require(args.length == 1 || args.length == 2,
+                      "geo_polygon_simplify expects (polygon[, toleranceMeters])")
+                    val tol = args.lift(1).map(dbl).getOrElse("CAST(10.0 AS DOUBLE)")
+                    out.append(s"parse_json(graft_geo_simplify_polygon(" +
+                      s"${ringC(args(0))}, $tol))")
+                  case "geo_simplify_polygons_array" =>
+                    require(args.length == 1 || args.length == 2,
+                      "geo_simplify_polygons_array expects (polygons[, toleranceMeters])")
+                    val tol = args.lift(1).map(dbl).getOrElse("CAST(10.0 AS DOUBLE)")
+                    out.append(s"transform(try_cast((${args(0)}) AS ARRAY<VARIANT>), " +
+                      s"gsp -> parse_json(graft_geo_simplify_polygon(" +
+                      s"${ringC("gsp")}, $tol)))")
+                  case "geo_intersection_2polygons" =>
+                    require(args.length == 2,
+                      "geo_intersection_2polygons expects (polygon1, polygon2)")
+                    out.append(s"parse_json(graft_geo_poly_bool(" +
+                      s"${ringC(args(0))}, ${ringC(args(1))}, 'i'))")
+                  case "geo_intersection_line_with_polygon" =>
+                    require(args.length == 2,
+                      "geo_intersection_line_with_polygon expects (line, polygon)")
+                    out.append(s"parse_json(graft_geo_clip_line(" +
+                      s"${lineC(args(0))}, ${ringC(args(1))}))")
+                  case "geo_union_polygons" =>
+                    require(args.length == 1,
+                      "geo_union_polygons expects (polygons)")
+                    out.append(s"parse_json(graft_geo_union_polys(" +
+                      s"transform(try_cast((${args(0)}) AS ARRAY<VARIANT>), " +
+                      s"gup -> ${ringC("gup")})))")
+                  case "geo_union_lines" =>
+                    require(args.length == 1,
+                      "geo_union_lines expects (lines)")
+                    out.append(s"parse_json(graft_geo_union_lines(" +
+                      s"transform(try_cast((${args(0)}) AS ARRAY<VARIANT>), " +
+                      s"gul -> ${lineC("gul")})))")
+                }
               case "geo_intersects_2polygons" =>
                 // ADX geo_intersects_2polygons(p1, p2): for SIMPLE
                 // outer rings (holes unsupported — the polygon tier's

@@ -2692,7 +2692,85 @@ object ReferenceQueries {
       |            d_max_m = max(tolong(floor(d_m, 1))) by city, route_id
       || sort by city asc, route_id asc""".stripMargin
 
+  /** r18 buffer/simplify tier (`geo_point_buffer`, `geo_line_buffer`,
+    * `geo_polygon_buffer`, `geo_line_simplify`) — per-row buffers over
+    * integer-valued geometries, audited by in/out point probes whose
+    * TRUTH is closed-form (probe at r/2 is inside any ≥0.98r-apothem
+    * 16-gon, probe at 2r is outside; offsets taken in pure latitude so
+    * no kx enters), plus a simplify vertex-count whose spike height is
+    * data-derived ((amount−100)·2 m against a 149 m tolerance — odd,
+    * so no row sits on the boundary and float noise cannot flip it).
+    * The oracle states the closed forms; KqlSpec pins the shapes. */
+  val kqlGeoBuffersText: String =
+    """Orders
+      || where orderid < 2000
+      || extend x = todouble(orderid % 30), y = todouble(custid % 30),
+      |         h = todouble(amount - 100) * 2.0
+      || extend pb = geo_point_buffer(x, y, 50000.0)
+      || extend ln = bag_pack('type', 'LineString', 'coordinates',
+      |                       pack_array(pack_array(x, y), pack_array(x + 2.0, y)))
+      || extend lb = geo_line_buffer(ln, 50000.0)
+      || extend sqp = bag_pack('type', 'Polygon', 'coordinates', pack_array(pack_array(
+      |      pack_array(x, y), pack_array(x + 2.0, y), pack_array(x + 2.0, y + 2.0),
+      |      pack_array(x, y + 2.0), pack_array(x, y))))
+      || extend gb = geo_polygon_buffer(sqp, 50000.0)
+      || extend ln3 = bag_pack('type', 'LineString', 'coordinates',
+      |      pack_array(pack_array(x, y), pack_array(x + 1.0, y + h / 110574.0),
+      |                 pack_array(x + 2.0, y)))
+      || extend sl = geo_line_simplify(ln3, 149.0)
+      || extend pb_in = tolong(iff(geo_point_in_polygon(x, y + 50000.0 / 221148.0, pb), 1, 0)),
+      |         pb_out = tolong(iff(geo_point_in_polygon(x, y + 100000.0 / 110574.0, pb), 1, 0)),
+      |         lb_in = tolong(iff(geo_point_in_polygon(x + 1.0, y, lb), 1, 0)),
+      |         lb_out = tolong(iff(geo_point_in_polygon(x + 1.0, y + 100000.0 / 110574.0, lb), 1, 0)),
+      |         gb_in = tolong(iff(geo_point_in_polygon(x + 1.0, y + 2.0 + 25000.0 / 110574.0, gb), 1, 0)),
+      |         gb_out = tolong(iff(geo_point_in_polygon(x + 1.0, y + 2.0 + 100000.0 / 110574.0, gb), 1, 0)),
+      |         n_simp = 2 + tolong(iff(isnotnull(todouble(sl.coordinates[2][0])), 1, 0))
+      || summarize n = count(), s_pb_in = sum(pb_in), s_pb_out = sum(pb_out),
+      |            s_lb_in = sum(lb_in), s_lb_out = sum(lb_out),
+      |            s_gb_in = sum(gb_in), s_gb_out = sum(gb_out),
+      |            s_simp = sum(n_simp) by city
+      || sort by city asc""".stripMargin
+
+  /** r18 boolean-operation tier (`geo_intersection_2polygons`,
+    * `geo_union_polygons`, `geo_intersection_line_with_polygon`,
+    * `geo_union_lines`) — per-row integer axis squares against a fixed
+    * quarter-offset rectangle (corners can never land on each other's
+    * edges, keeping every seam transversal), so the intersection
+    * rectangle, its canonical first vertex (the lexicographic min =
+    * (max(x, 10.25), max(y, 10.25))), the union's dissolved-vs-multi
+    * type, and the clipped run's entry point are all CLOSED-FORM in
+    * the oracle. */
+  val kqlGeoPolygonOpsText: String =
+    """let R = parse_json('{"type":"Polygon","coordinates":[[[10.25,10.25],[20.75,10.25],[20.75,20.75],[10.25,20.75],[10.25,10.25]]]}');
+      |Orders
+      || where orderid < 4000
+      || extend x = todouble(orderid % 30), y = todouble(custid % 30)
+      || extend a = bag_pack('type', 'Polygon', 'coordinates', pack_array(pack_array(
+      |      pack_array(x, y), pack_array(x + 2.0, y), pack_array(x + 2.0, y + 2.0),
+      |      pack_array(x, y + 2.0), pack_array(x, y))))
+      || extend g = geo_intersection_2polygons(a, R),
+      |         u = geo_union_polygons(pack_array(a, R)),
+      |         ln = bag_pack('type', 'LineString', 'coordinates',
+      |           pack_array(pack_array(x, y + 1.0), pack_array(x + 2.0, y + 1.0))),
+      |         ln2 = bag_pack('type', 'LineString', 'coordinates',
+      |           pack_array(pack_array(x, y + 3.0), pack_array(x + 2.0, y + 3.0)))
+      || extend c = geo_intersection_line_with_polygon(ln, R),
+      |         ml = geo_union_lines(pack_array(ln, ln2))
+      || extend gt = tostring(g.type), ut = tostring(u.type),
+      |         ct = tostring(c.type), mt = tostring(ml.type)
+      || extend gx0 = todouble(g.coordinates[0][0][0]), gy0 = todouble(g.coordinates[0][0][1]),
+      |         cx0 = todouble(c.coordinates[0][0])
+      || summarize n = count(), n_poly = countif(gt == 'Polygon'),
+      |    n_upoly = countif(ut == 'Polygon'), n_multi = countif(ut == 'MultiPolygon'),
+      |    n_clip = countif(ct == 'LineString'), n_ml = countif(mt == 'MultiLineString'),
+      |    sgx = sum(iff(gt == 'Polygon', tolong(floor(gx0 * 1000000.0, 1)), 0)),
+      |    sgy = sum(iff(gt == 'Polygon', tolong(floor(gy0 * 1000000.0, 1)), 0)),
+      |    scx = sum(iff(ct == 'LineString', tolong(floor(cx0 * 1000000.0, 1)), 0)) by city
+      || sort by city asc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kql_geo_buffers" -> kqlText(kqlGeoBuffersText) _,
+    "kql_geo_polygon_ops" -> kqlText(kqlGeoPolygonOpsText) _,
     "kql_geo_polygon_lookup" -> kqlText(kqlGeoPolygonLookupText) _,
     "kql_geo_line_lookup" -> kqlText(kqlGeoLineLookupText) _,
     "kql_buildschema" -> kqlText(kqlBuildschemaText) _,
@@ -2852,6 +2930,44 @@ object ReferenceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // buffer/simplify tier: closed-form probe truths (r/2 inside the
+    // 16-gon's 0.98r apothem, 2r outside; spike-vs-tolerance strict >)
+    "kql_geo_buffers" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT city, CAST(amount AS DOUBLE) AS amount
+         |  FROM orders_info WHERE orderid < 2000)
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(*) AS BIGINT) AS s_pb_in, CAST(0 AS BIGINT) AS s_pb_out,
+         |  CAST(COUNT(*) AS BIGINT) AS s_lb_in, CAST(0 AS BIGINT) AS s_lb_out,
+         |  CAST(COUNT(*) AS BIGINT) AS s_gb_in, CAST(0 AS BIGINT) AS s_gb_out,
+         |  CAST(SUM(CASE WHEN (amount - 100) * 2.0 > 149.0 THEN 3 ELSE 2 END) AS BIGINT) AS s_simp
+         |FROM pts GROUP BY city ORDER BY city ASC""".stripMargin,
+    // boolean-operation tier: axis-rect closed forms (overlap widths,
+    // canonical first vertex = (max(x,10.25), max(y,10.25)), clip
+    // entry = max(x,10.25) on in-range rows)
+    "kql_geo_polygon_ops" ->
+      s"""${Sql.ordersInfoCte},
+         |pts AS (
+         |  SELECT city, CAST(orderid % 30 AS DOUBLE) AS x, CAST(custid % 30 AS DOUBLE) AS y
+         |  FROM orders_info WHERE orderid < 4000),
+         |f AS (
+         |  SELECT city, x, y,
+         |    (least(x + 2.0, 20.75) - greatest(x, 10.25) > 0
+         |     AND least(y + 2.0, 20.75) - greatest(y, 10.25) > 0) AS ov,
+         |    (least(x + 2.0, 20.75) - greatest(x, 10.25) > 0
+         |     AND y + 1.0 > 10.25 AND y + 1.0 < 20.75) AS clip
+         |  FROM pts)
+         |SELECT city, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(*) FILTER (WHERE ov) AS BIGINT) AS n_poly,
+         |  CAST(COUNT(*) FILTER (WHERE ov) AS BIGINT) AS n_upoly,
+         |  CAST(COUNT(*) FILTER (WHERE NOT ov) AS BIGINT) AS n_multi,
+         |  CAST(COUNT(*) FILTER (WHERE clip) AS BIGINT) AS n_clip,
+         |  CAST(COUNT(*) AS BIGINT) AS n_ml,
+         |  CAST(SUM(CASE WHEN ov THEN CAST(floor(greatest(x, 10.25) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sgx,
+         |  CAST(SUM(CASE WHEN ov THEN CAST(floor(greatest(y, 10.25) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sgy,
+         |  CAST(SUM(CASE WHEN clip THEN CAST(floor(greatest(x, 10.25) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS scx
+         |FROM f GROUP BY city ORDER BY city ASC""".stripMargin,
     // geo_polygon_lookup: the independent per-fence even-odd
     // formulation (kql_geo_polygon_join's oracle, keyed by fence) —
     // zero cell arithmetic, so a cover miss drops a row and fails

@@ -3792,6 +3792,86 @@ class KqlSpec extends SparkSpec {
     assert(e.count() == 0L)
   }
 
+  test("parser: r18 buffer/simplify/boolean geometry tier") {
+    val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
+    def one(e: String) = KqlParser.run(s"T | project r = $e", reg).head()
+    def sq(x0: Double, y0: Double, s: Double) =
+      s"""parse_json('{"type":"Polygon","coordinates":[[[$x0,$y0],[${x0 + s},$y0],[${x0 + s},${y0 + s}],[$x0,${y0 + s}],[$x0,$y0]]]}')"""
+    // point buffer: polygon of 16 vertices around the point
+    val pb = KqlParser.run(
+      "T | extend g = geo_point_buffer(10.0, 0.0, 50000.0) " +
+        "| project t = tostring(g.type), " +
+        "  inside = geo_point_in_polygon(10.0, 0.0, g), " +
+        "  outside = geo_point_in_polygon(11.0, 0.0, g)", reg).head()
+    assert(pb.getString(0) == "Polygon" && pb.getBoolean(1) && !pb.getBoolean(2))
+    // line buffer covers points near the line, not far ones
+    val lb = KqlParser.run(
+      """T | extend ln = parse_json('{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.3]]}')""" +
+        " | extend g = geo_line_buffer(ln, 30000.0)" +
+        " | project t = tostring(g.type)," +
+        "   nearmid = geo_point_in_polygon(0.5, 0.15, g)," +
+        "   faraway = geo_point_in_polygon(0.5, 2.0, g)", reg).head()
+    assert(lb.getString(0) == "Polygon" && lb.getBoolean(1) && !lb.getBoolean(2))
+    // polygon buffer contains the polygon and a just-outside point
+    val pgb = KqlParser.run(
+      s"T | extend g = geo_polygon_buffer(${sq(0, 0, 1)}, 30000.0) " +
+        "| project inside = geo_point_in_polygon(0.5, 0.5, g), " +
+        "  nearout = geo_point_in_polygon(1.1, 0.5, g), " +
+        "  farout = geo_point_in_polygon(3.0, 0.5, g)", reg).head()
+    assert(pgb.getBoolean(0) && pgb.getBoolean(1) && !pgb.getBoolean(2))
+    // simplify: ~111 m spike drops at 1 km tolerance, stays at 10 m
+    val ls = KqlParser.run(
+      """T | extend ln = parse_json('{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.001],[2.0,0.0]]}')""" +
+        " | project n1000 = tostring(geo_line_simplify(ln, 1000.0))," +
+        "   n10 = tostring(geo_line_simplify(ln, 10.0))", reg).head()
+    assert(ls.getString(0) == """{"coordinates":[[0,0],[2,0]],"type":"LineString"}""")
+    assert(ls.getString(1).contains("[1,0.001]"))
+    // polygon simplify (default 10 m): square with a dent vertex
+    val ps = KqlParser.run(
+      """T | extend p = parse_json('{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.001],[2.0,0.0],[2.0,2.0],[0.0,2.0],[0.0,0.0]]]}')""" +
+        " | project coarse = tostring(geo_polygon_simplify(p, 1000.0))," +
+        "   fine = tostring(geo_polygon_simplify(p))", reg).head()
+    assert(!ps.getString(0).contains("0.001") && ps.getString(1).contains("0.001"))
+    // simplify array form
+    val psa = KqlParser.run(
+      s"T | extend ps = geo_simplify_polygons_array(pack_array(${sq(0, 0, 2)}, ${sq(5, 5, 2)}), 1000.0) " +
+        "| project n = tolong(array_length(ps)), t0 = tostring(ps[0])", reg).head()
+    assert(psa.getLong(0) == 2L && psa.getString(1).contains("\"type\":\"Polygon\""))
+    // intersection of overlapping squares → their overlap rectangle
+    val ix = KqlParser.run(
+      s"T | extend g = geo_intersection_2polygons(${sq(0, 0, 4)}, ${sq(2, 2, 4)}) " +
+        "| project t = tostring(g.type), " +
+        "  a_in = geo_point_in_polygon(3.0, 3.0, g), " +
+        "  a_out = geo_point_in_polygon(1.0, 1.0, g)", reg).head()
+    assert(ix.getString(0) == "Polygon" && ix.getBoolean(1) && !ix.getBoolean(2))
+    // disjoint intersection → empty GeometryCollection
+    val ixe = KqlParser.run(
+      s"T | extend g = geo_intersection_2polygons(${sq(0, 0, 1)}, ${sq(5, 5, 1)}) " +
+        "| project t = tostring(g.type)", reg).head()
+    assert(ixe.getString(0) == "GeometryCollection")
+    // union of overlapping squares dissolves to one Polygon; disjoint → MultiPolygon
+    val un = KqlParser.run(
+      s"T | extend g1 = geo_union_polygons(pack_array(${sq(0, 0, 4)}, ${sq(2, 2, 4)})), " +
+        s"  g2 = geo_union_polygons(pack_array(${sq(0, 0, 1)}, ${sq(5, 5, 1)})) " +
+        "| project t1 = tostring(g1.type), t2 = tostring(g2.type)", reg).head()
+    assert(un.getString(0) == "Polygon" && un.getString(1) == "MultiPolygon")
+    // line ∩ polygon: the inside run of a through-line
+    val clp = KqlParser.run(
+      s"""T | extend ln = parse_json('{"type":"LineString","coordinates":[[-2.0,2.0],[6.0,2.0]]}')""" +
+        s" | extend g = geo_intersection_line_with_polygon(ln, ${sq(0, 0, 4)})" +
+        " | project s = tostring(g)", reg).head()
+    assert(clp.getString(0) == """{"coordinates":[[0,2],[4,2]],"type":"LineString"}""")
+    // union of lines → MultiLineString collection
+    val ul = KqlParser.run(
+      """T | extend g = geo_union_lines(pack_array(
+        |parse_json('{"type":"LineString","coordinates":[[0.0,0.0],[1.0,1.0]]}'),
+        |parse_json('{"type":"LineString","coordinates":[[2.0,2.0],[3.0,3.0]]}')))
+        || project t = tostring(g.type)""".stripMargin, reg).head()
+    assert(ul.getString(0) == "MultiLineString")
+    // malformed → null
+    assert(one("geo_polygon_buffer(parse_json('{}'), 10.0)").isNullAt(0))
+  }
+
   test("parser: r18 buildschema — union tree, nulls skipped, empty = dynamic") {
     import org.apache.spark.sql.Row
     val reg = Map("T" -> Seq(

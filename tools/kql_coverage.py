@@ -57,6 +57,18 @@ ALIASED = {
     "reverse": "Spark reverse builtin is identical on strings and arrays",
 }
 
+# Explicitly adjudicated NOT APPLICABLE (r17 verdict #7: an explicit
+# n/a entry with a reason beats an open checkbox). These are
+# DATASET-bound, not engine-bound: the computation is trivial once the
+# dataset exists, and no redistributable dataset ships with the engine.
+NOT_APPLICABLE = {
+    "geo_info_from_ip_address":
+        "requires an external GeoIP database (MaxMind-class); the engine "
+        "ships no redistributable IP-geolocation dataset — pair it with "
+        "`evaluate ipv4_lookup(YourGeoTable, ip, network)` over a "
+        "user-supplied table, which is the same longest-prefix join",
+}
+
 # Curated from the public ADX documentation index. This is the USER-HIT
 # surface a dashboard/security/ops query would reach for; service-/
 # cluster-introspection functions (current_principal, extent_id,
@@ -213,6 +225,7 @@ def main(md_out=None):
         lexical.update(re.findall(r'"([a-z_][a-z_0-9-]*)"', m.group(0)))
 
     rows, stats = [], {}
+    na = 0
     for cat, blob in DOCUMENTED.items():
         names = sorted(set(blob.split()))
         got = []
@@ -221,11 +234,13 @@ def main(md_out=None):
                 st = "implemented"
             elif n in PASS_THROUGH:
                 st = "pass-through"
+            elif n in NOT_APPLICABLE:
+                st = "n/a"
             else:
                 st = "MISSING"
             got.append((n, st))
         rows.append((cat, got))
-        c = {"implemented": 0, "pass-through": 0, "MISSING": 0}
+        c = {"implemented": 0, "pass-through": 0, "MISSING": 0, "n/a": 0}
         for _, st in got:
             c[st] += 1
         stats[cat] = (len(names), c)
@@ -244,12 +259,15 @@ def main(md_out=None):
         total += n
         imp += c["implemented"]
         pt += c["pass-through"]
+        na += c["n/a"]
         miss += c["MISSING"]
+        nastr = f", {c['n/a']} n/a" if c["n/a"] else ""
         lines.append(f"- **{cat}**: {n} documented — {c['implemented']} implemented, "
-                     f"{c['pass-through']} pass-through, {c['MISSING']} missing")
-    pct = 100.0 * (imp + pt) / total if total else 0.0
-    lines.append(f"- **TOTAL**: {total} documented — {imp + pt} covered ({pct:.1f}%), "
-                 f"{miss} missing")
+                     f"{c['pass-through']} pass-through{nastr}, {c['MISSING']} missing")
+    applicable = total - na
+    pct = 100.0 * (imp + pt) / applicable if applicable else 0.0
+    lines.append(f"- **TOTAL**: {total} documented — {imp + pt} covered, {na} "
+                 f"adjudicated n/a ({pct:.1f}% of applicable), {miss} missing")
     lines.append("")
     for cat, got in rows:
         lines.append(f"## {cat}")
@@ -258,11 +276,17 @@ def main(md_out=None):
         if missing:
             lines.append(f"**Missing ({len(missing)})**: " + ", ".join(missing))
             lines.append("")
+        nas = [n for n, st in got if st == "n/a"]
+        for n in nas:
+            lines.append(f"**Adjudicated n/a — `{n}`**: {NOT_APPLICABLE[n]}")
+            lines.append("")
         lines.append("<details><summary>full checklist</summary>")
         lines.append("")
         for n, st in got:
-            mark = {"implemented": "x", "pass-through": "x", "MISSING": " "}[st]
-            suffix = " *(pass-through)*" if st == "pass-through" else ""
+            mark = {"implemented": "x", "pass-through": "x", "n/a": "x",
+                    "MISSING": " "}[st]
+            suffix = {"pass-through": " *(pass-through)*",
+                      "n/a": " *(adjudicated n/a — dataset-bound)*"}.get(st, "")
             lines.append(f"- [{mark}] `{n}`{suffix}")
         lines.append("")
         lines.append("</details>")
