@@ -95,6 +95,59 @@ class GeometrySpec extends AnyFunSuite {
     assert(math.abs(i.map(area).sum - 2.0) < 1e-9)
   }
 
+  test("ghBool inclusion-exclusion fuzz: area(i) + area(u) == area(a) + area(b)") {
+    // deterministic LCG-driven polygon pairs — convex (star-sorted
+    // random radii would be non-convex; we use jittered regular
+    // n-gons, which stay simple) at random offsets, so the pair
+    // sweeps disjoint / partial-overlap / containment regimes. The
+    // boolean core must satisfy inclusion-exclusion exactly (holes
+    // cannot occur for these shapes).
+    var seed = 0x2545F4914F6CDD1DL
+    def next(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 11).toDouble / (1L << 53).toDouble)
+    }
+    def poly(cx: Double, cy: Double, r: Double, n: Int, phase: Double) =
+      Array.tabulate(n) { k =>
+        val th = 2 * math.Pi * k / n + phase
+        Array(cx + r * math.cos(th), cy + r * math.sin(th))
+      }
+    var checked = 0
+    for (t <- 0 until 60) {
+      val a = poly(0, 0, 1.0 + next(), 5 + (next() * 4).toInt, next())
+      val b = poly(next() * 4 - 2, next() * 4 - 2, 0.5 + next(),
+        5 + (next() * 4).toInt, next())
+      val i = Geom.ghBool(a, b, 'i')
+      val u = Geom.ghBool(a, b, 'u')
+      assert(i != null && u != null, s"trial $t returned null")
+      val lhs = i.map(area).sum + u.map(area).sum
+      val rhs = area(a) + area(b)
+      assert(math.abs(lhs - rhs) < 1e-9,
+        s"trial $t: i+u = $lhs vs a+b = $rhs (ni=${i.length}, nu=${u.length})")
+      checked += 1
+    }
+    assert(checked == 60)
+  }
+
+  test("clipLineToRing conservation: kept length never exceeds, inside-line exact") {
+    val sq = ring((0, 0), (4, 0), (4, 4), (0, 4))
+    def len(l: Array[Array[Double]]): Double =
+      l.sliding(2).map { case Array(p, q) =>
+        math.hypot(q(0) - p(0), q(1) - p(1)) }.sum
+    var seed = 42L
+    def next(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 11).toDouble / (1L << 53).toDouble)
+    }
+    for (t <- 0 until 40) {
+      val line = Array.tabulate(4)(_ =>
+        Array(next() * 8 - 2, next() * 8 - 2))
+      val total = len(line)
+      val kept = Geom.clipLineToRing(line, sq).map(len).sum
+      assert(kept <= total + 1e-9, s"trial $t kept $kept > total $total")
+    }
+  }
+
   test("unionRings: transitive merge of an overlapping chain") {
     // offset y-ranges so every pairwise seam is transversal (exact
     // shared edges are the boolean core's documented-undefined class)

@@ -216,6 +216,18 @@ class PlanSpec extends SparkSpec {
       "digest collect must be over centroid structs:\n" + p.take(3000))
   }
 
+  test("geo lookup verbs: dim cells broadcast onto the point scan, no sort-merge") {
+    // the cover-join shape re-exposed as evaluate plugins (r18): the
+    // lookup table's cell fan-out must BROADCAST into an equi-join on
+    // the point's cell — a sort-merge here would shuffle the corpus
+    val pp = phys(graft.SparkEntry.queries("kql_geo_polygon_lookup")(spark, sfDir))
+    assert(pp.contains("BroadcastHashJoin"), pp.take(2000))
+    assert(!pp.contains("SortMergeJoin"), "polygon lookup must not sort-merge")
+    val lp = phys(graft.SparkEntry.queries("kql_geo_line_lookup")(spark, sfDir))
+    assert(lp.contains("BroadcastHashJoin"), lp.take(2000))
+    assert(!lp.contains("SortMergeJoin"), "line lookup must not sort-merge")
+  }
+
   test("sequence packing: window partitions by shard — no single global sort of the corpus") {
     val p = phys(graft.ext.TextAnalysis.packSequences(spark, sfDir))
     assert(p.contains("Window"), p.take(2000))
