@@ -38,6 +38,7 @@ object GraftFunctions {
     "graft_h3_children" -> (e => H3CellChildren(e(0), e(1))),
     "graft_h3_compact" -> (e => H3CellCompact(e(0))),
     "graft_h3_uncompact" -> (e => H3CellUncompact(e(0), e(1))),
+    "graft_ipv4_cidrs" -> (e => Ipv4RangeToCidrs(e(0), e(1))),
     "graft_geo_point_buffer" -> (e => GeoPointBufferExpr(e(0), e(1), e(2))),
     "graft_geo_line_buffer" -> (e => GeoLineBufferExpr(e(0), e(1))),
     "graft_geo_polygon_buffer" -> (e => GeoPolygonBufferExpr(e(0), e(1))),

@@ -5465,19 +5465,23 @@ object KqlParser {
                 // dynamic array of "a.b.c.d/p" strings: the textbook
                 // greedy — from the low end, emit the largest block
                 // both ALIGNED at cur and FITTING in the remainder,
-                // advance past it. ≤ 62 blocks cover any 32-bit range,
-                // so the loop is a FIXED 64-step fold (no-op once cur
-                // passes end). All power-of-two arithmetic is integer
-                // (cur & -cur alignment, an OR-cascade highest-bit
-                // fill, bit_count(blk−1) for the prefix width — no
-                // log2, whose rounding differs across libms), so the
-                // DuckDB oracle replays the same greedy exactly as a
-                // recursive CTE. Malformed endpoints or start > end →
-                // null, ADX's null-on-invalid shape.
+                // advance past it. ≤ 62 blocks cover any 32-bit
+                // range. A NATIVE codegen kernel
+                // ([[graft.functions.Ipv4.rangeToCidrs]] — first
+                // shipped as a 64-step SQL aggregate fold, whose
+                // lambda evaluates interpreted per row); all
+                // power-of-two arithmetic is integer (cur & -cur
+                // alignment, highest-bit fill, bit_count prefix
+                // width — no log2, whose rounding differs across
+                // libms), so the DuckDB oracle replays the same
+                // greedy exactly as a recursive CTE. Malformed
+                // endpoints or start > end → null, ADX's shape.
                 require(args.length == 2,
                   "ipv4_range_to_cidr_list expects (startIp, endIp)")
-                out.append(ipv4RangeToCidrsSql(
-                  ipv4Long(args(0)), ipv4Long(args(1))))
+                graft.functions.GraftFunctions.register(
+                  org.apache.spark.sql.SparkSession.active)
+                out.append(s"graft_ipv4_cidrs(${ipv4Long(args(0))}, " +
+                  s"${ipv4Long(args(1))})")
               case "ipv6_is_in_range" | "ipv6_is_in_any_range" =>
                 // r15: range is "addr/p" (plain address = /128);
                 // equality of the top p bits via the native prefix
@@ -7991,38 +7995,6 @@ object KqlParser {
   private def cidrPrefix(e: String): String =
     s"(CASE WHEN instr($e, '/') > 0 THEN " +
     s"try_cast(substring($e, instr($e, '/') + 1, 2147483647) AS INT) ELSE 32 END)"
-
-  /** The greedy minimal CIDR cover of [lo, hi] (BIGINT ipv4 value
-    * expressions) as ARRAY<STRING> — the dispatch comment has the
-    * algorithm. Fixed 64-step fold; every step binds the remainder
-    * once and derives the block size with pure integer bit ops (the
-    * OR-cascade highest-bit fill, `cur & -cur` alignment,
-    * `bit_count(blk − 1)` prefix width), so the DuckDB recursive-CTE
-    * replay is exact. */
-  private def ipv4RangeToCidrsSql(loE: String, hiE: String): String = {
-    // largest power of two ≤ gr (gr in [1, 2^32]): fill all bits below
-    // the msb, then (h >> 1) + 1
-    var fill = "gr"
-    Seq(1, 2, 4, 8, 16, 32).foreach(s => fill = s"($fill | shiftright($fill, $s))")
-    val highest = s"(shiftright($fill, 1) + 1L)"
-    val align = "CASE WHEN ga.c = 0L THEN 4294967296L ELSE (ga.c & -ga.c) END"
-    val blk = s"element_at(transform(array(gq.hi - ga.c + 1L), gr -> " +
-      s"least($align, $highest)), 1)"
-    val cidr = "concat(CAST(ga.c DIV 16777216 AS STRING), '.', " +
-      "CAST((ga.c DIV 65536) % 256 AS STRING), '.', " +
-      "CAST((ga.c DIV 256) % 256 AS STRING), '.', " +
-      "CAST(ga.c % 256 AS STRING), '/', " +
-      "CAST(32 - bit_count(gb - 1L) AS STRING))"
-    val step = s"element_at(transform(array($blk), gb -> named_struct(" +
-      s"'c', ga.c + gb, 'o', array_append(ga.o, $cidr))), 1)"
-    s"element_at(transform(array(named_struct('lo', $loE, 'hi', $hiE)), gq -> " +
-      s"CASE WHEN gq.lo IS NULL OR gq.hi IS NULL OR gq.lo > gq.hi " +
-      s"THEN CAST(NULL AS ARRAY<STRING>) ELSE " +
-      s"aggregate(sequence(1, 64), " +
-      s"named_struct('c', gq.lo, 'o', CAST(array() AS ARRAY<STRING>)), " +
-      s"(ga, gi) -> CASE WHEN ga.c > gq.hi THEN ga ELSE $step END, " +
-      s"gacc -> gacc.o) END), 1)"
-  }
 
   // ---- tdigest tier (equi-depth deviation documented at the
   //      summarize `tdigest` case) ---------------------------------

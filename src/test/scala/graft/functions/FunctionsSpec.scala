@@ -79,6 +79,7 @@ class FunctionsSpec extends SparkSpec {
       "graft_h3_cell", "graft_h3_center", "graft_h3_neighbors", "graft_h3_rings",
       "graft_h3_level", "graft_h3_parent", "graft_h3_children",
       "graft_h3_compact", "graft_h3_uncompact", "graft_build_schema",
+      "graft_ipv4_cidrs",
       "graft_geo_point_buffer", "graft_geo_line_buffer",
       "graft_geo_polygon_buffer", "graft_geo_simplify_line",
       "graft_geo_simplify_polygon", "graft_geo_clip_line",
