@@ -3895,6 +3895,37 @@ class KqlSpec extends SparkSpec {
     assert(g.getString(0) == """{"x":["double","long"],"z":{"`indexer`":"bool"}}""")
   }
 
+  test("parser: r18 two-level tdigest — mixed aggregates, computed keys, groupless") {
+    // the r18 rebuild routes tdigest through a windowed sub-plan
+    // joined back to the base aggregate — pin the MIXED list (digest +
+    // plain aggs in one summarize), a COMPUTED group key, and the
+    // groupless total-sort path (none covered by the r17 test)
+    val reg = Map("T" -> (1 to 64).map(i => ("g" + (i % 2), i)).toDF("k", "v"))
+    val r = KqlParser.run(
+      "T | summarize d = tdigest(v), c = count(), s = sum(v) by k " +
+        "| extend p50 = percentile_tdigest(d, 50) " +
+        "| project k, c, s, p50 | sort by k asc", reg).collect()
+    assert(r.length == 2)
+    // k = g0: evens 2..64 (32 values, sum 1056); k = g1: odds 1..63
+    assert(r(0).getString(0) == "g0" && r(0).getLong(1) == 32L &&
+      r(0).getLong(2) == 1056L && r(0).getDouble(3) == 32.0)
+    assert(r(1).getString(0) == "g1" && r(1).getLong(1) == 32L &&
+      r(1).getLong(2) == 1024L && r(1).getDouble(3) == 31.0)
+    // computed group key keeps its name and value
+    val b = KqlParser.run(
+      "T | summarize d = tdigest(v) by bucket = bin(v, 32) " +
+        "| extend p = percentile_tdigest(d, 100) " +
+        "| project bucket = tolong(bucket), p | sort by bucket asc", reg).collect()
+    assert(b.map(_.getLong(0)).toSeq == Seq(0L, 32L, 64L) &&
+      b.map(_.getDouble(1)).toSeq == Seq(31.0, 63.0, 64.0))
+    // groupless digest (total sort + per-partition offsets, no window)
+    val g = KqlParser.run(
+      "T | summarize d = tdigest(v) " +
+        "| project p50 = percentile_tdigest(d, 50), nc = tolong(array_length(d))",
+      reg).head()
+    assert(g.getDouble(0) == 31.5 && g.getLong(1) == 32L)
+  }
+
   test("parser: r18 ipv4_range_to_cidr_list — greedy minimal cover") {
     val reg = Map("T" -> Seq(Tuple1("x")).toDF("c"))
     def cidrs(a: String, b: String): Seq[String] = {
