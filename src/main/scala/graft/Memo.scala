@@ -171,17 +171,23 @@ object Memo {
       }, "_graft_served.json")
 
   def markServed(dir: String, sfDir: String, buildTag: String): Unit =
-    try
-      java.nio.file.Files.writeString(markerPath(dir),
-        s"""{"fingerprint":"${fingerprint(sfDir)}","build":"$buildTag"}"""): Unit
-    catch { case _: Throwable => () }
+    try {
+      val fp = fingerprint(sfDir)
+      // a degraded fingerprint ("na" — walk failure) must never be
+      // stamped: pre-r18 the fallback was bounded to one JVM session,
+      // a persistent marker would make it an unbounded stale-serve
+      if (fp != "na")
+        java.nio.file.Files.writeString(markerPath(dir),
+          s"""{"fingerprint":"$fp","build":"$buildTag"}"""): Unit
+    } catch { case _: Throwable => () }
 
   def servedFresh(dir: String, sfDir: String, buildTag: String): Boolean =
     try {
+      val fp = fingerprint(sfDir)
       val p = markerPath(dir)
-      java.nio.file.Files.isReadable(p) &&
+      fp != "na" && java.nio.file.Files.isReadable(p) &&
         java.nio.file.Files.readString(p) ==
-          s"""{"fingerprint":"${fingerprint(sfDir)}","build":"$buildTag"}"""
+          s"""{"fingerprint":"$fp","build":"$buildTag"}"""
     } catch { case _: Throwable => false }
 
   /** [[cached]] over a cross-session-reusable served PARQUET dir:
@@ -206,13 +212,18 @@ object Memo {
     * the zero-Exchange layout survives the re-registration. */
   def cachedServedTable(spark: SparkSession, sfDir: String, tag: String,
                         table: String, bucketCol: String, buildTag: String)
-                       (compute: => Unit): DataFrame =
+                       (compute: => Unit): DataFrame = {
+    // the bucket count is part of the layout contract: re-registering
+    // old files under a different ServingBuckets would let Spark
+    // trust a wrong bucket spec and silently mis-join — fold it into
+    // the marker so a count change invalidates like a buildTag bump
+    val layoutTag = s"$buildTag-b$ServingBuckets"
     cached(spark, sfDir, tag) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val uri = new java.net.URI(wh)
       val base = if (uri.getScheme == null) wh else uri.getPath
       val dir = new java.io.File(base, table).getAbsolutePath
-      if (servedFresh(dir, sfDir, buildTag)) {
+      if (servedFresh(dir, sfDir, layoutTag)) {
         // a live catalog entry (same-JVM sibling session) already
         // points at these files — never DROP here, a managed entry's
         // drop would delete the data being reused
@@ -225,10 +236,11 @@ object Memo {
       } else {
         prepareServedTable(spark, table)
         compute
-        markServed(dir, sfDir, buildTag)
+        markServed(dir, sfDir, layoutTag)
       }
       spark.table(table)
     }
+  }
 
   /** Make `table` writable via saveAsTable in THIS session: drop any
     * catalog entry and clear a stale warehouse directory. Needed

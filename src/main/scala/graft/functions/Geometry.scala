@@ -176,7 +176,7 @@ object Geom {
   }
 
   def pointBufferJson(lon: Double, lat: Double, radiusM: Double): UTF8String =
-    if (radiusM <= 0 || lon.isNaN || lat.isNaN ||
+    if (!(radiusM > 0) || radiusM.isInfinite || lon.isNaN || lat.isNaN ||
         math.abs(lon) > 180 || math.abs(lat) > 90) null
     else UTF8String.fromString(
       polygonJson(canonRings(Seq(pointBufferRing(lon, lat, radiusM)))))
@@ -214,7 +214,8 @@ object Geom {
     * and — when closed — the original ring. */
   def lineBufferJson(ptsArr0: Array[Array[Double]], radiusM: Double,
                      closed: Boolean): UTF8String = {
-    if (ptsArr0 == null || ptsArr0.length < (if (closed) 3 else 2) || radiusM <= 0)
+    if (ptsArr0 == null || ptsArr0.length < (if (closed) 3 else 2) ||
+        !(radiusM > 0) || radiusM.isInfinite)
       return null
     // drop exactly-collinear interior vertices first (tolerance-0
     // Douglas–Peucker): a collinear vertex makes two sibling rects
@@ -598,7 +599,8 @@ object GeomJson {
     while (i < n) {
       if (a.isNullAt(i)) return null
       val p = a.getArray(i)
-      if (p == null || p.numElements() < 2) return null
+      if (p == null || p.numElements() < 2 ||
+          p.isNullAt(0) || p.isNullAt(1)) return null
       val x = p.getDouble(0); val y = p.getDouble(1)
       if (x.isNaN || y.isNaN) return null
       out += Array(x, y)
@@ -642,9 +644,10 @@ object GeomJson {
     val ra = toPts(a, dropClosing = true)
     val rb = toPts(b, dropClosing = true)
     if (ra == null || rb == null || ra.length < 3 || rb.length < 3) return null
-    val m = mode.toString.headOption.getOrElse('i')
+    val m = mode.toString
+    if (m != "i" && m != "u") return null
     UTF8String.fromString(Geom.polygonJson(Geom.canonRingsPublic(
-      Geom.ghBool(ra, rb, m))))
+      Geom.ghBool(ra, rb, m.head))))
   }
 
   def unionPolygons(rings: ArrayData): UTF8String = {

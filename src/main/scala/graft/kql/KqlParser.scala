@@ -3841,6 +3841,11 @@ object KqlParser {
       }
     }
 
+    require(order.distinct.length == order.length,
+      "summarize with tdigest requires DISTINCT output names (the " +
+        s"two-level build re-joins per-digest sub-plans by name): " +
+        order.diff(order.distinct).distinct.mkString(", "))
+
     // base: every group key that has rows (all-null digest inputs
     // included — they carry an EMPTY digest, as the r17 collect_list
     // form did), plus the non-digest aggregates

@@ -30,6 +30,12 @@ class GeometrySpec extends AnyFunSuite {
     assert(s.split("\\],\\[").length == 17)
     assert(Geom.pointBufferJson(10.0, 0.0, -1.0) == null)
     assert(Geom.pointBufferJson(200.0, 0.0, 1.0) == null)
+    // r18 review: NaN/Infinity radius must null out, not crash in
+    // round9 (NaN fails no <= 0 comparison)
+    assert(Geom.pointBufferJson(10.0, 0.0, Double.NaN) == null)
+    assert(Geom.pointBufferJson(10.0, 0.0, Double.PositiveInfinity) == null)
+    assert(Geom.lineBufferJson(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)), Double.NaN, closed = false) == null)
   }
 
   test("simplify: spike collapse, detail retention, ring anchors") {

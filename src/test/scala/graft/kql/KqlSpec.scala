@@ -3870,6 +3870,11 @@ class KqlSpec extends SparkSpec {
     assert(ul.getString(0) == "MultiLineString")
     // malformed → null
     assert(one("geo_polygon_buffer(parse_json('{}'), 10.0)").isNullAt(0))
+    // r18 review pins: a null coordinate inside a pair nulls out
+    // (previously unboxed to 0.0 and buffered the wrong point), and a
+    // NaN radius nulls instead of crashing
+    assert(one("""geo_line_buffer(parse_json('{"type":"LineString","coordinates":[[null,5.0],[1.0,5.0]]}'), 100.0)""").isNullAt(0))
+    assert(one("geo_point_buffer(10.0, 0.0, sqrt(todouble(-1.0)))").isNullAt(0))
   }
 
   test("parser: r18 buildschema — union tree, nulls skipped, empty = dynamic") {
