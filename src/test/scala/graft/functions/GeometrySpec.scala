@@ -152,6 +152,21 @@ class GeometrySpec extends AnyFunSuite {
       val kept = Geom.clipLineToRing(line, sq).map(len).sum
       assert(kept <= total + 1e-9, s"trial $t kept $kept > total $total")
     }
+    // same conservation against a NON-CONVEX ring (the C-shape), plus
+    // complementarity: clip against the C and against its bounding box
+    // must keep no more than the box clip alone (C ⊂ box)
+    val c = ring((0, 0), (5, 0), (5, 1), (1, 1), (1, 3), (5, 3), (5, 4), (0, 4))
+    val box = ring((0, 0), (5, 0), (5, 4), (0, 4))
+    for (t <- 0 until 40) {
+      val line = Array.tabulate(4)(_ =>
+        Array(next() * 9 - 2, next() * 8 - 2))
+      val total = len(line)
+      val keptC = Geom.clipLineToRing(line, c).map(len).sum
+      val keptB = Geom.clipLineToRing(line, box).map(len).sum
+      assert(keptC <= total + 1e-9, s"trial $t C-kept $keptC > total $total")
+      assert(keptC <= keptB + 1e-9,
+        s"trial $t C-kept $keptC > box-kept $keptB (C is a subset of the box)")
+    }
   }
 
   test("unionRings: transitive merge of an overlapping chain") {
