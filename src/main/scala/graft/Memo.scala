@@ -211,13 +211,14 @@ object Memo {
     * bucketed table — bucket ids live in the written file names, so
     * the zero-Exchange layout survives the re-registration. */
   def cachedServedTable(spark: SparkSession, sfDir: String, tag: String,
-                        table: String, bucketCol: String, buildTag: String)
+                        table: String, bucketCols: Seq[String], buildTag: String,
+                        buckets: Int = ServingBuckets)
                        (compute: => Unit): DataFrame = {
     // the bucket count is part of the layout contract: re-registering
-    // old files under a different ServingBuckets would let Spark
+    // old files under a different bucket count would let Spark
     // trust a wrong bucket spec and silently mis-join — fold it into
     // the marker so a count change invalidates like a buildTag bump
-    val layoutTag = s"$buildTag-b$ServingBuckets"
+    val layoutTag = s"$buildTag-b$buckets"
     cached(spark, sfDir, tag) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val uri = new java.net.URI(wh)
@@ -229,9 +230,10 @@ object Memo {
         // drop would delete the data being reused
         if (!spark.catalog.tableExists(table)) {
           val schema = spark.read.parquet(dir).schema.toDDL
+          val bc = bucketCols.map(c => s"`$c`").mkString(", ")
           spark.sql(s"CREATE TABLE `$table` ($schema) USING PARQUET " +
-            s"CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) " +
-            s"INTO $ServingBuckets BUCKETS LOCATION '$dir'")
+            s"CLUSTERED BY ($bc) SORTED BY ($bc) " +
+            s"INTO $buckets BUCKETS LOCATION '$dir'")
         }
       } else {
         prepareServedTable(spark, table)

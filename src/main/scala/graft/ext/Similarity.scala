@@ -152,15 +152,21 @@ object Similarity {
     * tie-breaks as [[ivfTopK]]; the oracle is reused verbatim.
     * BucketedServeSpec pins the DPP subquery on the physical plan. */
   def ivfTopKPartitioned(spark: SparkSession, sfDir: String, nprobe: Int = 2,
-                         k: Int = 3): DataFrame = {
-    val served = graft.Memo.cached(spark, sfDir, "ivf_assign_partitioned") {
-      val dir = servedDir(spark, "graft_ivf_assign_", sfDir)
+                         k: Int = 3): DataFrame =
+    ivfProbeServe(spark, sfDir, ivfAssignPartitioned(spark, sfDir), nprobe, k)
+
+  /** The served partitionBy(cent_id) assignment table (Memo-backed) —
+    * shared by [[ivfTopKPartitioned]] and, as the DELTA path's base
+    * source, by [[ivfDelta]]: the full-corpus assignment pass (16 ×
+    * 64-d literal-codebook dot products per row) is the dominant cold
+    * cost, and deriving it once serves both layouts (the same
+    * seed-from-the-written-artifact shape as the dedup band tables). */
+  private def ivfAssignPartitioned(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Memo.cachedServedDir(spark, sfDir, "ivf_assign_partitioned",
+        "graft_ivf_assign_", buildTag = "r19-ivf-assign") { dir =>
       ivfAssignment(spark, sfDir)
         .write.partitionBy("cent_id").mode("overwrite").parquet(dir)
-      spark.read.parquet(dir)
     }
-    ivfProbeServe(spark, sfDir, served, nprobe, k)
-  }
 
   /** [[ivfTopKPartitioned]]'s INCREMENTAL maintenance path (r12 verdict:
     * the served layouts were full rewrites; a 100 TB deployment
@@ -180,21 +186,27 @@ object Similarity {
     * Registered split: every 5th vector arrives as the append batch. */
   def ivfDelta(spark: SparkSession, sfDir: String, nprobe: Int = 2,
                k: Int = 3): DataFrame = {
-    val served = graft.Memo.cached(spark, sfDir, "ivf_assign_delta") {
-      val dir = servedDir(spark, "graft_ivf_delta_", sfDir)
-      val asg = ivfAssignment(spark, sfDir)
-      asg.filter(col("cand_id") % 5 =!= 0)
+    val served = graft.Memo.cachedServedDir(spark, sfDir, "ivf_assign_delta",
+        "graft_ivf_delta_", buildTag = "r19-ivf-delta") { dir =>
+      // r19 (r18 verdict #4): the BASE slice is a filtered re-write of
+      // the already-served partitioned assignment table — assignment is
+      // per-row under a fixed codebook, so filtering the full relation
+      // on cand_id is row-identical to recomputing the base docs'
+      // assignments (doubles round-trip parquet exactly), and the read
+      // skips the 16×64-d dot-product pass entirely. The r18 build ran
+      // the full-corpus assignment TWICE (once per filtered write);
+      // this is also the production shape: a migration seeds a
+      // delta-maintained table FROM the existing written one.
+      ivfAssignPartitioned(spark, sfDir).filter(col("cand_id") % 5 =!= 0)
         .write.partitionBy("cent_id").mode("overwrite").parquet(dir)
-      asg.filter(col("cand_id") % 5 === 0)
+      // The APPEND batch is the genuine ingest path: fresh vectors →
+      // broadcast-codebook assignment (the cand_id filter pushes below
+      // the dot products, so only the batch fifth is scored).
+      ivfAssignment(spark, sfDir).filter(col("cand_id") % 5 === 0)
         .write.partitionBy("cent_id").mode("append").parquet(dir)
-      spark.read.parquet(dir)
     }
     ivfProbeServe(spark, sfDir, served, nprobe, k)
   }
-
-  private def servedDir(spark: SparkSession, prefix: String, sfDir: String): String =
-    spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" +
-      prefix + graft.Memo.pathDigest(sfDir)
 
   /** The full corpus→nearest-centroid assignment relation
     * (cand_id, cv2, cn2, cent_id) — the write-time layout's content.
@@ -248,11 +260,10 @@ object Similarity {
     * therefore the oracles — are unchanged (equivalence vs the full
     * formulation pinned by BucketedServeSpec/DeltaServeSpec). */
   private def servedCodebook(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Memo.cached(spark, sfDir, "ivf_codebook") {
-      val dir = servedDir(spark, "graft_ivf_codebook_", sfDir)
+    graft.Memo.cachedServedDir(spark, sfDir, "ivf_codebook",
+        "graft_ivf_codebook_", buildTag = "r19-codebook") { dir =>
       trainedCentroids(spark, sfDir, 16)
         .write.mode("overwrite").parquet(dir)
-      spark.read.parquet(dir)
     }
 
   /** [[ivfScored]] against the SERVED codebook — the probe-side form. */

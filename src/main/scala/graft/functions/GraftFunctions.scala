@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 
 /** graft's native function surface, registered two ways:
   *
@@ -63,6 +63,11 @@ object GraftFunctions {
     "graft_zlib_decompress" -> (e => ZlibDecompress(e(0))),
     "graft_parse_csv" -> (e => CsvParseExpr(e(0))),
     "graft_parse_cmdline" -> (e => CommandLineExpr(e(0))),
+    // Spark's own codegen Bloom probe (the expression behind the
+    // runtime-filter rewrite) — the class ships in catalyst but 4.1.2
+    // does not expose it in FunctionRegistry, so graft registers it
+    // (the dedup index prefilter probes a written sketch with it)
+    "graft_might_contain" -> (e => BloomFilterMightContain(e(0), e(1))),
     "graft_ibeta" -> (e => GraftIbeta(e(0), e(1), e(2))),
     "graft_erf" -> (e => GraftErf(e(0))),
     "graft_beta_inv" -> (e => GraftBetaInv(e(0), e(1), e(2))),

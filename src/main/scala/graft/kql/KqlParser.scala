@@ -423,7 +423,7 @@ object KqlParser {
       val scoped = lets.removedAll(df.columns)
       // Extend-style assignment applying the row-window rewrite (shared
       // by `extend` and `serialize name = expr, ...`).
-      def applyExtend(body: String): Unit =
+      def applyExtend(body: String): Unit = {
         splitTopLevel(body, ',').map(_.trim).foreach { item0 =>
           // ADX pack_all() — a property bag of EVERY current column.
           // It needs frame context (the scalar translator sees only
@@ -432,31 +432,46 @@ object KqlParser {
           // set is whatever precedes this extend, ADX's semantics.
           // The optional ignore_null_empty form is rejected loudly
           // (the rewrite only matches the zero-arg call).
-          val item = rewritePackAll(item0, df.columns.toIndexedSeq)
+          // (The serialized-frame pin columns are engine-internal:
+          // pack_all must never see them.)
+          val item = rewritePackAll(item0,
+            df.columns.filterNot(c => c == SerSeq || c == SerBlk).toIndexedSeq)
           val (nameOpt, sql) = nameAndSql(item, scoped)
           val name = nameOpt.getOrElse(
             throw new IllegalArgumentException(s"extend needs 'name = expr': $item"))
-          val helpers = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          val helpers = scala.collection.mutable.ArrayBuffer.empty[SerialHelper]
           val rewritten = rewriteVariantPaths(
             rewriteSerialFns(sql, serialOrder, helpers), df)
-          helpers.foreach { case (h, hSql) => df = df.extend(h, expr(hSql)) }
+          df = attachSerialHelpers(df, helpers.toSeq, serialItems)
           df = df.extend(name, expr(rewritten))
-          if (helpers.nonEmpty) df = df.drop(helpers.map(_._1).toSeq: _*)
+          if (helpers.nonEmpty) df = df.drop(helpers.map(_.name).toSeq: _*)
         }
+        // the pin columns persist across items (one pin per stage);
+        // restore the serialized presentation order (the shift joins
+        // and block windows scramble physical order; the frame's
+        // contract is that it STAYS serialized) and drop them once the
+        // whole assignment list is evaluated
+        if (df.columns.contains(SerSeq))
+          df = df.orderBy(col(SerSeq)).drop(SerSeq, SerBlk)
+      }
       verb match {
         case "where" =>
           df = df.kqlWhere(expr(rewriteVariantPaths(scalar(rest, scoped), df)))
         case "project" =>
-          // Helper columns (row_cumsum restart group ids) attach via
-          // withColumn first; the projection then naturally excludes them.
-          val helpers = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          // Helper columns (row_cumsum restart group ids, serialized
+          // sequence/shift columns) attach first; the projection then
+          // naturally excludes them.
+          val helpers = scala.collection.mutable.ArrayBuffer.empty[SerialHelper]
           val cols = splitTopLevel(rest, ',').map { item =>
             val (nameOpt, sql) = nameAndSql(item.trim, scoped)
             val c = expr(rewriteVariantPaths(
               rewriteSerialFns(sql, serialOrder, helpers), df))
             nameOpt.fold(c)(c.as)
           }
-          helpers.foreach { case (h, hSql) => df = df.extend(h, expr(hSql)) }
+          df = attachSerialHelpers(df, helpers.toSeq, serialItems)
+          // restore the serialized presentation order before projecting
+          // (the projection may drop the order columns themselves)
+          if (df.columns.contains(SerSeq)) df = df.orderBy(col(SerSeq))
           df = df.project(cols: _*)
         case "project-away" =>
           df = df.projectAway(splitTopLevel(rest, ',').map(_.trim): _*)
@@ -3805,7 +3820,12 @@ object KqlParser {
     * chunk MULTISETS are rank-determined (rank ties interchange only
     * equal values), and on integer-valued inputs — the tier's
     * documented cross-engine-exact domain — chunk sums are exact in
-    * any order, so digest bytes match the r17 build bit-for-bit.
+    * any order, so the digest MULTISET matches the r17 build and every
+    * consumer (percentile/rank/merge — all multiset-invariant) returns
+    * identical outputs. (The array_sort orders centroids by (mean,
+    * weight), which can reorder equal-mean chunks of unequal weight
+    * relative to r17's chunk-index order — r18 advice — so the array
+    * BYTES are not claimed bit-for-bit, only the multiset.)
     *
     * Mixed aggregate lists split into one base aggregate (the
     * non-digest items) plus one windowed sub-plan per digest, re-joined
@@ -4150,30 +4170,180 @@ object KqlParser {
   private def orderSql(items: Seq[(String, Boolean)]): String =
     items.map { case (e, asc) => s"($e) ${if (asc) "ASC" else "DESC"}" }.mkString(", ")
 
+  // ---- distributed serialized-frame machinery (r19) -----------------------
+
+  /** Typed helper columns the serialized-row-function rewrite requests;
+    * [[attachSerialHelpers]] attaches each (in request order — later
+    * helpers may reference earlier ones by name) before the rewritten
+    * expression evaluates. [[SqlHelper]] is a plain extend (partitioned
+    * windows — already distributed); the other three are the KEYLESS
+    * window shapes that previously planned a single-partition WindowExec
+    * (r18 verdict: the engine's one registered plan that
+    * single-partitioned the corpus) and now decompose over the
+    * [[pinSerialFrame]] block structure. */
+  private[kql] sealed trait SerialHelper { def name: String }
+  private[kql] final case class SqlHelper(name: String, sql: String)
+    extends SerialHelper
+  /** `sum(term) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING..CURRENT)`,
+    * distributed: block-local running sum + the sum of all earlier
+    * blocks (broadcast per-block totals, folded per row). */
+  private[kql] final case class RunningSumHelper(name: String, termSql: String)
+    extends SerialHelper
+  /** `row_number() OVER (ORDER BY ord)`, distributed: the pinned dense
+    * global sequence, cast to int (the SQL window's result type). */
+  private[kql] final case class RowNumberHelper(name: String)
+    extends SerialHelper
+  /** `lag/lead(x, offset[, default]) OVER (ORDER BY ord)`, distributed:
+    * an equi self-join on the dense sequence shifted by the literal
+    * offset. */
+  private[kql] final case class ShiftHelper(name: String, xSql: String,
+      offset: Int, defaultSql: Option[String], lead: Boolean)
+    extends SerialHelper
+
+  private[kql] val SerSeq = "__ser_seq"
+  private[kql] val SerBlk = "__ser_blk"
+
+  /** Pin the serialized frame: total sort (a RANGE shuffle —
+    * distributed) plus a dense 1-based global sequence [[SerSeq]] and
+    * the range-partition id [[SerBlk]], via per-partition offsets — the
+    * same two-job shape as `RDD.zipWithIndex` (and as [[globalRanked]],
+    * the groupless-tdigest precedent): one bounded job collects the
+    * per-partition row counts (#partitions longs to the driver —
+    * bounded by parallelism, not data), which also MATERIALIZES the
+    * sort shuffle; the main job then reuses those shuffle files, so
+    * both jobs see identical partition contents and the assignment is
+    * consistent. Everything downstream is deterministic given
+    * (seq, blk), so the stats and output branches of the
+    * running-aggregate decomposition may recompute freely. Rank ties
+    * (equal order keys) are assigned arbitrarily but consistently for
+    * every helper of the stage — same contract as the previous
+    * single-partition window, where tie order was equally arbitrary. */
+  private def pinSerialFrame(df: DataFrame,
+                             order: Seq[(String, Boolean)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(!df.columns.contains(SerSeq),
+      s"serialized frame already carries $SerSeq")
+    val sorted = df.orderBy(order.map { case (e, asc) =>
+      if (asc) expr(e).asc else expr(e).desc }: _*)
+    val rdd0 = sorted.rdd
+    val counts = rdd0.mapPartitions(
+      it => Iterator.single(it.size.toLong), preservesPartitioning = true)
+      .collect()
+    val offs = counts.scanLeft(0L)(_ + _)
+    val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var i = 0L
+      it.map { r =>
+        val s = offs(pid) + i + 1L; i += 1L
+        Row.fromSeq(r.toSeq :+ s :+ pid.toLong)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, StructType(
+      sorted.schema.fields
+        :+ StructField(SerSeq, LongType, nullable = false)
+        :+ StructField(SerBlk, LongType, nullable = false)))
+  }
+
+  /** Attach the requested serial helper columns, pinning the frame
+    * first when any keyless shape needs the sequence/block structure
+    * (once per stage — [[SerSeq]] persisting on the frame marks it
+    * pinned; callers drop [[SerSeq]]/[[SerBlk]] at stage end). */
+  private def attachSerialHelpers(df0: DataFrame, helpers: Seq[SerialHelper],
+                                  order: Seq[(String, Boolean)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var df = df0
+    val needsKit = helpers.exists {
+      case _: SqlHelper => false
+      case _ => true
+    }
+    if (needsKit && !df.columns.contains(SerSeq))
+      df = pinSerialFrame(df, order)
+    val wLocal = Window.partitionBy(col(SerBlk)).orderBy(col(SerSeq))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    helpers.foreach {
+      case SqlHelper(n, sql) => df = df.withColumn(n, expr(sql))
+      case RowNumberHelper(n) =>
+        df = df.withColumn(n, col(SerSeq).cast("int"))
+      case ShiftHelper(n, x, off, dflt, lead) =>
+        // the row at sequence s supplies its x to the row at
+        // s + off (prev) / s - off (next); out-of-frame rows join to
+        // nothing — the __hit marker distinguishes "no such row" (the
+        // default applies) from a genuinely-null x at the shifted row
+        // (lag/lead return the null), matching SQL lag/lead exactly
+        val hit = n + "__hit"
+        val shifted = df.select(
+          (col(SerSeq) + lit(if (lead) -off.toLong else off.toLong)).as(SerSeq),
+          expr(x).as(n), lit(true).as(hit))
+        df = df.join(shifted, Seq(SerSeq), "left")
+        dflt.foreach { d =>
+          df = df.withColumn(n,
+            when(col(hit).isNull, expr(d)).otherwise(col(n)))
+        }
+        df = df.drop(hit)
+      case RunningSumHelper(n, term) =>
+        val t = expr(term)
+        // result type = the window sum's type (sum(int) → long, …);
+        // analysis only, no job
+        val sumT = df.select(sum(t).as("s")).schema.head.dataType
+        val zero = s"CAST(0 AS ${sumT.sql})"
+        // per-block totals + non-null counts: a tiny aggregate
+        // (#blocks = #sort partitions rows), broadcast as one
+        // collect_list row; each row folds the blocks strictly before
+        // its own — O(#partitions) per row, data-size-independent
+        val stats = df.groupBy(col(SerBlk).as("b"))
+          .agg(sum(t).as("s"), count(t).as("c"))
+        val arrCol = n + "__arr"
+        // a 1-row × corpus broadcast scalar join — the allowlisted
+        // text_vocab_coverage class in PlanSweepSpec (a constant-key
+        // equi-join folds back to the same nested-loop plan)
+        val arr = broadcast(stats.agg(
+          collect_list(struct(col("b"), col("s"), col("c"))).as(arrCol)))
+        val offSum = expr(
+          s"aggregate(filter($arrCol, e -> e.b < $SerBlk), $zero, " +
+            s"(a, e) -> CAST(a + coalesce(e.s, $zero) AS ${sumT.sql}))")
+        val offCnt = expr(
+          s"aggregate(filter($arrCol, e -> e.b < $SerBlk), 0L, " +
+            "(a, e) -> a + e.c)")
+        // SQL running sum is NULL until the first non-null term: guard
+        // on the running non-null count (local + earlier blocks)
+        df = df.crossJoin(arr)
+          .withColumn(n,
+            when(count(t).over(wLocal) + offCnt === 0, lit(null).cast(sumT))
+              .otherwise(coalesce(sum(t).over(wLocal), expr(zero)) + offSum))
+          .drop(arrCol)
+    }
+    df
+  }
+
   /** Rewrite the ADX row-window functions — `prev(x[, n[, default]])`,
     * `next(...)`, `row_cumsum(term[, restart])`, `row_number([start])` —
-    * into SQL window expressions over the frame's serialized order.
-    * Quote-aware, recursing into arguments; using one of these with no
-    * established order is a loud error (ADX would likewise refuse on a
+    * into expressions over the frame's serialized order. Quote-aware,
+    * recursing into arguments; using one of these with no established
+    * order is a loud error (ADX would likewise refuse on a
     * non-serialized frame).
     *
-    * `row_cumsum`'s restart argument needs a two-pass shape (SQL forbids
-    * a window function inside another window's PARTITION BY): a helper
-    * column materializes the restart-group id — a running count of rows
-    * where the restart term is true, so the restarting row opens its own
-    * group and the accumulation begins at that row's term, ADX semantics
-    * — and the cumsum partitions by it. Callers pass `helpers` and must
-    * attach each (name, sql) as a column before evaluating the returned
-    * expression (and may drop them after).
+    * Scale contract (r19 — r18 verdict #3: the keyless
+    * `OVER (ORDER BY ...)` forms previously planned a single-partition
+    * WindowExec, the engine's one registered plan that single-partitions
+    * the corpus): every KEYLESS shape now desugars to a typed
+    * [[SerialHelper]] that [[attachSerialHelpers]] evaluates over the
+    * [[pinSerialFrame]] block structure — a total RANGE sort plus
+    * per-partition offsets, the same distributed two-pass the groupless
+    * tdigest uses ([[globalRanked]]) — so no stage moves the corpus to
+    * one partition. Windows that PARTITION BY a helper column (the
+    * restart-group cumsum, the run-rank min) stay inline SQL: they are
+    * already distributed. A `prev`/`next` with a NON-LITERAL offset
+    * keeps the legacy single-partition window (the offset must be known
+    * to shift the dense sequence; no registered query uses one).
     *
-    * Scale contract: the emitted `OVER (ORDER BY ...)` has no PARTITION
-    * BY, so Spark plans a single-partition window — inherent to the
-    * operator (serialized row semantics are sequential by definition);
-    * dashboards apply it after `top`/aggregation where the frame is
-    * small. Partitioned sequential logic belongs to `summarize`/window
-    * builders, not `serialize`. */
+    * `row_cumsum`'s restart argument still needs the two-pass shape
+    * (SQL forbids a window function inside another window's PARTITION
+    * BY): the helper materializes the restart-group id — a running
+    * count of rows where the restart term is true, so the restarting
+    * row opens its own group and the accumulation begins at that row's
+    * term, ADX semantics — and the cumsum partitions by it. */
   private def rewriteSerialFns(sql: String, order: Option[String],
-      helpers: scala.collection.mutable.ArrayBuffer[(String, String)] =
+      helpers: scala.collection.mutable.ArrayBuffer[SerialHelper] =
         scala.collection.mutable.ArrayBuffer.empty): String = {
     val names = Set("prev", "next", "row_cumsum", "row_number",
       "row_rank_min", "row_rank_dense", "row_window_session")
@@ -4202,19 +4372,31 @@ object KqlParser {
             case "prev" | "next" =>
               require(args.nonEmpty && args.length <= 3,
                 s"${w.toLowerCase} expects (col[, offset[, default]])")
-              val fn = if (w.equalsIgnoreCase("prev")) "lag" else "lead"
-              s"$fn(${args.mkString(", ")}) OVER (ORDER BY $ord)"
+              val lead = w.equalsIgnoreCase("next")
+              val offTxt = if (args.length >= 2) args(1).trim else "1"
+              if (offTxt.matches("[0-9]+")) {
+                val h = s"__ser_sh_${helpers.length}"
+                helpers += ShiftHelper(h, args.head, offTxt.toInt,
+                  args.lift(2), lead)
+                h
+              } else {
+                // non-literal offset: the dense-sequence shift needs a
+                // known constant — keep the legacy single-partition
+                // window (documented; no registered query hits this)
+                val fn = if (lead) "lead" else "lag"
+                s"$fn(${args.mkString(", ")}) OVER (ORDER BY $ord)"
+              }
             case "row_cumsum" =>
               require(args.length == 1 || args.length == 2,
                 "row_cumsum expects (term[, restart])")
-              if (args.length == 1)
-                s"sum(${args.head}) OVER (ORDER BY $ord " +
-                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-              else {
+              if (args.length == 1) {
+                val h = s"__rcs_${helpers.length}"
+                helpers += RunningSumHelper(h, args.head)
+                h
+              } else {
                 val grp = s"__rcs_grp_${helpers.length}"
-                helpers += grp ->
-                  (s"sum(CASE WHEN (${args(1)}) THEN 1 ELSE 0 END) OVER (ORDER BY $ord " +
-                    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+                helpers += RunningSumHelper(grp,
+                  s"CASE WHEN (${args(1)}) THEN 1 ELSE 0 END")
                 s"sum(${args.head}) OVER (PARTITION BY $grp ORDER BY $ord " +
                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
               }
@@ -4242,46 +4424,44 @@ object KqlParser {
               val maxUs = spanSecs(args(1), "row_window_session") * 1000000L
               val idleUs = spanSecs(args(2), "row_window_session") * 1000000L
               val restart = args.lift(3).map(r => s" OR ($r)").getOrElse("")
-              val flag = s"__rws_new_${helpers.length}"
-              helpers += flag ->
-                (s"CASE WHEN (lag($tUs) OVER (ORDER BY $ord)) IS NULL " +
-                  s"OR $tUs - (lag($tUs) OVER (ORDER BY $ord)) > ${idleUs}L$restart " +
-                  "THEN 1 ELSE 0 END")
+              val prevT = s"__rws_prev_${helpers.length}"
+              helpers += ShiftHelper(prevT, tUs, 1, None, lead = false)
               val grp = s"__rws_grp_${helpers.length}"
-              helpers += grp ->
-                (s"sum($flag) OVER (ORDER BY $ord " +
-                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+              helpers += RunningSumHelper(grp,
+                s"CASE WHEN $prevT IS NULL " +
+                  s"OR $tUs - $prevT > ${idleUs}L$restart " +
+                  "THEN 1 ELSE 0 END")
               val pre = s"__rws_pre_${helpers.length}"
-              helpers += pre ->
-                (s"collect_list($tUs) OVER (PARTITION BY $grp ORDER BY $ord " +
+              helpers += SqlHelper(pre,
+                s"collect_list($tUs) OVER (PARTITION BY $grp ORDER BY $ord " +
                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
               s"timestamp_micros(aggregate(slice($pre, 2, size($pre) - 1), " +
                 s"element_at($pre, 1), (rws, rwt) -> " +
                 s"CASE WHEN rwt - rws > ${maxUs}L THEN rwt ELSE rws END))"
             case "row_number" =>
               require(args.length <= 1, "row_number expects () or (startingIndex)")
-              if (args.isEmpty) s"row_number() OVER (ORDER BY $ord)"
-              else s"(row_number() OVER (ORDER BY $ord) + (${args.head}) - 1)"
+              val h = s"__ser_rn_${helpers.length}"
+              helpers += RowNumberHelper(h)
+              if (args.isEmpty) h else s"($h + (${args.head}) - 1)"
             case rrk @ ("row_rank_min" | "row_rank_dense") =>
               // ADX ranks over RUNS of equal Term values in the
               // SERIALIZED order — not SQL rank-by-term: a value that
               // reappears after a different value starts a NEW run
-              // (pinned in KqlSpec). Desugars to helper windows: a
-              // run-start flag, its running sum (the dense rank), and
-              // for _min the run's first row number.
+              // (pinned in KqlSpec). Desugars to helpers: a shifted
+              // previous-term value, the run id as its running
+              // mismatch count (the dense rank), and for _min the
+              // run's first row number via a run-partitioned window.
               require(args.length == 1, s"$rrk expects (term)")
               val t = args.head
-              val flag = s"__rrk_new_${helpers.length}"
-              helpers += flag ->
-                s"CASE WHEN (lag($t) OVER (ORDER BY $ord)) IS DISTINCT FROM ($t) THEN 1 ELSE 0 END"
+              val prevT = s"__rrk_prev_${helpers.length}"
+              helpers += ShiftHelper(prevT, t, 1, None, lead = false)
               val run = s"__rrk_run_${helpers.length}"
-              helpers += run ->
-                (s"sum($flag) OVER (ORDER BY $ord " +
-                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+              helpers += RunningSumHelper(run,
+                s"CASE WHEN $prevT IS DISTINCT FROM ($t) THEN 1 ELSE 0 END")
               if (rrk == "row_rank_dense") s"cast($run as int)"
               else {
                 val rn = s"__rrk_rn_${helpers.length}"
-                helpers += rn -> s"row_number() OVER (ORDER BY $ord)"
+                helpers += RowNumberHelper(rn)
                 s"cast(min($rn) OVER (PARTITION BY $run) as int)"
               }
           }

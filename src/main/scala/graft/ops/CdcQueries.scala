@@ -179,7 +179,7 @@ object CdcQueries {
     // replaying the stream. The streaming path itself stays covered
     // every build (and by ServingHandoffSpec / RestartRecoverySpec).
     graft.Memo.cachedServedTable(spark, sfDir, "cdc_latest_served",
-        table, bucketCol = "orderid", buildTag = "r18") {
+        table, bucketCols = Seq("orderid"), buildTag = "r18") {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft_cdc_serve").toString
       eventLog(spark, sfDir).write.parquet(s"$scratch/input")

@@ -107,7 +107,7 @@ class MemoSpec extends AnyFunSuite {
     var built = 0
     val table = "graft_memospec_srv"
     def get(tag: String) =
-      Memo.cachedServedTable(spark, corpus, tag, table, "id", "v1") {
+      Memo.cachedServedTable(spark, corpus, tag, table, Seq("id"), "v1") {
         built += 1
         spark.range(8).toDF("id")
           .write.bucketBy(Memo.ServingBuckets, "id").sortBy("id")

@@ -93,6 +93,6 @@ class FunctionsSpec extends SparkSpec {
       "graft_zlib_compress", "graft_zlib_decompress",
       "graft_parse_csv", "graft_h3_boundary", "graft_parse_cmdline",
       "graft_geo_closest_line",
-      "graft_ibeta", "graft_erf", "graft_beta_inv"))
+      "graft_ibeta", "graft_erf", "graft_beta_inv", "graft_might_contain"))
   }
 }

@@ -158,12 +158,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("incremental dedup: bloom prefilter sits under the band join, base index reused") {
-    // The mightContain UDF must filter the fresh band stream BEFORE the
-    // join (rows that miss the base bloom never shuffle), and the base
-    // bands must come from the persisted index (InMemoryTableScan), not
-    // a re-derivation per probe.
+    // The native might_contain probe must filter the fresh band stream
+    // BEFORE the join (rows that miss the base bloom never shuffle; r19
+    // — the r18 form was a row-level Scala UDF, now it is Spark's
+    // codegen BloomFilterMightContain over a sketch literal), and the
+    // base bands must come from the persisted index (InMemoryTableScan),
+    // not a re-derivation per probe.
     val p = phys(graft.ext.Dedup.incrementalCleaned(spark, sfDir))
-    val filterIdx = p.indexOf("mightContain")
+    val filterIdx = p.indexOf("might_contain")
     assert(filterIdx >= 0, "bloom prefilter must appear in the plan:\n" + p.take(3000))
     assert(p.contains("InMemoryTableScan"),
       "base band index must be the persisted relation:\n" + p.take(3000))

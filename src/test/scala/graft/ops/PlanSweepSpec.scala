@@ -50,7 +50,15 @@ class PlanSweepSpec extends SparkSpec {
     "search_hybrid_rrf", // inherits the bm25 stats row + corpus × 1-row query-vector broadcast
     "kql_diffpatterns", // cube cells × 1-row slice-denominator broadcast (replaced the partitionBy()-less window per r10 ADVICE)
     "kql_preview", // top-N rows × 1-row grand-total broadcast (evaluate preview's folded count — text_vocab_coverage's class)
-    "kql_hll_dcount") // r16 error-bound audit: the 'ALL' row joins two 1-row frames (merged sketch × global exact) on a constant key, which folds to a 1×1 nested-loop
+    "kql_hll_dcount", // r16 error-bound audit: the 'ALL' row joins two 1-row frames (merged sketch × global exact) on a constant key, which folds to a 1×1 nested-loop
+    // r19 distributed serialized-frame kit (the single-partition
+    // WindowExec replacement): each keyless running sum broadcast-joins
+    // ONE row of per-block offsets onto the frame — the scalar-subquery
+    // class (text_vocab_coverage's); the shift helpers equi-join on the
+    // dense sequence
+    "kql_serialize", "kql_row_rank", "kql_row_cumsum_restart",
+    "kql_row_session",
+    "text_perceptron_train") // dim-rows × 1-row final-epoch error count broadcast (the same scalar class; weights themselves equi-join on dim)
 
   test("no unintended cartesian/nested-loop joins, no Python UDFs, anywhere") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -11,7 +11,7 @@ rows_match/schema_match/hash_match booleans) — committed each round as
 CORRECTNESS_LOCAL.json so the correctness signal survives a lost driver
 handoff (r12/r16 both came back `{}`).
 """
-import json, math, sys
+import json, math, os, sys
 
 import duckdb
 import pyarrow.parquet as pq
@@ -44,10 +44,22 @@ def main(sf_dir, out_dir, json_out=None):
     n_ok = n_bad = 0
     report = {}
 
+    def flush_report():
+        # incremental + atomic (r18 verdict #1: three rounds of driver
+        # correctness artifacts came back `{}` — a comparator killed
+        # mid-run must leave a partial, self-describing report, never
+        # nothing): rewrite after EVERY query via tmp + rename
+        if json_out:
+            tmp = json_out + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(report, f, indent=2)
+            os.replace(tmp, json_out)
+
     def rec(name, rows=False, schema=False, hashm=False, sr=None, orr=None, err=None):
         report[name] = {"rows_match": rows, "schema_match": schema,
                         "hash_match": hashm, "spark_rows": sr,
                         "oracle_rows": orr, "err": err}
+        flush_report()
 
     for name, sql in sorted(oracle.items()):
         try:
@@ -101,8 +113,7 @@ def main(sf_dir, out_dir, json_out=None):
             n_bad += 1
     print(f"== {n_ok} ok, {n_bad} fail ==")
     if json_out:
-        with open(json_out, "w") as f:
-            json.dump(report, f, indent=2)
+        flush_report()
         print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if n_bad else 0
 
