@@ -1091,9 +1091,18 @@ object Dedup {
     // keyed on xxhash64(bk) LONGS so the probe side can use Spark's
     // native codegen `might_contain` (its long-input form) — fp
     // behavior shifts with the key hashing, never correctness (the
-    // exact verify catches every fp; ExtSpec pins result-neutrality)
+    // exact verify catches every fp; ExtSpec pins result-neutrality).
+    // Sized to the index's ACTUAL key count (floored for tiny bases),
+    // not the r18 fixed 2^20: the sketch now rides the plan as a
+    // binary literal (one stage-broadcast task binary per stage, the
+    // same ~10 bits/key a broadcast would carry), and a fixed 1.2 MB
+    // literal measured a 2x planning/shipping overhead on the probe.
+    // A 100 TB base (billions of keys) shards the index by (lang,
+    // band_idx) or raises fpp before any single-filter shape works —
+    // true of the r18 broadcast form too.
+    val nKeys = math.max(bands.count(), 1024L)
     val bloom = bands.select(xxhash64(col("bk")).as("h"))
-      .stat.bloomFilter("h", 1L << 20, 0.01)
+      .stat.bloomFilter("h", nKeys, 0.01)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     BaseIndex(bands, bos.toByteArray)

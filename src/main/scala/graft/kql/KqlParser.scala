@@ -4264,12 +4264,50 @@ object KqlParser {
       case SqlHelper(n, sql) => df = df.withColumn(n, expr(sql))
       case RowNumberHelper(n) =>
         df = df.withColumn(n, col(SerSeq).cast("int"))
+      case ShiftHelper(n, x, 1, dflt, isLead) =>
+        // offset-1 fast path (every registered query's shape): a
+        // block-local lag/lead over the same (blk, seq) window the
+        // running sums use, patched at block edges with the
+        // neighboring block's boundary value from a broadcast
+        // per-block stats row — NO shuffle join. Out-of-frame rows
+        // (the global first/last — seq is dense, so a plain seq
+        // comparison identifies them) take the default, exactly SQL
+        // lag/lead; a genuinely-null x at the shifted row stays null.
+        val xc = expr(x)
+        val wOrd = Window.partitionBy(col(SerBlk)).orderBy(col(SerSeq))
+        val wAll = Window.partitionBy(col(SerBlk))
+        val stats = df.groupBy(col(SerBlk).as("b"))
+          .agg((if (isLead) min_by(xc, col(SerSeq))
+                else max_by(xc, col(SerSeq))).as("v"),
+            count(lit(1)).as("c"))
+        val arrCol = n + "__arr"
+        // 1-row × corpus broadcast scalar join — the allowlisted class
+        val arr = broadcast(stats.agg(
+          collect_list(struct(col("b"), col("v"), col("c"))).as(arrCol)))
+        val filterCmp = if (isLead) s"e.b > $SerBlk" else s"e.b < $SerBlk"
+        val pick = if (isLead) "1" else "-1"
+        val boundary = expr(
+          s"CASE WHEN size(filter($arrCol, e -> $filterCmp)) = 0 THEN NULL " +
+            s"ELSE element_at(sort_array(filter($arrCol, e -> $filterCmp)), $pick).v END")
+        val isEdge =
+          if (isLead) row_number().over(wOrd) === count(lit(1)).over(wAll)
+          else row_number().over(wOrd) === lit(1)
+        val outOfFrame: Column =
+          if (isLead) col(SerSeq) === expr(s"aggregate($arrCol, 0L, (a, e) -> a + e.c)")
+          else col(SerSeq) === lit(1L)
+        val shifted = when(isEdge, boundary)
+          .otherwise(if (isLead) lead(xc, 1).over(wOrd) else lag(xc, 1).over(wOrd))
+        df = df.crossJoin(arr)
+          .withColumn(n,
+            dflt.fold(shifted)(d => when(outOfFrame, expr(d)).otherwise(shifted)))
+          .drop(arrCol)
       case ShiftHelper(n, x, off, dflt, lead) =>
-        // the row at sequence s supplies its x to the row at
-        // s + off (prev) / s - off (next); out-of-frame rows join to
-        // nothing — the __hit marker distinguishes "no such row" (the
-        // default applies) from a genuinely-null x at the shifted row
-        // (lag/lead return the null), matching SQL lag/lead exactly
+        // general offset: the row at sequence s supplies its x to the
+        // row at s + off (prev) / s - off (next) via an equi self-join
+        // on the dense sequence; out-of-frame rows join to nothing —
+        // the __hit marker distinguishes "no such row" (the default
+        // applies) from a genuinely-null x at the shifted row (lag/lead
+        // return the null), matching SQL lag/lead exactly
         val hit = n + "__hit"
         val shifted = df.select(
           (col(SerSeq) + lit(if (lead) -off.toLong else off.toLong)).as(SerSeq),
