@@ -122,9 +122,17 @@ object Similarity {
       .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
     val wAsg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    val assign = scored.withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("cand_id"), col("cent_id"),
+    // per-vector argmax by (ccos desc, cent_id asc) as max(struct(ccos,
+    // -cent_id, payload)) — a hash aggregate whose map-side partial
+    // combine collapses the nlist-expanded stream BEFORE the exchange
+    // (the r18 row_number window shuffled corpus × nlist rows and
+    // sorted them; -cent_id is unique per vector, so the struct order
+    // equals the window's and the payload fields never tie-break)
+    val assign = scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("negid"))).as("m"),
+        first(col("v")).as("v"), first(col("norm")).as("norm"))
+      .select(col("vec_id").as("cand_id"), (-col("m.negid")).as("cent_id"),
         col("v").as("cv2"), col("norm").as("cn2"))
     val probes = scored.filter(col("vec_id") >= 10 && col("vec_id") < 20)
       .withColumn("rn", row_number().over(wAsg))
@@ -314,11 +322,14 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cn")))
     val scored = e.join(cents)
       .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
-    val wAsg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    val assign = scored.withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select(col("cent_id"), col("v"))
+    // map-side argmax (see ivfTopK): partial max collapses the k-fold
+    // expansion before the exchange; the r18 row_number window shuffled
+    // and sorted corpus × k rows
+    val assign = scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("negid"))).as("m"),
+        first(col("v")).as("v"))
+      .select((-col("m.negid")).as("cent_id"), col("v"))
     assign
       .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cent_id"), col("dim"))
@@ -351,14 +362,17 @@ object Similarity {
       }
       round(expr(terms.mkString(" + ")), 6)
     }
-    val wMin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("s")).orderBy(col("dist").asc, col("code_id").asc)
+    // per-(vector, subspace) argmin by (dist asc, code_id asc) as
+    // min(struct(dist, code_id)) — map-side partial min collapses the
+    // 16 codeword candidates before the exchange (the r18 row_number
+    // window shuffled and sorted corpus × 16 × 8 rows)
     e.join(cents)
       .select(col("vec_id"), col("code_id"),
         posexplode(array((0 until 8).map(subDist): _*)).as(Seq("s", "dist")))
-      .withColumn("rn", row_number().over(wMin))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("s").cast("int").as("s"), col("code_id"), col("dist"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist"), col("code_id"))).as("m"))
+      .select(col("vec_id"), col("s").cast("int").as("s"),
+        col("m.code_id").as("code_id"), col("m.dist").as("dist"))
   }
 
   /** PQ asymmetric-distance top-k (the ADC serving path): queries
@@ -478,11 +492,12 @@ object Similarity {
     for (t <- 1 to steps) {
       val scored = e.join(broadcast(cents))
         .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
-      val wAsg = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-      val assign = scored.withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("cent_id"), col("v"))
+      // map-side argmax (see ivfTopK) — no corpus × k window shuffle
+      val assign = scored
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("ccos"), (-col("cent_id")).as("negid"))).as("m"),
+          first(col("v")).as("v"))
+        .select((-col("m.negid")).as("cent_id"), col("v"))
       longForm = assign
         .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cent_id"), col("dim"))
@@ -506,11 +521,11 @@ object Similarity {
     val cents = broadcast(trainedCentroids(spark, sfDir, k))
     val scored = e.join(cents)
       .withColumn("ccos", round(expr("graft_dot(v, cv)") / (col("norm") * col("cn")), 6))
-    val wAsg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    scored.withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"))
+    // map-side argmax (see ivfTopK) — no corpus × k window shuffle
+    scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("negid"))).as("m"))
+      .select(col("vec_id"), (-col("m.negid")).as("cent_id"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -643,8 +658,19 @@ object Similarity {
       .withColumn("r", expr("zip_with(v, cv, (x, c) -> x - c)"))
     val wAsg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    val assign = scored.withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
+    // map-side argmax (see ivfTopK) — no corpus × k window shuffle;
+    // wAsg stays for the PROBE side's top-nprobe (queries only, tiny).
+    // The residual depends on the WINNING centroid, so it recomputes
+    // from the broadcast codebook after the argmax (the winner's
+    // cent_id is the join key; zip_with is the same expression the
+    // scored stream used, so r is bit-identical)
+    val assign = scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("negid"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), (-col("m.negid")).as("cent_id"), col("v"))
+      .join(broadcast(cents.select(col("cent_id"), col("cv"))), Seq("cent_id"))
+      .withColumn("r", expr("zip_with(v, cv, (x, c) -> x - c)"))
       .select(col("vec_id"), col("cent_id"), col("r"))
     // PQ codebook on RESIDUALS: the assigned residuals of vec_id < 16
     // (16 rows — checkpoint for the same reuse reason as cents)
@@ -657,14 +683,14 @@ object Similarity {
       }
       round(expr(terms.mkString(" + ")), 6)
     }
-    val wMin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("s")).orderBy(col("dist").asc, col("code_id").asc)
+    // per-(vector, subspace) argmin as min(struct(dist, code_id)) —
+    // map-side partial min, no corpus × 16 × 8 window shuffle
     val codes = assign.join(codebook)
       .select(col("vec_id"), col("cent_id"), col("code_id"),
         posexplode(array((0 until 8).map(subDist("r", "cw")): _*)).as(Seq("s", "dist")))
-      .withColumn("rn", row_number().over(wMin))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"), col("s"), col("code_id"))
+      .groupBy(col("vec_id"), col("cent_id"), col("s"))
+      .agg(min(struct(col("dist"), col("code_id"))).as("m"))
+      .select(col("vec_id"), col("cent_id"), col("s"), col("m.code_id").as("code_id"))
     // queries probe their nprobe nearest lists, with a PER-LIST residual
     // (ADC distance tables are relative to the probed centroid)
     val probes = scored.filter(col("vec_id") >= qLo && col("vec_id") < qHi)
