@@ -197,6 +197,10 @@ object Multimodal {
     }(Encoders.product[GrayGrid]).toDF()
   }
 
+  // see GrayGrid's JVM-private note for why this is private[ext]
+  private[ext] case class BandFp(media_id: Long, b0: Int, b1: Int, b2: Int,
+                                 b3: Int, b4: Int, b5: Int, b6: Int, b7: Int)
+
   /** Per-image perceptual fingerprint as EIGHT 16-bit band ints:
     * b0..b3 = aHash (bit set iff cell ≥ grid mean — compared as
     * `cell*64 >= sum`, exact integer arithmetic, no float mean),
@@ -204,27 +208,48 @@ object Multimodal {
     * bands are simultaneously the LSH bucket keys (any equal band →
     * candidate pair) and the hamming operands (`bit_count(a ^ b)`
     * summed over bands) — no 64-bit value is ever materialized, which
-    * sidesteps sign-bit trouble in both engines. Derivation is
-    * relational (codegen HOFs over the grid array), so the DuckDB
-    * oracle replays it bit-for-bit. */
+    * sidesteps sign-bit trouble in both engines.
+    *
+    * r20 (guide §1.2 step 2 / §4): the bands are computed INSIDE the
+    * decode mapPartitions as tight integer loops. The previous
+    * relational form ran three interpreted higher-order aggregates per
+    * image (64 + 2×(8×16) lambda steps, each with a boxed element_at
+    * and a `pow(2, j)` double op — HOFs are CodegenFallback, so every
+    * cell paid interpreted dispatch), and shipped the 72-cell grid
+    * through the encoder as boxed Seq[Int]. The fused loop emits just
+    * (media_id, 8 ints); arithmetic is bit-identical (`1 << j` =
+    * `cast(pow(2, j) as int)` for j ≤ 15), and the DuckDB oracle
+    * replays the same derivation from the md5 hex independently. */
   def imageFingerprintsOn(media: DataFrame,
                           decoder: MediaDecoder = StubDecoder): DataFrame = {
-    // aHash cell i (0..63) lives at row i/8, col i%8 of the 9-wide grid
-    // (cast: SQL `div` widens to BIGINT, element_at wants INT)
-    def apos(i: String) = s"cast((($i) div 8) * 9 + (($i) % 8) + 1 as int)"
-    val asum = s"aggregate(sequence(0, 63), 0, (a, i) -> a + element_at(g, ${apos("i")}))"
-    def aband(b: Int) =
-      s"aggregate(sequence(0, 15), 0, (a, j) -> a + IF(" +
-      s"element_at(g, ${apos(s"$b * 16 + j")}) * 64 >= asum, cast(pow(2, j) as int), 0))"
-    def dband(b: Int) =
-      s"aggregate(sequence(0, 15), 0, (a, j) -> a + IF(" +
-      s"element_at(g, ${apos(s"$b * 16 + j")}) < element_at(g, ${apos(s"$b * 16 + j")} + 1), " +
-      s"cast(pow(2, j) as int), 0))"
-    imageGrids(media, decoder)
-      .withColumn("asum", expr(asum))
-      .select(col("media_id") +:
-        ((0 until 4).map(b => expr(aband(b)).as(s"b$b")) ++
-         (0 until 4).map(b => expr(dband(b)).as(s"b${b + 4}"))): _*)
+    val input = media.select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])](
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+    input.mapPartitions { it =>
+      it.map { case (id, kind, bytes) =>
+        val g = decoder.grayGrid(kind, bytes, 9, 8)
+        // aHash cell i (0..63) lives at row i/8, col i%8 of the 9-wide grid
+        @inline def apos(i: Int): Int = (i / 8) * 9 + (i % 8)
+        var asum = 0
+        var i = 0
+        while (i < 64) { asum += g(apos(i)); i += 1 }
+        val b = new Array[Int](8)
+        var k = 0
+        while (k < 4) {
+          var av = 0
+          var dv = 0
+          var j = 0
+          while (j < 16) {
+            val p = apos(k * 16 + j)
+            if (g(p) * 64 >= asum) av |= (1 << j)
+            if (g(p) < g(p + 1)) dv |= (1 << j)
+            j += 1
+          }
+          b(k) = av; b(k + 4) = dv; k += 1
+        }
+        BandFp(id, b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7))
+      }
+    }(Encoders.product[BandFp]).toDF()
   }
 
   /** Banded perceptual near-dup pairs — [[graft.ext.Dedup.simhashPairs]]'
@@ -292,8 +317,6 @@ object Multimodal {
           .otherwise(unhex(concat(md5(col("text")), md5(concat(col("text"), lit("x"))))))
           .as("content"))
 
-  private[ext] case class PcmRow(media_id: Long, s: Seq[Int])
-
   /** Per-audio fingerprint as EIGHT 16-bit bands over the pcm stream
     * (chromaprint-STYLE, documented deviation: chromaprint hashes
     * sign-of-change across chroma FILTER outputs; this hashes
@@ -310,17 +333,27 @@ object Multimodal {
     val input = media.select(col("media_id"), col("kind"), col("content"))
       .as[(Long, String, Array[Byte])](
         Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
-    val pcm = input.mapPartitions { it =>
+    // bands fused into the decode loop — same rewrite (and the same
+    // bit-identical arithmetic argument) as imageFingerprintsOn r20:
+    // the interpreted per-bit aggregate lambdas and the boxed 136-int
+    // pcm Seq both leave the hot path
+    input.mapPartitions { it =>
       it.map { case (id, kind, bytes) =>
-        PcmRow(id, decoder.pcmSamples(kind, bytes, 136).toSeq)
+        val s = decoder.pcmSamples(kind, bytes, 136)
+        val b = new Array[Int](8)
+        var k = 0
+        while (k < 8) {
+          var v = 0
+          var j = 0
+          while (j < 16) {
+            if (s(k * 16 + j) < s(k * 16 + j + 8)) v |= (1 << j)
+            j += 1
+          }
+          b(k) = v; k += 1
+        }
+        BandFp(id, b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7))
       }
-    }(Encoders.product[PcmRow]).toDF()
-    def band(k: Int) =
-      s"aggregate(sequence(0, 15), 0, (a, j) -> a + IF(" +
-      s"element_at(s, $k * 16 + j + 1) < element_at(s, $k * 16 + j + 9), " +
-      s"cast(pow(2, j) as int), 0))"
-    pcm.select(col("media_id") +:
-      (0 until 8).map(k => expr(band(k)).as(s"b$k")): _*)
+    }(Encoders.product[BandFp]).toDF()
   }
 
   /** Banded audio near-dup pairs — [[bandedHammingPairs]] over the

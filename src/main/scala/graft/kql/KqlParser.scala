@@ -424,26 +424,62 @@ object KqlParser {
       // Extend-style assignment applying the row-window rewrite (shared
       // by `extend` and `serialize name = expr, ...`).
       def applyExtend(body: String): Unit = {
-        splitTopLevel(body, ',').map(_.trim).foreach { item0 =>
-          // ADX pack_all() — a property bag of EVERY current column.
-          // It needs frame context (the scalar translator sees only
-          // text), so it desugars HERE to the equivalent bag_pack
-          // literal over df.columns before translation; the column
-          // set is whatever precedes this extend, ADX's semantics.
-          // The optional ignore_null_empty form is rejected loudly
-          // (the rewrite only matches the zero-arg call).
-          // (The serialized-frame pin columns are engine-internal:
-          // pack_all must never see them.)
-          val item = rewritePackAll(item0,
-            df.columns.filterNot(c => c == SerSeq || c == SerBlk).toIndexedSeq)
+        val items = splitTopLevel(body, ',').map(_.trim)
+        // r20 (r19 verdict #1): translate the WHOLE assignment list
+        // against one shared helper buffer FIRST, so helpers dedupe
+        // and batch ACROSS items (kql_serialize's prev/next/row_cumsum
+        // items now share one per-block stats pass instead of three),
+        // then attach all helpers, then apply the assignments in
+        // order. Translation-time frame context (pack_all's column
+        // set, let-shadowing) is simulated per item via `simCols`, so
+        // the text produced is identical to the sequential path's.
+        val helpers = scala.collection.mutable.ArrayBuffer.empty[SerialHelper]
+        // ADX pack_all() — a property bag of EVERY current column.
+        // It needs frame context (the scalar translator sees only
+        // text), so it desugars HERE to the equivalent bag_pack
+        // literal over the current column set before translation; the
+        // column set is whatever precedes this item, ADX's semantics.
+        // The optional ignore_null_empty form is rejected loudly
+        // (the rewrite only matches the zero-arg call).
+        // (The serialized-frame pin columns are engine-internal:
+        // pack_all must never see them.)
+        var simCols = df.columns
+          .filterNot(SerPins.contains).toIndexedSeq
+        val translated = items.map { item0 =>
+          val item = rewritePackAll(item0, simCols)
           val (nameOpt, sql) = nameAndSql(item, scoped)
           val name = nameOpt.getOrElse(
             throw new IllegalArgumentException(s"extend needs 'name = expr': $item"))
-          val helpers = scala.collection.mutable.ArrayBuffer.empty[SerialHelper]
-          val rewritten = rewriteVariantPaths(
-            rewriteSerialFns(sql, serialOrder, helpers), df)
+          val rewritten = rewriteSerialFns(sql, serialOrder, helpers)
+          if (!simCols.contains(name)) simCols = simCols :+ name
+          (name, rewritten)
+        }
+        val itemNames = translated.map(_._1).toSet
+        if (helpers.exists(h => helperInputs(h)
+            .exists(s => itemNames.exists(n => refersTo(s, n))))) {
+          // rare: a row-function argument references a column ASSIGNED
+          // in this same stage — the pre-attached batch can't see it,
+          // so fall back to strict per-item sequencing (the r19 path)
+          items.foreach { item0 =>
+            val item = rewritePackAll(item0,
+              df.columns.filterNot(SerPins.contains).toIndexedSeq)
+            val (nameOpt, sql) = nameAndSql(item, scoped)
+            val name = nameOpt.get
+            val hs = scala.collection.mutable.ArrayBuffer.empty[SerialHelper]
+            val rewritten = rewriteVariantPaths(
+              rewriteSerialFns(sql, serialOrder, hs), df)
+            df = attachSerialHelpers(df, hs.toSeq, serialItems)
+            df = df.extend(name, expr(rewritten))
+            if (hs.nonEmpty) df = df.drop(hs.map(_.name).toSeq: _*)
+          }
+        } else {
           df = attachSerialHelpers(df, helpers.toSeq, serialItems)
-          df = df.extend(name, expr(rewritten))
+          translated.foreach { case (name, rewritten) =>
+            // variant-path/column_ifexists resolution happens at apply
+            // time (after the previous items' columns exist), exactly
+            // as the sequential path resolved it
+            df = df.extend(name, expr(rewriteVariantPaths(rewritten, df)))
+          }
           if (helpers.nonEmpty) df = df.drop(helpers.map(_.name).toSeq: _*)
         }
         // the pin columns persist across items (one pin per stage);
@@ -452,7 +488,7 @@ object KqlParser {
         // contract is that it STAYS serialized) and drop them once the
         // whole assignment list is evaluated
         if (df.columns.contains(SerSeq))
-          df = df.orderBy(col(SerSeq)).drop(SerSeq, SerBlk)
+          df = df.orderBy(col(SerSeq)).drop(SerPins: _*)
       }
       verb match {
         case "where" =>
@@ -4202,155 +4238,248 @@ object KqlParser {
 
   private[kql] val SerSeq = "__ser_seq"
   private[kql] val SerBlk = "__ser_blk"
+  private[kql] val SerLoc = "__ser_loc"
+
+  /** Engine-internal pin columns of a serialized frame. [[SerSeq]] is
+    * attached by the FIRST stats batch (its block-count fold supplies
+    * the prefix offsets), so [[SerBlk]] presence is the pinned marker
+    * while [[SerSeq]] presence means the dense sequence is live. */
+  private[kql] val SerPins = Seq(SerSeq, SerBlk, SerLoc)
 
   /** Pin the serialized frame: total sort (a RANGE shuffle —
-    * distributed) plus a dense 1-based global sequence [[SerSeq]] and
-    * the range-partition id [[SerBlk]], via per-partition offsets — the
-    * same two-job shape as `RDD.zipWithIndex` (and as [[globalRanked]],
-    * the groupless-tdigest precedent): one bounded job collects the
-    * per-partition row counts (#partitions longs to the driver —
-    * bounded by parallelism, not data), which also MATERIALIZES the
-    * sort shuffle; the main job then reuses those shuffle files, so
-    * both jobs see identical partition contents and the assignment is
-    * consistent. Everything downstream is deterministic given
-    * (seq, blk), so the stats and output branches of the
-    * running-aggregate decomposition may recompute freely. Rank ties
-    * (equal order keys) are assigned arbitrarily but consistently for
-    * every helper of the stage — same contract as the previous
-    * single-partition window, where tie order was equally arbitrary. */
+    * distributed) plus the range-partition id [[SerBlk]] and the
+    * 0-based block-local position [[SerLoc]]; the dense 1-based global
+    * sequence [[SerSeq]] = (rows in earlier blocks) + loc + 1 attaches
+    * with the first per-block stats batch ([[attachSerialBatch]] —
+    * every batch already broadcasts the per-block row counts, so the
+    * sequence costs no extra pass).
+    *
+    * r20 (r19 verdict #2 + advice): pure Dataset API — the r19
+    * `DataFrame → RDD → createDataFrame` roundtrip planted a
+    * `Scan ExistingRDD` barrier that severed WholeStageCodegen AND
+    * recomputed the corpus sort in every job that scanned the pinned
+    * frame (per-block stats broadcasts, shift self-joins, final
+    * output), with shuffle-fetch tie order free to differ between
+    * those jobs. Now: `repartitionByRange` + partition-local sort
+    * (the same distributed total sort, fully codegen), then a LAZY
+    * `localCheckpoint` — translation runs no job (r19 advice: the
+    * eager pin paid a corpus sort for never-executed queries); the
+    * first action materializes the blocks once, concurrent branch
+    * jobs serialize per partition on the block manager's locks, and
+    * every job thereafter observes the one frozen row→block/tie
+    * assignment. The block position comes from
+    * `monotonically_increasing_id` over the frozen blocks (documented
+    * layout: partition id ≪ 33 | local row index — deterministic on
+    * checkpointed partitions). Rank ties (equal order keys) are
+    * assigned arbitrarily but consistently for every helper of the
+    * stage — same contract as the previous single-partition window,
+    * where tie order was equally arbitrary. */
   private def pinSerialFrame(df: DataFrame,
                              order: Seq[(String, Boolean)]): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    require(!df.columns.contains(SerSeq),
-      s"serialized frame already carries $SerSeq")
-    val sorted = df.orderBy(order.map { case (e, asc) =>
-      if (asc) expr(e).asc else expr(e).desc }: _*)
-    val rdd0 = sorted.rdd
-    val counts = rdd0.mapPartitions(
-      it => Iterator.single(it.size.toLong), preservesPartitioning = true)
-      .collect()
-    val offs = counts.scanLeft(0L)(_ + _)
-    val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
-      var i = 0L
-      it.map { r =>
-        val s = offs(pid) + i + 1L; i += 1L
-        Row.fromSeq(r.toSeq :+ s :+ pid.toLong)
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, StructType(
-      sorted.schema.fields
-        :+ StructField(SerSeq, LongType, nullable = false)
-        :+ StructField(SerBlk, LongType, nullable = false)))
+    require(!df.columns.contains(SerBlk),
+      s"serialized frame already carries $SerBlk")
+    val sortCols = order.map { case (e, asc) =>
+      if (asc) expr(e).asc else expr(e).desc }
+    df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn(SerBlk, spark_partition_id().cast("long"))
+      .withColumn(SerLoc,
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint(false)
   }
 
   /** Attach the requested serial helper columns, pinning the frame
     * first when any keyless shape needs the sequence/block structure
     * (once per stage — [[SerSeq]] persisting on the frame marks it
-    * pinned; callers drop [[SerSeq]]/[[SerBlk]] at stage end). */
+    * pinned; callers drop [[SerSeq]]/[[SerBlk]] at stage end).
+    *
+    * r20 (r19 verdict #1): the stats-needing helpers (offset-1 shifts,
+    * running sums) no longer each build their own per-block stats
+    * aggregate + broadcast + crossJoin — consecutive independent ones
+    * BATCH into one `groupBy(__ser_blk)` aggregate computing every
+    * member's per-block figures at once, one broadcast stats row, one
+    * crossJoin ([[attachSerialBatch]]). A batch flushes only when a
+    * later helper's input references a name the pending batch
+    * produces (the shift→running-sum dependency inherent to
+    * row_rank/row_window_session desugaring), so k independent
+    * helpers cost one stats pass, not k. */
   private def attachSerialHelpers(df0: DataFrame, helpers: Seq[SerialHelper],
                                   order: Seq[(String, Boolean)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     var df = df0
     val needsKit = helpers.exists {
       case _: SqlHelper => false
       case _ => true
     }
-    if (needsKit && !df.columns.contains(SerSeq))
+    if (needsKit && !df.columns.contains(SerBlk))
       df = pinSerialFrame(df, order)
-    val wLocal = Window.partitionBy(col(SerBlk)).orderBy(col(SerSeq))
+    val pending = scala.collection.mutable.ArrayBuffer.empty[SerialHelper]
+    def flush(): Unit = if (pending.nonEmpty) {
+      df = attachSerialBatch(df, pending.toSeq)
+      pending.clear()
+    }
+    // the dense sequence rides the first stats batch; anything needing
+    // it earlier (a general-offset shift as the first helper, or a
+    // pinned stage with no stats-needing helper at all) forces an
+    // empty counts-only batch
+    def ensureSeq(): Unit =
+      if (df.columns.contains(SerBlk) && !df.columns.contains(SerSeq)) {
+        flush()
+        if (!df.columns.contains(SerSeq)) df = attachSerialBatch(df, Nil)
+      }
+    def refsPending(sqls: Seq[String]): Boolean =
+      sqls.exists(s => pending.exists(p => refersTo(s, p.name)))
+    helpers.foreach { h =>
+      if (refsPending(helperInputs(h))) flush()
+      h match {
+        case SqlHelper(n, sql) =>
+          if (refersTo(sql, SerSeq)) ensureSeq()
+          df = df.withColumn(n, expr(sql))
+        case h: RowNumberHelper => pending += h
+        case s: ShiftHelper if s.offset == 1 => pending += s
+        case s: RunningSumHelper => pending += s
+        case ShiftHelper(n, x, off, dflt, lead) =>
+          // general literal offset: the row at sequence s supplies its
+          // x to the row at s + off (prev) / s - off (next) via an
+          // equi self-join on the dense sequence (both sides scan the
+          // pinned checkpoint — no recompute); out-of-frame rows join
+          // to nothing — the __hit marker distinguishes "no such row"
+          // (the default applies) from a genuinely-null x at the
+          // shifted row (lag/lead return the null), matching SQL
+          // lag/lead exactly
+          ensureSeq()
+          val hit = n + "__hit"
+          val shifted = df.select(
+            (col(SerSeq) + lit(if (lead) -off.toLong else off.toLong)).as(SerSeq),
+            expr(x).as(n), lit(true).as(hit))
+          df = df.join(shifted, Seq(SerSeq), "left")
+          dflt.foreach { d =>
+            df = df.withColumn(n,
+              when(col(hit).isNull, expr(d)).otherwise(col(n)))
+          }
+          df = df.drop(hit)
+      }
+    }
+    flush()
+    ensureSeq()
+    df
+  }
+
+  /** Does `sql` mention `name` as a standalone identifier? (Helper
+    * names are engine-generated `__…` identifiers, so a textual
+    * word-boundary test is exact.) */
+  private def refersTo(sql: String, name: String): Boolean =
+    ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
+      "(?![A-Za-z0-9_])").r.findFirstIn(sql).isDefined
+
+  /** The SQL fragments a helper EVALUATES over the frame — what the
+    * batching dependency test inspects. */
+  private def helperInputs(h: SerialHelper): Seq[String] = h match {
+    case SqlHelper(_, sql) => Seq(sql)
+    case RunningSumHelper(_, term) => Seq(term)
+    case ShiftHelper(_, x, _, dflt, _) => x +: dflt.toSeq
+    case _: RowNumberHelper => Nil
+  }
+
+  /** One stats pass for a batch of independent offset-1 shifts,
+    * running sums and row numbers: a single per-block aggregate
+    * (boundary values via min_by/max_by for the shifts, sum/count for
+    * the running sums, plus the shared per-block row count), broadcast
+    * as ONE sorted collect_list row — the 1-row × corpus broadcast
+    * scalar-join class PlanSweepSpec allowlists — and ONE crossJoin;
+    * every member's column then evaluates off that array. The dense
+    * global sequence [[SerSeq]] itself attaches here too, from the
+    * same per-block counts (prefix fold + [[SerLoc]] + 1), when the
+    * frame doesn't carry it yet — so a stage's first batch costs no
+    * separate offsets pass. Block edges for the shifts use
+    * dense-sequence arithmetic against the per-block counts (no
+    * row_number/count windows), so the only per-row window left is
+    * the shared (blk, loc) lag/lead + running-sum frame — one
+    * exchange + sort serves the whole stage. An empty batch attaches
+    * just [[SerSeq]] (counts-only stats). */
+  private def attachSerialBatch(df0: DataFrame,
+                                batch: Seq[SerialHelper]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var df = df0
+    val wLocal = Window.partitionBy(col(SerBlk)).orderBy(col(SerLoc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    helpers.foreach {
-      case SqlHelper(n, sql) => df = df.withColumn(n, expr(sql))
-      case RowNumberHelper(n) =>
-        df = df.withColumn(n, col(SerSeq).cast("int"))
+    val wOrd = Window.partitionBy(col(SerBlk)).orderBy(col(SerLoc))
+    val aggs: Seq[Column] = batch.flatMap {
+      case ShiftHelper(n, x, 1, _, isLead) =>
+        Seq((if (isLead) min_by(expr(x), col(SerLoc))
+             else max_by(expr(x), col(SerLoc))).as(s"v_$n"))
+      case RunningSumHelper(n, term) =>
+        val t = expr(term)
+        Seq(sum(t).as(s"s_$n"), count(t).as(s"c_$n"))
+      case _: RowNumberHelper => Nil
+      case h => throw new IllegalStateException(s"unbatchable helper $h")
+    } :+ count(lit(1)).as("c")
+    // result types = the window sum's (sum(int) → long, …); analysis
+    // only, no job
+    val sumTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      batch.collect { case RunningSumHelper(n, term) =>
+        n -> df.select(sum(expr(term)).as("s")).schema.head.dataType
+      }.toMap
+    val stats = df.groupBy(col(SerBlk).as("b")).agg(aggs.head, aggs.tail: _*)
+    val arrCol = "__ser_stats"
+    // sort_array on (b, …) structs = ascending block order, so the
+    // per-row folds below run in a deterministic order
+    val arr = broadcast(stats.agg(
+      sort_array(collect_list(struct(stats.columns.map(col): _*))).as(arrCol)))
+    df = df.crossJoin(arr)
+    // rows strictly before my block / in total — dense-seq arithmetic
+    val before = s"aggregate(filter($arrCol, e -> e.b < $SerBlk), 0L, (a, e) -> a + e.c)"
+    val total = s"aggregate($arrCol, 0L, (a, e) -> a + e.c)"
+    if (!df.columns.contains(SerSeq))
+      df = df.withColumn(SerSeq, expr(before) + col(SerLoc) + lit(1L))
+    batch.foreach {
       case ShiftHelper(n, x, 1, dflt, isLead) =>
         // offset-1 fast path (every registered query's shape): a
-        // block-local lag/lead over the same (blk, seq) window the
-        // running sums use, patched at block edges with the
-        // neighboring block's boundary value from a broadcast
-        // per-block stats row — NO shuffle join. Out-of-frame rows
-        // (the global first/last — seq is dense, so a plain seq
-        // comparison identifies them) take the default, exactly SQL
-        // lag/lead; a genuinely-null x at the shifted row stays null.
+        // block-local lag/lead over the shared (blk, loc) window,
+        // patched at block edges with the neighboring block's boundary
+        // value from the broadcast stats row — NO shuffle join.
+        // Out-of-frame rows (the global first/last — seq is dense, so
+        // a plain seq comparison identifies them) take the default,
+        // exactly SQL lag/lead; a genuinely-null x at the shifted row
+        // stays null.
         val xc = expr(x)
-        val wOrd = Window.partitionBy(col(SerBlk)).orderBy(col(SerSeq))
-        val wAll = Window.partitionBy(col(SerBlk))
-        val stats = df.groupBy(col(SerBlk).as("b"))
-          .agg((if (isLead) min_by(xc, col(SerSeq))
-                else max_by(xc, col(SerSeq))).as("v"),
-            count(lit(1)).as("c"))
-        val arrCol = n + "__arr"
-        // 1-row × corpus broadcast scalar join — the allowlisted class
-        val arr = broadcast(stats.agg(
-          collect_list(struct(col("b"), col("v"), col("c"))).as(arrCol)))
         val filterCmp = if (isLead) s"e.b > $SerBlk" else s"e.b < $SerBlk"
         val pick = if (isLead) "1" else "-1"
         val boundary = expr(
           s"CASE WHEN size(filter($arrCol, e -> $filterCmp)) = 0 THEN NULL " +
-            s"ELSE element_at(sort_array(filter($arrCol, e -> $filterCmp)), $pick).v END")
+            s"ELSE element_at(filter($arrCol, e -> $filterCmp), $pick).v_$n END")
         val isEdge =
-          if (isLead) row_number().over(wOrd) === count(lit(1)).over(wAll)
-          else row_number().over(wOrd) === lit(1)
+          if (isLead)
+            col(SerLoc) + 1L === expr(s"element_at(filter($arrCol, e -> e.b = $SerBlk), 1).c")
+          else col(SerLoc) === lit(0L)
         val outOfFrame: Column =
-          if (isLead) col(SerSeq) === expr(s"aggregate($arrCol, 0L, (a, e) -> a + e.c)")
+          if (isLead) col(SerSeq) === expr(total)
           else col(SerSeq) === lit(1L)
         val shifted = when(isEdge, boundary)
           .otherwise(if (isLead) lead(xc, 1).over(wOrd) else lag(xc, 1).over(wOrd))
-        df = df.crossJoin(arr)
-          .withColumn(n,
-            dflt.fold(shifted)(d => when(outOfFrame, expr(d)).otherwise(shifted)))
-          .drop(arrCol)
-      case ShiftHelper(n, x, off, dflt, lead) =>
-        // general offset: the row at sequence s supplies its x to the
-        // row at s + off (prev) / s - off (next) via an equi self-join
-        // on the dense sequence; out-of-frame rows join to nothing —
-        // the __hit marker distinguishes "no such row" (the default
-        // applies) from a genuinely-null x at the shifted row (lag/lead
-        // return the null), matching SQL lag/lead exactly
-        val hit = n + "__hit"
-        val shifted = df.select(
-          (col(SerSeq) + lit(if (lead) -off.toLong else off.toLong)).as(SerSeq),
-          expr(x).as(n), lit(true).as(hit))
-        df = df.join(shifted, Seq(SerSeq), "left")
-        dflt.foreach { d =>
-          df = df.withColumn(n,
-            when(col(hit).isNull, expr(d)).otherwise(col(n)))
-        }
-        df = df.drop(hit)
+        df = df.withColumn(n,
+          dflt.fold(shifted)(d => when(outOfFrame, expr(d)).otherwise(shifted)))
       case RunningSumHelper(n, term) =>
         val t = expr(term)
-        // result type = the window sum's type (sum(int) → long, …);
-        // analysis only, no job
-        val sumT = df.select(sum(t).as("s")).schema.head.dataType
+        val sumT = sumTypes(n)
         val zero = s"CAST(0 AS ${sumT.sql})"
-        // per-block totals + non-null counts: a tiny aggregate
-        // (#blocks = #sort partitions rows), broadcast as one
-        // collect_list row; each row folds the blocks strictly before
-        // its own — O(#partitions) per row, data-size-independent
-        val stats = df.groupBy(col(SerBlk).as("b"))
-          .agg(sum(t).as("s"), count(t).as("c"))
-        val arrCol = n + "__arr"
-        // a 1-row × corpus broadcast scalar join — the allowlisted
-        // text_vocab_coverage class in PlanSweepSpec (a constant-key
-        // equi-join folds back to the same nested-loop plan)
-        val arr = broadcast(stats.agg(
-          collect_list(struct(col("b"), col("s"), col("c"))).as(arrCol)))
+        // each row folds the blocks strictly before its own —
+        // O(#partitions) per row, data-size-independent
         val offSum = expr(
           s"aggregate(filter($arrCol, e -> e.b < $SerBlk), $zero, " +
-            s"(a, e) -> CAST(a + coalesce(e.s, $zero) AS ${sumT.sql}))")
+            s"(a, e) -> CAST(a + coalesce(e.s_$n, $zero) AS ${sumT.sql}))")
         val offCnt = expr(
           s"aggregate(filter($arrCol, e -> e.b < $SerBlk), 0L, " +
-            "(a, e) -> a + e.c)")
+            s"(a, e) -> a + e.c_$n)")
         // SQL running sum is NULL until the first non-null term: guard
         // on the running non-null count (local + earlier blocks)
-        df = df.crossJoin(arr)
-          .withColumn(n,
-            when(count(t).over(wLocal) + offCnt === 0, lit(null).cast(sumT))
-              .otherwise(coalesce(sum(t).over(wLocal), expr(zero)) + offSum))
-          .drop(arrCol)
+        df = df.withColumn(n,
+          when(count(t).over(wLocal) + offCnt === 0, lit(null).cast(sumT))
+            .otherwise(coalesce(sum(t).over(wLocal), expr(zero)) + offSum))
+      case RowNumberHelper(n) =>
+        df = df.withColumn(n, col(SerSeq).cast("int"))
+      case h => throw new IllegalStateException(s"unbatchable helper $h")
     }
-    df
+    df.drop(arrCol)
   }
 
   /** Rewrite the ADX row-window functions — `prev(x[, n[, default]])`,
@@ -4387,6 +4516,40 @@ object KqlParser {
       "row_rank_min", "row_rank_dense", "row_window_session")
     val lower = sql.toLowerCase
     if (!names.exists(lower.contains)) return sql
+    // request-or-reuse: an identical helper (same shape + same input
+    // SQL) already in the buffer is referenced by name instead of
+    // re-requested — duplicate desugar products (row_rank_min +
+    // row_rank_dense over the same term, repeated prev(x) across a
+    // stage's items) collapse to one column, one stats pass. Safe
+    // because the pinned frame is checkpoint-frozen (r20), so equal
+    // SQL over it is equal values.
+    def reqShift(x: String, off: Int, dflt: Option[String], isLead: Boolean): String =
+      helpers.collectFirst {
+        case ShiftHelper(n, x2, o2, d2, l2)
+          if x2 == x && o2 == off && d2 == dflt && l2 == isLead => n
+      }.getOrElse {
+        val h = s"__ser_sh_${helpers.length}"
+        helpers += ShiftHelper(h, x, off, dflt, isLead); h
+      }
+    def reqRunningSum(prefix: String, term: String): String =
+      helpers.collectFirst {
+        case RunningSumHelper(n, t2) if t2 == term => n
+      }.getOrElse {
+        val h = s"$prefix${helpers.length}"
+        helpers += RunningSumHelper(h, term); h
+      }
+    def reqRowNumber(): String =
+      helpers.collectFirst { case RowNumberHelper(n) => n }.getOrElse {
+        val h = s"__ser_rn_${helpers.length}"
+        helpers += RowNumberHelper(h); h
+      }
+    def reqSql(prefix: String, hsql: String): String =
+      helpers.collectFirst {
+        case SqlHelper(n, s2) if s2 == hsql => n
+      }.getOrElse {
+        val h = s"$prefix${helpers.length}"
+        helpers += SqlHelper(h, hsql); h
+      }
     val out = new StringBuilder
     var i = 0
     while (i < sql.length) {
@@ -4412,30 +4575,29 @@ object KqlParser {
                 s"${w.toLowerCase} expects (col[, offset[, default]])")
               val lead = w.equalsIgnoreCase("next")
               val offTxt = if (args.length >= 2) args(1).trim else "1"
-              if (offTxt.matches("[0-9]+")) {
-                val h = s"__ser_sh_${helpers.length}"
-                helpers += ShiftHelper(h, args.head, offTxt.toInt,
-                  args.lift(2), lead)
-                h
-              } else {
-                // non-literal offset: the dense-sequence shift needs a
-                // known constant — keep the legacy single-partition
-                // window (documented; no registered query hits this)
-                val fn = if (lead) "lead" else "lag"
-                s"$fn(${args.mkString(", ")}) OVER (ORDER BY $ord)"
-              }
+              // non-literal offset: the dense-sequence shift needs a
+              // known constant, and the only alternative plan is a
+              // corpus-sized single-partition window — refuse loudly
+              // (r19 verdict #9) rather than plan that silently. No
+              // registered query hits this.
+              require(offTxt.matches("[0-9]+"),
+                s"${w.toLowerCase}() offset must be an integer literal " +
+                  s"(got '$offTxt'): a non-literal offset cannot shift the " +
+                  "distributed dense sequence and would otherwise plan a " +
+                  "corpus-sized single-partition window")
+              reqShift(args.head, offTxt.toInt, args.lift(2), lead)
             case "row_cumsum" =>
               require(args.length == 1 || args.length == 2,
                 "row_cumsum expects (term[, restart])")
-              if (args.length == 1) {
-                val h = s"__rcs_${helpers.length}"
-                helpers += RunningSumHelper(h, args.head)
-                h
-              } else {
-                val grp = s"__rcs_grp_${helpers.length}"
-                helpers += RunningSumHelper(grp,
+              if (args.length == 1) reqRunningSum("__rcs_", args.head)
+              else {
+                val grp = reqRunningSum("__rcs_grp_",
                   s"CASE WHEN (${args(1)}) THEN 1 ELSE 0 END")
-                s"sum(${args.head}) OVER (PARTITION BY $grp ORDER BY $ord " +
+                // ORDER BY the pinned sequence, not the raw sort keys:
+                // the frame is pinned (the grp helper pins it), so the
+                // inline window shares the one frozen tie order every
+                // other helper observes (r19 advice)
+                s"sum(${args.head}) OVER (PARTITION BY $grp ORDER BY $SerSeq " +
                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
               }
             case "row_window_session" =>
@@ -4462,24 +4624,22 @@ object KqlParser {
               val maxUs = spanSecs(args(1), "row_window_session") * 1000000L
               val idleUs = spanSecs(args(2), "row_window_session") * 1000000L
               val restart = args.lift(3).map(r => s" OR ($r)").getOrElse("")
-              val prevT = s"__rws_prev_${helpers.length}"
-              helpers += ShiftHelper(prevT, tUs, 1, None, lead = false)
-              val grp = s"__rws_grp_${helpers.length}"
-              helpers += RunningSumHelper(grp,
+              val prevT = reqShift(tUs, 1, None, isLead = false)
+              val grp = reqRunningSum("__rws_grp_",
                 s"CASE WHEN $prevT IS NULL " +
                   s"OR $tUs - $prevT > ${idleUs}L$restart " +
                   "THEN 1 ELSE 0 END")
-              val pre = s"__rws_pre_${helpers.length}"
-              helpers += SqlHelper(pre,
-                s"collect_list($tUs) OVER (PARTITION BY $grp ORDER BY $ord " +
+              // ORDER BY the pinned sequence — one frozen tie order for
+              // every helper window of the stage (r19 advice)
+              val pre = reqSql("__rws_pre_",
+                s"collect_list($tUs) OVER (PARTITION BY $grp ORDER BY $SerSeq " +
                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
               s"timestamp_micros(aggregate(slice($pre, 2, size($pre) - 1), " +
                 s"element_at($pre, 1), (rws, rwt) -> " +
                 s"CASE WHEN rwt - rws > ${maxUs}L THEN rwt ELSE rws END))"
             case "row_number" =>
               require(args.length <= 1, "row_number expects () or (startingIndex)")
-              val h = s"__ser_rn_${helpers.length}"
-              helpers += RowNumberHelper(h)
+              val h = reqRowNumber()
               if (args.isEmpty) h else s"($h + (${args.head}) - 1)"
             case rrk @ ("row_rank_min" | "row_rank_dense") =>
               // ADX ranks over RUNS of equal Term values in the
@@ -4489,17 +4649,18 @@ object KqlParser {
               // previous-term value, the run id as its running
               // mismatch count (the dense rank), and for _min the
               // run's first row number via a run-partitioned window.
+              // The request-or-reuse seam collapses row_rank_min +
+              // row_rank_dense over the same term to ONE shift + ONE
+              // running sum (the r19 kql_row_rank plan built the
+              // cascade twice).
               require(args.length == 1, s"$rrk expects (term)")
               val t = args.head
-              val prevT = s"__rrk_prev_${helpers.length}"
-              helpers += ShiftHelper(prevT, t, 1, None, lead = false)
-              val run = s"__rrk_run_${helpers.length}"
-              helpers += RunningSumHelper(run,
+              val prevT = reqShift(t, 1, None, isLead = false)
+              val run = reqRunningSum("__rrk_run_",
                 s"CASE WHEN $prevT IS DISTINCT FROM ($t) THEN 1 ELSE 0 END")
               if (rrk == "row_rank_dense") s"cast($run as int)"
               else {
-                val rn = s"__rrk_rn_${helpers.length}"
-                helpers += RowNumberHelper(rn)
+                val rn = reqRowNumber()
                 s"cast(min($rn) OVER (PARTITION BY $run) as int)"
               }
           }

@@ -894,6 +894,19 @@ class KqlSpec extends SparkSpec {
     assert(out.map(_.getInt(2)).toSeq == Seq(10, 11, 12))
   }
 
+  test("parser: prev/next refuse a non-literal offset loudly") {
+    // r20 (r19 verdict #9): the legacy fallback planned a corpus-sized
+    // single-partition window for a non-literal offset — a user query
+    // must never silently get that plan. The distributed dense-sequence
+    // shift needs a constant; anything else is a loud error.
+    val reg = Map("T" -> Seq((1, 1), (2, 1)).toDF("v", "k"))
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.run("T | sort by v asc | extend p = prev(v, k)", reg)
+    }
+    assert(e.getMessage.contains("integer literal"))
+    assert(e.getMessage.contains("single-partition"))
+  }
+
   test("parser: serialize and row functions refuse unordered frames") {
     val reg = Map("T" -> Seq(1).toDF("v"))
     val e1 = intercept[IllegalArgumentException] { KqlParser.run("T | serialize", reg) }
