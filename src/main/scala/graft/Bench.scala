@@ -145,6 +145,31 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_excl_suspect":$cleanTotal,"n_excl_suspect":$cleanN,"n_queries":${results.size},$partialField$probes,"suspect":$suspects,"ambient":$ambient,"capped":$capped,"queries_file":"$outFile","sf":"$sfDir"}""")
+    // r20 (r19 verdict #3): the driver's per-query comparator came up
+    // empty two rounds running (PERF n_common: 0) — the full map lived
+    // only in the FILE artifact and the driver doesn't follow the
+    // queries_file pointer, while the single stdout line deliberately
+    // omits the map (r2/r3: ONE multi-KB line was truncated by the
+    // caller's bounded capture and the round lost every per-query
+    // number). Meet the driver halfway: AFTER the short always-
+    // parseable total line, print the same map as self-delimited
+    // chunked lines, each well under any sane line-capture bound, so
+    // a tail truncation can only lose trailing chunks — never the
+    // headline, and each surviving chunk parses on its own.
+    val entries = results.map { case (k, r) => "\"" + k + "\":" + r.min }
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = 0
+    entries.foreach { e =>
+      if (len + e.length > 700 && cur.nonEmpty) {
+        chunks += cur.mkString("{", ",", "}"); cur.clear(); len = 0
+      }
+      cur += e; len += e.length + 1
+    }
+    if (cur.nonEmpty) chunks += cur.mkString("{", ",", "}")
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries","part":${i + 1},"of":${chunks.length},"queries":$c}""")
+    }
     System.out.flush()
   }
 

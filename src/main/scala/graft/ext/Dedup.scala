@@ -862,7 +862,7 @@ object Dedup {
     * shuffles are the hash groupBy (shrinks to distinct shingles) and
     * the hash-co-partitioned join back (both sides keyed by `h`, so AQE
     * plans a co-located join, never a broadcast of the corpus). Spans
-    * travel as 60-bit md5 hashes, never as text. */
+    * travel as 64-bit xxhash64 keys, never as text. */
   def dupSpanAuditOn(docs: DataFrame, k: Int = 8): DataFrame = {
     val shingles = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -870,8 +870,14 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(ws) - $k), i -> array_join(slice(ws, i + 1, $k), ' '))"))
         .as("sh"))
-      .select(col("doc_id"),
-        expr("cast(conv(substr(md5(sh),1,15),16,10) as bigint)").as("h"))
+      // xxhash64: one codegen-native pass per shingle where the r19
+      // md5→hex-substr→conv chain paid a crypto digest + two string
+      // passes + a radix parse (guide §4; r19 verdict #7). The key is
+      // INTERNAL — only per-doc span counts leave this function — so
+      // the oracle's own md5-derived keys partition shingles
+      // identically (both hashes are collision-free at any plausible
+      // shingle count; 64 vs 60 bits only lowers the odds further).
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
     // "≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id): plain min/max
     // partial-aggregates through ONE h-keyed exchange, where the r18
     // countDistinct form planned the two-exchange distinct-aggregate
@@ -936,8 +942,9 @@ object Dedup {
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(ws) - $k), i -> array_join(slice(ws, i + 1, $k), ' '))"))
         .as(Seq("i", "sh")))
-      .select(col("doc_id"), col("i"),
-        expr("cast(conv(substr(md5(sh),1,15),16,10) as bigint)").as("h"))
+      // internal-only key: xxhash64 for the same reason as
+      // dupSpanAuditOn (one codegen hash pass, not md5+substr+conv)
+      .select(col("doc_id"), col("i"), xxhash64(col("sh")).as("h"))
     // min ≠ max ⟺ ≥2 distinct docs — one exchange instead of the
     // distinct-aggregate rewrite's two (see dupSpanAuditOn)
     val crossDoc = shingles
@@ -1169,6 +1176,12 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("w1"), col("w2"))
       .orderBy(col("sfx").asc, col("doc_id").asc, col("pos").asc)
+    // r20 (guide §2.3, shuffle fewer bytes): the suffix travels through
+    // the (w1, w2) group exchange ONLY as its joined string `sfx` (the
+    // sort key) — the r19 shape additionally shipped the same ≤cap
+    // words as a boxed array per row, roughly doubling the shuffle.
+    // The word arrays re-derive AFTER the window by re-splitting the
+    // two strings (split∘join is lossless on space-split words).
     val sfx = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(expr("size(ws) >= 2"))
@@ -1177,16 +1190,21 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         expr("element_at(ws, pos + 1)").as("w1"),
         expr("element_at(ws, pos + 2)").as("w2"),
-        expr(s"slice(ws, pos + 1, $cap)").as("sfa"))
-      .withColumn("sfx", expr("array_join(sfa, ' ')"))
+        expr(s"array_join(slice(ws, pos + 1, $cap), ' ')").as("sfx"))
     sfx
       .withColumn("nd", lead(col("doc_id"), 1).over(w))
-      .withColumn("nb", lead(col("sfa"), 1).over(w))
+      .withColumn("nx", lead(col("sfx"), 1).over(w))
       .filter(col("nd").isNotNull && col("nd") =!= col("doc_id"))
+      .withColumn("sfa", expr("split(sfx, ' ')"))
+      .withColumn("nb", expr("split(nx, ' ')"))
+      // LCP in one O(cap) pass with single-state fold (r19 ran an
+      // O(cap²) nested filter-per-prefix): state = leading-equal count
+      // so far, frozen at the first mismatch via the sign bit
       .withColumn("lcp", expr(
         """aggregate(sequence(1, least(size(sfa), size(nb))), 0, (acc, i) ->
-          |  acc + IF(size(filter(sequence(1, i), j ->
-          |    element_at(sfa, j) = element_at(nb, j))) = i, 1, 0))""".stripMargin))
+          |  IF(acc < 0, acc,
+          |     IF(element_at(sfa, i) = element_at(nb, i), acc + 1, -acc - 1)))""".stripMargin))
+      .withColumn("lcp", expr("IF(lcp < 0, -lcp - 1, lcp)"))
       .filter(col("lcp") >= minLcp)
       .select(least(col("doc_id"), col("nd")).as("doc_a"),
         greatest(col("doc_id"), col("nd")).as("doc_b"), col("lcp"))

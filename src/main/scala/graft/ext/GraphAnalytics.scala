@@ -151,7 +151,13 @@ object GraphAnalytics {
     * convergence plateau for ranking purposes. */
   private[ext] def weightedPageRank(edges0: DataFrame,
                                     iterations: Int = 3): DataFrame =
-    weightedPageRankServed(edges0.localCheckpoint(true), iterations)
+    // repartition by src BEFORE the checkpoint (r20, guide §2.4): the
+    // checkpoint scan then carries hash(src) as its output
+    // partitioning, so every superstep's rank⋈edges join reuses it —
+    // the plain variant gets the bucketed table's exchange-free edge
+    // side, paid once at derivation instead of once per round
+    weightedPageRankServed(
+      edges0.repartition(col("src")).localCheckpoint(true), iterations)
 
   /** The superstep loop over an ALREADY-SERVED edge relation — either
     * the localCheckpoint [[weightedPageRank]] materializes, or a
@@ -182,13 +188,17 @@ object GraphAnalytics {
     val scale = 1000000000000L
     val base = (15L * scale) / (100L * n)
     var pr = deg.select(col("src").as("node"), lit(scale / n).as("pr"))
+    // no per-round checkpoint (r20): each pr feeds the next round
+    // exactly once and deg/edges are already checkpointed scans, so
+    // the unrolled plan recomputes nothing — the 3 eager
+    // materialization jobs per query were pure scheduling overhead,
+    // and lineage depth is bounded by the fixed iteration count
     for (_ <- 1 to iterations) {
       val contrib = prContrib(pr, deg, edges)
       pr = deg.select(col("src").as("node"))
         .join(contrib, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (lit(base) + expr("85L * coalesce(csum, 0L) DIV 100")).as("pr"))
-        .localCheckpoint(true)
     }
     pr.join(deg, pr("node") === deg("src"))
       .select(col("node"), col("pr"), col("wdeg"))
@@ -267,7 +277,10 @@ object GraphAnalytics {
     * bi-oscillates forever on bipartite structures (4-cycles, and this
     * engine's part↔supplier graph itself). */
   private[ext] def lpaCore(edges0: DataFrame, iterations: Int): DataFrame =
-    lpaCoreServed(edges0.localCheckpoint(true), iterations)
+    // src-repartitioned checkpoint — same exchange-free per-round edge
+    // side as weightedPageRank (r20, guide §2.4)
+    lpaCoreServed(edges0.repartition(col("src")).localCheckpoint(true),
+      iterations)
 
   /** [[lpaCore]] over an ALREADY-SERVED edge relation (a checkpoint or
     * a write-time bucketed table scan — the seam
@@ -281,7 +294,11 @@ object GraphAnalytics {
     var lab = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to iterations) {
-      lab = lpaRound(lab, edges).localCheckpoint(true)
+      // LAZY checkpoint (r20): each round reads the previous labels
+      // TWICE (the vote join + the self-vote union), so persistence is
+      // load-bearing — but materializing it eagerly cost one scheduled
+      // job per round; lazily it rides the next round's first read
+      lab = lpaRound(lab, edges).localCheckpoint(false)
     }
     lab
   }

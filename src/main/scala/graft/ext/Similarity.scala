@@ -365,12 +365,21 @@ object Similarity {
     // per-(vector, subspace) argmin by (dist asc, code_id asc) as
     // min(struct(dist, code_id)) — map-side partial min collapses the
     // 16 codeword candidates before the exchange (the r18 row_number
-    // window shuffled and sorted corpus × 16 × 8 rows)
+    // window shuffled and sorted corpus × 16 × 8 rows).
+    // r20 (guide §3, explode after aggregation): the r19 shape
+    // posexplode'd the 8 subspace distances BEFORE the aggregate
+    // (corpus × 16 × 8 generated rows through GenerateExec — measured
+    // 3-4× the cost of the distance math itself); now the 8 argmins
+    // ride ONE aggregate as 8 min-of-struct columns and the explode
+    // to long form runs over the corpus-sized (not ×16×8) result.
     e.join(cents)
-      .select(col("vec_id"), col("code_id"),
-        posexplode(array((0 until 8).map(subDist): _*)).as(Seq("s", "dist")))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("dist"), col("code_id"))).as("m"))
+      .select(col("vec_id") +: (0 until 8).map(s =>
+        struct(subDist(s).as("dist"), col("code_id").as("code_id")).as(s"ds$s")): _*)
+      .groupBy(col("vec_id"))
+      .agg(min(col("ds0")).as("m0"),
+        (1 until 8).map(i => min(col(s"ds$i")).as(s"m$i")): _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until 8).map(i => col(s"m$i")): _*)).as(Seq("s", "m")))
       .select(col("vec_id"), col("s").cast("int").as("s"),
         col("m.code_id").as("code_id"), col("m.dist").as("dist"))
   }
@@ -684,12 +693,20 @@ object Similarity {
       round(expr(terms.mkString(" + ")), 6)
     }
     // per-(vector, subspace) argmin as min(struct(dist, code_id)) —
-    // map-side partial min, no corpus × 16 × 8 window shuffle
+    // map-side partial min, no corpus × 16 × 8 window shuffle; the 8
+    // argmins ride ONE aggregate as min-of-struct columns and the
+    // explode to long form runs AFTER it (r20 — see pqCodes: the
+    // pre-aggregate posexplode generated corpus × 16 × 8 rows and
+    // cost 3-4× the distance math)
     val codes = assign.join(codebook)
-      .select(col("vec_id"), col("cent_id"), col("code_id"),
-        posexplode(array((0 until 8).map(subDist("r", "cw")): _*)).as(Seq("s", "dist")))
-      .groupBy(col("vec_id"), col("cent_id"), col("s"))
-      .agg(min(struct(col("dist"), col("code_id"))).as("m"))
+      .select(col("vec_id") +: col("cent_id") +: (0 until 8).map(s =>
+        struct(subDist("r", "cw")(s).as("dist"), col("code_id").as("code_id"))
+          .as(s"ds$s")): _*)
+      .groupBy(col("vec_id"), col("cent_id"))
+      .agg(min(col("ds0")).as("m0"),
+        (1 until 8).map(i => min(col(s"ds$i")).as(s"m$i")): _*)
+      .select(col("vec_id"), col("cent_id"),
+        posexplode(array((0 until 8).map(i => col(s"m$i")): _*)).as(Seq("s", "m")))
       .select(col("vec_id"), col("cent_id"), col("s"), col("m.code_id").as("code_id"))
     // queries probe their nprobe nearest lists, with a PER-LIST residual
     // (ADC distance tables are relative to the probed centroid)

@@ -17,8 +17,28 @@ object Tables {
   val cities: Seq[String] =
     Seq("New Delhi", "Seattle", "New York", "Austin", "Chicago", "Cleveland")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Process-wide parquet schema memo (full path → schema). Schema
+    * inference on a bare `spark.read.parquet` runs a footer-reading
+    * Spark job (SchemaMergeUtils.mergeSchemasInParallel) on EVERY
+    * call — measured at ~85% of a KQL stage-pipeline translation and
+    * ~60 ms per table read, paid again by every query construction.
+    * The corpus files are immutable for a process's lifetime (the
+    * driver's testdata is read-only; a production deployment reads
+    * through a catalog that carries the schema), so the schema is
+    * looked up once per path and passed explicitly thereafter — the
+    * DataFrames produced are identical, only the inference job
+    * disappears. NOTE events.ts flavor detection still works: the
+    * memo stores whatever flavor the file carries, under whatever
+    * session conf (nanosAsLong) the first reader set — [[events]] is
+    * the only in-library reader of that file and always sets it. */
+  private val schemaMemo =
+    new scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaMemo.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
