@@ -321,6 +321,13 @@ object GraphAnalytics {
       // shipping raw votes instead of (dst, label) partial counts; on a
       // sparse graph the multiplicity partial aggregation collapses is
       // ~1, so the single exchange wins at any scale.
+      // SKEW caveat (r19 advice): a hub dst in a power-law graph now
+      // receives ALL its raw votes in one partition per round. On this
+      // engine's part↔supplier graph degree is bounded by the TPC-H
+      // fanout (~flat), so the single exchange stands; a deployment on
+      // heavy-tailed graphs should salt hot dst keys (two-level
+      // aggregate: by (dst, salt) then dst — guide §2.5) or revert to
+      // the two-exchange partial-aggregation plan for those keys.
       .repartition(col("dst"))
       .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
       // argmax by (count desc, label asc): max of (c, -label)

@@ -12,11 +12,18 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native bag-merge aggregate behind `make_bag`/`make_bag_if`:
-  * `graft_make_bag(donorJson, entries)` over
-  * (STRING, MAP<STRING, STRING>) rows — the donor's canonical JSON
-  * serialization and its top-level entries with each value rendered as
-  * JSON text — returns the merged bag as a JSON object string (the
-  * caller wraps `parse_json` to get the VARIANT).
+  * `graft_make_bag(donorJson)` over the bag's canonical JSON
+  * serialization — returns the merged bag as a JSON object string (the
+  * caller wraps `parse_json` to get the VARIANT). The per-key entries
+  * are parsed from the donor's top-level object INSIDE update() (one
+  * byte scan): the r19 form additionally took a
+  * MAP<STRING, STRING> built per row by an interpreted
+  * `transform_values` higher-order lambda re-rendering every value
+  * with its own `to_json` — the donor string already carries those
+  * exact spans (same canonical renderer), so the second argument was
+  * pure duplicated per-row work on the hot path (guide §4). A
+  * non-object donor (array/scalar rendering) contributes nothing —
+  * exactly the old `try_cast(... AS MAP)` null behavior.
   *
   * Semantics (identical to the first collect_list+fold formulation,
   * which this replaces): per key, the value comes from the bag with
@@ -36,24 +43,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class BagMergeAgg(
     donorExpr: Expression,
-    entriesExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, (Array[Byte], Array[Byte])]] {
 
-  override def children: Seq[Expression] = Seq(donorExpr, entriesExpr)
+  override def children: Seq[Expression] = Seq(donorExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = StringType
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val entriesOk = entriesExpr.dataType match {
-      case MapType(StringType, StringType, _) => true
-      case _ => false
-    }
-    if (donorExpr.dataType == StringType && entriesOk) TypeCheckResult.TypeCheckSuccess
+    if (donorExpr.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_make_bag expects (string, map<string, string>), got " +
-        s"(${donorExpr.dataType.simpleString}, ${entriesExpr.dataType.simpleString})")
+      s"graft_make_bag expects (string), got " +
+        s"(${donorExpr.dataType.simpleString})")
   }
 
   override def createAggregationBuffer(): mutable.HashMap[String, (Array[Byte], Array[Byte])] =
@@ -80,22 +82,90 @@ case class BagMergeAgg(
       case _ => buf.put(key, (donor, value)): Unit
     }
 
+  /** JSON string unescape (the donor is Spark's own canonical
+    * rendering, so only standard escapes appear). */
+  private def unescape(raw: String): String =
+    if (raw.indexOf('\\') < 0) raw
+    else {
+      val sb = new java.lang.StringBuilder(raw.length)
+      var j = 0
+      while (j < raw.length) {
+        val c = raw.charAt(j)
+        if (c == '\\' && j + 1 < raw.length) {
+          j += 1
+          raw.charAt(j) match {
+            case 'u' =>
+              sb.append(Integer.parseInt(raw.substring(j + 1, j + 5), 16).toChar)
+              j += 4
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case o => sb.append(o) // \" \\ \/
+          }
+        } else sb.append(c)
+        j += 1
+      }
+      sb.toString
+    }
+
   override def update(buf: mutable.HashMap[String, (Array[Byte], Array[Byte])],
                       input: InternalRow): mutable.HashMap[String, (Array[Byte], Array[Byte])] = {
     val donor = donorExpr.eval(input)
-    val entries = entriesExpr.eval(input)
-    if (donor != null && entries != null) {
-      // clone out of Spark's reused buffers before storing
+    if (donor != null) {
+      // clone out of Spark's reused buffers before storing/scanning
       val db = donor.asInstanceOf[UTF8String].getBytes.clone()
-      val m = entries.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
-      val keys = m.keyArray()
-      val vals = m.valueArray()
-      var i = 0
-      while (i < m.numElements()) {
-        val v = vals.getUTF8String(i)
-        if (v != null)
-          offer(buf, keys.getUTF8String(i).toString, db, v.getBytes.clone())
-        i += 1
+      if (db.nonEmpty && db(0) == '{') {
+        var i = 1
+        def skipWs(): Unit =
+          while (i < db.length && (db(i) == ' ' || db(i) == '\t' ||
+            db(i) == '\n' || db(i) == '\r')) i += 1
+        skipWs()
+        var ok = true
+        while (ok && i < db.length && db(i) != '}') {
+          // key: a JSON string (UTF-8 multibyte bytes are >= 0x80 and
+          // never collide with the ASCII structural bytes scanned here)
+          if (db(i) != '"') ok = false
+          else {
+            i += 1
+            val kStart = i
+            while (i < db.length && db(i) != '"') {
+              if (db(i) == '\\') i += 1
+              i += 1
+            }
+            val key = unescape(new String(db, kStart, i - kStart,
+              java.nio.charset.StandardCharsets.UTF_8))
+            i += 1 // closing quote
+            skipWs()
+            if (i < db.length && db(i) == ':') {
+              i += 1
+              skipWs()
+              // value span: balanced scan to the next top-level ',' or '}'
+              val vStart = i
+              var depth = 0
+              var inStr = false
+              var done = false
+              while (!done && i < db.length) {
+                val c = db(i)
+                if (inStr) {
+                  if (c == '\\') i += 1
+                  else if (c == '"') inStr = false
+                  i += 1
+                } else if (c == '"') { inStr = true; i += 1 }
+                else if (c == '{' || c == '[') { depth += 1; i += 1 }
+                else if (c == '}' || c == ']') {
+                  if (depth == 0) done = true else { depth -= 1; i += 1 }
+                } else if (c == ',' && depth == 0) done = true
+                else i += 1
+              }
+              offer(buf, key, db,
+                java.util.Arrays.copyOfRange(db, vStart, i))
+              skipWs()
+              if (i < db.length && db(i) == ',') { i += 1; skipWs() }
+            } else ok = false
+          }
+        }
       }
     }
     buf
@@ -170,7 +240,7 @@ case class BagMergeAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): BagMergeAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BagMergeAgg =
-    copy(donorExpr = newChildren(0), entriesExpr = newChildren(1))
+    copy(donorExpr = newChildren(0))
   override def prettyName: String = "graft_make_bag"
   override def defaultResult: Option[Literal] =
     Some(Literal.create(UTF8String.fromString("{}"), StringType))

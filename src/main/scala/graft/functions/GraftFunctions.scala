@@ -55,7 +55,7 @@ object GraftFunctions {
     "graft_ipv6_canon" -> (e => Ipv6Canonical(e(0))),
     "graft_ipv6_mask" -> (e => Ipv6CanonicalMask(e(0), e(1))),
     "graft_ipv6_cmp" -> (e => Ipv6Compare(e(0), e(1), e(2))),
-    "graft_make_bag" -> (e => BagMergeAgg(e(0), e(1))),
+    "graft_make_bag" -> (e => BagMergeAgg(e(0))),
     "graft_build_schema" -> (e => BuildSchemaAgg(e(0))),
     "graft_gzip_compress" -> (e => GzipCompress(e(0))),
     "graft_gzip_decompress" -> (e => GzipDecompress(e(0))),

@@ -4139,10 +4139,12 @@ object KqlParser {
             val bagSql = rw(scalar(args(0), lets))
             def gated(e: String): String =
               if (isIf) s"CASE WHEN (${rw(scalar(args(1), lets))}) THEN $e END" else e
+            // single-argument form (r20): the aggregate derives the
+            // per-key entries from the donor's canonical JSON itself,
+            // so the per-row interpreted transform_values + per-value
+            // to_json re-render the r19 call site paid are gone
             val donor = gated(s"to_json($bagSql)")
-            val entries = gated(s"transform_values(" +
-              s"try_cast($bagSql AS MAP<STRING, VARIANT>), (mbk, mbv) -> to_json(mbv))")
-            (expr(s"parse_json(graft_make_bag($donor, $entries))"), defName(args(0)))
+            (expr(s"parse_json(graft_make_bag($donor))"), defName(args(0)))
           case "buildschema" =>
             // ADX buildschema(dyn): the minimal schema admitting every
             // value in the group — a native partial+final aggregate
@@ -4222,7 +4224,14 @@ object KqlParser {
     extends SerialHelper
   /** `sum(term) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING..CURRENT)`,
     * distributed: block-local running sum + the sum of all earlier
-    * blocks (broadcast per-block totals, folded per row). */
+    * blocks (broadcast per-block totals, folded per row).
+    *
+    * DOUBLE-domain deviation (documented, the tdigest tier's
+    * convention): the decomposition folds block-local sums with
+    * per-block offsets, so a floating-point running sum can differ in
+    * low-order bits from a strictly sequential accumulation (and from
+    * a cross-engine replay of one). Integer/decimal terms — every
+    * registered query's shape — are exact under any association. */
   private[kql] final case class RunningSumHelper(name: String, termSql: String)
     extends SerialHelper
   /** `row_number() OVER (ORDER BY ord)`, distributed: the pinned dense

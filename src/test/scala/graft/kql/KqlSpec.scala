@@ -1476,11 +1476,31 @@ class KqlSpec extends SparkSpec {
     graft.functions.GraftFunctions.register(spark)
     val (kRep, kEmo) = ("\uFFFD", "\uD83D\uDE00")
     val out = spark.sql(
-      s"SELECT graft_make_bag(d, m) AS s FROM VALUES " +
-        s"('{}', map('$kEmo', '2', '$kRep', '1')) AS t(d, m)")
+      s"SELECT graft_make_bag(d) AS s FROM VALUES " +
+        s"""('{"$kEmo":2,"$kRep":1}') AS t(d)""")
       .head().getString(0)
     assert(out == s"""{"$kRep":1,"$kEmo":2}""",
       s"expected U+FFFD before U+1F600 (UTF-8 byte order), got $out")
+  }
+
+  test("graft_make_bag parses escaped keys and nested values from the donor") {
+    // r20: the aggregate derives entries by scanning the donor JSON \u2014
+    // pin the scanner's escape handling (\" \\ \uXXXX keys), nested
+    // object/array value spans (balanced scan), string values holding
+    // braces, and the non-object donor skip (array renderings
+    // contribute nothing, the old try_cast-to-map null behavior).
+    graft.functions.GraftFunctions.register(spark)
+    val donors = Seq(
+      "{\"a\\\"q\":1,\"b\":{\"x\":[1,2],\"y\":\"}\"},\"c\\u0041\":\"v,w\"}",
+      "[1,2]",
+      "{\"b\":{\"x\":[9]},\"z\":3}")
+    donors.toDF("d").createOrReplaceTempView("mk_bag_donors")
+    val out = spark.sql("SELECT graft_make_bag(d) AS s FROM mk_bag_donors")
+      .head().getString(0)
+    // keys sort by UTF-8 bytes: "a\"q" < "b" < "cA" < "z"; b's winner
+    // is the donor with the smaller canonical JSON (the 3-key one
+    // starts '{"a' < '{"b')
+    assert(out == """{"a\"q":1,"b":{"x":[1,2],"y":"}"},"cA":"v,w","z":3}""", out)
   }
 
   test("parser: series unary tier — abs/exp/log/sign/floor/ceiling/round/pow") {
