@@ -56,8 +56,16 @@ object CdcQueries {
     // host. Serialized-on-disk blocks re-read in ~the time the block
     // transfer costs, and model the durable topic a real CDC pipeline
     // replays from anyway.
+    // REPARTITION before the persist (r20, guide §2.5 input skew): the
+    // log renders from a single-row-group parquet scan, so the cached
+    // blocks — and therefore EVERY downstream cdc_* query's JSON parse
+    // (~500k Jackson invocations at sf0.1) — otherwise live on ONE
+    // core. A real CDC topic is many-partitioned at the broker; the
+    // round-robin spread models exactly that (row order is not part of
+    // any cdc query's contract — ordering comes from the lsn column).
     logCache.computeIfAbsent((spark, sfDir, name),
-      _ => build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      _ => build.repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
   }
 
   /** Drop (and unpersist) every cached envelope log owned by `spark` —
