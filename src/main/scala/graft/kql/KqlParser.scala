@@ -2195,16 +2195,21 @@ object KqlParser {
       edges.select(col("__src").as(s"${aV}_id")).distinct())
     aConjs.foreach(c => seeds = seeds.filter(expr(scalar(rewriteVar(aV, c), lets))))
 
-    // level-synchronous BFS; `visited` rows carry FIRST-arrival hops
+    // level-synchronous BFS; `visited` rows carry FIRST-arrival hops.
+    // LAZY checkpoints (r20): each level's frontier is read three times
+    // (visited union, next level's anti-join and expansion join), so
+    // persistence is load-bearing — but materializing it eagerly ran K
+    // scheduled jobs at TRANSLATION time; lazily the whole traversal
+    // rides the first action, each level computed once at first read.
     var frontier = seeds
       .select(col(s"${aV}_id").as("__a"), col(s"${aV}_id").as("__node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var visited = frontier.withColumn("__hops", lit(0))
     for (k <- 1 to hi) {
       val next = frontier.join(edges, frontier("__node") === edges("__src"))
         .select(col("__a"), col("__dst").as("__node")).distinct()
         .join(visited.select(col("__a"), col("__node")), Seq("__a", "__node"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       visited = visited.union(next.withColumn("__hops", lit(k)))
       frontier = next
     }
@@ -2474,10 +2479,13 @@ object KqlParser {
     // Stable transaction ids: the checkpoint pins
     // monotonically_increasing_id so every level reads the same tids
     // (ids are internal — results depend only on row contents).
+    // LAZY: the level-1 frequency job (whose isEmpty drives the loop)
+    // materializes this on first read anyway — eager ran an extra
+    // scheduled job before it (r20)
     val rows = df.select(
       monotonically_increasing_id().as("__tid") +:
         cols.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"__v$i") }: _*)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val bcTotal = broadcast(rows.agg(count(lit(1)).as("__total")))
     // (tid, attr, value) items, as nc-wide sparse pattern vectors so
     // every level shares one fixed shape (groupBy on the array column).
@@ -2488,7 +2496,7 @@ object KqlParser {
       .select(col("__tid"), col("__a"),
         expr(s"transform(sequence(0, ${nc - 1}), i -> IF(i = __a, __x, CAST(NULL AS STRING)))")
           .as("__patt"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def freq(p: DataFrame): DataFrame = p
       .groupBy(col("__patt")).agg(count(lit(1)).as("n"))
       .crossJoin(bcTotal)
